@@ -1,0 +1,430 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Tier B — the relational/dataflow operator surface (SURVEY.md §2.B).
+  *
+  * The reference has no relational operators in the framework; its generic
+  * map/sort/shuffle/reduce spans them (reference `JobContext.cpp:14-175`).
+  * Here each operator is declared through the DataFrame API so Catalyst
+  * supplies pushdown, pruning, join planning and partial aggregation —
+  * none of which the reference has (SURVEY.md §4.1).
+  *
+  * Scale notes are per-query; the shared rules:
+  *   - aggregations are partial+final (`HashAggregateExec`) — map-side
+  *     combine the reference lacks entirely (SURVEY.md §4.2);
+  *   - dimension tables are explicitly `broadcast(...)` so the 100-TB fact
+  *     table never shuffles for a star join;
+  *   - ORDER BY on the final (small) result only — a global sort of a
+  *     raw fact table would be a scale bug.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Seq[Q] = Seq(
+
+    // ── scan / projection ────────────────────────────────────────────────
+    // Column pruning: the parquet scan must read only 4 of 11 columns
+    // (ReadSchema in .explain). Reference counterpart: input scan A1
+    // (`JobContext.cpp:22-52`) which always materializes whole pairs.
+    Q("q_scan_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                l_quantity, l_extendedprice
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
+
+    // ── filter / predicates ──────────────────────────────────────────────
+    // Conjunction + disjunction + BETWEEN + IN + IS NOT NULL + arithmetic;
+    // simple comparisons reach the scan as PushedFilters.
+    Q("q_filter_pred",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 40)
+          && col("l_discount").isin(0.02, 0.04, 0.06, 0.08)
+          && (col("l_returnflag") === "R" || col("l_tax") > 0.05)
+          && col("l_shipdate").isNotNull
+          && col("l_extendedprice") * (lit(1) - col("l_discount")) > 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                l_extendedprice * (1 - l_discount) AS revenue
+              FROM lineitem
+              WHERE l_quantity BETWEEN 10 AND 40
+                AND l_discount IN (0.02, 0.04, 0.06, 0.08)
+                AND (l_returnflag = 'R' OR l_tax > 0.05)
+                AND l_shipdate IS NOT NULL
+                AND l_extendedprice * (1 - l_discount) > 1000
+              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
+
+    // ── flagship: per-character counts (CounterClient port, A13) ────────
+    // Reference `SampleClient.cpp:32-66`: map = per-string char histogram,
+    // reduce = sum per char. Spark-first: explode + partial/final count —
+    // the explode fans out ~300 chars/doc but the partial aggregation
+    // collapses to ≤64 distinct keys per task before the shuffle.
+    Q("q_charcount",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("ch").agg(count(lit(1)).as("cnt"))
+        .orderBy("ch"),
+      Some("""SELECT ch, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+              WHERE ch <> '' GROUP BY ch ORDER BY ch""")),
+
+    // ── mod-100 histogram (test1/test4 port, A14) ────────────────────────
+    // Reference `test1-1_thread_1_process.cpp:59-77`: map k -> (k % 100, 1),
+    // reduce = group size.
+    Q("q_mod_histogram",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 100).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("k"),
+      Some("""SELECT l_orderkey % 100 AS k, count(*) AS cnt
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ── hash aggregation (TPC-H Q1 shape) ────────────────────────────────
+    Q("q_groupby_sum",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_base"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc"),
+          avgDec(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ── distinct aggregation (two-phase expansion in Catalyst) ───────────
+    Q("q_agg_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+                COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ── dedup (unique-key-set port, A5: `JobContext.h:24-28`) ────────────
+    Q("q_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus
+              FROM lineitem ORDER BY 1, 2""")),
+
+    // ── inner equi join ──────────────────────────────────────────────────
+    // customer is small relative to orders at every SF → broadcast it;
+    // at 100 TB orders never shuffles for this join.
+    Q("q_join_inner",
+      (s, dir) => t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")),
+
+    // ── 5-table star join, dims broadcast ────────────────────────────────
+    Q("q_join_broadcast",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                COUNT(*) AS cnt
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ── left outer join + null-aware aggregate ───────────────────────────
+    Q("q_join_left",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sumDec2(col("o_totalprice")), lit(0.0)).as("total_price"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+                COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_price
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    // ── semi / anti join (EXISTS / NOT EXISTS) ───────────────────────────
+    Q("q_join_semi_anti",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        val semi = cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(lit("semi").as("tag"), col("c_custkey"))
+        val anti = cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(lit("anti").as("tag"), col("c_custkey"))
+        semi.unionByName(anti).orderBy("tag", "c_custkey")
+      },
+      Some("""SELECT 'semi' AS tag, c_custkey FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+              UNION ALL
+              SELECT 'anti' AS tag, c_custkey FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+              ORDER BY tag, c_custkey""")),
+
+    // ── range / as-of flavored join (non-equi condition) ─────────────────
+    // Equi bucket + range predicate: planned as BroadcastHashJoin with the
+    // range residual as a post-join filter — NOT a nested-loop cross join.
+    Q("q_join_range",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), (col("user_id") % 50).as("bkt"), col("ts"))
+        val o = t(s, dir, "orders")
+          .select((col("o_custkey") % 50).as("obkt"), col("o_orderdate"))
+        e.join(broadcast(o),
+            col("bkt") === col("obkt") && col("o_orderdate") <= col("ts"))
+          .groupBy("event_id")
+          .agg(max(col("o_orderdate")).as("asof_date"),
+            count(lit(1)).as("n_candidates"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, max(o.o_orderdate) AS asof_date,
+                count(*) AS n_candidates
+              FROM events e JOIN orders o
+                ON (o.o_custkey % 50) = (e.user_id % 50) AND o.o_orderdate <= e.ts
+              GROUP BY e.event_id ORDER BY e.event_id""")),
+
+    // ── window: ranking, top-3 per segment ───────────────────────────────
+    Q("q_window_rank",
+      (s, dir) => {
+        val j = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        val wRn = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wRk = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc)
+        j.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(wRn).cast("long").as("rn"),
+            rank().over(wRk).cast("long").as("rk"),
+            dense_rank().over(wRk).cast("long").as("drk"))
+          .filter(col("rn") <= 3)
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+                  CAST(RANK() OVER (PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC) AS BIGINT) AS rk,
+                  CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC) AS BIGINT) AS drk
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+              WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // ── window: lag/lead + moving frame ──────────────────────────────────
+    Q("q_window_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            sum(dec2(col("o_totalprice"))).over(w.rowsBetween(-2, 0))
+              .cast("double").as("mov_sum"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                lag(o_orderkey, 1) OVER w AS prev_key,
+                lead(o_orderkey, 1) OVER w AS next_key,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, o_orderkey""")),
+
+    // ── global sort + limit (top-k) ──────────────────────────────────────
+    // orderBy().limit(k) plans as TakeOrderedAndProject: per-partition
+    // heaps + driver merge of k rows, never a full global sort.
+    Q("q_sort_limit",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_shipdate")
+        .orderBy(col("l_extendedprice").desc, col("l_shipdate").asc,
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                l_extendedprice, l_shipdate
+              FROM lineitem
+              ORDER BY l_extendedprice DESC, l_shipdate ASC, l_orderkey,
+                l_linenumber, l_partkey, l_suppkey
+              LIMIT 100""")),
+
+    // ── set operations ───────────────────────────────────────────────────
+    Q("q_set_ops",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val a = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+        val b = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        Seq(
+          a.union(b).distinct().withColumn("op", lit("union")),
+          a.union(b).withColumn("op", lit("union_all")),
+          a.intersect(b).withColumn("op", lit("intersect")),
+          a.except(b).withColumn("op", lit("except")))
+          .reduce(_ unionByName _)
+          .groupBy("op", "c_custkey").agg(count(lit(1)).as("cnt"))
+          .orderBy("op", "c_custkey")
+      },
+      Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+                   b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+                   u AS (
+                SELECT 'union' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+                UNION ALL
+                SELECT 'union_all' AS op, c_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+                UNION ALL
+                SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+                UNION ALL
+                SELECT 'except' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+              SELECT op, c_custkey, count(*) AS cnt FROM u
+              GROUP BY op, c_custkey ORDER BY op, c_custkey""")),
+
+    // ── grouping sets: ROLLUP + GROUPING_ID ──────────────────────────────
+    Q("q_rollup_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("sum_qty"), col("cnt"))
+        .orderBy("gid", "rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS cnt
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY gid, rf, ls""")),
+
+    // ── scalar function library: string / date / math ────────────────────
+    // round() goes through DECIMAL so Spark (HALF_UP) and DuckDB
+    // (round-half-away-from-zero) agree on exact decimal ties.
+    Q("q_scalar_funcs",
+      (s, dir) => t(s, dir, "orders").select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_up"),
+          substring(col("o_orderpriority"), 1, 3).as("pri3"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+          length(col("o_orderpriority")).cast("long").as("pri_len"),
+          trim(concat(lit("  "), col("o_orderstatus"), lit(" "))).as("status_trim"),
+          date_trunc("month", col("o_orderdate")).as("ord_month"),
+          year(col("o_orderdate")).cast("long").as("ord_year"),
+          month(col("o_orderdate")).cast("long").as("ord_mon"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("days_since"),
+          round(dec2(col("o_totalprice")), 1).cast("double").as("price_r1"),
+          abs(col("o_totalprice")).as("price_abs"),
+          floor(col("o_totalprice")).cast("long").as("price_fl"),
+          ceil(col("o_totalprice")).cast("long").as("price_ce"),
+          pow(lit(2), col("o_orderkey") % 10).as("pow2"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                upper(o_orderpriority) AS pri_up,
+                substr(o_orderpriority, 1, 3) AS pri3,
+                o_orderstatus || '-' || o_orderpriority AS status_pri,
+                CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+                trim('  ' || o_orderstatus || ' ') AS status_trim,
+                date_trunc('month', o_orderdate) AS ord_month,
+                CAST(extract(year FROM o_orderdate) AS BIGINT) AS ord_year,
+                CAST(extract(month FROM o_orderdate) AS BIGINT) AS ord_mon,
+                CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+                CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+                abs(o_totalprice) AS price_abs,
+                CAST(floor(o_totalprice) AS BIGINT) AS price_fl,
+                CAST(ceil(o_totalprice) AS BIGINT) AS price_ce,
+                power(2, o_orderkey % 10) AS pow2
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── JSON extraction ──────────────────────────────────────────────────
+    Q("q_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("cnt"), sumDec2(col("value")).as("sum_val"))
+        .orderBy("k"),
+      Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ── array functions over the embedding column ────────────────────────
+    Q("q_array_ops",
+      (s, dir) => t(s, dir, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          element_at(col("embedding"), 64).cast("double").as("last_val"),
+          array_min(slice(col("embedding"), 1, 4)).cast("double").as("min_of_first4"),
+          array_max(col("embedding")).cast("double").as("max_val"),
+          array_contains(col("embedding"), 0.0f).as("has_zero"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                CAST(embedding[1] AS DOUBLE) AS first_val,
+                CAST(embedding[64] AS DOUBLE) AS last_val,
+                CAST(list_aggregate(list_slice(embedding, 1, 4), 'min') AS DOUBLE) AS min_of_first4,
+                CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+                list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
+              FROM embeddings ORDER BY vec_id""")),
+
+    // ── correlated scalar subquery (Catalyst decorrelates to join+agg) ───
+    Q("q_subquery",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+                 WHERE o_totalprice > (
+                   SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+              WHERE o_totalprice > (
+                SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              ORDER BY o_orderkey"""))
+  )
+}
