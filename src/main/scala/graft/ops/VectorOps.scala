@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-pipeline vector similarity over `embeddings` (north-star extensions).
+  *
+  * All dot products are computed as exact left-to-right double folds over
+  * the 64 array slots (`aggregate(zip_with(...))`) so the DuckDB oracle —
+  * which sums the same doubles in the same index order — is bit-identical;
+  * no rounding tolerance is needed.
+  *
+  * Scale design: the probe set and the IVF codebook are broadcast (they
+  * are tiny by construction); the 100-TB side (the embedding corpus)
+  * never shuffles for scoring. Top-k per probe is a rank-filter after a
+  * per-partition score, not a global sort of the corpus.
+  */
+object VectorOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact double dot product of two equal-length float array columns. */
+  private def dot(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  private def norm2(a: String) = expr(
+    s"""aggregate($a, CAST(0.0 AS DOUBLE),
+        (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+
+  /** Shared DuckDB fragment: exact double dot product via an ascending
+    * correlated sum — same fold order as the Spark side.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) g(i))"
+
+  val queries: Seq[Q] = Seq(
+
+    // ── exact cosine top-3 neighbors for 10 probe vectors ────────────────
+    // Brute-force baseline: corpus × broadcast(probes) — a single scan of
+    // the corpus per batch of probes, rank-filtered per probe. The scale
+    // path for large probe counts is q_ann_ivf below.
+    Q("q_similarity_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2("embedding").as("n2"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("n2").as("p_n2"))
+        val byProbe = Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            (dot("p_emb", "embedding") / sqrt(col("p_n2") * col("n2"))).as("sim"))
+          .withColumn("rk", row_number().over(byProbe).cast("long"))
+          .filter(col("rk") <= 3)
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, embedding,
+                  ${duckDot("embedding", "embedding")} AS n2
+                FROM embeddings),
+              p AS (SELECT vec_id AS probe_id, embedding AS p_emb, n2 AS p_n2
+                    FROM e WHERE vec_id < 10),
+              j AS (
+                SELECT p.probe_id, e.vec_id AS neighbor_id,
+                  ${duckDot("p.p_emb", "e.embedding")} / sqrt(p.p_n2 * e.n2) AS sim
+                FROM p, e WHERE e.vec_id <> p.probe_id),
+              r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM j)
+              SELECT probe_id, neighbor_id, sim, rk FROM r
+              WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
+    // ── LSH-banded embedding near-dup (oracle-exempt: approximate) ───────
+    // 64 deterministic hyperplane sign bits — plane (k, i) component is ±1
+    // from the parity of xxhash64(k*64+i), no RNG, rerun-stable — banded
+    // into 8 keys of 8 bits; pairs sharing ANY band are candidates
+    // (P(candidate) = 1-(1-p^8)^8 for per-bit agreement p), then verified
+    // by exact cosine ≥ 0.35. Bucket-join shaped: cost is Σ|bucket|² per
+    // band, never corpus². The threshold is corpus-calibrated (this
+    // synthetic corpus tops out at cos ≈ 0.51); a production near-dup pass
+    // sets it at 0.9+.
+    Q("q_embed_neardup",
+      (s, dir) => {
+        val bits = expr(
+          """transform(sequence(0, 63), k ->
+               CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+                 (acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE)
+                   * CASE WHEN pmod(xxhash64(k * 64 + i), 2) = 0
+                          THEN 1.0 ELSE -1.0 END) > 0
+               THEN 1 ELSE 0 END)""")
+        val bands = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2("embedding").as("n2"),
+            bits.as("bits"))
+          .select(col("vec_id"), col("embedding"), col("n2"),
+            explode(expr(
+              """transform(sequence(0, 7), b ->
+                   struct(b AS band_id,
+                          aggregate(sequence(0, 7), 0,
+                            (acc, j) -> acc * 2 + element_at(bits, b * 8 + j + 1))
+                            AS band_key))""")).as("bb"))
+          .select(col("vec_id"), col("embedding"), col("n2"),
+            col("bb.band_id"), col("bb.band_key"))
+        bands.as("x")
+          .join(bands.as("y"), col("x.band_id") === col("y.band_id")
+            && col("x.band_key") === col("y.band_key")
+            && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            (dot("x.embedding", "y.embedding")
+              / sqrt(col("x.n2") * col("y.n2"))).as("cos"))
+          .distinct()
+          .filter(col("cos") >= 0.35)
+          .orderBy("a", "b")
+      },
+      None),
+
+    // ── IVF-style approximate nearest neighbor (oracle-exempt) ───────────
+    // Codebook = the 16 vectors with vec_id < 16 (a deterministic stand-in
+    // for trained k-means centroids — swap point documented). Every corpus
+    // vector is assigned to its nearest centroid cell (one broadcast pass);
+    // a probe searches only its nprobe=4 nearest cells. Recall vs the
+    // exact baseline is asserted in VectorOpsSpec.
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2("embedding").as("n2"))
+        val centroids = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+            col("n2").as("c_n2"))
+        // cell assignment: nearest centroid by cosine
+        val byVec = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cent_id"))
+        val assigned = emb.join(broadcast(centroids))
+          .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
+            (dot("c_emb", "embedding") / sqrt(col("c_n2") * col("n2"))).as("csim"))
+          .withColumn("crk", row_number().over(byVec))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"))
+        // probes → nprobe=4 nearest cells
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+            col("n2").as("p_n2"))
+        val byProbeCell = Window.partitionBy("probe_id")
+          .orderBy(col("csim").desc, col("cent_id"))
+        val probeCells = probes.join(broadcast(centroids))
+          .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"),
+            (dot("c_emb", "p_emb") / sqrt(col("c_n2") * col("p_n2"))).as("csim"))
+          .withColumn("crk", row_number().over(byProbeCell))
+          .filter(col("crk") <= 4)
+          .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"))
+        // search only assigned cells of the probe's nprobe list
+        val byProbe = Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        assigned.join(broadcast(probeCells), Seq("cent_id"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            (dot("p_emb", "embedding") / sqrt(col("p_n2") * col("n2"))).as("sim"))
+          .withColumn("rk", row_number().over(byProbe).cast("long"))
+          .filter(col("rk") <= 3)
+          .orderBy("probe_id", "rk")
+      },
+      None)
+  )
+}
