@@ -1,0 +1,178 @@
+package graft.core
+
+import org.apache.spark.{HashPartitioner, RangePartitioner}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.reflect.ClassTag
+
+/** The reference's job API (`MapReduceFramework.h:18-26`) on Spark.
+  *
+  * `startMapReduceJob` → [[MapReduceJob.start]] (async, returns a handle),
+  * `getJobState` → [[JobHandle.state]], `waitForJob` →
+  * [[JobHandle.waitForJob]], `closeJobHandle` → nothing to free (GC).
+  * Multiple concurrent jobs on one session are supported exactly as the
+  * reference's global handle map allows (`MapReduceFramework.cpp:11,41-50`,
+  * exercised by test4) — each start() spawns an independent Spark job
+  * under its own job group.
+  *
+  * Two execution paths:
+  *
+  *  - [[MapReduceJob.start]] — idiomatic: `flatMap → groupByKey(hash) →
+  *    flatMap(reduce)`. Spark's sort-based shuffle is the distributed
+  *    version of the reference's per-thread sort + single-threaded
+  *    equal-key merge (`JobContext.cpp:57-116`) with none of its Q3/Q4
+  *    serialization. Requires `hashCode`/`equals` consistent with the
+  *    key ordering.
+  *
+  *  - [[MapReduceJob.startOrderingOnly]] — exact-parity: keys need ONLY
+  *    an `Ordering` (the reference's sole requirement,
+  *    `MapReduceClient.h:25`; equality derived as `!(a<b) && !(b<a)`,
+  *    `JobContext.cpp:102-104`). Range-partition by the ordering, sort
+  *    within partitions, then detect equal-key runs per partition —
+  *    `hashCode` is never consulted.
+  *
+  * When reduce is a commutative+associative fold, prefer
+  * [[MapReduceJob.startCombining]]: `reduceByKey` adds the map-side
+  * combine the reference lacks entirely (SURVEY §4.2), shrinking the
+  * shuffle from all pairs to one pair per (task, key).
+  */
+object MapReduceJob {
+
+  private val nextId = new AtomicLong(0)
+  // Job bookkeeping runs on daemon threads so a forgotten handle never
+  // blocks JVM exit (the reference leaks its pthreads the same way but
+  // then pthread_cancels them in the destructor — quirk Q5).
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "mr-job")
+      t.setDaemon(true)
+      t
+    }))
+
+  /** Idiomatic path: hash-partitioned groupByKey. */
+  def start[K1, V1, K2: ClassTag, V2: ClassTag, K3: ClassTag, V3: ClassTag](
+      spark: SparkSession,
+      input: RDD[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      numPartitions: Int): JobHandle[K3, V3] =
+    launch(spark) {
+      input
+        .flatMap { case (k, v) => client.map(k, v) }
+        .groupByKey(new HashPartitioner(numPartitions))
+        .flatMap { case (k, vs) => client.reduce(k, vs) }
+    }
+
+  /** Map-side-combining path for fold-style reducers. */
+  def startCombining[K1, V1, K2: ClassTag, V2: ClassTag, K3: ClassTag, V3: ClassTag](
+      spark: SparkSession,
+      input: RDD[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      combine: (V2, V2) => V2,
+      numPartitions: Int): JobHandle[K3, V3] =
+    launch(spark) {
+      input
+        .flatMap { case (k, v) => client.map(k, v) }
+        .reduceByKey(new HashPartitioner(numPartitions), combine)
+        .flatMap { case (k, v) => client.reduce(k, v :: Nil) }
+    }
+
+  /** Exact-parity path: grouping uses ONLY the key ordering. */
+  def startOrderingOnly[K1, V1, K2: ClassTag: Ordering, V2: ClassTag,
+      K3: ClassTag, V3: ClassTag](
+      spark: SparkSession,
+      input: RDD[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      numPartitions: Int): JobHandle[K3, V3] =
+    launch(spark) {
+      val ord = implicitly[Ordering[K2]]
+      val mapped = input.flatMap { case (k, v) => client.map(k, v) }
+      // RangePartitioner places ordering-equal keys in one partition
+      // (partition choice is a function of the ordering alone), so the
+      // per-partition sorted runs contain every member of each group.
+      val parts = math.min(numPartitions, math.max(1, mapped.partitions.length))
+      val partitioner =
+        if (mapped.isEmpty()) new HashPartitioner(1)
+        else new RangePartitioner(parts, mapped)
+      mapped
+        .repartitionAndSortWithinPartitions(partitioner)
+        .mapPartitions { it =>
+          // equal-key run detection under derived equality
+          // !(a<b) && !(b<a) — `JobContext.cpp:102-104`
+          new Iterator[(K2, Vector[V2])] {
+            private val buf = it.buffered
+            def hasNext: Boolean = buf.hasNext
+            def next(): (K2, Vector[V2]) = {
+              val (k, v) = buf.next()
+              val vs = Vector.newBuilder[V2]
+              vs += v
+              while (buf.hasNext && ord.equiv(buf.head._1, k)) vs += buf.next()._2
+              (k, vs.result())
+            }
+          }.flatMap { case (k, vs) => client.reduce(k, vs) }
+        }
+    }
+
+  private def launch[K3, V3](spark: SparkSession)(plan: => RDD[(K3, V3)]): JobHandle[K3, V3] = {
+    val groupId = s"mr-job-${nextId.getAndIncrement()}"
+    val sc = spark.sparkContext
+    val fut = Future {
+      sc.setJobGroup(groupId, groupId, interruptOnCancel = true)
+      try plan.collect()
+      finally sc.clearJobGroup()
+    }
+    new JobHandle(spark, groupId, fut)
+  }
+}
+
+/** Opaque job handle — `MapReduceFramework.h:18` (`JobHandle`), with the
+  * observable state of `getJobState` (`MapReduceFramework.cpp:61-69`).
+  *
+  * Stage mapping (SURVEY §3.2): the plan is a 2-stage shuffle DAG; the
+  * map stage's tasks cover map+sort+shuffle-write, the result stage's
+  * tasks cover shuffle-read+reduce. We report MAP while stage-1 tasks
+  * run, SHUFFLE between the stages, REDUCE during stage 2 — the enum
+  * values and their order match `stage_t` (`MapReduceFramework.h:8-13`).
+  */
+final class JobHandle[K3, V3] private[core] (
+    spark: SparkSession,
+    val groupId: String,
+    fut: Future[Array[(K3, V3)]]) {
+
+  @volatile private var finished = false
+
+  /** `waitForJob` (`MapReduceFramework.cpp:52-59`) — but synchronous and
+    * lost-wakeup-free by construction (the reference cond-waits on an
+    * unlocked mutex and can sleep forever, SURVEY §4.3-Q2).
+    */
+  def waitForJob(): Array[(K3, V3)] = {
+    val r = Await.result(fut, Duration.Inf)
+    finished = true
+    r
+  }
+
+  def isDone: Boolean = finished || fut.isCompleted
+
+  /** `getJobState` — poll-safe from any thread, monotone percentages. */
+  def state: JobState = {
+    if (isDone) return JobState(Stage.Done, 100f)
+    val tracker = spark.sparkContext.statusTracker
+    val jobIds = tracker.getJobIdsForGroup(groupId)
+    if (jobIds.isEmpty) return JobState(Stage.Undefined, 0f)
+    val stages = jobIds.flatMap(id => tracker.getJobInfo(id).toSeq.flatMap(_.stageIds()))
+      .sorted.flatMap(sid => tracker.getStageInfo(sid).toSeq)
+    if (stages.isEmpty) return JobState(Stage.Undefined, 0f)
+    val (mapStages, reduceStages) = (stages.init, stages.lastOption.toSeq)
+    def pct(ss: Seq[org.apache.spark.SparkStageInfo]): Float = {
+      val total = ss.map(_.numTasks).sum
+      if (total == 0) 0f else 100f * ss.map(_.numCompletedTasks).sum / total
+    }
+    if (mapStages.nonEmpty && pct(mapStages) < 100f) JobState(Stage.Map, pct(mapStages))
+    else if (reduceStages.forall(_.numActiveTasks == 0) && pct(reduceStages) == 0f)
+      JobState(Stage.Shuffle, 0f)
+    else JobState(Stage.Reduce, pct(reduceStages))
+  }
+}

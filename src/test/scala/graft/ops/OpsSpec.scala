@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for queries the DuckDB oracle cannot check
+  * (oracle-exempt: approximate / hash-function-specific / binary), plus
+  * cross-query invariants on sf0.001.
+  */
+class OpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // ── ANN recall vs the exact brute-force baseline ─────────────────────
+  test("q_ann_ivf achieves ≥0.4 recall@3 vs exact top-k") {
+    val exact = q("q_similarity_topk").select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = q("q_ann_ivf").select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF nprobe=4/16 recall@3 was $recall")
+  }
+
+  // ── MinHash near-dup sanity ──────────────────────────────────────────
+  test("q_dedup_near emits ordered pairs with valid exact Jaccard") {
+    val rows = q("q_dedup_near").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("a")) < r.getLong(r.fieldIndex("b")))
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j > 0.0 && j <= 1.0)
+      val nb = r.getLong(r.fieldIndex("n_bands"))
+      assert(nb >= 1 && nb <= 8)
+    }
+  }
+
+  test("q_dedup_near jaccard agrees with the exact q_dedup_ngram value") {
+    val near = q("q_dedup_near").select("a", "b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = q("q_dedup_ngram").select("a", "b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val overlap = near.keySet & exact.keySet
+    overlap.foreach(k => assert(near(k) === exact(k)))
+  }
+
+  // ── SimHash sanity ───────────────────────────────────────────────────
+  test("q_dedup_simhash emits ordered pairs within the Hamming bound") {
+    q("q_dedup_simhash").collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("a")) < r.getLong(r.fieldIndex("b")))
+      val h = r.getLong(r.fieldIndex("hamming"))
+      assert(h >= 0 && h <= 12)
+    }
+  }
+
+  // ── multimodal decode: stub features are exactly computable ──────────
+  test("MultimodalStub.decode computes byte stats deterministically") {
+    val stub = new MultimodalStub
+    val f = stub.decode(7L, "abc".getBytes("UTF-8"))
+    assert(f.doc_id === 7L)
+    assert(f.byteMean === (97 + 98 + 99) / 3.0)
+    assert(f.byteEntropyBucket === 3) // 'a'..'c' = 97..99 → bucket 97>>>5 = 3
+    assert(f.nFrames === 1)
+    assert(stub.decode(0L, Array.emptyByteArray).byteMean === 0.0)
+  }
+
+  test("q_multimodal_decode covers every document with sane features") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val rows = q("q_multimodal_decode").collect()
+    assert(rows.length.toLong === docs)
+    rows.foreach { r =>
+      val mean = r.getDouble(r.fieldIndex("byte_mean"))
+      assert(mean > 0 && mean < 256)
+      assert(r.getLong(r.fieldIndex("n_frames")) >= 1)
+    }
+  }
+
+  test("q_frame_sample keeps every 4th frame only") {
+    val rows = q("q_frame_sample").select("frame_id").distinct().collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) % 4 === 0))
+  }
+
+  // ── cross-query invariants ───────────────────────────────────────────
+  test("q_charcount total equals total characters in the corpus") {
+    val fromQuery = q("q_charcount").agg(sum("cnt")).head().getLong(0)
+    val fromDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(fromQuery === fromDocs)
+  }
+
+  test("q_mod_histogram mass equals lineitem row count") {
+    val hist = q("q_mod_histogram").agg(sum("cnt")).head().getLong(0)
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(hist === rows)
+  }
+
+  test("q_dedup_exact survivors cover all distinct texts") {
+    val survivors = q("q_dedup_exact").agg(sum(lit(1)), sum("dup_cnt")).head()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(survivors.getLong(1) === docs.count(), "dup counts must cover every doc")
+    assert(survivors.getLong(0) === docs.select("text").distinct().count())
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
