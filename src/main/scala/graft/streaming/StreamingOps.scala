@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §2.C).
+  *
+  * The reference is batch-only (no file in it handles time); the north
+  * star requires the `events` stream analog. Each transform here is a
+  * plain `DataFrame => DataFrame` applied identically to a batch read or
+  * a `readStream` — the twin-pair design that lets the DuckDB oracle
+  * check streaming logic through its batch twin (`q_tumbling_window`,
+  * `q_sliding_window`, `q_sessionize`) while StreamingSpec drives the
+  * genuinely-streaming behaviors (incremental triggers, watermark
+  * late-data drop, stateful sessionization) through a file source.
+  *
+  * Scale notes: all aggregations are keyed on (window, event_type) or
+  * user_id, so streaming state partitions by the shuffle key exactly as
+  * the batch shuffles do; watermarks bound state size — without one, a
+  * 100-TB/day stream's window state grows forever.
+  */
+object StreamingOps {
+
+  /** Schema of the prepared event batches (ts already micros). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet batches. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  // ── twin transforms (batch DataFrame or stream, same code) ───────────
+
+  /** Tumbling 1-day window — streaming twin of `q_tumbling_window`. */
+  def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_val"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_val"))
+
+  /** Sliding 3-day/1-day window — streaming twin of `q_sliding_window`. */
+  def sliding(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "3 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** Session windows with a 30-min gap via the built-in session_window —
+    * works in batch AND streaming, and must agree with the batch
+    * lag+cumsum formulation (`q_sessionize`); StreamingSpec asserts both.
+    */
+  def sessionWindows(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+
+  /** Exact in-stream dedup by event_id, state bounded by the watermark. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  // ── custom state: flatMapGroupsWithState sessionizer ─────────────────
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  final case class SessState(sessionCount: Int, lastTs: Long, inSession: Long)
+  final case class UserSessions(user_id: Long, sessions: Int, events: Long)
+
+  /** Per-user session counting with explicit state — the
+    * `flatMapGroupsWithState` fallback SURVEY §7.4-5 calls for when
+    * session semantics outgrow `session_window` (e.g. per-user dynamic
+    * gaps). ProcessingTimeTimeout keeps it runnable under
+    * Trigger.AvailableNow in tests; production uses EventTimeTimeout to
+    * expire state at the watermark.
+    */
+  def statefulSessionCount(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, UserSessions](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0, Long.MinValue, 0))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.lastTs == Long.MinValue || t - st.lastTs > gapMs)
+                SessState(st.sessionCount + 1, t, st.inSession + 1)
+              else SessState(st.sessionCount, t, st.inSession + 1)
+          }
+          state.update(st)
+          Iterator.single(UserSessions(uid, st.sessionCount, st.inSession))
+      }
+  }
+
+  /** Run a stream to completion with Trigger.AvailableNow into a memory
+    * sink; returns the sink table contents.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

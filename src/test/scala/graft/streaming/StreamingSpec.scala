@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.nio.file.Files
+
+/** Streaming behaviors the DuckDB oracle cannot check (FIXTURES.md §3):
+  * file-source replay with Trigger.AvailableNow, batch-twin agreement,
+  * watermark late-data handling, in-stream dedup, custom state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** sf0.001 events split into per-day parquet batch files. */
+  private lazy val batchDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.withColumn("day", dayofmonth(col("ts")))
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/staging")
+    // flatten partition dirs into sequential batch files (arrival order)
+    val staged = new java.io.File(s"$dir/staging")
+    val out = new java.io.File(s"$dir/in"); out.mkdirs()
+    staged.listFiles().filter(_.getName.startsWith("day=")).sortBy(_.getName).zipWithIndex
+      .foreach { case (d, i) =>
+        d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+          case (f, j) => Files.copy(f.toPath, new java.io.File(out, f"batch$i%03d-$j.parquet").toPath)
+        }
+      }
+    s"$dir/in"
+  }
+
+  private def batchEvents: DataFrame = Tables.load(spark, sfDir, "events")
+
+  test("streaming tumbling window agrees with its batch twin (and the oracle'd query)") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.tumbling(StreamingOps.readEventStream(spark, batchDir)),
+      "t_tumble", OutputMode.Complete())
+      .orderBy("ws", "event_type").collect()
+    val batch = SparkEntry.queries("q_tumbling_window")(spark, sfDir).collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
+  test("streaming sliding window agrees with its batch twin") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sliding(StreamingOps.readEventStream(spark, batchDir)),
+      "t_slide", OutputMode.Complete())
+      .orderBy("ws", "event_type").collect()
+    val batch = StreamingOps.sliding(batchEvents)
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
+  test("session_window agrees between streaming, batch, and the lag+cumsum formulation") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sessionWindows(StreamingOps.readEventStream(spark, batchDir)),
+      "t_sess", OutputMode.Complete())
+      .orderBy("user_id", "sess_start").collect()
+    val batch = StreamingOps.sessionWindows(batchEvents)
+      .orderBy("user_id", "sess_start").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+
+    // cross-formulation: q_sessionize (lag + cumulative sum) must carve
+    // the same sessions: compare (user, start, n_events) triples.
+    // session_window's `end` is last_ts + gap, q_sessionize's is last ts —
+    // compare starts and sizes, the invariant part.
+    val viaWindow = batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSeq
+    val viaLag = SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .orderBy("user_id", "sess_start")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(r.fieldIndex("sess_start")), r.getLong(r.fieldIndex("n_events")))).toSeq
+    assert(viaWindow === viaLag)
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp_$name")
+    def move(name: String): Unit = {
+      val src = new java.io.File(s"$dir/tmp_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, new java.io.File(in, s"$name.parquet").toPath)
+    }
+    // Spark's stateful operators filter late events with the watermark of
+    // the PREVIOUS microbatch (two-watermark scheme of SPARK-40925:
+    // lateEvents lags eviction by one batch — observed in the executed
+    // plan as `StateStoreSave ... Append, <late wm>, <eviction wm>`). So
+    // the late row must arrive two batches after the rows that advance
+    // the watermark past it: b1 (day 10) → b2 (day 12, on-time; after it
+    // BOTH watermarks are ≥ Jan 10) → b3 (day-1 row, now behind even the
+    // lagging late-events watermark → dropped). maxFilesPerTrigger=1
+    // forces one file per microbatch within a single AvailableNow run.
+    write("b1", Seq((1L, "2024-01-10 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-10 11:00:00", 1L, "click", 1.0, "{}")))
+    move("b1")
+    Thread.sleep(1100) // distinct mod-times → deterministic file order
+    write("b2", Seq((3L, "2024-01-12 09:00:00", 1L, "click", 1.0, "{}")))
+    move("b2")
+    Thread.sleep(1100)
+    write("b3", Seq((4L, "2024-01-01 00:00:00", 9L, "click", 99.0, "{}"))) // LATE
+    move("b3")
+    val stream = StreamingOps.tumbling(
+      spark.readStream.schema(StreamingOps.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in))
+    val q = stream.writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("t_late").collect()
+    // day-10 window closed (watermark passed it) and must be emitted
+    // exactly once with both on-time rows; the late day-1 row must not
+    // have created a day-1 window.
+    val days = emitted.map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    assert(days.exists { case (ts, cnt) => ts.toString.startsWith("2024-01-10") && cnt == 2 })
+    assert(!days.keys.exists(_.toString.startsWith("2024-01-01")), "late row must be dropped")
+  }
+
+  test("in-stream exact dedup by event_id") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    val rows = Seq(
+      (1L, "2024-01-10 10:00:00", 1L, "click", 1.0, "{}"),
+      (1L, "2024-01-10 10:00:01", 1L, "click", 1.0, "{}"), // dup id
+      (2L, "2024-01-10 10:05:00", 1L, "view", 2.0, "{}"))
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp")
+    new java.io.File(s"$dir/tmp").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.copy(f.toPath, new java.io.File(in, "b0.parquet").toPath))
+    val out = StreamingOps.runToMemory(
+      StreamingOps.dedupStream(StreamingOps.readEventStream(spark, in)),
+      "t_dedup", OutputMode.Append())
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState sessionizer matches the batch session count") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[StreamingOps.Ev]
+    val out = StreamingOps.statefulSessionCount(ev)
+      .collect().map(u => u.user_id -> (u.sessions.toLong, u.events)).toMap
+    val expected = SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max("sess_id").as("sessions"), sum("n_events").as("events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === expected)
+  }
+}
