@@ -21,9 +21,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_charcount")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. The driver
+    * invokes these with its own SparkSession (no extensions config), so
+    * each run first idempotently registers the engine's custom functions.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allQ.map(q => q.name -> q.run).toMap
+    allQ.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        plans.GraftExtensions.ensureRegistered(s)
+        q.run(s, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

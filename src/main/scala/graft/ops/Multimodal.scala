@@ -43,13 +43,13 @@ object Multimodal {
     // broadcasts.
     Q("q_multimodal_cols",
       (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
         t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
-            expr("""CAST(aggregate(embedding, CAST(0.0 AS DOUBLE),
-                    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS DOUBLE)""").as("e_n2"),
+            call_function("graft_dot", col("embedding"), col("embedding")).as("e_n2"),
             element_at(col("embedding"), 1).cast("double").as("e_first"))
           .join(broadcast(docs), col("vec_id") === col("doc_id"))
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

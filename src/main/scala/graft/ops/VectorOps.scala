@@ -1,16 +1,22 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** LLM-pipeline vector similarity over `embeddings` (north-star extensions).
   *
-  * All dot products are computed as exact left-to-right double folds over
-  * the 64 array slots (`aggregate(zip_with(...))`) so the DuckDB oracle —
-  * which sums the same doubles in the same index order — is bit-identical;
-  * no rounding tolerance is needed.
+  * All dot products go through the custom codegen'd
+  * [[graft.functions.DotProduct]] expression (`graft_dot`, registered by
+  * [[graft.plans.GraftExtensions]]): the composable
+  * `aggregate(zip_with(...))` form evaluates interpreted per element and
+  * allocates an intermediate array per pair — the native loop is ~5-10×
+  * faster on the signature computations. Both forms sum products
+  * left-to-right in index order as exact doubles, so the DuckDB oracle —
+  * which sums the same doubles in the same order — stays bit-identical
+  * with no rounding tolerance.
   *
   * Scale design: the probe set and the IVF codebook are broadcast (they
   * are tiny by construction); the 100-TB side (the embedding corpus)
@@ -22,17 +28,13 @@ object VectorOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Exact double dot product of two equal-length float array columns. */
-  private def dot(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+  /** Codegen'd exact double dot product (ascending index order). */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  private def norm2(a: String) = expr(
-    s"""aggregate($a, CAST(0.0 AS DOUBLE),
-        (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+  private def norm2(c: Column): Column = dot(c, c)
 
   /** Shared DuckDB fragment: exact double dot product via an ascending
-    * correlated sum — same fold order as the Spark side.
+    * correlated sum — same fold order as graft_dot.
     */
   private def duckDot(a: String, b: String): String =
     s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) g(i))"
@@ -45,8 +47,9 @@ object VectorOps {
     // path for large probe counts is q_ann_ivf below.
     Q("q_similarity_topk",
       (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
         val emb = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), norm2("embedding").as("n2"))
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("n2").as("p_n2"))
@@ -54,7 +57,7 @@ object VectorOps {
           .orderBy(col("sim").desc, col("neighbor_id"))
         emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            (dot("p_emb", "embedding") / sqrt(col("p_n2") * col("n2"))).as("sim"))
+            (dot(col("p_emb"), col("embedding")) / sqrt(col("p_n2") * col("n2"))).as("sim"))
           .withColumn("rk", row_number().over(byProbe).cast("long"))
           .filter(col("rk") <= 3)
           .orderBy("probe_id", "rk")
@@ -75,33 +78,25 @@ object VectorOps {
               WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
     // ── LSH-banded embedding near-dup (oracle-exempt: approximate) ───────
-    // 64 deterministic hyperplane sign bits — plane (k, i) component is ±1
-    // from the parity of xxhash64(k*64+i), no RNG, rerun-stable — banded
-    // into 8 keys of 8 bits; pairs sharing ANY band are candidates
-    // (P(candidate) = 1-(1-p^8)^8 for per-bit agreement p), then verified
-    // by exact cosine ≥ 0.35. Bucket-join shaped: cost is Σ|bucket|² per
-    // band, never corpus². The threshold is corpus-calibrated (this
-    // synthetic corpus tops out at cos ≈ 0.51); a production near-dup pass
-    // sets it at 0.9+.
+    // 64 deterministic hyperplane sign bits (planes = xxhash64-parity ±1
+    // literals, no RNG) banded into 8 keys of 8 bits; pairs sharing ANY
+    // band are candidates (P(candidate) = 1-(1-p^8)^8 for per-bit
+    // agreement p), then verified by exact cosine ≥ 0.35. Bucket-join
+    // shaped: cost is Σ|bucket|² per band, never corpus². The threshold
+    // is corpus-calibrated (this synthetic corpus tops out at cos ≈ 0.51);
+    // a production near-dup pass sets it at 0.9+.
     Q("q_embed_neardup",
       (s, dir) => {
-        val bits = expr(
-          """transform(sequence(0, 63), k ->
-               CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
-                 (acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE)
-                   * CASE WHEN pmod(xxhash64(k * 64 + i), 2) = 0
-                          THEN 1.0 ELSE -1.0 END) > 0
-               THEN 1 ELSE 0 END)""")
+        GraftExtensions.ensureRegistered(s)
+        val sig = call_function("graft_hyperplane_sig", col("embedding"), lit(64), lit(42))
+        val bandCols = (0 until 8).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("sig"), b * 8).bitwiseAND(255).as("band_key")).as(s"b$b"))
         val bands = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), norm2("embedding").as("n2"),
-            bits.as("bits"))
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"),
+            sig.as("sig"))
           .select(col("vec_id"), col("embedding"), col("n2"),
-            explode(expr(
-              """transform(sequence(0, 7), b ->
-                   struct(b AS band_id,
-                          aggregate(sequence(0, 7), 0,
-                            (acc, j) -> acc * 2 + element_at(bits, b * 8 + j + 1))
-                            AS band_key))""")).as("bb"))
+            explode(array(bandCols: _*)).as("bb"))
           .select(col("vec_id"), col("embedding"), col("n2"),
             col("bb.band_id"), col("bb.band_key"))
         bands.as("x")
@@ -109,7 +104,7 @@ object VectorOps {
             && col("x.band_key") === col("y.band_key")
             && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            (dot("x.embedding", "y.embedding")
+            (dot(col("x.embedding"), col("y.embedding"))
               / sqrt(col("x.n2") * col("y.n2"))).as("cos"))
           .distinct()
           .filter(col("cos") >= 0.35)
@@ -122,11 +117,12 @@ object VectorOps {
     // for trained k-means centroids — swap point documented). Every corpus
     // vector is assigned to its nearest centroid cell (one broadcast pass);
     // a probe searches only its nprobe=4 nearest cells. Recall vs the
-    // exact baseline is asserted in VectorOpsSpec.
+    // exact baseline is asserted in OpsSpec.
     Q("q_ann_ivf",
       (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
         val emb = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), norm2("embedding").as("n2"))
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
         val centroids = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
             col("n2").as("c_n2"))
@@ -135,7 +131,7 @@ object VectorOps {
           .orderBy(col("csim").desc, col("cent_id"))
         val assigned = emb.join(broadcast(centroids))
           .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
-            (dot("c_emb", "embedding") / sqrt(col("c_n2") * col("n2"))).as("csim"))
+            (dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))).as("csim"))
           .withColumn("crk", row_number().over(byVec))
           .filter(col("crk") === 1)
           .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"))
@@ -147,7 +143,7 @@ object VectorOps {
           .orderBy(col("csim").desc, col("cent_id"))
         val probeCells = probes.join(broadcast(centroids))
           .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"),
-            (dot("c_emb", "p_emb") / sqrt(col("c_n2") * col("p_n2"))).as("csim"))
+            (dot(col("c_emb"), col("p_emb")) / sqrt(col("c_n2") * col("p_n2"))).as("csim"))
           .withColumn("crk", row_number().over(byProbeCell))
           .filter(col("crk") <= 4)
           .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"))
@@ -157,7 +153,7 @@ object VectorOps {
         assigned.join(broadcast(probeCells), Seq("cent_id"))
           .filter(col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            (dot("p_emb", "embedding") / sqrt(col("p_n2") * col("n2"))).as("sim"))
+            (dot(col("p_emb"), col("embedding")) / sqrt(col("p_n2") * col("n2"))).as("sim"))
           .withColumn("rk", row_number().over(byProbe).cast("long"))
           .filter(col("rk") <= 3)
           .orderBy("probe_id", "rk")
