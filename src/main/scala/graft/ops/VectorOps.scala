@@ -43,8 +43,12 @@ object VectorOps {
 
     // ── exact cosine top-3 neighbors for 10 probe vectors ────────────────
     // Brute-force baseline: corpus × broadcast(probes) — a single scan of
-    // the corpus per batch of probes, rank-filtered per probe. The scale
-    // path for large probe counts is q_ann_ivf below.
+    // the corpus per batch of probes. Top-3 selection goes through the
+    // bounded-heap `graft_topk` Aggregator, NOT a window rank: the
+    // partial aggregation keeps ≤3 rows per (task × probe), so the
+    // shuffle carries k rows per probe instead of the whole scored
+    // corpus (SURVEY §7.3(a)). The scale path for large probe counts is
+    // q_ann_ivf below.
     Q("q_similarity_topk",
       (s, dir) => {
         GraftExtensions.ensureRegistered(s)
@@ -53,13 +57,14 @@ object VectorOps {
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("n2").as("p_n2"))
-        val byProbe = Window.partitionBy("probe_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))
         emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id").as("neighbor_id"),
             (dot(col("p_emb"), col("embedding")) / sqrt(col("p_n2") * col("n2"))).as("sim"))
-          .withColumn("rk", row_number().over(byProbe).cast("long"))
-          .filter(col("rk") <= 3)
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(neighbor_id, sim)").as("topk"))
+          .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+          .select(col("probe_id"), col("s.id").as("neighbor_id"),
+            col("s.score").as("sim"), (col("pos") + 1).cast("long").as("rk"))
           .orderBy("probe_id", "rk")
       },
       Some(s"""WITH e AS (

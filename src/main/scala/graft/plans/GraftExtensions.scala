@@ -49,6 +49,10 @@ object GraftExtensions {
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no
     * extensions config), so query builders call this first.
+    *
+    * Also registers the UDAF surface: `graft_topk(id, score)` →
+    * array<struct<id, score>> — the bounded-heap top-3
+    * ([[graft.functions.TopKAggregator]]; other k via the class).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -56,6 +60,11 @@ object GraftExtensions {
       if (!registry.functionExists(ident)) {
         registry.registerFunction(ident, info, builder)
       }
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_topk"))) {
+      spark.udf.register("graft_topk", org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored]))
     }
   }
 }
