@@ -12,7 +12,8 @@ object SparkEntry {
   /** All declared queries, in SURVEY §2 order. */
   def allQ: Seq[Q] =
     ops.Relational.queries ++ ops.EventTime.queries ++ ops.Dedup.queries ++
-      ops.TextOps.queries ++ ops.VectorOps.queries ++ ops.Multimodal.queries
+      ops.TextOps.queries ++ ops.VectorOps.queries ++ ops.Multimodal.queries ++
+      ops.Approx.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_charcount = the reference's CounterClient (SampleClient.cpp:32-66)
