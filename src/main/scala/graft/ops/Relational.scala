@@ -430,6 +430,27 @@ object Relational {
                 list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
               FROM embeddings ORDER BY vec_id""")),
 
+    // ── pivot / reshape: one column per l_returnflag ─────────────────────
+    // df.groupBy().pivot() with explicit pivot values — never the
+    // values-discovery variant, which needs an extra job over 100 TB to
+    // enumerate the domain. Oracle = portable CASE-WHEN sums.
+    Q("q_pivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double"))
+        .na.fill(0.0, Seq("A", "N", "R"))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_a,
+                CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_n,
+                CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
     // ── correlated scalar subquery (Catalyst decorrelates to join+agg) ───
     Q("q_subquery",
       (s, dir) => {

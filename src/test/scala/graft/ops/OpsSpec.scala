@@ -105,4 +105,14 @@ class OpsSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("exact dedup is idempotent (SURVEY §7.6 property)") {
+    val once = q("q_dedup_exact").select("doc_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val deduped = docs.join(once, "doc_id") // survivors only
+    val again = deduped.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+    assert(again.filter(col("dup_cnt") > 1).count() === 0)
+    assert(again.count() === once.count())
+  }
 }
