@@ -24,8 +24,8 @@ object Approx {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supp"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_part"),
+          approx_count_distinct(col("l_suppkey"), 0.05).as("approx_supp"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag"),
       None),

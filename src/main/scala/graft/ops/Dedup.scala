@@ -77,12 +77,15 @@ object Dedup {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
-        // exact Jaccard on candidates only
+        // exact Jaccard on candidates ONLY: expand each candidate pair to
+        // a's shingles, then equi-join on (b, shingle) — intersection
+        // counting linear in Σ|shingles(candidate)|, never the full
+        // shingle self-join (that all-pairs shape is q_dedup_ngram's job)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val common = sh.as("sa")
-          .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
-            && col("sa.doc_id") < col("sb.doc_id"))
-          .select(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+        val shA = sh.join(cands.select("a", "b"), col("doc_id") === col("a"))
+          .select(col("a"), col("b"), col("shingle"))
+        val common = shA.join(sh.as("sb"),
+            col("sb.doc_id") === col("b") && col("sb.shingle") === shA("shingle"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
         cands
           .join(common, Seq("a", "b"))
