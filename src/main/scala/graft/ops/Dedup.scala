@@ -32,6 +32,21 @@ object Dedup {
                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
            ELSE array() END""")).as("shingle"))
 
+  /** Hashed distinct shingles: xxhash64 over the 3 tokens directly — no
+    * string materialization (the concat'd form costs ~2s of the MinHash
+    * pipeline at sf0.1). 64-bit collisions are negligible for Jaccard
+    * estimation; the string form stays in q_dedup_ngram where the DuckDB
+    * oracle needs reproducible shingles.
+    */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 3
+           THEN array_distinct(transform(sequence(0, size(toks) - 3),
+                  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))
+           ELSE array() END""")).as("shingle"))
+
   private val NumHashes = 32
   private val BandSize = 4 // → 8 bands; P(candidate) = 1-(1-J^4)^8
 
@@ -58,7 +73,7 @@ object Dedup {
     // docs, so shingle re-expansion touches only candidate content.
     Q("q_dedup_near",
       (s, dir) => {
-        val sh = shingles(t(s, dir, "documents"))
+        val sh = shingleHashes(t(s, dir, "documents"))
         val sigCols: Seq[Column] = (0 until NumHashes)
           .map(k => min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
         val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)

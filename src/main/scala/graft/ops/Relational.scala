@@ -430,6 +430,75 @@ object Relational {
                 list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero
               FROM embeddings ORDER BY vec_id""")),
 
+    // ── window: RANGE frame (value-based, vs q_window_frame's ROWS) ──────
+    // 30-day trailing spend per customer: the frame is defined on the
+    // ORDER BY value (day number), so equal/nearby dates aggregate
+    // together regardless of row position.
+    Q("q_window_range",
+      (s, dir) => {
+        val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(day.cast("long"))
+          .rangeBetween(-30, 0)
+        t(s, dir, "orders").select(
+            col("o_custkey"), col("o_orderkey"), day.cast("long").as("day_no"),
+            sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d"),
+            count(lit(1)).over(w).as("orders_30d"))
+          .orderBy("o_custkey", "day_no", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+                COUNT(*) OVER w AS orders_30d
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+              ORDER BY o_custkey, day_no, o_orderkey""")),
+
+    // ── null semantics: null-safe equality, IS DISTINCT FROM, coalesce ───
+    // The tables ship null-free, so nulls are derived via NULLIF — then
+    // every null-aware comparison form is exercised.
+    Q("q_null_semantics",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("st_null"))
+        .select(col("o_orderkey"), col("st_null"),
+          col("st_null") <=> lit("F") ,
+          col("st_null").isNull.as("is_null"),
+          coalesce(col("st_null"), lit("OPEN")).as("st_filled"),
+          when(col("st_null").isNotNull, 1L).otherwise(0L).as("non_null_flag"))
+        .withColumnRenamed("(st_null <=> F)", "eq_f_nullsafe")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                NULLIF(o_orderstatus, 'O') AS st_null,
+                NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS eq_f_nullsafe,
+                NULLIF(o_orderstatus, 'O') IS NULL AS is_null,
+                COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS st_filled,
+                CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL THEN 1 ELSE 0 END AS non_null_flag
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── LIKE / regexp predicates and extraction ──────────────────────────
+    // Patterns kept in the Java∩RE2 common dialect so Spark and DuckDB
+    // agree (no backrefs, no lookaround).
+    Q("q_like_regex",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          col("p_name").like("%a%").as("has_a"),
+          col("p_name").like("p%").as("pfx_p"),
+          col("p_name").like("_a%").as("second_a"),
+          col("p_type").rlike("[0-9]").as("has_digit"),
+          regexp_extract(col("p_type"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_type,
+                p_name LIKE '%a%' AS has_a,
+                p_name LIKE 'p%' AS pfx_p,
+                p_name LIKE '_a%' AS second_a,
+                regexp_matches(p_type, '[0-9]') AS has_digit,
+                coalesce(regexp_extract(p_type, '([a-z]+)', 1), '') AS first_word,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+              FROM part ORDER BY p_partkey""")),
+
     // ── pivot / reshape: one column per l_returnflag ─────────────────────
     // df.groupBy().pivot() with explicit pivot values — never the
     // values-discovery variant, which needs an extra job over 100 TB to
