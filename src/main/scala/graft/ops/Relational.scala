@@ -455,6 +455,52 @@ object Relational {
                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
               ORDER BY o_custkey, day_no, o_orderkey""")),
 
+    // ── window: distribution functions (ntile/percent_rank/cume_dist) ────
+    Q("q_window_stats",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer").select(
+            col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first(col("c_custkey")).over(w).as("first_key"))
+          .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+                CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                PERCENT_RANK() OVER w AS pct_rank,
+                CUME_DIST() OVER w AS cume,
+                FIRST_VALUE(c_custkey) OVER w AS first_key
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_mktsegment, c_acctbal, c_custkey""")),
+
+    // ── datetime function breadth over orders + events ───────────────────
+    // dayofweek: Spark is 1=Sunday..7, DuckDB 0=Sunday..6 → +1 to align.
+    Q("q_datetime_funcs",
+      (s, dir) => t(s, dir, "orders").select(
+          col("o_orderkey"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          // dates surfaced as timestamp_ntz: DuckDB's pandas bridge turns
+          // DATE into Timestamp, so parquet DATE vs oracle would
+          // type-mismatch row-for-row even with equal values
+          last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
+          add_months(col("o_orderdate").cast("date"), 3).cast("timestamp_ntz").as("plus3m"),
+          date_add(col("o_orderdate").cast("date"), 45).cast("timestamp_ntz").as("plus45d"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+                CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS TIMESTAMP) AS plus45d
+              FROM orders ORDER BY o_orderkey""")),
+
     // ── null semantics: null-safe equality, IS DISTINCT FROM, coalesce ───
     // The tables ship null-free, so nulls are derived via NULLIF — then
     // every null-aware comparison form is exercised.
