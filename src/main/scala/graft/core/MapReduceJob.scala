@@ -156,6 +156,13 @@ final class JobHandle[K3, V3] private[core] (
 
   def isDone: Boolean = finished || fut.isCompleted
 
+  /** Cancel the running job — what the reference's destructor does with
+    * `pthread_cancel` (`JobContext.cpp:205-210`, quirk Q5: UB on live
+    * threads), done safely: Spark interrupts the job group's tasks and
+    * the pending action fails with a cancellation error.
+    */
+  def cancel(): Unit = spark.sparkContext.cancelJobGroup(groupId)
+
   /** `getJobState` — poll-safe from any thread, monotone percentages. */
   def state: JobState = {
     if (isDone) return JobState(Stage.Done, 100f)

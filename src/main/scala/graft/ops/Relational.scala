@@ -322,7 +322,9 @@ object Relational {
           a.union(b).distinct().withColumn("op", lit("union")),
           a.union(b).withColumn("op", lit("union_all")),
           a.intersect(b).withColumn("op", lit("intersect")),
-          a.except(b).withColumn("op", lit("except")))
+          a.intersectAll(b).withColumn("op", lit("intersect_all")),
+          a.except(b).withColumn("op", lit("except")),
+          a.exceptAll(b).withColumn("op", lit("except_all")))
           .reduce(_ unionByName _)
           .groupBy("op", "c_custkey").agg(count(lit(1)).as("cnt"))
           .orderBy("op", "c_custkey")
@@ -336,7 +338,11 @@ object Relational {
                 UNION ALL
                 SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
                 UNION ALL
-                SELECT 'except' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                SELECT 'intersect_all' AS op, c_custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+                UNION ALL
+                SELECT 'except' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+                UNION ALL
+                SELECT 'except_all' AS op, c_custkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
               SELECT op, c_custkey, count(*) AS cnt FROM u
               GROUP BY op, c_custkey ORDER BY op, c_custkey""")),
 

@@ -79,6 +79,18 @@ class MapReduceJobSpec extends SparkSpec {
     }
   }
 
+  // ── cancellation (the reference's Q5 destructor-cancel, done safely) ─
+  test("cancel() stops a running job; waitForJob surfaces the cancellation") {
+    import MapReduceJobSpec._
+    val input = sc.parallelize((0 until 2000).map(i => (i, null: Null)), 8)
+    val h = MapReduceJob.start(spark, input, new SlowClient, 4)
+    while (h.state.stage == Stage.Undefined) Thread.sleep(10) // let it start
+    h.cancel()
+    val thrown = intercept[Exception](h.waitForJob())
+    assert(thrown.getMessage.toLowerCase.contains("cancel"),
+      s"expected a cancellation error, got: ${thrown.getMessage}")
+  }
+
   // ── progress monotonicity (SampleClient polling analog, SURVEY §5) ───
   test("job state advances monotonically to Done/100%") {
     import MapReduceJobSpec._
