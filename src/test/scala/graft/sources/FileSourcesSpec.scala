@@ -57,4 +57,35 @@ class FileSourcesSpec extends SparkSpec {
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("partition pruning: planning-time (static) and runtime (dynamic)") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    FileSources.writePartitioned(orders, s"$dir/orders_p", Seq("o_year"))
+    val part = spark.read.parquet(s"$dir/orders_p")
+
+    // static pruning: the filter lands in PartitionFilters, not Filter
+    val pruned = part.filter(col("o_year") === 1995)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "expected PartitionFilters")
+    val expected = orders.filter(col("o_year") === 1995).count()
+    assert(pruned.count() === expected)
+
+    // dynamic pruning: joining against a filtered dim inserts a
+    // dynamicpruning subquery on the partitioned scan
+    val years = orders.select(col("o_year").as("y")).distinct().filter(col("y") >= 1998)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = part.join(years, part("o_year") === years("y"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruning"), s"expected DPP in plan:\n$planStr")
+      val exp2 = orders.join(orders.select(col("o_year").as("y")).distinct()
+        .filter(col("y") >= 1998), col("o_year") === col("y")).count()
+      assert(joined.count() === exp2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
