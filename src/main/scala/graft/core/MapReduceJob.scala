@@ -53,17 +53,31 @@ object MapReduceJob {
       t
     }))
 
-  /** Idiomatic path: hash-partitioned groupByKey. */
+  /** Lazy plan: the job's output RDD with NO action taken. The scale
+    * path — at 100 TB the client writes this to a distributed sink
+    * (`plan(...).toDF.write.parquet`) instead of collecting; `start`
+    * keeps the reference's collect-to-client-vector semantics
+    * (`OutputVec`, `MapReduceClient.h:52`) for parity.
+    */
+  def plan[K1, V1, K2: ClassTag, V2: ClassTag, K3: ClassTag, V3: ClassTag](
+      input: RDD[(K1, V1)],
+      client: MapReduceClient[K1, V1, K2, V2, K3, V3],
+      numPartitions: Int): RDD[(K3, V3)] =
+    input
+      .flatMap { case (k, v) => client.map(k, v) }
+      .groupByKey(new HashPartitioner(numPartitions))
+      .flatMap { case (k, vs) => client.reduce(k, vs) }
+
+  /** Idiomatic path: hash-partitioned groupByKey, collected (reference
+    * `OutputVec` semantics).
+    */
   def start[K1, V1, K2: ClassTag, V2: ClassTag, K3: ClassTag, V3: ClassTag](
       spark: SparkSession,
       input: RDD[(K1, V1)],
       client: MapReduceClient[K1, V1, K2, V2, K3, V3],
       numPartitions: Int): JobHandle[K3, V3] =
     launch(spark) {
-      input
-        .flatMap { case (k, v) => client.map(k, v) }
-        .groupByKey(new HashPartitioner(numPartitions))
-        .flatMap { case (k, vs) => client.reduce(k, vs) }
+      plan(input, client, numPartitions)
     }
 
   /** Map-side-combining path for fold-style reducers. */

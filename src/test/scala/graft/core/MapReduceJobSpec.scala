@@ -79,6 +79,25 @@ class MapReduceJobSpec extends SparkSpec {
     }
   }
 
+  // ── distributed sink path (the 100-TB shape: no driver collect) ──────
+  test("plan() writes results to a distributed sink and matches q_charcount") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").collect().map(r => (null: Null, r.getString(0))).toIndexedSeq
+    val input = sc.parallelize(docs, 4)
+    val out = java.nio.file.Files.createTempDirectory("mr-sink").toString
+    MapReduceJob.plan(input, new Clients.CharCount, 4)
+      .map { case (c, n) => (c.toString, n) } // Char has no Spark encoder
+      .toDF("ch", "cnt")
+      .write.mode("overwrite").parquet(s"$out/chars")
+    val fromSink = spark.read.parquet(s"$out/chars")
+      .groupBy("ch").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromQuery = graft.SparkEntry.queries("q_charcount")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromSink === fromQuery)
+  }
+
   // ── cancellation (the reference's Q5 destructor-cancel, done safely) ─
   test("cancel() stops a running job; waitForJob surfaces the cancellation") {
     import MapReduceJobSpec._
