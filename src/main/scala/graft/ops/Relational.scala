@@ -572,6 +572,30 @@ object Relational {
                   THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ── map-type operations over the JSON props column ───────────────────
+    // from_json into MapType, then element_at/size/map_keys — the
+    // map-column surface (§1.3: MapType for event props). The oracle
+    // recomputes the same scalars via DuckDB's JSON functions (map
+    // internals differ across engines; outputs must not).
+    Q("q_map_ops",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("pm"))
+        .select(col("event_id"),
+          element_at(col("pm"), "k").as("k_val"),
+          size(col("pm")).cast("long").as("n_keys"),
+          concat_ws(",", map_keys(col("pm"))).as("keys"),
+          coalesce(element_at(col("pm"), "missing"), lit(-1L)).as("missing_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                CAST(props->>'$.k' AS BIGINT) AS k_val,
+                CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                array_to_string(json_keys(props), ',') AS keys,
+                COALESCE(CAST(props->>'$.missing' AS BIGINT), -1) AS missing_val
+              FROM events ORDER BY event_id""")),
+
     // ── correlated scalar subquery (Catalyst decorrelates to join+agg) ───
     Q("q_subquery",
       (s, dir) => {

@@ -121,4 +121,22 @@ object StreamingOps {
     q.awaitTermination()
     df.sparkSession.table(name)
   }
+
+  /** Production sink shape: foreachBatch → one parquet directory per
+    * microbatch (`batch_id=N/`). Restart-idempotent: a replayed batch id
+    * overwrites its own directory and no other — the standard
+    * exactly-once-by-partition contract for file sinks.
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpoint: String,
+      mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

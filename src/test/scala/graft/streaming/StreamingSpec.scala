@@ -189,4 +189,16 @@ class StreamingSpec extends SparkSpec {
     val total = spark.table("t_ckpt").agg(sum("cnt")).head().getLong(0)
     assert(total === n1 + n2)
   }
+
+  test("foreachBatch parquet sink captures the whole replay, idempotently") {
+    val dir = Files.createTempDirectory("graft-fb").toString
+    val stream = StreamingOps.dedupStream(StreamingOps.readEventStream(spark, batchDir))
+    StreamingOps.runToParquet(stream, s"$dir/out", s"$dir/ckpt")
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.count() === Tables.load(spark, sfDir, "events").count())
+    // re-run with the same checkpoint: nothing new to process, output unchanged
+    StreamingOps.runToParquet(stream, s"$dir/out", s"$dir/ckpt")
+    assert(spark.read.parquet(s"$dir/out").count() ===
+      Tables.load(spark, sfDir, "events").count())
+  }
 }
