@@ -117,6 +117,26 @@ object VectorOps {
       },
       None),
 
+    // ── element-wise centroid aggregation per label ──────────────────────
+    // The "training" step an IVF index needs: mean embedding per class.
+    // posexplode → (label, pos) partial+final agg — the shuffle carries
+    // one partial sum per (task × label × dim), never raw vectors.
+    // Decimal-cast sums make the result independent of row order, so the
+    // oracle matches bit-for-bit despite float inputs.
+    Q("q_vector_agg",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+        .agg((sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double") / count(lit(1))).as("avg_v"))
+        .orderBy("label", "pos"),
+      Some("""SELECT label, pos,
+                CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_v
+              FROM (SELECT label, unnest(embedding) AS v,
+                           unnest(generate_series(1, len(embedding))) AS pos
+                    FROM embeddings)
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ── IVF-style approximate nearest neighbor (oracle-exempt) ───────────
     // Codebook = the 16 vectors with vec_id < 16 (a deterministic stand-in
     // for trained k-means centroids — swap point documented). Every corpus
