@@ -137,6 +137,41 @@ object VectorOps {
                     FROM embeddings)
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ── int8 scalar quantization of the embedding corpus ─────────────────
+    // Per-dimension global min/max (one tiny agg, broadcast back), then
+    // affine code = round(((v-min)/(max-min))*255)-128. 4× storage cut
+    // for ANN candidate scoring; codes are integers so the oracle is
+    // exact. Both engines compute the affine map over identical doubles
+    // in the same op order, and round() is half-away-from-zero in both.
+    Q("q_vector_quantize",
+      (s, dir) => {
+        val x = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        val stats = x.groupBy("pos").agg(min("v").as("vmin"), max("v").as("vmax"))
+        x.join(broadcast(stats), "pos")
+          .select(col("vec_id"),
+            (round(((col("v").cast("double") - col("vmin").cast("double"))
+              / (col("vmax").cast("double") - col("vmin").cast("double"))) * 255)
+              .cast("long") - 128).as("code"))
+          .groupBy("vec_id")
+          .agg(sum("code").as("code_sum"), min("code").as("code_min"),
+            max("code").as("code_max"), count(lit(1)).as("dims"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH x AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       unnest(generate_series(1, len(embedding))) AS pos
+                FROM embeddings),
+              stats AS (SELECT pos, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY 1),
+              codes AS (
+                SELECT vec_id,
+                  CAST(round(((CAST(v AS DOUBLE) - CAST(vmin AS DOUBLE))
+                    / (CAST(vmax AS DOUBLE) - CAST(vmin AS DOUBLE))) * 255) AS BIGINT) - 128 AS code
+                FROM x JOIN stats USING (pos))
+              SELECT vec_id, SUM(code) AS code_sum, MIN(code) AS code_min,
+                MAX(code) AS code_max, COUNT(*) AS dims
+              FROM codes GROUP BY 1 ORDER BY 1""")),
+
     // ── IVF-style approximate nearest neighbor (oracle-exempt) ───────────
     // Codebook = the 16 vectors with vec_id < 16 (a deterministic stand-in
     // for trained k-means centroids — swap point documented). Every corpus

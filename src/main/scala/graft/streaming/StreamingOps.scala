@@ -73,6 +73,29 @@ object StreamingOps {
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream-stream inner join: purchases within one day of the same
+    * user's signup. Both sides carry watermarks and the join condition
+    * bounds event time on BOTH ends — that is what lets Spark expire
+    * join state (without the time bound, both sides' state grows
+    * forever; with it, state is capped at watermark + 1 day). Works
+    * identically as a batch self-join — StreamingSpec asserts the twin
+    * agreement.
+    */
+  def purchaseWithinDayOfSignup(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    signups.join(purchases,
+      col("s_user") === col("p_user")
+        && col("purchase_ts") >= col("signup_ts")
+        && col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 DAY"))
+      .select(col("s_user").as("user_id"), col("signup_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   // ── custom state: flatMapGroupsWithState sessionizer ─────────────────
 
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)

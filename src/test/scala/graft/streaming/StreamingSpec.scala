@@ -201,4 +201,15 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() ===
       Tables.load(spark, sfDir, "events").count())
   }
+
+  test("stream-stream join agrees with its batch twin") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.purchaseWithinDayOfSignup(StreamingOps.readEventStream(spark, batchDir)),
+      "t_ssj", OutputMode.Append())
+      .orderBy("user_id", "signup_ts", "purchase_ts").collect()
+    val batch = StreamingOps.purchaseWithinDayOfSignup(batchEvents)
+      .orderBy("user_id", "signup_ts", "purchase_ts").collect()
+    assert(batch.nonEmpty, "fixture should produce signup->purchase matches")
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
 }
