@@ -572,6 +572,47 @@ object Relational {
                   THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ── statistical aggregates from exact decimal moments ────────────────
+    // stddev/var/covar/corr are order-sensitive in float; computing the
+    // raw moments (Σx, Σx², Σxy) in DECIMAL makes them order-free, then
+    // one identical double formula on both sides is bit-stable. This is
+    // also the scale shape: moments are partial+final aggregable, the
+    // statistics are a final per-group scalar step.
+    Q("q_stats_agg",
+      (s, dir) => {
+        val x = dec2(col("l_quantity"))
+        val y = dec2(col("l_extendedprice"))
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
+            sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_qty"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar"),
+            ((col("sxy") - col("sx") * col("sy") / col("n"))
+              / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+                * (col("syy") - col("sy") * col("sy") / col("n")))).as("corr"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY 1)
+              SELECT l_returnflag, n,
+                (sxx - sx * sx / n) / (n - 1) AS var_qty,
+                sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+                (sxy - sx * sy / n) / (n - 1) AS covar,
+                (sxy - sx * sy / n)
+                  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+              FROM m ORDER BY l_returnflag""")),
+
     // ── map-type operations over the JSON props column ───────────────────
     // from_json into MapType, then element_at/size/map_keys — the
     // map-column surface (§1.3: MapType for event props). The oracle
