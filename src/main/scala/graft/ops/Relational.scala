@@ -184,6 +184,52 @@ object Relational {
               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
               GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
 
+    // ── full outer join over two partial aggregates ──────────────────────
+    // Spend-per-customer (orders) FULL JOIN balance-per-segment customers
+    // on custkey: rows surviving from either side, null-filled. Aggregate
+    // BEFORE joining — outer joins over pre-aggregated keys are
+    // join-of-small-results, not a fact-table shuffle.
+    Q("q_join_full",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"))
+          .agg(sumDec2(col("o_totalprice")).as("spend"))
+        val rich = t(s, dir, "customer")
+          .filter(col("c_acctbal") > 7000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        spend.join(rich, col("o_custkey") === col("c_custkey"), "full")
+          .select(
+            coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+            coalesce(col("spend"), lit(0.0)).as("spend"),
+            coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"),
+            col("o_custkey").isNotNull.as("has_orders"),
+            col("c_custkey").isNotNull.as("is_rich"))
+          .orderBy("custkey")
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+                FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+              rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000)
+              SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+                COALESCE(spend, 0.0) AS spend,
+                COALESCE(c_acctbal, -1.0) AS acctbal,
+                o_custkey IS NOT NULL AS has_orders,
+                c_custkey IS NOT NULL AS is_rich
+              FROM spend FULL JOIN rich ON o_custkey = c_custkey
+              ORDER BY custkey""")),
+
+    // ── cross join (small × small, explicit) ─────────────────────────────
+    // Cartesian products are legitimate ONLY between tiny inputs (here
+    // region × nation = 125 rows); the engine requires the explicit
+    // crossJoin call — an implicit cartesian on big tables is a bug.
+    Q("q_join_cross",
+      (s, dir) => t(s, dir, "region").select(col("r_name"))
+        .crossJoin(t(s, dir, "nation").select(col("n_name")))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name""")),
+
     // ── semi / anti join (EXISTS / NOT EXISTS) ───────────────────────────
     Q("q_join_semi_anti",
       (s, dir) => {
