@@ -131,6 +131,68 @@ object StreamingOps {
       }
   }
 
+  final case class OpenSession(start: Long, last: Long, n: Long)
+  final case class ClosedSession(user_id: Long, sess_start: Timestamp,
+      sess_end: Timestamp, n_events: Long)
+
+  /** Event-time sessionizer with explicit state + EventTimeTimeout: a
+    * session closes when a successor event arrives past the 30-min gap
+    * (event-driven) OR when the watermark passes sess_end + gap
+    * (timeout-driven) — so each user's non-final sessions emit as data
+    * flows and the final one emits once the watermark clears it. This is
+    * the full production shape `session_window` can't express when
+    * per-session logic needs custom state.
+    *
+    * Input must already carry `withWatermark("ts", ...)` — event-time
+    * timeouts are defined by that watermark.
+    */
+  def sessionizeWithTimeout(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    // state tracks MICROsecond event times — Timestamp.getTime truncates
+    // to millis, which would shave micros off emitted session bounds
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    def tsOf(u: Long): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000))
+    val gapUs = gapMs * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[OpenSession]) =>
+          def closed(s: OpenSession) =
+            ClosedSession(uid, tsOf(s.start), tsOf(s.last), s.n)
+          if (state.hasTimedOut) {
+            val out = closed(state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            val emitted = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              open match {
+                case Some(s) if t - s.last <= gapUs =>
+                  open = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  emitted += closed(s)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must be beyond the current watermark (ms API)
+              state.setTimeoutTimestamp(
+                math.max(s.last / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            emitted.result().iterator
+          }
+      }
+  }
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

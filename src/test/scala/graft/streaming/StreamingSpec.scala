@@ -23,10 +23,17 @@ class StreamingSpec extends SparkSpec {
     // flatten partition dirs into sequential batch files (arrival order)
     val staged = new java.io.File(s"$dir/staging")
     val out = new java.io.File(s"$dir/in"); out.mkdirs()
-    staged.listFiles().filter(_.getName.startsWith("day=")).sortBy(_.getName).zipWithIndex
+    val t0 = System.currentTimeMillis() - 3600 * 1000
+    staged.listFiles().filter(_.getName.startsWith("day="))
+      .sortBy(_.getName.stripPrefix("day=").toInt).zipWithIndex // numeric: day=2 < day=10
       .foreach { case (d, i) =>
         d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
-          case (f, j) => Files.copy(f.toPath, new java.io.File(out, f"batch$i%03d-$j.parquet").toPath)
+          case (f, j) =>
+            val dst = new java.io.File(out, f"batch$i%03d-$j.parquet")
+            Files.copy(f.toPath, dst.toPath)
+            // the file source orders by modification time; same-instant
+            // copies would tie and replay out of event-time order
+            dst.setLastModified(t0 + i * 1000L + j)
         }
       }
     s"$dir/in"
@@ -211,5 +218,38 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "signup_ts", "purchase_ts").collect()
     assert(batch.nonEmpty, "fixture should produce signup->purchase matches")
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
+  test("EventTimeTimeout sessionizer emits exactly the watermark-cleared sessions") {
+    import spark.implicits._
+    val stream = spark.readStream.schema(StreamingOps.eventSchema)
+      .option("maxFilesPerTrigger", "3").parquet(batchDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[StreamingOps.Ev]
+    val q = StreamingOps.sessionizeWithTimeout(stream).toDF()
+      .writeStream.format("memory").queryName("t_ett")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("t_ett")
+      .select("user_id", "sess_start", "sess_end", "n_events")
+      .collect().map(_.toSeq).toSet
+
+    // expected: every batch session whose (end + 30min) the final
+    // watermark (max ts - 1h) has passed; later sessions of a user close
+    // event-driven, so only each user's LAST session depends on the
+    // watermark.
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val finalWatermarkMs = maxTs - 3600L * 1000
+    val sessions = SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .select("user_id", "sess_start", "sess_end", "n_events").collect()
+    val lastEndByUser = sessions.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getTimestamp(2).getTime).max).toMap
+    val expected = sessions.filter { r =>
+      val end = r.getTimestamp(2).getTime
+      end < lastEndByUser(r.getLong(0)) || end + 30L * 60 * 1000 < finalWatermarkMs
+    }.map(_.toSeq).toSet
+    assert(emitted === expected)
   }
 }
