@@ -145,6 +145,30 @@ object TextOps {
                 CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
               FROM documents ORDER BY doc_id""")),
 
+    // ── explode_outer: lateral expansion preserving empty-array rows ─────
+    // Docs keep a row (null token) even when they have no long tokens —
+    // the outer-generator semantics a plain explode silently drops.
+    // Null group keyed as '∅' so Spark/DuckDB null-ordering differences
+    // can't affect the ORDER BY.
+    Q("q_explode_outer",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 6).as("long_toks"))
+        .select(col("doc_id"), explode_outer(col("long_toks")).as("tok"))
+        .groupBy(coalesce(col("tok"), lit("∅")).as("token"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("token"),
+      Some("""SELECT COALESCE(tok, '∅') AS token, count(*) AS cnt,
+                count(DISTINCT doc_id) AS n_docs
+              FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(lt) = 0
+                             THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS tok
+                    FROM (SELECT doc_id,
+                            list_filter(string_split(text, ' '),
+                                        x -> length(x) > 6) AS lt
+                          FROM documents))
+              GROUP BY 1 ORDER BY 1""")),
+
     // ── content fingerprinting ───────────────────────────────────────────
     // Two fingerprints per doc: order-insensitive md5 of the sorted
     // distinct token set (bag fingerprint) and an order-SENSITIVE rolling
