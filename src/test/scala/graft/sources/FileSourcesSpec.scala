@@ -88,4 +88,17 @@ class FileSourcesSpec extends SparkSpec {
       assert(joined.count() === exp2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("zstd-compressed parquet round-trips and shrinks the files") {
+    val dir = Files.createTempDirectory("graft-codec").toString
+    val li = Tables.load(spark, sfDir, "lineitem")
+    FileSources.write(li, s"$dir/plain", "parquet", codec = "uncompressed")
+    FileSources.write(li, s"$dir/zstd", "parquet", codec = "zstd")
+    def bytes(p: String): Long = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(new java.io.File(s"$dir/zstd").listFiles()
+      .exists(_.getName.contains("zstd")), "codec should appear in file name")
+    assert(bytes(s"$dir/zstd") < bytes(s"$dir/plain"))
+    assert(FileSources.read(spark, s"$dir/zstd", "parquet", li.schema).count() === li.count())
+  }
 }
