@@ -618,6 +618,27 @@ object Relational {
                   THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ── arg-max/arg-min aggregation (deterministic via struct ordering) ──
+    // "Which order was the customer's priciest" — plain max_by/arg_max is
+    // nondeterministic under value ties; max over a (value, tiebreak)
+    // struct is a lexicographic max, total and identical in both engines.
+    Q("q_argmax",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          max(struct(dec2(col("o_totalprice")).as("p"), col("o_orderkey").as("k"))).as("mx"),
+          min(struct(dec2(col("o_totalprice")).as("p"), col("o_orderkey").as("k"))).as("mn"))
+        .select(col("o_custkey"),
+          col("mx.k").as("top_order"), col("mx.p").cast("double").as("top_price"),
+          col("mn.k").as("bottom_order"), col("mn.p").cast("double").as("bottom_price"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+                (max(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)), k := o_orderkey))).k AS top_order,
+                CAST((max(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)), k := o_orderkey))).p AS DOUBLE) AS top_price,
+                (min(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)), k := o_orderkey))).k AS bottom_order,
+                CAST((min(struct_pack(p := CAST(o_totalprice AS DECIMAL(18,2)), k := o_orderkey))).p AS DOUBLE) AS bottom_price
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // ── statistical aggregates from exact decimal moments ────────────────
     // stddev/var/covar/corr are order-sensitive in float; computing the
     // raw moments (Σx, Σx², Σxy) in DECIMAL makes them order-free, then
