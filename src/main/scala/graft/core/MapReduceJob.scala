@@ -1,10 +1,12 @@
 package graft.core
 
-import org.apache.spark.{HashPartitioner, RangePartitioner}
+import org.apache.spark.{HashPartitioner, RangePartitioner, SparkContext}
 import org.apache.spark.rdd.RDD
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorMetricsUpdate, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import scala.collection.concurrent.TrieMap
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import scala.reflect.ClassTag
@@ -133,13 +135,98 @@ object MapReduceJob {
   private def launch[K3, V3](spark: SparkSession)(plan: => RDD[(K3, V3)]): JobHandle[K3, V3] = {
     val groupId = s"mr-job-${nextId.getAndIncrement()}"
     val sc = spark.sparkContext
+    ShuffleProgress.install(sc)
     val fut = Future {
       sc.setJobGroup(groupId, groupId, interruptOnCancel = true)
       try plan.collect()
       finally sc.clearJobGroup()
     }
+    fut.onComplete(_ => ShuffleProgress.forget(groupId))
     new JobHandle(spark, groupId, fut)
   }
+}
+
+/** Live shuffle progress per job group — the analog of the reference's
+  * shuffle percentage (`JobContext.cpp:109-112`, moved-pairs / total).
+  *
+  * Spark has no inter-stage "shuffle phase": shuffle WRITE finishes
+  * inside each map task, shuffle READ happens inside each reduce task as
+  * its iterator drains. So shuffle % here = records fetched by reduce
+  * tasks / records written by map tasks, tracked from
+  *  - completed tasks' `TaskMetrics` (write + read totals), and
+  *  - executor heartbeats (`SparkListenerExecutorMetricsUpdate` carries
+  *    each RUNNING task's `internal.metrics.shuffle.read.recordsRead`),
+  * which makes the percentage move WHILE stage-2 tasks fetch — a poller
+  * no longer sees a progress flatline between map 100% and the first
+  * reduce-task completion.
+  */
+private[core] object ShuffleProgress extends SparkListener {
+
+  private val ReadRecords = "internal.metrics.shuffle.read.recordsRead"
+
+  private val installed = new AtomicBoolean(false)
+  private val stageOwner = TrieMap.empty[Int, String]
+  private val writeRecs = TrieMap.empty[String, AtomicLong]
+  private val readEnded = TrieMap.empty[String, AtomicLong]
+  private val liveRead = TrieMap.empty[String, TrieMap[Long, Long]]
+
+  def install(sc: SparkContext): Unit =
+    if (installed.compareAndSet(false, true)) sc.addSparkListener(this)
+
+  /** (records fetched so far, records written by the map side). */
+  def readWrite(groupId: String): (Long, Long) = {
+    val w = writeRecs.get(groupId).fold(0L)(_.get)
+    val r = readEnded.get(groupId).fold(0L)(_.get) +
+      liveRead.get(groupId).fold(0L)(_.values.sum)
+    (r, w)
+  }
+
+  /** Drop a finished job's bookkeeping (handles are short-lived; the
+    * totals are only consulted while the job runs).
+    */
+  def forget(groupId: String): Unit = {
+    writeRecs.remove(groupId)
+    readEnded.remove(groupId)
+    liveRead.remove(groupId)
+    stageOwner.filterInPlace((_, g) => g != groupId)
+  }
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val gid = Option(jobStart.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      .getOrElse("")
+    if (gid.startsWith("mr-job-")) {
+      jobStart.stageInfos.foreach(si => stageOwner.put(si.stageId, gid))
+      writeRecs.putIfAbsent(gid, new AtomicLong)
+      readEnded.putIfAbsent(gid, new AtomicLong)
+      liveRead.putIfAbsent(gid, TrieMap.empty)
+    }
+  }
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    for (gid <- stageOwner.get(e.stageId); m <- Option(e.taskMetrics)) {
+      val written = m.shuffleWriteMetrics.recordsWritten
+      if (written > 0) writeRecs.get(gid).foreach(_.addAndGet(written))
+      val read = m.shuffleReadMetrics.recordsRead
+      if (read > 0) readEnded.get(gid).foreach(_.addAndGet(read))
+      liveRead.get(gid).foreach(_.remove(e.taskInfo.taskId))
+    }
+
+  // Heartbeat AccumulableInfos arrive nameless (Spark resolves them by ID
+  // on the driver); AccumShim does the same ID → name lookup for us.
+  private def isReadRecords(a: org.apache.spark.scheduler.AccumulableInfo): Boolean =
+    a.name.orElse(org.apache.spark.graftshim.AccumShim.nameOf(a.id))
+      .contains(ReadRecords)
+
+  override def onExecutorMetricsUpdate(e: SparkListenerExecutorMetricsUpdate): Unit =
+    e.accumUpdates.foreach { case (taskId, stageId, _, accums) =>
+      for (gid <- stageOwner.get(stageId); live <- liveRead.get(gid)) {
+        accums.find(isReadRecords).flatMap(_.update).foreach {
+          case n: Long => live.put(taskId, n)
+          case _       => ()
+        }
+      }
+    }
 }
 
 /** Opaque job handle — `MapReduceFramework.h:18` (`JobHandle`), with the
@@ -148,8 +235,12 @@ object MapReduceJob {
   * Stage mapping (SURVEY §3.2): the plan is a 2-stage shuffle DAG; the
   * map stage's tasks cover map+sort+shuffle-write, the result stage's
   * tasks cover shuffle-read+reduce. We report MAP while stage-1 tasks
-  * run, SHUFFLE between the stages, REDUCE during stage 2 — the enum
-  * values and their order match `stage_t` (`MapReduceFramework.h:8-13`).
+  * run; SHUFFLE — with a LIVE percentage (records fetched / records
+  * written, via [[ShuffleProgress]]) matching the reference's moving
+  * shuffle % (`JobContext.cpp:109-112`) — while stage-2 tasks fetch;
+  * REDUCE once a stage-2 task completes or the fetch is drained. The
+  * enum values and their order match `stage_t`
+  * (`MapReduceFramework.h:8-13`).
   */
 final class JobHandle[K3, V3] private[core] (
     spark: SparkSession,
@@ -191,9 +282,16 @@ final class JobHandle[K3, V3] private[core] (
       val total = ss.map(_.numTasks).sum
       if (total == 0) 0f else 100f * ss.map(_.numCompletedTasks).sum / total
     }
-    if (mapStages.nonEmpty && pct(mapStages) < 100f) JobState(Stage.Map, pct(mapStages))
-    else if (reduceStages.forall(_.numActiveTasks == 0) && pct(reduceStages) == 0f)
-      JobState(Stage.Shuffle, 0f)
-    else JobState(Stage.Reduce, pct(reduceStages))
+    if (mapStages.nonEmpty && pct(mapStages) < 100f) return JobState(Stage.Map, pct(mapStages))
+    val redPct = pct(reduceStages)
+    if (redPct > 0f) return JobState(Stage.Reduce, redPct)
+    // No reduce task has completed yet: this is the shuffle phase. Live %
+    // = records fetched / records written (ShuffleProgress); once every
+    // record is fetched we report Reduce 0% — the fetch is done and the
+    // remaining work is reduce compute.
+    val (read, written) = ShuffleProgress.readWrite(groupId)
+    if (written > 0L && read >= written) JobState(Stage.Reduce, 0f)
+    else if (written <= 0L) JobState(Stage.Shuffle, 0f)
+    else JobState(Stage.Shuffle, math.min(99f, 100f * read / written))
   }
 }

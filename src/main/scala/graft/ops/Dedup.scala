@@ -50,6 +50,30 @@ object Dedup {
   private val NumHashes = 32
   private val BandSize = 4 // → 8 bands; P(candidate) = 1-(1-J^4)^8
 
+  /** Document-frequency cap for the exact shared-shingle self-join
+    * (q_dedup_ngram): shingles appearing in more than this many documents
+    * are dropped from the pipeline (sizes AND join) before the self-join,
+    * so no shingle bucket can exceed Cap² pairs. This is the standard
+    * stop-shingle filter of n-gram dedup — a corpus-frequent shingle
+    * ("in the the") carries no near-dup signal but makes its bucket
+    * quadratic; capping it bounds the worst bucket at a constant
+    * independent of corpus size. Jaccard is then computed over the
+    * capped (rare-shingle) sets in engine and oracle alike.
+    */
+  val ShingleDfCap = 128
+
+  /** Shingles restricted to those with document frequency ≤ cap — the
+    * only shape allowed to reach the shared-shingle self-join.
+    */
+  def cappedShingles(docs: DataFrame, cap: Int): DataFrame = {
+    val sh = shingles(docs)
+    val rare = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select("shingle")
+    sh.join(rare, Seq("shingle")).select("doc_id", "shingle")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── exact dedup by content hash ──────────────────────────────────────
@@ -115,12 +139,15 @@ object Dedup {
     // ── exact n-gram Jaccard near-dup (the verification path, oracled) ───
     // Candidate generation by shared shingle (bucket join on the shingle
     // itself), exact Jaccard from intersection/union counts. Emits pairs
-    // with J ≥ 0.3. At 100 TB the shared-shingle join is preceded by the
-    // MinHash pass above (q_dedup_near) so only banded candidates reach it;
-    // here it doubles as the DuckDB-checkable exact formulation.
+    // with J ≥ 0.3. Shingles with document frequency > ShingleDfCap are
+    // dropped BEFORE the self-join (see cappedShingles) so the worst
+    // bucket is bounded at Cap² pairs regardless of corpus size; the
+    // DuckDB oracle applies the identical cap. At 100 TB the join is
+    // additionally preceded by the MinHash pass above (q_dedup_near) so
+    // only banded candidates reach it.
     Q("q_dedup_ngram",
       (s, dir) => {
-        val sh = shingles(t(s, dir, "documents"))
+        val sh = cappedShingles(t(s, dir, "documents"), ShingleDfCap)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         sh.as("sa")
           .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
@@ -135,12 +162,15 @@ object Dedup {
           .filter(col("jaccard") >= 0.3)
           .orderBy("a", "b")
       },
-      Some("""WITH sh AS (
+      Some(s"""WITH sh0 AS (
                 SELECT doc_id, unnest(list_distinct(
                   [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                    for i in generate_series(1, len(toks) - 2)])) AS shingle
                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
                 WHERE len(toks) >= 3),
+              rare AS (SELECT shingle FROM sh0 GROUP BY shingle
+                       HAVING count(*) <= $ShingleDfCap),
+              sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
               pairs AS (
                 SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter_sz

@@ -38,9 +38,11 @@ object Multimodal {
     // ── mixed-type projection: text ⋈ embeddings ⋈ json-ish metadata ─────
     // One row mixing string, numeric, array-derived and computed columns —
     // the "feature row" a training pipeline materializes. The join key is
-    // doc_id = vec_id (1:1 by construction); embeddings side is the bigger
-    // payload so it stays un-broadcast and the (smaller) doc metadata
-    // broadcasts.
+    // doc_id = vec_id (1:1 by construction). BOTH sides are corpus tables
+    // that grow with SF, so neither is hint-broadcast: this is a
+    // co-partitioned shuffle join (both sides hash on the same key; with
+    // bucketed storage — Sources.bucketed — it is shuffle-free). A forced
+    // broadcast of documents would OOM the build side at scale.
     Q("q_multimodal_cols",
       (s, dir) => {
         graft.plans.GraftExtensions.ensureRegistered(s)
@@ -51,7 +53,7 @@ object Multimodal {
           .select(col("vec_id"), col("label"),
             call_function("graft_dot", col("embedding"), col("embedding")).as("e_n2"),
             element_at(col("embedding"), 1).cast("double").as("e_first"))
-          .join(broadcast(docs), col("vec_id") === col("doc_id"))
+          .join(docs, col("vec_id") === col("doc_id"))
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             col("n_tokens"), col("label"), sqrt(col("e_n2")).as("e_norm"),
             col("e_first"))
@@ -84,9 +86,11 @@ object Multimodal {
             it.map { case (id, bytes) => dec.decode(id, bytes) }
           }
           .toDF()
+        // metadata side is documents-derived (grows with SF) → no forced
+        // broadcast; both sides key on doc_id so AQE/bucketing co-locate.
         feats
-          .join(broadcast(assets(s, dir).select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-            col("meta.sample_rate").as("sample_rate"))), Seq("doc_id"))
+          .join(assets(s, dir).select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+            col("meta.sample_rate").as("sample_rate")), Seq("doc_id"))
           .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
             col("byteMean").as("byte_mean"), col("byteEntropyBucket").as("entropy_bucket"),
             col("nFrames").cast("long").as("n_frames"))

@@ -136,11 +136,13 @@ object Relational {
               FROM lineitem ORDER BY 1, 2""")),
 
     // ── inner equi join ──────────────────────────────────────────────────
-    // customer is small relative to orders at every SF → broadcast it;
-    // at 100 TB orders never shuffles for this join.
+    // customer GROWS with SF, so no forced broadcast: AQE +
+    // autoBroadcastJoinThreshold pick BHJ while the build side fits and
+    // fall back to shuffled SMJ/SHJ past the threshold — the 100-TB-safe
+    // default (a forced hint would OOM the build side at scale).
     Q("q_join_inner",
       (s, dir) => t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"), "inner")
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
@@ -257,10 +259,11 @@ object Relational {
     // (~150M at sf0.1, measured 75 s); instead union both sides, one
     // shuffle by bucket, and a single ordered window scan — running
     // count of order rows = n_candidates, running max of order dates =
-    // asof_date. O((n+m) log) total; at 100 TB the partition key gains a
-    // coarse time-range component so no bucket outgrows an executor.
-    // Orders sort before events at equal timestamp (is_order DESC) to
-    // keep the ≤ inclusive.
+    // asof_date. O((n+m) log) total. The window partition key is the
+    // COMPOSITE (bkt, month-era) with an exact carry-over prefix, so no
+    // partition outgrows an executor (see inline comments). Orders sort
+    // before events at equal timestamp (is_order DESC) to keep the ≤
+    // inclusive.
     Q("q_join_range",
       (s, dir) => {
         val e = t(s, dir, "events").select(
@@ -275,12 +278,31 @@ object Relational {
           lit(1L).as("is_order"),
           col("o_orderdate").cast("timestamp_ntz").as("odate"),
           lit(null).cast("long").as("event_id"))
-        val w = Window.partitionBy("bkt")
+        // Composite partition key (bkt, era): era = calendar month of t,
+        // monotone in t, so the running sum/max decompose exactly into
+        //   carry-over of all strictly-earlier eras + within-era window.
+        // Window partitions are bounded by one month of one bucket —
+        // parallelism grows with the time span instead of capping at 50,
+        // and no partition's state outgrows an executor at 100 TB.
+        val u = e.unionByName(o)
+          .withColumn("era", (year(col("t")) * lit(12) + month(col("t"))).cast("long"))
+        // one partial-agg pass → one row per (bkt, era) seen on EITHER side
+        // (event-only eras get era_cnt=0/era_max=null so the carry join
+        // never drops them); its size is #buckets × #months — bounded by
+        // the calendar, not the corpus → legitimately broadcastable.
+        val wEra = Window.partitionBy("bkt").orderBy("era")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = u.groupBy("bkt", "era")
+          .agg(sum("is_order").as("era_cnt"), max("odate").as("era_max"))
+          .select(col("bkt"), col("era"),
+            coalesce(sum("era_cnt").over(wEra), lit(0L)).as("carry_cnt"),
+            max("era_max").over(wEra).as("carry_max"))
+        val wIn = Window.partitionBy("bkt", "era")
           .orderBy(col("t").asc, col("is_order").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        e.unionByName(o)
-          .withColumn("n_candidates", sum("is_order").over(w))
-          .withColumn("asof_date", max("odate").over(w))
+        u.join(broadcast(carry), Seq("bkt", "era"))
+          .withColumn("n_candidates", col("carry_cnt") + sum("is_order").over(wIn))
+          .withColumn("asof_date", greatest(col("carry_max"), max("odate").over(wIn)))
           .filter(col("is_order") === 0 && col("n_candidates") >= 1)
           .select(col("event_id"), col("asof_date"), col("n_candidates"))
           .orderBy("event_id")
@@ -292,10 +314,13 @@ object Relational {
               GROUP BY e.event_id ORDER BY e.event_id""")),
 
     // ── window: ranking, top-3 per segment ───────────────────────────────
+    // customer grows with SF — no forced broadcast; AQE picks BHJ while
+    // the build side fits and SMJ past the threshold (size-gated, not
+    // hint-forced, so the plan survives a 100× scale-up).
     Q("q_window_rank",
       (s, dir) => {
         val j = t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         val wRn = Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         val wRk = Window.partitionBy(col("c_mktsegment"))

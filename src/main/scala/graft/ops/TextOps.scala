@@ -50,7 +50,7 @@ object TextOps {
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang"),
       Some("""SELECT lang, count(*) AS n_docs,
-                SUM(n_chars) AS total_chars,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                 COUNT(DISTINCT source) AS n_sources
               FROM documents GROUP BY lang ORDER BY lang""")),

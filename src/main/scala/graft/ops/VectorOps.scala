@@ -4,7 +4,6 @@ import graft.{Q, Tables}
 import graft.plans.GraftExtensions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** LLM-pipeline vector similarity over `embeddings` (north-star extensions).
   *
@@ -168,56 +167,112 @@ object VectorOps {
                   CAST(round(((CAST(v AS DOUBLE) - CAST(vmin AS DOUBLE))
                     / (CAST(vmax AS DOUBLE) - CAST(vmin AS DOUBLE))) * 255) AS BIGINT) - 128 AS code
                 FROM x JOIN stats USING (pos))
-              SELECT vec_id, SUM(code) AS code_sum, MIN(code) AS code_min,
+              SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, MIN(code) AS code_min,
                 MAX(code) AS code_max, COUNT(*) AS dims
               FROM codes GROUP BY 1 ORDER BY 1""")),
 
     // ── IVF-style approximate nearest neighbor (oracle-exempt) ───────────
-    // Codebook = the 16 vectors with vec_id < 16 (a deterministic stand-in
-    // for trained k-means centroids — swap point documented). Every corpus
-    // vector is assigned to its nearest centroid cell (one broadcast pass);
-    // a probe searches only its nprobe=4 nearest cells. Recall vs the
-    // exact baseline is asserted in OpsSpec.
+    // Codebook = k=16 spherical-k-means centroids trained by
+    // [[trainCentroids]] (deterministic seed-free init, Lloyd rounds as
+    // DataFrame aggregations). Every corpus vector is assigned to its
+    // nearest centroid cell by ARG-MAX AGGREGATION — min(struct(-csim,
+    // cent_id)) with partial aggregation, so the shuffle carries one
+    // partial row per vector, never the corpus×16 scored rows a
+    // row_number window would sort. Probe cell selection (nprobe=4) and
+    // the final top-3 both go through the bounded-heap graft_topk — no
+    // WindowExec anywhere in the plan. Recall vs the exact baseline is
+    // asserted in OpsSpec.
     Q("q_ann_ivf",
       (s, dir) => {
         GraftExtensions.ensureRegistered(s)
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-        val centroids = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-            col("n2").as("c_n2"))
-        // cell assignment: nearest centroid by cosine
-        val byVec = Window.partitionBy("vec_id")
-          .orderBy(col("csim").desc, col("cent_id"))
+        val centroids = trainCentroids(s, emb, k = 16, iters = 2)
+        // cell assignment: nearest centroid by cosine, via arg-max agg
+        // (ties → smallest cent_id, same contract as the old window)
+        val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
         val assigned = emb.join(broadcast(centroids))
-          .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
-            (dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))).as("csim"))
-          .withColumn("crk", row_number().over(byVec))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"))
-        // probes → nprobe=4 nearest cells
+          .select(col("vec_id"), col("embedding"), col("n2"),
+            struct(negate(csim).as("neg"), col("cent_id")).as("sc"))
+          .groupBy("vec_id")
+          .agg(min(col("sc")).getField("cent_id").as("cent_id"),
+            first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
+        // probes → nprobe=4 nearest cells via graft_topk(.., 4)
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("n2").as("p_n2"))
-        val byProbeCell = Window.partitionBy("probe_id")
-          .orderBy(col("csim").desc, col("cent_id"))
+        val pcsim = dot(col("c_emb"), col("p_emb")) / sqrt(col("c_n2") * col("p_n2"))
         val probeCells = probes.join(broadcast(centroids))
           .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"),
-            (dot(col("c_emb"), col("p_emb")) / sqrt(col("c_n2") * col("p_n2"))).as("csim"))
-          .withColumn("crk", row_number().over(byProbeCell))
-          .filter(col("crk") <= 4)
-          .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"))
-        // search only assigned cells of the probe's nprobe list
-        val byProbe = Window.partitionBy("probe_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))
+            pcsim.as("csim"))
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(cent_id, csim, 4)").as("cells"),
+            first(col("p_emb")).as("p_emb"), first(col("p_n2")).as("p_n2"))
+          .select(col("probe_id"), col("p_emb"), col("p_n2"),
+            explode(col("cells.id")).as("cent_id"))
+        // search only assigned cells of the probe's nprobe list; top-3 per
+        // probe through the bounded heap (shuffle = 3 rows per probe)
         assigned.join(broadcast(probeCells), Seq("cent_id"))
           .filter(col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id").as("neighbor_id"),
             (dot(col("p_emb"), col("embedding")) / sqrt(col("p_n2") * col("n2"))).as("sim"))
-          .withColumn("rk", row_number().over(byProbe).cast("long"))
-          .filter(col("rk") <= 3)
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(neighbor_id, sim, 3)").as("topk"))
+          .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+          .select(col("probe_id"), col("s.id").as("neighbor_id"),
+            col("s.score").as("sim"), (col("pos") + 1).cast("long").as("rk"))
           .orderBy("probe_id", "rk")
       },
       None)
   )
+
+  /** Deterministic spherical-k-means codebook, trained entirely as
+    * DataFrame aggregations (no MLlib, no RNG).
+    *
+    * Init is seed-free: the min-vec_id vector of each xxhash64(vec_id)%k
+    * bucket. Each Lloyd round assigns every vector to its nearest current
+    * centroid by cosine (broadcast codebook + arg-max aggregation — no
+    * window sort) and recomputes per-cell means with order-independent
+    * decimal sums, so retraining is bit-reproducible. The codebook
+    * (k × dim doubles) is collected between rounds — it IS the broadcast
+    * side, O(k·dim) by construction, never corpus-sized; the corpus never
+    * shuffles beyond one partial row per vector per round. Cells that
+    * lose all members drop out (k shrinks; harmless for IVF).
+    *
+    * Returns (cent_id: long, c_emb: array<double>, c_n2: double).
+    */
+  private[ops] def trainCentroids(
+      s: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    def withNorm(df: DataFrame): DataFrame =
+      df.withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
+    val init = emb
+      .groupBy(pmod(xxhash64(col("vec_id")), lit(k.toLong)).as("cent_id"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("c_emb0"))
+      .select(col("cent_id"),
+        transform(col("c_emb0"), v => v.cast("double")).as("c_emb"))
+    var cents: Seq[(Long, Seq[Double])] = init
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val centDf = withNorm(cents.toDF("cent_id", "c_emb"))
+      val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
+      val assigned = emb.join(broadcast(centDf))
+        .select(col("vec_id"), col("embedding"),
+          struct(negate(csim).as("neg"), col("cent_id")).as("sc"))
+        .groupBy("vec_id")
+        .agg(min(col("sc")).getField("cent_id").as("cent_id"),
+          first(col("embedding")).as("embedding"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .as[(Long, Int, Double)].collect()
+      cents = means.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+    }
+    withNorm(cents.toDF("cent_id", "c_emb"))
+  }
 }

@@ -1,10 +1,12 @@
 package graft.plans
 
-import graft.functions.{DotProduct, HyperplaneSignature}
+import graft.functions.{DotProduct, HyperplaneSignature, Scored, TopKAggregator}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 
 /** Engine extensions — custom Catalyst surface registered the supported
   * way (`spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -15,6 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `graft_hyperplane_sig(array[, numBits[, seed]])` → bigint: all LSH
   *     hyperplane sign bits in one pass
   *     ([[graft.functions.HyperplaneSignature]]).
+  *   - `graft_topk(id, score[, k])` → array<struct<id, score>>: bounded-
+  *     heap top-k ([[graft.functions.TopKAggregator]]); k is an integer
+  *     literal, default 3. Registered as a registry BUILDER (not a fixed
+  *     `spark.udf.register` instance) so each call site picks its own k.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -44,15 +50,29 @@ object GraftExtensions {
       HyperplaneSignature(children.head, numBits, seed)
     })
 
-  private val all = Seq(dotFn, sigFn)
+  // Aggregate builder: analyzer wraps the returned AggregateFunction in an
+  // AggregateExpression and the built-in ResolveEncodersInScalaAgg rule
+  // resolves the encoders — same machinery `functions.udaf` rides on, but
+  // parameterized over the k literal at each call site.
+  private val topkFn = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[TopKAggregator].getName, "graft_topk"),
+    (children: Seq[Expression]) => {
+      val k = if (children.length > 2) intArg(children(2), "k") else 3
+      ScalaAggregator(
+        children.take(2),
+        new TopKAggregator(k),
+        ExpressionEncoder[Scored](),
+        ExpressionEncoder[Seq[Scored]](),
+        nullable = false,
+        aggregatorName = Some("graft_topk"))
+    })
+
+  private val all = Seq(dotFn, sigFn, topkFn)
 
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no
     * extensions config), so query builders call this first.
-    *
-    * Also registers the UDAF surface: `graft_topk(id, score)` →
-    * array<struct<id, score>> — the bounded-heap top-3
-    * ([[graft.functions.TopKAggregator]]; other k via the class).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -60,11 +80,6 @@ object GraftExtensions {
       if (!registry.functionExists(ident)) {
         registry.registerFunction(ident, info, builder)
       }
-    }
-    if (!registry.functionExists(FunctionIdentifier("graft_topk"))) {
-      spark.udf.register("graft_topk", org.apache.spark.sql.functions.udaf(
-        new graft.functions.TopKAggregator(3),
-        org.apache.spark.sql.Encoders.product[graft.functions.Scored]))
     }
   }
 }

@@ -12,6 +12,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
+    // fast executor heartbeats so live shuffle-read metrics reach the
+    // driver quickly enough for the shuffle-progress spec to observe them
+    .config("spark.executor.heartbeatInterval", "100ms")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")

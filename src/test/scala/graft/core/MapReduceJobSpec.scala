@@ -110,6 +110,30 @@ class MapReduceJobSpec extends SparkSpec {
       s"expected a cancellation error, got: ${thrown.getMessage}")
   }
 
+  // ── live shuffle % (reference `JobContext.cpp:109-112` analog) ───────
+  // Shuffle % = records fetched / records written, fed by executor
+  // heartbeats (100ms in SparkSpec) while the single reduce task drains
+  // its fetch iterator. SlowHashKey's deliberately expensive hashCode
+  // stretches the drain past several heartbeats so the poller must see
+  // an intermediate percentage — the flatline the reference never had.
+  test("shuffle stage reports a live percentage strictly between 0 and 100") {
+    import MapReduceJobSpec._
+    val input = sc.parallelize((0 until 40000).map(i => (i, null: Null)), 8)
+    val h = MapReduceJob.start(spark, input, new SlowHashClient, 1)
+    val shufflePcts = scala.collection.mutable.ArrayBuffer.empty[Float]
+    while (!h.isDone) {
+      val st = h.state
+      if (st.stage == Stage.Shuffle) shufflePcts += st.percentage
+      Thread.sleep(5)
+    }
+    val out = h.waitForJob()
+    assert(out.toMap === (0 until 10).map(k => k -> 4000).toMap)
+    assert(shufflePcts.exists(p => p > 0f && p < 100f),
+      s"expected a live shuffle percentage, saw only: ${shufflePcts.distinct}")
+    assert(shufflePcts.toSeq === shufflePcts.toSeq.sorted,
+      s"shuffle percentage must be monotone: $shufflePcts")
+  }
+
   // ── progress monotonicity (SampleClient polling analog, SURVEY §5) ───
   test("job state advances monotonically to Done/100%") {
     import MapReduceJobSpec._
@@ -153,6 +177,39 @@ object MapReduceJobSpec {
     def map(k: Int, v: Null): IterableOnce[(Int, Int)] = Iterator.single(k -> 1)
     def reduce(key: Int, values: Iterable[Int]): IterableOnce[(Int, Int)] =
       Iterator.single(key -> values.size)
+  }
+
+  /** Key whose hashCode burns ~15µs of CPU: hashing happens once per
+    * record on the shuffle WRITE side (partitioner) and again per record
+    * on the READ side (group-map insert), stretching the fetch/drain
+    * phase to observable length without touching any Spark internals.
+    */
+  final class SlowHashKey(val v: Int) extends Serializable {
+    override def hashCode: Int = { SlowHashKey.burn(); v }
+    override def equals(o: Any): Boolean = o match {
+      case k: SlowHashKey => k.v == v
+      case _              => false
+    }
+  }
+  object SlowHashKey {
+    @volatile var sink: Long = 0L
+    def burn(): Unit = {
+      // LCG chain: data-dependent, so the JIT cannot fold the loop away
+      var acc = sink | 1L
+      var i = 0
+      while (i < 30000) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L + i
+        i += 1
+      }
+      sink = acc
+    }
+  }
+
+  final class SlowHashClient extends MapReduceClient[Int, Null, SlowHashKey, Int, Int, Int] {
+    def map(k: Int, v: Null): IterableOnce[(SlowHashKey, Int)] =
+      Iterator.single(new SlowHashKey(math.floorMod(k, 10)) -> 1)
+    def reduce(key: SlowHashKey, values: Iterable[Int]): IterableOnce[(Int, Int)] =
+      Iterator.single(key.v -> values.size)
   }
 
   final class SlowClient extends MapReduceClient[Int, Null, Int, Int, Int, Int] {

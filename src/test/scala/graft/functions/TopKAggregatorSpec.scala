@@ -37,6 +37,30 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(out === Seq(Scored(1, 2.0), Scored(2, 1.0)))
   }
 
+  test("graft_topk(id, score, k) honors the k literal in SQL (k=10 and k=1)") {
+    GraftExtensions.ensureRegistered(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "graft_dot(embedding, embedding) AS n2", "embedding")
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("n2").as("p_n2"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (call_function("graft_dot", col("p_emb"), col("embedding"))
+          / sqrt(col("p_n2") * col("n2"))).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    for (k <- Seq(1, 10)) {
+      val viaAgg = scored.groupBy("probe_id")
+        .agg(expr(s"graft_topk(neighbor_id, sim, $k)").as("topk"))
+        .select(col("probe_id"), explode(col("topk")).as("s"))
+        .select(col("probe_id"), col("s.id").as("neighbor_id"), col("s.score").as("sim"))
+        .orderBy(col("probe_id"), col("sim").desc, col("neighbor_id")).collect()
+      val viaWindow = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("probe_id", "neighbor_id", "sim")
+        .orderBy(col("probe_id"), col("sim").desc, col("neighbor_id")).collect()
+      assert(viaAgg.map(_.toSeq).toSeq === viaWindow.map(_.toSeq).toSeq, s"k=$k")
+    }
+  }
+
   test("graft_topk agrees with the window-rank formulation on real embeddings") {
     GraftExtensions.ensureRegistered(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
