@@ -64,14 +64,21 @@ object Dedup {
 
   /** Shingles restricted to those with document frequency ≤ cap — the
     * only shape allowed to reach the shared-shingle self-join.
+    *
+    * Filtered as an ANTI-join against the HOT list (df > cap), not a
+    * join with the rare list: the hot list is bounded by
+    * total-occurrences / cap (a few rows at any corpus size, trivially
+    * broadcastable), while the rare list is nearly all distinct shingles
+    * — corpus-sized. The df aggregation itself is partial-aggregated, so
+    * a mega-hot shingle never concentrates rows anywhere.
     */
   def cappedShingles(docs: DataFrame, cap: Int): DataFrame = {
     val sh = shingles(docs)
-    val rare = sh.groupBy("shingle")
+    val hot = sh.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
+      .filter(col("df") > cap)
       .select("shingle")
-    sh.join(rare, Seq("shingle")).select("doc_id", "shingle")
+    sh.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
   }
 
   val queries: Seq[Q] = Seq(

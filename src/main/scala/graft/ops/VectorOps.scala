@@ -227,52 +227,52 @@ object VectorOps {
   )
 
   /** Deterministic spherical-k-means codebook, trained entirely as
-    * DataFrame aggregations (no MLlib, no RNG).
+    * DataFrame aggregations (no MLlib, no RNG, NO driver collect).
     *
     * Init is seed-free: the min-vec_id vector of each xxhash64(vec_id)%k
     * bucket. Each Lloyd round assigns every vector to its nearest current
     * centroid by cosine (broadcast codebook + arg-max aggregation — no
     * window sort) and recomputes per-cell means with order-independent
-    * decimal sums, so retraining is bit-reproducible. The codebook
-    * (k × dim doubles) is collected between rounds — it IS the broadcast
-    * side, O(k·dim) by construction, never corpus-sized; the corpus never
-    * shuffles beyond one partial row per vector per round. Cells that
-    * lose all members drop out (k shrinks; harmless for IVF).
+    * decimal sums, so retraining is bit-reproducible. The whole training
+    * is ONE lazy lineage: each round's codebook is rebuilt as
+    * sort_array(collect_list(struct(pos, mean))) — a k×dim aggregate,
+    * bounded by construction, never corpus-sized — and re-broadcast into
+    * the next round, so the consumer's single action executes all rounds
+    * with no intermediate driver round-trip. The corpus is scanned once
+    * per round (k-means is inherently multi-pass; at 100 TB persist the
+    * projected (vec_id, embedding, n2) columns before calling). Cells
+    * that lose all members drop out (k shrinks; harmless for IVF).
     *
     * Returns (cent_id: long, c_emb: array<double>, c_n2: double).
     */
   private[ops] def trainCentroids(
       s: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    import s.implicits._
     def withNorm(df: DataFrame): DataFrame =
       df.withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
-    val init = emb
+    var cents = withNorm(emb
       .groupBy(pmod(xxhash64(col("vec_id")), lit(k.toLong)).as("cent_id"))
       .agg(min_by(col("embedding"), col("vec_id")).as("c_emb0"))
       .select(col("cent_id"),
-        transform(col("c_emb0"), v => v.cast("double")).as("c_emb"))
-    var cents: Seq[(Long, Seq[Double])] = init
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+        transform(col("c_emb0"), v => v.cast("double")).as("c_emb")))
     for (_ <- 1 to iters) {
-      val centDf = withNorm(cents.toDF("cent_id", "c_emb"))
       val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
-      val assigned = emb.join(broadcast(centDf))
+      val assigned = emb.join(broadcast(cents))
         .select(col("vec_id"), col("embedding"),
           struct(negate(csim).as("neg"), col("cent_id")).as("sc"))
         .groupBy("vec_id")
         .agg(min(col("sc")).getField("cent_id").as("cent_id"),
           first(col("embedding")).as("embedding"))
-      val means = assigned
+      cents = withNorm(assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cent_id", "pos")
         .agg((sum(col("v").cast("double")
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
           .cast("double") / count(lit(1))).as("m"))
-        .as[(Long, Int, Double)].collect()
-      cents = means.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rows) =>
-        (cid, rows.sortBy(_._2).map(_._3).toSeq)
-      }
+        .groupBy("cent_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), x => x.getField("m")).as("c_emb")))
     }
-    withNorm(cents.toDF("cent_id", "c_emb"))
+    cents
   }
 }
