@@ -32,20 +32,21 @@ object Dedup {
                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
            ELSE array() END""")).as("shingle"))
 
-  /** Hashed distinct shingles: xxhash64 over the 3 tokens directly — no
-    * string materialization (the concat'd form costs ~2s of the MinHash
-    * pipeline at sf0.1). 64-bit collisions are negligible for Jaccard
-    * estimation; the string form stays in q_dedup_ngram where the DuckDB
-    * oracle needs reproducible shingles.
+  /** Hashed distinct shingles as a row-local ARRAY per doc: the
+    * codegen'd `graft_shingle_hashes` expression hashes the 3 tokens
+    * directly (no string materialization; 64-bit collisions are
+    * negligible for Jaccard estimation — the string form stays in
+    * q_dedup_ngram where the DuckDB oracle needs reproducible shingles).
+    * Docs with < 3 tokens produce an empty array and are filtered, same
+    * as the round-1 explode form which emitted no rows for them.
     */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private def shingleHashArrays(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(toks) >= 3
-           THEN array_distinct(transform(sequence(0, size(toks) - 3),
-                  i -> xxhash64(toks[i], toks[i+1], toks[i+2])))
-           ELSE array() END""")).as("shingle"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", split(col("text"), " "), lit(3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+  }
 
   private val NumHashes = 32
   private val BandSize = 4 // → 8 bands; P(candidate) = 1-(1-J^4)^8
@@ -81,6 +82,57 @@ object Dedup {
     sh.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
   }
 
+  /** Filtered exact-Jaccard near-dup pairs (a < b, J ≥ 0.3) over capped
+    * shingles — the shared core of q_dedup_ngram and q_dup_clusters.
+    */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    // referenced three times below (both self-join sides + sizes) with
+    // DIFFERENT downstream partitionings, so exchange reuse alone can't
+    // dedupe the shingle pipeline — persist it for the action's duration
+    // (the driver clears cache between bench queries)
+    val sh = cappedShingles(t(s, dir, "documents"), ShingleDfCap).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.as("sa")
+      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
+        && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "sz_a"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "sz_b"), Seq("b"))
+      .select(col("a"), col("b"), col("n_common").as("inter_sz"),
+        (col("sz_a") + col("sz_b") - col("n_common")).as("union_sz"),
+        (col("n_common") / (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** DuckDB CTE chain producing the identical filtered pair set as
+    * [[ngramPairs]] (ends with `jp(a, b, inter_sz, union_sz, jaccard)`).
+    */
+  private val NgramCtes: String =
+    s"""sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             for i in generate_series(1, len(toks) - 2)])) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        rare AS (SELECT shingle FROM sh0 GROUP BY shingle
+                 HAVING count(*) <= $ShingleDfCap),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter_sz
+          FROM sh sa JOIN sh sb
+            ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          GROUP BY 1, 2),
+        jp AS (
+          SELECT p.a, p.b, p.inter_sz,
+            (za.n_sh + zb.n_sh - p.inter_sz) AS union_sz,
+            p.inter_sz / (za.n_sh + zb.n_sh - p.inter_sz) AS jaccard
+          FROM pairs p
+            JOIN sizes za ON za.doc_id = p.a
+            JOIN sizes zb ON zb.doc_id = p.b
+          WHERE p.inter_sz / (za.n_sh + zb.n_sh - p.inter_sz) >= 0.3)"""
+
   val queries: Seq[Q] = Seq(
 
     // ── exact dedup by content hash ──────────────────────────────────────
@@ -97,24 +149,25 @@ object Dedup {
               FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
 
     // ── MinHash + LSH banding near-dup (oracle-exempt: not SQL-shaped) ───
-    // shingle → 32 salted-xxhash64 min-signatures (one aggregation — the
-    // map-side combine keeps the shuffle at |docs|×32 longs) → 8 banded
-    // bucket keys → within-bucket pair join → exact-Jaccard verification
-    // of candidates only. The verify join is semi-join-pruned to candidate
-    // docs, so shingle re-expansion touches only candidate content.
+    // shingle-hash array → 32 salted min-signatures via the one-pass
+    // `graft_minhash` expression (ROW-LOCAL — the signature never crosses
+    // a shuffle; round 1 aggregated 32 mins per doc through an exchange)
+    // → 8 banded bucket keys → within-bucket pair join → exact-Jaccard
+    // verification of candidates only. The verify join is semi-join-
+    // pruned to candidate docs, so shingle re-expansion touches only
+    // candidate content.
     Q("q_dedup_near",
       (s, dir) => {
-        val sh = shingleHashes(t(s, dir, "documents"))
-        val sigCols: Seq[Column] = (0 until NumHashes)
-          .map(k => min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
-        val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val docsArr = shingleHashArrays(s, t(s, dir, "documents"))
+        val sh = docsArr.select(col("doc_id"), explode(col("shs")).as("shingle"))
+        val sigs = docsArr.select(col("doc_id"),
+          call_function("graft_minhash", col("shs"), lit(NumHashes)).as("sig"))
         val bandCols: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
-          val cols = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
+          val cols = (0 until BandSize).map(i => element_at(col("sig"), b * BandSize + i + 1))
           struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash")).as(s"b$b")
         }
         val bands = sigs
-          .select(col("doc_id"), array(bandCols: _*).as("bands"))
-          .select(col("doc_id"), explode(col("bands")).as("b"))
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
           .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
         val cands = bands.as("x")
           .join(bands.as("y"),
@@ -153,65 +206,79 @@ object Dedup {
     // additionally preceded by the MinHash pass above (q_dedup_near) so
     // only banded candidates reach it.
     Q("q_dedup_ngram",
-      (s, dir) => {
-        val sh = cappedShingles(t(s, dir, "documents"), ShingleDfCap)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        sh.as("sa")
-          .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
-            && col("sa.doc_id") < col("sb.doc_id"))
-          .select(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "sz_a"), Seq("a"))
-          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "sz_b"), Seq("b"))
-          .select(col("a"), col("b"), col("n_common").as("inter_sz"),
-            (col("sz_a") + col("sz_b") - col("n_common")).as("union_sz"),
-            (col("n_common") / (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.3)
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH sh0 AS (
-                SELECT doc_id, unnest(list_distinct(
-                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                   for i in generate_series(1, len(toks) - 2)])) AS shingle
-                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-                WHERE len(toks) >= 3),
-              rare AS (SELECT shingle FROM sh0 GROUP BY shingle
-                       HAVING count(*) <= $ShingleDfCap),
-              sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
-              sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-              pairs AS (
-                SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter_sz
-                FROM sh sa JOIN sh sb
-                  ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-                GROUP BY 1, 2)
-              SELECT p.a, p.b, p.inter_sz,
-                (za.n_sh + zb.n_sh - p.inter_sz) AS union_sz,
-                p.inter_sz / (za.n_sh + zb.n_sh - p.inter_sz) AS jaccard
-              FROM pairs p
-                JOIN sizes za ON za.doc_id = p.a
-                JOIN sizes zb ON zb.doc_id = p.b
-              WHERE p.inter_sz / (za.n_sh + zb.n_sh - p.inter_sz) >= 0.3
+      (s, dir) => ngramPairs(s, dir).orderBy("a", "b"),
+      Some(s"""WITH $NgramCtes
+              SELECT a, b, inter_sz, union_sz, jaccard FROM jp
               ORDER BY a, b""")),
 
+    // ── near-dup clusters: connected components of the pair graph ───────
+    // The step every real dedup pipeline needs after pairs: transitive
+    // closure into clusters, one canonical representative (min doc_id)
+    // per cluster. Iterative min-label propagation as DataFrame rounds —
+    // each round is one join + partial-agg min, labels persisted between
+    // rounds, converging in ≤ diameter iterations (dup clusters are
+    // near-cliques, so 2-3 in practice). The driver-side loop is CONTROL
+    // FLOW only (a convergence count per round — the Pregel pattern);
+    // data never leaves the cluster. At 100 TB swap plain propagation
+    // for the large-star/small-star rounds of Kiveris et al. (same
+    // DataFrame shape, O(log n) rounds guaranteed). Oracle: DuckDB
+    // recursive CTE computing min reachable id per node.
+    Q("q_dup_clusters",
+      (s, dir) => {
+        // both edge directions from ONE pass over the pair pipeline (a
+        // union of two selects would compute it twice)
+        val edges = ngramPairs(s, dir)
+          .select(explode(array(
+            struct(col("a").as("u"), col("b").as("v")),
+            struct(col("b").as("u"), col("a").as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .persist()
+        var labels = edges.select(col("u").as("doc_id"))
+          .distinct().withColumn("rep", col("doc_id")).persist()
+        var converged = edges.isEmpty
+        var iter = 0
+        while (!converged && iter < 20) {
+          val prop = edges.join(labels, edges("v") === labels("doc_id"))
+            .select(edges("u").as("doc_id"), col("rep"))
+          val next = labels.unionByName(prop)
+            .groupBy("doc_id").agg(min("rep").as("rep")).persist()
+          val changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+            .filter(col("rep") =!= col("prev")).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        edges.unpersist()
+        labels
+          .select(col("doc_id"), col("rep").as("cluster_rep"),
+            (col("doc_id") === col("rep")).as("is_rep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NgramCtes,
+              edges AS (SELECT a AS u, b AS v FROM jp
+                        UNION ALL SELECT b, a FROM jp),
+              walk(u, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u)
+              SELECT u AS doc_id, min(r) AS cluster_rep,
+                (u = min(r)) AS is_rep
+              FROM walk GROUP BY u ORDER BY doc_id""")),
+
     // ── SimHash near-dup (oracle-exempt: xxhash64 is Spark-specific) ─────
-    // 64-bit SimHash per doc from token xxhash64s (64 signed bit-weight
-    // sums in ONE aggregation — partial+final, shuffle carries 64 longs per
-    // doc), banded into 4×16-bit keys; same-band pairs verified by exact
-    // Hamming distance ≤ 12 via bit_count(xor).
+    // 64-bit SimHash per doc via the one-pass `graft_simhash` expression
+    // (ROW-LOCAL, zero shuffle — round 1 aggregated 64 signed bit-weight
+    // sums through an exchange; bit-identical output, asserted in
+    // HashSketchesSpec), banded into 4×16-bit keys; same-band pairs
+    // verified by exact Hamming distance ≤ 12 via bit_count(xor).
     Q("q_dedup_simhash",
       (s, dir) => {
-        val tokHashes = t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "")
-          .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-        val bitCols: Seq[Column] = (0 until 64).map { k =>
-          sum(when(shiftright(col("th"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"w$k")
-        }
-        val weights = tokHashes.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-        val simhash = (0 until 64).map { k =>
-          when(col(s"w$k") > 0, shiftleft(lit(1L), k)).otherwise(0L)
-        }.reduce[Column](_.bitwiseOR(_))
-        val sigs = weights.select(col("doc_id"), simhash.as("sim"))
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val sigs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(array_remove(col("toks"), "")) > 0)
+          .select(col("doc_id"), call_function("graft_simhash", col("toks")).as("sim"))
         val bands = sigs.select(col("doc_id"), col("sim"),
             explode(expr(
               """transform(sequence(0, 3),

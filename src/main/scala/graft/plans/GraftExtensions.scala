@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, HyperplaneSignature, Scored, TopKAggregator}
+import graft.functions.{DotProduct, HyperplaneSignature, MinHashSig, Scored, ShingleHashes, SimHash64, TopKAggregator}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -21,6 +21,12 @@ import org.apache.spark.sql.execution.aggregate.ScalaAggregator
   *     heap top-k ([[graft.functions.TopKAggregator]]); k is an integer
   *     literal, default 3. Registered as a registry BUILDER (not a fixed
   *     `spark.udf.register` instance) so each call site picks its own k.
+  *   - `graft_simhash(array<string>)` → bigint,
+  *     `graft_shingle_hashes(array<string>[, n])` → array<bigint>,
+  *     `graft_minhash(array<bigint>[, k])` → array<bigint>: one-pass
+  *     row-local dedup sketches ([[graft.functions.HashOps]]) — the
+  *     shuffle-free replacements for the explode→groupBy signature
+  *     aggregations.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -68,7 +74,28 @@ object GraftExtensions {
         aggregatorName = Some("graft_topk"))
     })
 
-  private val all = Seq(dotFn, sigFn, topkFn)
+  private val simhashFn = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+    (children: Seq[Expression]) => SimHash64(children.head))
+
+  private val shingleFn = (
+    FunctionIdentifier("graft_shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+    (children: Seq[Expression]) => {
+      val n = if (children.length > 1) intArg(children(1), "n") else 3
+      ShingleHashes(children.head, n)
+    })
+
+  private val minhashFn = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    (children: Seq[Expression]) => {
+      val k = if (children.length > 1) intArg(children(1), "numHashes") else 32
+      MinHashSig(children.head, k)
+    })
+
+  private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn)
 
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no

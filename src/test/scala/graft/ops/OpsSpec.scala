@@ -35,6 +35,21 @@ class OpsSpec extends SparkSpec {
     assert(q("q_dedup_ngram").count() > 0, "cap must not empty the result")
   }
 
+  // ── connected components over the near-dup graph ────────────────────
+  test("q_dup_clusters: endpoints of every pair share one representative") {
+    val rep = q("q_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = q("q_dedup_ngram").select("a", "b").collect()
+    assert(pairs.nonEmpty && rep.nonEmpty)
+    pairs.foreach { r =>
+      assert(rep(r.getLong(0)) === rep(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+    // a representative is its own representative, and is the cluster min
+    rep.values.toSet.foreach { (c: Long) => assert(rep(c) === c) }
+    rep.foreach { case (d, c) => assert(c <= d) }
+  }
+
   // ── MinHash near-dup sanity ──────────────────────────────────────────
   test("q_dedup_near emits ordered pairs with valid exact Jaccard") {
     val rows = q("q_dedup_near").collect()
