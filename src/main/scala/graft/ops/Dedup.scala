@@ -133,6 +133,57 @@ object Dedup {
             JOIN sizes zb ON zb.doc_id = p.b
           WHERE p.inter_sz / (za.n_sh + zb.n_sh - p.inter_sz) >= 0.3)"""
 
+  /** Connected-component labels (doc_id, rep = component min) of the
+    * near-dup pair graph, by iterative min-label propagation: each round
+    * is one join + partial-agg min over PERSISTED labels, converging in
+    * ≤ diameter rounds (dup clusters are near-cliques, so 2-3 in
+    * practice). The driver-side loop is CONTROL FLOW only (a convergence
+    * count per round — the Pregel pattern); data never leaves the
+    * cluster. At 100 TB swap plain propagation for the large-star/
+    * small-star rounds of Kiveris et al. (same DataFrame shape, O(log n)
+    * rounds guaranteed).
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    // both edge directions from ONE pass over the pair pipeline (a
+    // union of two selects would compute it twice)
+    val edges = ngramPairs(s, dir)
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct().withColumn("rep", col("doc_id")).persist()
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, edges("v") === labels("doc_id"))
+        .select(edges("u").as("doc_id"), col("rep"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min("rep").as("rep")).persist()
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+        .filter(col("rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** DuckDB CTEs shared by the cluster-consuming oracles: undirected
+    * edges + transitive closure (`walk`) over the `jp` pair set.
+    */
+  private val ClusterCtes: String =
+    s"""$NgramCtes,
+        edges AS (SELECT a AS u, b AS v FROM jp
+                  UNION ALL SELECT b, a FROM jp),
+        walk(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u)"""
+
   val queries: Seq[Q] = Seq(
 
     // ── exact dedup by content hash ──────────────────────────────────────
@@ -224,47 +275,39 @@ object Dedup {
     // DataFrame shape, O(log n) rounds guaranteed). Oracle: DuckDB
     // recursive CTE computing min reachable id per node.
     Q("q_dup_clusters",
-      (s, dir) => {
-        // both edge directions from ONE pass over the pair pipeline (a
-        // union of two selects would compute it twice)
-        val edges = ngramPairs(s, dir)
-          .select(explode(array(
-            struct(col("a").as("u"), col("b").as("v")),
-            struct(col("b").as("u"), col("a").as("v")))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-          .persist()
-        var labels = edges.select(col("u").as("doc_id"))
-          .distinct().withColumn("rep", col("doc_id")).persist()
-        var converged = edges.isEmpty
-        var iter = 0
-        while (!converged && iter < 20) {
-          val prop = edges.join(labels, edges("v") === labels("doc_id"))
-            .select(edges("u").as("doc_id"), col("rep"))
-          val next = labels.unionByName(prop)
-            .groupBy("doc_id").agg(min("rep").as("rep")).persist()
-          val changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-            .filter(col("rep") =!= col("prev")).count()
-          labels.unpersist()
-          labels = next
-          converged = changed == 0
-          iter += 1
-        }
-        edges.unpersist()
-        labels
-          .select(col("doc_id"), col("rep").as("cluster_rep"),
-            (col("doc_id") === col("rep")).as("is_rep"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH RECURSIVE $NgramCtes,
-              edges AS (SELECT a AS u, b AS v FROM jp
-                        UNION ALL SELECT b, a FROM jp),
-              walk(u, r) AS (
-                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-                UNION
-                SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u)
+      (s, dir) => dupClusters(s, dir)
+        .select(col("doc_id"), col("rep").as("cluster_rep"),
+          (col("doc_id") === col("rep")).as("is_rep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $ClusterCtes
               SELECT u AS doc_id, min(r) AS cluster_rep,
                 (u = min(r)) AS is_rep
               FROM walk GROUP BY u ORDER BY doc_id""")),
+
+    // ── end-to-end dedup output: the surviving corpus ────────────────────
+    // What a dedup stage actually EMITS: one canonical doc per exact-
+    // hash group (min doc_id, with its collapse count), minus every
+    // near-dup document that lost its cluster election. Composes
+    // q_dedup_exact (hash-partitioned agg) with the cluster labels — the
+    // anti-join side is only the cluster losers (tiny relative to the
+    // corpus), so the corpus never shuffles twice.
+    Q("q_dedup_survivors",
+      (s, dir) => {
+        val exact = t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+          .select("doc_id", "dup_cnt")
+        val losers = dupClusters(s, dir)
+          .filter(col("doc_id") =!= col("rep")).select("doc_id")
+        exact.join(losers, Seq("doc_id"), "left_anti").orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ClusterCtes,
+              losers AS (SELECT u FROM walk GROUP BY u HAVING min(r) <> u),
+              exact AS (SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+                        FROM documents GROUP BY md5(text))
+              SELECT doc_id, dup_cnt FROM exact
+              WHERE doc_id NOT IN (SELECT u FROM losers)
+              ORDER BY doc_id""")),
 
     // ── SimHash near-dup (oracle-exempt: xxhash64 is Spark-specific) ─────
     // 64-bit SimHash per doc via the one-pass `graft_simhash` expression

@@ -188,6 +188,131 @@ object TextOps {
                   list_transform(toks, x -> CAST(ascii(x) AS BIGINT))),
                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_seq
               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+              ORDER BY doc_id""")),
+
+    // ── TF-IDF top-5 terms per document ──────────────────────────────────
+    // Raw tf-idf = tf × N / df (no log: ×/÷ are exact-rounded IEEE ops in
+    // both engines, so the oracle matches bit-for-bit; a production
+    // variant applies log to the same ratio). df comes from a partial-
+    // aggregated vocab rollup; the tf ⋈ df join keys on token with NO
+    // broadcast hint — vocabulary grows with the corpus. Top-5 per doc is
+    // a row-local slice of a sort_array'd collect_list whose size is
+    // bounded by the DOCUMENT's own distinct-token count — never a
+    // window sort of the whole (doc, token) relation.
+    Q("q_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+        tf.join(dfreq, "tok")
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("tok"),
+            (col("tf").cast("double") * col("n_docs").cast("double")
+              / col("df").cast("double")).as("score"))
+          .groupBy("doc_id")
+          .agg(slice(sort_array(collect_list(
+            struct(negate(col("score")).as("ns"), col("tok")))), 1, 5).as("top"))
+          .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("doc_id"), col("t.tok").as("tok"),
+            negate(col("t.ns")).as("score"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              t AS (SELECT doc_id, tok, count(*) AS tf
+                    FROM toks WHERE tok <> '' GROUP BY 1, 2),
+              d AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              sc AS (SELECT t.doc_id, t.tok,
+                       CAST(t.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                         / CAST(d.df AS DOUBLE) AS score
+                     FROM t JOIN d USING (tok) CROSS JOIN n),
+              r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, tok) AS BIGINT) AS rk FROM sc)
+              SELECT doc_id, tok, score, rk FROM r
+              WHERE rk <= 5 ORDER BY doc_id, rk""")),
+
+    // ── collocation mining: top-20 adjacent bigrams by lift ─────────────
+    // Lift = p(xy) / (p(x)·p(y)) computed as the exact-IEEE ratio
+    // ((c_xy·N_uni)·N_uni) / ((N_bi·c_x)·c_y) — no log, so the oracle is
+    // bit-exact (PMI = log(lift) is a monotone transform; production
+    // applies it after ranking). Bigram/unigram counts are partial-
+    // aggregated; the count⋈count joins key on token (vocab-sized — no
+    // broadcast hint); final top-20 is a TakeOrderedAndProject.
+    Q("q_collocations",
+      (s, dir) => {
+        val tl = t(s, dir, "documents").select(split(col("text"), " ").as("toks"))
+        val uni = tl.select(explode(col("toks")).as("tok")).filter(col("tok") =!= "")
+        val u = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+        val nUni = uni.agg(count(lit(1)).as("n_uni"))
+        val bi = tl.select(explode(expr(
+            """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                      i -> struct(toks[i] AS x, toks[i+1] AS y))
+               ELSE array() END""")).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+          .filter(col("x") =!= "" && col("y") =!= "")
+        val nBi = bi.agg(count(lit(1)).as("n_bi"))
+        bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .join(u.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+          .join(u.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+          .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+          .select(col("x"), col("y"), col("c_xy"),
+            (col("c_xy").cast("double") * col("n_uni").cast("double")
+              * col("n_uni").cast("double")
+              / (col("n_bi").cast("double") * col("c_x").cast("double")
+                * col("c_y").cast("double"))).as("lift"))
+          .orderBy(col("lift").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""WITH tl AS (SELECT string_split(text, ' ') AS toks FROM documents),
+              uni AS (SELECT unnest(toks) AS tok FROM tl),
+              u AS (SELECT tok, count(*) AS c FROM uni WHERE tok <> '' GROUP BY 1),
+              nu AS (SELECT count(*) AS n_uni FROM uni WHERE tok <> ''),
+              bi0 AS (SELECT unnest([{'x': toks[i], 'y': toks[i+1]}
+                        for i in generate_series(1, len(toks) - 1)]) AS b
+                      FROM tl WHERE len(toks) >= 2),
+              bi AS (SELECT b.x AS x, b.y AS y FROM bi0
+                     WHERE b.x <> '' AND b.y <> ''),
+              nb AS (SELECT count(*) AS n_bi FROM bi),
+              bc AS (SELECT x, y, count(*) AS c_xy FROM bi
+                     GROUP BY 1, 2 HAVING count(*) >= 5)
+              SELECT bc.x, bc.y, bc.c_xy,
+                CAST(bc.c_xy AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+                  * CAST(nu.n_uni AS DOUBLE)
+                  / (CAST(nb.n_bi AS DOUBLE) * CAST(ux.c AS DOUBLE)
+                    * CAST(uy.c AS DOUBLE)) AS lift
+              FROM bc JOIN u ux ON ux.tok = bc.x
+                      JOIN u uy ON uy.tok = bc.y
+                      CROSS JOIN nu CROSS JOIN nb
+              ORDER BY lift DESC, x, y LIMIT 20""")),
+
+    // ── deterministic stratified downsampling ────────────────────────────
+    // The training-mix op: keep 1/2 of en, 1/5 of zh, 1/3 of everything
+    // else (a stand-in mix config), selected by a RESIDUE RULE on the
+    // key — a pure row-local filter: no shuffle, no RNG, exactly
+    // reproducible across reruns and engines, and the filter pushes all
+    // the way into the scan.
+    Q("q_stratified_sample",
+      (s, dir) => {
+        val modulus = when(col("lang") === "en", 2L)
+          .when(col("lang") === "zh", 5L)
+          .otherwise(3L)
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), modulus) === 0)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars
+              FROM documents
+              WHERE doc_id % (CASE lang WHEN 'en' THEN 2
+                              WHEN 'zh' THEN 5 ELSE 3 END) = 0
               ORDER BY doc_id"""))
   )
 }
