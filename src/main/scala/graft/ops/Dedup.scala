@@ -133,44 +133,78 @@ object Dedup {
             JOIN sizes zb ON zb.doc_id = p.b
           WHERE p.inter_sz / (za.n_sh + zb.n_sh - p.inter_sz) >= 0.3)"""
 
-  /** Connected-component labels (doc_id, rep = component min) of the
-    * near-dup pair graph, by iterative min-label propagation: each round
-    * is one join + partial-agg min over PERSISTED labels, converging in
-    * ≤ diameter rounds (dup clusters are near-cliques, so 2-3 in
-    * practice). The driver-side loop is CONTROL FLOW only (a convergence
-    * count per round — the Pregel pattern); data never leaves the
-    * cluster. At 100 TB swap plain propagation for the large-star/
-    * small-star rounds of Kiveris et al. (same DataFrame shape, O(log n)
-    * rounds guaranteed).
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) — the 100-TB algorithm: O(log² n) rounds on ANY topology
+    * (plain min-label propagation needs diameter rounds, unbounded on
+    * chain-shaped near-dup graphs). Each round is two partial-agg mins +
+    * joins over the canonical (hi > lo) edge set; the driver loop is
+    * convergence CONTROL only — data never leaves the cluster.
+    *
+    * large-star(x): attach every strictly-larger neighbor of x to
+    * m = min(Γ(x) ∪ {x}). small-star(x): attach x and its smaller
+    * neighbors (bar m itself) to m = min over the smaller neighbors.
+    * Fixed point = one star per component, centered at the component
+    * minimum; labels read straight off the final edges.
+    *
+    * Input: edge DataFrame with columns (u, v), any orientation or
+    * duplication. Output: (doc_id, rep = component min) for every node
+    * incident to an edge.
     */
-  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    // both edge directions from ONE pass over the pair pipeline (a
-    // union of two selects would compute it twice)
-    val edges = ngramPairs(s, dir)
-      .select(explode(array(
-        struct(col("a").as("u"), col("b").as("v")),
-        struct(col("b").as("u"), col("a").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
-    var labels = edges.select(col("u").as("doc_id"))
-      .distinct().withColumn("rep", col("doc_id")).persist()
+  def ccStar(edgesIn: DataFrame): DataFrame = {
+    // localCheckpoint (not persist): each round's plan must start from
+    // materialized blocks, or 10+ iterations of self-referential lineage
+    // overflow the analyzer (and would re-run the whole prefix on any
+    // block eviction — unacceptable at 100 TB; on a real cluster swap
+    // for reliable checkpoint() to HDFS)
+    val nodes = edgesIn.select(col("u").as("doc_id"))
+      .unionByName(edgesIn.select(col("v").as("doc_id")))
+      .distinct().localCheckpoint(true)
+    var edges = edgesIn
+      .select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
     var converged = edges.isEmpty
     var iter = 0
-    while (!converged && iter < 20) {
-      val prop = edges.join(labels, edges("v") === labels("doc_id"))
-        .select(edges("u").as("doc_id"), col("rep"))
-      val next = labels.unionByName(prop)
-        .groupBy("doc_id").agg(min("rep").as("rep")).persist()
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-        .filter(col("rep") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+    while (!converged && iter < 25) {
+      // large-star: undirected adjacency, per-node min incl. self
+      val adj = edges.select(col("hi").as("x"), col("lo").as("n"))
+        .unionByName(edges.select(col("lo").as("x"), col("hi").as("n")))
+      val mins = adj.groupBy("x").agg(least(min(col("n")), col("x")).as("m"))
+      val large = adj.join(mins, "x").filter(col("n") > col("x"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star over the large-star output (already canonical:
+      // lo = m(x) ≤ x < n = hi on every emitted edge)
+      val lmins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(lmins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(lmins.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint(true)
+      // fixed point when the round leaves the edge set unchanged
+      // (subset + equal count ⇒ equal sets; two cheap control actions)
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
       iter += 1
     }
-    edges.unpersist()
-    labels
+    // stars: every hi is labeled by its center lo; centers (and any
+    // isolated canonical node) label themselves
+    nodes
+      .join(edges.select(col("hi").as("doc_id"), col("lo").as("rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
+
+  /** Connected-component labels (doc_id, rep = component min) of the
+    * near-dup pair graph via [[ccStar]]. Dup clusters are near-cliques,
+    * so the alternating rounds converge in 2-3 iterations here — and
+    * unlike plain label propagation, the SAME code survives adversarial
+    * chain-of-near-dups topologies at 100 TB.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    ccStar(ngramPairs(s, dir).select(col("a").as("u"), col("b").as("v")))
 
   /** DuckDB CTEs shared by the cluster-consuming oracles: undirected
     * edges + transitive closure (`walk`) over the `jp` pair set.

@@ -313,6 +313,116 @@ object TextOps {
               FROM documents
               WHERE doc_id % (CASE lang WHEN 'en' THEN 2
                               WHEN 'zh' THEN 5 ELSE 3 END) = 0
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // ── BM25 retrieval scoring per (doc, query-term) ─────────────────────
+    // The ranking function behind corpus search / quality-by-query
+    // filtering. k1 = 1.2, b = 0.75. The idf factor is the exact RATIO
+    // (N - df + 0.5)/(df + 0.5) — production takes log(idf) AFTER
+    // ranking (monotone per term; scores here are emitted per (doc,term),
+    // never summed across terms, so the transform commutes). Every
+    // double op is written in the identical order on both engines, and
+    // avgdl comes from exact integer sums, so the scores are bit-equal.
+    // Scale shape: tf is a partial-aggregated (doc,term) count over the
+    // term-filtered token stream (the filter prunes the explode fan-out
+    // to query-term hits only); df and the corpus stats are constant-size
+    // broadcasts (≤ |query terms| rows, 1 row); dl joins on doc_id — the
+    // only data-sized shuffle. No windows.
+    Q("q_bm25",
+      (s, dir) => {
+        val qterms = Seq("join", "hash", "scan")
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+        val tf = toks.filter(col("tok").isin(qterms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+        val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val score = idf * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        tf.join(broadcast(dfreq), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("tok"), col("tf"), score.as("score"))
+          .orderBy("doc_id", "tok")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              tk AS (SELECT * FROM toks WHERE tok <> ''),
+              dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+              st AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+                     WHERE tok IN ('join', 'hash', 'scan') GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+              SELECT t.doc_id, t.tok, t.tf,
+                ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5))
+                * (CAST(t.tf AS DOUBLE) * 2.2)
+                / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS score
+              FROM tf t JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+              ORDER BY doc_id, tok""")),
+
+    // ── PII scrubbing: redact numeric payload values ─────────────────────
+    // The redaction pass a corpus pipeline runs before publication: mask
+    // every digit run in the event payload and count the redactions.
+    // Pure per-row projection (regexp_replace + regexp_count are both
+    // codegen'd) — no shuffle, holds at any scale. The digit-run pattern
+    // is the lowest common denominator of the Java and RE2 regex
+    // dialects, so Spark and DuckDB agree byte-for-byte.
+    Q("q_pii_scrub",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<num>").as("scrubbed"),
+          regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_redacted"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                regexp_replace(props, '[0-9]+', '<num>', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+              FROM events ORDER BY event_id""")),
+
+    // ── end-to-end corpus cleaning pipeline ──────────────────────────────
+    // The composed emission of a training-data prep stage: language
+    // whitelist → length/quality gate → exact dedup (canonical = min
+    // doc_id per md5 group) → per-(lang, source) corpus accounting.
+    // Composition keeps the single-pass shape: the whitelist + length
+    // filters push into the scan, dedup is one hash-partitioned agg, and
+    // the final accounting re-aggregates the (already tiny) canonical
+    // set. dups_removed audits exactly how many documents the stage ate.
+    Q("q_corpus_pipeline",
+      (s, dir) => {
+        val kept = t(s, dir, "documents")
+          .filter(col("lang").isin("en", "zh", "de"))
+          .filter(col("n_chars") >= 60 && col("n_chars") <= 400)
+        val canonical = kept
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+        canonical
+          .join(kept.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("dup_cnt") - lit(1)).as("dups_removed"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH kept AS (
+                SELECT * FROM documents
+                WHERE lang IN ('en', 'zh', 'de')
+                  AND n_chars >= 60 AND n_chars <= 400),
+              canonical AS (
+                SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                  count(*) AS dup_cnt
+                FROM kept GROUP BY 1)
+              SELECT k.lang, k.source, count(*) AS n_docs,
+                CAST(SUM(k.n_chars) AS BIGINT) AS total_chars,
+                CAST(SUM(c.dup_cnt - 1) AS BIGINT) AS dups_removed
+              FROM canonical c JOIN kept k USING (doc_id)
+              GROUP BY 1, 2 ORDER BY lang, source"""))
   )
 }
