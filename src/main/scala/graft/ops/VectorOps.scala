@@ -30,6 +30,26 @@ object VectorOps {
   /** Codegen'd exact double dot product (ascending index order). */
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Embeddings exploded into 8 LSH band rows each: 64 deterministic
+    * hyperplane sign bits (codegen'd, no RNG) cut into 8-bit band keys.
+    * Shared candidate generator of q_embed_neardup and q_knn_graph.
+    * Columns: (vec_id, embedding, n2, band_id, band_key).
+    */
+  private def bandedVectors(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.ensureRegistered(s)
+    val sig = call_function("graft_hyperplane_sig", col("embedding"), lit(64), lit(42))
+    val bandCols = (0 until 8).map(b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("sig"), b * 8).bitwiseAND(255).as("band_key")).as(s"b$b"))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"),
+        sig.as("sig"))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("bb.band_id"), col("bb.band_key"))
+  }
+
   private def norm2(c: Column): Column = dot(c, c)
 
   /** Shared DuckDB fragment: exact double dot product via an ascending
@@ -91,18 +111,7 @@ object VectorOps {
     // a production near-dup pass sets it at 0.9+.
     Q("q_embed_neardup",
       (s, dir) => {
-        GraftExtensions.ensureRegistered(s)
-        val sig = call_function("graft_hyperplane_sig", col("embedding"), lit(64), lit(42))
-        val bandCols = (0 until 8).map(b =>
-          struct(lit(b).as("band_id"),
-            shiftright(col("sig"), b * 8).bitwiseAND(255).as("band_key")).as(s"b$b"))
-        val bands = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"),
-            sig.as("sig"))
-          .select(col("vec_id"), col("embedding"), col("n2"),
-            explode(array(bandCols: _*)).as("bb"))
-          .select(col("vec_id"), col("embedding"), col("n2"),
-            col("bb.band_id"), col("bb.band_key"))
+        val bands = bandedVectors(s, dir)
         bands.as("x")
           .join(bands.as("y"), col("x.band_id") === col("y.band_id")
             && col("x.band_key") === col("y.band_key")
@@ -113,6 +122,33 @@ object VectorOps {
           .distinct()
           .filter(col("cos") >= 0.35)
           .orderBy("a", "b")
+      },
+      None),
+
+    // ── approximate kNN graph (oracle-exempt: approximate) ───────────────
+    // The all-vectors neighbor graph behind semantic dedup and graph
+    // clustering: top-3 cosine neighbors PER VECTOR. Candidates come from
+    // the trained IVF codebook (every vector probes its nprobe=4 nearest
+    // cells), NOT hyperplane bands — sign-bit LSH needs high-cosine
+    // structure, and on this weak-similarity corpus its recall collapses
+    // (measured 0.14 vs 0.59 for IVF; KnnGraphSpec pins a 0.5 floor).
+    // Probe-cell pairs are a shuffle join keyed on cent_id (the probe
+    // side is the corpus — never broadcast); per-vector top-3 goes
+    // through the bounded-heap graft_topk, so ≤3 rows per (task ×
+    // vector) cross the final shuffle. A brute-force kNN graph is the
+    // one vector op that can NEVER run exact at 100 TB; here cost is
+    // Σ_cell |cell|·|probers(cell)| with k (=#cells) the knob — grow k
+    // ~√N so cells stay bounded.
+    Q("q_knn_graph",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+        val probes = emb.select(col("vec_id").as("probe_id"),
+          col("embedding").as("p_emb"), col("n2").as("p_n2"))
+        ivfTopK(s, emb, probes, k = 3, nprobe = 4, broadcastProbes = false)
+          .withColumnRenamed("probe_id", "vec_id")
+          .orderBy("vec_id", "rk")
       },
       None),
 
@@ -187,44 +223,58 @@ object VectorOps {
         GraftExtensions.ensureRegistered(s)
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
-        val centroids = trainCentroids(s, emb, k = 16, iters = 2)
-        // cell assignment: nearest centroid by cosine, via arg-max agg
-        // (ties → smallest cent_id, same contract as the old window)
-        val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
-        val assigned = emb.join(broadcast(centroids))
-          .select(col("vec_id"), col("embedding"), col("n2"),
-            struct(negate(csim).as("neg"), col("cent_id")).as("sc"))
-          .groupBy("vec_id")
-          .agg(min(col("sc")).getField("cent_id").as("cent_id"),
-            first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
-        // probes → nprobe=4 nearest cells via graft_topk(.., 4)
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
             col("n2").as("p_n2"))
-        val pcsim = dot(col("c_emb"), col("p_emb")) / sqrt(col("c_n2") * col("p_n2"))
-        val probeCells = probes.join(broadcast(centroids))
-          .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"),
-            pcsim.as("csim"))
-          .groupBy("probe_id")
-          .agg(expr("graft_topk(cent_id, csim, 4)").as("cells"),
-            first(col("p_emb")).as("p_emb"), first(col("p_n2")).as("p_n2"))
-          .select(col("probe_id"), col("p_emb"), col("p_n2"),
-            explode(col("cells.id")).as("cent_id"))
-        // search only assigned cells of the probe's nprobe list; top-3 per
-        // probe through the bounded heap (shuffle = 3 rows per probe)
-        assigned.join(broadcast(probeCells), Seq("cent_id"))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-            (dot(col("p_emb"), col("embedding")) / sqrt(col("p_n2") * col("n2"))).as("sim"))
-          .groupBy("probe_id")
-          .agg(expr("graft_topk(neighbor_id, sim, 3)").as("topk"))
-          .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "s")))
-          .select(col("probe_id"), col("s.id").as("neighbor_id"),
-            col("s.score").as("sim"), (col("pos") + 1).cast("long").as("rk"))
+        // constant probe batch → the probe-cell side broadcasts
+        ivfTopK(s, emb, probes, k = 3, nprobe = 4, broadcastProbes = true)
           .orderBy("probe_id", "rk")
       },
       None)
   )
+
+  /** IVF search kernel shared by q_ann_ivf (constant probe batch) and
+    * q_knn_graph (probes = the corpus): for each probe row (probe_id,
+    * p_emb, p_n2), the top-k cosine neighbors among vectors assigned to
+    * the probe's nprobe nearest cells of the trained 16-cell codebook.
+    *
+    * Cell assignment is an arg-max aggregation (ties → smallest cent_id)
+    * — no window sort; per-probe top-k is the bounded-heap graft_topk.
+    * `broadcastProbes` gates the candidate-join strategy: broadcast only
+    * when the probe batch is constant-size; a corpus-sized probe side
+    * shuffle-joins on cent_id instead (cell count is the parallelism —
+    * production grows it ~√N).
+    */
+  private[ops] def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
+      k: Int, nprobe: Int, broadcastProbes: Boolean): DataFrame = {
+    val centroids = trainCentroids(s, emb, k = 16, iters = 2)
+    val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
+    val assigned = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        struct(negate(csim).as("neg"), col("cent_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min(col("sc")).getField("cent_id").as("cent_id"),
+        first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
+    val pcsim = dot(col("c_emb"), col("p_emb")) / sqrt(col("c_n2") * col("p_n2"))
+    val probeCells = probes.join(broadcast(centroids))
+      .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"),
+        pcsim.as("csim"))
+      .groupBy("probe_id")
+      .agg(expr(s"graft_topk(cent_id, csim, $nprobe)").as("cells"),
+        first(col("p_emb")).as("p_emb"), first(col("p_n2")).as("p_n2"))
+      .select(col("probe_id"), col("p_emb"), col("p_n2"),
+        explode(col("cells.id")).as("cent_id"))
+    val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
+    assigned.join(probeSide, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("p_emb"), col("embedding")) / sqrt(col("p_n2") * col("n2"))).as("sim"))
+      .groupBy("probe_id")
+      .agg(expr(s"graft_topk(neighbor_id, sim, $k)").as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("sim"), (col("pos") + 1).cast("long").as("rk"))
+  }
 
   /** Deterministic spherical-k-means codebook, trained entirely as
     * DataFrame aggregations (no MLlib, no RNG, NO driver collect).
