@@ -152,15 +152,18 @@ object Dedup {
     * incident to an edge.
     */
   def ccStar(edgesIn: DataFrame): DataFrame = {
-    // localCheckpoint (not persist): each round's plan must start from
-    // materialized blocks, or 10+ iterations of self-referential lineage
-    // overflow the analyzer (and would re-run the whole prefix on any
-    // block eviction — unacceptable at 100 TB; on a real cluster swap
-    // for reliable checkpoint() to HDFS)
-    val nodes = edgesIn.select(col("u").as("doc_id"))
-      .unionByName(edgesIn.select(col("v").as("doc_id")))
-      .distinct().localCheckpoint(true)
-    var edges = edgesIn
+    // localCheckpoint (not persist): the input pipeline (often an
+    // expensive candidate-pair join) must run ONCE — nodes and the
+    // canonical edge set both read the materialized blocks — and each
+    // round's plan must start from blocks, or 10+ iterations of
+    // self-referential lineage overflow the analyzer (and would re-run
+    // the whole prefix on any block eviction — unacceptable at 100 TB;
+    // on a real cluster swap for reliable checkpoint() to HDFS)
+    val base = edgesIn.select(col("u"), col("v")).localCheckpoint(true)
+    val nodes = base.select(col("u").as("doc_id"))
+      .unionByName(base.select(col("v").as("doc_id")))
+      .distinct()
+    var edges = base
       .select(greatest(col("u"), col("v")).as("hi"),
         least(col("u"), col("v")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)

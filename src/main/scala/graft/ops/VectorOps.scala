@@ -247,7 +247,16 @@ object VectorOps {
     */
   private[ops] def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
       k: Int, nprobe: Int, broadcastProbes: Boolean): DataFrame = {
-    val centroids = trainCentroids(s, emb, k = 16, iters = 2)
+    // k-means is inherently multi-pass (one corpus scan per Lloyd round
+    // + assignment + probe scoring): pin the projected (vec_id,
+    // embedding, n2) columns in memory for the action's duration — the
+    // cache substitutes into every plan containing the subtree,
+    // including the caller's probe projection
+    emb.persist()
+    // the codebook feeds TWO consumers (corpus assignment + probe-cell
+    // selection); materialize it once or the whole lazy k-means lineage
+    // trains twice (k×dim rows — trivially small at any corpus scale)
+    val centroids = trainCentroids(s, emb, k = 16, iters = 2).localCheckpoint(true)
     val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
     val assigned = emb.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("n2"),
