@@ -105,10 +105,11 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
   }
 
-  /** DuckDB CTE chain producing the identical filtered pair set as
-    * [[ngramPairs]] (ends with `jp(a, b, inter_sz, union_sz, jaccard)`).
+  /** DuckDB CTE chain for capped shingles through the shared-shingle
+    * pair counts (`pairs(a, b, inter_sz)` + `sizes(doc_id, n_sh)`) —
+    * mirrors [[cappedShingles]] + the self-join of [[ngramPairs]].
     */
-  private val NgramCtes: String =
+  private val ShingleBaseCtes: String =
     s"""sh0 AS (
           SELECT doc_id, unnest(list_distinct(
             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -123,7 +124,13 @@ object Dedup {
           SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter_sz
           FROM sh sa JOIN sh sb
             ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-          GROUP BY 1, 2),
+          GROUP BY 1, 2)"""
+
+  /** DuckDB CTE chain producing the identical filtered pair set as
+    * [[ngramPairs]] (ends with `jp(a, b, inter_sz, union_sz, jaccard)`).
+    */
+  private val NgramCtes: String =
+    s"""$ShingleBaseCtes,
         jp AS (
           SELECT p.a, p.b, p.inter_sz,
             (za.n_sh + zb.n_sh - p.inter_sz) AS union_sz,
@@ -298,6 +305,49 @@ object Dedup {
       Some(s"""WITH $NgramCtes
               SELECT a, b, inter_sz, union_sz, jaccard FROM jp
               ORDER BY a, b""")),
+
+    // ── asymmetric n-gram containment ────────────────────────────────────
+    // Catches SUB-document duplication that symmetric Jaccard misses: a
+    // short doc wholly quoted inside a long one has J ≈ |A|/|B| (small)
+    // but containment(A→B) = |A∩B|/|A| ≈ 1. Same capped-shingle self-join
+    // core as q_dedup_ngram (worst bucket ≤ cap²); each undirected pair
+    // fans out to its two directions ROW-LOCALLY (explode after the
+    // joins), so the asymmetry costs no extra shuffle.
+    Q("q_containment",
+      (s, dir) => {
+        val sh = cappedShingles(t(s, dir, "documents"), ShingleDfCap).persist()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("sa")
+          .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
+            && col("sa.doc_id") < col("sb.doc_id"))
+          .select(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter_sz"))
+          .join(sizes.withColumnRenamed("doc_id", "a")
+            .withColumnRenamed("n_sh", "sz_a"), Seq("a"))
+          .join(sizes.withColumnRenamed("doc_id", "b")
+            .withColumnRenamed("n_sh", "sz_b"), Seq("b"))
+        pairs.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst"),
+              (col("inter_sz") / col("sz_a")).as("containment")),
+            struct(col("b").as("src"), col("a").as("dst"),
+              (col("inter_sz") / col("sz_b")).as("containment")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.containment").as("containment"))
+          .filter(col("containment") >= 0.5)
+          .orderBy("src", "dst")
+      },
+      Some(s"""WITH $ShingleBaseCtes,
+              cp AS (
+                SELECT p.a, p.b, p.inter_sz, za.n_sh AS sz_a, zb.n_sh AS sz_b
+                FROM pairs p
+                  JOIN sizes za ON za.doc_id = p.a
+                  JOIN sizes zb ON zb.doc_id = p.b),
+              dirs AS (
+                SELECT a AS src, b AS dst, inter_sz / sz_a AS containment FROM cp
+                UNION ALL
+                SELECT b AS src, a AS dst, inter_sz / sz_b AS containment FROM cp)
+              SELECT src, dst, containment FROM dirs
+              WHERE containment >= 0.5 ORDER BY src, dst""")),
 
     // ── near-dup clusters: connected components of the pair graph ───────
     // The step every real dedup pipeline needs after pairs: transitive

@@ -152,6 +152,27 @@ object VectorOps {
       },
       None),
 
+    // ── semantic clustering: k-means cell per vector ─────────────────────
+    // The mix-balancing / topic-bucketing op: every vector labeled with
+    // its trained k-means cell and the cosine to that centroid. Training
+    // is the deterministic seed-free spherical k-means of trainCentroids
+    // (oracle-exempt: DuckDB can't replay Lloyd rounds); assignment is
+    // the same arg-max aggregation as IVF — one partial row per vector
+    // crosses the shuffle. Deterministic across reruns by construction
+    // (spec-pinned), so cluster labels are stable pipeline artifacts.
+    Q("q_cluster_assign",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+        emb.persist()
+        val centroids = trainCentroids(s, emb, k = 16, iters = 2)
+        assignCells(emb, centroids)
+          .select(col("vec_id"), col("cent_id").as("cluster_id"), col("sim"))
+          .orderBy("vec_id")
+      },
+      None),
+
     // ── element-wise centroid aggregation per label ──────────────────────
     // The "training" step an IVF index needs: mean embedding per class.
     // posexplode → (label, pos) partial+final agg — the shuffle carries
@@ -245,6 +266,23 @@ object VectorOps {
     * shuffle-joins on cent_id instead (cell count is the parallelism —
     * production grows it ~√N).
     */
+  /** Nearest-centroid assignment as an arg-max aggregation (ties →
+    * smallest cent_id): the corpus shuffles ONE partial row per vector,
+    * never the k scored copies — no window sort. Returns (vec_id,
+    * cent_id, sim, embedding, n2).
+    */
+  private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
+    emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        struct(negate(csim).as("neg"), col("cent_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min(col("sc")).as("best"),
+        first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        negate(col("best.neg")).as("sim"), col("embedding"), col("n2"))
+  }
+
   private[ops] def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
       k: Int, nprobe: Int, broadcastProbes: Boolean): DataFrame = {
     // k-means is inherently multi-pass (one corpus scan per Lloyd round
@@ -257,13 +295,7 @@ object VectorOps {
     // selection); materialize it once or the whole lazy k-means lineage
     // trains twice (k×dim rows — trivially small at any corpus scale)
     val centroids = trainCentroids(s, emb, k = 16, iters = 2).localCheckpoint(true)
-    val csim = dot(col("c_emb"), col("embedding")) / sqrt(col("c_n2") * col("n2"))
-    val assigned = emb.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("n2"),
-        struct(negate(csim).as("neg"), col("cent_id")).as("sc"))
-      .groupBy("vec_id")
-      .agg(min(col("sc")).getField("cent_id").as("cent_id"),
-        first(col("embedding")).as("embedding"), first(col("n2")).as("n2"))
+    val assigned = assignCells(emb, centroids)
     val pcsim = dot(col("c_emb"), col("p_emb")) / sqrt(col("c_n2") * col("p_n2"))
     val probeCells = probes.join(broadcast(centroids))
       .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"),

@@ -143,4 +143,31 @@ class OpsSpec extends SparkSpec {
     assert(again.filter(col("dup_cnt") > 1).count() === 0)
     assert(again.count() === once.count())
   }
+
+  test("q_containment dominates Jaccard on every near-dup pair") {
+    // containment(A→B) = I/|A| ≥ I/|A∪B| = J, so every q_dedup_ngram pair
+    // (J ≥ 0.3) must appear in the containment output when C ≥ 0.5 holds,
+    // and the reported containment must be ≥ its Jaccard
+    val cont = q("q_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ngram = q("q_dedup_ngram").collect()
+    assert(cont.nonEmpty && ngram.nonEmpty)
+    ngram.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+      for (c <- cont.get((a, b)))
+        assert(c >= j, s"containment $c < jaccard $j for ($a,$b)")
+    }
+    // asymmetry is real: directions may disagree on membership or value
+    cont.keys.foreach { case (s1, d1) => assert(s1 != d1, "self-pair leaked") }
+  }
+
+  test("q_cluster_assign is deterministic and total") {
+    val a = q("q_cluster_assign").collect()
+    val b = q("q_cluster_assign").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "rerun drifted")
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(a.length.toLong === nVecs, "every vector gets exactly one cell")
+    assert(a.map(_.getLong(1)).distinct.length > 1, "degenerate single cluster")
+    assert(a.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+  }
 }
