@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Scale-slope measurement: build perturbed ×M copies of the fact/corpus
+  * tables (documents, embeddings, lineitem, orders) in /tmp, keep the
+  * dimension tables fixed, and time the heavy operators at M ∈ {1,2,4,8}.
+  * The per-query growth exponent log(t_8/t_1)/log 8 is the evidence for
+  * the 100-TB design claims — a query whose plan is shuffle-linear should
+  * hold an exponent near 1.0; the IVF kNN graph is expected ≈1.5 by
+  * construction (√n cells, fixed nprobe).
+  *
+  * Perturbation keeps workload SHAPE, not just volume: each copy c
+  * replaces every 5th token (offset c mod 5) with a copy-specific marker,
+  * so within-copy near-dup structure survives while cross-copy Jaccard
+  * falls below the 0.3 pipeline threshold — the dup-pair count grows
+  * ~linearly with M instead of quadratically. Embeddings rotate by c
+  * positions — decorrelated across copies, norms preserved.
+  *
+  * Run: `sbt "runMain graft.ScaleCheck [baseSfDir] [workDir]"`.
+  * Prints one JSON line per multiplier; post-process into SCALE.md.
+  */
+object ScaleCheck {
+
+  private val Mults = Seq(1, 2, 4, 8)
+  private val Picks = Seq(
+    "q_text_stats", "q_groupby_sum", "q_join_inner", "q_window_rank",
+    "q_corpus_pipeline", "q_dedup_exact", "q_dedup_ngram", "q_dedup_near",
+    "q_dup_clusters", "q_ann_ivf", "q_knn_graph", "q_cluster_assign",
+    "q_similarity_topk", "q_bm25", "q_tfidf")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Mults.foreach(m => buildScaled(spark, base, s"$work/m$m", m))
+
+    // warmup (session + codegen)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    Mults.foreach { m =>
+      val dir = s"$work/m$m"
+      val times = Picks.map { name =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[scale] $name@m$m: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"m":$m,"queries":$qs}""")
+    }
+    spark.stop()
+  }
+
+  /** Scaled copy of `base` at `dir` (idempotent: skips if present). */
+  private def buildScaled(spark: SparkSession, base: String, dir: String, m: Int): Unit = {
+    if (Files.exists(Paths.get(s"$dir/_DONE"))) return
+    Files.createDirectories(Paths.get(dir))
+
+    // dims + events: byte-copy (events stays TIMESTAMP(NANOS) for
+    // Tables.load's nanos branch — a Spark rewrite would change its
+    // physical type)
+    Seq("region", "nation", "customer", "supplier", "part", "events")
+      .foreach { t =>
+        Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+
+    val docs = Tables.load(spark, base, "documents")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    union(m, c => {
+      if (c == 0) docs.select("doc_id", "text", "lang", "source", "n_chars")
+      else docs.withColumn("toks", split(col("text"), " "))
+        .select((col("doc_id") + lit(c * maxDoc)).as("doc_id"),
+          array_join(expr(
+            s"transform(toks, (t, i) -> IF(i % 5 = ${c % 5}, 'cp$c', t))"),
+            " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val emb = Tables.load(spark, base, "embeddings")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    union(m, c => {
+      if (c == 0) emb.select("vec_id", "embedding", "label")
+      else emb.select((col("vec_id") + lit(c * maxVec)).as("vec_id"),
+        expr(s"""transform(sequence(0, size(embedding) - 1),
+                 i -> embedding[(i + $c) % size(embedding)])""").as("embedding"),
+        col("label"))
+    }).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val orders = Tables.load(spark, base, "orders")
+    val maxOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    union(m, c => orders.withColumn("o_orderkey",
+      col("o_orderkey") + lit(c * maxOrd)))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val li = Tables.load(spark, base, "lineitem")
+    union(m, c => li.withColumn("l_orderkey",
+      col("l_orderkey") + lit(c * maxOrd)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    Files.createFile(Paths.get(s"$dir/_DONE"))
+  }
+
+  private def union(m: Int, copy: Int => DataFrame): DataFrame =
+    (0 until m).map(copy).reduce(_ unionByName _)
+}

@@ -166,7 +166,7 @@ object VectorOps {
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
         emb.persist()
-        val centroids = trainCentroids(s, emb, k = 16, iters = 2)
+        val centroids = trainCentroids(s, emb, k = kCells(emb.count()), iters = 2)
         assignCells(emb, centroids)
           .select(col("vec_id"), col("cent_id").as("cluster_id"), col("sim"))
           .orderBy("vec_id")
@@ -229,7 +229,7 @@ object VectorOps {
               FROM codes GROUP BY 1 ORDER BY 1""")),
 
     // ── IVF-style approximate nearest neighbor (oracle-exempt) ───────────
-    // Codebook = k=16 spherical-k-means centroids trained by
+    // Codebook = ⌈√n⌉ spherical-k-means centroids (kCells) trained by
     // [[trainCentroids]] (deterministic seed-free init, Lloyd rounds as
     // DataFrame aggregations). Every corpus vector is assigned to its
     // nearest centroid cell by ARG-MAX AGGREGATION — min(struct(-csim,
@@ -254,18 +254,17 @@ object VectorOps {
       None)
   )
 
-  /** IVF search kernel shared by q_ann_ivf (constant probe batch) and
-    * q_knn_graph (probes = the corpus): for each probe row (probe_id,
-    * p_emb, p_n2), the top-k cosine neighbors among vectors assigned to
-    * the probe's nprobe nearest cells of the trained 16-cell codebook.
+  /** IVF cell count for a corpus of n vectors: ⌈√n⌉ with a floor of 16.
     *
-    * Cell assignment is an arg-max aggregation (ties → smallest cent_id)
-    * — no window sort; per-probe top-k is the bounded-heap graft_topk.
-    * `broadcastProbes` gates the candidate-join strategy: broadcast only
-    * when the probe batch is constant-size; a corpus-sized probe side
-    * shuffle-joins on cent_id instead (cell count is the parallelism —
-    * production grows it ~√N).
+    * THE scale knob: with √n cells and a FIXED nprobe, each probe scores
+    * nprobe·√n candidates, so total kNN-graph work is O(n^1.5) — vs the
+    * O(n²/c) of any fixed cell count c (probing a constant FRACTION of
+    * the corpus forever). Cell size and the broadcast codebook both stay
+    * O(√n), and cell count = join parallelism grows with the data.
     */
+  private[ops] def kCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Nearest-centroid assignment as an arg-max aggregation (ties →
     * smallest cent_id): the corpus shuffles ONE partial row per vector,
     * never the k scored copies — no window sort. Returns (vec_id,
@@ -283,6 +282,18 @@ object VectorOps {
         negate(col("best.neg")).as("sim"), col("embedding"), col("n2"))
   }
 
+  /** IVF search kernel shared by q_ann_ivf (constant probe batch) and
+    * q_knn_graph (probes = the corpus): for each probe row (probe_id,
+    * p_emb, p_n2), the top-k cosine neighbors among vectors assigned to
+    * the probe's nprobe nearest cells of the trained ⌈√n⌉-cell codebook
+    * ([[kCells]]).
+    *
+    * Cell assignment is an arg-max aggregation (ties → smallest cent_id)
+    * — no window sort; per-probe top-k is the bounded-heap graft_topk.
+    * `broadcastProbes` gates the candidate-join strategy: broadcast only
+    * when the probe batch is constant-size; a corpus-sized probe side
+    * shuffle-joins on cent_id instead.
+    */
   private[ops] def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
       k: Int, nprobe: Int, broadcastProbes: Boolean): DataFrame = {
     // k-means is inherently multi-pass (one corpus scan per Lloyd round
@@ -293,8 +304,10 @@ object VectorOps {
     emb.persist()
     // the codebook feeds TWO consumers (corpus assignment + probe-cell
     // selection); materialize it once or the whole lazy k-means lineage
-    // trains twice (k×dim rows — trivially small at any corpus scale)
-    val centroids = trainCentroids(s, emb, k = 16, iters = 2).localCheckpoint(true)
+    // trains twice (√n×dim rows — trivially small at any corpus scale).
+    // The count() is served by the persisted blocks it just pinned.
+    val centroids = trainCentroids(s, emb, k = kCells(emb.count()), iters = 2)
+      .localCheckpoint(true)
     val assigned = assignCells(emb, centroids)
     val pcsim = dot(col("c_emb"), col("p_emb")) / sqrt(col("c_n2") * col("p_n2"))
     val probeCells = probes.join(broadcast(centroids))

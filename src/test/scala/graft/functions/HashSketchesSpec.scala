@@ -74,6 +74,33 @@ class HashSketchesSpec extends SparkSpec {
     assert(viaExpr.nonEmpty)
   }
 
+  test("minhash signature agreement estimates exact Jaccard within 0.25 mean error") {
+    // the unbiased-estimator property the whole MinHash ladder rests on:
+    // over all-pairs of real documents, mean |est - exact| stays inside
+    // the 1/√32 ≈ 0.18 standard error band (slack to 0.25 for the tail)
+    GraftExtensions.ensureRegistered(spark)
+    val arrs = docs
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", split(col("text"), " "), lit(3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .limit(60)
+    val rows = arrs
+      .select(col("doc_id"), col("shs"),
+        call_function("graft_minhash", col("shs"), lit(32)).as("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getSeq[Long](2)))
+    val errs = for {
+      (ida, sa, siga) <- rows; (idb, sb, sigb) <- rows if ida < idb
+    } yield {
+      val exact = (sa & sb).size.toDouble / (sa | sb).size
+      val est = siga.zip(sigb).count { case (x, y) => x == y } / 32.0
+      math.abs(est - exact)
+    }
+    assert(errs.nonEmpty)
+    val mean = errs.sum / errs.size
+    assert(mean <= 0.25, s"mean |minhash est - exact jaccard| was $mean")
+  }
+
   test("edge cases: empty and short inputs") {
     GraftExtensions.ensureRegistered(spark)
     val row = spark.sql(
