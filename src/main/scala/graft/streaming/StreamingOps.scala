@@ -96,6 +96,17 @@ object StreamingOps {
         col("purchase_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins the stream
+    * against a STATIC dimension snapshot. Stateless — no watermark and
+    * no join state (the static side is re-planned per micro-batch, which
+    * is also what picks up dimension updates between batches), and the
+    * broadcast hint keeps the streaming side shuffle-free. The canonical
+    * 100-TB enrichment shape: facts stream, dims broadcast.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ── custom state: flatMapGroupsWithState sessionizer ─────────────────
 
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)

@@ -129,6 +129,20 @@ class StreamingSpec extends SparkSpec {
     assert(!days.keys.exists(_.toString.startsWith("2024-01-01")), "late row must be dropped")
   }
 
+  test("stream-static enrichment join agrees with its batch twin") {
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(10)))
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.enrichWithDim(StreamingOps.readEventStream(spark, batchDir), dim),
+      "t_enrich", OutputMode.Append())
+      .orderBy("event_id").collect()
+    val batch = StreamingOps.enrichWithDim(batchEvents, dim)
+      .orderBy("event_id").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    assert(streamed.forall(!_.isNullAt(streamed.head.fieldIndex("segment"))))
+  }
+
   test("in-stream exact dedup by event_id") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dedup").toString
