@@ -82,21 +82,41 @@ object Dedup {
     sh.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
   }
 
+  /** Shared-shingle pair counts (a < b, inter_sz = #common shingles)
+    * over a capped shingle stream — the generation core of
+    * q_dedup_ngram, q_containment, and q_dup_clusters.
+    *
+    * NOT a self-join: one groupBy(shingle) collects each (df-capped, so
+    * ≤ cap elements) doc list, and the a<b pairs fan out ROW-LOCALLY
+    * from the sorted list — the occurrence stream crosses ONE shuffle
+    * instead of the three a self-join needs (two join sides + the pair
+    * aggregation gets the pairs directly). Σ|group|² emitted rows are
+    * identical either way; the df cap bounds both the group buffer and
+    * the worst-case fan-out at cap².
+    */
+  private def sharedShinglePairs(sh: DataFrame): DataFrame =
+    sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2), i ->
+             transform(sequence(i + 1, size(ds) - 1), j ->
+               struct(ds[i] AS a, ds[j] AS b))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter_sz"))
+
   /** Filtered exact-Jaccard near-dup pairs (a < b, J ≥ 0.3) over capped
     * shingles — the shared core of q_dedup_ngram and q_dup_clusters.
     */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
-    // referenced three times below (both self-join sides + sizes) with
-    // DIFFERENT downstream partitionings, so exchange reuse alone can't
-    // dedupe the shingle pipeline — persist it for the action's duration
-    // (the driver clears cache between bench queries)
+    // referenced twice below (pair gen + sizes) with DIFFERENT
+    // downstream partitionings, so exchange reuse alone can't dedupe the
+    // shingle pipeline — persist it for the action's duration (the
+    // driver clears cache between bench queries)
     val sh = cappedShingles(t(s, dir, "documents"), ShingleDfCap).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    sh.as("sa")
-      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
-        && col("sa.doc_id") < col("sb.doc_id"))
-      .select(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    sharedShinglePairs(sh)
+      .withColumnRenamed("inter_sz", "n_common")
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "sz_a"), Seq("a"))
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "sz_b"), Seq("b"))
       .select(col("a"), col("b"), col("n_common").as("inter_sz"),
@@ -317,11 +337,7 @@ object Dedup {
       (s, dir) => {
         val sh = cappedShingles(t(s, dir, "documents"), ShingleDfCap).persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.as("sa")
-          .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle")
-            && col("sa.doc_id") < col("sb.doc_id"))
-          .select(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("inter_sz"))
+        val pairs = sharedShinglePairs(sh)
           .join(sizes.withColumnRenamed("doc_id", "a")
             .withColumnRenamed("n_sh", "sz_a"), Seq("a"))
           .join(sizes.withColumnRenamed("doc_id", "b")
