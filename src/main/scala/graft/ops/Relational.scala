@@ -743,6 +743,55 @@ object Relational {
               WHERE o_totalprice > (
                 SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // ── top-k per group via the bounded-heap aggregator ──────────────────
+    // The scalable form of "rank ≤ k per partition": graft_topk keeps ≤3
+    // rows per (task × group) through partial aggregation, so the shuffle
+    // carries k rows per group where a window rank would sort every group
+    // member (q_window_rank shows the window form; this is what replaces
+    // it when groups are huge). Heap order (score desc, id asc) is the
+    // exact contract of the oracle's row_number ordering.
+    Q("q_topk_per_group",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(expr("graft_topk(o_orderkey, o_totalprice, 3)").as("topk"))
+        .select(col("priority"), posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("priority"), col("t.id").as("o_orderkey"),
+          col("t.score").as("o_totalprice"), (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("priority", "rk"),
+      Some("""SELECT priority, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+                FROM orders)
+              WHERE rk <= 3 ORDER BY priority, rk""")),
+
+    // ── equi-width numeric histogram ─────────────────────────────────────
+    // Distribution profiling: 20 equal-width buckets over the global
+    // [min, max]. The stats row is a 1-row broadcast; bucketing is a
+    // row-local projection (identical double op order on both engines —
+    // FLOOR of an exact computation, top edge folded into bucket 19);
+    // the count is a partial+final agg over ≤20 keys. Nothing here
+    // grows with the data but the scan.
+    Q("q_histogram_numeric",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val st = orders.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        orders.crossJoin(broadcast(st))
+          .select(least(floor((col("o_totalprice") - col("mn")) * lit(20.0)
+              / (col("mx") - col("mn"))), lit(19L)).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket")
+      },
+      Some("""WITH st AS (
+                SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+                FROM orders)
+              SELECT CAST(LEAST(FLOOR((o_totalprice - mn) * 20.0 / (mx - mn)),
+                       19.0) AS BIGINT) AS bucket,
+                count(*) AS cnt
+              FROM orders CROSS JOIN st
+              GROUP BY 1 ORDER BY bucket"""))
   )
 }
