@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression guards: the scale properties PLANS.md documents,
+  * asserted mechanically so they cannot silently rot. These check the
+  * PLAN, not the result — the DuckDB gate owns results.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def qe(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+
+  private def formatted(name: String): String =
+    qe(name).explainString(ExplainMode.fromString("formatted"))
+
+  test("bounded-heap top-k paths plan without any window operator") {
+    for (q <- Seq("q_similarity_topk", "q_ann_ivf", "q_topk_per_group", "q_knn_graph"))
+      assert(!qe(q).executedPlan.toString.contains("Window"),
+        s"$q plans a window where graft_topk should aggregate")
+    // positive control: the detector does see windows where they belong
+    assert(qe("q_window_rank").executedPlan.toString.contains("Window"))
+  }
+
+  test("filter queries reach the parquet scan (PushedFilters non-empty)") {
+    val ex = formatted("q_filter_pred")
+    assert(ex.contains("PushedFilters: ["), "no pushdown section in scan")
+    assert(!ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "filters did not push into the scan")
+  }
+
+  test("projection prunes the lineitem scan to the referenced columns") {
+    val ex = formatted("q_scan_project")
+    val read = ex.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    // 6 of 11 lineitem columns — pruning would be broken if all appear
+    assert(read.count(_ == ',') < 10, s"scan reads too many columns: $read")
+  }
+
+  test("SF-growing join sides carry no broadcast hints (size-gating decides)") {
+    // customer / documents / embeddings grow with the scale factor; a
+    // forced broadcast OOMs the build side long before 100 TB
+    for (q <- Seq("q_join_inner", "q_window_rank", "q_multimodal_cols"))
+      assert(!qe(q).analyzed.toString.contains("broadcast"),
+        s"$q force-broadcasts a table that grows with SF")
+    // positive control: constant-size dims ARE hinted (q_join_broadcast)
+    assert(qe("q_join_broadcast").analyzed.toString.contains("broadcast"))
+  }
+
+  test("ORDER BY + LIMIT plans as TakeOrderedAndProject, never a global sort") {
+    assert(qe("q_sort_limit").executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup sketches stay row-local (no explode-groupBy signature shuffle)") {
+    // the one-pass expressions compute signatures before any Exchange:
+    // the near-dup plan must not aggregate per (doc, hash-index)
+    val plan = qe("q_dedup_near").executedPlan.toString
+    assert(plan.contains("graft_minhash"), "one-pass minhash expression missing")
+  }
+}
