@@ -313,6 +313,57 @@ object Relational {
                 ON (o.o_custkey % 50) = (e.user_id % 50) AND o.o_orderdate <= e.ts
               GROUP BY e.event_id ORDER BY e.event_id""")),
 
+    // ── exact row-level as-of join (per-user latest-order enrichment) ────
+    // The time-series flagship Spark has no built-in for: every event row
+    // enriched with the SAME user's most recent order at-or-before its
+    // timestamp. A non-equi theta join materializes every (event ×
+    // earlier-order) pair before picking the max; the union-merge shape
+    // instead pays exactly ONE shuffle of |events|+|orders| rows on the
+    // user key, then carries the latest order forward with an ordered
+    // window scan (running last-non-null). Partition count = #users —
+    // parallelism grows with the data and per-partition state is one
+    // user's own timeline; a pathologically hot key takes the same
+    // (key, era) carry-over decomposition as q_join_range above. Orders
+    // sort before events at equal timestamp (is_event ASC) to keep the
+    // ≤ inclusive, and same-date orders collapse to the max o_orderkey
+    // first (arg-max aggregation) so the surviving match is
+    // deterministic on both engines. Oracle: DuckDB's native ASOF LEFT
+    // JOIN over the identically deduplicated order side.
+    Q("q_join_asof",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(
+          col("user_id").as("k"), col("ts").cast("timestamp_ntz").as("tt"),
+          lit(1L).as("is_event"), col("event_id"),
+          lit(null).cast("long").as("okey"), lit(null).cast("double").as("oprice"))
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("k"),
+            col("o_orderdate").cast("timestamp_ntz").as("tt"))
+          .agg(max("o_orderkey").as("okey"),
+            max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+          .select(col("k"), col("tt"), lit(0L).as("is_event"),
+            lit(null).cast("long").as("event_id"), col("okey"), col("oprice"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("tt").asc, col("is_event").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .select(col("k").as("user_id"), col("event_id"), col("is_event"),
+            last(col("okey"), ignoreNulls = true).over(w).as("asof_orderkey"),
+            last(col("oprice"), ignoreNulls = true).over(w).as("asof_totalprice"))
+          .filter(col("is_event") === 1L)
+          .select(col("event_id"), col("user_id"), col("asof_orderkey"),
+            col("asof_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, o_orderdate,
+                  max(o_orderkey) AS asof_orderkey,
+                  arg_max(o_totalprice, o_orderkey) AS asof_totalprice
+                FROM orders GROUP BY 1, 2)
+              SELECT e.event_id, e.user_id, o.asof_orderkey, o.asof_totalprice
+              FROM events e ASOF LEFT JOIN o
+                ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+              ORDER BY e.event_id""")),
+
     // ── window: ranking, top-3 per segment ───────────────────────────────
     // customer grows with SF — no forced broadcast; AQE picks BHJ while
     // the build side fits and SMJ past the threshold (size-gated, not

@@ -423,6 +423,65 @@ object TextOps {
                 CAST(SUM(k.n_chars) AS BIGINT) AS total_chars,
                 CAST(SUM(c.dup_cnt - 1) AS BIGINT) AS dups_removed
               FROM canonical c JOIN kept k USING (doc_id)
-              GROUP BY 1, 2 ORDER BY lang, source"""))
+              GROUP BY 1, 2 ORDER BY lang, source""")),
+
+    // ── repetition signals: duplicate n-gram mass per document ───────────
+    // The Gopher-style repetition filters (Rae et al. 2021, appendix A):
+    // the fraction of a document's 5-grams that are repeats, and the
+    // share of its bigram mass taken by the single most frequent bigram.
+    // Templated spam, boilerplate, and decode loops score high and get
+    // culled before training. Shape: n-grams fan out ROW-LOCALLY (a
+    // higher-order transform over the token array — no self-join), then
+    // partial+final hash aggs keyed (doc_id, gram) / doc_id — fully
+    // distributed at any corpus size. Ratios are single IEEE divisions
+    // of exact integers, identical in both engines, so the oracle is
+    // bit-stable. Short docs (< n tokens) yield no n-grams by the
+    // when()-guard (sequence(0, negative) would generate a DESCENDING
+    // range, not an empty one) and drop from the output on both sides.
+    Q("q_repetition",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        def grams(n: Int) = explode(when(size(col("tok")) >= n,
+          transform(sequence(lit(0), size(col("tok")) - n),
+            i => concat_ws(" ", slice(col("tok"), i + 1, lit(n)))))
+          .otherwise(array())).as("gram")
+        val five = toks.select(col("doc_id"), grams(5))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n5"), countDistinct(col("gram")).as("d5"))
+        val bi = toks.select(col("doc_id"), grams(2))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("nb"), max(col("c")).as("topb"))
+        five.join(bi, "doc_id")
+          .select(col("doc_id"),
+            ((col("n5") - col("d5")).cast("double") / col("n5")).as("dup5_frac"),
+            (col("topb").cast("double") / col("nb")).as("top_bigram_share"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+              five AS (
+                SELECT doc_id, count(*) AS n5, count(DISTINCT gram) AS d5
+                FROM (SELECT doc_id, array_to_string(tok[i:i+4], ' ') AS gram
+                      FROM (SELECT doc_id, tok,
+                              unnest(generate_series(1, len(tok) - 4)) AS i
+                            FROM toks))
+                GROUP BY 1),
+              bi AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+                  CAST(max(c) AS BIGINT) AS topb
+                FROM (SELECT doc_id, gram, count(*) AS c
+                      FROM (SELECT doc_id, array_to_string(tok[i:i+1], ' ') AS gram
+                            FROM (SELECT doc_id, tok,
+                                    unnest(generate_series(1, len(tok) - 1)) AS i
+                                  FROM toks))
+                      GROUP BY 1, 2)
+                GROUP BY 1)
+              SELECT f.doc_id,
+                CAST(f.n5 - f.d5 AS DOUBLE) / f.n5 AS dup5_frac,
+                CAST(b.topb AS DOUBLE) / b.nb AS top_bigram_share
+              FROM five f JOIN bi b USING (doc_id)
+              ORDER BY doc_id"""))
   )
 }
