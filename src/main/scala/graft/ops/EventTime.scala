@@ -90,6 +90,53 @@ object EventTime {
                 min(ts) AS sess_start, max(ts) AS sess_end,
                 count(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-              FROM y GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM y GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── ordered-sequence funnel: view → click → purchase per user ────────
+    // The conversion-funnel operator (MATCH_RECOGNIZE territory — Spark
+    // has no built-in): the earliest time each user completes each stage
+    // IN ORDER (a click counts only at-or-after the first view, a
+    // purchase only at-or-after that click). Cascaded per-stage
+    // aggregations: each stage is a scan filtered to ONE event type —
+    // the equality predicate pushes into the parquet scan, so stage k
+    // reads |that type| rows, not |events| — joined to the (users-sized,
+    // one row per user) previous frontier and min-reduced again. Every
+    // shuffle is keyed user_id; no window sort, no per-user timeline
+    // materialization. LEFT joins keep drop-off visible: stage counts
+    // the deepest stage reached (0-3).
+    Q("q_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def stage(typ: String, prev: DataFrame, prevT: String, outT: String) =
+          ev.filter(col("event_type") === typ)
+            .join(prev, "user_id")
+            .filter(col("ts") >= col(prevT))
+            .groupBy("user_id").agg(min(col("ts")).as(outT))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val s2 = stage("click", s1, "t_view", "t_click")
+        val s3 = stage("purchase", s2, "t_click", "t_purchase")
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            (lit(1L) + col("t_click").isNotNull.cast("long")
+              + col("t_purchase").isNotNull.cast("long")).as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (
+                SELECT user_id, min(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= s1.t_view GROUP BY 1),
+              s3 AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click GROUP BY 1)
+              SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+                CAST(1 + (s2.user_id IS NOT NULL)::INT
+                       + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+              FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+              ORDER BY s1.user_id"""))
   )
 }
