@@ -204,6 +204,64 @@ object StreamingOps {
       }
   }
 
+  // ── stateful conversion funnel (streaming twin of q_funnel) ──────────
+
+  final case class TypedEv(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String)
+  /** Long.MinValue = stage not reached; micros otherwise. */
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  final case class FunnelRow(user_id: Long, t_view: Option[Timestamp],
+      t_click: Option[Timestamp], t_purchase: Option[Timestamp], stage: Long)
+
+  /** Incremental view → click → purchase funnel with explicit per-user
+    * state: each stage time is the FIRST qualifying event at-or-after
+    * the previous stage, exactly q_funnel's batch semantics, maintained
+    * per micro-batch instead of by rescanning history. Assumes per-user
+    * event-time-ordered delivery across batches (the streaming-funnel
+    * norm — correcting an out-of-order earlier `view` would need
+    * retraction); WITHIN a batch, events sort by (ts, stage-priority,
+    * event_id) so a click sharing its timestamp with the first view
+    * still counts, as the batch `>=` does. State is three longs per
+    * user, emitted as an Update-mode row whenever the user has traffic;
+    * `stage` is monotone, so the row with max stage is the final state.
+    */
+  def statefulFunnel(events: Dataset[TypedEv]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    def tsOf(u: Long): Option[Timestamp] =
+      if (u == Long.MinValue) None
+      else Some(Timestamp.from(
+        java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000)))
+    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val unset = Long.MinValue
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          evs.toSeq.filter(e => prio.contains(e.event_type))
+            .sortBy(e => (us(e.ts), prio(e.event_type), e.event_id))
+            .foreach { e =>
+              val t = us(e.ts)
+              e.event_type match {
+                case "view" if st.tView == unset =>
+                  st = st.copy(tView = t)
+                case "click" if st.tView != unset && st.tClick == unset
+                    && t >= st.tView =>
+                  st = st.copy(tClick = t)
+                case "purchase" if st.tClick != unset && st.tPurchase == unset
+                    && t >= st.tClick =>
+                  st = st.copy(tPurchase = t)
+                case _ => ()
+              }
+            }
+          state.update(st)
+          val stage = Seq(st.tView, st.tClick, st.tPurchase)
+            .count(_ != unset).toLong
+          FunnelRow(uid, tsOf(st.tView), tsOf(st.tClick), tsOf(st.tPurchase), stage)
+      }
+  }
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

@@ -234,6 +234,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("stateful streaming funnel converges to batch q_funnel") {
+    import spark.implicits._
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[StreamingOps.TypedEv]
+    val out = StreamingOps.runToMemory(
+      StreamingOps.statefulFunnel(stream).toDF(), "t_funnel", OutputMode.Update())
+    // stage is monotone per user: the max-stage row is the final state
+    val fin = out.groupBy("user_id")
+      .agg(max(struct(col("stage"), col("t_view"), col("t_click"),
+        col("t_purchase"))).as("b"))
+      .select(col("user_id"), col("b.t_view"), col("b.t_click"),
+        col("b.t_purchase"), col("b.stage"))
+      .filter(col("stage") >= 1)  // batch funnel starts at the view stage
+      .orderBy("user_id").collect()
+    val batch = SparkEntry.queries("q_funnel")(spark, sfDir)
+      .orderBy("user_id").collect()
+    assert(batch.nonEmpty && fin.nonEmpty)
+    assert(fin.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("EventTimeTimeout sessionizer emits exactly the watermark-cleared sessions") {
     import spark.implicits._
     val stream = spark.readStream.schema(StreamingOps.eventSchema)
