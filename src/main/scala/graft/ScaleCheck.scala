@@ -30,7 +30,7 @@ object ScaleCheck {
     "q_text_stats", "q_groupby_sum", "q_join_inner", "q_window_rank",
     "q_corpus_pipeline", "q_dedup_exact", "q_dedup_ngram", "q_dedup_near",
     "q_dup_clusters", "q_ann_ivf", "q_knn_graph", "q_cluster_assign",
-    "q_similarity_topk", "q_bm25", "q_tfidf")
+    "q_similarity_topk", "q_bm25", "q_tfidf", "q_join_asof", "q_repetition")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -488,6 +488,35 @@ object Relational {
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               ORDER BY gid, rf, ls""")),
 
+    // ── explicit GROUPING SETS (the general form rollup/cube sugar) ──────
+    // Arbitrary grouping combinations in ONE scan: Catalyst's Expand
+    // fans each row to its grouping-set copies before the partial agg,
+    // so the cost is #sets × one aggregation — never #sets scans.
+    // Grouped-out columns coalesce to 'ALL' (sidesteps the engines'
+    // opposite NULLS FIRST/LAST defaults, same trick as q_rollup_cube).
+    Q("q_grouping_sets",
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"),
+          sumDec2(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("gid"), col("cnt"), col("sum_price"))
+        .orderBy("gid", "st", "pri"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+                COALESCE(o_orderpriority, 'ALL') AS pri,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                COUNT(*) AS cnt,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                (o_orderpriority), ())
+              ORDER BY gid, st, pri""")),
+
     // ── scalar function library: string / date / math ────────────────────
     // round() goes through DECIMAL so Spark (HALF_UP) and DuckDB
     // (round-half-away-from-zero) agree on exact decimal ties.
