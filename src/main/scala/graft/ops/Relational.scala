@@ -364,6 +364,25 @@ object Relational {
                 ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
               ORDER BY e.event_id""")),
 
+    // ── skew-salted join as a first-class query ──────────────────────────
+    // The static skew mitigation ([[graft.functions.SaltedJoin]]) run as
+    // a real query: the fact side salts deterministically (content hash,
+    // no RNG), the dim side explodes ×8, and a hot key's rows spread
+    // over 8 reducers instead of one straggler. Result is row-identical
+    // to the plain join — the oracle IS the plain join — so the gate
+    // proves salting changes the schedule, never the answer.
+    Q("q_join_skew_salted",
+      (s, dir) => graft.functions.SaltedJoin
+        .saltedEquiJoin(t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey", salts = 8, saltBy = "l_orderkey")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("cnt"), sumDec2(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, count(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1 ORDER BY 1""")),
+
     // ── window: ranking, top-3 per segment ───────────────────────────────
     // customer grows with SF — no forced broadcast; AQE picks BHJ while
     // the build side fits and SMJ past the threshold (size-gated, not

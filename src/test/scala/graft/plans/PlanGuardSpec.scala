@@ -52,6 +52,22 @@ class PlanGuardSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("as-of join and funnel never degrade to nested-loop shapes") {
+    for (q <- Seq("q_join_asof", "q_funnel")) {
+      val plan = qe(q).executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a non-equi product where an equi shape is intended")
+    }
+  }
+
+  test("funnel stage filters push into the parquet scans") {
+    val ex = formatted("q_funnel")
+    for (stage <- Seq("view", "click", "purchase"))
+      assert(ex.contains(s"EqualTo(event_type,$stage)"),
+        s"$stage stage filter did not reach its scan")
+  }
+
   test("dedup sketches stay row-local (no explode-groupBy signature shuffle)") {
     // the one-pass expressions compute signatures before any Exchange:
     // the near-dup plan must not aggregate per (doc, hash-index)
