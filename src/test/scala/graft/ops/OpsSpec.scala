@@ -215,6 +215,29 @@ class OpsSpec extends SparkSpec {
     assert(got.getDouble(2) === expTb, "top_bigram_share drifted")
   }
 
+  test("q_sketch_rollup estimates match exact distincts at every level") {
+    val rows = q("q_sketch_rollup").collect()
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def exact(f: org.apache.spark.sql.DataFrame) =
+      f.agg(countDistinct(col("o_custkey"))).head().getLong(0)
+    rows.foreach { r =>
+      val (pri, st) = (r.getString(0), r.getString(1))
+      val base = if (pri == "ALL") orders
+        else orders.filter(col("o_orderpriority") === pri)
+      val sel = if (st == "ALL") base
+        else base.filter(col("o_orderstatus") === st)
+      val e = exact(sel).toDouble
+      val got = r.getLong(2).toDouble
+      // lgConfigK=14 → ~1% standard error; 5% is 5σ headroom
+      assert(math.abs(got - e) <= math.max(2.0, 0.05 * e),
+        s"($pri, $st): sketch $got vs exact $e")
+    }
+    // all three levels are present
+    assert(rows.exists(r => r.getString(0) == "ALL" && r.getString(1) == "ALL"))
+    assert(rows.exists(r => r.getString(0) != "ALL" && r.getString(1) == "ALL"))
+    assert(rows.exists(r => r.getString(0) != "ALL" && r.getString(1) != "ALL"))
+  }
+
   test("q_cluster_assign is deterministic and total") {
     val a = q("q_cluster_assign").collect()
     val b = q("q_cluster_assign").collect()
