@@ -137,6 +137,50 @@ object EventTime {
                 CAST(1 + (s2.user_id IS NOT NULL)::INT
                        + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage
               FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-              ORDER BY s1.user_id"""))
+              ORDER BY s1.user_id""")),
+
+    // ── resample to a daily grid + forward fill ──────────────────────────
+    // The time-series regularization op: each user's event stream becomes
+    // a dense daily series over [first, last] active day — missing days
+    // materialize with the PREVIOUS day's value carried forward (and
+    // flagged). Spine generation is row-local (sequence per user off a
+    // tiny (user, min, max) agg), the join is keyed (user, day), and the
+    // fill is one running last-non-null window per user — the same
+    // union-merge discipline as q_join_asof: nothing here materializes
+    // more than |users| × active-span rows, and nothing compares
+    // cross-user. day_val is computed ONCE in the decimal agg and only
+    // copied by the fill, so the oracle stays bit-stable.
+    Q("q_resample_ffill",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(sumDec2(col("value")).as("day_val"))
+        val spine = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last(col("day_val"), ignoreNulls = true).over(w).as("val_filled"),
+            col("day_val").isNull.cast("long").as("is_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_val
+                FROM events GROUP BY 1, 2),
+              spine AS (
+                SELECT user_id, unnest(generate_series(min(day), max(day),
+                  INTERVAL 1 DAY)) AS day
+                FROM daily GROUP BY user_id)
+              SELECT s.user_id, s.day,
+                last_value(d.day_val IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS UNBOUNDED PRECEDING) AS val_filled,
+                CAST(d.day_val IS NULL AS BIGINT) AS is_gap
+              FROM spine s LEFT JOIN daily d USING (user_id, day)
+              ORDER BY s.user_id, s.day"""))
   )
 }

@@ -742,6 +742,66 @@ object Relational {
                   THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r
               FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // ── unpivot / melt: wide → long ──────────────────────────────────────
+    // The inverse of pivot: three measure columns melt to (metric, val)
+    // rows. Expand-generated (3 copies per row BEFORE any shuffle, like
+    // grouping sets) — row-local, so the shape is volume-linear at any
+    // scale. Subset filter keeps the gate artifact bounded; it pushes
+    // into the scan.
+    Q("q_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — val joins the sort to keep the order total
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                metric, val
+              FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                               l_extendedprice, l_discount
+                             FROM lineitem WHERE l_orderkey % 100 = 0)
+                    ON l_quantity, l_extendedprice, l_discount
+                    INTO NAME metric VALUE val)
+              ORDER BY l_orderkey, l_linenumber, metric, val""")),
+
+    // ── exact discrete percentiles (FP-free rank selection) ──────────────
+    // percentile_disc semantics made explicit so both engines MUST agree:
+    // the p-quantile is the element at row_number ceil(p·n) in value
+    // order — an actual member of the multiset, no interpolation
+    // arithmetic to drift. One window sort per group (parallelism =
+    // #groups); the 100-TB default remains q_approx_quantiles, this is
+    // the exact-answer path.
+    Q("q_percentile_disc",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+          .groupBy("l_returnflag")
+          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("p50"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90"),
+            max(col("n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag, l_extendedprice,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+                FROM lineitem)
+              SELECT l_returnflag,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN l_extendedprice END) AS p50,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN l_extendedprice END) AS p90,
+                MAX(n) AS n
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
     // ── arg-max/arg-min aggregation (deterministic via struct ordering) ──
     // "Which order was the customer's priciest" — plain max_by/arg_max is
     // nondeterministic under value ties; max over a (value, tiebreak)
