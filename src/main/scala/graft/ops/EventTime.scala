@@ -181,6 +181,39 @@ object EventTime {
                   ROWS UNBOUNDED PRECEDING) AS val_filled,
                 CAST(d.day_val IS NULL AS BIGINT) AS is_gap
               FROM spine s LEFT JOIN daily d USING (user_id, day)
-              ORDER BY s.user_id, s.day"""))
+              ORDER BY s.user_id, s.day""")),
+
+    // ── cohort retention matrix ──────────────────────────────────────────
+    // The product-analytics staple: users cohorted by first-activity
+    // week, each later week's active count binned by week offset. Two
+    // user-keyed aggregations and one join — the (user, week) activity
+    // set collapses BEFORE the join (distinct = partial agg), so the
+    // join carries one row per active user-week, and the final matrix
+    // is bounded by weeks², not events. All-integer output.
+    Q("q_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cohort = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_wk"))
+        val active = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("wk_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_wk", "wk_offset")
+      },
+      Some("""WITH cohort AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+                FROM events GROUP BY 1),
+              active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events)
+              SELECT c.cohort_wk,
+                CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS BIGINT) AS wk_offset,
+                COUNT(DISTINCT a.user_id) AS active_users
+              FROM active a JOIN cohort c USING (user_id)
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
