@@ -412,6 +412,40 @@ object Dedup {
               WHERE doc_id NOT IN (SELECT u FROM losers)
               ORDER BY doc_id""")),
 
+    // ── incremental ingest dedup (batch vs standing corpus) ──────────────
+    // The daily-ingest shape global dedup can't serve: a NEW batch
+    // (stand-in: doc_id % 10 = 7) dedups within itself (min-id per md5)
+    // and against the STANDING corpus via an anti-join on the 128-bit
+    // hash — the corpus contributes only its hash set, never text, and
+    // only batch-sized data moves through the final join. At 100 TB the
+    // corpus hash set is a stored artifact (bucketed by hash) appended
+    // per ingest, so each day's cost is |batch| + one hash-partitioned
+    // probe — it never rescans the corpus; the query recomputes it here
+    // only because the test tables are static.
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpusH = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(md5(col("text")).as("h")).distinct()
+        docs.filter(col("doc_id") % 10 === 7)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_batch_copies"))
+          .join(corpusH, Seq("h"), "left_anti")
+          .select("doc_id", "n_batch_copies")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus_h AS (
+                SELECT DISTINCT md5(text) AS h FROM documents
+                WHERE doc_id % 10 <> 7),
+              canon AS (
+                SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                  count(*) AS n_batch_copies
+                FROM documents WHERE doc_id % 10 = 7 GROUP BY 1)
+              SELECT doc_id, n_batch_copies FROM canon
+              WHERE h NOT IN (SELECT h FROM corpus_h)
+              ORDER BY doc_id""")),
+
     // ── SimHash near-dup (oracle-exempt: xxhash64 is Spark-specific) ─────
     // 64-bit SimHash per doc via the one-pass `graft_simhash` expression
     // (ROW-LOCAL, zero shuffle — round 1 aggregated 64 signed bit-weight
