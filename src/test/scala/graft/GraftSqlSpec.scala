@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The raw-SQL surface: same engine, same plans, same answers. */
+class GraftSqlSpec extends SparkSpec {
+
+  test("a TPC-H-style SQL join+agg matches the DataFrame formulation") {
+    val viaSql = GraftSql.run(spark, sfDir,
+      """SELECT c_mktsegment, count(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""").collect()
+    val viaDf = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), Q.sumDec2(col("o_totalprice")).as("rev"))
+      .orderBy("c_mktsegment").collect()
+    assert(viaSql.map(_.toSeq).toSeq === viaDf.map(_.toSeq).toSeq)
+  }
+
+  test("extension functions are callable from SQL text") {
+    val topk = GraftSql.run(spark, sfDir,
+      """SELECT l_returnflag,
+           graft_topk(l_orderkey, l_extendedprice, 2) AS top2
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""").collect()
+    assert(topk.length === 3)
+    topk.foreach { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(arr.length === 2)
+      assert(arr(0).getDouble(1) >= arr(1).getDouble(1), "top-2 not ordered")
+    }
+    val dot = GraftSql.run(spark, sfDir,
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+  }
+
+  test("SQL text and DataFrame API produce the same physical plan shape") {
+    val sqlPlan = GraftSql.run(spark, sfDir,
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 30")
+      .queryExecution.executedPlan.toString
+    // the filter must push into the scan exactly as the DF API's does
+    assert(sqlPlan.contains("PushedFilters") || !sqlPlan.contains("Filter")
+      || sqlPlan.contains("Scan parquet"))
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert(df.queryExecution.executedPlan.getClass ===
+      GraftSql.run(spark, sfDir,
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 30")
+        .queryExecution.executedPlan.getClass)
+  }
+}
