@@ -212,10 +212,14 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionByName(lmins.select(col("hi"), col("m").as("lo")))
         .distinct().localCheckpoint(true)
-      // fixed point when the round leaves the edge set unchanged
-      // (subset + equal count ⇒ equal sets; two cheap control actions)
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // fixed point when the round leaves the edge set unchanged. Both
+      // sides are distinct sets, so "some (hi, lo) carries only one
+      // tag" ⟺ sets differ — ONE early-exit control action per round
+      // instead of a count + an except
+      converged = small.withColumn("t", lit(1L))
+        .unionByName(edges.withColumn("t", lit(2L)))
+        .groupBy("hi", "lo").agg(countDistinct(col("t")).as("nt"))
+        .filter(col("nt") < 2).isEmpty
       edges = small
       iter += 1
     }
