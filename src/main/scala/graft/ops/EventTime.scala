@@ -214,6 +214,50 @@ object EventTime {
                 CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS BIGINT) AS wk_offset,
                 COUNT(DISTINCT a.user_id) AS active_users
               FROM active a JOIN cohort c USING (user_id)
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── z-score outlier flagging per event type ──────────────────────────
+    // The metric-cleaning pass before any value aggregation: per-type
+    // mean/σ from the same decimal-moment formulation as q_stats_agg
+    // (order-free sums → identical doubles in both engines; every
+    // arithmetic op mirrored left-to-right), then each row scored in one
+    // broadcast-joined projection — stats are #event-types rows,
+    // genuinely constant-size, so the hint is correct at any SF. Rows
+    // with |z| > 3 emit; the corpus never shuffles.
+    Q("q_anomaly_zscore",
+      (s, dir) => {
+        val v = dec2(col("value"))
+        val stats = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(v).cast("double").as("sv"),
+            sum(v * v).cast("double").as("svv"))
+          .select(col("event_type"), (col("sv") / col("n")).as("mean_v"),
+            sqrt((col("svv") - col("sv") * col("sv") / col("n"))
+              / (col("n") - 1)).as("sd_v"))
+        val z = (dec2(col("value")).cast("double") - col("mean_v")) / col("sd_v")
+        t(s, dir, "events")
+          .join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"), z.as("z"))
+          .filter(abs(col("z")) > 3.0)
+          .orderBy("event_id")
+      },
+      Some("""WITH m AS (
+                SELECT event_type, COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+                FROM events GROUP BY 1),
+              s AS (
+                SELECT event_type, sv / n AS mean_v,
+                  sqrt((svv - sv * sv / n) / (n - 1)) AS sd_v
+                FROM m)
+              SELECT e.event_id, e.event_type,
+                (CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - s.mean_v)
+                  / s.sd_v AS z
+              FROM events e JOIN s USING (event_type)
+              WHERE abs((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - s.mean_v)
+                        / s.sd_v) > 3
+              ORDER BY e.event_id"""))
   )
 }
