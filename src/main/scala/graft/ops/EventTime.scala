@@ -258,6 +258,80 @@ object EventTime {
               FROM events e JOIN s USING (event_type)
               WHERE abs((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - s.mean_v)
                         / s.sd_v) > 3
-              ORDER BY e.event_id"""))
+              ORDER BY e.event_id""")),
+
+    // ── interval sweep: max concurrent sessions per day ──────────────────
+    // The capacity-planning op: sessions (30-min-gap, as q_sessionize)
+    // become ±1 deltas at their bounds, concurrency is the running sum
+    // over time, and the answer is each day's peak. A global ordered
+    // cumsum is a one-partition sort — instead the q_join_range
+    // decomposition: per-day partial sums roll into a carry table (one
+    // row per DAY — bounded by the calendar, broadcastable at any SF),
+    // and each day's sweep runs independently with its carry prefix.
+    // Deltas collapse to one net per timestamp first (ends apply before
+    // starts at the same instant, so the per-ts post-net value IS the
+    // within-ts peak), and a day that only loses sessions peaks at its
+    // carry — hence the greatest(carry, max cc). All-integer output.
+    Q("q_concurrency",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        val sessions = t(s, dir, "events")
+          .withColumn("new_sess",
+            when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        val deltas = sessions.select(col("t0").as("ts"), lit(1L).as("d"))
+          .unionByName(sessions.select(col("t1").as("ts"), lit(-1L).as("d")))
+          .groupBy("ts").agg(sum("d").as("net"))
+          .withColumn("era", date_trunc("day", col("ts")))
+        val eras = deltas.groupBy("era").agg(sum("net").as("era_net"))
+        val wE = Window.orderBy("era")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = eras.select(col("era"),
+          coalesce(sum("era_net").over(wE), lit(0L)).as("carry"))
+        val wIn = Window.partitionBy("era").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.join(broadcast(carry), "era")
+          .withColumn("cc", col("carry") + sum("net").over(wIn))
+          .groupBy("era")
+          .agg(greatest(max(col("carry")), max(col("cc"))).as("max_concurrency"))
+          .orderBy("era")
+      },
+      Some("""WITH x AS (
+                SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              y AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM x),
+              sess AS (
+                SELECT user_id, sess_id, min(ts) AS t0, max(ts) AS t1
+                FROM y GROUP BY 1, 2),
+              deltas AS (
+                SELECT ts, CAST(SUM(d) AS BIGINT) AS net,
+                  date_trunc('day', ts) AS era
+                FROM (SELECT t0 AS ts, 1 AS d FROM sess
+                      UNION ALL SELECT t1, -1 FROM sess)
+                GROUP BY 1),
+              eras AS (SELECT era, SUM(net) AS era_net FROM deltas GROUP BY 1),
+              carry AS (
+                SELECT era, CAST(COALESCE(SUM(era_net) OVER (ORDER BY era
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS carry
+                FROM eras),
+              cc AS (
+                SELECT d.era, c.carry,
+                  CAST(c.carry + SUM(d.net) OVER (PARTITION BY d.era
+                    ORDER BY d.ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+                FROM deltas d JOIN carry c USING (era))
+              SELECT era, GREATEST(MAX(carry), MAX(cc)) AS max_concurrency
+              FROM cc GROUP BY 1 ORDER BY 1"""))
   )
 }
