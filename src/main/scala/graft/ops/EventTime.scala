@@ -332,6 +332,39 @@ object EventTime {
                     ORDER BY d.ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
                 FROM deltas d JOIN carry c USING (era))
               SELECT era, GREATEST(MAX(carry), MAX(cc)) AS max_concurrency
-              FROM cc GROUP BY 1 ORDER BY 1"""))
+              FROM cc GROUP BY 1 ORDER BY 1""")),
+
+    // ── event-path transition matrix ─────────────────────────────────────
+    // Per-user next-event pairs (lead over the user timeline — ONE
+    // shuffle on user_id, the state stays per-user) aggregated into the
+    // Markov transition counts path analysis starts from. The matrix is
+    // #types² rows — constant-size output from any event volume; the
+    // probability is an exact int ratio (single IEEE division, bit-equal
+    // in both engines).
+    Q("q_transitions",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(byUser).as("nxt"))
+          .filter(col("nxt").isNotNull)
+        val outDeg = pairs.groupBy("cur").agg(count(lit(1)).as("n_out"))
+        pairs.groupBy("cur", "nxt").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(outDeg), "cur")
+          .select(col("cur"), col("nxt"), col("cnt"),
+            (col("cnt").cast("double") / col("n_out")).as("p"))
+          .orderBy("cur", "nxt")
+      },
+      Some("""WITH pairs AS (
+                SELECT user_id, event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+                FROM events),
+              p2 AS (SELECT cur, nxt FROM pairs WHERE nxt IS NOT NULL),
+              deg AS (SELECT cur, count(*) AS n_out FROM p2 GROUP BY 1)
+              SELECT p.cur, p.nxt, count(*) AS cnt,
+                CAST(count(*) AS DOUBLE) / MAX(d.n_out) AS p
+              FROM p2 p JOIN deg d USING (cur)
+              GROUP BY p.cur, p.nxt ORDER BY 1, 2"""))
   )
 }
