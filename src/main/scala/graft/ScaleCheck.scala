@@ -30,7 +30,17 @@ object ScaleCheck {
     "q_text_stats", "q_groupby_sum", "q_join_inner", "q_window_rank",
     "q_corpus_pipeline", "q_dedup_exact", "q_dedup_ngram", "q_dedup_near",
     "q_dup_clusters", "q_ann_ivf", "q_knn_graph", "q_cluster_assign",
-    "q_similarity_topk", "q_bm25", "q_tfidf", "q_join_asof", "q_repetition")
+    "q_similarity_topk", "q_bm25", "q_tfidf", "q_join_asof", "q_repetition",
+    "q_sessionize", "q_funnel", "q_concurrency", "q_retention", "q_transitions")
+
+  /** Per-copy key shift for the event/order key domains: copies get
+    * disjoint user populations (×M users, SAME time span — per-era
+    * volume grows ×M, which is exactly the stress the era-carry
+    * decompositions must absorb), and orders shift o_custkey by the
+    * same base so copy-c events keep matching copy-c orders in the
+    * as-of join.
+    */
+  private val KeyShift = 10000000L
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -73,14 +83,26 @@ object ScaleCheck {
     if (Files.exists(Paths.get(s"$dir/_DONE"))) return
     Files.createDirectories(Paths.get(dir))
 
-    // dims + events: byte-copy (events stays TIMESTAMP(NANOS) for
-    // Tables.load's nanos branch — a Spark rewrite would change its
-    // physical type)
-    Seq("region", "nation", "customer", "supplier", "part", "events")
+    // dims: byte-copy
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
       }
+
+    // events: ×M disjoint user populations over the SAME time span.
+    // Read as raw nanos longs (the source is TIMESTAMP(NANOS), which
+    // the vectorized reader rejects) and write ts as a plain INT64 —
+    // Tables.load's nanosAsLong branch reads both physical forms as
+    // LongType, so the scaled dirs stay drop-in.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evRaw = spark.read.parquet(s"$base/events.parquet")
+    val maxEv = evRaw.agg(max("event_id")).head().getLong(0) + 1
+    union(m, c => evRaw.select(
+      (col("event_id") + lit(c * maxEv)).as("event_id"), col("ts"),
+      (col("user_id") + lit(c * KeyShift)).as("user_id"),
+      col("event_type"), col("value"), col("props")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     val docs = Tables.load(spark, base, "documents")
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -107,8 +129,9 @@ object ScaleCheck {
 
     val orders = Tables.load(spark, base, "orders")
     val maxOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1
-    union(m, c => orders.withColumn("o_orderkey",
-      col("o_orderkey") + lit(c * maxOrd)))
+    union(m, c => orders
+      .withColumn("o_orderkey", col("o_orderkey") + lit(c * maxOrd))
+      .withColumn("o_custkey", col("o_custkey") + lit(c * KeyShift)))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
 
     val li = Tables.load(spark, base, "lineitem")
