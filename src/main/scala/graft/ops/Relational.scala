@@ -383,6 +383,33 @@ object Relational {
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY 1 ORDER BY 1""")),
 
+    // ── SCD type-2 history build (the dimension side of the as-of join) ──
+    // Each customer's order stream becomes versioned validity intervals:
+    // valid_from = this order's date, valid_to = the next order's date
+    // (NULL = current version). ONE lead window per customer partition —
+    // parallelism = #customers, per-partition state is one customer's
+    // own history; the output is exactly the table a warehouse keeps so
+    // q_join_asof-style enrichment can run as a plain range probe.
+    Q("q_scd2_build",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+            row_number().over(w).cast("long").as("version"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                o_orderdate AS valid_from,
+                lead(o_orderdate) OVER w AS valid_to,
+                CAST(row_number() OVER w AS BIGINT) AS version
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, version""")),
+
     // ── window: ranking, top-3 per segment ───────────────────────────────
     // customer grows with SF — no forced broadcast; AQE picks BHJ while
     // the build side fits and SMJ past the threshold (size-gated, not

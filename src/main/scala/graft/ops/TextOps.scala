@@ -482,6 +482,39 @@ object TextOps {
                 CAST(f.n5 - f.d5 AS DOUBLE) / f.n5 AS dup5_frac,
                 CAST(b.topb AS DOUBLE) / b.nb AS top_bigram_share
               FROM five f JOIN bi b USING (doc_id)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // ── RAG/context chunking: overlapping token windows per document ─────
+    // The retrieval-prep op every RAG/embedding pipeline runs: each doc
+    // splits into 32-token chunks on a 24-token stride (8-token overlap
+    // so no boundary sentence is lost). Entirely ROW-LOCAL — a sequence
+    // of starts + slice per start, exploded; no shuffle anywhere until a
+    // downstream embed/groupBy. Chunk identity is (doc_id, chunk_id =
+    // start/stride), the stable key the embedding index carries. The
+    // trailing chunk clamps at the doc end in both engines.
+    Q("q_chunking",
+      (s, dir) => {
+        val stride = 24
+        val width = 32
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tok"))
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), size(col("tok")) - 1, lit(stride)),
+              st => struct((st / stride).cast("long").as("chunk_id"),
+                concat_ws(" ", slice(col("tok"), st + 1, lit(width))).as("chunk_text"),
+                least(size(col("tok")) - st, lit(width)).cast("long").as("n_chunk_tokens")))).as("c"))
+          .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"),
+            col("c.chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""SELECT doc_id, CAST((st - 1) / 24 AS BIGINT) AS chunk_id,
+                CAST(LEAST(len(tok) - (st - 1), 32) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(tok[st:st+31], ' ') AS chunk_text
+              FROM (SELECT doc_id, tok,
+                      unnest(generate_series(1, len(tok), 24)) AS st
+                    FROM (SELECT doc_id, string_split(text, ' ') AS tok
+                          FROM documents))
+              ORDER BY doc_id, chunk_id"""))
   )
 }
