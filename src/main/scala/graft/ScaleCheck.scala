@@ -31,7 +31,8 @@ object ScaleCheck {
     "q_corpus_pipeline", "q_dedup_exact", "q_dedup_ngram", "q_dedup_near",
     "q_dup_clusters", "q_ann_ivf", "q_knn_graph", "q_cluster_assign",
     "q_similarity_topk", "q_bm25", "q_tfidf", "q_join_asof", "q_repetition",
-    "q_sessionize", "q_funnel", "q_concurrency", "q_retention", "q_transitions")
+    "q_sessionize", "q_funnel", "q_concurrency", "q_retention", "q_transitions",
+    "q_chunking")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

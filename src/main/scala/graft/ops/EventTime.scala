@@ -365,6 +365,50 @@ object EventTime {
               SELECT p.cur, p.nxt, count(*) AS cnt,
                 CAST(count(*) AS DOUBLE) / MAX(d.n_out) AS p
               FROM p2 p JOIN deg d USING (cur)
-              GROUP BY p.cur, p.nxt ORDER BY 1, 2"""))
+              GROUP BY p.cur, p.nxt ORDER BY 1, 2""")),
+
+    // ── weekly churn (the flip side of q_retention) ──────────────────────
+    // Per week: actives, and how many of them do NOT return the next
+    // week. The (user, week) activity set collapses first (partial-agg
+    // distinct); churn is a LEFT ANTI join of week w's actives against
+    // week w+1's — user-keyed, no window, output bounded by #weeks. The
+    // final (observed) week has no successor and is excluded, exactly as
+    // a dashboard would. churn_rate is one exact-int IEEE division.
+    Q("q_churn",
+      (s, dir) => {
+        val active = t(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        val nxt = active.select(col("user_id"),
+          (col("wk") - expr("INTERVAL 7 DAY")).as("wk"))
+        val lastWk = active.agg(max(col("wk")).as("last_wk"))
+        val churned = active.join(nxt, Seq("user_id", "wk"), "left_anti")
+          .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+        active.groupBy("wk").agg(count(lit(1)).as("n_active"))
+          .join(churned, Seq("wk"), "left")
+          .join(broadcast(lastWk), col("wk") < col("last_wk"))
+          .select(col("wk"), col("n_active"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+            (coalesce(col("n_churned"), lit(0L)).cast("double")
+              / col("n_active")).as("churn_rate"))
+          .orderBy("wk")
+      },
+      Some("""WITH active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events),
+              churned AS (
+                SELECT a.wk, count(*) AS n_churned
+                FROM active a
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM active n
+                  WHERE n.user_id = a.user_id
+                    AND n.wk = a.wk + INTERVAL 7 DAY)
+                GROUP BY 1)
+              SELECT a.wk, count(*) AS n_active,
+                CAST(COALESCE(MAX(c.n_churned), 0) AS BIGINT) AS n_churned,
+                CAST(COALESCE(MAX(c.n_churned), 0) AS DOUBLE) / count(*) AS churn_rate
+              FROM active a LEFT JOIN churned c ON a.wk = c.wk
+              WHERE a.wk < (SELECT max(wk) FROM active)
+              GROUP BY a.wk ORDER BY a.wk"""))
   )
 }

@@ -68,6 +68,12 @@ class PlanGuardSpec extends SparkSpec {
         s"$stage stage filter did not reach its scan")
   }
 
+  test("chunking is row-local: the only exchange is the contract ORDER BY") {
+    val plan = qe("q_chunking").executedPlan.toString
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"q_chunking shuffles before the output sort:\n$plan")
+  }
+
   test("dedup sketches stay row-local (no explode-groupBy signature shuffle)") {
     // the one-pass expressions compute signatures before any Exchange:
     // the near-dup plan must not aggregate per (doc, hash-index)
