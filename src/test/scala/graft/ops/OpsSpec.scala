@@ -238,6 +238,24 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getString(0) != "ALL" && r.getString(1) != "ALL"))
   }
 
+  test("q_chunking chunks reconstruct every document exactly") {
+    // 24-token stride prefixes of all chunks but the last, plus the last
+    // chunk whole, must rebuild the token stream — proves coverage (no
+    // token dropped), overlap (8 shared tokens), and ordering at once
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = q("q_chunking").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getLong(1)).map(_.getString(3)) }
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val rebuilt = (cs.init.map(_.split(" ", -1).take(24).mkString(" "))
+        :+ cs.last).mkString(" ")
+      assert(rebuilt === docs(id), s"doc $id did not reconstruct")
+    }
+  }
+
   test("q_cluster_assign is deterministic and total") {
     val a = q("q_cluster_assign").collect()
     val b = q("q_cluster_assign").collect()
