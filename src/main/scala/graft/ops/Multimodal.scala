@@ -98,12 +98,15 @@ object Multimodal {
       },
       None),
 
-    // ── frame sampling (rows-only: media chunking pipeline) ──────────────
+    // ── frame sampling (media chunking pipeline) ─────────────────────────
     // Payload sliced into fixed 32-byte "frames" (stand-in for video
     // frames / audio windows), every 4th frame sampled, per-frame feature
     // = first-byte value. Pure columnar expressions — no UDF in the hot
     // path; the explode is the row-per-frame fan-out a frame-level model
-    // feed uses.
+    // feed uses. Oracle-checked: the payload is the utf-8 bytes of an
+    // all-ASCII `text` (asserted pure ASCII with len(text) = n_chars at
+    // every SF), so DuckDB reproduces the byte arithmetic with character
+    // slicing on the text itself.
     Q("q_frame_sample",
       (s, dir) => assets(s, dir)
         .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
@@ -118,7 +121,15 @@ object Multimodal {
         .select(col("doc_id"), col("fr.frame_id"),
           col("fr.lead_byte").cast("long").as("lead_byte"))
         .orderBy("doc_id", "frame_id"),
-      None)
+      Some("""SELECT doc_id,
+                CAST(f AS BIGINT) AS frame_id,
+                CAST(ascii(substring(text, CAST(f * 32 + 1 AS INT), 1)) AS BIGINT) AS lead_byte
+              FROM (
+                SELECT doc_id, text,
+                  unnest(generate_series(0, CAST(ceil(n_chars / 32.0) AS INT) - 1)) AS f
+                FROM documents)
+              WHERE f % 4 = 0
+              ORDER BY doc_id, frame_id"""))
   )
 }
 

@@ -155,7 +155,10 @@ object Relational {
     Q("q_join_broadcast",
       (s, dir) => t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF (~15B rows at 100 TB) — no forced hint;
+        // AQE + autoBroadcastJoinThreshold size-gate it. Only the two
+        // constant-cardinality dims (nation=25, region=5) stay hinted.
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -31,8 +31,9 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Embeddings exploded into 8 LSH band rows each: 64 deterministic
-    * hyperplane sign bits (codegen'd, no RNG) cut into 8-bit band keys.
-    * Shared candidate generator of q_embed_neardup and q_knn_graph.
+    * hyperplane sign bits (codegen'd, no RNG) cut into 8-bit band keys,
+    * hot buckets capped (see below). Candidate generator of
+    * q_embed_neardup (q_knn_graph uses trained IVF cells instead).
     * Columns: (vec_id, embedding, n2, band_id, band_key).
     */
   private def bandedVectors(s: SparkSession, dir: String): DataFrame = {
@@ -41,13 +42,22 @@ object VectorOps {
     val bandCols = (0 until 8).map(b =>
       struct(lit(b).as("band_id"),
         shiftright(col("sig"), b * 8).bitwiseAND(255).as("band_key")).as(s"b$b"))
-    t(s, dir, "embeddings")
+    val raw = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"),
         sig.as("sig"))
       .select(col("vec_id"), col("embedding"), col("n2"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("bb.band_id"), col("bb.band_key"))
+    // 8-bit keys are fixed-cardinality (256/band): without a population
+    // cap the candidate self-join emits Σ|bucket|² ≈ N²/256 pairs —
+    // quadratic in the corpus. Hot buckets carry no near-dup signal (at
+    // this band width a true near-dup pair collides in several bands),
+    // so the cap bounds the join at N·Cap per band. Widening the keys
+    // instead would kill recall: at this corpus's cos ≈ 0.5 ceiling the
+    // per-bit agreement is ~0.67, so 16-bit bands match with p ≈ 0.67¹⁶
+    // ≈ 0.2% — the cap preserves recall AND bounds the shape.
+    Dedup.cappedBandBuckets(raw, Seq("band_id", "band_key"), Dedup.BandBucketCap)
   }
 
   private def norm2(c: Column): Column = dot(c, c)

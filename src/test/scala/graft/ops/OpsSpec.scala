@@ -81,6 +81,53 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // ── LSH band-bucket cap: the anti-quadratic guard ────────────────────
+  test("cappedBandBuckets drops hot buckets and keeps the rest intact") {
+    import spark.implicits._
+    // one hot bucket (band 0, key 7) with cap+1 members, two cold ones
+    val cap = 4
+    val rows = (0 to cap).map(i => (i.toLong, 0, 7L)) ++
+      Seq((100L, 0, 9L), (101L, 0, 9L), (102L, 1, 7L))
+    val bands = rows.toDF("doc_id", "band_id", "band_key")
+    val capped = Dedup.cappedBandBuckets(bands, Seq("band_id", "band_key"), cap)
+      .select("doc_id", "band_id", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the hot bucket is gone in full; same key in ANOTHER band survives
+    assert(capped === Set((100L, 0, 9L), (101L, 0, 9L), (102L, 1, 7L)))
+  }
+
+  test("LSH band self-joins see only cap-bounded buckets (simhash + embed)") {
+    // recompute each query's band stream and assert the worst bucket the
+    // self-join can see is ≤ BandBucketCap — the Σ|bucket|² ≤ N·Cap bound
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(array_remove(col("toks"), "")) > 0)
+      .select(col("doc_id"), call_function("graft_simhash", col("toks")).as("sim"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+           b -> struct(b AS band_id, shiftright(sim, b * 16) & 65535 AS band_key))""")).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        call_function("graft_hyperplane_sig", col("embedding"), lit(64), lit(42)).as("sig"))
+      .select(col("vec_id"), explode(expr(
+        """transform(sequence(0, 7),
+           b -> struct(b AS band_id, shiftright(sig, b * 8) & 255 AS band_key))""")).as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+    for ((name, bands) <- Seq("simhash" -> docs, "embed" -> emb)) {
+      val worst = Dedup
+        .cappedBandBuckets(bands, Seq("band_id", "band_key"), Dedup.BandBucketCap)
+        .groupBy("band_id", "band_key").count()
+        .agg(max("count")).head().getLong(0)
+      assert(worst <= Dedup.BandBucketCap,
+        s"$name: worst band bucket $worst exceeds cap ${Dedup.BandBucketCap}")
+    }
+    // the cap must not empty the candidate streams at spec scale
+    assert(q("q_dedup_simhash").count() > 0, "cap emptied simhash pairs")
+    assert(q("q_embed_neardup").count() > 0, "cap emptied embed near-dup pairs")
+  }
+
   // ── multimodal decode: stub features are exactly computable ──────────
   test("MultimodalStub.decode computes byte stats deterministically") {
     val stub = new MultimodalStub

@@ -47,6 +47,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(qe("q_join_broadcast").analyzed.toString.contains("broadcast"))
   }
 
+  test("q_join_broadcast hints only constant-cardinality dims, never customer") {
+    // every hint subtree must be nation/region (25 / 5 rows at any SF);
+    // fact sides (lineitem, orders, customer) are size-gated by AQE
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = qe("q_join_broadcast").analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "expected nation/region broadcast hints")
+    for (h <- hints) {
+      val sub = h.child.toString
+      assert(sub.contains("nation") || sub.contains("region"),
+        s"broadcast hint on a non-constant side:\n$sub")
+      assert(!sub.contains("customer") && !sub.contains("lineitem") && !sub.contains("orders"),
+        s"broadcast hint covers an SF-scaling table:\n$sub")
+    }
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject, never a global sort") {
     assert(qe("q_sort_limit").executedPlan.toString
       .contains("TakeOrderedAndProject"))
@@ -79,5 +94,25 @@ class PlanGuardSpec extends SparkSpec {
     // the near-dup plan must not aggregate per (doc, hash-index)
     val plan = qe("q_dedup_near").executedPlan.toString
     assert(plan.contains("graft_minhash"), "one-pass minhash expression missing")
+  }
+
+  test("q_dedup_near verify explodes only semi-join-pruned candidate docs") {
+    // the exact-Jaccard verify must not unnest the whole corpus's shingle
+    // arrays: every shingle explode sits above the candidate-id LeftSemi
+    // prune (checked on the optimized LOGICAL plan — AQE wraps the
+    // physical plan in a leaf node that collect() can't descend)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = qe("q_dedup_near").optimizedPlan
+    val shingleExplodes = plan.collect {
+      case g: Generate if g.generator.toString.contains("shs") => g
+    }
+    assert(shingleExplodes.nonEmpty, "expected shingle-array explodes in the verify stage")
+    for (g <- shingleExplodes) {
+      val pruned = g.child.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty
+      assert(pruned, s"a shingle explode runs on the unpruned corpus:\n$g")
+    }
   }
 }
