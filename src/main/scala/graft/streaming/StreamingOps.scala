@@ -262,6 +262,46 @@ object StreamingOps {
       }
   }
 
+  // ── stateful transition deltas (streaming twin of q_transitions) ─────
+
+  /** One observed next-event transition (an increment row). */
+  final case class TransitionDelta(user_id: Long, cur: String, nxt: String)
+  /** Per-user tail of the event timeline: the latest event's (micros,
+    * event_id, type) — all a transition counter must remember.
+    */
+  final case class LastEv(tUs: Long, eventId: Long, eventType: String)
+
+  /** Incremental per-user next-event pairs with explicit state: each
+    * micro-batch sorts its group's events by (ts, event_id) — the batch
+    * `lead` window's exact order — prepends the remembered tail, and
+    * emits one Append-mode delta row per consecutive pair. Downstream
+    * counting (groupBy(cur, nxt)) turns the delta stream into the live
+    * Markov transition matrix q_transitions computes by rescan. State is
+    * one (long, long, string) per user — bounded by the user population,
+    * not the stream; assumes per-user event-time-ordered delivery across
+    * batches (same contract as [[statefulFunnel]] — correcting an
+    * out-of-order arrival would need retraction).
+    */
+  def statefulTransitions(events: Dataset[TypedEv]): Dataset[TransitionDelta] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, TransitionDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[LastEv]) =>
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          val tail = state.getOption
+          val timeline = tail.map(l => l.eventType).toSeq ++ sorted.map(_.event_type)
+          val deltas = timeline.sliding(2).collect {
+            case Seq(cur, nxt) => TransitionDelta(uid, cur, nxt)
+          }.toVector
+          sorted.lastOption.foreach(e =>
+            state.update(LastEv(us(e.ts), e.event_id, e.event_type)))
+          deltas.iterator
+      }
+  }
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

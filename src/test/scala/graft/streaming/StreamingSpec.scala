@@ -255,6 +255,30 @@ class StreamingSpec extends SparkSpec {
     assert(fin.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("stateful streaming transitions converge to batch q_transitions") {
+    import spark.implicits._
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[StreamingOps.TypedEv]
+    val deltas = StreamingOps.runToMemory(
+      StreamingOps.statefulTransitions(stream).toDF(), "t_trans", OutputMode.Append())
+    // fold the delta stream into the live matrix: counts + row-normalized
+    // probabilities, the exact shape q_transitions computes by rescan
+    // (folded driver-side — the memory-sink view can't self-join, and
+    // spec scale is a few thousand delta rows)
+    val rows = deltas.select("cur", "nxt").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nOut = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val live = rows.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((c, n), k) => (c, n, k, k.toDouble / nOut(c)) }
+      .sortBy(t => (t._1, t._2))
+    val batch = SparkEntry.queries("q_transitions")(spark, sfDir)
+      .orderBy("cur", "nxt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch.nonEmpty && live.nonEmpty)
+    assert(live === batch)
+  }
+
   test("EventTimeTimeout sessionizer emits exactly the watermark-cleared sessions") {
     import spark.implicits._
     val stream = spark.readStream.schema(StreamingOps.eventSchema)
