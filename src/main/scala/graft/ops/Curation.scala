@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline corpus curation over `documents` (north-star extensions).
+  *
+  * The passes a training-data pipeline runs AROUND dedup and quality
+  * filtering: benchmark decontamination (drop training docs that leak
+  * eval-set n-grams), data-mixing reports (the source×language token
+  * census that sampling weights are computed from), cross-document
+  * novelty (the inverse of boilerplate), and context-length packing
+  * budgets. The reference has no analog — these generalize its
+  * count-shaped clients (`SampleClient.cpp:32-66`) to corpus-curation
+  * decisions.
+  *
+  * Determinism: every emitted fraction is ONE IEEE division of exact
+  * integers (bit-stable across engines); the only transcendental is a
+  * single correctly-rounded `sqrt` of such a ratio (q_mix_weights),
+  * which IEEE 754 guarantees bit-identical in both engines.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Distinct word 3-gram strings per doc — the DuckDB-mirrorable twin
+    * of the hashed shingles the dedup path uses (decontamination wants
+    * the readable n-gram for auditability anyway).
+    */
+  private def wordShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))).as("shingle"))
+
+  val queries: Seq[Q] = Seq(
+
+    // ── benchmark decontamination (n-gram overlap vs a held-out set) ─────
+    // The pass every serious pretraining pipeline runs before training:
+    // find training documents sharing any word 3-gram with the held-out
+    // benchmark split (stand-in: doc_id % 50 = 3, ~2% of the corpus).
+    // Shape at 100 TB: the benchmark side is CONSTANT-size by design
+    // (eval sets don't grow with the corpus), so its distinct shingle→doc
+    // list stays broadcastable and the training corpus is touched by ONE
+    // equi-join on the shingle — no self-join, no corpus shuffle beyond
+    // the per-doc aggregation. Production raises the n-gram order to
+    // 8-13; 3 here matches the synthetic doc lengths.
+    Q("q_decontaminate",
+      (s, dir) => {
+        val sh = wordShingles(t(s, dir, "documents"))
+        val bench = sh.filter(col("doc_id") % 50 === 3)
+          .select(col("doc_id").as("bench_id"), col("shingle"))
+        sh.filter(col("doc_id") % 50 =!= 3)
+          .join(bench, "shingle")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("shingle")).as("n_hit_shingles"),
+            countDistinct(col("bench_id")).as("n_bench_docs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in generate_series(1, len(toks) - 2)])) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                WHERE len(toks) >= 3),
+              bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+                        WHERE doc_id % 50 = 3)
+              SELECT s.doc_id,
+                count(DISTINCT s.shingle) AS n_hit_shingles,
+                count(DISTINCT b.bench_id) AS n_bench_docs
+              FROM sh s JOIN bench b USING (shingle)
+              WHERE s.doc_id % 50 <> 3
+              GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
+    // ── data-mixing census: the source×language sampling-weight table ────
+    // Per (source, lang): docs, tokens, corpus share, and the
+    // temperature-scaled sampling weight (T=2 ⇒ share^(1/2)) that
+    // up-weights low-resource slices — the table a data-mixing stage
+    // feeds its sampler. One partial-agg pass over the corpus; the
+    // grand total joins back as a broadcast single row. share is an
+    // exact-int division; weight is one sqrt of that double.
+    Q("q_mix_weights",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val slices = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        val tot = slices.agg(sum(col("n_tokens")).as("tot_tokens"))
+        slices.join(broadcast(tot))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("tot_tokens")).as("share"),
+            sqrt(col("n_tokens").cast("double") / col("tot_tokens")).as("weight"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH slices AS (
+                SELECT source, lang, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1, 2)
+              SELECT source, lang, n_docs, n_tokens,
+                CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM slices) AS share,
+                sqrt(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM slices)) AS weight
+              FROM slices ORDER BY source, lang""")),
+
+    // ── cross-document novelty (inverse boilerplate) ─────────────────────
+    // Per doc: the fraction of its distinct bigrams appearing in NO other
+    // document — high novelty = original content, low = template/mirror
+    // text that dedup thresholds missed. Shape: distinct (doc, bigram)
+    // stream → bigram document-frequency (partial-agg hash agg over the
+    // bigram space) → co-partitioned shuffle join back on bigram → per-doc
+    // counts. Two shuffles total, both on corpus-spread keys; no
+    // broadcast of anything corpus-sized. Docs with < 2 tokens have no
+    // bigrams and are excluded (same rows both engines).
+    Q("q_novelty",
+      (s, dir) => {
+        val bg = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            """transform(sequence(0, size(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1]))"""))).as("bigram"))
+        val df = bg.groupBy("bigram").agg(count(lit(1)).as("df"))
+        bg.join(df, "bigram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
+            (col("n_unique").cast("double") / col("n_bigrams")).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (
+                SELECT doc_id, unnest(list_distinct(
+                  [toks[i] || ' ' || toks[i+1]
+                   for i in generate_series(1, len(toks) - 1)])) AS bigram
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                WHERE len(toks) >= 2),
+              bdf AS (SELECT bigram, count(*) AS df FROM bg GROUP BY 1)
+              SELECT b.doc_id,
+                count(*) AS n_bigrams,
+                CAST(sum(CASE WHEN bdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                CAST(sum(CASE WHEN bdf.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+              FROM bg b JOIN bdf USING (bigram)
+              GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ── context-length packing budget ────────────────────────────────────
+    // Per source: how many 512-token training sequences the slice fills
+    // and how much padding it wastes — the capacity-planning table a
+    // sequence-packing stage starts from (documents shorter than the
+    // context window dominate waste; packing decisions follow from
+    // exactly these numbers). Pure per-row arithmetic + one partial-agg
+    // pass; waste_frac is one exact-int division.
+    Q("q_token_budget",
+      (s, dir) => {
+        val ctx = 512L
+        t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .select(col("source"), col("n_tok"),
+            expr(s"(n_tok + ${ctx - 1}) div $ctx").as("n_seq"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_seq")).as("n_seqs"),
+            sum(col("n_seq") * ctx - col("n_tok")).as("pad_tokens"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+            col("pad_tokens"),
+            (col("pad_tokens").cast("double") / (col("n_seqs") * ctx))
+              .as("waste_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+                SELECT source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(ceil(len(string_split(text, ' ')) / 512.0) AS BIGINT) AS n_seq
+                FROM documents)
+              SELECT source, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_seq) AS BIGINT) AS n_seqs,
+                CAST(sum(n_seq * 512 - n_tok) AS BIGINT) AS pad_tokens,
+                CAST(sum(n_seq * 512 - n_tok) AS DOUBLE) / (sum(n_seq) * 512) AS waste_frac
+              FROM d GROUP BY source ORDER BY source"""))
+  )
+}

@@ -230,8 +230,13 @@ object EventTime {
         val stats = t(s, dir, "events")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            sum(v).cast("double").as("sv"),
-            sum(v * v).cast("double").as("svv"))
+            // integral-rounded BIGINT moments → the double conversion is
+            // EXACT in both engines (DuckDB's decimal→double cast can be
+            // 1 ulp off on >15-digit sums; see q_stats_agg)
+            round(sum(v), 0).cast("long").as("svi"),
+            round(sum(v * v), 0).cast("long").as("svvi"))
+          .select(col("event_type"), col("n"),
+            col("svi").cast("double").as("sv"), col("svvi").cast("double").as("svv"))
           .select(col("event_type"), (col("sv") / col("n")).as("mean_v"),
             sqrt((col("svv") - col("sv") * col("sv") / col("n"))
               / (col("n") - 1)).as("sd_v"))
@@ -244,9 +249,9 @@ object EventTime {
       },
       Some("""WITH m AS (
                 SELECT event_type, COUNT(*) AS n,
-                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
-                  CAST(SUM(CAST(value AS DECIMAL(18,2))
-                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+                  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 0) AS BIGINT) AS DOUBLE) AS sv,
+                  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))), 0) AS BIGINT) AS DOUBLE) AS svv
                 FROM events GROUP BY 1),
               s AS (
                 SELECT event_type, sv / n AS mean_v,

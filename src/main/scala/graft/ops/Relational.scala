@@ -859,6 +859,14 @@ object Relational {
     // one identical double formula on both sides is bit-stable. This is
     // also the scale shape: moments are partial+final aggregable, the
     // statistics are a final per-group scalar step.
+    // Moment sums are rounded to INTEGRAL decimals and carried as BIGINT
+    // before the double conversion: DuckDB's decimal→double cast
+    // double-rounds (int128 → double, then ÷10^scale) and can be 1 ulp off
+    // the correctly-rounded value when the sum has >15 significant digits
+    // (observed on syy at sf0.001). An integer < 2^53 converts EXACTLY in
+    // both engines, so feeding the statistics formulas int-derived doubles
+    // makes them bit-stable; the ≤0.5 absolute rounding on ~1e10..1e15
+    // moments is ≤1e-10 relative — far below the statistic's own precision.
     Q("q_stats_agg",
       (s, dir) => {
         val x = dec2(col("l_quantity"))
@@ -866,9 +874,15 @@ object Relational {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
-            sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
-            sum(x * y).cast("double").as("sxy"))
+            round(sum(x), 0).cast("long").as("sxi"),
+            round(sum(x * x), 0).cast("long").as("sxxi"),
+            round(sum(y), 0).cast("long").as("syi"),
+            round(sum(y * y), 0).cast("long").as("syyi"),
+            round(sum(x * y), 0).cast("long").as("sxyi"))
+          .select(col("l_returnflag"), col("n"),
+            col("sxi").cast("double").as("sx"), col("sxxi").cast("double").as("sxx"),
+            col("syi").cast("double").as("sy"), col("syyi").cast("double").as("syy"),
+            col("sxyi").cast("double").as("sxy"))
           .select(col("l_returnflag"), col("n"),
             ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
             sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_qty"),
@@ -880,11 +894,11 @@ object Relational {
       },
       Some("""WITH m AS (
                 SELECT l_returnflag, COUNT(*) AS n,
-                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) AS BIGINT) AS DOUBLE) AS sx,
+                  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))), 0) AS BIGINT) AS DOUBLE) AS sxx,
+                  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS BIGINT) AS DOUBLE) AS sy,
+                  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS BIGINT) AS DOUBLE) AS syy,
+                  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS BIGINT) AS DOUBLE) AS sxy
                 FROM lineitem GROUP BY 1)
               SELECT l_returnflag, n,
                 (sxx - sx * sx / n) / (n - 1) AS var_qty,
