@@ -302,6 +302,82 @@ object StreamingOps {
       }
   }
 
+  // ── stateful weekly churn (streaming twin of q_churn) ────────────────
+
+  /** A user's event collapsed to its calendar week (the input shape —
+    * truncation stays columnar via `date_trunc("week", ts)`; callers
+    * watermark the `wk` column, which is what the timeout reads).
+    */
+  final case class UserWeek(user_id: Long, wk: Timestamp)
+  /** One (user, week) activity or churn observation. kind = "active"
+    * on a user's first event in a calendar week; kind = "churn" for week
+    * w once the user is known inactive in week w+7d.
+    */
+  final case class ChurnDelta(user_id: Long, wk: Timestamp, kind: String)
+  /** Per-user state: the last active week's start (micros). */
+  final case class LastWeek(wkUs: Long)
+
+  /** Incremental weekly churn with explicit state + EventTimeTimeout.
+    * Input is the (user_id, wk) stream with wk ALREADY truncated by the
+    * same `date_trunc("week", ts)` the batch query uses (truncation
+    * stays columnar; the state logic only compares week starts). Churn
+    * at week w is decided two ways, exactly once per (user, w):
+    *   - event-driven: the user's next active week arrives and is
+    *     > w + 7d (the week w+7d passed empty);
+    *   - timeout-driven: the watermark passes w + 14d (end of week
+    *     w+7d) with no newer activity — `state.hasTimedOut` emits the
+    *     churn and clears the user.
+    * Downstream `groupBy(wk, kind)` folds the delta stream into the
+    * live n_active/n_churned/rate table q_churn computes by rescan.
+    * State is one long per user — bounded by the live (non-churned)
+    * population, NOT the stream length, because timeout-closure evicts
+    * inactive users; that is what makes this runnable forever at
+    * 100-TB/day. Same per-user event-time-ordered delivery contract
+    * across batches as [[statefulFunnel]]/[[statefulTransitions]].
+    */
+  def statefulChurn(weeks: Dataset[UserWeek]): Dataset[ChurnDelta] = {
+    import weeks.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    def tsOf(u: Long): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000))
+    val weekUs = 7L * 86400 * 1000000
+    weeks
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastWeek, ChurnDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[LastWeek]) =>
+          if (state.hasTimedOut) {
+            val out = ChurnDelta(uid, tsOf(state.get.wkUs), "churn")
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val newWeeks = evs.map(e => us(e.wk)).toVector.distinct.sorted
+            val timeline = state.getOption.map(_.wkUs).toVector ++
+              newWeeks.dropWhile(w => state.getOption.exists(_.wkUs >= w))
+            val deltas = Vector.newBuilder[ChurnDelta]
+            // first touch of each week after the remembered one → active
+            timeline.drop(if (state.getOption.isDefined) 1 else 0)
+              .foreach(w => deltas += ChurnDelta(uid, tsOf(w), "active"))
+            // consecutive pair with a skipped week → churn at the earlier
+            timeline.sliding(2).foreach {
+              case Vector(w1, w2) if w2 > w1 + weekUs =>
+                deltas += ChurnDelta(uid, tsOf(w1), "churn")
+              case _ => ()
+            }
+            timeline.lastOption.foreach { w =>
+              state.update(LastWeek(w))
+              // decidable once the watermark passes w + 14d (the empty
+              // successor week has fully elapsed)
+              state.setTimeoutTimestamp(
+                math.max(w / 1000 + 14L * 86400 * 1000,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            deltas.result().iterator
+          }
+      }
+  }
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

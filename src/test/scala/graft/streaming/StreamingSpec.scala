@@ -311,4 +311,58 @@ class StreamingSpec extends SparkSpec {
     }.map(_.toSeq).toSet
     assert(emitted === expected)
   }
+
+  test("stateful weekly churn deltas converge to batch q_churn") {
+    import spark.implicits._
+    val stream = spark.readStream.schema(StreamingOps.eventSchema)
+      .option("maxFilesPerTrigger", "3").parquet(batchDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .withWatermark("wk", "1 hour")
+      .as[StreamingOps.UserWeek]
+    val q = StreamingOps.statefulChurn(stream).toDF()
+      .writeStream.format("memory").queryName("t_churn")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("t_churn").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2))).toSet
+
+    // expected: every (user, week) is an "active" delta; churn at w emits
+    // event-driven when the user's next active week skips w+7d, or
+    // timeout-driven for the LAST active week once the final watermark
+    // (max wk - 1h) passes w + 14d (the empty successor week elapsed).
+    val weekMs = 7L * 86400 * 1000
+    val byUser = batchEvents
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val finalWatermarkMs = byUser.valuesIterator.map(_.last).max - 3600L * 1000
+    val expected = byUser.flatMap { case (uid, wks) =>
+      val active = wks.map(w => (uid, w, "active"))
+      val eventChurn = wks.sliding(2).collect {
+        case Vector(w1, w2) if w2 > w1 + weekMs => (uid, w1, "churn")
+      }
+      val tailChurn =
+        if (wks.last + 2 * weekMs < finalWatermarkMs) Seq((uid, wks.last, "churn"))
+        else Seq.empty
+      active ++ eventChurn ++ tailChurn
+    }.toSet
+    assert(emitted === expected)
+
+    // and the delta stream folds to the batch matrix on decided weeks
+    // (wk + 14d behind the watermark, and not the global final week)
+    val lastWk = byUser.valuesIterator.flatten.max
+    val decided = (w: Long) => w + 2 * weekMs < finalWatermarkMs && w < lastWk
+    val folded = emitted.toSeq.groupBy(_._2).collect {
+      case (w, ds) if decided(w) =>
+        val a = ds.count(_._3 == "active").toLong
+        val c = ds.count(_._3 == "churn").toLong
+        (w, a, c, c.toDouble / a)
+    }.toSeq.sortBy(_._1)
+    val batch = SparkEntry.queries("q_churn")(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(t => decided(t._1)).toSeq.sortBy(_._1)
+    assert(batch.nonEmpty && folded.nonEmpty)
+    assert(folded === batch)
+  }
 }
