@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics (north-star extensions).
+  *
+  * Second iterative-algorithm family after [[Dedup.ccStar]]: rank
+  * propagation over a corpus-derived graph. Same execution discipline —
+  * the driver loop is iteration CONTROL only, every round is a
+  * shuffle-keyed join + partial agg that runs entirely on the cluster,
+  * `localCheckpoint` cuts lineage per round.
+  *
+  * Determinism: PageRank is computed in exact INTEGER rank units
+  * (SCALE = 1e12), with truncating division at every step — both
+  * engines share int64 semantics, so 5 iterations are bit-identical
+  * (float PageRank would drift: per-node contribution sums reduce in
+  * arbitrary order). At 100 TB the float version would be the norm;
+  * the integer formulation exists so the oracle can hash-check the
+  * whole fixed-point pipeline, not just one step.
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val Scale = 1000000000000L
+
+  /** Undirected customer↔supplier edges from order lines: node ids are
+    * disjoint via even/odd encoding (customer c → 2c, supplier s →
+    * 2s+1). Both directions emitted — every node then has outdeg ≥ 1,
+    * so no dangling-mass redistribution is needed.
+    */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(cs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ── PageRank, 5 exact-integer iterations ─────────────────────────────
+    // r'(n) = (15·r0) div 100 + (85·Σ_{m→n} (r(m) div deg(m))) div 100,
+    // r0 = SCALE div N. Shape per iteration: ranks (one row per node)
+    // shuffle-join onto edges by src, partial-agg sum by dst — the exact
+    // pattern a 1000-executor PageRank runs; ranks are never broadcast
+    // (they scale with the node population). N is a driver-side scalar
+    // (iteration constant, like ccStar's convergence flag) — one count,
+    // not a data collect.
+    Q("q_pagerank",
+      (s, dir) => {
+        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val n = deg.count()
+        val r0 = Scale / n
+        val base = (15L * r0) / 100L
+        var ranks = deg.select(col("node"), col("deg"), lit(r0).as("pr"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 5) {
+          val contrib = edges
+            .join(ranks, edges("src") === ranks("node"))
+            .select(col("dst"), expr("pr div deg").as("c"))
+          ranks = contrib.groupBy(col("dst").as("node"))
+            .agg(sum(col("c")).as("sc"))
+            .join(deg, "node")
+            .select(col("node"), col("deg"),
+              (lit(base) + expr("(85 * sc) div 100")).as("pr"))
+            .localCheckpoint(true)
+        }
+        ranks.select(col("node"), col("pr")).orderBy("node")
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s AS src, c AS dst FROM cs),
+              deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+              nn AS (SELECT count(*) AS n FROM deg),
+              r0 AS (SELECT node, deg,
+                       1000000000000 // (SELECT n FROM nn) AS pr FROM deg),
+              r1 AS (SELECT e.dst AS node, d.deg,
+                       (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                         + (85 * CAST(sum(r.pr // r.deg) AS BIGINT)) // 100 AS pr
+                     FROM edges e JOIN r0 r ON r.node = e.src
+                       JOIN deg d ON d.node = e.dst GROUP BY 1, 2),
+              r2 AS (SELECT e.dst AS node, d.deg,
+                       (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                         + (85 * CAST(sum(r.pr // r.deg) AS BIGINT)) // 100 AS pr
+                     FROM edges e JOIN r1 r ON r.node = e.src
+                       JOIN deg d ON d.node = e.dst GROUP BY 1, 2),
+              r3 AS (SELECT e.dst AS node, d.deg,
+                       (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                         + (85 * CAST(sum(r.pr // r.deg) AS BIGINT)) // 100 AS pr
+                     FROM edges e JOIN r2 r ON r.node = e.src
+                       JOIN deg d ON d.node = e.dst GROUP BY 1, 2),
+              r4 AS (SELECT e.dst AS node, d.deg,
+                       (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                         + (85 * CAST(sum(r.pr // r.deg) AS BIGINT)) // 100 AS pr
+                     FROM edges e JOIN r3 r ON r.node = e.src
+                       JOIN deg d ON d.node = e.dst GROUP BY 1, 2),
+              r5 AS (SELECT e.dst AS node, d.deg,
+                       (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                         + (85 * CAST(sum(r.pr // r.deg) AS BIGINT)) // 100 AS pr
+                     FROM edges e JOIN r4 r ON r.node = e.src
+                       JOIN deg d ON d.node = e.dst GROUP BY 1, 2)
+              SELECT node, pr FROM r5 ORDER BY node"""))
+  )
+}

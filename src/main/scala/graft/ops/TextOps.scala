@@ -515,6 +515,39 @@ object TextOps {
                       unnest(generate_series(1, len(tok), 24)) AS st
                     FROM (SELECT doc_id, string_split(text, ' ') AS tok
                           FROM documents))
-              ORDER BY doc_id, chunk_id"""))
+              ORDER BY doc_id, chunk_id""")),
+
+    // ── exact heavy hitters via a Misra-Gries candidate pass ─────────────
+    // Tokens with frequency > n/32, computed in TWO corpus passes and
+    // zero full-vocabulary shuffles: pass 1 is one `graft_mg` sketch agg
+    // (plus the token total, same agg) whose partials are ≤ k counters —
+    // the mergeable-summaries guarantee (k = 64 > 2×32) says no
+    // qualifying token can be missing; pass 2 exact-counts ONLY the ≤ k
+    // candidates behind a constant-size broadcast semi-filter. At 100 TB
+    // this is the difference between shuffling the open vocabulary's
+    // long tail and shuffling ≤ 64 keys. Output is exact, so the oracle
+    // is the plain GROUP BY ... HAVING the sketch pass avoided.
+    Q("q_heavy_hitters",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val sketch = toks.agg(
+          call_function("graft_mg", col("token"), lit(64)).as("cands"),
+          count(lit(1)).as("total"))
+        val cands = sketch.select(explode(col("cands")).as("token"), col("total"))
+        toks.join(broadcast(cands), "token")
+          .groupBy("token", "total").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 32 > col("total"))
+          .select(col("token"), col("cnt"))
+          .orderBy("token")
+      },
+      Some("""WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+              nz AS (SELECT token FROM toks WHERE token <> '')
+              SELECT token, count(*) AS cnt FROM nz
+              GROUP BY token HAVING count(*) * 32 > (SELECT count(*) FROM nz)
+              ORDER BY token"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, HyperplaneSignature, MinHashSig, Scored, ShingleHashes, SimHash64, TopKAggregator}
+import graft.functions.{DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, TopKAggregator}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -27,6 +27,9 @@ import org.apache.spark.sql.execution.aggregate.ScalaAggregator
   *     row-local dedup sketches ([[graft.functions.HashOps]]) — the
   *     shuffle-free replacements for the explode→groupBy signature
   *     aggregations.
+  *   - `graft_mg(token[, k])` → array<string>: mergeable Misra-Gries
+  *     heavy-hitter candidates ([[graft.functions.MisraGries]]); k is an
+  *     integer literal, default 64.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -95,7 +98,21 @@ object GraftExtensions {
       MinHashSig(children.head, k)
     })
 
-  private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn)
+  private val mgFn = (
+    FunctionIdentifier("graft_mg"),
+    new ExpressionInfo(classOf[MisraGries].getName, "graft_mg"),
+    (children: Seq[Expression]) => {
+      val k = if (children.length > 1) intArg(children(1), "k") else 64
+      ScalaAggregator(
+        children.take(1),
+        new MisraGries(k),
+        ExpressionEncoder[String](),
+        ExpressionEncoder[Seq[MgCounter]](),
+        nullable = false,
+        aggregatorName = Some("graft_mg"))
+    })
+
+  private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn, mgFn)
 
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no
