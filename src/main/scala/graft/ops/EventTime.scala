@@ -414,6 +414,66 @@ object EventTime {
                 CAST(COALESCE(MAX(c.n_churned), 0) AS DOUBLE) / count(*) AS churn_rate
               FROM active a LEFT JOIN churned c ON a.wk = c.wk
               WHERE a.wk < (SELECT max(wk) FROM active)
-              GROUP BY a.wk ORDER BY a.wk"""))
+              GROUP BY a.wk ORDER BY a.wk""")),
+
+    // ── interval overlap metering: session-seconds per calendar day ──────
+    // The usage-metering op (billing, capacity reports): sessions (30-min
+    // gap, exactly q_sessionize's bounds) are clipped against every day
+    // they touch and the overlap durations aggregate per day. The
+    // day-span fan-out is ROW-LOCAL (sequence over the session's days —
+    // bounded by session length, ~1-2 rows) and the final agg keys on
+    // calendar days, so partial aggs collapse to a bounded matrix before
+    // the shuffle. All arithmetic is integer microseconds clipped by
+    // least/greatest — exact in both engines; seconds surface via one
+    // integer division AFTER the sum.
+    Q("q_interval_overlap",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        val sessions = t(s, dir, "events")
+          .withColumn("new_sess",
+            when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id",
+            sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        sessions
+          .select(col("sess_start"), col("sess_end"),
+            explode(sequence(date_trunc("day", col("sess_start")),
+              date_trunc("day", col("sess_end")), expr("INTERVAL 1 DAY"))).as("day_start"))
+          .select(col("day_start"),
+            (least(unix_micros(col("sess_end")),
+              unix_micros(col("day_start") + expr("INTERVAL 1 DAY")))
+              - greatest(unix_micros(col("sess_start")),
+                unix_micros(col("day_start")))).as("ov_us"))
+          .groupBy("day_start")
+          .agg(count(lit(1)).as("n_sessions"),
+            expr("sum(ov_us) div 1000000").as("busy_secs"))
+          .orderBy("day_start")
+      },
+      Some("""WITH x AS (
+                SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              y AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM x),
+              sess AS (
+                SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end
+                FROM y GROUP BY 1, 2),
+              sp AS (
+                SELECT sess_start, sess_end,
+                  unnest(generate_series(date_trunc('day', sess_start),
+                    date_trunc('day', sess_end), INTERVAL 1 DAY)) AS day_start
+                FROM sess)
+              SELECT day_start, count(*) AS n_sessions,
+                CAST(SUM(LEAST(epoch_us(sess_end), epoch_us(day_start + INTERVAL 1 DAY))
+                  - GREATEST(epoch_us(sess_start), epoch_us(day_start))) AS BIGINT)
+                  // 1000000 AS busy_secs
+              FROM sp GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -995,6 +995,63 @@ object Relational {
                        19.0) AS BIGINT) AS bucket,
                 count(*) AS cnt
               FROM orders CROSS JOIN st
-              GROUP BY 1 ORDER BY bucket"""))
+              GROUP BY 1 ORDER BY bucket""")),
+
+    // ── bloom-filter-pruned semi join ────────────────────────────────────
+    // The runtime-filter pattern made explicit: orders of BUILDING-segment
+    // customers, where the corpus-sized probe (orders) is pre-pruned by a
+    // 64-Kbit Bloom filter of the build keys BEFORE the exact semi join.
+    // The filter is built with pure codegen'd SQL — 5 × xxhash64(key, i)
+    // bit positions, bit_or-agg'd into 1024 words, densified into ONE
+    // array row — and probed with element_at/shiftright, so neither side
+    // ever leaves whole-stage codegen and no UDF touches the hot path.
+    // At 100 TB this is what cuts the probe shuffle: only rows passing
+    // the bloom (true matches + a vanishing FP fraction) reach the
+    // exchange, while the exact join keeps the answer exactly right —
+    // the oracle is the PLAIN semi join, proving the bloom never changes
+    // the result. The 1-row bits side is genuinely constant-size (8 KiB
+    // regardless of SF), so its broadcast is always safe; the customer
+    // side is NOT hinted (it scales with SF).
+    Q("q_bloom_join",
+      (s, dir) => {
+        val mBits = 65536L
+        val kHash = 5
+        val keys = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val words = keys
+          .select(explode(array((0 until kHash).map(i =>
+            pmod(xxhash64(col("c_custkey"), lit(i)), lit(mBits))): _*)).as("p"))
+          .select(expr("p div 64").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+          .groupBy("w").agg(expr("bit_or(m)").as("word"))
+        val bloom = words
+          .agg(map_from_arrays(collect_list(col("w")), collect_list(col("word"))).as("wm"))
+          .select(expr(s"transform(sequence(0L, ${mBits / 64 - 1}L), i -> coalesce(wm[i], CAST(0 AS BIGINT)))").as("bits"))
+        // one bloom probe: word = bits[p div 64], test bit p % 64
+        def bitSet(i: Int) =
+          expr(s"""(shiftright(
+                      element_at(bits, CAST(pmod(xxhash64(o_custkey, $i), $mBits) div 64 + 1 AS INT)),
+                      CAST(pmod(xxhash64(o_custkey, $i), $mBits) % 64 AS INT)) % 2) != 0""")
+        val pruned = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .crossJoin(broadcast(bloom))
+          .filter((0 until kHash).map(bitSet).reduce(_ && _))
+          .select(col("o_orderkey"), col("o_custkey"))
+          // observe() records the post-prune row count — the metric a
+          // production job alerts on when a bloom stops pruning — and its
+          // CollectMetrics node doubles as the optimizer fence that keeps
+          // PushDownLeftSemiAntiJoin from reordering the exact join BELOW
+          // the bloom, which would shuffle the UNPRUNED probe (the cost
+          // this query exists to avoid)
+          .observe("bloom_prune", count(lit(1)).as("rows_after_bloom"))
+        pruned.join(keys, pruned("o_custkey") === keys("c_custkey"), "left_semi")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+              WHERE EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey
+                              AND c_mktsegment = 'BUILDING')
+              ORDER BY o_orderkey"""))
   )
 }

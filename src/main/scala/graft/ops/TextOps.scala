@@ -548,6 +548,49 @@ object TextOps {
               nz AS (SELECT token FROM toks WHERE token <> '')
               SELECT token, count(*) AS cnt FROM nz
               GROUP BY token HAVING count(*) * 32 > (SELECT count(*) FROM nz)
-              ORDER BY token"""))
+              ORDER BY token""")),
+
+    // ── impact-ordered inverted index (bounded posting lists) ────────────
+    // The retrieval-side artifact BM25 scoring reads: per token, document
+    // frequency plus the top-100 postings by (tf DESC, doc_id) serialized
+    // "doc:tf,doc:tf,…". The per-token cap is the scale decision —
+    // impact-ordered index pruning: `graft_topk` carries AT MOST 100
+    // postings per (partition × token) across the shuffle, so a stopword
+    // whose full posting list is corpus-sized (millions of docs at
+    // 100 TB) still costs k rows, not df rows. df stays exact (count in
+    // the same agg). Postings serialize to ONE string so the row stays
+    // flat-columnar; order inside the string is part of the value
+    // (tf desc, doc asc — TopKAggregator's exact output order).
+    Q("q_inverted_index",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"),
+            call_function("graft_topk",
+              col("doc_id"), col("tf").cast("double"), lit(100)).as("top"))
+          .select(col("token"), col("df"),
+            concat_ws(",", expr(
+              "transform(top, x -> concat(x.id, ':', CAST(x.score AS BIGINT)))"))
+              .as("postings"))
+          .orderBy("token")
+      },
+      Some("""WITH tf AS (
+                SELECT token, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                WHERE token <> '' GROUP BY 1, 2),
+              d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              r AS (SELECT *, row_number() OVER (
+                      PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+                    FROM tf)
+              SELECT r.token, d.df,
+                string_agg(r.doc_id || ':' || r.tf, ',' ORDER BY r.tf DESC, r.doc_id)
+                  AS postings
+              FROM r JOIN d USING (token) WHERE rn <= 100
+              GROUP BY r.token, d.df ORDER BY r.token"""))
   )
 }

@@ -115,4 +115,39 @@ class PlanGuardSpec extends SparkSpec {
       assert(pruned, s"a shingle explode runs on the unpruned corpus:\n$g")
     }
   }
+
+  test("q_bloom_join probes codegen'd bloom bits below the exact semi join") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = qe("q_bloom_join").optimizedPlan
+    // the exact semi join must see the bloom probe (xxhash64 bit tests)
+    // on its probe side — if PushDownLeftSemiAntiJoin ever reorders the
+    // exact join below the bloom, the unpruned probe hits the exchange
+    val semis = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, "expected the exact LeftSemi join")
+    assert(semis.head.left.toString.contains("xxhash64"),
+      "orders probe reaches the semi join unpruned by the bloom")
+    // and the SF-scaling customer side is never hint-broadcast
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = qe("q_bloom_join").analyzed.collect { case h: ResolvedHint => h }
+    for (h <- hints)
+      assert(!h.child.toString.contains("customer"),
+        s"bloom join force-broadcasts the SF-scaling customer side:\n${h.child}")
+  }
+
+  test("q_pagerank never broadcasts ranks (they scale with the node population)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = qe("q_pagerank").analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"pagerank carries broadcast hints: $hints")
+  }
+
+  test("q_heavy_hitters exact pass touches only broadcast candidate keys") {
+    // the exact count must join the token stream to the (<= k)-row
+    // candidate set via broadcast — a shuffled vocabulary agg would be
+    // the exact shape the sketch pass exists to avoid
+    val plan = qe("q_heavy_hitters").executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate prune is not a broadcast join")
+    assert(plan.contains("graft_mg"), "Misra-Gries sketch agg missing")
+  }
 }
