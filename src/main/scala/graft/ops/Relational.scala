@@ -1052,6 +1052,133 @@ object Relational {
               WHERE EXISTS (SELECT 1 FROM customer
                             WHERE c_custkey = o_custkey
                               AND c_mktsegment = 'BUILDING')
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // ── CDC merge / upsert (MERGE INTO as one co-partitioned pass) ───────
+    // The lakehouse write pattern without a transaction log: a change
+    // batch (latest change per key wins — the CDC compaction arg-max)
+    // merges onto the customer dimension in ONE full-outer join +
+    // coalesce projection. No MATCHED/NOT-MATCHED driver branches: all
+    // three cases (update, insert, carry-forward) are columnar CASE arms
+    // of the same join row. Change keys ≡ 0 (mod 3) shift out of the key
+    // space to exercise the insert path deterministically. Scale: both
+    // sides hash on the merge key (bucketed storage makes it
+    // shuffle-free); the change batch pre-collapses to one row per key
+    // via arg-max, so the join is |dim| + |batch keys|, never |raw CDC|.
+    Q("q_merge_upsert",
+      (s, dir) => {
+        val changes = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_totalprice"))
+          .groupBy("o_custkey")
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+            col("o_totalprice"))).as("w"))
+          .select(
+            when(col("o_custkey") % 3 === 0, col("o_custkey") + 100000000L)
+              .otherwise(col("o_custkey")).as("key"),
+            dec2(col("w.o_totalprice")).cast("double").as("new_bal"))
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_name"),
+            dec2(col("c_acctbal")).cast("double").as("acctbal"))
+        base.join(changes, Seq("key"), "full_outer")
+          .select(col("key"),
+            coalesce(col("c_name"), concat(lit("new_"), col("key"))).as("name"),
+            coalesce(col("new_bal"), col("acctbal")).as("acctbal"),
+            when(col("c_name").isNull, "inserted")
+              .when(col("new_bal").isNull, "carried")
+              .otherwise("updated").as("merge_action"))
+          .orderBy("key")
+      },
+      Some("""WITH ch0 AS (
+                SELECT o_custkey, o_totalprice, row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders),
+              ch AS (
+                SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 100000000
+                            ELSE o_custkey END AS key,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS new_bal
+                FROM ch0 WHERE rn = 1),
+              base AS (
+                SELECT c_custkey AS key, c_name,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+                FROM customer)
+              SELECT COALESCE(base.key, ch.key) AS key,
+                COALESCE(c_name, 'new_' || COALESCE(base.key, ch.key)) AS name,
+                COALESCE(new_bal, acctbal) AS acctbal,
+                CASE WHEN c_name IS NULL THEN 'inserted'
+                     WHEN new_bal IS NULL THEN 'carried'
+                     ELSE 'updated' END AS merge_action
+              FROM base FULL OUTER JOIN ch ON base.key = ch.key
+              ORDER BY key""")),
+
+    // ── data-quality constraint audit ────────────────────────────────────
+    // The pre-publish DQ gate: null, range, enum-domain, uniqueness and
+    // referential-integrity checks, each one scan-and-aggregate (the
+    // uniqueness check is a two-level agg; the FK check is a key-keyed
+    // anti join — never a broadcast of the SF-scaling parent). Emitted as
+    // one (constraint, n_violations, n_checked) table — the shape a
+    // quality dashboard or a circuit-breaker reads. Constant output
+    // cardinality at any SF.
+    Q("q_constraint_check",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val cust = t(s, dir, "customer").select(col("c_custkey"))
+        val nullCheck = orders.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+          .select(lit("orders.custkey_not_null").as("constraint_name"),
+            col("n_violations"), col("n_checked"))
+        val rangeCheck = li.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+          .select(lit("lineitem.quantity_in_1_50").as("constraint_name"),
+            col("n_violations"), col("n_checked"))
+        val enumCheck = orders.agg(
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+            .otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+          .select(lit("orders.status_in_domain").as("constraint_name"),
+            col("n_violations"), col("n_checked"))
+        val uniqueCheck = orders.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") - 1).cast("long").as("n_violations"),
+            sum(col("c")).cast("long").as("n_checked"))
+          .select(lit("orders.orderkey_unique").as("constraint_name"),
+            col("n_violations"), col("n_checked"))
+        val fkCheck = orders.select(col("o_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .crossJoin(orders.agg(count(lit(1)).as("n_checked")))
+          .select(lit("orders.custkey_fk_customer").as("constraint_name"),
+            col("n_violations"), col("n_checked"))
+        nullCheck.unionByName(rangeCheck).unionByName(enumCheck)
+          .unionByName(uniqueCheck).unionByName(fkCheck)
+          .orderBy("constraint_name")
+      },
+      Some("""SELECT * FROM (
+                SELECT 'orders.custkey_not_null' AS constraint_name,
+                  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                  count(*) AS n_checked FROM orders
+                UNION ALL
+                SELECT 'lineitem.quantity_in_1_50',
+                  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+                  count(*) FROM lineitem
+                UNION ALL
+                SELECT 'orders.status_in_domain',
+                  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+                  count(*) FROM orders
+                UNION ALL
+                SELECT 'orders.orderkey_unique',
+                  CAST(SUM(c - 1) AS BIGINT), CAST(SUM(c) AS BIGINT)
+                FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+                UNION ALL
+                SELECT 'orders.custkey_fk_customer',
+                  CAST((SELECT count(*) FROM orders
+                        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+                  (SELECT count(*) FROM orders))
+              ORDER BY constraint_name"""))
   )
 }

@@ -378,6 +378,21 @@ object StreamingOps {
       }
   }
 
+  // ── streaming heavy-hitter candidates (twin of q_heavy_hitters) ──────
+
+  /** The Misra-Gries buffer AS streaming state: a global `graft_mg` agg
+    * whose partials merge per micro-batch, so the live candidate set is
+    * maintained in O(k) state for an unbounded stream — the streaming
+    * half of q_heavy_hitters' two-pass design (the exact verify stays a
+    * batch pass over candidates). Complete/Update output mode; the
+    * no-false-negative guarantee (freq > n/(k+1) survives) holds at
+    * every trigger because merge preserves it.
+    */
+  def heavyHitterCandidates(tokens: DataFrame, k: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(tokens.sparkSession)
+    tokens.agg(call_function("graft_mg", col("token"), lit(k)).as("cands"))
+  }
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

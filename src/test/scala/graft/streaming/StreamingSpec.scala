@@ -365,4 +365,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && folded.nonEmpty)
     assert(folded === batch)
   }
+
+  test("Misra-Gries sketch as streaming state keeps the heavy-hitter guarantee") {
+    val k = 4
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_type").as("token"))
+    val out = StreamingOps.runToMemory(
+      StreamingOps.heavyHitterCandidates(stream, k),
+      "t_mg", OutputMode.Complete())
+    val cands = out.head().getSeq[String](0).toSet
+    val types = batchEvents.select("event_type").collect().map(_.getString(0))
+    val n = types.length
+    val exact = types.groupBy(identity).view.mapValues(_.length).toMap
+    val mustSurvive = exact.collect {
+      case (t, c) if c.toLong * (k + 1) > n => t
+    }.toSet
+    assert(mustSurvive.nonEmpty, "fixture has no heavy hitters to check")
+    assert((mustSurvive -- cands).isEmpty,
+      s"streaming sketch lost heavy hitters: ${mustSurvive -- cands}")
+  }
 }
