@@ -34,7 +34,13 @@ object PlanDump {
     "q_repetition" -> "repetition signals: n-grams fan out ROW-LOCALLY (transform over the token array — no self-join) into (doc, gram)-keyed partial aggs",
     "q_funnel" -> "conversion funnel: each stage's event_type equality pushes into the parquet scan (stage k reads |that type| rows, not |events|); every shuffle keyed user_id, frontier frames are users-sized",
     "q_resample_ffill" -> "resample + forward fill: row-local spine sequence off a users-sized agg, (user, day) equi-join, running last-non-null window per user — nothing global, nothing quadratic",
-    "q_concurrency" -> "interval sweep: per-day partitions with a calendar-bounded broadcast carry table — the global ordered cumsum decomposes, no one-partition sort")
+    "q_concurrency" -> "interval sweep: per-day partitions with a calendar-bounded broadcast carry table — the global ordered cumsum decomposes, no one-partition sort",
+    "q_pagerank" -> "PageRank round: ranks shuffle-join onto edges by src (never broadcast — ranks scale with nodes), partial-agg sum by dst; localCheckpoint scans between rounds keep lineage flat",
+    "q_heavy_hitters" -> "heavy hitters: ONE graft_mg sketch agg (≤k counters per partial) + candidate-only exact count behind a constant-size broadcast — the open vocabulary never shuffles",
+    "q_bloom_join" -> "bloom-pruned semi join: codegen'd xxhash64 bit probes filter the orders probe BELOW the exact semi join's exchange (observe() fences the reorder); bloom build is 8 KiB regardless of SF",
+    "q_inverted_index" -> "impact-ordered index: graft_topk caps postings at 100/token across the shuffle — a stopword costs k rows, not df rows",
+    "q_merge_upsert" -> "CDC merge: change batch pre-compacted by arg-max, ONE full-outer join + coalesce CASE arms — update/insert/carry without driver branches",
+    "q_decontaminate" -> "decontamination: eval-split shingles are constant-size by design (eval sets don't grow with the corpus) → size-gated broadcast; corpus touched by one equi-join + per-doc agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -32,7 +32,10 @@ object ScaleCheck {
     "q_dup_clusters", "q_ann_ivf", "q_knn_graph", "q_cluster_assign",
     "q_similarity_topk", "q_bm25", "q_tfidf", "q_join_asof", "q_repetition",
     "q_sessionize", "q_funnel", "q_concurrency", "q_retention", "q_transitions",
-    "q_chunking")
+    "q_chunking",
+    // round 3: iterative graph, sketch passes, runtime filter, curation
+    "q_pagerank", "q_heavy_hitters", "q_bloom_join", "q_interval_overlap",
+    "q_inverted_index", "q_decontaminate", "q_novelty", "q_merge_upsert")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

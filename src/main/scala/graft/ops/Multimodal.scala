@@ -92,11 +92,41 @@ object Multimodal {
           .join(assets(s, dir).select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
             col("meta.sample_rate").as("sample_rate")), Seq("doc_id"))
           .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
-            col("byteMean").as("byte_mean"), col("byteEntropyBucket").as("entropy_bucket"),
+            col("byteMean").as("byte_mean"),
+            col("byteEntropyBucket").cast("long").as("entropy_bucket"),
             col("nFrames").cast("long").as("n_frames"))
           .orderBy("doc_id")
       },
-      None),
+      // oracle-able because the stub decoder is exact arithmetic over the
+      // (asserted all-ASCII) payload bytes: DuckDB recomputes byte mean
+      // (one exact-int division), the modal 32-wide code bucket (smallest
+      // bucket on count ties = indexOf-first in the stub), and the frame
+      // count from character codes
+      Some("""WITH chars AS (
+                SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS code
+                FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, len(text))) AS i
+                      FROM documents)),
+              a AS (
+                SELECT doc_id, count(*) AS n, CAST(sum(code) AS BIGINT) AS sc
+                FROM chars GROUP BY 1),
+              b AS (
+                SELECT doc_id, code // 32 AS bkt, count(*) AS c
+                FROM chars GROUP BY 1, 2),
+              best AS (
+                SELECT doc_id, bkt FROM (
+                  SELECT doc_id, bkt, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, bkt) AS rn
+                  FROM b) WHERE rn = 1)
+              SELECT d.doc_id,
+                CAST(d.n_chars AS BIGINT) AS n_bytes,
+                CAST(d.doc_id % 3 * 8000 + 16000 AS BIGINT) AS sample_rate,
+                COALESCE(CAST(a.sc AS DOUBLE) / a.n, 0.0) AS byte_mean,
+                CAST(COALESCE(best.bkt, 0) AS BIGINT) AS entropy_bucket,
+                CAST((d.n_chars + 31) // 32 AS BIGINT) AS n_frames
+              FROM documents d
+                LEFT JOIN a USING (doc_id) LEFT JOIN best USING (doc_id)
+              ORDER BY d.doc_id""")),
 
     // ── frame sampling (media chunking pipeline) ─────────────────────────
     // Payload sliced into fixed 32-byte "frames" (stand-in for video
