@@ -1179,6 +1179,56 @@ object Relational {
                   CAST((SELECT count(*) FROM orders
                         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
                   (SELECT count(*) FROM orders))
-              ORDER BY constraint_name"""))
+              ORDER BY constraint_name""")),
+
+    // ── snapshot diff (corpus/dimension drift report) ────────────────────
+    // The regression detector between two dataset versions: one
+    // co-partitioned full-outer join on the key classifies every row as
+    // added / removed / changed / unchanged, collapsed to the constant-
+    // size census a publish gate alerts on. Snapshots derive
+    // deterministically from customer (≈2% removed, ≈2% added, every
+    // 7th account balance drifted) so both engines diff identical
+    // inputs. Value comparison uses null-safe equality — NULL vs NULL
+    // is "unchanged", the semantics a diff needs and `=` gets wrong. At
+    // 100 TB both snapshots bucket by key → exchange-free join; the agg
+    // output is 4 rows at any SF.
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("name"),
+            dec2(col("c_acctbal")).cast("double").as("bal"))
+        val old = base.filter(col("key") % 50 =!= 1)
+          .select(col("key"), col("name").as("o_name"), col("bal").as("o_bal"))
+        val neu = base.filter(col("key") % 50 =!= 2)
+          .select(col("key"), col("name").as("n_name"),
+            when(col("key") % 7 === 0, col("bal") + 10.0)
+              .otherwise(col("bal")).as("n_bal"))
+        old.join(neu, Seq("key"), "full_outer")
+          .select(
+            when(col("o_name").isNull, "added")
+              .when(col("n_name").isNull, "removed")
+              .when(col("o_name") <=> col("n_name")
+                && col("o_bal") <=> col("n_bal"), "unchanged")
+              .otherwise("changed").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH base AS (
+                SELECT c_custkey AS key, c_name AS name,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+                FROM customer),
+              o AS (SELECT key, name AS o_name, bal AS o_bal
+                    FROM base WHERE key % 50 <> 1),
+              n AS (SELECT key, name AS n_name,
+                      CASE WHEN key % 7 = 0 THEN bal + 10.0 ELSE bal END AS n_bal
+                    FROM base WHERE key % 50 <> 2)
+              SELECT CASE WHEN o_name IS NULL THEN 'added'
+                          WHEN n_name IS NULL THEN 'removed'
+                          WHEN o_name IS NOT DISTINCT FROM n_name
+                           AND o_bal IS NOT DISTINCT FROM n_bal THEN 'unchanged'
+                          ELSE 'changed' END AS status,
+                count(*) AS n
+              FROM o FULL OUTER JOIN n USING (key)
+              GROUP BY 1 ORDER BY status"""))
   )
 }
