@@ -312,4 +312,55 @@ class OpsSpec extends SparkSpec {
     assert(a.map(_.getLong(1)).distinct.length > 1, "degenerate single cluster")
     assert(a.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
   }
+
+  // ── round-3 operator invariants (oracle owns values; these own shape) ─
+  test("q_bloom_join's bloom actually prunes: FP survivors are rare") {
+    // the bloom must pass every true match (guaranteed by construction —
+    // the gate checks the final answer) AND stop most non-matches:
+    // measure the prune via the same filter the query plans
+    import graft.plans.GraftExtensions
+    GraftExtensions.ensureRegistered(spark)
+    val exact = q("q_bloom_join").count()
+    val orders = graft.Tables.load(spark, sfDir, "orders").count()
+    assert(exact < orders, "fixture: some orders must be non-BUILDING")
+    // rows entering the exact join = observe() metric; metrics attach to
+    // the QueryExecution an ACTION ran on, so collect() the df itself.
+    // The accumulator reads 2× the row count: the final orderBy's range
+    // partitioner runs a SAMPLING pass over the child (executing the
+    // metrics node once) before the real pass — divide it back out.
+    val df = q("q_bloom_join")
+    df.collect()
+    val pruned = df.queryExecution.observedMetrics("bloom_prune")
+      .getLong(0) / 2
+    // 64-Kbit / 5-hash bloom at spec scale (≤1.5k keys) has FPR ≈ 1e-4:
+    // the pruned probe should be within 5% of the exact match count
+    assert(pruned >= exact, "bloom dropped a true match")
+    assert(pruned <= exact * 1.05 + 50,
+      s"bloom stopped pruning: $pruned passed vs $exact exact matches")
+  }
+
+  test("q_pagerank conserves rank mass and ranks high-degree nodes higher") {
+    val rows = q("q_pagerank").collect()
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(1)).sum
+    // integer truncation only LOSES mass: total ≤ SCALE; per round a
+    // node's outgoing floor-divisions lose up to deg-1 units plus the
+    // two /100 truncations — bounded far below 0.1% of SCALE here
+    val scale = 1000000000000L
+    assert(total <= scale, "rank mass created from nothing")
+    assert(total >= scale - scale / 1000, s"rank mass leak beyond truncation: $total")
+    assert(rows.forall(_.getLong(1) > 0), "a node lost all rank")
+    assert(n > 0 && total / n > 0)
+  }
+
+  test("q_merge_upsert actions partition the key space") {
+    val rows = q("q_merge_upsert").collect()
+    val byAction = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(byAction.keySet === Set("updated", "inserted", "carried"))
+    // inserted keys are exactly the shifted change keys; every base row
+    // survives as updated or carried
+    val baseN = graft.Tables.load(spark, sfDir, "customer").count().toInt
+    assert(byAction("updated") + byAction("carried") === baseN)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length, "key dup")
+  }
 }
