@@ -474,6 +474,59 @@ object EventTime {
                 CAST(SUM(LEAST(epoch_us(sess_end), epoch_us(day_start + INTERVAL 1 DAY))
                   - GREATEST(epoch_us(sess_start), epoch_us(day_start))) AS BIGINT)
                   // 1000000 AS busy_secs
-              FROM sp GROUP BY 1 ORDER BY 1"""))
+              FROM sp GROUP BY 1 ORDER BY 1""")),
+
+    // ── last-touch attribution ───────────────────────────────────────────
+    // Marketing attribution: each purchase credits the user's most recent
+    // marketing touch (click/view) STRICTLY before it, if within 7 days —
+    // else 'direct'. One user-keyed window with a running last-non-null
+    // over the preceding frame (the q_join_asof union-merge trick inside
+    // a single table: touches and purchases share the timeline, so no
+    // join at all). Revenue sums in DECIMAL; the attribution census is
+    // bounded by #channels at any SF.
+    Q("q_attribution",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .withColumn("touch_ts",
+            when(col("event_type").isin("click", "view"), col("ts")))
+          .withColumn("touch_type",
+            when(col("event_type").isin("click", "view"), col("event_type")))
+        ev
+          .withColumn("last_touch_ts", last(col("touch_ts"), ignoreNulls = true).over(byUser))
+          .withColumn("last_touch_type", last(col("touch_type"), ignoreNulls = true).over(byUser))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("last_touch_ts").isNull
+              || unix_micros(col("ts")) - unix_micros(col("last_touch_ts"))
+                 > 7L * 86400 * 1000000, "direct")
+              .otherwise(col("last_touch_type")).as("channel"),
+            col("value"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"), sumDec2(col("value")).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                  CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts,
+                  CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch_type
+                FROM events),
+              lt AS (
+                SELECT *,
+                  last_value(touch_ts IGNORE NULLS) OVER w AS last_touch_ts,
+                  last_value(touch_type IGNORE NULLS) OVER w AS last_touch_type
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              SELECT CASE WHEN last_touch_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(last_touch_ts) > 604800000000
+                          THEN 'direct' ELSE last_touch_type END AS channel,
+                count(*) AS n_purchases,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lt WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY channel"""))
   )
 }

@@ -1229,6 +1229,63 @@ object Relational {
                           ELSE 'changed' END AS status,
                 count(*) AS n
               FROM o FULL OUTER JOIN n USING (key)
-              GROUP BY 1 ORDER BY status"""))
+              GROUP BY 1 ORDER BY status""")),
+
+    // ── right-to-be-forgotten cascade census ─────────────────────────────
+    // The compliance op: given a forget-set of subjects (custkey ≡ 0 mod
+    // 97 — the user-id domain events share, TESTDATA.md), count what a
+    // purge would delete from every table, following the FK cascade
+    // orders → lineitem. Every probe is a key-keyed LEFT SEMI join (the
+    // forget set is usually small but UNBOUNDED — never hint-broadcast);
+    // the lineitem leg goes through the purged-orders key set, so the
+    // cascade is two semi joins, not a 3-way product. Output: 4 rows at
+    // any SF — the audit record a deletion job files before running.
+    Q("q_gdpr_purge",
+      (s, dir) => {
+        val forget = t(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+        def census(name: String, purged: DataFrame, total: DataFrame) =
+          purged.agg(count(lit(1)).as("n_purged"))
+            .crossJoin(total.agg(count(lit(1)).as("n_total")))
+            .select(lit(name).as("table_name"), col("n_purged"), col("n_total"))
+        val customer = t(s, dir, "customer")
+        val orders = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val events = t(s, dir, "events")
+        val purgedOrders = orders
+          .join(forget, orders("o_custkey") === forget("c_custkey"), "left_semi")
+        val purgedLi = li.join(purgedOrders.select(col("o_orderkey")),
+          li("l_orderkey") === col("o_orderkey"), "left_semi")
+        val purgedEvents = events
+          .join(forget, events("user_id") === forget("c_custkey"), "left_semi")
+        census("customer", customer.filter(col("c_custkey") % 97 === 0), customer)
+          .unionByName(census("events", purgedEvents, events))
+          .unionByName(census("lineitem", purgedLi, li))
+          .unionByName(census("orders", purgedOrders, orders))
+          .orderBy("table_name")
+      },
+      Some("""WITH forget AS (
+                SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+              po AS (SELECT o_orderkey FROM orders
+                     WHERE o_custkey IN (SELECT c_custkey FROM forget))
+              SELECT * FROM (
+                SELECT 'customer' AS table_name,
+                  (SELECT count(*) FROM forget) AS n_purged,
+                  (SELECT count(*) FROM customer) AS n_total
+                UNION ALL
+                SELECT 'events',
+                  (SELECT count(*) FROM events
+                   WHERE user_id IN (SELECT c_custkey FROM forget)),
+                  (SELECT count(*) FROM events)
+                UNION ALL
+                SELECT 'lineitem',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+                  (SELECT count(*) FROM lineitem)
+                UNION ALL
+                SELECT 'orders',
+                  (SELECT count(*) FROM po),
+                  (SELECT count(*) FROM orders))
+              ORDER BY table_name"""))
   )
 }
