@@ -1286,6 +1286,96 @@ object Relational {
                 SELECT 'orders',
                   (SELECT count(*) FROM po),
                   (SELECT count(*) FROM orders))
-              ORDER BY table_name"""))
+              ORDER BY table_name""")),
+
+    // ── shipping-priority analytics (TPC-H Q3 shape) ─────────────────────
+    // The canonical 3-way fact drill-down: segment-filtered customers ⋈
+    // date-filtered orders ⋈ shipdate-filtered lineitem, revenue per
+    // order, top 10. Every filter pushes into its parquet scan BEFORE
+    // the joins (PushedFilters carries the date cutoffs), both join keys
+    // hash-partition, and the top-10 is a TakeOrderedAndProject over the
+    // aggregated (order, date, priority) rows — never a global sort of
+    // line items. Revenue sums in DECIMAL (§7.5); ties on revenue break
+    // by orderkey so the LIMIT frontier is deterministic.
+    Q("q_ship_priority",
+      (s, dir) => {
+        val cutoff = "1998-01-01"
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                AND l_shipdate > TIMESTAMP '1998-01-01'
+                AND EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey
+                              AND c_mktsegment = 'BUILDING')
+              GROUP BY 1, 2, 3
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ── regional supplier volume (TPC-H Q5 shape, 6-way star) ────────────
+    // The deep snowflake: region → nation → customer → orders → lineitem
+    // ⋈ supplier, keeping only lines where the supplier sits in the same
+    // nation as the customer (the local-volume condition). Plan shape:
+    // region/nation are constant-size (5 / 25 rows — broadcast by
+    // size-gating, no hints needed), customer/supplier/orders/lineitem
+    // all hash-partition on their join keys, and the same-nation
+    // predicate rides the supplier join (an equi-conjunct, not a
+    // post-filter). One row per nation out.
+    Q("q_region_volume",
+      (s, dir) => {
+        val nat = t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, dir, "customer")
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"))
+        val supp = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                  AND s_nationkey = c_nationkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+              GROUP BY 1 ORDER BY n_name"""))
   )
 }
