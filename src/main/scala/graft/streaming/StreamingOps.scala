@@ -378,6 +378,54 @@ object StreamingOps {
       }
   }
 
+  // ── stateful last-touch attribution (streaming twin of q_attribution) ─
+
+  final case class ValEv(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  /** Last marketing touch per user: micros + channel. */
+  final case class TouchState(tUs: Long, channel: String)
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+      channel: String, value: Double)
+
+  /** Incremental last-touch attribution: state is ONE (micros, channel)
+    * per user — the only thing attribution needs to remember. Each
+    * micro-batch walks its group's events in (ts, event_id) order
+    * (q_attribution's exact window order): click/view updates the
+    * remembered touch, purchase emits an Append-mode attribution delta
+    * against the touch STRICTLY preceding it (7-day lookback, else
+    * 'direct'). Downstream groupBy(channel) folds the delta stream into
+    * the live census the batch query computes by rescan. Same
+    * per-user event-time-ordered delivery contract as the other twins.
+    */
+  def statefulAttribution(events: Dataset[ValEv]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    val lookbackUs = 7L * 86400 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[TouchState]) =>
+          val out = Vector.newBuilder[AttributedPurchase]
+          var touch = state.getOption
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            e.event_type match {
+              case "click" | "view" =>
+                touch = Some(TouchState(us(e.ts), e.event_type))
+              case "purchase" =>
+                val ch = touch match {
+                  case Some(t) if us(e.ts) - t.tUs <= lookbackUs => t.channel
+                  case _ => "direct"
+                }
+                out += AttributedPurchase(uid, e.event_id, ch, e.value)
+              case _ => ()
+            }
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // ── streaming heavy-hitter candidates (twin of q_heavy_hitters) ──────
 
   /** The Misra-Gries buffer AS streaming state: a global `graft_mg` agg

@@ -366,6 +366,29 @@ class StreamingSpec extends SparkSpec {
     assert(folded === batch)
   }
 
+  test("stateful last-touch attribution converges to batch q_attribution") {
+    import spark.implicits._
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamingOps.ValEv]
+    val deltas = StreamingOps.runToMemory(
+      StreamingOps.statefulAttribution(stream).toDF(), "t_attr",
+      OutputMode.Append())
+      .select("channel", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // fold driver-side in exact decimal — the batch census sums dec2
+    val folded = deltas.groupBy(_._1).view.mapValues { vs =>
+      val rev = vs.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      (vs.length.toLong, rev)
+    }.toMap
+    val batch = SparkEntry.queries("q_attribution")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch.nonEmpty && folded.nonEmpty)
+    assert(folded === batch)
+  }
+
   test("Misra-Gries sketch as streaming state keeps the heavy-hitter guarantee") {
     val k = 4
     val stream = StreamingOps.readEventStream(spark, batchDir)
