@@ -40,7 +40,9 @@ object PlanDump {
     "q_bloom_join" -> "bloom-pruned semi join: codegen'd xxhash64 bit probes filter the orders probe BELOW the exact semi join's exchange (observe() fences the reorder); bloom build is 8 KiB regardless of SF",
     "q_inverted_index" -> "impact-ordered index: graft_topk caps postings at 100/token across the shuffle — a stopword costs k rows, not df rows",
     "q_merge_upsert" -> "CDC merge: change batch pre-compacted by arg-max, ONE full-outer join + coalesce CASE arms — update/insert/carry without driver branches",
-    "q_decontaminate" -> "decontamination: eval-split shingles are constant-size by design (eval sets don't grow with the corpus) → size-gated broadcast; corpus touched by one equi-join + per-doc agg")
+    "q_decontaminate" -> "decontamination: eval-split shingles are constant-size by design (eval sets don't grow with the corpus) → size-gated broadcast; corpus touched by one equi-join + per-doc agg",
+    "q_ship_priority" -> "TPC-H Q3 shape: segment/date/shipdate filters all in PushedFilters below the joins; top-10 is TakeOrderedAndProject over aggregated orders, never a lineitem sort",
+    "q_region_volume" -> "TPC-H Q5 shape: region/nation broadcast by size-gating (5/25 rows), customer/supplier/orders/lineitem hash-partition; same-nation predicate rides the supplier equi-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
