@@ -181,6 +181,99 @@ object Curation {
                 CAST(sum(n_seq) AS BIGINT) AS n_seqs,
                 CAST(sum(n_seq * 512 - n_tok) AS BIGINT) AS pad_tokens,
                 CAST(sum(n_seq * 512 - n_tok) AS DOUBLE) / (sum(n_seq) * 512) AS waste_frac
-              FROM d GROUP BY source ORDER BY source"""))
+              FROM d GROUP BY source ORDER BY source""")),
+
+    // ── deterministic per-group sampling ─────────────────────────────────
+    // k documents per (source, lang) slice, selected by an arithmetic
+    // Knuth-hash ranking (id × 2654435761 mod 2³²) — uniform-ish,
+    // seedable by changing the multiplier, and REPRODUCIBLE: the sample
+    // is a function of the data, not an RNG stream, so reruns and both
+    // engines agree (the property a training-data sampling stage needs
+    // for auditability). graft_topk keeps ≤ k rows per (partition ×
+    // slice) on the map side — the corpus never shuffles, exactly the
+    // q_topk_per_group scale shape. Rank ties are impossible (hash is
+    // injective on doc_id < 2³²; doc_id tiebreak anyway).
+    Q("q_sample_per_group",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        t(s, dir, "documents")
+          .select(col("source"), col("lang"), col("doc_id"),
+            (col("doc_id") * 2654435761L % 4294967296L).as("h"))
+          .groupBy("source", "lang")
+          .agg(call_function("graft_topk",
+            col("doc_id"), -col("h").cast("double"), lit(5)).as("top"))
+          .select(col("source"), col("lang"),
+            explode(expr("transform(top, x -> x.id)")).as("doc_id"))
+          .orderBy("source", "lang", "doc_id")
+      },
+      // graft_topk takes the k LARGEST scores (ties by id): score = -h
+      // picks the k smallest hashes — mirror with ORDER BY h, doc_id
+      Some("""SELECT source, lang, doc_id FROM (
+                SELECT source, lang, doc_id, row_number() OVER (
+                  PARTITION BY source, lang
+                  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+                FROM documents)
+              WHERE rn <= 5 ORDER BY source, lang, doc_id""")),
+
+    // ── dataset card: per-column profile of the corpus table ─────────────
+    // The auto-generated "dataset card" a curation pipeline publishes
+    // beside the data: per column, row count, null count, exact distinct
+    // count, and value-length bounds. Each column profiles in one
+    // scan-and-agg pass (distinct via partial-agg count(DISTINCT));
+    // output is #columns rows at any SF. At 100 TB the exact distincts
+    // swap for the HLL sketches of q_approx_distinct — same shape, no
+    // rescan (the sketch unions are q_sketch_rollup's machinery).
+    Q("q_profile_table",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def prof(cname: String) =
+          docs.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(cname).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(cname)).as("n_distinct"),
+            min(length(col(cname).cast("string"))).cast("long").as("min_len"),
+            max(length(col(cname).cast("string"))).cast("long").as("max_len"))
+            .select(lit(cname).as("column_name"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_len"), col("max_len"))
+        Seq("doc_id", "lang", "source", "text", "n_chars")
+          .map(prof).reduce(_ unionByName _)
+          .orderBy("column_name")
+      },
+      Some("""SELECT * FROM (
+                SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+                  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  count(DISTINCT doc_id) AS n_distinct,
+                  CAST(MIN(len(CAST(doc_id AS VARCHAR))) AS BIGINT) AS min_len,
+                  CAST(MAX(len(CAST(doc_id AS VARCHAR))) AS BIGINT) AS max_len
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*),
+                  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT lang),
+                  CAST(MIN(len(CAST(lang AS VARCHAR))) AS BIGINT),
+                  CAST(MAX(len(CAST(lang AS VARCHAR))) AS BIGINT)
+                FROM documents
+                UNION ALL
+                SELECT 'source', count(*),
+                  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT source),
+                  CAST(MIN(len(CAST(source AS VARCHAR))) AS BIGINT),
+                  CAST(MAX(len(CAST(source AS VARCHAR))) AS BIGINT)
+                FROM documents
+                UNION ALL
+                SELECT 'text', count(*),
+                  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT text),
+                  CAST(MIN(len(CAST(text AS VARCHAR))) AS BIGINT),
+                  CAST(MAX(len(CAST(text AS VARCHAR))) AS BIGINT)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', count(*),
+                  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT n_chars),
+                  CAST(MIN(len(CAST(n_chars AS VARCHAR))) AS BIGINT),
+                  CAST(MAX(len(CAST(n_chars AS VARCHAR))) AS BIGINT)
+                FROM documents)
+              ORDER BY column_name"""))
   )
 }

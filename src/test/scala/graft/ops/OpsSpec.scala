@@ -363,4 +363,38 @@ class OpsSpec extends SparkSpec {
     assert(byAction("updated") + byAction("carried") === baseN)
     assert(rows.map(_.getLong(0)).distinct.length === rows.length, "key dup")
   }
+
+  test("q_sample_per_group: ≤k per slice, saturated slices hit exactly k") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val slice = docs.groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sample = q("q_sample_per_group").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    assert(sample.nonEmpty)
+    sample.foreach { case (k, ids) =>
+      assert(ids.length === math.min(5L, slice(k)).toInt,
+        s"slice $k: ${ids.length} sampled from ${slice(k)} docs")
+      assert(ids.distinct.length === ids.length, s"slice $k repeated a doc")
+    }
+    // hash ranking is a function of the data: a rerun is identical
+    val rerun = q("q_sample_per_group").collect().map(_.toString)
+    assert(rerun.sameElements(q("q_sample_per_group").collect().map(_.toString)))
+  }
+
+  test("q_profile_table invariants hold against the raw table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val rows = q("q_profile_table").collect()
+    assert(rows.length === 5, "one profile row per declared column")
+    rows.foreach { r =>
+      assert(r.getLong(1) === n, s"${r.getString(0)}: n_rows drifted")
+      val (nNull, nDist) = (r.getLong(2), r.getLong(3))
+      assert(nNull >= 0 && nNull <= n)
+      assert(nDist <= n - nNull, s"${r.getString(0)}: distinct > non-null")
+      assert(r.getLong(4) <= r.getLong(5), "min_len > max_len")
+    }
+    val byCol = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byCol("doc_id") === n, "doc_id must profile as a unique key")
+  }
 }
