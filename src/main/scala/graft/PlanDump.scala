@@ -42,7 +42,9 @@ object PlanDump {
     "q_merge_upsert" -> "CDC merge: change batch pre-compacted by arg-max, ONE full-outer join + coalesce CASE arms — update/insert/carry without driver branches",
     "q_decontaminate" -> "decontamination: eval-split shingles are constant-size by design (eval sets don't grow with the corpus) → size-gated broadcast; corpus touched by one equi-join + per-doc agg",
     "q_ship_priority" -> "TPC-H Q3 shape: segment/date/shipdate filters all in PushedFilters below the joins; top-10 is TakeOrderedAndProject over aggregated orders, never a lineitem sort",
-    "q_region_volume" -> "TPC-H Q5 shape: region/nation broadcast by size-gating (5/25 rows), customer/supplier/orders/lineitem hash-partition; same-nation predicate rides the supplier equi-join")
+    "q_region_volume" -> "TPC-H Q5 shape: region/nation broadcast by size-gating (5/25 rows), customer/supplier/orders/lineitem hash-partition; same-nation predicate rides the supplier equi-join",
+    "q_sample_per_group" -> "deterministic k-per-slice sampling: Knuth-hash rank + graft_topk partial agg — ≤k rows per (task × slice) cross the shuffle, the corpus never does",
+    "q_profile_table" -> "dataset-card profiling: one scan+partial-agg per column (distinct via two-level agg), output is #columns rows at any SF")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
