@@ -547,6 +547,47 @@ object Dedup {
           .filter(col("hamming") <= 12)
           .orderBy("a", "b")
       },
-      None)
+      None),
+
+    // ── edit-distance verification of near-dup candidates ────────────────
+    // The last rung of the dedup ladder: exact character-level Levenshtein
+    // over CANDIDATE PAIRS ONLY (the shared shingle pair core, J ≥ 0.3 —
+    // never the corpus²). Levenshtein is O(|a|·|b|) per pair, so the whole
+    // point is that the quadratic-cost metric runs on the linear-size
+    // candidate set; the doc texts are fetched by inner-joining the pair
+    // list (candidate ids only — the same semi-join prune as q_dedup_near's
+    // verify). edit_sim = (maxlen − dist) / maxlen is one IEEE division of
+    // exact integers — bit-stable in both engines. At 100 TB the per-pair
+    // cost is additionally capped with Spark's thresholded
+    // `levenshtein(l, r, t)` (early-exits the DP at distance > t) — not
+    // used here only because the oracle needs the untruncated distance.
+    Q("q_dedup_edit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        ngramPairs(s, dir).select("a", "b")
+          .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+          .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+          .select(col("a"), col("b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+            greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+          .select(col("a"), col("b"), col("edit_dist"),
+            ((col("max_len") - col("edit_dist")).cast("double") / col("max_len"))
+              .as("edit_sim"))
+          .filter(col("edit_sim") >= 0.5)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $NgramCtes,
+              v AS (
+                SELECT jp.a, jp.b,
+                  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+                  CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS max_len
+                FROM jp
+                  JOIN documents da ON da.doc_id = jp.a
+                  JOIN documents db ON db.doc_id = jp.b)
+              SELECT a, b, edit_dist,
+                CAST(max_len - edit_dist AS DOUBLE) / max_len AS edit_sim
+              FROM v
+              WHERE CAST(max_len - edit_dist AS DOUBLE) / max_len >= 0.5
+              ORDER BY a, b"""))
   )
 }

@@ -527,6 +527,46 @@ object EventTime {
                 count(*) AS n_purchases,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
               FROM lt WHERE event_type = 'purchase'
-              GROUP BY 1 ORDER BY channel"""))
+              GROUP BY 1 ORDER BY channel""")),
+
+    // ── gaps-and-islands: per-user consecutive-day activity streaks ──────
+    // The classic SQL islands construct (streaks, uptime runs, contiguous
+    // coverage) via the row_number-difference trick: for each user's
+    // DISTINCT activity days, day_num − row_number is constant exactly
+    // within a run of consecutive days, so one user-keyed window turns
+    // runs into group keys — no self-join, no recursion. Scale shape:
+    // events collapse to (user, day) in a partial-agg distinct FIRST
+    // (days-sized, ≤ calendar × users), then the only window partitions
+    // by user — the natural 100-TB key; output is one row per user.
+    Q("q_gaps_islands",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+          .select(col("user_id"),
+            datediff(col("d"), lit("1970-01-01")).cast("long").as("dn"))
+        val w = Window.partitionBy("user_id").orderBy("dn")
+        days
+          .select(col("user_id"), col("dn"),
+            (col("dn") - row_number().over(w)).as("grp"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            max(col("len")).as("longest_streak"),
+            sum(col("len")).as("active_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+                FROM events),
+              g AS (
+                SELECT user_id, dn,
+                  dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+                FROM days),
+              isl AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+              SELECT user_id, count(*) AS n_islands, MAX(len) AS longest_streak,
+                CAST(SUM(len) AS BIGINT) AS active_days
+              FROM isl GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1376,6 +1376,64 @@ object Relational {
                 JOIN nation ON c_nationkey = n_nationkey
                 JOIN region ON n_regionkey = r_regionkey
               WHERE r_name = 'ASIA'
-              GROUP BY 1 ORDER BY n_name"""))
+              GROUP BY 1 ORDER BY n_name""")),
+
+    // ── z-order (Morton) clustering layout ───────────────────────────────
+    // The multi-dimensional data-layout op: quantize (orderdate, custkey)
+    // to 16-bit cells against min/max stats (one 1-row broadcast, the
+    // q_histogram_numeric pattern), interleave with the codegen'd
+    // `graft_zorder`, and census the coarse z-tiles (z >> 20 → ≤4096
+    // tiles at ANY SF). Each tile's (min,max) bounds in BOTH dims stay
+    // tight — the property that lets a 2-D range predicate prune
+    // contiguous file runs after a z-sorted write. At 100 TB the z value
+    // feeds `repartitionByRange(z).sortWithinPartitions(z)` on the write
+    // path; everything here is row-local integer arithmetic between one
+    // stats pass and one bounded-cardinality agg.
+    Q("q_zorder_layout",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val dims = t(s, dir, "orders")
+          .select(
+            datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("x"),
+            col("o_custkey").as("y"))
+        val stats = dims.agg(
+          min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+        dims.crossJoin(broadcast(stats))
+          .select(
+            expr("((x - xmin) * 65535) div greatest(xmax - xmin, CAST(1 AS BIGINT))").as("xq"),
+            expr("((y - ymin) * 65535) div greatest(ymax - ymin, CAST(1 AS BIGINT))").as("yq"))
+          .select(col("xq"), col("yq"),
+            call_function("graft_zorder", col("xq"), col("yq"), lit(16)).as("z"))
+          .select(shiftright(col("z"), 20).as("tile"),
+            col("xq"), col("yq"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n_rows"),
+            min("xq").as("min_x"), max("xq").as("max_x"),
+            min("yq").as("min_y"), max("yq").as("max_y"))
+          .orderBy("tile")
+      },
+      Some("""WITH dims AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+                       o_custkey AS y
+                FROM orders),
+              st AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                            min(y) AS ymin, max(y) AS ymax FROM dims),
+              qz AS (
+                SELECT ((x - xmin) * 65535) // greatest(xmax - xmin, 1) AS xq,
+                       ((y - ymin) * 65535) // greatest(ymax - ymin, 1) AS yq
+                FROM dims, st),
+              zv AS (
+                SELECT xq, yq,
+                  CAST(list_sum(
+                    [((xq // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i))
+                     + ((yq // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))
+                     for i in generate_series(0, 15)]) AS BIGINT) AS z
+                FROM qz)
+              SELECT z >> 20 AS tile, count(*) AS n_rows,
+                MIN(xq) AS min_x, MAX(xq) AS max_x,
+                MIN(yq) AS min_y, MAX(yq) AS max_y
+              FROM zv GROUP BY 1 ORDER BY tile"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, TopKAggregator}
+import graft.functions.{DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, TopKAggregator, ZOrder}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -30,6 +30,9 @@ import org.apache.spark.sql.execution.aggregate.ScalaAggregator
   *   - `graft_mg(token[, k])` → array<string>: mergeable Misra-Gries
   *     heavy-hitter candidates ([[graft.functions.MisraGries]]); k is an
   *     integer literal, default 64.
+  *   - `graft_zorder(x, y[, bits])` → bigint: codegen'd Morton
+  *     interleave for z-order data layout ([[graft.functions.ZOrder]]);
+  *     bits is an integer literal, default 16.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -112,7 +115,15 @@ object GraftExtensions {
         aggregatorName = Some("graft_mg"))
     })
 
-  private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn, mgFn)
+  private val zorderFn = (
+    FunctionIdentifier("graft_zorder"),
+    new ExpressionInfo(classOf[ZOrder].getName, "graft_zorder"),
+    (children: Seq[Expression]) => {
+      val bits = if (children.length > 2) intArg(children(2), "bits") else 16
+      ZOrder(children.head, children(1), bits)
+    })
+
+  private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn, mgFn, zorderFn)
 
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no
