@@ -44,7 +44,10 @@ object PlanDump {
     "q_ship_priority" -> "TPC-H Q3 shape: segment/date/shipdate filters all in PushedFilters below the joins; top-10 is TakeOrderedAndProject over aggregated orders, never a lineitem sort",
     "q_region_volume" -> "TPC-H Q5 shape: region/nation broadcast by size-gating (5/25 rows), customer/supplier/orders/lineitem hash-partition; same-nation predicate rides the supplier equi-join",
     "q_sample_per_group" -> "deterministic k-per-slice sampling: Knuth-hash rank + graft_topk partial agg — ≤k rows per (task × slice) cross the shuffle, the corpus never does",
-    "q_profile_table" -> "dataset-card profiling: one scan+partial-agg per column (distinct via two-level agg), output is #columns rows at any SF")
+    "q_profile_table" -> "dataset-card profiling: one scan+partial-agg per column (distinct via two-level agg), output is #columns rows at any SF",
+    "q_dedup_edit" -> "edit-distance verify: O(len²) levenshtein runs on the CANDIDATE pair set only — texts fetched by inner-joining candidate ids, never a corpus² text join",
+    "q_gaps_islands" -> "gaps-and-islands: events collapse to (user, day) distinct FIRST, then one user-keyed window — the row_number-difference trick, no self-join",
+    "q_zorder_layout" -> "z-order layout: 1-row stats broadcast → row-local quantize + codegen'd graft_zorder interleave → bounded tile agg (≤4096 groups at any SF)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

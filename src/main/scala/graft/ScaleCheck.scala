@@ -35,7 +35,10 @@ object ScaleCheck {
     "q_chunking",
     // round 3: iterative graph, sketch passes, runtime filter, curation
     "q_pagerank", "q_heavy_hitters", "q_bloom_join", "q_interval_overlap",
-    "q_inverted_index", "q_decontaminate", "q_novelty", "q_merge_upsert")
+    "q_inverted_index", "q_decontaminate", "q_novelty", "q_merge_upsert",
+    // round-3 late additions: sampling, candidate-only edit verify,
+    // islands window, z-order layout
+    "q_sample_per_group", "q_dedup_edit", "q_gaps_islands", "q_zorder_layout")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
