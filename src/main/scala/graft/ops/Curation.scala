@@ -274,6 +274,35 @@ object Curation {
                   CAST(MIN(len(CAST(n_chars AS VARCHAR))) AS BIGINT),
                   CAST(MAX(len(CAST(n_chars AS VARCHAR))) AS BIGINT)
                 FROM documents)
-              ORDER BY column_name"""))
+              ORDER BY column_name""")),
+
+    // ── deterministic train/val/test split census ────────────────────────
+    // The 80/10/10 split every training pipeline needs, assigned by the
+    // same Knuth-hash arithmetic as q_sample_per_group: split is a pure
+    // function of the STABLE doc id (not an RNG stream, not row order),
+    // so reruns, backfills, and different engines agree doc-by-doc, and
+    // the hash decorrelates the split from any id-order structure in the
+    // corpus. Entirely one partial-agg pass; output is sources × 3 rows
+    // at any SF.
+    Q("q_dataset_split",
+      (s, dir) => {
+        val bucket = col("doc_id") * 2654435761L % 4294967296L % 100
+        t(s, dir, "documents")
+          .select(col("source"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"),
+            col("n_chars"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars"))
+          .orderBy("source", "split")
+      },
+      Some("""SELECT source,
+                CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
+              FROM documents GROUP BY 1, 2 ORDER BY source, split"""))
   )
 }

@@ -567,6 +567,75 @@ object EventTime {
               isl AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
               SELECT user_id, count(*) AS n_islands, MAX(len) AS longest_streak,
                 CAST(SUM(len) AS BIGINT) AS active_days
-              FROM isl GROUP BY 1 ORDER BY 1"""))
+              FROM isl GROUP BY 1 ORDER BY 1""")),
+
+    // ── A/B experiment readout (Welch t-statistic) ───────────────────────
+    // The experimentation op: cohorts by user_id parity, metric = per-USER
+    // purchase revenue (user-level aggregation first — the correct unit of
+    // analysis; event-level variance understates user correlation), then
+    // per-variant moments → means, variances, and the Welch t-statistic.
+    // Scale shape: one user-keyed partial agg (events → user totals), one
+    // 2-group moment agg, one 1-row pivot — nothing bigger than users
+    // ever shuffles. Determinism: moment sums go through DECIMAL and
+    // round to integral BIGINT before the double cast (the q_stats_agg
+    // rule — DuckDB's decimal→double cast double-rounds past 15
+    // significant digits); downstream is identical-operand IEEE
+    // arithmetic (div/sqrt are correctly rounded — bit-stable; log/exp
+    // would not be).
+    Q("q_ab_test",
+      (s, dir) => {
+        val perUser = t(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", dec2(col("value")))
+              .otherwise(dec2(lit(0))).as("v"))
+          .groupBy("user_id").agg(sum(col("v")).as("ux"))
+          .select((col("user_id") % 2).as("variant"), col("ux"))
+        val m = perUser.groupBy("variant")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("ux")), 0).cast("long").cast("double").as("sx"),
+            round(sum(col("ux") * col("ux")), 0).cast("long").cast("double").as("sxx"))
+          .select(col("variant"), col("n"),
+            (col("sx") / col("n")).as("mean"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("vr"))
+        m.groupBy()
+          .agg(max(when(col("variant") === 0, col("n"))).as("n_a"),
+            max(when(col("variant") === 1, col("n"))).as("n_b"),
+            max(when(col("variant") === 0, col("mean"))).as("mean_a"),
+            max(when(col("variant") === 1, col("mean"))).as("mean_b"),
+            max(when(col("variant") === 0, col("vr"))).as("var_a"),
+            max(when(col("variant") === 1, col("vr"))).as("var_b"))
+          .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+            (col("mean_a") - col("mean_b")).as("mean_diff"),
+            ((col("mean_a") - col("mean_b"))
+              / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+              .as("t_welch"))
+      },
+      Some("""WITH pu AS (
+                SELECT user_id,
+                  SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS ux
+                FROM events GROUP BY 1),
+              m AS (
+                SELECT user_id % 2 AS variant, COUNT(*) AS n,
+                  CAST(CAST(ROUND(SUM(ux), 0) AS BIGINT) AS DOUBLE) AS sx,
+                  CAST(CAST(ROUND(SUM(ux * ux), 0) AS BIGINT) AS DOUBLE) AS sxx
+                FROM pu GROUP BY 1),
+              v AS (SELECT variant, n, sx / n AS mean,
+                      (sxx - sx * sx / n) / (n - 1) AS vr FROM m)
+              SELECT
+                MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+                MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+                MAX(CASE WHEN variant = 0 THEN mean END) AS mean_a,
+                MAX(CASE WHEN variant = 1 THEN mean END) AS mean_b,
+                MAX(CASE WHEN variant = 0 THEN mean END)
+                  - MAX(CASE WHEN variant = 1 THEN mean END) AS mean_diff,
+                (MAX(CASE WHEN variant = 0 THEN mean END)
+                  - MAX(CASE WHEN variant = 1 THEN mean END))
+                  / sqrt(MAX(CASE WHEN variant = 0 THEN vr END)
+                           / MAX(CASE WHEN variant = 0 THEN n END)
+                         + MAX(CASE WHEN variant = 1 THEN vr END)
+                           / MAX(CASE WHEN variant = 1 THEN n END)) AS t_welch
+              FROM v"""))
   )
 }
