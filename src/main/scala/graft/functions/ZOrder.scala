@@ -61,15 +61,23 @@ case class ZOrder(left: Expression, right: Expression, bits: Int)
     z
   }
 
+  // Janino (Spark's codegen compiler) misparses parenthesized arithmetic
+  // directly after a shift operator ("(2 * i) is not a type"), which
+  // would silently demote the expression to interpreted fallback — keep
+  // every shift amount in a plain local variable.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
+      val sh = ctx.freshName("sh")
       val z = ctx.freshName("z")
       s"""
          |long $z = 0L;
+         |int $sh = 0;
          |for (int $i = 0; $i < $bits; $i++) {
-         |  $z |= ((((long) $a) >>> $i) & 1L) << (2 * $i)
-         |      | ((((long) $b) >>> $i) & 1L) << (2 * $i + 1);
+         |  $z |= ((((long) $a) >>> $i) & 1L) << $sh;
+         |  $sh++;
+         |  $z |= ((((long) $b) >>> $i) & 1L) << $sh;
+         |  $sh++;
          |}
          |${ev.value} = $z;
        """.stripMargin

@@ -41,6 +41,25 @@ class ZOrderSpec extends SparkSpec {
     assert(z(32768, 32768) === 3L << 30)
   }
 
+  test("graft_zorder compiles under CODEGEN_ONLY — no interpreted fallback") {
+    // Janino failures normally demote an expression to interpreted eval
+    // with only a log line — results stay right, the codegen claim rots.
+    // CODEGEN_ONLY turns that fallback into a hard error (whole-stage
+    // codegen off so the per-operator projection path must compile it).
+    GraftExtensions.ensureRegistered(spark)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.range(0, 100)
+        .select(call_function("graft_zorder", col("id"), col("id"), lit(16)).as("z"))
+        .agg(sum("z")).head().getLong(0)
+      assert(r > 0)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
   test("z-tiles bound both dimensions (the pruning property)") {
     GraftExtensions.ensureRegistered(spark)
     // a z-tile of 2^20 values spans at most 2^10 cells per dimension:
