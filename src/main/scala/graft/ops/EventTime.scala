@@ -637,5 +637,90 @@ object EventTime {
                          + MAX(CASE WHEN variant = 1 THEN vr END)
                            / MAX(CASE WHEN variant = 1 THEN n END)) AS t_welch
               FROM v"""))
+,
+    // ── top user journey prefixes (first-3-event paths) ──────────────────
+    // The sequence-analytics op: each user's first three events (ordered
+    // by event time, ties broken by event_id) collapse to a ">"-joined
+    // path string; the census ranks the most common onboarding journeys.
+    // Scale shape: ONE shuffle by user_id for the per-user rank (window
+    // parallelism = |users|, per-task state = one user's events), the
+    // rn<=3 filter bounds everything downstream at 3 rows per user, and
+    // the path census partial-aggs to ≤|distinct paths| per task. Path
+    // cardinality is bounded by |event_types|³ — the final top-20 sort is
+    // over a constant-size relation.
+    Q("q_session_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id")
+          .agg(concat_ws(">",
+            expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+            .as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH r AS (
+                SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+                FROM events),
+              p AS (
+                SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 3 GROUP BY 1)
+              SELECT path, count(*) AS n_users
+              FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""")),
+
+    // ── per-group OLS trend (least-squares slope over event time) ────────
+    // The metric-trend op: for each event type, the least-squares line of
+    // event value against day-of-year. One partial+final moment
+    // aggregation (n, Σx, Σx², Σy, Σxy) — the whole regression is five
+    // mergeable sums, the canonical "statistics as one agg pass" shape
+    // that holds at any SF. Determinism: x is exact BIGINT days; y-sums
+    // run in DECIMAL and round to integral BIGINT before the double cast
+    // (the q_stats_agg rule); slope/intercept are then identical-operand
+    // IEEE arithmetic — bit-stable in both engines.
+    Q("q_regression",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("x"),
+            dec2(col("value")).as("y"))
+        ev.groupBy("event_type")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("x") * col("x")).cast("double").as("sxx"),
+            round(sum(col("y")), 0).cast("long").cast("double").as("sy"),
+            round(sum(col("x") * col("y")), 0).cast("long").cast("double").as("sxy"))
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+              / col("n")).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+                  CAST(value AS DECIMAL(18,2)) AS y
+                FROM events),
+              m AS (
+                SELECT event_type,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(x) AS DOUBLE) AS sx,
+                  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                  CAST(CAST(ROUND(SUM(y), 0) AS BIGINT) AS DOUBLE) AS sy,
+                  CAST(CAST(ROUND(SUM(x * y), 0) AS BIGINT) AS DOUBLE) AS sxy
+                FROM ev GROUP BY 1)
+              SELECT event_type, CAST(n AS BIGINT) AS n,
+                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+              FROM m ORDER BY event_type"""))
   )
 }

@@ -1434,6 +1434,212 @@ object Relational {
               SELECT z >> 20 AS tile, count(*) AS n_rows,
                 MIN(xq) AS min_x, MAX(xq) AS max_x,
                 MIN(yq) AS min_y, MAX(yq) AS max_y
-              FROM zv GROUP BY 1 ORDER BY tile"""))
+              FROM zv GROUP BY 1 ORDER BY tile""")),
+
+    // ── pricing summary report (TPC-H Q1 shape, full 8-aggregate form) ───
+    // The canonical scan-heavy reporting query: one pass over the fact
+    // table, grouped on a 2-column low-cardinality key, eight aggregates.
+    // Plan shape: filter rides the scan (PushedFilters on l_shipdate),
+    // partial aggregation collapses 600k rows to ≤8 groups per task
+    // BEFORE the exchange, so the shuffle carries O(groups × tasks) rows
+    // at any SF. Money math in DECIMAL(18,2); the charge product takes an
+    // explicit DECIMAL(18,4) intermediate on BOTH sides so the engines
+    // multiply identical exact operands (a 3-factor decimal product would
+    // overflow DuckDB's width-38 multiply at (18,2)³).
+    Q("q_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DecimalType(18, 4)) * (lit(1) + dec2(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          avgDec(col("l_quantity")).as("avg_qty"),
+          avgDec(col("l_extendedprice")).as("avg_price"),
+          avgDec(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                  * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+                CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                COUNT(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── promotion revenue share by month (TPC-H Q14 shape) ───────────────
+    // Fact ⋈ dimension where the dimension (part) SCALES with the corpus:
+    // no broadcast hint — AQE size-gates the build side; at 100 TB this is
+    // a hash-partitioned equi-join on partkey with only (partkey, 1 flag
+    // bit) on the build side after pruning. The share divides two sums
+    // derived from identical decimal operands — one IEEE division each,
+    // bit-stable in both engines.
+    Q("q_promo_share",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .cast("long").as("ym"),
+            (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+              .as("rev"))
+        val promo = t(s, dir, "part")
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+        li.join(promo, col("l_partkey") === col("p_partkey"))
+          .groupBy("ym")
+          .agg(
+            sum(when(col("is_promo"), col("rev"))
+              .otherwise(dec2(lit(0)))).cast("double").as("promo_rev"),
+            sum(col("rev")).cast("double").as("total_rev"))
+          .select(col("ym"), col("promo_rev"), col("total_rev"),
+            (col("promo_rev") * 100 / col("total_rev")).as("promo_share"))
+          .orderBy("ym")
+      },
+      Some("""SELECT ym,
+                CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+                CAST(SUM(rev) AS DOUBLE) AS total_rev,
+                CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+                  / CAST(SUM(rev) AS DOUBLE) AS promo_share
+              FROM (SELECT l_partkey,
+                      CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+                      CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+                    FROM lineitem) l
+                JOIN part ON l_partkey = p_partkey
+              GROUP BY 1 ORDER BY ym""")),
+
+    // ── top returned-revenue customers (TPC-H Q10 shape) ─────────────────
+    // Aggregate-THEN-join: returned revenue folds to one row per customer
+    // before touching the customer table, so the wide dimension join sees
+    // |customers-with-returns| rows, not |lineitem|. customer scales with
+    // SF → un-hinted shuffle join; nation is constant-size → size-gated
+    // BHJ for free. Top-20 under a total order (revenue desc, custkey).
+    Q("q_returned_customers",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("c_acctbal"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+              FROM (
+                SELECT o_custkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-07-01'
+                GROUP BY 1) r
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ── max-revenue supplier (TPC-H Q15 shape) ───────────────────────────
+    // The agg + global-max-subquery pattern: quarterly revenue per
+    // supplier (partial-agg'd), then a 1-row max broadcast filters the
+    // winners — the "HAVING x = (SELECT max ...)" plan with no second
+    // scan of the fact table. The tie comparison happens in DECIMAL
+    // (exact), only the surfaced value casts to double.
+    Q("q_top_supplier",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .as("rev_dec"))
+        val mx = rev.agg(max(col("rev_dec")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("rev_dec") === col("mx"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_dec").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-04-01'
+                GROUP BY 1)
+              SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+              FROM rev JOIN supplier ON l_suppkey = s_suppkey
+              WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+              ORDER BY s_suppkey""")),
+
+    // ── equal-frequency feature binning (per-segment deciles) ────────────
+    // The feature-engineering op: decile-bin order totals WITHIN each
+    // market segment and census the bins (count + exact bounds). The rank
+    // runs per segment — the q_percentile_disc shape: each partition key
+    // sorts independently, so parallelism = |segments| and no task ever
+    // holds more than one segment's rows (spill-backed sort). At 100 TB
+    // with few segments the swap-in is range-partitioned rank (sort by
+    // (segment, price), prefix-sum the per-partition counts) or
+    // width_bucket against q_approx_quantiles thresholds; the bin
+    // semantics here — bucket = ((rn-1)*10) div n + 1, exact ties broken
+    // by orderkey — stay identical. Bin assignment is pure BIGINT
+    // arithmetic: exact in both engines.
+    Q("q_feature_binning",
+      (s, dir) => {
+        val j = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+            dec2(col("o_totalprice")).as("price"))
+        val w = Window.partitionBy("segment")
+          .orderBy(col("price"), col("o_orderkey"))
+        j.select(col("segment"), col("price"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("segment")).as("n"))
+          .select(col("segment"), col("price"),
+            expr("((rn - 1) * 10) div n + 1").as("bucket"))
+          .groupBy("segment", "bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("price")).cast("double").as("lo"),
+            max(col("price")).cast("double").as("hi"))
+          .orderBy("segment", "bucket")
+      },
+      Some("""WITH j AS (
+                SELECT c_mktsegment AS segment, o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                FROM orders JOIN customer ON o_custkey = c_custkey),
+              r AS (
+                SELECT segment, price,
+                  CAST(row_number() OVER (PARTITION BY segment
+                    ORDER BY price, o_orderkey) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+                FROM j),
+              b AS (SELECT segment, price, ((rn - 1) * 10) // n + 1 AS bucket FROM r)
+              SELECT segment, bucket, count(*) AS n_rows,
+                CAST(MIN(price) AS DOUBLE) AS lo, CAST(MAX(price) AS DOUBLE) AS hi
+              FROM b GROUP BY 1, 2 ORDER BY segment, bucket"""))
   )
 }

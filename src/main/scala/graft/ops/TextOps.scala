@@ -591,6 +591,83 @@ object TextOps {
                 string_agg(r.doc_id || ':' || r.tf, ',' ORDER BY r.tf DESC, r.doc_id)
                   AS postings
               FROM r JOIN d USING (token) WHERE rn <= 100
-              GROUP BY r.token, d.df ORDER BY r.token"""))
+              GROUP BY r.token, d.df ORDER BY r.token""")),
+
+    // ── bigram language-model counts (conditional probabilities) ─────────
+    // The n-gram LM estimation pass: corpus bigram counts joined to the
+    // left-unigram counts, conditional probability p(w2|w1) = c(w1,w2) /
+    // c(w1·) as one division of two exact BIGINTs — bit-stable. Bigram
+    // fan-out is row-local (a zip of the token array with its tail, no
+    // explode-then-self-join); both aggs partial-combine to vocabulary²
+    // (bounded) before shuffling; the unigram side joins un-hinted —
+    // vocabulary grows with the corpus. Top-20 by raw count under a
+    // total order.
+    Q("q_ngram_lm",
+      (s, dir) => {
+        val bi = t(s, dir, "documents")
+          .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+                 i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""")).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("c_bigram"))
+        val uni = bi.groupBy("w1").agg(sum(col("c_bigram")).as("c_left"))
+        bi.join(uni, "w1")
+          .select(col("w1"), col("w2"), col("c_bigram"), col("c_left"),
+            (col("c_bigram").cast("double") / col("c_left").cast("double"))
+              .as("p_cond"))
+          .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                FROM documents),
+              bi AS (
+                SELECT tk[i] AS w1, tk[i + 1] AS w2
+                FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+                      FROM toks)),
+              bc AS (SELECT w1, w2, count(*) AS c_bigram FROM bi GROUP BY 1, 2),
+              uc AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_left
+                     FROM bc GROUP BY 1)
+              SELECT w1, w2, c_bigram, c_left,
+                CAST(c_bigram AS DOUBLE) / CAST(c_left AS DOUBLE) AS p_cond
+              FROM bc JOIN uc USING (w1)
+              ORDER BY c_bigram DESC, w1, w2 LIMIT 20""")),
+
+    // ── order-insensitive table checksum (data-validation census) ────────
+    // The 100-TB data-validation op: a per-source content checksum that
+    // any two runs (or two clusters, or a pre/post-migration pair) can
+    // compare without ordering guarantees. Row fingerprint = the rolling
+    // polynomial hash of the text (q_fingerprint's fp_seq) mixed with
+    // doc_id; the source checksum is a commutative fold of row
+    // fingerprints, so partition order, shuffle order and partial
+    // aggregation cannot change it. Two folds: XOR (overflow-free at ANY
+    // row count — the primary 100-TB checksum) and SUM (catches the
+    // paired-duplicate rows XOR cancels; terms < 1e9+7, so the BIGINT sum
+    // is exact up to ~8×10⁹ rows per source — past that, re-mod the
+    // partial sums per shard before the final merge).
+    Q("q_table_checksum",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          expr("""(aggregate(split(text, ' '), 0L,
+                    (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)
+                  * 131 + doc_id % 1000000007) % 1000000007""").as("row_h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(row_h)").as("checksum_xor"),
+          sum(col("row_h")).as("checksum_sum"))
+        .orderBy("source"),
+      Some("""WITH h AS (
+                SELECT source,
+                  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ' '),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 1000000007)
+                   * 131 + doc_id % 1000000007) % 1000000007 AS row_h
+                FROM documents)
+              SELECT source, count(*) AS n_rows,
+                bit_xor(row_h) AS checksum_xor,
+                CAST(SUM(row_h) AS BIGINT) AS checksum_sum
+              FROM h GROUP BY 1 ORDER BY source"""))
   )
 }

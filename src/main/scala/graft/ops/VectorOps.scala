@@ -258,7 +258,118 @@ object VectorOps {
         ivfTopK(s, dir, probes, k = 3, nprobe = 4, broadcastProbes = true)
           .orderBy("probe_id", "rk")
       },
-      None)
+      None),
+
+    // ── hybrid retrieval: reciprocal-rank fusion (BM25 ⊕ dense cosine) ───
+    // The retrieval-stack composition op: one request scored by BOTH
+    // arms — sparse BM25 over the fixed query terms and dense cosine from
+    // probe vector 0 (vec_id ≡ doc_id in the corpus) — each arm reduced
+    // to a top-20 ranked list by the bounded-heap graft_topk (partial
+    // aggregation keeps ≤20 rows per task; no WindowExec over the scored
+    // corpus), then fused with RRF: Σ 1/(60+rank). Both lists are
+    // constant-size from here — the full-outer fuse join touches ≤40
+    // rows at ANY corpus size. Determinism: per-doc BM25 totals fold the
+    // ≤3 term scores in token order (a left fold over a sorted array —
+    // FP addition order pinned on both sides); ranks tiebreak on doc id;
+    // the RRF sum adds two identically-derived doubles in fixed order.
+    Q("q_rank_fusion",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val qterms = Seq("join", "hash", "scan")
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+        val tf = toks.filter(col("tok").isin(qterms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+        val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val termScore = idf * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        val sparse = tf.join(broadcast(dfreq), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), struct(col("tok"), termScore.as("ts")).as("term"))
+          .groupBy("doc_id")
+          .agg(expr("aggregate(array_sort(collect_list(term)), CAST(0 AS DOUBLE), (a, x) -> a + x.ts)")
+            .as("score"))
+          .groupBy()
+          .agg(expr("graft_topk(doc_id, score, 20)").as("tk"))
+          .select(posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("x.id").as("doc_id"),
+            (col("pos") + 1).cast("long").as("r_sparse"))
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("p_emb"), col("n2").as("p_n2"))
+        val dense = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            (dot(col("p_emb"), col("embedding")) / sqrt(col("p_n2") * col("n2"))).as("sim"))
+          .groupBy()
+          .agg(expr("graft_topk(vec_id, sim, 20)").as("tk"))
+          .select(posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("x.id").as("doc_id"),
+            (col("pos") + 1).cast("long").as("r_dense"))
+        sparse.join(dense, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_sparse"), col("r_dense"),
+            (coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              tkk AS (SELECT * FROM toks WHERE tok <> ''),
+              dl AS (SELECT doc_id, count(*) AS dl FROM tkk GROUP BY 1),
+              st AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM tkk
+                     WHERE tok IN ('join', 'hash', 'scan') GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              term AS (
+                SELECT t.doc_id, t.tok,
+                  ((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                    / (CAST(df.df AS DOUBLE) + 0.5))
+                  * (CAST(t.tf AS DOUBLE) * 2.2)
+                  / (CAST(t.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                      / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS ts
+                FROM tf t JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+              bm AS (
+                SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ts ORDER BY tok)),
+                    (a, x) -> a + x) AS score
+                FROM term GROUP BY 1),
+              sp AS (
+                SELECT doc_id, r_sparse FROM (
+                  SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse FROM bm)
+                WHERE r_sparse <= 20),
+              e AS (
+                SELECT vec_id, embedding,
+                  ${duckDot("embedding", "embedding")} AS n2
+                FROM embeddings),
+              p AS (SELECT embedding AS p_emb, n2 AS p_n2 FROM e WHERE vec_id = 0),
+              dn AS (
+                SELECT e.vec_id AS doc_id,
+                  ${duckDot("p.p_emb", "e.embedding")} / sqrt(p.p_n2 * e.n2) AS sim
+                FROM e, p WHERE e.vec_id <> 0),
+              de AS (
+                SELECT doc_id, r_dense FROM (
+                  SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY sim DESC, doc_id) AS BIGINT) AS r_dense FROM dn)
+                WHERE r_dense <= 20),
+              f AS (
+                SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id, r_sparse, r_dense,
+                  COALESCE(CAST(1 AS DOUBLE) / (60 + r_sparse), CAST(0 AS DOUBLE))
+                    + COALESCE(CAST(1 AS DOUBLE) / (60 + r_dense), CAST(0 AS DOUBLE)) AS rrf
+                FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
+              SELECT doc_id, r_sparse, r_dense, rrf
+              FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""))
   )
 
   /** IVF cell count for a corpus of n vectors: ⌈√n⌉ with a floor of 16.

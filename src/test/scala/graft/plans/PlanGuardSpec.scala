@@ -141,6 +141,43 @@ class PlanGuardSpec extends SparkSpec {
     assert(hints.isEmpty, s"pagerank carries broadcast hints: $hints")
   }
 
+  test("q_pricing_summary: filter pushes to the scan, aggregation is partial+final") {
+    val ex = formatted("q_pricing_summary")
+    assert(ex.contains("PushedFilters: [") &&
+      !ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "shipdate filter did not reach the lineitem scan")
+    // partial+final: two HashAggregates — the shuffle carries per-task
+    // group partials, never raw lineitem rows
+    val aggs = "HashAggregate".r.findAllIn(qe("q_pricing_summary").executedPlan.toString).size
+    assert(aggs >= 2, "pricing summary lost its partial aggregation")
+  }
+
+  test("TPC-H shape joins never hint SF-scaling sides (part, customer)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    for (q <- Seq("q_promo_share", "q_returned_customers")) {
+      val hints = qe(q).analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q carries a broadcast hint on a scaling side: $hints")
+    }
+    // q_top_supplier's one hint is the 1-row global-max aggregate — a
+    // constant-size subtree regardless of SF
+    val hints = qe("q_top_supplier").analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected exactly the 1-row max hint: $hints")
+    val globalAgg = hints.head.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }
+    assert(globalAgg.nonEmpty, "the broadcast subtree is not the 1-row global max")
+  }
+
+  test("q_rank_fusion ranks through bounded heaps, not windows") {
+    assert(!qe("q_rank_fusion").executedPlan.toString.contains("Window"),
+      "rank fusion plans a window where graft_topk should aggregate")
+  }
+
+  test("q_session_paths final top-20 is TakeOrderedAndProject") {
+    assert(qe("q_session_paths").executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("q_heavy_hitters exact pass touches only broadcast candidate keys") {
     // the exact count must join the token stream to the (<= k)-row
     // candidate set via broadcast — a shuffled vocabulary agg would be
