@@ -1640,6 +1640,106 @@ object Relational {
               b AS (SELECT segment, price, ((rn - 1) * 10) // n + 1 AS bucket FROM r)
               SELECT segment, bucket, count(*) AS n_rows,
                 CAST(MIN(price) AS DOUBLE) AS lo, CAST(MAX(price) AS DOUBLE) AS hi
-              FROM b GROUP BY 1, 2 ORDER BY segment, bucket"""))
+              FROM b GROUP BY 1, 2 ORDER BY segment, bucket""")),
+
+    // ── orders-with-returns census by priority (TPC-H Q4 shape) ──────────
+    // The EXISTS-decorrelation shape: orders in a quarter that have at
+    // least one returned line, counted per priority. The subquery plans
+    // as a LeftSemi join on orderkey — ONE pass over each table, no
+    // row-per-match fan-out (a plain inner join would double-count
+    // multi-line returns and shuffle the fan-out); both sides carry only
+    // (orderkey) + grouping columns after pruning.
+    Q("q_order_priority",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+        val returned = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select("l_orderkey")
+        ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                AND o_orderdate < TIMESTAMP '1998-04-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_returnflag = 'R')
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ── customer order-count distribution (TPC-H Q13 shape) ──────────────
+    // The two-level aggregation with an outer join: every customer's
+    // order count (zero included — the LEFT join keeps order-less
+    // customers), then the distribution histogram. Both aggs are
+    // partial+final; the join is un-hinted (both sides scale). The
+    // histogram's key space is bounded by max-orders-per-customer — the
+    // final sort is over a constant-size relation.
+    Q("q_customer_dist",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist
+              FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY 1)
+              GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    // ── national market share in a part segment (TPC-H Q8 shape) ─────────
+    // The share-of-market readout: within PROMO-part lineitems, the
+    // fraction of yearly revenue supplied by one nation. CASE-gated and
+    // total sums come from identical decimal operands; the share is one
+    // IEEE division — bit-stable. Join tree: part (scaling, un-hinted
+    // equi-join), supplier (scaling, un-hinted), nation (constant →
+    // size-gated BHJ). The nation flag rides the supplier join, so the
+    // group-by sees only (year, flag) — two partial-agg columns.
+    Q("q_market_share",
+      (s, dir) => {
+        val promoParts = t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")
+        val supp = t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), (col("n_name") === "NATION_7").as("is_target"))
+        t(s, dir, "lineitem")
+          .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .select(year(col("l_shipdate")).cast("long").as("yr"),
+            (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+              .as("rev"),
+            col("is_target"))
+          .groupBy("yr")
+          .agg(
+            sum(when(col("is_target"), col("rev"))
+              .otherwise(dec2(lit(0)))).cast("double").as("nation_rev"),
+            sum(col("rev")).cast("double").as("total_rev"))
+          .select(col("yr"), col("nation_rev"), col("total_rev"),
+            (col("nation_rev") / col("total_rev")).as("mkt_share"))
+          .orderBy("yr")
+      },
+      Some("""SELECT yr,
+                CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+                CAST(SUM(rev) AS DOUBLE) AS total_rev,
+                CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                  / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+              FROM (
+                SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                  n_name
+                FROM lineitem
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                WHERE EXISTS (SELECT 1 FROM part
+                              WHERE p_partkey = l_partkey AND p_type = 'PROMO'))
+              GROUP BY 1 ORDER BY yr"""))
   )
 }

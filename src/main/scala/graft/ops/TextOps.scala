@@ -607,7 +607,10 @@ object TextOps {
         val bi = t(s, dir, "documents")
           .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
           .select(explode(expr(
-            """transform(sequence(1, size(toks) - 1),
+            // size<2 guard: sequence(1, 0) DESCENDS in Spark, it is not empty
+            """transform(
+                 CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+                      ELSE array() END,
                  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""")).as("b"))
           .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
           .agg(count(lit(1)).as("c_bigram"))
@@ -668,6 +671,64 @@ object TextOps {
               SELECT source, count(*) AS n_rows,
                 bit_xor(row_h) AS checksum_xor,
                 CAST(SUM(row_h) AS BIGINT) AS checksum_sum
-              FROM h GROUP BY 1 ORDER BY source"""))
+              FROM h GROUP BY 1 ORDER BY source""")),
+
+    // ── corpus-LM document scoring (mean bigram conditional prob) ────────
+    // The LM-based quality filter: score every document by the mean
+    // conditional probability of its bigrams under the corpus's own
+    // bigram model (the log-free twin of a perplexity filter — log/exp
+    // are not bit-stable across engines; the mean of exact-division
+    // probabilities is). Shape at scale: bigram fan-out is row-local;
+    // the model (bigram + left-unigram counts) is a partial-agg'd table
+    // that GROWS with the corpus → the score join is un-hinted and
+    // hash-partitions on (w1, w2); the per-doc fold adds each doc's ≤L
+    // probabilities in POSITION order (sorted-array left fold — FP
+    // addition order pinned in both engines), then one division.
+    Q("q_lm_score",
+      (s, dir) => {
+        val docBi = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            // size<2 guard: sequence(1, 0) DESCENDS in Spark, it is not empty
+            """transform(
+                 CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+                      ELSE array() END,
+                 i -> struct(i AS pos, toks[i - 1] AS w1, toks[i] AS w2))""")).as("b"))
+          .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+        val bi = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+        val uni = bi.groupBy("w1").agg(sum(col("c_bigram")).as("c_left"))
+        docBi
+          .join(bi, Seq("w1", "w2"))
+          .join(uni, Seq("w1"))
+          .select(col("doc_id"), struct(col("pos"),
+            (col("c_bigram").cast("double") / col("c_left").cast("double"))
+              .as("p")).as("bp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (expr("aggregate(array_sort(collect_list(bp)), CAST(0 AS DOUBLE), (a, x) -> a + x.p)")
+              / count(lit(1))).as("lm_mean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                FROM documents),
+              docbi AS (
+                SELECT doc_id, i AS pos, tk[i] AS w1, tk[i + 1] AS w2
+                FROM (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk) - 1)) AS i
+                      FROM toks)),
+              bc AS (SELECT w1, w2, count(*) AS c_bigram FROM docbi GROUP BY 1, 2),
+              uc AS (SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_left
+                     FROM bc GROUP BY 1),
+              p AS (
+                SELECT d.doc_id, d.pos,
+                  CAST(bc.c_bigram AS DOUBLE) / CAST(uc.c_left AS DOUBLE) AS p
+                FROM docbi d JOIN bc USING (w1, w2) JOIN uc USING (w1))
+              SELECT doc_id, count(*) AS n_bigrams,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+                  (a, x) -> a + x) / count(*) AS lm_mean
+              FROM p GROUP BY 1 ORDER BY doc_id"""))
   )
 }

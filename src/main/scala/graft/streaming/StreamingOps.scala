@@ -436,6 +436,41 @@ object StreamingOps {
     * no-false-negative guarantee (freq > n/(k+1) survives) holds at
     * every trigger because merge preserves it.
     */
+  /** Running OLS trend moments per event type — streaming twin of
+    * `q_regression`. The whole regression is five MERGEABLE sums
+    * (n, Σx, Σx², Σy, Σxy), so the streaming state is exactly those
+    * sums per event type (constant cardinality — state does not grow
+    * with the stream), and Complete-mode output equals the batch
+    * moments at any point the stream is drained. y-sums stay in
+    * DECIMAL while streaming; [[trendFromMoments]] applies the same
+    * integral-BIGINT rounding + finalization as the batch query.
+    */
+  def trendMoments(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("x"),
+        col("value").cast(DecimalType(18, 2)).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y")).as("sy_dec"),
+        sum(col("x") * col("y")).as("sxy_dec"))
+
+  /** Finalize [[trendMoments]] state to (event_type, n, slope,
+    * intercept) — identical arithmetic to the batch `q_regression`, so
+    * a drained stream folds to the oracled batch answer bit-for-bit.
+    */
+  def trendFromMoments(m: DataFrame): DataFrame = {
+    val sy = round(col("sy_dec"), 0).cast("long").cast("double")
+    val sxy = round(col("sxy_dec"), 0).cast("long").cast("double")
+    val slope = (col("n") * sxy - col("sx") * sy) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("n").cast("long").as("n"),
+      slope.as("slope"),
+      ((sy - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
   def heavyHitterCandidates(tokens: DataFrame, k: Int = 64): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(tokens.sparkSession)
     tokens.agg(call_function("graft_mg", col("token"), lit(k)).as("cands"))

@@ -407,4 +407,19 @@ class StreamingSpec extends SparkSpec {
     assert((mustSurvive -- cands).isEmpty,
       s"streaming sketch lost heavy hitters: ${mustSurvive -- cands}")
   }
+
+  test("streaming trend moments fold to the oracled batch regression exactly") {
+    // q_regression is five mergeable sums + finalization: the drained
+    // stream's Complete-mode moments must finalize to the batch answer
+    // bit-for-bit (same DECIMAL accumulation, same rounding rule).
+    val streamed = StreamingOps.trendFromMoments(
+      StreamingOps.runToMemory(
+        StreamingOps.trendMoments(StreamingOps.readEventStream(spark, batchDir)),
+        "t_trend", OutputMode.Complete()))
+      .orderBy("event_type").collect()
+    val batch = SparkEntry.queries("q_regression")(spark, sfDir)
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
 }
