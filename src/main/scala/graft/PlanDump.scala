@@ -47,7 +47,13 @@ object PlanDump {
     "q_profile_table" -> "dataset-card profiling: one scan+partial-agg per column (distinct via two-level agg), output is #columns rows at any SF",
     "q_dedup_edit" -> "edit-distance verify: O(len²) levenshtein runs on the CANDIDATE pair set only — texts fetched by inner-joining candidate ids, never a corpus² text join",
     "q_gaps_islands" -> "gaps-and-islands: events collapse to (user, day) distinct FIRST, then one user-keyed window — the row_number-difference trick, no self-join",
-    "q_zorder_layout" -> "z-order layout: 1-row stats broadcast → row-local quantize + codegen'd graft_zorder interleave → bounded tile agg (≤4096 groups at any SF)")
+    "q_zorder_layout" -> "z-order layout: 1-row stats broadcast → row-local quantize + codegen'd graft_zorder interleave → bounded tile agg (≤4096 groups at any SF)",
+    "q_pricing_summary" -> "TPC-H Q1 shape: shipdate filter in PushedFilters, ONE partial+final HashAggregate pair around one exchange — 8 aggregates, ≤8 groups per task cross the shuffle",
+    "q_promo_share" -> "TPC-H Q14 shape: part is a SCALING dim — no hint, size-gated join; CASE-gated and total sums share one partial agg on the month key",
+    "q_returned_customers" -> "TPC-H Q10 shape: aggregate-THEN-join — revenue folds to one row per customer BEFORE the wide customer join; nation BHJ by size-gating; top-20 TakeOrderedAndProject",
+    "q_session_paths" -> "journey prefixes: one user-keyed shuffle for the rank window, rn<=3 bounds everything downstream, path census over a ≤|types|³ key space",
+    "q_lm_score" -> "corpus-LM scoring: bigram model joins un-hinted (model grows with corpus), per-doc fold is row-local over a sorted array — position-pinned FP addition, no window",
+    "q_rank_fusion" -> "hybrid RRF: both arms end in graft_topk partial aggregation (no WindowExec over scored corpora); the fuse join sees ≤40 rows at any SF")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

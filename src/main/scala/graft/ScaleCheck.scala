@@ -38,7 +38,11 @@ object ScaleCheck {
     "q_inverted_index", "q_decontaminate", "q_novelty", "q_merge_upsert",
     // round-3 late additions: sampling, candidate-only edit verify,
     // islands window, z-order layout
-    "q_sample_per_group", "q_dedup_edit", "q_gaps_islands", "q_zorder_layout")
+    "q_sample_per_group", "q_dedup_edit", "q_gaps_islands", "q_zorder_layout",
+    // round-3 closing batch: TPC-H report shapes, LM scoring, sequence
+    // analytics, hybrid retrieval, validation checksum
+    "q_pricing_summary", "q_returned_customers", "q_lm_score",
+    "q_session_paths", "q_rank_fusion", "q_table_checksum")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
