@@ -53,7 +53,12 @@ object PlanDump {
     "q_returned_customers" -> "TPC-H Q10 shape: aggregate-THEN-join — revenue folds to one row per customer BEFORE the wide customer join; nation BHJ by size-gating; top-20 TakeOrderedAndProject",
     "q_session_paths" -> "journey prefixes: one user-keyed shuffle for the rank window, rn<=3 bounds everything downstream, path census over a ≤|types|³ key space",
     "q_lm_score" -> "corpus-LM scoring: bigram model joins un-hinted (model grows with corpus), per-doc fold is row-local over a sorted array — position-pinned FP addition, no window",
-    "q_rank_fusion" -> "hybrid RRF: both arms end in graft_topk partial aggregation (no WindowExec over scored corpora); the fuse join sees ≤40 rows at any SF")
+    "q_rank_fusion" -> "hybrid RRF: both arms end in graft_topk partial aggregation (no WindowExec over scored corpora); the fuse join sees ≤40 rows at any SF",
+    "q_simple_revenue" -> "TPC-H Q6: all three predicates in PushedFilters, 4-of-11-column ReadSchema, scan → 1-row partial+final agg — nothing but pruned pages move",
+    "q_nation_trade" -> "TPC-H Q7: nation filter prunes supplier AND customer before either fact join; zero hints — nation BHJs by size-gating, scaling sides hash-join on their keys",
+    "q_large_orders" -> "TPC-H Q18: lineitem folds to qualifying orderkeys BEFORE orders/customer join (no Join below the Aggregate in the optimized plan); top-100 TakeOrderedAndProject",
+    "q_disjunctive_join" -> "TPC-H Q19: OR-of-ANDs join — Catalyst extracts the partkey equi-key into a hash join and splits per-side residuals into both scans",
+    "q_dormant_customers" -> "TPC-H Q22: 1-row scalar avg broadcast (constant at any SF) + recency-pruned hashed anti-join + ≤5-group census")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -42,7 +42,9 @@ object ScaleCheck {
     // round-3 closing batch: TPC-H report shapes, LM scoring, sequence
     // analytics, hybrid retrieval, validation checksum
     "q_pricing_summary", "q_returned_customers", "q_lm_score",
-    "q_session_paths", "q_rank_fusion", "q_table_checksum")
+    "q_session_paths", "q_rank_fusion", "q_table_checksum",
+    // TPC-H tail batch: multi-fact join chain, HAVING fold, OR-of-ANDs
+    "q_nation_trade", "q_large_orders", "q_disjunctive_join")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

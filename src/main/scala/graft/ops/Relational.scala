@@ -1740,6 +1740,257 @@ object Relational {
                   JOIN nation ON s_nationkey = n_nationkey
                 WHERE EXISTS (SELECT 1 FROM part
                               WHERE p_partkey = l_partkey AND p_type = 'PROMO'))
-              GROUP BY 1 ORDER BY yr"""))
+              GROUP BY 1 ORDER BY yr""")),
+
+    // ── forecast revenue change (TPC-H Q6 shape) ─────────────────────────
+    // The purest pushdown showcase: ALL three predicates (date range,
+    // discount band, quantity cap) land in PushedFilters, the scan reads 4
+    // columns of 11, and the whole query is scan → 1-row partial+final
+    // agg. At 100 TB this is the shape that proves the engine never moves
+    // a row it can prove irrelevant at the storage layer.
+    Q("q_simple_revenue",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
+
+    // ── bilateral trade volume (TPC-H Q7 shape) ──────────────────────────
+    // The nation filter prunes supplier AND customer to the 4-nation set
+    // BEFORE either touches a fact table — the join tree the optimizer
+    // cannot invent on its own at 100 TB if the query had been written
+    // fact-first. nation is constant (size-gated BHJ); supplier, customer,
+    // orders all scale with SF and stay un-hinted hash joins on their keys.
+    Q("q_nation_trade",
+      (s, dir) => {
+        val nset = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+        val nat = t(s, dir, "nation").filter(col("n_name").isin(nset: _*))
+        val sn = t(s, dir, "supplier")
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cn = t(s, dir, "customer")
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val ord = t(s, dir, "orders")
+          .join(cn, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(sn, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("volume"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+                CAST(SUM(rev) AS DOUBLE) AS volume
+              FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                  CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+                FROM lineitem
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+                  AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+                  AND n1.n_name <> n2.n_name
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01')
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ── product-line margin by nation and year (TPC-H Q9 shape) ──────────
+    // No partsupp table exists, so supply cost is proxied by retailprice ×
+    // quantity — the SHAPE is what matters: a name-filtered part dim
+    // (scaling, un-hinted) prunes the fact stream, the supplier→nation
+    // chain rides the join, and the margin is an explicit DECIMAL(18,4)
+    // difference both engines compute exactly before ONE final cast.
+    Q("q_product_margin",
+      (s, dir) => {
+        val gearParts = t(s, dir, "part")
+          .filter(col("p_name").like("%gear%"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sn = t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        t(s, dir, "lineitem")
+          .join(gearParts, col("l_partkey") === col("p_partkey"))
+          .join(sn, col("l_suppkey") === col("s_suppkey"))
+          .select(col("nation"),
+            year(col("l_shipdate")).cast("long").as("o_year"),
+            ((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+              .cast(DecimalType(18, 4)) -
+              (dec2(col("p_retailprice")) * dec2(col("l_quantity")))
+                .cast(DecimalType(18, 4))).as("amount"))
+          .groupBy("nation", "o_year")
+          .agg(sum(col("amount")).cast("double").as("sum_margin"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_margin
+              FROM (
+                SELECT n_name AS nation,
+                  CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                  - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS amount
+                FROM lineitem
+                  JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                WHERE p_name LIKE '%gear%')
+              GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    // ── small-quantity-order revenue (TPC-H Q17 shape) ───────────────────
+    // The correlated scalar subquery ("0.2 × avg quantity for THIS part")
+    // decorrelates to aggregate-then-join: one per-part partial agg over
+    // the brand-pruned fact slice, joined back on partkey — never a
+    // window, never a per-row subquery. The threshold is derived from
+    // identical operands in both engines (decimal sum / count, one double
+    // multiply), so the < compare is bit-stable.
+    Q("q_small_qty_revenue",
+      (s, dir) => {
+        val targetParts = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+          .select("p_partkey")
+        val li = t(s, dir, "lineitem")
+          .join(targetParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        val perPart = li.groupBy("l_partkey")
+          .agg((avgDec(col("l_quantity")) * 0.2).as("qty_threshold"))
+          .withColumnRenamed("l_partkey", "t_partkey")
+        li.join(perPart, col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("qty_threshold"))
+          .agg((sumDec2(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH pruned AS (
+                SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+                WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+                              AND p_brand = 'Brand#23' AND p_type = 'MEDIUM')),
+              th AS (
+                SELECT l_partkey AS t_partkey,
+                  0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(l_quantity)) AS qty_threshold
+                FROM pruned GROUP BY 1)
+              SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / 7.0 AS avg_yearly
+              FROM pruned JOIN th ON l_partkey = t_partkey
+              WHERE l_quantity < qty_threshold""")),
+
+    // ── large-volume orders (TPC-H Q18 shape) ────────────────────────────
+    // groupBy-HAVING on the fact key folds 60k lineitems to 874 qualifying
+    // orders BEFORE any dimension join — the agg output (orderkey, sum) is
+    // the only thing that reaches orders/customer. Top-100 by a total
+    // order (totalprice DESC, orderkey) so LIMIT is deterministic.
+    Q("q_large_orders",
+      (s, dir) => {
+        val bigOrders = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+          .filter(col("sum_qty") > 200)
+        t(s, dir, "orders")
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                sum_qty
+              FROM orders
+                JOIN (SELECT l_orderkey,
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                          AS sum_qty
+                      FROM lineitem GROUP BY 1
+                      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                  AS DOUBLE) > 200) b
+                  ON o_orderkey = b.l_orderkey
+                JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ── disjunctive predicate join (TPC-H Q19 shape) ─────────────────────
+    // OR-of-ANDs across BOTH join sides: Catalyst extracts the common
+    // partkey equi-key (hash join, not BNLJ — PlanGuardSpec asserts), and
+    // pushes the per-side residuals (brand/size to the part scan,
+    // quantity bands to the lineitem scan as an OR filter) so both scans
+    // prune before the join. The classic "predicate too twisted to
+    // pushdown by hand" regression case.
+    Q("q_disjunctive_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        val cond = col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        li.join(p, cond)
+          .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n_lines
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                     AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ── dormant high-value customers (TPC-H Q22 shape) ───────────────────
+    // Global-scalar-then-anti-join: the "average positive balance" is a
+    // 1-row agg (legitimately broadcast — it is CONSTANT size at any SF),
+    // the recency filter prunes orders before the anti-join probes it,
+    // and the final census is a ≤5-group partial agg. Every customer has
+    // SOME order in this data, so dormancy = no order since 2000-01-01.
+    Q("q_dormant_customers",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val avgRow = cust.filter(col("c_acctbal") > 0)
+          .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("avg_bal"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey")
+        cust.crossJoin(broadcast(avgRow))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"),
+            sumDec2(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS totacctbal
+              FROM customer,
+                (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*) AS avg_bal
+                 FROM customer WHERE c_acctbal > 0) a
+              WHERE c_acctbal > a.avg_bal
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+              GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -178,6 +178,68 @@ class PlanGuardSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("q_simple_revenue pushes all three predicates into one pruned scan") {
+    val ex = formatted("q_simple_revenue")
+    assert(ex.contains("PushedFilters: [") &&
+      !ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "Q6 predicates did not reach the lineitem scan")
+    val read = ex.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    // shipdate/discount/quantity/extendedprice — 4 of 11 lineitem columns
+    assert(read.count(_ == ',') <= 4, s"Q6 scan reads too many columns: $read")
+  }
+
+  test("q_disjunctive_join extracts the equi-key: hash join, never BNLJ") {
+    val plan = qe("q_disjunctive_join").executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "OR-of-ANDs degraded to a nested-loop product")
+    // the per-side residuals must prune both scans before the join
+    val ex = formatted("q_disjunctive_join")
+    assert(!ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "disjunctive residuals did not split to the scans")
+  }
+
+  test("q_large_orders aggregates lineitem BEFORE the dimension joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // the optimized plan must contain an Aggregate with a Join ABOVE it
+    // and no Join below it — fold-then-enrich, never enrich-then-fold
+    val opt = qe("q_large_orders").optimizedPlan
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "groupBy-HAVING aggregate missing")
+    assert(aggs.forall(_.collect { case j: Join => j }.isEmpty),
+      "q_large_orders joins dimensions below the quantity aggregate")
+    assert(qe("q_large_orders").executedPlan.toString
+      .contains("TakeOrderedAndProject"), "top-100 is not a bounded take")
+  }
+
+  test("q_dormant_customers: scalar avg is the only broadcast; anti-join is hashed") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val hints = qe("q_dormant_customers").analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected exactly the 1-row avg hint: $hints")
+    val globalAgg = hints.head.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }
+    assert(globalAgg.nonEmpty, "the broadcast subtree is not the 1-row global avg")
+    // the 1-row scalar compare IS a BroadcastNestedLoopJoin(Cross) — that
+    // is the correct O(n·1) shape; the anti-join must stay a hash join
+    val plan = qe("q_dormant_customers").executedPlan.toString
+    val antiLines = plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty, "anti-join missing from the plan")
+    assert(antiLines.forall(_.contains("HashJoin")),
+      s"anti-join degraded to a nested loop:\n${antiLines.mkString("\n")}")
+  }
+
+  test("q_nation_trade prunes supplier/customer through nation before the facts") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // no manual hints anywhere: nation BHJs by size, scaling sides hash-join
+    val hints = qe("q_nation_trade").analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"q_nation_trade hints a scaling side: $hints")
+    val ex = formatted("q_nation_trade")
+    assert(ex.contains("n_name"), "nation filter missing from the plan")
+    assert(!ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "shipdate/nation filters did not reach the scans")
+  }
+
   test("q_heavy_hitters exact pass touches only broadcast candidate keys") {
     // the exact count must join the token stream to the (<= k)-row
     // candidate set via broadcast — a shuffled vocabulary agg would be
