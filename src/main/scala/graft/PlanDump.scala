@@ -58,7 +58,9 @@ object PlanDump {
     "q_nation_trade" -> "TPC-H Q7: nation filter prunes supplier AND customer before either fact join; zero hints — nation BHJs by size-gating, scaling sides hash-join on their keys",
     "q_large_orders" -> "TPC-H Q18: lineitem folds to qualifying orderkeys BEFORE orders/customer join (no Join below the Aggregate in the optimized plan); top-100 TakeOrderedAndProject",
     "q_disjunctive_join" -> "TPC-H Q19: OR-of-ANDs join — Catalyst extracts the partkey equi-key into a hash join and splits per-side residuals into both scans",
-    "q_dormant_customers" -> "TPC-H Q22: 1-row scalar avg broadcast (constant at any SF) + recency-pruned hashed anti-join + ≤5-group census")
+    "q_dormant_customers" -> "TPC-H Q22: 1-row scalar avg broadcast (constant at any SF) + recency-pruned hashed anti-join + ≤5-group census",
+    "q_sequence_pack" -> "context packing: one window cumsum per source partition, then integer-div binning — no global sort; census keys bounded by corpus/budget",
+    "q_char_diversity" -> "char diversity: explode → (doc,char) partial agg (alphabet-bounded per doc) → per-doc integer-moment agg; no window, pure codegen hash aggregation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** LLM-pipeline corpus curation over `documents` (north-star extensions).
   *
@@ -303,6 +304,172 @@ object Curation {
                      ELSE 'test' END AS split,
                 count(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS n_chars
-              FROM documents GROUP BY 1, 2 ORDER BY source, split"""))
+              FROM documents GROUP BY 1, 2 ORDER BY source, split""")),
+
+    // ── context-window sequence packing ──────────────────────────────────
+    // The training-prep step after curation: concatenate each source's
+    // docs in stable doc_id order and cut context windows every `budget`
+    // tokens; a doc's bin is its START offset ÷ budget (the standard
+    // concat-then-chunk packing). One window cumsum per source partition
+    // (parallelism = |sources|; at 100 TB the same swap-in as
+    // q_feature_binning applies — range-partition by (source, doc_id) and
+    // reconstruct offsets from per-range totals, a 2-pass exact cumsum).
+    // Output is a per-bin fill census — the packing-efficiency readout.
+    Q("q_sequence_pack",
+      (s, dir) => {
+        val budget = 512L
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(expr("filter(split(text, ' '), x -> x <> '')"))
+              .cast("long").as("n_tok"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tok
+          .select(col("source"), col("n_tok"),
+            coalesce(sum(col("n_tok")).over(w), lit(0L)).as("start_off"))
+          .select(col("source"),
+            expr(s"start_off div $budget").as("bin"), col("n_tok"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("fill_tokens"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, source,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+                FROM documents),
+              off AS (
+                SELECT source, n_tok,
+                  COALESCE(CAST(SUM(n_tok) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS start_off
+                FROM tok)
+              SELECT source, CAST(start_off // 512 AS BIGINT) AS bin,
+                COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS fill_tokens
+              FROM off GROUP BY 1, 2 ORDER BY source, bin""")),
+
+    // ── key-skew diagnostic census ───────────────────────────────────────
+    // The pre-flight check before any big join/agg: per-key row counts
+    // folded into power-of-two buckets (bucket = bit length of the count
+    // — integer arithmetic via bin(), no FP log at bucket boundaries).
+    // Two partial+final aggs; the per-key intermediate is exactly the
+    // shuffle the diagnosed join would pay, and the census that decides
+    // whether q_join_skew_salted's salting is warranted.
+    Q("q_key_skew",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .select(length(bin(col("n"))).cast("long").as("bucket"), col("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).cast("long").as("n_rows"))
+        .orderBy("bucket"),
+      Some("""WITH k AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+              SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+                COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows
+              FROM k GROUP BY 1 ORDER BY 1""")),
+
+    // ── winsorized robust statistics ─────────────────────────────────────
+    // Outlier-clipping before feature extraction: clamp order totals to
+    // the exact per-priority [p05, p95] (discrete percentiles — real
+    // members of the multiset, q_percentile_disc's FP-free rank
+    // selection), then census the clamps. The threshold table is
+    // |priorities| rows — constant at any SF, so the clamp join is a
+    // size-gated broadcast; the window rank parallelizes per priority.
+    Q("q_winsorize",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("o_orderpriority")).as("n"))
+        val th = ranked.groupBy("o_orderpriority")
+          .agg(
+            max(when(col("rn") === ceil(col("n") * 0.05), col("o_totalprice"))).as("p05"),
+            max(when(col("rn") === ceil(col("n") * 0.95), col("o_totalprice"))).as("p95"))
+          .withColumnRenamed("o_orderpriority", "t_priority")
+        t(s, dir, "orders")
+          .join(th, col("o_orderpriority") === col("t_priority"))
+          .select(col("o_orderpriority"),
+            when(col("o_totalprice") < col("p05"), col("p05"))
+              .when(col("o_totalprice") > col("p95"), col("p95"))
+              .otherwise(col("o_totalprice")).as("clamped"),
+            (col("o_totalprice") < col("p05")).cast("long").as("is_low"),
+            (col("o_totalprice") > col("p95")).cast("long").as("is_high"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("is_low")).as("n_low"), sum(col("is_high")).as("n_high"),
+            sum(col("clamped").cast("decimal(18,2)")).cast("double")
+              .as("sum_winsorized"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH r AS (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+                FROM orders),
+              th AS (
+                SELECT o_orderpriority AS t_priority,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT)
+                      THEN o_totalprice END) AS p05,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                      THEN o_totalprice END) AS p95
+                FROM r GROUP BY 1)
+              SELECT o_orderpriority, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_low,
+                CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_high,
+                CAST(SUM(CAST(CASE WHEN o_totalprice < p05 THEN p05
+                     WHEN o_totalprice > p95 THEN p95
+                     ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_winsorized
+              FROM orders JOIN th ON o_orderpriority = t_priority
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ── character-diversity quality signal ───────────────────────────────
+    // The corpus-filtering heuristic that catches mojibake, binary spew,
+    // and keyboard-mash. Shannon entropy is the textbook form, but ln()
+    // is not correctly-rounded and Java's and DuckDB's libm disagree by
+    // 1 ulp on real inputs — no pinned fold fixes that, so a hash-tight
+    // oracle is impossible for ANY transcendental except sqrt (module
+    // header rule). The exact-rational twin carries the same signal:
+    // Simpson diversity 1 − Σc²/n² and effective alphabet size n²/Σc²
+    // (the Rényi-2 analog of perplexity). Both are ONE IEEE division of
+    // exact BIGINT moments — bit-stable by construction. Bonus: the
+    // moments are plain integer partial aggs, so the pinned-fold
+    // machinery disappears — explode → (doc,char) agg → per-doc agg,
+    // nothing but codegen'd hash aggregation at any SF.
+    Q("q_char_diversity",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ''), x -> x <> '')")).as("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum(col("c") * col("c")).cast("long").as("sum_c2"))
+        .select(col("doc_id"), col("n"), col("n_distinct_chars"),
+          (lit(1.0) - col("sum_c2").cast("double")
+            / (col("n") * col("n")).cast("double")).as("simpson"),
+          ((col("n") * col("n")).cast("double") / col("sum_c2").cast("double"))
+            .as("effective_alphabet"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+              cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ch WHERE ch <> '' GROUP BY 1, 2)
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                COUNT(*) AS n_distinct_chars,
+                1.0 - CAST(SUM(c * c) AS DOUBLE)
+                  / CAST(SUM(c) * SUM(c) AS DOUBLE) AS simpson,
+                CAST(SUM(c) * SUM(c) AS DOUBLE)
+                  / CAST(SUM(c * c) AS DOUBLE) AS effective_alphabet
+              FROM cc GROUP BY 1 ORDER BY doc_id"""))
   )
 }

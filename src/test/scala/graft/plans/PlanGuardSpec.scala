@@ -240,6 +240,22 @@ class PlanGuardSpec extends SparkSpec {
       "shipdate/nation filters did not reach the scans")
   }
 
+  test("q_char_diversity folds row-locally: no window, aggregation stays partial+final") {
+    val plan = qe("q_char_diversity").executedPlan.toString
+    assert(!plan.contains("Window"),
+      "entropy plans a window where partial aggregation should fold")
+    assert("Exchange".r.findAllIn(plan).size <= 3,
+      "entropy shuffles more than (doc,char) agg + doc agg + ORDER BY")
+  }
+
+  test("q_winsorize clamp join builds from the constant-size threshold table") {
+    // thresholds are |priorities| rows at any SF — the join must not
+    // shuffle the orders fact on the priority key a second time
+    val plan = qe("q_winsorize").executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "winsorize clamp join is not broadcast — fact re-shuffles on priority")
+  }
+
   test("q_heavy_hitters exact pass touches only broadcast candidate keys") {
     // the exact count must join the token stream to the (<= k)-row
     // candidate set via broadcast — a shuffled vocabulary agg would be
