@@ -44,7 +44,9 @@ object ScaleCheck {
     "q_pricing_summary", "q_returned_customers", "q_lm_score",
     "q_session_paths", "q_rank_fusion", "q_table_checksum",
     // TPC-H tail batch: multi-fact join chain, HAVING fold, OR-of-ANDs
-    "q_nation_trade", "q_large_orders", "q_disjunctive_join")
+    "q_nation_trade", "q_large_orders", "q_disjunctive_join",
+    // curation tail: window cumsum packing, char-moment aggregation
+    "q_sequence_pack", "q_char_diversity")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -721,6 +721,49 @@ object EventTime {
               SELECT event_type, CAST(n AS BIGINT) AS n,
                 (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
                 (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
-              FROM m ORDER BY event_type"""))
+              FROM m ORDER BY event_type""")),
+
+    // ── time-weighted average (duration-weighted event value) ────────────
+    // The metric sampled-state telemetry needs: each event's value holds
+    // until the user's NEXT event, so the mean weights by holding time,
+    // not by event count. One user-keyed window (lead) — the q_join_asof
+    // shuffle shape — then Σ(value·Δt) in DECIMAL (value at 2 decimals ×
+    // integer micros — exact, order-free) and ONE double division. The
+    // user's last event has no successor and carries no weight, same
+    // exclusion in both engines.
+    Q("q_time_weighted_avg",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), dec2(col("value")).as("v"),
+            (lead(unix_micros(col("ts")), 1).over(byUser)
+              - unix_micros(col("ts"))).as("dt_us"))
+          .filter(col("dt_us").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dt_us")).cast("long").as("total_us"),
+            // exact decimal Σ(v·Δt) surfaced as INTEGER hundredths: a
+            // big-decimal→double cast rounds TWICE in DuckDB (hugeint,
+            // then /10^scale) — integer→double is one rounding in both
+            (sum(col("v") * col("dt_us")) * 100).cast("long").as("num_c"))
+          .select(col("user_id"), col("n_intervals"), col("total_us"),
+            (col("num_c").cast("double")
+              / (lit(100.0) * col("total_us").cast("double"))).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+                SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) - epoch_us(ts) AS dt_us
+                FROM events),
+              agg AS (
+                SELECT user_id, COUNT(*) AS n_intervals,
+                  CAST(SUM(dt_us) AS BIGINT) AS total_us,
+                  CAST(SUM(v * dt_us) * 100 AS BIGINT) AS num_c
+                FROM iv WHERE dt_us IS NOT NULL GROUP BY 1)
+              SELECT user_id, n_intervals, total_us,
+                CAST(num_c AS DOUBLE)
+                  / (100.0 * CAST(total_us AS DOUBLE)) AS twa
+              FROM agg ORDER BY user_id"""))
   )
 }

@@ -110,6 +110,43 @@ object Graph {
                          + (85 * CAST(sum(r.pr // r.deg) AS BIGINT)) // 100 AS pr
                      FROM edges e JOIN r4 r ON r.node = e.src
                        JOIN deg d ON d.node = e.dst GROUP BY 1, 2)
-              SELECT node, pr FROM r5 ORDER BY node"""))
+              SELECT node, pr FROM r5 ORDER BY node""")),
+
+    // ── degree-distribution census ───────────────────────────────────────
+    // The first thing to look at before ANY graph workload (and the
+    // q_key_skew analog for edges): per-node distinct-neighbor degrees
+    // folded into bit-length buckets, split by bipartite side. Two
+    // partial+final aggs over the edge list; the per-node intermediate is
+    // exactly the shuffle PageRank's contribution join pays, so this
+    // census also predicts that job's skew. All-integer output.
+    Q("q_degree_stats",
+      (s, dir) => bipartiteEdges(s, dir)
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .select(
+          when(col("node") % 2 === 0, "customer").otherwise("supplier")
+            .as("side"),
+          length(bin(col("deg"))).cast("long").as("bucket"), col("deg"))
+        .groupBy("side", "bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("deg")).cast("long").as("n_edges"),
+          min(col("deg")).cast("long").as("min_deg"),
+          max(col("deg")).cast("long").as("max_deg"))
+        .orderBy("side", "bucket"),
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s AS src, c AS dst FROM cs),
+              deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                      FROM edges GROUP BY 1)
+              SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+                          ELSE 'supplier' END AS side,
+                CAST(length(bin(deg)) AS BIGINT) AS bucket,
+                COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS n_edges,
+                CAST(MIN(deg) AS BIGINT) AS min_deg,
+                CAST(MAX(deg) AS BIGINT) AS max_deg
+              FROM deg GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
