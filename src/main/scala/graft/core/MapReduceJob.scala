@@ -268,16 +268,40 @@ final class JobHandle[K3, V3] private[core] (
     */
   def cancel(): Unit = spark.sparkContext.cancelJobGroup(groupId)
 
+  /** Last state handed to a poller — `state` clamps against it so the
+    * reported sequence is monotone even when the raw signals regress
+    * (a pending stage's info materializing re-attributes tasks; a
+    * killed fetch task retracts its accumulator contribution).
+    */
+  private var reported: JobState = JobState(Stage.Undefined, 0f)
+
   /** `getJobState` — poll-safe from any thread, monotone percentages. */
-  def state: JobState = {
+  def state: JobState = synchronized {
+    val raw = rawState
+    reported =
+      if (raw.stage.id < reported.stage.id) reported
+      else if (raw.stage == reported.stage)
+        JobState(raw.stage, math.max(raw.percentage, reported.percentage))
+      else raw
+    reported
+  }
+
+  private def rawState: JobState = {
     if (isDone) return JobState(Stage.Done, 100f)
     val tracker = spark.sparkContext.statusTracker
     val jobIds = tracker.getJobIdsForGroup(groupId)
     if (jobIds.isEmpty) return JobState(Stage.Undefined, 0f)
-    val stages = jobIds.flatMap(id => tracker.getJobInfo(id).toSeq.flatMap(_.stageIds()))
-      .sorted.flatMap(sid => tracker.getStageInfo(sid).toSeq)
+    // Partition by the job's KNOWN last stage id (jobInfo lists pending
+    // stage ids before their StageInfo exists) — using the last VISIBLE
+    // info instead would mis-attribute the map stage's completion to
+    // Reduce while the result stage is still pending submission.
+    val allIds = jobIds
+      .flatMap(id => tracker.getJobInfo(id).toSeq.flatMap(_.stageIds())).sorted
+    if (allIds.isEmpty) return JobState(Stage.Undefined, 0f)
+    val lastId = allIds.last
+    val stages = allIds.flatMap(sid => tracker.getStageInfo(sid).toSeq)
     if (stages.isEmpty) return JobState(Stage.Undefined, 0f)
-    val (mapStages, reduceStages) = (stages.init, stages.lastOption.toSeq)
+    val (reduceStages, mapStages) = stages.partition(_.stageId == lastId)
     def pct(ss: Seq[org.apache.spark.SparkStageInfo]): Float = {
       val total = ss.map(_.numTasks).sum
       if (total == 0) 0f else 100f * ss.map(_.numCompletedTasks).sum / total

@@ -1,8 +1,10 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.Q._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Approximate aggregates (SURVEY §2.D — engine-default, oracle-exempt).
   *
@@ -70,6 +72,81 @@ object Approx {
           .unionByName(perPriority).unionByName(total)
           .orderBy("o_orderpriority", "o_orderstatus")
       },
-      None)
+      None),
+
+    // ── deterministic Poisson-bootstrap confidence interval ──────────────
+    // Error bars WITHOUT collecting anything: each of B=32 replicates
+    // weights every order by a pseudo-Poisson(1) draw derived from the
+    // Knuth hash of (orderkey, b) — a pure function of stable keys, so
+    // reruns and engines agree draw-by-draw (same discipline as
+    // q_dataset_split; a 128-bit mix replaces the 32-bit Knuth multiply
+    // at key ranges past ~2^54). Shape: ×32 row-local fan-out →
+    // replicate partial aggs (map-side combined, shuffle carries 32 ×
+    // tasks rows, NOT 32 × data) → rank-select the CI bounds from 32
+    // replicate means — percentile_disc's FP-free selection, no
+    // interpolation to drift. The replicate mean divides exact integer
+    // hundredths by an exact count: two deterministic FP ops.
+    Q("q_bootstrap_ci",
+      (s, dir) => {
+        val u = (((col("o_orderkey") * 64 + col("b")) * 2654435761L)
+          % 4294967296L).cast("double") / 4294967296.0
+        val means = t(s, dir, "orders")
+          .select(col("o_orderkey"), dec2(col("o_totalprice")).as("p"),
+            explode(expr("sequence(0, 31)")).as("b"))
+          .select(col("b"), col("p"),
+            when(u < 0.36787944117144233, 0L)
+              .when(u < 0.7357588823428847, 1L)
+              .when(u < 0.919698602928606, 2L)
+              .when(u < 0.9810118431238462, 3L)
+              .when(u < 0.9963401531726563, 4L)
+              .otherwise(5L).as("wt"))
+          .groupBy("b")
+          .agg((sum(col("wt") * col("p")) * 100).cast("long").as("num_c"),
+            sum(col("wt")).cast("long").as("den"))
+          .select(col("b"), (col("num_c").cast("double")
+            / (lit(100.0) * col("den").cast("double"))).as("m"))
+        val w = Window.orderBy(col("m"), col("b"))
+        // 32 rows total — the "global" rank window is constant-size
+        means
+          .select(col("m"), row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy()).as("n"))
+          .agg(
+            max(when(col("rn") === ceil(col("n") * 0.025), col("m"))).as("lo95"),
+            max(when(col("rn") === ceil(col("n") * 0.5), col("m"))).as("p50"),
+            max(when(col("rn") === ceil(col("n") * 0.975), col("m"))).as("hi95"))
+      },
+      Some("""WITH reps AS (
+                SELECT b, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                  ((o_orderkey * 64 + b) * 2654435761) % 4294967296
+                    / 4294967296.0 AS u
+                FROM orders, (SELECT unnest(generate_series(0, 31)) AS b)),
+              w AS (
+                SELECT b, p,
+                  CASE WHEN u < 0.36787944117144233 THEN 0
+                       WHEN u < 0.7357588823428847 THEN 1
+                       WHEN u < 0.919698602928606 THEN 2
+                       WHEN u < 0.9810118431238462 THEN 3
+                       WHEN u < 0.9963401531726563 THEN 4
+                       ELSE 5 END AS wt
+                FROM reps),
+              rm AS (
+                SELECT b, CAST(SUM(wt * p) * 100 AS BIGINT) AS num_c,
+                  CAST(SUM(wt) AS BIGINT) AS den
+                FROM w GROUP BY 1),
+              means AS (
+                SELECT b, CAST(num_c AS DOUBLE)
+                  / (100.0 * CAST(den AS DOUBLE)) AS m FROM rm),
+              r AS (SELECT m,
+                      CAST(row_number() OVER (ORDER BY m, b) AS BIGINT) AS rn,
+                      COUNT(*) OVER () AS n
+                    FROM means)
+              SELECT
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.025) AS BIGINT) THEN m END)
+                  AS lo95,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN m END)
+                  AS p50,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.975) AS BIGINT) THEN m END)
+                  AS hi95
+              FROM r"""))
   )
 }

@@ -470,6 +470,37 @@ object Curation {
                   / CAST(SUM(c) * SUM(c) AS DOUBLE) AS simpson,
                 CAST(SUM(c) * SUM(c) AS DOUBLE)
                   / CAST(SUM(c * c) AS DOUBLE) AS effective_alphabet
-              FROM cc GROUP BY 1 ORDER BY doc_id"""))
+              FROM cc GROUP BY 1 ORDER BY doc_id""")),
+
+    // ── class-balance census and inverse-frequency weights ───────────────
+    // The sampler table for imbalanced training labels: per-class counts,
+    // corpus share, and the sklearn-style balanced weight N/(k·n_i) that
+    // makes every class contribute equally in expectation. One partial
+    // agg over the label column; the (N, k) totals are a 1-row broadcast
+    // (constant at any SF). Every fraction is ONE IEEE division of exact
+    // integers.
+    Q("q_class_weights",
+      (s, dir) => {
+        val lab = t(s, dir, "embeddings")
+          .groupBy("label").agg(count(lit(1)).as("n_class"))
+        val tot = lab.agg(sum(col("n_class")).cast("long").as("n_total"),
+          count(lit(1)).as("k"))
+        lab.crossJoin(broadcast(tot))
+          .select(col("label"), col("n_class"),
+            (col("n_class").cast("double") / col("n_total").cast("double"))
+              .as("share"),
+            (col("n_total").cast("double")
+              / (col("k") * col("n_class")).cast("double")).as("weight"))
+          .orderBy("label")
+      },
+      Some("""WITH lab AS (
+                SELECT label, COUNT(*) AS n_class FROM embeddings GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(n_class) AS BIGINT) AS n_total,
+                  COUNT(*) AS k FROM lab)
+              SELECT label, n_class,
+                CAST(n_class AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+                CAST(n_total AS DOUBLE) / CAST(k * n_class AS DOUBLE) AS weight
+              FROM lab, tot ORDER BY label"""))
   )
 }

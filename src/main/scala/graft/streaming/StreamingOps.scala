@@ -378,6 +378,53 @@ object StreamingOps {
       }
   }
 
+  // ── stateful time-weighted average (twin of q_time_weighted_avg) ─────
+
+  /** One CLOSED holding interval: duration + value-held × duration in
+    * exact integer (cents × micros) — the same quantity the batch
+    * query's decimal Σ(v·Δt) carries, scaled by 100.
+    */
+  final case class TwaDelta(user_id: Long, dt_us: Long, num_c: Long)
+  /** Per-user carry: the OPEN interval's start micros + held cents. */
+  final case class HeldValue(tUs: Long, cents: Long)
+
+  /** Incremental duration-weighted value: state is the one OPEN holding
+    * interval per user (a value "holds" until the user's next event).
+    * Each arriving event CLOSES the open interval and emits its exact
+    * (Δt, cents·Δt) delta in Append mode — cents via the same HALF_UP
+    * 2-decimal rounding as the batch `dec2` cast, so the downstream
+    * per-user fold Σnum_c / (100·ΣΔt) reproduces oracled
+    * q_time_weighted_avg bit-for-bit (integer sums are order-free; the
+    * division operands end up identical). Same per-user
+    * event-time-ordered delivery contract as the other twins.
+    */
+  def statefulTwa(events: Dataset[Ev]): Dataset[TwaDelta] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HeldValue, TwaDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[HeldValue]) =>
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          val pts = state.getOption.map(h => (h.tUs, h.cents)).toSeq ++
+            sorted.map(e => (us(e.ts), cents(e.value)))
+          // a same-instant successor still closes a (Δt = 0) interval —
+          // the batch lead() counts it, so the twin must too
+          val deltas = pts.sliding(2).collect {
+            case Seq((t1, c1), (t2, _)) => TwaDelta(uid, t2 - t1, c1 * (t2 - t1))
+          }.toVector
+          pts.lastOption.foreach { case (t, c) =>
+            state.update(HeldValue(t, c))
+          }
+          deltas.iterator
+      }
+  }
+
   // ── stateful last-touch attribution (streaming twin of q_attribution) ─
 
   final case class ValEv(event_id: Long, ts: Timestamp, user_id: Long,

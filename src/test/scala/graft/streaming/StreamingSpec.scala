@@ -408,6 +408,27 @@ class StreamingSpec extends SparkSpec {
       s"streaming sketch lost heavy hitters: ${mustSurvive -- cands}")
   }
 
+  test("stateful time-weighted average folds to batch q_time_weighted_avg") {
+    import spark.implicits._
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[StreamingOps.Ev]
+    val folded = StreamingOps.runToMemory(
+      StreamingOps.statefulTwa(stream).toDF(), "t_twa", OutputMode.Append())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).cast("long").as("total_us"),
+        sum(col("num_c")).cast("long").as("num_c"))
+      .select(col("user_id"), col("n_intervals"), col("total_us"),
+        (col("num_c").cast("double")
+          / (lit(100.0) * col("total_us").cast("double"))).as("twa"))
+      .orderBy("user_id").collect()
+    val batch = SparkEntry.queries("q_time_weighted_avg")(spark, sfDir)
+      .collect()
+    assert(folded.nonEmpty)
+    assert(folded.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming trend moments fold to the oracled batch regression exactly") {
     // q_regression is five mergeable sums + finalization: the drained
     // stream's Complete-mode moments must finalize to the batch answer
