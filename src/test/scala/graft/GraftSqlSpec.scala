@@ -37,6 +37,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(dot === 11.0)
   }
 
+  test("portable TPC-H oracle SQL runs on the Spark surface and matches the DataFrame answers") {
+    // these oracle texts are ANSI enough to be valid in BOTH DuckDB and
+    // Spark SQL — running them through GraftSql proves the SQL surface
+    // and the DataFrame formulations are the same engine, not parallel
+    // implementations
+    for (q <- Seq("q_simple_revenue", "q_large_orders", "q_dormant_customers")) {
+      val viaSql = GraftSql.run(spark, sfDir, SparkEntry.oracleSql(q))
+        .collect()
+      val viaDf = SparkEntry.queries(q)(spark, sfDir).collect()
+      assert(viaSql.map(_.toSeq).toSeq === viaDf.map(_.toSeq).toSeq,
+        s"$q: SQL text and DataFrame disagree")
+    }
+  }
+
   test("SQL text and DataFrame API produce the same physical plan shape") {
     val sqlPlan = GraftSql.run(spark, sfDir,
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 30")
