@@ -501,6 +501,76 @@ object Curation {
               SELECT label, n_class,
                 CAST(n_class AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
                 CAST(n_total AS DOUBLE) / CAST(k * n_class AS DOUBLE) AS weight
-              FROM lab, tot ORDER BY label"""))
+              FROM lab, tot ORDER BY label""")),
+
+    // ── item co-occurrence ("customers who bought X also bought Y") ──────
+    // The recsys/retrieval census: supplier pairs ranked by exact Jaccard
+    // over shared-customer sets, with lift against independence. Pair
+    // generation is the dedup-module discipline — ONE groupBy to the
+    // per-customer basket, then a ROW-LOCAL triangular fan-out (no
+    // self-join), with baskets capped at 128 items (the ShingleDfCap
+    // analog: worst per-row fan-out ≤ 128², independent of SF — whale
+    // accounts are dropped, not exploded). Totals are partial aggs;
+    // the N scalar is a 1-row broadcast; top-100 by a total order.
+    Q("q_also_bought",
+      (s, dir) => {
+        val basket = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
+          .distinct()
+        val b = basket.groupBy("cust")
+          .agg(sort_array(collect_set(col("item"))).as("items"))
+          .filter(size(col("items")) <= 128)
+        val pairs = b.select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+               transform(slice(items, i + 2, size(items)),
+                 y -> struct(x AS s1, y AS s2))))""")).as("p"))
+          .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        val pc = pairs.groupBy("s1", "s2").agg(count(lit(1)).as("n12"))
+        val sup = b.select(explode(col("items")).as("s_item"))
+          .groupBy("s_item").agg(count(lit(1)).as("n"))
+        val nn = b.agg(count(lit(1)).as("n_cust"))
+        pc
+          .join(sup.select(col("s_item").as("k1"), col("n").as("n1")),
+            col("s1") === col("k1"))
+          .join(sup.select(col("s_item").as("k2"), col("n").as("n2")),
+            col("s2") === col("k2"))
+          .crossJoin(broadcast(nn))
+          .filter(col("n12") >= 2)
+          .select(col("s1"), col("s2"), col("n12"),
+            (col("n12").cast("double")
+              / (col("n1") + col("n2") - col("n12")).cast("double"))
+              .as("jaccard"),
+            ((col("n12") * col("n_cust")).cast("double")
+              / (col("n1") * col("n2")).cast("double")).as("lift"))
+          .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+          .limit(100)
+      },
+      Some("""WITH b AS (
+                SELECT o_custkey AS cust,
+                  list_sort(list(DISTINCT l_suppkey)) AS items
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1 HAVING len(list(DISTINCT l_suppkey)) <= 128),
+              pairs AS (
+                SELECT unnest(flatten(list_transform(
+                  generate_series(1, len(items)),
+                  i -> list_transform(generate_series(i + 1, len(items)),
+                    j -> {'s1': items[i], 's2': items[j]})))) AS p
+                FROM b),
+              pc AS (SELECT p.s1 AS s1, p.s2 AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS n12
+                     FROM pairs GROUP BY 1, 2),
+              sup AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM
+                        (SELECT unnest(items) AS item FROM b) GROUP BY 1),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM b)
+              SELECT s1, s2, n12,
+                CAST(n12 AS DOUBLE) / CAST(a.n + bb.n - n12 AS DOUBLE)
+                  AS jaccard,
+                CAST(n12 * nn.n_cust AS DOUBLE) / CAST(a.n * bb.n AS DOUBLE)
+                  AS lift
+              FROM pc JOIN sup a ON pc.s1 = a.item
+                JOIN sup bb ON pc.s2 = bb.item, nn
+              WHERE n12 >= 2
+              ORDER BY jaccard DESC, s1, s2 LIMIT 100"""))
   )
 }
