@@ -60,7 +60,9 @@ object PlanDump {
     "q_disjunctive_join" -> "TPC-H Q19: OR-of-ANDs join — Catalyst extracts the partkey equi-key into a hash join and splits per-side residuals into both scans",
     "q_dormant_customers" -> "TPC-H Q22: 1-row scalar avg broadcast (constant at any SF) + recency-pruned hashed anti-join + ≤5-group census",
     "q_sequence_pack" -> "context packing: one window cumsum per source partition, then integer-div binning — no global sort; census keys bounded by corpus/budget",
-    "q_char_diversity" -> "char diversity: explode → (doc,char) partial agg (alphabet-bounded per doc) → per-doc integer-moment agg; no window, pure codegen hash aggregation")
+    "q_char_diversity" -> "char diversity: explode → (doc,char) partial agg (alphabet-bounded per doc) → per-doc integer-moment agg; no window, pure codegen hash aggregation",
+    "q_also_bought" -> "item co-occurrence: basket aggregate FIRST, triangular pair fan-out row-locally (Generate above Aggregate, no basket self-join), capped at 128 items; top-100 TakeOrderedAndProject",
+    "q_bootstrap_ci" -> "Poisson bootstrap: x32 row-local fan-out → 32-group partial+final replicate aggs — the shuffle carries 32 x tasks rows, not 32 x data; rank-select over 32 rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

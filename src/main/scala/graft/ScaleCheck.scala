@@ -45,8 +45,9 @@ object ScaleCheck {
     "q_session_paths", "q_rank_fusion", "q_table_checksum",
     // TPC-H tail batch: multi-fact join chain, HAVING fold, OR-of-ANDs
     "q_nation_trade", "q_large_orders", "q_disjunctive_join",
-    // curation tail: window cumsum packing, char-moment aggregation
-    "q_sequence_pack", "q_char_diversity")
+    // curation tail: window cumsum packing, char-moment aggregation,
+    // capped-basket pair fan-out, x32 bootstrap replicates
+    "q_sequence_pack", "q_char_diversity", "q_also_bought", "q_bootstrap_ci")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

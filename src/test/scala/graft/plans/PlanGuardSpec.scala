@@ -256,6 +256,31 @@ class PlanGuardSpec extends SparkSpec {
       "winsorize clamp join is not broadcast — fact re-shuffles on priority")
   }
 
+  test("q_also_bought fans out pairs above the basket aggregate, never a self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
+    val plan = qe("q_also_bought").optimizedPlan
+    // the triangular fan-out must be a Generate whose subtree aggregates
+    // baskets first — a basket×basket join would be the corpus² shape
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected the pair fan-out Generate")
+    for (g <- gens) {
+      assert(g.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "pair fan-out runs below the basket aggregate")
+      assert(g.child.collect { case j: Join => j }
+        .forall(j => !(j.left.toString.contains("collect_set")
+          && j.right.toString.contains("collect_set"))),
+        "baskets self-join instead of row-local fan-out")
+    }
+    assert(qe("q_also_bought").executedPlan.toString
+      .contains("TakeOrderedAndProject"), "top-100 is not a bounded take")
+  }
+
+  test("q_bootstrap_ci replicate aggregation is partial+final over 32 groups") {
+    val plan = qe("q_bootstrap_ci").executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, "replicate means lost their partial aggregation")
+  }
+
   test("q_heavy_hitters exact pass touches only broadcast candidate keys") {
     // the exact count must join the token stream to the (<= k)-row
     // candidate set via broadcast — a shuffled vocabulary agg would be
