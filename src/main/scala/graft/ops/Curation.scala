@@ -521,12 +521,17 @@ object Curation {
         val b = basket.groupBy("cust")
           .agg(sort_array(collect_set(col("item"))).as("items"))
           .filter(size(col("items")) <= 128)
+        // pairs ride the shuffle as ONE packed long (s1·2³² + s2, keys
+        // < 2³¹ at any plausible SF) — half the shuffle bytes and a
+        // single-word hash key vs a two-field struct; unpacked after
+        // the count folds
         val pairs = b.select(explode(expr(
           """flatten(transform(items, (x, i) ->
                transform(slice(items, i + 2, size(items)),
-                 y -> struct(x AS s1, y AS s2))))""")).as("p"))
-          .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        val pc = pairs.groupBy("s1", "s2").agg(count(lit(1)).as("n12"))
+                 y -> x * 4294967296L + y)))""")).as("pk"))
+        val pc = pairs.groupBy("pk").agg(count(lit(1)).as("n12"))
+          .select(expr("pk div 4294967296L").as("s1"),
+            (col("pk") % 4294967296L).as("s2"), col("n12"))
         val sup = b.select(explode(col("items")).as("s_item"))
           .groupBy("s_item").agg(count(lit(1)).as("n"))
         val nn = b.agg(count(lit(1)).as("n_cust"))
