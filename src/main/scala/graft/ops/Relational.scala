@@ -1991,6 +1991,127 @@ object Relational {
                 AND NOT EXISTS (SELECT 1 FROM orders
                                 WHERE o_custkey = c_custkey
                                   AND o_orderdate >= TIMESTAMP '2000-01-01')
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // ── order→ship latency percentiles (fulfillment SLA readout) ─────────
+    // The ops metric behind every SLA dashboard. lineitem folds to one
+    // MIN per order BEFORE the orders join (Q18 discipline); latency is
+    // exact integer days; percentiles are rank-selected members (no
+    // interpolation); and the n_preship column counts ship-before-order
+    // rows — the data-quality signal this synthetic data deliberately
+    // carries. Rank windows parallelize per priority (the documented
+    // exact-path trade vs q_approx_quantiles at 100 TB).
+    Q("q_ship_latency",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("first_ship"))
+        val lat = t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            datediff(col("first_ship").cast("date"),
+              col("o_orderdate").cast("date")).cast("long").as("days"))
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("days"), col("o_orderkey"))
+        lat
+          .select(col("o_orderpriority"), col("days"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("o_orderpriority")).as("n"))
+          .groupBy("o_orderpriority")
+          .agg(max(col("n")).as("n"),
+            max(when(col("rn") === ceil(col("n") * 0.5), col("days"))).as("p50_days"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("days"))).as("p90_days"),
+            max(col("days")).as("max_days"),
+            sum(when(col("days") < 0, 1L).otherwise(0L)).as("n_preship"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH fs AS (
+                SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+                FROM lineitem GROUP BY 1),
+              lat AS (
+                SELECT o_orderpriority, o_orderkey,
+                  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(first_ship AS DATE)) AS BIGINT) AS days
+                FROM orders JOIN fs ON o_orderkey = l_orderkey),
+              r AS (
+                SELECT o_orderpriority, days,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY days, o_orderkey) AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+                FROM lat)
+              SELECT o_orderpriority, MAX(n) AS n,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN days END) AS p50_days,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN days END) AS p90_days,
+                MAX(days) AS max_days,
+                CAST(SUM(CASE WHEN days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_preship
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ── median absolute deviation (robust dispersion) ────────────────────
+    // The robust twin of q_stats_agg's stddev: MAD = p50 of |x − p50(x)|,
+    // immune to the outliers that winsorize clips. Two rank-selection
+    // passes per group — the median is an actual element (FP-free
+    // selection), the deviation |x − m| is ONE exact-rounded IEEE
+    // subtraction of identical operands in both engines, then the second
+    // selection. Parallelism = |groups|, same documented trade as every
+    // exact-percentile path here.
+    Q("q_mad",
+      (s, dir) => {
+        val w1 = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val med = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            row_number().over(w1).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+          .groupBy("l_returnflag")
+          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice")))
+            .as("med"))
+          .withColumnRenamed("l_returnflag", "m_flag")
+        val dev = t(s, dir, "lineitem")
+          .join(med, col("l_returnflag") === col("m_flag"))
+          .select(col("l_returnflag"), col("med"),
+            abs(col("l_extendedprice") - col("med")).as("dev"),
+            col("l_orderkey"), col("l_linenumber"))
+        val w2 = Window.partitionBy("l_returnflag")
+          .orderBy(col("dev"), col("l_orderkey"), col("l_linenumber"))
+        dev
+          .select(col("l_returnflag"), col("med"), col("dev"),
+            row_number().over(w2).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+          .groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"), max(col("med")).as("median"),
+            max(when(col("rn") === ceil(col("n") * 0.5), col("dev"))).as("mad"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r1 AS (
+                SELECT l_returnflag, l_extendedprice,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                    AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS n
+                FROM lineitem),
+              med AS (
+                SELECT l_returnflag AS m_flag,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                      THEN l_extendedprice END) AS med
+                FROM r1 GROUP BY 1),
+              dev AS (
+                SELECT l_returnflag, med,
+                  abs(l_extendedprice - med) AS dev, l_orderkey, l_linenumber
+                FROM lineitem JOIN med ON l_returnflag = m_flag),
+              r2 AS (
+                SELECT l_returnflag, med, dev,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY dev, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS n
+                FROM dev)
+              SELECT l_returnflag, MAX(n) AS n, MAX(med) AS median,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN dev END) AS mad
+              FROM r2 GROUP BY 1 ORDER BY 1"""))
   )
 }
