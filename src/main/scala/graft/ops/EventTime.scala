@@ -764,6 +764,99 @@ object EventTime {
               SELECT user_id, n_intervals, total_us,
                 CAST(num_c AS DOUBLE)
                   / (100.0 * CAST(total_us AS DOUBLE)) AS twa
-              FROM agg ORDER BY user_id"""))
+              FROM agg ORDER BY user_id""")),
+
+    // ── cohort LTV triangle ──────────────────────────────────────────────
+    // The growth-analytics staple q_retention counts users for — this one
+    // follows the MONEY: cohort = first-event WEEK (the synthetic stream
+    // spans one month, so weeks give a real triangle; production would
+    // use months), age = weeks since, cell = (distinct actives, decimal
+    // value total). Users fold to their cohort ONCE (min-agg, no
+    // window), the cohort rides a users-sized equi-join back onto
+    // events, and the triangle is a partial+final agg over a
+    // calendar-bounded key space.
+    Q("q_cohort_ltv",
+      (s, dir) => {
+        val cohorts = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        t(s, dir, "events")
+          .join(cohorts, "user_id")
+          .select(col("cohort"), col("user_id"),
+            (datediff(date_trunc("week", col("ts")).cast("date"),
+              col("cohort").cast("date")) / 7).cast("long").as("age"),
+            dec2(col("value")).as("v"))
+          .groupBy("cohort", "age")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            sum(col("v")).cast("double").as("total_value"))
+          .orderBy("cohort", "age")
+      },
+      Some("""WITH f AS (
+                SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                FROM events GROUP BY 1),
+              ev AS (
+                SELECT e.user_id, f.cohort,
+                  CAST(date_diff('day', CAST(f.cohort AS DATE),
+                    CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                    AS BIGINT) AS age,
+                  CAST(e.value AS DECIMAL(18,2)) AS v
+                FROM events e JOIN f USING (user_id))
+              SELECT CAST(cohort AS TIMESTAMP) AS cohort, age,
+                COUNT(DISTINCT user_id) AS n_users,
+                CAST(SUM(v) AS DOUBLE) AS total_value
+              FROM ev GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── time-to-convert percentiles (first view → first purchase) ────────
+    // The funnel's latency twin: per converted user, the exact micros
+    // from first view to first purchase, rank-selected per acquisition
+    // cohort DAY — partitioning the percentile window by cohort keeps
+    // parallelism calendar-bounded instead of one global sort over
+    // every converted user. Both firsts are min-aggs; the
+    // t1 >= t0 guard drops purchase-before-view users in both engines.
+    Q("q_funnel_time",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user")).agg(min(col("ts")).as("t1"))
+        val d = fv.join(fp, col("user_id") === col("p_user"))
+          .filter(col("t1") >= col("t0"))
+          .select(date_trunc("day", col("t0")).as("cohort"), col("user_id"),
+            (unix_micros(col("t1")) - unix_micros(col("t0"))).as("dt_us"))
+        val w = Window.partitionBy("cohort").orderBy(col("dt_us"), col("user_id"))
+        d
+          .select(col("cohort"), col("dt_us"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("cohort")).as("n"))
+          .groupBy("cohort")
+          .agg(max(col("n")).as("n_converted"),
+            max(when(col("rn") === ceil(col("n") * 0.5), col("dt_us"))).as("p50_us"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("dt_us"))).as("p90_us"))
+          .orderBy("cohort")
+      },
+      Some("""WITH fv AS (
+                SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              fp AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'purchase' GROUP BY 1),
+              d AS (
+                SELECT date_trunc('day', t0) AS cohort, user_id,
+                  CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT) AS dt_us
+                FROM fv JOIN fp USING (user_id) WHERE t1 >= t0),
+              r AS (
+                SELECT cohort, dt_us,
+                  CAST(row_number() OVER (PARTITION BY cohort
+                    ORDER BY dt_us, user_id) AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY cohort) AS BIGINT) AS n
+                FROM d)
+              SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+                MAX(n) AS n_converted,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN dt_us END) AS p50_us,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN dt_us END) AS p90_us
+              FROM r GROUP BY 1 ORDER BY 1"""))
   )
 }
