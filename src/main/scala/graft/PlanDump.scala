@@ -62,7 +62,9 @@ object PlanDump {
     "q_sequence_pack" -> "context packing: one window cumsum per source partition, then integer-div binning — no global sort; census keys bounded by corpus/budget",
     "q_char_diversity" -> "char diversity: explode → (doc,char) partial agg (alphabet-bounded per doc) → per-doc integer-moment agg; no window, pure codegen hash aggregation",
     "q_also_bought" -> "item co-occurrence: basket aggregate FIRST, triangular pair fan-out row-locally (Generate above Aggregate, no basket self-join), capped at 128 items; top-100 TakeOrderedAndProject",
-    "q_bootstrap_ci" -> "Poisson bootstrap: x32 row-local fan-out → 32-group partial+final replicate aggs — the shuffle carries 32 x tasks rows, not 32 x data; rank-select over 32 rows")
+    "q_bootstrap_ci" -> "Poisson bootstrap: x32 row-local fan-out → 32-group partial+final replicate aggs — the shuffle carries 32 x tasks rows, not 32 x data; rank-select over 32 rows",
+    "q_ship_latency" -> "SLA percentiles: lineitem folds to MIN per order BEFORE the orders join (agg below join in the optimized plan); rank windows parallelize per priority",
+    "q_cohort_ltv" -> "cohort triangle: users fold to cohorts once (min-agg, no window), users-sized equi-join back onto events, calendar-bounded (cohort, age) partial agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
