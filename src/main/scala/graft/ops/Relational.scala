@@ -2112,6 +2112,247 @@ object Relational {
               SELECT l_returnflag, MAX(n) AS n, MAX(med) AS median,
                 MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
                     THEN dev END) AS mad
-              FROM r2 GROUP BY 1 ORDER BY 1"""))
+              FROM r2 GROUP BY 1 ORDER BY 1""")),
+
+    // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
+    // The correlated-min decorrelation: "suppliers matching the best
+    // offer" becomes agg-to-one-row-per-part + equality join — each side
+    // scans once, no per-part re-probe. The region membership rides the
+    // supplier dim (constant-size → BHJ); the small-part semi prunes the
+    // fact before any wide column appears. Cost compares in DECIMAL
+    // (exact ties), casts to double only on output.
+    Q("q_min_cost_supplier",
+      (s, dir) => {
+        val euroSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select("s_suppkey", "s_name", "n_name")
+        val smallParts = t(s, dir, "part")
+          .filter(col("p_size") <= 5).select("p_partkey")
+        val offers = t(s, dir, "lineitem")
+          .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(euroSupp.select("s_suppkey"),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(dec2(col("l_extendedprice"))).as("cost_dec"))
+        val best = offers.groupBy(col("l_partkey").as("bp"))
+          .agg(min(col("cost_dec")).as("best_dec"))
+        offers
+          .join(best, col("l_partkey") === col("bp")
+            && col("cost_dec") === col("best_dec"))
+          .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("l_suppkey").as("s_suppkey"), col("s_name"), col("n_name"),
+            col("cost_dec").cast("double").as("cost"))
+          .orderBy("p_partkey", "s_suppkey")
+      },
+      Some("""WITH euro_supp AS (
+                SELECT s_suppkey, s_name, n_name
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'),
+              offers AS (
+                SELECT l_partkey, l_suppkey,
+                  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+                FROM lineitem JOIN euro_supp ON l_suppkey = s_suppkey
+                WHERE EXISTS (SELECT 1 FROM part
+                              WHERE p_partkey = l_partkey AND p_size <= 5)
+                GROUP BY 1, 2),
+              best AS (SELECT l_partkey AS bp, MIN(cost_dec) AS best_dec
+                       FROM offers GROUP BY 1)
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                s_name, n_name, CAST(cost_dec AS DOUBLE) AS cost
+              FROM offers JOIN best ON l_partkey = bp AND cost_dec = best_dec
+                JOIN euro_supp ON l_suppkey = s_suppkey
+              ORDER BY p_partkey, s_suppkey""")),
+
+    // ── high-share parts vs global value (TPC-H Q11 shape) ───────────────
+    // The HAVING-vs-global-scalar shape: per-part traded value against a
+    // 1-row corpus total (constant size at any SF → the one legitimate
+    // broadcast). Both operands of the share division are exact-decimal→
+    // double casts of identical decimal sums, so the >0.0008 cut and the
+    // surfaced share are bit-identical across engines.
+    Q("q_important_parts",
+      (s, dir) => {
+        val v = t(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
+            .as("val_dec"))
+        val tot = v.agg(sum(col("val_dec")).cast("double").as("total"))
+        v.crossJoin(broadcast(tot))
+          .select(col("l_partkey").as("p_partkey"),
+            col("val_dec").cast("double").as("value"),
+            (col("val_dec").cast("double") / col("total")).as("share"))
+          .filter(col("share") > 0.0008)
+          .orderBy(col("value").desc, col("p_partkey"))
+      },
+      Some("""WITH v AS (
+                SELECT l_partkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS val_dec
+                FROM lineitem GROUP BY 1),
+              tot AS (SELECT CAST(SUM(val_dec) AS DOUBLE) AS total FROM v)
+              SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS value,
+                CAST(val_dec AS DOUBLE) / total AS share
+              FROM v, tot
+              WHERE CAST(val_dec AS DOUBLE) / total > 0.0008
+              ORDER BY value DESC, p_partkey""")),
+
+    // ── supplier census by part class (TPC-H Q16 shape) ──────────────────
+    // NOT IN + COUNT(DISTINCT): the negative-balance suppliers become a
+    // left-anti probe (constant-ish side, never a full-scan re-check per
+    // row); distinct-count is partial+final over (class, suppkey) — the
+    // two-level distinct plan, no row explosion. Brand exclusion prunes
+    // the part dim before the fact join.
+    Q("q_part_type_census",
+      (s, dir) => {
+        val badSupp = t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val parts = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1")
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""WITH pl AS (
+                SELECT p_brand, p_type, p_size, l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand <> 'Brand#1'
+                  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                        WHERE s_acctbal < 0))
+              SELECT p_brand, p_type, p_size,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+              FROM pl GROUP BY 1, 2, 3
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ── dominant-share suppliers on contested parts (TPC-H Q20 shape) ────
+    // The excess-inventory semi-chain: recent per-(part,supplier) volume
+    // vs the per-part total, keeping suppliers holding >50% of a part
+    // that at least 3 suppliers ship. Share test is DECIMAL×2 vs DECIMAL
+    // (exact, no division); both aggs are partial+final on the pruned
+    // (partkey, suppkey, quantity) projection.
+    Q("q_excess_share",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(dec2(col("l_quantity"))).as("sq"))
+        val tot = ps.groupBy(col("l_partkey").as("tp"))
+          .agg(sum(col("sq")).as("tq"), count(lit(1)).as("nsupp"))
+        ps.join(tot, col("l_partkey") === col("tp")
+            && col("nsupp") >= 3 && col("sq") * 2 > col("tq"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("l_suppkey").as("s_suppkey"), col("s_name"),
+            col("sq").cast("double").as("supp_qty"),
+            col("tq").cast("double").as("part_qty"))
+          .orderBy("p_partkey", "s_suppkey")
+      },
+      Some("""WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+                GROUP BY 1, 2),
+              tot AS (SELECT l_partkey AS tp, SUM(sq) AS tq,
+                        COUNT(*) AS nsupp
+                      FROM ps GROUP BY 1)
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
+                CAST(sq AS DOUBLE) AS supp_qty, CAST(tq AS DOUBLE) AS part_qty
+              FROM ps JOIN tot ON l_partkey = tp
+                AND nsupp >= 3 AND sq * 2 > tq
+                JOIN supplier ON l_suppkey = s_suppkey
+              ORDER BY p_partkey, s_suppkey""")),
+
+    // ── sole-late supplier per multi-supplier order (TPC-H Q21 shape) ────
+    // The double-EXISTS decorrelation: "another supplier on the order,
+    // but no other LATE supplier" collapses to one per-order aggregate —
+    // distinct suppliers, distinct late suppliers, and (when unique) the
+    // late supplier's key — ONE shuffle on orderkey instead of two
+    // correlated re-probes of the fact table. Lateness is exact
+    // timestamp + interval arithmetic.
+    Q("q_supplier_wait",
+      (s, dir) => {
+        val j = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+              .as("late"))
+        val perO = j.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+            max(when(col("late"), col("l_suppkey"))).as("the_supp"))
+        perO.filter(col("n_supp") > 1 && col("n_late") === 1)
+          .join(t(s, dir, "supplier"), col("the_supp") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+      },
+      Some("""WITH j AS (
+                SELECT l_orderkey, l_suppkey,
+                  CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              per_o AS (
+                SELECT l_orderkey,
+                  COUNT(DISTINCT l_suppkey) AS n_supp,
+                  COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                    AS n_late,
+                  MAX(CASE WHEN late = 1 THEN l_suppkey END) AS the_supp
+                FROM j GROUP BY 1)
+              SELECT s_suppkey, s_name, COUNT(*) AS numwait
+              FROM per_o JOIN supplier ON the_supp = s_suppkey
+              WHERE n_supp > 1 AND n_late = 1
+              GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""")),
+
+    // ── Pareto frontier per segment (skyline operator) ───────────────────
+    // The skyline query (Börzsönyi et al., ICDE'01) on (price↑, date↑):
+    // an order is dominated iff some same-segment order beats it on BOTH
+    // dims strictly. The naive form is a quadratic NOT-EXISTS self-join;
+    // this plan is the sort-based linear scan — per-price-group max date,
+    // then a prefix-max over strictly-greater prices (window, partitioned
+    // per segment, so parallelism = |segments| and the sort spills). The
+    // DuckDB oracle IS the quadratic NOT EXISTS — the two formulations
+    // agreeing is the semantic proof. At 100 TB the same plan holds with
+    // range-partitioned prefix-max (the q_feature_binning swap-in note).
+    Q("q_pareto_frontier",
+      (s, dir) => {
+        val pts = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+            dec2(col("o_totalprice")).as("price"), col("o_orderdate"))
+        val grp = pts.groupBy("segment", "price")
+          .agg(max(col("o_orderdate")).as("gmax"))
+        val w = Window.partitionBy("segment").orderBy(col("price").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pref = grp.select(col("segment").as("g_seg"),
+          col("price").as("g_price"), max(col("gmax")).over(w).as("pref"))
+        pts.join(pref, col("segment") === col("g_seg")
+            && col("price") === col("g_price"))
+          .filter(col("pref").isNull || col("o_orderdate") >= col("pref"))
+          .select(col("segment"), col("o_orderkey"),
+            col("price").cast("double").as("price"), col("o_orderdate"))
+          .orderBy(col("segment"), col("price").desc, col("o_orderkey"))
+      },
+      Some("""WITH pts AS (
+                SELECT c_mktsegment AS segment, o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+              SELECT segment, o_orderkey, CAST(price AS DOUBLE) AS price,
+                o_orderdate
+              FROM pts a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pts b
+                WHERE b.segment = a.segment AND b.price > a.price
+                  AND b.o_orderdate > a.o_orderdate)
+              ORDER BY segment, price DESC, o_orderkey"""))
   )
 }
