@@ -857,6 +857,33 @@ object EventTime {
                     THEN dt_us END) AS p50_us,
                 MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
                     THEN dt_us END) AS p90_us
-              FROM r GROUP BY 1 ORDER BY 1"""))
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ── per-user EWMA (recency-weighted state readout) ───────────────────
+    // The exponentially weighted moving average behind every "recent
+    // activity" feature: s ← s/2 + v/2 per event in time order, one
+    // state double per user. A recurrence can't partial-agg, so the plan
+    // is the q_lm_score discipline: collect the user's (ts, event_id,
+    // value) rows, sort the array, left-fold — FP op ORDER is pinned by
+    // the sorted array, so both engines run the identical IEEE sequence.
+    // Per-group state is the user's own history (the same bounded-state
+    // caveat as sessionize); the streaming twin is a one-double
+    // mapGroupsWithState. Scale shape: one shuffle on user_id, fold is
+    // row-local.
+    Q("q_ewma",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("ev"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("""aggregate(array_sort(collect_list(ev)),
+                    CAST(0 AS DOUBLE),
+                    (a, x) -> a * 0.5 + x.value * 0.5)""").as("ewma"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(value ORDER BY ts, event_id)),
+                  (a, x) -> a * 0.5 + x * 0.5) AS ewma
+              FROM events GROUP BY 1 ORDER BY user_id"""))
   )
 }

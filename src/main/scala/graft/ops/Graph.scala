@@ -147,6 +147,83 @@ object Graph {
                 COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS n_edges,
                 CAST(MIN(deg) AS BIGINT) AS min_deg,
                 CAST(MAX(deg) AS BIGINT) AS max_deg
-              FROM deg GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM deg GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── triangle census (degree-ordered wedge closure) ───────────────────
+    // Triangle counting on the part co-occurrence graph (parts sharing an
+    // order), the clustering-coefficient primitive. The 100-TB discipline
+    // is Suri & Vassilvitskii's (WWW'11) degree ordering: orient every
+    // edge low→high (degree, id), generate wedges only from each node's
+    // OUT-neighbors, close them against the canonical edge set — wedge
+    // count is Σ outdeg² ≤ O(m^1.5) on ANY degree distribution, where
+    // the unoriented wedge count Σ deg² is quadratic in the max degree.
+    // Pair generation is the basket fan-out (ONE groupBy, row-local
+    // triangular expansion, 128-item cap), not a fact self-join; the
+    // closure is a hash join on the packed pair key. Everything is
+    // exact integer arithmetic.
+    Q("q_triangle_count",
+      (s, dir) => {
+        val pk = 4294967296L // pack (u<v<2³¹) as one shuffle-friendly long
+        val b = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+          .filter(size(col("items")) <= 128)
+        val pairs = b.select(explode(expr(
+            s"""flatten(transform(items, (x, i) ->
+                 transform(slice(items, i + 2, size(items)),
+                   y -> x * ${pk}L + y)))""")).as("e"))
+          .distinct()
+          .select(expr(s"e div ${pk}L").as("u"), (col("e") % pk).as("v"))
+          .localCheckpoint(true) // 3 consumers: degrees, orientation, closure
+        val deg = pairs.select(col("u").as("node"))
+          .unionByName(pairs.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val ori = pairs
+          .join(deg.select(col("node").as("un"), col("dg").as("ud")),
+            col("u") === col("un"))
+          .join(deg.select(col("node").as("vn"), col("dg").as("vd")),
+            col("v") === col("vn"))
+          .select(
+            when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+              col("u")).otherwise(col("v")).as("src"),
+            when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+              col("v")).otherwise(col("u")).as("dst"))
+        val wedge = ori.as("a")
+          .join(ori.as("b"), col("a.src") === col("b.src")
+            && col("a.dst") < col("b.dst"))
+          .select((least(col("a.dst"), col("b.dst")) * pk
+            + greatest(col("a.dst"), col("b.dst"))).as("w"))
+        val closed = wedge
+          .join(pairs.select((col("u") * pk + col("v")).as("w"),
+            lit(1).as("hit")), Seq("w"), "left")
+          .agg(count(lit(1)).as("n_wedges"),
+            count(col("hit")).as("n_triangles"))
+        pairs.agg(count(lit(1)).as("n_edges")).crossJoin(closed)
+      },
+      Some("""WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey),
+              deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+                  SELECT u AS node FROM pairs
+                  UNION ALL SELECT v FROM pairs)
+                GROUP BY 1),
+              ori AS (
+                SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END
+                    AS src,
+                  CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS dst
+                FROM pairs JOIN deg du ON u = du.node
+                  JOIN deg dv ON v = dv.node),
+              wedge AS (
+                SELECT least(a.dst, b.dst) AS wu, greatest(a.dst, b.dst) AS wv
+                FROM ori a JOIN ori b ON a.src = b.src AND a.dst < b.dst)
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+                CAST(COUNT(*) AS BIGINT) AS n_wedges,
+                CAST(COUNT(CASE WHEN u IS NOT NULL THEN 1 END) AS BIGINT)
+                  AS n_triangles
+              FROM wedge LEFT JOIN pairs ON wu = u AND wv = v"""))
   )
 }

@@ -729,6 +729,36 @@ object TextOps {
               SELECT doc_id, count(*) AS n_bigrams,
                 list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
                   (a, x) -> a + x) / count(*) AS lm_mean
-              FROM p GROUP BY 1 ORDER BY doc_id"""))
+              FROM p GROUP BY 1 ORDER BY doc_id""")),
+
+    // ── tokenizer fertility census (tokens per char by lang × source) ────
+    // The tokenizer-budget planning table: how many tokens a corpus
+    // slice costs per character — the fertility number that sizes
+    // context windows and compares tokenizers across languages. Token
+    // and char counts are row-local integer projections feeding one
+    // partial+final agg; fertility is a single IEEE division of
+    // identical BIGINT-cast operands. Group key space is |langs|×
+    // |sources| — constant, so the final sort is trivial at any SF.
+    Q("q_tokenizer_fertility",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))")
+            .cast("long").as("tok"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tot_tokens"),
+          sum(col("chars")).as("tot_chars"),
+          (sum(col("tok")).cast("double")
+            / sum(col("chars")).cast("double")).as("fertility"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+                CAST(SUM(len(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS BIGINT) AS tot_tokens,
+                CAST(SUM(length(text)) AS BIGINT) AS tot_chars,
+                CAST(SUM(len(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS DOUBLE)
+                  / CAST(SUM(length(text)) AS DOUBLE) AS fertility
+              FROM documents GROUP BY 1, 2 ORDER BY lang, source"""))
   )
 }

@@ -369,7 +369,37 @@ object VectorOps {
                     + COALESCE(CAST(1 AS DOUBLE) / (60 + r_dense), CAST(0 AS DOUBLE)) AS rrf
                 FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
               SELECT doc_id, r_sparse, r_dense, rrf
-              FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""))
+              FROM f ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+    // ── semantic dedup via the IVF index (oracle-exempt: approximate) ────
+    // SemDeDup (Abbas et al., 2023): embedding-level near-duplicate
+    // pruning — cluster the corpus, compare only WITHIN cells, drop every
+    // vector that has a lower-id cell-mate above the cosine threshold
+    // (greedy min-id survivor, deterministic). Reads the shared trained
+    // [[ivfIndex]] artifact (train once, probe many); the pair join is
+    // keyed on cent_id so cost is Σ|cell|² ≈ n·√n with the √n-cell knob
+    // — never corpus². Cross-cell near-dups are the documented recall
+    // trade (SemDeDup accepts it; raise nprobe/overlap clusters to buy
+    // recall). Threshold 0.4 is corpus-calibrated (this synthetic corpus
+    // tops out at cos ≈ 0.51; production uses 0.9+).
+    Q("q_semdedup",
+      (s, dir) => {
+        val (_, assigned) = ivfIndex(s, dir)
+        val x = assigned.select(col("cent_id"), col("vec_id"),
+          col("embedding"), col("n2"))
+        val losers = x.as("x")
+          .join(x.select(col("cent_id"), col("vec_id").as("b_id"),
+            col("embedding").as("b_emb"), col("n2").as("b_n2")),
+            Seq("cent_id"))
+          .filter(col("vec_id") < col("b_id"))
+          .filter(dot(col("embedding"), col("b_emb"))
+            / sqrt(col("n2") * col("b_n2")) >= 0.4)
+          .select(col("b_id").as("vec_id")).distinct()
+        assigned.join(losers, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cent_id"))
+          .orderBy("vec_id")
+      },
+      None)
   )
 
   /** IVF cell count for a corpus of n vectors: ⌈√n⌉ with a floor of 16.

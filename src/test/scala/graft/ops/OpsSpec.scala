@@ -397,4 +397,46 @@ class OpsSpec extends SparkSpec {
     val byCol = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(byCol("doc_id") === n, "doc_id must profile as a unique key")
   }
+
+  // ── SemDeDup: survivor set is cell-locally threshold-free ────────────
+  test("q_semdedup survivors have no within-cell pair above the threshold") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val surv = q("q_semdedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(surv.nonEmpty && surv.length <= n)
+    // deterministic: rerun is identical
+    assert(surv.sameElements(
+      q("q_semdedup").collect().map(r => r.getLong(0) -> r.getLong(1))))
+    // no two survivors of one cell are >= 0.4 cosine: check via exact
+    // cosine on the collected vectors (sf0.001 corpus is small)
+    val vecs = emb.collect().map { r =>
+      r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    surv.groupBy(_._2).values.foreach { cell =>
+      val ids = cell.map(_._1)
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        assert(cos(vecs(ids(i)), vecs(ids(j))) < 0.4,
+          s"survivors ${ids(i)}, ${ids(j)} still near-dup in one cell")
+    }
+  }
+
+  // ── triangle census invariants ───────────────────────────────────────
+  test("q_triangle_count bounds hold (triangles <= wedges, edges > 0)") {
+    val r = q("q_triangle_count").head()
+    val (e, w, tri) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(e > 0 && w > 0)
+    assert(tri <= w, "every triangle is a closed wedge")
+    // each triangle contributes exactly one wedge at its min-(deg,id)
+    // apex, so triangles <= edges * max_outdeg is loose; the tight
+    // invariant tri >= 0 plus closure <= wedge count is what's checkable
+    // without recomputing the graph here
+  }
 }
