@@ -164,7 +164,13 @@ object Graph {
     Q("q_triangle_count",
       (s, dir) => {
         val pk = 4294967296L // pack (u<v<2³¹) as one shuffle-friendly long
+        // one ship-year slice: the census is a snapshot readout (a
+        // rolling co-occurrence graph over all history grows superlinearly
+        // in edges and ~quadratically in wedges — the time window is the
+        // production knob); the year predicate pushes to the parquet scan
         val b = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
           .select(col("l_orderkey"), col("l_partkey")).distinct()
           .groupBy("l_orderkey")
           .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
@@ -175,7 +181,11 @@ object Graph {
                    y -> x * ${pk}L + y)))""")).as("e"))
           .distinct()
           .select(expr(s"e div ${pk}L").as("u"), (col("e") % pk).as("v"))
-          .localCheckpoint(true) // 3 consumers: degrees, orientation, closure
+          // 4 consumers (degrees, orientation, closure, edge count): cache
+          // the one fan-out; persist (not localCheckpoint) keeps the scan
+          // lineage visible so the pushdown guard can see it, and the
+          // lineage is flat (non-iterative), so no analyzer blow-up risk
+          .persist()
         val deg = pairs.select(col("u").as("node"))
           .unionByName(pairs.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -201,9 +211,13 @@ object Graph {
             count(col("hit")).as("n_triangles"))
         pairs.agg(count(lit(1)).as("n_edges")).crossJoin(closed)
       },
-      Some("""WITH pairs AS (
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                  AND l_shipdate < TIMESTAMP '1999-01-01'),
+              pairs AS (
                 SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-                FROM lineitem a JOIN lineitem b
+                FROM li a JOIN li b
                   ON a.l_orderkey = b.l_orderkey
                   AND a.l_partkey < b.l_partkey),
               deg AS (

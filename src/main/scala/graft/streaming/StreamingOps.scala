@@ -425,6 +425,39 @@ object StreamingOps {
       }
   }
 
+  // ── stateful EWMA (streaming twin of q_ewma) ─────────────────────────
+
+  final case class EwmaDelta(user_id: Long, event_id: Long, ewma: Double)
+  /** Per-user carry: the running EWMA double. */
+  final case class EwmaState(s: Double)
+
+  /** Incremental per-user EWMA: state is ONE double. Each event folds
+    * s ← s/2 + v/2 in (ts, event_id) order — the IDENTICAL IEEE op
+    * sequence as batch q_ewma's sorted-array left fold, so after the
+    * stream drains, the last emitted delta per user is bit-equal to the
+    * batch value (StreamingSpec pins this). Append mode: every event
+    * emits its post-fold running average — the live feature value a
+    * serving store would ingest. Same per-user event-time-ordered
+    * delivery contract as the other twins.
+    */
+  def statefulEwma(events: Dataset[Ev]): Dataset[EwmaDelta] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[EwmaState]) =>
+          var s = state.getOption.map(_.s).getOrElse(0.0)
+          val out = evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            s = s * 0.5 + e.value * 0.5
+            EwmaDelta(uid, e.event_id, s)
+          }
+          state.update(EwmaState(s))
+          out.iterator
+      }
+  }
+
   // ── stateful last-touch attribution (streaming twin of q_attribution) ─
 
   final case class ValEv(event_id: Long, ts: Timestamp, user_id: Long,

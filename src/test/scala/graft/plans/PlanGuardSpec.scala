@@ -290,4 +290,52 @@ class PlanGuardSpec extends SparkSpec {
       "candidate prune is not a broadcast join")
     assert(plan.contains("graft_mg"), "Misra-Gries sketch agg missing")
   }
+
+  test("q_triangle_count: ship-year slice pushes to the scan, closure is hashed") {
+    val ex = formatted("q_triangle_count")
+    assert(ex.contains("GreaterThanOrEqual(l_shipdate")
+      && ex.contains("LessThan(l_shipdate"),
+      "the co-occurrence time window did not reach the parquet scan")
+    // the wedge self-join and the closure probe must be equi joins with
+    // NO forced broadcast (adjacency and edge sets scale with the data;
+    // at test SF AQE legitimately size-gates them to BHJ). The only
+    // nested-loop shape allowed is the final 1-row × 1-row census
+    // crossJoin (constant size by construction).
+    assert(!ex.contains("CartesianProduct"),
+      "wedge closure degraded to a cartesian product")
+    assert(!qe("q_triangle_count").analyzed.toString.contains("broadcast"),
+      "q_triangle_count force-broadcasts a scaling side")
+  }
+
+  test("q_semdedup joins cell-mates on cent_id, never broadcasting the corpus") {
+    // the within-cell pair join must key on cent_id (cost Σ|cell|²);
+    // broadcasting either side would ship the corpus to every task
+    val an = qe("q_semdedup").analyzed.toString
+    assert(!an.contains("broadcast"),
+      "q_semdedup force-broadcasts an SF-scaling side")
+    val plan = qe("q_semdedup").executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), // AQE may size-gate at tiny SF
+      s"no equi join in q_semdedup plan")
+  }
+
+  test("q_pareto_frontier windows are partitioned (no single-task prefix max)") {
+    // AQE wraps the physical plan, so inspect the optimized logical plan:
+    // every window spec must carry the segment partition key
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = qe("q_pareto_frontier").optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty, "expected the prefix-max window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "prefix-max window lost its segment partitioning"))
+  }
+
+  test("q_supplier_wait decorrelates to ONE orderkey aggregation, no re-probe") {
+    // both EXISTS collapse into a single groupBy(orderkey): the fact
+    // table must appear in exactly one scan (plus the orders join)
+    val plan = qe("q_supplier_wait").executedPlan.toString
+    val liScans = "Scan parquet".r.findAllIn(plan).size
+    assert(liScans <= 3, s"decorrelation re-probes the fact table:\n$plan")
+  }
 }

@@ -408,6 +408,32 @@ class StreamingSpec extends SparkSpec {
       s"streaming sketch lost heavy hitters: ${mustSurvive -- cands}")
   }
 
+  test("stateful EWMA's final per-user state is bit-equal to batch q_ewma") {
+    import spark.implicits._
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[StreamingOps.Ev]
+    val deltas = StreamingOps.runToMemory(
+      StreamingOps.statefulEwma(stream).toDF(), "t_ewma", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the stream's final value per user = the delta of the user's
+    // event-time-last event
+    val lastEv = batchEvents
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(rows =>
+        rows.maxBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).getLong(2))
+      .toMap
+    val batch = SparkEntry.queries("q_ewma")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch.nonEmpty && deltas.nonEmpty)
+    batch.foreach { case (uid, (nEvents, ewma)) =>
+      val streamed = deltas((uid, lastEv(uid)))
+      assert(streamed === ewma, s"user $uid: stream $streamed vs batch $ewma")
+      assert(deltas.keys.count(_._1 == uid).toLong === nEvents)
+    }
+  }
+
   test("stateful time-weighted average folds to batch q_time_weighted_avg") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
