@@ -64,7 +64,13 @@ object PlanDump {
     "q_also_bought" -> "item co-occurrence: basket aggregate FIRST, triangular pair fan-out row-locally (Generate above Aggregate, no basket self-join), capped at 128 items; top-100 TakeOrderedAndProject",
     "q_bootstrap_ci" -> "Poisson bootstrap: x32 row-local fan-out → 32-group partial+final replicate aggs — the shuffle carries 32 x tasks rows, not 32 x data; rank-select over 32 rows",
     "q_ship_latency" -> "SLA percentiles: lineitem folds to MIN per order BEFORE the orders join (agg below join in the optimized plan); rank windows parallelize per priority",
-    "q_cohort_ltv" -> "cohort triangle: users fold to cohorts once (min-agg, no window), users-sized equi-join back onto events, calendar-bounded (cohort, age) partial agg")
+    "q_cohort_ltv" -> "cohort triangle: users fold to cohorts once (min-agg, no window), users-sized equi-join back onto events, calendar-bounded (cohort, age) partial agg",
+    "q_min_cost_supplier" -> "TPC-H Q2: correlated min decorrelated to per-part agg + exact-decimal equality join; region membership rides the constant-size supplier dims (BHJ), small-part semi prunes the fact first",
+    "q_supplier_wait" -> "TPC-H Q21: both EXISTS collapse to ONE groupBy(orderkey) — distinct/distinct-late/argmax in a single pass, no correlated re-probe of lineitem",
+    "q_pareto_frontier" -> "skyline: per-(segment, price) max-date agg, then a segment-PARTITIONED prefix-max window — the linear sort-based plan whose oracle is the quadratic NOT EXISTS",
+    "q_triangle_count" -> "triangle census: ship-year slice in PushedFilters, basket fan-out above ONE aggregate, degree-ordered orientation bounds wedges at O(m^1.5), closure is a hashed equi join on the packed pair key",
+    "q_semdedup" -> "SemDeDup: within-cell pair join keyed on cent_id against the shared trained IVF artifact (Σ|cell|² ≈ n^1.5 with √n cells), loser set anti-joins back — no broadcast of any corpus-sized side",
+    "q_ewma" -> "per-user EWMA: one shuffle on user_id, sorted-array left fold is row-local — FP order pinned, no window, no per-event state movement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -47,7 +47,10 @@ object ScaleCheck {
     "q_nation_trade", "q_large_orders", "q_disjunctive_join",
     // curation tail: window cumsum packing, char-moment aggregation,
     // capped-basket pair fan-out, x32 bootstrap replicates
-    "q_sequence_pack", "q_char_diversity", "q_also_bought", "q_bootstrap_ci")
+    "q_sequence_pack", "q_char_diversity", "q_also_bought", "q_bootstrap_ci",
+    // round-3 final batch: degree-ordered triangle closure, IVF-cell
+    // semantic dedup, per-user EWMA fold, skyline prefix-max
+    "q_triangle_count", "q_semdedup", "q_ewma", "q_pareto_frontier")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
@@ -61,6 +64,12 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    // optional 3rd arg: comma-separated pick subset (measure new ops
+    // without re-timing the whole list)
+    val picks = if (args.length > 2) {
+      val want = args(2).split(',').toSet
+      Picks.filter(want)
+    } else Picks
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,7 +87,7 @@ object ScaleCheck {
 
     Mults.foreach { m =>
       val dir = s"$work/m$m"
-      val times = Picks.map { name =>
+      val times = picks.map { name =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
