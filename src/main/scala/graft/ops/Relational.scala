@@ -2353,6 +2353,83 @@ object Relational {
                 SELECT 1 FROM pts b
                 WHERE b.segment = a.segment AND b.price > a.price
                   AND b.o_orderdate > a.o_orderdate)
-              ORDER BY segment, price DESC, o_orderkey"""))
+              ORDER BY segment, price DESC, o_orderkey""")),
+
+    // ── interpolated percentiles (PERCENTILE_CONT semantics) ─────────────
+    // The continuous twin of q_percentile_disc: pos = (n−1)·q, then one
+    // lerp lo + (hi−lo)·frac between the two bracketing members. Both
+    // engines evaluate the IDENTICAL formula on identical operands
+    // (members are rank-SELECTED, frac = pos − floor(pos)), so the
+    // result hashes — built-in percentile()/quantile_cont are avoided
+    // because their internal lerp forms may differ by 1 ulp. Same
+    // per-group rank-window parallelism trade as every exact-percentile
+    // path here.
+    Q("q_percentile_cont",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("x"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+          .select(col("l_returnflag"), col("x"), col("rn"),
+            explode(expr("array(0.5D, 0.9D)")).as("q"),
+            col("n"))
+          .select(col("l_returnflag"), col("x"), col("rn"), col("q"),
+            ((col("n") - 1) * col("q")).as("pos"))
+          .groupBy("l_returnflag", "q", "pos")
+          .agg(
+            max(when(col("rn") === floor(col("pos")).cast("long") + 1,
+              col("x"))).as("lo"),
+            max(when(col("rn") === ceil(col("pos")).cast("long") + 1,
+              col("x"))).as("hi"))
+          .select(col("l_returnflag"), col("q"),
+            (col("lo") + (col("hi") - col("lo"))
+              * (col("pos") - floor(col("pos")))).as("pct"))
+          .orderBy("l_returnflag", "q")
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag, l_extendedprice AS x,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                    AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS n
+                FROM lineitem),
+              qs AS (SELECT CAST(0.5 AS DOUBLE) AS q
+                     UNION ALL SELECT CAST(0.9 AS DOUBLE)),
+              sel AS (
+                SELECT l_returnflag, q, (n - 1) * q AS pos,
+                  MAX(CASE WHEN rn = CAST(floor((n - 1) * q) AS BIGINT) + 1
+                      THEN x END) AS lo,
+                  MAX(CASE WHEN rn = CAST(ceil((n - 1) * q) AS BIGINT) + 1
+                      THEN x END) AS hi
+                FROM r, qs GROUP BY 1, 2, pos)
+              SELECT l_returnflag, q,
+                lo + (hi - lo) * (pos - floor(pos)) AS pct
+              FROM sel ORDER BY l_returnflag, q""")),
+
+    // ── ordered, capped string aggregation (LISTAGG shape) ───────────────
+    // The report-building string op: per-nation customer roster sample.
+    // collect_list folds per group, the SORT + 20-item cap are row-local
+    // on the aggregated array — the cap is the scale contract (an
+    // uncapped LISTAGG over a 100-TB group is an OOM by construction;
+    // production either caps, as here, or spills through a dedicated
+    // ordered-concat aggregator). Deterministic: members sort before
+    // slicing, so the sample is a pure function of the data.
+    Q("q_string_agg",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          concat_ws(",", slice(sort_array(collect_list(col("c_name"))), 1, 20))
+            .as("sample_names"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                array_to_string(list_sort(list(c_name))[1:20], ',')
+                  AS sample_names
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1 ORDER BY n_name"""))
   )
 }

@@ -759,6 +759,68 @@ object TextOps {
                 CAST(SUM(len(list_filter(string_split(text, ' '),
                   x -> x <> ''))) AS DOUBLE)
                   / CAST(SUM(length(text)) AS DOUBLE) AS fertility
-              FROM documents GROUP BY 1, 2 ORDER BY lang, source"""))
+              FROM documents GROUP BY 1, 2 ORDER BY lang, source""")),
+
+    // ── DSIR-style importance weights (data selection for LM training) ───
+    // Data Selection via Importance Resampling (Xie et al., 2023) in its
+    // exact-count form: score every document by the mean ratio of
+    // target-distribution to corpus-distribution token probability
+    // (target = the English slice). Each ratio is ONE division of two
+    // exact BIGINT products — (ct·TN)/(cn·TT) — so it is bit-stable;
+    // the per-doc mean folds the ratios in sorted (token, ratio) order
+    // (position-pinned FP, the q_lm_score discipline). Shape at scale:
+    // count tables GROW with the corpus → both vocab joins are un-hinted
+    // hash joins on the token; the (TT, TN) scalar is the one 1-row
+    // broadcast. Production DSIR hashes n-grams into a fixed bucket
+    // space — the swap-in keeps this exact plan, only the key changes.
+    Q("q_dsir_weights",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+        val tc = toks.filter(col("lang") === "en")
+          .groupBy("w").agg(count(lit(1)).as("ct"))
+        val cc = toks.groupBy("w").agg(count(lit(1)).as("cn"))
+        val tot = toks.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+          count(lit(1)).as("tn"))
+        toks
+          .join(tc, Seq("w"), "left")
+          .join(cc, Seq("w"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), struct(col("w"),
+            ((coalesce(col("ct"), lit(0L)) * col("tn")).cast("double")
+              / (col("cn") * col("tt")).cast("double")).as("ratio")).as("wr"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            (expr("""aggregate(array_sort(collect_list(wr)),
+                       CAST(0 AS DOUBLE), (a, x) -> a + x.ratio)""")
+              / count(lit(1))).as("dsir_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, lang,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS w
+                FROM documents),
+              tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct
+                     FROM toks WHERE lang = 'en' GROUP BY 1),
+              cc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cn
+                     FROM toks GROUP BY 1),
+              tot AS (SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+                 WHERE lang = 'en') AS tt,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS tn),
+              sc AS (
+                SELECT t.doc_id, t.w,
+                  CAST(COALESCE(tc.ct, 0) * tot.tn AS DOUBLE)
+                    / CAST(cc.cn * tot.tt AS DOUBLE) AS ratio
+                FROM toks t LEFT JOIN tc ON t.w = tc.w
+                  JOIN cc ON t.w = cc.w, tot)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(ratio ORDER BY w, ratio)),
+                  (a, x) -> a + x) / COUNT(*) AS dsir_score
+              FROM sc GROUP BY 1 ORDER BY doc_id"""))
   )
 }

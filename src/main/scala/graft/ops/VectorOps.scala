@@ -371,6 +371,61 @@ object VectorOps {
               SELECT doc_id, r_sparse, r_dense, rrf
               FROM f ORDER BY rrf DESC, doc_id LIMIT 10""")),
 
+    // ── hard-negative mining (contrastive training pairs) ────────────────
+    // The contrastive-learning data op: for each probe, the top-3 most
+    // similar vectors with a DIFFERENT label — the "hard negatives" that
+    // make embedding training effective. Same brute-force probe-batch
+    // shape as q_similarity_topk (corpus × broadcast(probes), bounded-
+    // heap graft_topk, ≤3 rows per task per probe over the shuffle); the
+    // label-mismatch predicate rides the broadcast join. At corpus scale
+    // the candidate generator swaps to the IVF artifact (ivfTopK) with a
+    // post-filter on label — mining is typically a batched offline pass.
+    Q("q_hard_negatives",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding"), norm2(col("embedding")).as("n2"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+            col("embedding").as("p_emb"), col("n2").as("p_n2"))
+        // graft_topk ids are longs: ride (vec_id, label) through the heap
+        // as ONE packed key (labels are a small class vocabulary)
+        emb.join(broadcast(probes), col("label") =!= col("p_label"))
+          .select(col("probe_id"), col("p_label"),
+            (col("vec_id") * 4096 + col("label")).as("nb"),
+            (dot(col("p_emb"), col("embedding"))
+              / sqrt(col("p_n2") * col("n2"))).as("sim"))
+          .groupBy("probe_id")
+          .agg(first(col("p_label")).as("p_label"),
+            expr("graft_topk(nb, sim)").as("topk"))
+          .select(col("probe_id"), col("p_label"),
+            posexplode(col("topk")).as(Seq("pos", "s")))
+          .select(col("probe_id"), col("p_label"),
+            expr("s.id div 4096").as("neighbor_id"),
+            (col("s.id") % 4096).as("n_label"), col("s.score").as("sim"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, label, embedding,
+                  ${duckDot("embedding", "embedding")} AS n2
+                FROM embeddings),
+              p AS (SELECT vec_id AS probe_id, label AS p_label,
+                      embedding AS p_emb, n2 AS p_n2
+                    FROM e WHERE vec_id < 10),
+              j AS (
+                SELECT p.probe_id, p.p_label, e.vec_id AS neighbor_id,
+                  e.label AS n_label,
+                  ${duckDot("p.p_emb", "e.embedding")} / sqrt(p.p_n2 * e.n2)
+                    AS sim
+                FROM p, e WHERE e.label <> p.p_label),
+              r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk FROM j)
+              SELECT probe_id, CAST(p_label AS BIGINT) AS p_label,
+                neighbor_id, CAST(n_label AS BIGINT) AS n_label, sim, rk
+              FROM r WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
     // ── semantic dedup via the IVF index (oracle-exempt: approximate) ────
     // SemDeDup (Abbas et al., 2023): embedding-level near-duplicate
     // pruning — cluster the corpus, compare only WITHIN cells, drop every
