@@ -42,7 +42,10 @@ class GraftSqlSpec extends SparkSpec {
     // Spark SQL — running them through GraftSql proves the SQL surface
     // and the DataFrame formulations are the same engine, not parallel
     // implementations
-    for (q <- Seq("q_simple_revenue", "q_large_orders", "q_dormant_customers")) {
+    for (q <- Seq("q_simple_revenue", "q_large_orders", "q_dormant_customers",
+      "q_min_cost_supplier", "q_important_parts", "q_part_type_census",
+      "q_excess_share", "q_supplier_wait", "q_pareto_frontier",
+      "q_percentile_cont")) {
       val viaSql = GraftSql.run(spark, sfDir, SparkEntry.oracleSql(q))
         .collect()
       val viaDf = SparkEntry.queries(q)(spark, sfDir).collect()
