@@ -297,6 +297,24 @@ object Dedup {
     * blocks (outside the SQL cache, so a `clearCache()` between queries
     * can't force a silent full recompute).
     */
+  /** 64-bit LSH band keys from one-pass MinHash signatures: input is
+    * [[shingleHashArrays]]'s (doc_id, shs); output one row per (doc_id,
+    * band_id, band_hash). Row-local — the signature never crosses a
+    * shuffle. Shared by q_dedup_near (corpus self-join) and
+    * q_dedup_near_incremental (batch-vs-standing-index probe).
+    */
+  private def minhashBands(docsArr: DataFrame): DataFrame = {
+    val sigs = docsArr.select(col("doc_id"),
+      call_function("graft_minhash", col("shs"), lit(NumHashes)).as("sig"))
+    val bandCols: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(i => element_at(col("sig"), b * BandSize + i + 1))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash")).as(s"b$b")
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+  }
+
   private val labelMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -343,15 +361,7 @@ object Dedup {
     Q("q_dedup_near",
       (s, dir) => {
         val docsArr = shingleHashArrays(s, t(s, dir, "documents"))
-        val sigs = docsArr.select(col("doc_id"),
-          call_function("graft_minhash", col("shs"), lit(NumHashes)).as("sig"))
-        val bandCols: Seq[Column] = (0 until NumHashes / BandSize).map { b =>
-          val cols = (0 until BandSize).map(i => element_at(col("sig"), b * BandSize + i + 1))
-          struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash")).as(s"b$b")
-        }
-        val bands = sigs
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-          .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+        val bands = minhashBands(docsArr)
         val cands = bands.as("x")
           .join(bands.as("y"),
             col("x.band_id") === col("y.band_id")
@@ -514,6 +524,60 @@ object Dedup {
               SELECT doc_id, n_batch_copies FROM canon
               WHERE h NOT IN (SELECT h FROM corpus_h)
               ORDER BY doc_id""")),
+
+    // ── incremental NEAR-dup: new batch vs the standing band index ───────
+    // (oracle-exempt: MinHash banding is not SQL-shaped.) The daily-
+    // ingest twin of q_dedup_near: the batch (doc_id % 10 = 7) computes
+    // its own signatures row-locally and PROBES the standing corpus's
+    // band index — candidates are batch×corpus band collisions only
+    // (never corpus×corpus; the batch never self-joins here — within-
+    // batch dups are q_dedup_incremental's exact pass or a batch-local
+    // near pass). Exact-Jaccard verify is semi-join-pruned to candidate
+    // docs, identical to q_dedup_near. At 100 TB the corpus bands are a
+    // STORED artifact (hash-bucketed by (band_id, band_hash), appended
+    // per ingest — same contract as the exact-hash set and the IVF
+    // index); the query rebuilds it here only because the test tables
+    // are static. Per-ingest cost: |batch|·bands probe rows against a
+    // bucketed index — the corpus is never rescanned for candidates.
+    Q("q_dedup_near_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val docsArr = shingleHashArrays(s, docs)
+        val isBatch = col("doc_id") % 10 === 7
+        val corpusBands = minhashBands(docsArr.filter(!isBatch))
+          .withColumnRenamed("doc_id", "corpus_doc")
+        val batchBands = minhashBands(docsArr.filter(isBatch))
+          .withColumnRenamed("doc_id", "batch_doc")
+        val cands = batchBands
+          .join(corpusBands, Seq("band_id", "band_hash"))
+          .groupBy("batch_doc", "corpus_doc")
+          .agg(count(lit(1)).as("n_bands"))
+        // exact verify on candidates only (the q_dedup_near discipline)
+        val candIds = cands.select(col("batch_doc").as("doc_id"))
+          .unionByName(cands.select(col("corpus_doc").as("doc_id"))).distinct()
+        val sh = docsArr.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(col("shs")).as("shingle"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val shB = sh.join(cands.select("batch_doc", "corpus_doc"),
+            col("doc_id") === col("batch_doc"))
+          .select(col("batch_doc"), col("corpus_doc"), col("shingle"))
+        val common = shB.join(sh.as("sc"),
+            col("sc.doc_id") === col("corpus_doc")
+              && col("sc.shingle") === shB("shingle"))
+          .groupBy("batch_doc", "corpus_doc").agg(count(lit(1)).as("n_common"))
+        cands
+          .join(common, Seq("batch_doc", "corpus_doc"))
+          .join(sizes.withColumnRenamed("doc_id", "batch_doc")
+            .withColumnRenamed("n_sh", "sz_b"), Seq("batch_doc"))
+          .join(sizes.withColumnRenamed("doc_id", "corpus_doc")
+            .withColumnRenamed("n_sh", "sz_c"), Seq("corpus_doc"))
+          .select(col("batch_doc"), col("corpus_doc"), col("n_bands"),
+            (col("n_common") / (col("sz_b") + col("sz_c") - col("n_common")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy("batch_doc", "corpus_doc")
+      },
+      None),
 
     // ── SimHash near-dup (oracle-exempt: xxhash64 is Spark-specific) ─────
     // 64-bit SimHash per doc via the one-pass `graft_simhash` expression

@@ -428,6 +428,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // ── incremental near-dup: batch×corpus only, exact-Jaccard agreement ─
+  test("q_dedup_near_incremental pairs cross the batch boundary with exact jaccard") {
+    val rows = q("q_dedup_near_incremental").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, c) = (r.getLong(r.fieldIndex("batch_doc")),
+        r.getLong(r.fieldIndex("corpus_doc")))
+      assert(b % 10 === 7, s"$b is not a batch doc")
+      assert(c % 10 !== 7, s"$c is not a corpus doc")
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j >= 0.3 && j <= 1.0)
+    }
+    // where a (batch, corpus) pair also surfaces in the oracled exact
+    // n-gram path, the jaccard must agree bit-for-bit
+    val inc = rows.map(r => ((r.getLong(r.fieldIndex("batch_doc")),
+      r.getLong(r.fieldIndex("corpus_doc"))),
+      r.getDouble(r.fieldIndex("jaccard")))).toMap
+    val exact = q("q_dedup_ngram").select("a", "b", "jaccard").collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> j, (b, a) -> j)
+      }.toMap
+    val overlap = inc.keySet & exact.keySet
+    assert(overlap.nonEmpty, "fixture has no cross-boundary near-dups")
+    overlap.foreach(k => assert(inc(k) === exact(k)))
+  }
+
   // ── triangle census invariants ───────────────────────────────────────
   test("q_triangle_count bounds hold (triangles <= wedges, edges > 0)") {
     val r = q("q_triangle_count").head()
