@@ -70,7 +70,10 @@ object PlanDump {
     "q_pareto_frontier" -> "skyline: per-(segment, price) max-date agg, then a segment-PARTITIONED prefix-max window — the linear sort-based plan whose oracle is the quadratic NOT EXISTS",
     "q_triangle_count" -> "triangle census: ship-year slice in PushedFilters, basket fan-out above ONE aggregate, degree-ordered orientation bounds wedges at O(m^1.5), closure is a hashed equi join on the packed pair key",
     "q_semdedup" -> "SemDeDup: within-cell pair join keyed on cent_id against the shared trained IVF artifact (Σ|cell|² ≈ n^1.5 with √n cells), loser set anti-joins back — no broadcast of any corpus-sized side",
-    "q_ewma" -> "per-user EWMA: one shuffle on user_id, sorted-array left fold is row-local — FP order pinned, no window, no per-event state movement")
+    "q_ewma" -> "per-user EWMA: one shuffle on user_id, sorted-array left fold is row-local — FP order pinned, no window, no per-event state movement",
+    "q_dsir_weights" -> "DSIR: both vocab joins un-hinted (count tables grow with the corpus), the (TT,TN) scalar is the one 1-row broadcast; ratio = one division of BIGINT products; per-doc mean is a sorted row-local fold",
+    "q_hard_negatives" -> "contrastive mining: corpus x broadcast(probe batch) with the label-mismatch predicate riding the join; (vec_id,label) packed into graft_topk's long id — <=3 rows per task per probe shuffle",
+    "q_dedup_near_incremental" -> "incremental near-dup: batch bands PROBE the standing corpus band index (batch x corpus collisions only — no corpus self-join); exact verify semi-join-pruned to candidates")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -50,7 +50,10 @@ object ScaleCheck {
     "q_sequence_pack", "q_char_diversity", "q_also_bought", "q_bootstrap_ci",
     // round-3 final batch: degree-ordered triangle closure, IVF-cell
     // semantic dedup, per-user EWMA fold, skyline prefix-max
-    "q_triangle_count", "q_semdedup", "q_ewma", "q_pareto_frontier")
+    "q_triangle_count", "q_semdedup", "q_ewma", "q_pareto_frontier",
+    // round-3 coda: growing-vocab importance weights, brute-force
+    // negative mining, batch-vs-index incremental near-dup
+    "q_dsir_weights", "q_hard_negatives", "q_dedup_near_incremental")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
