@@ -369,27 +369,27 @@ object Dedup {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
-        // exact Jaccard on candidates ONLY: shingle re-expansion is
-        // semi-join-pruned to candidate doc ids BEFORE the explode — the
-        // corpus's shingle arrays never unnest, only the (tiny) candidate
-        // subset's do. Then expand each candidate pair to a's shingles
-        // and equi-join on (b, shingle) — intersection counting linear in
-        // Σ|shingles(candidate)|, never the full shingle self-join (that
-        // all-pairs shape is q_dedup_ngram's job)
+        // exact Jaccard on candidates ONLY, with ZERO explode: the
+        // candidate-id semi-join prunes the corpus to candidate docs,
+        // each pair joins its two (row-locally sorted) shingle sets into
+        // ONE row, and |A ∩ B| is a codegen'd merge walk
+        // (graft_sorted_inter) — the round-2 explode → equi-join → count
+        // pipeline collapsed into an expression; the only shuffles left
+        // in the verify are the two pair↔array equi-joins
         val candIds = cands.select(col("a").as("doc_id"))
           .unionByName(cands.select(col("b").as("doc_id"))).distinct()
-        val sh = docsArr.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), explode(col("shs")).as("shingle"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val shA = sh.join(cands.select("a", "b"), col("doc_id") === col("a"))
-          .select(col("a"), col("b"), col("shingle"))
-        val common = shA.join(sh.as("sb"),
-            col("sb.doc_id") === col("b") && col("sb.shingle") === shA("shingle"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+        val arrs = docsArr.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), sort_array(col("shs")).as("sshs"),
+            size(col("shs")).cast("long").as("n_sh"))
         cands
-          .join(common, Seq("a", "b"))
-          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "sz_a"), Seq("a"))
-          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "sz_b"), Seq("b"))
+          .join(arrs.select(col("doc_id").as("a"), col("sshs").as("sh_a"),
+            col("n_sh").as("sz_a")), Seq("a"))
+          .join(arrs.select(col("doc_id").as("b"), col("sshs").as("sh_b"),
+            col("n_sh").as("sz_b")), Seq("b"))
+          .select(col("a"), col("b"), col("n_bands"),
+            call_function("graft_sorted_inter", col("sh_a"), col("sh_b"))
+              .as("n_common"),
+            col("sz_a"), col("sz_b"))
           .select(col("a"), col("b"), col("n_bands"),
             (col("n_common") / (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
           .orderBy("a", "b")
@@ -552,25 +552,23 @@ object Dedup {
           .join(corpusBands, Seq("band_id", "band_hash"))
           .groupBy("batch_doc", "corpus_doc")
           .agg(count(lit(1)).as("n_bands"))
-        // exact verify on candidates only (the q_dedup_near discipline)
+        // exact verify on candidates only, zero explode (the
+        // q_dedup_near discipline): pair rows carry both sorted shingle
+        // sets, graft_sorted_inter counts |A ∩ B| row-locally
         val candIds = cands.select(col("batch_doc").as("doc_id"))
           .unionByName(cands.select(col("corpus_doc").as("doc_id"))).distinct()
-        val sh = docsArr.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), explode(col("shs")).as("shingle"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val shB = sh.join(cands.select("batch_doc", "corpus_doc"),
-            col("doc_id") === col("batch_doc"))
-          .select(col("batch_doc"), col("corpus_doc"), col("shingle"))
-        val common = shB.join(sh.as("sc"),
-            col("sc.doc_id") === col("corpus_doc")
-              && col("sc.shingle") === shB("shingle"))
-          .groupBy("batch_doc", "corpus_doc").agg(count(lit(1)).as("n_common"))
+        val arrs = docsArr.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), sort_array(col("shs")).as("sshs"),
+            size(col("shs")).cast("long").as("n_sh"))
         cands
-          .join(common, Seq("batch_doc", "corpus_doc"))
-          .join(sizes.withColumnRenamed("doc_id", "batch_doc")
-            .withColumnRenamed("n_sh", "sz_b"), Seq("batch_doc"))
-          .join(sizes.withColumnRenamed("doc_id", "corpus_doc")
-            .withColumnRenamed("n_sh", "sz_c"), Seq("corpus_doc"))
+          .join(arrs.select(col("doc_id").as("batch_doc"),
+            col("sshs").as("sh_b"), col("n_sh").as("sz_b")), Seq("batch_doc"))
+          .join(arrs.select(col("doc_id").as("corpus_doc"),
+            col("sshs").as("sh_c"), col("n_sh").as("sz_c")), Seq("corpus_doc"))
+          .select(col("batch_doc"), col("corpus_doc"), col("n_bands"),
+            call_function("graft_sorted_inter", col("sh_b"), col("sh_c"))
+              .as("n_common"),
+            col("sz_b"), col("sz_c"))
           .select(col("batch_doc"), col("corpus_doc"), col("n_bands"),
             (col("n_common") / (col("sz_b") + col("sz_c") - col("n_common")))
               .as("jaccard"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, TopKAggregator, ZOrder}
+import graft.functions.{DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, SortedIntersect, TopKAggregator, ZOrder}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -33,6 +33,10 @@ import org.apache.spark.sql.execution.aggregate.ScalaAggregator
   *   - `graft_zorder(x, y[, bits])` → bigint: codegen'd Morton
   *     interleave for z-order data layout ([[graft.functions.ZOrder]]);
   *     bits is an integer literal, default 16.
+  *   - `graft_sorted_inter(array<bigint>, array<bigint>)` → bigint:
+  *     codegen'd merge-walk intersection size of two sorted arrays
+  *     ([[graft.functions.SortedIntersect]]) — the row-local exact-
+  *     Jaccard verify kernel (replaces explode → join → count).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -123,7 +127,13 @@ object GraftExtensions {
       ZOrder(children.head, children(1), bits)
     })
 
-  private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn, mgFn, zorderFn)
+  private val interFn = (
+    FunctionIdentifier("graft_sorted_inter"),
+    new ExpressionInfo(classOf[SortedIntersect].getName, "graft_sorted_inter"),
+    (children: Seq[Expression]) => SortedIntersect(children.head, children(1)))
+
+  private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn,
+    mgFn, zorderFn, interFn)
 
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no

@@ -96,23 +96,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("graft_minhash"), "one-pass minhash expression missing")
   }
 
-  test("q_dedup_near verify explodes only semi-join-pruned candidate docs") {
-    // the exact-Jaccard verify must not unnest the whole corpus's shingle
-    // arrays: every shingle explode sits above the candidate-id LeftSemi
-    // prune (checked on the optimized LOGICAL plan — AQE wraps the
-    // physical plan in a leaf node that collect() can't descend)
+  test("near-dup verify never explodes shingles: row-local merge-walk intersection") {
+    // round 2 semi-join-pruned the verify's explode; round 3 removed it
+    // entirely — candidate pairs carry both sorted shingle sets in one
+    // row and graft_sorted_inter counts |A ∩ B| with zero unnesting.
+    // The candidate-id LeftSemi prune must still gate which docs' arrays
+    // join into pair rows.
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
-    val plan = qe("q_dedup_near").optimizedPlan
-    val shingleExplodes = plan.collect {
-      case g: Generate if g.generator.toString.contains("shs") => g
-    }
-    assert(shingleExplodes.nonEmpty, "expected shingle-array explodes in the verify stage")
-    for (g <- shingleExplodes) {
-      val pruned = g.child.collect {
-        case j: Join if j.joinType == LeftSemi => j
-      }.nonEmpty
-      assert(pruned, s"a shingle explode runs on the unpruned corpus:\n$g")
+    for (q <- Seq("q_dedup_near", "q_dedup_near_incremental")) {
+      val plan = qe(q).optimizedPlan
+      val shingleExplodes = plan.collect {
+        case g: Generate if g.generator.toString.contains("shs") => g
+      }
+      assert(shingleExplodes.isEmpty,
+        s"$q verify still unnests shingle arrays (${shingleExplodes.size} Generate nodes)")
+      assert(plan.toString.contains("graft_sorted_inter"),
+        s"$q lost the merge-walk intersection expression")
+      assert(plan.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+        s"$q lost the candidate-id semi-join prune")
     }
   }
 
