@@ -22,6 +22,36 @@ object Approx {
 
   val queries: Seq[Q] = Seq(
 
+    // ── sketch-based audience overlap (inclusion–exclusion on HLL) ──────
+    // The pre-aggregated twin of q_set_overlap: per-type user sketches
+    // materialize once (constant-size state per type — the shuffle
+    // carries KB buffers, never user ids), every pairwise intersection
+    // is then |A| + |B| − |A ∪ B| over UNIONED STORED SKETCHES — no
+    // second pass over the events. The I-E subtraction amplifies HLL's
+    // relative error when the intersection is small relative to the
+    // union (the documented trade); OpsSpec asserts every estimate
+    // within tolerance of the exact census. Pair fan-out is a crossJoin
+    // of the ≤|types|-row sketch table — constant size at any SF.
+    Q("q_overlap_sketch",
+      (s, dir) => {
+        val sk = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+        val a = sk.select(col("event_type").as("ta"), col("sk").as("sk_a"))
+        val b = sk.select(col("event_type").as("tb"), col("sk").as("sk_b"))
+        a.crossJoin(b).filter(col("ta") < col("tb"))
+          .select(col("ta"), col("tb"),
+            hll_sketch_estimate(col("sk_a")).as("est_a"),
+            hll_sketch_estimate(col("sk_b")).as("est_b"),
+            hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+              .as("est_union"))
+          .select(col("ta"), col("tb"), col("est_a"), col("est_b"),
+            col("est_union"),
+            (col("est_a") + col("est_b") - col("est_union")).as("est_both"))
+          .orderBy("ta", "tb")
+      },
+      None),
+
     Q("q_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")

@@ -884,6 +884,54 @@ object EventTime {
                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(value ORDER BY ts, event_id)),
                   (a, x) -> a * 0.5 + x * 0.5) AS ewma
-              FROM events GROUP BY 1 ORDER BY user_id"""))
+              FROM events GROUP BY 1 ORDER BY user_id""")),
+
+    // ── audience overlap census (exact pairwise set intersections) ───────
+    // The audience-analysis primitive: for every pair of event types, how
+    // many users did BOTH, with exact Jaccard. Shape: ONE distinct +
+    // per-user type-set aggregation (bounded by the type vocabulary),
+    // then a ROW-LOCAL triangular pair fan-out — the basket discipline;
+    // the corpus never self-joins on user_id (the oracle's self-join
+    // formulation is the semantic spec, not the plan). Sizes join on the
+    // tiny per-type census; Jaccard is exact integer arithmetic + one
+    // IEEE division. The HLL twin (q_overlap_sketch) answers the same
+    // question from pre-aggregated sketches without the distinct pass.
+    Q("q_set_overlap",
+      (s, dir) => {
+        val ut = t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val pairs = ut.groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("types"))
+          .select(explode(expr(
+            """flatten(transform(types, (x, i) ->
+                 transform(slice(types, i + 2, size(types)),
+                   y -> struct(x AS ta, y AS tb))))""")).as("p"))
+          .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+          .agg(count(lit(1)).as("n_both"))
+        val sz = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+        pairs
+          .join(sz.select(col("event_type").as("ta"), col("n").as("n_a")),
+            Seq("ta"))
+          .join(sz.select(col("event_type").as("tb"), col("n").as("n_b")),
+            Seq("tb"))
+          .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+            (col("n_both") / (col("n_a") + col("n_b") - col("n_both")))
+              .as("jaccard"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+              pairs AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                  CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2),
+              sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM ut GROUP BY 1)
+              SELECT ta, tb, za.n AS n_a, zb.n AS n_b, n_both,
+                n_both / (za.n + zb.n - n_both) AS jaccard
+              FROM pairs JOIN sz za ON ta = za.event_type
+                JOIN sz zb ON tb = zb.event_type
+              ORDER BY ta, tb"""))
   )
 }

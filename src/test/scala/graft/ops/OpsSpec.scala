@@ -428,6 +428,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // ── sketch overlap: I-E estimates track the exact census ─────────────
+  test("q_overlap_sketch intersection estimates stay within tolerance of exact") {
+    val exact = q("q_set_overlap").collect()
+      .map(r => (r.getString(r.fieldIndex("ta")), r.getString(r.fieldIndex("tb")))
+        -> (r.getLong(r.fieldIndex("n_both")),
+            r.getLong(r.fieldIndex("n_a")) + r.getLong(r.fieldIndex("n_b"))
+              - r.getLong(r.fieldIndex("n_both")))).toMap
+    val est = q("q_overlap_sketch").collect()
+      .map(r => (r.getString(0), r.getString(1))
+        -> r.getLong(r.fieldIndex("est_both")).toDouble).toMap
+    assert(est.keySet === exact.keySet, "pair sets differ")
+    est.foreach { case (k, e) =>
+      val (both, union) = exact(k)
+      // I-E amplifies HLL error by |union|/|both|: allow 5% of the UNION
+      assert(math.abs(e - both) <= math.max(0.05 * union, 3.0),
+        s"$k: estimated $e vs exact $both (union $union)")
+    }
+  }
+
   // ── incremental near-dup: batch×corpus only, exact-Jaccard agreement ─
   test("q_dedup_near_incremental pairs cross the batch boundary with exact jaccard") {
     val rows = q("q_dedup_near_incremental").collect()
