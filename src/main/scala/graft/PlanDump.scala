@@ -23,7 +23,7 @@ object PlanDump {
     "q_multimodal_cols" -> "documents ⋈ embeddings: both sides corpus-sized, so no broadcast hint — co-partitioned shuffle join on the shared key (bucketed storage makes it exchange-free)",
     "q_ann_ivf" -> "IVF: k-means training + assignment as arg-max aggregations and graft_topk — no WindowExec anywhere; corpus shuffles one partial row per vector",
     "q_similarity_topk" -> "graft_dot codegen expression + graft_topk partial aggregation: <=k rows per task per probe cross the shuffle",
-    "q_dedup_near" -> "MinHash: graft_minhash computes the 32-min signature ROW-LOCALLY (zero shuffle), band bucket self-join, candidate-local verification",
+    "q_dedup_near" -> "MinHash: graft_minhash computes the 32-min signature ROW-LOCALLY (zero shuffle), band bucket self-join; verify is explode-free — candidate pairs join their two sorted shingle sets into one row and graft_sorted_inter counts the intersection as a codegen'd merge walk",
     "q_tfidf" -> "tf-idf: vocab join with NO broadcast hint (df side grows with corpus); top-5 per doc is a row-local collect_list slice bounded by the doc's own vocabulary — no window sort",
     "q_bm25" -> "BM25: df + corpus stats are constant-size broadcasts (≤|query terms| rows); the ONLY data-sized shuffle is the dl join on doc_id; scores are per-(doc,term) projections",
     "q_corpus_pipeline" -> "end-to-end cleaning: lang/length filters reach PushedFilters; exact dedup = one hash-partitioned agg; final accounting re-aggregates the already-canonical set",
@@ -73,7 +73,8 @@ object PlanDump {
     "q_ewma" -> "per-user EWMA: one shuffle on user_id, sorted-array left fold is row-local — FP order pinned, no window, no per-event state movement",
     "q_dsir_weights" -> "DSIR: both vocab joins un-hinted (count tables grow with the corpus), the (TT,TN) scalar is the one 1-row broadcast; ratio = one division of BIGINT products; per-doc mean is a sorted row-local fold",
     "q_hard_negatives" -> "contrastive mining: corpus x broadcast(probe batch) with the label-mismatch predicate riding the join; (vec_id,label) packed into graft_topk's long id — <=3 rows per task per probe shuffle",
-    "q_dedup_near_incremental" -> "incremental near-dup: batch bands PROBE the standing corpus band index (batch x corpus collisions only — no corpus self-join); exact verify semi-join-pruned to candidates")
+    "q_dedup_near_incremental" -> "incremental near-dup: batch bands PROBE the standing corpus band index (batch x corpus collisions only — no corpus self-join); exact verify semi-join-pruned to candidates",
+    "q_set_overlap" -> "audience overlap: per-user type-set aggregate + row-local triangular fan-out — the corpus never self-joins on user_id; pair census keys bounded by the type vocabulary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
