@@ -556,6 +556,21 @@ object StreamingOps {
     tokens.agg(call_function("graft_mg", col("token"), lit(k)).as("cands"))
   }
 
+  /** Per-type HLL audience sketches AS streaming state — the streaming
+    * half of q_overlap_sketch: sketch buffers merge per micro-batch
+    * (constant state per type, never user ids), so the live overlap
+    * census is available at every trigger by the same
+    * inclusion–exclusion read the batch query runs. HLL merge is
+    * commutative/associative and deterministic, so a drained stream's
+    * estimates equal the batch ones EXACTLY (StreamingSpec asserts
+    * equality, not tolerance). Complete output mode.
+    */
+  def overlapSketches(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"),
+        col("sk"))
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

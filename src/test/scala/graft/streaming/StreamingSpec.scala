@@ -408,6 +408,27 @@ class StreamingSpec extends SparkSpec {
       s"streaming sketch lost heavy hitters: ${mustSurvive -- cands}")
   }
 
+  test("streaming HLL audience sketches drain to the batch overlap estimates") {
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_type"), col("user_id"))
+    val out = StreamingOps.runToMemory(
+      StreamingOps.overlapSketches(stream), "t_hll", OutputMode.Complete())
+    // pairwise I-E over the drained sketches == batch q_overlap_sketch
+    val sk = out.select(col("event_type").as("ta"), col("sk").as("sk_a"))
+    val sk2 = out.select(col("event_type").as("tb"), col("sk").as("sk_b"))
+    val streamed = sk.crossJoin(sk2).filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est_both"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("q_overlap_sketch")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1))
+        -> r.getLong(r.fieldIndex("est_both"))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch, "drained sketch census diverged from batch")
+  }
+
   test("stateful EWMA's final per-user state is bit-equal to batch q_ewma") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
