@@ -2430,6 +2430,37 @@ object Relational {
                 array_to_string(list_sort(list(c_name))[1:20], ',')
                   AS sample_names
               FROM customer JOIN nation ON c_nationkey = n_nationkey
-              GROUP BY 1 ORDER BY n_name"""))
+              GROUP BY 1 ORDER BY n_name""")),
+
+    // ── MODE: most frequent value per group (deterministic ties) ─────────
+    // The statistical mode as two partial+final aggregations and an
+    // arg-max — no window, no sort of the value domain: count per
+    // (group, value), then min_by over (−count, value) picks the most
+    // frequent value with ties broken toward the SMALLEST value (both
+    // engines' tie rule is pinned explicitly — built-in mode()/mode
+    // functions leave ties undefined). Key space is bounded by the
+    // group×distinct-value grid; nothing row-sized crosses the second
+    // shuffle.
+    Q("q_mode",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(
+          min_by(col("l_quantity"),
+            struct(negate(col("cnt")).as("nc"), col("l_quantity"))).as("mode_qty"),
+          max(col("cnt")).as("mode_cnt"))
+        .orderBy("l_returnflag"),
+      Some("""WITH c AS (
+                SELECT l_returnflag, l_quantity,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY 1, 2),
+              r AS (
+                SELECT l_returnflag, l_quantity, cnt,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY cnt DESC, l_quantity) AS rk
+                FROM c)
+              SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+              FROM r WHERE rk = 1 ORDER BY l_returnflag"""))
   )
 }
