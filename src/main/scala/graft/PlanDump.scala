@@ -74,7 +74,10 @@ object PlanDump {
     "q_dsir_weights" -> "DSIR: both vocab joins un-hinted (count tables grow with the corpus), the (TT,TN) scalar is the one 1-row broadcast; ratio = one division of BIGINT products; per-doc mean is a sorted row-local fold",
     "q_hard_negatives" -> "contrastive mining: corpus x broadcast(probe batch) with the label-mismatch predicate riding the join; (vec_id,label) packed into graft_topk's long id — <=3 rows per task per probe shuffle",
     "q_dedup_near_incremental" -> "incremental near-dup: batch bands PROBE the standing corpus band index (batch x corpus collisions only — no corpus self-join); exact verify semi-join-pruned to candidates",
-    "q_set_overlap" -> "audience overlap: per-user type-set aggregate + row-local triangular fan-out — the corpus never self-joins on user_id; pair census keys bounded by the type vocabulary")
+    "q_set_overlap" -> "audience overlap: per-user type-set aggregate + row-local triangular fan-out — the corpus never self-joins on user_id; pair census keys bounded by the type vocabulary",
+    "q_bfs_reach" -> "distributed BFS: per hop, frontier ⋈ edges (node-keyed shuffle join — the frontier scales with the graph, so it is never broadcast) + LEFT ANTI against visited; localCheckpoint cuts the per-round lineage",
+    "q_ks_drift" -> "exact KS: corpus-sized work is ONE partial+final (source, length) count agg; the dense CDF grid and its windows live on the bounded sources x lengths frame, never on raw docs",
+    "q_compression_ratio" -> "deflate census: graft_deflate_len runs inside the scan projection (WholeStageCodegen, no UDF boxing); the only data-sized exchange is the per-source partial+final agg shuffle — the final sort moves <= #sources rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

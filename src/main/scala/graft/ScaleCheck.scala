@@ -53,7 +53,10 @@ object ScaleCheck {
     "q_triangle_count", "q_semdedup", "q_ewma", "q_pareto_frontier",
     // round-3 coda: growing-vocab importance weights, brute-force
     // negative mining, batch-vs-index incremental near-dup
-    "q_dsir_weights", "q_hard_negatives", "q_dedup_near_incremental")
+    "q_dsir_weights", "q_hard_negatives", "q_dedup_near_incremental",
+    // continuation batch: frontier-expand BFS, dense-grid KS drift,
+    // codegen deflate census
+    "q_bfs_reach", "q_ks_drift", "q_compression_ratio")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -26,6 +26,51 @@ object Curation {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** KS-drift sufficient statistic: per-(source, doc-length) counts.
+    * Mergeable (a count census), so the streaming twin keeps exactly
+    * this frame as Complete-mode state and [[ksFinish]] reads either.
+    */
+  def ksCounts(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Finishing arithmetic of q_ks_drift over the bounded counts frame:
+    * dense source×value CDF grid, exact-integer D maximization, ONE
+    * IEEE division per source at the very end. Total row count here is
+    * sources × distinct lengths — iteration-constant, never corpus-
+    * sized; the corpus-sized work all happened in [[ksCounts]].
+    */
+  def ksFinish(counts0: DataFrame): DataFrame = {
+    val counts = counts0.select(col("source"), col("v"),
+      col("c").cast("long").as("c"))
+    val n = counts.agg(sum(col("c")).cast("long")).head.getLong(0)
+    val grid = counts.select("source").distinct()
+      .crossJoin(counts.select("v").distinct())
+    val perSrc = counts.groupBy("source").agg(sum(col("c")).as("n_src"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.groupBy("v").agg(sum(col("c")).as("cv"))
+      .select(col("v"), sum(col("cv")).over(totW).as("cum_all"))
+    grid.join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"),
+        sum(coalesce(col("c"), lit(0L))).over(w).as("cum_src"))
+      .join(tot, "v")
+      .join(perSrc, "source")
+      .select(col("source"), col("n_src"),
+        abs(col("cum_src") * (lit(n) - col("n_src"))
+          - (col("cum_all") - col("cum_src")) * col("n_src"))
+          .as("dnum"))
+      .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+      .agg(max(col("dnum")).cast("long").as("d_num"))
+      .select(col("source"), col("n_src"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_src") * (lit(n) - col("n_src"))).cast("double"))
+          .as("ks"))
+      .orderBy("source")
+  }
+
   /** Distinct word 3-gram strings per doc — the DuckDB-mirrorable twin
     * of the hashed shingles the dedup path uses (decontamination wants
     * the readable n-gram for auditability anyway).
@@ -576,6 +621,53 @@ object Curation {
               FROM pc JOIN sup a ON pc.s1 = a.item
                 JOIN sup bb ON pc.s2 = bb.item, nn
               WHERE n12 >= 2
-              ORDER BY jaccard DESC, s1, s2 LIMIT 100"""))
+              ORDER BY jaccard DESC, s1, s2 LIMIT 100""")),
+
+    // ── per-source distribution drift: exact Kolmogorov–Smirnov ──────────
+    // Did one ingest source drift away from the rest of the corpus? The
+    // two-sample KS statistic of each source's doc-length distribution
+    // against the REST of the corpus: D = max_v |CDF_src(v) − CDF_rest(v)|.
+    // Exact-integer formulation (no FP CDFs): maximize
+    // |cum_src·n_rest − cum_rest·n_src| over the pooled value grid and
+    // divide ONCE at the end. The grid is sources × distinct lengths —
+    // both bounded (quantize the value in production), so the dense
+    // cross join is a constant-size frame, while the corpus-sized work
+    // is one partial+final count agg per (source, length). Windows run
+    // per source over the bounded grid, never over raw docs.
+    Q("q_ks_drift",
+      (s, dir) => ksFinish(ksCounts(t(s, dir, "documents"))),
+      Some("""WITH counts AS (
+                SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2),
+              grid AS (
+                SELECT s.source, vv.v
+                FROM (SELECT DISTINCT source FROM counts) s,
+                  (SELECT DISTINCT v FROM counts) vv),
+              cums AS (
+                SELECT g.source, g.v,
+                  SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+                    ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum_src
+                FROM grid g LEFT JOIN counts c
+                  ON g.source = c.source AND g.v = c.v),
+              tot AS (
+                SELECT v, SUM(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cum_all
+                FROM (SELECT v, SUM(c) AS cv FROM counts GROUP BY 1)),
+              ns AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+                FROM documents GROUP BY 1),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+              SELECT cu.source, ns.n_src,
+                CAST(MAX(ABS(cu.cum_src * (nn.n - ns.n_src)
+                  - (t.cum_all - cu.cum_src) * ns.n_src)) AS BIGINT)
+                  AS d_num,
+                CAST(MAX(ABS(cu.cum_src * (nn.n - ns.n_src)
+                  - (t.cum_all - cu.cum_src) * ns.n_src)) AS DOUBLE)
+                  / CAST(ns.n_src * (nn.n - ns.n_src) AS DOUBLE) AS ks
+              FROM cums cu JOIN tot t ON cu.v = t.v
+                JOIN ns ON cu.source = ns.source, nn
+              GROUP BY 1, 2, nn.n
+              ORDER BY cu.source"""))
   )
 }

@@ -238,6 +238,62 @@ object Graph {
                 CAST(COUNT(*) AS BIGINT) AS n_wedges,
                 CAST(COUNT(CASE WHEN u IS NOT NULL THEN 1 END) AS BIGINT)
                   AS n_triangles
-              FROM wedge LEFT JOIN pairs ON wu = u AND wv = v"""))
+              FROM wedge LEFT JOIN pairs ON wu = u AND wv = v""")),
+
+    // ── BFS reachability: hop-distance census from a seed node ───────────
+    // "Supply-chain blast radius": min-hop distance from one seed
+    // customer over the bipartite customer↔supplier graph, bounded at 4
+    // hops. Third iterative-graph shape after ccStar and PageRank, and
+    // the one with a different per-round primitive: frontier-expand
+    // (frontier ⋈ edges on src) + LEFT ANTI join against the visited
+    // set — exactly the distributed BFS a 1000-executor run does. The
+    // frontier and visited sets are node-keyed shuffles, never broadcast
+    // (both scale with the graph); the driver loop is hop control only
+    // (fixed 4 rounds, like PageRank's fixed 5). All-integer output, so
+    // the DuckDB recursive-CTE twin is bit-exact.
+    Q("q_bfs_reach",
+      (s, dir) => {
+        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        // deterministic seed: the smallest node id (an even ⇒ customer).
+        // A driver-side scalar like PageRank's N — iteration constant,
+        // not a data collect.
+        val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
+        var visited = edges.sparkSession.range(1)
+          .select(lit(seed).as("node"), lit(0L).as("depth"))
+          .localCheckpoint(true)
+        var frontier = visited.select(col("node"))
+        for (d <- 1 to 4) {
+          val next = edges.join(frontier, edges("src") === frontier("node"))
+            .select(col("dst").cast("long").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .select(col("node"), lit(d.toLong).as("depth"))
+            .localCheckpoint(true)
+          visited = visited.unionByName(next).localCheckpoint(true)
+          frontier = next.select(col("node"))
+        }
+        visited.groupBy("depth")
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).cast("long").as("min_node"),
+            max(col("node")).cast("long").as("max_node"))
+          .orderBy("depth")
+      },
+      Some("""WITH RECURSIVE cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s AS src, c AS dst FROM cs),
+              bfs(node, depth) AS (
+                SELECT (SELECT MIN(src) FROM edges), 0
+                UNION
+                SELECT e.dst, b.depth + 1
+                FROM bfs b JOIN edges e ON e.src = b.node
+                WHERE b.depth < 4),
+              d AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY 1)
+              SELECT CAST(depth AS BIGINT) AS depth,
+                COUNT(*) AS n_nodes,
+                CAST(MIN(node) AS BIGINT) AS min_node,
+                CAST(MAX(node) AS BIGINT) AS max_node
+              FROM d GROUP BY 1 ORDER BY 1"""))
   )
 }

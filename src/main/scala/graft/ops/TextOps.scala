@@ -821,6 +821,94 @@ object TextOps {
                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(ratio ORDER BY w, ratio)),
                   (a, x) -> a + x) / COUNT(*) AS dsir_score
-              FROM sc GROUP BY 1 ORDER BY doc_id"""))
+              FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
+    // ── vocabulary-growth curve (Heaps' law readout) ─────────────────────
+    // How fast does the corpus vocabulary grow as documents stream in?
+    // The curation readout behind "is more data still adding new
+    // tokens": bucket the corpus into 10 equal doc-id deciles and count
+    // tokens FIRST SEEN in each, plus the running vocabulary size. One
+    // explode → min-agg by token (partial agg collapses the fan-out to
+    // the vocabulary before the shuffle, the q_text_stats discipline),
+    // then a 10-row window — the 100-TB cost is the token agg, which is
+    // exactly one shuffle of the (bounded) vocabulary. The decile edge
+    // comes from max(doc_id) via a 1-row cross join, not a driver
+    // collect. All-integer output.
+    Q("q_vocab_growth",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nd = docs.agg((max(col("doc_id")) + 1).cast("long").as("nd"))
+        // bigram vocabulary: the unigram vocab of a corpus saturates in
+        // the first slice; bigrams are the smallest unit whose growth
+        // curve still discriminates "more data adds coverage"
+        val firsts = docs
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """transform(
+                 CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+                      ELSE array() END,
+                 i -> concat(toks[i - 1], ' ', toks[i]))""")).as("gram"))
+          .groupBy("gram")
+          .agg(min(col("doc_id")).as("first_doc"))
+        import org.apache.spark.sql.expressions.Window
+        firsts.crossJoin(broadcast(nd))
+          .select(expr("(first_doc * 10) div nd").cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("new_grams"))
+          .select(col("bucket"), col("new_grams"),
+            sum(col("new_grams"))
+              .over(Window.orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("long").as("cum_vocab"))
+          .orderBy("bucket")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                FROM documents),
+              grams AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+                FROM (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk) - 1)) AS i
+                      FROM toks)),
+              firsts AS (
+                SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1),
+              n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+              b AS (
+                SELECT (first_doc * 10) // (SELECT nd FROM n) AS bucket,
+                  COUNT(*) AS new_grams
+                FROM firsts GROUP BY 1)
+              SELECT CAST(bucket AS BIGINT) AS bucket, new_grams,
+                CAST(SUM(new_grams) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_vocab
+              FROM b ORDER BY bucket""")),
+
+    // ── per-source compression-ratio census (redundancy signal) ──────────
+    // The classic cheap quality filter: Deflate size ÷ original size per
+    // document (boilerplate and template spam compress far below prose,
+    // random noise above it), rolled up per source. The kernel is the
+    // codegen'd `graft_deflate_len` expression — a narrow per-row
+    // projection with NO shuffle except the final per-source agg, so the
+    // shape is scan-bound at any corpus size. Ratio is exact integer
+    // permille (clen·1000 div olen); the mean is one double division.
+    // No DuckDB oracle (zlib is not a SQL primitive) — spec-pinned
+    // bounds and ordering invariants in DeflateSpec instead.
+    Q("q_compression_ratio",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          expr("graft_deflate_len(text)").cast("long").as("clen"),
+          length(col("text")).cast("long").as("olen"))
+        .filter(col("olen") > 0)
+        .select(col("source"), expr("(clen * 1000) div olen").as("permille"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("permille")).cast("long").as("min_permille"),
+          max(col("permille")).cast("long").as("max_permille"),
+          (sum(col("permille")).cast("double") / count(lit(1)))
+            .as("avg_permille"))
+        .orderBy("source"),
+      None)
   )
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, SortedIntersect, TopKAggregator, ZOrder}
+import graft.functions.{DeflateLen, DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, SortedIntersect, TopKAggregator, ZOrder}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -33,6 +33,9 @@ import org.apache.spark.sql.execution.aggregate.ScalaAggregator
   *   - `graft_zorder(x, y[, bits])` → bigint: codegen'd Morton
   *     interleave for z-order data layout ([[graft.functions.ZOrder]]);
   *     bits is an integer literal, default 16.
+  *   - `graft_deflate_len(string)` → int: Deflate-compressed byte count
+  *     of the text ([[graft.functions.DeflateLen]]) — the per-document
+  *     redundancy signal behind q_compression_ratio.
   *   - `graft_sorted_inter(array<bigint>, array<bigint>)` → bigint:
   *     codegen'd merge-walk intersection size of two sorted arrays
   *     ([[graft.functions.SortedIntersect]]) — the row-local exact-
@@ -132,8 +135,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedIntersect].getName, "graft_sorted_inter"),
     (children: Seq[Expression]) => SortedIntersect(children.head, children(1)))
 
+  private val deflateFn = (
+    FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+    (children: Seq[Expression]) => DeflateLen(children.head))
+
   private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn,
-    mgFn, zorderFn, interFn)
+    mgFn, zorderFn, interFn, deflateFn)
 
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no

@@ -571,6 +571,32 @@ object StreamingOps {
       .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"),
         col("sk"))
 
+  /** Schema of the documents table (for the doc-ingest stream twins). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of document parquet batches. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Streaming half of q_ks_drift: the per-(source, length) count
+    * census as Complete-mode state — counts merge per micro-batch, and
+    * the state is bounded by sources × distinct lengths (quantize the
+    * length in production), never by docs seen. At any trigger,
+    * [[graft.ops.Curation.ksFinish]] over the drained state yields the
+    * live drift readout, and because the statistic is all-integer the
+    * drained stream equals batch q_ks_drift EXACTLY (StreamingSpec
+    * asserts equality, not tolerance) — the drift-monitor shape: a
+    * pipeline flags a source the moment its KS stat crosses threshold,
+    * without ever rescanning ingested history.
+    */
+  def driftCounts(docs: DataFrame): DataFrame =
+    graft.ops.Curation.ksCounts(docs)
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

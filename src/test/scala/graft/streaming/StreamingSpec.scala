@@ -429,6 +429,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "drained sketch census diverged from batch")
   }
 
+  test("drained drift-count state finishes to batch q_ks_drift exactly") {
+    val dir = Files.createTempDirectory("graft-docs").toString
+    Tables.load(spark, sfDir, "documents")
+      .repartition(4) // several files = several source-arrival batches
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.driftCounts(StreamingOps.readDocStream(spark, s"$dir/in")),
+      "t_drift", OutputMode.Complete())
+    // rebuild the (bounded) drained state as a standalone frame: the
+    // memory-sink view can't appear on both sides of ksFinish's grid
+    // self-join (conflicting-reference resolution fails on MemoryPlan)
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.Curation.ksFinish(counts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = SparkEntry.queries("q_ks_drift")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained drift state diverged from batch KS")
+  }
+
   test("stateful EWMA's final per-user state is bit-equal to batch q_ewma") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
