@@ -263,12 +263,16 @@ object Graph {
           .localCheckpoint(true)
         var frontier = visited.select(col("node"))
         for (d <- 1 to 4) {
+          // only the FRONTIER needs an eager lineage cut (it feeds the
+          // next round's join); visited is a flat union of already-
+          // checkpointed frontiers, so its lineage stays 4 blocks deep
+          // and never re-materializes
           val next = edges.join(frontier, edges("src") === frontier("node"))
             .select(col("dst").cast("long").as("node")).distinct()
             .join(visited.select("node"), Seq("node"), "left_anti")
             .select(col("node"), lit(d.toLong).as("depth"))
             .localCheckpoint(true)
-          visited = visited.unionByName(next).localCheckpoint(true)
+          visited = visited.unionByName(next)
           frontier = next.select(col("node"))
         }
         visited.groupBy("depth")

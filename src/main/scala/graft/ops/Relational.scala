@@ -616,6 +616,42 @@ object Relational {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
               FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ── VARIANT: parse once, extract many (semi-structured at scale) ─────
+    // The successor shape to q_json_extract: `parse_json` decodes the
+    // JSON text into Spark's binary VARIANT **once per row**, and every
+    // subsequent `variant_get` is an O(paths) binary probe — where
+    // repeated `get_json_object` calls re-parse the full text per path.
+    // At 100 TB with wide props objects that re-parse is the dominant
+    // CPU cost of semi-structured analytics; VARIANT makes path count
+    // ~free. Two typed extractions of the same path (bigint + string)
+    // prove the typed-coercion surface; the census groups by a derived
+    // bucket so the output is bounded.
+    Q("q_variant_ops",
+      (s, dir) => t(s, dir, "events")
+        .select(parse_json(col("props")).as("v"), col("value"))
+        .select(
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing', 'bigint')").as("miss"),
+          col("value"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("miss")).as("n_missing"),
+          min(col("k_str")).as("min_kstr"),
+          max(col("k_str")).as("max_kstr"),
+          sumDec2(col("value")).as("sum_val"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS bucket,
+                COUNT(*) AS cnt,
+                COUNT(CAST(props->>'$.missing' AS BIGINT)) AS n_missing,
+                MIN(props->>'$.k') AS min_kstr,
+                MAX(props->>'$.k') AS max_kstr,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+              FROM events
+              WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+              GROUP BY 1 ORDER BY 1""")),
+
     // ── array functions over the embedding column ────────────────────────
     Q("q_array_ops",
       (s, dir) => t(s, dir, "embeddings").select(

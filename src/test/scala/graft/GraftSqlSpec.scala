@@ -54,6 +54,38 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("recursive-CTE BFS runs on the Spark SQL surface and matches the iterative DataFrame loop") {
+    // Spark 4 executes WITH RECURSIVE (UNION ALL form) natively — the
+    // same hop-bounded BFS the oracle expresses runs on THIS engine,
+    // not just DuckDB. Path enumeration (UNION ALL) is exponential in
+    // hops on a dense graph (~1.5M length-≤4 paths even at sf0.001 —
+    // it trips the engine's 1M-row recursion guard, raised here), so
+    // the DataFrame frontier loop stays the production form; this pins
+    // the SQL surface's semantics at test SF.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 20000000)
+    val viaSql = GraftSql.run(spark, sfDir,
+      """WITH RECURSIVE cs AS (
+           SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (
+           SELECT c AS src, s AS dst FROM cs
+           UNION ALL SELECT s AS src, c AS dst FROM cs),
+         bfs(node, depth) AS (
+           SELECT CAST((SELECT MIN(src) FROM edges) AS BIGINT), 0
+           UNION ALL
+           SELECT CAST(e.dst AS BIGINT), b.depth + 1
+           FROM bfs b JOIN edges e ON e.src = b.node
+           WHERE b.depth < 4),
+         d AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
+         SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+         FROM d GROUP BY depth ORDER BY depth""").collect()
+    val viaDf = SparkEntry.queries("q_bfs_reach")(spark, sfDir).collect()
+    assert(viaSql.map(_.toSeq).toSeq === viaDf.map(_.toSeq).toSeq,
+      "recursive SQL BFS and frontier-loop BFS disagree")
+  }
+
   test("SQL text and DataFrame API produce the same physical plan shape") {
     val sqlPlan = GraftSql.run(spark, sfDir,
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 30")
