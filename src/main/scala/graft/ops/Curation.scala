@@ -34,6 +34,44 @@ object Curation {
     docs.groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
 
+  /** TVD-drift sufficient statistic: per-(source, lang) counts — same
+    * mergeable-census contract as [[ksCounts]], so the streaming twin
+    * keeps exactly this frame as Complete-mode state.
+    */
+  def tvdCounts(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("a"))
+
+  /** Finishing arithmetic of q_tvd_drift over the bounded counts frame:
+    * dense source×lang grid, exact-integer |a·(N−n_s) − (n_l−a)·n_s|
+    * terms, ONE IEEE division per source. Everything here runs on the
+    * catalog-bounded sources×langs grid — the corpus-sized work all
+    * happened in [[tvdCounts]].
+    */
+  def tvdFinish(counts0: DataFrame): DataFrame = {
+    val counts = counts0.select(col("source"), col("lang"),
+      col("a").cast("long").as("a"))
+    val n = counts.agg(sum(col("a"))).head.getLong(0)
+    val perSrc = counts.groupBy("source").agg(sum(col("a")).as("n_src"))
+    val perLang = counts.groupBy("lang").agg(sum(col("a")).as("n_lang"))
+    perSrc.select("source").crossJoin(perLang.select("lang"))
+      .join(counts, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        coalesce(col("a"), lit(0L)).as("a"))
+      .join(perLang, "lang")
+      .join(perSrc, "source")
+      .select(col("source"), col("n_src"),
+        abs(col("a") * (lit(n) - col("n_src"))
+          - (col("n_lang") - col("a")) * col("n_src")).as("term"))
+      .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+      .agg(sum(col("term")).cast("long").as("tvd_num"))
+      .select(col("source"), col("n_src"), col("tvd_num"),
+        (col("tvd_num").cast("double")
+          / (col("n_src") * 2L * (lit(n) - col("n_src"))).cast("double"))
+          .as("tvd"))
+      .orderBy("source")
+  }
+
   /** Finishing arithmetic of q_ks_drift over the bounded counts frame:
     * dense source×value CDF grid, exact-integer D maximization, ONE
     * IEEE division per source at the very end. Total row count here is
@@ -668,6 +706,86 @@ object Curation {
               FROM cums cu JOIN tot t ON cu.v = t.v
                 JOIN ns ON cu.source = ns.source, nn
               GROUP BY 1, 2, nn.n
-              ORDER BY cu.source"""))
+              ORDER BY cu.source""")),
+
+    // ── per-source CATEGORICAL drift: exact total-variation distance ─────
+    // The categorical sibling of q_ks_drift (which needs an ordered
+    // value axis): TVD of each source's language distribution vs the
+    // REST of the corpus, TVD = ½·Σ_l |P_src(l) − P_rest(l)|. Exact-
+    // integer formulation: per (source, lang) cell with count a, source
+    // total n_s, lang total n_l, corpus total N, the term is
+    // |a·(N−n_s) − (n_l−a)·n_s| summed over the DENSE source×lang grid
+    // (an absent lang still contributes n_l·n_s), then ONE division by
+    // 2·n_s·(N−n_s). Scale shape mirrors KS: the corpus-sized work is
+    // one partial+final count agg; everything after runs on the
+    // sources×langs grid, which is catalog-bounded, not corpus-bounded.
+    Q("q_tvd_drift",
+      (s, dir) => tvdFinish(tvdCounts(t(s, dir, "documents"))),
+      Some("""WITH counts AS (
+                SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS a
+                FROM documents GROUP BY 1, 2),
+              ns AS (SELECT source, SUM(a) AS n_src FROM counts GROUP BY 1),
+              nl AS (SELECT lang, SUM(a) AS n_lang FROM counts GROUP BY 1),
+              nn AS (SELECT SUM(a) AS n FROM counts),
+              grid AS (SELECT s.source, l.lang FROM
+                         (SELECT source FROM ns) s, (SELECT lang FROM nl) l),
+              cells AS (
+                SELECT g.source, g.lang, COALESCE(c.a, 0) AS a
+                FROM grid g LEFT JOIN counts c
+                  ON g.source = c.source AND g.lang = c.lang)
+              SELECT ce.source, CAST(ns.n_src AS BIGINT) AS n_src,
+                CAST(SUM(ABS(ce.a * (nn.n - ns.n_src)
+                  - (nl.n_lang - ce.a) * ns.n_src)) AS BIGINT) AS tvd_num,
+                CAST(SUM(ABS(ce.a * (nn.n - ns.n_src)
+                  - (nl.n_lang - ce.a) * ns.n_src)) AS DOUBLE)
+                  / CAST(ns.n_src * 2 * (nn.n - ns.n_src) AS DOUBLE) AS tvd
+              FROM cells ce JOIN ns ON ce.source = ns.source
+                JOIN nl ON ce.lang = nl.lang, nn
+              GROUP BY ce.source, ns.n_src, nn.n
+              ORDER BY ce.source""")),
+
+    // ── Benford first-digit audit ────────────────────────────────────────
+    // The classic faked-data / unit-mixup detector for any money or
+    // count column: census of the FIRST significant digit of
+    // o_totalprice vs Benford's expected log10(1+1/d). Digit extraction
+    // is string-based (integer→text is exact in both engines; double
+    // formatting and log10-of-double near powers of 10 are NOT), the
+    // expected shares are fixed 10⁻⁵ literals summing to exactly 100000,
+    // and the deviation |cnt·10⁵ − exp·N| stays exact-integer; the only
+    // IEEE op is one division per digit row. One partial+final agg to 9
+    // rows — nothing downstream scales with the fact table.
+    Q("q_benford",
+      (s, dir) => {
+        val digits = t(s, dir, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).cast("long").as("cnt"))
+        val expE5 = typedLit(Map(1L -> 30103L, 2L -> 17609L, 3L -> 12494L,
+          4L -> 9691L, 5L -> 7918L, 6L -> 6695L, 7L -> 5799L, 8L -> 5115L,
+          9L -> 4576L))
+        digits
+          .crossJoin(digits.agg(sum(col("cnt")).as("n")))
+          .select(col("digit"), col("cnt"),
+            expE5(col("digit")).as("exp_e5"),
+            abs(col("cnt") * 100000L - expE5(col("digit")) * col("n"))
+              .cast("long").as("dev_e5"),
+            (col("cnt").cast("double") / col("n").cast("double")).as("share"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+                SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM orders GROUP BY 1),
+              e AS (SELECT * FROM (VALUES (1, 30103), (2, 17609), (3, 12494),
+                  (4, 9691), (5, 7918), (6, 6695), (7, 5799), (8, 5115),
+                  (9, 4576)) AS t(digit, exp_e5)),
+              nn AS (SELECT SUM(cnt) AS n FROM d)
+              SELECT d.digit, d.cnt, CAST(e.exp_e5 AS BIGINT) AS exp_e5,
+                CAST(ABS(d.cnt * 100000 - e.exp_e5 * nn.n) AS BIGINT)
+                  AS dev_e5,
+                CAST(d.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE) AS share
+              FROM d JOIN e ON d.digit = e.digit, nn
+              ORDER BY d.digit"""))
   )
 }

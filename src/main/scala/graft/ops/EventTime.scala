@@ -932,6 +932,121 @@ object EventTime {
                 n_both / (za.n + zb.n - n_both) AS jaccard
               FROM pairs JOIN sz za ON ta = za.event_type
                 JOIN sz zb ON tb = zb.event_type
-              ORDER BY ta, tb"""))
+              ORDER BY ta, tb""")),
+
+    // ── autocorrelation of the daily order-arrival series ────────────────
+    // Does order volume today predict volume k days out? Sample
+    // autocorrelation r_k of the ZERO-FILLED daily order-count series
+    // for lags 1..7, in the exact-integer style of q_ks_drift: with
+    // n = days, S = Σx, Q2 = Σx², P_k = Σ x_t·x_{t+k} and H_k/T_k the
+    // head/tail partial sums, both sides of
+    //   r_k = (n²P_k − nS(H_k+T_k) + (n−k)S²) / (n²Q2 − nS²)
+    // are int64-exact (counts ≤ 10³/day for centuries of data), and the
+    // ONLY IEEE op is the final division. Scale shape: the corpus-sized
+    // work is the per-day partial+final count agg; the dense series and
+    // its ×7 lag self-join are CALENDAR-bounded (grow with time, not
+    // data volume), like ksFinish's grid. Day index via datediff (no
+    // double-valued epoch()), so both engines bucket identically.
+    Q("q_autocorr",
+      (s, dir) => {
+        val counts = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
+        val stats = counts.agg(min(col("d")), max(col("d")),
+          sum(col("x")), sum(col("x") * col("x"))).head
+        val (minD, maxD) = (stats.getLong(0), stats.getLong(1))
+        val (bigS, q2) = (stats.getLong(2), stats.getLong(3))
+        val n = maxD - minD + 1
+        val den = n * n * q2 - n * bigS * bigS
+        val dense = s.range(minD, maxD + 1)
+          .select(col("id").as("d"))
+          .join(counts, Seq("d"), "left")
+          .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+        val ks = s.range(1, 8).select(col("id").as("k"))
+        dense.crossJoin(ks)
+          .select(col("k"), col("x").as("xa"), (col("d") + col("k")).as("d2"))
+          .join(dense.select(col("d").as("d2"), col("x").as("xb")), "d2")
+          .groupBy("k")
+          .agg(sum(col("xa") * col("xb")).as("p"),
+            sum(col("xa")).as("h"), sum(col("xb")).as("tt"))
+          .select(col("k"),
+            lit(n).minus(col("k")).cast("long").as("n_pairs"),
+            (lit(n * n) * col("p") - lit(n * bigS) * (col("h") + col("tt"))
+              + (lit(n) - col("k")) * lit(bigS * bigS)).cast("long").as("num"),
+            ((lit(n * n) * col("p") - lit(n * bigS) * (col("h") + col("tt"))
+              + (lit(n) - col("k")) * lit(bigS * bigS)).cast("double")
+              / lit(den.toDouble)).as("r"))
+          .orderBy("k")
+      },
+      Some("""WITH c AS (
+                SELECT DATE_DIFF('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              mm AS (SELECT MIN(d) AS mn, MAX(d) AS mx,
+                       CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n,
+                       SUM(x) AS s, SUM(x * x) AS q2 FROM c),
+              dense AS (
+                SELECT g.d, COALESCE(c.x, 0) AS x
+                FROM (SELECT UNNEST(generate_series(
+                        (SELECT mn FROM mm), (SELECT mx FROM mm))) AS d) g
+                  LEFT JOIN c ON g.d = c.d),
+              lags AS (SELECT UNNEST(generate_series(1, 7)) AS k),
+              pairs AS (
+                SELECT l.k, a.x AS xa, b.x AS xb
+                FROM dense a CROSS JOIN lags l
+                  JOIN dense b ON b.d = a.d + l.k),
+              agg AS (
+                SELECT k, SUM(xa * xb) AS p, SUM(xa) AS h, SUM(xb) AS tt
+                FROM pairs GROUP BY 1)
+              SELECT CAST(k AS BIGINT) AS k,
+                CAST(mm.n - k AS BIGINT) AS n_pairs,
+                CAST(mm.n * mm.n * p - mm.n * mm.s * (h + tt)
+                  + (mm.n - k) * mm.s * mm.s AS BIGINT) AS num,
+                CAST(mm.n * mm.n * p - mm.n * mm.s * (h + tt)
+                  + (mm.n - k) * mm.s * mm.s AS DOUBLE)
+                  / CAST(mm.n * mm.n * q2 - mm.n * mm.s * mm.s AS DOUBLE) AS r
+              FROM agg, mm ORDER BY k""")),
+
+    // ── day-of-week × event-type seasonality contingency ─────────────────
+    // The calendar-profile report behind every staffing / anomaly
+    // baseline: the dow×type contingency census with each cell's share
+    // of its day row and of its type column. Day-of-week is derived
+    // arithmetically from the datediff day index ((d+4) mod 7, 0=Sun) —
+    // NOT from dayofweek()/dow(), whose numbering conventions differ
+    // between engines. Census is one partial+final agg to a ≤7×|types|
+    // frame; marginal shares are windows over that bounded grid, each a
+    // single IEEE division of exact counts.
+    Q("q_seasonality",
+      (s, dir) => {
+        val w7 = Window.partitionBy("dow")
+        val wt = Window.partitionBy("event_type")
+        t(s, dir, "events")
+          .select(((datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")) + 4) % 7).cast("long").as("dow"),
+            col("event_type"), col("value"))
+          .groupBy("dow", "event_type")
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sumDec2(col("value")).as("sum_val"))
+          .select(col("dow"), col("event_type"), col("cnt"), col("sum_val"),
+            (col("cnt").cast("double")
+              / sum(col("cnt")).over(w7).cast("double")).as("share_of_dow"),
+            (col("cnt").cast("double")
+              / sum(col("cnt")).over(wt).cast("double")).as("share_of_type"))
+          .orderBy("dow", "event_type")
+      },
+      Some("""WITH g AS (
+                SELECT (DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    + 4) % 7 AS dow,
+                  event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+                FROM events GROUP BY 1, 2)
+              SELECT CAST(dow AS BIGINT) AS dow, event_type, cnt, sum_val,
+                CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER
+                  (PARTITION BY dow) AS DOUBLE) AS share_of_dow,
+                CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER
+                  (PARTITION BY event_type) AS DOUBLE) AS share_of_type
+              FROM g ORDER BY dow, event_type"""))
   )
 }

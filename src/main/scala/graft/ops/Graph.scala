@@ -298,6 +298,62 @@ object Graph {
                 COUNT(*) AS n_nodes,
                 CAST(MIN(node) AS BIGINT) AS min_node,
                 CAST(MAX(node) AS BIGINT) AS max_node
+              FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // ── weighted single-source shortest path (Bellman-Ford) ──────────────
+    // BFS's weighted sibling: min-cost distance from the same seed under
+    // a deterministic per-edge weight w = 1 + (src+dst) mod 5 (a stand-in
+    // for a data-derived cost; integer so the oracle hash-checks).
+    // Four Bellman-Ford rounds — each is edges⋈dist shuffle-join + a
+    // min() partial agg by node, the exact relax step a 1000-executor
+    // SSSP runs; after round r, dist(n) is the min cost over ≤r-edge
+    // paths, which the oracle mirrors with a depth-bounded recursive CTE
+    // (UNION-dedup keeps its state ≤ nodes × costs × hops, not paths).
+    // Distances are never broadcast (they scale with the node
+    // population); census output keeps the result frame bounded.
+    Q("q_sssp",
+      (s, dir) => {
+        val edges = bipartiteEdges(s, dir)
+          .select(col("src"), col("dst"),
+            (lit(1L) + (col("src") + col("dst")) % 5).as("w"))
+          .localCheckpoint(true)
+        val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
+        var dist = edges.sparkSession.range(1)
+          .select(lit(seed).as("node"), lit(0L).as("cost"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          val relaxed = edges
+            .join(dist, edges("src") === dist("node"))
+            .select(col("dst").cast("long").as("node"),
+              (col("cost") + col("w")).as("cost"))
+          dist = dist.unionByName(relaxed)
+            .groupBy("node").agg(min(col("cost")).as("cost"))
+            .localCheckpoint(true)
+        }
+        dist.groupBy("cost")
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).cast("long").as("min_node"),
+            max(col("node")).cast("long").as("max_node"))
+          .orderBy("cost")
+      },
+      Some("""WITH RECURSIVE cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (
+                SELECT c AS src, s AS dst, 1 + (c + s) % 5 AS w FROM cs
+                UNION ALL
+                SELECT s AS src, c AS dst, 1 + (c + s) % 5 AS w FROM cs),
+              walk(node, cost, depth) AS (
+                SELECT (SELECT MIN(src) FROM edges), 0, 0
+                UNION
+                SELECT e.dst, p.cost + e.w, p.depth + 1
+                FROM walk p JOIN edges e ON e.src = p.node
+                WHERE p.depth < 4),
+              d AS (SELECT node, MIN(cost) AS cost FROM walk GROUP BY 1)
+              SELECT CAST(cost AS BIGINT) AS cost,
+                COUNT(*) AS n_nodes,
+                CAST(MIN(node) AS BIGINT) AS min_node,
+                CAST(MAX(node) AS BIGINT) AS max_node
               FROM d GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -2497,6 +2497,56 @@ object Relational {
                     ORDER BY cnt DESC, l_quantity) AS rk
                 FROM c)
               SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
-              FROM r WHERE rk = 1 ORDER BY l_returnflag"""))
+              FROM r WHERE rk = 1 ORDER BY l_returnflag""")),
+
+    // ── month-over-month / year-over-year growth report ──────────────────
+    // The period-comparison shape every revenue dashboard ships: monthly
+    // revenue with MoM and YoY growth via lag windows over the month
+    // series. Revenue is decimal-summed then surfaced BOTH as double and
+    // as exact integer cents — the growth ratios divide the exact cents
+    // (one IEEE division each; lag rows with no base period stay NULL in
+    // both engines). Corpus-sized work is the one partial+final agg to
+    // months; the lag windows run on the CALENDAR-bounded month frame,
+    // so the single-partition window is iteration-constant, never
+    // data-sized.
+    Q("q_yoy_growth",
+      (s, dir) => {
+        val w = Window.orderBy("month")
+        t(s, dir, "orders")
+          .groupBy((year(col("o_orderdate")) * 100
+            + month(col("o_orderdate"))).cast("long").as("month"))
+          .agg(sum(dec2(col("o_totalprice"))).as("revd"))
+          .select(col("month"), col("revd").cast("double").as("revenue"),
+            (col("revd") * 100).cast("long").as("cents"))
+          .select(col("month"), col("revenue"), col("cents"),
+            lag(col("cents"), 1).over(w).as("prev_cents"),
+            lag(col("cents"), 12).over(w).as("yoy_cents"))
+          .select(col("month"), col("revenue"), col("cents"),
+            ((col("cents") - col("prev_cents")).cast("double")
+              / col("prev_cents").cast("double")).as("mom_growth"),
+            ((col("cents") - col("yoy_cents")).cast("double")
+              / col("yoy_cents").cast("double")).as("yoy_growth"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+                SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
+                    AS BIGINT) AS month,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revd
+                FROM orders GROUP BY 1),
+              c AS (
+                SELECT month, CAST(revd AS DOUBLE) AS revenue,
+                  CAST(revd * 100 AS BIGINT) AS cents
+                FROM m),
+              l AS (
+                SELECT month, revenue, cents,
+                  lag(cents, 1) OVER (ORDER BY month) AS prev_cents,
+                  lag(cents, 12) OVER (ORDER BY month) AS yoy_cents
+                FROM c)
+              SELECT month, revenue, cents,
+                CAST(cents - prev_cents AS DOUBLE)
+                  / CAST(prev_cents AS DOUBLE) AS mom_growth,
+                CAST(cents - yoy_cents AS DOUBLE)
+                  / CAST(yoy_cents AS DOUBLE) AS yoy_growth
+              FROM l ORDER BY month"""))
   )
 }

@@ -597,6 +597,17 @@ object StreamingOps {
   def driftCounts(docs: DataFrame): DataFrame =
     graft.ops.Curation.ksCounts(docs)
 
+  /** Streaming half of q_tvd_drift — the categorical drift monitor.
+    * Identical contract to [[driftCounts]]: the per-(source, lang)
+    * census is mergeable Complete-mode state bounded by the catalog
+    * (sources × langs, never docs seen), and because the TVD statistic
+    * is all-integer until one final division,
+    * [[graft.ops.Curation.tvdFinish]] over the drained state equals
+    * batch q_tvd_drift EXACTLY at any trigger.
+    */
+  def langDriftCounts(docs: DataFrame): DataFrame =
+    graft.ops.Curation.tvdCounts(docs)
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

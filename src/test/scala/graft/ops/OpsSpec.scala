@@ -474,6 +474,34 @@ class OpsSpec extends SparkSpec {
     overlap.foreach(k => assert(inc(k) === exact(k)))
   }
 
+  // ── drift / audit / series report invariants ─────────────────────────
+  test("tvd, benford, autocorr, sssp invariants hold") {
+    // TVD is a metric on [0,1]; a source identical to the rest would be 0
+    val tvd = q("q_tvd_drift").collect()
+    assert(tvd.nonEmpty)
+    tvd.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("tvd"))
+      assert(v >= 0.0 && v <= 1.0, s"TVD out of range: $v")
+    }
+    // Benford census: exactly digits 1..9, shares sum to 1 exactly
+    // (disjoint integer counts over one total)
+    val ben = q("q_benford").collect()
+    assert(ben.map(_.getLong(0)).toSeq === (1L to 9L))
+    val shares = ben.map(r => r.getDouble(r.fieldIndex("share"))).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+    // sample autocorrelation is bounded by 1 in magnitude (Cauchy-
+    // Schwarz on the centered series)
+    q("q_autocorr").collect().foreach { r =>
+      val v = r.getDouble(r.fieldIndex("r"))
+      assert(math.abs(v) <= 1.0 + 1e-12, s"|r_k| > 1: $v")
+    }
+    // SSSP reaches exactly the nodes BFS reaches (same graph, same seed,
+    // same 4-round bound), and total min-cost mass ≥ hop mass (w ≥ 1)
+    val bfsN = q("q_bfs_reach").agg(sum("n_nodes")).head.getLong(0)
+    val ssspN = q("q_sssp").agg(sum("n_nodes")).head.getLong(0)
+    assert(bfsN === ssspN, s"reachable sets differ: bfs=$bfsN sssp=$ssspN")
+  }
+
   // ── triangle census invariants ───────────────────────────────────────
   test("q_triangle_count bounds hold (triangles <= wedges, edges > 0)") {
     val r = q("q_triangle_count").head()

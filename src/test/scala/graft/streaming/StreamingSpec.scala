@@ -452,6 +452,26 @@ class StreamingSpec extends SparkSpec {
       "drained drift state diverged from batch KS")
   }
 
+  test("drained lang-drift state finishes to batch q_tvd_drift exactly") {
+    val dir = Files.createTempDirectory("graft-docs-tvd").toString
+    Tables.load(spark, sfDir, "documents")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.langDriftCounts(StreamingOps.readDocStream(spark, s"$dir/in")),
+      "t_tvd", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.Curation.tvdFinish(counts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = SparkEntry.queries("q_tvd_drift")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained lang-drift state diverged from batch TVD")
+  }
+
   test("stateful EWMA's final per-user state is bit-equal to batch q_ewma") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
