@@ -77,7 +77,10 @@ object PlanDump {
     "q_set_overlap" -> "audience overlap: per-user type-set aggregate + row-local triangular fan-out — the corpus never self-joins on user_id; pair census keys bounded by the type vocabulary",
     "q_bfs_reach" -> "distributed BFS: per hop, frontier ⋈ edges (node-keyed shuffle join — the frontier scales with the graph, so it is never broadcast) + LEFT ANTI against visited; localCheckpoint cuts the per-round lineage",
     "q_ks_drift" -> "exact KS: corpus-sized work is ONE partial+final (source, length) count agg; the dense CDF grid and its windows live on the bounded sources x lengths frame, never on raw docs",
-    "q_compression_ratio" -> "deflate census: graft_deflate_len runs inside the scan projection (WholeStageCodegen, no UDF boxing); the only data-sized exchange is the per-source partial+final agg shuffle — the final sort moves <= #sources rows")
+    "q_compression_ratio" -> "deflate census: graft_deflate_len runs inside the scan projection (WholeStageCodegen, no UDF boxing); the only data-sized exchange is the per-source partial+final agg shuffle — the final sort moves <= #sources rows",
+    "q_tvd_drift" -> "exact categorical TVD: corpus-sized work is ONE partial+final (source, lang) count agg; the dense grid, its joins and the term agg all live on the catalog-bounded sources x langs frame",
+    "q_autocorr" -> "series autocorrelation: corpus collapses in ONE per-day partial+final count agg; the zero-filled series, x7 lag equi-join and per-lag agg are calendar-bounded (grow with time, not data)",
+    "q_sssp" -> "Bellman-Ford: per round, dist ⋈ edges on src (node-keyed shuffle — distances scale with the graph, never broadcast) + min() partial agg by node; localCheckpoint cuts each round's lineage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -56,7 +56,10 @@ object ScaleCheck {
     "q_dsir_weights", "q_hard_negatives", "q_dedup_near_incremental",
     // continuation batch: frontier-expand BFS, dense-grid KS drift,
     // codegen deflate census
-    "q_bfs_reach", "q_ks_drift", "q_compression_ratio")
+    "q_bfs_reach", "q_ks_drift", "q_compression_ratio",
+    // drift/audit/series batch: categorical TVD, Benford digit audit,
+    // calendar-bounded autocorrelation, Bellman-Ford SSSP
+    "q_tvd_drift", "q_benford", "q_autocorr", "q_sssp")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
