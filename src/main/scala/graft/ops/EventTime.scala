@@ -5,6 +5,7 @@ import graft.Q._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Tier C — event-time windowing over the `events` table (SURVEY.md §2.C).
   *
@@ -23,6 +24,37 @@ object EventTime {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
+
+  /** Seasonality sufficient statistic: the dow×type census (counts +
+    * decimal value sums). Mergeable, so the streaming twin keeps exactly
+    * this frame as Complete-mode state — same contract as
+    * [[graft.ops.Curation.ksCounts]].
+    */
+  def seasonCounts(events: DataFrame): DataFrame =
+    events
+      .select(((datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")) + 4) % 7).cast("long").as("dow"),
+        col("event_type"), col("value"))
+      .groupBy("dow", "event_type")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(dec2(col("value"))).as("sum_dec"))
+
+  /** Finishing arithmetic of q_seasonality over the bounded census:
+    * marginal-share windows on the ≤7×|types| grid, each one IEEE
+    * division of exact counts.
+    */
+  def seasonFinish(census: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy("dow")
+    val wt = Window.partitionBy("event_type")
+    census
+      .select(col("dow"), col("event_type"), col("cnt"),
+        col("sum_dec").cast("double").as("sum_val"),
+        (col("cnt").cast("double")
+          / sum(col("cnt")).over(w7).cast("double")).as("share_of_dow"),
+        (col("cnt").cast("double")
+          / sum(col("cnt")).over(wt).cast("double")).as("share_of_type"))
+      .orderBy("dow", "event_type")
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -1019,23 +1051,7 @@ object EventTime {
     // frame; marginal shares are windows over that bounded grid, each a
     // single IEEE division of exact counts.
     Q("q_seasonality",
-      (s, dir) => {
-        val w7 = Window.partitionBy("dow")
-        val wt = Window.partitionBy("event_type")
-        t(s, dir, "events")
-          .select(((datediff(col("ts").cast("date"),
-            lit("1970-01-01").cast("date")) + 4) % 7).cast("long").as("dow"),
-            col("event_type"), col("value"))
-          .groupBy("dow", "event_type")
-          .agg(count(lit(1)).cast("long").as("cnt"),
-            sumDec2(col("value")).as("sum_val"))
-          .select(col("dow"), col("event_type"), col("cnt"), col("sum_val"),
-            (col("cnt").cast("double")
-              / sum(col("cnt")).over(w7).cast("double")).as("share_of_dow"),
-            (col("cnt").cast("double")
-              / sum(col("cnt")).over(wt).cast("double")).as("share_of_type"))
-          .orderBy("dow", "event_type")
-      },
+      (s, dir) => seasonFinish(seasonCounts(t(s, dir, "events"))),
       Some("""WITH g AS (
                 SELECT (DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
                     + 4) % 7 AS dow,
@@ -1047,6 +1063,75 @@ object EventTime {
                   (PARTITION BY dow) AS DOUBLE) AS share_of_dow,
                 CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER
                   (PARTITION BY event_type) AS DOUBLE) AS share_of_type
-              FROM g ORDER BY dow, event_type"""))
+              FROM g ORDER BY dow, event_type""")),
+
+    // ── burstiness of inter-event gaps per event type ────────────────────
+    // Are arrivals Poisson-like or bursty? Goh & Barabási's
+    // B = (σ−μ)/(σ+μ) over the per-user inter-event gaps of each type
+    // (−1 regular, 0 Poisson, →1 bursty). Gaps are WHOLE SECONDS from
+    // exact microsecond timestamps (ties broken by event_id so lag() is
+    // a total order); moments stay exact: Σg fits int64, Σg² and the
+    // variance numerator n·Σg² − (Σg)² accumulate in DECIMAL (both
+    // engines sum decimals exactly, order-free). The IEEE tail — two
+    // divisions, one correctly-rounded sqrt, one ratio — is bit-stable
+    // on identical inputs. Shape: ONE shuffle by user (the natural
+    // per-user state partitioning), lag within (user, type), then a
+    // partial+final agg to |types| rows.
+    Q("q_burstiness",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("us", "event_id")
+        val gaps = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .select(col("event_type"),
+            (col("us") - lag(col("us"), 1).over(w)).as("g_us"))
+          .select(col("event_type"), expr("g_us div 1000000").as("g"))
+          .filter(col("g").isNotNull)
+        gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("g")).as("sum_g"),
+            sum((col("g") * col("g")).cast(DecimalType(38, 0))).as("q2"))
+          .select(col("event_type"), col("n_gaps"), col("sum_g"),
+            (col("n_gaps").cast(DecimalType(38, 0)) * col("q2")
+              - col("sum_g").cast(DecimalType(38, 0))
+                * col("sum_g").cast(DecimalType(38, 0))).cast("double")
+              ./(col("n_gaps").cast("double") * col("n_gaps").cast("double"))
+              .as("variance"))
+          .select(col("event_type"), col("n_gaps"), col("sum_g"),
+            col("variance"),
+            ((sqrt(col("variance"))
+              - col("sum_g").cast("double") / col("n_gaps").cast("double"))
+              / (sqrt(col("variance"))
+                + col("sum_g").cast("double") / col("n_gaps").cast("double")))
+              .as("burstiness"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type, event_id,
+                  epoch_us(ts) AS us
+                FROM events),
+              g AS (
+                SELECT event_type,
+                  (us - lag(us, 1) OVER (PARTITION BY user_id, event_type
+                    ORDER BY us, event_id)) // 1000000 AS g
+                FROM e),
+              a AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                  CAST(SUM(g) AS BIGINT) AS sum_g,
+                  SUM(g * g) AS q2
+                FROM g WHERE g IS NOT NULL GROUP BY 1),
+              v AS (
+                SELECT event_type, n_gaps, sum_g,
+                  CAST(n_gaps * q2 - sum_g * sum_g AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))
+                    AS variance
+                FROM a)
+              SELECT event_type, n_gaps, sum_g, variance,
+                (sqrt(variance) - CAST(sum_g AS DOUBLE)
+                   / CAST(n_gaps AS DOUBLE))
+                / (sqrt(variance) + CAST(sum_g AS DOUBLE)
+                   / CAST(n_gaps AS DOUBLE)) AS burstiness
+              FROM v ORDER BY event_type"""))
   )
 }

@@ -2547,6 +2547,85 @@ object Relational {
                   / CAST(prev_cents AS DOUBLE) AS mom_growth,
                 CAST(cents - yoy_cents AS DOUBLE)
                   / CAST(yoy_cents AS DOUBLE) AS yoy_growth
-              FROM l ORDER BY month"""))
+              FROM l ORDER BY month""")),
+
+    // ── Gini concentration of customer revenue per nation ────────────────
+    // How concentrated is spend across customers? The inequality metric
+    // every mix/risk report wants, in exact integers: with per-customer
+    // revenue x in cents ranked i = 1..n within the nation (total order
+    // pinned by (cents, custkey)), G = (2·Σ i·x − (n+1)·Σx) / (n·Σx) —
+    // the numerator is int64-exact (Σ i·x tops out ~2e15 at sf0.1's
+    // 6k customers/nation; re-cast to DECIMAL if a group nears 10⁹
+    // members), the division happens ONCE. Shape: revenue is a cust-
+    // keyed partial+final agg; the rank is a per-nation window — the
+    // distributed sort-by-key every engine's percentile path already
+    // pays, never a global single partition.
+    Q("q_gini",
+      (s, dir) => {
+        val cust = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("c_custkey"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy("cents", "c_custkey")
+        cust
+          .select(col("c_nationkey"), col("cents"),
+            row_number().over(w).cast("long").as("i"))
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("cents")).as("total_cents"),
+            (lit(2L) * sum(col("i") * col("cents"))).as("twice_ranked"))
+          .select(col("nationkey"), col("n_cust"), col("total_cents"),
+            ((col("twice_ranked") - (col("n_cust") + 1L) * col("total_cents"))
+              .cast("double")
+              / (col("n_cust") * col("total_cents")).cast("double"))
+              .as("gini"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH cust AS (
+                SELECT c_nationkey, c_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              r AS (
+                SELECT c_nationkey, cents,
+                  CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY cents, c_custkey) AS BIGINT) AS i
+                FROM cust),
+              a AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  CAST(COUNT(*) AS BIGINT) AS n_cust,
+                  SUM(cents) AS total_cents,
+                  2 * SUM(i * cents) AS twice_ranked
+                FROM r GROUP BY 1)
+              SELECT nationkey, n_cust, CAST(total_cents AS BIGINT)
+                  AS total_cents,
+                CAST(twice_ranked - (n_cust + 1) * total_cents AS DOUBLE)
+                  / CAST(n_cust * total_cents AS DOUBLE) AS gini
+              FROM a ORDER BY nationkey""")),
+
+    // ── rank-based quantile normalization (feature transform) ────────────
+    // The ML feature-prep transform that maps a skewed column onto a
+    // uniform [0,1] scale immune to outliers: percent_rank of c_acctbal
+    // within each market segment, tie-broken by custkey so the rank is
+    // a TOTAL order and both engines agree bit-exactly (percent_rank
+    // over a partial order is nondeterministic under ties). One shuffle
+    // by segment + per-segment distributed sort — the same shape as any
+    // grouped percentile; output stays row-sized because a transform's
+    // contract is one feature per row.
+    Q("q_quantile_norm",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy("c_acctbal", "c_custkey")
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            percent_rank().over(w).as("qnorm"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+                percent_rank() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey) AS qnorm
+              FROM customer ORDER BY c_custkey"""))
   )
 }

@@ -909,6 +909,80 @@ object TextOps {
           (sum(col("permille")).cast("double") / count(lit(1)))
             .as("avg_permille"))
         .orderBy("source"),
-      None)
+      None),
+
+    // ── NDCG@10 ranking-quality evaluation per source ────────────────────
+    // The retrieval-eval metric behind every ranker comparison, made
+    // hash-exact: graded relevance rel = 1 + doc_id mod 4 (a deterministic, never-
+    // all-zero
+    // stand-in for human labels), the ranking under test orders each
+    // source's docs by (n_chars DESC, doc_id), and the log2 position
+    // discounts 1/log2(i+1) are FIXED 10⁻⁹ literals — transcendentals
+    // evaluated at authoring time, so DCG = Σ rel·D(i) stays pure
+    // int64 and NDCG = DCG/IDCG is the single IEEE division. The ideal
+    // ranking re-ranks the same partition by (rel DESC, doc_id):
+    // two per-source window sorts (the grouped-top-k shuffle shape),
+    // then a partial+final agg to |sources| rows.
+    Q("q_ndcg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val disc = typedLit(Map(1L -> 1000000000L, 2L -> 630929754L,
+          3L -> 500000000L, 4L -> 430676558L, 5L -> 386852807L,
+          6L -> 356207187L, 7L -> 333333333L, 8L -> 315464877L,
+          9L -> 301029996L, 10L -> 289064826L))
+        val base = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            (col("doc_id") % 4 + 1).as("rel"))
+        val wRank = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val wIdeal = Window.partitionBy("source")
+          .orderBy(col("rel").desc, col("doc_id"))
+        val ranked = base
+          .select(col("source"), col("rel"),
+            row_number().over(wRank).cast("long").as("i"))
+          .filter(col("i") <= 10)
+          .groupBy("source")
+          .agg(sum(col("rel") * disc(col("i"))).as("dcg_num"))
+        val ideal = base
+          .select(col("source"), col("rel"),
+            row_number().over(wIdeal).cast("long").as("i"))
+          .filter(col("i") <= 10)
+          .groupBy("source")
+          .agg(sum(col("rel") * disc(col("i"))).as("idcg_num"))
+        ranked.join(ideal, "source")
+          .select(col("source"), col("dcg_num").cast("long").as("dcg_num"),
+            col("idcg_num").cast("long").as("idcg_num"),
+            (col("dcg_num").cast("double") / col("idcg_num").cast("double"))
+              .as("ndcg"))
+          .orderBy("source")
+      },
+      Some("""WITH disc AS (SELECT * FROM (VALUES
+                (1, 1000000000), (2, 630929754), (3, 500000000),
+                (4, 430676558), (5, 386852807), (6, 356207187),
+                (7, 333333333), (8, 315464877), (9, 301029996),
+                (10, 289064826)) AS t(i, d)),
+              base AS (
+                SELECT source, doc_id, n_chars, doc_id % 4 + 1 AS rel
+                FROM documents),
+              ranked AS (
+                SELECT source, SUM(rel * d) AS dcg_num
+                FROM (SELECT source, rel, row_number() OVER
+                        (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS i
+                      FROM base) r JOIN disc ON r.i = disc.i
+                GROUP BY 1),
+              ideal AS (
+                SELECT source, SUM(rel * d) AS idcg_num
+                FROM (SELECT source, rel, row_number() OVER
+                        (PARTITION BY source
+                         ORDER BY rel DESC, doc_id) AS i
+                      FROM base) r JOIN disc ON r.i = disc.i
+                GROUP BY 1)
+              SELECT ranked.source,
+                CAST(dcg_num AS BIGINT) AS dcg_num,
+                CAST(idcg_num AS BIGINT) AS idcg_num,
+                CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE) AS ndcg
+              FROM ranked JOIN ideal ON ranked.source = ideal.source
+              ORDER BY ranked.source"""))
   )
 }

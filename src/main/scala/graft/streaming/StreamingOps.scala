@@ -608,6 +608,16 @@ object StreamingOps {
   def langDriftCounts(docs: DataFrame): DataFrame =
     graft.ops.Curation.tvdCounts(docs)
 
+  /** Streaming half of q_seasonality — the live calendar-profile
+    * baseline. The dow×type census (counts + exact decimal value sums)
+    * is mergeable Complete-mode state bounded at ≤7×|types| rows;
+    * [[graft.ops.EventTime.seasonFinish]] over the drained state equals
+    * batch q_seasonality EXACTLY at any trigger (counts and decimal
+    * sums are order-free, the shares one IEEE division each).
+    */
+  def seasonalityCounts(events: DataFrame): DataFrame =
+    graft.ops.EventTime.seasonCounts(events)
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

@@ -472,6 +472,23 @@ class StreamingSpec extends SparkSpec {
       "drained lang-drift state diverged from batch TVD")
   }
 
+  test("drained seasonality census finishes to batch q_seasonality exactly") {
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.seasonalityCounts(
+        StreamingOps.readEventStream(spark, batchDir)),
+      "t_season", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.seasonFinish(census).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val batch = SparkEntry.queries("q_seasonality")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained seasonality census diverged from batch")
+  }
+
   test("stateful EWMA's final per-user state is bit-equal to batch q_ewma") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
