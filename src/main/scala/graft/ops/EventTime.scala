@@ -1132,6 +1132,46 @@ object EventTime {
                    / CAST(n_gaps AS DOUBLE))
                 / (sqrt(variance) + CAST(sum_g AS DOUBLE)
                    / CAST(n_gaps AS DOUBLE)) AS burstiness
-              FROM v ORDER BY event_type"""))
+              FROM v ORDER BY event_type""")),
+
+    // ── event-time lateness census (watermark sizing input) ──────────────
+    // THE question before configuring any streaming watermark: when
+    // events arrive, how far behind the per-user event-time high-water
+    // mark are they? Arrival order here is the standard multiplexed-
+    // ingest shape — per-type upstream feeds replayed feed-by-feed,
+    // arrival key (event_type, event_id) — exactly how late data arises
+    // when one topic lags another (the fixture's event_id alone is
+    // ts-sorted: zero lateness, no signal). lateness_s = running
+    // max(ts) − ts in whole seconds, folded by bit length into a
+    // ≤40-row histogram (bucket b covers [2^(b−1), 2^b) s; on-time
+    // lands in bucket 1 — the same power-of-2 folding as the degree
+    // census). A 1-hour watermark is justified iff the mass above
+    // bucket 12 (~2¹² s) is negligible — this query IS that readout.
+    // Shape: one shuffle by user (running max is a per-user window),
+    // then a partial+final agg to the bucket frame.
+    Q("q_lateness",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("event_type", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .select((max(col("us")).over(w) - col("us")).as("late_us"))
+          .select(expr("late_us div 1000000").as("late_s"))
+          .select(length(bin(col("late_s"))).cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("bucket")
+      },
+      Some("""WITH l AS (
+                SELECT (MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY event_type, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - epoch_us(ts)) // 1000000 AS late_s
+                FROM events)
+              SELECT CAST(length(bin(late_s)) AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM l GROUP BY 1 ORDER BY bucket"""))
   )
 }

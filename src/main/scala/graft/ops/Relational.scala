@@ -2626,6 +2626,104 @@ object Relational {
       Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
                 percent_rank() OVER (PARTITION BY c_mktsegment
                   ORDER BY c_acctbal, c_custkey) AS qnorm
-              FROM customer ORDER BY c_custkey"""))
+              FROM customer ORDER BY c_custkey""")),
+
+    // ── Herfindahl-Hirschman supplier concentration per part brand ───────
+    // The antitrust-style concentration index, Gini's sibling on the
+    // conventional 0-10000 scale: per brand, HHI = 10⁴·Σx² / (Σx)² over
+    // supplier revenue shares. Units are WHOLE DOLLARS (exact decimal
+    // cent sum, then one truncating div 100) so every moment stays
+    // int64 — wide-integer (HUGEINT/decimal128) → double conversions
+    // double-round differently across engines, while int64 → double is
+    // bit-identical everywhere; the IEEE tail is one division and one
+    // ×10⁴ written in the same order on both sides. (At fact volumes
+    // where Σx² nears 2⁶³, re-scale the unit — HHI is scale-invariant.)
+    // Shape: a (brand, supplier)-keyed partial+final agg, then a
+    // brand-keyed partial+final agg — no windows, no data-sized sort.
+    Q("q_hhi",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("l_suppkey"))
+          .agg(((sum(dec2(col("l_extendedprice"))) * 100).cast("long"))
+            .as("cents"))
+          .select(col("p_brand"), expr("cents div 100").as("dollars"))
+        rev.groupBy("p_brand")
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("dollars")).as("total_dollars"),
+            sum(col("dollars") * col("dollars")).as("sum_sq"))
+          .select(col("p_brand"), col("n_suppliers"),
+            col("total_dollars").cast("long").as("total_dollars"),
+            ((col("sum_sq").cast("double")
+              / (col("total_dollars") * col("total_dollars")).cast("double"))
+              * 10000.0).as("hhi"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH rev AS (
+                SELECT p_brand, l_suppkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) // 100 AS dollars
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2)
+              SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                CAST(SUM(dollars) AS BIGINT) AS total_dollars,
+                (CAST(CAST(SUM(dollars * dollars) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(SUM(dollars) AS BIGINT)
+                    * CAST(SUM(dollars) AS BIGINT) AS DOUBLE)) * 10000.0
+                  AS hhi
+              FROM rev GROUP BY 1 ORDER BY p_brand""")),
+
+    // ── functional-dependency discovery census ───────────────────────────
+    // The data-profiling DISCOVERY pass (q_constraint_check asserts
+    // declared rules; this MEASURES whether candidate column rules hold
+    // at all): for each candidate determinant → dependent pair, count
+    // determinant groups whose dependent is not single-valued. Each
+    // candidate is one partial+final (det, dep) census collapsed to a
+    // per-det distinct count — the determinant key space bounds every
+    // shuffle, and the verdict frame is 3 rows. The exact shape FD
+    // miners (TANE-family) run per lattice level at warehouse scale.
+    Q("q_fd_check",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        def fd(name: String, df: DataFrame, det: String, dep: String) =
+          df.groupBy(col(det))
+            .agg(countDistinct(col(dep)).as("n_dep"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when(col("n_dep") > 1, 1L).otherwise(0L))
+                .as("n_violating"))
+            .select(lit(name).as("fd"), col("n_groups"),
+              col("n_violating"), (col("n_violating") === 0L).as("holds"))
+        fd("orderkey->orderstatus", ord, "o_orderkey", "o_orderstatus")
+          .unionByName(fd("custkey->orderpriority", ord,
+            "o_custkey", "o_orderpriority"))
+          .unionByName(fd("partkey->suppkey", li, "l_partkey", "l_suppkey"))
+          .orderBy("fd")
+      },
+      Some("""WITH f1 AS (
+                SELECT 'orderkey->orderstatus' AS fd,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating
+                FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderstatus)
+                        AS n_dep FROM orders GROUP BY 1)),
+              f2 AS (
+                SELECT 'custkey->orderpriority' AS fd,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating
+                FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority)
+                        AS n_dep FROM orders GROUP BY 1)),
+              f3 AS (
+                SELECT 'partkey->suppkey' AS fd,
+                  CAST(COUNT(*) AS BIGINT) AS n_groups,
+                  CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating
+                FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey)
+                        AS n_dep FROM lineitem GROUP BY 1))
+              SELECT fd, n_groups, n_violating, n_violating = 0 AS holds
+              FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+                    UNION ALL SELECT * FROM f3)
+              ORDER BY fd"""))
   )
 }

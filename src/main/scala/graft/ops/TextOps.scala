@@ -983,6 +983,59 @@ object TextOps {
                 CAST(idcg_num AS BIGINT) AS idcg_num,
                 CAST(dcg_num AS DOUBLE) / CAST(idcg_num AS DOUBLE) AS ndcg
               FROM ranked JOIN ideal ON ranked.source = ideal.source
-              ORDER BY ranked.source"""))
+              ORDER BY ranked.source""")),
+
+    // ── BPE tokenizer training: 10 merge rounds on the word census ───────
+    // The third iterative-algorithm family (after ccStar and k-means):
+    // byte-pair-encoding merge learning, the Sennrich et al. (2016)
+    // shape every tokenizer pipeline runs before training. The crucial
+    // scale property: after ONE corpus-sized word-frequency census, all
+    // training happens on the VOCABULARY frame (words × freq — bounded
+    // by the language, not the corpus). Per round: adjacent-symbol pair
+    // census weighted by word freq (vocab-sized partial+final agg),
+    // arg-max pair via a top-1 reduce (a driver-side iteration constant,
+    // like PageRank's N), then a row-local greedy left-to-right fold
+    // merges the winning pair inside every symbol array — no shuffle in
+    // the merge step. Deterministic: ties break (count DESC, pair ASC).
+    // Output = the 10-row merge table. No SQL oracle (iterative with
+    // data-dependent literals); OpsSpec replays the identical greedy
+    // algorithm in plain Scala and asserts all 10 merges agree.
+    Q("q_bpe_train",
+      (s, dir) => {
+        var vocab = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(split(col("word"), "").as("syms"), col("freq"))
+          .localCheckpoint(true)
+        val merges = Seq.newBuilder[(Long, String, String, Long)]
+        for (r <- 1 to 10) {
+          val top = vocab.filter(size(col("syms")) >= 2)
+            .select(col("freq"), explode(expr(
+              """transform(sequence(0, size(syms) - 2),
+                   i -> struct(syms[i] AS a, syms[i + 1] AS b))""")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect()(0)
+          val (a, b) = (top.getString(0), top.getString(1))
+          merges += ((r.toLong, a, b, top.getLong(2)))
+          vocab = vocab.select(
+            aggregate(col("syms"), expr("cast(array() as array<string>)"),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(a)
+                  && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), x))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+            col("freq"))
+            .localCheckpoint(true)
+        }
+        val s2 = s
+        import s2.implicits._
+        merges.result().toDF("round", "left", "right", "pair_count")
+          .orderBy("round")
+      },
+      None)
   )
 }

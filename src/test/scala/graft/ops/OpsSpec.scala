@@ -502,6 +502,43 @@ class OpsSpec extends SparkSpec {
     assert(bfsN === ssspN, s"reachable sets differ: bfs=$bfsN sssp=$ssspN")
   }
 
+  // ── BPE training replays the greedy reference algorithm ──────────────
+  test("q_bpe_train merges equal a plain-Scala greedy BPE replay") {
+    // independent reference implementation: word census in driver
+    // memory, 10 rounds of (pair census → argmax → greedy merge)
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val census = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => census.update(w, census.getOrElse(w, 0L) + 1L)))
+    var vocab: Seq[(Vector[String], Long)] =
+      census.toSeq.map { case (w, f) => (w.split("").toVector, f) }
+    val expected = (1 to 10).map { r =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pairs.update((a, b), pairs.getOrElse((a, b), 0L) + f)
+          case _ =>
+        }
+      }
+      val ((a, b), cnt) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b)
+            out(out.length - 1) = a + b
+          else out += x
+        }
+        (out.toVector, f)
+      }
+      (r.toLong, a, b, cnt)
+    }
+    val got = q("q_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected, "distributed BPE merges diverge from reference")
+  }
+
   // ── triangle census invariants ───────────────────────────────────────
   test("q_triangle_count bounds hold (triangles <= wedges, edges > 0)") {
     val r = q("q_triangle_count").head()
