@@ -744,6 +744,86 @@ object Curation {
               GROUP BY ce.source, ns.n_src, nn.n
               ORDER BY ce.source""")),
 
+    // ── per-source 1-D Wasserstein (earth-mover) drift ───────────────────
+    // The third drift lens: KS is the WORST point gap, TVD the
+    // categorical mass gap, W₁ the TOTAL transport cost — it sees slow
+    // mean shifts KS underweights. On an ordered support,
+    // W₁ = Σ_v |F_src(v) − F_rest(v)|·Δv, which in the exact-integer
+    // style is Σ |cum_src·n_rest − cum_rest·n_src|·(next_v − v) over
+    // the same dense (source × value) grid q_ks_drift walks, divided
+    // ONCE by n_src·n_rest. Same scale shape: corpus collapses in the
+    // ksCounts census; the grid, its cumsums, and the lead() widths are
+    // catalog-bounded.
+    Q("q_wasserstein",
+      (s, dir) => {
+        val counts = ksCounts(t(s, dir, "documents"))
+          .select(col("source"), col("v"), col("c").cast("long").as("c"))
+        val n = counts.agg(sum(col("c"))).head.getLong(0)
+        val grid = counts.select("source").distinct()
+          .crossJoin(counts.select("v").distinct())
+        val perSrc = counts.groupBy("source").agg(sum(col("c")).as("n_src"))
+        val w = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLead = Window.partitionBy("source").orderBy("v")
+        val totW = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = counts.groupBy("v").agg(sum(col("c")).as("cv"))
+          .select(col("v"), sum(col("cv")).over(totW).as("cum_all"))
+        grid.join(counts, Seq("source", "v"), "left")
+          .select(col("source"), col("v"),
+            sum(coalesce(col("c"), lit(0L))).over(w).as("cum_src"))
+          .join(tot, "v")
+          .join(perSrc, "source")
+          .select(col("source"), col("n_src"), col("v"),
+            (abs(col("cum_src") * (lit(n) - col("n_src"))
+              - (col("cum_all") - col("cum_src")) * col("n_src"))
+              * (coalesce(lead(col("v"), 1).over(wLead), col("v"))
+                - col("v"))).as("term"))
+          .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+          .agg(sum(col("term")).cast("long").as("w1_num"))
+          .select(col("source"), col("n_src"), col("w1_num"),
+            (col("w1_num").cast("double")
+              / (col("n_src") * (lit(n) - col("n_src"))).cast("double"))
+              .as("w1"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+                SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2),
+              grid AS (
+                SELECT s.source, vv.v
+                FROM (SELECT DISTINCT source FROM counts) s,
+                  (SELECT DISTINCT v FROM counts) vv),
+              cums AS (
+                SELECT g.source, g.v,
+                  SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+                    ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum_src
+                FROM grid g LEFT JOIN counts c
+                  ON g.source = c.source AND g.v = c.v),
+              tot AS (
+                SELECT v, SUM(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cum_all
+                FROM (SELECT v, SUM(c) AS cv FROM counts GROUP BY 1)),
+              ns AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+                FROM documents GROUP BY 1),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+              terms AS (
+                SELECT cu.source, ns.n_src,
+                  ABS(cu.cum_src * (nn.n - ns.n_src)
+                    - (t.cum_all - cu.cum_src) * ns.n_src)
+                  * (COALESCE(LEAD(cu.v, 1) OVER (PARTITION BY cu.source
+                      ORDER BY cu.v), cu.v) - cu.v) AS term
+                FROM cums cu JOIN tot t ON cu.v = t.v
+                  JOIN ns ON cu.source = ns.source, nn)
+              SELECT source, n_src,
+                CAST(SUM(term) AS BIGINT) AS w1_num,
+                CAST(SUM(term) AS DOUBLE)
+                  / CAST(n_src * ((SELECT n FROM nn) - n_src) AS DOUBLE)
+                  AS w1
+              FROM terms GROUP BY 1, 2 ORDER BY source""")),
+
     // ── Benford first-digit audit ────────────────────────────────────────
     // The classic faked-data / unit-mixup detector for any money or
     // count column: census of the FIRST significant digit of
