@@ -824,6 +824,95 @@ object Curation {
                   AS w1
               FROM terms GROUP BY 1, 2 ORDER BY source""")),
 
+    // ── chi-squared independence: source × lang contingency ──────────────
+    // THE categorical-association test the drift lenses (TVD/KS/W₁)
+    // lead up to: is language mix independent of source, and how far
+    // from independence (Cramér's V) is the corpus? Per dense grid cell
+    // (zero cells included — their (0−e)²/e mass counts),
+    // term = (N·o − r·c)²/(N·r·c): the numerator difference is exact
+    // int64, and the tail is the identical IEEE expression both sides.
+    // The two FP REDUCTIONS (per-source fold over langs, global fold
+    // over sources) are position-pinned sorted-array left folds — the
+    // q_lm_score discipline — so addition order is bit-identical in both
+    // engines. Scale: the corpus collapses in ONE (source, lang) census;
+    // everything after runs on the |sources|×|langs| grid.
+    Q("q_chi2",
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val n = counts.agg(sum(col("o"))).head.getLong(0)
+        val perSrc = counts.groupBy("source").agg(sum(col("o")).as("r"))
+        val perLang = counts.groupBy("lang").agg(sum(col("o")).as("c"))
+        val dims = counts.agg(
+          countDistinct(col("source")).as("n_src"),
+          countDistinct(col("lang")).as("n_lang"))
+        val cells = perSrc.select("source", "r")
+          .crossJoin(perLang.select("lang", "c"))
+          .join(counts, Seq("source", "lang"), "left")
+          .select(col("source"), col("lang"), col("r"), col("c"),
+            coalesce(col("o"), lit(0L)).as("o"))
+          .select(col("source"), col("lang"), col("r"),
+            ((lit(n) * col("o") - col("r") * col("c")).cast("double")
+              * (lit(n) * col("o") - col("r") * col("c")).cast("double")
+              / (lit(n.toDouble) * col("r").cast("double")
+                 * col("c").cast("double"))).as("term"))
+        val bySrc = cells.groupBy(col("source"), col("r").as("n_src_docs"))
+          .agg(expr("""aggregate(array_sort(collect_list(struct(lang, term))),
+                         CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+            .as("chi2_src"))
+        val tot = bySrc
+          .agg(expr("""aggregate(array_sort(collect_list(struct(source, chi2_src))),
+                         CAST(0 AS DOUBLE), (a, x) -> a + x.chi2_src)""")
+            .as("chi2"))
+          .crossJoin(broadcast(dims))
+          .select(col("chi2"),
+            ((col("n_src") - 1) * (col("n_lang") - 1)).cast("long").as("dof"),
+            sqrt(col("chi2") / (lit(n.toDouble)
+              * least(col("n_src") - 1, col("n_lang") - 1).cast("double")))
+              .as("cramers_v"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_src_docs"), col("chi2_src"),
+            col("chi2"), col("dof"), col("cramers_v"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+                SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2),
+              nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
+              ps AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+                     FROM counts GROUP BY 1),
+              pl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c
+                     FROM counts GROUP BY 1),
+              dims AS (
+                SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src,
+                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang
+                FROM counts),
+              cells AS (
+                SELECT ps.source, pl.lang, ps.r,
+                  CAST(nn.n * COALESCE(co.o, 0) - ps.r * pl.c AS DOUBLE)
+                    * CAST(nn.n * COALESCE(co.o, 0) - ps.r * pl.c AS DOUBLE)
+                    / (CAST(nn.n AS DOUBLE) * CAST(ps.r AS DOUBLE)
+                       * CAST(pl.c AS DOUBLE)) AS term
+                FROM ps CROSS JOIN pl
+                  LEFT JOIN counts co
+                    ON ps.source = co.source AND pl.lang = co.lang, nn),
+              bysrc AS (
+                SELECT source, r AS n_src_docs,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY lang)), (a, x) -> a + x) AS chi2_src
+                FROM cells GROUP BY 1, 2),
+              tot AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(chi2_src ORDER BY source)), (a, x) -> a + x) AS chi2
+                FROM bysrc)
+              SELECT b.source, b.n_src_docs, b.chi2_src, t.chi2,
+                (d.n_src - 1) * (d.n_lang - 1) AS dof,
+                sqrt(t.chi2 / (CAST(nn.n AS DOUBLE)
+                  * CAST(least(d.n_src - 1, d.n_lang - 1) AS DOUBLE)))
+                  AS cramers_v
+              FROM bysrc b, tot t, dims d, nn
+              ORDER BY b.source""")),
+
     // ── Benford first-digit audit ────────────────────────────────────────
     // The classic faked-data / unit-mixup detector for any money or
     // count column: census of the FIRST significant digit of

@@ -650,6 +650,62 @@ object Dedup {
                 CAST(max_len - edit_dist AS DOUBLE) / max_len AS edit_sim
               FROM v
               WHERE CAST(max_len - edit_dist AS DOUBLE) / max_len >= 0.5
-              ORDER BY a, b"""))
+              ORDER BY a, b""")),
+
+    // ── duplicated-substring coverage (exact substring dedup readout) ────
+    // The Lee et al. (2022) "Deduplicating Training Data Makes Language
+    // Models Better" signal, in its n-gram form: for every doc, what
+    // fraction of its word 5-gram positions is a span that occurs MORE
+    // THAN ONCE in the corpus (counting all positions, same-doc repeats
+    // included)? Where whole-doc dedup (q_dedup_exact/_near) misses
+    // partially-copied boilerplate, this census finds it span by span.
+    // Scale shape: shingles explode row-locally, collapse in ONE
+    // corpus-sized census keyed by the shingle, and rejoin the exploded
+    // frame with an un-hinted hash join on the same key (co-partitioned
+    // with the census — no second shuffle of the census side); per-doc
+    // rollup is a partial+final agg on doc_id. The suffix-array original
+    // finds arbitrary-length spans; fixed-k positions are the standard
+    // distributed approximation (any dup span ≥ k words covers a dup
+    // k-gram position). All counts exact int64; dup_frac is ONE division.
+    Q("q_substring_dup",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            """transform(
+                 CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4)
+                      ELSE array() END,
+                 i -> concat_ws(' ', slice(toks, i, 5)))""")).as("sh"))
+        val census = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+        sh.join(census, Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+            (col("n_dup").cast("double")
+              / col("n_shingles").cast("double")).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                  array_to_string(list_slice(tk, i, i + 4), ' ') AS sh
+                FROM (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk) - 4)) AS i
+                      FROM toks WHERE len(tk) >= 5)),
+              census AS (
+                SELECT sh, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM sh GROUP BY 1)
+              SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup,
+                CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+              FROM sh s JOIN census c USING (sh)
+              GROUP BY 1 ORDER BY s.doc_id"""))
   )
 }

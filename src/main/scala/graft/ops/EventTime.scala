@@ -1172,6 +1172,84 @@ object EventTime {
                 FROM events)
               SELECT CAST(length(bin(late_s)) AS BIGINT) AS bucket,
                 CAST(COUNT(*) AS BIGINT) AS n_events
-              FROM l GROUP BY 1 ORDER BY bucket"""))
+              FROM l GROUP BY 1 ORDER BY bucket""")),
+
+    // ── CUSUM changepoint: where did each priority's revenue level shift? ─
+    // The offline mean-shift detector (Page's CUSUM in its exact
+    // centered-prefix form): per order priority, the day k maximizing
+    // |Σ_{i≤k}(x_i − x̄)| over the daily revenue-cents series. Kept
+    // integer-exact by multiplying through by n:
+    // cusum_num_k = n·prefix_k − k·total (cents·days, int64 to ~10¹⁵
+    // days×cents), so the arg-max and its tiebreak (earliest day) are
+    // bit-deterministic; the two emitted means divide exact ints ONCE.
+    // Scale shape: the fact table collapses in a (priority, day) census
+    // FIRST — every window after runs on the calendar-bounded day frame
+    // (the q_autocorr discipline); argmax is a grouped top-1 sort on
+    // that frame, never a data-sized global sort.
+    Q("q_changepoint",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"), col("o_orderdate").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+        val wSeq = Window.partitionBy("o_orderpriority").orderBy("day")
+        val wAll = Window.partitionBy("o_orderpriority")
+        val scored = daily
+          .select(col("o_orderpriority"), col("day"),
+            row_number().over(wSeq).cast("long").as("k"),
+            sum(col("cents")).over(wSeq.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)).as("prefix"),
+            count(lit(1)).over(wAll).cast("long").as("n_days"),
+            sum(col("cents")).over(wAll).as("total"))
+          .select(col("o_orderpriority"), col("day"), col("k"),
+            col("n_days"),
+            (col("n_days") * col("prefix") - col("k") * col("total"))
+              .as("cusum_num"),
+            col("prefix"), col("total"))
+        val pick = Window.partitionBy("o_orderpriority")
+          .orderBy(abs(col("cusum_num")).desc, col("day"))
+        scored
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("o_orderpriority"), col("day").as("change_day"),
+            col("k"), col("n_days"), col("cusum_num"),
+            (col("prefix").cast("double") / col("k").cast("double") / 100.0)
+              .as("mean_before"),
+            ((col("total") - col("prefix")).cast("double")
+              / (col("n_days") - col("k")).cast("double") / 100.0)
+              .as("mean_after"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH daily AS (
+                SELECT o_orderpriority, o_orderdate AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1, 2),
+              scored AS (
+                SELECT o_orderpriority, day,
+                  CAST(row_number() OVER w AS BIGINT) AS k,
+                  CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS prefix,
+                  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n_days,
+                  CAST(SUM(cents) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS total
+                FROM daily
+                WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)),
+              cus AS (
+                SELECT o_orderpriority, day, k, n_days,
+                  n_days * prefix - k * total AS cusum_num, prefix, total
+                FROM scored),
+              pick AS (
+                SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY abs(cusum_num) DESC, day) AS rn
+                FROM cus)
+              SELECT o_orderpriority, day AS change_day, k, n_days,
+                cusum_num,
+                CAST(prefix AS DOUBLE) / CAST(k AS DOUBLE) / 100.0
+                  AS mean_before,
+                CAST(total - prefix AS DOUBLE)
+                  / CAST(n_days - k AS DOUBLE) / 100.0 AS mean_after
+              FROM pick WHERE rn = 1 ORDER BY o_orderpriority"""))
   )
 }

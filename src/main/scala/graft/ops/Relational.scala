@@ -2724,6 +2724,252 @@ object Relational {
               SELECT fd, n_groups, n_violating, n_violating = 0 AS holds
               FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
                     UNION ALL SELECT * FROM f3)
-              ORDER BY fd"""))
+              ORDER BY fd""")),
+
+    // ── higher-moment profile: skewness + excess kurtosis per flag ───────
+    // The distribution-shape row the profiling pass (q_profile_table,
+    // q_stats_agg) stops short of: 3rd/4th standardized moments of
+    // l_quantity per return flag. Determinism discipline: the SUMS are
+    // exact int64 of (qty − 25)^p — centering by a FIXED literal keeps
+    // Σ(x−c)⁴ ≤ n·25⁴ (fits int64 far past 10⁹ rows; at larger N
+    // re-center/rescale, the standardized moments are invariant) — and
+    // the double tail is ONE identical scalar expression evaluated on
+    // identical int64 operands in both engines, so every IEEE op rounds
+    // identically (reduction ORDER is the only cross-engine FP hazard,
+    // and all reductions here are integer). Shape: one partial+final
+    // agg, 3-row frame — the cheapest possible pass over the fact table.
+    Q("q_moments",
+      (s, dir) => {
+        val cd = col("s1").cast("double"); val n = col("n").cast("double")
+        val m1 = cd / n
+        val m2 = col("s2").cast("double") / n - m1 * m1
+        val m3 = (col("s3").cast("double") / n
+          - lit(3.0) * m1 * (col("s2").cast("double") / n)
+          + lit(2.0) * m1 * m1 * m1)
+        val m4 = (col("s4").cast("double") / n
+          - lit(4.0) * m1 * (col("s3").cast("double") / n)
+          + lit(6.0) * m1 * m1 * (col("s2").cast("double") / n)
+          - lit(3.0) * m1 * m1 * m1 * m1)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            (col("l_quantity").cast("long") - 25L).as("x"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"),
+            sum(col("x") * col("x") * col("x")).as("s3"),
+            sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+          .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+            col("s3"), col("s4"),
+            (m3 / (m2 * sqrt(m2))).as("skewness"),
+            (m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (
+                SELECT l_returnflag,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s1,
+                  CAST(SUM(x * x) AS BIGINT) AS s2,
+                  CAST(SUM(x * x * x) AS BIGINT) AS s3,
+                  CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+                FROM (SELECT l_returnflag,
+                        CAST(l_quantity AS BIGINT) - 25 AS x FROM lineitem)
+                GROUP BY 1)
+              SELECT l_returnflag, n, s1, s2, s3, s4,
+                ((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))))
+                  AS skewness,
+                ((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                    + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                  - 3.0) AS kurtosis
+              FROM c ORDER BY l_returnflag""")),
+
+    // ── pairwise Pearson correlation matrix (single-pass) ────────────────
+    // The feature-correlation readout over the fact table: all three
+    // pairwise correlations among (quantity, whole-dollar price,
+    // discount%) from ONE partial+final agg that carries every sum and
+    // cross-moment — the single-pass correlation-matrix shape that at
+    // 100 TB replaces three separate corr() scans with one. All ten
+    // accumulators are exact int64 (dollars not cents keeps Σd² well
+    // under 2⁶³ into the trillions of rows); the corr tail is the same
+    // IEEE expression on both engines (int64→double casts are
+    // correctly-rounded everywhere, and n·Σxy − ΣxΣy in double rounds
+    // identically given identical operands). 3-row output frame.
+    Q("q_corr_matrix",
+      (s, dir) => {
+        def corrOf(sx: String, sy: String, sxx: String, syy: String,
+                   sxy: String): org.apache.spark.sql.Column = {
+          val n = col("n").cast("double")
+          val num = (n * col(sxy).cast("double")
+            - col(sx).cast("double") * col(sy).cast("double"))
+          val dx = sqrt(n * col(sxx).cast("double")
+            - col(sx).cast("double") * col(sx).cast("double"))
+          val dy = sqrt(n * col(syy).cast("double")
+            - col(sy).cast("double") * col(sy).cast("double"))
+          num / (dx * dy)
+        }
+        val m = t(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div 100")
+              .as("d"),
+            expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)")
+              .as("c"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("q")).as("sq"), sum(col("d")).as("sd"),
+            sum(col("c")).as("sc"),
+            sum(col("q") * col("q")).as("sqq"),
+            sum(col("d") * col("d")).as("sdd"),
+            sum(col("c") * col("c")).as("scc"),
+            sum(col("q") * col("d")).as("sqd"),
+            sum(col("q") * col("c")).as("sqc"),
+            sum(col("d") * col("c")).as("sdc"))
+        m.select(lit("qty_discount").as("pair"), col("n"),
+            corrOf("sq", "sc", "sqq", "scc", "sqc").as("corr"))
+          .unionByName(m.select(lit("qty_dollars").as("pair"), col("n"),
+            corrOf("sq", "sd", "sqq", "sdd", "sqd").as("corr")))
+          .unionByName(m.select(lit("dollars_discount").as("pair"), col("n"),
+            corrOf("sd", "sc", "sdd", "scc", "sdc").as("corr")))
+          .orderBy("pair")
+      },
+      Some("""WITH m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+                  CAST(SUM(c) AS BIGINT) AS sc,
+                  CAST(SUM(q * q) AS BIGINT) AS sqq,
+                  CAST(SUM(d * d) AS BIGINT) AS sdd,
+                  CAST(SUM(c * c) AS BIGINT) AS scc,
+                  CAST(SUM(q * d) AS BIGINT) AS sqd,
+                  CAST(SUM(q * c) AS BIGINT) AS sqc,
+                  CAST(SUM(d * c) AS BIGINT) AS sdc
+                FROM (SELECT CAST(l_quantity AS BIGINT) AS q,
+                        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) // 100 AS d,
+                        CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS c
+                      FROM lineitem))
+              SELECT 'qty_discount' AS pair, n,
+                (CAST(n AS DOUBLE) * CAST(sqc AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sc AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))) AS corr
+              FROM m
+              UNION ALL
+              SELECT 'qty_dollars' AS pair, n,
+                (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr
+              FROM m
+              UNION ALL
+              SELECT 'dollars_discount' AS pair, n,
+                (CAST(n AS DOUBLE) * CAST(sdc AS DOUBLE)
+                   - CAST(sd AS DOUBLE) * CAST(sc AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))) AS corr
+              FROM m ORDER BY pair""")),
+
+    // ── Spearman rank correlation: account balance vs order activity ─────
+    // The robust (monotone, outlier-proof) dependence check a Pearson
+    // corr can't give: per market segment, does customer balance rank
+    // track order-count rank? Ranks come from a PINNED total order
+    // (value, custkey) so both engines assign identical integer ranks —
+    // no average-tie fractions, no FP before the tail — then Spearman is
+    // Pearson on exact int64 rank moments (Σr² ≤ n³ fits int64 to n≈2M
+    // per segment; beyond that, rank by percentile bucket first). Shape:
+    // an aggregate-then-join (orders collapses to per-customer counts
+    // BEFORE joining customer — never the raw join), two grouped window
+    // sorts, one 5-row agg frame.
+    Q("q_spearman",
+      (s, dir) => {
+        val cnt = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        val base = t(s, dir, "customer")
+          .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        val rBal = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val rOrd = Window.partitionBy("c_mktsegment")
+          .orderBy(col("n_orders"), col("c_custkey"))
+        val n = col("n").cast("double")
+        val num = (n * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        val den = (sqrt(n * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * sqrt(n * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")))
+        base
+          .select(col("c_mktsegment"),
+            row_number().over(rBal).cast("long").as("rx"),
+            row_number().over(rOrd).cast("long").as("ry"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+            sum(col("ry")).as("sy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"),
+            sum(col("rx") * col("ry")).as("sxy"))
+          .select(col("c_mktsegment"), col("n"), (num / den).as("spearman"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH cnt AS (
+                SELECT o_custkey, COUNT(*) AS n_orders
+                FROM orders GROUP BY 1),
+              base AS (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                  COALESCE(n_orders, 0) AS n_orders
+                FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+              ranked AS (
+                SELECT c_mktsegment,
+                  CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rx,
+                  CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY n_orders, c_custkey) AS BIGINT) AS ry
+                FROM base),
+              m AS (
+                SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(rx) AS BIGINT) AS sx,
+                  CAST(SUM(ry) AS BIGINT) AS sy,
+                  CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+                  CAST(SUM(ry * ry) AS BIGINT) AS syy,
+                  CAST(SUM(rx * ry) AS BIGINT) AS sxy
+                FROM ranked GROUP BY 1)
+              SELECT c_mktsegment, n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS spearman
+              FROM m ORDER BY c_mktsegment"""))
   )
 }

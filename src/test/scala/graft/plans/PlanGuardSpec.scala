@@ -340,4 +340,37 @@ class PlanGuardSpec extends SparkSpec {
     val liScans = "Scan parquet".r.findAllIn(plan).size
     assert(liScans <= 3, s"decorrelation re-probes the fact table:\n$plan")
   }
+
+  test("single-pass moment queries: no window, no join, partial+final agg only") {
+    // q_moments and q_corr_matrix must stay one scan + one agg exchange;
+    // a window or join would mean the single-pass contract broke
+    for (q <- Seq("q_moments", "q_corr_matrix")) {
+      val plan = qe(q).executedPlan.toString
+      assert(!plan.contains("Window"), s"$q grew a window operator")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+        s"$q grew a data-sized join:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$q lost its hash aggregation")
+    }
+  }
+
+  test("q_changepoint windows run on the day census, partitioned by priority") {
+    // the fact table must collapse to (priority, day) BEFORE any window;
+    // every window spec keeps the priority partition key (no global sort)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val opt = qe("q_changepoint").optimizedPlan
+    val windows = opt.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the CUSUM prefix windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "CUSUM window lost its partition key")
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        "CUSUM window reads raw orders instead of the day census")
+    }
+  }
+
+  test("q_substring_dup joins the census un-hinted on the shingle key") {
+    // the shingle census grows with the corpus: a broadcast hint here
+    // OOMs at scale; the rejoin must be a plain hash join on `sh`
+    assert(!qe("q_substring_dup").analyzed.toString.contains("broadcast"),
+      "q_substring_dup force-broadcasts the corpus-sized shingle census")
+  }
 }
