@@ -109,6 +109,53 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Finishing arithmetic of q_chi2 over the same mergeable
+    * (source, lang) census as [[tvdFinish]] — the streaming twin keeps
+    * ONE census frame as Complete-mode state and can finish it to
+    * either readout. Dense grid incl. zero cells; exact-int64
+    * (N·o − r·c) numerators; both FP reductions are position-pinned
+    * sorted-array left folds (the q_lm_score discipline). Everything
+    * here runs on the |sources|×|langs| grid.
+    */
+  def chi2Finish(counts0: DataFrame): DataFrame = {
+    val counts = counts0.select(col("source"), col("lang"),
+      col("a").cast("long").as("o"))
+    val n = counts.agg(sum(col("o"))).head.getLong(0)
+    val perSrc = counts.groupBy("source").agg(sum(col("o")).as("r"))
+    val perLang = counts.groupBy("lang").agg(sum(col("o")).as("c"))
+    val dims = counts.agg(
+      countDistinct(col("source")).as("n_src"),
+      countDistinct(col("lang")).as("n_lang"))
+    val cells = perSrc.select("source", "r")
+      .crossJoin(perLang.select("lang", "c"))
+      .join(counts, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .select(col("source"), col("lang"), col("r"),
+        ((lit(n) * col("o") - col("r") * col("c")).cast("double")
+          * (lit(n) * col("o") - col("r") * col("c")).cast("double")
+          / (lit(n.toDouble) * col("r").cast("double")
+             * col("c").cast("double"))).as("term"))
+    val bySrc = cells.groupBy(col("source"), col("r").as("n_src_docs"))
+      .agg(expr("""aggregate(array_sort(collect_list(struct(lang, term))),
+                     CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+        .as("chi2_src"))
+    val tot = bySrc
+      .agg(expr("""aggregate(array_sort(collect_list(struct(source, chi2_src))),
+                     CAST(0 AS DOUBLE), (a, x) -> a + x.chi2_src)""")
+        .as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("chi2"),
+        ((col("n_src") - 1) * (col("n_lang") - 1)).cast("long").as("dof"),
+        sqrt(col("chi2") / (lit(n.toDouble)
+          * least(col("n_src") - 1, col("n_lang") - 1).cast("double")))
+          .as("cramers_v"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src_docs"), col("chi2_src"),
+        col("chi2"), col("dof"), col("cramers_v"))
+      .orderBy("source")
+  }
+
   /** Distinct word 3-gram strings per doc — the DuckDB-mirrorable twin
     * of the hashed shingles the dedup path uses (decontamination wants
     * the readable n-gram for auditability anyway).
@@ -837,44 +884,7 @@ object Curation {
     // engines. Scale: the corpus collapses in ONE (source, lang) census;
     // everything after runs on the |sources|×|langs| grid.
     Q("q_chi2",
-      (s, dir) => {
-        val counts = t(s, dir, "documents")
-          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
-        val n = counts.agg(sum(col("o"))).head.getLong(0)
-        val perSrc = counts.groupBy("source").agg(sum(col("o")).as("r"))
-        val perLang = counts.groupBy("lang").agg(sum(col("o")).as("c"))
-        val dims = counts.agg(
-          countDistinct(col("source")).as("n_src"),
-          countDistinct(col("lang")).as("n_lang"))
-        val cells = perSrc.select("source", "r")
-          .crossJoin(perLang.select("lang", "c"))
-          .join(counts, Seq("source", "lang"), "left")
-          .select(col("source"), col("lang"), col("r"), col("c"),
-            coalesce(col("o"), lit(0L)).as("o"))
-          .select(col("source"), col("lang"), col("r"),
-            ((lit(n) * col("o") - col("r") * col("c")).cast("double")
-              * (lit(n) * col("o") - col("r") * col("c")).cast("double")
-              / (lit(n.toDouble) * col("r").cast("double")
-                 * col("c").cast("double"))).as("term"))
-        val bySrc = cells.groupBy(col("source"), col("r").as("n_src_docs"))
-          .agg(expr("""aggregate(array_sort(collect_list(struct(lang, term))),
-                         CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
-            .as("chi2_src"))
-        val tot = bySrc
-          .agg(expr("""aggregate(array_sort(collect_list(struct(source, chi2_src))),
-                         CAST(0 AS DOUBLE), (a, x) -> a + x.chi2_src)""")
-            .as("chi2"))
-          .crossJoin(broadcast(dims))
-          .select(col("chi2"),
-            ((col("n_src") - 1) * (col("n_lang") - 1)).cast("long").as("dof"),
-            sqrt(col("chi2") / (lit(n.toDouble)
-              * least(col("n_src") - 1, col("n_lang") - 1).cast("double")))
-              .as("cramers_v"))
-        bySrc.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_src_docs"), col("chi2_src"),
-            col("chi2"), col("dof"), col("cramers_v"))
-          .orderBy("source")
-      },
+      (s, dir) => chi2Finish(tvdCounts(t(s, dir, "documents"))),
       Some("""WITH counts AS (
                 SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
                 FROM documents GROUP BY 1, 2),
@@ -912,6 +922,68 @@ object Curation {
                   AS cramers_v
               FROM bysrc b, tot t, dims d, nn
               ORDER BY b.source""")),
+
+    // ── IQR-fence outlier census per source ──────────────────────────────
+    // The Tukey box-plot rule as a data-quality gate: per source, exact
+    // Q1/Q3 of doc length (type-1 order statistics at ranks ⌈n/4⌉ and
+    // ⌈3n/4⌉ over a pinned (value, doc_id) total order), then count docs
+    // outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. Fences stay integer by
+    // doubling through: 2·x vs 2·Q1 − 3·IQR — no FP anywhere in the
+    // whole query. Shape: one grouped distributed sort for ranks (the
+    // per-source window), quartiles collapse to a ≤|sources|-row frame,
+    // and the recount joins it back on the source key — AQE sizes that
+    // probe join; nothing downstream scales past the census.
+    Q("q_outlier_iqr",
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars"), col("doc_id"))
+        val ranked = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(Window.partitionBy("source"))
+              .cast("long").as("n"))
+        val k1 = expr("(n + 3) div 4"); val k3 = expr("(3 * n + 3) div 4")
+        val quart = ranked
+          .filter(col("rn") === k1 || col("rn") === k3)
+          .groupBy("source")
+          .agg(max(col("n")).as("n"),
+            min(when(col("rn") === k1, col("n_chars"))).as("q1"),
+            min(when(col("rn") === k3, col("n_chars"))).as("q3"))
+        t(s, dir, "documents")
+          .join(quart, Seq("source"))
+          .groupBy(col("source"), col("n"), col("q1"), col("q3"))
+          .agg(
+            sum(when(lit(2L) * col("n_chars")
+              < lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1")),
+              1L).otherwise(0L)).as("n_low"),
+            sum(when(lit(2L) * col("n_chars")
+              > lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1")),
+              1L).otherwise(0L)).as("n_high"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM documents),
+              quart AS (
+                SELECT source, MAX(n) AS n,
+                  MIN(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS q1,
+                  MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END)
+                    AS q3
+                FROM ranked
+                WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+                GROUP BY 1)
+              SELECT d.source, q.n, q.q1, q.q3,
+                CAST(SUM(CASE WHEN 2 * d.n_chars
+                    < 2 * q.q1 - 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_low,
+                CAST(SUM(CASE WHEN 2 * d.n_chars
+                    > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high
+              FROM documents d JOIN quart q USING (source)
+              GROUP BY 1, 2, 3, 4 ORDER BY d.source""")),
 
     // ── Benford first-digit audit ────────────────────────────────────────
     // The classic faked-data / unit-mixup detector for any money or

@@ -2970,6 +2970,138 @@ object Relational {
                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                   AS spearman
-              FROM m ORDER BY c_mktsegment"""))
+              FROM m ORDER BY c_mktsegment""")),
+
+    // ── point-in-time lookup against SCD2 validity intervals ─────────────
+    // The feature-store join q_scd2_build's output exists FOR: every
+    // ship event (lineitem, at l_shipdate) probes its customer's order
+    // version that was CURRENT at ship time — train-serving-skew-free
+    // feature lookup, no future leakage. Shape: fact⋈fact equi join on
+    // orderkey (co-partitioned), then an equi join on custkey whose
+    // range predicate [valid_from, valid_to) runs as a residual filter —
+    // fan-out bounded by versions-per-customer, never a data² range
+    // scan. A ship date is ≥ its own order's date ≥ the customer's
+    // first valid_from, so every probe matches exactly one interval
+    // (half-open: NULL valid_to = current). Rollup to the version frame
+    // keeps the gate output catalog-sized; counts/cents exact int64.
+    Q("q_scd2_lookup",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val hist = t(s, dir, "orders")
+          .select(col("o_custkey").as("h_custkey"),
+            col("o_orderdate").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+            row_number().over(w).cast("long").as("version"))
+        val spine = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_shipdate"),
+            col("l_extendedprice"))
+        spine.join(hist,
+            col("o_custkey") === col("h_custkey")
+              && col("valid_from") <= col("l_shipdate")
+              && (col("valid_to").isNull
+                  || col("l_shipdate") < col("valid_to")))
+          .groupBy("version")
+          .agg(count(lit(1)).as("n_items"),
+            (sum(dec2(col("l_extendedprice"))) * 100).cast("long")
+              .as("cents"))
+          .orderBy("version")
+      },
+      Some("""WITH hist AS (
+                SELECT o_custkey AS h_custkey,
+                  o_orderdate AS valid_from,
+                  lead(o_orderdate) OVER w AS valid_to,
+                  CAST(row_number() OVER w AS BIGINT) AS version
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)),
+              spine AS (
+                SELECT o_custkey, l_shipdate, l_extendedprice
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+              SELECT version, CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+              FROM spine JOIN hist
+                ON o_custkey = h_custkey
+                AND valid_from <= l_shipdate
+                AND (valid_to IS NULL OR l_shipdate < valid_to)
+              GROUP BY 1 ORDER BY version""")),
+
+    // ── Kendall rank stability of nation revenue, year over year ─────────
+    // How much does the nation revenue LEADERBOARD reshuffle each year?
+    // Kendall's τ between consecutive years' rankings: concordant minus
+    // discordant nation pairs over n(n−1)/2. Everything after the
+    // (nation, year) revenue census is catalog-bounded — ranks come from
+    // a pinned (revenue desc, nation) total order, and the pair frame is
+    // |nations|²×|years|, so the O(n²) pair join the merge-sort trick
+    // exists to avoid is here a constant, the RIGHT trade at any SF.
+    // All counts exact int64; τ is ONE division.
+    Q("q_kendall_tau",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+          .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long")
+            .as("cents"))
+        val wr = Window.partitionBy("yr")
+          .orderBy(col("cents").desc, col("n_name"))
+        val rk = rev.select(col("n_name"), col("yr"),
+          row_number().over(wr).cast("long").as("rk"))
+        val adj = rk.as("a").join(rk.as("b"),
+            col("a.n_name") === col("b.n_name")
+              && col("b.yr") === col("a.yr") + 1)
+          .select(col("a.yr").as("yr"), col("a.n_name").as("nation"),
+            col("a.rk").as("ra"), col("b.rk").as("rb"))
+        adj.as("p").join(adj.as("q"),
+            col("p.yr") === col("q.yr")
+              && col("p.nation") < col("q.nation"))
+          .select(col("p.yr").as("yr"),
+            (((col("p.ra") - col("q.ra")) * (col("p.rb") - col("q.rb")))
+              > 0).cast("long").as("conc"))
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("conc")).as("concordant"))
+          .select(col("yr").cast("long").as("year_from"), col("n_pairs"),
+            col("concordant"),
+            (col("n_pairs") - col("concordant")).as("discordant"),
+            ((lit(2L) * col("concordant") - col("n_pairs")).cast("double")
+              / col("n_pairs").cast("double")).as("tau"))
+          .orderBy("year_from")
+      },
+      Some("""WITH rev AS (
+                SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2),
+              rk AS (
+                SELECT n_name, yr,
+                  CAST(row_number() OVER (PARTITION BY yr
+                    ORDER BY cents DESC, n_name) AS BIGINT) AS rk
+                FROM rev),
+              adj AS (
+                SELECT a.yr, a.n_name AS nation, a.rk AS ra, b.rk AS rb
+                FROM rk a JOIN rk b
+                  ON a.n_name = b.n_name AND b.yr = a.yr + 1),
+              pairs AS (
+                SELECT p.yr,
+                  CAST(((p.ra - q.ra) * (p.rb - q.rb)) > 0 AS BIGINT)
+                    AS conc
+                FROM adj p JOIN adj q
+                  ON p.yr = q.yr AND p.nation < q.nation)
+              SELECT yr AS year_from, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(conc) AS BIGINT) AS concordant,
+                CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+                CAST(2 * SUM(conc) - COUNT(*) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS tau
+              FROM pairs GROUP BY 1 ORDER BY year_from"""))
   )
 }

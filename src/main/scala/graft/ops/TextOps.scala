@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** LLM-pipeline text analysis over `documents` (north-star extensions).
   *
@@ -1036,6 +1037,58 @@ object TextOps {
         merges.result().toDF("round", "left", "right", "pair_count")
           .orderBy("round")
       },
-      None)
+      None),
+
+    // ── long-tail mining: every doc's rarest token ───────────────────────
+    // The curation probe for niche/valuable content (and for tokenizer
+    // OOV risk): per document, the corpus-globally RAREST token it
+    // contains. Docs whose rarest token is a hapax carry content nothing
+    // else covers — the long-tail slice a data-mixing pass upweights.
+    // Shape: one corpus-sized token census, un-hinted hash rejoin of the
+    // distinct (doc, token) frame on the token key, then a grouped
+    // top-1 sort (window by doc_id) with a fully pinned (cnt, token)
+    // order — exact ints end to end, no division at all.
+    Q("q_rare_token_docs",
+      (s, dir) => {
+        val docTok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(
+              expr("filter(split(text, ' '), x -> x <> '')"))).as("w"))
+        // the census counts every occurrence position (not per-doc
+        // distinct): rarity means corpus frequency, so repeats inside
+        // one doc count — build it from the full token stream
+        val freq = t(s, dir, "documents")
+          .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+            .as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val pick = Window.partitionBy("doc_id")
+          .orderBy(col("cnt"), col("w"))
+        docTok.join(freq, Seq("w"))
+          .withColumn("rn", row_number().over(pick))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_distinct_tokens"),
+            min(when(col("rn") === 1, col("cnt"))).as("rarest_cnt"),
+            min(when(col("rn") === 1, col("w"))).as("rarest_token"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH doctok AS (
+                SELECT DISTINCT doc_id, w
+                FROM (SELECT doc_id, unnest(list_filter(
+                        string_split(text, ' '), x -> x <> '')) AS w
+                      FROM documents)),
+              freq AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS w FROM documents)
+                GROUP BY 1),
+              ranked AS (
+                SELECT d.doc_id, d.w, f.cnt,
+                  row_number() OVER (PARTITION BY d.doc_id
+                    ORDER BY f.cnt, d.w) AS rn
+                FROM doctok d JOIN freq f USING (w))
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                MIN(CASE WHEN rn = 1 THEN cnt END) AS rarest_cnt,
+                MIN(CASE WHEN rn = 1 THEN w END) AS rarest_token
+              FROM ranked GROUP BY 1 ORDER BY doc_id"""))
   )
 }

@@ -472,6 +472,28 @@ class StreamingSpec extends SparkSpec {
       "drained lang-drift state diverged from batch TVD")
   }
 
+  test("drained lang census finishes to batch q_chi2 exactly") {
+    // the SAME Complete-mode (source, lang) census state as the TVD
+    // twin, finished through the chi2 lens — one state, two readouts
+    val dir = Files.createTempDirectory("graft-docs-chi2").toString
+    Tables.load(spark, sfDir, "documents")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.langDriftCounts(StreamingOps.readDocStream(spark, s"$dir/in")),
+      "t_chi2", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.Curation.chi2Finish(counts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+    val batch = SparkEntry.queries("q_chi2")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained lang census diverged from batch chi2")
+  }
+
   test("drained seasonality census finishes to batch q_seasonality exactly") {
     val sink = StreamingOps.runToMemory(
       StreamingOps.seasonalityCounts(
