@@ -985,6 +985,61 @@ object Curation {
               FROM documents d JOIN quart q USING (source)
               GROUP BY 1, 2, 3, 4 ORDER BY d.source""")),
 
+    // ── small-file compaction plan (next-fit-decreasing bin packing) ─────
+    // The lakehouse maintenance planner: how many 16 KiB output files
+    // does each source's doc set compact into, packing whole docs
+    // next-fit in (size desc, doc_id) pinned order? Bin state is
+    // (bin_id, fill) — a NON-associative scan like q_inventory_running —
+    // encoded into ONE int64 (bin·10⁹ + fill, fill < 10⁹) so both
+    // engines run the identical integer left fold over the identically
+    // pinned order; oversized docs get a bin of their own (next-fit
+    // semantics: a doc that doesn't fit closes the bin). Everything is
+    // exact integers; the fill ratio is ONE division at the end.
+    // Shape: per-source fold is key-partitioned row-local work; the
+    // output frame is |sources| rows.
+    Q("q_compaction_plan",
+      (s, dir) => {
+        val target = 16384L
+        t(s, dir, "documents")
+          .select(col("source"),
+            struct((-col("n_chars")).as("negsz"), col("doc_id"),
+              col("n_chars").as("sz")).as("f"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("f.sz")).as("total_chars"),
+            expr(s"""aggregate(array_sort(collect_list(f)),
+                       CAST(0 AS BIGINT),
+                       (a, x) -> CASE
+                         WHEN a % 1000000000 > 0
+                              AND a % 1000000000 + x.sz > ${target}L
+                         THEN (a div 1000000000 + 1) * 1000000000 + x.sz
+                         ELSE a + x.sz END)""").as("enc"))
+          .select(col("source"), col("n_files"), col("total_chars"),
+            (expr("enc div 1000000000") + 1L).as("n_bins"),
+            expr(s"total_chars * 1000 div ((enc div 1000000000 + 1) * ${target}L)")
+              .as("fill_permille"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+                SELECT source, -n_chars AS negsz, doc_id, n_chars AS sz
+                FROM documents),
+              folded AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_files,
+                  CAST(SUM(sz) AS BIGINT) AS total_chars,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list(CAST(sz AS BIGINT) ORDER BY negsz, doc_id)),
+                    (a, x) -> CASE
+                      WHEN a % 1000000000 > 0
+                           AND a % 1000000000 + x > 16384
+                      THEN (a // 1000000000 + 1) * 1000000000 + x
+                      ELSE a + x END) AS enc
+                FROM f GROUP BY 1)
+              SELECT source, n_files, total_chars,
+                enc // 1000000000 + 1 AS n_bins,
+                total_chars * 1000 // ((enc // 1000000000 + 1) * 16384)
+                  AS fill_permille
+              FROM folded ORDER BY source""")),
+
     // ── Benford first-digit audit ────────────────────────────────────────
     // The classic faked-data / unit-mixup detector for any money or
     // count column: census of the FIRST significant digit of

@@ -3102,6 +3102,122 @@ object Relational {
                 CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
                 CAST(2 * SUM(conc) - COUNT(*) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) AS tau
-              FROM pairs GROUP BY 1 ORDER BY year_from"""))
+              FROM pairs GROUP BY 1 ORDER BY year_from""")),
+
+    // ── clamped running balance (non-associative scan) ───────────────────
+    // The inventory/ledger scan no window frame can express: per
+    // supplier, stock walks its ship-ordered event sequence as
+    // balance ← max(0, balance + delta) (returns restock, ships drain,
+    // and the floor at 0 makes the fold NON-associative — partial aggs
+    // can't merge, so this is the one scan family where a row-local
+    // sorted-array left fold IS the distributed answer: each key's
+    // whole sequence folds inside its partition, keys stay hash-
+    // partitioned, nothing crosses keys). Both engines run the
+    // identical integer fold over the identically pinned
+    // (shipdate, orderkey, linenumber) order — exact end to end.
+    Q("q_inventory_running",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .select(col("l_suppkey"),
+            struct(col("l_shipdate"), col("l_orderkey"),
+              col("l_linenumber"),
+              when(col("l_returnflag") === "R",
+                col("l_quantity").cast("long"))
+                .otherwise(-col("l_quantity").cast("long")).as("delta"))
+              .as("ev"))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("ev.delta")).as("net_delta"),
+            expr("""aggregate(array_sort(collect_list(ev)),
+                      CAST(0 AS BIGINT),
+                      (a, x) -> greatest(CAST(0 AS BIGINT), a + x.delta))""")
+              .as("final_balance"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH ev AS (
+                SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                  CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS BIGINT)
+                       ELSE -CAST(l_quantity AS BIGINT) END AS delta
+                FROM lineitem)
+              SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(delta) AS BIGINT) AS net_delta,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list(delta ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+                  (a, x) -> greatest(CAST(0 AS BIGINT), a + x))
+                  AS final_balance
+              FROM ev GROUP BY 1 ORDER BY l_suppkey""")),
+
+    // ── largest-remainder allocation (exact integer apportionment) ───────
+    // The warehouse allocation every finance pipeline needs: split each
+    // order's total cents across its line items proportional to
+    // extended price so the parts sum EXACTLY to the whole (naive
+    // rounding leaks cents; doubles leak more). Hamilton's method,
+    // integer-exact: floor share = total·w_i div W, then the remainder
+    // R < n_lines goes +1 to the R largest fractional remainders
+    // (total·w_i mod W, ties pinned by linenumber). Row-local per
+    // order: one grouped window rank over the order's own lines —
+    // key-partitioned, no cross-order traffic; products stay int64
+    // (cents·cents ≤ 5e7·5e7 at any per-order size). Output rolls up
+    // to a per-supplier census plus the zero-leak invariant columns.
+    Q("q_allocation",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("w"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("total"))
+        val wW = Window.partitionBy("l_orderkey")
+        val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("total"), col("w"),
+            sum(col("w")).over(wW).as("bigw"),
+            count(lit(1)).over(wW).cast("long").as("n_lines"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("total"), col("n_lines"),
+            expr("total * w div bigw").as("floor_share"),
+            expr("total * w % bigw").as("rem"))
+        val wR = Window.partitionBy("l_orderkey")
+          .orderBy(col("rem").desc, col("l_linenumber"))
+        base
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("floor_share")
+              + when(row_number().over(wR)
+                  <= col("total") - sum(col("floor_share")).over(wW), 1L)
+                .otherwise(0L)).as("alloc_cents"))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("alloc_cents")).as("alloc_cents"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_suppkey,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS w
+                FROM lineitem),
+              ord AS (
+                SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS total
+                FROM orders),
+              base AS (
+                SELECT l_orderkey, l_linenumber, l_suppkey, total,
+                  total * w // SUM(w) OVER (PARTITION BY l_orderkey)
+                    AS floor_share,
+                  total * w % SUM(w) OVER (PARTITION BY l_orderkey) AS rem
+                FROM li JOIN ord ON l_orderkey = o_orderkey),
+              ranked AS (
+                SELECT l_orderkey, l_suppkey, floor_share,
+                  floor_share + CASE WHEN
+                    row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY rem DESC, l_linenumber)
+                    <= total - SUM(floor_share)
+                         OVER (PARTITION BY l_orderkey)
+                    THEN 1 ELSE 0 END AS alloc_cents
+                FROM base)
+              SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(alloc_cents) AS BIGINT) AS alloc_cents
+              FROM ranked GROUP BY 1 ORDER BY l_suppkey"""))
   )
 }

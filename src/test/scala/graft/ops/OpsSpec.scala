@@ -539,6 +539,22 @@ class OpsSpec extends SparkSpec {
     assert(got === expected, "distributed BPE merges diverge from reference")
   }
 
+  // ── largest-remainder allocation leaks zero cents ────────────────────
+  test("q_allocation conserves every order's total exactly (no cent leak)") {
+    // Hamilton apportionment invariant: allocations sum to EXACTLY the
+    // sum of order totals over orders that have line items
+    val allocated = q("q_allocation")
+      .agg(sum(col("alloc_cents"))).head.getLong(0)
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).distinct()
+    val expected = graft.Tables.load(spark, sfDir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"))).head.getLong(0)
+    assert(allocated === expected,
+      s"allocation leaked ${expected - allocated} cents")
+  }
+
   // ── triangle census invariants ───────────────────────────────────────
   test("q_triangle_count bounds hold (triangles <= wedges, edges > 0)") {
     val r = q("q_triangle_count").head()
