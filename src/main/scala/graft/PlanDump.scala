@@ -80,7 +80,12 @@ object PlanDump {
     "q_compression_ratio" -> "deflate census: graft_deflate_len runs inside the scan projection (WholeStageCodegen, no UDF boxing); the only data-sized exchange is the per-source partial+final agg shuffle — the final sort moves <= #sources rows",
     "q_tvd_drift" -> "exact categorical TVD: corpus-sized work is ONE partial+final (source, lang) count agg; the dense grid, its joins and the term agg all live on the catalog-bounded sources x langs frame",
     "q_autocorr" -> "series autocorrelation: corpus collapses in ONE per-day partial+final count agg; the zero-filled series, x7 lag equi-join and per-lag agg are calendar-bounded (grow with time, not data)",
-    "q_sssp" -> "Bellman-Ford: per round, dist ⋈ edges on src (node-keyed shuffle — distances scale with the graph, never broadcast) + min() partial agg by node; localCheckpoint cuts each round's lineage")
+    "q_sssp" -> "Bellman-Ford: per round, dist ⋈ edges on src (node-keyed shuffle — distances scale with the graph, never broadcast) + min() partial agg by node; localCheckpoint cuts each round's lineage",
+    "q_substring_dup" -> "duplicated-span census: shingles explode row-locally, collapse in ONE corpus-sized census, and the rejoin hash-partitions on the same shingle key (co-partitioned, un-hinted) — per-doc rollup is partial+final on doc_id",
+    "q_moments" -> "single-pass moments: one scan, one partial+final HashAggregate carrying all five int64 sums — no window, no join, the minimal possible fact-table pass",
+    "q_scd2_lookup" -> "PIT lookup: fact⋈fact equi join on orderkey, then equi join on custkey with the [valid_from, valid_to) residual — fan-out bounded by versions/customer, no range-join materialization",
+    "q_inventory_running" -> "clamped scan: collect_list+fold runs inside the per-supplier HashAggregate — the non-associative clamp makes row-local per-key folding the only mergeable shape; keys stay hash-partitioned",
+    "q_allocation" -> "Hamilton apportionment: two order-keyed window passes (share floor + remainder rank) over the co-partitioned li⋈ord join, then a supplier-keyed partial+final rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

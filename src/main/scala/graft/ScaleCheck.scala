@@ -59,7 +59,12 @@ object ScaleCheck {
     "q_bfs_reach", "q_ks_drift", "q_compression_ratio",
     // drift/audit/series batch: categorical TVD, Benford digit audit,
     // calendar-bounded autocorrelation, Bellman-Ford SSSP
-    "q_tvd_drift", "q_benford", "q_autocorr", "q_sssp")
+    "q_tvd_drift", "q_benford", "q_autocorr", "q_sssp",
+    // stats/curation batch: corpus-sized shingle census + rejoin,
+    // single-pass moment profile, PIT interval probe, per-key
+    // non-associative folds, Hamilton apportionment windows
+    "q_substring_dup", "q_moments", "q_scd2_lookup",
+    "q_inventory_running", "q_allocation")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
