@@ -440,11 +440,11 @@ object Curation {
     // The training-prep step after curation: concatenate each source's
     // docs in stable doc_id order and cut context windows every `budget`
     // tokens; a doc's bin is its START offset ÷ budget (the standard
-    // concat-then-chunk packing). One window cumsum per source partition
-    // (parallelism = |sources|; at 100 TB the same swap-in as
-    // q_feature_binning applies — range-partition by (source, doc_id) and
-    // reconstruct offsets from per-range totals, a 2-pass exact cumsum).
-    // Output is a per-bin fill census — the packing-efficiency readout.
+    // concat-then-chunk packing). The exclusive cumsum is RangeRank's
+    // 2-pass exact prefix sum — range-partition by (source, doc_id),
+    // per-range token totals, broadcast prefix offsets, local cumsum —
+    // so parallelism is cluster-sized even with 5 sources. Output is a
+    // per-bin fill census — the packing-efficiency readout.
     Q("q_sequence_pack",
       (s, dir) => {
         val budget = 512L
@@ -452,11 +452,11 @@ object Curation {
           .select(col("doc_id"), col("source"),
             size(expr("filter(split(text, ' '), x -> x <> '')"))
               .cast("long").as("n_tok"))
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        tok
-          .select(col("source"), col("n_tok"),
-            coalesce(sum(col("n_tok")).over(w), lit(0L)).as("start_off"))
+        RangeRank.ranked(tok,
+            groupCols = Seq("source"),
+            sortCols = Seq(col("doc_id")),
+            nName = None,
+            prefixSums = Seq(RangeRank.PrefixSum(col("n_tok"), "start_off")))
           .select(col("source"),
             expr(s"start_off div $budget").as("bin"), col("n_tok"))
           .groupBy("source", "bin")
@@ -506,15 +506,16 @@ object Curation {
     // members of the multiset, q_percentile_disc's FP-free rank
     // selection), then census the clamps. The threshold table is
     // |priorities| rows — constant at any SF, so the clamp join is a
-    // size-gated broadcast; the window rank parallelizes per priority.
+    // size-gated broadcast; ranks come from RangeRank's 2-pass range-
+    // partitioned selection, so the sort parallelism is cluster-sized
+    // even with 5 priorities.
     Q("q_winsorize",
       (s, dir) => {
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        val ranked = t(s, dir, "orders")
-          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-            row_number().over(w).cast("long").as("rn"),
-            count(lit(1)).over(Window.partitionBy("o_orderpriority")).as("n"))
+        val ranked = RangeRank.ranked(
+          t(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          groupCols = Seq("o_orderpriority"),
+          sortCols = Seq(col("o_totalprice"), col("o_orderkey")))
         val th = ranked.groupBy("o_orderpriority")
           .agg(
             max(when(col("rn") === ceil(col("n") * 0.05), col("o_totalprice"))).as("p05"),

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe exact rank / prefix-sum over FEW-group windows.
+  *
+  * The problem shape: `row_number() OVER (PARTITION BY k ORDER BY s)` where
+  * `k` has 3-25 distinct values but the input is a scaling fact table. A
+  * plain window sorts each group on ONE task — parallelism is bounded by
+  * group cardinality, not cluster size, so at 100 TB a third of the fact
+  * table funnels through a single executor thread.
+  *
+  * The classic 2-pass fix (teradata-era "ordered analytics", same trick as
+  * a distributed exact median):
+  *
+  *   1. `repartitionByRange(P, k ++ s)` — one range shuffle gives a GLOBAL
+  *      sort order across P partitions (P = cluster parallelism, not |k|).
+  *      Because `k` leads the range key, each group occupies a contiguous
+  *      run of partitions, ordered by `s` across that run.
+  *   2. Census pass: count rows (and partial-sum any value columns) per
+  *      (physical partition, group) — a partial+final agg producing ≤ P·|k|
+  *      rows.
+  *   3. Offsets: an exclusive prefix sum of the census ordered by partition
+  *      id WITHIN each group — driver-scale arithmetic on the tiny census,
+  *      planned as a window over ≤ P·|k| rows.
+  *   4. Broadcast the offsets back and rank LOCALLY per (partition, group):
+  *      global_rn = offset + local_rn. The local window's partition key
+  *      (pid, k) has cardinality ≥ P, so no task ever sorts more than one
+  *      range's slice.
+  *
+  * Rank values are IDENTICAL to the single-task window's because the range
+  * key is total (callers pass tie-broken sort columns), so every consumer
+  * hash-matches byte-for-byte against the naive plan and the DuckDB oracle.
+  *
+  * The range-partitioned frame is `persist()`ed: the census subtree and
+  * the rank subtree MUST observe the same physical partitioning, and each
+  * physical range exchange samples its own bounds (the sampling seed
+  * incorporates the RDD id), so two independently planned exchanges can
+  * disagree — offsets computed under bounds A applied to local ranks under
+  * bounds B are silently wrong. ReuseExchange collapses the two instances
+  * only when column pruning leaves both with identical schemas — true for
+  * payload-free inputs, false in general — so the cache is the correctness
+  * mechanism, not an optimization. The cached slice is the projected
+  * (group ++ sort ++ payload) columns only, and the ContextCleaner drops
+  * it once the query's references are gone.
+  */
+object RangeRank {
+
+  /** Extra running-total columns: exclusive prefix sum of `value` in the
+    * global (group, sort) order, surfaced as `outName`.
+    */
+  final case class PrefixSum(value: Column, outName: String)
+
+  private final val Pid = "__rr_pid"
+  private final val Off = "__rr_off"
+
+  /** Returns `df` with:
+    *   - `rnName`: exact global `row_number()` over (PARTITION BY groupCols
+    *     ORDER BY sortCols) as BIGINT,
+    *   - `nName` (when Some): the per-group total row count as BIGINT,
+    *   - one BIGINT/aggregate column per requested [[PrefixSum]]: the
+    *     exclusive running sum of its value column in the same order
+    *     (rows-between unbounded-preceding and -1 semantics; first row of
+    *     a group gets 0).
+    *
+    * `sortCols` MUST be a total order within each group (include a unique
+    * tiebreaker) — that is what makes the result identical to the naive
+    * single-task window.
+    */
+  def ranked(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      rnName: String = "rn",
+      nName: Option[String] = Some("n"),
+      prefixSums: Seq[PrefixSum] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val gCols = groupCols.map(col)
+    val rangeKey = gCols ++ sortCols
+
+    // Pass 0: one range shuffle; pid tags each row with its range slot.
+    // persist = both consumers see ONE set of sampled range bounds (see
+    // class doc — this is load-bearing for correctness).
+    val parted = df
+      .repartitionByRange(p, rangeKey: _*)
+      .withColumn(Pid, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1: per-(pid, group) census — partial+final agg, ≤ p·|groups| rows.
+    val sumAggs = prefixSums.zipWithIndex.map { case (ps, i) =>
+      sum(ps.value).as(s"__rr_s$i")
+    }
+    val census = parted
+      .groupBy((col(Pid) +: gCols): _*)
+      .agg(count(lit(1)).as("__rr_c"), sumAggs: _*)
+
+    // Exclusive prefix offsets per group across pids, over the tiny census.
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gCols: _*)
+    val offCols =
+      Seq(coalesce(sum(col("__rr_c")).over(wOff), lit(0L)).cast("long").as(Off)) ++
+        nName.map(n => sum(col("__rr_c")).over(wTot).cast("long").as(n)).toSeq ++
+        prefixSums.zipWithIndex.map { case (ps, i) =>
+          coalesce(sum(col(s"__rr_s$i")).over(wOff), lit(0)).as(s"__rr_off$i")
+        }
+    val offsets = census.select((col(Pid) +: gCols) ++ offCols: _*)
+
+    // Pass 2: local rank within (pid, group) + broadcast offset = global.
+    val joinKeys = Pid +: groupCols
+    val wLocal = Window.partitionBy((col(Pid) +: gCols): _*).orderBy(sortCols: _*)
+    val wLocalPrev = wLocal.rowsBetween(Window.unboundedPreceding, -1)
+    var out = parted
+      .join(broadcast(offsets), joinKeys)
+      .withColumn(rnName,
+        (col(Off) + row_number().over(wLocal)).cast("long"))
+    for ((ps, i) <- prefixSums.zipWithIndex) {
+      out = out.withColumn(ps.outName,
+        col(s"__rr_off$i") + coalesce(sum(ps.value).over(wLocalPrev), lit(0)))
+    }
+    out.drop((Pid +: Off +: prefixSums.indices.map(i => s"__rr_off$i")): _*)
+  }
+}

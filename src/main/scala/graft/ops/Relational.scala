@@ -837,17 +837,19 @@ object Relational {
     // percentile_disc semantics made explicit so both engines MUST agree:
     // the p-quantile is the element at row_number ceil(p·n) in value
     // order — an actual member of the multiset, no interpolation
-    // arithmetic to drift. One window sort per group (parallelism =
-    // #groups); the 100-TB default remains q_approx_quantiles, this is
-    // the exact-answer path.
+    // arithmetic to drift. Rank comes from RangeRank's 2-pass range-
+    // partitioned selection (parallelism = cluster partitions, never
+    // |groups|); the 100-TB approximate default remains
+    // q_approx_quantiles, this is the exact-answer path.
     Q("q_percentile_disc",
       (s, dir) => {
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice"),
-            row_number().over(w).cast("long").as("rn"),
-            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+        RangeRank.ranked(
+          t(s, dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_orderkey",
+              "l_linenumber"),
+          groupCols = Seq("l_returnflag"),
+          sortCols = Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
           .groupBy("l_returnflag")
           .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("p50"),
             max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90"),
@@ -1427,20 +1429,7 @@ object Relational {
     // stats pass and one bounded-cardinality agg.
     Q("q_zorder_layout",
       (s, dir) => {
-        graft.plans.GraftExtensions.ensureRegistered(s)
-        val dims = t(s, dir, "orders")
-          .select(
-            datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("x"),
-            col("o_custkey").as("y"))
-        val stats = dims.agg(
-          min("x").as("xmin"), max("x").as("xmax"),
-          min("y").as("ymin"), max("y").as("ymax"))
-        dims.crossJoin(broadcast(stats))
-          .select(
-            expr("((x - xmin) * 65535) div greatest(xmax - xmin, CAST(1 AS BIGINT))").as("xq"),
-            expr("((y - ymin) * 65535) div greatest(ymax - ymin, CAST(1 AS BIGINT))").as("yq"))
-          .select(col("xq"), col("yq"),
-            call_function("graft_zorder", col("xq"), col("yq"), lit(16)).as("z"))
+        zorderRows(s, dir)
           .select(shiftright(col("z"), 20).as("tile"),
             col("xq"), col("yq"))
           .groupBy("tile")
@@ -1634,27 +1623,21 @@ object Relational {
 
     // ── equal-frequency feature binning (per-segment deciles) ────────────
     // The feature-engineering op: decile-bin order totals WITHIN each
-    // market segment and census the bins (count + exact bounds). The rank
-    // runs per segment — the q_percentile_disc shape: each partition key
-    // sorts independently, so parallelism = |segments| and no task ever
-    // holds more than one segment's rows (spill-backed sort). At 100 TB
-    // with few segments the swap-in is range-partitioned rank (sort by
-    // (segment, price), prefix-sum the per-partition counts) or
-    // width_bucket against q_approx_quantiles thresholds; the bin
-    // semantics here — bucket = ((rn-1)*10) div n + 1, exact ties broken
-    // by orderkey — stay identical. Bin assignment is pure BIGINT
-    // arithmetic: exact in both engines.
+    // market segment and census the bins (count + exact bounds). Ranks
+    // come from RangeRank's 2-pass range-partitioned selection (sort by
+    // (segment, price), prefix-sum the per-partition counts), so
+    // parallelism is cluster-sized even with 5 segments; the bin
+    // semantics — bucket = ((rn-1)*10) div n + 1, exact ties broken by
+    // orderkey — are pure BIGINT arithmetic: exact in both engines.
     Q("q_feature_binning",
       (s, dir) => {
         val j = t(s, dir, "orders")
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
             dec2(col("o_totalprice")).as("price"))
-        val w = Window.partitionBy("segment")
-          .orderBy(col("price"), col("o_orderkey"))
-        j.select(col("segment"), col("price"),
-            row_number().over(w).cast("long").as("rn"),
-            count(lit(1)).over(Window.partitionBy("segment")).as("n"))
+        RangeRank.ranked(j,
+            groupCols = Seq("segment"),
+            sortCols = Seq(col("price"), col("o_orderkey")))
           .select(col("segment"), col("price"),
             expr("((rn - 1) * 10) div n + 1").as("bucket"))
           .groupBy("segment", "bucket")
@@ -2095,12 +2078,13 @@ object Relational {
     // exact-percentile path here.
     Q("q_mad",
       (s, dir) => {
-        val w1 = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        val med = t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice"),
-            row_number().over(w1).cast("long").as("rn"),
-            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+        val med = RangeRank.ranked(
+          t(s, dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_orderkey",
+              "l_linenumber"),
+          groupCols = Seq("l_returnflag"),
+          sortCols = Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
           .groupBy("l_returnflag")
           .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice")))
             .as("med"))
@@ -2110,12 +2094,9 @@ object Relational {
           .select(col("l_returnflag"), col("med"),
             abs(col("l_extendedprice") - col("med")).as("dev"),
             col("l_orderkey"), col("l_linenumber"))
-        val w2 = Window.partitionBy("l_returnflag")
-          .orderBy(col("dev"), col("l_orderkey"), col("l_linenumber"))
-        dev
-          .select(col("l_returnflag"), col("med"), col("dev"),
-            row_number().over(w2).cast("long").as("rn"),
-            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+        RangeRank.ranked(dev,
+          groupCols = Seq("l_returnflag"),
+          sortCols = Seq(col("dev"), col("l_orderkey"), col("l_linenumber")))
           .groupBy("l_returnflag")
           .agg(max(col("n")).as("n"), max(col("med")).as("median"),
             max(when(col("rn") === ceil(col("n") * 0.5), col("dev"))).as("mad"))
@@ -2397,17 +2378,20 @@ object Relational {
     // engines evaluate the IDENTICAL formula on identical operands
     // (members are rank-SELECTED, frac = pos − floor(pos)), so the
     // result hashes — built-in percentile()/quantile_cont are avoided
-    // because their internal lerp forms may differ by 1 ulp. Same
-    // per-group rank-window parallelism trade as every exact-percentile
-    // path here.
+    // because their internal lerp forms may differ by 1 ulp. Ranks come
+    // from RangeRank's 2-pass range-partitioned selection, so the sort
+    // parallelism is cluster-sized, not |groups|.
     Q("q_percentile_cont",
       (s, dir) => {
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        t(s, dir, "lineitem")
+        RangeRank.ranked(
+          t(s, dir, "lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_orderkey",
+              "l_linenumber"),
+          groupCols = Seq("l_returnflag"),
+          sortCols = Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
           .select(col("l_returnflag"), col("l_extendedprice").as("x"),
-            row_number().over(w).cast("long").as("rn"),
-            count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+            col("rn"), col("n"))
           .select(col("l_returnflag"), col("x"), col("rn"),
             explode(expr("array(0.5D, 0.9D)")).as("q"),
             col("n"))
@@ -2557,20 +2541,19 @@ object Relational {
     // the numerator is int64-exact (Σ i·x tops out ~2e15 at sf0.1's
     // 6k customers/nation; re-cast to DECIMAL if a group nears 10⁹
     // members), the division happens ONCE. Shape: revenue is a cust-
-    // keyed partial+final agg; the rank is a per-nation window — the
-    // distributed sort-by-key every engine's percentile path already
-    // pays, never a global single partition.
+    // keyed partial+final agg; the rank is RangeRank's 2-pass range-
+    // partitioned selection, so the per-nation sort parallelizes across
+    // the cluster instead of 25 tasks.
     Q("q_gini",
       (s, dir) => {
         val cust = t(s, dir, "orders")
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_nationkey"), col("c_custkey"))
           .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
-        val w = Window.partitionBy("c_nationkey")
-          .orderBy("cents", "c_custkey")
-        cust
-          .select(col("c_nationkey"), col("cents"),
-            row_number().over(w).cast("long").as("i"))
+        RangeRank.ranked(cust,
+            groupCols = Seq("c_nationkey"),
+            sortCols = Seq(col("cents"), col("c_custkey")),
+            rnName = "i", nName = None)
           .groupBy(col("c_nationkey").cast("long").as("nationkey"))
           .agg(count(lit(1)).as("n_cust"),
             sum(col("cents")).as("total_cents"),
@@ -2610,17 +2593,24 @@ object Relational {
     // uniform [0,1] scale immune to outliers: percent_rank of c_acctbal
     // within each market segment, tie-broken by custkey so the rank is
     // a TOTAL order and both engines agree bit-exactly (percent_rank
-    // over a partial order is nondeterministic under ties). One shuffle
-    // by segment + per-segment distributed sort — the same shape as any
-    // grouped percentile; output stays row-sized because a transform's
-    // contract is one feature per row.
+    // over a partial order is nondeterministic under ties). Ranks come
+    // from RangeRank's range-partitioned 2-pass, and percent_rank is
+    // rebuilt from them as (rn−1)/(n−1) in one double division — the
+    // EXACT formula both Spark's PercentRank and DuckDB evaluate, on
+    // identical integer operands, so the value is bit-identical to the
+    // built-in; output stays row-sized because a transform's contract is
+    // one feature per row.
     Q("q_quantile_norm",
       (s, dir) => {
-        val w = Window.partitionBy("c_mktsegment")
-          .orderBy("c_acctbal", "c_custkey")
-        t(s, dir, "customer")
+        RangeRank.ranked(
+          t(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal"),
+          groupCols = Seq("c_mktsegment"),
+          sortCols = Seq(col("c_acctbal"), col("c_custkey")))
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-            percent_rank().over(w).as("qnorm"))
+            when(col("n") > 1L,
+              (col("rn") - 1L).cast("double") / (col("n") - 1L).cast("double"))
+              .otherwise(lit(0.0)).as("qnorm"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -3220,4 +3210,31 @@ object Relational {
                 CAST(SUM(alloc_cents) AS BIGINT) AS alloc_cents
               FROM ranked GROUP BY 1 ORDER BY l_suppkey"""))
   )
+
+  /** Row-level z-values for the orders layout job: every orders column
+    * plus (xq, yq, z). q_zorder_layout censuses the coarse tiles off
+    * this frame; the 100-TB write path (and Bench's `write` metric)
+    * feeds it to `repartitionByRange(z).sortWithinPartitions(z)` so a
+    * 2-D range predicate can prune contiguous file runs. One 1-row
+    * stats broadcast + row-local integer interleave — no data-sized
+    * shuffle before the range write itself.
+    */
+  def zorderRows(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val dims = t(s, dir, "orders")
+      .withColumn("x",
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      .withColumn("y", col("o_custkey"))
+    val stats = dims.agg(
+      min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    dims.crossJoin(broadcast(stats))
+      .withColumn("xq",
+        expr("((x - xmin) * 65535) div greatest(xmax - xmin, CAST(1 AS BIGINT))"))
+      .withColumn("yq",
+        expr("((y - ymin) * 65535) div greatest(ymax - ymin, CAST(1 AS BIGINT))"))
+      .withColumn("z",
+        call_function("graft_zorder", col("xq"), col("yq"), lit(16)))
+      .drop("x", "y", "xmin", "xmax", "ymin", "ymax")
+  }
 }

@@ -920,13 +920,15 @@ object TextOps {
     // source's docs by (n_chars DESC, doc_id), and the log2 position
     // discounts 1/log2(i+1) are FIXED 10⁻⁹ literals — transcendentals
     // evaluated at authoring time, so DCG = Σ rel·D(i) stays pure
-    // int64 and NDCG = DCG/IDCG is the single IEEE division. The ideal
-    // ranking re-ranks the same partition by (rel DESC, doc_id):
-    // two per-source window sorts (the grouped-top-k shuffle shape),
-    // then a partial+final agg to |sources| rows.
+    // int64 and NDCG = DCG/IDCG is the single IEEE division. Both the
+    // ranking under test and the ideal ranking are top-10-per-source —
+    // the bounded-heap graft_topk aggregator, NOT a window sort: the
+    // shuffle carries ≤10 rows per (task × source) where a window rank
+    // would sort every doc on |sources| tasks. The heap's (score DESC,
+    // id ASC) contract is exactly the oracle's row_number ordering, and
+    // rel is recomputed row-locally from the surviving doc_id.
     Q("q_ndcg",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val disc = typedLit(Map(1L -> 1000000000L, 2L -> 630929754L,
           3L -> 500000000L, 4L -> 430676558L, 5L -> 386852807L,
           6L -> 356207187L, 7L -> 333333333L, 8L -> 315464877L,
@@ -934,22 +936,17 @@ object TextOps {
         val base = t(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"),
             (col("doc_id") % 4 + 1).as("rel"))
-        val wRank = Window.partitionBy("source")
-          .orderBy(col("n_chars").desc, col("doc_id"))
-        val wIdeal = Window.partitionBy("source")
-          .orderBy(col("rel").desc, col("doc_id"))
-        val ranked = base
-          .select(col("source"), col("rel"),
-            row_number().over(wRank).cast("long").as("i"))
-          .filter(col("i") <= 10)
+        def dcgOf(scoreSql: String, outName: String) = base
           .groupBy("source")
-          .agg(sum(col("rel") * disc(col("i"))).as("dcg_num"))
-        val ideal = base
-          .select(col("source"), col("rel"),
-            row_number().over(wIdeal).cast("long").as("i"))
-          .filter(col("i") <= 10)
+          .agg(expr(s"graft_topk(doc_id, CAST($scoreSql AS DOUBLE), 10)")
+            .as("topk"))
+          .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
+          .select(col("source"), (col("t.id") % 4 + 1).as("rel"),
+            (col("pos") + 1).cast("long").as("i"))
           .groupBy("source")
-          .agg(sum(col("rel") * disc(col("i"))).as("idcg_num"))
+          .agg(sum(col("rel") * disc(col("i"))).as(outName))
+        val ranked = dcgOf("n_chars", "dcg_num")
+        val ideal = dcgOf("rel", "idcg_num")
         ranked.join(ideal, "source")
           .select(col("source"), col("dcg_num").cast("long").as("dcg_num"),
             col("idcg_num").cast("long").as("idcg_num"),

@@ -367,6 +367,64 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_lookup probes versions through the equi-key, never a BNLJ") {
+    // custkey equality is the hash key; the interval test is only a
+    // residual — losing the equi extraction degrades to a data² product
+    val plan = qe("q_scd2_lookup").executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "PIT lookup lost its custkey equi-join")
+  }
+
+  test("non-associative scans fold row-locally: no window operator at all") {
+    // inventory balance / bin packing are per-key sorted-array left
+    // folds inside the aggregate — a Window would mean the fold
+    // regressed to a data-sized sort pipeline
+    for (q <- Seq("q_inventory_running", "q_compaction_plan"))
+      assert(!qe(q).executedPlan.toString.contains("Window"),
+        s"$q grew a window operator over the fact table")
+  }
+
+  test("chi2/tvd drift lenses join only census-sized frames") {
+    // both lenses collapse the corpus in ONE shared (source, lang)
+    // census (tvdCounts); every join downstream must sit above
+    // aggregates on BOTH sides — a raw-scan join side would mean the
+    // corpus-sized work leaked past the census
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    for (q <- Seq("q_chi2", "q_tvd_drift")) {
+      val joins = qe(q).optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"$q lost its grid joins")
+      for (j <- joins; side <- Seq(j.left, j.right))
+        assert(side.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$q joins a raw corpus-sized side:\n$side")
+    }
+  }
+
+  test("no few-group window ever sorts a fact-table scan (RangeRank family)") {
+    // the round-3 weak family: rank/cumsum over a 3-25-value partition key
+    // on a scaling fact. Every data-sized window must carry the RangeRank
+    // partition id (parallelism = cluster partitions); windows WITHOUT the
+    // pid are only legal above an Aggregate (the ≤ P·|k|-row census or a
+    // group-collapsed frame) — never directly over the scan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val family = Seq("q_percentile_disc", "q_percentile_cont", "q_mad",
+      "q_winsorize", "q_feature_binning", "q_quantile_norm",
+      "q_sequence_pack", "q_gini")
+    for (q <- family) {
+      val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q lost its rank windows entirely")
+      for (w <- windows) {
+        val hasPid = w.partitionSpec.exists(_.toString.contains("__rr_pid"))
+        val overCensus = w.child.collectFirst { case a: Aggregate => a }.nonEmpty
+        assert(hasPid || overCensus,
+          s"$q: data-sized window partitioned only by the few-group key:\n$w")
+      }
+    }
+    // q_ndcg left the family by moving to bounded-heap graft_topk
+    assert(!qe("q_ndcg").executedPlan.toString.contains("Window"),
+      "q_ndcg regressed from graft_topk back to a window sort")
+  }
+
   test("q_substring_dup joins the census un-hinted on the shingle key") {
     // the shingle census grows with the corpus: a broadcast hint here
     // OOMs at scale; the rejoin must be a plain hash join on `sh`
