@@ -64,7 +64,9 @@ object ScaleCheck {
     // single-pass moment profile, PIT interval probe, per-key
     // non-associative folds, Hamilton apportionment windows
     "q_substring_dup", "q_moments", "q_scd2_lookup",
-    "q_inventory_running", "q_allocation")
+    "q_inventory_running", "q_allocation",
+    // rank-correlation batch: double range-rank over the supplier frame
+    "q_kendall_tau")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
@@ -82,6 +84,10 @@ object ScaleCheck {
     // without re-timing the whole list)
     val picks = if (args.length > 2) {
       val want = args(2).split(',').toSet
+      val unknown = want -- Picks.toSet
+      require(unknown.isEmpty,
+        s"unrecognized pick(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+          s"known: ${Picks.mkString(", ")}")
       Picks.filter(want)
     } else Picks
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1053,7 +1053,12 @@ object Curation {
     // rows — nothing downstream scales with the fact table.
     Q("q_benford",
       (s, dir) => {
+        // guard: first-digit extraction is only meaningful for values
+        // >= 1 (sub-1 yields digit 0, negatives break the oracle's
+        // CAST('-')); TPC-H prices are always >= 1 so the filter is
+        // free here, but the op is pitched as a generic money audit
         val digits = t(s, dir, "orders")
+          .filter(col("o_totalprice") >= 1)
           .select(substring(floor(col("o_totalprice")).cast("long")
             .cast("string"), 1, 1).cast("long").as("digit"))
           .groupBy("digit").agg(count(lit(1)).cast("long").as("cnt"))
@@ -1073,7 +1078,7 @@ object Curation {
                 SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
                     AS VARCHAR), 1, 1) AS BIGINT) AS digit,
                   CAST(COUNT(*) AS BIGINT) AS cnt
-                FROM orders GROUP BY 1),
+                FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
               e AS (SELECT * FROM (VALUES (1, 30103), (2, 17609), (3, 12494),
                   (4, 9691), (5, 7918), (6, 6695), (7, 5799), (8, 5115),
                   (9, 4576)) AS t(digit, exp_e5)),

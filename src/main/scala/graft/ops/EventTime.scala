@@ -1187,39 +1187,7 @@ object EventTime {
     // (the q_autocorr discipline); argmax is a grouped top-1 sort on
     // that frame, never a data-sized global sort.
     Q("q_changepoint",
-      (s, dir) => {
-        val daily = t(s, dir, "orders")
-          .groupBy(col("o_orderpriority"), col("o_orderdate").as("day"))
-          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
-            .as("cents"))
-        val wSeq = Window.partitionBy("o_orderpriority").orderBy("day")
-        val wAll = Window.partitionBy("o_orderpriority")
-        val scored = daily
-          .select(col("o_orderpriority"), col("day"),
-            row_number().over(wSeq).cast("long").as("k"),
-            sum(col("cents")).over(wSeq.rowsBetween(
-              Window.unboundedPreceding, Window.currentRow)).as("prefix"),
-            count(lit(1)).over(wAll).cast("long").as("n_days"),
-            sum(col("cents")).over(wAll).as("total"))
-          .select(col("o_orderpriority"), col("day"), col("k"),
-            col("n_days"),
-            (col("n_days") * col("prefix") - col("k") * col("total"))
-              .as("cusum_num"),
-            col("prefix"), col("total"))
-        val pick = Window.partitionBy("o_orderpriority")
-          .orderBy(abs(col("cusum_num")).desc, col("day"))
-        scored
-          .withColumn("rn", row_number().over(pick))
-          .filter(col("rn") === 1)
-          .select(col("o_orderpriority"), col("day").as("change_day"),
-            col("k"), col("n_days"), col("cusum_num"),
-            (col("prefix").cast("double") / col("k").cast("double") / 100.0)
-              .as("mean_before"),
-            ((col("total") - col("prefix")).cast("double")
-              / (col("n_days") - col("k")).cast("double") / 100.0)
-              .as("mean_after"))
-          .orderBy("o_orderpriority")
-      },
+      (s, dir) => cusumFinish(cusumDaily(t(s, dir, "orders"))),
       Some("""WITH daily AS (
                 SELECT o_orderpriority, o_orderdate AS day,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -1252,4 +1220,51 @@ object EventTime {
                   / CAST(n_days - k AS DOUBLE) / 100.0 AS mean_after
               FROM pick WHERE rn = 1 ORDER BY o_orderpriority"""))
   )
+
+  /** CUSUM sufficient statistic: the (priority, day) revenue-cents
+    * census. Mergeable (a decimal-sum census finalized to cents by a
+    * post-agg projection), so the streaming twin keeps exactly this
+    * frame as Complete-mode state — bounded by priorities × calendar
+    * days, never by orders seen. Same contract as [[seasonCounts]].
+    */
+  def cusumDaily(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"), col("o_orderdate").as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+
+  /** Finishing arithmetic of q_changepoint over the bounded day census:
+    * centered-prefix CUSUM numerators (int64-exact, multiplied through
+    * by n_days), grouped top-1 arg-max with the earliest-day tiebreak,
+    * two IEEE divisions at the end. Every window here runs on the
+    * calendar-bounded frame — the corpus-sized work all happened in
+    * [[cusumDaily]].
+    */
+  def cusumFinish(daily: DataFrame): DataFrame = {
+    val wSeq = Window.partitionBy("o_orderpriority").orderBy("day")
+    val wAll = Window.partitionBy("o_orderpriority")
+    val scored = daily
+      .select(col("o_orderpriority"), col("day"),
+        row_number().over(wSeq).cast("long").as("k"),
+        sum(col("cents")).over(wSeq.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("prefix"),
+        count(lit(1)).over(wAll).cast("long").as("n_days"),
+        sum(col("cents")).over(wAll).as("total"))
+      .select(col("o_orderpriority"), col("day"), col("k"),
+        col("n_days"),
+        (col("n_days") * col("prefix") - col("k") * col("total"))
+          .as("cusum_num"),
+        col("prefix"), col("total"))
+    val pick = Window.partitionBy("o_orderpriority")
+      .orderBy(abs(col("cusum_num")).desc, col("day"))
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("day").as("change_day"),
+        col("k"), col("n_days"), col("cusum_num"),
+        (col("prefix").cast("double") / col("k").cast("double") / 100.0)
+          .as("mean_before"),
+        ((col("total") - col("prefix")).cast("double")
+          / (col("n_days") - col("k")).cast("double") / 100.0)
+          .as("mean_after"))
+      .orderBy("o_orderpriority")
+  }
 }

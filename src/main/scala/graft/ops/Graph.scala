@@ -219,7 +219,10 @@ object Graph {
                 SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                 FROM li a JOIN li b
                   ON a.l_orderkey = b.l_orderkey
-                  AND a.l_partkey < b.l_partkey),
+                  AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey IN (
+                  SELECT l_orderkey FROM li
+                  GROUP BY 1 HAVING COUNT(DISTINCT l_partkey) <= 128)),
               deg AS (
                 SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
                   SELECT u AS node FROM pairs

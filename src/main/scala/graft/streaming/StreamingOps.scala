@@ -427,18 +427,30 @@ object StreamingOps {
 
   // ── stateful EWMA (streaming twin of q_ewma) ─────────────────────────
 
-  final case class EwmaDelta(user_id: Long, event_id: Long, ewma: Double)
-  /** Per-user carry: the running EWMA double. */
-  final case class EwmaState(s: Double)
+  final case class EwmaDelta(user_id: Long, event_id: Long, ewma: Double,
+      late: Boolean)
+  /** Per-user carry: the running EWMA double plus the (micros, event_id)
+    * high-water mark of everything already folded.
+    */
+  final case class EwmaState(s: Double, lastUs: Long, lastId: Long)
 
-  /** Incremental per-user EWMA: state is ONE double. Each event folds
-    * s ← s/2 + v/2 in (ts, event_id) order — the IDENTICAL IEEE op
-    * sequence as batch q_ewma's sorted-array left fold, so after the
-    * stream drains, the last emitted delta per user is bit-equal to the
-    * batch value (StreamingSpec pins this). Append mode: every event
-    * emits its post-fold running average — the live feature value a
-    * serving store would ingest. Same per-user event-time-ordered
-    * delivery contract as the other twins.
+  /** Incremental per-user EWMA: state is ONE double plus an order
+    * high-water mark. Each event folds s ← s/2 + v/2 in (ts, event_id)
+    * order — the IDENTICAL IEEE op sequence as batch q_ewma's
+    * sorted-array left fold, so after the stream drains, the last
+    * emitted delta per user is bit-equal to the batch value
+    * (StreamingSpec pins this).
+    *
+    * Unlike the order-free census twins, this fold is order-SENSITIVE:
+    * sorting happens only within a micro-batch, so an event delivered in
+    * a LATER micro-batch than its (ts, event_id) successor folds out of
+    * order and batch bit-equality is void for that user. That violation
+    * is detected, not silent: each delta carries `late` = "this event
+    * sorted at or before the state's high-water mark", so a consumer
+    * (or the parity spec) can count contract breaches instead of
+    * trusting the delivery blindly. Append mode: every event emits its
+    * post-fold running average — the live feature value a serving store
+    * would ingest.
     */
   def statefulEwma(events: Dataset[Ev]): Dataset[EwmaDelta] = {
     import events.sparkSession.implicits._
@@ -448,12 +460,19 @@ object StreamingOps {
       .flatMapGroupsWithState[EwmaState, EwmaDelta](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, evs, state: GroupState[EwmaState]) =>
-          var s = state.getOption.map(_.s).getOrElse(0.0)
+          val st = state.getOption.getOrElse(EwmaState(0.0, Long.MinValue,
+            Long.MinValue))
+          var s = st.s
+          var hwUs = st.lastUs
+          var hwId = st.lastId
           val out = evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            val eUs = us(e.ts)
+            val late = eUs < hwUs || (eUs == hwUs && e.event_id <= hwId)
+            if (!late) { hwUs = eUs; hwId = e.event_id }
             s = s * 0.5 + e.value * 0.5
-            EwmaDelta(uid, e.event_id, s)
+            EwmaDelta(uid, e.event_id, s, late)
           }
-          state.update(EwmaState(s))
+          state.update(EwmaState(s, hwUs, hwId))
           out.iterator
       }
   }
@@ -607,6 +626,31 @@ object StreamingOps {
     */
   def langDriftCounts(docs: DataFrame): DataFrame =
     graft.ops.Curation.tvdCounts(docs)
+
+  /** Schema of the orders table (for the order-ingest stream twins). */
+  val orderSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  /** File-source stream over a directory of orders parquet batches. */
+  def readOrderStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(orderSchema).parquet(dir)
+
+  /** Streaming half of q_changepoint — the live mean-shift monitor.
+    * Identical contract to [[driftCounts]]: the (priority, day) revenue
+    * census is mergeable Complete-mode state bounded by the calendar
+    * (priorities × days, never orders seen), and because the CUSUM
+    * statistic is all-integer until its two final divisions,
+    * [[graft.ops.EventTime.cusumFinish]] over the drained state equals
+    * batch q_changepoint EXACTLY at any trigger — a pipeline re-scores
+    * the changepoint each trigger without rescanning order history.
+    */
+  def cusumCounts(orders: DataFrame): DataFrame =
+    graft.ops.EventTime.cusumDaily(orders)
 
   /** Streaming half of q_seasonality — the live calendar-profile
     * baseline. The dow×type census (counts + exact decimal value sums)

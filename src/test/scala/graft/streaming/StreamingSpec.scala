@@ -472,6 +472,29 @@ class StreamingSpec extends SparkSpec {
       "drained lang-drift state diverged from batch TVD")
   }
 
+  test("drained day census finishes to batch q_changepoint exactly") {
+    val dir = Files.createTempDirectory("graft-orders-cusum").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.cusumCounts(StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_cusum", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      // day renders as LocalDateTime via the stream sink and Timestamp
+      // via batch collect — compare the date prefix, midnight either way
+      (r.getString(0), String.valueOf(r.get(1)).take(10), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+    val streamed = graft.ops.EventTime.cusumFinish(counts).collect()
+      .map(key).toSet
+    val batch = SparkEntry.queries("q_changepoint")(spark, sfDir).collect()
+      .map(key).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained CUSUM day census diverged from batch changepoint")
+  }
+
   test("drained lang census finishes to batch q_chi2 exactly") {
     // the SAME Complete-mode (source, lang) census state as the TVD
     // twin, finished through the chi2 lens — one state, two readouts
@@ -516,9 +539,14 @@ class StreamingSpec extends SparkSpec {
     val stream = StreamingOps.readEventStream(spark, batchDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[StreamingOps.Ev]
-    val deltas = StreamingOps.runToMemory(
+    val rows = StreamingOps.runToMemory(
       StreamingOps.statefulEwma(stream).toDF(), "t_ewma", OutputMode.Append())
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .collect()
+    // in-order delivery here, so the late-arrival detector must stay quiet
+    assert(!rows.exists(_.getBoolean(3)),
+      "ewma flagged late arrivals under in-order delivery")
+    val deltas =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // the stream's final value per user = the delta of the user's
     // event-time-last event
     val lastEv = batchEvents
