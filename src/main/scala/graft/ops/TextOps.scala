@@ -203,10 +203,14 @@ object TextOps {
     Q("q_tfidf",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // persist: tf feeds BOTH the df census and the score join —
+        // without it the explode+groupBy subtree runs twice (the
+        // canonical "materialize the TF matrix" move of every IR stack)
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .persist()
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
         tf.join(dfreq, "tok")
