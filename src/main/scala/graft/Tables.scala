@@ -14,19 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which the
-    * vectorized reader rejects. We read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
-    * TimestampType — the same truncation DuckDB (the oracle engine)
-    * applies when it reads nanosecond parquet, so values compare equal.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet INT64 TIMESTAMP(NANOS) (which the vectorized
+    * reader rejects — read as raw nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncate to micros, the
+    * same truncation DuckDB applies) and plain TIMESTAMP(MICROS) (which
+    * Spark reads as TIMESTAMP_NTZ). Normalize both to session-zone
+    * TimestampType — the session zone is pinned to UTC, so NTZ→LTZ is a
+    * relabel with identical micros values and oracle hashes are unchanged.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/events.parquet").select(
-          col("event_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        val ts = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            expr("timestamp_micros(ts div 1000)")
+          case _ => col("ts").cast("timestamp")
+        }
+        raw.select(
+          col("event_id"), ts.as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
       case _ =>
         spark.read.parquet(s"$sfDir/$name.parquet")
