@@ -85,7 +85,13 @@ object PlanDump {
     "q_moments" -> "single-pass moments: one scan, one partial+final HashAggregate carrying all five int64 sums — no window, no join, the minimal possible fact-table pass",
     "q_scd2_lookup" -> "PIT lookup: fact⋈fact equi join on orderkey, then equi join on custkey with the [valid_from, valid_to) residual — fan-out bounded by versions/customer, no range-join materialization",
     "q_inventory_running" -> "clamped scan: collect_list+fold runs inside the per-supplier HashAggregate — the non-associative clamp makes row-local per-key folding the only mergeable shape; keys stay hash-partitioned",
-    "q_allocation" -> "Hamilton apportionment: two order-keyed window passes (share floor + remainder rank) over the co-partitioned li⋈ord join, then a supplier-keyed partial+final rollup")
+    "q_allocation" -> "Hamilton apportionment: two order-keyed window passes (share floor + remainder rank) over the co-partitioned li⋈ord join, then a supplier-keyed partial+final rollup",
+    "q_join_bucketed" -> "bucketed co-located join: both scans show Bucketed: true / SelectedBucketsCount 8 — the SMJ consumes bucket outputs directly, the ONLY hash Exchange is the census-sized post-join agg",
+    "q_partition_prune" -> "partition-pruned scan: the o_year predicate is a PartitionFilter (directory-level pruning before any footer is read); the monthly census is one ≤12-key partial+final agg",
+    "q_weighted_median" -> "weighted median: RangeRank's ONE range exchange + pid-partitioned local windows carry the exact quantity prefix mass; the 3-row totals frame is the only broadcast; the first-qualifying pick is a 3-group min_by agg",
+    "q_template_mining" -> "template mining: row-local leading-4-gram slice (no explode) → (source, template) partial+final census → RangeRank 2-pass top-5 — the few-group cut never funnels the census through 5 tasks",
+    "q_kcore" -> "k-core peel round: degree partial+final agg by src → two hashed LEFT SEMI joins (keep-sets scale with nodes, never broadcast) → localCheckpoint; 3 unrolled rounds, census output",
+    "q_rolling_median" -> "sliding median: orders collapse in the (day) census FIRST; the unpartitioned ORDER BY day window sees only the calendar-bounded frame, and the 7-row median is a row-local array pick")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

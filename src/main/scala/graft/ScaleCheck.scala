@@ -66,7 +66,13 @@ object ScaleCheck {
     "q_substring_dup", "q_moments", "q_scd2_lookup",
     "q_inventory_running", "q_allocation",
     // rank-correlation batch: double range-rank over the supplier frame
-    "q_kendall_tau")
+    "q_kendall_tau",
+    // round-4 batch: RangeRank weighted-mass walk, corpus template
+    // census, vocab concentration moments, peel-round graph fixpoint,
+    // bucketed co-located join (artifact written once per dir, min-of-2
+    // reflects the steady-state query)
+    "q_weighted_median", "q_template_mining", "q_token_diversity",
+    "q_kcore", "q_join_bucketed")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -1088,6 +1088,46 @@ object Curation {
                   AS dev_e5,
                 CAST(d.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE) AS share
               FROM d JOIN e ON d.digit = e.digit, nn
-              ORDER BY d.digit"""))
+              ORDER BY d.digit""")),
+
+    // ── boilerplate template mining: top-5 leading 4-grams per source ────
+    // The curation lens that catches TEMPLATED content (scraped footers,
+    // form letters, generated boilerplate) before any dedup pass: the
+    // most frequent leading-4-token "templates" per source, ranked by
+    // document count. One corpus pass collapses docs to a (source,
+    // template) census (row-local prefix slice — no explode); the top-5
+    // cut rides RangeRank's 2-pass range-partitioned rank, because the
+    // census is corpus-sized in the worst case (every doc a distinct
+    // template) while the group key has ~5 values — exactly the
+    // few-group/scaling-frame shape a plain window would funnel through
+    // 5 tasks. Ties pinned (n_docs DESC, template ASC); counts exact.
+    Q("q_template_mining",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .select(col("source"),
+            array_join(slice(split(col("text"), " "), 1, 4), " ")
+              .as("template"))
+          .groupBy("source", "template")
+          .agg(count(lit(1)).as("n_docs"))
+        RangeRank.ranked(census, groupCols = Seq("source"),
+            sortCols = Seq(col("n_docs").desc, col("template")),
+            rnName = "pos", nName = None)
+          .filter(col("pos") <= 5)
+          .select(col("source"), col("pos"), col("template"), col("n_docs"))
+          .orderBy("source", "pos")
+      },
+      Some("""WITH census AS (
+                SELECT source,
+                  array_to_string(list_slice(string_split(text, ' '), 1, 4),
+                    ' ') AS template,
+                  count(*) AS n_docs
+                FROM documents GROUP BY 1, 2),
+              r AS (
+                SELECT source, template, n_docs,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_docs DESC, template) AS BIGINT) AS pos
+                FROM census)
+              SELECT source, pos, template, CAST(n_docs AS BIGINT) AS n_docs
+              FROM r WHERE pos <= 5 ORDER BY source, pos"""))
   )
 }

@@ -1218,7 +1218,80 @@ object EventTime {
                   AS mean_before,
                 CAST(total - prefix AS DOUBLE)
                   / CAST(n_days - k AS DOUBLE) / 100.0 AS mean_after
-              FROM pick WHERE rn = 1 ORDER BY o_orderpriority"""))
+              FROM pick WHERE rn = 1 ORDER BY o_orderpriority""")),
+
+    // ── trailing-7-row exact sliding median of daily revenue ─────────────
+    // The robust smoother a mean-based rolling average can't replace
+    // (one whale day drags a mean for a week; the median shrugs). Exact
+    // and FP-free: daily revenue in integer cents, the trailing window
+    // is 7 ROWS (row-based on both engines — immune to calendar gaps),
+    // and the median of 7 values is the 4th-smallest — a row-local
+    // `element_at(sort_array(...), 4)` over the collected frame. Scale
+    // shape: the fact table collapses in the day census FIRST
+    // (q_autocorr discipline); the unpartitioned ORDER BY day window
+    // runs on the calendar-bounded frame (~2.5k rows at ANY SF), and
+    // the 7-element sort is a constant. The oracle rank-selects the
+    // same element through a rn-banded self-join — value-identical
+    // under ties because selection is by position in the VALUE order.
+    Q("q_rolling_median",
+      (s, dir) => medianFinish(medianDaily(t(s, dir, "orders"))),
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              rn AS (SELECT day, cents,
+                  row_number() OVER (ORDER BY day) AS rn FROM days),
+              j AS (
+                SELECT a.day AS day, b.cents AS cents,
+                  row_number() OVER (PARTITION BY a.day
+                    ORDER BY b.cents, b.rn) AS k
+                FROM rn a JOIN rn b ON b.rn BETWEEN a.rn - 6 AND a.rn
+                WHERE a.rn >= 7)
+              SELECT day, CAST(cents AS BIGINT) AS med_cents
+              FROM j WHERE k = 4 ORDER BY day""")),
+
+    // ── calendar-gap detection per priority stream ───────────────────────
+    // The data-quality lens for ingest monitoring: days on which a feed
+    // went silent. Fact rows collapse to the (priority, day) census
+    // FIRST; one lead() over the calendar-bounded census finds every
+    // consecutive-day pair more than one day apart. Output is the gap
+    // list (start day + missing-day count) — bounded by the calendar ×
+    // priorities at any SF, and integer-exact (datediff of
+    // day-truncated timestamps agrees across engines under the pinned
+    // UTC session zone).
+    Q("q_calendar_gaps",
+      (s, dir) => {
+        val days = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("day")
+        days
+          .select(col("o_orderpriority"), col("day"),
+            lead(col("day"), 1).over(w).as("next_day"))
+          .filter(col("next_day").isNotNull &&
+            datediff(col("next_day"), col("day")) > 1)
+          .select(col("o_orderpriority"), col("day").as("gap_start"),
+            (datediff(col("next_day"), col("day")) - 1).cast("long")
+              .as("missing_days"))
+          .orderBy("o_orderpriority", "gap_start")
+      },
+      Some("""WITH days AS (
+                SELECT o_orderpriority,
+                  date_trunc('day', o_orderdate) AS day
+                FROM orders GROUP BY 1, 2),
+              g AS (
+                SELECT o_orderpriority, day,
+                  lead(day) OVER (PARTITION BY o_orderpriority
+                    ORDER BY day) AS nd
+                FROM days)
+              SELECT o_orderpriority, day AS gap_start,
+                CAST(date_diff('day', day, nd) - 1 AS BIGINT)
+                  AS missing_days
+              FROM g
+              WHERE nd IS NOT NULL AND date_diff('day', day, nd) > 1
+              ORDER BY o_orderpriority, gap_start"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents
@@ -1238,6 +1311,32 @@ object EventTime {
     * calendar-bounded frame — the corpus-sized work all happened in
     * [[cusumDaily]].
     */
+  /** Sliding-median sufficient statistic: the per-day revenue-cents
+    * census (decimal sum → cents projection — mergeable, so the
+    * streaming twin keeps exactly this frame as Complete-mode state,
+    * bounded by the calendar). Same contract as [[cusumDaily]].
+    */
+  def medianDaily(orders: DataFrame): DataFrame =
+    orders.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+
+  /** Finishing arithmetic of q_rolling_median over the bounded day
+    * census: one ORDER BY day window on the calendar-bounded frame,
+    * 7-ROWS trailing collect, row-local 4th-smallest pick. All-integer
+    * — drained streaming state finishes to batch bit-for-bit.
+    */
+  def medianFinish(days: DataFrame): DataFrame = {
+    val w = Window.orderBy("day")
+    days
+      .select(col("day"),
+        sort_array(collect_list(col("cents"))
+          .over(w.rowsBetween(-6, 0))).as("arr"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") >= 7)
+      .select(col("day"), element_at(col("arr"), 4).as("med_cents"))
+      .orderBy("day")
+  }
+
   def cusumFinish(daily: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy("o_orderpriority").orderBy("day")
     val wAll = Window.partitionBy("o_orderpriority")

@@ -357,6 +357,84 @@ object Graph {
                 COUNT(*) AS n_nodes,
                 CAST(MIN(node) AS BIGINT) AS min_node,
                 CAST(MAX(node) AS BIGINT) AS max_node
-              FROM d GROUP BY 1 ORDER BY 1"""))
+              FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // ── k-core decomposition (3 peel rounds, k = 8) ──────────────────────
+    // The graph-curation primitive behind "keep the well-connected
+    // subgraph": iteratively remove nodes with degree < k until the
+    // 8-core remains. Each round is degree census (partial+final agg by
+    // src) → keep-set semi-joins on BOTH endpoints → localCheckpoint —
+    // the same shuffle-linear round shape as BFS/SSSP, peel control on
+    // the driver only. A FIXED 3 rounds (not run-to-fixpoint) keeps the
+    // answer engine-checkable: after round r both engines hold the same
+    // edge set by induction, and the oracle unrolls the identical three
+    // rounds as CTEs. Emits the per-round census (nodes per bipartite
+    // side + undirected edge count) — the curve that shows where the
+    // peel converges. Keep-sets are degree-filtered aggregates (≤ nodes
+    // rows) but scale with the population, so they ride hash semi-joins,
+    // never a broadcast hint.
+    Q("q_kcore",
+      (s, dir) => {
+        val k = 8
+        var edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        val rounds = (1 to 3).map { r =>
+          val keep = edges.groupBy("src")
+            .agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k)
+            .select(col("src").as("node"))
+          edges = edges
+            .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(true)
+          edges.agg(
+            countDistinct(when(col("src") % 2 === 0, col("src")))
+              .as("n_cust"),
+            countDistinct(when(col("src") % 2 === 1, col("src")))
+              .as("n_supp"),
+            expr("count(1) div 2").as("n_edges"))
+            .select(lit(r.toLong).as("round"), col("n_cust"),
+              col("n_supp"), col("n_edges"))
+        }
+        rounds.reduce(_ unionByName _).orderBy("round")
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              e0 AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s, c FROM cs),
+              k1 AS (SELECT src AS node FROM e0 GROUP BY 1
+                     HAVING count(*) >= 8),
+              e1 AS (SELECT e.src, e.dst FROM e0 e
+                     JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+              k2 AS (SELECT src AS node FROM e1 GROUP BY 1
+                     HAVING count(*) >= 8),
+              e2 AS (SELECT e.src, e.dst FROM e1 e
+                     JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
+              k3 AS (SELECT src AS node FROM e2 GROUP BY 1
+                     HAVING count(*) >= 8),
+              e3 AS (SELECT e.src, e.dst FROM e2 e
+                     JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node)
+              SELECT CAST(round AS BIGINT) AS round,
+                CAST(n_cust AS BIGINT) AS n_cust,
+                CAST(n_supp AS BIGINT) AS n_supp,
+                CAST(n_edges AS BIGINT) AS n_edges
+              FROM (
+                SELECT 1 AS round,
+                  count(DISTINCT CASE WHEN src % 2 = 0 THEN src END) AS n_cust,
+                  count(DISTINCT CASE WHEN src % 2 = 1 THEN src END) AS n_supp,
+                  count(*) // 2 AS n_edges FROM e1
+                UNION ALL
+                SELECT 2,
+                  count(DISTINCT CASE WHEN src % 2 = 0 THEN src END),
+                  count(DISTINCT CASE WHEN src % 2 = 1 THEN src END),
+                  count(*) // 2 FROM e2
+                UNION ALL
+                SELECT 3,
+                  count(DISTINCT CASE WHEN src % 2 = 0 THEN src END),
+                  count(DISTINCT CASE WHEN src % 2 = 1 THEN src END),
+                  count(*) // 2 FROM e3)
+              ORDER BY round"""))
   )
 }

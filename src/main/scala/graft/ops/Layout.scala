@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: the two physical-design levers q_zorder_layout
+  * does not cover — hash BUCKETING (pre-shuffled storage that lets a
+  * co-located join skip its exchanges entirely) and directory
+  * PARTITIONING (coarse pruning that lets a filter skip whole files
+  * before a single row is read).
+  *
+  * The reference engine has no storage layer at all (its input is a
+  * client-supplied in-memory vector, reference `MapReduceClient.h:50`);
+  * these operators exist because at 100 TB the dominant cost of the
+  * workload is the one-or-two fact-table shuffles per query, and layout
+  * is the only lever that removes a shuffle instead of merely tuning it:
+  *   - a join between tables bucketed on the join key with the same
+  *     bucket count reads co-located buckets — zero Exchange below the
+  *     join, for every future query against the layout;
+  *   - a partition filter prunes at the DIRECTORY level, so scan cost
+  *     tracks the selected slice, not the table.
+  *
+  * Both ops build their layout ONCE per (session, table dir) as a stored
+  * artifact (the q_dup_clusters / IVF-index memo discipline) — the write
+  * is the amortized cost a lakehouse pays at ingest, and every query
+  * after it gets the cheap plan. The DuckDB oracles run the SAME logical
+  * query against the un-laid-out parquet: layout must never change an
+  * answer, only the plan — which also makes these the regression tests
+  * that the layout transformation is content-preserving.
+  */
+object Layout {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Bucketed orders/customer tables, hash-bucketed 8-ways on the join
+    * key and sorted within buckets; one file per bucket (the repartition
+    * matches the bucket spec) so the scan's output ordering survives and
+    * the join needs neither Exchange nor extra Sort. Memoized per
+    * (session, dir): written once, joined many times.
+    */
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketMemo.computeIfAbsent((s, dir), _ => {
+      val tg = tag(dir)
+      val (to, tc) = (s"graft_bkt_orders_$tg", s"graft_bkt_customer_$tg")
+      val path = s"/tmp/graft-bucketed/$tg"
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$path/orders").saveAsTable(to)
+      t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$path/customer").saveAsTable(tc)
+      (to, tc)
+    })
+
+  /** Partition-pruned orders layout: directory-partitioned by order year.
+    * Reading it with a year predicate turns the filter into a
+    * PartitionFilter — file listing shrinks to the selected year before
+    * any parquet footer is opened. Memoized like the bucketed layout.
+    */
+  private val partMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def partitionedOrders(s: SparkSession, dir: String): String =
+    partMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-partitioned/${tag(dir)}/orders"
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      path
+    })
+
+  val queries: Seq[Q] = Seq(
+
+    // ── bucketed co-located join ─────────────────────────────────────────
+    // THE shuffle-elimination lever: orders ⋈ customer on c_custkey with
+    // both sides bucketed 8-ways on the key. Plan contract (PlanGuard):
+    // both scans show `Bucketed: true`, and the ONLY hash Exchange in the
+    // plan is the census-sized post-join aggregation — the join itself
+    // reads co-located buckets. The `merge` hint pins SortMergeJoin so
+    // the demonstration cannot silently degrade to a broadcast that
+    // would stop working when customer outgrows the threshold at real
+    // SF. At 100 TB this layout turns every custkey-keyed join in the
+    // workload from two fact shuffles into zero.
+    Q("q_join_bucketed",
+      (s, dir) => {
+        val (to, tc) = bucketedTables(s, dir)
+        s.table(to)
+          .join(s.table(tc).hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sumDec2(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // ── partition-pruned scan ────────────────────────────────────────────
+    // Directory partitioning by year + a year predicate: the filter
+    // lands in PartitionFilters (PlanGuard asserts it), so the 1995
+    // monthly report reads one year's directories regardless of table
+    // size — scan cost tracks the slice, not the table. The monthly
+    // census itself is the usual partial+final agg over a ≤12-key space.
+    Q("q_partition_prune",
+      (s, dir) => {
+        val path = partitionedOrders(s, dir)
+        s.read.parquet(path)
+          .filter(col("o_year") === 1995)
+          .groupBy(month(col("o_orderdate")).cast("long").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumDec2(col("o_totalprice")).as("revenue"))
+          .orderBy("month")
+      },
+      Some("""SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+                count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+              FROM orders WHERE year(o_orderdate) = 1995
+              GROUP BY 1 ORDER BY month"""))
+  )
+}

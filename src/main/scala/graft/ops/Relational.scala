@@ -3208,7 +3208,64 @@ object Relational {
                 FROM base)
               SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
                 CAST(SUM(alloc_cents) AS BIGINT) AS alloc_cents
-              FROM ranked GROUP BY 1 ORDER BY l_suppkey"""))
+              FROM ranked GROUP BY 1 ORDER BY l_suppkey""")),
+
+    // ── weighted median unit price per return flag ───────────────────────
+    // The inventory-weighted robust center: order line prices by value,
+    // walk the QUANTITY mass, and pick the first price where twice the
+    // cumulative weight reaches the total (lower weighted median — both
+    // engines share the closed form). All mass arithmetic is exact int64
+    // (price cents × integral quantities); zero FP anywhere. Scale
+    // shape: this is THE RangeRank.PrefixSum consumer — the running
+    // weight comes from the 2-pass range-partitioned rank (census →
+    // broadcast offsets → local cumsum), so the few-group/scaling-fact
+    // prefix sum parallelizes by cluster partitions, not by the 3-value
+    // flag; the oracle runs the equivalent single-window form. The
+    // 3-row total frame is the one legitimate broadcast.
+    Q("q_weighted_median",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_orderkey"), col("l_linenumber"))
+        val tot = li.groupBy("l_returnflag").agg(sum(col("qty")).as("tot_qty"))
+        RangeRank.ranked(li, groupCols = Seq("l_returnflag"),
+            sortCols = Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+            rnName = "rn", nName = None,
+            prefixSums = Seq(RangeRank.PrefixSum(col("qty"), "wcum_ex")))
+          .join(broadcast(tot), "l_returnflag")
+          .filter((col("wcum_ex") + col("qty")) * 2 >= col("tot_qty"))
+          .groupBy("l_returnflag")
+          .agg(min_by(col("cents"), col("rn")).as("med_price_cents"),
+            max(col("tot_qty")).as("tot_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS qty,
+                  l_orderkey, l_linenumber
+                FROM lineitem),
+              w AS (
+                SELECT l_returnflag, cents,
+                  SUM(qty) OVER (PARTITION BY l_returnflag
+                    ORDER BY cents, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  SUM(qty) OVER (PARTITION BY l_returnflag) AS tot,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY cents, l_orderkey, l_linenumber) AS rn
+                FROM r),
+              pick AS (
+                SELECT l_returnflag, cents, tot,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY rn) AS k
+                FROM w WHERE cum * 2 >= tot)
+              SELECT l_returnflag,
+                CAST(cents AS BIGINT) AS med_price_cents,
+                CAST(tot AS BIGINT) AS tot_qty
+              FROM pick WHERE k = 1 ORDER BY l_returnflag"""))
   )
 
   /** Row-level z-values for the orders layout job: every orders column

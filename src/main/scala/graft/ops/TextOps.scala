@@ -1090,6 +1090,105 @@ object TextOps {
               SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
                 MIN(CASE WHEN rn = 1 THEN cnt END) AS rarest_cnt,
                 MIN(CASE WHEN rn = 1 THEN w END) AS rarest_token
-              FROM ranked GROUP BY 1 ORDER BY doc_id"""))
+              FROM ranked GROUP BY 1 ORDER BY doc_id""")),
+
+    // ── language-label audit: declared lang vs heuristic guess ───────────
+    // The confusion matrix between the corpus's DECLARED language labels
+    // and q_lang_id's marker-token guess — the audit that catches
+    // mislabeled feeds before they poison per-language mixing weights.
+    // Same deterministic scoring as q_lang_id (row-local, codegen'd
+    // array filters), collapsed to the ≤ langs×guesses census — the
+    // whole corpus folds in ONE partial+final agg, nothing bigger than
+    // the label grid ever shuffles.
+    Q("q_lang_mismatch",
+      (s, dir) => {
+        val score = (markers: Seq[String]) =>
+          markers.map(m => size(filter(split(col("text"), " "),
+            x => x === lit(m))).cast("long")).reduce(_ + _)
+        t(s, dir, "documents")
+          .select(col("lang"),
+            score(Seq("the", "a", "of")).as("s_en"),
+            score(Seq("el", "la", "de")).as("s_es"),
+            score(Seq("der", "die", "das")).as("s_de"))
+          .select(col("lang"),
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"),
+              "en")
+              .when(col("s_es") >= col("s_de"), "es")
+              .otherwise("de").as("guess"))
+          .groupBy("lang", "guess")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "guess")
+      },
+      Some("""WITH scored AS (
+                SELECT lang,
+                  CAST(len(list_filter(string_split(text,' '), x -> x = 'the'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'a'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'of'))
+                    AS BIGINT) AS s_en,
+                  CAST(len(list_filter(string_split(text,' '), x -> x = 'el'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'la'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'de'))
+                    AS BIGINT) AS s_es,
+                  CAST(len(list_filter(string_split(text,' '), x -> x = 'der'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'die'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'das'))
+                    AS BIGINT) AS s_de
+                FROM documents),
+              guessed AS (
+                SELECT lang,
+                  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                       WHEN s_es >= s_de THEN 'es'
+                       ELSE 'de' END AS guess
+                FROM scored)
+              SELECT lang, guess, count(*) AS n_docs
+              FROM guessed GROUP BY 1, 2 ORDER BY lang, guess""")),
+
+    // ── per-source token diversity (Simpson concentration) ───────────────
+    // Vocabulary concentration per source: Simpson index Σc²/N² and its
+    // reciprocal (effective vocabulary size) — the char_diversity lens
+    // lifted to the TOKEN level, where it reads "how template-heavy is
+    // this feed". Token census first (vocab-sized partial+final agg),
+    // then per-source int64 moments; the FP tail is the identical
+    // two-division chain on both engines (Σc²/N/N — division by N
+    // twice, not by the int64-overflow-prone N²), and eff_vocab =
+    // 1.0/simpson reuses the same double. At extreme volumes Σc² is the
+    // q_hhi-class caveat: re-scale the unit (sample the census) —
+    // Simpson is scale-invariant.
+    Q("q_token_diversity",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).as("c"))
+        census.groupBy("source")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("sum_c2"))
+          .select(col("source"), col("n_tokens"), col("n_distinct"),
+            (col("sum_c2").cast("double") / col("n_tokens").cast("double")
+              / col("n_tokens").cast("double")).as("simpson"),
+            (lit(1.0) / (col("sum_c2").cast("double")
+              / col("n_tokens").cast("double")
+              / col("n_tokens").cast("double"))).as("eff_vocab"))
+          .orderBy("source")
+      },
+      Some("""WITH census AS (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              counts AS (
+                SELECT source, tok, count(*) AS c
+                FROM census GROUP BY 1, 2),
+              m AS (
+                SELECT source,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(SUM(c * c) AS BIGINT) AS sum_c2
+                FROM counts GROUP BY 1)
+              SELECT source, n_tokens, n_distinct,
+                CAST(sum_c2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  / CAST(n_tokens AS DOUBLE) AS simpson,
+                1.0 / (CAST(sum_c2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  / CAST(n_tokens AS DOUBLE)) AS eff_vocab
+              FROM m ORDER BY source"""))
   )
 }

@@ -652,6 +652,15 @@ object StreamingOps {
   def cusumCounts(orders: DataFrame): DataFrame =
     graft.ops.EventTime.cusumDaily(orders)
 
+  /** Streaming half of q_rolling_median — the live robust-smoother
+    * monitor. The per-day revenue census is mergeable Complete-mode
+    * state bounded by the calendar; all-integer, so
+    * [[graft.ops.EventTime.medianFinish]] over the drained state
+    * equals batch q_rolling_median EXACTLY at any trigger.
+    */
+  def medianCounts(orders: DataFrame): DataFrame =
+    graft.ops.EventTime.medianDaily(orders)
+
   /** Streaming half of q_seasonality — the live calendar-profile
     * baseline. The dow×type census (counts + exact decimal value sums)
     * is mergeable Complete-mode state bounded at ≤7×|types| rows;

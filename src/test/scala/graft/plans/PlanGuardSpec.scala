@@ -409,7 +409,7 @@ class PlanGuardSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val family = Seq("q_percentile_disc", "q_percentile_cont", "q_mad",
       "q_winsorize", "q_feature_binning", "q_quantile_norm",
-      "q_sequence_pack", "q_gini")
+      "q_sequence_pack", "q_gini", "q_template_mining")
     for (q <- family) {
       val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$q lost its rank windows entirely")
@@ -430,5 +430,47 @@ class PlanGuardSpec extends SparkSpec {
     // OOMs at scale; the rejoin must be a plain hash join on `sh`
     assert(!qe("q_substring_dup").analyzed.toString.contains("broadcast"),
       "q_substring_dup force-broadcasts the corpus-sized shingle census")
+  }
+
+  test("q_join_bucketed: co-located join — bucket scans, only the agg exchanges") {
+    // both sides bucketed 8-ways on the join key: the SMJ must read
+    // co-located buckets (Bucketed: true on both scans) and the ONLY
+    // hash Exchange allowed is the census-sized post-join aggregation —
+    // a second one means the layout stopped eliminating the join shuffle
+    val ex = formatted("q_join_bucketed")
+    assert("Bucketed: true".r.findAllIn(ex).size >= 2,
+      s"join sides are not read as bucketed scans")
+    assert(ex.contains("SortMergeJoin"),
+      "bucketed join lost its SMJ (merge hint) shape")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(ex).size
+    assert(hashEx <= 1,
+      s"bucketed join still shuffles ($hashEx hash exchanges — expected ≤1 for the agg)")
+  }
+
+  test("q_partition_prune: the year predicate prunes at the directory level") {
+    val ex = formatted("q_partition_prune")
+    val pf = ex.linesIterator.find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_year"),
+      s"year predicate did not become a PartitionFilter: $pf")
+    // and it must NOT degrade to a post-scan Filter on o_year alone
+    assert(!ex.matches("(?s).*PartitionFilters: \\[\\].*"),
+      "partition filters list is empty")
+  }
+
+  test("q_rolling_median: the unpartitioned window runs on the day census only") {
+    // fact rows collapse in the (day) aggregate FIRST; the ORDER BY day
+    // window may only see the calendar-bounded census frame
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = qe("q_rolling_median").optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the trailing-7 window")
+    windows.foreach(w => assert(
+      w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "rolling-median window reads raw orders instead of the day census"))
+  }
+
+  test("q_kcore peel rounds carry no broadcast hints (keep-sets scale with nodes)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = qe("q_kcore").analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"k-core hints a population-scaling side: $hints")
   }
 }

@@ -495,6 +495,29 @@ class StreamingSpec extends SparkSpec {
       "drained CUSUM day census diverged from batch changepoint")
   }
 
+  test("drained day census finishes to batch q_rolling_median exactly") {
+    // same Complete-mode discipline as the CUSUM twin: the per-day
+    // revenue census is the mergeable state, the trailing-7 median is
+    // pure finishing arithmetic — all-integer, so drain ≡ batch
+    val dir = Files.createTempDirectory("graft-orders-med").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.medianCounts(StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_med", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      (String.valueOf(r.get(0)).take(10), r.getLong(1))
+    val streamed = graft.ops.EventTime.medianFinish(counts).collect()
+      .map(key).toSet
+    val batch = SparkEntry.queries("q_rolling_median")(spark, sfDir).collect()
+      .map(key).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained day census diverged from batch rolling median")
+  }
+
   test("drained lang census finishes to batch q_chi2 exactly") {
     // the SAME Complete-mode (source, lang) census state as the TVD
     // twin, finished through the chi2 lens — one state, two readouts
