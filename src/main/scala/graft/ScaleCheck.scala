@@ -72,7 +72,10 @@ object ScaleCheck {
     // bucketed co-located join (artifact written once per dir, min-of-2
     // reflects the steady-state query)
     "q_weighted_median", "q_template_mining", "q_token_diversity",
-    "q_kcore", "q_join_bucketed")
+    "q_kcore", "q_join_bucketed",
+    // round-4 second batch: x7 row-local fan-out rolling distinct,
+    // RangeRank percentile-cut concentration
+    "q_rolling_distinct", "q_top_share")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -1291,7 +1291,43 @@ object EventTime {
                   AS missing_days
               FROM g
               WHERE nd IS NOT NULL AND date_diff('day', day, nd) > 1
-              ORDER BY o_orderpriority, gap_start"""))
+              ORDER BY o_orderpriority, gap_start""")),
+
+    // ── exact trailing-7-day active users (rolling WAU) ──────────────────
+    // The engagement metric every dashboard wants and naive SQL computes
+    // as |days| corpus rescans: distinct users active in the 7-day
+    // window ending each day. Distributed shape: collapse events to the
+    // (user, day) distinct FIRST, fan each user-day out ROW-LOCALLY to
+    // the ≤7 window-end days it supports (sequence — no self-join), and
+    // count distinct users per end day. The fan-out is a constant ×7 on
+    // the user-day frame; the distinct shuffle keys on (day, user) and
+    // partial-aggregates, so work is linear in user-days at any SF —
+    // never days × corpus. End days semi-join to OBSERVED days so both
+    // engines agree on the output grid. (Exact by design; at extreme
+    // populations the same fan-out feeds HLL sketches per day —
+    // q_sketch_rollup's mergeable path.)
+    Q("q_rolling_distinct",
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val dayset = ud.select(col("day").as("d")).distinct()
+        ud.select(col("user_id"),
+            explode(expr(
+              "sequence(day, day + interval 6 days, interval 1 day)"))
+              .as("d"))
+          .join(dayset, Seq("d"), "left_semi")
+          .groupBy("d")
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .orderBy("d")
+      },
+      Some("""WITH ud AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events),
+              ds AS (SELECT DISTINCT day AS d FROM ud)
+              SELECT d, count(DISTINCT user_id) AS wau
+              FROM ds JOIN ud ON ud.day BETWEEN d - INTERVAL 6 DAY AND d
+              GROUP BY 1 ORDER BY d"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

@@ -378,10 +378,14 @@ object Graph {
         val k = 8
         var edges = bipartiteEdges(s, dir).localCheckpoint(true)
         val rounds = (1 to 3).map { r =>
+          // checkpoint the NODE-sized keep set: it feeds BOTH endpoint
+          // semi-joins, and without the cut the degree census (a full
+          // edge-list shuffle) would be planned twice per round
           val keep = edges.groupBy("src")
             .agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= k)
             .select(col("src").as("node"))
+            .localCheckpoint(true)
           edges = edges
             .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")

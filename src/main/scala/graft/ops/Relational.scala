@@ -3265,7 +3265,60 @@ object Relational {
               SELECT l_returnflag,
                 CAST(cents AS BIGINT) AS med_price_cents,
                 CAST(tot AS BIGINT) AS tot_qty
-              FROM pick WHERE k = 1 ORDER BY l_returnflag"""))
+              FROM pick WHERE k = 1 ORDER BY l_returnflag""")),
+
+    // ── top-1% revenue concentration per market segment ──────────────────
+    // The "how whale-heavy is this segment" readout (Gini's actionable
+    // sibling): the revenue share held by the top ⌈n/100⌉ customers.
+    // Revenue folds to one exact-cents row per customer first; the
+    // top-percentile cut needs a rank over the customer-sized frame
+    // under a 5-value segment key — RangeRank's 2-pass shape again
+    // (rank AND per-group n come back from the census, so the ⌈n/100⌉
+    // threshold is pure row arithmetic). All mass exact int64; share is
+    // the one IEEE division.
+    Q("q_top_share",
+      (s, dir) => {
+        val cust = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("c_custkey"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        RangeRank.ranked(cust, groupCols = Seq("c_mktsegment"),
+            sortCols = Seq(col("cents").desc, col("c_custkey")))
+          .withColumn("keep", col("rn") <= expr("(n + 99) div 100"))
+          .groupBy("c_mktsegment")
+          .agg(max(col("n")).as("n_cust"),
+            max(expr("(n + 99) div 100")).as("k"),
+            sum(when(col("keep"), col("cents")).otherwise(0L)).as("top_cents"),
+            sum(col("cents")).as("total_cents"))
+          .select(col("c_mktsegment"), col("n_cust"), col("k"),
+            col("top_cents"), col("total_cents"),
+            (col("top_cents").cast("double")
+              / col("total_cents").cast("double")).as("share"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH cust AS (
+                SELECT c_mktsegment, c_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              r AS (
+                SELECT c_mktsegment, cents,
+                  CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY cents DESC, c_custkey) AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY c_mktsegment)
+                    AS BIGINT) AS n
+                FROM cust)
+              SELECT c_mktsegment,
+                CAST(MAX(n) AS BIGINT) AS n_cust,
+                CAST(MAX((n + 99) // 100) AS BIGINT) AS k,
+                CAST(SUM(CASE WHEN rn <= (n + 99) // 100 THEN cents
+                  ELSE 0 END) AS BIGINT) AS top_cents,
+                CAST(SUM(cents) AS BIGINT) AS total_cents,
+                CAST(SUM(CASE WHEN rn <= (n + 99) // 100 THEN cents
+                  ELSE 0 END) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE)
+                  AS share
+              FROM r GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 
   /** Row-level z-values for the orders layout job: every orders column

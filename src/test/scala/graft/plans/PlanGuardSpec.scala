@@ -409,7 +409,8 @@ class PlanGuardSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val family = Seq("q_percentile_disc", "q_percentile_cont", "q_mad",
       "q_winsorize", "q_feature_binning", "q_quantile_norm",
-      "q_sequence_pack", "q_gini", "q_template_mining")
+      "q_sequence_pack", "q_gini", "q_template_mining",
+      "q_weighted_median", "q_top_share")
     for (q <- family) {
       val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$q lost its rank windows entirely")
