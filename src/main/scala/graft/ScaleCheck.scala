@@ -74,8 +74,9 @@ object ScaleCheck {
     "q_weighted_median", "q_template_mining", "q_token_diversity",
     "q_kcore", "q_join_bucketed",
     // round-4 second batch: x7 row-local fan-out rolling distinct,
-    // RangeRank percentile-cut concentration
-    "q_rolling_distinct", "q_top_share")
+    // RangeRank percentile-cut concentration, cross-source shingle
+    // overlap (corpus-sized census + row-local pair fan-out)
+    "q_rolling_distinct", "q_top_share", "q_source_overlap")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

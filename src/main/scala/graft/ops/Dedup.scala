@@ -706,6 +706,77 @@ object Dedup {
                 CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) AS dup_frac
               FROM sh s JOIN census c USING (sh)
-              GROUP BY 1 ORDER BY s.doc_id"""))
+              GROUP BY 1 ORDER BY s.doc_id""")),
+
+    // ── cross-source boilerplate overlap (which feeds mirror each other) ─
+    // The provenance lens over q_substring_dup's shingle space: for each
+    // SOURCE PAIR, how much word-5-gram vocabulary they share (distinct
+    // shingle Jaccard). Catches mirrored/scraped feeds that per-doc
+    // dedup only discovers pair by pair. Scale shape: ONE distinct
+    // (source, shingle) census; per shingle the source set is bounded
+    // by the CATALOG (≤ |sources|), so pairs fan out row-locally from
+    // collect_set — never a shingle-census self-join (the oracle runs
+    // that quadratic-in-df formulation; agreement proves the fan-out).
+    // The ≤|sources|-row totals frame is the one legitimate broadcast;
+    // Jaccard is ONE division of exact counts.
+    Q("q_source_overlap",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("source"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("source"), explode(expr(
+            """transform(
+                 CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4)
+                      ELSE array() END,
+                 i -> concat_ws(' ', slice(toks, i, 5)))""")).as("sh"))
+          .distinct()
+        val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        sh.groupBy("sh")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+                 transform(slice(srcs, i + 2, size(srcs)),
+                   b -> named_struct('src_a', a, 'src_b', b))))"""))
+            .as("p"))
+          .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(per.select(col("source").as("src_a"),
+            col("n").as("n_a"))), Seq("src_a"))
+          .join(broadcast(per.select(col("source").as("src_b"),
+            col("n").as("n_b"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            (col("n_shared").cast("double")
+              / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+              .as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH toks AS (
+                SELECT source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT source,
+                  array_to_string(list_slice(tk, i, i + 4), ' ') AS sh
+                FROM (SELECT source, tk,
+                        unnest(generate_series(1, len(tk) - 4)) AS i
+                      FROM toks WHERE len(tk) >= 5)),
+              per AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+              pairs AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                  count(*) AS n_shared
+                FROM sh a JOIN sh b
+                  ON a.sh = b.sh AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+                CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+                CAST(n_shared AS DOUBLE)
+                  / CAST(pa.n + pb.n - n_shared AS DOUBLE) AS jaccard
+              FROM pairs
+                JOIN per pa ON src_a = pa.source
+                JOIN per pb ON src_b = pb.source
+              ORDER BY src_a, src_b"""))
   )
 }

@@ -1327,7 +1327,64 @@ object EventTime {
               ds AS (SELECT DISTINCT day AS d FROM ud)
               SELECT d, count(DISTINCT user_id) AS wau
               FROM ds JOIN ud ON ud.day BETWEEN d - INTERVAL 6 DAY AND d
-              GROUP BY 1 ORDER BY d"""))
+              GROUP BY 1 ORDER BY d""")),
+
+    // ── feed freshness / staleness census ────────────────────────────────
+    // The ingest-ops readout next to q_calendar_gaps: per priority
+    // stream, when did it last deliver (days behind the global
+    // high-water mark) and is its volume trending (last-7-days vs the
+    // 7 before, anchored at the GLOBAL max day so all feeds share one
+    // comparison window). Fact rows collapse in the (priority, day)
+    // census FIRST; the global max is a 1-row broadcast (the
+    // q_histogram_numeric stats pattern); output is ≤ priorities rows.
+    // All integer except the one guarded week-over-week division.
+    Q("q_freshness",
+      (s, dir) => {
+        val days = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val gmax = days.agg(max(col("day")).as("gday"))
+        days.crossJoin(broadcast(gmax))
+          .groupBy("o_orderpriority")
+          .agg(max(col("day")).as("last_day"),
+            max(col("gday")).as("gday"),
+            sum(when(datediff(col("gday"), col("day")) < 7, col("n"))
+              .otherwise(0L)).as("n_last7"),
+            sum(when(datediff(col("gday"), col("day")).between(7, 13),
+              col("n")).otherwise(0L)).as("n_prev7"))
+          .select(col("o_orderpriority"), col("last_day"),
+            datediff(col("gday"), col("last_day")).cast("long")
+              .as("days_stale"),
+            col("n_last7"), col("n_prev7"),
+            when(col("n_prev7") > 0L,
+              col("n_last7").cast("double") / col("n_prev7").cast("double"))
+              .otherwise(lit(0.0)).as("wow_ratio"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH days AS (
+                SELECT o_orderpriority,
+                  date_trunc('day', o_orderdate) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1, 2),
+              g AS (SELECT MAX(day) AS gday FROM days),
+              agg AS (
+                SELECT o_orderpriority,
+                  MAX(day) AS last_day, MAX(gday) AS gday,
+                  CAST(SUM(CASE WHEN date_diff('day', day, gday) < 7
+                    THEN n ELSE 0 END) AS BIGINT) AS n_last7,
+                  CAST(SUM(CASE WHEN date_diff('day', day, gday)
+                      BETWEEN 7 AND 13
+                    THEN n ELSE 0 END) AS BIGINT) AS n_prev7
+                FROM days, g GROUP BY 1)
+              SELECT o_orderpriority, last_day,
+                CAST(date_diff('day', last_day, gday) AS BIGINT)
+                  AS days_stale,
+                n_last7, n_prev7,
+                CASE WHEN n_prev7 > 0 THEN
+                  CAST(n_last7 AS DOUBLE) / CAST(n_prev7 AS DOUBLE)
+                  ELSE 0.0 END AS wow_ratio
+              FROM agg ORDER BY o_orderpriority"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

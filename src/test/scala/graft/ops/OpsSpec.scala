@@ -539,6 +539,37 @@ class OpsSpec extends SparkSpec {
     assert(got === expected, "distributed BPE merges diverge from reference")
   }
 
+  // ── BPE application replays the greedy encode ────────────────────────
+  test("q_bpe_apply totals equal a plain-Scala greedy encode replay") {
+    val merges = graft.ops.TextOps.bpeMerges(spark, sfDir)
+      .map { case (_, a, b, _) => (a, b) }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    rows.foreach { r =>
+      val src = r.getString(0)
+      r.getString(1).split(" ").filter(_.nonEmpty).foreach { w =>
+        var syms: Vector[String] = w.split("").toVector
+        merges.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.length - 1) = a + b
+            else out += x
+          }
+          syms = out.toVector
+        }
+        val (nw, nc, nt) = agg.getOrElse(src, (0L, 0L, 0L))
+        agg.update(src, (nw + 1, nc + w.length, nt + syms.length))
+      }
+    }
+    val got = q("q_bpe_apply").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === agg.toMap,
+      "distributed BPE encode diverges from the reference replay")
+  }
+
   // ── largest-remainder allocation leaks zero cents ────────────────────
   test("q_allocation conserves every order's total exactly (no cent leak)") {
     // Hamilton apportionment invariant: allocations sum to EXACTLY the
