@@ -1261,22 +1261,7 @@ object EventTime {
     // day-truncated timestamps agrees across engines under the pinned
     // UTC session zone).
     Q("q_calendar_gaps",
-      (s, dir) => {
-        val days = t(s, dir, "orders")
-          .groupBy(col("o_orderpriority"),
-            date_trunc("day", col("o_orderdate")).as("day"))
-          .agg(count(lit(1)).as("n_orders"))
-        val w = Window.partitionBy("o_orderpriority").orderBy("day")
-        days
-          .select(col("o_orderpriority"), col("day"),
-            lead(col("day"), 1).over(w).as("next_day"))
-          .filter(col("next_day").isNotNull &&
-            datediff(col("next_day"), col("day")) > 1)
-          .select(col("o_orderpriority"), col("day").as("gap_start"),
-            (datediff(col("next_day"), col("day")) - 1).cast("long")
-              .as("missing_days"))
-          .orderBy("o_orderpriority", "gap_start")
-      },
+      (s, dir) => gapsFinish(feedDaily(t(s, dir, "orders"))),
       Some("""WITH days AS (
                 SELECT o_orderpriority,
                   date_trunc('day', o_orderdate) AS day
@@ -1339,29 +1324,7 @@ object EventTime {
     // q_histogram_numeric stats pattern); output is ≤ priorities rows.
     // All integer except the one guarded week-over-week division.
     Q("q_freshness",
-      (s, dir) => {
-        val days = t(s, dir, "orders")
-          .groupBy(col("o_orderpriority"),
-            date_trunc("day", col("o_orderdate")).as("day"))
-          .agg(count(lit(1)).as("n"))
-        val gmax = days.agg(max(col("day")).as("gday"))
-        days.crossJoin(broadcast(gmax))
-          .groupBy("o_orderpriority")
-          .agg(max(col("day")).as("last_day"),
-            max(col("gday")).as("gday"),
-            sum(when(datediff(col("gday"), col("day")) < 7, col("n"))
-              .otherwise(0L)).as("n_last7"),
-            sum(when(datediff(col("gday"), col("day")).between(7, 13),
-              col("n")).otherwise(0L)).as("n_prev7"))
-          .select(col("o_orderpriority"), col("last_day"),
-            datediff(col("gday"), col("last_day")).cast("long")
-              .as("days_stale"),
-            col("n_last7"), col("n_prev7"),
-            when(col("n_prev7") > 0L,
-              col("n_last7").cast("double") / col("n_prev7").cast("double"))
-              .otherwise(lit(0.0)).as("wow_ratio"))
-          .orderBy("o_orderpriority")
-      },
+      (s, dir) => freshnessFinish(feedDaily(t(s, dir, "orders"))),
       Some("""WITH days AS (
                 SELECT o_orderpriority,
                   date_trunc('day', o_orderdate) AS day,
@@ -1404,6 +1367,57 @@ object EventTime {
     * calendar-bounded frame — the corpus-sized work all happened in
     * [[cusumDaily]].
     */
+  /** Shared feed-health sufficient statistic: the (priority, day) order-
+    * count census. Mergeable Complete-mode state bounded by priorities ×
+    * calendar days — ONE state, TWO readouts ([[gapsFinish]],
+    * [[freshnessFinish]]), the chi2/tvd shared-census discipline applied
+    * to ingest monitoring.
+    */
+  def feedDaily(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap readout of [[feedDaily]]: one lead() on the calendar-bounded
+    * census finds every silent stretch. All-integer.
+    */
+  def gapsFinish(days: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+    days
+      .select(col("o_orderpriority"), col("day"),
+        lead(col("day"), 1).over(w).as("next_day"))
+      .filter(col("next_day").isNotNull &&
+        datediff(col("next_day"), col("day")) > 1)
+      .select(col("o_orderpriority"), col("day").as("gap_start"),
+        (datediff(col("next_day"), col("day")) - 1).cast("long")
+          .as("missing_days"))
+      .orderBy("o_orderpriority", "gap_start")
+  }
+
+  /** Staleness/volume-trend readout of [[feedDaily]]: global high-water
+    * mark as a 1-row broadcast, per-feed last-delivery lag and
+    * last-7 vs previous-7 volumes; one guarded division.
+    */
+  def freshnessFinish(days: DataFrame): DataFrame = {
+    val gmax = days.agg(max(col("day")).as("gday"))
+    days.crossJoin(broadcast(gmax))
+      .groupBy("o_orderpriority")
+      .agg(max(col("day")).as("last_day"),
+        max(col("gday")).as("gday"),
+        sum(when(datediff(col("gday"), col("day")) < 7, col("n"))
+          .otherwise(0L)).as("n_last7"),
+        sum(when(datediff(col("gday"), col("day")).between(7, 13),
+          col("n")).otherwise(0L)).as("n_prev7"))
+      .select(col("o_orderpriority"), col("last_day"),
+        datediff(col("gday"), col("last_day")).cast("long")
+          .as("days_stale"),
+        col("n_last7"), col("n_prev7"),
+        when(col("n_prev7") > 0L,
+          col("n_last7").cast("double") / col("n_prev7").cast("double"))
+          .otherwise(lit(0.0)).as("wow_ratio"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sliding-median sufficient statistic: the per-day revenue-cents
     * census (decimal sum → cents projection — mergeable, so the
     * streaming twin keeps exactly this frame as Complete-mode state,

@@ -652,6 +652,17 @@ object StreamingOps {
   def cusumCounts(orders: DataFrame): DataFrame =
     graft.ops.EventTime.cusumDaily(orders)
 
+  /** Streaming half of q_calendar_gaps AND q_freshness — the live
+    * ingest-health monitor. ONE Complete-mode (priority, day) count
+    * census (bounded by priorities × calendar), TWO readouts:
+    * [[graft.ops.EventTime.gapsFinish]] and
+    * [[graft.ops.EventTime.freshnessFinish]] over the drained state
+    * equal their batch queries EXACTLY at any trigger — the chi2/tvd
+    * one-state-two-readouts discipline for feed monitoring.
+    */
+  def feedCounts(orders: DataFrame): DataFrame =
+    graft.ops.EventTime.feedDaily(orders)
+
   /** Streaming half of q_rolling_median — the live robust-smoother
     * monitor. The per-day revenue census is mergeable Complete-mode
     * state bounded by the calendar; all-integer, so

@@ -518,6 +518,35 @@ class StreamingSpec extends SparkSpec {
       "drained day census diverged from batch rolling median")
   }
 
+  test("drained feed census finishes to batch q_calendar_gaps AND q_freshness") {
+    // ONE Complete-mode (priority, day) state, TWO readouts — the
+    // chi2/tvd shared-census discipline applied to ingest monitoring
+    val dir = Files.createTempDirectory("graft-orders-feed").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.feedCounts(StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_feed", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def dayStr(v: Any) = String.valueOf(v).take(10)
+    val gapsS = graft.ops.EventTime.gapsFinish(counts).collect()
+      .map(r => (r.getString(0), dayStr(r.get(1)), r.getLong(2))).toSet
+    val gapsB = SparkEntry.queries("q_calendar_gaps")(spark, sfDir).collect()
+      .map(r => (r.getString(0), dayStr(r.get(1)), r.getLong(2))).toSet
+    assert(gapsB.nonEmpty && gapsS === gapsB,
+      "drained feed census diverged from batch calendar gaps")
+    val freshS = graft.ops.EventTime.freshnessFinish(counts).collect()
+      .map(r => (r.getString(0), dayStr(r.get(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val freshB = SparkEntry.queries("q_freshness")(spark, sfDir).collect()
+      .map(r => (r.getString(0), dayStr(r.get(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(freshB.nonEmpty && freshS === freshB,
+      "drained feed census diverged from batch freshness")
+  }
+
   test("drained lang census finishes to batch q_chi2 exactly") {
     // the SAME Complete-mode (source, lang) census state as the TVD
     // twin, finished through the chi2 lens — one state, two readouts
