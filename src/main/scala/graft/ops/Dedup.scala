@@ -466,6 +466,28 @@ object Dedup {
                 (u = min(r)) AS is_rep
               FROM walk GROUP BY u ORDER BY doc_id""")),
 
+    // ── dup-cluster size histogram (dedup observability) ─────────────────
+    // The readout a dedup stage is judged by: how big are the duplicate
+    // clusters (many pairs vs a few giant boilerplate blobs drive very
+    // different dedup-rate expectations). Reuses the MEMOIZED cluster
+    // labels artifact — this query adds two census-sized aggs on top of
+    // work q_dup_clusters already paid, nothing corpus-sized runs
+    // again. Output bounded by the largest cluster size.
+    Q("q_dup_size_hist",
+      (s, dir) => dupClusters(s, dir)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      Some(s"""WITH RECURSIVE $ClusterCtes,
+              clab AS (SELECT u, min(r) AS rep FROM walk GROUP BY u),
+              csz AS (SELECT rep, CAST(count(*) AS BIGINT)
+                  AS cluster_size
+                FROM clab GROUP BY rep)
+              SELECT cluster_size, count(*) AS n_clusters
+              FROM csz GROUP BY 1 ORDER BY cluster_size""")),
+
     // ── end-to-end dedup output: the surviving corpus ────────────────────
     // What a dedup stage actually EMITS: one canonical doc per exact-
     // hash group (min doc_id, with its collapse count), minus every

@@ -1323,6 +1323,54 @@ object EventTime {
     // census FIRST; the global max is a 1-row broadcast (the
     // q_histogram_numeric stats pattern); output is ≤ priorities rows.
     // All integer except the one guarded week-over-week division.
+    // ── error-rate SLI with trailing-7-day burn rate ─────────────────────
+    // The SRE readout over the event stream: per-day error share plus
+    // the 7-ROW trailing error budget burn against a fixed 1% SLO.
+    // Events collapse in the (day, total, errors) census FIRST (the
+    // error flag folds map-side); both trailing sums are one rows-frame
+    // window on the calendar-bounded census — rows-based on BOTH
+    // engines, so calendar gaps cannot desynchronize the frames. Counts
+    // exact int64; the two rates are identical division chains.
+    Q("q_error_burn",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_err"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        days
+          .select(col("day"), col("n_total"), col("n_err"),
+            sum(col("n_err")).over(w).as("err7"),
+            sum(col("n_total")).over(w).as("tot7"))
+          .select(col("day"), col("n_total"), col("n_err"),
+            col("err7"), col("tot7"),
+            (col("n_err").cast("double") / col("n_total").cast("double"))
+              .as("err_rate"),
+            (col("err7").cast("double") / col("tot7").cast("double")
+              / lit(0.01)).as("burn_rate"))
+          .orderBy("day")
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', ts) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n_total,
+                  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_err
+                FROM events GROUP BY 1),
+              wnd AS (
+                SELECT day, n_total, n_err,
+                  CAST(SUM(n_err) OVER w AS BIGINT) AS err7,
+                  CAST(SUM(n_total) OVER w AS BIGINT) AS tot7
+                FROM days
+                WINDOW w AS (ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+              SELECT day, n_total, n_err, err7, tot7,
+                CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE)
+                  AS err_rate,
+                CAST(err7 AS DOUBLE) / CAST(tot7 AS DOUBLE) / 0.01
+                  AS burn_rate
+              FROM wnd ORDER BY day""")),
+
     Q("q_freshness",
       (s, dir) => freshnessFinish(feedDaily(t(s, dir, "orders"))),
       Some("""WITH days AS (

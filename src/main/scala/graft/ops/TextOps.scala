@@ -1206,7 +1206,47 @@ object TextOps {
                   / CAST(n_tokens AS DOUBLE) AS simpson,
                 1.0 / (CAST(sum_c2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                   / CAST(n_tokens AS DOUBLE)) AS eff_vocab
-              FROM m ORDER BY source"""))
+              FROM m ORDER BY source""")),
+
+    // ── Zipf rank-frequency head (vocabulary distribution diagnostic) ────
+    // The tokenizer-design readout: the top-100 token frequencies with
+    // their ratio to rank 1 — how steep this corpus's Zipf curve is
+    // (steep head → small vocab suffices; fat head → stopword handling
+    // dominates). One vocab-sized census; the head cut is ORDER BY +
+    // LIMIT (per-partition heaps — TakeOrderedAndProject, never a
+    // census-wide sort); the rank window runs on the 100-row head.
+    // Ties pinned (cnt DESC, token); ratio base is max(cnt) — tie-
+    // invariant because it is a VALUE, not a row.
+    Q("q_zipf_fit",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val top = census.orderBy(col("cnt").desc, col("tok")).limit(100)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+              .cast("long"))
+        top.crossJoin(broadcast(census.agg(max(col("cnt")).as("c1"))))
+          .select(col("rank"), col("tok"), col("cnt"),
+            (col("cnt").cast("double") / col("c1").cast("double"))
+              .as("ratio"))
+          .orderBy("rank")
+      },
+      Some("""WITH census AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY 1),
+              top AS (
+                SELECT tok, cnt,
+                  CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+                    AS BIGINT) AS rank
+                FROM census ORDER BY cnt DESC, tok LIMIT 100),
+              m AS (SELECT MAX(cnt) AS c1 FROM census)
+              SELECT rank, tok, cnt,
+                CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE) AS ratio
+              FROM top, m ORDER BY rank"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
