@@ -133,6 +133,28 @@ object Layout {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS revenue
               FROM orders WHERE year(o_orderdate) = 1995
-              GROUP BY 1 ORDER BY month"""))
+              GROUP BY 1 ORDER BY month""")),
+
+    // ── shuffle-free aggregation on the bucketed layout ──────────────────
+    // The SECOND bucketing dividend: a groupBy on the bucket key needs
+    // NO exchange at all — the scan's hash partitioning already
+    // satisfies the aggregation's distribution, so per-customer stats
+    // run as a single mapper pass over co-located buckets (PlanGuard
+    // asserts zero hash Exchanges; only the output ORDER BY range-
+    // exchanges). At 100 TB this turns the most common fact rollup
+    // from a full shuffle into a scan.
+    Q("q_bucket_agg",
+      (s, dir) => {
+        val (to, _) = bucketedTables(s, dir)
+        s.table(to)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sumDec2(col("o_totalprice")).as("revenue"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+              FROM orders GROUP BY 1 ORDER BY o_custkey"""))
   )
 }

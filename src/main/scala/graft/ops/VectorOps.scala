@@ -454,7 +454,48 @@ object VectorOps {
           .select(col("vec_id"), col("cent_id"))
           .orderBy("vec_id")
       },
-      None)
+      None),
+
+    // ── per-label embedding-norm percentile profile ──────────────────────
+    // The embedding-QA readout (collapsed vectors, un-normalized feeds,
+    // label-conditional scale drift show up here first): exact p50/p90
+    // of ‖v‖² per label. Norm² via the codegen'd index-order graft_dot
+    // fold — the established cross-engine bit-stable FP pattern
+    // (q_similarity_topk's oracle discipline), and rank selection picks
+    // VALUES so sqrt is unnecessary (monotone). The rank over the
+    // corpus-sized frame under a small label key rides RangeRank's
+    // 2-pass; quantile picks are the q_mad ceil-rank formula.
+    Q("q_norm_profile",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"), norm2(col("embedding")).as("n2"))
+        graft.ops.RangeRank.ranked(emb, groupCols = Seq("label"),
+            sortCols = Seq(col("n2"), col("vec_id")))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(max(col("n")).as("n_vecs"),
+            max(when(col("rn") === ceil(col("n") * 0.5), col("n2")))
+              .as("p50_n2"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("n2")))
+              .as("p90_n2"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (
+                SELECT label, vec_id,
+                  ${duckDot("embedding", "embedding")} AS n2
+                FROM embeddings),
+              r AS (
+                SELECT label, n2,
+                  CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY n2, vec_id) AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY label)
+                    AS BIGINT) AS n
+                FROM e)
+              SELECT CAST(label AS BIGINT) AS label,
+                CAST(MAX(n) AS BIGINT) AS n_vecs,
+                MAX(CASE WHEN rn = CEIL(n * 0.5) THEN n2 END) AS p50_n2,
+                MAX(CASE WHEN rn = CEIL(n * 0.9) THEN n2 END) AS p90_n2
+              FROM r GROUP BY 1 ORDER BY label"""))
   )
 
   /** IVF cell count for a corpus of n vectors: ⌈√n⌉ with a floor of 16.

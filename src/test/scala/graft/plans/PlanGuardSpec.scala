@@ -410,7 +410,7 @@ class PlanGuardSpec extends SparkSpec {
     val family = Seq("q_percentile_disc", "q_percentile_cont", "q_mad",
       "q_winsorize", "q_feature_binning", "q_quantile_norm",
       "q_sequence_pack", "q_gini", "q_template_mining",
-      "q_weighted_median", "q_top_share")
+      "q_weighted_median", "q_top_share", "q_norm_profile")
     for (q <- family) {
       val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$q lost its rank windows entirely")
@@ -446,6 +446,15 @@ class PlanGuardSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(ex).size
     assert(hashEx <= 1,
       s"bucketed join still shuffles ($hashEx hash exchanges — expected ≤1 for the agg)")
+  }
+
+  test("q_bucket_agg: bucket-key aggregation runs with ZERO hash exchanges") {
+    // the scan's hash partitioning satisfies the aggregation's
+    // distribution — the most common fact rollup becomes a scan
+    val ex = formatted("q_bucket_agg")
+    assert(ex.contains("Bucketed: true"), "agg does not read the bucketed scan")
+    assert(!ex.contains("Exchange hashpartitioning"),
+      "bucket-key aggregation still shuffles")
   }
 
   test("q_partition_prune: the year predicate prunes at the directory level") {
