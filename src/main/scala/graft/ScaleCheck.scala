@@ -76,7 +76,12 @@ object ScaleCheck {
     // round-4 second batch: x7 row-local fan-out rolling distinct,
     // RangeRank percentile-cut concentration, cross-source shingle
     // overlap (corpus-sized census + row-local pair fan-out)
-    "q_rolling_distinct", "q_top_share", "q_source_overlap")
+    "q_rolling_distinct", "q_top_share", "q_source_overlap",
+    // round-4 closing batch: SLI day census, vocab head cut, cluster
+    // histogram over the shared artifact, zero-exchange bucket rollup,
+    // corpus-scale norm ranks
+    "q_error_burn", "q_zipf_fit", "q_dup_size_hist",
+    "q_bucket_agg", "q_norm_profile")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
