@@ -1332,25 +1332,7 @@ object EventTime {
     // engines, so calendar gaps cannot desynchronize the frames. Counts
     // exact int64; the two rates are identical division chains.
     Q("q_error_burn",
-      (s, dir) => {
-        val days = t(s, dir, "events")
-          .groupBy(date_trunc("day", col("ts")).as("day"))
-          .agg(count(lit(1)).as("n_total"),
-            sum(when(col("event_type") === "error", 1L).otherwise(0L))
-              .as("n_err"))
-        val w = Window.orderBy("day").rowsBetween(-6, 0)
-        days
-          .select(col("day"), col("n_total"), col("n_err"),
-            sum(col("n_err")).over(w).as("err7"),
-            sum(col("n_total")).over(w).as("tot7"))
-          .select(col("day"), col("n_total"), col("n_err"),
-            col("err7"), col("tot7"),
-            (col("n_err").cast("double") / col("n_total").cast("double"))
-              .as("err_rate"),
-            (col("err7").cast("double") / col("tot7").cast("double")
-              / lit(0.01)).as("burn_rate"))
-          .orderBy("day")
-      },
+      (s, dir) => errorFinish(errorDaily(t(s, dir, "events"))),
       Some("""WITH days AS (
                 SELECT date_trunc('day', ts) AS day,
                   CAST(COUNT(*) AS BIGINT) AS n_total,
@@ -1415,6 +1397,35 @@ object EventTime {
     * calendar-bounded frame — the corpus-sized work all happened in
     * [[cusumDaily]].
     */
+  /** Error-SLI sufficient statistic: the per-day (total, errors) count
+    * census — mergeable Complete-mode state bounded by the calendar,
+    * same contract as [[feedDaily]].
+    */
+  def errorDaily(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+
+  /** Burn-rate readout of [[errorDaily]]: trailing-7-ROW sums on the
+    * calendar-bounded census; exact counts, two identical division
+    * chains — drained streaming state finishes to batch bit-for-bit.
+    */
+  def errorFinish(days: DataFrame): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    days
+      .select(col("day"), col("n_total"), col("n_err"),
+        sum(col("n_err")).over(w).as("err7"),
+        sum(col("n_total")).over(w).as("tot7"))
+      .select(col("day"), col("n_total"), col("n_err"),
+        col("err7"), col("tot7"),
+        (col("n_err").cast("double") / col("n_total").cast("double"))
+          .as("err_rate"),
+        (col("err7").cast("double") / col("tot7").cast("double")
+          / lit(0.01)).as("burn_rate"))
+      .orderBy("day")
+  }
+
   /** Shared feed-health sufficient statistic: the (priority, day) order-
     * count census. Mergeable Complete-mode state bounded by priorities ×
     * calendar days — ONE state, TWO readouts ([[gapsFinish]],

@@ -663,6 +663,16 @@ object StreamingOps {
   def feedCounts(orders: DataFrame): DataFrame =
     graft.ops.EventTime.feedDaily(orders)
 
+  /** Streaming half of q_error_burn — the live error-budget monitor.
+    * The per-day (total, errors) census is mergeable Complete-mode
+    * state bounded by the calendar; counts are exact, so
+    * [[graft.ops.EventTime.errorFinish]] over the drained state equals
+    * batch q_error_burn EXACTLY at any trigger — the burn-rate alert
+    * re-scores each micro-batch without an event-history rescan.
+    */
+  def errorCounts(events: DataFrame): DataFrame =
+    graft.ops.EventTime.errorDaily(events)
+
   /** Streaming half of q_rolling_median — the live robust-smoother
     * monitor. The per-day revenue census is mergeable Complete-mode
     * state bounded by the calendar; all-integer, so

@@ -518,6 +518,29 @@ class StreamingSpec extends SparkSpec {
       "drained day census diverged from batch rolling median")
   }
 
+  test("drained error census finishes to batch q_error_burn exactly") {
+    // per-day (total, errors) Complete-mode state; exact counts, so the
+    // trailing-7 burn-rate finish is bit-equal to batch at any trigger
+    val dir = Files.createTempDirectory("graft-events-err").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.errorCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_err", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      (String.valueOf(r.get(0)).take(10), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+    val streamed = graft.ops.EventTime.errorFinish(counts).collect()
+      .map(key).toSet
+    val batch = SparkEntry.queries("q_error_burn")(spark, sfDir).collect()
+      .map(key).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained error census diverged from batch error burn")
+  }
+
   test("drained feed census finishes to batch q_calendar_gaps AND q_freshness") {
     // ONE Complete-mode (priority, day) state, TWO readouts — the
     // chi2/tvd shared-census discipline applied to ingest monitoring
