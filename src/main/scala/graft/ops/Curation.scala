@@ -49,8 +49,15 @@ object Curation {
     * happened in [[tvdCounts]].
     */
   def tvdFinish(counts0: DataFrame): DataFrame = {
+    // persist: the census feeds FOUR consumers (the scalar-n action,
+    // per-source totals, per-lang totals, and the dense-grid left join).
+    // Un-persisted, each re-runs the corpus-sized count subtree — the
+    // same double-paid-subtree class q_tfidf fixed. The frame itself is
+    // catalog-bounded (sources × langs), so caching it is free; the n
+    // action below is what materializes it, so the corpus is scanned
+    // exactly once per drift query.
     val counts = counts0.select(col("source"), col("lang"),
-      col("a").cast("long").as("a"))
+      col("a").cast("long").as("a")).persist()
     val n = counts.agg(sum(col("a"))).head.getLong(0)
     val perSrc = counts.groupBy("source").agg(sum(col("a")).as("n_src"))
     val perLang = counts.groupBy("lang").agg(sum(col("a")).as("n_lang"))
@@ -79,8 +86,10 @@ object Curation {
     * sized; the corpus-sized work all happened in [[ksCounts]].
     */
   def ksFinish(counts0: DataFrame): DataFrame = {
+    // persist: same four-consumer census as [[tvdFinish]] — the scalar-n
+    // action materializes it, so the corpus is scanned exactly once.
     val counts = counts0.select(col("source"), col("v"),
-      col("c").cast("long").as("c"))
+      col("c").cast("long").as("c")).persist()
     val n = counts.agg(sum(col("c")).cast("long")).head.getLong(0)
     val grid = counts.select("source").distinct()
       .crossJoin(counts.select("v").distinct())
@@ -118,8 +127,10 @@ object Curation {
     * here runs on the |sources|×|langs| grid.
     */
   def chi2Finish(counts0: DataFrame): DataFrame = {
+    // persist: the census feeds n, per-source, per-lang, dims, AND the
+    // cell join — five consumers; materialized once by the n action.
     val counts = counts0.select(col("source"), col("lang"),
-      col("a").cast("long").as("o"))
+      col("a").cast("long").as("o")).persist()
     val n = counts.agg(sum(col("o"))).head.getLong(0)
     val perSrc = counts.groupBy("source").agg(sum(col("o")).as("r"))
     val perLang = counts.groupBy("lang").agg(sum(col("o")).as("c"))
@@ -804,8 +815,11 @@ object Curation {
     // catalog-bounded.
     Q("q_wasserstein",
       (s, dir) => {
+        // persist: same multi-consumer census shape as ksFinish — the
+        // n action materializes it; one corpus scan for the whole query.
         val counts = ksCounts(t(s, dir, "documents"))
           .select(col("source"), col("v"), col("c").cast("long").as("c"))
+          .persist()
         val n = counts.agg(sum(col("c"))).head.getLong(0)
         val grid = counts.select("source").distinct()
           .crossJoin(counts.select("v").distinct())

@@ -3040,8 +3040,12 @@ object Relational {
             .as("cents"))
         val wr = Window.partitionBy("yr")
           .orderBy(col("cents").desc, col("n_name"))
+        // persist: rk is nation×year-bounded but sits on the corpus-sized
+        // 3-join rev subtree, and the rk self-join plus the adj self-join
+        // below reference it 4× — cached, the fact tables are scanned once.
         val rk = rev.select(col("n_name"), col("yr"),
           row_number().over(wr).cast("long").as("rk"))
+          .persist()
         val adj = rk.as("a").join(rk.as("b"),
             col("a.n_name") === col("b.n_name")
               && col("b.yr") === col("a.yr") + 1)
