@@ -35,7 +35,15 @@ object Layout {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Artifact paths and catalog names carry the JVM pid: the in-memory
+    * memos below are per-JVM anyway (no cross-JVM artifact reuse ever
+    * existed), while a FIXED path would let a second JVM running the
+    * same dir overwrite bucket files mid-query in the first.
+    */
+  private val jvmTag = ProcessHandle.current().pid().toString
+
+  private def tag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + jvmTag
 
   /** Bucketed orders/customer tables, hash-bucketed 8-ways on the join
     * key and sorted within buckets; one file per bucket (the repartition
@@ -64,6 +72,39 @@ object Layout {
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$path/customer").saveAsTable(tc)
       (to, tc)
+    })
+
+  /** Bucketed lineitem/orders layout on the ORDERKEY — the fact-fact
+    * case. The custkey layout above co-locates a fact with a dimension;
+    * this one co-locates the two largest tables in the schema on the
+    * single most expensive join key in the TPC-H-shape family (every
+    * Q3/Q18-style drill-down pays the lineitem⋈orders shuffle — at
+    * 100 TB it IS the workload's dominant exchange, and the analog of
+    * the reference's entire shuffle phase, reference
+    * `JobContext.cpp:80-124`). Both sides hash-bucketed 8-ways on the
+    * orderkey, sorted within buckets, one file per bucket.
+    */
+  private val factMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def bucketedFactTables(s: SparkSession, dir: String): (String, String) =
+    factMemo.computeIfAbsent((s, dir), _ => {
+      val tg = tag(dir)
+      val (tl, to) = (s"graft_bkt_lineitem_$tg", s"graft_bkt_ford_$tg")
+      val path = s"/tmp/graft-bucketed/$tg"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$path/lineitem").saveAsTable(tl)
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$path/ford").saveAsTable(to)
+      (tl, to)
     })
 
   /** Partition-pruned orders layout: directory-partitioned by order year.
@@ -111,6 +152,41 @@ object Layout {
                   AS revenue
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // ── bucketed FACT-FACT join: the Q18 drill-down, exchange-free ──────
+    // lineitem ⋈ orders on the orderkey with BOTH facts bucketed on it,
+    // and the groupBy key IS the bucket key — so the join reads
+    // co-located buckets AND the aggregation's distribution is already
+    // satisfied by the scan: the whole large-order drill-down (orders
+    // whose total quantity ≥ 250, TPC-H Q18 shape) runs with ZERO hash
+    // exchanges; only the output ORDER BY range-partitions the ≤1%
+    // survivor set. PlanGuard pins both properties. At 100 TB this is
+    // the single largest shuffle in the workload family, deleted by
+    // layout: two corpus-sized exchanges (join re-shuffle of each fact)
+    // plus one agg exchange → zero.
+    Q("q_join_bucketed_fact",
+      (s, dir) => {
+        val (tl, to) = bucketedFactTables(s, dir)
+        s.table(tl)
+          .join(s.table(to).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .agg(sumDec2(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+          .filter(col("sum_qty") >= 250.0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("sum_qty"), col("n_lines"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                count(*) AS n_lines
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2, 3
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                >= 250.0
+              ORDER BY o_orderkey""")),
 
     // ── partition-pruned scan ────────────────────────────────────────────
     // Directory partitioning by year + a year predicate: the filter

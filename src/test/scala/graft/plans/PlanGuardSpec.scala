@@ -485,6 +485,22 @@ class PlanGuardSpec extends SparkSpec {
       "exchange detector is blind — control plan shows no hash exchange")
   }
 
+  test("q_join_bucketed_fact: fact-fact join AND agg run with zero hash exchanges") {
+    // both facts bucketed on the orderkey and the groupBy leads with the
+    // bucket key: the join reads co-located buckets and the scan's hash
+    // partitioning (subset of the group keys) satisfies the aggregation —
+    // the Q18 drill-down must plan with NO hash exchange at all; only
+    // the output ORDER BY range-partitions the survivor set
+    val ex = formatted("q_join_bucketed_fact")
+    assert("Bucketed: true".r.findAllIn(ex).size >= 2,
+      "fact join sides are not read as bucketed scans")
+    assert(ex.contains("SortMergeJoin"),
+      "bucketed fact join lost its SMJ (merge hint) shape")
+    val plan = qe("q_join_bucketed_fact").executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed fact-fact drill-down still hash-shuffles:\n$plan")
+  }
+
   test("q_bucket_agg: bucket-key aggregation runs with ZERO hash exchanges") {
     // the scan's hash partitioning satisfies the aggregation's
     // distribution — the most common fact rollup becomes a scan
