@@ -42,6 +42,53 @@ object Graph {
       .unionByName(cs.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** q_kcore's input edge list with the round invariant established:
+    * hash-partitioned by src, lineage cut. Package-private so the plan
+    * guards can drive [[kcoreRound]] with the real input shape.
+    */
+  private[graft] def kcoreEdges(s: SparkSession, dir: String): DataFrame = {
+    // persist + materialize, NOT localCheckpoint: the checkpointed RDD
+    // loses its partitioning under AQE (Scan ExistingRDD reports
+    // Unknown, so every census re-exchanges), and an UN-materialized
+    // cache does too (the cached AdaptiveSparkPlan is not final yet).
+    // Once counted, the cache reports hashpartitioning(src) and
+    // downstream rounds plan their census/src-semi exchange-free.
+    // Three fixed rounds stay far below the lineage depth that forces
+    // checkpointing in ccStar/pagerank.
+    val e = bipartiteEdges(s, dir).repartition(col("src")).persist()
+    e.count()
+    e
+  }
+
+  /** One k-core peel round over a SYMMETRIC, src-hash-partitioned edge
+    * list — exposed (package-private) so the plan guards can assert on
+    * an UN-checkpointed round (the q_kcore body checkpoints every round,
+    * truncating lineage, which made analyzed-plan asserts vacuous).
+    *
+    * Exchange budget: the degree census and the src-side semi-join both
+    * ride the input's src partitioning (zero edge-scale exchanges); the
+    * dst-side semi-join is the round's ONE edge-scale shuffle. The
+    * closing endpoint swap restores the invariant for free: the peel
+    * filter (src∈K ∧ dst∈K) is symmetric, so on a symmetric edge list
+    * the swapped frame is the SAME edge set — but it leaves the round
+    * already hash-partitioned by its new src (the dst-semi's shuffle
+    * output), so the next round's census re-exchanges nothing.
+    */
+  private[graft] def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
+    // checkpoint the NODE-sized keep set: it feeds BOTH endpoint
+    // semi-joins, and without the cut the degree census would be
+    // planned twice per round
+    val keep = edges.groupBy("src")
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("src").as("node"))
+      .localCheckpoint(true)
+    edges
+      .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .select(col("dst").as("src"), col("src").as("dst"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── PageRank, 5 exact-integer iterations ─────────────────────────────
@@ -376,21 +423,17 @@ object Graph {
     Q("q_kcore",
       (s, dir) => {
         val k = 8
-        var edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        // establish the round invariant ONCE: edges hash-partitioned by
+        // src. Every round's census + src-semi then ride it exchange-free
+        // ([[kcoreRound]]), and the endpoint swap re-establishes it from
+        // the dst-semi's own shuffle — 1 edge-scale exchange per round,
+        // down from 3.
+        var edges = kcoreEdges(s, dir)
         val rounds = (1 to 3).map { r =>
-          // checkpoint the NODE-sized keep set: it feeds BOTH endpoint
-          // semi-joins, and without the cut the degree census (a full
-          // edge-list shuffle) would be planned twice per round
-          val keep = edges.groupBy("src")
-            .agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= k)
-            .select(col("src").as("node"))
-            .localCheckpoint(true)
-          edges = edges
-            .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(true)
+          edges = kcoreRound(edges, k).persist()
+          // materialize so the NEXT round's census/src-semi see the
+          // final cached partitioning (pre-final caches report Unknown)
+          edges.count()
           edges.agg(
             countDistinct(when(col("src") % 2 === 0, col("src")))
               .as("n_cust"),

@@ -15,6 +15,21 @@ class PlanGuardSpec extends SparkSpec {
   private def formatted(name: String): String =
     qe(name).explainString(ExplainMode.fromString("formatted"))
 
+  /** Plan text with cached subtrees removed: everything indented under an
+    * InMemoryRelation line is that cache's own (already-materialized)
+    * build plan — its exchanges executed once at cache build and must
+    * not count against a CONSUMER's exchange budget.
+    */
+  private def aboveCache(plan: String): String = {
+    var skipIndent = -1
+    plan.linesIterator.filter { l =>
+      val indent = math.max(l.indexWhere(c => !c.isWhitespace && c != ':'), 0)
+      if (skipIndent >= 0 && indent > skipIndent) false
+      else if (l.contains("InMemoryRelation")) { skipIndent = indent; true }
+      else { skipIndent = -1; true }
+    }.mkString("\n")
+  }
+
   test("bounded-heap top-k paths plan without any window operator") {
     for (q <- Seq("q_similarity_topk", "q_ann_ivf", "q_topk_per_group", "q_knn_graph"))
       assert(!qe(q).executedPlan.toString.contains("Window"),
@@ -532,9 +547,40 @@ class PlanGuardSpec extends SparkSpec {
       "rolling-median window reads raw orders instead of the day census"))
   }
 
-  test("q_kcore peel rounds carry no broadcast hints (keep-sets scale with nodes)") {
+  test("q_kcore peel round: no hints, census rides the src partitioning, 1 edge exchange") {
+    // assert on ONE un-checkpointed round over the real (src-partitioned,
+    // checkpointed) input — the q_kcore body checkpoints every round,
+    // truncating lineage, so asserts on the full query were vacuous
+    import graft.ops.Graph
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val hints = qe("q_kcore").analyzed.collect { case h: ResolvedHint => h }
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val edges = Graph.kcoreEdges(spark, sfDir)
+    // the degree census must ride the input partitioning: zero exchanges
+    val census = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    assert(!aboveCache(census.queryExecution.executedPlan.toString)
+      .contains("Exchange hashpartitioning"),
+      "k-core degree census re-shuffles the src-partitioned edge list")
+    val round = Graph.kcoreRound(edges, 8)
+    val hints = round.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(hints.isEmpty, s"k-core hints a population-scaling side: $hints")
+    // exchange budget: the dst-semi's edge-scale shuffle + its keep side;
+    // the src-semi must ride the shared partitioning on the edges side
+    val plan = aboveCache(round.queryExecution.executedPlan.toString)
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex <= 3, s"k-core round exchanges grew past the dst-semi budget:\n$plan")
+    // the round budget is regime-dual: in the SMJ regime (node-scale
+    // keeps at real SF) the dst-semi's shuffle carries the endpoint swap
+    // and the NEXT census is free; in the BHJ regime (broadcast keeps at
+    // test SF) the semis are shuffle-free and the next census pays the
+    // round's one edge-scale exchange. Either way: ≤1 per round, down
+    // from 3 (census + both semi sides) before round 5.
+    val next = round.persist()
+    next.count()
+    val nextCensus = next.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nextEx = "Exchange hashpartitioning".r
+      .findAllIn(aboveCache(nextCensus.queryExecution.executedPlan.toString)).size
+    assert(nextEx <= 1,
+      s"next-round census pays $nextEx exchanges — the round budget broke")
+    next.unpersist()
   }
 }
