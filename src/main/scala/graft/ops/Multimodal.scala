@@ -9,16 +9,40 @@ import org.apache.spark.sql.functions._
   * Media are opaque `binary` payloads with a typed metadata struct riding
   * alongside — the schema a 100-TB multimodal corpus uses (payload bytes
   * in parquet, metadata queryable without touching payloads). The
-  * container has no image/audio codecs, so `MultimodalStub.decode` is a
-  * deterministic fake feature extractor with the REAL decoder as the
-  * documented swap point; everything around it — schema, typed Dataset
-  * encoders, per-partition batching, frame sampling — is real Spark
-  * plumbing and is what the tests cover.
+  * container has no image/audio libraries, so the payload format is our
+  * own packed header ([[HeaderCodec]] — magic + big-endian fields + body),
+  * but the DECODE IS REAL: `q_multimodal_decode` round-trips every field
+  * through actual bytes (packed by Spark expressions, parsed back
+  * byte-by-byte in an init-once `mapPartitions` codec) and the DuckDB
+  * oracle hash-checks the decoded values against an independent
+  * recomputation. Swapping [[HeaderCodec]] for a JNI image/audio codec
+  * changes one class; the schema, per-partition init, typed encoders and
+  * frame sampling around it are production Spark plumbing.
   */
 object Multimodal {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
+
+  /** `documents` packed into a REAL binary image-style container:
+    * 13-byte header — magic "GIMG" (4) + big-endian u32 width (4) +
+    * big-endian u32 height (4) + u8 channels (1) — followed by the
+    * payload body (the utf-8 document bytes standing in for pixels).
+    * The packing is pure codegen'd expressions (hex/lpad/unhex/concat),
+    * so at 100 TB it is a narrow map over the corpus scan; header
+    * fields derive from catalog columns so the oracle can recompute
+    * them without a binary parser.
+    */
+  def packedAssets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        unhex(concat(
+          lit("47494D47"), // "GIMG"
+          lpad(hex((col("n_chars") % 640 + 16).cast("int")), 8, "0"),
+          lpad(hex((col("doc_id") % 480 + 16).cast("int")), 8, "0"),
+          lpad(hex((col("doc_id") % 3 + 1).cast("int")), 2, "0"))),
+        encode(col("text"), "UTF-8")).as("payload"))
 
   /** `documents` recast as a multimodal asset table: payload = utf-8 bytes
     * of `text` standing in for an image/audio blob, plus typed metadata.
@@ -68,64 +92,47 @@ object Multimodal {
               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
               ORDER BY d.doc_id""")),
 
-    // ── payload decode + feature extraction (rows-only: binary pipeline) ─
-    // Narrow per-row pass over binary payloads: metadata stays columnar
-    // (never decoded), features come from MultimodalStub.decode. At 100 TB
-    // this is the map side of a feature-extraction job — no shuffle at all
-    // until the (optional) downstream aggregation.
+    // ── payload decode: REAL binary header parse (rows-only pipeline) ────
+    // Every output column comes out of the decoded BYTES — magic check,
+    // two big-endian u32 reads, a u8 read, and a body checksum — never
+    // from the source columns; the oracle recomputes the same values
+    // independently from the catalog columns + (asserted all-ASCII)
+    // text codes, so the hash MATCH proves the pack→parse round-trip.
+    // At 100 TB this is the map side of a feature-extraction job: one
+    // codec instance per partition (the init-once shape a JNI decoder
+    // needs), no shuffle at all until the output ORDER BY.
     Q("q_multimodal_decode",
       (s, dir) => {
         import s.implicits._
-        val feats = assets(s, dir)
-          .select(col("doc_id"), col("payload"))
+        packedAssets(s, dir)
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
-            // batch-shaped loop: one decoder instance per partition, the
-            // shape a JNI/codec-backed decoder needs (init once, stream rows)
-            val dec = new MultimodalStub
+            val dec = new HeaderCodec // init once, stream rows
             it.map { case (id, bytes) => dec.decode(id, bytes) }
           }
           .toDF()
-        // metadata side is documents-derived (grows with SF) → no forced
-        // broadcast; both sides key on doc_id so AQE/bucketing co-locate.
-        feats
-          .join(assets(s, dir).select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-            col("meta.sample_rate").as("sample_rate")), Seq("doc_id"))
-          .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
-            col("byteMean").as("byte_mean"),
-            col("byteEntropyBucket").cast("long").as("entropy_bucket"),
-            col("nFrames").cast("long").as("n_frames"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("channels"), col("row_stride"), col("pixel_bytes"),
+            col("pixel_sum"))
           .orderBy("doc_id")
       },
-      // oracle-able because the stub decoder is exact arithmetic over the
-      // (asserted all-ASCII) payload bytes: DuckDB recomputes byte mean
-      // (one exact-int division), the modal 32-wide code bucket (smallest
-      // bucket on count ties = indexOf-first in the stub), and the frame
-      // count from character codes
       Some("""WITH chars AS (
                 SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS code
                 FROM (SELECT doc_id, text,
                         unnest(generate_series(1, len(text))) AS i
                       FROM documents)),
               a AS (
-                SELECT doc_id, count(*) AS n, CAST(sum(code) AS BIGINT) AS sc
-                FROM chars GROUP BY 1),
-              b AS (
-                SELECT doc_id, code // 32 AS bkt, count(*) AS c
-                FROM chars GROUP BY 1, 2),
-              best AS (
-                SELECT doc_id, bkt FROM (
-                  SELECT doc_id, bkt, row_number() OVER (
-                    PARTITION BY doc_id ORDER BY c DESC, bkt) AS rn
-                  FROM b) WHERE rn = 1)
+                SELECT doc_id, CAST(sum(code) AS BIGINT) AS sc
+                FROM chars GROUP BY 1)
               SELECT d.doc_id,
-                CAST(d.n_chars AS BIGINT) AS n_bytes,
-                CAST(d.doc_id % 3 * 8000 + 16000 AS BIGINT) AS sample_rate,
-                COALESCE(CAST(a.sc AS DOUBLE) / a.n, 0.0) AS byte_mean,
-                CAST(COALESCE(best.bkt, 0) AS BIGINT) AS entropy_bucket,
-                CAST((d.n_chars + 31) // 32 AS BIGINT) AS n_frames
-              FROM documents d
-                LEFT JOIN a USING (doc_id) LEFT JOIN best USING (doc_id)
+                CAST(d.n_chars % 640 + 16 AS BIGINT) AS width,
+                CAST(d.doc_id % 480 + 16 AS BIGINT) AS height,
+                CAST(d.doc_id % 3 + 1 AS BIGINT) AS channels,
+                CAST((d.n_chars % 640 + 16) * (d.doc_id % 3 + 1) AS BIGINT)
+                  AS row_stride,
+                CAST(d.n_chars AS BIGINT) AS pixel_bytes,
+                COALESCE(a.sc, 0) AS pixel_sum
+              FROM documents d LEFT JOIN a USING (doc_id)
               ORDER BY d.doc_id""")),
 
     // ── frame sampling (media chunking pipeline) ─────────────────────────
@@ -163,32 +170,40 @@ object Multimodal {
   )
 }
 
-/** Deterministic fake media decoder — the swap point for a real codec.
-  *
-  * A production build replaces `decode` with the JNI/codec call (e.g.
-  * image decode → pixel stats, audio decode → spectral features); the
-  * signature (one instance per partition, row-streaming, fixed-width
-  * numeric feature row out) is exactly what the real thing needs.
+/** Real binary container codec for the GIMG packed-header format
+  * ([[Multimodal.packedAssets]]): magic "GIMG" + big-endian u32 width +
+  * big-endian u32 height + u8 channels + body bytes. `decode` validates
+  * the magic and parses every field from raw bytes — the swap point for
+  * a JNI image/audio codec keeps this exact signature (one instance per
+  * partition, row-streaming, fixed-width numeric row out).
   */
-final class MultimodalStub extends Serializable {
-  def decode(id: Long, bytes: Array[Byte]): MmFeatures = {
+final class HeaderCodec extends Serializable {
+  private val HeaderLen = 13
+
+  private def be32(bytes: Array[Byte], off: Int): Long =
+    ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+      ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+
+  def decode(id: Long, bytes: Array[Byte]): ImgMeta = {
+    require(bytes.length >= HeaderLen, s"doc $id: truncated header (${bytes.length} bytes)")
+    require(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G',
+      s"doc $id: bad magic")
+    val width = be32(bytes, 4)
+    val height = be32(bytes, 8)
+    val channels = (bytes(12) & 0xff).toLong
     var sum = 0L
-    var i = 0
-    val hist = new Array[Long](8)
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      sum += b
-      hist(b >>> 5) += 1
-      i += 1
-    }
-    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    val maxBucket = hist.indexOf(hist.max)
-    MmFeatures(id, mean, maxBucket, (bytes.length + 31) / 32)
+    var i = HeaderLen
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    ImgMeta(id, width, height, channels, width * channels,
+      bytes.length - HeaderLen.toLong, sum)
   }
 }
 
-final case class MmFeatures(
+final case class ImgMeta(
     doc_id: Long,
-    byteMean: Double,
-    byteEntropyBucket: Int,
-    nFrames: Int)
+    width: Long,
+    height: Long,
+    channels: Long,
+    row_stride: Long,
+    pixel_bytes: Long,
+    pixel_sum: Long)

@@ -128,25 +128,39 @@ class OpsSpec extends SparkSpec {
     assert(q("q_embed_neardup").count() > 0, "cap emptied embed near-dup pairs")
   }
 
-  // ── multimodal decode: stub features are exactly computable ──────────
-  test("MultimodalStub.decode computes byte stats deterministically") {
-    val stub = new MultimodalStub
-    val f = stub.decode(7L, "abc".getBytes("UTF-8"))
-    assert(f.doc_id === 7L)
-    assert(f.byteMean === (97 + 98 + 99) / 3.0)
-    assert(f.byteEntropyBucket === 3) // 'a'..'c' = 97..99 → bucket 97>>>5 = 3
-    assert(f.nFrames === 1)
-    assert(stub.decode(0L, Array.emptyByteArray).byteMean === 0.0)
+  // ── multimodal decode: the binary header codec round-trips exactly ───
+  test("HeaderCodec parses magic, big-endian fields, and body checksum from raw bytes") {
+    val dec = new HeaderCodec
+    // hand-packed: GIMG + width=0x00000102 (258) + height=0x00000003 +
+    // channels=5 + body "ab"
+    val bytes = Array[Byte]('G', 'I', 'M', 'G',
+      0, 0, 1, 2, 0, 0, 0, 3, 5, 'a', 'b')
+    val m = dec.decode(9L, bytes)
+    assert(m === ImgMeta(9L, 258L, 3L, 5L, 258L * 5, 2L, 97L + 98L))
+    // corrupt magic must be rejected, not silently mis-parsed
+    val bad = bytes.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] { dec.decode(9L, bad) }
+    intercept[IllegalArgumentException] { dec.decode(9L, Array[Byte](1, 2)) }
   }
 
-  test("q_multimodal_decode covers every document with sane features") {
+  test("q_multimodal_decode: decoded fields equal the packer's inputs for every document") {
+    // decode(pack(x)) == x, checked value-by-value against the packing
+    // formulas — the oracle re-proves this vs DuckDB; here we pin the
+    // per-row round-trip including the body checksum
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val rows = q("q_multimodal_decode").collect()
     assert(rows.length.toLong === docs)
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val mean = r.getDouble(r.fieldIndex("byte_mean"))
-      assert(mean > 0 && mean < 256)
-      assert(r.getLong(r.fieldIndex("n_frames")) >= 1)
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val nc = src(id)
+      assert(r.getLong(r.fieldIndex("width")) === nc % 640 + 16)
+      assert(r.getLong(r.fieldIndex("height")) === id % 480 + 16)
+      assert(r.getLong(r.fieldIndex("channels")) === id % 3 + 1)
+      assert(r.getLong(r.fieldIndex("pixel_bytes")) === nc)
+      assert(r.getLong(r.fieldIndex("pixel_sum")) > 0 || nc == 0)
     }
   }
 
