@@ -54,11 +54,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] write: $e") }
       (System.nanoTime() - t0) / 1e9
     }.min
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 2-decimal times: centisecond resolution is below host noise, and
+    // the compact map keeps the ONE stdout JSON line short enough that a
+    // truncated log-tail capture still carries every query (r4's tail
+    // lost the front of the full-precision map)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"write":$writeSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"write":${f2(writeSec)},"sf":"$sfDir"}"""
     // also write the full JSON to a file: log-tail capture truncated the
     // round-2 per-query map, degrading the judge's evidence
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

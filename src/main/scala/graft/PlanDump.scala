@@ -34,7 +34,7 @@ object PlanDump {
     "q_repetition" -> "repetition signals: n-grams fan out ROW-LOCALLY (transform over the token array — no self-join) into (doc, gram)-keyed partial aggs",
     "q_funnel" -> "conversion funnel: each stage's event_type equality pushes into the parquet scan (stage k reads |that type| rows, not |events|); every shuffle keyed user_id, frontier frames are users-sized",
     "q_resample_ffill" -> "resample + forward fill: row-local spine sequence off a users-sized agg, (user, day) equi-join, running last-non-null window per user — nothing global, nothing quadratic",
-    "q_concurrency" -> "interval sweep: per-day partitions with a calendar-bounded broadcast carry table — the global ordered cumsum decomposes, no one-partition sort",
+    "q_concurrency" -> "interval sweep: per-HOUR partitions with a calendar-bounded broadcast carry table (day readout = max of hour peaks) — the global ordered cumsum decomposes, no one-partition sort",
     "q_pagerank" -> "PageRank round: ranks shuffle-join onto edges by src (never broadcast — ranks scale with nodes), partial-agg sum by dst; localCheckpoint scans between rounds keep lineage flat",
     "q_heavy_hitters" -> "heavy hitters: ONE graft_mg sketch agg (≤k counters per partial) + candidate-only exact count behind a constant-size broadcast — the open vocabulary never shuffles",
     "q_bloom_join" -> "bloom-pruned semi join: codegen'd xxhash64 bit probes filter the orders probe BELOW the exact semi join's exchange (observe() fences the reorder); bloom build is 8 KiB regardless of SF",
@@ -61,7 +61,7 @@ object PlanDump {
     "q_dormant_customers" -> "TPC-H Q22: 1-row scalar avg broadcast (constant at any SF) + recency-pruned hashed anti-join + ≤5-group census",
     "q_sequence_pack" -> "context packing: one window cumsum per source partition, then integer-div binning — no global sort; census keys bounded by corpus/budget",
     "q_char_diversity" -> "char diversity: explode → (doc,char) partial agg (alphabet-bounded per doc) → per-doc integer-moment agg; no window, pure codegen hash aggregation",
-    "q_also_bought" -> "item co-occurrence: basket aggregate FIRST, triangular pair fan-out row-locally (Generate above Aggregate, no basket self-join), capped at 128 items; top-100 TakeOrderedAndProject",
+    "q_also_bought" -> "item co-occurrence: basket aggregate FIRST and PERSISTED (pair fan-out, support census and N scalar all read the cache — one orders⋈lineitem pass, not three), triangular pair fan-out row-locally (Generate above Aggregate, no basket self-join), capped at 128 items; top-100 TakeOrderedAndProject",
     "q_bootstrap_ci" -> "Poisson bootstrap: x32 row-local fan-out → 32-group partial+final replicate aggs — the shuffle carries 32 x tasks rows, not 32 x data; rank-select over 32 rows",
     "q_ship_latency" -> "SLA percentiles: lineitem folds to MIN per order BEFORE the orders join (agg below join in the optimized plan); rank windows parallelize per priority",
     "q_cohort_ltv" -> "cohort triangle: users fold to cohorts once (min-agg, no window), users-sized equi-join back onto events, calendar-bounded (cohort, age) partial agg",
@@ -76,9 +76,9 @@ object PlanDump {
     "q_dedup_near_incremental" -> "incremental near-dup: batch bands PROBE the standing corpus band index (batch x corpus collisions only — no corpus self-join); exact verify semi-join-pruned to candidates",
     "q_set_overlap" -> "audience overlap: per-user type-set aggregate + row-local triangular fan-out — the corpus never self-joins on user_id; pair census keys bounded by the type vocabulary",
     "q_bfs_reach" -> "distributed BFS: per hop, frontier ⋈ edges (node-keyed shuffle join — the frontier scales with the graph, so it is never broadcast) + LEFT ANTI against visited; localCheckpoint cuts the per-round lineage",
-    "q_ks_drift" -> "exact KS: corpus-sized work is ONE partial+final (source, length) count agg; the dense CDF grid and its windows live on the bounded sources x lengths frame, never on raw docs",
+    "q_ks_drift" -> "exact KS: corpus-sized work is ONE partial+final (source, length) count agg, PERSISTED (single corpus scan, PlanGuard-asserted); the dense CDF grid and its windows live on the bounded sources x lengths frame, never on raw docs",
     "q_compression_ratio" -> "deflate census: graft_deflate_len runs inside the scan projection (WholeStageCodegen, no UDF boxing); the only data-sized exchange is the per-source partial+final agg shuffle — the final sort moves <= #sources rows",
-    "q_tvd_drift" -> "exact categorical TVD: corpus-sized work is ONE partial+final (source, lang) count agg; the dense grid, its joins and the term agg all live on the catalog-bounded sources x langs frame",
+    "q_tvd_drift" -> "exact categorical TVD: corpus-sized work is ONE partial+final (source, lang) count agg, PERSISTED — the scalar-n action materializes it and all four downstream consumers read the cache (single corpus scan, PlanGuard-asserted); the dense grid lives on the catalog-bounded sources x langs frame",
     "q_autocorr" -> "series autocorrelation: corpus collapses in ONE per-day partial+final count agg; the zero-filled series, x7 lag equi-join and per-lag agg are calendar-bounded (grow with time, not data)",
     "q_sssp" -> "Bellman-Ford: per round, dist ⋈ edges on src (node-keyed shuffle — distances scale with the graph, never broadcast) + min() partial agg by node; localCheckpoint cuts each round's lineage",
     "q_substring_dup" -> "duplicated-span census: shingles explode row-locally, collapse in ONE corpus-sized census, and the rejoin hash-partitions on the same shingle key (co-partitioned, un-hinted) — per-doc rollup is partial+final on doc_id",
@@ -90,8 +90,44 @@ object PlanDump {
     "q_partition_prune" -> "partition-pruned scan: the o_year predicate is a PartitionFilter (directory-level pruning before any footer is read); the monthly census is one ≤12-key partial+final agg",
     "q_weighted_median" -> "weighted median: RangeRank's ONE range exchange + pid-partitioned local windows carry the exact quantity prefix mass; the 3-row totals frame is the only broadcast; the first-qualifying pick is a 3-group min_by agg",
     "q_template_mining" -> "template mining: row-local leading-4-gram slice (no explode) → (source, template) partial+final census → RangeRank 2-pass top-5 — the few-group cut never funnels the census through 5 tasks",
-    "q_kcore" -> "k-core peel round: degree partial+final agg by src → two hashed LEFT SEMI joins (keep-sets scale with nodes, never broadcast) → localCheckpoint; 3 unrolled rounds, census output",
-    "q_rolling_median" -> "sliding median: orders collapse in the (day) census FIRST; the unpartitioned ORDER BY day window sees only the calendar-bounded frame, and the 7-row median is a row-local array pick")
+    "q_kcore" -> "k-core peel round: edges persisted hash-partitioned by src — degree census + src-semi ride the cached partitioning exchange-free, the dst-semi carries the round's ONE edge-scale shuffle, and the symmetric endpoint swap restores the invariant for free; 3 unrolled rounds, census output",
+    "q_rolling_median" -> "sliding median: orders collapse in the (day) census FIRST; the unpartitioned ORDER BY day window sees only the calendar-bounded frame, and the 7-row median is a row-local array pick",
+    "q_join_bucketed_fact" -> "bucketed FACT-FACT join: lineitem and orders both bucketed 8-ways on the orderkey — the SMJ reads co-located buckets AND the orderkey-led groupBy is satisfied by scan partitioning: ZERO hash exchanges end-to-end (the workload family's dominant shuffle deleted by layout)",
+    "q_multimodal_decode" -> "binary header decode: packing is codegen'd hex/unhex/concat in the scan projection; the parse is an init-once mapPartitions codec — a narrow map over the corpus, no shuffle until the output ORDER BY")
+
+  /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
+    * query whose expensive subtree feeds MULTIPLE consumers, with its
+    * disposition. Emitted into PLANS.md so the audit survives
+    * regeneration.
+    */
+  private val censusAudit: String =
+    """## Census-reuse audit (round 5)
+      |
+      |Pattern audited: an expensive subtree (corpus scan+explode+agg, or a
+      |fact join) referenced by 2+ consumers (scalar aggs, grid joins,
+      |rejoins) without a persist — each consumer re-plans and re-executes
+      |the subtree. Disposition per query:
+      |
+      || query | shared subtree | consumers | disposition |
+      ||---|---|---|---|
+      || q_tvd_drift / q_ks_drift / q_wasserstein / q_chi2 | (source,lang)/(source,len) census | n scalar + per-src + per-lang/value + grid join | **persisted** (PlanGuard: single scan) |
+      || q_kendall_tau | nation×year rank frame over 3-join rev | rk self-join ×2, adj self-join ×2 | **persisted** (PlanGuard: single scan) |
+      || q_also_bought | basket collect_set over orders⋈lineitem | pair fan-out + support census + N scalar | **persisted** (3 passes → 1) |
+      || q_rare_token_docs | per-doc TF matrix | doc-token stream + corpus freq census | **restructured + persisted** (freq = Σ tf) |
+      || q_novelty | distinct (doc,bigram) stream | df census + rejoin | **persisted** |
+      || q_zipf_fit | vocab census | top-100 cut + max(cnt) base | **persisted** |
+      || q_collocations | unigram + bigram censuses | joins ×2 + totals ×2 | **persisted; totals derived from censuses** |
+      || q_dsir_weights | en/corpus vocab censuses | joins + (tt,tn) totals | **persisted; totals derived** |
+      || q_bm25 / q_rank_fusion | doc-length census | corpus stats + score join | **persisted** |
+      || q_class_weights | label census | totals + weight projection | **persisted** |
+      || q_top_supplier | 3-month supplier revenue census | global max + filter | **persisted** |
+      || q_important_parts | per-part value census | corpus total + share projection | **persisted** |
+      || q_excess_share | (part,supp) qty census | per-part totals + rejoin | **persisted** |
+      || q_freshness (freshnessFinish) | (priority,day) census | high-water agg + rollup | **persisted** |
+      || q_tfidf | TF matrix | df census + score join | persisted (round 3); nDocs is a separate 1-column scan — accepted (stats-then-scan) |
+      || q_histogram_numeric, q_dormant_customers, q_vocab_growth, zorderRows | raw column-pruned scan | 1-row stats agg + main pass | **accepted**: stats-then-scan needs two passes by definition; the extra pass is a pruned scan with no explode/join, and caching the raw fact to save it would cost more than the scan |
+      || q_gaps_islands / q_error_burn / q_rolling_median / q_seasonality / q_changepoint / q_calendar_gaps | calendar-bounded day census | single consumer chain | **single plan** — no reuse to pay for |
+      |""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -106,7 +142,8 @@ object PlanDump {
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by `graft.PlanDump`)\n\n")
     sb.append(s"Source data: `$sfDir`. Regenerate after plan-affecting changes:\n")
-    sb.append("`sbt \"runMain graft.PlanDump\"`.\n")
+    sb.append("`sbt \"runMain graft.PlanDump\"`.\n\n")
+    sb.append(censusAudit)
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n$note\n\n```\n")

@@ -258,12 +258,16 @@ object Curation {
     // bigrams and are excluded (same rows both engines).
     Q("q_novelty",
       (s, dir) => {
+        // persist: the (doc, bigram) stream feeds the df census AND the
+        // rejoin — un-persisted, the corpus explode ran twice (the
+        // q_tfidf materialize-the-matrix discipline)
         val bg = t(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(array_distinct(expr(
             """transform(sequence(0, size(toks) - 2),
                  i -> concat_ws(' ', toks[i], toks[i+1]))"""))).as("bigram"))
+          .persist()
         val df = bg.groupBy("bigram").agg(count(lit(1)).as("df"))
         bg.join(df, "bigram")
           .groupBy("doc_id")
@@ -623,8 +627,11 @@ object Curation {
     // integers.
     Q("q_class_weights",
       (s, dir) => {
+        // persist: the ≤k-row class census feeds its own totals AND the
+        // weight projection — cached, the embeddings scan runs once
         val lab = t(s, dir, "embeddings")
           .groupBy("label").agg(count(lit(1)).as("n_class"))
+          .persist()
         val tot = lab.agg(sum(col("n_class")).cast("long").as("n_total"),
           count(lit(1)).as("k"))
         lab.crossJoin(broadcast(tot))
@@ -660,9 +667,14 @@ object Curation {
           .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
           .distinct()
+        // persist: the basket frame feeds the pair fan-out, the per-item
+        // support census, AND the N scalar — un-persisted, the
+        // orders⋈lineitem join + distinct + collect_set ran three times
+        // (three corpus passes at 100 TB); cached it is customer-bounded
         val b = basket.groupBy("cust")
           .agg(sort_array(collect_set(col("item"))).as("items"))
           .filter(size(col("items")) <= 128)
+          .persist()
         // pairs ride the shuffle as ONE packed long (s1·2³² + s2, keys
         // < 2³¹ at any plausible SF) — half the shuffle bytes and a
         // single-word hash key vs a two-field struct; unpacked after

@@ -303,12 +303,20 @@ object EventTime {
     // over time, and the answer is each day's peak. A global ordered
     // cumsum is a one-partition sort — instead the q_join_range
     // decomposition: per-day partial sums roll into a carry table (one
-    // row per DAY — bounded by the calendar, broadcastable at any SF),
-    // and each day's sweep runs independently with its carry prefix.
-    // Deltas collapse to one net per timestamp first (ends apply before
-    // starts at the same instant, so the per-ts post-net value IS the
-    // within-ts peak), and a day that only loses sessions peaks at its
-    // carry — hence the greatest(carry, max cc). All-integer output.
+    // row per HOUR — bounded by the calendar, broadcastable at any SF),
+    // and each hour's sweep runs independently with its carry prefix.
+    // The sweep era is an HOUR while the OUTPUT stays per day: each
+    // hour's peak is greatest(carry at hour start, max running value in
+    // the hour), and the day rollup takes the max of its hours' peaks —
+    // identical to the single-day sweep because every hour's carry is
+    // either the day-start carry or an earlier delta's running value,
+    // both already in the max. At 100× volume the per-era window
+    // partition holds one HOUR of net-deltas, not one day — the knob
+    // that keeps sweep partitions bounded (drop to minutes at higher
+    // density). Deltas collapse to one net per timestamp first (ends
+    // apply before starts at the same instant, so the per-ts post-net
+    // value IS the within-ts peak), and an era that only loses sessions
+    // peaks at its carry — hence greatest(carry, max cc). All-integer.
     Q("q_concurrency",
       (s, dir) => {
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -323,7 +331,7 @@ object EventTime {
         val deltas = sessions.select(col("t0").as("ts"), lit(1L).as("d"))
           .unionByName(sessions.select(col("t1").as("ts"), lit(-1L).as("d")))
           .groupBy("ts").agg(sum("d").as("net"))
-          .withColumn("era", date_trunc("day", col("ts")))
+          .withColumn("era", date_trunc("hour", col("ts")))
         val eras = deltas.groupBy("era").agg(sum("net").as("era_net"))
         val wE = Window.orderBy("era")
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -334,7 +342,9 @@ object EventTime {
         deltas.join(broadcast(carry), "era")
           .withColumn("cc", col("carry") + sum("net").over(wIn))
           .groupBy("era")
-          .agg(greatest(max(col("carry")), max(col("cc"))).as("max_concurrency"))
+          .agg(greatest(max(col("carry")), max(col("cc"))).as("hour_peak"))
+          .groupBy(date_trunc("day", col("era")).as("era"))
+          .agg(max(col("hour_peak")).as("max_concurrency"))
           .orderBy("era")
       },
       Some("""WITH x AS (
@@ -1314,15 +1324,6 @@ object EventTime {
               FROM ds JOIN ud ON ud.day BETWEEN d - INTERVAL 6 DAY AND d
               GROUP BY 1 ORDER BY d""")),
 
-    // ── feed freshness / staleness census ────────────────────────────────
-    // The ingest-ops readout next to q_calendar_gaps: per priority
-    // stream, when did it last deliver (days behind the global
-    // high-water mark) and is its volume trending (last-7-days vs the
-    // 7 before, anchored at the GLOBAL max day so all feeds share one
-    // comparison window). Fact rows collapse in the (priority, day)
-    // census FIRST; the global max is a 1-row broadcast (the
-    // q_histogram_numeric stats pattern); output is ≤ priorities rows.
-    // All integer except the one guarded week-over-week division.
     // ── error-rate SLI with trailing-7-day burn rate ─────────────────────
     // The SRE readout over the event stream: per-day error share plus
     // the 7-ROW trailing error budget burn against a fixed 1% SLO.
@@ -1353,6 +1354,15 @@ object EventTime {
                   AS burn_rate
               FROM wnd ORDER BY day""")),
 
+    // ── feed freshness / staleness census ────────────────────────────────
+    // The ingest-ops readout next to q_calendar_gaps: per priority
+    // stream, when did it last deliver (days behind the global
+    // high-water mark) and is its volume trending (last-7-days vs the
+    // 7 before, anchored at the GLOBAL max day so all feeds share one
+    // comparison window). Fact rows collapse in the (priority, day)
+    // census FIRST; the global max is a 1-row broadcast (the
+    // q_histogram_numeric stats pattern); output is ≤ priorities rows.
+    // All integer except the one guarded week-over-week division.
     Q("q_freshness",
       (s, dir) => freshnessFinish(feedDaily(t(s, dir, "orders"))),
       Some("""WITH days AS (
@@ -1457,7 +1467,11 @@ object EventTime {
     * mark as a 1-row broadcast, per-feed last-delivery lag and
     * last-7 vs previous-7 volumes; one guarded division.
     */
-  def freshnessFinish(days: DataFrame): DataFrame = {
+  def freshnessFinish(days0: DataFrame): DataFrame = {
+    // persist: the census feeds the global high-water agg AND the main
+    // rollup — un-persisted, the corpus-sized feedDaily subtree ran
+    // twice (the drift-family fix applied to ingest monitoring)
+    val days = days0.persist()
     val gmax = days.agg(max(col("day")).as("gday"))
     days.crossJoin(broadcast(gmax))
       .groupBy("o_orderpriority")

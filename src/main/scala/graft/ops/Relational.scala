@@ -1600,8 +1600,11 @@ object Relational {
           .groupBy(col("l_suppkey"))
           .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
             .as("rev_dec"))
-        val mx = rev.agg(max(col("rev_dec")).as("mx"))
-        rev.crossJoin(broadcast(mx))
+        // persist: rev feeds the global max AND the filter — cached, the
+        // filtered lineitem slice is scanned once, not twice
+        val revP = rev.persist()
+        val mx = revP.agg(max(col("rev_dec")).as("mx"))
+        revP.crossJoin(broadcast(mx))
           .filter(col("rev_dec") === col("mx"))
           .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
@@ -2198,8 +2201,11 @@ object Relational {
           .groupBy("l_partkey")
           .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity")))
             .as("val_dec"))
-        val tot = v.agg(sum(col("val_dec")).cast("double").as("total"))
-        v.crossJoin(broadcast(tot))
+        // persist: the part-value census feeds the corpus total AND the
+        // share projection — cached, lineitem folds once
+        val vP = v.persist()
+        val tot = vP.agg(sum(col("val_dec")).cast("double").as("total"))
+        vP.crossJoin(broadcast(tot))
           .select(col("l_partkey").as("p_partkey"),
             col("val_dec").cast("double").as("value"),
             (col("val_dec").cast("double") / col("total")).as("share"))
@@ -2262,9 +2268,12 @@ object Relational {
           .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
           .groupBy("l_partkey", "l_suppkey")
           .agg(sum(dec2(col("l_quantity"))).as("sq"))
-        val tot = ps.groupBy(col("l_partkey").as("tp"))
+        // persist: ps feeds the per-part totals AND the rejoin — cached,
+        // the filtered lineitem aggregation runs once
+        val psP = ps.persist()
+        val tot = psP.groupBy(col("l_partkey").as("tp"))
           .agg(sum(col("sq")).as("tq"), count(lit(1)).as("nsupp"))
-        ps.join(tot, col("l_partkey") === col("tp")
+        psP.join(tot, col("l_partkey") === col("tp")
             && col("nsupp") >= 3 && col("sq") * 2 > col("tq"))
           .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .select(col("l_partkey").as("p_partkey"),

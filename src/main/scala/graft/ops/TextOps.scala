@@ -252,9 +252,14 @@ object TextOps {
     Q("q_collocations",
       (s, dir) => {
         val tl = t(s, dir, "documents").select(split(col("text"), " ").as("toks"))
+        // persist both censuses and DERIVE the stream totals from them
+        // (n_uni = Σc, n_bi = Σc_xy): the unigram census is consumed by
+        // both join sides + its total, the bigram census by the main
+        // frame + its total — un-persisted, each consumer re-ran the
+        // corpus explode; now each explode runs exactly once
         val uni = tl.select(explode(col("toks")).as("tok")).filter(col("tok") =!= "")
-        val u = uni.groupBy("tok").agg(count(lit(1)).as("c"))
-        val nUni = uni.agg(count(lit(1)).as("n_uni"))
+        val u = uni.groupBy("tok").agg(count(lit(1)).as("c")).persist()
+        val nUni = u.agg(sum(col("c")).as("n_uni"))
         val bi = tl.select(explode(expr(
             """CASE WHEN size(toks) >= 2
                THEN transform(sequence(0, size(toks) - 2),
@@ -262,9 +267,9 @@ object TextOps {
                ELSE array() END""")).as("b"))
           .select(col("b.x").as("x"), col("b.y").as("y"))
           .filter(col("x") =!= "" && col("y") =!= "")
-        val nBi = bi.agg(count(lit(1)).as("n_bi"))
-        bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-          .filter(col("c_xy") >= 5)
+        val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy")).persist()
+        val nBi = bc.agg(sum(col("c_xy")).as("n_bi"))
+        bc.filter(col("c_xy") >= 5)
           .join(u.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
           .join(u.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
           .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
@@ -339,7 +344,10 @@ object TextOps {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // persist: dl feeds the corpus stats AND the score join — the
+        // doc-length census is doc-bounded, caching it halves the
+        // corpus explode passes
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).persist()
         val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
         val tf = toks.filter(col("tok").isin(qterms: _*))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -783,12 +791,15 @@ object TextOps {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+        // persist the two vocab censuses and DERIVE the stream totals
+        // from them (tt = Σct, tn = Σcn): the corpus token stream was
+        // exploded four times (tc, cc, tot, main join) — now the tot
+        // consumer reads census caches and only tc/cc/main pay explodes
         val tc = toks.filter(col("lang") === "en")
-          .groupBy("w").agg(count(lit(1)).as("ct"))
-        val cc = toks.groupBy("w").agg(count(lit(1)).as("cn"))
-        val tot = toks.agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
-          count(lit(1)).as("tn"))
+          .groupBy("w").agg(count(lit(1)).as("ct")).persist()
+        val cc = toks.groupBy("w").agg(count(lit(1)).as("cn")).persist()
+        val tot = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+          .crossJoin(cc.agg(sum(col("cn")).as("tn")))
         toks
           .join(tc, Seq("w"), "left")
           .join(cc, Seq("w"))
@@ -1068,17 +1079,18 @@ object TextOps {
     // order — exact ints end to end, no division at all.
     Q("q_rare_token_docs",
       (s, dir) => {
-        val docTok = t(s, dir, "documents")
+        // ONE persisted TF matrix feeds both consumers (the q_tfidf
+        // discipline): its group keys ARE the per-doc distinct tokens,
+        // and summing its counts rebuilds the full-occurrence corpus
+        // frequency (rarity counts repeats inside one doc) — one scan +
+        // one explode instead of two of each
+        val tf = t(s, dir, "documents")
           .select(col("doc_id"),
-            explode(array_distinct(
-              expr("filter(split(text, ' '), x -> x <> '')"))).as("w"))
-        // the census counts every occurrence position (not per-doc
-        // distinct): rarity means corpus frequency, so repeats inside
-        // one doc count — build it from the full token stream
-        val freq = t(s, dir, "documents")
-          .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
-            .as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
+            explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .persist()
+        val docTok = tf.select(col("doc_id"), col("w"))
+        val freq = tf.groupBy("w").agg(sum(col("c")).as("cnt"))
         val pick = Window.partitionBy("doc_id")
           .orderBy(col("cnt"), col("w"))
         docTok.join(freq, Seq("w"))
@@ -1175,6 +1187,7 @@ object TextOps {
       (s, dir) => {
         val census = t(s, dir, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "") // multi-space text must not mint "" as vocab
           .groupBy("source", "tok")
           .agg(count(lit(1)).as("c"))
         census.groupBy("source")
@@ -1194,7 +1207,7 @@ object TextOps {
                 FROM documents),
               counts AS (
                 SELECT source, tok, count(*) AS c
-                FROM census GROUP BY 1, 2),
+                FROM census WHERE tok <> '' GROUP BY 1, 2),
               m AS (
                 SELECT source,
                   CAST(SUM(c) AS BIGINT) AS n_tokens,
@@ -1219,10 +1232,13 @@ object TextOps {
     // invariant because it is a VALUE, not a row.
     Q("q_zipf_fit",
       (s, dir) => {
+        // persist: the census feeds the head cut AND the max(cnt) ratio
+        // base — un-persisted, the corpus explode+agg runs twice
         val census = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
           .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .persist()
         val top = census.orderBy(col("cnt").desc, col("tok")).limit(100)
           .withColumn("rank",
             row_number().over(Window.orderBy(col("cnt").desc, col("tok")))

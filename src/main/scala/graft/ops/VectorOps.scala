@@ -279,7 +279,9 @@ object VectorOps {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok") =!= "")
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // persist: dl feeds the corpus stats AND the score join (the
+        // q_bm25 fix applied to the sparse leg)
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).persist()
         val stats = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
         val tf = toks.filter(col("tok").isin(qterms: _*))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))

@@ -275,13 +275,18 @@ class PlanGuardSpec extends SparkSpec {
 
   test("q_also_bought fans out pairs above the basket aggregate, never a self-join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val plan = qe("q_also_bought").optimizedPlan
     // the triangular fan-out must be a Generate whose subtree aggregates
-    // baskets first — a basket×basket join would be the corpus² shape
+    // baskets first — a basket×basket join would be the corpus² shape.
+    // The basket frame is persisted (round 5), so the aggregate may sit
+    // inside the cached relation.
     val gens = plan.collect { case g: Generate => g }
     assert(gens.nonEmpty, "expected the pair fan-out Generate")
     for (g <- gens) {
-      assert(g.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      assert(g.child.collectFirst { case a: Aggregate => a }.nonEmpty
+        || g.child.collectFirst { case r: InMemoryRelation => r }
+          .exists(_.cachedPlan.toString.contains("Aggregate")),
         "pair fan-out runs below the basket aggregate")
       assert(g.child.collect { case j: Join => j }
         .forall(j => !(j.left.toString.contains("collect_set")
