@@ -1,0 +1,736 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-evaluation & feature-engineering operators — the readouts a
+  * training-data pipeline runs AFTER curation: ranking quality (AUC,
+  * lift/gain), probability calibration, distribution stability (PSI),
+  * categorical predictive power (WoE/IV, mutual information), leakage-safe
+  * feature encoding (smoothed target encoding), inter-rater agreement
+  * (Cohen's kappa) and time-to-event curves (Kaplan–Meier).
+  *
+  * Scale discipline (the same rules as the drift family in
+  * [[Curation]]): every query collapses the fact table to a bounded
+  * census FIRST (one shuffle, partial+final agg), finishes arithmetic on
+  * the census, and pins every floating-point reduction to a
+  * position-stable sorted left fold (the q_lm_score / chi2Finish
+  * discipline) so Spark and DuckDB produce bit-identical doubles. The
+  * one data-sized total order (q_lift_gain's decile split and the AUC
+  * midranks' value census) rides [[RangeRank]] — never a single-task
+  * window.
+  *
+  * Reference analog: the reference framework computes exactly one
+  * census-shaped statistic (the mod-100 histogram client,
+  * `test1-1_thread_1_process.cpp:59-77`) — these are the same
+  * census-then-finish shape pointed at model-quality readouts.
+  */
+object ModelEval {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val dec38 = DecimalType(38, 0)
+
+  /** Binary label shared by the ranking-quality readouts: did the event
+    * convert? `value` plays the model score.
+    */
+  private def labeled(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"), col("value"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+
+  val queries: Seq[Q] = Seq(
+
+    // ── ROC AUC via Mann–Whitney midranks ───────────────────────────────
+    // AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) where R⁺ is the positive
+    // class's midrank sum. Shape: collapse events to a per-score census
+    // (one shuffle; ties resolved exactly — midrank of a tie group is
+    // derivable from the census row alone), then ONE RangeRank pass over
+    // the census gives each distinct score its exclusive cumulative
+    // count: 2·midrank = 2·cum + cnt + 1, integer. The midrank sum runs
+    // in DECIMAL(38,0) (n⁺·2n exceeds int64 past ~2B rows); the only FP
+    // op is the final division. Never a data-sized window: the census
+    // order statistic rides RangeRank, so a 100-TB score column with
+    // billions of distinct values still ranks at cluster parallelism.
+    Q("q_auc",
+      (s, dir) => {
+        val census = labeled(t(s, dir, "events"))
+          .groupBy("value")
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+        val ranked = RangeRank.ranked(
+          census, Seq.empty, Seq(col("value")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("cnt"), "cum")))
+        ranked
+          .agg(sum(col("p")).as("npos"),
+            sum(col("cnt") - col("p")).as("nneg"),
+            sum(col("p").cast(dec38)
+              * (lit(2L) * col("cum") + col("cnt") + lit(1L)).cast(dec38))
+              .as("tworpos"))
+          .select(col("npos").cast("long").as("n_pos"),
+            col("nneg").cast("long").as("n_neg"),
+            ((col("tworpos").cast("double")
+              - col("npos").cast("double") * (col("npos").cast("double") + 1))
+              / (lit(2.0) * col("npos").cast("double")
+                 * col("nneg").cast("double"))).as("auc"))
+      },
+      Some("""WITH census AS (
+                SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p
+                FROM events GROUP BY 1),
+              r AS (
+                SELECT cnt, p,
+                  COALESCE(SUM(cnt) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM census),
+              m AS (
+                SELECT CAST(SUM(p) AS BIGINT) AS npos,
+                  CAST(SUM(cnt - p) AS BIGINT) AS nneg,
+                  SUM(CAST(p AS HUGEINT) * (2 * cum + cnt + 1)) AS tworpos
+                FROM r)
+              SELECT npos AS n_pos, nneg AS n_neg,
+                (CAST(tworpos AS DOUBLE)
+                   - CAST(npos AS DOUBLE) * (CAST(npos AS DOUBLE) + 1))
+                / (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS auc
+              FROM m""")),
+
+    // ── decile lift / gain table ────────────────────────────────────────
+    // Score-ordered population deciles: how concentrated are conversions
+    // in the top-scored 10%? The data-sized total order (rank by score
+    // desc over ALL events) rides RangeRank — rank+n in two passes at
+    // cluster parallelism — then everything collapses to a 10-row frame.
+    // Tiebreak pinned on event_id so both engines split equal scores
+    // identically at decile boundaries. Cum/gain/lift finish on the
+    // 10-row census (single-task window is fine THERE).
+    Q("q_lift_gain",
+      (s, dir) => {
+        val ranked = RangeRank.ranked(
+          labeled(t(s, dir, "events")), Seq.empty,
+          Seq(col("value").desc, col("event_id")),
+          rnName = "rn", nName = Some("n"))
+        val byDec = ranked
+          .select(expr("CAST((rn - 1) * 10 DIV n AS BIGINT) + 1").as("decile"),
+            col("pos"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        byDec
+          .select(col("decile"), col("n_rows"), col("n_pos"),
+            sum(col("n_pos")).over(wCum).cast("long").as("cum_pos"),
+            sum(col("n_rows")).over(wCum).cast("long").as("cum_rows"),
+            sum(col("n_pos")).over(wAll).cast("long").as("tot_pos"),
+            sum(col("n_rows")).over(wAll).cast("long").as("tot_rows"))
+          .select(col("decile"), col("n_rows").cast("long").as("n_rows"),
+            col("n_pos").cast("long").as("n_pos"), col("cum_pos"),
+            (col("cum_pos").cast("double") / col("tot_pos").cast("double"))
+              .as("gain"),
+            ((col("cum_pos").cast("double") / col("cum_rows").cast("double"))
+              / (col("tot_pos").cast("double") / col("tot_rows").cast("double")))
+              .as("lift"))
+          .orderBy("decile")
+      },
+      Some("""WITH ranked AS (
+                SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+                  row_number() OVER (ORDER BY value DESC, event_id) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM events),
+              bydec AS (
+                SELECT CAST((rn - 1) * 10 // n AS BIGINT) + 1 AS decile,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(pos) AS BIGINT) AS n_pos
+                FROM ranked GROUP BY 1),
+              c AS (
+                SELECT decile, n_rows, n_pos,
+                  CAST(SUM(n_pos) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos,
+                  CAST(SUM(n_rows) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_rows,
+                  CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+                  CAST(SUM(n_rows) OVER () AS BIGINT) AS tot_rows
+                FROM bydec)
+              SELECT decile, n_rows, n_pos, cum_pos,
+                CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS gain,
+                (CAST(cum_pos AS DOUBLE) / CAST(cum_rows AS DOUBLE))
+                  / (CAST(tot_pos AS DOUBLE) / CAST(tot_rows AS DOUBLE)) AS lift
+              FROM c ORDER BY decile""")),
+
+    // ── probability calibration bins (reliability diagram) ──────────────
+    // Fixed-width score bins: per bin, mean score vs observed positive
+    // rate. One census shuffle; mean score is an exact decimal sum over
+    // the stored 2-decimal values, divided once (the [[Q.avgDec]]
+    // discipline) — no FP accumulation order anywhere.
+    Q("q_calibration",
+      (s, dir) =>
+        labeled(t(s, dir, "events"))
+          .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
+            avgDec(col("value")).as("mean_score"))
+          .select(col("bin"), col("n").cast("long").as("n"),
+            col("np").cast("long").as("n_pos"), col("mean_score"),
+            (col("np").cast("double") / col("n").cast("double"))
+              .as("frac_pos"))
+          .orderBy("bin"),
+      Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                  AS mean_score,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+              FROM events GROUP BY 1 ORDER BY bin""")),
+
+    // ── population stability index (serving-drift gate) ─────────────────
+    // The deployment sibling of the q_tvd/q_ks drift lenses: compare the
+    // score distribution between a reference window and the current one.
+    // One (bin, period)-census shuffle; Laplace-smoothed proportions so
+    // an empty bin can't produce ln(0); the PSI total is a position-
+    // pinned sorted fold over the ≤11-bin frame (chi2Finish discipline).
+    Q("q_psi",
+      (s, dir) => {
+        val census = t(s, dir, "events")
+          .select(floor(col("value") / 50).cast("long").as("bin"),
+            when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L)
+              .otherwise(0L).as("is_ref"))
+          .groupBy("bin")
+          .agg(sum(col("is_ref")).as("ref_n"),
+            sum(lit(1L) - col("is_ref")).as("cur_n"))
+        val wAll = Window.partitionBy()
+        val prop = census
+          .select(col("bin"), col("ref_n").cast("long").as("ref_n"),
+            col("cur_n").cast("long").as("cur_n"),
+            sum(col("ref_n")).over(wAll).cast("long").as("rt"),
+            sum(col("cur_n")).over(wAll).cast("long").as("ct"),
+            count(lit(1)).over(wAll).cast("long").as("nb"))
+          .select(col("bin"), col("ref_n"), col("cur_n"),
+            ((col("ref_n").cast("double") + 1)
+              / (col("rt").cast("double") + col("nb").cast("double")))
+              .as("p_ref"),
+            ((col("cur_n").cast("double") + 1)
+              / (col("ct").cast("double") + col("nb").cast("double")))
+              .as("p_cur"))
+          .select(col("bin"), col("ref_n"), col("cur_n"),
+            ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+              .as("psi_bin"))
+          // persist: the ≤11-row bin frame feeds BOTH the pinned-fold
+          // total and the output join — without it each consumer re-runs
+          // the corpus-sized census scan (the r4 drift-family regression
+          // class)
+          .persist()
+        val tot = prop
+          .agg(expr("""aggregate(array_sort(collect_list(struct(bin, psi_bin))),
+                         CAST(0 AS DOUBLE), (a, x) -> a + x.psi_bin)""")
+            .as("psi"))
+        prop.crossJoin(broadcast(tot)).orderBy("bin")
+      },
+      Some("""WITH census AS (
+                SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+                  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+                  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+                FROM events GROUP BY 1),
+              prop AS (
+                SELECT bin, ref_n, cur_n,
+                  (CAST(ref_n AS DOUBLE) + 1)
+                    / (CAST(SUM(ref_n) OVER () AS DOUBLE)
+                       + CAST(COUNT(*) OVER () AS DOUBLE)) AS p_ref,
+                  (CAST(cur_n AS DOUBLE) + 1)
+                    / (CAST(SUM(cur_n) OVER () AS DOUBLE)
+                       + CAST(COUNT(*) OVER () AS DOUBLE)) AS p_cur
+                FROM census),
+              pb AS (
+                SELECT bin, ref_n, cur_n,
+                  (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_bin
+                FROM prop),
+              tot AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(psi_bin ORDER BY bin)), (a, x) -> a + x) AS psi
+                FROM pb)
+              SELECT pb.bin, pb.ref_n, pb.cur_n, pb.psi_bin, tot.psi
+              FROM pb, tot ORDER BY pb.bin""")),
+
+    // ── weight of evidence / information value ──────────────────────────
+    // Credit-scoring-style predictive-power readout for a categorical
+    // feature (order priority) against a binary outcome (fulfilled).
+    // One 5-row census; totals ride a window over that census; the IV
+    // total is a pinned sorted fold. Everything after the census is
+    // constant-size at any SF.
+    Q("q_woe_iv",
+      (s, dir) => {
+        val census = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("g")).as("n_good"),
+            sum(lit(1L) - col("g")).as("n_bad"))
+        val wAll = Window.partitionBy()
+        val woe = census
+          .select(col("o_orderpriority"),
+            col("n_good").cast("long").as("n_good"),
+            col("n_bad").cast("long").as("n_bad"),
+            sum(col("n_good")).over(wAll).cast("long").as("gt"),
+            sum(col("n_bad")).over(wAll).cast("long").as("bt"))
+          .select(col("o_orderpriority"), col("n_good"), col("n_bad"),
+            (col("n_good").cast("double") / col("gt").cast("double"))
+              .as("pg"),
+            (col("n_bad").cast("double") / col("bt").cast("double"))
+              .as("pb"))
+          .select(col("o_orderpriority"), col("n_good"), col("n_bad"),
+            log(col("pg") / col("pb")).as("woe"),
+            ((col("pg") - col("pb")) * log(col("pg") / col("pb")))
+              .as("iv_contrib"))
+          // persist: feeds the IV fold AND the output join (see q_psi)
+          .persist()
+        val tot = woe
+          .agg(expr(
+            """aggregate(array_sort(collect_list(struct(o_orderpriority, iv_contrib))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.iv_contrib)""").as("iv"))
+        woe.crossJoin(broadcast(tot)).orderBy("o_orderpriority")
+      },
+      Some("""WITH census AS (
+                SELECT o_orderpriority,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_bad
+                FROM orders GROUP BY 1),
+              p AS (
+                SELECT o_orderpriority, n_good, n_bad,
+                  CAST(n_good AS DOUBLE)
+                    / CAST(SUM(n_good) OVER () AS DOUBLE) AS pg,
+                  CAST(n_bad AS DOUBLE)
+                    / CAST(SUM(n_bad) OVER () AS DOUBLE) AS pb
+                FROM census),
+              w AS (
+                SELECT o_orderpriority, n_good, n_bad,
+                  ln(pg / pb) AS woe, (pg - pb) * ln(pg / pb) AS iv_contrib
+                FROM p),
+              tot AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(iv_contrib ORDER BY o_orderpriority)),
+                    (a, x) -> a + x) AS iv
+                FROM w)
+              SELECT w.o_orderpriority, w.n_good, w.n_bad, w.woe,
+                w.iv_contrib, tot.iv
+              FROM w, tot ORDER BY w.o_orderpriority""")),
+
+    // ── smoothed target encoding ────────────────────────────────────────
+    // Leakage-aware categorical encoding: shrink each category's target
+    // mean toward the global mean with pseudo-count m=50 — the encoding
+    // a feature pipeline would broadcast-join back onto the fact table.
+    // One census shuffle; sums stay in exact DECIMAL until the single
+    // final division; the global mean derives from the SAME census via
+    // a window (no second scan).
+    Q("q_target_encoding",
+      (s, dir) => {
+        val wAll = Window.partitionBy()
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("sv"))
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            col("sv"),
+            sum(col("sv")).over(wAll).as("gs"),
+            sum(col("n")).over(wAll).cast("long").as("gn"))
+          .select(col("event_type"), col("n"),
+            (col("sv").cast("double") / col("n").cast("double"))
+              .as("raw_mean"),
+            ((col("sv").cast("double")
+              + lit(50.0) * (col("gs").cast("double") / col("gn").cast("double")))
+              / (col("n").cast("double") + 50)).as("encoded"))
+          .orderBy("event_type")
+      },
+      Some("""WITH census AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS sv
+                FROM events GROUP BY 1),
+              g AS (
+                SELECT event_type, n, sv, SUM(sv) OVER () AS gs,
+                  CAST(SUM(n) OVER () AS BIGINT) AS gn
+                FROM census)
+              SELECT event_type, n,
+                CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean,
+                (CAST(sv AS DOUBLE)
+                   + 50.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) + 50) AS encoded
+              FROM g ORDER BY event_type""")),
+
+    // ── Cohen's kappa (agreement beyond chance) ─────────────────────────
+    // Rater A = thresholded score (value ≥ 250), rater B = observed
+    // conversion. ONE aggregate pass collapses events to four int64
+    // confusion sums; kappa's FP happens once, on scalars. The shape a
+    // labeling-QA pipeline runs between two annotator columns.
+    Q("q_cohen_kappa",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(when(col("value") >= 250, 1L).otherwise(0L).as("a"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+          .agg(count(lit(1)).as("n"), sum(col("a") * col("b")).as("tp"),
+            sum(col("a")).as("na"), sum(col("b")).as("nb"))
+          .select(col("n").cast("long").as("n"),
+            col("tp").cast("long").as("n_both"),
+            ((col("n") - col("na") - col("nb") + lit(2L) * col("tp"))
+              .cast("double") / col("n").cast("double")).as("po"),
+            ((col("na").cast("double") * col("nb").cast("double")
+              + (col("n") - col("na")).cast("double")
+                * (col("n") - col("nb")).cast("double"))
+              / (col("n").cast("double") * col("n").cast("double"))).as("pe"))
+          .select(col("n"), col("n_both"), col("po"), col("pe"),
+            ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa")),
+      Some("""WITH m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN value >= 250 AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(SUM(CASE WHEN value >= 250 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+                FROM events),
+              s AS (
+                SELECT n, tp AS n_both,
+                  CAST(n - na - nb + 2 * tp AS DOUBLE) / CAST(n AS DOUBLE)
+                    AS po,
+                  (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     + CAST(n - na AS DOUBLE) * CAST(n - nb AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+                FROM m)
+              SELECT n, n_both, po, pe, (po - pe) / (1.0 - pe) AS kappa
+              FROM s""")),
+
+    // ── mutual information (feature-selection readout) ──────────────────
+    // MI(event_type; score bin) = Σ p_xy · ln(p_xy / (p_x·p_y)), computed
+    // entirely on the |types|×|bins| census: joint counts from one
+    // shuffle, marginals via windows OVER THE CENSUS (no second scan),
+    // and the total pinned to a sorted left fold over (type, bin).
+    Q("q_mutual_info",
+      (s, dir) => {
+        val census = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            floor(col("value") / 50).cast("long").as("bin"))
+          .agg(count(lit(1)).as("c"))
+        val wAll = Window.partitionBy()
+        val wX = Window.partitionBy("event_type")
+        val wY = Window.partitionBy("bin")
+        census
+          .select(col("event_type"), col("bin"), col("c"),
+            sum(col("c")).over(wX).cast("long").as("cx"),
+            sum(col("c")).over(wY).cast("long").as("cy"),
+            sum(col("c")).over(wAll).cast("long").as("n"))
+          .select(col("event_type"), col("bin"),
+            ((col("c").cast("double") / col("n").cast("double"))
+              * log(col("c").cast("double") * col("n").cast("double")
+                / (col("cx").cast("double") * col("cy").cast("double"))))
+              .as("term"))
+          .agg(expr(
+            """aggregate(array_sort(collect_list(struct(event_type, bin, term))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("mi"),
+            count(lit(1)).cast("long").as("n_cells"))
+          .select(col("n_cells"), col("mi"))
+      },
+      Some("""WITH census AS (
+                SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+              m AS (
+                SELECT event_type, bin, c,
+                  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS cx,
+                  CAST(SUM(c) OVER (PARTITION BY bin) AS BIGINT) AS cy,
+                  CAST(SUM(c) OVER () AS BIGINT) AS n
+                FROM census),
+              terms AS (
+                SELECT event_type, bin,
+                  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS term
+                FROM m)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY event_type, bin)), (a, x) -> a + x) AS mi
+              FROM terms""")),
+
+    // ── precision/recall threshold sweep ────────────────────────────────
+    // The full PR curve: at every distinct score threshold t, classify
+    // value ≥ t positive and report precision/recall/F1. Shape: per-score
+    // census (one shuffle), then ONE RangeRank pass ordered score-DESC
+    // whose exclusive prefix sums of (pos, neg) ARE the cumulative TP/FP
+    // above each threshold — no data-sized window, no self-join, output
+    // rows = distinct scores (data-sized, like the curve itself). Per-row
+    // divisions only — no cross-row FP accumulation anywhere.
+    Q("q_pr_curve",
+      (s, dir) => {
+        // persist: the score census feeds RangeRank AND the 1-row total —
+        // without it the total's agg re-scans events (second corpus pass)
+        val census = labeled(t(s, dir, "events"))
+          .groupBy("value")
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+          .persist()
+        val ranked = RangeRank.ranked(
+          census, Seq.empty, Seq(col("value").desc),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(
+            RangeRank.PrefixSum(col("p"), "tp_above"),
+            RangeRank.PrefixSum(col("cnt") - col("p"), "fp_above")))
+        // total positives: 1-row broadcast, NOT a global window — the
+        // census is distinct-score-sized (≈ data-sized for a continuous
+        // score), so an unpartitioned window would funnel it through one
+        // task at 100 TB
+        val np = census.agg(sum(col("p")).cast("long").as("np"))
+        ranked.crossJoin(broadcast(np))
+          .select(col("value").as("threshold"),
+            (col("tp_above") + col("p")).cast("long").as("tp"),
+            (col("fp_above") + col("cnt") - col("p")).cast("long").as("fp"),
+            col("np"))
+          .select(col("threshold"), col("tp"), col("fp"),
+            (col("tp").cast("double")
+              / (col("tp") + col("fp")).cast("double")).as("precision"),
+            (col("tp").cast("double") / col("np").cast("double"))
+              .as("recall"),
+            ((lit(2.0) * col("tp").cast("double"))
+              / (col("tp") + col("fp") + col("np")).cast("double")).as("f1"))
+          .orderBy("threshold")
+      },
+      Some("""WITH census AS (
+                SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p
+                FROM events GROUP BY 1),
+              c AS (
+                SELECT value AS threshold,
+                  CAST(SUM(p) OVER (ORDER BY value DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tp,
+                  CAST(SUM(cnt - p) OVER (ORDER BY value DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS fp,
+                  CAST(SUM(p) OVER () AS BIGINT) AS np
+                FROM census)
+              SELECT threshold, tp, fp,
+                CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+                CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) AS recall,
+                (2.0 * CAST(tp AS DOUBLE)) / CAST(tp + fp + np AS DOUBLE)
+                  AS f1
+              FROM c ORDER BY threshold""")),
+
+    // ── Brier score (probabilistic-forecast MSE) ────────────────────────
+    // score/500 plays the predicted probability. The squared-error sum
+    // runs ENTIRELY in integers: cents = exact decimal 100·value, error
+    // numerator (cents − 50000·y)² sums in DECIMAL(38,0) (cents² ≈ 2.5e9
+    // per row — int64 would overflow past ~4B rows), ONE double division
+    // at the end: Σ(cents − 50000y)² / (n · 50000²). No FP accumulation,
+    // no rounding ambiguity (the decimal cast is exact on 2-decimal
+    // stored values in both engines).
+    Q("q_brier_score",
+      (s, dir) =>
+        labeled(t(s, dir, "events"))
+          .select((dec2(col("value")) * 100).cast("long").as("cents"),
+            col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(((col("cents") - lit(50000L) * col("pos"))
+              * (col("cents") - lit(50000L) * col("pos"))).cast(dec38))
+              .as("se"))
+          .select(col("n").cast("long").as("n"),
+            (col("se").cast("double")
+              / (col("n").cast("double") * lit(2.5e9))).as("brier")),
+      Some("""WITH b AS (
+                SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                FROM events),
+              m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(cents - 50000 * y AS HUGEINT)
+                    * CAST(cents - 50000 * y AS HUGEINT)) AS se
+                FROM b)
+              SELECT n, CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 2.5e9)
+                AS brier
+              FROM m""")),
+
+    // ── expected calibration error ──────────────────────────────────────
+    // ECE = Σ_b (n_b/n)·|pos_rate_b − mean_pred_b| over the same
+    // fixed-width bins as q_calibration, with mean predicted probability
+    // from exact integer cent sums (no FP until the per-bin readout) and
+    // the bin sum pinned to a sorted fold. One census pass; single row.
+    Q("q_ece",
+      (s, dir) => {
+        val wAll = Window.partitionBy()
+        labeled(t(s, dir, "events"))
+          .select((dec2(col("value")) * 100).cast("long").as("cents"),
+            col("pos"))
+          .groupBy(expr("CAST(cents DIV 5000 AS BIGINT)").as("bin"))
+          .agg(count(lit(1)).as("nb"), sum(col("pos")).as("np"),
+            sum(col("cents")).as("sc"))
+          .select(col("bin"), col("nb"), col("np"), col("sc"),
+            sum(col("nb")).over(wAll).cast("long").as("n"))
+          .select(col("bin"),
+            ((col("nb").cast("double") / col("n").cast("double"))
+              * abs(col("np").cast("double") / col("nb").cast("double")
+                - col("sc").cast("double")
+                  / (col("nb").cast("double") * lit(50000.0))))
+              .as("term"))
+          .agg(expr("""aggregate(array_sort(collect_list(struct(bin, term))),
+                         CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+            .as("ece"), count(lit(1)).cast("long").as("n_bins"))
+          .select(col("n_bins"), col("ece"))
+      },
+      Some("""WITH b AS (
+                SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                FROM events),
+              census AS (
+                SELECT CAST(cents // 5000 AS BIGINT) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS nb,
+                  CAST(SUM(y) AS BIGINT) AS np,
+                  CAST(SUM(cents) AS BIGINT) AS sc
+                FROM b GROUP BY 1),
+              terms AS (
+                SELECT bin,
+                  (CAST(nb AS DOUBLE) / CAST(SUM(nb) OVER () AS DOUBLE))
+                    * abs(CAST(np AS DOUBLE) / CAST(nb AS DOUBLE)
+                      - CAST(sc AS DOUBLE)
+                        / (CAST(nb AS DOUBLE) * 50000.0)) AS term
+                FROM census)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY bin)), (a, x) -> a + x) AS ece
+              FROM terms""")),
+
+    // ── Matthews correlation coefficient ────────────────────────────────
+    // The kappa sibling on the same thresholded confusion matrix; the
+    // χ²-derived binary-classification correlation. Same ONE-pass int64
+    // confusion sums; the numerator tp·tn − fp·fn runs in DECIMAL
+    // (each product ≈ n²/4 — past int64 at ~6B rows), denominator in
+    // doubles on scalars.
+    Q("q_mcc",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(when(col("value") >= 250, 1L).otherwise(0L).as("a"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+          .agg(count(lit(1)).as("n"), sum(col("a") * col("b")).as("tp"),
+            sum(col("a")).as("na"), sum(col("b")).as("nb"))
+          .select(col("n").cast("long").as("n"),
+            col("tp").cast("long").as("tp"),
+            (col("na") - col("tp")).cast("long").as("fp"),
+            (col("nb") - col("tp")).cast("long").as("fn"),
+            (col("n") - col("na") - col("nb") + col("tp")).cast("long")
+              .as("tn"))
+          .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+            ((col("tp").cast(dec38) * col("tn").cast(dec38)
+              - col("fp").cast(dec38) * col("fn").cast(dec38))
+              .cast("double")
+              / sqrt((col("tp") + col("fp")).cast("double")
+                * (col("tp") + col("fn")).cast("double")
+                * (col("tn") + col("fp")).cast("double")
+                * (col("tn") + col("fn")).cast("double"))).as("mcc")),
+      Some("""WITH m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN value >= 250 AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(SUM(CASE WHEN value >= 250 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+                FROM events),
+              c AS (
+                SELECT n, tp, na - tp AS fp, nb - tp AS fn,
+                  n - na - nb + tp AS tn
+                FROM m)
+              SELECT n, tp, fp, fn, tn,
+                CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+                     - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+                  / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+                  AS mcc
+              FROM c""")),
+
+    // ── Kaplan–Meier survival curve ─────────────────────────────────────
+    // Time-to-fulfillment per order: duration = days from order date to
+    // FIRST ship event; status 'F' = observed, else right-censored at its
+    // last known duration. Shape: lineitem collapses to per-order min
+    // shipdate (one shuffle on the orderkey — the co-partitioned fact-fact
+    // key), joins orders, then collapses to a per-duration-day census
+    // (bounded by the ship-window calendar, not data size). The survival
+    // product S(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ) is computed per census row as a
+    // pinned sorted MULTIPLICATION fold over the ≤|days| term array —
+    // IEEE multiply is correctly rounded in both engines, so the product
+    // is bit-identical (a log/exp detour is NOT: libm exp differs by an
+    // ulp between JVM and DuckDB), and a d=n tail row zeroes the product
+    // with no ln(0) special case.
+    Q("q_survival_km",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("ship0"))
+        val durs = t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            datediff(to_date(col("ship0")), to_date(col("o_orderdate")))
+              .cast("long").as("dur"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("ev"))
+        val census = durs.groupBy("dur")
+          .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+        val wAll = Window.partitionBy()
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = census
+          .select(col("dur"), col("d").cast("long").as("d"),
+            col("c").cast("long").as("c"),
+            (sum(col("d") + col("c")).over(wAll)
+              - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+              .cast("long").as("n_risk"))
+          .select(col("dur"), col("d"), col("c"), col("n_risk"),
+            (lit(1.0) - col("d").cast("double")
+              / col("n_risk").cast("double")).as("term"))
+          // persist: the day census feeds the term-array collect AND the
+          // output join — one lineitem+orders pass, not two (see q_psi)
+          .persist()
+        val terms = risk
+          .agg(expr("""array_sort(collect_list(struct(dur, term)))""")
+            .as("ts"))
+        risk.crossJoin(broadcast(terms))
+          .select(col("dur"), col("d"), col("c"), col("n_risk"),
+            expr("""aggregate(filter(ts, x -> x.dur <= dur),
+                      CAST(1 AS DOUBLE), (a, x) -> a * x.term)""").as("surv"))
+          .orderBy("dur")
+      },
+      Some("""WITH fs AS (
+                SELECT l_orderkey, MIN(l_shipdate) AS ship0
+                FROM lineitem GROUP BY 1),
+              durs AS (
+                SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(ship0 AS DATE)) AS BIGINT) AS dur,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+                FROM orders JOIN fs ON o_orderkey = l_orderkey),
+              census AS (
+                SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+                  CAST(SUM(1 - ev) AS BIGINT) AS c
+                FROM durs GROUP BY 1),
+              nr AS (
+                SELECT dur, d, c,
+                  CAST(SUM(d + c) OVER ()
+                    - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+                FROM census),
+              risk AS (
+                SELECT dur, d, c, n_risk,
+                  1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS term
+                FROM nr),
+              ts AS (
+                SELECT list({'dur': dur, 'term': term} ORDER BY dur)
+                  AS terms FROM risk)
+              SELECT r.dur, r.d, r.c, r.n_risk,
+                list_reduce(list_prepend(CAST(1 AS DOUBLE),
+                  [x.term FOR x IN ts.terms IF x.dur <= r.dur]),
+                  (a, x) -> a * x) AS surv
+              FROM risk r, ts ORDER BY r.dur"""))
+  )
+}

@@ -457,7 +457,8 @@ class PlanGuardSpec extends SparkSpec {
     val family = Seq("q_percentile_disc", "q_percentile_cont", "q_mad",
       "q_winsorize", "q_feature_binning", "q_quantile_norm",
       "q_sequence_pack", "q_gini", "q_template_mining",
-      "q_weighted_median", "q_top_share", "q_norm_profile")
+      "q_weighted_median", "q_top_share", "q_norm_profile",
+      "q_auc", "q_lift_gain")
     for (q <- family) {
       val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$q lost its rank windows entirely")
@@ -587,5 +588,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(nextEx <= 1,
       s"next-round census pays $nextEx exchanges — the round budget broke")
     next.unpersist()
+  }
+
+  test("ModelEval family: census-first, one corpus pass per source table") {
+    // every model-eval readout collapses the fact table to a bounded
+    // census before finishing arithmetic; multi-consumer censuses are
+    // persisted. Raw LogicalRelation leaves in the OPTIMIZED plan =
+    // direct parquet scans a consumer pays at runtime (cached subtrees
+    // don't descend) — each query's budget is its distinct source-table
+    // count or 0 when the whole read is behind a persist/RangeRank cache.
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val budget = Map(
+      "q_auc" -> 0, // census ranked via RangeRank's internal persist
+      "q_lift_gain" -> 0, // events read once into the RangeRank cache
+      "q_calibration" -> 1, "q_target_encoding" -> 1,
+      "q_cohen_kappa" -> 1, "q_mutual_info" -> 1,
+      "q_psi" -> 0, "q_woe_iv" -> 0, // persisted multi-consumer census
+      "q_survival_km" -> 0, // persisted day census (lineitem + orders)
+      "q_pr_curve" -> 0, // persisted score census (RangeRank + 1-row total)
+      "q_brier_score" -> 1, "q_ece" -> 1, "q_mcc" -> 1)
+    for ((q, b) <- budget) {
+      val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
+      assert(raw.size <= b,
+        s"$q pays ${raw.size} direct parquet scans (budget $b) — " +
+          "a census consumer re-walks the corpus")
+    }
   }
 }
