@@ -93,7 +93,12 @@ object PlanDump {
     "q_kcore" -> "k-core peel round: edges persisted hash-partitioned by src — degree census + src-semi ride the cached partitioning exchange-free, the dst-semi carries the round's ONE edge-scale shuffle, and the symmetric endpoint swap restores the invariant for free; 3 unrolled rounds, census output",
     "q_rolling_median" -> "sliding median: orders collapse in the (day) census FIRST; the unpartitioned ORDER BY day window sees only the calendar-bounded frame, and the 7-row median is a row-local array pick",
     "q_join_bucketed_fact" -> "bucketed FACT-FACT join: lineitem and orders both bucketed 8-ways on the orderkey — the SMJ reads co-located buckets AND the orderkey-led groupBy is satisfied by scan partitioning: ZERO hash exchanges end-to-end (the workload family's dominant shuffle deleted by layout)",
-    "q_multimodal_decode" -> "binary header decode: packing is codegen'd hex/unhex/concat in the scan projection; the parse is an init-once mapPartitions codec — a narrow map over the corpus, no shuffle until the output ORDER BY")
+    "q_multimodal_decode" -> "binary header decode: packing is codegen'd hex/unhex/concat in the scan projection; the parse is an init-once mapPartitions codec — a narrow map over the corpus, no shuffle until the output ORDER BY",
+    // round-5 model-eval family
+    "q_auc" -> "Mann–Whitney AUC: per-score census (one shuffle), RangeRank over the census for exclusive cumulative counts (2·midrank = 2·cum+cnt+1, integer), DECIMAL(38,0) rank-sum, ONE double division — no data-sized window anywhere",
+    "q_pr_curve" -> "PR threshold sweep: persisted score census feeds RangeRank (DESC prefix sums = cumulative TP/FP above threshold) AND the 1-row total-positives broadcast — one corpus pass, per-row divisions only",
+    "q_lift_gain" -> "decile lift: event-scale total order rides RangeRank (rank+n), collapses to a 10-row frame where cum/lift windows are census-bounded",
+    "q_survival_km" -> "Kaplan–Meier: lineitem collapses per-orderkey (co-partitioned fact-fact key) before joining orders; day census persisted (feeds term-array collect AND output join); survival = pinned multiplication fold over the calendar-bounded term array")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its

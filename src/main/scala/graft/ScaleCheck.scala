@@ -81,7 +81,11 @@ object ScaleCheck {
     // histogram over the shared artifact, zero-exchange bucket rollup,
     // corpus-scale norm ranks
     "q_error_burn", "q_zipf_fit", "q_dup_size_hist",
-    "q_bucket_agg", "q_norm_profile")
+    "q_bucket_agg", "q_norm_profile",
+    // round-5 model-eval batch: score-census midranks, event-scale
+    // RangeRank decile split, cumulative-TP/FP threshold sweep,
+    // orderkey-collapse + day-census survival fold
+    "q_auc", "q_lift_gain", "q_pr_curve", "q_survival_km")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

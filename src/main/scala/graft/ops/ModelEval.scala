@@ -43,6 +43,54 @@ object ModelEval {
     ev.select(col("event_id"), col("value"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
 
+  /** Mergeable half of q_psi: the (bin → ref/cur counts) census. All-
+    * integer and bounded by the bin grid, so it doubles as Complete-mode
+    * streaming state — [[psiFinish]] over a drained census equals batch
+    * q_psi exactly at any trigger (same contract as the tvd/ks drift
+    * twins).
+    */
+  def psiCensus(events: DataFrame): DataFrame =
+    events
+      .select(floor(col("value") / 50).cast("long").as("bin"),
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L)
+          .otherwise(0L).as("is_ref"))
+      .groupBy("bin")
+      .agg(sum(col("is_ref")).as("ref_n"),
+        sum(lit(1L) - col("is_ref")).as("cur_n"))
+
+  /** Finishing arithmetic of q_psi over the census: Laplace-smoothed
+    * proportions, per-bin PSI terms, pinned-fold total.
+    */
+  def psiFinish(census: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy()
+    val prop = census
+      .select(col("bin"), col("ref_n").cast("long").as("ref_n"),
+        col("cur_n").cast("long").as("cur_n"),
+        sum(col("ref_n")).over(wAll).cast("long").as("rt"),
+        sum(col("cur_n")).over(wAll).cast("long").as("ct"),
+        count(lit(1)).over(wAll).cast("long").as("nb"))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        ((col("ref_n").cast("double") + 1)
+          / (col("rt").cast("double") + col("nb").cast("double")))
+          .as("p_ref"),
+        ((col("cur_n").cast("double") + 1)
+          / (col("ct").cast("double") + col("nb").cast("double")))
+          .as("p_cur"))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+          .as("psi_bin"))
+      // persist: the ≤11-row bin frame feeds BOTH the pinned-fold
+      // total and the output join — without it each consumer re-runs
+      // the corpus-sized census scan (the r4 drift-family regression
+      // class)
+      .persist()
+    val tot = prop
+      .agg(expr("""aggregate(array_sort(collect_list(struct(bin, psi_bin))),
+                     CAST(0 AS DOUBLE), (a, x) -> a + x.psi_bin)""")
+        .as("psi"))
+    prop.crossJoin(broadcast(tot)).orderBy("bin")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── ROC AUC via Mann–Whitney midranks ───────────────────────────────
@@ -196,42 +244,7 @@ object ModelEval {
     // an empty bin can't produce ln(0); the PSI total is a position-
     // pinned sorted fold over the ≤11-bin frame (chi2Finish discipline).
     Q("q_psi",
-      (s, dir) => {
-        val census = t(s, dir, "events")
-          .select(floor(col("value") / 50).cast("long").as("bin"),
-            when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L)
-              .otherwise(0L).as("is_ref"))
-          .groupBy("bin")
-          .agg(sum(col("is_ref")).as("ref_n"),
-            sum(lit(1L) - col("is_ref")).as("cur_n"))
-        val wAll = Window.partitionBy()
-        val prop = census
-          .select(col("bin"), col("ref_n").cast("long").as("ref_n"),
-            col("cur_n").cast("long").as("cur_n"),
-            sum(col("ref_n")).over(wAll).cast("long").as("rt"),
-            sum(col("cur_n")).over(wAll).cast("long").as("ct"),
-            count(lit(1)).over(wAll).cast("long").as("nb"))
-          .select(col("bin"), col("ref_n"), col("cur_n"),
-            ((col("ref_n").cast("double") + 1)
-              / (col("rt").cast("double") + col("nb").cast("double")))
-              .as("p_ref"),
-            ((col("cur_n").cast("double") + 1)
-              / (col("ct").cast("double") + col("nb").cast("double")))
-              .as("p_cur"))
-          .select(col("bin"), col("ref_n"), col("cur_n"),
-            ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
-              .as("psi_bin"))
-          // persist: the ≤11-row bin frame feeds BOTH the pinned-fold
-          // total and the output join — without it each consumer re-runs
-          // the corpus-sized census scan (the r4 drift-family regression
-          // class)
-          .persist()
-        val tot = prop
-          .agg(expr("""aggregate(array_sort(collect_list(struct(bin, psi_bin))),
-                         CAST(0 AS DOUBLE), (a, x) -> a + x.psi_bin)""")
-            .as("psi"))
-        prop.crossJoin(broadcast(tot)).orderBy("bin")
-      },
+      (s, dir) => psiFinish(psiCensus(t(s, dir, "events"))),
       Some("""WITH census AS (
                 SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
                   CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'

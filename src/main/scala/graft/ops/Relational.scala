@@ -2304,7 +2304,12 @@ object Relational {
     // distinct suppliers, distinct late suppliers, and (when unique) the
     // late supplier's key — ONE shuffle on orderkey instead of two
     // correlated re-probes of the fact table. Lateness is exact
-    // timestamp + interval arithmetic.
+    // timestamp + interval arithmetic. The distincts are NOT
+    // countDistinct calls: two distinct-aggregate groups would plan an
+    // Expand (×2 row blowup through the shuffle) — instead a
+    // (orderkey, suppkey) pre-aggregate makes suppliers unique, and the
+    // per-order rollup is then plain count/sum/max. Both aggs and the
+    // join share the orderkey-led partitioning.
     Q("q_supplier_wait",
       (s, dir) => {
         val j = t(s, dir, "lineitem")
@@ -2312,10 +2317,12 @@ object Relational {
           .select(col("l_orderkey"), col("l_suppkey"),
             (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
               .as("late"))
-        val perO = j.groupBy("l_orderkey")
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-            max(when(col("late"), col("l_suppkey"))).as("the_supp"))
+        val perSupp = j.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("late"), 1L).otherwise(0L)).as("late"))
+        val perO = perSupp.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"),
+            sum(col("late")).as("n_late"),
+            max(when(col("late") === 1L, col("l_suppkey"))).as("the_supp"))
         perO.filter(col("n_supp") > 1 && col("n_late") === 1)
           .join(t(s, dir, "supplier"), col("the_supp") === col("s_suppkey"))
           .groupBy("s_suppkey", "s_name")

@@ -627,6 +627,17 @@ object StreamingOps {
   def langDriftCounts(docs: DataFrame): DataFrame =
     graft.ops.Curation.tvdCounts(docs)
 
+  /** Streaming half of q_psi — the live serving-drift monitor. Identical
+    * contract to [[driftCounts]]: the per-bin ref/cur count census is
+    * mergeable Complete-mode state bounded by the score-bin grid (never
+    * by events seen), and because the census is all-integer,
+    * [[graft.ops.ModelEval.psiFinish]] over the drained state equals
+    * batch q_psi EXACTLY at any trigger — a scoring service re-reads its
+    * PSI gauge per trigger without rescanning event history.
+    */
+  def psiCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.psiCensus(events)
+
   /** Schema of the orders table (for the order-ingest stream twins). */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),

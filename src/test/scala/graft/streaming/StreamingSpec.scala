@@ -452,6 +452,28 @@ class StreamingSpec extends SparkSpec {
       "drained drift state diverged from batch KS")
   }
 
+  test("drained PSI census finishes to batch q_psi exactly") {
+    val dir = Files.createTempDirectory("graft-psi").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4) // several files = several source-arrival batches
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.psiCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_psi", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.psiFinish(counts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSet
+    val batch = SparkEntry.queries("q_psi")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained PSI census diverged from batch q_psi")
+  }
+
   test("drained lang-drift state finishes to batch q_tvd_drift exactly") {
     val dir = Files.createTempDirectory("graft-docs-tvd").toString
     Tables.load(spark, sfDir, "documents")
