@@ -1154,6 +1154,124 @@ object Curation {
                     ORDER BY n_docs DESC, template) AS BIGINT) AS pos
                 FROM census)
               SELECT source, pos, template, CAST(n_docs AS BIGINT) AS n_docs
-              FROM r WHERE pos <= 5 ORDER BY source, pos"""))
+              FROM r WHERE pos <= 5 ORDER BY source, pos""")),
+
+    // ── blocklist lexicon audit (safety-filtering census) ────────────────
+    // Per (source, blocked term): occurrence count and distinct-doc
+    // count — the audit a safety pipeline runs before deciding whether a
+    // term warrants doc-level filtering. Word-level membership (explode
+    // on the tokenizer's split), NOT regex — identical semantics in both
+    // engines with no engine-specific word-boundary rules. The filtered
+    // token stream is persisted: it feeds both the occurrence census and
+    // the distinct-doc census, and it is hit-sized (≪ corpus) by the
+    // IN-list pushdown, so the corpus explode runs once.
+    Q("q_lexicon_hits",
+      (s, dir) => {
+        val lex = Seq("slow", "leak", "drop", "crash")
+        val hits = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").isin(lex: _*))
+          .persist()
+        hits.groupBy("source", "tok")
+          .agg(count(lit(1)).as("n_occur"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .select(col("source"), col("tok"),
+            col("n_occur").cast("long").as("n_occur"),
+            col("n_docs").cast("long").as("n_docs"))
+          .orderBy("source", "tok")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, source,
+                  unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              hits AS (
+                SELECT * FROM toks
+                WHERE tok IN ('slow', 'leak', 'drop', 'crash'))
+              SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_occur,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM hits GROUP BY 1, 2 ORDER BY source, tok""")),
+
+    // ── per-source corpus report card ────────────────────────────────────
+    // The one-stop data card: volume, mean length, language entropy, and
+    // exact-dup share per source — the summary a dataset release ships.
+    // ONE corpus scan: the projected base (source, lang, n_chars,
+    // md5(text)) is persisted and three bounded censuses derive from the
+    // cache (volume/length, language mix, hash multiplicity); everything
+    // after is catalog-sized joins. Language entropy is a pinned sorted
+    // fold per source (the chi2Finish discipline); all other FP is
+    // per-row division at the tail.
+    Q("q_corpus_report",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("source"), col("lang"), col("n_chars"),
+            md5(col("text")).as("h"))
+          .persist()
+        val vol = base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        val langs = base.groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+        val wSrc = Window.partitionBy("source")
+        val ent = langs
+          .select(col("source"), col("lang"), col("c"),
+            sum(col("c")).over(wSrc).cast("long").as("n"))
+          .select(col("source"), col("lang"),
+            (-(col("c").cast("double") / col("n").cast("double"))
+              * log(col("c").cast("double") / col("n").cast("double")))
+              .as("term"))
+          .groupBy("source")
+          .agg(expr("""aggregate(array_sort(collect_list(struct(lang, term))),
+                         CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+            .as("lang_entropy"),
+            count(lit(1)).cast("long").as("n_langs"))
+        val dups = base.groupBy("source", "h").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("nd"), count(lit(1)).as("nu"))
+          .select(col("source"),
+            ((col("nd") - col("nu")).cast("double") / col("nd").cast("double"))
+              .as("dup_share"))
+        vol.join(ent, "source").join(dups, "source")
+          .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+            (col("chars").cast("double") / col("n_docs").cast("double"))
+              .as("avg_len"),
+            col("n_langs"), col("lang_entropy"), col("dup_share"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+                SELECT source, lang, n_chars, md5(text) AS h
+                FROM documents),
+              vol AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS chars
+                FROM base GROUP BY 1),
+              langs AS (
+                SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2),
+              ent AS (
+                SELECT source,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         ORDER BY lang)), (a, x) -> a + x) AS lang_entropy,
+                  CAST(COUNT(*) AS BIGINT) AS n_langs
+                FROM (SELECT source, lang, c,
+                        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+                      FROM langs)
+                GROUP BY 1),
+              hc AS (
+                SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2),
+              dups AS (
+                SELECT source,
+                  CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                    AS dup_share
+                FROM hc GROUP BY 1)
+              SELECT vol.source, vol.n_docs,
+                CAST(vol.chars AS DOUBLE) / CAST(vol.n_docs AS DOUBLE)
+                  AS avg_len,
+                ent.n_langs, ent.lang_entropy, dups.dup_share
+              FROM vol JOIN ent ON vol.source = ent.source
+                JOIN dups ON vol.source = dups.source
+              ORDER BY vol.source"""))
   )
 }

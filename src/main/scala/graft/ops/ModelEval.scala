@@ -665,6 +665,43 @@ object ModelEval {
                   AS mcc
               FROM c""")),
 
+    // ── preference-pair mining ──────────────────────────────────────────
+    // RLHF-style pair construction: per user with ≥2 scored events,
+    // (chosen, rejected) = the arg-max/arg-min event by (value,
+    // event_id) — the lexicographic struct extremes, so ties break
+    // identically in both engines and NO window ever sorts the fact
+    // table: one groupBy shuffle, two struct-extreme aggregates, margin
+    // arithmetic on the 2-row-per-user result. Parallelism = user
+    // cardinality (grows with data — never a bottleneck key).
+    Q("q_preference_pairs",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            max(struct(col("value"), col("event_id"))).as("c"),
+            min(struct(col("value"), col("event_id"))).as("r"))
+          .filter(col("n") >= 2)
+          .select(col("user_id"), col("n").cast("long").as("n_events"),
+            col("c.event_id").as("chosen_id"),
+            col("r.event_id").as("rejected_id"),
+            (col("c.value") - col("r.value")).as("margin"))
+          .orderBy("user_id"),
+      Some("""WITH ranked AS (
+                SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id DESC) AS rmax,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value ASC, event_id ASC) AS rmin,
+                  CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+                FROM events)
+              SELECT user_id, MAX(n) AS n_events,
+                MAX(CASE WHEN rmax = 1 THEN event_id END) AS chosen_id,
+                MAX(CASE WHEN rmin = 1 THEN event_id END) AS rejected_id,
+                MAX(CASE WHEN rmax = 1 THEN value END)
+                  - MAX(CASE WHEN rmin = 1 THEN value END) AS margin
+              FROM ranked WHERE n >= 2
+              GROUP BY 1 ORDER BY user_id""")),
+
     // ── Kaplan–Meier survival curve ─────────────────────────────────────
     // Time-to-fulfillment per order: duration = days from order date to
     // FIRST ship event; status 'F' = observed, else right-censored at its

@@ -606,7 +606,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_psi" -> 0, "q_woe_iv" -> 0, // persisted multi-consumer census
       "q_survival_km" -> 0, // persisted day census (lineitem + orders)
       "q_pr_curve" -> 0, // persisted score census (RangeRank + 1-row total)
-      "q_brier_score" -> 1, "q_ece" -> 1, "q_mcc" -> 1)
+      "q_brier_score" -> 1, "q_ece" -> 1, "q_mcc" -> 1,
+      "q_preference_pairs" -> 1,
+      "q_lexicon_hits" -> 0, // persisted hit-sized token stream
+      "q_corpus_report" -> 0) // persisted corpus projection, 3 censuses
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
