@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** LLM-pipeline corpus curation over `documents` (north-star extensions).
   *
@@ -1155,6 +1156,110 @@ object Curation {
                 FROM census)
               SELECT source, pos, template, CAST(n_docs AS BIGINT) AS n_docs
               FROM r WHERE pos <= 5 ORDER BY source, pos""")),
+
+    // ── Jensen–Shannon drift (fourth drift lens) ─────────────────────────
+    // Per source: the JS divergence between its language distribution P
+    // and the corpus distribution Q — symmetric and bounded (≤ ln 2)
+    // where KL is neither, the lens monitoring dashboards actually plot.
+    // Same catalog-bounded (source, lang) census as tvd/chi2; the dense
+    // grid includes zero-P cells (0·ln(0/m) ≡ 0 dropped explicitly, the
+    // Q-side term survives); both per-source sums are position-pinned
+    // sorted folds over the ≤|langs| cells. The census is persisted —
+    // it feeds the grid, both marginals, AND the scalar n (the r4
+    // drift-family discipline). The readout rounds to 12 decimals: with
+    // ~2·|sources|·|langs| ln calls per query, JVM Math.log and DuckDB's
+    // libm ln disagree by 1 ulp on a few inputs (measured: 3/20 rows at
+    // sf0.01) — the pinned fold can't fix a transcendental's last bit,
+    // and 1e-12 is far below the statistic's meaningful precision.
+    Q("q_js_drift",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+          .persist()
+        val n = census.agg(sum(col("c"))).head.getLong(0)
+        val perSrc = census.groupBy("source").agg(sum(col("c")).as("ns"))
+        val perLang = census.groupBy("lang").agg(sum(col("c")).as("nl"))
+        val cells = perSrc.crossJoin(perLang)
+          .join(census, Seq("source", "lang"), "left")
+          .select(col("source"), col("lang"), col("ns"),
+            (coalesce(col("c"), lit(0L)).cast("double")
+              / col("ns").cast("double")).as("pp"),
+            (col("nl").cast("double") / lit(n.toDouble)).as("q"))
+          .select(col("source"), col("lang"), col("ns"),
+            (when(col("pp") > 0,
+              col("pp") * log(col("pp")
+                / ((col("pp") + col("q")) / 2))).otherwise(lit(0.0))
+              + col("q") * log(col("q")
+                / ((col("pp") + col("q")) / 2))).as("term"))
+        cells
+          .groupBy(col("source"), col("ns").cast("long").as("n_docs"))
+          .agg(round(expr(
+            """aggregate(array_sort(collect_list(struct(lang, term))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)""") / 2, 12)
+            .as("js"))
+          .orderBy("source")
+      },
+      Some("""WITH census AS (
+                SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2),
+              nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM census),
+              ps AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+                     FROM census GROUP BY 1),
+              pl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl
+                     FROM census GROUP BY 1),
+              cells AS (
+                SELECT ps.source, pl.lang, ps.ns,
+                  CAST(COALESCE(ce.c, 0) AS DOUBLE) / CAST(ps.ns AS DOUBLE)
+                    AS pp,
+                  CAST(pl.nl AS DOUBLE) / CAST(nn.n AS DOUBLE) AS q
+                FROM ps CROSS JOIN pl
+                  LEFT JOIN census ce
+                    ON ps.source = ce.source AND pl.lang = ce.lang, nn),
+              terms AS (
+                SELECT source, ns, lang,
+                  (CASE WHEN pp > 0
+                     THEN pp * ln(pp / ((pp + q) / 2)) ELSE 0.0 END
+                   + q * ln(q / ((pp + q) / 2))) AS term
+                FROM cells)
+              SELECT source, ns AS n_docs,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY lang)), (a, x) -> a + x) / 2, 12) AS js
+              FROM terms GROUP BY 1, 2 ORDER BY source""")),
+
+    // ── effective sample size of the length-weighted mix ─────────────────
+    // Kish's ESS = (Σw)²/Σw² per source with doc length as the weight —
+    // the diagnostic that says how many EQUAL-WEIGHT docs a weighted
+    // mixing scheme is really worth (heavy-tailed lengths collapse it).
+    // ONE census pass; both sums exact (Σw int64, Σw² in DECIMAL(38,0) —
+    // past int64 at ~10B chars²-weighted docs); FP only in the two
+    // final divisions.
+    Q("q_effective_sample_size",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sw"),
+            sum(col("n_chars").cast(DecimalType(38, 0))
+              * col("n_chars").cast(DecimalType(38, 0))).as("sw2"))
+          .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+            ((col("sw").cast("double") * col("sw").cast("double"))
+              / col("sw2").cast("double")).as("ess"))
+          .select(col("source"), col("n_docs"), col("ess"),
+            (col("ess") / col("n_docs").cast("double")).as("ess_ratio"))
+          .orderBy("source"),
+      Some("""WITH m AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS sw,
+                  SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                    AS sw2
+                FROM documents GROUP BY 1),
+              e AS (
+                SELECT source, n_docs,
+                  (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+                    / CAST(sw2 AS DOUBLE) AS ess
+                FROM m)
+              SELECT source, n_docs, ess,
+                ess / CAST(n_docs AS DOUBLE) AS ess_ratio
+              FROM e ORDER BY source""")),
 
     // ── blocklist lexicon audit (safety-filtering census) ────────────────
     // Per (source, blocked term): occurrence count and distinct-doc

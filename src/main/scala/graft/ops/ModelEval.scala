@@ -665,6 +665,68 @@ object ModelEval {
                   AS mcc
               FROM c""")),
 
+    // ── classifier KS statistic (max CDF separation) ────────────────────
+    // The scorecard-world twin of q_ks_drift: max over thresholds of
+    // |CDF⁺(t) − CDF⁻(t)|, located at its argmax threshold. Same
+    // per-score census + RangeRank prefix sums as q_auc; the numerator
+    // |cum⁺·n⁻ − cum⁻·n⁺| stays in DECIMAL(38,0) (the cross products
+    // pass int64 near ~3B rows/class), the max and its argmax are one
+    // lexicographic struct-extreme aggregate (order-free, no FP until
+    // the final division). Single row out.
+    Q("q_ks_model",
+      (s, dir) => {
+        // persist: feeds RangeRank AND the 1-row class-totals broadcast
+        val census = labeled(t(s, dir, "events"))
+          .groupBy("value")
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+          .persist()
+        val ranked = RangeRank.ranked(
+          census, Seq.empty, Seq(col("value")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(
+            RangeRank.PrefixSum(col("p"), "cp"),
+            RangeRank.PrefixSum(col("cnt") - col("p"), "cn")))
+        val tot = census.agg(sum(col("p")).cast("long").as("npos"),
+          sum(col("cnt") - col("p")).cast("long").as("nneg"))
+        ranked.crossJoin(broadcast(tot))
+          .select(col("npos"), col("nneg"), col("value"),
+            abs((col("cp") + col("p")).cast(dec38) * col("nneg").cast(dec38)
+              - (col("cn") + col("cnt") - col("p")).cast(dec38)
+                * col("npos").cast(dec38)).as("dnum"))
+          .groupBy("npos", "nneg")
+          .agg(max(struct(col("dnum"), col("value"))).as("m"))
+          .select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
+            col("m.value").as("at_threshold"),
+            (col("m.dnum").cast("double")
+              / (col("npos").cast("double") * col("nneg").cast("double")))
+              .as("ks"))
+      },
+      Some("""WITH census AS (
+                SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p
+                FROM events GROUP BY 1),
+              c AS (
+                SELECT value,
+                  CAST(SUM(p) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cp,
+                  CAST(SUM(cnt - p) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn,
+                  CAST(SUM(p) OVER () AS BIGINT) AS npos,
+                  CAST(SUM(cnt - p) OVER () AS BIGINT) AS nneg
+                FROM census),
+              d AS (
+                SELECT npos, nneg, value,
+                  abs(CAST(cp AS HUGEINT) * nneg
+                      - CAST(cn AS HUGEINT) * npos) AS dnum
+                FROM c)
+              SELECT npos AS n_pos, nneg AS n_neg, value AS at_threshold,
+                CAST(dnum AS DOUBLE)
+                  / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)) AS ks
+              FROM d ORDER BY dnum DESC, value DESC LIMIT 1""")),
+
     // ── preference-pair mining ──────────────────────────────────────────
     // RLHF-style pair construction: per user with ≥2 scored events,
     // (chosen, rejected) = the arg-max/arg-min event by (value,

@@ -609,7 +609,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_brier_score" -> 1, "q_ece" -> 1, "q_mcc" -> 1,
       "q_preference_pairs" -> 1,
       "q_lexicon_hits" -> 0, // persisted hit-sized token stream
-      "q_corpus_report" -> 0) // persisted corpus projection, 3 censuses
+      "q_corpus_report" -> 0, // persisted corpus projection, 3 censuses
+      "q_ks_model" -> 0, // persisted score census (RangeRank + totals)
+      "q_js_drift" -> 0, // persisted (source, lang) census, 4 consumers
+      "q_effective_sample_size" -> 1)
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
