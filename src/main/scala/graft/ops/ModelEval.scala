@@ -58,6 +58,28 @@ object ModelEval {
       .agg(sum(col("is_ref")).as("ref_n"),
         sum(lit(1L) - col("is_ref")).as("cur_n"))
 
+  /** Mergeable half of q_calibration: per-bin (count, positives, exact
+    * decimal score sum). Same Complete-mode streaming contract as
+    * [[psiCensus]] — integer/decimal state bounded by the bin grid.
+    */
+  def calibCensus(events: DataFrame): DataFrame =
+    events
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
+        sum(dec2(col("value"))).as("sv"))
+
+  /** Finishing arithmetic of q_calibration over the census. */
+  def calibFinish(census: DataFrame): DataFrame =
+    census
+      .select(col("bin"), col("n").cast("long").as("n"),
+        col("np").cast("long").as("n_pos"),
+        (col("sv").cast("double") / col("n")).as("mean_score"),
+        (col("np").cast("double") / col("n").cast("double"))
+          .as("frac_pos"))
+      .orderBy("bin")
+
   /** Finishing arithmetic of q_psi over the census: Laplace-smoothed
     * proportions, per-bin PSI terms, pinned-fold total.
     */
@@ -217,16 +239,7 @@ object ModelEval {
     // the stored 2-decimal values, divided once (the [[Q.avgDec]]
     // discipline) — no FP accumulation order anywhere.
     Q("q_calibration",
-      (s, dir) =>
-        labeled(t(s, dir, "events"))
-          .groupBy(floor(col("value") / 50).cast("long").as("bin"))
-          .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
-            avgDec(col("value")).as("mean_score"))
-          .select(col("bin"), col("n").cast("long").as("n"),
-            col("np").cast("long").as("n_pos"), col("mean_score"),
-            (col("np").cast("double") / col("n").cast("double"))
-              .as("frac_pos"))
-          .orderBy("bin"),
+      (s, dir) => calibFinish(calibCensus(t(s, dir, "events"))),
       Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
                 CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -804,13 +817,26 @@ object ModelEval {
           // persist: the day census feeds the term-array collect AND the
           // output join — one lineitem+orders pass, not two (see q_psi)
           .persist()
-        val terms = risk
+        // prefix products in ONE pass over the sorted term array (pp[i] =
+        // t₁·…·tᵢ, pp[0] = 1) instead of a per-row filter+fold — that
+        // shape re-walks the array per census row (O(|days|²) lambda
+        // evals ≈ 13M at sf0.1, the query's dominant constant). The fold
+        // sequence per prefix is IDENTICAL to the per-row form, so every
+        // surv value is bit-identical to the DuckDB oracle's per-row
+        // left fold.
+        val curve = risk
           .agg(expr("""array_sort(collect_list(struct(dur, term)))""")
             .as("ts"))
-        risk.crossJoin(broadcast(terms))
-          .select(col("dur"), col("d"), col("c"), col("n_risk"),
-            expr("""aggregate(filter(ts, x -> x.dur <= dur),
-                      CAST(1 AS DOUBLE), (a, x) -> a * x.term)""").as("surv"))
+          .select(col("ts"), expr(
+            """aggregate(ts, array(CAST(1 AS DOUBLE)),
+                 (acc, x) -> concat(acc, array(element_at(acc, -1) * x.term)))""")
+            .as("pp"))
+          .select(explode(expr(
+            """transform(sequence(1, size(ts)),
+                 i -> struct(ts[i-1].dur AS dur, pp[i] AS surv))""")).as("z"))
+          .select(col("z.dur").as("dur"), col("z.surv").as("surv"))
+        risk.join(broadcast(curve), "dur")
+          .select(col("dur"), col("d"), col("c"), col("n_risk"), col("surv"))
           .orderBy("dur")
       },
       Some("""WITH fs AS (

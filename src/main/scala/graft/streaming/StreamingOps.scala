@@ -638,6 +638,15 @@ object StreamingOps {
   def psiCounts(events: DataFrame): DataFrame =
     graft.ops.ModelEval.psiCensus(events)
 
+  /** Streaming half of q_calibration — the live reliability diagram.
+    * Same contract as [[psiCounts]]: per-bin (count, positives, exact
+    * decimal score sum) as Complete-mode state bounded by the bin grid;
+    * [[graft.ops.ModelEval.calibFinish]] over the drained state equals
+    * batch q_calibration EXACTLY at any trigger.
+    */
+  def calibCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.calibCensus(events)
+
   /** Schema of the orders table (for the order-ingest stream twins). */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),

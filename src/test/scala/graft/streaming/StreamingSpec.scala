@@ -474,6 +474,28 @@ class StreamingSpec extends SparkSpec {
       "drained PSI census diverged from batch q_psi")
   }
 
+  test("drained calibration census finishes to batch q_calibration exactly") {
+    val dir = Files.createTempDirectory("graft-calib").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.calibCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_calib", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.calibFinish(counts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSet
+    val batch = SparkEntry.queries("q_calibration")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained calibration census diverged from batch q_calibration")
+  }
+
   test("drained lang-drift state finishes to batch q_tvd_drift exactly") {
     val dir = Files.createTempDirectory("graft-docs-tvd").toString
     Tables.load(spark, sfDir, "documents")
