@@ -1320,13 +1320,15 @@ object Curation {
         val ent = langs
           .select(col("source"), col("lang"), col("c"),
             sum(col("c")).over(wSrc).cast("long").as("n"))
+          // 12-decimal per-lang terms: the q_js_drift libm-ln discipline
           .select(col("source"), col("lang"),
-            (-(col("c").cast("double") / col("n").cast("double"))
-              * log(col("c").cast("double") / col("n").cast("double")))
+            round(-(col("c").cast("double") / col("n").cast("double"))
+              * log(col("c").cast("double") / col("n").cast("double")), 12)
               .as("term"))
           .groupBy("source")
-          .agg(expr("""aggregate(array_sort(collect_list(struct(lang, term))),
-                         CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+          .agg(round(expr(
+            """aggregate(array_sort(collect_list(struct(lang, term))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
             .as("lang_entropy"),
             count(lit(1)).cast("long").as("n_langs"))
         val dups = base.groupBy("source", "h").agg(count(lit(1)).as("c"))
@@ -1354,10 +1356,11 @@ object Curation {
                 FROM base GROUP BY 1, 2),
               ent AS (
                 SELECT source,
-                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                    list(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                         ORDER BY lang)), (a, x) -> a + x) AS lang_entropy,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                         ORDER BY lang)), (a, x) -> a + x), 12)
+                    AS lang_entropy,
                   CAST(COUNT(*) AS BIGINT) AS n_langs
                 FROM (SELECT source, lang, c,
                         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n

@@ -98,17 +98,21 @@ object ModelEval {
         ((col("cur_n").cast("double") + 1)
           / (col("ct").cast("double") + col("nb").cast("double")))
           .as("p_cur"))
+      // 12-decimal readouts (the q_js_drift discipline): JVM Math.log
+      // and DuckDB's libm ln can disagree by 1 ulp on unlucky inputs —
+      // no summation-order pinning fixes a transcendental's last bit
       .select(col("bin"), col("ref_n"), col("cur_n"),
-        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
-          .as("psi_bin"))
+        round((col("p_cur") - col("p_ref"))
+          * log(col("p_cur") / col("p_ref")), 12).as("psi_bin"))
       // persist: the ≤11-row bin frame feeds BOTH the pinned-fold
       // total and the output join — without it each consumer re-runs
       // the corpus-sized census scan (the r4 drift-family regression
       // class)
       .persist()
     val tot = prop
-      .agg(expr("""aggregate(array_sort(collect_list(struct(bin, psi_bin))),
-                     CAST(0 AS DOUBLE), (a, x) -> a + x.psi_bin)""")
+      .agg(round(expr(
+        """aggregate(array_sort(collect_list(struct(bin, psi_bin))),
+             CAST(0 AS DOUBLE), (a, x) -> a + x.psi_bin)"""), 12)
         .as("psi"))
     prop.crossJoin(broadcast(tot)).orderBy("bin")
   }
@@ -276,11 +280,11 @@ object ModelEval {
                 FROM census),
               pb AS (
                 SELECT bin, ref_n, cur_n,
-                  (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_bin
+                  round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS psi_bin
                 FROM prop),
               tot AS (
-                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                    list(psi_bin ORDER BY bin)), (a, x) -> a + x) AS psi
+                SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(psi_bin ORDER BY bin)), (a, x) -> a + x), 12) AS psi
                 FROM pb)
               SELECT pb.bin, pb.ref_n, pb.cur_n, pb.psi_bin, tot.psi
               FROM pb, tot ORDER BY pb.bin""")),
@@ -311,16 +315,18 @@ object ModelEval {
               .as("pg"),
             (col("n_bad").cast("double") / col("bt").cast("double"))
               .as("pb"))
+          // 12-decimal readouts: the q_js_drift libm-ln discipline
           .select(col("o_orderpriority"), col("n_good"), col("n_bad"),
-            log(col("pg") / col("pb")).as("woe"),
-            ((col("pg") - col("pb")) * log(col("pg") / col("pb")))
+            round(log(col("pg") / col("pb")), 12).as("woe"),
+            round((col("pg") - col("pb")) * log(col("pg") / col("pb")), 12)
               .as("iv_contrib"))
           // persist: feeds the IV fold AND the output join (see q_psi)
           .persist()
         val tot = woe
-          .agg(expr(
+          .agg(round(expr(
             """aggregate(array_sort(collect_list(struct(o_orderpriority, iv_contrib))),
-                 CAST(0 AS DOUBLE), (a, x) -> a + x.iv_contrib)""").as("iv"))
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.iv_contrib)"""), 12)
+            .as("iv"))
         woe.crossJoin(broadcast(tot)).orderBy("o_orderpriority")
       },
       Some("""WITH census AS (
@@ -339,12 +345,13 @@ object ModelEval {
                 FROM census),
               w AS (
                 SELECT o_orderpriority, n_good, n_bad,
-                  ln(pg / pb) AS woe, (pg - pb) * ln(pg / pb) AS iv_contrib
+                  round(ln(pg / pb), 12) AS woe,
+                  round((pg - pb) * ln(pg / pb), 12) AS iv_contrib
                 FROM p),
               tot AS (
-                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                     list(iv_contrib ORDER BY o_orderpriority)),
-                    (a, x) -> a + x) AS iv
+                    (a, x) -> a + x), 12) AS iv
                 FROM w)
               SELECT w.o_orderpriority, w.n_good, w.n_bad, w.woe,
                 w.iv_contrib, tot.iv
@@ -451,14 +458,15 @@ object ModelEval {
             sum(col("c")).over(wX).cast("long").as("cx"),
             sum(col("c")).over(wY).cast("long").as("cy"),
             sum(col("c")).over(wAll).cast("long").as("n"))
+          // 12-decimal per-cell terms: the q_js_drift libm-ln discipline
           .select(col("event_type"), col("bin"),
-            ((col("c").cast("double") / col("n").cast("double"))
+            round((col("c").cast("double") / col("n").cast("double"))
               * log(col("c").cast("double") * col("n").cast("double")
-                / (col("cx").cast("double") * col("cy").cast("double"))))
+                / (col("cx").cast("double") * col("cy").cast("double"))), 12)
               .as("term"))
-          .agg(expr(
+          .agg(round(expr(
             """aggregate(array_sort(collect_list(struct(event_type, bin, term))),
-                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("mi"),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12).as("mi"),
             count(lit(1)).cast("long").as("n_cells"))
           .select(col("n_cells"), col("mi"))
       },
@@ -474,13 +482,15 @@ object ModelEval {
                 FROM census),
               terms AS (
                 SELECT event_type, bin,
-                  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                     * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
-                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS term
+                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 12)
+                    AS term
                 FROM m)
               SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-                list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                  list(term ORDER BY event_type, bin)), (a, x) -> a + x) AS mi
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY event_type, bin)), (a, x) -> a + x), 12)
+                  AS mi
               FROM terms""")),
 
     // ── precision/recall threshold sweep ────────────────────────────────
