@@ -231,6 +231,90 @@ object Layout {
       Some("""SELECT o_custkey, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS revenue
-              FROM orders GROUP BY 1 ORDER BY o_custkey"""))
+              FROM orders GROUP BY 1 ORDER BY o_custkey""")),
+
+    // ── CSV ingest end-to-end (text source in the oracle gate) ──────────
+    // The ingest edge of a pipeline: events exported once as CSV (the
+    // memoized artifact), read back with an EXPLICIT schema — at 100 TB
+    // schema inference is a full extra pass, so production reads always
+    // declare. Timestamps travel as epoch micros (int64) because text
+    // timestamp formats round to millis by default; doubles round-trip
+    // exactly (Spark writes shortest-repr). CSV grants column pruning
+    // but no predicate pushdown — the rollup therefore aggregates
+    // immediately after the scan. Result hash-matches DuckDB reading
+    // the ORIGINAL parquet: the text round-trip is lossless.
+    Q("q_csv_source",
+      (s, dir) => {
+        val path = csvEvents(s, dir)
+        s.read.schema(srcSchema).csv(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_val"),
+            min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+                CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+                CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ── JSON-lines ingest end-to-end ─────────────────────────────────────
+    // Same contract as q_csv_source over newline-delimited JSON — the
+    // interchange format event buses actually emit. Explicit schema (no
+    // inference pass), epoch-micros timestamps, exact double round-trip;
+    // the distinct-user census exercises string+int64 field decode.
+    Q("q_json_source",
+      (s, dir) => {
+        val path = jsonEvents(s, dir)
+        s.read.schema(srcSchema).json(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sumDec2(col("value")).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+              FROM events GROUP BY 1 ORDER BY event_type"""))
   )
+
+  /** Schema of the text-exported event rows (ts as exact epoch micros —
+    * text timestamp formats are lossy, int64 is not).
+    */
+  private val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("ts_us",
+      org.apache.spark.sql.types.LongType)))
+
+  private def srcProjection(s: SparkSession, dir: String) =
+    t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+
+  private val csvMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def csvEvents(s: SparkSession, dir: String): String =
+    csvMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-sources/${tag(dir)}/events_csv"
+      srcProjection(s, dir).write.mode("overwrite").csv(path)
+      path
+    })
+
+  private val jsonMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def jsonEvents(s: SparkSession, dir: String): String =
+    jsonMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-sources/${tag(dir)}/events_json"
+      srcProjection(s, dir).write.mode("overwrite").json(path)
+      path
+    })
 }

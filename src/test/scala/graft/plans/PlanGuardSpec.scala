@@ -612,7 +612,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_corpus_report" -> 0, // persisted corpus projection, 3 censuses
       "q_ks_model" -> 0, // persisted score census (RangeRank + totals)
       "q_js_drift" -> 0, // persisted (source, lang) census, 4 consumers
-      "q_effective_sample_size" -> 1)
+      "q_effective_sample_size" -> 1,
+      "q_csv_source" -> 1, "q_json_source" -> 1)
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
