@@ -132,6 +132,13 @@ object PlanDump {
       || q_tfidf | TF matrix | df census + score join | persisted (round 3); nDocs is a separate 1-column scan — accepted (stats-then-scan) |
       || q_histogram_numeric, q_dormant_customers, q_vocab_growth, zorderRows | raw column-pruned scan | 1-row stats agg + main pass | **accepted**: stats-then-scan needs two passes by definition; the extra pass is a pruned scan with no explode/join, and caching the raw fact to save it would cost more than the scan |
       || q_gaps_islands / q_error_burn / q_rolling_median / q_seasonality / q_changepoint / q_calendar_gaps | calendar-bounded day census | single consumer chain | **single plan** — no reuse to pay for |
+      || q_psi / q_woe_iv | bin/category census + smoothed proportions | pinned-fold total + output join | **persisted** (PlanGuard budget 0) |
+      || q_pr_curve / q_ks_model | per-score census | RangeRank rank pass + 1-row class totals | **persisted** (totals read the cache, not events) |
+      || q_js_drift | (source,lang) census | n scalar + both marginals + dense grid | **persisted** (the r4 drift discipline) |
+      || q_survival_km | per-duration-day census | prefix-product curve + output join | **persisted**; per-row O(days²) fold → one prefix-product pass |
+      || q_lexicon_hits | hit-sized filtered token explode | occurrence census + distinct-doc census | **persisted** (hit-sized, ≪ corpus) |
+      || q_corpus_report | projected corpus base (source,lang,len,md5) | volume census + lang census + hash census | **persisted** (1 corpus scan, 3 readouts) |
+      || q_auc / q_lift_gain / q_calibration / q_target_encoding / q_cohen_kappa / q_mcc / q_brier_score / q_ece / q_mutual_info / q_effective_sample_size / q_preference_pairs | — | single consumer chain (or RangeRank's internal persist) | **single plan** |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
