@@ -14,7 +14,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.EventTime.queries ++ ops.Dedup.queries ++
       ops.TextOps.queries ++ ops.VectorOps.queries ++ ops.Multimodal.queries ++
       ops.Approx.queries ++ ops.Curation.queries ++ ops.Graph.queries ++
-      ops.Layout.queries ++ ops.ModelEval.queries
+      ops.Layout.queries ++ ops.ModelEval.queries ++ ops.SqlApi.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_charcount = the reference's CounterClient (SampleClient.cpp:32-66)

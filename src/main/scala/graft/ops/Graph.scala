@@ -74,6 +74,23 @@ object Graph {
     * already hash-partitioned by its new src (the dst-semi's shuffle
     * output), so the next round's census re-exchanges nothing.
     */
+  /** One min-label-propagation round — exposed (package-private) so the
+    * plan guards can assert on an UN-checkpointed round (the
+    * q_label_prop body checkpoints every round, truncating lineage).
+    * Shape: edges⋈labels on src (the round's edge-scale shuffle),
+    * partial-agg min by dst, node-scale rejoin; labels are never
+    * broadcast (they scale with the population).
+    */
+  private[graft] def labelPropRound(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val nbrMin = edges.join(labels, edges("src") === labels("node"))
+      .select(col("dst").as("n2"), col("lbl"))
+      .groupBy("n2").agg(min(col("lbl")).as("m"))
+    labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+      .select(col("node"),
+        least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+  }
+
   private[graft] def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
     // checkpoint the NODE-sized keep set: it feeds BOTH endpoint
     // semi-joins, and without the cut the degree census would be
@@ -433,15 +450,20 @@ object Graph {
           edges = kcoreRound(edges, k).persist()
           // materialize so the NEXT round's census/src-semi see the
           // final cached partitioning (pre-final caches report Unknown)
-          edges.count()
-          edges.agg(
-            countDistinct(when(col("src") % 2 === 0, col("src")))
-              .as("n_cust"),
-            countDistinct(when(col("src") % 2 === 1, col("src")))
-              .as("n_supp"),
-            expr("count(1) div 2").as("n_edges"))
+          val cnt = edges.count()
+          // per-round census WITHOUT a double-countDistinct Expand (that
+          // shape pays a 3x edge-scale row blowup through the agg —
+          // the q_supplier_wait lesson): dedup src to the node set first
+          // (map-side partial dedup; node-scale shuffle at worst, free
+          // when the cache still reports the src partitioning), then a
+          // 2-row conditional count. The edge tally is the
+          // materialization count just paid — not a fourth pass.
+          edges.select("src").distinct()
+            .agg(
+              count(when(col("src") % 2 === 0, lit(1))).as("n_cust"),
+              count(when(col("src") % 2 === 1, lit(1))).as("n_supp"))
             .select(lit(r.toLong).as("round"), col("n_cust"),
-              col("n_supp"), col("n_edges"))
+              col("n_supp"), lit(cnt / 2L).as("n_edges"))
         }
         rounds.reduce(_ unionByName _).orderBy("round")
       },
@@ -482,6 +504,75 @@ object Graph {
                   count(DISTINCT CASE WHEN src % 2 = 0 THEN src END),
                   count(DISTINCT CASE WHEN src % 2 = 1 THEN src END),
                   count(*) // 2 FROM e3)
+              ORDER BY round"""))
+    ,
+
+    // ── min-label propagation: the connected-components primitive ───────
+    // Fifth iterative-graph shape: each node adopts the smallest label
+    // in its closed neighborhood, a FIXED 3 rounds (the kcore
+    // engine-checkability discipline — run-to-fixpoint would need a
+    // driver-side convergence flag and an oracle that can't unroll).
+    // After round r every node holds the min node-id within r hops, so
+    // the label census is a deterministic partial-CC snapshot; the
+    // star-contraction in q_dup_clusters is the run-to-fixpoint
+    // production variant, this is the bounded-round gated twin. Per
+    // round: edges⋈labels on src (edge-scale shuffle, the honest cost),
+    // partial-agg min by dst, node-scale rejoin — labels are never
+    // broadcast (they scale with the population). Output: the per-round
+    // label census (n_labels falling toward #components, plus the
+    // largest provisional component) — the convergence curve, same
+    // shape discipline as q_kcore's per-round census.
+    Q("q_label_prop",
+      (s, dir) => {
+        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        var labels = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl"))
+          .localCheckpoint(true)
+        val rounds = (1 to 3).map { r =>
+          labels = labelPropRound(edges, labels).localCheckpoint(true)
+          labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)).as("n_labels"),
+              sum(col("sz")).as("n_nodes"),
+              max(col("sz")).as("max_comm"))
+            .select(lit(r.toLong).as("round"), col("n_labels"),
+              col("n_nodes"), col("max_comm"))
+        }
+        rounds.reduce(_ unionByName _).orderBy("round")
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              e AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s, c FROM cs),
+              l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+              l1 AS (SELECT n.node, LEAST(n.lbl, MIN(l.lbl)) AS lbl
+                     FROM l0 n JOIN e ON e.dst = n.node
+                       JOIN l0 l ON l.node = e.src
+                     GROUP BY n.node, n.lbl),
+              l2 AS (SELECT n.node, LEAST(n.lbl, MIN(l.lbl)) AS lbl
+                     FROM l1 n JOIN e ON e.dst = n.node
+                       JOIN l1 l ON l.node = e.src
+                     GROUP BY n.node, n.lbl),
+              l3 AS (SELECT n.node, LEAST(n.lbl, MIN(l.lbl)) AS lbl
+                     FROM l2 n JOIN e ON e.dst = n.node
+                       JOIN l2 l ON l.node = e.src
+                     GROUP BY n.node, n.lbl)
+              SELECT CAST(round AS BIGINT) AS round,
+                n_labels, n_nodes, max_comm FROM (
+                SELECT 1 AS round,
+                  CAST(count(*) AS BIGINT) AS n_labels,
+                  CAST(SUM(sz) AS BIGINT) AS n_nodes,
+                  CAST(MAX(sz) AS BIGINT) AS max_comm
+                FROM (SELECT lbl, count(*) AS sz FROM l1 GROUP BY 1)
+                UNION ALL
+                SELECT 2, CAST(count(*) AS BIGINT),
+                  CAST(SUM(sz) AS BIGINT), CAST(MAX(sz) AS BIGINT)
+                FROM (SELECT lbl, count(*) AS sz FROM l2 GROUP BY 1)
+                UNION ALL
+                SELECT 3, CAST(count(*) AS BIGINT),
+                  CAST(SUM(sz) AS BIGINT), CAST(MAX(sz) AS BIGINT)
+                FROM (SELECT lbl, count(*) AS sz FROM l3 GROUP BY 1))
               ORDER BY round"""))
   )
 }

@@ -276,7 +276,29 @@ object Layout {
       Some("""SELECT event_type, count(*) AS n,
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-              FROM events GROUP BY 1 ORDER BY event_type"""))
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ── ORC ingest end-to-end (columnar source #2, WITH pushdown) ───────
+    // Completes the ingest triad: unlike CSV/JSON, ORC is columnar and
+    // takes predicate pushdown — the purchase/value filter lands in the
+    // scan's PushedFilters (PlanGuard pins it), so at 100 TB the scan
+    // reads row groups whose min/max admit the slice, not the table.
+    // Same lossless-round-trip contract: epoch-micros timestamps, the
+    // daily purchase census hash-matches DuckDB on the ORIGINAL parquet.
+    Q("q_orc_source",
+      (s, dir) => {
+        val path = orcEvents(s, dir)
+        s.read.schema(srcSchema).orc(path)
+          .filter(col("event_type") === "purchase" && col("value") >= 10.0)
+          .groupBy(expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"), sumDec2(col("value")).as("sum_val"))
+          .orderBy("day")
+      },
+      Some("""SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+              FROM events
+              WHERE event_type = 'purchase' AND value >= 10.0
+              GROUP BY 1 ORDER BY day"""))
   )
 
   /** Schema of the text-exported event rows (ts as exact epoch micros —
@@ -315,6 +337,16 @@ object Layout {
     jsonMemo.computeIfAbsent((s, dir), _ => {
       val path = s"/tmp/graft-sources/${tag(dir)}/events_json"
       srcProjection(s, dir).write.mode("overwrite").json(path)
+      path
+    })
+
+  private val orcMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def orcEvents(s: SparkSession, dir: String): String =
+    orcMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-sources/${tag(dir)}/events_orc"
+      srcProjection(s, dir).write.mode("overwrite").orc(path)
       path
     })
 }

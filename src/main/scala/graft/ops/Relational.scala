@@ -3339,6 +3339,75 @@ object Relational {
                   ELSE 0 END) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE)
                   AS share
               FROM r GROUP BY 1 ORDER BY c_mktsegment"""))
+    ,
+
+    // ── k-anonymity audit (privacy, alongside q_gdpr_purge/q_pii_scrub) ──
+    // Quasi-identifier census: customers grouped by the release's
+    // quasi-ids (nation, segment, account-balance band); every
+    // equivalence class smaller than k=5 is a re-identification risk the
+    // release must generalize or suppress. One partial+final agg to a
+    // combo-bounded census (≤ |nations|·|segments|·|bands| rows —
+    // SF-independent), violators filtered census-side. The balance band
+    // is exact-integer arithmetic: decimal cents shifted +100000 so both
+    // engines' integral division (Spark `div` truncates toward zero,
+    // DuckDB `//` floors) agree on the strictly-positive operand.
+    Q("q_k_anonymity",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            expr("""(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)
+                     + 100000) div 100000""").as("bal_band"))
+          .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+          .agg(count(lit(1)).as("class_size"))
+          .filter(col("class_size") < 5)
+          .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+      },
+      Some("""SELECT c_nationkey, c_mktsegment,
+                (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  + 100000) // 100000 AS bal_band,
+                count(*) AS class_size
+              FROM customer
+              GROUP BY 1, 2, 3 HAVING count(*) < 5
+              ORDER BY c_nationkey, c_mktsegment, bal_band""")),
+
+    // ── l-diversity report (the follow-on privacy audit) ─────────────────
+    // k-anonymity alone leaks when a class's SENSITIVE attribute is
+    // homogeneous: per quasi-id class (nation, segment), measure how
+    // diverse the sensitive order-priority column actually is — l =
+    // distinct sensitive values, top_share = the largest value's
+    // frequency (1.0 = everyone in the class is identical → the join of
+    // any external record to the class reveals the attribute). Shape:
+    // fact⋈dim join, then a two-level census (class×value counts →
+    // class rollup, ≤125 rows); the share is one IEEE division of exact
+    // integers.
+    Q("q_l_diversity",
+      (s, dir) => {
+        val cnt = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+          .agg(count(lit(1)).as("c"))
+        cnt.groupBy("c_nationkey", "c_mktsegment")
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("l"),
+            max(col("c")).as("max_c"))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+            col("l"),
+            (col("max_c").cast("double") / col("n").cast("double"))
+              .as("top_share"))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""WITH cnt AS (
+                SELECT c_nationkey, c_mktsegment, o_orderpriority,
+                  count(*) AS c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2, 3)
+              SELECT c_nationkey, c_mktsegment,
+                CAST(SUM(c) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS l,
+                CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  AS top_share
+              FROM cnt GROUP BY 1, 2
+              ORDER BY c_nationkey, c_mktsegment"""))
   )
 
   /** Row-level z-values for the orders layout job: every orders column

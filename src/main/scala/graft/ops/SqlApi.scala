@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.{GraftSql, Q}
+
+/** The raw-SQL entry point ([[graft.GraftSql]]) as a gated query: the
+  * engine's second API surface. The SQL text below is dialect-neutral
+  * ANSI — the SAME string is the Spark query (via `GraftSql.run`, i.e.
+  * `spark.sql` over the registered table views) and the DuckDB oracle,
+  * so the gate proves text-in ≡ DataFrame-in end-to-end: one Catalyst
+  * pipeline, identical pushdown/pruning (PLANS.md's properties hold for
+  * SQL users), identical answers.
+  *
+  * The reference has no query language at all (its "query" is a C++
+  * callback pair, reference `MapReduceClient.h:54-64`); SQL-in is the
+  * north-star surface a warehouse user expects.
+  */
+object SqlApi {
+
+  /** Q10-flavored returned-revenue rollup: 3 joins, a pushed filter,
+    * decimal-exact money aggregation — enough plan surface to prove the
+    * SQL path is the same engine, small enough to stay dialect-neutral.
+    */
+  private val returnedRevenueSql =
+    """SELECT n_name, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_sql_surface",
+      (s, dir) => GraftSql.run(s, dir, returnedRevenueSql),
+      Some(returnedRevenueSql))
+  )
+}

@@ -621,4 +621,56 @@ class PlanGuardSpec extends SparkSpec {
           "a census consumer re-walks the corpus")
     }
   }
+
+  test("q_orc_source: the purchase/value predicate is pushed into the ORC scan") {
+    // ORC is the one ingest format of the triad WITH pushdown — at
+    // 100 TB the filter must prune row groups at the scan, not stream
+    // the table through a Filter operator
+    val ex = formatted("q_orc_source")
+    assert(ex.contains("Scan orc"), "q_orc_source does not scan ORC")
+    assert(ex.contains("PushedFilters: [") &&
+      !ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "ORC scan lost its pushed purchase/value predicate")
+  }
+
+  test("q_sql_surface: SQL text gets the same pushdown as the DataFrame path") {
+    // the point of the SQL entry: one Catalyst pipeline. The returnflag
+    // filter authored as SQL text must land in PushedFilters exactly as
+    // a .filter(...) call would
+    val ex = formatted("q_sql_surface")
+    assert(ex.contains("PushedFilters: [") &&
+      !ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "SQL-text filter failed to reach the parquet scan")
+  }
+
+  test("q_label_prop round: labels never broadcast, min rides a partial agg") {
+    // assert on ONE un-checkpointed round (the body checkpoints each
+    // round — full-query asserts would be vacuous, the kcore lesson)
+    import graft.ops.Graph
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.functions.col
+    val edges = Graph.kcoreEdges(spark, sfDir)
+    val labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val round = Graph.labelPropRound(edges, labels)
+    val hints = round.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"label-prop hints a population-scaling side: $hints")
+    // the neighbor-min must partial-aggregate (map-side min before the
+    // dst shuffle) — a missing partial agg ships every edge's label
+    val aggs = "HashAggregate".r
+      .findAllIn(round.queryExecution.executedPlan.toString).size
+    assert(aggs >= 2, s"neighbor-min lost its partial aggregation ($aggs)")
+  }
+
+  test("privacy audits collapse to combo-bounded censuses with partial aggs") {
+    // k-anonymity/l-diversity outputs are quasi-id-combo-sized, never
+    // row-sized: the plan must partial-aggregate below the exchange
+    for (q <- Seq("q_k_anonymity", "q_l_diversity")) {
+      val plan = qe(q).executedPlan.toString
+      val aggs = "HashAggregate".r.findAllIn(plan).size
+      assert(aggs >= 2, s"$q lost its partial aggregation ($aggs)")
+      assert(!plan.contains("CollectLimit"),
+        s"$q truncates the audit instead of censusing")
+    }
+  }
 }
