@@ -3352,16 +3352,7 @@ object Relational {
     // engines' integral division (Spark `div` truncates toward zero,
     // DuckDB `//` floors) agree on the strictly-positive operand.
     Q("q_k_anonymity",
-      (s, dir) => {
-        t(s, dir, "customer")
-          .select(col("c_nationkey"), col("c_mktsegment"),
-            expr("""(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)
-                     + 100000) div 100000""").as("bal_band"))
-          .groupBy("c_nationkey", "c_mktsegment", "bal_band")
-          .agg(count(lit(1)).as("class_size"))
-          .filter(col("class_size") < 5)
-          .orderBy("c_nationkey", "c_mktsegment", "bal_band")
-      },
+      (s, dir) => kAnonFinish(kAnonCensus(t(s, dir, "customer"))),
       Some("""SELECT c_nationkey, c_mktsegment,
                 (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
                   + 100000) // 100000 AS bal_band,
@@ -3407,8 +3398,87 @@ object Relational {
                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
                   AS top_share
               FROM cnt GROUP BY 1, 2
-              ORDER BY c_nationkey, c_mktsegment"""))
+              ORDER BY c_nationkey, c_mktsegment""")),
+
+    // ── RFM segmentation (recency / frequency / monetary) ────────────────
+    // The classic customer-scoring rollup: one per-customer census
+    // (last order date, order count, exact lifetime cents), banded into
+    // a 5×6×6 segment cube. The reference date is the table's own max
+    // order date folded in as a 1-row broadcast (no driver-side action);
+    // bands are exact integer arithmetic on non-negative operands so
+    // Spark `div` (truncate) and DuckDB `//` (floor) agree; the segment
+    // census is combo-bounded, SF-independent. Shape at 100 TB: ONE
+    // orders shuffle to the customer census, everything after is
+    // census-sized.
+    Q("q_rfm_segments",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val ref = orders
+          .agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+        val cust = orders.groupBy("o_custkey")
+          .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+            count(lit(1)).as("freq"),
+            sum(expr(
+              "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+              .as("cents"))
+        cust.crossJoin(broadcast(ref))
+          .select(
+            least(expr("cast(datediff(ref_date, last_order) as bigint)" +
+              " div 365"), lit(4L)).as("r_band"),
+            least(col("freq"), lit(5L)).as("f_band"),
+            least(expr("cents div 50000000"), lit(5L)).as("m_band"),
+            col("cents"))
+          .groupBy("r_band", "f_band", "m_band")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("total_cents"))
+          .orderBy("r_band", "f_band", "m_band")
+      },
+      Some("""WITH ref AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date
+                FROM orders),
+              c AS (
+                SELECT o_custkey,
+                  MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                  count(*) AS freq,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              b AS (
+                SELECT
+                  LEAST(CAST(date_diff('day', last_order, ref_date)
+                    AS BIGINT) // 365, 4) AS r_band,
+                  LEAST(freq, 5) AS f_band,
+                  LEAST(cents // 50000000, 5) AS m_band,
+                  cents
+                FROM c, ref)
+              SELECT r_band, f_band, m_band,
+                count(*) AS n_customers,
+                CAST(SUM(cents) AS BIGINT) AS total_cents
+              FROM b GROUP BY 1, 2, 3
+              ORDER BY r_band, f_band, m_band"""))
   )
+
+  /** k-anonymity sufficient statistic: the quasi-id equivalence-class
+    * census (nation × segment × exact-integer balance band). Mergeable
+    * (a count census bounded by the combo space), so the streaming twin
+    * keeps exactly this frame as Complete-mode state — the live privacy
+    * monitor re-audits each trigger without rescanning the population.
+    */
+  def kAnonCensus(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("""(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)
+                 + 100000) div 100000""").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("class_size"))
+
+  /** k-anonymity readout over the census (batch or drained stream
+    * state): classes below k=5 are the violators to generalize or
+    * suppress. Pure finishing arithmetic on the combo-bounded frame.
+    */
+  def kAnonFinish(census: DataFrame): DataFrame =
+    census.filter(col("class_size") < 5)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
 
   /** Row-level z-values for the orders layout job: every orders column
     * plus (xq, yq, z). q_zorder_layout censuses the coarse tiles off

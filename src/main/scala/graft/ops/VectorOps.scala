@@ -497,7 +497,62 @@ object VectorOps {
                 CAST(MAX(n) AS BIGINT) AS n_vecs,
                 MAX(CASE WHEN rn = CEIL(n * 0.5) THEN n2 END) AS p50_n2,
                 MAX(CASE WHEN rn = CEIL(n * 0.9) THEN n2 END) AS p90_n2
-              FROM r GROUP BY 1 ORDER BY label"""))
+              FROM r GROUP BY 1 ORDER BY label""")),
+
+    // ── embedding-level decontamination (benchmark-leak audit) ───────────
+    // n-gram decontamination (q_decontaminate) misses paraphrased eval
+    // leakage; the embedding pass catches it: every corpus vector's max
+    // cosine against the EVAL SET (here the deterministic vec_id%500
+    // slice), dropped at ≥0.3. Eval sets are small and fixed-size by
+    // nature, so the scale shape is corpus × broadcast(evals) with a
+    // row-local arg-max — one corpus scan, zero corpus shuffles before
+    // the per-label census (the same broadcast-probe contract as
+    // q_similarity_topk; an IVF-bucketed variant is the q_ann_ivf path
+    // when the eval set outgrows a broadcast). Threshold comparisons are
+    // safe: both engines compute the identical double (same fold order),
+    // so ≥ 0.3 cannot straddle.
+    Q("q_decontaminate_embed",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm2(col("embedding")).as("n2"))
+        val evals = emb.filter(col("vec_id") % 500 === 0)
+          .select(col("embedding").as("e_emb"), col("n2").as("e_n2"))
+        val corpus = emb.filter(col("vec_id") % 500 =!= 0)
+        corpus.join(broadcast(evals))
+          .select(col("vec_id"), col("label"),
+            (dot(col("e_emb"), col("embedding"))
+              / sqrt(col("e_n2") * col("n2"))).as("sim"))
+          .groupBy("vec_id", "label")
+          .agg(max(col("sim")).as("max_sim"))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("max_sim") >= 0.3, lit(1))).as("n_dropped"))
+          .select(col("label"), col("n_docs"), col("n_dropped"),
+            (col("n_dropped").cast("double") / col("n_docs").cast("double"))
+              .as("drop_share"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, label, embedding,
+                  ${duckDot("embedding", "embedding")} AS n2
+                FROM embeddings),
+              ev AS (SELECT embedding AS e_emb, n2 AS e_n2 FROM e
+                     WHERE vec_id % 500 = 0),
+              c AS (SELECT * FROM e WHERE vec_id % 500 <> 0),
+              sim AS (
+                SELECT c.vec_id, c.label,
+                  MAX(${duckDot("c.embedding", "ev.e_emb")}
+                    / sqrt(c.n2 * ev.e_n2)) AS max_sim
+                FROM c, ev GROUP BY 1, 2)
+              SELECT CAST(label AS BIGINT) AS label,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(CASE WHEN max_sim >= 0.3 THEN 1 END) AS BIGINT)
+                  AS n_dropped,
+                CAST(COUNT(CASE WHEN max_sim >= 0.3 THEN 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS drop_share
+              FROM sim GROUP BY 1 ORDER BY label"""))
   )
 
   /** IVF cell count for a corpus of n vectors: ⌈√n⌉ with a floor of 16.

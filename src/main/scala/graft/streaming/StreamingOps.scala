@@ -712,6 +712,30 @@ object StreamingOps {
   def seasonalityCounts(events: DataFrame): DataFrame =
     graft.ops.EventTime.seasonCounts(events)
 
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** File-source stream over a directory of customer parquet batches —
+    * the population-ingest feed a live privacy monitor watches.
+    */
+  def readCustomerStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(customerSchema).parquet(dir)
+
+  /** Streaming half of q_k_anonymity — the live privacy monitor. The
+    * quasi-id equivalence-class census is mergeable Complete-mode state
+    * bounded by the combo space (never the population);
+    * [[graft.ops.Relational.kAnonFinish]] over the drained state equals
+    * batch q_k_anonymity EXACTLY at any trigger (exact counts) — each
+    * ingest micro-batch re-audits re-identification risk without a
+    * population rescan.
+    */
+  def kAnonCounts(customers: DataFrame): DataFrame =
+    graft.ops.Relational.kAnonCensus(customers)
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

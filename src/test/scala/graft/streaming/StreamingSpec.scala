@@ -754,6 +754,30 @@ class StreamingSpec extends SparkSpec {
       "restart double-delivered or dropped events")
   }
 
+  test("drained quasi-id census finishes to batch q_k_anonymity exactly") {
+    // the live privacy monitor: the equivalence-class census is
+    // Complete-mode state bounded by the quasi-id combo space; exact
+    // counts, so the k<5 violator readout is bit-equal to batch
+    val dir = Files.createTempDirectory("graft-cust-kanon").toString
+    Tables.load(spark, sfDir, "customer")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.kAnonCounts(
+        StreamingOps.readCustomerStream(spark, s"$dir/in")),
+      "t_kanon", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = graft.ops.Relational.kAnonFinish(counts).collect()
+      .map(key).toSet
+    val batch = SparkEntry.queries("q_k_anonymity")(spark, sfDir).collect()
+      .map(key).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained quasi-id census diverged from batch k-anonymity")
+  }
+
   test("streaming trend moments fold to the oracled batch regression exactly") {
     // q_regression is five mergeable sums + finalization: the drained
     // stream's Complete-mode moments must finalize to the batch answer
