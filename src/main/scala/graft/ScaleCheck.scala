@@ -85,7 +85,16 @@ object ScaleCheck {
     // round-5 model-eval batch: score-census midranks, event-scale
     // RangeRank decile split, cumulative-TP/FP threshold sweep,
     // orderkey-collapse + day-census survival fold
-    "q_auc", "q_lift_gain", "q_pr_curve", "q_survival_km")
+    "q_auc", "q_lift_gain", "q_pr_curve", "q_survival_km",
+    // round-5 continuation batch: fixed-round min-label CC, per-customer
+    // RFM census + banded cube, shard-manifest fold, ORC pushdown scan.
+    // (q_decontaminate_embed is excluded by design: its %500 eval slice
+    // grows with the scaled corpus, so the ×M dirs would stress an
+    // eval×corpus product no production run pays — with the fixed eval
+    // set the query is one broadcast + a row-local corpus pass, linear
+    // by construction.)
+    "q_label_prop", "q_rfm_segments",
+    "q_export_shards", "q_orc_source")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

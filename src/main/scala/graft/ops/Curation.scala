@@ -330,6 +330,46 @@ object Curation {
                 CAST(sum(n_seq * 512 - n_tok) AS DOUBLE) / (sum(n_seq) * 512) AS waste_frac
               FROM d GROUP BY source ORDER BY source""")),
 
+    // ── deterministic shard export (the pipeline finisher) ───────────────
+    // The last stage of a training-data job: assign every document to
+    // one of 16 output shards by Knuth-hash (a pure function of doc_id —
+    // reruns, both engines, and any executor layout agree), and emit the
+    // per-shard manifest a downstream loader validates against: doc
+    // count (balance), token count (step-time balance), and an
+    // order-free XOR checksum of row fingerprints (transfer integrity,
+    // the q_table_checksum fold). One partial+final agg to 16 rows; the
+    // shard column is exactly the key a real export's
+    // repartitionByRange/partitionBy write would use, so the manifest
+    // audits the write without a second corpus pass.
+    Q("q_export_shards",
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          expr("(doc_id * 2654435761) % 16").as("shard"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("n_toks"),
+          expr("""(aggregate(split(text, ' '), 0L,
+                    (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)
+                  * 131 + doc_id % 1000000007) % 1000000007""").as("row_h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          expr("bit_xor(row_h)").as("checksum_xor"))
+        .orderBy("shard"),
+      Some("""WITH d AS (
+                SELECT (doc_id * 2654435761) % 16 AS shard,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_toks,
+                  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ' '),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 1000000007)
+                   * 131 + doc_id % 1000000007) % 1000000007 AS row_h
+                FROM documents)
+              SELECT shard, count(*) AS n_docs,
+                CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                bit_xor(row_h) AS checksum_xor
+              FROM d GROUP BY 1 ORDER BY shard""")),
+
     // ── deterministic per-group sampling ─────────────────────────────────
     // k documents per (source, lang) slice, selected by an arithmetic
     // Knuth-hash ranking (id × 2654435761 mod 2³²) — uniform-ish,
