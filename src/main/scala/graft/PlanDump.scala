@@ -98,7 +98,14 @@ object PlanDump {
     "q_auc" -> "Mann–Whitney AUC: per-score census (one shuffle), RangeRank over the census for exclusive cumulative counts (2·midrank = 2·cum+cnt+1, integer), DECIMAL(38,0) rank-sum, ONE double division — no data-sized window anywhere",
     "q_pr_curve" -> "PR threshold sweep: persisted score census feeds RangeRank (DESC prefix sums = cumulative TP/FP above threshold) AND the 1-row total-positives broadcast — one corpus pass, per-row divisions only",
     "q_lift_gain" -> "decile lift: event-scale total order rides RangeRank (rank+n), collapses to a 10-row frame where cum/lift windows are census-bounded",
-    "q_survival_km" -> "Kaplan–Meier: lineitem collapses per-orderkey (co-partitioned fact-fact key) before joining orders; day census persisted (feeds term-array collect AND output join); survival = pinned multiplication fold over the calendar-bounded term array")
+    "q_survival_km" -> "Kaplan–Meier: lineitem collapses per-orderkey (co-partitioned fact-fact key) before joining orders; day census persisted (feeds term-array collect AND output join); survival = pinned multiplication fold over the calendar-bounded term array",
+    "q_orc_source" -> "ORC ingest: purchase/value predicate in the ORC scan's PushedFilters (row-group pruning — contrast q_csv_source, where the format forces a post-scan Filter); daily census is one partial+final agg",
+    "q_sql_surface" -> "SQL text entry: identical Catalyst pipeline as the DataFrame path — returnflag filter in PushedFilters, dims BHJ by size-gating, same exchange budget as hand-built joins",
+    "q_k_anonymity" -> "privacy census: one partial+final agg to the quasi-id combo space (SF-independent rows); violator filter census-side; census doubles as Complete-mode streaming state",
+    "q_rfm_segments" -> "RFM: ONE orders shuffle to the per-customer census; reference date folded in as 1-row broadcast (no driver action); band cube is census-over-census, 5·6·6 rows max",
+    "q_decontaminate_embed" -> "embedding decontamination: corpus × broadcast(evals) with row-local graft_dot max-cosine — zero corpus shuffles before the per-label census; evals are fixed-size by nature",
+    "q_label_prop" -> "label propagation round: edges⋈labels shuffle on src + partial-agg min by dst + node-scale rejoin; labels never broadcast; localCheckpoint per round keeps lineage flat",
+    "q_export_shards" -> "shard manifest: row-local Knuth-hash shard id + polynomial row hash, ONE partial+final agg to 16 rows — XOR checksum is order-free so partial aggregation cannot change it")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its
@@ -139,6 +146,9 @@ object PlanDump {
       || q_lexicon_hits | hit-sized filtered token explode | occurrence census + distinct-doc census | **persisted** (hit-sized, ≪ corpus) |
       || q_corpus_report | projected corpus base (source,lang,len,md5) | volume census + lang census + hash census | **persisted** (1 corpus scan, 3 readouts) |
       || q_auc / q_lift_gain / q_calibration / q_target_encoding / q_cohen_kappa / q_mcc / q_brier_score / q_ece / q_mutual_info / q_effective_sample_size / q_preference_pairs | — | single consumer chain (or RangeRank's internal persist) | **single plan** |
+      || q_rfm_segments | per-customer RFM census | band cube (single chain); ref date folded as 1-row crossJoin(broadcast) — no second action | **single plan** |
+      || q_k_anonymity / q_l_diversity / q_export_shards / q_orc_source / q_sql_surface / q_decontaminate_embed | — | single consumer chain | **single plan** |
+      || q_label_prop / q_kcore | per-round frame | next round + per-round census | **checkpoint/persist per round** (census reads the materialized cache; kcore's edge tally reuses the materialization count) |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

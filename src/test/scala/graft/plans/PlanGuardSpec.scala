@@ -662,6 +662,48 @@ class PlanGuardSpec extends SparkSpec {
     assert(aggs >= 2, s"neighbor-min lost its partial aggregation ($aggs)")
   }
 
+  test("AQE splits a runtime-skewed sort-merge join (skew=true in the final plan)") {
+    // the runtime half of the skew story: q_join_skew_salted is the
+    // STATIC fix (explicit salting when the hot keys are known); this
+    // proves the engine's config path lets AQE repair UNKNOWN skew at
+    // runtime — the skewed partition is split after the shuffle's true
+    // sizes are observed, which is the mechanism a 1000-executor run
+    // relies on for the long tail no salting list anticipates.
+    // Thresholds are lowered so test-sized data crosses them; the
+    // mechanism is identical at production defaults.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k =>
+      // flatten: conf.get returns null (not a throw) for unset
+      // null-default keys like adaptive.autoBroadcastJoinThreshold
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~99% of the left side, a uniform right side
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        lit(1L).as("w"))
+      val j = left.join(right, "k")
+      j.collect() // drive the SAME QueryExecution to its final adaptive plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("privacy audits collapse to combo-bounded censuses with partial aggs") {
     // k-anonymity/l-diversity outputs are quasi-id-combo-sized, never
     // row-sized: the plan must partial-aggregate below the exchange
