@@ -105,7 +105,9 @@ object PlanDump {
     "q_rfm_segments" -> "RFM: ONE orders shuffle to the per-customer census; reference date folded in as 1-row broadcast (no driver action); band cube is census-over-census, 5·6·6 rows max",
     "q_decontaminate_embed" -> "embedding decontamination: corpus × broadcast(evals) with row-local graft_dot max-cosine — zero corpus shuffles before the per-label census; evals are fixed-size by nature",
     "q_label_prop" -> "label propagation round: edges⋈labels shuffle on src + partial-agg min by dst + node-scale rejoin; labels never broadcast; localCheckpoint per round keeps lineage flat",
-    "q_export_shards" -> "shard manifest: row-local Knuth-hash shard id + polynomial row hash, ONE partial+final agg to 16 rows — XOR checksum is order-free so partial aggregation cannot change it")
+    "q_export_shards" -> "shard manifest: row-local Knuth-hash shard id + polynomial row hash, ONE partial+final agg to 16 rows — XOR checksum is order-free so partial aggregation cannot change it",
+    "q_fairness_gaps" -> "fairness audit: ONE event scan into a persisted 5-row confusion census; population totals read the cache (never a second scan); gaps are census-side arithmetic",
+    "q_assortativity" -> "degree assortativity: degree census + two UN-HINTED node-scale enrichment joins (degrees scale with the population) + 1-row exact-integer sum frame — FP only in the final statistic")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its
@@ -147,7 +149,8 @@ object PlanDump {
       || q_corpus_report | projected corpus base (source,lang,len,md5) | volume census + lang census + hash census | **persisted** (1 corpus scan, 3 readouts) |
       || q_auc / q_lift_gain / q_calibration / q_target_encoding / q_cohen_kappa / q_mcc / q_brier_score / q_ece / q_mutual_info / q_effective_sample_size / q_preference_pairs | — | single consumer chain (or RangeRank's internal persist) | **single plan** |
       || q_rfm_segments | per-customer RFM census | band cube (single chain); ref date folded as 1-row crossJoin(broadcast) — no second action | **single plan** |
-      || q_k_anonymity / q_l_diversity / q_export_shards / q_orc_source / q_sql_surface / q_decontaminate_embed | — | single consumer chain | **single plan** |
+      || q_k_anonymity / q_l_diversity / q_export_shards / q_orc_source / q_sql_surface / q_decontaminate_embed / q_assortativity | — | single consumer chain | **single plan** |
+      || q_fairness_gaps | 5-row cohort confusion census | population totals + output projection | **persisted** (PlanGuard: zero raw scans) |
       || q_label_prop / q_kcore | per-round frame | next round + per-round census | **checkpoint/persist per round** (census reads the materialized cache; kcore's edge tally reuses the materialization count) |
       |""".stripMargin
 

@@ -94,7 +94,9 @@ object ScaleCheck {
     // set the query is one broadcast + a row-local corpus pass, linear
     // by construction.)
     "q_label_prop", "q_rfm_segments",
-    "q_export_shards", "q_orc_source")
+    "q_export_shards", "q_orc_source",
+    // degree-degree correlation: edge-scale enrichment joins
+    "q_assortativity")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -574,5 +574,70 @@ object Graph {
                   CAST(SUM(sz) AS BIGINT), CAST(MAX(sz) AS BIGINT)
                 FROM (SELECT lbl, count(*) AS sz FROM l3 GROUP BY 1))
               ORDER BY round"""))
+    ,
+
+    // ── degree assortativity (Newman's r over the bipartite graph) ──────
+    // Do high-degree customers trade with high-degree suppliers? r =
+    // Pearson correlation of endpoint degrees over the directed-
+    // symmetric edge list: (M·Σxy − Σx·Σy) / √((M·Σx² − (Σx)²)(M·Σy² −
+    // (Σy)²)). Shape: degree census (one edge shuffle), two node-scale
+    // enrichment joins (degrees are never broadcast — they scale with
+    // the population), ONE partial+final agg to a 1-row sum frame. All
+    // sums are exact integers (x·y in int64 — safe to ~3·10⁹-degree
+    // hubs, then DECIMAL(38,0) accumulation); the statistic is a few
+    // IEEE ops on identical doubles, so it hash-matches without
+    // rounding.
+    Q("q_assortativity",
+      (s, dir) => {
+        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val sums = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("x")),
+            col("src") === col("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("y")),
+            col("dst") === col("v"))
+          .agg(count(lit(1)).as("m"),
+            sum(col("x").cast(dec38)).as("sx"),
+            sum(col("y").cast(dec38)).as("sy"),
+            sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+            sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+            sum((col("y") * col("y")).cast(dec38)).as("syy"))
+        sums.select(col("m").as("m_edges"),
+          ((col("m").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("m").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("m").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("assortativity"))
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              e AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s, c FROM cs),
+              deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                      FROM e GROUP BY 1),
+              xy AS (
+                SELECT du.d AS x, dv.d AS y
+                FROM e JOIN deg du ON e.src = du.node
+                  JOIN deg dv ON e.dst = dv.node),
+              s AS (
+                SELECT CAST(count(*) AS BIGINT) AS m,
+                  CAST(SUM(x) AS DOUBLE) AS sx,
+                  CAST(SUM(y) AS DOUBLE) AS sy,
+                  CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                  CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM xy)
+              SELECT m AS m_edges,
+                (CAST(m AS DOUBLE) * sxy - sx * sy)
+                  / sqrt((CAST(m AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(m AS DOUBLE) * syy - sy * sy))
+                  AS assortativity
+              FROM s"""))
   )
 }

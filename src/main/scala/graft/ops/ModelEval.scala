@@ -880,5 +880,76 @@ object ModelEval {
                   [x.term FOR x IN ts.terms IF x.dur <= r.dur]),
                   (a, x) -> a * x) AS surv
               FROM risk r, ts ORDER BY r.dur"""))
+    ,
+
+    // ── fairness audit: per-group confusion parity ──────────────────────
+    // The model-eval readout a release gate runs before shipping a
+    // classifier: per-cohort selection rate (demographic parity),
+    // TPR/FPR (equalized odds), base rate, and each cohort's
+    // demographic-parity gap vs the population. Cohorts are the
+    // deterministic user_id%5 slices (the synthetic stand-in for a
+    // protected attribute); pred = score ≥ 50 at the q_psi bin
+    // threshold. Shape: ONE event shuffle to a 5-row confusion census
+    // (partial+final agg of four CASE-gated counts), population totals
+    // folded back as a 1-row broadcast; every rate is one IEEE division
+    // of exact integers, the gap one subtraction of two such divisions —
+    // bit-stable in both engines.
+    Q("q_fairness_gaps",
+      (s, dir) => {
+        val conf = t(s, dir, "events")
+          .select((col("user_id") % 5).as("grp"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"),
+            when(col("value") >= 50.0, 1L).otherwise(0L).as("pred"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
+            sum(col("pred")).as("npred"),
+            sum(col("pos") * col("pred")).as("tp"),
+            sum((lit(1L) - col("pos")) * col("pred")).as("fp"))
+          // persist: the 5-row census feeds BOTH the population totals
+          // and the output projection — un-persisted, each consumer
+          // re-runs the event-scale scan (the r4 drift-family class)
+          .persist()
+        val tot = conf.agg(sum(col("npred")).as("tot_pred"),
+          sum(col("n")).as("tot_n"))
+        conf.crossJoin(broadcast(tot))
+          .select(col("grp"), col("n"),
+            (col("np").cast("double") / col("n").cast("double"))
+              .as("base_rate"),
+            (col("npred").cast("double") / col("n").cast("double"))
+              .as("sel_rate"),
+            (col("tp").cast("double") / col("np").cast("double"))
+              .as("tpr"),
+            (col("fp").cast("double")
+              / (col("n") - col("np")).cast("double")).as("fpr"),
+            (col("npred").cast("double") / col("n").cast("double")
+              - col("tot_pred").cast("double") / col("tot_n").cast("double"))
+              .as("dp_gap"))
+          .orderBy("grp")
+      },
+      Some("""WITH c AS (
+                SELECT user_id % 5 AS grp, count(*) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                  CAST(SUM(CASE WHEN value >= 50.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS npred,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(SUM(CASE WHEN event_type <> 'purchase'
+                    AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+                FROM events GROUP BY 1),
+              o AS (
+                SELECT CAST(SUM(npred) AS BIGINT) AS tot_pred,
+                  CAST(SUM(n) AS BIGINT) AS tot_n
+                FROM c)
+              SELECT CAST(grp AS BIGINT) AS grp, CAST(n AS BIGINT) AS n,
+                CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS base_rate,
+                CAST(npred AS DOUBLE) / CAST(n AS DOUBLE) AS sel_rate,
+                CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) AS tpr,
+                CAST(fp AS DOUBLE) / CAST(n - np AS DOUBLE) AS fpr,
+                CAST(npred AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(tot_pred AS DOUBLE) / CAST(tot_n AS DOUBLE)
+                  AS dp_gap
+              FROM c, o ORDER BY grp"""))
   )
 }

@@ -704,6 +704,29 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_assortativity: degree enrichment joins are un-hinted, census-first") {
+    // degrees scale with the node population — a broadcast hint on the
+    // census would OOM at real SF; the sums must partial-aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val q = qe("q_assortativity")
+    assert(q.analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+      "assortativity hints the scaling degree census")
+    val aggs = "HashAggregate".r.findAllIn(q.executedPlan.toString).size
+    assert(aggs >= 2, s"sum frame lost its partial aggregation ($aggs)")
+  }
+
+  test("q_fairness_gaps: one event scan — census persisted, totals read the cache") {
+    // the cohort confusion matrix is a persisted 5-row census feeding
+    // BOTH the population totals and the output projection — a raw
+    // LogicalRelation in the optimized plan means a consumer re-scans
+    // events (the r4 drift-family regression class)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val opt = qe("q_fairness_gaps").optimizedPlan
+    val raw = opt.collect { case l: LogicalRelation => l }
+    assert(raw.isEmpty,
+      s"fairness audit re-scans events past its persisted census: ${raw.size}")
+  }
+
   test("privacy audits collapse to combo-bounded censuses with partial aggs") {
     // k-anonymity/l-diversity outputs are quasi-id-combo-sized, never
     // row-sized: the plan must partial-aggregate below the exchange
