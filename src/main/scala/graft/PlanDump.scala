@@ -107,7 +107,9 @@ object PlanDump {
     "q_label_prop" -> "label propagation round: edges⋈labels shuffle on src + partial-agg min by dst + node-scale rejoin; labels never broadcast; localCheckpoint per round keeps lineage flat",
     "q_export_shards" -> "shard manifest: row-local Knuth-hash shard id + polynomial row hash, ONE partial+final agg to 16 rows — XOR checksum is order-free so partial aggregation cannot change it",
     "q_fairness_gaps" -> "fairness audit: ONE event scan into a persisted 5-row confusion census; population totals read the cache (never a second scan); gaps are census-side arithmetic",
-    "q_assortativity" -> "degree assortativity: degree census + two UN-HINTED node-scale enrichment joins (degrees scale with the population) + 1-row exact-integer sum frame — FP only in the final statistic")
+    "q_assortativity" -> "degree assortativity: degree census + two UN-HINTED node-scale enrichment joins (degrees scale with the population) + 1-row exact-integer sum frame — FP only in the final statistic",
+    "q_forecast_eval" -> "seasonal-naive backtest: persisted day census self-joined at d-7 (calendar-bounded), monthly SMAPE from exact-integer sums — the orders table is scanned once",
+    "q_schema_evolution" -> "schema-evolution union: unionByName(allowMissingColumns) null-fills the legacy branch; both branches' filters push to the scan; census is one partial+final agg")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its
@@ -151,6 +153,8 @@ object PlanDump {
       || q_rfm_segments | per-customer RFM census | band cube (single chain); ref date folded as 1-row crossJoin(broadcast) — no second action | **single plan** |
       || q_k_anonymity / q_l_diversity / q_export_shards / q_orc_source / q_sql_surface / q_decontaminate_embed / q_assortativity | — | single consumer chain | **single plan** |
       || q_fairness_gaps | 5-row cohort confusion census | population totals + output projection | **persisted** (PlanGuard: zero raw scans) |
+      || q_forecast_eval | exact-cents day census (medianDaily) | actual side + d−7 forecast side of the self-join | **persisted** (one orders scan) |
+      || q_schema_evolution | — | single consumer chain (two disjoint-filter branches of one table is the union's honest input, not reuse) | **single plan** |
       || q_label_prop / q_kcore | per-round frame | next round + per-round census | **checkpoint/persist per round** (census reads the materialized cache; kcore's edge tally reuses the materialization count) |
       |""".stripMargin
 

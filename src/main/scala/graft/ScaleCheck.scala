@@ -96,7 +96,9 @@ object ScaleCheck {
     "q_label_prop", "q_rfm_segments",
     "q_export_shards", "q_orc_source",
     // degree-degree correlation: edge-scale enrichment joins
-    "q_assortativity")
+    "q_assortativity",
+    // persisted day-census self-join backtest
+    "q_forecast_eval")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -1388,6 +1388,47 @@ object EventTime {
                   CAST(n_last7 AS DOUBLE) / CAST(n_prev7 AS DOUBLE)
                   ELSE 0.0 END AS wow_ratio
               FROM agg ORDER BY o_orderpriority"""))
+    ,
+
+    // ── seasonal-naive forecast evaluation (monthly SMAPE) ──────────────
+    // The backtest a forecasting pipeline runs before trusting a model:
+    // score the simplest seasonal baseline (forecast for day d = actual
+    // at d−7) so every candidate model has a floor to beat. Reuses
+    // [[medianDaily]]'s exact-cents day census (cross-query consistency
+    // with q_rolling_median / its streaming twin), PERSISTED because the
+    // calendar self-join consumes it twice (actual + forecast side —
+    // un-persisted, two orders scans). SMAPE per month as a ratio of
+    // exact-integer SUMS (Σ|a−f| / Σ(a+f)) — one IEEE division per
+    // month, unlike per-day MAPE whose FP fold order would drift.
+    Q("q_forecast_eval",
+      (s, dir) => {
+        val days = medianDaily(t(s, dir, "orders")).persist()
+        val f = days.select(expr("day + interval 7 days").as("day"),
+          col("cents").as("f_cents"))
+        days.join(f, "day")
+          .groupBy(date_trunc("month", col("day")).as("month"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("cents") - col("f_cents"))).as("abs_err_cents"),
+            sum(col("cents") + col("f_cents")).as("denom_cents"))
+          .select(col("month"), col("n_days"), col("abs_err_cents"),
+            (col("abs_err_cents").cast("double")
+              / col("denom_cents").cast("double")).as("smape"))
+          .orderBy("month")
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              j AS (
+                SELECT a.day, a.cents, f.cents AS f_cents
+                FROM days a JOIN days f ON a.day = f.day + INTERVAL 7 DAY)
+              SELECT date_trunc('month', day) AS month,
+                count(*) AS n_days,
+                CAST(SUM(abs(cents - f_cents)) AS BIGINT) AS abs_err_cents,
+                CAST(SUM(abs(cents - f_cents)) AS DOUBLE)
+                  / CAST(SUM(cents + f_cents) AS DOUBLE) AS smape
+              FROM j GROUP BY 1 ORDER BY month"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

@@ -298,7 +298,54 @@ object Layout {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
               FROM events
               WHERE event_type = 'purchase' AND value >= 10.0
-              GROUP BY 1 ORDER BY day"""))
+              GROUP BY 1 ORDER BY day""")),
+
+    // ── schema-evolution union (ingest across feed generations) ─────────
+    // Real feeds change schema mid-history: the legacy half of the
+    // stream predates the value/props columns. unionByName with
+    // allowMissingColumns aligns by NAME and null-fills the missing
+    // columns (positional UNION would silently mis-bind) — the exact
+    // mechanic a 100-TB backfill over mixed-generation partitions needs.
+    // The census reports per-type volume and the null share the
+    // downstream consumer must tolerate; null-aware COUNT(col) vs
+    // COUNT(*) is the audit.
+    Q("q_schema_evolution",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cut = lit("2024-01-16").cast("timestamp")
+        val legacy = ev.filter(col("ts") < cut)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val modern = ev.filter(col("ts") >= cut)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("props"))
+        legacy.unionByName(modern, allowMissingColumns = true)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("value")).as("n_with_value"),
+            sumDec2(coalesce(col("value"), lit(0.0))).as("sum_val"),
+            count(col("props")).as("n_with_props"))
+          .select(col("event_type"), col("n"), col("n_with_value"),
+            col("sum_val"), col("n_with_props"),
+            (lit(1.0) - col("n_with_value").cast("double")
+              / col("n").cast("double")).as("missing_share"))
+          .orderBy("event_type")
+      },
+      Some("""WITH u AS (
+                SELECT event_id, user_id, event_type,
+                  CAST(NULL AS DOUBLE) AS value,
+                  CAST(NULL AS VARCHAR) AS props
+                FROM events WHERE ts < TIMESTAMP '2024-01-16'
+                UNION ALL
+                SELECT event_id, user_id, event_type, value, props
+                FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+              SELECT event_type, count(*) AS n,
+                CAST(COUNT(value) AS BIGINT) AS n_with_value,
+                CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sum_val,
+                CAST(COUNT(props) AS BIGINT) AS n_with_props,
+                1.0 - CAST(COUNT(value) AS DOUBLE) / count(*)
+                  AS missing_share
+              FROM u GROUP BY 1 ORDER BY event_type"""))
   )
 
   /** Schema of the text-exported event rows (ts as exact epoch micros —

@@ -727,6 +727,22 @@ class PlanGuardSpec extends SparkSpec {
       s"fairness audit re-scans events past its persisted census: ${raw.size}")
   }
 
+  test("q_forecast_eval: one orders scan — the self-joined day census is persisted") {
+    // actual and d-7 forecast sides consume the SAME census; a raw
+    // LogicalRelation past the cache means one side re-scans orders
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val opt = qe("q_forecast_eval").optimizedPlan
+    assert(opt.collect { case l: LogicalRelation => l }.isEmpty,
+      "forecast backtest re-scans orders past its persisted day census")
+  }
+
+  test("q_schema_evolution: both generation branches push their era filter") {
+    val ex = formatted("q_schema_evolution")
+    assert(ex.contains("PushedFilters: [") &&
+      !ex.matches("(?s).*PushedFilters: \\[\\].*"),
+      "era filters failed to reach the scans under the union")
+  }
+
   test("privacy audits collapse to combo-bounded censuses with partial aggs") {
     // k-anonymity/l-diversity outputs are quasi-id-combo-sized, never
     // row-sized: the plan must partial-aggregate below the exchange
