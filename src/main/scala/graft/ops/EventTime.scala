@@ -1401,20 +1401,7 @@ object EventTime {
     // exact-integer SUMS (Σ|a−f| / Σ(a+f)) — one IEEE division per
     // month, unlike per-day MAPE whose FP fold order would drift.
     Q("q_forecast_eval",
-      (s, dir) => {
-        val days = medianDaily(t(s, dir, "orders")).persist()
-        val f = days.select(expr("day + interval 7 days").as("day"),
-          col("cents").as("f_cents"))
-        days.join(f, "day")
-          .groupBy(date_trunc("month", col("day")).as("month"))
-          .agg(count(lit(1)).as("n_days"),
-            sum(abs(col("cents") - col("f_cents"))).as("abs_err_cents"),
-            sum(col("cents") + col("f_cents")).as("denom_cents"))
-          .select(col("month"), col("n_days"), col("abs_err_cents"),
-            (col("abs_err_cents").cast("double")
-              / col("denom_cents").cast("double")).as("smape"))
-          .orderBy("month")
-      },
+      (s, dir) => forecastFinish(medianDaily(t(s, dir, "orders")).persist()),
       Some("""WITH days AS (
                 SELECT date_trunc('day', o_orderdate) AS day,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -1540,6 +1527,27 @@ object EventTime {
   def medianDaily(orders: DataFrame): DataFrame =
     orders.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+
+  /** Finishing arithmetic of q_forecast_eval over the SAME day census
+    * q_rolling_median keeps ([[medianDaily]]) — the third readout of
+    * that Complete-mode streaming state: actual-vs-(d−7) self-join on
+    * the calendar-bounded frame, monthly SMAPE from exact-integer sums.
+    * Drained stream state finishes to batch bit-for-bit (one IEEE
+    * division per month of identical integers).
+    */
+  def forecastFinish(days: DataFrame): DataFrame = {
+    val f = days.select(expr("day + interval 7 days").as("day"),
+      col("cents").as("f_cents"))
+    days.join(f, "day")
+      .groupBy(date_trunc("month", col("day")).as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("f_cents"))).as("abs_err_cents"),
+        sum(col("cents") + col("f_cents")).as("denom_cents"))
+      .select(col("month"), col("n_days"), col("abs_err_cents"),
+        (col("abs_err_cents").cast("double")
+          / col("denom_cents").cast("double")).as("smape"))
+      .orderBy("month")
+  }
 
   /** Finishing arithmetic of q_rolling_median over the bounded day
     * census: one ORDER BY day window on the calendar-bounded frame,

@@ -3455,7 +3455,75 @@ object Relational {
                 count(*) AS n_customers,
                 CAST(SUM(cents) AS BIGINT) AS total_cents
               FROM b GROUP BY 1, 2, 3
-              ORDER BY r_band, f_band, m_band"""))
+              ORDER BY r_band, f_band, m_band""")),
+
+    // ── revenue mix-shift decomposition (volume vs rate vs interaction) ──
+    // The "why did the metric move" readout: per-segment YoY revenue
+    // delta split into volume effect (order-count change at last year's
+    // average ticket), rate effect (ticket change at last year's
+    // volume), and the interaction remainder — the three terms sum
+    // EXACTLY to Δrevenue by construction, so the decomposition is
+    // self-auditing. Shape: one fact⋈dim shuffle to a (segment × year)
+    // census, pivoted by conditional extremes, effects as a few IEEE
+    // ops on exact cents/counts. Census-bounded everywhere after the
+    // first agg.
+    Q("q_mix_shift",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .groupBy("c_mktsegment", "yr")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+        base.groupBy("c_mktsegment")
+          .agg(max(when(col("yr") === 1995, col("n"))).as("n1"),
+            max(when(col("yr") === 1995, col("rev"))).as("rev1"),
+            max(when(col("yr") === 1996, col("n"))).as("n2"),
+            max(when(col("yr") === 1996, col("rev"))).as("rev2"))
+          .select(col("c_mktsegment"), col("n1"), col("n2"),
+            col("rev1"), col("rev2"),
+            (col("rev1").cast("double") / col("n1").cast("double"))
+              .as("avg1"),
+            (col("rev2").cast("double") / col("n2").cast("double"))
+              .as("avg2"))
+          .select(col("c_mktsegment"), col("n1"), col("n2"),
+            col("rev1"), col("rev2"),
+            ((col("n2") - col("n1")).cast("double") * col("avg1"))
+              .as("volume_eff"),
+            (col("n1").cast("double") * (col("avg2") - col("avg1")))
+              .as("rate_eff"),
+            ((col("n2") - col("n1")).cast("double")
+              * (col("avg2") - col("avg1"))).as("interaction"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH base AS (
+                SELECT c_mktsegment, year(o_orderdate) AS yr,
+                  count(*) AS n,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE year(o_orderdate) IN (1995, 1996)
+                GROUP BY 1, 2),
+              p AS (
+                SELECT c_mktsegment,
+                  CAST(MAX(CASE WHEN yr = 1995 THEN n END) AS BIGINT) AS n1,
+                  CAST(MAX(CASE WHEN yr = 1995 THEN rev END) AS BIGINT)
+                    AS rev1,
+                  CAST(MAX(CASE WHEN yr = 1996 THEN n END) AS BIGINT) AS n2,
+                  CAST(MAX(CASE WHEN yr = 1996 THEN rev END) AS BIGINT)
+                    AS rev2
+                FROM base GROUP BY 1),
+              a AS (
+                SELECT *, CAST(rev1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS avg1,
+                  CAST(rev2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS avg2
+                FROM p)
+              SELECT c_mktsegment, n1, n2, rev1, rev2,
+                CAST(n2 - n1 AS DOUBLE) * avg1 AS volume_eff,
+                CAST(n1 AS DOUBLE) * (avg2 - avg1) AS rate_eff,
+                CAST(n2 - n1 AS DOUBLE) * (avg2 - avg1) AS interaction
+              FROM a ORDER BY c_mktsegment"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -778,6 +778,30 @@ class StreamingSpec extends SparkSpec {
       "drained quasi-id census diverged from batch k-anonymity")
   }
 
+  test("drained day census finishes to batch q_forecast_eval exactly") {
+    // third readout of the medianCounts Complete-mode state (after
+    // rolling-median): the d-7 backtest re-scores each trigger without
+    // an order-history rescan; integer sums, so drain ≡ batch
+    val dir = Files.createTempDirectory("graft-orders-fcast").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.medianCounts(StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_fcast", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      (String.valueOf(r.get(0)).take(10), r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+    val streamed = graft.ops.EventTime.forecastFinish(counts).collect()
+      .map(key).toSet
+    val batch = SparkEntry.queries("q_forecast_eval")(spark, sfDir).collect()
+      .map(key).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained day census diverged from batch forecast backtest")
+  }
+
   test("streaming trend moments fold to the oracled batch regression exactly") {
     // q_regression is five mergeable sums + finalization: the drained
     // stream's Complete-mode moments must finalize to the batch answer
