@@ -1415,7 +1415,73 @@ object EventTime {
                 CAST(SUM(abs(cents - f_cents)) AS BIGINT) AS abs_err_cents,
                 CAST(SUM(abs(cents - f_cents)) AS DOUBLE)
                   / CAST(SUM(cents + f_cents) AS DOUBLE) AS smape
-              FROM j GROUP BY 1 ORDER BY month"""))
+              FROM j GROUP BY 1 ORDER BY month""")),
+
+    // ── 28-day rolling correlation (volume vs revenue co-movement) ──────
+    // Does order count still predict revenue, or has ticket size
+    // decoupled? Trailing-28-day Pearson between daily order count and
+    // daily cents, over the calendar-bounded day census (≤ ~2.4k rows
+    // at ANY SF — the q_rolling_median window discipline: the
+    // unpartitioned window runs above the Aggregate, never on raw
+    // orders). Window sums accumulate in DECIMAL(38,0) (daily cents² ×
+    // 28 passes int64 at sf0.1 already; production daily volumes far
+    // exceed it); the correlation is a few IEEE ops on identical
+    // doubles per row.
+    Q("q_rolling_corr",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val days = t(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        val w = Window.orderBy("day").rowsBetween(-27, 0)
+        days.select(col("day"),
+          count(lit(1)).over(w).as("c"),
+          sum(col("n")).over(w).as("sx"),
+          sum(col("cents").cast(dec38)).over(w).as("sy"),
+          sum(col("n").cast(dec38) * col("cents").cast(dec38)).over(w)
+            .as("sxy"),
+          sum(col("n").cast(dec38) * col("n").cast(dec38)).over(w)
+            .as("sxx"),
+          sum(col("cents").cast(dec38) * col("cents").cast(dec38)).over(w)
+            .as("syy"))
+          .filter(col("c") === 28)
+          .select(col("day"),
+            ((col("c").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / sqrt((col("c").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double"))
+                * (col("c").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("corr28"))
+          .orderBy("day")
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  count(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT day,
+                  CAST(COUNT(*) OVER w AS BIGINT) AS c,
+                  CAST(SUM(n) OVER w AS BIGINT) AS sx,
+                  SUM(CAST(cents AS HUGEINT)) OVER w AS sy,
+                  SUM(CAST(n AS HUGEINT) * cents) OVER w AS sxy,
+                  SUM(CAST(n AS HUGEINT) * n) OVER w AS sxx,
+                  SUM(CAST(cents AS HUGEINT) * cents) OVER w AS syy
+                FROM days
+                WINDOW w AS (ORDER BY day
+                  ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+              SELECT day,
+                (CAST(c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(c AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS corr28
+              FROM r WHERE c = 28 ORDER BY day"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

@@ -32,9 +32,27 @@ object SqlApi {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Window-function coverage for the SQL surface: top-2 orders per
+    * customer. The window partitions by a SCALING key (o_custkey), so
+    * per-partition work is constant and parallelism grows with the
+    * data — the shape a few-group partition key would violate (that
+    * family rides RangeRank; see PlanGuardSpec).
+    */
+  private val topOrdersSql =
+    """SELECT o_custkey, o_orderkey, rk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |  FROM orders) r
+      |WHERE rk <= 2
+      |ORDER BY o_custkey, rk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sql_surface",
       (s, dir) => GraftSql.run(s, dir, returnedRevenueSql),
-      Some(returnedRevenueSql))
+      Some(returnedRevenueSql)),
+    Q("q_sql_window",
+      (s, dir) => GraftSql.run(s, dir, topOrdersSql),
+      Some(topOrdersSql))
   )
 }

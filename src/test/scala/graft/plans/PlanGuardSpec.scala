@@ -542,15 +542,17 @@ class PlanGuardSpec extends SparkSpec {
       "partition filters list is empty")
   }
 
-  test("q_rolling_median: the unpartitioned window runs on the day census only") {
+  test("rolling day-census windows run above the Aggregate, never on raw orders") {
     // fact rows collapse in the (day) aggregate FIRST; the ORDER BY day
     // window may only see the calendar-bounded census frame
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val windows = qe("q_rolling_median").optimizedPlan.collect { case w: LWindow => w }
-    assert(windows.nonEmpty, "expected the trailing-7 window")
-    windows.foreach(w => assert(
-      w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-      "rolling-median window reads raw orders instead of the day census"))
+    for (q <- Seq("q_rolling_median", "q_rolling_corr")) {
+      val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected the trailing window")
+      windows.foreach(w => assert(
+        w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"$q window reads raw orders instead of the day census"))
+    }
   }
 
   test("q_kcore peel round: no hints, census rides the src partitioning, 1 edge exchange") {
