@@ -109,7 +109,9 @@ object PlanDump {
     "q_fairness_gaps" -> "fairness audit: ONE event scan into a persisted 5-row confusion census; population totals read the cache (never a second scan); gaps are census-side arithmetic",
     "q_assortativity" -> "degree assortativity: degree census + two UN-HINTED node-scale enrichment joins (degrees scale with the population) + 1-row exact-integer sum frame — FP only in the final statistic",
     "q_forecast_eval" -> "seasonal-naive backtest: persisted day census self-joined at d-7 (calendar-bounded), monthly SMAPE from exact-integer sums — the orders table is scanned once",
-    "q_schema_evolution" -> "schema-evolution union: unionByName(allowMissingColumns) null-fills the legacy branch; both branches' filters push to the scan; census is one partial+final agg")
+    "q_schema_evolution" -> "schema-evolution union: unionByName(allowMissingColumns) null-fills the legacy branch; both branches' filters push to the scan; census is one partial+final agg",
+    "q_growth_accounting" -> "growth accounting: ONE persisted (user, week) distinct census feeds first-week frame + shifted self-join + churn anti-join — all user-keyed, no broadcast of scaling sides",
+    "q_rolling_corr" -> "rolling correlation: trailing-28 window over the calendar-bounded day census (above the Aggregate, PlanGuard-pinned); DECIMAL(38,0) window sums")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its

@@ -1481,7 +1481,81 @@ object EventTime {
                   * (CAST(c AS DOUBLE) * CAST(syy AS DOUBLE)
                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                   AS corr28
-              FROM r WHERE c = 28 ORDER BY day"""))
+              FROM r WHERE c = 28 ORDER BY day""")),
+
+    // ── weekly growth accounting (new / retained / resurrected / churned) ─
+    // The user-accounting identity every growth report decomposes DAU
+    // into: actives this week are NEW (first-ever week), RETAINED
+    // (active last week too) or RESURRECTED (a gap behind them);
+    // CHURNED counts last week's actives who went silent, attributed to
+    // the week they missed. Shape: one distinct (user, week) census
+    // (user-keyed shuffle), a users-sized first-week frame, and a
+    // shifted self-join — every join keys on the SCALING user id, never
+    // a broadcast; outputs are calendar-bounded. The identity
+    // actives(w) = new + retained + resurrected is enforced by
+    // construction (the three cases partition the census row).
+    Q("q_growth_accounting",
+      (s, dir) => {
+        val uw = t(s, dir, "events")
+          .select(col("user_id").as("u"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+          // the census feeds the first-week frame, the shifted self-join
+          // (both sides) and the churn anti-join — persist or pay four
+          // event scans
+          .persist()
+        val first = uw.groupBy("u").agg(min(col("w")).as("w0"))
+        val prev = uw.select(col("u"), expr("w + interval 7 days").as("w"),
+          lit(1).as("was_prev"))
+        val acc = uw.join(first, "u")
+          .join(prev, Seq("u", "w"), "left")
+          .groupBy("w")
+          .agg(sum(when(col("w") === col("w0"), 1L).otherwise(0L))
+            .as("n_new"),
+            sum(when(col("was_prev").isNotNull && col("w") =!= col("w0"),
+              1L).otherwise(0L)).as("n_retained"),
+            sum(when(col("was_prev").isNull && col("w") =!= col("w0"),
+              1L).otherwise(0L)).as("n_resurrected"))
+        val churn = prev.select(col("u"), col("w"))
+          .join(uw, Seq("u", "w"), "left_anti")
+          .groupBy("w").agg(count(lit(1)).as("n_churned"))
+        acc.join(churn, Seq("w"), "full")
+          .select(col("w").as("week"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .orderBy("week")
+      },
+      Some("""WITH uw AS (
+                SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+                FROM events),
+              f AS (SELECT u, MIN(w) AS w0 FROM uw GROUP BY 1),
+              prev AS (SELECT u, w + INTERVAL 7 DAY AS w FROM uw),
+              cur AS (
+                SELECT uw.w,
+                  CASE WHEN uw.w = f.w0 THEN 1 ELSE 0 END AS is_new,
+                  CASE WHEN p.u IS NOT NULL AND uw.w <> f.w0
+                    THEN 1 ELSE 0 END AS is_ret,
+                  CASE WHEN p.u IS NULL AND uw.w <> f.w0
+                    THEN 1 ELSE 0 END AS is_res
+                FROM uw JOIN f ON uw.u = f.u
+                  LEFT JOIN prev p ON uw.u = p.u AND uw.w = p.w),
+              a AS (
+                SELECT w, CAST(SUM(is_new) AS BIGINT) AS n_new,
+                  CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+                  CAST(SUM(is_res) AS BIGINT) AS n_resurrected
+                FROM cur GROUP BY 1),
+              c AS (
+                SELECT p.w, CAST(COUNT(*) AS BIGINT) AS n_churned
+                FROM prev p LEFT JOIN uw ON p.u = uw.u AND p.w = uw.w
+                WHERE uw.u IS NULL GROUP BY 1)
+              SELECT COALESCE(a.w, c.w) AS week,
+                CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+                CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+                CAST(COALESCE(n_resurrected, 0) AS BIGINT)
+                  AS n_resurrected,
+                CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+              FROM a FULL JOIN c ON a.w = c.w ORDER BY week"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

@@ -615,7 +615,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_ks_model" -> 0, // persisted score census (RangeRank + totals)
       "q_js_drift" -> 0, // persisted (source, lang) census, 4 consumers
       "q_effective_sample_size" -> 1,
-      "q_csv_source" -> 1, "q_json_source" -> 1)
+      "q_csv_source" -> 1, "q_json_source" -> 1,
+      "q_growth_accounting" -> 0) // persisted (user, week) census, 4 consumers
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
