@@ -111,7 +111,9 @@ object PlanDump {
     "q_forecast_eval" -> "seasonal-naive backtest: persisted day census self-joined at d-7 (calendar-bounded), monthly SMAPE from exact-integer sums — the orders table is scanned once",
     "q_schema_evolution" -> "schema-evolution union: unionByName(allowMissingColumns) null-fills the legacy branch; both branches' filters push to the scan; census is one partial+final agg",
     "q_growth_accounting" -> "growth accounting: ONE persisted (user, week) distinct census feeds first-week frame + shifted self-join + churn anti-join — all user-keyed, no broadcast of scaling sides",
-    "q_rolling_corr" -> "rolling correlation: trailing-28 window over the calendar-bounded day census (above the Aggregate, PlanGuard-pinned); DECIMAL(38,0) window sums")
+    "q_rolling_corr" -> "rolling correlation: trailing-28 window over the calendar-bounded day census (above the Aggregate, PlanGuard-pinned); DECIMAL(38,0) window sums",
+    "q_abc_classification" -> "ABC classes: part-revenue census -> RangeRank 2-pass exclusive prefix sum (pid-partitioned, cluster parallelism) -> exact-integer class test -> 3-row census",
+    "q_price_elasticity" -> "grouped OLS: size-gated lineitem x part join, five integer sums per p_type (partial+final), slope arithmetic on the bounded census")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its

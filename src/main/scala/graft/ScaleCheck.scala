@@ -98,7 +98,9 @@ object ScaleCheck {
     // degree-degree correlation: edge-scale enrichment joins
     "q_assortativity",
     // persisted day-census self-join backtest
-    "q_forecast_eval")
+    "q_forecast_eval",
+    // RangeRank cumulative-share walk over the scaling part census
+    "q_abc_classification")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -3523,7 +3523,127 @@ object Relational {
                 CAST(n2 - n1 AS DOUBLE) * avg1 AS volume_eff,
                 CAST(n1 AS DOUBLE) * (avg2 - avg1) AS rate_eff,
                 CAST(n2 - n1 AS DOUBLE) * (avg2 - avg1) AS interaction
-              FROM a ORDER BY c_mktsegment"""))
+              FROM a ORDER BY c_mktsegment""")),
+
+    // ── ABC classification (Pareto inventory classes via RangeRank) ──────
+    // The warehouse staple: parts covering the first 80% of revenue are
+    // class A, the next 15% B, the tail C. The cumulative-share walk is
+    // a data-sized total order (parts scale with SF) — it rides
+    // RangeRank's 2-pass exclusive prefix sum, never a single-task
+    // window; the class test is exact-integer (cum·5 < total·4 in
+    // DECIMAL — no 0.8·total FP boundary that two engines could round
+    // apart). Output: 3-row class census.
+    Q("q_abc_classification",
+      (s, dir) => {
+        val parts = t(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long")
+            .as("cents"))
+        val ranked = graft.ops.RangeRank.ranked(parts,
+          groupCols = Nil,
+          sortCols = Seq(col("cents").desc, col("l_partkey")),
+          prefixSums = Seq(graft.ops.RangeRank.PrefixSum(col("cents"), "cum")))
+        val total = ranked.agg(sum(col("cents")).as("total"))
+        ranked.crossJoin(broadcast(total))
+          .select(col("cents"),
+            when(expr("cast(cum as decimal(38,0)) * 5" +
+              " < cast(total as decimal(38,0)) * 4"), "A")
+              .when(expr("cast(cum as decimal(38,0)) * 20" +
+                " < cast(total as decimal(38,0)) * 19"), "B")
+              .otherwise("C").as("abc_class"),
+            col("total"))
+          .groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("cents")).as("class_cents"),
+            (sum(col("cents")).cast("double")
+              / max(col("total")).cast("double")).as("share"))
+          .orderBy("abc_class")
+      },
+      Some("""WITH parts AS (
+                SELECT l_partkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1),
+              r AS (
+                SELECT cents,
+                  CAST(COALESCE(SUM(cents) OVER (ORDER BY cents DESC,
+                    l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+                  CAST(SUM(cents) OVER () AS BIGINT) AS total
+                FROM parts),
+              c AS (
+                SELECT cents, total,
+                  CASE WHEN CAST(cum AS DECIMAL(38,0)) * 5
+                         < CAST(total AS DECIMAL(38,0)) * 4 THEN 'A'
+                       WHEN CAST(cum AS DECIMAL(38,0)) * 20
+                         < CAST(total AS DECIMAL(38,0)) * 19 THEN 'B'
+                       ELSE 'C' END AS abc_class
+                FROM r)
+              SELECT abc_class, count(*) AS n_parts,
+                CAST(SUM(cents) AS BIGINT) AS class_cents,
+                CAST(SUM(cents) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+                  AS share
+              FROM c GROUP BY 1 ORDER BY abc_class""")),
+
+    // ── grouped OLS: price elasticity of demand per part type ───────────
+    // Does a deeper discount move more units, and does the answer differ
+    // by product line? Per-type OLS slope of quantity on discount —
+    // q_regression's five-sums shape, grouped: one lineitem⋈part join
+    // (part is a SCALING dim — size-gated, no hint), one partial+final
+    // agg to a |p_type|-bounded sums census, slope = a few IEEE ops on
+    // exact integers (discount and quantity both carried as ×100
+    // integers; products fit int64 with room at any SF's per-type
+    // volume ≤ ~10¹²).
+    Q("q_price_elasticity",
+      (s, dir) => {
+        val base = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"),
+            expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)")
+              .as("x"),
+            expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)")
+              .as("y"))
+        base.groupBy("p_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("p_type"), col("n"),
+            (col("sx").cast("double") / col("n").cast("double") / 100.0)
+              .as("mean_disc"),
+            (col("sy").cast("double") / col("n").cast("double") / 100.0)
+              .as("mean_qty"),
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")))
+              .as("slope"))
+          .orderBy("p_type")
+      },
+      Some("""WITH b AS (
+                SELECT p_type,
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS x,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS y
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              s AS (
+                SELECT p_type, count(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM b GROUP BY 1)
+              SELECT p_type, n,
+                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                  AS mean_disc,
+                CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                  AS mean_qty,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+              FROM s ORDER BY p_type"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -458,7 +458,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_winsorize", "q_feature_binning", "q_quantile_norm",
       "q_sequence_pack", "q_gini", "q_template_mining",
       "q_weighted_median", "q_top_share", "q_norm_profile",
-      "q_auc", "q_lift_gain")
+      "q_auc", "q_lift_gain", "q_abc_classification")
     for (q <- family) {
       val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$q lost its rank windows entirely")
