@@ -118,24 +118,38 @@ object Graph {
     // not a data collect.
     Q("q_pagerank",
       (s, dir) => {
-        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        // the k-core round-invariant discipline applied to PageRank:
+        // localCheckpoint DROPS partitioning info (Scan ExistingRDD
+        // reports Unknown), so the r4 body re-exchanged edges AND ranks
+        // AND the deg join every round. persist+count instead: the
+        // cached edges report hashpartitioning(src), the deg census and
+        // the contribution join ride it exchange-free, ranks come out
+        // of each round's dst-agg already node-partitioned, and the deg
+        // rejoin is cache-co-partitioned — ONE exchange per round (the
+        // honest contribution agg), down from 3-4. Five rounds keep
+        // plan nesting shallow enough that no lineage cut is needed;
+        // finished rank generations unpersist as they retire.
+        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        edges.count()
         val deg = edges.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
+          .agg(count(lit(1)).as("deg")).persist()
         val n = deg.count()
         val r0 = Scale / n
         val base = (15L * r0) / 100L
         var ranks = deg.select(col("node"), col("deg"), lit(r0).as("pr"))
-          .localCheckpoint(true)
         for (_ <- 1 to 5) {
           val contrib = edges
             .join(ranks, edges("src") === ranks("node"))
             .select(col("dst"), expr("pr div deg").as("c"))
+          val prev = ranks
           ranks = contrib.groupBy(col("dst").as("node"))
             .agg(sum(col("c")).as("sc"))
             .join(deg, "node")
             .select(col("node"), col("deg"),
               (lit(base) + expr("(85 * sc) div 100")).as("pr"))
-            .localCheckpoint(true)
+            .persist()
+          ranks.count()
+          prev.unpersist(false)
         }
         ranks.select(col("node"), col("pr")).orderBy("node")
       },
@@ -320,7 +334,12 @@ object Graph {
     // the DuckDB recursive-CTE twin is bit-exact.
     Q("q_bfs_reach",
       (s, dir) => {
-        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        // persist src-partitioned (NOT localCheckpoint — the kcore/
+        // pagerank lesson: a checkpointed scan reports Unknown
+        // partitioning, so all 4 frontier joins would re-exchange the
+        // edge list; cached, the edges side of every round is free)
+        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        edges.count()
         // deterministic seed: the smallest node id (an even ⇒ customer).
         // A driver-side scalar like PageRank's N — iteration constant,
         // not a data collect.
@@ -380,10 +399,13 @@ object Graph {
     // population); census output keeps the result frame bounded.
     Q("q_sssp",
       (s, dir) => {
+        // persist src-partitioned (kcore/pagerank discipline): all 4
+        // relax joins ride the cached partitioning on the edges side
         val edges = bipartiteEdges(s, dir)
           .select(col("src"), col("dst"),
             (lit(1L) + (col("src") + col("dst")) % 5).as("w"))
-          .localCheckpoint(true)
+          .repartition(col("src")).persist()
+        edges.count()
         val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
         var dist = edges.sparkSession.range(1)
           .select(lit(seed).as("node"), lit(0L).as("cost"))

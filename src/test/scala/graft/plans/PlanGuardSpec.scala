@@ -158,6 +158,45 @@ class PlanGuardSpec extends SparkSpec {
     assert(hints.isEmpty, s"pagerank carries broadcast hints: $hints")
   }
 
+  /** Hash-exchange count by PHYSICAL TREE WALK — cache build plans are
+    * not children of the consumer plan (InMemoryTableScan is a leaf),
+    * so unlike the toString grep this can never over-count exchanges
+    * the cache already paid at materialization.
+    */
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    root.collect { case e: ShuffleExchangeExec
+      if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }.size
+  }
+
+  test("q_pagerank round: ONE hash exchange — joins ride the cached partitioning") {
+    // the round-5 kcore discipline applied to PageRank: edges persist
+    // hash-partitioned by src, ranks come out of the dst-agg already
+    // node-partitioned, deg is cache-co-partitioned — the contribution
+    // aggregation is the round's only hash exchange (in the SMJ regime;
+    // size-gated BHJ at test SF can only reduce the count further)
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val edges = graft.ops.Graph.kcoreEdges(spark, sfDir)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).persist()
+    deg.count()
+    val ranks = deg.select(col("node"), col("deg"), lit(100L).as("pr"))
+    val contrib = edges.join(ranks, edges("src") === ranks("node"))
+      .select(col("dst"), expr("pr div deg").as("c"))
+    val round = contrib.groupBy(col("dst").as("node"))
+      .agg(sum(col("c")).as("sc"))
+      .join(deg, "node")
+    val ex = hashExchanges(round)
+    assert(ex <= 1, s"pagerank round pays $ex hash exchanges (budget 1)")
+    deg.unpersist()
+  }
+
   test("q_pricing_summary: filter pushes to the scan, aggregation is partial+final") {
     val ex = formatted("q_pricing_summary")
     assert(ex.contains("PushedFilters: [") &&
