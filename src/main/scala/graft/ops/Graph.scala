@@ -546,12 +546,20 @@ object Graph {
     // shape discipline as q_kcore's per-round census.
     Q("q_label_prop",
       (s, dir) => {
-        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        // src-partitioned cached edges ([[kcoreEdges]] — the shared
+        // round-invariant discipline): every round's edges⋈labels join
+        // is exchange-free on the edges side; labels persist+count per
+        // round so the next round's planner sees their node
+        // partitioning (a localCheckpoint would report Unknown)
+        val edges = kcoreEdges(s, dir)
         var labels = edges.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("lbl"))
-          .localCheckpoint(true)
+          .select(col("node"), col("node").as("lbl")).persist()
+        labels.count()
         val rounds = (1 to 3).map { r =>
-          labels = labelPropRound(edges, labels).localCheckpoint(true)
+          val prev = labels
+          labels = labelPropRound(edges, labels).persist()
+          labels.count()
+          prev.unpersist(false)
           labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
             .agg(count(lit(1)).as("n_labels"),
               sum(col("sz")).as("n_nodes"),
