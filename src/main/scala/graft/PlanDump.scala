@@ -180,8 +180,19 @@ object PlanDump {
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n$note\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).trim)
+      // cap per-plan output: iterative queries whose rounds persist
+      // their frames print every cache's FULL build plan (nested per
+      // round — pagerank's formatted dump alone hit ~16k lines). The
+      // evidence lives in the top operators and scans, which formatted
+      // mode prints first.
+      val full = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).trim
+      val lines = full.linesIterator.toSeq
+      val MaxLines = 300
+      if (lines.size <= MaxLines) sb.append(full)
+      else sb.append(lines.take(MaxLines).mkString("\n"))
+        .append(s"\n... [truncated: ${lines.size - MaxLines} more lines " +
+          "of nested cache build plans]")
       sb.append("\n```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
