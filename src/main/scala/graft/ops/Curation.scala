@@ -370,6 +370,54 @@ object Curation {
                 bit_xor(row_h) AS checksum_xor
               FROM d GROUP BY 1 ORDER BY shard""")),
 
+    // ── span-corruption budget (T5-style denoising objective planning) ──
+    // Before a denoising pretraining run, the pipeline sizes the
+    // objective: at mask ratio 15% and mean span length 3, each doc
+    // contributes floor(0.15·n) masked tokens in ceil(masked/3) spans,
+    // and the encoder/decoder sequence budgets follow arithmetically
+    // (inputs = n − masked + spans sentinels; targets = masked + spans
+    // + 1). All exact integer arithmetic on the token count (15% as
+    // ·15 div 100 — no FP ratio), one partial+final agg to a per-source
+    // census. The row-local shape is the point at 100 TB: the budget is
+    // a projection of the token-count column, never a second
+    // tokenization pass.
+    Q("q_span_corruption",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("source"),
+            size(filter(split(col("text"), " "), x => x =!= ""))
+              .cast("long").as("n"))
+          .select(col("source"), col("n"),
+            expr("(n * 15) div 100").as("masked"))
+          .select(col("source"), col("n"), col("masked"),
+            expr("(masked + 2) div 3").as("spans"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("n_tokens"),
+            sum(col("masked")).as("n_masked"),
+            sum(col("spans")).as("n_spans"),
+            sum(col("n") - col("masked") + col("spans"))
+              .as("enc_tokens"),
+            sum(col("masked") + col("spans") + 1).as("dec_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+                SELECT source,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n
+                FROM documents),
+              m AS (
+                SELECT source, n, (n * 15) // 100 AS masked,
+                  ((n * 15) // 100 + 2) // 3 AS spans
+                FROM d)
+              SELECT source, count(*) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS n_tokens,
+                CAST(SUM(masked) AS BIGINT) AS n_masked,
+                CAST(SUM(spans) AS BIGINT) AS n_spans,
+                CAST(SUM(n - masked + spans) AS BIGINT) AS enc_tokens,
+                CAST(SUM(masked + spans + 1) AS BIGINT) AS dec_tokens
+              FROM m GROUP BY 1 ORDER BY source""")),
+
     // ── deterministic per-group sampling ─────────────────────────────────
     // k documents per (source, lang) slice, selected by an arithmetic
     // Knuth-hash ranking (id × 2654435761 mod 2³²) — uniform-ish,
