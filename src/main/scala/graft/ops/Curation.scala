@@ -27,6 +27,31 @@ object Curation {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Shard-manifest sufficient statistic: the 16-row per-shard
+    * (count, token sum, XOR fingerprint) census. Counts and sums are
+    * mergeable and XOR is order-free, so the streaming twin keeps
+    * exactly this frame as Complete-mode state — the export manifest
+    * stays live during ingest and [[shardFinish]] over the drained
+    * state equals batch q_export_shards EXACTLY at any trigger.
+    */
+  def shardCensus(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        expr("(doc_id * 2654435761) % 16").as("shard"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n_toks"),
+        expr("""(aggregate(split(text, ' '), 0L,
+                  (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)
+                * 131 + doc_id % 1000000007) % 1000000007""").as("row_h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("bit_xor(row_h)").as("checksum_xor"))
+
+  /** Readout of [[shardCensus]] (batch or drained stream state). */
+  def shardFinish(census: DataFrame): DataFrame =
+    census.orderBy("shard")
+
   /** KS-drift sufficient statistic: per-(source, doc-length) counts.
     * Mergeable (a count census), so the streaming twin keeps exactly
     * this frame as Complete-mode state and [[ksFinish]] reads either.
@@ -342,19 +367,7 @@ object Curation {
     // repartitionByRange/partitionBy write would use, so the manifest
     // audits the write without a second corpus pass.
     Q("q_export_shards",
-      (s, dir) => t(s, dir, "documents")
-        .select(
-          expr("(doc_id * 2654435761) % 16").as("shard"),
-          size(filter(split(col("text"), " "), x => x =!= ""))
-            .cast("long").as("n_toks"),
-          expr("""(aggregate(split(text, ' '), 0L,
-                    (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)
-                  * 131 + doc_id % 1000000007) % 1000000007""").as("row_h"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("n_tokens"),
-          expr("bit_xor(row_h)").as("checksum_xor"))
-        .orderBy("shard"),
+      (s, dir) => shardFinish(shardCensus(t(s, dir, "documents"))),
       Some("""WITH d AS (
                 SELECT (doc_id * 2654435761) % 16 AS shard,
                   CAST(len(list_filter(string_split(text, ' '),

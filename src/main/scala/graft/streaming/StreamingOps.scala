@@ -736,6 +736,17 @@ object StreamingOps {
   def kAnonCounts(customers: DataFrame): DataFrame =
     graft.ops.Relational.kAnonCensus(customers)
 
+  /** Streaming half of q_export_shards — the live export manifest. The
+    * 16-row per-shard census (counts, token sums, order-free XOR
+    * fingerprints) is mergeable Complete-mode state;
+    * [[graft.ops.Curation.shardFinish]] over the drained state equals
+    * batch q_export_shards EXACTLY at any trigger — the manifest a
+    * loader validates is maintained during ingest, not recomputed by a
+    * corpus rescan at export time.
+    */
+  def shardCounts(docs: DataFrame): DataFrame =
+    graft.ops.Curation.shardCensus(docs)
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

@@ -802,6 +802,29 @@ class StreamingSpec extends SparkSpec {
       "drained day census diverged from batch forecast backtest")
   }
 
+  test("drained shard census finishes to batch q_export_shards exactly") {
+    // the live export manifest: counts/sums/XORs are order-free
+    // mergeable state, so the drained 16-row census equals the batch
+    // manifest bit-for-bit at any trigger
+    val dir = Files.createTempDirectory("graft-docs-shard").toString
+    Tables.load(spark, sfDir, "documents")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.shardCounts(StreamingOps.readDocStream(spark, s"$dir/in")),
+      "t_shard", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = graft.ops.Curation.shardFinish(counts).collect()
+      .map(key).toSet
+    val batch = SparkEntry.queries("q_export_shards")(spark, sfDir).collect()
+      .map(key).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained shard census diverged from the batch export manifest")
+  }
+
   test("streaming trend moments fold to the oracled batch regression exactly") {
     // q_regression is five mergeable sums + finalization: the drained
     // stream's Complete-mode moments must finalize to the batch answer
