@@ -129,27 +129,35 @@ object Graph {
         // honest contribution agg), down from 3-4. Five rounds keep
         // plan nesting shallow enough that no lineage cut is needed;
         // finished rank generations unpersist as they retire.
+        // Two complementary mechanisms, each where it pays:
+        // - EDGES persist src-partitioned (materialized by the N
+        //   count): every round's contribution join and the deg rejoin
+        //   plan exchange-free on the edge-scale side — the 100-TB win.
+        // - RANKS localCheckpoint per round: truncates lineage, so
+        //   round r's plan is two leaf relations + one agg instead of
+        //   nesting rounds 1..r-1 (lazy persists nested the RAW plans
+        //   and analysis/cache-matching cost grew superlinearly — the
+        //   bench regression that motivated this split). The checkpoint
+        //   costs one NODE-scale exchange per round (ranks report
+        //   Unknown partitioning) — the small side, the right trade.
         val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
-        edges.count()
         val deg = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg")).persist()
         val n = deg.count()
         val r0 = Scale / n
         val base = (15L * r0) / 100L
         var ranks = deg.select(col("node"), col("deg"), lit(r0).as("pr"))
+          .localCheckpoint(true)
         for (_ <- 1 to 5) {
           val contrib = edges
             .join(ranks, edges("src") === ranks("node"))
             .select(col("dst"), expr("pr div deg").as("c"))
-          val prev = ranks
           ranks = contrib.groupBy(col("dst").as("node"))
             .agg(sum(col("c")).as("sc"))
             .join(deg, "node")
             .select(col("node"), col("deg"),
               (lit(base) + expr("(85 * sc) div 100")).as("pr"))
-            .persist()
-          ranks.count()
-          prev.unpersist(false)
+            .localCheckpoint(true)
         }
         ranks.select(col("node"), col("pr")).orderBy("node")
       },
@@ -337,9 +345,9 @@ object Graph {
         // persist src-partitioned (NOT localCheckpoint — the kcore/
         // pagerank lesson: a checkpointed scan reports Unknown
         // partitioning, so all 4 frontier joins would re-exchange the
-        // edge list; cached, the edges side of every round is free)
+        // edge list; cached, the edges side of every round is free).
+        // The seed action below doubles as the materialization barrier.
         val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
-        edges.count()
         // deterministic seed: the smallest node id (an even ⇒ customer).
         // A driver-side scalar like PageRank's N — iteration constant,
         // not a data collect.
@@ -400,12 +408,12 @@ object Graph {
     Q("q_sssp",
       (s, dir) => {
         // persist src-partitioned (kcore/pagerank discipline): all 4
-        // relax joins ride the cached partitioning on the edges side
+        // relax joins ride the cached partitioning on the edges side;
+        // the seed action doubles as the materialization barrier
         val edges = bipartiteEdges(s, dir)
           .select(col("src"), col("dst"),
             (lit(1L) + (col("src") + col("dst")) % 5).as("w"))
           .repartition(col("src")).persist()
-        edges.count()
         val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
         var dist = edges.sparkSession.range(1)
           .select(lit(seed).as("node"), lit(0L).as("cost"))
@@ -548,18 +556,16 @@ object Graph {
       (s, dir) => {
         // src-partitioned cached edges ([[kcoreEdges]] — the shared
         // round-invariant discipline): every round's edges⋈labels join
-        // is exchange-free on the edges side; labels persist+count per
-        // round so the next round's planner sees their node
-        // partitioning (a localCheckpoint would report Unknown)
+        // is exchange-free on the edges side. Labels localCheckpoint
+        // per round (the pagerank split): truncated lineage keeps each
+        // round's plan at two leaf relations, at the price of one
+        // node-scale label exchange per round — the small side.
         val edges = kcoreEdges(s, dir)
         var labels = edges.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("lbl")).persist()
-        labels.count()
+          .select(col("node"), col("node").as("lbl"))
+          .localCheckpoint(true)
         val rounds = (1 to 3).map { r =>
-          val prev = labels
-          labels = labelPropRound(edges, labels).persist()
-          labels.count()
-          prev.unpersist(false)
+          labels = labelPropRound(edges, labels).localCheckpoint(true)
           labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
             .agg(count(lit(1)).as("n_labels"),
               sum(col("sz")).as("n_nodes"),
