@@ -117,6 +117,47 @@ object ModelEval {
     prop.crossJoin(broadcast(tot)).orderBy("bin")
   }
 
+  /** Fairness sufficient statistic: the 5-row per-cohort confusion
+    * census (n, positives, predicted-positive, TP, FP). All counts —
+    * mergeable, so the streaming twin keeps exactly this frame as
+    * Complete-mode state and [[fairnessFinish]] over the drained state
+    * equals batch q_fairness_gaps EXACTLY at any trigger: the release
+    * gate's parity audit stays live during serving.
+    */
+  def fairnessCensus(events: DataFrame): DataFrame =
+    events
+      .select((col("user_id") % 5).as("grp"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"),
+        when(col("value") >= 50.0, 1L).otherwise(0L).as("pred"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
+        sum(col("pred")).as("npred"),
+        sum(col("pos") * col("pred")).as("tp"),
+        sum((lit(1L) - col("pos")) * col("pred")).as("fp"))
+
+  /** Readout of [[fairnessCensus]] (batch or drained stream state):
+    * per-cohort rates + demographic-parity gap vs the population.
+    */
+  def fairnessFinish(conf: DataFrame): DataFrame = {
+    val tot = conf.agg(sum(col("npred")).as("tot_pred"),
+      sum(col("n")).as("tot_n"))
+    conf.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"),
+        (col("np").cast("double") / col("n").cast("double"))
+          .as("base_rate"),
+        (col("npred").cast("double") / col("n").cast("double"))
+          .as("sel_rate"),
+        (col("tp").cast("double") / col("np").cast("double"))
+          .as("tpr"),
+        (col("fp").cast("double")
+          / (col("n") - col("np")).cast("double")).as("fpr"),
+        (col("npred").cast("double") / col("n").cast("double")
+          - col("tot_pred").cast("double") / col("tot_n").cast("double"))
+          .as("dp_gap"))
+      .orderBy("grp")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── ROC AUC via Mann–Whitney midranks ───────────────────────────────
@@ -895,38 +936,10 @@ object ModelEval {
     // of exact integers, the gap one subtraction of two such divisions —
     // bit-stable in both engines.
     Q("q_fairness_gaps",
-      (s, dir) => {
-        val conf = t(s, dir, "events")
-          .select((col("user_id") % 5).as("grp"),
-            when(col("event_type") === "purchase", 1L).otherwise(0L)
-              .as("pos"),
-            when(col("value") >= 50.0, 1L).otherwise(0L).as("pred"))
-          .groupBy("grp")
-          .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
-            sum(col("pred")).as("npred"),
-            sum(col("pos") * col("pred")).as("tp"),
-            sum((lit(1L) - col("pos")) * col("pred")).as("fp"))
-          // persist: the 5-row census feeds BOTH the population totals
-          // and the output projection — un-persisted, each consumer
-          // re-runs the event-scale scan (the r4 drift-family class)
-          .persist()
-        val tot = conf.agg(sum(col("npred")).as("tot_pred"),
-          sum(col("n")).as("tot_n"))
-        conf.crossJoin(broadcast(tot))
-          .select(col("grp"), col("n"),
-            (col("np").cast("double") / col("n").cast("double"))
-              .as("base_rate"),
-            (col("npred").cast("double") / col("n").cast("double"))
-              .as("sel_rate"),
-            (col("tp").cast("double") / col("np").cast("double"))
-              .as("tpr"),
-            (col("fp").cast("double")
-              / (col("n") - col("np")).cast("double")).as("fpr"),
-            (col("npred").cast("double") / col("n").cast("double")
-              - col("tot_pred").cast("double") / col("tot_n").cast("double"))
-              .as("dp_gap"))
-          .orderBy("grp")
-      },
+      // persist: the 5-row census feeds BOTH the population totals and
+      // the output projection — un-persisted, each consumer re-runs
+      // the event-scale scan (the r4 drift-family class)
+      (s, dir) => fairnessFinish(fairnessCensus(t(s, dir, "events")).persist()),
       Some("""WITH c AS (
                 SELECT user_id % 5 AS grp, count(*) AS n,
                   CAST(SUM(CASE WHEN event_type = 'purchase'
@@ -951,5 +964,109 @@ object ModelEval {
                   - CAST(tot_pred AS DOUBLE) / CAST(tot_n AS DOUBLE)
                   AS dp_gap
               FROM c, o ORDER BY grp"""))
+    ,
+
+    // ── CUPED variance reduction (experimentation-platform staple) ──────
+    // The adjustment every mature A/B platform applies before reading a
+    // treatment effect: θ = cov(pre, post)/var(pre) from the POOLED
+    // population, adjusted variant mean = ȳ_v − θ·(x̄_v − x̄). Shape:
+    // one event shuffle to a PERSISTED per-user (variant, pre-cents,
+    // post-cents) frame (it feeds the pooled-moments agg AND the
+    // per-variant agg — two consumers, one scan), pooled moments folded
+    // back as a 1-row broadcast. Every sum is exact integer cents in
+    // DECIMAL(38,0); θ, the adjusted means, and the pooled ρ² (the
+    // variance-reduction factor CUPED buys) are a few IEEE ops on
+    // identical doubles.
+    Q("q_cuped",
+      (s, dir) => {
+        val users = t(s, dir, "events")
+          .select((col("user_id") % 2).as("variant"), col("user_id"),
+            when(col("ts") < lit("2024-01-16").cast("timestamp"),
+              expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+              .otherwise(0L).as("pre_c"),
+            when(col("ts") >= lit("2024-01-16").cast("timestamp"),
+              expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+              .otherwise(0L).as("post_c"))
+          .groupBy("variant", "user_id")
+          .agg(sum(col("pre_c")).as("x"), sum(col("post_c")).as("y"))
+          .persist()
+        val pooled = users.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("y").cast(dec38)).as("sy"),
+          sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec38)).as("syy"))
+        val byVar = users.groupBy("variant")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("x").cast(dec38)).as("vx"),
+            sum(col("y").cast(dec38)).as("vy"))
+        byVar.crossJoin(broadcast(pooled))
+          .select(col("variant"), col("n_users"),
+            (col("vx").cast("double") / col("n_users").cast("double")
+              / 100.0).as("mean_pre"),
+            (col("vy").cast("double") / col("n_users").cast("double")
+              / 100.0).as("mean_post"),
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")))
+              .as("theta"),
+            col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+            col("syy"), col("vx"), col("vy"))
+          .select(col("variant"), col("n_users"), col("mean_pre"),
+            col("mean_post"), col("theta"),
+            ((col("vy").cast("double") / col("n_users").cast("double")
+              - col("theta") * (col("vx").cast("double")
+                / col("n_users").cast("double")
+                - col("sx").cast("double") / col("n").cast("double")))
+              / 100.0).as("mean_adj"),
+            (((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              * (col("n").cast("double") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy").cast("double")))
+              / ((col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+                * (col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("rho2"))
+          .orderBy("variant")
+      },
+      Some("""WITH u AS (
+                SELECT user_id % 2 AS variant, user_id,
+                  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2),
+              p AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS DOUBLE) AS sx,
+                  CAST(SUM(y) AS DOUBLE) AS sy,
+                  CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                  CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM u),
+              v AS (
+                SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(SUM(x) AS DOUBLE) AS vx,
+                  CAST(SUM(y) AS DOUBLE) AS vy
+                FROM u GROUP BY 1)
+              SELECT CAST(variant AS BIGINT) AS variant, n_users,
+                vx / CAST(n_users AS DOUBLE) / 100.0 AS mean_pre,
+                vy / CAST(n_users AS DOUBLE) / 100.0 AS mean_post,
+                (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+                (vy / CAST(n_users AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (vx / CAST(n_users AS DOUBLE)
+                      - sx / CAST(n AS DOUBLE))) / 100.0 AS mean_adj,
+                ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho2
+              FROM v, p ORDER BY variant"""))
   )
 }

@@ -747,6 +747,16 @@ object StreamingOps {
   def shardCounts(docs: DataFrame): DataFrame =
     graft.ops.Curation.shardCensus(docs)
 
+  /** Streaming half of q_fairness_gaps — the live parity monitor. The
+    * 5-row cohort confusion census is all counts (mergeable
+    * Complete-mode state); [[graft.ops.ModelEval.fairnessFinish]] over
+    * the drained state equals batch q_fairness_gaps EXACTLY at any
+    * trigger — the release gate's fairness audit re-scores per
+    * micro-batch without an event-history rescan.
+    */
+  def fairnessCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.fairnessCensus(events)
+
   /** Run a stream to completion with Trigger.AvailableNow into a memory
     * sink; returns the sink table contents.
     */

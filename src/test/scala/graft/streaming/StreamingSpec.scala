@@ -825,6 +825,30 @@ class StreamingSpec extends SparkSpec {
       "drained shard census diverged from the batch export manifest")
   }
 
+  test("drained confusion census finishes to batch q_fairness_gaps exactly") {
+    // the live parity monitor: the 5-row cohort confusion census is
+    // all counts, so the drained state's rates and DP gaps equal the
+    // batch audit bit-for-bit
+    val dir = Files.createTempDirectory("graft-events-fair").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.fairnessCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_fair", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    val streamed = graft.ops.ModelEval.fairnessFinish(counts).collect()
+      .map(key).toSet
+    val batch = SparkEntry.queries("q_fairness_gaps")(spark, sfDir).collect()
+      .map(key).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained confusion census diverged from the batch fairness audit")
+  }
+
   test("streaming trend moments fold to the oracled batch regression exactly") {
     // q_regression is five mergeable sums + finalization: the drained
     // stream's Complete-mode moments must finalize to the batch answer
