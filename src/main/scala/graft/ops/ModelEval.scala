@@ -966,6 +966,51 @@ object ModelEval {
               FROM c, o ORDER BY grp"""))
     ,
 
+    // ── sample-ratio mismatch (the A/B guardrail before any readout) ────
+    // A skewed assignment ratio invalidates an experiment before any
+    // metric is read: per day, the 50/50 user split's observed counts
+    // and the χ² statistic against the expected ratio —
+    // (n₀−n₁)²/(n₀+n₁) for equal allocation. DISTINCT users per
+    // (day, variant) (an exposure is counted once), one partial+final
+    // agg to the calendar-bounded census; the statistic is one IEEE
+    // division of exact integers per day. Flag days where χ² > 3.84
+    // (p<.05 at 1 dof) — the flag is an integer-domain compare
+    // ((n₀−n₁)²·100 > 384·(n₀+n₁)), no FP boundary.
+    Q("q_srm",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(date_trunc("day", col("ts")).as("day"),
+            col("user_id"), (col("user_id") % 2).as("variant"))
+          .distinct()
+          .groupBy("day")
+          .agg(count(when(col("variant") === 0, lit(1))).as("n0"),
+            count(when(col("variant") === 1, lit(1))).as("n1"))
+          .select(col("day"), col("n0"), col("n1"),
+            (((col("n0") - col("n1")) * (col("n0") - col("n1")))
+              .cast("double") / (col("n0") + col("n1")).cast("double"))
+              .as("chi2"),
+            ((col("n0") - col("n1")) * (col("n0") - col("n1")) * 100
+              > (col("n0") + col("n1")) * 384).as("srm_flag"))
+          .orderBy("day")
+      },
+      Some("""WITH u AS (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id,
+                  user_id % 2 AS variant
+                FROM events),
+              c AS (
+                SELECT day,
+                  CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT)
+                    AS n0,
+                  CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT)
+                    AS n1
+                FROM u GROUP BY 1)
+              SELECT day, n0, n1,
+                CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                  / CAST(n0 + n1 AS DOUBLE) AS chi2,
+                (n0 - n1) * (n0 - n1) * 100 > (n0 + n1) * 384 AS srm_flag
+              FROM c ORDER BY day"""))
+    ,
+
     // ── CUPED variance reduction (experimentation-platform staple) ──────
     // The adjustment every mature A/B platform applies before reading a
     // treatment effect: θ = cov(pre, post)/var(pre) from the POOLED
