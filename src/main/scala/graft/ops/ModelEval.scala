@@ -1011,6 +1011,75 @@ object ModelEval {
               FROM c ORDER BY day"""))
     ,
 
+    // ── difference-in-differences (the causal readout) ──────────────────
+    // The estimator for a launch with a pre-period: Δ = (treat_post −
+    // treat_pre) − (ctrl_post − ctrl_pre), which nets out both the
+    // level difference between arms and the common time trend. Same
+    // variant/period splits as q_cuped/q_srm (one family, one
+    // convention); shape is ONE event shuffle to a 2×2 (variant,
+    // period) cents census — counts and decimal-exact sums, four IEEE
+    // divisions and three subtractions at the end. Emits the 2×2 cell
+    // means plus the DiD estimate on every row (a 1-row broadcast
+    // fold), so the readout is self-contained.
+    Q("q_diff_in_diff",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .select((col("user_id") % 2).as("variant"),
+            when(col("ts") < lit("2024-01-16").cast("timestamp"), "pre")
+              .otherwise("post").as("period"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .groupBy("variant", "period")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+          // 4-row census feeds the pivot AND the output — persist is
+          // overkill at 4 rows but the scan behind it is not: fold the
+          // pivot from the census itself
+          .persist()
+        val did = cells
+          .agg(
+            (max(when(col("variant") === 1 && col("period") === "post",
+              col("sc").cast("double") / col("n").cast("double")))
+              - max(when(col("variant") === 1 && col("period") === "pre",
+                col("sc").cast("double") / col("n").cast("double")))
+              - (max(when(col("variant") === 0 && col("period") === "post",
+                col("sc").cast("double") / col("n").cast("double")))
+                - max(when(col("variant") === 0 && col("period") === "pre",
+                  col("sc").cast("double") / col("n").cast("double")))))
+              .as("did_cents"))
+        cells.crossJoin(broadcast(did))
+          .select(col("variant"), col("period"), col("n"),
+            (col("sc").cast("double") / col("n").cast("double") / 100.0)
+              .as("mean_value"),
+            (col("did_cents") / 100.0).as("did"))
+          .orderBy("variant", "period")
+      },
+      Some("""WITH c AS (
+                SELECT user_id % 2 AS variant,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 'pre' ELSE 'post' END AS period,
+                  count(*) AS n,
+                  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS sc
+                FROM events GROUP BY 1, 2),
+              d AS (
+                SELECT
+                  (MAX(CASE WHEN variant = 1 AND period = 'post'
+                     THEN CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END)
+                   - MAX(CASE WHEN variant = 1 AND period = 'pre'
+                     THEN CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END)
+                   - (MAX(CASE WHEN variant = 0 AND period = 'post'
+                       THEN CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END)
+                     - MAX(CASE WHEN variant = 0 AND period = 'pre'
+                       THEN CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END)))
+                    AS did_cents
+                FROM c)
+              SELECT CAST(variant AS BIGINT) AS variant, period, n,
+                CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                  AS mean_value,
+                did_cents / 100.0 AS did
+              FROM c, d ORDER BY variant, period"""))
+    ,
+
     // ── CUPED variance reduction (experimentation-platform staple) ──────
     // The adjustment every mature A/B platform applies before reading a
     // treatment effect: θ = cov(pre, post)/var(pre) from the POOLED
