@@ -517,9 +517,16 @@ object VectorOps {
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"),
             norm2(col("embedding")).as("n2"))
-        val evals = emb.filter(col("vec_id") % 500 === 0)
+        // the id cap makes "fixed-size evals" true by CONSTRUCTION: the
+        // %500 slice alone would grow with the corpus (at 10^10 vectors
+        // it is a multi-GB broadcast); capped, the eval set is bounded
+        // at 2000 vectors at ANY SF — the external-benchmark contract a
+        // real decontamination pass has, and a no-op at test SFs
+        val evals = emb.filter(col("vec_id") % 500 === 0
+            && col("vec_id") < 1000000L)
           .select(col("embedding").as("e_emb"), col("n2").as("e_n2"))
-        val corpus = emb.filter(col("vec_id") % 500 =!= 0)
+        val corpus = emb.filter(col("vec_id") % 500 =!= 0
+            || col("vec_id") >= 1000000L)
         corpus.join(broadcast(evals))
           .select(col("vec_id"), col("label"),
             (dot(col("e_emb"), col("embedding"))
@@ -539,8 +546,9 @@ object VectorOps {
                   ${duckDot("embedding", "embedding")} AS n2
                 FROM embeddings),
               ev AS (SELECT embedding AS e_emb, n2 AS e_n2 FROM e
-                     WHERE vec_id % 500 = 0),
-              c AS (SELECT * FROM e WHERE vec_id % 500 <> 0),
+                     WHERE vec_id % 500 = 0 AND vec_id < 1000000),
+              c AS (SELECT * FROM e
+                    WHERE vec_id % 500 <> 0 OR vec_id >= 1000000),
               sim AS (
                 SELECT c.vec_id, c.label,
                   MAX(${duckDot("c.embedding", "ev.e_emb")}
