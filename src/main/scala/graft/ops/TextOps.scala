@@ -998,6 +998,60 @@ object TextOps {
               FROM ranked JOIN ideal ON ranked.source = ideal.source
               ORDER BY ranked.source""")),
 
+    // ── MRR@10 (the first-hit retrieval metric next to q_ndcg) ──────────
+    // Where nDCG grades the whole ranking, MRR grades time-to-first-
+    // relevant: reciprocal rank of the first grade-4 doc in each
+    // source's top-10 (0 when absent — standard MRR@10). Same
+    // graft_topk bounded-heap ranking and (score DESC, doc_id) tie rule
+    // as q_ndcg — k rows per (task × source) cross the shuffle, never
+    // the corpus. The corpus-level MRR is a pinned sorted fold over the
+    // per-source frame (FP addition order fixed in both engines), then
+    // one division; the per-source frame persists because it feeds both
+    // the fold and the output.
+    Q("q_mrr",
+      (s, dir) => {
+        val hits = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .groupBy("source")
+          .agg(expr("graft_topk(doc_id, CAST(n_chars AS DOUBLE), 10)")
+            .as("topk"))
+          .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("i"),
+            (col("t.id") % 4 + 1).as("rel"))
+          .groupBy("source")
+          .agg(min(when(col("rel") === 4, col("i"))).as("first_rel"))
+          .select(col("source"), col("first_rel"),
+            coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+              .as("rr"))
+          .persist()
+        val mrr = hits.agg(
+          (expr("""aggregate(array_sort(collect_list(struct(source, rr))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.rr)""")
+            / count(lit(1))).as("mrr"))
+        hits.crossJoin(broadcast(mrr)).orderBy("source")
+      },
+      Some("""WITH r AS (
+                SELECT source, doc_id % 4 + 1 AS rel,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS i
+                FROM documents),
+              f AS (
+                SELECT source,
+                  MIN(CASE WHEN rel = 4 AND i <= 10 THEN i END)
+                    AS first_rel
+                FROM r GROUP BY 1),
+              h AS (
+                SELECT source, CAST(first_rel AS BIGINT) AS first_rel,
+                  COALESCE(1.0 / first_rel, 0.0) AS rr
+                FROM f),
+              m AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(rr ORDER BY source)), (a, x) -> a + x)
+                       / count(*) AS mrr
+                FROM h)
+              SELECT h.source, h.first_rel, h.rr, m.mrr
+              FROM h, m ORDER BY h.source""")),
+
     // ── BPE tokenizer training: 10 merge rounds on the word census ───────
     // The third iterative-algorithm family (after ccStar and k-means):
     // byte-pair-encoding merge learning, the Sennrich et al. (2016)
