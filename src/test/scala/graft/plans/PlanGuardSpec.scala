@@ -655,7 +655,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_js_drift" -> 0, // persisted (source, lang) census, 4 consumers
       "q_effective_sample_size" -> 1,
       "q_csv_source" -> 1, "q_json_source" -> 1,
-      "q_growth_accounting" -> 0) // persisted (user, week) census, 4 consumers
+      "q_growth_accounting" -> 0, // persisted (user, week) census, 4 consumers
+      "q_cuped" -> 0, // persisted per-user frame: pooled + variant sums
+      "q_diff_in_diff" -> 0, // persisted 2x2 census: pivot + output
+      "q_mrr" -> 0, // persisted per-source frame: pinned fold + output
+      "q_srm" -> 1) // single consumer chain
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
