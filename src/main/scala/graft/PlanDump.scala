@@ -160,6 +160,10 @@ object PlanDump {
       || q_forecast_eval | exact-cents day census (medianDaily) | actual side + d−7 forecast side of the self-join | **persisted** (one orders scan) |
       || q_schema_evolution | — | single consumer chain (two disjoint-filter branches of one table is the union's honest input, not reuse) | **single plan** |
       || q_label_prop / q_kcore | per-round frame | next round + per-round census | **checkpoint/persist per round** (census reads the materialized cache; kcore's edge tally reuses the materialization count) |
+      || q_cuped | per-user (variant, pre, post) cents frame | pooled moments + per-variant sums | **persisted** (budget guard 0) |
+      || q_diff_in_diff | 2×2 (variant, period) census | DiD pivot + output | **persisted** (budget guard 0) |
+      || q_mrr | per-source reciprocal-rank frame | pinned corpus fold + output | **persisted** (budget guard 0) |
+      || q_srm / q_span_corruption | — | single consumer chain | **single plan** |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
