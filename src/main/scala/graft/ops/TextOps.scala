@@ -941,7 +941,13 @@ object TextOps {
     // shuffle carries ≤10 rows per (task × source) where a window rank
     // would sort every doc on |sources| tasks. The heap's (score DESC,
     // id ASC) contract is exactly the oracle's row_number ordering, and
-    // rel is recomputed row-locally from the surviving doc_id.
+    // rel is recomputed row-locally from the surviving doc_id — via the
+    // Knuth hash (doc_id·2654435761) div 2¹⁶ mod 4: a plain doc_id mod 4 is
+    // CONSTANT within a source (ids stride by the source count, and the
+    // stride divides 4 so even the hashed LOW bits repeat), which
+    // made every source's ranking trivially ideal; the hash varies the
+    // grade within each source so the three retrieval metrics (nDCG,
+    // MRR, P/R@k) measure a real ranking.
     Q("q_ndcg",
       (s, dir) => {
         val disc = typedLit(Map(1L -> 1000000000L, 2L -> 630929754L,
@@ -950,13 +956,13 @@ object TextOps {
           9L -> 301029996L, 10L -> 289064826L))
         val base = t(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"),
-            (col("doc_id") % 4 + 1).as("rel"))
+            expr("(doc_id * 2654435761) div 65536 % 4 + 1").as("rel"))
         def dcgOf(scoreSql: String, outName: String) = base
           .groupBy("source")
           .agg(expr(s"graft_topk(doc_id, CAST($scoreSql AS DOUBLE), 10)")
             .as("topk"))
           .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
-          .select(col("source"), (col("t.id") % 4 + 1).as("rel"),
+          .select(col("source"), expr("(t.id * 2654435761) div 65536 % 4 + 1").as("rel"),
             (col("pos") + 1).cast("long").as("i"))
           .groupBy("source")
           .agg(sum(col("rel") * disc(col("i"))).as(outName))
@@ -975,7 +981,7 @@ object TextOps {
                 (7, 333333333), (8, 315464877), (9, 301029996),
                 (10, 289064826)) AS t(i, d)),
               base AS (
-                SELECT source, doc_id, n_chars, doc_id % 4 + 1 AS rel
+                SELECT source, doc_id, n_chars, (doc_id * 2654435761) // 65536 % 4 + 1 AS rel
                 FROM documents),
               ranked AS (
                 SELECT source, SUM(rel * d) AS dcg_num
@@ -1017,7 +1023,7 @@ object TextOps {
             .as("topk"))
           .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
           .select(col("source"), (col("pos") + 1).cast("long").as("i"),
-            (col("t.id") % 4 + 1).as("rel"))
+            expr("(t.id * 2654435761) div 65536 % 4 + 1").as("rel"))
           .groupBy("source")
           .agg(min(when(col("rel") === 4, col("i"))).as("first_rel"))
           .select(col("source"), col("first_rel"),
@@ -1031,7 +1037,7 @@ object TextOps {
         hits.crossJoin(broadcast(mrr)).orderBy("source")
       },
       Some("""WITH r AS (
-                SELECT source, doc_id % 4 + 1 AS rel,
+                SELECT source, (doc_id * 2654435761) // 65536 % 4 + 1 AS rel,
                   row_number() OVER (PARTITION BY source
                     ORDER BY n_chars DESC, doc_id) AS i
                 FROM documents),
@@ -1051,6 +1057,62 @@ object TextOps {
                 FROM h)
               SELECT h.source, h.first_rel, h.rr, m.mrr
               FROM h, m ORDER BY h.source""")),
+
+    // ── precision/recall@10 (completing the MRR/nDCG metric trio) ───────
+    // The set-overlap view of ranking quality: of each source's top-10
+    // (same graft_topk heap and tie rule), how many are grade-4
+    // relevant (precision@10), and what share of ALL its grade-4 docs
+    // did the cut capture (recall@10)? The projected corpus base
+    // persists (the q_corpus_report discipline) because the relevant-
+    // total census and the top-k ranking both consume it — one
+    // documents scan, two bounded readouts; rates are IEEE divisions
+    // of exact counts.
+    Q("q_precision_recall_at_k",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            expr("(doc_id * 2654435761) div 65536 % 4 + 1").as("rel"))
+          .persist()
+        val totals = base.filter(col("rel") === 4)
+          .groupBy("source").agg(count(lit(1)).as("n_rel"))
+        val top = base.groupBy("source")
+          .agg(expr("graft_topk(doc_id, CAST(n_chars AS DOUBLE), 10)")
+            .as("topk"))
+          .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("k"),
+            count(when(expr("(t.id * 2654435761) div 65536 % 4 + 1") === 4, lit(1))).as("hits"))
+        top.join(totals, "source")
+          .select(col("source"), col("k"), col("hits"), col("n_rel"),
+            (col("hits").cast("double") / col("k").cast("double"))
+              .as("precision_at_k"),
+            (col("hits").cast("double") / col("n_rel").cast("double"))
+              .as("recall_at_k"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+                SELECT source, doc_id, n_chars, (doc_id * 2654435761) // 65536 % 4 + 1 AS rel
+                FROM documents),
+              totals AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_rel
+                FROM base WHERE rel = 4 GROUP BY 1),
+              r AS (
+                SELECT source, rel, row_number() OVER
+                  (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS i
+                FROM base),
+              top AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS k,
+                  CAST(COUNT(CASE WHEN rel = 4 THEN 1 END) AS BIGINT)
+                    AS hits
+                FROM r WHERE i <= 10 GROUP BY 1)
+              SELECT top.source, k, hits, n_rel,
+                CAST(hits AS DOUBLE) / CAST(k AS DOUBLE)
+                  AS precision_at_k,
+                CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                  AS recall_at_k
+              FROM top JOIN totals ON top.source = totals.source
+              ORDER BY top.source""")),
 
     // ── BPE tokenizer training: 10 merge rounds on the word census ───────
     // The third iterative-algorithm family (after ccStar and k-means):
