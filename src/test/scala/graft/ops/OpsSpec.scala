@@ -611,4 +611,31 @@ class OpsSpec extends SparkSpec {
     // invariant tri >= 0 plus closure <= wedge count is what's checkable
     // without recomputing the graph here
   }
+
+  test("operators survive forced spill: results identical at a 64-row buffer") {
+    // the spill-aware claim, exercised: with the window and agg spill
+    // thresholds forced to 64 in-memory rows, the same query must spill
+    // to disk and STILL produce byte-identical results — this is the
+    // mechanism that keeps a 100-TB partition from OOMing an executor,
+    // proven rather than asserted. (Thresholds are session-local and
+    // restored; default is 4096.)
+    val keys = Seq(
+      "spark.sql.windowExec.buffer.spill.threshold",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    def run() = SparkEntry.queries("q_window_rank")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val baseline = run()
+    val saved = keys.map(k =>
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten).toMap
+    keys.foreach(k => spark.conf.set(k, "64"))
+    try {
+      val spilled = run()
+      assert(spilled === baseline,
+        "spill path changed the window-rank result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
