@@ -118,8 +118,13 @@ object Approx {
     // hundredths by an exact count: two deterministic FP ops.
     Q("q_bootstrap_ci",
       (s, dir) => {
-        val u = (((col("o_orderkey") * 64 + col("b")) * 2654435761L)
-          % 4294967296L).cast("double") / 4294967296.0
+        // 31-bit mask before the Knuth multiply: orderkey ≳ 54M (sf≳10)
+        // would overflow the int64 product — Spark wraps negative,
+        // DuckDB errors. (key % 2^31)·K < 2^62 is always safe, and the
+        // mask is the identity at every test SF.
+        val u = expr("""pmod(pmod(o_orderkey * 64 + b, 2147483648)
+                        * 2654435761, 4294967296)""")
+          .cast("double") / 4294967296.0
         val means = t(s, dir, "orders")
           .select(col("o_orderkey"), dec2(col("o_totalprice")).as("p"),
             explode(expr("sequence(0, 31)")).as("b"))
@@ -147,7 +152,9 @@ object Approx {
       },
       Some("""WITH reps AS (
                 SELECT b, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
-                  ((o_orderkey * 64 + b) * 2654435761) % 4294967296
+                  ((((o_orderkey * 64 + b) % 2147483648 + 2147483648)
+                     % 2147483648 * 2654435761) % 4294967296
+                   + 4294967296) % 4294967296
                     / 4294967296.0 AS u
                 FROM orders, (SELECT unnest(generate_series(0, 31)) AS b)),
               w AS (

@@ -37,7 +37,14 @@ object Curation {
   def shardCensus(docs: DataFrame): DataFrame =
     docs
       .select(
-        expr("(doc_id * 2654435761) % 16").as("shard"),
+        // mask to 31 bits BEFORE the Knuth multiply: doc_id ≳ 3.47e9
+        // (well inside a 100-TB corpus) would overflow the int64
+        // product — Spark wraps silently negative while DuckDB raises,
+        // so the unmasked form breaks both the [0,16) shard invariant
+        // and engine parity. (id % 2^31) · K < 2^62 never overflows,
+        // and the mask is the identity for every test-SF id. pmod
+        // keeps the shard non-negative even for negative ids.
+        expr("pmod((doc_id % 2147483648) * 2654435761, 16)").as("shard"),
         size(filter(split(col("text"), " "), x => x =!= ""))
           .cast("long").as("n_toks"),
         expr("""(aggregate(split(text, ' '), 0L,
@@ -369,7 +376,7 @@ object Curation {
     Q("q_export_shards",
       (s, dir) => shardFinish(shardCensus(t(s, dir, "documents"))),
       Some("""WITH d AS (
-                SELECT (doc_id * 2654435761) % 16 AS shard,
+                SELECT ((doc_id % 2147483648) * 2654435761 % 16 + 16) % 16 AS shard,
                   CAST(len(list_filter(string_split(text, ' '),
                     x -> x <> '')) AS BIGINT) AS n_toks,
                   (list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -446,7 +453,10 @@ object Curation {
         graft.plans.GraftExtensions.ensureRegistered(s)
         t(s, dir, "documents")
           .select(col("source"), col("lang"), col("doc_id"),
-            (col("doc_id") * 2654435761L % 4294967296L).as("h"))
+            // 31-bit mask before the multiply — same int64-overflow
+            // guard as q_export_shards; identity for test-SF ids
+            expr("pmod((doc_id % 2147483648) * 2654435761, 4294967296)")
+              .as("h"))
           .groupBy("source", "lang")
           .agg(call_function("graft_topk",
             col("doc_id"), -col("h").cast("double"), lit(5)).as("top"))
@@ -459,7 +469,8 @@ object Curation {
       Some("""SELECT source, lang, doc_id FROM (
                 SELECT source, lang, doc_id, row_number() OVER (
                   PARTITION BY source, lang
-                  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+                  ORDER BY ((doc_id % 2147483648) * 2654435761 % 4294967296
+                            + 4294967296) % 4294967296, doc_id) AS rn
                 FROM documents)
               WHERE rn <= 5 ORDER BY source, lang, doc_id""")),
 
@@ -534,7 +545,10 @@ object Curation {
     // at any SF.
     Q("q_dataset_split",
       (s, dir) => {
-        val bucket = col("doc_id") * 2654435761L % 4294967296L % 100
+        // 31-bit mask before the multiply — int64-overflow guard for
+        // doc_id ≳ 3.47e9 (identity at test SFs, parity-safe at 100 TB)
+        val bucket = expr(
+          "pmod((doc_id % 2147483648) * 2654435761, 4294967296) % 100")
         t(s, dir, "documents")
           .select(col("source"),
             when(bucket < 80, "train").when(bucket < 90, "val")
@@ -546,8 +560,10 @@ object Curation {
           .orderBy("source", "split")
       },
       Some("""SELECT source,
-                CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-                     WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                CASE WHEN ((doc_id % 2147483648) * 2654435761 % 4294967296
+                           + 4294967296) % 4294967296 % 100 < 80 THEN 'train'
+                     WHEN ((doc_id % 2147483648) * 2654435761 % 4294967296
+                           + 4294967296) % 4294967296 % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split,
                 count(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS n_chars

@@ -1515,8 +1515,14 @@ object EventTime {
               1L).otherwise(0L)).as("n_retained"),
             sum(when(col("was_prev").isNull && col("w") =!= col("w0"),
               1L).otherwise(0L)).as("n_resurrected"))
+        // churn is bounded to OBSERVED weeks: the +7d shift would
+        // otherwise report every final-week active as churned in a
+        // phantom week one past the end of the data
+        val maxW = uw.agg(max(col("w")).as("w_max"))
         val churn = prev.select(col("u"), col("w"))
           .join(uw, Seq("u", "w"), "left_anti")
+          .crossJoin(broadcast(maxW))
+          .filter(col("w") <= col("w_max"))
           .groupBy("w").agg(count(lit(1)).as("n_churned"))
         acc.join(churn, Seq("w"), "full")
           .select(col("w").as("week"),
@@ -1548,7 +1554,8 @@ object EventTime {
               c AS (
                 SELECT p.w, CAST(COUNT(*) AS BIGINT) AS n_churned
                 FROM prev p LEFT JOIN uw ON p.u = uw.u AND p.w = uw.w
-                WHERE uw.u IS NULL GROUP BY 1)
+                WHERE uw.u IS NULL
+                  AND p.w <= (SELECT MAX(w) FROM uw) GROUP BY 1)
               SELECT COALESCE(a.w, c.w) AS week,
                 CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
                 CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,

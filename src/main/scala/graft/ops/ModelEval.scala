@@ -148,10 +148,15 @@ object ModelEval {
           .as("base_rate"),
         (col("npred").cast("double") / col("n").cast("double"))
           .as("sel_rate"),
-        (col("tp").cast("double") / col("np").cast("double"))
+        // all-negative / all-positive cohort guard: Spark (non-ANSI)
+        // x/0 is NULL but DuckDB IEEE division gives inf/nan — make the
+        // degenerate cohort NULL in BOTH engines by construction
+        when(col("np") === 0, lit(null))
+          .otherwise(col("tp").cast("double") / col("np").cast("double"))
           .as("tpr"),
-        (col("fp").cast("double")
-          / (col("n") - col("np")).cast("double")).as("fpr"),
+        when(col("n") === col("np"), lit(null))
+          .otherwise(col("fp").cast("double")
+            / (col("n") - col("np")).cast("double")).as("fpr"),
         (col("npred").cast("double") / col("n").cast("double")
           - col("tot_pred").cast("double") / col("tot_n").cast("double"))
           .as("dp_gap"))
@@ -958,8 +963,10 @@ object ModelEval {
               SELECT CAST(grp AS BIGINT) AS grp, CAST(n AS BIGINT) AS n,
                 CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS base_rate,
                 CAST(npred AS DOUBLE) / CAST(n AS DOUBLE) AS sel_rate,
-                CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) AS tpr,
-                CAST(fp AS DOUBLE) / CAST(n - np AS DOUBLE) AS fpr,
+                CASE WHEN np = 0 THEN NULL
+                     ELSE CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) END AS tpr,
+                CASE WHEN n = np THEN NULL
+                     ELSE CAST(fp AS DOUBLE) / CAST(n - np AS DOUBLE) END AS fpr,
                 CAST(npred AS DOUBLE) / CAST(n AS DOUBLE)
                   - CAST(tot_pred AS DOUBLE) / CAST(tot_n AS DOUBLE)
                   AS dp_gap

@@ -956,13 +956,13 @@ object TextOps {
           9L -> 301029996L, 10L -> 289064826L))
         val base = t(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"),
-            expr("(doc_id * 2654435761) div 65536 % 4 + 1").as("rel"))
+            expr("pmod(((doc_id % 2147483648) * 2654435761) div 65536, 4) + 1").as("rel"))
         def dcgOf(scoreSql: String, outName: String) = base
           .groupBy("source")
           .agg(expr(s"graft_topk(doc_id, CAST($scoreSql AS DOUBLE), 10)")
             .as("topk"))
           .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
-          .select(col("source"), expr("(t.id * 2654435761) div 65536 % 4 + 1").as("rel"),
+          .select(col("source"), expr("pmod(((t.id % 2147483648) * 2654435761) div 65536, 4) + 1").as("rel"),
             (col("pos") + 1).cast("long").as("i"))
           .groupBy("source")
           .agg(sum(col("rel") * disc(col("i"))).as(outName))
@@ -981,7 +981,7 @@ object TextOps {
                 (7, 333333333), (8, 315464877), (9, 301029996),
                 (10, 289064826)) AS t(i, d)),
               base AS (
-                SELECT source, doc_id, n_chars, (doc_id * 2654435761) // 65536 % 4 + 1 AS rel
+                SELECT source, doc_id, n_chars, ((doc_id % 2147483648) * 2654435761 // 65536 % 4 + 4) % 4 + 1 AS rel
                 FROM documents),
               ranked AS (
                 SELECT source, SUM(rel * d) AS dcg_num
@@ -1023,7 +1023,7 @@ object TextOps {
             .as("topk"))
           .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
           .select(col("source"), (col("pos") + 1).cast("long").as("i"),
-            expr("(t.id * 2654435761) div 65536 % 4 + 1").as("rel"))
+            expr("pmod(((t.id % 2147483648) * 2654435761) div 65536, 4) + 1").as("rel"))
           .groupBy("source")
           .agg(min(when(col("rel") === 4, col("i"))).as("first_rel"))
           .select(col("source"), col("first_rel"),
@@ -1037,7 +1037,7 @@ object TextOps {
         hits.crossJoin(broadcast(mrr)).orderBy("source")
       },
       Some("""WITH r AS (
-                SELECT source, (doc_id * 2654435761) // 65536 % 4 + 1 AS rel,
+                SELECT source, ((doc_id % 2147483648) * 2654435761 // 65536 % 4 + 4) % 4 + 1 AS rel,
                   row_number() OVER (PARTITION BY source
                     ORDER BY n_chars DESC, doc_id) AS i
                 FROM documents),
@@ -1071,7 +1071,7 @@ object TextOps {
       (s, dir) => {
         val base = t(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"),
-            expr("(doc_id * 2654435761) div 65536 % 4 + 1").as("rel"))
+            expr("pmod(((doc_id % 2147483648) * 2654435761) div 65536, 4) + 1").as("rel"))
           .persist()
         val totals = base.filter(col("rel") === 4)
           .groupBy("source").agg(count(lit(1)).as("n_rel"))
@@ -1081,7 +1081,7 @@ object TextOps {
           .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
           .groupBy("source")
           .agg(count(lit(1)).as("k"),
-            count(when(expr("(t.id * 2654435761) div 65536 % 4 + 1") === 4, lit(1))).as("hits"))
+            count(when(expr("pmod(((t.id % 2147483648) * 2654435761) div 65536, 4) + 1") === 4, lit(1))).as("hits"))
         top.join(totals, "source")
           .select(col("source"), col("k"), col("hits"), col("n_rel"),
             (col("hits").cast("double") / col("k").cast("double"))
@@ -1091,7 +1091,7 @@ object TextOps {
           .orderBy("source")
       },
       Some("""WITH base AS (
-                SELECT source, doc_id, n_chars, (doc_id * 2654435761) // 65536 % 4 + 1 AS rel
+                SELECT source, doc_id, n_chars, ((doc_id % 2147483648) * 2654435761 // 65536 % 4 + 4) % 4 + 1 AS rel
                 FROM documents),
               totals AS (
                 SELECT source, CAST(count(*) AS BIGINT) AS n_rel

@@ -783,10 +783,17 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q_schema_evolution: both generation branches push their era filter") {
+    // one branch keeps `ts < cutover`, the other `ts >= cutover` — a
+    // single non-empty PushedFilters anywhere would let one branch
+    // silently degrade to a post-scan Filter, so count non-empty
+    // pushed-filter lists and demand one per generation branch
     val ex = formatted("q_schema_evolution")
-    assert(ex.contains("PushedFilters: [") &&
-      !ex.matches("(?s).*PushedFilters: \\[\\].*"),
-      "era filters failed to reach the scans under the union")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(ex).toList
+    assert(pushed.size >= 2,
+      s"expected both era branches to push their filter, found ${pushed.size}: $pushed")
+    assert(pushed.exists(_.contains("LessThan")) &&
+      pushed.exists(_.contains("GreaterThanOrEqual")),
+      s"era < and >= predicates not both pushed: $pushed")
   }
 
   test("privacy audits collapse to combo-bounded censuses with partial aggs") {
