@@ -54,10 +54,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] write: $e") }
       (System.nanoTime() - t0) / 1e9
     }.min
-    // 2-decimal times: centisecond resolution is below host noise, and
-    // the compact map keeps the ONE stdout JSON line short enough that a
-    // truncated log-tail capture still carries every query (r4's tail
-    // lost the front of the full-precision map)
+    // 2-decimal times: centisecond resolution is below host noise
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
@@ -69,10 +66,26 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
-    // stop BEFORE the metric line: Spark's console appender shares
+    // The driver captures only the last few KB of stdout, and the plain
+    // 259-entry map overflows that window — its FRONT was cut in r4/r5,
+    // leaving the captured line unparseable ("parsed": null). Emit the
+    // full line FIRST (a big tail window still gets it whole), then a
+    // SHORT final line that carries the same per-query map gzip+base64'd
+    // (~¼ the bytes) so even a 4 KB tail holds one complete, standalone-
+    // parseable JSON record of every query time.
+    def gz64(s: String): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+    val shortJson =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries_gz":"${gz64(qs)}","write":${f2(writeSec)},"sf":"$sfDir"}"""
+    // stop BEFORE the metric lines: Spark's console appender shares
     // stdout, so a late executor/stop WARN after the println would
     // un-tail the JSON the driver greps ("parsed": null in r2/r3)
     spark.stop()
     println(json)
+    println(shortJson)
   }
 }

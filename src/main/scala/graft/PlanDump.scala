@@ -113,7 +113,10 @@ object PlanDump {
     "q_growth_accounting" -> "growth accounting: ONE persisted (user, week) distinct census feeds first-week frame + shifted self-join + churn anti-join — all user-keyed, no broadcast of scaling sides",
     "q_rolling_corr" -> "rolling correlation: trailing-28 window over the calendar-bounded day census (above the Aggregate, PlanGuard-pinned); DECIMAL(38,0) window sums",
     "q_abc_classification" -> "ABC classes: part-revenue census -> RangeRank 2-pass exclusive prefix sum (pid-partitioned, cluster parallelism) -> exact-integer class test -> 3-row census",
-    "q_price_elasticity" -> "grouped OLS: size-gated lineitem x part join, five integer sums per p_type (partial+final), slope arithmetic on the bounded census")
+    "q_price_elasticity" -> "grouped OLS: size-gated lineitem x part join, five integer sums per p_type (partial+final), slope arithmetic on the bounded census",
+    // round-6 additions
+    "q_dedup_band_verify" -> "composed production dedup: row-local MinHash signatures -> band bucket self-join (candidates) -> candidates-only exact verify (graft_sorted_inter merge walk) — the exact shared-shingle self-join is GONE from the plan; measured slope -0.04 vs the exact path's +1.11",
+    "q_dedup_incremental" -> "incremental exact dedup: the batch anti-joins the STANDING hash-index parquet (stored artifact, appended per ingest — DedupIndexSpec) — the corpus is never rescanned; only batch-sized rows move")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its

@@ -100,7 +100,21 @@ object ScaleCheck {
     // persisted day-census self-join backtest
     "q_forecast_eval",
     // RangeRank cumulative-share walk over the scaling part census
-    "q_abc_classification")
+    "q_abc_classification",
+    // round-6 coverage batch: every ≥1 s battery query gets a measured
+    // slope (r5 verdict item 7) — the drift grids, census folds,
+    // rank/percentile selections, the SQL surface, and the report
+    // joins that were previously dispositioned only in prose
+    "q_wasserstein", "q_chi2", "q_mad", "q_percentile_cont",
+    "q_percentile_disc", "q_stats_agg", "q_rollup_cube", "q_variant_ops",
+    "q_winsorize", "q_rare_token_docs", "q_dedup_simhash",
+    "q_degree_stats", "q_excess_share", "q_fd_check", "q_feature_binning",
+    "q_join_broadcast", "q_join_range", "q_part_type_census",
+    "q_ship_latency", "q_sql_surface", "q_supplier_wait",
+    // the composed production dedup path (band → exact-verify): the
+    // linear replacement for q_dedup_ngram's +1.1-slope exact self-join;
+    // recall vs the exact path is DedupRecallSpec's measured 1.0
+    "q_dedup_band_verify")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
@@ -153,6 +167,27 @@ object ScaleCheck {
       val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       println(s"""{"m":$m,"queries":$qs}""")
+    }
+
+    // q_also_bought SF-invariant, asserted on COUNTS rather than
+    // wall-time (r5 verdict item 3: the wall-time slope was too
+    // volatile across sessions to prove the shape). The 128-item
+    // basket cap bounds per-customer fan-out at C(128,2) = 8128 pairs
+    // by construction; what needs MEASURING is that total pairs grow
+    // ∝ customers across ×M — i.e. the pair census is linear in the
+    // scaled fact volume, never quadratic.
+    if (picks.contains("q_also_bought")) {
+      Mults.foreach { m =>
+        val b = graft.ops.Curation.alsoBoughtBaskets(spark, s"$work/m$m")
+        val r = b.select(
+          expr("cast(size(items) as bigint) * (size(items) - 1) div 2")
+            .as("p"))
+          .agg(count(lit(1)).as("customers"), sum(col("p")).as("pairs"),
+            max(col("p")).as("max_per_cust")).head()
+        println(s"""{"m":$m,"invariant":"also_bought_pairs",""" +
+          s""""customers":${r.getLong(0)},"pairs":${r.getLong(1)},""" +
+          s""""max_per_cust":${r.getLong(2)},"cap_pairs":8128}""")
+      }
     }
     spark.stop()
   }

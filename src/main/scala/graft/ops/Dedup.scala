@@ -315,6 +315,50 @@ object Dedup {
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
   }
 
+  /** Banded candidate pairs (a < b, n_bands) of the MinHash/LSH pass —
+    * the candidate GENERATOR of the composed production dedup path.
+    * Public so the recall spec can assert the 100-TB claim directly:
+    * these candidates must cover (almost) every pair the exact
+    * shared-shingle path emits at J ≥ 0.3.
+    */
+  def bandCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(shingleHashArrays(s, t(s, dir, "documents")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_id") === col("y.band_id")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Band candidates + exact-Jaccard verification (the q_dedup_near
+    * core): candidates only ever meet their own sorted shingle-hash
+    * arrays — the corpus is semi-join-pruned to candidate docs and
+    * |A ∩ B| is the codegen'd merge walk, zero explode.
+    */
+  private def bandVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docsArr = shingleHashArrays(s, t(s, dir, "documents"))
+    val cands = bandCandidates(s, dir)
+    val candIds = cands.select(col("a").as("doc_id"))
+      .unionByName(cands.select(col("b").as("doc_id"))).distinct()
+    val arrs = docsArr.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sort_array(col("shs")).as("sshs"),
+        size(col("shs")).cast("long").as("n_sh"))
+    cands
+      .join(arrs.select(col("doc_id").as("a"), col("sshs").as("sh_a"),
+        col("n_sh").as("sz_a")), Seq("a"))
+      .join(arrs.select(col("doc_id").as("b"), col("sshs").as("sh_b"),
+        col("n_sh").as("sz_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_bands"),
+        call_function("graft_sorted_inter", col("sh_a"), col("sh_b"))
+          .as("n_common"),
+        col("sz_a"), col("sz_b"))
+      .select(col("a"), col("b"), col("n_bands"),
+        (col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+          .as("jaccard"))
+  }
+
   private val labelMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -322,6 +366,71 @@ object Dedup {
     labelMemo.computeIfAbsent((s, dir), _ =>
       ccStar(ngramPairs(s, dir).select(col("a").as("u"), col("b").as("v")))
         .localCheckpoint(true))
+
+  // ─── standing corpus indexes for incremental dedup ──────────────────
+  // The artifact contract the incremental queries describe in prose,
+  // made real: the corpus's exact-hash set and MinHash band index live
+  // as APPENDABLE parquet directories (the Layout.scala layout-artifact
+  // discipline — built once per corpus snapshot, appended per ingest,
+  // NEVER rebuilt by a query). appendHashIndex/appendBandIndex are the
+  // per-ingest write path; DedupIndexSpec proves append ≡ rebuild.
+  // Paths carry the JVM pid so a second JVM on the same dir cannot
+  // clobber index files mid-query in the first.
+
+  private val jvmTag = ProcessHandle.current().pid().toString
+
+  private def idxTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + jvmTag
+
+  /** Distinct md5 content hashes of a document frame — the exact-dedup
+    * index rows (the corpus contributes its hash set, never text).
+    */
+  def contentHashes(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("h")).distinct()
+
+  /** MinHash band rows (doc_id, band_id, band_hash) of a document frame
+    * — the near-dedup index rows. Public for the index spec.
+    */
+  def bandRows(s: SparkSession, docs: DataFrame): DataFrame =
+    minhashBands(shingleHashArrays(s, docs))
+
+  /** Per-ingest append path: new index rows land next to the standing
+    * ones. Duplicate hash rows across ingests are harmless (every
+    * consumer probes with semi/anti-join semantics); band rows are
+    * per-doc and ingest batches carry disjoint doc_ids, so band append
+    * is an exact rowset union.
+    */
+  def appendIndex(rows: DataFrame, path: String): Unit =
+    rows.write.mode("append").parquet(path)
+
+  /** The standing exact-hash index of `dir`'s corpus slice
+    * (doc_id % 10 ≠ 7 — everything that is not today's batch), built
+    * once per (JVM, dir) and then only READ. Returns the path.
+    */
+  private val hashIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def hashIndexPath(s: SparkSession, dir: String): String =
+    hashIdxMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-dedup-index/${idxTag(dir)}/hash"
+      contentHashes(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The standing band index of the same corpus slice — the near-dup
+    * analog of [[hashIndexPath]], built once per (JVM, dir).
+    */
+  private val bandIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def bandIndexPath(s: SparkSession, dir: String): String =
+    bandIdxMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-dedup-index/${idxTag(dir)}/bands"
+      bandRows(s, t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
 
   /** DuckDB CTEs shared by the cluster-consuming oracles: undirected
     * edges + transitive closure (`walk`) over the `jp` pair set.
@@ -359,41 +468,25 @@ object Dedup {
     // pruned to candidate docs, so shingle re-expansion touches only
     // candidate content.
     Q("q_dedup_near",
-      (s, dir) => {
-        val docsArr = shingleHashArrays(s, t(s, dir, "documents"))
-        val bands = minhashBands(docsArr)
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band_id") === col("y.band_id")
-              && col("x.band_hash") === col("y.band_hash")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
-        // exact Jaccard on candidates ONLY, with ZERO explode: the
-        // candidate-id semi-join prunes the corpus to candidate docs,
-        // each pair joins its two (row-locally sorted) shingle sets into
-        // ONE row, and |A ∩ B| is a codegen'd merge walk
-        // (graft_sorted_inter) — the round-2 explode → equi-join → count
-        // pipeline collapsed into an expression; the only shuffles left
-        // in the verify are the two pair↔array equi-joins
-        val candIds = cands.select(col("a").as("doc_id"))
-          .unionByName(cands.select(col("b").as("doc_id"))).distinct()
-        val arrs = docsArr.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), sort_array(col("shs")).as("sshs"),
-            size(col("shs")).cast("long").as("n_sh"))
-        cands
-          .join(arrs.select(col("doc_id").as("a"), col("sshs").as("sh_a"),
-            col("n_sh").as("sz_a")), Seq("a"))
-          .join(arrs.select(col("doc_id").as("b"), col("sshs").as("sh_b"),
-            col("n_sh").as("sz_b")), Seq("b"))
-          .select(col("a"), col("b"), col("n_bands"),
-            call_function("graft_sorted_inter", col("sh_a"), col("sh_b"))
-              .as("n_common"),
-            col("sz_a"), col("sz_b"))
-          .select(col("a"), col("b"), col("n_bands"),
-            (col("n_common") / (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"))
-          .orderBy("a", "b")
-      },
+      (s, dir) => bandVerifiedPairs(s, dir).orderBy("a", "b"),
+      None),
+
+    // ── composed production dedup path: band → exact-verify → J ≥ 0.3 ────
+    // (oracle-exempt: MinHash banding is not SQL-shaped; covered by
+    // DedupRecallSpec, which measures its recall against the exact
+    // q_dedup_ngram pair set, and the determinism gate.) THE pipeline a
+    // 100-TB run actually executes: the exact shared-shingle self-join
+    // (q_dedup_ngram, measured slope +1.11 — the deliberate stress case)
+    // is replaced by banded candidate generation (linear: Σ|band
+    // bucket|², buckets bounded by hashing) followed by exact Jaccard on
+    // CANDIDATES ONLY. Emits the same (a, b, jaccard ≥ 0.3) shape as the
+    // exact path, so it is drop-in; recall is governed by the banding
+    // curve P(candidate) = 1 − (1 − J⁴)⁸ and asserted by the spec.
+    Q("q_dedup_band_verify",
+      (s, dir) => bandVerifiedPairs(s, dir)
+        .filter(col("jaccard") >= 0.3)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b"),
       None),
 
     // ── exact n-gram Jaccard near-dup (the verification path, oracled) ───
@@ -518,16 +611,16 @@ object Dedup {
     // (stand-in: doc_id % 10 = 7) dedups within itself (min-id per md5)
     // and against the STANDING corpus via an anti-join on the 128-bit
     // hash — the corpus contributes only its hash set, never text, and
-    // only batch-sized data moves through the final join. At 100 TB the
-    // corpus hash set is a stored artifact (bucketed by hash) appended
-    // per ingest, so each day's cost is |batch| + one hash-partitioned
-    // probe — it never rescans the corpus; the query recomputes it here
-    // only because the test tables are static.
+    // only batch-sized data moves through the final join. The corpus
+    // hash set is a STORED APPENDABLE ARTIFACT ([[hashIndexPath]],
+    // built once per corpus snapshot, appended per ingest via
+    // [[appendIndex]] — DedupIndexSpec proves append ≡ rebuild), so
+    // each day's cost is |batch| + one hash-partitioned probe; the
+    // corpus is never rescanned.
     Q("q_dedup_incremental",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val corpusH = docs.filter(col("doc_id") % 10 =!= 7)
-          .select(md5(col("text")).as("h")).distinct()
+        val corpusH = s.read.parquet(hashIndexPath(s, dir))
         docs.filter(col("doc_id") % 10 === 7)
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"),
@@ -555,18 +648,18 @@ object Dedup {
     // (never corpus×corpus; the batch never self-joins here — within-
     // batch dups are q_dedup_incremental's exact pass or a batch-local
     // near pass). Exact-Jaccard verify is semi-join-pruned to candidate
-    // docs, identical to q_dedup_near. At 100 TB the corpus bands are a
-    // STORED artifact (hash-bucketed by (band_id, band_hash), appended
-    // per ingest — same contract as the exact-hash set and the IVF
-    // index); the query rebuilds it here only because the test tables
-    // are static. Per-ingest cost: |batch|·bands probe rows against a
-    // bucketed index — the corpus is never rescanned for candidates.
+    // docs, identical to q_dedup_near. The corpus bands are a STORED
+    // APPENDABLE ARTIFACT ([[bandIndexPath]] — built once per corpus
+    // snapshot, appended per ingest via [[appendIndex]]; DedupIndexSpec
+    // proves append ≡ rebuild). Per-ingest cost: |batch|·bands probe
+    // rows against the standing index — the corpus is never rescanned
+    // for candidates.
     Q("q_dedup_near_incremental",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val docsArr = shingleHashArrays(s, docs)
         val isBatch = col("doc_id") % 10 === 7
-        val corpusBands = minhashBands(docsArr.filter(!isBatch))
+        val corpusBands = s.read.parquet(bandIndexPath(s, dir))
           .withColumnRenamed("doc_id", "corpus_doc")
         val batchBands = minhashBands(docsArr.filter(isBatch))
           .withColumnRenamed("doc_id", "batch_doc")

@@ -91,6 +91,85 @@ object Graph {
         least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
   }
 
+  /** k-core peel to the FIXPOINT — the production variant of q_kcore's
+    * engine-checkable fixed-3-round twin (the oracled entry stays
+    * fixed-round; GraphFixpointSpec proves this gated loop lands on the
+    * same core). Convergence flag: the peel only ever DELETES edges, so
+    * an unchanged edge count after a round IS the fixpoint — and the
+    * count doubles as the per-round cache materialization barrier the
+    * round invariant needs, so convergence costs no extra action.
+    * maxRounds bounds the driver loop (peel depth is ≤ the longest
+    * degree-k chain; 100 guards a pathological path graph).
+    */
+  def kcoreFixpoint(edgesIn: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    var edges = edgesIn.persist()
+    var prev = edges.count()
+    var done = prev == 0
+    var iter = 0
+    while (!done && iter < maxRounds) {
+      val next = kcoreRound(edges, k).persist()
+      val cnt = next.count()
+      edges.unpersist()
+      done = cnt == prev || cnt == 0
+      prev = cnt
+      edges = next
+      iter += 1
+    }
+    edges
+  }
+
+  /** Min-label propagation to the FIXPOINT — the production variant of
+    * q_label_prop's fixed-3-round gated twin. Convergence flag: a round
+    * that changes NO label is the fixpoint (labels decrease
+    * monotonically, so stability is global convergence). The per-round
+    * changed-label probe is a node-scale join — iteration control, not
+    * data movement; the edge side stays on the caller's cached
+    * src-partitioning every round.
+    */
+  def labelPropFixpoint(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxRounds) {
+      val next = labelPropRound(edges, labels).localCheckpoint(true)
+      done = next.as("n")
+        .join(labels.select(col("node"), col("lbl").as("old")), "node")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** BFS to the FIXPOINT (empty frontier) — the production variant of
+    * q_bfs_reach's fixed-4-hop gated twin. Convergence flag: the next
+    * frontier's emptiness, read off the localCheckpoint's
+    * materialization (no extra action). Returns (node, depth = min-hop
+    * distance from seed) for every reachable node.
+    */
+  def bfsFixpoint(edges: DataFrame, seed: Long, maxRounds: Int = 100): DataFrame = {
+    var visited = edges.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("depth"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var done = false
+    var d = 0
+    while (!done && d < maxRounds) {
+      d += 1
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").cast("long").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("depth"))
+        .localCheckpoint(true)
+      done = next.isEmpty
+      visited = visited.unionByName(next)
+      frontier = next.select(col("node"))
+    }
+    visited
+  }
+
   private[graft] def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
     // checkpoint the NODE-sized keep set: it feeds BOTH endpoint
     // semi-joins, and without the cut the degree census would be

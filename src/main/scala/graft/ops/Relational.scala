@@ -3643,7 +3643,140 @@ object Relational {
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
-              FROM s ORDER BY p_type"""))
+              FROM s ORDER BY p_type""")),
+
+    // ── percent rank within nation (the distributed PERCENT_RANK) ───────
+    // Each customer's spend percentile within its nation. The naive
+    // window partitions by nation — 25 groups, so at 100 TB a
+    // twenty-fifth of the customer census funnels through one task.
+    // RangeRank's 2-pass rank gives the identical row_number at cluster
+    // parallelism; percent rank is derived arithmetically from (rn, n)
+    // in BOTH engines (native percent_rank ranks ties differently, so
+    // the derivation IS the portability contract). Ties broken by
+    // custkey — total order, bit-stable.
+    Q("q_percent_rank",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        val base = spend.join(
+          t(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          "o_custkey")
+        RangeRank.ranked(base, Seq("c_nationkey"),
+            Seq(col("cents"), col("o_custkey")))
+          .select(col("c_nationkey").cast("long").as("c_nationkey"),
+            col("o_custkey").as("c_custkey"), col("cents"),
+            when(col("n") === 1, lit(0.0))
+              .otherwise((col("rn") - 1).cast("double")
+                / (col("n") - 1).cast("double")).as("pct_rank"))
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              b AS (
+                SELECT c_nationkey, o_custkey AS c_custkey, cents,
+                  CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY cents, o_custkey) AS BIGINT) AS rn,
+                  COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+                FROM spend JOIN customer ON o_custkey = c_custkey)
+              SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                c_custkey, cents,
+                CASE WHEN n = 1 THEN 0.0
+                     ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                END AS pct_rank
+              FROM b ORDER BY c_nationkey, c_custkey""")),
+
+    // ── global NTILE quartiles (the distributed NTILE) ───────────────────
+    // Order-value quartiles over the WHOLE fact table. Native NTILE is
+    // an unpartitioned window — the entire table through one task; the
+    // quartile id here derives from RangeRank's global row_number
+    // ((rn−1)·4 div n + 1, mirrored verbatim in the oracle so the
+    // uneven-bucket convention cannot drift), and the readout is a
+    // 4-row census. The rank pass runs at cluster parallelism.
+    Q("q_ntile_orders",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        RangeRank.ranked(base, Seq.empty,
+            Seq(col("cents"), col("o_orderkey")))
+          .select(expr("(rn - 1) * 4 div n + 1").as("quartile"), col("cents"))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"),
+            (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+          .orderBy("quartile")
+      },
+      Some("""WITH b AS (
+                SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents
+                FROM orders),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM b)
+              SELECT (rn - 1) * 4 // n + 1 AS quartile,
+                COUNT(*) AS n_orders,
+                CAST(MIN(cents) AS BIGINT) AS min_cents,
+                CAST(MAX(cents) AS BIGINT) AS max_cents,
+                CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+              FROM r GROUP BY 1 ORDER BY quartile""")),
+
+    // ── monthly revenue + trailing moving average + MoM growth ───────────
+    // The report-page staple. Corpus-sized work is ONE month census
+    // (partial+final agg, calendar-bounded); the 3-month trailing mean
+    // and the month-over-month delta are windows over the ≤|months|
+    // census frame — the q_rolling_median discipline, never a window
+    // over raw orders. Exact cents through the window sums; ma3/mom are
+    // single IEEE divisions (mom NULL-guarded identically in both
+    // engines for a zero-revenue month).
+    Q("q_moving_avg",
+      (s, dir) => {
+        val m = t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        val w3 = Window.orderBy("month").rowsBetween(-2, 0)
+        val w1 = Window.orderBy("month")
+        m.select(col("month"), col("cents"),
+            count(lit(1)).over(w3).as("c3"),
+            sum(col("cents")).over(w3).as("s3"),
+            lag(col("cents"), 1).over(w1).as("prev"))
+          .select(col("month"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            when(col("c3") === 3, col("s3").cast("double") / 300.0)
+              .as("ma3"),
+            when(col("prev").isNotNull && col("prev") =!= 0,
+              (col("cents") - col("prev")).cast("double")
+                / col("prev").cast("double")).as("mom"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              w AS (
+                SELECT month, cents,
+                  COUNT(*) OVER tw AS c3,
+                  CAST(SUM(cents) OVER tw AS BIGINT) AS s3,
+                  LAG(cents, 1) OVER (ORDER BY month) AS prev
+                FROM m
+                WINDOW tw AS (ORDER BY month
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+              SELECT month, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                CASE WHEN c3 = 3 THEN CAST(s3 AS DOUBLE) / 300.0 END AS ma3,
+                CASE WHEN prev IS NOT NULL AND prev <> 0
+                     THEN CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                END AS mom
+              FROM w ORDER BY month"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
