@@ -1513,6 +1513,99 @@ object Curation {
                 ent.n_langs, ent.lang_entropy, dups.dup_share
               FROM vol JOIN ent ON vol.source = ent.source
                 JOIN dups ON vol.source = dups.source
-              ORDER BY vol.source"""))
+              ORDER BY vol.source""")),
+
+    // ── per-source exact-dup collapse rate ───────────────────────────────
+    // The dedup-stage scorecard per feed: how many docs each source
+    // contributes vs how many distinct texts — the collapse rate a
+    // curation run reports before and after ingest changes. ONE
+    // hash-partitioned agg (distinct md5 partial-aggregates per
+    // source); output is catalog-bounded. The rate is one IEEE
+    // division of exact counts.
+    Q("q_dedup_rate_by_source",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          (lit(1.0) - col("n_unique").cast("double")
+            / col("n_docs").cast("double")).as("dup_rate"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+                1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+                  AS dup_rate
+              FROM documents GROUP BY 1 ORDER BY source""")),
+
+    // ── quality-gate pipeline accounting ─────────────────────────────────
+    // The end-to-end filter chain a curation run EXECUTES, accounted by
+    // first-failing reason: non-English → lang_fail, length outside the
+    // [100, 400]-char band → len_fail, exact-dup loser (not its hash
+    // group's min id) → dup_fail, else pass. One md5 census join (the
+    // q_dedup_exact shape) + row-local CASE classification + one
+    // partial+final agg to the sources × 4 census. Precedence is part
+    // of the contract — a doc failing two gates counts once, so the
+    // reason columns sum to n_docs exactly.
+    Q("q_quality_gate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keep = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        docs.select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), md5(col("text")).as("h"))
+          .join(keep, "h")
+          .select(col("source"),
+            when(col("lang") =!= "en", "lang_fail")
+              .when(col("n_chars") < 100 || col("n_chars") > 400, "len_fail")
+              .when(col("doc_id") =!= col("keep_id"), "dup_fail")
+              .otherwise("pass").as("gate"))
+          .groupBy("source", "gate")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "gate")
+      },
+      Some("""WITH keep AS (
+                SELECT md5(text) AS h, min(doc_id) AS keep_id
+                FROM documents GROUP BY 1),
+              g AS (
+                SELECT source,
+                  CASE WHEN lang <> 'en' THEN 'lang_fail'
+                       WHEN n_chars < 100 OR n_chars > 400 THEN 'len_fail'
+                       WHEN doc_id <> keep_id THEN 'dup_fail'
+                       ELSE 'pass' END AS gate
+                FROM documents JOIN keep ON md5(text) = keep.h)
+              SELECT source, gate, count(*) AS n_docs
+              FROM g GROUP BY 1, 2 ORDER BY source, gate""")),
+
+    // ── token-count histogram (log₂ buckets per source) ──────────────────
+    // The length-distribution lens a packing/budget stage reads: docs
+    // bucketed by the bit length of their token count (the
+    // q_degree_stats fold), per source. Row-local token count → ONE
+    // partial+final agg; output bounded by sources × ~64 buckets.
+    Q("q_token_histogram",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("n_toks"))
+        .select(col("source"),
+          length(bin(greatest(col("n_toks"), lit(1L)))).cast("long")
+            .as("bucket"), col("n_toks"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          min(col("n_toks")).as("min_toks"),
+          max(col("n_toks")).as("max_toks"))
+        .orderBy("source", "bucket"),
+      Some("""WITH d AS (
+                SELECT source,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_toks
+                FROM documents)
+              SELECT source,
+                CAST(length(bin(greatest(n_toks, 1))) AS BIGINT) AS bucket,
+                count(*) AS n_docs,
+                CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+                CAST(MAX(n_toks) AS BIGINT) AS max_toks
+              FROM d GROUP BY 1, 2 ORDER BY source, bucket"""))
   )
 }

@@ -1562,7 +1562,151 @@ object EventTime {
                 CAST(COALESCE(n_resurrected, 0) AS BIGINT)
                   AS n_resurrected,
                 CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
-              FROM a FULL JOIN c ON a.w = c.w ORDER BY week"""))
+              FROM a FULL JOIN c ON a.w = c.w ORDER BY week""")),
+
+    // ── DAU/WAU/MAU stickiness ratios ────────────────────────────────────
+    // The engagement readout next to q_growth_accounting: per day, the
+    // distinct-user counts over the trailing 1/7/28-day windows and the
+    // DAU/WAU, DAU/MAU ratios. Trailing distinct counts do NOT
+    // decompose from per-day counts (a user active twice in a week is
+    // one WAU), so the exact shape is the q_rolling_distinct fan-out:
+    // each (user, day) activity row contributes ROW-LOCALLY to the ≤7
+    // (≤28) window-end days it falls in, then one distinct + census per
+    // window size. Everything is keyed on the scaling user id or the
+    // calendar; output is calendar-bounded. Ratios are IEEE divisions
+    // of exact counts.
+    Q("q_stickiness",
+      (s, dir) => {
+        // the (user, day) census feeds the DAU census and both fan-outs
+        val ud = t(s, dir, "events")
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .distinct()
+          .persist()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        def trailing(days: Int, name: String) = ud
+          .select(explode(expr(
+            s"sequence(day, day + interval ${days - 1} days, interval 1 day)"))
+            .as("day"), col("user_id"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as(name))
+        // inner join on the DAU frame drops the phantom trailing days
+        // the fan-out extends past the data (the q_growth_accounting
+        // churn-bound lesson)
+        dau.join(trailing(7, "wau"), "day")
+          .join(trailing(28, "mau"), "day")
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            (col("dau").cast("double") / col("wau").cast("double"))
+              .as("dau_wau"),
+            (col("dau").cast("double") / col("mau").cast("double"))
+              .as("dau_mau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events),
+              dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+              days AS (SELECT DISTINCT day FROM ud),
+              wau AS (
+                SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+                FROM days d JOIN ud u
+                  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+                GROUP BY 1),
+              mau AS (
+                SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+                FROM days d JOIN ud u
+                  ON u.day BETWEEN d.day - INTERVAL 27 DAY AND d.day
+                GROUP BY 1)
+              SELECT dau.day, CAST(dau AS BIGINT) AS dau, wau, mau,
+                CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS dau_wau,
+                CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS dau_mau
+              FROM dau JOIN wau ON dau.day = wau.day
+                JOIN mau ON dau.day = mau.day
+              ORDER BY dau.day""")),
+
+    // ── day-of-week × hour activity heatmap ──────────────────────────────
+    // The traffic-shape census capacity planning reads first: per
+    // (dow, hour) cell, event volume, distinct users, and purchase
+    // share. ONE partial+final agg to a ≤168-cell frame at any SF
+    // (distinct users partial-aggregates per cell); the share is one
+    // IEEE division of exact counts. Spark's dayofweek is 1=Sunday —
+    // the oracle mirrors with dayofweek()+1.
+    Q("q_activity_heatmap",
+      (s, dir) => t(s, dir, "events")
+        .select(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hour"),
+          col("user_id"), col("event_type"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .select(col("dow"), col("hour"), col("n_events"), col("n_users"),
+          col("n_purchases"),
+          (col("n_purchases").cast("double") / col("n_events").cast("double"))
+            .as("purchase_share"))
+        .orderBy("dow", "hour"),
+      Some("""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                CAST(hour(ts) AS BIGINT) AS hour,
+                count(*) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS purchase_share
+              FROM events GROUP BY 1, 2 ORDER BY dow, hour""")),
+
+    // ── session-duration distribution (the q_sessionize readout) ─────────
+    // What the sessionizer's output LOOKS like: sessions bucketed by
+    // the bit length of their duration in seconds (the log₂ fold the
+    // token/degree histograms use). Same gap-30-min session
+    // construction as q_sessionize — one user-keyed window — then ONE
+    // partial+final agg to a ≤64-bucket census; all-integer output.
+    Q("q_session_stats",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(byUser))
+        t(s, dir, "events")
+          .withColumn("new_sess",
+            when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+              .as("dur_s"))
+          .groupBy(length(bin(greatest(col("dur_s"), lit(1L)))).cast("long")
+            .as("dur_bucket"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            min(col("dur_s")).as("min_dur_s"),
+            max(col("dur_s")).as("max_dur_s"))
+          .orderBy("dur_bucket")
+      },
+      Some("""WITH x AS (
+                SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              y AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM x),
+              sess AS (
+                SELECT user_id, sess_id,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+                FROM y GROUP BY 1, 2)
+              SELECT CAST(length(bin(greatest(dur_s, 1))) AS BIGINT)
+                  AS dur_bucket,
+                count(*) AS n_sessions,
+                CAST(SUM(n_events) AS BIGINT) AS n_events,
+                CAST(MIN(dur_s) AS BIGINT) AS min_dur_s,
+                CAST(MAX(dur_s) AS BIGINT) AS max_dur_s
+              FROM sess GROUP BY 1 ORDER BY dur_bucket"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

@@ -753,6 +753,122 @@ object Graph {
                   / sqrt((CAST(m AS DOUBLE) * sxx - sx * sx)
                     * (CAST(m AS DOUBLE) * syy - sy * sy))
                   AS assortativity
-              FROM s"""))
+              FROM s""")),
+
+    // ── local clustering coefficient census ──────────────────────────────
+    // q_triangle_count's per-node readout: how clique-like is each
+    // node's neighborhood? Same degree-ordered wedge closure (Suri &
+    // Vassilvitskii — wedges ≤ O(m^1.5) on any degree distribution),
+    // but each closed triangle fans out ROW-LOCALLY to its three
+    // vertices; per-node triangle counts then bucket by degree bit
+    // length. The bucket coefficient is Σ closed / Σ possible — exact
+    // integers with ONE division per bucket, so no per-node FP sum can
+    // drift. Everything keyed on the packed pair key or the node id.
+    Q("q_local_clustering",
+      (s, dir) => {
+        val pk = 4294967296L
+        val b = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+          .filter(size(col("items")) <= 128)
+        val pairs = b.select(explode(expr(
+            s"""flatten(transform(items, (x, i) ->
+                 transform(slice(items, i + 2, size(items)),
+                   y -> x * ${pk}L + y)))""")).as("e"))
+          .distinct()
+          .select(expr(s"e div ${pk}L").as("u"), (col("e") % pk).as("v"))
+          .persist()
+        val deg = pairs.select(col("u").as("node"))
+          .unionByName(pairs.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val ori = pairs
+          .join(deg.select(col("node").as("un"), col("dg").as("ud")),
+            col("u") === col("un"))
+          .join(deg.select(col("node").as("vn"), col("dg").as("vd")),
+            col("v") === col("vn"))
+          .select(
+            when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+              col("u")).otherwise(col("v")).as("src"),
+            when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+              col("v")).otherwise(col("u")).as("dst"))
+        // each closed wedge (center src, ends d1 < d2) is one triangle;
+        // fan it out to its three vertices row-locally
+        val tri = ori.as("a")
+          .join(ori.as("b"), col("a.src") === col("b.src")
+            && col("a.dst") < col("b.dst"))
+          .select(col("a.src").as("c"),
+            (least(col("a.dst"), col("b.dst")) * pk
+              + greatest(col("a.dst"), col("b.dst"))).as("w"))
+          .join(pairs.select((col("u") * pk + col("v")).as("w")), Seq("w"))
+          .select(explode(array(col("c"), expr(s"w div ${pk}L"),
+            col("w") % pk)).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("tri"))
+        deg.join(tri, Seq("node"), "left")
+          .select(length(bin(col("dg"))).cast("long").as("deg_bucket"),
+            coalesce(col("tri"), lit(0L)).as("tri"),
+            (col("dg") * (col("dg") - 1) / 2).cast("long").as("possible"))
+          .groupBy("deg_bucket")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("tri")).as("n_closed"),
+            sum(col("possible")).as("n_possible"))
+          .select(col("deg_bucket"), col("n_nodes"), col("n_closed"),
+            col("n_possible"),
+            // degree-1 buckets have zero possible wedges — NULL cc in
+            // both engines (ANSI division would error, IEEE gives nan)
+            when(col("n_possible") === 0, lit(null))
+              .otherwise(col("n_closed").cast("double")
+                / col("n_possible").cast("double")).as("cc"))
+          .orderBy("deg_bucket")
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                  AND l_shipdate < TIMESTAMP '1999-01-01'),
+              pairs AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey IN (
+                  SELECT l_orderkey FROM li
+                  GROUP BY 1 HAVING COUNT(DISTINCT l_partkey) <= 128)),
+              deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+                  SELECT u AS node FROM pairs
+                  UNION ALL SELECT v FROM pairs)
+                GROUP BY 1),
+              ori AS (
+                SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END
+                    AS src,
+                  CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS dst
+                FROM pairs JOIN deg du ON u = du.node
+                  JOIN deg dv ON v = dv.node),
+              closed AS (
+                SELECT a.src AS c,
+                  least(a.dst, b.dst) AS wu, greatest(a.dst, b.dst) AS wv
+                FROM ori a JOIN ori b ON a.src = b.src AND a.dst < b.dst
+                  JOIN pairs p ON p.u = least(a.dst, b.dst)
+                    AND p.v = greatest(a.dst, b.dst)),
+              tri AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+                  SELECT c AS node FROM closed
+                  UNION ALL SELECT wu FROM closed
+                  UNION ALL SELECT wv FROM closed)
+                GROUP BY 1),
+              pernode AS (
+                SELECT CAST(length(bin(dg)) AS BIGINT) AS deg_bucket,
+                  COALESCE(tri.tri, 0) AS tri,
+                  dg * (dg - 1) // 2 AS possible
+                FROM deg LEFT JOIN tri ON deg.node = tri.node)
+              SELECT deg_bucket, COUNT(*) AS n_nodes,
+                CAST(SUM(tri) AS BIGINT) AS n_closed,
+                CAST(SUM(possible) AS BIGINT) AS n_possible,
+                CASE WHEN SUM(possible) = 0 THEN NULL
+                  ELSE CAST(SUM(tri) AS DOUBLE)
+                    / CAST(SUM(possible) AS DOUBLE) END AS cc
+              FROM pernode GROUP BY 1 ORDER BY deg_bucket"""))
   )
 }

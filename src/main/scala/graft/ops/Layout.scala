@@ -345,7 +345,31 @@ object Layout {
                 CAST(COUNT(props) AS BIGINT) AS n_with_props,
                 1.0 - CAST(COUNT(value) AS DOUBLE) / count(*)
                   AS missing_share
-              FROM u GROUP BY 1 ORDER BY event_type"""))
+              FROM u GROUP BY 1 ORDER BY event_type""")),
+
+    // ── binary-file ingest (the multimodal blob path, oracled) ──────────
+    // `binaryFile` is the format a multimodal pipeline reads opaque
+    // image/audio blobs with; here the blobs are the corpus's
+    // source-partitioned text exports, which makes the ingest
+    // HASH-CHECKABLE: per source-directory, total bytes must equal
+    // Σ(octet_length(text) + 1 newline) over the original table —
+    // DuckDB computes the expected census from the parquet, Spark reads
+    // the actual files back. Per-file content never moves (the length
+    // column is file metadata), the census is a partial+final agg over
+    // the partition-discovered source key, and at 100 TB this is
+    // exactly the manifest-validation pass an ingest runs before
+    // decode (q_multimodal_decode's stage −1).
+    Q("q_binary_source",
+      (s, dir) => {
+        val path = binaryDocs(s, dir)
+        s.read.format("binaryFile").load(path)
+          .groupBy(col("source"))
+          .agg(sum(col("length")).cast("long").as("n_bytes"))
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+                CAST(SUM(strlen(text) + 1) AS BIGINT) AS n_bytes
+              FROM documents GROUP BY 1 ORDER BY source"""))
   )
 
   /** Schema of the text-exported event rows (ts as exact epoch micros —
@@ -394,6 +418,21 @@ object Layout {
     orcMemo.computeIfAbsent((s, dir), _ => {
       val path = s"/tmp/graft-sources/${tag(dir)}/events_orc"
       srcProjection(s, dir).write.mode("overwrite").orc(path)
+      path
+    })
+
+  private val binMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Source-partitioned text export of the corpus (one directory per
+    * source, the blob layout a multimodal ingest starts from). Memoized
+    * like the other source artifacts.
+    */
+  private def binaryDocs(s: SparkSession, dir: String): String =
+    binMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-sources/${tag(dir)}/docs_bin"
+      t(s, dir, "documents").select(col("source"), col("text"))
+        .write.mode("overwrite").partitionBy("source").text(path)
       path
     })
 }

@@ -1188,6 +1188,279 @@ object ModelEval {
                   * (CAST(n AS DOUBLE) * sxy - sx * sy))
                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                   * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho2
-              FROM v, p ORDER BY variant"""))
+              FROM v, p ORDER BY variant""")),
+
+    // ── log loss (cross-entropy, the q_brier_score sibling) ─────────────
+    // −mean(y·ln p + (1−y)·ln(1−p)) with p = value/500 clamped to
+    // [0.001, 0.999] on an exact per-mill integer carrier. ln is
+    // transcendental, so the corpus FIRST collapses to the ≤999×2
+    // (p_mill, y) census (one partial+final agg — at 100 TB the only
+    // event-scale work), each census row's term rounds to 12 decimals
+    // (the q_psi discipline — no summation-order pinning fixes a
+    // transcendental's last bit), and the total is a position-pinned
+    // sorted-array fold over the bounded census.
+    Q("q_log_loss",
+      (s, dir) => {
+        val census = labeled(t(s, dir, "events"))
+          .select(col("pos"),
+            least(greatest(round(col("value") * 2).cast("long"), lit(1L)),
+              lit(999L)).as("p_mill"))
+          .groupBy("p_mill", "pos").agg(count(lit(1)).as("cnt"))
+        census
+          .select(col("p_mill"), col("pos"), col("cnt"),
+            round(col("cnt").cast("double") *
+              when(col("pos") === 1L, -log(col("p_mill").cast("double") / 1000.0))
+                .otherwise(-log(lit(1.0) - col("p_mill").cast("double") / 1000.0)),
+              12).as("term"))
+          .agg(sum(col("cnt")).as("n"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(p_mill, pos, term))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+              .as("loss_sum"))
+          .select(col("n").cast("long").as("n"),
+            round(col("loss_sum") / col("n").cast("double"), 12).as("log_loss"))
+      },
+      Some("""WITH c AS (
+                SELECT least(greatest(CAST(round(value * 2, 0) AS BIGINT), 1),
+                         999) AS p_mill,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+              t AS (
+                SELECT p_mill, pos, cnt,
+                  round(CAST(cnt AS DOUBLE) * (CASE WHEN pos = 1
+                    THEN -ln(CAST(p_mill AS DOUBLE) / 1000.0)
+                    ELSE -ln(1.0 - CAST(p_mill AS DOUBLE) / 1000.0) END),
+                    12) AS term
+                FROM c)
+              SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY p_mill, pos, term)),
+                    (a, x) -> a + x) / SUM(cnt), 12) AS log_loss
+              FROM t""")),
+
+    // ── multi-class confusion summary (the q_mcc/q_cohen_kappa sibling) ──
+    // Per-class precision/recall/F1 over a 5×5 confusion census: true
+    // class = the event type, predicted class = the value-quintile band
+    // mapped onto the same label space. The corpus collapses in ONE
+    // partial+final agg to ≤25 cells; row/column totals and the
+    // diagonal are census-over-census; rates are IEEE divisions of
+    // exact counts, NULL-guarded identically in both engines (the
+    // q_fairness_gaps discipline).
+    Q("q_confusion_multi",
+      (s, dir) => {
+        // floor, not a double→int cast: Spark's cast truncates where
+        // DuckDB's rounds — floor is the one both engines agree on
+        val pred = expr(
+          """CASE least(CAST(floor(value / 100) AS BIGINT), 4)
+               WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+               WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+               ELSE 'view' END""")
+        val cells = t(s, dir, "events")
+          .select(col("event_type").as("t"), pred.as("p"))
+          .groupBy("t", "p").agg(count(lit(1)).as("n"))
+          .persist()
+        val actual = cells.groupBy(col("t").as("cls"))
+          .agg(sum(col("n")).as("n_actual"))
+        val predicted = cells.groupBy(col("p").as("cls"))
+          .agg(sum(col("n")).as("n_predicted"))
+        val diag = cells.filter(col("t") === col("p"))
+          .select(col("t").as("cls"), col("n").as("tp"))
+        actual.join(predicted, Seq("cls"), "full")
+          .join(diag, Seq("cls"), "left")
+          .select(col("cls"),
+            coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+            coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .select(col("cls"), col("n_actual"), col("n_predicted"), col("tp"),
+            when(col("n_predicted") === 0, lit(null))
+              .otherwise(col("tp").cast("double")
+                / col("n_predicted").cast("double")).as("precision"),
+            when(col("n_actual") === 0, lit(null))
+              .otherwise(col("tp").cast("double")
+                / col("n_actual").cast("double")).as("recall"),
+            when(col("n_predicted") + col("n_actual") === 0, lit(null))
+              .otherwise(lit(2.0) * col("tp").cast("double")
+                / (col("n_predicted") + col("n_actual")).cast("double"))
+              .as("f1"))
+          .orderBy("cls")
+      },
+      Some("""WITH cells AS (
+                SELECT event_type AS t,
+                  CASE least(CAST(floor(value / 100) AS BIGINT), 4)
+                    WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                    WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                    ELSE 'view' END AS p,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+              a AS (SELECT t AS cls, CAST(SUM(n) AS BIGINT) AS n_actual
+                    FROM cells GROUP BY 1),
+              pr AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS n_predicted
+                     FROM cells GROUP BY 1),
+              d AS (SELECT t AS cls, n AS tp FROM cells WHERE t = p),
+              j AS (
+                SELECT COALESCE(a.cls, pr.cls) AS cls,
+                  COALESCE(n_actual, 0) AS n_actual,
+                  COALESCE(n_predicted, 0) AS n_predicted,
+                  COALESCE(tp, 0) AS tp
+                FROM a FULL JOIN pr ON a.cls = pr.cls
+                  LEFT JOIN d ON COALESCE(a.cls, pr.cls) = d.cls)
+              SELECT cls, n_actual, n_predicted, CAST(tp AS BIGINT) AS tp,
+                CASE WHEN n_predicted = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / n_predicted END AS precision,
+                CASE WHEN n_actual = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / n_actual END AS recall,
+                CASE WHEN n_predicted + n_actual = 0 THEN NULL
+                  ELSE 2.0 * tp / (n_predicted + n_actual) END AS f1
+              FROM j ORDER BY cls""")),
+
+    // ── Fleiss' kappa (multi-rater agreement, beyond Cohen's 2 raters) ──
+    // Three deterministic raters (distinct high-bit windows of the
+    // masked Knuth hash — the q_ndcg relevance discipline) vote a
+    // binary grade per document; κ = (P̄ − P_e)/(1 − P_e). With n = 3
+    // raters and 2 categories, each doc's agreement is a pure function
+    // of its vote count v ∈ {0..3}, so the corpus collapses to a
+    // ≤4-row census and every moment is exact-integer off it; the
+    // statistic is a few IEEE ops at the very end.
+    Q("q_fleiss_kappa",
+      (s, dir) => {
+        def rater(shift: Int) = expr(
+          s"pmod(((doc_id % 2147483648) * 2654435761) div ${1L << shift}, 2)")
+        val census = t(s, dir, "documents")
+          .select((rater(16) + rater(19) + rater(22)).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+        census
+          .agg(sum(col("cnt")).as("n_items"),
+            sum(col("cnt") * col("v")).as("s1"),
+            sum(col("cnt") * (col("v") * col("v")
+              + (lit(3L) - col("v")) * (lit(3L) - col("v")))).as("sq"))
+          .select(col("n_items").cast("long").as("n_items"),
+            ((col("sq") - col("n_items") * 3).cast("double")
+              / (col("n_items").cast("double") * 6.0)).as("p_bar"),
+            col("s1").cast("long").as("n_pos"))
+          .select(col("n_items"), col("p_bar"),
+            (col("n_pos").cast("double")
+              / (col("n_items").cast("double") * 3.0)).as("p1"))
+          .select(col("n_items"), col("p_bar"), col("p1"),
+            (col("p1") * col("p1")
+              + (lit(1.0) - col("p1")) * (lit(1.0) - col("p1"))).as("p_e"))
+          .select(col("n_items"), col("p_bar"), col("p_e"),
+            ((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+              .as("kappa"))
+      },
+      Some(s"""WITH v AS (
+                SELECT
+                  (((doc_id % 2147483648) * 2654435761 // ${1L << 16} % 2 + 2) % 2)
+                  + (((doc_id % 2147483648) * 2654435761 // ${1L << 19} % 2 + 2) % 2)
+                  + (((doc_id % 2147483648) * 2654435761 // ${1L << 22} % 2 + 2) % 2)
+                    AS v
+                FROM documents),
+              c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM v GROUP BY 1),
+              s AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS n_items,
+                  CAST(SUM(cnt * v) AS BIGINT) AS s1,
+                  CAST(SUM(cnt * (v * v + (3 - v) * (3 - v))) AS BIGINT) AS sq
+                FROM c),
+              m AS (
+                SELECT n_items,
+                  CAST(sq - 3 * n_items AS DOUBLE)
+                    / (CAST(n_items AS DOUBLE) * 6.0) AS p_bar,
+                  CAST(s1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0) AS p1
+                FROM s),
+              e AS (
+                SELECT n_items, p_bar,
+                  p1 * p1 + (1.0 - p1) * (1.0 - p1) AS p_e
+                FROM m)
+              SELECT n_items, p_bar, p_e,
+                (p_bar - p_e) / (1.0 - p_e) AS kappa
+              FROM e""")),
+
+    // ── one-way ANOVA: does value differ across event types? ────────────
+    // The between/within variance decomposition behind every "is this
+    // segment different" question. The corpus collapses to the ≤5-row
+    // per-type (n, Σcents, Σcents²) census — ONE partial+final agg, the
+    // sums exact in DECIMAL(38,0) (cents² at 100-TB row counts exceeds
+    // int64). SSB/SSW terms are computed per census row with the global
+    // totals folded in as a 1-row broadcast, rounded to 12 (the q_psi
+    // transcendental-free analog — here the rounding pins the double
+    // division noise), summed by the pinned sorted fold; F is two
+    // IEEE divisions at the end.
+    Q("q_anova",
+      (s, dir) => {
+        val census = t(s, dir, "events")
+          .select(col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast(dec38)).as("s"),
+            sum((col("cents") * col("cents")).cast(dec38)).as("ss"))
+        val tot = census.agg(sum(col("n")).as("n_tot"),
+          sum(col("s")).as("s_tot"))
+        census.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n"),
+            round(col("n").cast("double")
+              * (col("s").cast("double") / col("n").cast("double")
+                - col("s_tot").cast("double") / col("n_tot").cast("double"))
+              * (col("s").cast("double") / col("n").cast("double")
+                - col("s_tot").cast("double") / col("n_tot").cast("double")),
+              6).as("ssb_term"),
+            round(col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double")
+                / col("n").cast("double"), 6).as("ssw_term"),
+            col("n_tot"))
+          .agg(count(lit(1)).as("k"), max(col("n_tot")).as("n_tot"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(event_type, ssb_term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssb_term)""")
+              .as("ssb"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(event_type, ssw_term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssw_term)""")
+              .as("ssw"))
+          .select(col("k").cast("long").as("k"),
+            col("n_tot").cast("long").as("n"),
+            round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
+            ((col("ssb") / (col("k") - 1).cast("double"))
+              / (col("ssw") / (col("n_tot") - col("k")).cast("double")))
+              .as("f_stat"))
+      },
+      Some("""WITH c AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS HUGEINT)) AS s,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS HUGEINT)
+                    * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS HUGEINT)) AS ss
+                FROM events GROUP BY 1),
+              tt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                       CAST(SUM(s) AS HUGEINT) AS s_tot FROM c),
+              terms AS (
+                SELECT event_type, n, n_tot,
+                  round(CAST(n AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / n
+                      - CAST(s_tot AS DOUBLE) / n_tot)
+                    * (CAST(s AS DOUBLE) / n
+                      - CAST(s_tot AS DOUBLE) / n_tot), 6) AS ssb_term,
+                  round(CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                    AS ssw_term
+                FROM c, tt),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(MAX(n_tot) AS BIGINT) AS n_tot,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ssb_term ORDER BY event_type)),
+                    (a, x) -> a + x) AS ssb,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ssw_term ORDER BY event_type)),
+                    (a, x) -> a + x) AS ssw
+                FROM terms)
+              SELECT k, n_tot AS n,
+                round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+                (ssb / CAST(k - 1 AS DOUBLE))
+                  / (ssw / CAST(n_tot - k AS DOUBLE)) AS f_stat
+              FROM agg"""))
   )
 }

@@ -1378,7 +1378,260 @@ object TextOps {
               m AS (SELECT MAX(cnt) AS c1 FROM census)
               SELECT rank, tok, cnt,
                 CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE) AS ratio
-              FROM top, m ORDER BY rank"""))
+              FROM top, m ORDER BY rank""")),
+
+    // ── readability index (ARI) per source ──────────────────────────────
+    // The curation-filter classic: Automated Readability Index
+    // 4.71·(chars/words) + 0.5·(words/sentences) − 21.43, computed at
+    // the SOURCE level from exact integer sums (chars = non-space
+    // bytes, words = non-empty tokens, sentences = period count,
+    // floored at 1/doc) — so the whole corpus collapses in ONE
+    // partial+final agg and the index is three IEEE ops on identical
+    // doubles in both engines. Doc-level ARI filtering at 100 TB is
+    // the same projection without the rollup.
+    Q("q_readability",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("chars"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("words"),
+          greatest(length(col("text"))
+            - length(regexp_replace(col("text"), "\\.", "")), lit(1))
+            .cast("long").as("sents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("chars"),
+          sum(col("words")).as("words"),
+          sum(col("sents")).as("sents"))
+        .select(col("source"), col("n_docs"), col("chars"), col("words"),
+          col("sents"),
+          (lit(4.71) * col("chars").cast("double") / col("words").cast("double")
+            + lit(0.5) * col("words").cast("double") / col("sents").cast("double")
+            - lit(21.43)).as("ari"))
+        .orderBy("source"),
+      Some("""WITH d AS (
+                SELECT source,
+                  CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS words,
+                  CAST(greatest(len(text) - len(replace(text, '.', '')), 1)
+                    AS BIGINT) AS sents
+                FROM documents)
+              SELECT source, count(*) AS n_docs,
+                CAST(SUM(chars) AS BIGINT) AS chars,
+                CAST(SUM(words) AS BIGINT) AS words,
+                CAST(SUM(sents) AS BIGINT) AS sents,
+                4.71 * CAST(SUM(chars) AS DOUBLE) / CAST(SUM(words) AS DOUBLE)
+                  + 0.5 * CAST(SUM(words) AS DOUBLE) / CAST(SUM(sents) AS DOUBLE)
+                  - 21.43 AS ari
+              FROM d GROUP BY 1 ORDER BY source""")),
+
+    // ── MAP@10 (completing the retrieval-metric quartet) ─────────────────
+    // Mean average precision over the same graft_topk ranking and
+    // hashed binary relevance (rel = 4) as q_mrr/q_ndcg/q_precision_
+    // recall_at_k: AP = Σ_{hit at rank i} (hits_so_far / i) divided by
+    // min(n_rel_total, 10). The ranked top-10 stays a bounded per-task
+    // heap; AP is a row-local fold over each source's ≤10-element
+    // position array (FP order pinned by position in both engines);
+    // the corpus MAP is the q_mrr pinned sorted fold over the
+    // per-source frame.
+    Q("q_map_at_k",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            expr("pmod(((doc_id % 2147483648) * 2654435761) div 65536, 4) + 1")
+              .as("rel"))
+          .persist()
+        val totals = base.filter(col("rel") === 4)
+          .groupBy("source").agg(count(lit(1)).as("n_rel"))
+        val ap = base.groupBy("source")
+          .agg(expr("graft_topk(doc_id, CAST(n_chars AS DOUBLE), 10)")
+            .as("topk"))
+          .select(col("source"), expr(
+            """transform(topk, t ->
+                 IF(pmod(((t.id % 2147483648) * 2654435761) div 65536, 4) + 1 = 4,
+                    1L, 0L))""").as("hits"))
+          .select(col("source"),
+            expr("""aggregate(sequence(1, size(hits)),
+                      named_struct('cum', 0L, 'ap', CAST(0 AS DOUBLE)),
+                      (a, i) -> named_struct(
+                        'cum', a.cum + hits[i - 1],
+                        'ap', a.ap + IF(hits[i - 1] = 1,
+                          CAST(a.cum + hits[i - 1] AS DOUBLE) / CAST(i AS DOUBLE),
+                          CAST(0 AS DOUBLE))),
+                      a -> a.ap)""").as("ap_sum"))
+        val perSrc = ap.join(totals, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+            when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("ap_sum")
+                / least(col("n_rel"), lit(10L)).cast("double")).as("ap"))
+          .persist()
+        val map = perSrc.agg(
+          (expr("""aggregate(array_sort(collect_list(struct(source, ap))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.ap)""")
+            / count(lit(1))).as("map"))
+        perSrc.crossJoin(broadcast(map)).orderBy("source")
+      },
+      Some("""WITH base AS (
+                SELECT source, doc_id, n_chars,
+                  ((doc_id % 2147483648) * 2654435761 // 65536 % 4 + 4) % 4 + 1
+                    AS rel
+                FROM documents),
+              totals AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_rel
+                FROM base WHERE rel = 4 GROUP BY 1),
+              r AS (
+                SELECT source, rel, row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS i
+                FROM base),
+              topr AS (SELECT * FROM r WHERE i <= 10),
+              cum AS (
+                SELECT source, i,
+                  CASE WHEN rel = 4 THEN 1 ELSE 0 END AS hit,
+                  SUM(CASE WHEN rel = 4 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY source ORDER BY i) AS c
+                FROM topr),
+              apsum AS (
+                SELECT source,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(CASE WHEN hit = 1 THEN CAST(c AS DOUBLE) / i
+                         ELSE 0.0 END ORDER BY i)),
+                    (a, x) -> a + x) AS ap_sum
+                FROM cum GROUP BY 1),
+              per AS (
+                SELECT a.source,
+                  CAST(COALESCE(t.n_rel, 0) AS BIGINT) AS n_rel,
+                  CASE WHEN COALESCE(t.n_rel, 0) = 0 THEN 0.0
+                    ELSE a.ap_sum / CAST(least(t.n_rel, 10) AS DOUBLE)
+                  END AS ap
+                FROM apsum a LEFT JOIN totals t ON a.source = t.source),
+              m AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(ap ORDER BY source)), (a, x) -> a + x)
+                       / count(*) AS map
+                FROM per)
+              SELECT per.source, per.n_rel, per.ap, m.map
+              FROM per, m ORDER BY per.source""")),
+
+    // ── language-ID confidence margin census ─────────────────────────────
+    // The triage lens on q_lang_id: how decisive was the guess? margin
+    // = top score − runner-up score (exact integers: 2·max + min − sum
+    // over the three marker scores), folded into a capped band. A
+    // margin-0 band is the ambiguous mass a pipeline routes to a
+    // heavier classifier. Row-local scoring (same markers as
+    // q_lang_id), ONE partial+final agg to the ≤ 3 guesses × 6 bands
+    // census.
+    Q("q_lang_margin",
+      (s, dir) => {
+        val score = (markers: Seq[String]) =>
+          markers.map(m => size(filter(split(col("text"), " "),
+            x => x === lit(m))).cast("long")).reduce(_ + _)
+        t(s, dir, "documents")
+          .select(score(Seq("the", "a", "of")).as("s_en"),
+            score(Seq("el", "la", "de")).as("s_es"),
+            score(Seq("der", "die", "das")).as("s_de"))
+          .select(
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+              .when(col("s_es") >= col("s_de"), "es")
+              .otherwise("de").as("guess"),
+            (greatest(col("s_en"), col("s_es"), col("s_de")) * 2
+              + least(col("s_en"), col("s_es"), col("s_de"))
+              - col("s_en") - col("s_es") - col("s_de")).as("margin"))
+          .groupBy(col("guess"), least(col("margin"), lit(5L)).as("margin_band"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("guess", "margin_band")
+      },
+      Some("""WITH s AS (
+                SELECT
+                  CAST(len(list_filter(string_split(text,' '), x -> x = 'the'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'a'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'of'))
+                    AS BIGINT) AS s_en,
+                  CAST(len(list_filter(string_split(text,' '), x -> x = 'el'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'la'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'de'))
+                    AS BIGINT) AS s_es,
+                  CAST(len(list_filter(string_split(text,' '), x -> x = 'der'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'die'))
+                     + len(list_filter(string_split(text,' '), x -> x = 'das'))
+                    AS BIGINT) AS s_de
+                FROM documents),
+              g AS (
+                SELECT CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                            WHEN s_es >= s_de THEN 'es'
+                            ELSE 'de' END AS guess,
+                  greatest(s_en, s_es, s_de) * 2
+                    + least(s_en, s_es, s_de) - s_en - s_es - s_de AS margin
+                FROM s)
+              SELECT guess, least(margin, 5) AS margin_band,
+                count(*) AS n_docs
+              FROM g GROUP BY 1, 2 ORDER BY guess, margin_band""")),
+
+    // ── positional phrase search (exact 2-gram match) ────────────────────
+    // The retrieval primitive q_inverted_index's impact-ordered postings
+    // cannot answer: EXACT phrase occurrence needs token POSITIONS. The
+    // positional index (token, doc, pos) explodes row-locally; the
+    // 4-phrase query set broadcasts onto it (first-term postings only —
+    // the classic index probe), and adjacency is an equi-join on
+    // (doc, pos + 1, second term). At 100 TB the index is the stored
+    // artifact and each query touches only its terms' postings; phrases
+    // with zero hits drop from the census in both engines.
+    Q("q_phrase_search",
+      (s, dir) => {
+        val pos = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val ph = Seq(("hash join", "hash", "join"),
+          ("fast scan", "fast", "scan"),
+          ("group order", "group", "order"),
+          ("table table", "table", "table"))
+        import org.apache.spark.sql.Row
+        val phDf = pos.sparkSession.createDataFrame(
+          pos.sparkSession.sparkContext.parallelize(
+            ph.map(p => Row(p._1, p._2, p._3))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("phrase",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("w1",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("w2",
+              org.apache.spark.sql.types.StringType))))
+        pos.join(broadcast(phDf), col("tok") === col("w1"))
+          .select(col("phrase"), col("doc_id").as("d1"),
+            (col("pos") + 1).as("next_pos"), col("w2"))
+          .join(pos.select(col("doc_id").as("d2"), col("pos").as("p2"),
+            col("tok").as("t2")),
+            col("d1") === col("d2") && col("next_pos") === col("p2")
+              && col("w2") === col("t2"))
+          .groupBy("phrase")
+          .agg(countDistinct(col("d1")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"))
+          .orderBy("phrase")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              pos AS (
+                SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+                FROM (SELECT doc_id, tk,
+                        unnest(generate_series(1, len(tk))) AS i
+                      FROM toks)),
+              ph(phrase, w1, w2) AS (VALUES
+                ('hash join', 'hash', 'join'),
+                ('fast scan', 'fast', 'scan'),
+                ('group order', 'group', 'order'),
+                ('table table', 'table', 'table')),
+              hits AS (
+                SELECT ph.phrase, p1.doc_id
+                FROM ph
+                  JOIN pos p1 ON p1.tok = ph.w1
+                  JOIN pos p2 ON p2.doc_id = p1.doc_id
+                    AND p2.pos = p1.pos + 1 AND p2.tok = ph.w2)
+              SELECT phrase,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                count(*) AS n_occurrences
+              FROM hits GROUP BY 1 ORDER BY phrase"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
