@@ -116,7 +116,12 @@ object PlanDump {
     "q_price_elasticity" -> "grouped OLS: size-gated lineitem x part join, five integer sums per p_type (partial+final), slope arithmetic on the bounded census",
     // round-6 additions
     "q_dedup_band_verify" -> "composed production dedup: row-local MinHash signatures -> band bucket self-join (candidates) -> candidates-only exact verify (graft_sorted_inter merge walk) — the exact shared-shingle self-join is GONE from the plan; measured slope -0.04 vs the exact path's +1.11",
-    "q_dedup_incremental" -> "incremental exact dedup: the batch anti-joins the STANDING hash-index parquet (stored artifact, appended per ingest — DedupIndexSpec) — the corpus is never rescanned; only batch-sized rows move")
+    "q_dedup_incremental" -> "incremental exact dedup: the batch anti-joins the STANDING hash-index parquet (stored artifact, appended per ingest — DedupIndexSpec) — the corpus is never rescanned; only batch-sized rows move",
+    "q_ltv_deciles" -> "customer Pareto deciles: the data-sized total order rides RangeRank's range exchange at cluster parallelism (no single-task global window); shares/cumulative walk live on the 10-row census",
+    "q_stickiness" -> "DAU/WAU/MAU: (user, day) distinct census persisted (one event scan), trailing-7/28 distinct via ROW-LOCAL fan-out (x7/x28 of the users x days census, never of raw events), calendar-bounded output",
+    "q_local_clustering" -> "clustering coefficient: degree-ordered wedges (O(m^1.5) on any distribution), closure on the packed pair key, triangles fan out row-locally to 3 vertices; bucket cc = exact-integer ratio",
+    "q_phrase_search" -> "positional phrase probe: the 4-phrase set broadcasts onto first-term postings only; adjacency is an equi-join on (doc, pos+1, term) — the corpus-scale index is probed, never scanned per phrase",
+    "q_power_iteration" -> "matrix-free power method: each round is ONE corpus aggregation of x*(x.v) with v broadcast as a literal — X never shuffles, the 64x64 Gram never materializes; exact-integer carriers end to end")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its

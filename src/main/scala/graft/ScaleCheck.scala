@@ -114,7 +114,12 @@ object ScaleCheck {
     // the composed production dedup path (band → exact-verify): the
     // linear replacement for q_dedup_ngram's +1.1-slope exact self-join;
     // recall vs the exact path is DedupRecallSpec's measured 1.0
-    "q_dedup_band_verify")
+    "q_dedup_band_verify",
+    // round-6 growth batch heavies: wedge-closure clustering census,
+    // ×7/×28 stickiness fan-out, RangeRank global quantile/decile cuts,
+    // year-spine recursive CTE (calendar-bounded — expect flat)
+    "q_local_clustering", "q_stickiness", "q_ntile_orders",
+    "q_ltv_deciles", "q_sql_recursive")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

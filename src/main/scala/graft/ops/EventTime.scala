@@ -1706,7 +1706,66 @@ object EventTime {
                 CAST(SUM(n_events) AS BIGINT) AS n_events,
                 CAST(MIN(dur_s) AS BIGINT) AS min_dur_s,
                 CAST(MAX(dur_s) AS BIGINT) AS max_dur_s
-              FROM sess GROUP BY 1 ORDER BY dur_bucket"""))
+              FROM sess GROUP BY 1 ORDER BY dur_bucket""")),
+
+    // ── time-to-first-purchase (activation latency census) ──────────────
+    // Per user: hours from first-ever event to first purchase (users
+    // who never purchase are counted separately — the activation-rate
+    // denominator). TWO per-user min-aggs (user-keyed, partial-
+    // aggregated; no window, no timeline materialization — the q_funnel
+    // shape), one users-sized join, then a log₂-hour census.
+    Q("q_time_to_first",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("t0"))
+        val firstBuy = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("tp"))
+        first.join(firstBuy, Seq("user_id"), "left")
+          .select(when(col("tp").isNull, lit(-1L))
+            .otherwise(length(bin(greatest(
+              expr("(tp - t0) div 3600000000"), lit(1L)))).cast("long"))
+            .as("hours_bucket"))
+          .groupBy("hours_bucket")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("hours_bucket")
+      },
+      Some("""WITH f AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+                GROUP BY 1),
+              p AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS tp FROM events
+                WHERE event_type = 'purchase' GROUP BY 1)
+              SELECT CASE WHEN tp IS NULL THEN -1
+                ELSE CAST(length(bin(greatest((tp - t0) // 3600000000, 1)))
+                  AS BIGINT) END AS hours_bucket,
+                count(*) AS n_users
+              FROM f LEFT JOIN p USING (user_id)
+              GROUP BY 1 ORDER BY hours_bucket""")),
+
+    // ── per-user activity distribution (the event-side power-law lens) ──
+    // Events per user folded into log₂ buckets — q_degree_stats for the
+    // event stream, and the skew readout the user-keyed shuffles in
+    // this family are sized against. Two partial+final aggs.
+    Q("q_user_activity_hist",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .groupBy(length(bin(col("n_events"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          min(col("n_events")).as("min_events"),
+          max(col("n_events")).as("max_events"))
+        .orderBy("bucket"),
+      Some("""WITH u AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1)
+              SELECT CAST(length(bin(n_events)) AS BIGINT) AS bucket,
+                count(*) AS n_users,
+                CAST(SUM(n_events) AS BIGINT) AS n_events,
+                CAST(MIN(n_events) AS BIGINT) AS min_events,
+                CAST(MAX(n_events) AS BIGINT) AS max_events
+              FROM u GROUP BY 1 ORDER BY bucket"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

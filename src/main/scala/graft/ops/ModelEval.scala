@@ -163,6 +163,139 @@ object ModelEval {
       .orderBy("grp")
   }
 
+  /** Log-loss sufficient statistic: the ≤999×2 (p_mill, pos) count
+    * census (p = value/500 clamped to [0.001, 0.999] on an exact
+    * per-mill integer carrier). Mergeable, so the streaming twin keeps
+    * exactly this frame as Complete-mode state — [[logLossFinish]] over
+    * a drained state equals batch q_log_loss EXACTLY at any trigger:
+    * the live cross-entropy monitor.
+    */
+  def logLossCensus(events: DataFrame): DataFrame =
+    events
+      .select(when(col("event_type") === "purchase", 1L).otherwise(0L)
+        .as("pos"),
+        least(greatest(round(col("value") * 2).cast("long"), lit(1L)),
+          lit(999L)).as("p_mill"))
+      .groupBy("p_mill", "pos").agg(count(lit(1)).as("cnt"))
+
+  /** Readout of [[logLossCensus]]: per-row terms rounded to 12 (ln is
+    * transcendental — the q_psi discipline), position-pinned fold.
+    */
+  def logLossFinish(census: DataFrame): DataFrame =
+    census
+      .select(col("p_mill"), col("pos"), col("cnt"),
+        round(col("cnt").cast("double") *
+          when(col("pos") === 1L, -log(col("p_mill").cast("double") / 1000.0))
+            .otherwise(-log(lit(1.0) - col("p_mill").cast("double") / 1000.0)),
+          12).as("term"))
+      .agg(sum(col("cnt")).as("n"),
+        round(expr(
+          """aggregate(array_sort(collect_list(struct(p_mill, pos, term))),
+               CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+          .as("loss_sum"))
+      .select(col("n").cast("long").as("n"),
+        round(col("loss_sum") / col("n").cast("double"), 12).as("log_loss"))
+
+  /** Multi-class confusion sufficient statistic: the ≤25-cell
+    * (true type, predicted band) count census. Mergeable Complete-mode
+    * streaming state; [[confusionFinish]] over a drained state equals
+    * batch q_confusion_multi exactly — the live confusion monitor.
+    * floor, not a double→int cast: Spark's cast truncates where
+    * DuckDB's rounds.
+    */
+  def confusionCells(events: DataFrame): DataFrame = {
+    val pred = expr(
+      """CASE least(CAST(floor(value / 100) AS BIGINT), 4)
+           WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+           WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+           ELSE 'view' END""")
+    events.select(col("event_type").as("t"), pred.as("p"))
+      .groupBy("t", "p").agg(count(lit(1)).as("n"))
+  }
+
+  /** Readout of [[confusionCells]]: per-class P/R/F1, NULL-guarded in
+    * both engines. The census persists — it feeds row totals, column
+    * totals AND the diagonal.
+    */
+  def confusionFinish(cells0: DataFrame): DataFrame = {
+    val cells = cells0.persist()
+    val actual = cells.groupBy(col("t").as("cls"))
+      .agg(sum(col("n")).as("n_actual"))
+    val predicted = cells.groupBy(col("p").as("cls"))
+      .agg(sum(col("n")).as("n_predicted"))
+    val diag = cells.filter(col("t") === col("p"))
+      .select(col("t").as("cls"), col("n").as("tp"))
+    actual.join(predicted, Seq("cls"), "full")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("cls"), col("n_actual"), col("n_predicted"), col("tp"),
+        when(col("n_predicted") === 0, lit(null))
+          .otherwise(col("tp").cast("double")
+            / col("n_predicted").cast("double")).as("precision"),
+        when(col("n_actual") === 0, lit(null))
+          .otherwise(col("tp").cast("double")
+            / col("n_actual").cast("double")).as("recall"),
+        when(col("n_predicted") + col("n_actual") === 0, lit(null))
+          .otherwise(lit(2.0) * col("tp").cast("double")
+            / (col("n_predicted") + col("n_actual")).cast("double"))
+          .as("f1"))
+      .orderBy("cls")
+  }
+
+  /** ANOVA sufficient statistic: the ≤5-row per-type (n, Σcents,
+    * Σcents²) moment census in DECIMAL(38,0) (cents² at 100-TB row
+    * counts exceeds int64). Mergeable Complete-mode streaming state;
+    * [[anovaFinish]] over a drained state equals batch q_anova exactly
+    * — the live between/within variance monitor.
+    */
+  def anovaCensus(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(dec38)).as("s"),
+        sum((col("cents") * col("cents")).cast(dec38)).as("ss"))
+
+  /** Readout of [[anovaCensus]]: SSB/SSW terms (rounded 12 → pinned
+    * folds) with the totals folded in as a 1-row broadcast; F = two
+    * IEEE divisions.
+    */
+  def anovaFinish(census: DataFrame): DataFrame = {
+    val tot = census.agg(sum(col("n")).as("n_tot"),
+      sum(col("s")).as("s_tot"))
+    census.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"),
+        round(col("n").cast("double")
+          * (col("s").cast("double") / col("n").cast("double")
+            - col("s_tot").cast("double") / col("n_tot").cast("double"))
+          * (col("s").cast("double") / col("n").cast("double")
+            - col("s_tot").cast("double") / col("n_tot").cast("double")),
+          6).as("ssb_term"),
+        round(col("ss").cast("double")
+          - col("s").cast("double") * col("s").cast("double")
+            / col("n").cast("double"), 6).as("ssw_term"),
+        col("n_tot"))
+      .agg(count(lit(1)).as("k"), max(col("n_tot")).as("n_tot"),
+        expr("""aggregate(array_sort(collect_list(
+                  struct(event_type, ssb_term))),
+                CAST(0 AS DOUBLE), (a, x) -> a + x.ssb_term)""")
+          .as("ssb"),
+        expr("""aggregate(array_sort(collect_list(
+                  struct(event_type, ssw_term))),
+                CAST(0 AS DOUBLE), (a, x) -> a + x.ssw_term)""")
+          .as("ssw"))
+      .select(col("k").cast("long").as("k"),
+        col("n_tot").cast("long").as("n"),
+        round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
+        ((col("ssb") / (col("k") - 1).cast("double"))
+          / (col("ssw") / (col("n_tot") - col("k")).cast("double")))
+          .as("f_stat"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── ROC AUC via Mann–Whitney midranks ───────────────────────────────
@@ -1200,26 +1333,7 @@ object ModelEval {
     // transcendental's last bit), and the total is a position-pinned
     // sorted-array fold over the bounded census.
     Q("q_log_loss",
-      (s, dir) => {
-        val census = labeled(t(s, dir, "events"))
-          .select(col("pos"),
-            least(greatest(round(col("value") * 2).cast("long"), lit(1L)),
-              lit(999L)).as("p_mill"))
-          .groupBy("p_mill", "pos").agg(count(lit(1)).as("cnt"))
-        census
-          .select(col("p_mill"), col("pos"), col("cnt"),
-            round(col("cnt").cast("double") *
-              when(col("pos") === 1L, -log(col("p_mill").cast("double") / 1000.0))
-                .otherwise(-log(lit(1.0) - col("p_mill").cast("double") / 1000.0)),
-              12).as("term"))
-          .agg(sum(col("cnt")).as("n"),
-            round(expr(
-              """aggregate(array_sort(collect_list(struct(p_mill, pos, term))),
-                   CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
-              .as("loss_sum"))
-          .select(col("n").cast("long").as("n"),
-            round(col("loss_sum") / col("n").cast("double"), 12).as("log_loss"))
-      },
+      (s, dir) => logLossFinish(logLossCensus(t(s, dir, "events"))),
       Some("""WITH c AS (
                 SELECT least(greatest(CAST(round(value * 2, 0) AS BIGINT), 1),
                          999) AS p_mill,
@@ -1248,43 +1362,7 @@ object ModelEval {
     // exact counts, NULL-guarded identically in both engines (the
     // q_fairness_gaps discipline).
     Q("q_confusion_multi",
-      (s, dir) => {
-        // floor, not a double→int cast: Spark's cast truncates where
-        // DuckDB's rounds — floor is the one both engines agree on
-        val pred = expr(
-          """CASE least(CAST(floor(value / 100) AS BIGINT), 4)
-               WHEN 0 THEN 'click' WHEN 1 THEN 'error'
-               WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
-               ELSE 'view' END""")
-        val cells = t(s, dir, "events")
-          .select(col("event_type").as("t"), pred.as("p"))
-          .groupBy("t", "p").agg(count(lit(1)).as("n"))
-          .persist()
-        val actual = cells.groupBy(col("t").as("cls"))
-          .agg(sum(col("n")).as("n_actual"))
-        val predicted = cells.groupBy(col("p").as("cls"))
-          .agg(sum(col("n")).as("n_predicted"))
-        val diag = cells.filter(col("t") === col("p"))
-          .select(col("t").as("cls"), col("n").as("tp"))
-        actual.join(predicted, Seq("cls"), "full")
-          .join(diag, Seq("cls"), "left")
-          .select(col("cls"),
-            coalesce(col("n_actual"), lit(0L)).as("n_actual"),
-            coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
-            coalesce(col("tp"), lit(0L)).as("tp"))
-          .select(col("cls"), col("n_actual"), col("n_predicted"), col("tp"),
-            when(col("n_predicted") === 0, lit(null))
-              .otherwise(col("tp").cast("double")
-                / col("n_predicted").cast("double")).as("precision"),
-            when(col("n_actual") === 0, lit(null))
-              .otherwise(col("tp").cast("double")
-                / col("n_actual").cast("double")).as("recall"),
-            when(col("n_predicted") + col("n_actual") === 0, lit(null))
-              .otherwise(lit(2.0) * col("tp").cast("double")
-                / (col("n_predicted") + col("n_actual")).cast("double"))
-              .as("f1"))
-          .orderBy("cls")
-      },
+      (s, dir) => confusionFinish(confusionCells(t(s, dir, "events"))),
       Some("""WITH cells AS (
                 SELECT event_type AS t,
                   CASE least(CAST(floor(value / 100) AS BIGINT), 4)
@@ -1387,44 +1465,7 @@ object ModelEval {
     // division noise), summed by the pinned sorted fold; F is two
     // IEEE divisions at the end.
     Q("q_anova",
-      (s, dir) => {
-        val census = t(s, dir, "events")
-          .select(col("event_type"),
-            (dec2(col("value")) * 100).cast("long").as("cents"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            sum(col("cents").cast(dec38)).as("s"),
-            sum((col("cents") * col("cents")).cast(dec38)).as("ss"))
-        val tot = census.agg(sum(col("n")).as("n_tot"),
-          sum(col("s")).as("s_tot"))
-        census.crossJoin(broadcast(tot))
-          .select(col("event_type"), col("n"),
-            round(col("n").cast("double")
-              * (col("s").cast("double") / col("n").cast("double")
-                - col("s_tot").cast("double") / col("n_tot").cast("double"))
-              * (col("s").cast("double") / col("n").cast("double")
-                - col("s_tot").cast("double") / col("n_tot").cast("double")),
-              6).as("ssb_term"),
-            round(col("ss").cast("double")
-              - col("s").cast("double") * col("s").cast("double")
-                / col("n").cast("double"), 6).as("ssw_term"),
-            col("n_tot"))
-          .agg(count(lit(1)).as("k"), max(col("n_tot")).as("n_tot"),
-            expr("""aggregate(array_sort(collect_list(
-                      struct(event_type, ssb_term))),
-                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssb_term)""")
-              .as("ssb"),
-            expr("""aggregate(array_sort(collect_list(
-                      struct(event_type, ssw_term))),
-                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssw_term)""")
-              .as("ssw"))
-          .select(col("k").cast("long").as("k"),
-            col("n_tot").cast("long").as("n"),
-            round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
-            ((col("ssb") / (col("k") - 1).cast("double"))
-              / (col("ssw") / (col("n_tot") - col("k")).cast("double")))
-              .as("f_stat"))
-      },
+      (s, dir) => anovaFinish(anovaCensus(t(s, dir, "events"))),
       Some("""WITH c AS (
                 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                   SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -3776,7 +3776,186 @@ object Relational {
                 CASE WHEN prev IS NOT NULL AND prev <> 0
                      THEN CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE)
                 END AS mom
-              FROM w ORDER BY month"""))
+              FROM w ORDER BY month""")),
+
+    // ── reorder-interval distribution ────────────────────────────────────
+    // Time between a customer's consecutive orders, bucketed log₂ in
+    // days — the repeat-purchase cadence a retention model consumes.
+    // One lag window PARTITIONED BY THE SCALING o_custkey (constant
+    // per-partition work), then a ≤64-bucket census. All-integer.
+    Q("q_reorder_interval",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(datediff(col("o_orderdate"), col("prev")).cast("long")
+            .as("gap_days"))
+          .groupBy(length(bin(greatest(col("gap_days"), lit(1L)))).cast("long")
+            .as("gap_bucket"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_days")).as("min_days"),
+            max(col("gap_days")).as("max_days"),
+            sum(col("gap_days")).as("sum_days"))
+          .orderBy("gap_bucket")
+      },
+      Some("""WITH g AS (
+                SELECT date_diff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+                FROM orders
+                QUALIFY lag(o_orderdate) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) IS NOT NULL)
+              SELECT CAST(length(bin(greatest(gap_days, 1))) AS BIGINT)
+                  AS gap_bucket,
+                count(*) AS n_gaps,
+                CAST(MIN(gap_days) AS BIGINT) AS min_days,
+                CAST(MAX(gap_days) AS BIGINT) AS max_days,
+                CAST(SUM(gap_days) AS BIGINT) AS sum_days
+              FROM g GROUP BY 1 ORDER BY gap_bucket""")),
+
+    // ── basket-size distribution (fact-fact census) ─────────────────────
+    // Lineitems per order → how large are baskets and where is the
+    // revenue? First fold is per-orderkey (the co-partitioned fact-fact
+    // key — at 100 TB it rides the bucketed layout exchange-free), the
+    // readout is a ≤max-basket census. Exact cents end-to-end.
+    Q("q_basket_size_dist",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+        .groupBy("n_items")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+        .orderBy("n_items"),
+      Some("""WITH b AS (
+                SELECT l_orderkey, count(*) AS n_items,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1)
+              SELECT n_items, count(*) AS n_orders,
+                CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+              FROM b GROUP BY 1 ORDER BY n_items""")),
+
+    // ── customer lifetime-value deciles (Pareto curve over customers) ───
+    // q_abc_classification's customer-side sibling: spend deciles with
+    // per-decile and cumulative revenue share. The data-sized total
+    // order rides RangeRank's 2-pass global row_number; the decile id
+    // derives as (rn−1)·10 div n (mirrored verbatim); shares and the
+    // cumulative walk live on the 10-row census.
+    Q("q_ltv_deciles",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        val deciles = RangeRank.ranked(spend, Seq.empty,
+            Seq(col("cents").desc, col("o_custkey")))
+          .select(expr("(rn - 1) * 10 div n + 1").as("decile"), col("cents"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("cents"))
+        val w = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        deciles
+          .select(col("decile"), col("n_customers"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            (col("cents").cast("double")
+              / sum(col("cents")).over(tot).cast("double")).as("rev_share"),
+            (sum(col("cents")).over(w).cast("double")
+              / sum(col("cents")).over(tot).cast("double")).as("cum_share"))
+          .orderBy("decile")
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM spend),
+              d AS (
+                SELECT (rn - 1) * 10 // n + 1 AS decile,
+                  count(*) AS n_customers,
+                  CAST(SUM(cents) AS BIGINT) AS cents
+                FROM r GROUP BY 1)
+              SELECT decile, n_customers,
+                CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                CAST(cents AS DOUBLE)
+                  / CAST(SUM(cents) OVER () AS DOUBLE) AS rev_share,
+                CAST(SUM(cents) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+                  / CAST(SUM(cents) OVER () AS DOUBLE) AS cum_share
+              FROM d ORDER BY decile""")),
+
+    // ── supplier concentration per part ──────────────────────────────────
+    // Sourcing-risk census: per part, what share of shipped quantity
+    // comes from its TOP supplier? Two partial+final aggs (the per-
+    // (part, supplier) fold, then the per-part argmax via max(struct) —
+    // no window over the fact), and the share bands in the INTEGER
+    // domain ((top·10) div total — no FP boundary can flip a band).
+    Q("q_supplier_concentration",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg((sum(dec2(col("l_quantity"))) * 100).cast("long").as("q"))
+        ps.groupBy("l_partkey")
+          .agg(sum(col("q")).as("total_q"),
+            max(struct(col("q"), col("l_suppkey"))).getField("q").as("top_q"),
+            count(lit(1)).as("n_suppliers"))
+          .select(expr("least((top_q * 10) div total_q, 9)").as("share_band"),
+            col("n_suppliers"))
+          .groupBy("share_band")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("n_suppliers")).as("n_part_suppliers"))
+          .orderBy("share_band")
+      },
+      Some("""WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2),
+              p AS (
+                SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS total_q,
+                  CAST(MAX(q) AS BIGINT) AS top_q,
+                  count(*) AS n_suppliers
+                FROM ps GROUP BY 1)
+              SELECT least((top_q * 10) // total_q, 9) AS share_band,
+                count(*) AS n_parts,
+                CAST(SUM(n_suppliers) AS BIGINT) AS n_part_suppliers
+              FROM p GROUP BY 1 ORDER BY share_band""")),
+
+    // ── discount-band economics ──────────────────────────────────────────
+    // Per discount band (exact integer percent — round, identical in
+    // both engines for the non-negative domain): volume, gross and
+    // discounted revenue, realized margin give-up. ONE partial+final
+    // agg over lineitem; money exact through DECIMAL carriers.
+    Q("q_discount_band",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(round(col("l_discount") * 100).cast("long").as("band"),
+          dec2(col("l_extendedprice")).as("p"),
+          (dec2(col("l_extendedprice"))
+            * (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+            .as("disc_p"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("p")).cast("double").as("gross"),
+          sum(col("disc_p")).cast("double").as("net"))
+        .orderBy("band"),
+      Some("""SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS band,
+                count(*) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS gross,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,2)))
+                  AS DOUBLE) AS net
+              FROM lineitem GROUP BY 1 ORDER BY band"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -1631,7 +1631,49 @@ object TextOps {
               SELECT phrase,
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                 count(*) AS n_occurrences
-              FROM hits GROUP BY 1 ORDER BY phrase"""))
+              FROM hits GROUP BY 1 ORDER BY phrase""")),
+
+    // ── top character trigrams per language (the lang-ID signature) ─────
+    // The n-gram profile a real language identifier trains on: top-5
+    // character 3-grams per language by occurrence count. Trigrams fan
+    // out ROW-LOCALLY (transform over positions, no self-join) into one
+    // (lang, trigram) census; the top-5 cut rides RangeRank (the
+    // q_template_mining few-group discipline — 5 langs would otherwise
+    // funnel the census through 5 window tasks).
+    Q("q_char_trigrams",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          // CASE guard: sequence(1, n) with n < 1 DESCENDS in Spark
+          // (DuckDB's generate_series returns empty) — the gotcha every
+          // n-gram fan-out here guards
+          .select(col("lang"), explode(expr(
+            """CASE WHEN length(text) >= 3
+               THEN transform(sequence(1, length(text) - 2),
+                      i -> substring(text, i, 3))
+               ELSE array() END""")).as("tri"))
+          .groupBy("lang", "tri")
+          .agg(count(lit(1)).as("cnt"))
+        RangeRank.ranked(census, Seq("lang"),
+            Seq(col("cnt").desc, col("tri")), rnName = "rank", nName = None)
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("tri"), col("cnt"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH tri AS (
+                SELECT lang, substr(text, i, 3) AS tri
+                FROM (SELECT lang, text,
+                        unnest(generate_series(1, len(text) - 2)) AS i
+                      FROM documents)),
+              census AS (
+                SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
+                FROM tri GROUP BY 1, 2),
+              r AS (
+                SELECT lang, tri, cnt,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, tri) AS BIGINT) AS rank
+                FROM census)
+              SELECT lang, rank, tri, cnt
+              FROM r WHERE rank <= 5 ORDER BY lang, rank"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

@@ -560,8 +560,67 @@ object VectorOps {
                   AS n_dropped,
                 CAST(COUNT(CASE WHEN max_sim >= 0.3 THEN 1 END) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS drop_share
-              FROM sim GROUP BY 1 ORDER BY label"""))
+              FROM sim GROUP BY 1 ORDER BY label""")),
+
+    // ── top principal direction by exact-integer power iteration ─────────
+    // (oracle-exempt: 5 rounds of matrix-free XᵀXv are not SQL-shaped;
+    // PowerIterationSpec asserts convergence — cos(v₅, v₆) ≈ 1 and a
+    // non-decreasing Rayleigh quotient — and DeterminismSpec pins
+    // byte-stability.) The PCA primitive an embedding-health check
+    // runs: the dominant direction of the (uncentered) second-moment
+    // matrix. Matrix-FREE: each round is ONE corpus aggregation of
+    // x·(x·v) with v broadcast as a literal — X never shuffles and the
+    // 64×64 Gram matrix never materializes. Bit-determinism comes from
+    // the INTEGER domain: embeddings quantize to a 10⁶ grid once, every
+    // dot/outer product is exact in int64/DECIMAL(38,0), and the
+    // per-round renormalization is integer division on the driver
+    // (5 × 64-value collects — iteration control, the BPE-loop class).
+    Q("q_power_iteration",
+      (s, dir) => powerIterate(s, dir, rounds = 5),
+      None)
   )
+
+  /** The q_power_iteration engine, exposed so the spec can compare
+    * round counts. Returns the 64-row (component, v, rayleigh) frame of
+    * the direction after `rounds` iterations (v in the ±10⁶ integer
+    * grid, rayleigh the exact-ratio quotient of the LAST round).
+    */
+  def powerIterate(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = t(s, dir, "embeddings")
+      .select(expr(
+        "transform(embedding, x -> cast(round(x * 1000000) as long))")
+        .as("q"))
+      .persist()
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(64)(BigInt(1000000))
+    var rayleigh = 0.0
+    for (_ <- 1 to rounds) {
+      val vArr = array(v.map(x => lit(x.toLong)): _*)
+      // per row: d = q·v (≤ 64·10⁶·10⁶ — int64-safe), then component
+      // fan-out q_j·d in DECIMAL(38,0); ONE partial+final agg to 64 rows
+      val y = q
+        .select(col("q"),
+          aggregate(zip_with(col("q"), vArr, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("d"))
+        .select(posexplode(col("q")).as(Seq("j", "qj")), col("d"))
+        .groupBy("j")
+        .agg(sum((col("qj") * col("d")).cast(dec)).as("y"))
+      val rowsY = y.collect().map(r =>
+        r.getAs[Int]("j") -> BigInt(r.getAs[java.math.BigDecimal]("y")
+          .toBigInteger)).sortBy(_._1).map(_._2).toIndexedSeq
+      // exact integer Rayleigh quotient (v·y)/(v·v), one double division
+      val num = v.zip(rowsY).map { case (a, b) => a * b }.sum
+      val den = v.map(a => a * a).sum
+      rayleigh = (BigDecimal(num) / BigDecimal(den)).toDouble
+      // renormalize to the ±10⁶ grid by exact integer division
+      val m = rowsY.map(_.abs).max max BigInt(1)
+      v = rowsY.map(x => x * 1000000 / m)
+    }
+    val out = v.zipWithIndex.map { case (x, j) => (j.toLong, x.toLong) }
+    s.createDataFrame(out).toDF("component", "v")
+      .select(col("component"), col("v"), lit(rayleigh).as("rayleigh"))
+      .orderBy("component")
+  }
 
   /** IVF cell count for a corpus of n vectors: ⌈√n⌉ with a floor of 16.
     *

@@ -647,6 +647,30 @@ object StreamingOps {
   def calibCounts(events: DataFrame): DataFrame =
     graft.ops.ModelEval.calibCensus(events)
 
+  /** Streaming half of q_log_loss — the live cross-entropy monitor.
+    * (p_mill, pos) count census as Complete-mode state bounded by the
+    * 999×2 grid; [[graft.ops.ModelEval.logLossFinish]] over the drained
+    * state equals batch q_log_loss EXACTLY at any trigger.
+    */
+  def logLossCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.logLossCensus(events)
+
+  /** Streaming half of q_confusion_multi — the live confusion monitor.
+    * ≤25-cell census as Complete-mode state;
+    * [[graft.ops.ModelEval.confusionFinish]] over the drained state
+    * equals batch q_confusion_multi exactly.
+    */
+  def confusionCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.confusionCells(events)
+
+  /** Streaming half of q_anova — the live variance-decomposition
+    * monitor. ≤5-row exact-decimal moment census as Complete-mode
+    * state; [[graft.ops.ModelEval.anovaFinish]] over the drained state
+    * equals batch q_anova exactly.
+    */
+  def anovaCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.anovaCensus(events)
+
   /** Schema of the orders table (for the order-ingest stream twins). */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),

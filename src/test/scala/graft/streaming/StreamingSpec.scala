@@ -474,6 +474,60 @@ class StreamingSpec extends SparkSpec {
       "drained PSI census diverged from batch q_psi")
   }
 
+  test("drained log-loss census finishes to batch q_log_loss exactly") {
+    val dir = Files.createTempDirectory("graft-logloss").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.logLossCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_logloss", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.logLossFinish(counts).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = SparkEntry.queries("q_log_loss")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained log-loss census diverged from batch q_log_loss")
+  }
+
+  test("drained confusion census finishes to batch q_confusion_multi exactly") {
+    val dir = Files.createTempDirectory("graft-confusion").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.confusionCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_confusion", OutputMode.Complete())
+    val cells = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.confusionFinish(cells).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_confusion_multi")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained confusion census diverged from batch q_confusion_multi")
+  }
+
+  test("drained ANOVA census finishes to batch q_anova exactly") {
+    val dir = Files.createTempDirectory("graft-anova").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.anovaCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_anova", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.anovaFinish(census).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_anova")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained ANOVA census diverged from batch q_anova")
+  }
+
   test("drained calibration census finishes to batch q_calibration exactly") {
     val dir = Files.createTempDirectory("graft-calib").toString
     Tables.load(spark, sfDir, "events")
