@@ -119,7 +119,9 @@ object ScaleCheck {
     // ×7/×28 stickiness fan-out, RangeRank global quantile/decile cuts,
     // year-spine recursive CTE (calendar-bounded — expect flat)
     "q_local_clustering", "q_stickiness", "q_ntile_orders",
-    "q_ltv_deciles", "q_sql_recursive")
+    "q_ltv_deciles", "q_sql_recursive",
+    // matrix-free power method: 5 corpus aggregations — expect linear
+    "q_power_iteration")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

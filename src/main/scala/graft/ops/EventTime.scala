@@ -1744,6 +1744,114 @@ object EventTime {
               FROM f LEFT JOIN p USING (user_id)
               GROUP BY 1 ORDER BY hours_bucket""")),
 
+    // ── time-bounded conversion funnel (the windowed q_funnel) ───────────
+    // Real funnel definitions expire: a click only converts within 7
+    // days of the first view, a purchase within 7 days of that click.
+    // Same cascaded per-stage min-aggregation shape as q_funnel (each
+    // stage's type equality pushes into the scan; every join is keyed
+    // on the scaling user_id; no timeline materialization) with the
+    // window bound riding the stage join's residual. Census output:
+    // users per deepest-stage-reached.
+    Q("q_window_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bound = 7L * 86400L * 1000000L
+        def stage(typ: String, prev: DataFrame, prevT: String, outT: String) =
+          ev.filter(col("event_type") === typ)
+            .join(prev, "user_id")
+            .filter(col("ts") >= col(prevT)
+              && unix_micros(col("ts")) <= unix_micros(col(prevT)) + bound)
+            .groupBy("user_id").agg(min(col("ts")).as(outT))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val s2 = stage("click", s1, "t_view", "t_click")
+        val s3 = stage("purchase", s2, "t_click", "t_purchase")
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select((lit(1L) + col("t_click").isNotNull.cast("long")
+            + col("t_purchase").isNotNull.cast("long")).as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH s1 AS (
+                SELECT user_id, min(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+                  AND epoch_us(e.ts) <= epoch_us(s1.t_view) + 604800000000
+                GROUP BY 1),
+              s3 AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+                  AND epoch_us(e.ts) <= epoch_us(s2.t_click) + 604800000000
+                GROUP BY 1)
+              SELECT CAST(1 + (s2.user_id IS NOT NULL)::INT
+                       + (s3.user_id IS NOT NULL)::INT AS BIGINT) AS stage,
+                count(*) AS n_users
+              FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+              GROUP BY 1 ORDER BY stage""")),
+
+    // ── Holt linear-trend smoothing + 7-day-ahead forecast ───────────────
+    // The exponential-smoothing sibling of q_forecast_eval's seasonal
+    // naive: level/trend recursion (α = 0.3, β = 0.1) over the daily
+    // revenue census. The corpus collapses in ONE day census
+    // (calendar-bounded); the recursion is a position-pinned row-local
+    // fold over the sorted day array — a SEQUENTIAL op chain on
+    // identical doubles, so both engines land on identical bits (the
+    // q_ewma discipline, no rounding tolerance needed). Output: last
+    // level/trend and the h = 7 linear forecast.
+    Q("q_holt_smoothing",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        daily
+          .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+            .as("ser"))
+          .select(expr(
+            """aggregate(
+                 slice(ser, 2, size(ser) - 1),
+                 named_struct(
+                   'l', CAST(ser[0].cents AS DOUBLE) / 100.0,
+                   'b', CAST(0 AS DOUBLE), 'n', 1L),
+                 (a, x) -> named_struct(
+                   'l', 0.3 * (CAST(x.cents AS DOUBLE) / 100.0)
+                        + 0.7 * (a.l + a.b),
+                   'b', 0.1 * ((0.3 * (CAST(x.cents AS DOUBLE) / 100.0)
+                        + 0.7 * (a.l + a.b)) - a.l) + 0.9 * a.b,
+                   'n', a.n + 1L))""").as("st"))
+          .select(col("st.n").as("n_days"),
+            col("st.l").as("level"), col("st.b").as("trend"),
+            (col("st.l") + lit(7.0) * col("st.b")).as("forecast_7d"))
+      },
+      // the oracle carries the (level, trend) state through a recursive
+      // CTE — DuckDB's list_reduce cannot hold a struct accumulator
+      // over a differently-typed list; the per-step arithmetic is the
+      // identical op sequence, so the doubles stay bit-equal
+      Some("""WITH RECURSIVE daily AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              idx AS (
+                SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                  CAST(cents AS DOUBLE) / 100.0 AS v
+                FROM daily),
+              rec(i, l, b) AS (
+                SELECT CAST(1 AS BIGINT), (SELECT v FROM idx WHERE i = 1),
+                  CAST(0 AS DOUBLE)
+                UNION ALL
+                SELECT r.i + 1,
+                  0.3 * x.v + 0.7 * (r.l + r.b),
+                  0.1 * ((0.3 * x.v + 0.7 * (r.l + r.b)) - r.l)
+                    + 0.9 * r.b
+                FROM rec r JOIN idx x ON x.i = r.i + 1)
+              SELECT i AS n_days, l AS level, b AS trend,
+                l + 7.0 * b AS forecast_7d
+              FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
+
     // ── per-user activity distribution (the event-side power-law lens) ──
     // Events per user folded into log₂ buckets — q_degree_stats for the
     // event stream, and the skew readout the user-keyed shuffles in

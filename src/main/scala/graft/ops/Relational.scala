@@ -3955,7 +3955,85 @@ object Relational {
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                   * CAST(1.0 - l_discount AS DECIMAL(18,2)))
                   AS DOUBLE) AS net
-              FROM lineitem GROUP BY 1 ORDER BY band"""))
+              FROM lineitem GROUP BY 1 ORDER BY band""")),
+
+    // ── grouped exact percentiles (p50/p90/p99 per event type) ──────────
+    // The per-segment latency-percentile shape, with a FEW-group key
+    // (5 event types): a native percentile window would sort a fifth of
+    // the stream on one task — the rank rides RangeRank's 2-pass
+    // row_number at cluster parallelism instead, and the three discrete
+    // percentiles are rank-select filters (FP-free: rn = ceil(q·n) in
+    // the integer domain). Cents-exact values; 5×3 output rows.
+    Q("q_group_percentiles",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .select(col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("cents"),
+            col("event_id"))
+        val ranked = RangeRank.ranked(base, Seq("event_type"),
+          Seq(col("cents"), col("event_id")))
+        ranked
+          .select(col("event_type"), col("cents"), col("rn"), col("n"))
+          .filter(col("rn") === expr("(n * 50 + 99) div 100")
+            || col("rn") === expr("(n * 90 + 99) div 100")
+            || col("rn") === expr("(n * 99 + 99) div 100"))
+          .select(col("event_type"),
+            when(col("rn") === expr("(n * 50 + 99) div 100"), 50L)
+              .when(col("rn") === expr("(n * 90 + 99) div 100"), 90L)
+              .otherwise(99L).as("pct"),
+            (col("cents").cast("double") / 100.0).as("value"))
+          .groupBy("event_type", "pct")
+          .agg(min(col("value")).as("value"))
+          .orderBy("event_type", "pct")
+      },
+      Some("""WITH r AS (
+                SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      AS BIGINT), event_id) AS BIGINT) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+              hits AS (
+                SELECT event_type,
+                  CASE WHEN rn = (n * 50 + 99) // 100 THEN 50
+                       WHEN rn = (n * 90 + 99) // 100 THEN 90
+                       ELSE 99 END AS pct,
+                  CAST(cents AS DOUBLE) / 100.0 AS value
+                FROM r
+                WHERE rn = (n * 50 + 99) // 100
+                   OR rn = (n * 90 + 99) // 100
+                   OR rn = (n * 99 + 99) // 100)
+              SELECT event_type, CAST(pct AS BIGINT) AS pct,
+                MIN(value) AS value
+              FROM hits GROUP BY 1, 2 ORDER BY event_type, pct""")),
+
+    // ── JSON key census over the props column ────────────────────────────
+    // Semi-structured observability: which keys does the event payload
+    // actually carry, at what fill rate? json_object_keys explodes
+    // row-locally; one partial+final agg to the key-vocabulary census.
+    // The fill-rate denominator is the 1-row total broadcast.
+    Q("q_json_key_census",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val tot = ev.agg(count(lit(1)).as("n_events"))
+        ev.select(explode(expr("json_object_keys(props)")).as("key"))
+          .groupBy("key").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("key"), col("n"),
+            (col("n").cast("double") / col("n_events").cast("double"))
+              .as("fill_rate"))
+          .orderBy("key")
+      },
+      Some("""WITH k AS (
+                SELECT unnest(json_keys(props)) AS key FROM events),
+              c AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+                    FROM k GROUP BY 1),
+              t AS (SELECT count(*) AS n_events FROM events)
+              SELECT key, n,
+                CAST(n AS DOUBLE) / CAST(n_events AS DOUBLE) AS fill_rate
+              FROM c, t ORDER BY key"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -1673,7 +1673,78 @@ object TextOps {
                     ORDER BY cnt DESC, tri) AS BIGINT) AS rank
                 FROM census)
               SELECT lang, rank, tri, cnt
-              FROM r WHERE rank <= 5 ORDER BY lang, rank"""))
+              FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
+
+    // ── language-ID accuracy audit (heuristic vs ground truth) ───────────
+    // Closing the loop on q_lang_id: its marker-score guess against the
+    // table's actual lang label, as a confusion census with per-row
+    // share-of-actual and the corpus accuracy folded in as a 1-row
+    // broadcast. The heuristic only knows en/es/de, so fr/zh rows
+    // expose its failure mode explicitly — the audit a pipeline runs
+    // before trusting any classifier-derived filter. ONE corpus pass
+    // into a ≤15-cell census; rates are IEEE divisions of exact counts.
+    Q("q_langid_accuracy",
+      (s, dir) => {
+        val score = (markers: Seq[String]) =>
+          markers.map(m => size(filter(split(col("text"), " "),
+            x => x === lit(m))).cast("long")).reduce(_ + _)
+        val cells = t(s, dir, "documents")
+          .select(col("lang"),
+            score(Seq("the", "a", "of")).as("s_en"),
+            score(Seq("el", "la", "de")).as("s_es"),
+            score(Seq("der", "die", "das")).as("s_de"))
+          .select(col("lang"),
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+              .when(col("s_es") >= col("s_de"), "es")
+              .otherwise("de").as("guess"))
+          .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+          .persist()
+        val acc = cells.agg(
+          (sum(when(col("lang") === col("guess"), col("n")).otherwise(0L))
+            .cast("double") / sum(col("n")).cast("double")).as("accuracy"))
+        val tot = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+        cells.join(tot, "lang").crossJoin(broadcast(acc))
+          .select(col("lang"), col("guess"), col("n"),
+            (col("n").cast("double") / col("n_lang").cast("double"))
+              .as("share_of_actual"),
+            col("accuracy"))
+          .orderBy("lang", "guess")
+      },
+      Some("""WITH g AS (
+                SELECT lang,
+                  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                       WHEN s_es >= s_de THEN 'es'
+                       ELSE 'de' END AS guess
+                FROM (
+                  SELECT lang,
+                    CAST(len(list_filter(string_split(text,' '), x -> x = 'the'))
+                       + len(list_filter(string_split(text,' '), x -> x = 'a'))
+                       + len(list_filter(string_split(text,' '), x -> x = 'of'))
+                      AS BIGINT) AS s_en,
+                    CAST(len(list_filter(string_split(text,' '), x -> x = 'el'))
+                       + len(list_filter(string_split(text,' '), x -> x = 'la'))
+                       + len(list_filter(string_split(text,' '), x -> x = 'de'))
+                      AS BIGINT) AS s_es,
+                    CAST(len(list_filter(string_split(text,' '), x -> x = 'der'))
+                       + len(list_filter(string_split(text,' '), x -> x = 'die'))
+                       + len(list_filter(string_split(text,' '), x -> x = 'das'))
+                      AS BIGINT) AS s_de
+                  FROM documents)),
+              cells AS (
+                SELECT lang, guess, CAST(count(*) AS BIGINT) AS n
+                FROM g GROUP BY 1, 2),
+              acc AS (
+                SELECT CAST(SUM(CASE WHEN lang = guess THEN n ELSE 0 END)
+                    AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS accuracy
+                FROM cells),
+              tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+                      FROM cells GROUP BY 1)
+              SELECT cells.lang, guess, n,
+                CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE)
+                  AS share_of_actual,
+                accuracy
+              FROM cells JOIN tot ON cells.lang = tot.lang, acc
+              ORDER BY cells.lang, guess"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

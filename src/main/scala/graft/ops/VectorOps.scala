@@ -577,6 +577,47 @@ object VectorOps {
     // (5 × 64-value collects — iteration control, the BPE-loop class).
     Q("q_power_iteration",
       (s, dir) => powerIterate(s, dir, rounds = 5),
+      None),
+
+    // ── per-label centroid drift vs the global centroid ──────────────────
+    // (oracle-exempt: 64-dim decimal component means are not reasonably
+    // SQL-shaped; CentroidShiftSpec pins the invariants, DeterminismSpec
+    // the bytes.) The embedding-health readout before any clustering
+    // decision: how far does each label's mean vector point from the
+    // corpus mean? Component means accumulate in DECIMAL(28,12) (the
+    // k-means helper's order-free carrier) through ONE partial+final
+    // agg keyed (label, component); the global centroid derives from
+    // the SAME per-label sums (no second corpus pass); cosine is the
+    // codegen graft_dot on two 64-element arrays per label.
+    Q("q_centroid_shift",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+        val comp = t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
+          .groupBy("label", "j")
+          .agg(sum(col("x").cast("double").cast(dec)).as("sx"),
+            count(lit(1)).as("n"))
+          .persist()
+        val perLabel = comp.groupBy("label")
+          .agg(sort_array(collect_list(struct(col("j"),
+            (col("sx").cast("double") / col("n").cast("double")).as("m"))))
+            .as("jm"),
+            max(col("n")).as("n_vecs"))
+          .select(col("label"), col("n_vecs"),
+            transform(col("jm"), x => x.getField("m")).as("c"))
+        val global = comp.groupBy("j")
+          .agg((sum(col("sx")).cast("double")
+            / sum(col("n")).cast("double")).as("m"))
+          .agg(sort_array(collect_list(struct(col("j"), col("m")))).as("jm"))
+          .select(transform(col("jm"), x => x.getField("m")).as("g"))
+        perLabel.crossJoin(broadcast(global))
+          .select(col("label").cast("long").as("label"), col("n_vecs"),
+            (dot(col("c"), col("g"))
+              / sqrt(dot(col("c"), col("c")) * dot(col("g"), col("g"))))
+              .as("cos_to_global"))
+          .orderBy("label")
+      },
       None)
   )
 
