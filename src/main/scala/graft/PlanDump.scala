@@ -172,6 +172,19 @@ object PlanDump {
       || q_diff_in_diff | 2×2 (variant, period) census | DiD pivot + output | **persisted** (budget guard 0) |
       || q_mrr | per-source reciprocal-rank frame | pinned corpus fold + output | **persisted** (budget guard 0) |
       || q_srm / q_span_corruption | — | single consumer chain | **single plan** |
+      |
+      |Round-6 additions:
+      |
+      || query | shared subtree | consumers | disposition |
+      ||---|---|---|---|
+      || q_anova | ≤5-row (n, Σ, Σ²) moment census | totals agg + term projection | **persisted** (budget guard 0; caught by the guard before it shipped) |
+      || q_confusion_multi | ≤25-cell confusion census | row totals + col totals + diagonal | **persisted** (budget guard 0) |
+      || q_langid_accuracy | guess-vs-label cells | per-lang totals + accuracy + output | **persisted** (budget guard 0) |
+      || q_map_at_k | projected relevance base | relevant-total census + top-k ranking | **persisted** (budget guard 0) |
+      || q_stickiness | (user, day) distinct census | DAU census + ×7 and ×28 fan-outs | **persisted** (budget guard 0) |
+      || q_also_bought (alsoBoughtBaskets) | capped basket frame | pair fan-out + support census + N scalar + ScaleCheck invariant | **persisted** (unchanged; invariant measured on counts) |
+      || q_log_loss / q_holt_smoothing / q_group_percentiles / q_json_key_census / q_reorder_interval / q_basket_size_dist / q_supplier_concentration / q_discount_band / q_char_trigrams / q_time_to_first / q_user_activity_hist / q_window_funnel / q_session_stats / q_activity_heatmap / q_token_histogram / q_dedup_rate_by_source / q_quality_gate / q_readability / q_lang_margin / q_fleiss_kappa / q_percent_rank / q_ntile_orders / q_ltv_deciles / q_moving_avg / q_sql_recursive / q_binary_source / q_phrase_search / q_local_clustering | — | single consumer chain (or RangeRank's internal persist / memoized artifact) | **single plan** |
+      || q_power_iteration / q_centroid_shift | quantized matrix / component-sum census | 5 rounds / per-label + global readouts | **persisted** |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -121,7 +121,10 @@ object ScaleCheck {
     "q_local_clustering", "q_stickiness", "q_ntile_orders",
     "q_ltv_deciles", "q_sql_recursive",
     // matrix-free power method: 5 corpus aggregations — expect linear
-    "q_power_iteration")
+    "q_power_iteration",
+    // final-bench stragglers ≥1 s: char-trigram census + RangeRank cut,
+    // per-(part, supplier) argmax census, per-brand HHI census
+    "q_char_trigrams", "q_supplier_concentration", "q_hhi")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

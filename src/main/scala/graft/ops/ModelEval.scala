@@ -264,7 +264,12 @@ object ModelEval {
     * folds) with the totals folded in as a 1-row broadcast; F = two
     * IEEE divisions.
     */
-  def anovaFinish(census: DataFrame): DataFrame = {
+  def anovaFinish(census0: DataFrame): DataFrame = {
+    // persist: the ≤5-row census feeds BOTH the totals agg and the
+    // term projection — un-persisted, each consumer re-runs the
+    // event-scale moment scan (the drift-family class; caught by the
+    // scan-budget guard)
+    val census = census0.persist()
     val tot = census.agg(sum(col("n")).as("n_tot"),
       sum(col("s")).as("s_tot"))
     census.crossJoin(broadcast(tot))

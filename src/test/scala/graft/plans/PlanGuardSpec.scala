@@ -497,7 +497,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_winsorize", "q_feature_binning", "q_quantile_norm",
       "q_sequence_pack", "q_gini", "q_template_mining",
       "q_weighted_median", "q_top_share", "q_norm_profile",
-      "q_auc", "q_lift_gain", "q_abc_classification")
+      "q_auc", "q_lift_gain", "q_abc_classification",
+      // round-6 members: nation percent-rank, global quartile/decile
+      // cuts, per-type percentiles, per-lang trigram top-5
+      "q_percent_rank", "q_ntile_orders", "q_ltv_deciles",
+      "q_group_percentiles", "q_char_trigrams")
     for (q <- family) {
       val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$q lost its rank windows entirely")
@@ -659,7 +663,14 @@ class PlanGuardSpec extends SparkSpec {
       "q_cuped" -> 0, // persisted per-user frame: pooled + variant sums
       "q_diff_in_diff" -> 0, // persisted 2x2 census: pivot + output
       "q_mrr" -> 0, // persisted per-source frame: pinned fold + output
-      "q_srm" -> 1) // single consumer chain
+      "q_srm" -> 1, // single consumer chain
+      // round-6 members
+      "q_log_loss" -> 1, // single census chain (streaming-twin split)
+      "q_confusion_multi" -> 0, // persisted cells: rows + cols + diagonal
+      "q_anova" -> 0, // persisted census: totals + term projection
+      "q_langid_accuracy" -> 0, // persisted cells: totals + accuracy + output
+      "q_map_at_k" -> 0, // persisted base: totals census + top-k ranking
+      "q_stickiness" -> 0) // persisted (user, day) census, 3 consumers
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
