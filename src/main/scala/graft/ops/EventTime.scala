@@ -1852,6 +1852,47 @@ object EventTime {
                 l + 7.0 * b AS forecast_7d
               FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
 
+    // ── day-of-week seasonality index per event type ─────────────────────
+    // The normalized seasonal profile (share within type ÷ share
+    // overall): index > 1 = that type over-indexes on that weekday.
+    // One partial+final agg to the ≤7×5 census; per-type and per-dow
+    // marginals are census-over-census; the index is exact-count
+    // arithmetic with two divisions, NULL-free by construction.
+    Q("q_seasonality_index",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .select(dayofweek(col("ts")).cast("long").as("dow"),
+            col("event_type"))
+          .groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
+          .persist()
+        val perType = cells.groupBy("event_type").agg(sum(col("n")).as("n_type"))
+        val perDow = cells.groupBy("dow").agg(sum(col("n")).as("n_dow"))
+        val tot = cells.agg(sum(col("n")).as("n_all"))
+        cells.join(perType, "event_type").join(perDow, "dow")
+          .crossJoin(broadcast(tot))
+          .select(col("dow"), col("event_type"), col("n"),
+            ((col("n").cast("double") / col("n_type").cast("double"))
+              / (col("n_dow").cast("double") / col("n_all").cast("double")))
+              .as("seasonal_index"))
+          .orderBy("dow", "event_type")
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, event_type,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+              pt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+                     FROM cells GROUP BY 1),
+              pd AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS n_dow
+                     FROM cells GROUP BY 1),
+              t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells)
+              SELECT cells.dow, cells.event_type, n,
+                (CAST(n AS DOUBLE) / CAST(n_type AS DOUBLE))
+                  / (CAST(n_dow AS DOUBLE) / CAST(n_all AS DOUBLE))
+                  AS seasonal_index
+              FROM cells JOIN pt ON cells.event_type = pt.event_type
+                JOIN pd ON cells.dow = pd.dow, t
+              ORDER BY cells.dow, cells.event_type""")),
+
     // ── per-user activity distribution (the event-side power-law lens) ──
     // Events per user folded into log₂ buckets — q_degree_stats for the
     // event stream, and the skew readout the user-keyed shuffles in

@@ -4033,7 +4033,181 @@ object Relational {
               t AS (SELECT count(*) AS n_events FROM events)
               SELECT key, n,
                 CAST(n AS DOUBLE) / CAST(n_events AS DOUBLE) AS fill_rate
-              FROM c, t ORDER BY key"""))
+              FROM c, t ORDER BY key""")),
+
+    // ── nation-pair trade matrix (TPC-H Q7 generalized to the full grid) ─
+    // Revenue by (customer nation, supplier nation) — the whole 25×25
+    // matrix, not Q7's two-nation slice. Both nation joins are
+    // size-gated dim broadcasts; the two fact joins hash-partition on
+    // their scaling keys; ONE partial+final agg to the nation² census.
+    Q("q_trade_matrix",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            dec2(col("l_extendedprice")).as("p"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").cast("long").as("cust_nation"),
+            col("s_nationkey").cast("long").as("supp_nation"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("p")).cast("double").as("revenue"))
+          .orderBy("cust_nation", "supp_nation")
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS cust_nation,
+                CAST(s_nationkey AS BIGINT) AS supp_nation,
+                count(*) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""")),
+
+    // ── customer spend-band migration (H1 → H2 transition matrix) ───────
+    // Lifecycle analytics: each customer's log₂ spend band in the first
+    // half of the timeline vs the second (band 0 = absent that half);
+    // the (from, to) census shows upgrades, churn-to-zero and
+    // activations in one readout. Two per-customer censuses off ONE
+    // orders scan (CASE-split partial aggs — not two scans), full-outer
+    // reconciliation keyed on the scaling custkey, ≤ bands² output.
+    Q("q_customer_migration",
+      (s, dir) => {
+        val cut = lit("1995-07-01").cast("timestamp")
+        val per = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            (sum(when(col("o_orderdate") < cut, dec2(col("o_totalprice")))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("c1"),
+            (sum(when(col("o_orderdate") >= cut, dec2(col("o_totalprice")))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("c2"))
+        per.select(
+            when(col("c1") === 0, 0L)
+              .otherwise(length(bin(col("c1"))).cast("long")).as("band_h1"),
+            when(col("c2") === 0, 0L)
+              .otherwise(length(bin(col("c2"))).cast("long")).as("band_h2"))
+          .groupBy("band_h1", "band_h2")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("band_h1", "band_h2")
+      },
+      Some("""WITH per AS (
+                SELECT o_custkey,
+                  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-07-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-07-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c2
+                FROM orders GROUP BY 1)
+              SELECT CASE WHEN c1 = 0 THEN 0
+                       ELSE CAST(length(bin(c1)) AS BIGINT) END AS band_h1,
+                CASE WHEN c2 = 0 THEN 0
+                  ELSE CAST(length(bin(c2)) AS BIGINT) END AS band_h2,
+                count(*) AS n_customers
+              FROM per GROUP BY 1, 2 ORDER BY band_h1, band_h2""")),
+
+    // ── return rate by brand ─────────────────────────────────────────────
+    // Product-quality lens: per part brand, the returned-line share and
+    // returned-revenue share. One size-gated lineitem × part join
+    // (part SCALES with SF — no hint, the q_promo_share discipline),
+    // ONE partial+final agg to the brand census; shares are IEEE
+    // divisions of exact counts/cents.
+    Q("q_returns_by_brand",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_returnflag"),
+          dec2(col("l_extendedprice")).as("p"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"),
+          (sum(col("p")) * 100).cast("long").as("cents"),
+          (sum(when(col("l_returnflag") === "R", col("p"))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+            .cast("long").as("ret_cents"))
+        .select(col("p_brand"), col("n_lines"), col("n_returned"),
+          (col("n_returned").cast("double") / col("n_lines").cast("double"))
+            .as("return_rate"),
+          (col("ret_cents").cast("double") / col("cents").cast("double"))
+            .as("returned_rev_share"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n_lines,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS return_rate,
+                CAST(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+                  AS DOUBLE)
+                / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    * 100 AS BIGINT) AS DOUBLE) AS returned_rev_share
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1 ORDER BY p_brand""")),
+
+    // ── deep-discount anomaly census (statistical outlier flags) ─────────
+    // Lines discounted more than 2σ above their part type's mean — the
+    // pricing-integrity sweep. Per-type moments come from ONE exact
+    // integer-sum census (discount as exact basis points); the
+    // threshold compare runs row-side against the broadcast ≤|p_type|
+    // moment frame. Both engines derive identical doubles from
+    // identical integers, so the 2σ boundary cannot flip between them.
+    Q("q_deep_discount",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_discount") * 10000).cast("long").as("bp"))
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_type"), col("bp"))
+          .persist()
+        val stats = li.groupBy("p_type")
+          .agg(count(lit(1)).as("n"), sum(col("bp")).as("s"),
+            sum(col("bp") * col("bp")).as("ss"))
+          .select(col("p_type").as("t2"),
+            (col("s").cast("double") / col("n").cast("double")).as("mean_bp"),
+            sqrt((col("ss").cast("double") / col("n").cast("double"))
+              - (col("s").cast("double") / col("n").cast("double"))
+              * (col("s").cast("double") / col("n").cast("double")))
+              .as("sd_bp"))
+        li.join(broadcast(stats), col("p_type") === col("t2"))
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("bp").cast("double")
+              > col("mean_bp") + col("sd_bp") * 2.0, 1L).otherwise(0L))
+              .as("n_deep"))
+          .select(col("p_type"), col("n_lines"), col("n_deep"),
+            (col("n_deep").cast("double") / col("n_lines").cast("double"))
+              .as("deep_share"))
+          .orderBy("p_type")
+      },
+      Some("""WITH li AS (
+                SELECT p_type,
+                  CAST(round(l_discount * 10000, 0) AS BIGINT) AS bp
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              stats AS (
+                SELECT p_type,
+                  CAST(SUM(bp) AS DOUBLE) / count(*) AS mean_bp,
+                  sqrt(CAST(SUM(bp * bp) AS DOUBLE) / count(*)
+                    - (CAST(SUM(bp) AS DOUBLE) / count(*))
+                    * (CAST(SUM(bp) AS DOUBLE) / count(*))) AS sd_bp
+                FROM li GROUP BY 1)
+              SELECT li.p_type, count(*) AS n_lines,
+                CAST(SUM(CASE WHEN CAST(bp AS DOUBLE)
+                    > mean_bp + 2.0 * sd_bp THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_deep,
+                CAST(SUM(CASE WHEN CAST(bp AS DOUBLE)
+                    > mean_bp + 2.0 * sd_bp THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS deep_share
+              FROM li JOIN stats ON li.p_type = stats.p_type
+              GROUP BY 1 ORDER BY li.p_type"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
