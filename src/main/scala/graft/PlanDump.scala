@@ -121,7 +121,9 @@ object PlanDump {
     "q_stickiness" -> "DAU/WAU/MAU: (user, day) distinct census persisted (one event scan), trailing-7/28 distinct via ROW-LOCAL fan-out (x7/x28 of the users x days census, never of raw events), calendar-bounded output",
     "q_local_clustering" -> "clustering coefficient: degree-ordered wedges (O(m^1.5) on any distribution), closure on the packed pair key, triangles fan out row-locally to 3 vertices; bucket cc = exact-integer ratio",
     "q_phrase_search" -> "positional phrase probe: the 4-phrase set broadcasts onto first-term postings only; adjacency is an equi-join on (doc, pos+1, term) — the corpus-scale index is probed, never scanned per phrase",
-    "q_power_iteration" -> "matrix-free power method: each round is ONE corpus aggregation of x*(x.v) with v broadcast as a literal — X never shuffles, the 64x64 Gram never materializes; exact-integer carriers end to end")
+    "q_power_iteration" -> "matrix-free power method: each round is ONE corpus aggregation of x*(x.v) with v broadcast as a literal — X never shuffles, the 64x64 Gram never materializes; exact-integer carriers end to end",
+    "q_trade_matrix" -> "full nation-pair trade grid (Q7 generalized): both nation dims BHJ by size-gating, the two fact joins hash-partition on orderkey/suppkey, ONE partial+final agg to the ≤nation² census — no per-pair re-probe",
+    "q_deep_discount" -> "2σ discount outliers: the li⋈part frame is persisted ONCE; the per-type moment census broadcasts back onto the cached frame — the fact join never runs twice")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its
@@ -185,6 +187,9 @@ object PlanDump {
       || q_also_bought (alsoBoughtBaskets) | capped basket frame | pair fan-out + support census + N scalar + ScaleCheck invariant | **persisted** (unchanged; invariant measured on counts) |
       || q_log_loss / q_holt_smoothing / q_group_percentiles / q_json_key_census / q_reorder_interval / q_basket_size_dist / q_supplier_concentration / q_discount_band / q_char_trigrams / q_time_to_first / q_user_activity_hist / q_window_funnel / q_session_stats / q_activity_heatmap / q_token_histogram / q_dedup_rate_by_source / q_quality_gate / q_readability / q_lang_margin / q_fleiss_kappa / q_percent_rank / q_ntile_orders / q_ltv_deciles / q_moving_avg / q_sql_recursive / q_binary_source / q_phrase_search / q_local_clustering | — | single consumer chain (or RangeRank's internal persist / memoized artifact) | **single plan** |
       || q_power_iteration / q_centroid_shift | quantized matrix / component-sum census | 5 rounds / per-label + global readouts | **persisted** |
+      || q_seasonality_index | ≤35-cell dow×type census | per-type marginal + per-dow marginal + total + index join | **persisted** (budget guard 0) |
+      || q_deep_discount | (p_type, basis-point) joined frame | per-type moment census + 2σ threshold pass | **persisted** (budget guard 0) |
+      || q_trade_matrix / q_returns_by_brand / q_customer_migration | — | single consumer chain | **single plan** |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

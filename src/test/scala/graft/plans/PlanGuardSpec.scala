@@ -670,7 +670,13 @@ class PlanGuardSpec extends SparkSpec {
       "q_anova" -> 0, // persisted census: totals + term projection
       "q_langid_accuracy" -> 0, // persisted cells: totals + accuracy + output
       "q_map_at_k" -> 0, // persisted base: totals census + top-k ranking
-      "q_stickiness" -> 0) // persisted (user, day) census, 3 consumers
+      "q_stickiness" -> 0, // persisted (user, day) census, 3 consumers
+      // round-6 closing batch
+      "q_seasonality_index" -> 0, // persisted dow×type cells: 3 marginal consumers
+      "q_deep_discount" -> 0, // persisted (p_type, bp) frame: moments + threshold pass
+      "q_trade_matrix" -> 4, // single 4-table chain to the nation² census
+      "q_returns_by_brand" -> 2, // single li⋈part chain to the brand census
+      "q_customer_migration" -> 1) // ONE orders scan, CASE-split halves
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
