@@ -1744,7 +1744,254 @@ object TextOps {
                   AS share_of_actual,
                 accuracy
               FROM cells JOIN tot ON cells.lang = tot.lang, acc
-              ORDER BY cells.lang, guess"""))
+              ORDER BY cells.lang, guess""")),
+
+    // ── BLEU-2 between fixed-offset doc pairs ───────────────────────────
+    // The generation-eval metric as a batch op: candidate doc d scored
+    // against reference doc d+20 (a deterministic pairing — no RNG, no
+    // window). Modified n-gram precision = Σ clipped / Σ candidate
+    // counts, clipping via a LEFT join of the two per-doc gram censuses
+    // keyed (pair, gram) — co-partitioned, never corpus². The per-doc
+    // unigram and bigram censuses are each persisted: candidate side,
+    // reference side and the length frame all read ONE explode.
+    // bleu2 = sqrt(p1·p2) (geometric mean, not the exp/ln form — libm
+    // exp is not cross-engine reproducible, sqrt is IEEE-exact).
+    Q("q_bleu_pairs",
+      (s, dir) => {
+        val tl = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val u = tl.select(col("doc_id"), explode(col("toks")).as("g"))
+          .filter(col("g") =!= "")
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .persist()
+        val b = tl.select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                      i -> struct(toks[i] AS x, toks[i+1] AS y))
+               ELSE array() END""")).as("bg"))
+          .filter(col("bg.x") =!= "" && col("bg.y") =!= "")
+          .select(col("doc_id"),
+            concat(col("bg.x"), lit(" "), col("bg.y")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .persist()
+        def prec(cen: DataFrame, lenName: String, clipName: String) = {
+          val cand = cen.select(col("doc_id").as("pair"), col("g"), col("c"))
+          val ref = cen.select((col("doc_id") - 20).as("pair"),
+            col("g"), col("c").as("cr"))
+          cand.join(ref, Seq("pair", "g"), "left")
+            .groupBy("pair")
+            .agg(sum(col("c")).as(lenName),
+              sum(least(col("c"), coalesce(col("cr"), lit(0L))))
+                .as(clipName))
+        }
+        val refLen = u.groupBy("doc_id")
+          .agg(sum(col("c")).as("len_r"))
+          .select((col("doc_id") - 20).as("pair"), col("len_r"))
+        prec(u, "len_c", "clip1")
+          .join(prec(b, "len2", "clip2"), "pair")
+          .join(refLen, "pair") // inner: drops docs with no d+20 reference
+          .select(col("pair"), col("len_c").cast("long").as("len_c"),
+            col("len_r").cast("long").as("len_r"),
+            (col("clip1").cast("double") / col("len_c").cast("double"))
+              .as("p1"),
+            when(col("len2") === 0, lit(null).cast("double"))
+              .otherwise(col("clip2").cast("double")
+                / col("len2").cast("double")).as("p2"),
+            when(col("len2") === 0, lit(null).cast("double"))
+              .otherwise(sqrt((col("clip1").cast("double")
+                  / col("len_c").cast("double"))
+                * (col("clip2").cast("double")
+                  / col("len2").cast("double")))).as("bleu2"))
+          .orderBy("pair")
+      },
+      Some("""WITH tl AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              u AS (
+                SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest(toks) AS g FROM tl)
+                WHERE g <> '' GROUP BY 1, 2),
+              b AS (
+                SELECT doc_id, bg.x || ' ' || bg.y AS g,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id,
+                        unnest([{'x': toks[i], 'y': toks[i+1]}
+                          for i in generate_series(1, len(toks) - 1)]) AS bg
+                      FROM tl WHERE len(toks) >= 2)
+                WHERE bg.x <> '' AND bg.y <> '' GROUP BY 1, 2),
+              p1 AS (
+                SELECT cu.doc_id AS pair,
+                  CAST(SUM(cu.c) AS BIGINT) AS len_c,
+                  CAST(SUM(least(cu.c, coalesce(ru.c, 0))) AS BIGINT) AS clip1
+                FROM u cu LEFT JOIN u ru
+                  ON ru.doc_id = cu.doc_id + 20 AND ru.g = cu.g
+                GROUP BY 1),
+              p2 AS (
+                SELECT cb.doc_id AS pair,
+                  CAST(SUM(cb.c) AS BIGINT) AS len2,
+                  CAST(SUM(least(cb.c, coalesce(rb.c, 0))) AS BIGINT) AS clip2
+                FROM b cb LEFT JOIN b rb
+                  ON rb.doc_id = cb.doc_id + 20 AND rb.g = cb.g
+                GROUP BY 1),
+              rl AS (
+                SELECT doc_id - 20 AS pair, CAST(SUM(c) AS BIGINT) AS len_r
+                FROM u GROUP BY 1)
+              SELECT p1.pair, len_c, len_r,
+                CAST(clip1 AS DOUBLE) / CAST(len_c AS DOUBLE) AS p1,
+                CASE WHEN len2 = 0 THEN NULL
+                  ELSE CAST(clip2 AS DOUBLE) / CAST(len2 AS DOUBLE) END AS p2,
+                CASE WHEN len2 = 0 THEN NULL
+                  ELSE sqrt((CAST(clip1 AS DOUBLE) / CAST(len_c AS DOUBLE))
+                    * (CAST(clip2 AS DOUBLE) / CAST(len2 AS DOUBLE))) END
+                  AS bleu2
+              FROM p1 JOIN p2 ON p1.pair = p2.pair
+                JOIN rl ON p1.pair = rl.pair
+              ORDER BY p1.pair""")),
+
+    // ── top-k vocabulary coverage curve ─────────────────────────────────
+    // Tokenizer-design readout: what share of ALL token occurrences do
+    // the top-5/10/25 vocabulary entries cover? One corpus explode to
+    // the persisted vocab census; the census's total order (count desc)
+    // rides RangeRank's range exchange — a Heaps-law vocabulary grows
+    // with the corpus, so a single-task global window would be the
+    // classic 100-TB funnel. Coverage = exact-integer prefix / total.
+    Q("q_token_coverage",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .persist()
+        val tot = census.agg(sum(col("c")).as("total_tokens"),
+          count(lit(1)).as("vocab_n"))
+        RangeRank.ranked(census, Seq.empty,
+            Seq(col("c").desc, col("tok")), nName = None,
+            prefixSums = Seq(RangeRank.PrefixSum(col("c"), "pre")))
+          .filter(col("rn").isin(5L, 10L, 25L))
+          .crossJoin(broadcast(tot))
+          .select(col("rn").as("rank_cut"),
+            (col("pre") + col("c")).cast("long").as("covered_tokens"),
+            col("total_tokens").cast("long").as("total_tokens"),
+            ((col("pre") + col("c")).cast("double")
+              / col("total_tokens").cast("double")).as("coverage"))
+          .orderBy("rank_cut")
+      },
+      Some("""WITH census AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY 1),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens
+                      FROM census),
+              r AS (
+                SELECT c,
+                  CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+                    AS rn,
+                  CAST(SUM(c) OVER (ORDER BY c DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM census)
+              SELECT rn AS rank_cut, cum AS covered_tokens, total_tokens,
+                CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                  AS coverage
+              FROM r, tot WHERE rn IN (5, 10, 25) ORDER BY rank_cut""")),
+
+    // ── trigram hapax share per source ──────────────────────────────────
+    // Data-quality lens: the share of a source's word-trigram vocabulary
+    // seen exactly once (high hapax share = diverse/natural text; low =
+    // templated/repetitive). Trigrams fan out ROW-LOCALLY (guarded
+    // transform — no self-join), collapse in ONE (source, gram) census,
+    // and the readout is a catalog-bounded per-source agg.
+    Q("q_trigram_hapax",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(expr(
+          """CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks) - 3),
+                    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+             ELSE array() END""")).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("c")).cast("long").as("occurrences"))
+        .select(col("source"), col("n_distinct"), col("n_hapax"),
+          col("occurrences"),
+          (col("n_hapax").cast("double") / col("n_distinct").cast("double"))
+            .as("hapax_share"))
+        .orderBy("source"),
+      Some("""WITH tl AS (
+                SELECT source, string_split(text, ' ') AS toks
+                FROM documents),
+              tg AS (
+                SELECT source,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM tl, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+                WHERE len(toks) >= 3),
+              cen AS (
+                SELECT source, g, CAST(count(*) AS BIGINT) AS c
+                FROM tg GROUP BY 1, 2)
+              SELECT source, count(*) AS n_distinct,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                CAST(SUM(c) AS BIGINT) AS occurrences,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS hapax_share
+              FROM cen GROUP BY 1 ORDER BY source""")),
+
+    // ── token-frequency Gini per source ─────────────────────────────────
+    // Vocabulary-concentration lens: Gini of the per-source BIGRAM
+    // frequency distribution (0 = uniform usage, →1 = a few grams
+    // dominate). Ranks over the census ride RangeRank grouped by source
+    // (the census grows with the corpus under Heaps' law — never a
+    // per-source single-task window); Gini stays in exact BIGINT
+    // arithmetic (Σ rn·c, Σ c) until the one final division.
+    Q("q_token_gini",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .select(col("source"), explode(expr(
+            """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                      i -> concat(toks[i], ' ', toks[i+1]))
+               ELSE array() END""")).as("g"))
+          .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        RangeRank.ranked(census, Seq("source"),
+            Seq(col("c"), col("g")), nName = None)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(col("c")).as("tot"),
+            sum(col("rn") * col("c")).as("wsum"))
+          .select(col("source"), col("n_grams"),
+            col("tot").cast("long").as("occurrences"),
+            ((lit(2.0) * col("wsum").cast("double")
+              - (col("n_grams") + 1).cast("double")
+                * col("tot").cast("double"))
+              / (col("n_grams").cast("double") * col("tot").cast("double")))
+              .as("gini"))
+          .orderBy("source")
+      },
+      Some("""WITH tl AS (
+                SELECT source, string_split(text, ' ') AS toks
+                FROM documents),
+              bg AS (
+                SELECT source, toks[i] || ' ' || toks[i+1] AS g
+                FROM tl, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+                WHERE len(toks) >= 2),
+              cen AS (
+                SELECT source, g, CAST(count(*) AS BIGINT) AS c
+                FROM bg GROUP BY 1, 2),
+              r AS (
+                SELECT source, c,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY c, g) AS BIGINT) AS rn
+                FROM cen)
+              SELECT source, count(*) AS n_grams,
+                CAST(SUM(c) AS BIGINT) AS occurrences,
+                (2.0 * CAST(SUM(rn * c) AS DOUBLE)
+                  - CAST(count(*) + 1 AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                  / (CAST(count(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                  AS gini
+              FROM r GROUP BY 1 ORDER BY source"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
