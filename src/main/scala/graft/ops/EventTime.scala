@@ -1914,7 +1914,91 @@ object EventTime {
                 CAST(SUM(n_events) AS BIGINT) AS n_events,
                 CAST(MIN(n_events) AS BIGINT) AS min_events,
                 CAST(MAX(n_events) AS BIGINT) AS max_events
-              FROM u GROUP BY 1 ORDER BY bucket"""))
+              FROM u GROUP BY 1 ORDER BY bucket""")),
+
+    // ── user lifespan census ─────────────────────────────────────────────
+    // Engagement-duration lens: per user, the span from first to last
+    // event, folded into week bands. One user-keyed partial+final agg
+    // (min/max/count), then a bounded band census — the span stays in
+    // the exact integer day domain (datediff of DATEs), so the band
+    // boundary cannot flip between engines.
+    Q("q_user_lifespan",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(datediff(max(col("ts").cast("date")),
+            min(col("ts").cast("date"))).cast("long").as("span_days"),
+          count(lit(1)).as("n_events"))
+        .groupBy(expr("span_days div 7").as("week_band"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).cast("long").as("total_events"),
+          (sum(col("n_events")).cast("double")
+            / count(lit(1)).cast("double")).as("events_per_user"))
+        .orderBy("week_band"),
+      Some("""WITH u AS (
+                SELECT user_id,
+                  CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    CAST(MAX(ts) AS DATE)) AS BIGINT) AS span_days,
+                  CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1)
+              SELECT span_days // 7 AS week_band,
+                count(*) AS n_users,
+                CAST(SUM(n_events) AS BIGINT) AS total_events,
+                CAST(SUM(n_events) AS DOUBLE) / count(*) AS events_per_user
+              FROM u GROUP BY 1 ORDER BY week_band""")),
+
+    // ── inter-event gap percentiles per event type ──────────────────────
+    // Cadence lens: p50/p90 of the time gap preceding each event, by the
+    // event's type. The lag window partitions by user_id (parallelism =
+    // population, never a funnel); gaps stay exact in the microsecond
+    // integer domain; the per-type rank-select rides RangeRank (few
+    // types × scaling gaps = exactly the single-task-window trap
+    // q_group_percentiles solves) at rn = ceil(q·n).
+    Q("q_inter_event_quantiles",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id")) // us monotone in ts
+        val gaps = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+        val ranked = RangeRank.ranked(
+          gaps.select(col("event_type"), col("gap_us"), col("event_id")),
+          Seq("event_type"), Seq(col("gap_us"), col("event_id")))
+        ranked
+          .filter(col("rn") === expr("(n * 50 + 99) div 100")
+            || col("rn") === expr("(n * 90 + 99) div 100"))
+          .select(col("event_type"),
+            when(col("rn") === expr("(n * 50 + 99) div 100"), 50L)
+              .otherwise(90L).as("pct"),
+            (col("gap_us").cast("double") / 1000000.0).as("gap_seconds"))
+          .groupBy("event_type", "pct")
+          .agg(min(col("gap_seconds")).as("gap_seconds"))
+          .orderBy("event_type", "pct")
+      },
+      Some("""WITH g AS (
+                SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+                  event_id
+                FROM events),
+              r AS (
+                SELECT event_type, gap_us,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY gap_us, event_id) AS BIGINT) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM g WHERE gap_us IS NOT NULL),
+              hits AS (
+                SELECT event_type,
+                  CASE WHEN rn = (n * 50 + 99) // 100 THEN 50
+                       ELSE 90 END AS pct,
+                  CAST(gap_us AS DOUBLE) / 1000000.0 AS gap_seconds
+                FROM r
+                WHERE rn = (n * 50 + 99) // 100
+                   OR rn = (n * 90 + 99) // 100)
+              SELECT event_type, CAST(pct AS BIGINT) AS pct,
+                MIN(gap_seconds) AS gap_seconds
+              FROM hits GROUP BY 1, 2 ORDER BY event_type, pct"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

@@ -4207,7 +4207,142 @@ object Relational {
                     > mean_bp + 2.0 * sd_bp THEN 1 ELSE 0 END) AS DOUBLE)
                   / count(*) AS deep_share
               FROM li JOIN stats ON li.p_type = stats.p_type
-              GROUP BY 1 ORDER BY li.p_type"""))
+              GROUP BY 1 ORDER BY li.p_type""")),
+
+    // ── Cramér's V: segment × order-priority association ────────────────
+    // The categorical-association statistic. One scaling join (customer
+    // grows with SF — size-gated, no hint) folds to the ≤5×5 cell
+    // census; marginals are windows over the census, NOT extra scans.
+    // χ² per-cell terms: (c·n − cx·cy) stays exact in BIGINT (≤3.6e11
+    // at ×8 — no overflow), squares/divides as IEEE doubles from
+    // identical integers, rounds to 12 decimals, and crosses the final
+    // sum through the position-pinned fold (the q_mutual_info libm
+    // discipline) so 25 doubles cannot re-associate between engines.
+    Q("q_cramers_v",
+      (s, dir) => {
+        val wAll = Window.partitionBy()
+        val wX = Window.partitionBy("seg")
+        val wY = Window.partitionBy("prio")
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority").as("prio"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("seg", "prio").agg(count(lit(1)).as("c"))
+          .select(col("seg"), col("prio"), col("c"),
+            sum(col("c")).over(wX).cast("long").as("cx"),
+            sum(col("c")).over(wY).cast("long").as("cy"),
+            sum(col("c")).over(wAll).cast("long").as("n"))
+          .select(col("seg"), col("prio"), col("n"),
+            round((col("c") * col("n") - col("cx") * col("cy"))
+                .cast("double") * (col("c") * col("n")
+                - col("cx") * col("cy")).cast("double")
+              / (col("n").cast("double") * col("cx").cast("double")
+                * col("cy").cast("double")), 12).as("term"))
+          .agg(max(col("n")).as("n"),
+            countDistinct(col("seg")).cast("long").as("r"),
+            countDistinct(col("prio")).cast("long").as("cc"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(seg, prio, term))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+              .as("chi2"))
+          .select(col("n"), col("r"), col("cc").as("c"), col("chi2"),
+            sqrt(col("chi2") / (col("n").cast("double")
+              * least(col("r") - 1, col("cc") - 1).cast("double")))
+              .as("cramers_v"))
+      },
+      Some("""WITH cells AS (
+                SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              m AS (
+                SELECT seg, prio, c,
+                  CAST(SUM(c) OVER (PARTITION BY seg) AS BIGINT) AS cx,
+                  CAST(SUM(c) OVER (PARTITION BY prio) AS BIGINT) AS cy,
+                  CAST(SUM(c) OVER () AS BIGINT) AS n
+                FROM cells),
+              terms AS (
+                SELECT seg, prio, n,
+                  round(CAST(c * n - cx * cy AS DOUBLE)
+                      * CAST(c * n - cx * cy AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(cx AS DOUBLE)
+                      * CAST(cy AS DOUBLE)), 12) AS term
+                FROM m),
+              agg AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(count(DISTINCT seg) AS BIGINT) AS r,
+                  CAST(count(DISTINCT prio) AS BIGINT) AS c,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY seg, prio)), (a, x) -> a + x), 12)
+                    AS chi2
+                FROM terms)
+              SELECT n, r, c, chi2,
+                sqrt(chi2 / (CAST(n AS DOUBLE)
+                  * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+              FROM agg""")),
+
+    // ── customer spend-decile transition (H1 → H2) ──────────────────────
+    // The data-driven twin of q_customer_migration: deciles are ranked
+    // within each half (not fixed log₂ bands), so the matrix reads as
+    // relative movement. Each half's data-sized total order rides
+    // RangeRank's range exchange (custkey tiebreak = total order ⇒
+    // NTILE-free determinism); customers absent a half land in decile
+    // 0. ONE orders scan (CASE-split halves, persisted), ≤11² output.
+    Q("q_decile_transition",
+      (s, dir) => {
+        val cut = lit("1995-07-01").cast("timestamp")
+        val per = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            (sum(when(col("o_orderdate") < cut, dec2(col("o_totalprice")))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("c1"),
+            (sum(when(col("o_orderdate") >= cut, dec2(col("o_totalprice")))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("c2"))
+          .persist()
+        def deciles(cents: String, out: String) =
+          RangeRank.ranked(
+              per.filter(col(cents) > 0).select(col("o_custkey"), col(cents)),
+              Seq.empty, Seq(col(cents).desc, col("o_custkey")))
+            .select(col("o_custkey"),
+              expr("(rn - 1) * 10 div n + 1").as(out))
+        per.select(col("o_custkey"))
+          .join(deciles("c1", "d1"), Seq("o_custkey"), "left")
+          .join(deciles("c2", "d2"), Seq("o_custkey"), "left")
+          .select(coalesce(col("d1"), lit(0L)).as("decile_h1"),
+            coalesce(col("d2"), lit(0L)).as("decile_h2"))
+          .groupBy("decile_h1", "decile_h2")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("decile_h1", "decile_h2")
+      },
+      Some("""WITH per AS (
+                SELECT o_custkey,
+                  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-07-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-07-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c2
+                FROM orders GROUP BY 1),
+              d1 AS (
+                SELECT o_custkey,
+                  (CAST(row_number() OVER (ORDER BY c1 DESC, o_custkey)
+                    AS BIGINT) - 1) * 10 // COUNT(*) OVER () + 1 AS d1
+                FROM per WHERE c1 > 0),
+              d2 AS (
+                SELECT o_custkey,
+                  (CAST(row_number() OVER (ORDER BY c2 DESC, o_custkey)
+                    AS BIGINT) - 1) * 10 // COUNT(*) OVER () + 1 AS d2
+                FROM per WHERE c2 > 0)
+              SELECT coalesce(d1, 0) AS decile_h1,
+                coalesce(d2, 0) AS decile_h2,
+                count(*) AS n_customers
+              FROM per
+                LEFT JOIN d1 ON per.o_custkey = d1.o_custkey
+                LEFT JOIN d2 ON per.o_custkey = d2.o_custkey
+              GROUP BY 1, 2 ORDER BY decile_h1, decile_h2"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
