@@ -1606,6 +1606,48 @@ object Curation {
                 CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
                 CAST(MIN(n_toks) AS BIGINT) AS min_toks,
                 CAST(MAX(n_toks) AS BIGINT) AS max_toks
-              FROM d GROUP BY 1, 2 ORDER BY source, bucket"""))
+              FROM d GROUP BY 1, 2 ORDER BY source, bucket""")),
+
+    // ── boilerplate prefix duplication ───────────────────────────────────
+    // Header/template detection: docs whose first-8-token prefix is
+    // shared with at least one other doc. The prefix is a row-local
+    // slice (never an n-gram fan-out); the class census is one
+    // hash-partitioned agg; the per-source readout rejoins the
+    // persisted projection co-partitioned on the prefix key.
+    Q("q_doc_prefix_dup",
+      (s, dir) => {
+        val pre = t(s, dir, "documents")
+          .select(col("source"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ")
+              .as("prefix"))
+          .persist()
+        val cls = pre.groupBy("prefix").agg(count(lit(1)).as("class_n"))
+        pre.join(cls, "prefix")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("class_n") >= 2, 1L).otherwise(0L))
+              .as("n_shared_prefix"),
+            countDistinct(col("prefix")).cast("long").as("n_prefixes"))
+          .select(col("source"), col("n_docs"), col("n_shared_prefix"),
+            col("n_prefixes"),
+            (col("n_shared_prefix").cast("double")
+              / col("n_docs").cast("double")).as("boilerplate_share"))
+          .orderBy("source")
+      },
+      Some("""WITH pre AS (
+                SELECT source,
+                  array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                    ' ') AS prefix
+                FROM documents),
+              cls AS (SELECT prefix, CAST(count(*) AS BIGINT) AS class_n
+                      FROM pre GROUP BY 1)
+              SELECT source, count(*) AS n_docs,
+                CAST(SUM(CASE WHEN class_n >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared_prefix,
+                CAST(count(DISTINCT pre.prefix) AS BIGINT) AS n_prefixes,
+                CAST(SUM(CASE WHEN class_n >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS boilerplate_share
+              FROM pre JOIN cls ON pre.prefix = cls.prefix
+              GROUP BY 1 ORDER BY source"""))
   )
 }

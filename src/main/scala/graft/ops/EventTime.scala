@@ -1998,7 +1998,63 @@ object EventTime {
                    OR rn = (n * 90 + 99) // 100)
               SELECT event_type, CAST(pct AS BIGINT) AS pct,
                 MIN(gap_seconds) AS gap_seconds
-              FROM hits GROUP BY 1, 2 ORDER BY event_type, pct"""))
+              FROM hits GROUP BY 1, 2 ORDER BY event_type, pct""")),
+
+    // ── weekly event-mix drift (largest WoW share swing per type) ───────
+    // The mix-shift monitor: weekly type shares from ONE persisted
+    // (week, type) census; the week-over-week delta and its argmax live
+    // entirely on the calendar-bounded share frame (windows over weeks ×
+    // types, never over events). Shares are IEEE divisions of exact
+    // counts, so the deltas — and the tie-broken argmax pick — are
+    // bit-identical between engines.
+    Q("q_type_share_drift",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .persist()
+        val tot = cells.groupBy("week").agg(sum(col("n")).as("n_week"))
+        val wLag = Window.partitionBy("event_type").orderBy("week")
+        val pick = Window.partitionBy("event_type")
+          .orderBy(col("abs_drift").desc, col("week"))
+        cells.join(tot, "week")
+          .select(col("event_type"), col("week"),
+            (col("n").cast("double") / col("n_week").cast("double"))
+              .as("share"))
+          .withColumn("drift", col("share") - lag(col("share"), 1).over(wLag))
+          .filter(col("drift").isNotNull)
+          .withColumn("abs_drift", abs(col("drift")))
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"),
+            date_format(col("week"), "yyyy-MM-dd").as("peak_week"),
+            col("share"), col("drift"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                  event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+              tot AS (SELECT week, CAST(SUM(n) AS BIGINT) AS n_week
+                      FROM cells GROUP BY 1),
+              sh AS (
+                SELECT event_type, cells.week,
+                  CAST(n AS DOUBLE) / CAST(n_week AS DOUBLE) AS share
+                FROM cells JOIN tot ON cells.week = tot.week),
+              d AS (
+                SELECT event_type, week, share,
+                  share - lag(share) OVER (PARTITION BY event_type
+                    ORDER BY week) AS drift
+                FROM sh),
+              r AS (
+                SELECT event_type, week, share, drift,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY abs(drift) DESC, week) AS rn
+                FROM d WHERE drift IS NOT NULL)
+              SELECT event_type, strftime(week, '%Y-%m-%d') AS peak_week,
+                share, drift
+              FROM r WHERE rn = 1 ORDER BY event_type"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

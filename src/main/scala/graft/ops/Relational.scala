@@ -4342,7 +4342,33 @@ object Relational {
               FROM per
                 LEFT JOIN d1 ON per.o_custkey = d1.o_custkey
                 LEFT JOIN d2 ON per.o_custkey = d2.o_custkey
-              GROUP BY 1, 2 ORDER BY decile_h1, decile_h2"""))
+              GROUP BY 1, 2 ORDER BY decile_h1, decile_h2""")),
+
+    // ── discount vs order-quantity curve ─────────────────────────────────
+    // Pricing-policy lens: does the discount actually rise with volume?
+    // Quantity is integral by generation, so the census key is an exact
+    // cast; discounts aggregate as exact basis points (one partial+final
+    // agg, ≤50 groups), and the averages are single IEEE divisions of
+    // identical integers.
+    Q("q_discount_quantity_curve",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_quantity").cast("long").as("quantity"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_discount") * 10000).cast("long")).as("bp"),
+          (sum(dec2(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+        .select(col("quantity"), col("n_lines"),
+          (col("bp").cast("double") / col("n_lines").cast("double")
+            / 10000.0).as("avg_discount"),
+          (col("cents").cast("double") / col("n_lines").cast("double")
+            / 100.0).as("avg_price"))
+        .orderBy("quantity"),
+      Some("""SELECT CAST(l_quantity AS BIGINT) AS quantity,
+                count(*) AS n_lines,
+                CAST(SUM(CAST(round(l_discount * 10000, 0) AS BIGINT))
+                  AS DOUBLE) / count(*) / 10000.0 AS avg_discount,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS DOUBLE) / count(*) / 100.0 AS avg_price
+              FROM lineitem GROUP BY 1 ORDER BY quantity"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

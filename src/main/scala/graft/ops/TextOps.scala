@@ -1991,7 +1991,62 @@ object TextOps {
                   - CAST(count(*) + 1 AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
                   / (CAST(count(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
                   AS gini
-              FROM r GROUP BY 1 ORDER BY source"""))
+              FROM r GROUP BY 1 ORDER BY source""")),
+
+    // ── character-distribution entropy per source ───────────────────────
+    // Encoding/quality audit: Shannon entropy (bits) of each source's
+    // character distribution — corrupted or templated text shows up as
+    // an entropy outlier. Chars fan out ROW-LOCALLY, collapse in ONE
+    // (source, char) census bounded by sources × alphabet; the −p·log₂p
+    // terms round to 12 decimals and cross the final sum through the
+    // position-pinned fold (libm log2 is not cross-engine exact; the
+    // q_mutual_info discipline absorbs the last-ulp drift).
+    Q("q_char_entropy",
+      (s, dir) => {
+        val wSrc = Window.partitionBy("source")
+        t(s, dir, "documents")
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch"))
+          .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+          .select(col("source"), col("ch"), col("c"),
+            sum(col("c")).over(wSrc).cast("long").as("n"))
+          .select(col("source"), col("ch"), col("n"),
+            round(-(col("c").cast("double") / col("n").cast("double"))
+              * log2(col("c").cast("double") / col("n").cast("double")), 12)
+              .as("term"))
+          .groupBy("source")
+          .agg(max(col("n")).as("n_chars"),
+            count(lit(1)).cast("long").as("alphabet"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(ch, term))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+              .as("entropy_bits"))
+          .orderBy("source")
+      },
+      Some("""WITH ch AS (
+                SELECT source, substring(text, i, 1) AS ch
+                FROM documents,
+                  UNNEST(generate_series(1, length(text))) AS t(i)),
+              cen AS (
+                SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+                FROM ch GROUP BY 1, 2),
+              m AS (
+                SELECT source, ch, c,
+                  CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM cen),
+              terms AS (
+                SELECT source, ch, n,
+                  round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                    AS term
+                FROM m)
+              SELECT source, CAST(MAX(n) AS BIGINT) AS n_chars,
+                CAST(count(*) AS BIGINT) AS alphabet,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY ch)), (a, x) -> a + x), 12)
+                  AS entropy_bits
+              FROM terms GROUP BY 1 ORDER BY source"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
