@@ -2054,7 +2054,89 @@ object EventTime {
                 FROM d WHERE drift IS NOT NULL)
               SELECT event_type, strftime(week, '%Y-%m-%d') AS peak_week,
                 share, drift
-              FROM r WHERE rn = 1 ORDER BY event_type"""))
+              FROM r WHERE rn = 1 ORDER BY event_type""")),
+
+    // ── Wald–Wolfowitz runs test on daily revenue ────────────────────────
+    // Is the day-over-day revenue direction random, or does it trend/
+    // mean-revert? Corpus-sized work is ONE (day, cents) census; the
+    // sign sequence, run boundaries and the z statistic live on the
+    // calendar-bounded frame (windows over ≤ days rows — the
+    // q_rolling_median envelope). Signs come from exact-cents diffs
+    // (zero diffs dropped identically in both engines); μ and σ are
+    // IEEE expressions of the exact (n⁺, n⁻, runs) integers.
+    Q("q_runs_test",
+      (s, dir) => {
+        val wDay = Window.orderBy("day")
+        val signs = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .withColumn("diff", col("cents") - lag(col("cents"), 1).over(wDay))
+          .filter(col("diff").isNotNull && col("diff") =!= 0)
+          .select(col("day"),
+            when(col("diff") > 0, 1L).otherwise(-1L).as("sgn"))
+        val runs = signs
+          .withColumn("brk",
+            when(lag(col("sgn"), 1).over(wDay).isNull
+              || lag(col("sgn"), 1).over(wDay) =!= col("sgn"), 1L)
+              .otherwise(0L))
+          .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_plus"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_minus"),
+            sum(col("brk")).cast("long").as("n_runs"))
+        runs.select(col("n_plus"), col("n_minus"), col("n_runs"),
+            (lit(2.0) * col("n_plus").cast("double")
+              * col("n_minus").cast("double")
+              / (col("n_plus") + col("n_minus")).cast("double") + 1.0)
+              .as("mu"))
+          .select(col("n_plus"), col("n_minus"), col("n_runs"), col("mu"),
+            when(col("n_plus") === 0 || col("n_minus") === 0
+              || (col("n_plus") + col("n_minus")) <= 1,
+              lit(null).cast("double"))
+              .otherwise((col("n_runs").cast("double") - col("mu"))
+                / sqrt((col("mu") - 1.0) * (col("mu") - 2.0)
+                  / (col("n_plus") + col("n_minus") - 1).cast("double")))
+              .as("z"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              d AS (
+                SELECT day,
+                  cents - lag(cents) OVER (ORDER BY day) AS diff
+                FROM daily),
+              s AS (
+                SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+                FROM d WHERE diff IS NOT NULL AND diff <> 0),
+              b AS (
+                SELECT sgn,
+                  CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                    OR lag(sgn) OVER (ORDER BY day) <> sgn
+                    THEN 1 ELSE 0 END AS brk
+                FROM s),
+              agg AS (
+                SELECT
+                  CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_plus,
+                  CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_minus,
+                  CAST(SUM(brk) AS BIGINT) AS n_runs
+                FROM b),
+              m AS (
+                SELECT n_plus, n_minus, n_runs,
+                  2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+                    / CAST(n_plus + n_minus AS DOUBLE) + 1.0 AS mu
+                FROM agg)
+              SELECT n_plus, n_minus, n_runs, mu,
+                CASE WHEN n_plus = 0 OR n_minus = 0 OR n_plus + n_minus <= 1
+                  THEN NULL
+                  ELSE (CAST(n_runs AS DOUBLE) - mu)
+                    / sqrt((mu - 1.0) * (mu - 2.0)
+                      / CAST(n_plus + n_minus - 1 AS DOUBLE)) END AS z
+              FROM m"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

@@ -4368,7 +4368,154 @@ object Relational {
                   AS DOUBLE) / count(*) / 10000.0 AS avg_discount,
                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS DOUBLE) / count(*) / 100.0 AS avg_price
-              FROM lineitem GROUP BY 1 ORDER BY quantity"""))
+              FROM lineitem GROUP BY 1 ORDER BY quantity""")),
+
+    // ── revenue waterfall by ship year ───────────────────────────────────
+    // The finance decomposition: gross → −discount → net → +tax →
+    // charged, per year. One scan, ONE partial+final agg carrying all
+    // five decimal sums (the q_pricing_summary exactness discipline:
+    // every product stays DECIMAL until the final double surfacing, so
+    // summation order cannot drift between engines).
+    Q("q_margin_waterfall",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumDec2(col("l_extendedprice")).as("gross"),
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+            .cast("double").as("discount_amt"),
+          sum(dec2(col("l_extendedprice"))
+            * (lit(1) - dec2(col("l_discount"))))
+            .cast("double").as("net"),
+          sum((dec2(col("l_extendedprice"))
+              * (lit(1) - dec2(col("l_discount")))).cast(DecimalType(18, 4))
+            * dec2(col("l_tax"))).cast("double").as("tax_amt"),
+          sum((dec2(col("l_extendedprice"))
+              * (lit(1) - dec2(col("l_discount")))).cast(DecimalType(18, 4))
+            * (lit(1) + dec2(col("l_tax")))).cast("double").as("charged"))
+        .orderBy("ship_year"),
+      Some("""SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                count(*) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS gross,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  AS discount_amt,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS net,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(18,4))
+                  * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_amt,
+                CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(18,4))
+                  * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS charged
+              FROM lineitem GROUP BY 1 ORDER BY ship_year""")),
+
+    // ── order-value dispersion per market segment ────────────────────────
+    // Coefficient of variation of order values: the risk/heterogeneity
+    // readout per segment. One scaling join (customer grows — size-
+    // gated) into a 5-group moment census; Σd² rides a DECIMAL(38,0)
+    // sum (HUGEINT in the oracle) so the moments stay exact at any
+    // volume; sd/mean are IEEE ops on identical exact integers.
+    Q("q_order_value_cv",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as long) " +
+            "div 100").as("d"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("d")).cast("long").as("s"),
+          sum((col("d") * col("d")).cast(DecimalType(38, 0))).as("ss"))
+        .select(col("segment"), col("n_orders"),
+          (col("s").cast("double") / col("n_orders").cast("double"))
+            .as("mean_dollars"),
+          (sqrt(col("ss").cast("double") / col("n_orders").cast("double")
+            - (col("s").cast("double") / col("n_orders").cast("double"))
+            * (col("s").cast("double") / col("n_orders").cast("double")))
+            / (col("s").cast("double") / col("n_orders").cast("double")))
+            .as("cv"))
+        .orderBy("segment"),
+      Some("""WITH o AS (
+                SELECT o_custkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 100 AS d
+                FROM orders),
+              m AS (
+                SELECT c_mktsegment AS segment, count(*) AS n_orders,
+                  CAST(SUM(d) AS BIGINT) AS s,
+                  SUM(CAST(d * d AS HUGEINT)) AS ss
+                FROM o JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1)
+              SELECT segment, n_orders,
+                CAST(s AS DOUBLE) / n_orders AS mean_dollars,
+                sqrt(CAST(ss AS DOUBLE) / n_orders
+                  - (CAST(s AS DOUBLE) / n_orders)
+                  * (CAST(s AS DOUBLE) / n_orders))
+                  / (CAST(s AS DOUBLE) / n_orders) AS cv
+              FROM m ORDER BY segment""")),
+
+    // ── brand-pair basket affinity ───────────────────────────────────────
+    // Market-basket lift at the BRAND level: the alphabet (≤25 brands)
+    // bounds per-order fan-out at C(25,2) with no cap needed — the
+    // q_also_bought shape where the key space itself is the guard. The
+    // distinct (order, brand) projection is persisted (pair fan-out,
+    // brand marginals and the order total all read one join); pairs fan
+    // out ROW-LOCALLY from the sorted per-order brand set.
+    Q("q_brand_affinity",
+      (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+          .persist()
+        val pairs = ob.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+          .select(explode(expr(
+            """flatten(transform(bs, (x, i) ->
+                 transform(slice(bs, i + 2, size(bs)),
+                   y -> struct(x AS ba, y AS bb))))""")).as("p"))
+          .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
+          .agg(count(lit(1)).as("n_both"))
+        val sz = ob.groupBy("p_brand").agg(count(lit(1)).as("n"))
+        val tot = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        pairs
+          .join(sz.select(col("p_brand").as("ba"), col("n").as("n_a")),
+            Seq("ba"))
+          .join(sz.select(col("p_brand").as("bb"), col("n").as("n_b")),
+            Seq("bb"))
+          .crossJoin(broadcast(tot))
+          .select(col("ba"), col("bb"), col("n_both"),
+            (col("n_both").cast("double") * col("n_orders").cast("double")
+              / (col("n_a").cast("double") * col("n_b").cast("double")))
+              .as("lift"))
+          .orderBy("ba", "bb")
+      },
+      Some("""WITH ob AS (
+                SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              pairs AS (
+                SELECT a.p_brand AS ba, b.p_brand AS bb,
+                  CAST(count(*) AS BIGINT) AS n_both
+                FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                  AND a.p_brand < b.p_brand
+                GROUP BY 1, 2),
+              sz AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+                     FROM ob GROUP BY 1),
+              tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                        AS n_orders FROM ob)
+              SELECT ba, bb, n_both,
+                CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                  / (CAST(za.n AS DOUBLE) * CAST(zb.n AS DOUBLE)) AS lift
+              FROM pairs JOIN sz za ON ba = za.p_brand
+                JOIN sz zb ON bb = zb.p_brand, tot
+              ORDER BY ba, bb"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
