@@ -190,6 +190,14 @@ object PlanDump {
       || q_seasonality_index | ≤35-cell dow×type census | per-type marginal + per-dow marginal + total + index join | **persisted** (budget guard 0) |
       || q_deep_discount | (p_type, basis-point) joined frame | per-type moment census + 2σ threshold pass | **persisted** (budget guard 0) |
       || q_trade_matrix / q_returns_by_brand / q_customer_migration | — | single consumer chain | **single plan** |
+      || q_bleu_pairs | per-doc unigram + bigram censuses | candidate side, d+20 reference side, length frame | **persisted both** (budget guard 0) |
+      || q_token_coverage | vocab census | RangeRank total order + (total, vocab_n) agg | **persisted** (budget guard 0) |
+      || q_decile_transition | CASE-split per-customer halves | 2 RangeRank decile passes + the base join | **persisted** (budget guard 0) |
+      || q_type_share_drift | (week, type) census | weekly totals + share/drift frame | **persisted** (budget guard 0) |
+      || q_doc_prefix_dup | prefix projection | class census + per-source rejoin | **persisted** (budget guard 0) |
+      || q_brand_affinity | distinct (order, brand) projection | pair fan-out + brand marginals + order total | **persisted** (budget guard 0) |
+      || q_token_gini / q_inter_event_quantiles | census → RangeRank | RangeRank's internal range-parted persist | **single plan** (budget guard 0) |
+      || q_cramers_v / q_char_entropy / q_trigram_hapax / q_user_lifespan / q_discount_quantity_curve / q_margin_waterfall / q_order_value_cv / q_runs_test | — | single consumer chain (window marginals live on the census, not a rescan) | **single plan** |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

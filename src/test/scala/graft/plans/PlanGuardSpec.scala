@@ -676,7 +676,21 @@ class PlanGuardSpec extends SparkSpec {
       "q_deep_discount" -> 0, // persisted (p_type, bp) frame: moments + threshold pass
       "q_trade_matrix" -> 4, // single 4-table chain to the nation² census
       "q_returns_by_brand" -> 2, // single li⋈part chain to the brand census
-      "q_customer_migration" -> 1) // ONE orders scan, CASE-split halves
+      "q_customer_migration" -> 1, // ONE orders scan, CASE-split halves
+      // round-6 growth batches
+      "q_bleu_pairs" -> 0, // persisted uni+bi censuses: cand/ref/len consumers
+      "q_token_coverage" -> 0, // persisted vocab census + RangeRank cache
+      "q_token_gini" -> 0, // census behind RangeRank's internal persist
+      "q_inter_event_quantiles" -> 0, // gaps behind RangeRank's internal persist
+      "q_decile_transition" -> 0, // persisted CASE-split halves, 3 consumers
+      "q_type_share_drift" -> 0, // persisted (week, type) census: totals + shares
+      "q_doc_prefix_dup" -> 0, // persisted prefix projection: class census + rejoin
+      "q_brand_affinity" -> 0, // persisted (order, brand): pairs + marginals + total
+      "q_trigram_hapax" -> 1, "q_char_entropy" -> 1, "q_user_lifespan" -> 1,
+      "q_discount_quantity_curve" -> 1, "q_margin_waterfall" -> 1,
+      "q_runs_test" -> 1, // ONE day census; windows live on the calendar frame
+      "q_cramers_v" -> 2, // single orders⋈customer chain to the ≤25-cell census
+      "q_order_value_cv" -> 2) // single orders⋈customer chain to 5 moment rows
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
