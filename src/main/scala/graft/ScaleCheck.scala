@@ -124,7 +124,12 @@ object ScaleCheck {
     "q_power_iteration",
     // final-bench stragglers ≥1 s: char-trigram census + RangeRank cut,
     // per-(part, supplier) argmax census, per-brand HHI census
-    "q_char_trigrams", "q_supplier_concentration", "q_hhi")
+    "q_char_trigrams", "q_supplier_concentration", "q_hhi",
+    // growth-batch ≥1 s additions: paired-census BLEU joins, bounded
+    // basket pair fan-out, twin RangeRank decile passes, user-lag +
+    // RangeRank gap quantiles, vocab-census coverage cut
+    "q_bleu_pairs", "q_brand_affinity", "q_decile_transition",
+    "q_inter_event_quantiles", "q_token_coverage")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

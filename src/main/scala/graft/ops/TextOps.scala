@@ -2005,9 +2005,13 @@ object TextOps {
       (s, dir) => {
         val wSrc = Window.partitionBy("source")
         t(s, dir, "documents")
-          .select(col("source"), explode(expr(
-            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-            .as("ch"))
+          // split("") is LINEAR per doc; the transform(sequence, i ->
+          // substring(text, i, 1)) alternative re-scans to the i-th
+          // codepoint per element — O(len²) per doc, a real cost on
+          // long documents. Trailing "" from Java's split(-1) filtered.
+          .select(col("source"),
+            explode(split(col("text"), "")).as("ch"))
+          .filter(col("ch") =!= "")
           .groupBy("source", "ch").agg(count(lit(1)).as("c"))
           .select(col("source"), col("ch"), col("c"),
             sum(col("c")).over(wSrc).cast("long").as("n"))
