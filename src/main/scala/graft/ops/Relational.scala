@@ -4515,7 +4515,186 @@ object Relational {
                   / (CAST(za.n AS DOUBLE) * CAST(zb.n AS DOUBLE)) AS lift
               FROM pairs JOIN sz za ON ba = za.p_brand
                 JOIN sz zb ON bb = zb.p_brand, tot
-              ORDER BY ba, bb"""))
+              ORDER BY ba, bb""")),
+
+    // ── customer spend-rank stability (Spearman H1 vs H2) ───────────────
+    // One number for "do the same customers stay big?": Spearman's ρ of
+    // H1 vs H2 spend ranks over customers active in BOTH halves. Each
+    // half's total order rides RangeRank (custkey tiebreak = a total
+    // order, the documented tie rule — identical in the oracle, so
+    // parity is by construction); Σd² crosses the shuffle as
+    // DECIMAL(38,0)/HUGEINT; ρ's denominator n(n²−1) is evaluated in
+    // doubles (n³ overflows int64 at ~10⁹ customers).
+    Q("q_spearman_customers",
+      (s, dir) => {
+        val cut = lit("1995-07-01").cast("timestamp")
+        val per = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            (sum(when(col("o_orderdate") < cut, dec2(col("o_totalprice")))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("c1"),
+            (sum(when(col("o_orderdate") >= cut, dec2(col("o_totalprice")))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("c2"))
+          .filter(col("c1") > 0 && col("c2") > 0)
+          .persist()
+        def rk(c: String, out: String) =
+          RangeRank.ranked(per.select(col("o_custkey"), col(c)),
+              Seq.empty, Seq(col(c), col("o_custkey")), nName = None)
+            .select(col("o_custkey"), col("rn").as(out))
+        rk("c1", "r1").join(rk("c2", "r2"), "o_custkey")
+          .select(((col("r1") - col("r2")) * (col("r1") - col("r2")))
+            .cast(DecimalType(38, 0)).as("d2"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("d2")).cast("double").as("sum_d2"))
+          .select(col("n_customers"), col("sum_d2"),
+            (lit(1.0) - lit(6.0) * col("sum_d2")
+              / (col("n_customers").cast("double")
+                * (col("n_customers").cast("double")
+                  * col("n_customers").cast("double") - 1.0))).as("rho"))
+      },
+      Some("""WITH per AS (
+                SELECT o_custkey,
+                  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-07-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-07-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c2
+                FROM orders GROUP BY 1),
+              b AS (SELECT * FROM per WHERE c1 > 0 AND c2 > 0),
+              r AS (
+                SELECT o_custkey,
+                  CAST(row_number() OVER (ORDER BY c1, o_custkey) AS BIGINT)
+                    AS r1,
+                  CAST(row_number() OVER (ORDER BY c2, o_custkey) AS BIGINT)
+                    AS r2
+                FROM b),
+              d AS (
+                SELECT count(*) AS n_customers,
+                  CAST(SUM(CAST((r1 - r2) * (r1 - r2) AS HUGEINT))
+                    AS DOUBLE) AS sum_d2
+                FROM r)
+              SELECT n_customers, sum_d2,
+                1.0 - 6.0 * sum_d2 / (CAST(n_customers AS DOUBLE)
+                  * (CAST(n_customers AS DOUBLE)
+                    * CAST(n_customers AS DOUBLE) - 1.0)) AS rho
+              FROM d""")),
+
+    // ── supplier-nation revenue trend (grouped OLS over years) ──────────
+    // Trend mining: per supplier nation, the OLS slope of yearly
+    // revenue — which nations are growing? The q_price_elasticity
+    // five-integer-sum discipline on the (nation, year) census: slope
+    // arithmetic runs on exact BIGINT sums (x = year−1995 ≤ 7), one
+    // IEEE division at the end. Supplier join is un-hinted (scales).
+    Q("q_supplier_trend",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_shipdate"),
+            dec2(col("l_extendedprice")).as("p"))
+          .join(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").cast("long").as("nation"),
+            (year(col("l_shipdate")) - 1995).cast("long").as("x"))
+          .agg(expr("cast(cast(sum(p) * 100 as long) div 100 as long)")
+            .as("y"))
+        cen.groupBy("nation")
+          .agg(count(lit(1)).as("n_years"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("nation"), col("n_years"),
+            col("sy").cast("long").as("total_dollars"),
+            when(col("n_years") * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("n_years") * col("sxy")
+                - col("sx") * col("sy")).cast("double")
+                / (col("n_years") * col("sxx")
+                  - col("sx") * col("sx")).cast("double"))
+              .as("slope_dollars_per_year"))
+          .orderBy("nation")
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(s_nationkey AS BIGINT) AS nation,
+                  CAST(year(l_shipdate) - 1995 AS BIGINT) AS x,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) // 100 AS y
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1, 2)
+              SELECT nation, count(*) AS n_years,
+                CAST(SUM(y) AS BIGINT) AS total_dollars,
+                CASE WHEN count(*) * SUM(x * x) - SUM(x) * SUM(x) = 0
+                  THEN NULL
+                  ELSE CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y)
+                    AS DOUBLE)
+                    / CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x)
+                      AS DOUBLE) END AS slope_dollars_per_year
+              FROM cen GROUP BY 1 ORDER BY nation""")),
+
+    // ── weekend effect per market segment ────────────────────────────────
+    // Does order value differ on weekends? Day-of-week from the
+    // engine-neutral (epoch_days + 4) % 7 formula (Spark and DuckDB
+    // disagree on dayofweek numbering — the q_tumbling_window rule);
+    // ONE CASE-split partial+final agg per segment, exact cents, two
+    // guarded IEEE divisions.
+    Q("q_weekend_effect",
+      (s, dir) => {
+        val dow = (datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")) + 4) % 7
+        t(s, dir, "orders")
+          .select(col("o_custkey"), dec2(col("o_totalprice")).as("p"),
+            (dow === 0 || dow === 6).as("is_we"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("segment")
+          .agg(sum(when(col("is_we"), 1L).otherwise(0L)).as("n_we"),
+            sum(when(!col("is_we"), 1L).otherwise(0L)).as("n_wd"),
+            (sum(when(col("is_we"), col("p"))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("we_cents"),
+            (sum(when(!col("is_we"), col("p"))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+              .cast("long").as("wd_cents"))
+          .select(col("segment"), col("n_we"), col("n_wd"),
+            when(col("n_we") === 0 || col("n_wd") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("we_cents").cast("double")
+                / col("n_we").cast("double"))
+                / (col("wd_cents").cast("double")
+                  / col("n_wd").cast("double"))).as("value_ratio"),
+            (col("n_we").cast("double")
+              / (col("n_we") + col("n_wd")).cast("double"))
+              .as("weekend_volume_share"))
+          .orderBy("segment")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                  (date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) + 4) % 7 IN (0, 6) AS is_we
+                FROM orders),
+              m AS (
+                SELECT c_mktsegment AS segment,
+                  CAST(SUM(CASE WHEN is_we THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_we,
+                  CAST(SUM(CASE WHEN is_we THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_wd,
+                  CAST(SUM(CASE WHEN is_we THEN p
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+                    AS we_cents,
+                  CAST(SUM(CASE WHEN is_we THEN CAST(0 AS DECIMAL(18,2))
+                    ELSE p END) * 100 AS BIGINT) AS wd_cents
+                FROM o JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1)
+              SELECT segment, n_we, n_wd,
+                CASE WHEN n_we = 0 OR n_wd = 0 THEN NULL
+                  ELSE (CAST(we_cents AS DOUBLE) / n_we)
+                    / (CAST(wd_cents AS DOUBLE) / n_wd) END AS value_ratio,
+                CAST(n_we AS DOUBLE) / CAST(n_we + n_wd AS DOUBLE)
+                  AS weekend_volume_share
+              FROM m ORDER BY segment"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

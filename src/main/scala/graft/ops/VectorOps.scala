@@ -618,7 +618,42 @@ object VectorOps {
               .as("cos_to_global"))
           .orderBy("label")
       },
-      None)
+      None),
+
+    // ── pairwise cosine-similarity histogram ─────────────────────────────
+    // The embedding-space geometry audit: cosine of each vector against
+    // the vector 250 ids later (a deterministic fixed-offset pairing —
+    // an equi-join on the id key, NEVER corpus²), folded into 0.1-wide
+    // bands. graft_dot runs codegen'd row-locally; both engines derive
+    // the band from identical IEEE doubles, so the floor boundary
+    // cannot flip. Output ≤21 rows at any SF.
+    Q("q_cosine_histogram",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+        val right = emb.select((col("vec_id") - 250).as("vec_id"),
+          col("embedding").as("r_emb"), col("n2").as("r_n2"))
+        emb.join(right, "vec_id")
+          .select((dot(col("embedding"), col("r_emb"))
+            / sqrt(col("n2") * col("r_n2"))).as("cos"))
+          .groupBy(floor(col("cos") * 10).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+          .orderBy("band")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, embedding,
+                  ${duckDot("embedding", "embedding")} AS n2
+                FROM embeddings),
+              p AS (
+                SELECT ${duckDot("a.embedding", "b.embedding")}
+                    / sqrt(a.n2 * b.n2) AS cos
+                FROM e a JOIN e b ON b.vec_id = a.vec_id + 250)
+              SELECT CAST(floor(cos * 10) AS BIGINT) AS band,
+                count(*) AS n_pairs,
+                MIN(cos) AS min_cos, MAX(cos) AS max_cos
+              FROM p GROUP BY 1 ORDER BY band"""))
   )
 
   /** The q_power_iteration engine, exposed so the spec can compare
