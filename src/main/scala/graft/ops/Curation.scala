@@ -1648,6 +1648,64 @@ object Curation {
                 CAST(SUM(CASE WHEN class_n >= 2 THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*) AS boilerplate_share
               FROM pre JOIN cls ON pre.prefix = cls.prefix
-              GROUP BY 1 ORDER BY source"""))
+              GROUP BY 1 ORDER BY source""")),
+
+    // ── train/val/test split balance audit ──────────────────────────────
+    // Is q_dataset_split's residue-rule split lang-representative? Per
+    // split, the max absolute deviation of any language's share from
+    // its corpus share. ONE (split, lang) census, persisted — split
+    // totals, lang totals and the corpus total all derive from it
+    // (census-over-census, zero rescans); deviations are IEEE
+    // subtractions of exact-count divisions.
+    Q("q_split_balance",
+      (s, dir) => {
+        val bucket = expr(
+          "pmod((doc_id % 2147483648) * 2654435761, 4294967296) % 100")
+        val cells = t(s, dir, "documents")
+          .select(when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"), col("lang"))
+          .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+          .persist()
+        val spl = cells.groupBy("split").agg(sum(col("n")).as("n_split"))
+        val lng = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+        val tot = cells.agg(sum(col("n")).as("n_all"))
+        cells.join(spl, "split").join(lng, "lang")
+          .crossJoin(broadcast(tot))
+          .select(col("split"), col("n_split"),
+            abs(col("n").cast("double") / col("n_split").cast("double")
+              - col("n_lang").cast("double") / col("n_all").cast("double"))
+              .as("dev"))
+          .groupBy("split")
+          .agg(max(col("n_split")).cast("long").as("n_docs"),
+            count(lit(1)).cast("long").as("n_langs"),
+            max(col("dev")).as("max_abs_dev"))
+          .orderBy("split")
+      },
+      Some("""WITH cells AS (
+                SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761
+                             % 4294967296 + 4294967296) % 4294967296
+                             % 100 < 80 THEN 'train'
+                       WHEN ((doc_id % 2147483648) * 2654435761
+                             % 4294967296 + 4294967296) % 4294967296
+                             % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                  lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1, 2),
+              spl AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_split
+                      FROM cells GROUP BY 1),
+              lng AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+                      FROM cells GROUP BY 1),
+              tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells),
+              dev AS (
+                SELECT cells.split, n_split,
+                  abs(CAST(n AS DOUBLE) / CAST(n_split AS DOUBLE)
+                    - CAST(n_lang AS DOUBLE) / CAST(n_all AS DOUBLE))
+                    AS dev
+                FROM cells JOIN spl ON cells.split = spl.split
+                  JOIN lng ON cells.lang = lng.lang, tot)
+              SELECT split, CAST(MAX(n_split) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_langs,
+                MAX(dev) AS max_abs_dev
+              FROM dev GROUP BY 1 ORDER BY split"""))
   )
 }

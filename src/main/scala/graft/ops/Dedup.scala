@@ -892,6 +892,38 @@ object Dedup {
               FROM pairs
                 JOIN per pa ON src_a = pa.source
                 JOIN per pb ON src_b = pb.source
-              ORDER BY src_a, src_b"""))
+              ORDER BY src_a, src_b""")),
+
+    // ── cross-shard duplicate audit ──────────────────────────────────────
+    // Does the export sharding split duplicate classes across shards?
+    // (It should — q_export_shards hashes by doc_id, not content — and
+    // this measures exactly how much, the readout a dedupe-before-shard
+    // pipeline gate needs.) Class key = md5 of the leading 100 chars
+    // (the head fingerprint: catches exact dups AND shared-boilerplate
+    // heads, and stays non-degenerate at every test SF where full-text
+    // exact dups are rare). One scan → class census with a distinct-
+    // shard count, collapsed to the ≤16-row span histogram. Shard id =
+    // q_export_shards' masked Knuth hash (overflow-guarded).
+    Q("q_cross_shard_dup",
+      (s, dir) => t(s, dir, "documents")
+        .select(md5(substring(col("text"), 1, 100)).as("h"),
+          expr("pmod((doc_id % 2147483648) * 2654435761, 16)").as("shard"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("shard")).cast("long").as("n_shards"))
+        .filter(col("n_docs") >= 2)
+        .groupBy("n_shards")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("n_docs")).cast("long").as("n_dup_docs"))
+        .orderBy("n_shards"),
+      Some("""WITH cls AS (
+                SELECT md5(substring(text, 1, 100)) AS h, count(*) AS n_docs,
+                  CAST(count(DISTINCT
+                    (((doc_id % 2147483648) * 2654435761 % 16) + 16) % 16)
+                    AS BIGINT) AS n_shards
+                FROM documents GROUP BY 1 HAVING count(*) >= 2)
+              SELECT n_shards, count(*) AS n_classes,
+                CAST(SUM(n_docs) AS BIGINT) AS n_dup_docs
+              FROM cls GROUP BY 1 ORDER BY n_shards"""))
   )
 }

@@ -2136,7 +2136,68 @@ object EventTime {
                   ELSE (CAST(n_runs AS DOUBLE) - mu)
                     / sqrt((mu - 1.0) * (mu - 2.0)
                       / CAST(n_plus + n_minus - 1 AS DOUBLE)) END AS z
-              FROM m"""))
+              FROM m""")),
+
+    // ── payload-key fill-rate drift (schema drift monitor) ──────────────
+    // Which JSON payload keys are appearing/disappearing week over
+    // week? The projected (week, keys) frame is persisted — the weekly
+    // event totals AND the key explode both read it (one events scan);
+    // fill rates, WoW deltas and the per-key argmax live on the
+    // calendar × key-vocabulary frame.
+    Q("q_payload_key_drift",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .select(date_trunc("week", col("ts")).cast("date").as("week"),
+            expr("json_object_keys(props)").as("ks"))
+          .persist()
+        val wk = base.groupBy("week").agg(count(lit(1)).as("n_week"))
+        val cells = base
+          .select(col("week"), explode(col("ks")).as("key"))
+          .groupBy("week", "key").agg(count(lit(1)).as("n"))
+        val wLag = Window.partitionBy("key").orderBy("week")
+        val pick = Window.partitionBy("key")
+          .orderBy(col("abs_drift").desc, col("week"))
+        cells.join(wk, "week")
+          .select(col("key"), col("week"),
+            (col("n").cast("double") / col("n_week").cast("double"))
+              .as("fill"))
+          .withColumn("drift", col("fill") - lag(col("fill"), 1).over(wLag))
+          .filter(col("drift").isNotNull)
+          .withColumn("abs_drift", abs(col("drift")))
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("key"),
+            date_format(col("week"), "yyyy-MM-dd").as("peak_week"),
+            col("fill"), col("drift"))
+          .orderBy("key")
+      },
+      Some("""WITH base AS (
+                SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                  json_keys(props) AS ks
+                FROM events),
+              wk AS (SELECT week, CAST(count(*) AS BIGINT) AS n_week
+                     FROM base GROUP BY 1),
+              cells AS (
+                SELECT week, key, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT week, unnest(ks) AS key FROM base)
+                GROUP BY 1, 2),
+              f AS (
+                SELECT key, cells.week,
+                  CAST(n AS DOUBLE) / CAST(n_week AS DOUBLE) AS fill
+                FROM cells JOIN wk ON cells.week = wk.week),
+              d AS (
+                SELECT key, week, fill,
+                  fill - lag(fill) OVER (PARTITION BY key ORDER BY week)
+                    AS drift
+                FROM f),
+              r AS (
+                SELECT key, week, fill, drift,
+                  row_number() OVER (PARTITION BY key
+                    ORDER BY abs(drift) DESC, week) AS rn
+                FROM d WHERE drift IS NOT NULL)
+              SELECT key, strftime(week, '%Y-%m-%d') AS peak_week,
+                fill, drift
+              FROM r WHERE rn = 1 ORDER BY key"""))
   )
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents

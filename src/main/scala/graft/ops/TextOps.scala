@@ -2050,7 +2050,61 @@ object TextOps {
                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY ch)), (a, x) -> a + x), 12)
                   AS entropy_bits
-              FROM terms GROUP BY 1 ORDER BY source"""))
+              FROM terms GROUP BY 1 ORDER BY source""")),
+
+    // ── source-signature keywords (tf-idf at SOURCE granularity) ────────
+    // What distinguishes each source's vocabulary? Source-level tf-idf:
+    // tf from the persisted (source, token) census, df = #sources
+    // carrying the token (catalog-bounded), idf = ln((1+S)/(1+df))
+    // rounded to 12 decimals BEFORE ranking (libm ln is not
+    // cross-engine exact; rounded scores make the rank total order
+    // engine-stable with the token tiebreak). Top-5 per source rides
+    // RangeRank — the vocabulary grows with the corpus, a per-source
+    // single-task window would funnel it.
+    Q("q_source_keywords",
+      (s, dir) => {
+        val cen = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .persist()
+        val df = cen.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nS = cen.agg(countDistinct(col("source")).as("n_sources"))
+        val scored = cen.join(df, "tok").crossJoin(broadcast(nS))
+          .select(col("source"), col("tok"),
+            round(col("c").cast("double")
+              * log((lit(1.0) + col("n_sources").cast("double"))
+                / (lit(1.0) + col("df").cast("double"))), 12).as("score"))
+        RangeRank.ranked(scored, Seq("source"),
+            Seq(col("score").desc, col("tok")), nName = None)
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("rn").as("rank"), col("tok"),
+            col("score"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH cen AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY 1, 2),
+              df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                     FROM cen GROUP BY 1),
+              ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT)
+                       AS n_sources FROM cen),
+              scored AS (
+                SELECT source, cen.tok,
+                  round(CAST(c AS DOUBLE)
+                    * ln((1.0 + CAST(n_sources AS DOUBLE))
+                      / (1.0 + CAST(df AS DOUBLE))), 12) AS score
+                FROM cen JOIN df ON cen.tok = df.tok, ns),
+              r AS (
+                SELECT source, tok, score,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score DESC, tok) AS BIGINT) AS rn
+                FROM scored)
+              SELECT source, rn AS rank, tok, score
+              FROM r WHERE rn <= 5 ORDER BY source, rank"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
