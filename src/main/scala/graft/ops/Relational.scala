@@ -4694,7 +4694,118 @@ object Relational {
                     / (CAST(wd_cents AS DOUBLE) / n_wd) END AS value_ratio,
                 CAST(n_we AS DOUBLE) / CAST(n_we + n_wd AS DOUBLE)
                   AS weekend_volume_share
-              FROM m ORDER BY segment"""))
+              FROM m ORDER BY segment""")),
+
+    // ── catalog cold-start audit ─────────────────────────────────────────
+    // Parts that have never shipped a line, by brand — the dead-stock /
+    // catalog-coverage readout. LEFT ANTI against the DISTINCT partkey
+    // set (the fact table collapses to its key census before the join —
+    // at 100 TB the anti-join probe is |parts|, not |lineitem|);
+    // brand census output.
+    Q("q_cold_start_parts",
+      (s, dir) => {
+        val part = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        val sold = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+        val cold = part.join(sold,
+            col("p_partkey") === col("l_partkey"), "left_anti")
+          .groupBy("p_brand").agg(count(lit(1)).as("n_cold"))
+        part.groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+          .join(cold, Seq("p_brand"), "left")
+          .select(col("p_brand"), col("n_parts"),
+            coalesce(col("n_cold"), lit(0L)).as("n_cold"),
+            (coalesce(col("n_cold"), lit(0L)).cast("double")
+              / col("n_parts").cast("double")).as("cold_share"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+              cold AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS n_cold
+                FROM part WHERE p_partkey NOT IN (SELECT * FROM sold)
+                GROUP BY 1),
+              tot AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+                      FROM part GROUP BY 1)
+              SELECT tot.p_brand, n_parts,
+                coalesce(n_cold, 0) AS n_cold,
+                CAST(coalesce(n_cold, 0) AS DOUBLE)
+                  / CAST(n_parts AS DOUBLE) AS cold_share
+              FROM tot LEFT JOIN cold ON tot.p_brand = cold.p_brand
+              ORDER BY tot.p_brand""")),
+
+    // ── order depth ↔ value correlation ─────────────────────────────────
+    // Pearson r between lines-per-order and order value. The fact table
+    // collapses to a per-order (depth, cents) frame first (co-
+    // partitioned fact-fact key), then ONE moment agg: r's six sums
+    // stay exact (Σy² and Σxy ride DECIMAL(38,0)/HUGEINT — y is cents),
+    // and r is IEEE arithmetic on identical integers.
+    Q("q_depth_value_corr",
+      (s, dir) => {
+        val depth = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).as("x"))
+        val per = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as long)" +
+              " div 100").as("y"))
+          .join(depth, col("o_orderkey") === col("l_orderkey"))
+        per.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+            sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+          .select(col("n"),
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double"))
+                * sqrt(col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("pearson_r"))
+      },
+      Some("""WITH depth AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+                FROM lineitem GROUP BY 1),
+              per AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) // 100 AS y, x
+                FROM orders JOIN depth ON o_orderkey = l_orderkey),
+              m AS (
+                SELECT count(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  SUM(CAST(x * y AS HUGEINT)) AS sxy,
+                  SUM(CAST(y * y AS HUGEINT)) AS syy
+                FROM per)
+              SELECT n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS pearson_r
+              FROM m""")),
+
+    // ── multi-sourcing depth histogram ───────────────────────────────────
+    // How many suppliers does each part actually ship from? Distinct
+    // (part, supplier) census → per-part supplier count → bounded
+    // histogram. The sourcing-resilience twin of
+    // q_supplier_concentration (which measures the top supplier's
+    // share; this measures the breadth).
+    Q("q_multisource_depth",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+        .groupBy("n_suppliers")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("n_suppliers"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                          FROM lineitem),
+              d AS (SELECT l_partkey, CAST(count(*) AS BIGINT)
+                      AS n_suppliers FROM ps GROUP BY 1)
+              SELECT n_suppliers, count(*) AS n_parts
+              FROM d GROUP BY 1 ORDER BY n_suppliers"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
