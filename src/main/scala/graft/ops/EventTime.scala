@@ -1859,23 +1859,7 @@ object EventTime {
     // marginals are census-over-census; the index is exact-count
     // arithmetic with two divisions, NULL-free by construction.
     Q("q_seasonality_index",
-      (s, dir) => {
-        val cells = t(s, dir, "events")
-          .select(dayofweek(col("ts")).cast("long").as("dow"),
-            col("event_type"))
-          .groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
-          .persist()
-        val perType = cells.groupBy("event_type").agg(sum(col("n")).as("n_type"))
-        val perDow = cells.groupBy("dow").agg(sum(col("n")).as("n_dow"))
-        val tot = cells.agg(sum(col("n")).as("n_all"))
-        cells.join(perType, "event_type").join(perDow, "dow")
-          .crossJoin(broadcast(tot))
-          .select(col("dow"), col("event_type"), col("n"),
-            ((col("n").cast("double") / col("n_type").cast("double"))
-              / (col("n_dow").cast("double") / col("n_all").cast("double")))
-              .as("seasonal_index"))
-          .orderBy("dow", "event_type")
-      },
+      (s, dir) => seasonIdxFinish(seasonIdxCounts(t(s, dir, "events"))),
       Some("""WITH cells AS (
                 SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, event_type,
                   CAST(count(*) AS BIGINT) AS n
@@ -2008,30 +1992,7 @@ object EventTime {
     // counts, so the deltas — and the tie-broken argmax pick — are
     // bit-identical between engines.
     Q("q_type_share_drift",
-      (s, dir) => {
-        val cells = t(s, dir, "events")
-          .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .persist()
-        val tot = cells.groupBy("week").agg(sum(col("n")).as("n_week"))
-        val wLag = Window.partitionBy("event_type").orderBy("week")
-        val pick = Window.partitionBy("event_type")
-          .orderBy(col("abs_drift").desc, col("week"))
-        cells.join(tot, "week")
-          .select(col("event_type"), col("week"),
-            (col("n").cast("double") / col("n_week").cast("double"))
-              .as("share"))
-          .withColumn("drift", col("share") - lag(col("share"), 1).over(wLag))
-          .filter(col("drift").isNotNull)
-          .withColumn("abs_drift", abs(col("drift")))
-          .withColumn("rn", row_number().over(pick))
-          .filter(col("rn") === 1)
-          .select(col("event_type"),
-            date_format(col("week"), "yyyy-MM-dd").as("peak_week"),
-            col("share"), col("drift"))
-          .orderBy("event_type")
-      },
+      (s, dir) => typeShareFinish(typeShareCounts(t(s, dir, "events"))),
       Some("""WITH cells AS (
                 SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
                   event_type, CAST(count(*) AS BIGINT) AS n
@@ -2199,6 +2160,67 @@ object EventTime {
                 fill, drift
               FROM r WHERE rn = 1 ORDER BY key"""))
   )
+
+  /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type
+    * count census — mergeable Complete-mode streaming state (exact
+    * counts), shared by batch q_seasonality_index and its twin.
+    */
+  def seasonIdxCounts(events: DataFrame): DataFrame =
+    events
+      .select(dayofweek(col("ts")).cast("long").as("dow"), col("event_type"))
+      .groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
+
+  /** Readout of [[seasonIdxCounts]] (batch or drained stream state):
+    * marginals are census-over-census; the index is exact-count
+    * arithmetic with two IEEE divisions — drained ≡ batch exactly.
+    */
+  def seasonIdxFinish(cells0: DataFrame): DataFrame = {
+    val cells = cells0.persist()
+    val perType = cells.groupBy("event_type").agg(sum(col("n")).as("n_type"))
+    val perDow = cells.groupBy("dow").agg(sum(col("n")).as("n_dow"))
+    val tot = cells.agg(sum(col("n")).as("n_all"))
+    cells.join(perType, "event_type").join(perDow, "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("event_type"), col("n"),
+        ((col("n").cast("double") / col("n_type").cast("double"))
+          / (col("n_dow").cast("double") / col("n_all").cast("double")))
+          .as("seasonal_index"))
+      .orderBy("dow", "event_type")
+  }
+
+  /** Type-mix drift sufficient statistic: the calendar × types weekly
+    * count census — mergeable Complete-mode streaming state.
+    */
+  def typeShareCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Readout of [[typeShareCounts]]: weekly shares, WoW deltas and the
+    * per-type argmax all live on the calendar × types frame; shares are
+    * IEEE divisions of exact counts so drained ≡ batch exactly.
+    */
+  def typeShareFinish(cells0: DataFrame): DataFrame = {
+    val cells = cells0.persist()
+    val tot = cells.groupBy("week").agg(sum(col("n")).as("n_week"))
+    val wLag = Window.partitionBy("event_type").orderBy("week")
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("abs_drift").desc, col("week"))
+    cells.join(tot, "week")
+      .select(col("event_type"), col("week"),
+        (col("n").cast("double") / col("n_week").cast("double"))
+          .as("share"))
+      .withColumn("drift", col("share") - lag(col("share"), 1).over(wLag))
+      .filter(col("drift").isNotNull)
+      .withColumn("abs_drift", abs(col("drift")))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        date_format(col("week"), "yyyy-MM-dd").as("peak_week"),
+        col("share"), col("drift"))
+      .orderBy("event_type")
+  }
 
   /** CUSUM sufficient statistic: the (priority, day) revenue-cents
     * census. Mergeable (a decimal-sum census finalized to cents by a

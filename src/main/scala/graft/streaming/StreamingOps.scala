@@ -736,6 +736,24 @@ object StreamingOps {
   def seasonalityCounts(events: DataFrame): DataFrame =
     graft.ops.EventTime.seasonCounts(events)
 
+  /** Streaming half of q_seasonality_index — the live weekday-profile
+    * monitor. The ≤7×|types| dow×type count census is mergeable
+    * Complete-mode state; [[graft.ops.EventTime.seasonIdxFinish]] over
+    * the drained state equals batch q_seasonality_index EXACTLY at any
+    * trigger (exact counts, two IEEE divisions per cell).
+    */
+  def seasonIdxCounts(events: DataFrame): DataFrame =
+    graft.ops.EventTime.seasonIdxCounts(events)
+
+  /** Streaming half of q_type_share_drift — the live mix-shift monitor.
+    * State = the calendar × types weekly count census (grows with time,
+    * not volume); [[graft.ops.EventTime.typeShareFinish]] over the
+    * drained state equals batch q_type_share_drift EXACTLY at any
+    * trigger.
+    */
+  def typeShareCounts(events: DataFrame): DataFrame =
+    graft.ops.EventTime.typeShareCounts(events)
+
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_name", StringType),

@@ -707,6 +707,36 @@ class StreamingSpec extends SparkSpec {
       "drained seasonality census diverged from batch")
   }
 
+  test("drained dow×type census finishes to batch q_seasonality_index exactly") {
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.seasonIdxCounts(
+        StreamingOps.readEventStream(spark, batchDir)),
+      "t_seasonidx", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.seasonIdxFinish(census).collect()
+      .map(_.toSeq.toList).toSet
+    val batch = SparkEntry.queries("q_seasonality_index")(spark, sfDir)
+      .collect().map(_.toSeq.toList).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained dow×type census diverged from batch seasonality index")
+  }
+
+  test("drained weekly type census finishes to batch q_type_share_drift exactly") {
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.typeShareCounts(
+        StreamingOps.readEventStream(spark, batchDir)),
+      "t_typeshare", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.typeShareFinish(census).collect()
+      .map(_.toSeq.toList).toSet
+    val batch = SparkEntry.queries("q_type_share_drift")(spark, sfDir)
+      .collect().map(_.toSeq.toList).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained weekly type census diverged from batch mix drift")
+  }
+
   test("stateful EWMA's final per-user state is bit-equal to batch q_ewma") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
