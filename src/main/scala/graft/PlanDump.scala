@@ -198,6 +198,14 @@ object PlanDump {
       || q_brand_affinity | distinct (order, brand) projection | pair fan-out + brand marginals + order total | **persisted** (budget guard 0) |
       || q_token_gini / q_inter_event_quantiles | census → RangeRank | RangeRank's internal range-parted persist | **single plan** (budget guard 0) |
       || q_cramers_v / q_char_entropy / q_trigram_hapax / q_user_lifespan / q_discount_quantity_curve / q_margin_waterfall / q_order_value_cv / q_runs_test | — | single consumer chain (window marginals live on the census, not a rescan) | **single plan** |
+      || q_spearman_customers | CASE-split per-customer halves | 2 RangeRank rank passes + the d² join | **persisted** (budget guard 0) |
+      || q_split_balance | (split, lang) census | split totals + lang totals + corpus total + deviation join | **persisted** (budget guard 0) |
+      || q_source_keywords | (source, token) census | df census + source count + score join | **persisted** (budget guard 0) |
+      || q_payload_key_drift | (week, keys) projection | weekly totals + key explode | **persisted** (budget guard 0) |
+      || q_seasonality_index / q_type_share_drift | dow×type / week×type census | marginals + index (streaming twins share the census) | **persisted in finish** (budget guard 0) |
+      || q_cosine_histogram | embeddings self-join | left + right probe sides | **accepted 2 scans**: a 3-column columnar rescan beats caching the embedding corpus |
+      || q_cold_start_parts | part 2-column projection | anti side + brand totals | **accepted 2 scans** (stats-then-scan class) |
+      || q_supplier_trend / q_weekend_effect / q_cross_shard_dup / q_multisource_depth / q_depth_value_corr / q_brand_affinity (persisted ob) | — | single consumer chain | **single plan** |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -129,7 +129,9 @@ object ScaleCheck {
     // basket pair fan-out, twin RangeRank decile passes, user-lag +
     // RangeRank gap quantiles, vocab-census coverage cut
     "q_bleu_pairs", "q_brand_affinity", "q_decile_transition",
-    "q_inter_event_quantiles", "q_token_coverage")
+    "q_inter_event_quantiles", "q_token_coverage",
+    // closing batch: fact-scale distinct to the bounded depth histogram
+    "q_multisource_depth")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -690,7 +690,22 @@ class PlanGuardSpec extends SparkSpec {
       "q_discount_quantity_curve" -> 1, "q_margin_waterfall" -> 1,
       "q_runs_test" -> 1, // ONE day census; windows live on the calendar frame
       "q_cramers_v" -> 2, // single orders⋈customer chain to the ≤25-cell census
-      "q_order_value_cv" -> 2) // single orders⋈customer chain to 5 moment rows
+      "q_order_value_cv" -> 2, // single orders⋈customer chain to 5 moment rows
+      // round-6 closing batches (E/F/G/H)
+      "q_spearman_customers" -> 0, // persisted CASE-split halves, 2 rank passes
+      "q_split_balance" -> 0, // persisted (split, lang) census, 4 consumers
+      "q_source_keywords" -> 0, // persisted (source, token) census: df + nS + scores
+      "q_payload_key_drift" -> 0, // persisted (week, keys): totals + explode
+      "q_cosine_histogram" -> 2, // self-join: two pruned scans by design (no
+      // corpus-sized persist — a 3-column columnar rescan beats caching
+      // the embedding corpus)
+      "q_supplier_trend" -> 2, "q_weekend_effect" -> 2,
+      "q_cross_shard_dup" -> 1, "q_multisource_depth" -> 1,
+      "q_depth_value_corr" -> 2,
+      "q_cold_start_parts" -> 3, // part's 2-column scan appears on both the
+      // anti side and the totals side — stats-then-scan class, cheaper
+      // than caching the dimension
+      "q_type_share_drift" -> 0) // census+finish twin (seasonIdx already above)
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
