@@ -924,6 +924,33 @@ object Dedup {
                 FROM documents GROUP BY 1 HAVING count(*) >= 2)
               SELECT n_shards, count(*) AS n_classes,
                 CAST(SUM(n_docs) AS BIGINT) AS n_dup_docs
-              FROM cls GROUP BY 1 ORDER BY n_shards"""))
+              FROM cls GROUP BY 1 ORDER BY n_shards""")),
+
+    // ── candidate-pair Jaccard distribution ─────────────────────────────
+    // How selective is the J ≥ 0.3 dedup threshold? The exact-Jaccard
+    // histogram over ALL shared-shingle candidate pairs (no filter) —
+    // the readout that justifies a threshold choice. Rides the memoized
+    // shared pair core (one build per session, q_dedup_ngram's
+    // artifact); J is one IEEE division of exact intersect/union
+    // counts, so the 0.1-band floor cannot flip between engines.
+    Q("q_dup_jaccard_bands",
+      (s, dir) => shinglePairCore(s, dir)
+        .select((col("inter_sz").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter_sz")).cast("double"))
+          .as("j"))
+        .groupBy(floor(col("j") * 10).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("j")).as("min_j"), max(col("j")).as("max_j"))
+        .orderBy("band"),
+      Some(s"""WITH $ShingleBaseCtes,
+              j AS (
+                SELECT CAST(inter_sz AS DOUBLE)
+                  / CAST(za.n_sh + zb.n_sh - inter_sz AS DOUBLE) AS j
+                FROM pairs JOIN sizes za ON pairs.a = za.doc_id
+                  JOIN sizes zb ON pairs.b = zb.doc_id)
+              SELECT CAST(floor(j * 10) AS BIGINT) AS band,
+                count(*) AS n_pairs,
+                MIN(j) AS min_j, MAX(j) AS max_j
+              FROM j GROUP BY 1 ORDER BY band"""))
   )
 }

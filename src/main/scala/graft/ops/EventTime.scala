@@ -2158,7 +2158,59 @@ object EventTime {
                 FROM d WHERE drift IS NOT NULL)
               SELECT key, strftime(week, '%Y-%m-%d') AS peak_week,
                 fill, drift
-              FROM r WHERE rn = 1 ORDER BY key"""))
+              FROM r WHERE rn = 1 ORDER BY key""")),
+
+    // ── power-user concentration ─────────────────────────────────────────
+    // What share of all events comes from the top-1% / top-10% of
+    // users? The per-user census's total order rides RangeRank (user
+    // count grows with the population — the q_ltv_deciles shape on the
+    // event stream); coverage at each cut is the exact-integer
+    // inclusive prefix over the descending order.
+    Q("q_power_user_share",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        RangeRank.ranked(per, Seq.empty,
+            Seq(col("cnt").desc, col("user_id")),
+            prefixSums = Seq(RangeRank.PrefixSum(col("cnt"), "pre")))
+          .select(col("rn"), col("n"), col("cnt"), col("pre"))
+          .filter(col("rn") === expr("(n * 1 + 99) div 100")
+            || col("rn") === expr("(n * 10 + 99) div 100"))
+          .select(
+            when(col("rn") === expr("(n * 1 + 99) div 100"), 1L)
+              .otherwise(10L).as("top_pct"),
+            col("rn").as("n_top_users"), col("n").as("n_users"),
+            (col("pre") + col("cnt")).cast("long").as("covered_events"))
+          .groupBy("top_pct")
+          .agg(min(col("n_top_users")).as("n_top_users"),
+            min(col("n_users")).as("n_users"),
+            min(col("covered_events")).as("covered_events"))
+          .orderBy("top_pct")
+      },
+      Some("""WITH per AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1),
+              r AS (
+                SELECT cnt,
+                  CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+                    AS BIGINT) AS rn,
+                  COUNT(*) OVER () AS n,
+                  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM per),
+              hits AS (
+                SELECT CASE WHEN rn = (n * 1 + 99) // 100 THEN 1
+                       ELSE 10 END AS top_pct,
+                  rn AS n_top_users, n AS n_users, cum AS covered_events
+                FROM r
+                WHERE rn = (n * 1 + 99) // 100
+                   OR rn = (n * 10 + 99) // 100)
+              SELECT CAST(top_pct AS BIGINT) AS top_pct,
+                CAST(MIN(n_top_users) AS BIGINT) AS n_top_users,
+                CAST(MIN(n_users) AS BIGINT) AS n_users,
+                CAST(MIN(covered_events) AS BIGINT) AS covered_events
+              FROM hits GROUP BY 1 ORDER BY top_pct"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type

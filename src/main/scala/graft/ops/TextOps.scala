@@ -2104,7 +2104,112 @@ object TextOps {
                     ORDER BY score DESC, tok) AS BIGINT) AS rn
                 FROM scored)
               SELECT source, rn AS rank, tok, score
-              FROM r WHERE rn <= 5 ORDER BY source, rank"""))
+              FROM r WHERE rn <= 5 ORDER BY source, rank""")),
+
+    // ── corpus-level BLEU-2 ──────────────────────────────────────────────
+    // The standard corpus BLEU aggregation over q_bleu_pairs' pairing:
+    // clipped and candidate counts SUM across pairs before the
+    // precision division (corpus BLEU ≠ mean of sentence BLEUs). Same
+    // persisted per-doc censuses; bleu2 = sqrt(p1·p2) (geometric mean —
+    // no libm exp), length ratio reported raw instead of the exp-based
+    // brevity penalty for the same cross-engine-exactness reason.
+    Q("q_bleu_corpus",
+      (s, dir) => {
+        val tl = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val u = tl.select(col("doc_id"), explode(col("toks")).as("g"))
+          .filter(col("g") =!= "")
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .persist()
+        val b = tl.select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                      i -> struct(toks[i] AS x, toks[i+1] AS y))
+               ELSE array() END""")).as("bg"))
+          .filter(col("bg.x") =!= "" && col("bg.y") =!= "")
+          .select(col("doc_id"),
+            concat(col("bg.x"), lit(" "), col("bg.y")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .persist()
+        def tot(cen: DataFrame, lenName: String, clipName: String) = {
+          val cand = cen.select(col("doc_id").as("pair"), col("g"), col("c"))
+          val ref = cen.select((col("doc_id") - 20).as("pair"),
+            col("g"), col("c").as("cr"))
+          // pair must EXIST (both docs present): semi via inner length join
+          val refLen = cen.groupBy("doc_id").agg(sum(col("c")).as("lr"))
+            .select((col("doc_id") - 20).as("pair"), col("lr"))
+          cand.join(ref, Seq("pair", "g"), "left")
+            .groupBy("pair")
+            .agg(sum(col("c")).as("len"),
+              sum(least(col("c"), coalesce(col("cr"), lit(0L)))).as("clip"))
+            .join(refLen, "pair")
+            .agg(sum(col("len")).cast("long").as(lenName),
+              sum(col("clip")).cast("long").as(clipName),
+              sum(col("lr")).cast("long").as(lenName + "_r"),
+              count(lit(1)).as("n_pairs"))
+        }
+        val t1 = tot(u, "len1", "clip1")
+        val t2 = tot(b, "len2", "clip2")
+          .select(col("len2"), col("clip2"))
+        t1.crossJoin(broadcast(t2))
+          .select(col("n_pairs"),
+            (col("clip1").cast("double") / col("len1").cast("double"))
+              .as("p1"),
+            (col("clip2").cast("double") / col("len2").cast("double"))
+              .as("p2"),
+            sqrt((col("clip1").cast("double") / col("len1").cast("double"))
+              * (col("clip2").cast("double") / col("len2").cast("double")))
+              .as("bleu2"),
+            (col("len1").cast("double") / col("len1_r").cast("double"))
+              .as("length_ratio"))
+      },
+      Some("""WITH tl AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              u AS (
+                SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest(toks) AS g FROM tl)
+                WHERE g <> '' GROUP BY 1, 2),
+              b AS (
+                SELECT doc_id, bg.x || ' ' || bg.y AS g,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id,
+                        unnest([{'x': toks[i], 'y': toks[i+1]}
+                          for i in generate_series(1, len(toks) - 1)]) AS bg
+                      FROM tl WHERE len(toks) >= 2)
+                WHERE bg.x <> '' AND bg.y <> '' GROUP BY 1, 2),
+              rl AS (SELECT doc_id - 20 AS pair, CAST(SUM(c) AS BIGINT) AS lr
+                     FROM u GROUP BY 1),
+              p1 AS (
+                SELECT cu.doc_id AS pair, SUM(cu.c) AS len,
+                  SUM(least(cu.c, coalesce(ru.c, 0))) AS clip
+                FROM u cu LEFT JOIN u ru
+                  ON ru.doc_id = cu.doc_id + 20 AND ru.g = cu.g
+                GROUP BY 1),
+              p2 AS (
+                SELECT cb.doc_id AS pair, SUM(cb.c) AS len,
+                  SUM(least(cb.c, coalesce(rb.c, 0))) AS clip
+                FROM b cb LEFT JOIN b rb
+                  ON rb.doc_id = cb.doc_id + 20 AND rb.g = cb.g
+                GROUP BY 1),
+              t1 AS (
+                SELECT CAST(SUM(len) AS BIGINT) AS len1,
+                  CAST(SUM(clip) AS BIGINT) AS clip1,
+                  CAST(SUM(lr) AS BIGINT) AS len1_r,
+                  count(*) AS n_pairs
+                FROM p1 JOIN rl ON p1.pair = rl.pair),
+              t2 AS (
+                SELECT CAST(SUM(len) AS BIGINT) AS len2,
+                  CAST(SUM(clip) AS BIGINT) AS clip2
+                FROM p2 JOIN rl ON p2.pair = rl.pair)
+              SELECT n_pairs,
+                CAST(clip1 AS DOUBLE) / CAST(len1 AS DOUBLE) AS p1,
+                CAST(clip2 AS DOUBLE) / CAST(len2 AS DOUBLE) AS p2,
+                sqrt((CAST(clip1 AS DOUBLE) / CAST(len1 AS DOUBLE))
+                  * (CAST(clip2 AS DOUBLE) / CAST(len2 AS DOUBLE)))
+                  AS bleu2,
+                CAST(len1 AS DOUBLE) / CAST(len1_r AS DOUBLE)
+                  AS length_ratio
+              FROM t1, t2"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
