@@ -2210,7 +2210,114 @@ object EventTime {
                 CAST(MIN(n_top_users) AS BIGINT) AS n_top_users,
                 CAST(MIN(n_users) AS BIGINT) AS n_users,
                 CAST(MIN(covered_events) AS BIGINT) AS covered_events
-              FROM hits GROUP BY 1 ORDER BY top_pct"""))
+              FROM hits GROUP BY 1 ORDER BY top_pct""")),
+
+    // ── behavioral sequence motifs (MATCH_RECOGNIZE-style) ──────────────
+    // Spark has no MATCH_RECOGNIZE; the composition answer: fold each
+    // user's ordered type-initial string ROW-LOCALLY (one user-keyed
+    // agg — bounded by the user's own activity, the collect-basket
+    // class), then count literal motifs with non-overlapping regex
+    // matching (both engines scan leftmost non-overlapping, so counts
+    // agree by construction). Census output: per motif, carrier users
+    // and total occurrences.
+    Q("q_sequence_motifs",
+      (s, dir) => {
+        val seqs = t(s, dir, "events")
+          .select(col("user_id"),
+            struct(unix_micros(col("ts")).as("us"),
+              col("event_id"), substring(col("event_type"), 1, 1).as("i"))
+              .as("e"))
+          .groupBy("user_id")
+          .agg(array_join(transform(sort_array(collect_list(col("e"))),
+            x => x.getField("i")), "").as("seq"))
+          .persist()
+        seqs
+          .select(col("user_id"),
+            explode(array(lit("vp"), lit("ee"), lit("vvv"), lit("svp")))
+              .as("motif"), col("seq"))
+          .select(col("motif"),
+            expr("regexp_count(seq, motif)").cast("long").as("n"))
+          .groupBy("motif")
+          .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_users"),
+            sum(col("n")).cast("long").as("n_occurrences"))
+          .orderBy("motif")
+      },
+      Some("""WITH seqs AS (
+                SELECT user_id,
+                  string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY 1),
+              m AS (
+                SELECT motif,
+                  CAST(len(regexp_extract_all(seq, motif)) AS BIGINT) AS n
+                FROM seqs, UNNEST(['vp', 'ee', 'vvv', 'svp']) AS t(motif))
+              SELECT motif,
+                CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_users,
+                CAST(SUM(n) AS BIGINT) AS n_occurrences
+              FROM m GROUP BY 1 ORDER BY motif""")),
+
+    // ── session bounce rate by entry type ───────────────────────────────
+    // Share of single-event sessions, by the session's entry event type
+    // — the landing-quality readout. Sessions from the q_session_stats
+    // 30-minute gap rule (user-keyed windows, population parallelism);
+    // the entry event is an exact min_by on the (us, event_id) total
+    // order; ≤|types| output rows.
+    Q("q_bounce_rate",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val gapUs = col("us") - lag(col("us"), 1).over(byUser)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("new_sess",
+            when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(struct(col("us"), col("event_id"), col("event_type")))
+              .getField("event_type").as("entry_type"))
+          .groupBy("entry_type")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("n_bounce"))
+          .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+            (col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+              .as("bounce_rate"))
+          .orderBy("entry_type")
+      },
+      Some("""WITH x AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+              s AS (
+                SELECT user_id, event_id, event_type, us,
+                  SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sess_id
+                FROM x),
+              e AS (
+                SELECT user_id, sess_id, event_type,
+                  row_number() OVER (PARTITION BY user_id, sess_id
+                    ORDER BY us, event_id) AS rn
+                FROM s),
+              sess AS (
+                SELECT user_id, sess_id, count(*) AS n_events,
+                  MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+                FROM e GROUP BY 1, 2)
+              SELECT entry_type, count(*) AS n_sessions,
+                CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bounce,
+                CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS bounce_rate
+              FROM sess GROUP BY 1 ORDER BY entry_type"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type

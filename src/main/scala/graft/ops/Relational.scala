@@ -4805,7 +4805,69 @@ object Relational {
               d AS (SELECT l_partkey, CAST(count(*) AS BIGINT)
                       AS n_suppliers FROM ps GROUP BY 1)
               SELECT n_suppliers, count(*) AS n_parts
-              FROM d GROUP BY 1 ORDER BY n_suppliers"""))
+              FROM d GROUP BY 1 ORDER BY n_suppliers""")),
+
+    // ── demand assortment diversity per customer nation ──────────────────
+    // Shannon entropy (bits) of the brand mix each customer nation
+    // buys — concentrated vs diverse demand. The 4-table chain folds to
+    // the ≤nations×brands census; marginals are windows over the
+    // census; −p·log₂p terms round to 12 decimals and cross the final
+    // per-nation sum through the pinned fold (the q_char_entropy libm
+    // discipline).
+    Q("q_assortment_entropy",
+      (s, dir) => {
+        val wN = Window.partitionBy("nation")
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("p_brand"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("nation"), col("p_brand"), col("c"),
+            sum(col("c")).over(wN).cast("long").as("n"))
+          .select(col("nation"), col("p_brand"), col("n"),
+            round(-(col("c").cast("double") / col("n").cast("double"))
+              * log2(col("c").cast("double") / col("n").cast("double")), 12)
+              .as("term"))
+          .groupBy("nation")
+          .agg(max(col("n")).as("n_lines"),
+            count(lit(1)).cast("long").as("n_brands"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(p_brand, term))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+              .as("entropy_bits"))
+          .orderBy("nation")
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation, p_brand,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2),
+              m AS (
+                SELECT nation, p_brand, c,
+                  CAST(SUM(c) OVER (PARTITION BY nation) AS BIGINT) AS n
+                FROM cen),
+              terms AS (
+                SELECT nation, p_brand, n,
+                  round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                    AS term
+                FROM m)
+              SELECT nation, CAST(MAX(n) AS BIGINT) AS n_lines,
+                CAST(count(*) AS BIGINT) AS n_brands,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY p_brand)), (a, x) -> a + x), 12)
+                  AS entropy_bits
+              FROM terms GROUP BY 1 ORDER BY nation"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
