@@ -4867,7 +4867,53 @@ object Relational {
                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY p_brand)), (a, x) -> a + x), 12)
                   AS entropy_bits
-              FROM terms GROUP BY 1 ORDER BY nation"""))
+              FROM terms GROUP BY 1 ORDER BY nation""")),
+
+    // ── referential-integrity orphan audit ───────────────────────────────
+    // The FK probes q_constraint_check's declared rules don't cover:
+    // per FK edge, how many child rows reference a missing parent? Each
+    // probe is a LEFT ANTI against the parent's DISTINCT key census
+    // (the q_cold_start_parts discipline — the anti probe carries keys,
+    // never rows), unioned into a 4-row verdict frame.
+    Q("q_fk_orphans",
+      (s, dir) => {
+        def orphans(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String) =
+          child.select(col(ck)).join(parent.select(col(pk)).distinct(),
+              col(ck) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_orphans"))
+        val li = t(s, dir, "lineitem")
+        orphans("lineitem->orders", li, "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey")
+          .unionByName(orphans("lineitem->part", li, "l_partkey",
+            t(s, dir, "part"), "p_partkey"))
+          .unionByName(orphans("lineitem->supplier", li, "l_suppkey",
+            t(s, dir, "supplier"), "s_suppkey"))
+          .unionByName(orphans("orders->customer", t(s, dir, "orders"),
+            "o_custkey", t(s, dir, "customer"), "c_custkey"))
+          .orderBy("fk_edge")
+      },
+      Some("""SELECT 'lineitem->orders' AS fk_edge,
+                CAST(count(*) AS BIGINT) AS n_orphans
+              FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT DISTINCT o_orderkey FROM orders)
+              UNION ALL
+              SELECT 'lineitem->part',
+                CAST(count(*) AS BIGINT)
+              FROM lineitem
+              WHERE l_partkey NOT IN (SELECT DISTINCT p_partkey FROM part)
+              UNION ALL
+              SELECT 'lineitem->supplier',
+                CAST(count(*) AS BIGINT)
+              FROM lineitem
+              WHERE l_suppkey NOT IN (SELECT DISTINCT s_suppkey FROM supplier)
+              UNION ALL
+              SELECT 'orders->customer',
+                CAST(count(*) AS BIGINT)
+              FROM orders
+              WHERE o_custkey NOT IN (SELECT DISTINCT c_custkey FROM customer)
+              ORDER BY fk_edge"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

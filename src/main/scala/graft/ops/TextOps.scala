@@ -2209,7 +2209,70 @@ object TextOps {
                   AS bleu2,
                 CAST(len1 AS DOUBLE) / CAST(len1_r AS DOUBLE)
                   AS length_ratio
-              FROM t1, t2"""))
+              FROM t1, t2""")),
+
+    // ── skip-gram PMI (window-3 co-occurrence) ──────────────────────────
+    // The word2vec-flavored association statistic: PMI over token pairs
+    // within a 3-token forward window (q_collocations is the adjacency
+    // special case). Pairs fan out ROW-LOCALLY at ≤3× the token stream
+    // (bounded by the window, not the doc); both censuses persist and
+    // the totals derive from them — one corpus explode each. PMI =
+    // ln of a ratio of exact counts, rounded 12 (per-row, no FP sum).
+    Q("q_skipgram_pmi",
+      (s, dir) => {
+        val tl = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("toks"))
+        val u = tl.select(explode(col("toks")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .persist()
+        val nUni = u.agg(sum(col("c")).as("n_uni"))
+        val pairs = tl.select(explode(expr(
+            """flatten(transform(toks, (x, i) ->
+                 transform(slice(toks, i + 2, 3),
+                   y -> struct(x AS x, y AS y))))""")).as("p"))
+          .filter(col("p.x") =!= "" && col("p.y") =!= "")
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+          .persist()
+        val nPairs = pairs.agg(sum(col("c_xy")).as("n_pairs"))
+        pairs.filter(col("c_xy") >= 10)
+          .join(u.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+          .join(u.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+          .crossJoin(broadcast(nUni)).crossJoin(broadcast(nPairs))
+          .select(col("x"), col("y"), col("c_xy"),
+            round(log(col("c_xy").cast("double")
+              * col("n_uni").cast("double") * col("n_uni").cast("double")
+              / (col("n_pairs").cast("double") * col("c_x").cast("double")
+                * col("c_y").cast("double"))), 12).as("pmi"))
+          .orderBy(col("pmi").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""WITH tl AS (SELECT string_split(text, ' ') AS toks
+                          FROM documents),
+              uni AS (SELECT unnest(toks) AS tok FROM tl),
+              u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM uni WHERE tok <> '' GROUP BY 1),
+              nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM u),
+              pr AS (
+                SELECT toks[i] AS x, toks[i + k] AS y
+                FROM tl,
+                  UNNEST(generate_series(1, len(toks))) AS t1(i),
+                  UNNEST([1, 2, 3]) AS t2(k)
+                WHERE i + k <= len(toks)
+                  AND toks[i] <> '' AND toks[i + k] <> ''),
+              pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+                     FROM pr GROUP BY 1, 2),
+              np AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_pairs FROM pc)
+              SELECT pc.x, pc.y, c_xy,
+                round(ln(CAST(c_xy AS DOUBLE)
+                  * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                  / (CAST(n_pairs AS DOUBLE) * CAST(ux.c AS DOUBLE)
+                    * CAST(uy.c AS DOUBLE))), 12) AS pmi
+              FROM pc JOIN u ux ON ux.tok = pc.x
+                JOIN u uy ON uy.tok = pc.y, nu, np
+              WHERE c_xy >= 10
+              ORDER BY pmi DESC, x, y LIMIT 20"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

@@ -653,7 +653,59 @@ object VectorOps {
               SELECT CAST(floor(cos * 10) AS BIGINT) AS band,
                 count(*) AS n_pairs,
                 MIN(cos) AS min_cos, MAX(cos) AS max_cos
-              FROM p GROUP BY 1 ORDER BY band"""))
+              FROM p GROUP BY 1 ORDER BY band""")),
+
+    // ── embedding-label ↔ language purity ───────────────────────────────
+    // Cross-modal alignment audit: do the embedding labels line up with
+    // document languages? Docs join embeddings on the shared id (both
+    // sides corpus-sized — un-hinted co-partitioned join, the
+    // q_multimodal_cols shape), collapse to the ≤labels×langs census;
+    // purity = the majority language's share per label (exact max over
+    // exact counts — no logs, no FP accumulation).
+    Q("q_label_purity",
+      (s, dir) => {
+        val cells = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .join(t(s, dir, "embeddings")
+            .select(col("vec_id"), col("label")),
+            col("doc_id") === col("vec_id"))
+          .groupBy(col("label").cast("long").as("label"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+        cells.groupBy("label")
+          .agg(sum(col("c")).cast("long").as("n_docs"),
+            count(lit(1)).cast("long").as("n_langs"),
+            max(struct(col("c"), col("lang"))).getField("lang")
+              .as("majority_lang"),
+            max(col("c")).cast("long").as("majority_n"))
+          .select(col("label"), col("n_docs"), col("n_langs"),
+            col("majority_lang"),
+            (col("majority_n").cast("double") / col("n_docs").cast("double"))
+              .as("purity"))
+          .orderBy("label")
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(label AS BIGINT) AS label, lang,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM documents JOIN embeddings ON doc_id = vec_id
+                GROUP BY 1, 2),
+              r AS (
+                SELECT label, lang, c,
+                  row_number() OVER (PARTITION BY label
+                    ORDER BY c DESC, lang DESC) AS rn
+                FROM cells),
+              agg AS (
+                SELECT cells.label,
+                  CAST(SUM(c) AS BIGINT) AS n_docs,
+                  CAST(count(*) AS BIGINT) AS n_langs,
+                  MIN(r.lang) AS majority_lang,
+                  CAST(MAX(cells.c) AS BIGINT) AS majority_n
+                FROM cells JOIN (SELECT label, lang FROM r WHERE rn = 1) r
+                  ON cells.label = r.label
+                GROUP BY 1)
+              SELECT label, n_docs, n_langs, majority_lang,
+                CAST(majority_n AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  AS purity
+              FROM agg ORDER BY label"""))
   )
 
   /** The q_power_iteration engine, exposed so the spec can compare
