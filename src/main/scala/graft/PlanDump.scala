@@ -206,6 +206,13 @@ object PlanDump {
       || q_cosine_histogram | embeddings self-join | left + right probe sides | **accepted 2 scans**: a 3-column columnar rescan beats caching the embedding corpus |
       || q_cold_start_parts | part 2-column projection | anti side + brand totals | **accepted 2 scans** (stats-then-scan class) |
       || q_supplier_trend / q_weekend_effect / q_cross_shard_dup / q_multisource_depth / q_depth_value_corr / q_brand_affinity (persisted ob) | — | single consumer chain | **single plan** |
+      || q_bleu_corpus | per-doc unigram + bigram censuses | candidate/reference/length totals | **persisted both** (budget guard 0) |
+      || q_skipgram_pmi | unigram + window-3 pair censuses | joins ×2 + totals ×2 | **persisted; totals derived** (budget guard 0) |
+      || q_sequence_motifs | per-user ordered sequence frame | ×4 motif fan-out | **persisted** (budget guard 0) |
+      || q_dup_jaccard_bands | shared pair core | band census | **memoized checkpoint** (q_dedup_ngram's artifact; budget guard 0) |
+      || q_power_user_share | per-user census → RangeRank | internal range-parted persist | **single plan** (budget guard 0) |
+      || q_bounce_rate / q_label_purity / q_assortment_entropy | — | single consumer chain | **single plan** |
+      || q_fk_orphans | — | 4 independent edge probes (child + parent key census each) | **accepted 8 scans** — per-edge audits scan each edge by definition |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

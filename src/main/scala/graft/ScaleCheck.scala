@@ -131,7 +131,10 @@ object ScaleCheck {
     "q_bleu_pairs", "q_brand_affinity", "q_decile_transition",
     "q_inter_event_quantiles", "q_token_coverage",
     // closing batch: fact-scale distinct to the bounded depth histogram
-    "q_multisource_depth")
+    "q_multisource_depth",
+    // eval/behavior batch ≥1 s: corpus-BLEU census joins, session
+    // windows + entry argmax
+    "q_bleu_corpus", "q_bounce_rate")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -705,7 +705,17 @@ class PlanGuardSpec extends SparkSpec {
       "q_cold_start_parts" -> 3, // part's 2-column scan appears on both the
       // anti side and the totals side — stats-then-scan class, cheaper
       // than caching the dimension
-      "q_type_share_drift" -> 0) // census+finish twin (seasonIdx already above)
+      "q_type_share_drift" -> 0, // census+finish twin (seasonIdx already above)
+      // round-6 batches I/J/K
+      "q_bleu_corpus" -> 0, // persisted uni+bi censuses (q_bleu_pairs' shape)
+      "q_power_user_share" -> 0, // RangeRank internal persist
+      "q_dup_jaccard_bands" -> 0, // memoized checkpointed pair core
+      "q_sequence_motifs" -> 0, // persisted per-user sequence frame
+      "q_skipgram_pmi" -> 0, // persisted unigram + pair censuses
+      "q_bounce_rate" -> 1, "q_label_purity" -> 2,
+      "q_assortment_entropy" -> 4, // single 4-table chain to the census
+      "q_fk_orphans" -> 8) // 4 independent probes × (child scan + parent
+      // key census) — per-edge audits scan each edge by definition
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
