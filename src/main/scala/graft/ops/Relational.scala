@@ -4913,7 +4913,128 @@ object Relational {
                 CAST(count(*) AS BIGINT)
               FROM orders
               WHERE o_custkey NOT IN (SELECT DISTINCT c_custkey FROM customer)
-              ORDER BY fk_edge"""))
+              ORDER BY fk_edge""")),
+
+    // ── nation trade self-sufficiency ────────────────────────────────────
+    // Per customer nation: what share of its purchased revenue ships
+    // from SAME-nation suppliers? The q_trade_matrix 4-table chain with
+    // a CASE-split diagonal — one partial+final agg to the ≤25-row
+    // census, exact cents until the single share division.
+    Q("q_nation_self_sufficiency",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          dec2(col("l_extendedprice")).as("p"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("p")) * 100).cast("long").as("cents"),
+          (sum(when(col("c_nationkey") === col("s_nationkey"), col("p"))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+            .cast("long").as("dom_cents"))
+        .select(col("nation"), col("n_lines"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("dom_cents").cast("double") / col("cents").cast("double"))
+            .as("self_sufficiency"))
+        .orderBy("nation"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                count(*) AS n_lines,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+                CAST(CAST(SUM(CASE WHEN c_nationkey = s_nationkey
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+                  AS DOUBLE)
+                / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    * 100 AS BIGINT) AS DOUBLE) AS self_sufficiency
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1 ORDER BY nation""")),
+
+    // ── month-end load skew ──────────────────────────────────────────────
+    // Operations lens: do orders pile up at month end? Share of orders
+    // in each day-of-month band vs the uniform expectation — the
+    // batch-window sizing readout. Calendar-bounded census; exact
+    // integer counts, IEEE shares.
+    Q("q_month_end_load",
+      (s, dir) => {
+        val dom = dayofmonth(col("o_orderdate")).cast("long")
+        val cells = t(s, dir, "orders")
+          .groupBy(when(dom <= 10, "d01_10").when(dom <= 20, "d11_20")
+            .when(dom <= 28, "d21_28").otherwise("d29_31").as("dom_band"))
+          .agg(count(lit(1)).as("n_orders"))
+          .persist()
+        val tot = cells.agg(sum(col("n_orders")).as("n_all"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dom_band"), col("n_orders"),
+            (col("n_orders").cast("double") / col("n_all").cast("double"))
+              .as("share"))
+          .orderBy("dom_band")
+      },
+      Some("""WITH cells AS (
+                SELECT CASE WHEN dayofmonth(o_orderdate) <= 10 THEN 'd01_10'
+                       WHEN dayofmonth(o_orderdate) <= 20 THEN 'd11_20'
+                       WHEN dayofmonth(o_orderdate) <= 28 THEN 'd21_28'
+                       ELSE 'd29_31' END AS dom_band,
+                  CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1),
+              tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_all
+                      FROM cells)
+              SELECT dom_band, n_orders,
+                CAST(n_orders AS DOUBLE) / CAST(n_all AS DOUBLE) AS share
+              FROM cells, tot ORDER BY dom_band""")),
+
+    // ── customer order cadence ───────────────────────────────────────────
+    // Median days between a customer's consecutive orders, folded into
+    // a bounded band census. The gap lag partitions by custkey
+    // (population parallelism); the per-customer median is a row-local
+    // sorted-array pick over the customer's own gaps (bounded by their
+    // order count — the collect-basket class), exact in the integer
+    // day domain.
+    Q("q_order_cadence",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+        val gaps = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+          .filter(col("gap").isNotNull)
+        gaps.groupBy("o_custkey")
+          .agg(sort_array(collect_list(col("gap"))).as("gs"))
+          .select((element_at(col("gs"),
+            expr("(size(gs) + 1) div 2").cast("int")).cast("long"))
+            .as("median_gap_days"))
+          .groupBy(expr("median_gap_days div 30").as("month_band"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("month_band")
+      },
+      Some("""WITH d AS (
+                SELECT o_custkey, o_orderkey,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+                FROM orders),
+              g AS (
+                SELECT o_custkey,
+                  d - lag(d) OVER (PARTITION BY o_custkey
+                    ORDER BY d, o_orderkey) AS gap
+                FROM d),
+              med AS (
+                SELECT o_custkey,
+                  CAST(list_sort(list(gap))[(len(list(gap)) + 1) // 2]
+                    AS BIGINT) AS median_gap_days
+                FROM g WHERE gap IS NOT NULL GROUP BY 1)
+              SELECT median_gap_days // 30 AS month_band,
+                count(*) AS n_customers
+              FROM med GROUP BY 1 ORDER BY month_band"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
