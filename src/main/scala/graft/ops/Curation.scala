@@ -1706,6 +1706,60 @@ object Curation {
               SELECT split, CAST(MAX(n_split) AS BIGINT) AS n_docs,
                 CAST(count(*) AS BIGINT) AS n_langs,
                 MAX(dev) AS max_abs_dev
-              FROM dev GROUP BY 1 ORDER BY split"""))
+              FROM dev GROUP BY 1 ORDER BY split""")),
+
+    // ── length-filter impact curve ───────────────────────────────────────
+    // Curation planning: if we purge docs shorter than N tokens, how
+    // much of the corpus (docs AND token mass) survives, at N = 20/30/
+    // 50? ONE corpus pass to the per-length census (bounded by the
+    // length vocabulary); the three cut evaluations are census ×
+    // 3-literal joins — exact integers to the one share division.
+    Q("q_filter_impact_curve",
+      (s, dir) => {
+        val cen = t(s, dir, "documents")
+          .select(size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("len"))
+          .groupBy("len").agg(count(lit(1)).as("n_docs"))
+          .select(col("len"), col("n_docs"),
+            (col("len") * col("n_docs")).as("toks"))
+          .persist()
+        val tot = cen.agg(sum(col("n_docs")).as("all_docs"),
+          sum(col("toks")).as("all_toks"))
+        val cuts = cen.sparkSession.range(1)
+          .select(explode(array(lit(20L), lit(30L), lit(50L))).as("cut"))
+        cen.crossJoin(broadcast(cuts))
+          .filter(col("len") >= col("cut"))
+          .groupBy("cut")
+          .agg(sum(col("n_docs")).cast("long").as("docs_kept"),
+            sum(col("toks")).cast("long").as("tokens_kept"))
+          .crossJoin(broadcast(tot))
+          .select(col("cut").as("min_tokens"), col("docs_kept"),
+            col("tokens_kept"),
+            (col("docs_kept").cast("double") / col("all_docs").cast("double"))
+              .as("doc_share"),
+            (col("tokens_kept").cast("double")
+              / col("all_toks").cast("double")).as("token_share"))
+          .orderBy("min_tokens")
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS len,
+                  CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1),
+              c2 AS (SELECT len, n_docs, len * n_docs AS toks FROM cen),
+              tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+                        CAST(SUM(toks) AS BIGINT) AS all_toks FROM c2),
+              cuts AS (SELECT unnest([20, 30, 50]) AS cut),
+              kept AS (
+                SELECT cut, CAST(SUM(n_docs) AS BIGINT) AS docs_kept,
+                  CAST(SUM(toks) AS BIGINT) AS tokens_kept
+                FROM c2, cuts WHERE len >= cut GROUP BY 1)
+              SELECT CAST(cut AS BIGINT) AS min_tokens, docs_kept,
+                tokens_kept,
+                CAST(docs_kept AS DOUBLE) / CAST(all_docs AS DOUBLE)
+                  AS doc_share,
+                CAST(tokens_kept AS DOUBLE) / CAST(all_toks AS DOUBLE)
+                  AS token_share
+              FROM kept, tot ORDER BY min_tokens"""))
   )
 }

@@ -2317,7 +2317,42 @@ object EventTime {
                   AS BIGINT) AS n_bounce,
                 CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*) AS bounce_rate
-              FROM sess GROUP BY 1 ORDER BY entry_type"""))
+              FROM sess GROUP BY 1 ORDER BY entry_type""")),
+
+    // ── velocity flags (trailing-hour rate limiter readout) ─────────────
+    // Fraud/abuse lens: events whose user fired ≥3 events in the
+    // trailing hour. The RANGE window partitions by user_id in the
+    // exact microsecond domain (population parallelism, per-user state
+    // bounded by the hour); the flag census is ≤|types| rows.
+    Q("q_velocity_flags",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3600L * 1000000L, 0)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("velocity", count(lit(1)).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("velocity") >= 3, 1L).otherwise(0L))
+              .as("n_flagged"))
+          .select(col("event_type"), col("n_events"), col("n_flagged"),
+            (col("n_flagged").cast("double") / col("n_events").cast("double"))
+              .as("flag_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (
+                SELECT event_type,
+                  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                    AS velocity
+                FROM events)
+              SELECT event_type, count(*) AS n_events,
+                CAST(SUM(CASE WHEN velocity >= 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged,
+                CAST(SUM(CASE WHEN velocity >= 3 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS flag_rate
+              FROM v GROUP BY 1 ORDER BY event_type"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type
