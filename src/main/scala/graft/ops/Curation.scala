@@ -1760,6 +1760,60 @@ object Curation {
                   AS doc_share,
                 CAST(tokens_kept AS DOUBLE) / CAST(all_toks AS DOUBLE)
                   AS token_share
-              FROM kept, tot ORDER BY min_tokens"""))
+              FROM kept, tot ORDER BY min_tokens""")),
+
+    // ── two-way interaction effects (lang × source on doc length) ───────
+    // The two-way ANOVA interaction readout q_anova's one-way test
+    // can't see: per (lang, source) cell, the length deviation not
+    // explained by the lang and source main effects (cell − lang −
+    // source + grand). ONE persisted (lang, source) moment census; all
+    // four means are exact-integer divisions, the interaction three
+    // IEEE subtractions — bit-stable in both engines.
+    Q("q_interaction_effects",
+      (s, dir) => {
+        val cells = t(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+          .persist()
+        val perLang = cells.groupBy("lang")
+          .agg((sum(col("s")).cast("double") / sum(col("n")).cast("double"))
+            .as("m_lang"))
+        val perSrc = cells.groupBy("source")
+          .agg((sum(col("s")).cast("double") / sum(col("n")).cast("double"))
+            .as("m_src"))
+        val grand = cells.agg(
+          (sum(col("s")).cast("double") / sum(col("n")).cast("double"))
+            .as("m_all"))
+        cells.join(perLang, "lang").join(perSrc, "source")
+          .crossJoin(broadcast(grand))
+          .select(col("lang"), col("source"), col("n").cast("long").as("n"),
+            (col("s").cast("double") / col("n").cast("double"))
+              .as("cell_mean"),
+            (col("s").cast("double") / col("n").cast("double")
+              - col("m_lang") - col("m_src") + col("m_all"))
+              .as("interaction"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cells AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(n_chars) AS BIGINT) AS s
+                FROM documents GROUP BY 1, 2),
+              pl AS (SELECT lang,
+                       CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                         AS m_lang
+                     FROM cells GROUP BY 1),
+              ps AS (SELECT source,
+                       CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                         AS m_src
+                     FROM cells GROUP BY 1),
+              g AS (SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                      AS m_all FROM cells)
+              SELECT cells.lang, cells.source, n,
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS cell_mean,
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  - m_lang - m_src + m_all AS interaction
+              FROM cells JOIN pl ON cells.lang = pl.lang
+                JOIN ps ON cells.source = ps.source, g
+              ORDER BY cells.lang, cells.source"""))
   )
 }

@@ -5034,7 +5034,90 @@ object Relational {
                 FROM g WHERE gap IS NOT NULL GROUP BY 1)
               SELECT median_gap_days // 30 AS month_band,
                 count(*) AS n_customers
-              FROM med GROUP BY 1 ORDER BY month_band"""))
+              FROM med GROUP BY 1 ORDER BY month_band""")),
+
+    // ── average order value trend (monthly + MoM delta) ─────────────────
+    // The headline commerce KPI: monthly AOV with its month-over-month
+    // delta. ONE calendar-bounded (month, cents, n) census; AOV is one
+    // IEEE division of exact cents, the delta a lag over the ≤months
+    // frame.
+    Q("q_aov_monthly",
+      (s, dir) => {
+        val w = Window.orderBy("month")
+        t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+          .select(col("month"), col("n_orders"),
+            (col("cents").cast("double") / col("n_orders").cast("double")
+              / 100.0).as("aov"))
+          .withColumn("aov_delta", col("aov") - lag(col("aov"), 1).over(w))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  count(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1)
+              SELECT month, n_orders,
+                CAST(cents AS DOUBLE) / n_orders / 100.0 AS aov,
+                CAST(cents AS DOUBLE) / n_orders / 100.0
+                  - lag(CAST(cents AS DOUBLE) / n_orders / 100.0)
+                    OVER (ORDER BY month) AS aov_delta
+              FROM m ORDER BY month""")),
+
+    // ── brand revenue momentum (largest YoY swing per brand) ────────────
+    // Which brands are moving? Per brand, the year with the largest
+    // absolute YoY revenue delta. (brand, year) exact-cents census;
+    // deltas and the argmax pick live on the ≤brands×years frame
+    // (the q_type_share_drift discipline on the revenue axis).
+    Q("q_brand_momentum",
+      (s, dir) => {
+        val cells = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_shipdate"),
+            dec2(col("l_extendedprice")).as("p"))
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"),
+            year(col("l_shipdate")).cast("long").as("yr"))
+          .agg((sum(col("p")) * 100).cast("long").as("cents"))
+          .persist()
+        val wLag = Window.partitionBy("p_brand").orderBy("yr")
+        val pick = Window.partitionBy("p_brand")
+          .orderBy(abs(col("delta")).desc, col("yr"))
+        cells
+          .withColumn("delta",
+            ((col("cents") - lag(col("cents"), 1).over(wLag)).cast("double")
+              / 100.0))
+          .filter(col("delta").isNotNull)
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("p_brand"), col("yr").as("peak_year"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            col("delta").as("yoy_delta"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH cells AS (
+                SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS yr,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2),
+              d AS (
+                SELECT p_brand, yr, cents,
+                  CAST(cents - lag(cents) OVER (PARTITION BY p_brand
+                    ORDER BY yr) AS DOUBLE) / 100.0 AS delta
+                FROM cells),
+              r AS (
+                SELECT p_brand, yr, cents, delta,
+                  row_number() OVER (PARTITION BY p_brand
+                    ORDER BY abs(delta) DESC, yr) AS rn
+                FROM d WHERE delta IS NOT NULL)
+              SELECT p_brand, yr AS peak_year,
+                CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                delta AS yoy_delta
+              FROM r WHERE rn = 1 ORDER BY p_brand"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
