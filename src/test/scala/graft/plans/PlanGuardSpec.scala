@@ -714,8 +714,13 @@ class PlanGuardSpec extends SparkSpec {
       "q_skipgram_pmi" -> 0, // persisted unigram + pair censuses
       "q_bounce_rate" -> 1, "q_label_purity" -> 2,
       "q_assortment_entropy" -> 4, // single 4-table chain to the census
-      "q_fk_orphans" -> 8) // 4 independent probes × (child scan + parent
+      "q_fk_orphans" -> 8, // 4 independent probes × (child scan + parent
       // key census) — per-edge audits scan each edge by definition
+      // round-6 batches L/M/N
+      "q_month_end_load" -> 0, "q_filter_impact_curve" -> 0,
+      "q_brand_momentum" -> 0, "q_interaction_effects" -> 0, // persisted censuses
+      "q_nation_self_sufficiency" -> 4, // single 4-table chain
+      "q_order_cadence" -> 1, "q_velocity_flags" -> 1, "q_aov_monthly" -> 1)
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
