@@ -477,6 +477,46 @@ object StreamingOps {
       }
   }
 
+  // ── stateful velocity flags (streaming twin of q_velocity_flags) ─────
+
+  final case class VelocityFlag(user_id: Long, event_id: Long,
+      event_type: String, velocity: Long, flagged: Boolean)
+  /** Per-user carry: event micros within the trailing hour, ascending —
+    * the sliding-window deque a live rate limiter keeps. Bounded by the
+    * user's own event rate over ONE hour, never their history.
+    */
+  final case class VelState(recentUs: List[Long])
+
+  /** Incremental trailing-hour velocity: each event folds into the
+    * per-user deque (evicting entries older than an hour) and emits its
+    * velocity + flag — the live rate-limiter decision stream. Same
+    * (ts, event_id)-ordered per-user delivery contract as the other
+    * stateful twins. Batch parity note: the batch RANGE window also
+    * counts same-microsecond PEERS that sort after the current event;
+    * the incremental fold cannot see the future, so bit-parity holds
+    * exactly when (user, ts) pairs are unique — true of the generator,
+    * asserted by the census-equality spec rather than assumed.
+    */
+  def statefulVelocity(events: Dataset[TypedEv]): Dataset[VelocityFlag] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[VelState, VelocityFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[VelState]) =>
+          var recent = state.getOption.map(_.recentUs).getOrElse(Nil)
+          val out = evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            val eUs = us(e.ts)
+            recent = (recent :+ eUs).filter(_ >= eUs - 3600L * 1000000L)
+            VelocityFlag(uid, e.event_id, e.event_type,
+              recent.size.toLong, recent.size >= 3)
+          }
+          state.update(VelState(recent))
+          out.iterator
+      }
+  }
+
   // ── stateful last-touch attribution (streaming twin of q_attribution) ─
 
   final case class ValEv(event_id: Long, ts: Timestamp, user_id: Long,

@@ -768,6 +768,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful velocity flag census equals batch q_velocity_flags") {
+    import spark.implicits._
+    val stream = StreamingOps.readEventStream(spark, batchDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[StreamingOps.TypedEv]
+    val rows = StreamingOps.runToMemory(
+      StreamingOps.statefulVelocity(stream).toDF(),
+      "t_velocity", OutputMode.Append())
+      .collect()
+    val streamed = rows
+      .groupBy(_.getString(2))
+      .view.mapValues(rs =>
+        (rs.length.toLong, rs.count(_.getBoolean(4)).toLong))
+      .toMap
+    val batch = SparkEntry.queries("q_velocity_flags")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.nonEmpty && streamed === batch,
+      s"stream flag census $streamed diverged from batch $batch")
+  }
+
   test("stateful time-weighted average folds to batch q_time_weighted_avg") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
