@@ -2352,7 +2352,26 @@ object EventTime {
                   AS BIGINT) AS n_flagged,
                 CAST(SUM(CASE WHEN velocity >= 3 THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*) AS flag_rate
-              FROM v GROUP BY 1 ORDER BY event_type"""))
+              FROM v GROUP BY 1 ORDER BY event_type""")),
+
+    // ── hourly value profile ─────────────────────────────────────────────
+    // Event VALUE by hour of day (the heatmap counts volume; this
+    // weighs it): ≤24-row census, exact cents via the dec2 discipline,
+    // one IEEE division per row.
+    Q("q_value_by_hour",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(dec2(col("value"))) * 100).cast("long").as("cents"))
+        .select(col("hr"), col("n_events"),
+          (col("cents").cast("double") / col("n_events").cast("double")
+            / 100.0).as("avg_value"))
+        .orderBy("hr"),
+      Some("""SELECT CAST(hour(ts) AS BIGINT) AS hr,
+                count(*) AS n_events,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                  AS DOUBLE) / count(*) / 100.0 AS avg_value
+              FROM events GROUP BY 1 ORDER BY hr"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type

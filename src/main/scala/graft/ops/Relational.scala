@@ -5117,7 +5117,46 @@ object Relational {
               SELECT p_brand, yr AS peak_year,
                 CAST(cents AS DOUBLE) / 100.0 AS revenue,
                 delta AS yoy_delta
-              FROM r WHERE rn = 1 ORDER BY p_brand"""))
+              FROM r WHERE rn = 1 ORDER BY p_brand""")),
+
+    // ── order-priority migration (first → last priority per customer) ───
+    // Do customers escalate? Each customer's chronologically first vs
+    // last order priority, as a ≤5×5 transition census. Both endpoints
+    // are exact min/max picks over the (epoch-day, orderkey, priority)
+    // total order — one partial+final agg per customer, no window.
+    Q("q_priority_migration",
+      (s, dir) => {
+        val st = struct(
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+          col("o_orderkey"), col("o_orderpriority").as("pr"))
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(min(st).getField("pr").as("first_priority"),
+            max(st).getField("pr").as("last_priority"))
+          .groupBy("first_priority", "last_priority")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("first_priority", "last_priority")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, o_orderpriority,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rf,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(o_orderdate AS DATE) DESC,
+                      o_orderkey DESC) AS rl
+                FROM orders),
+              fl AS (
+                SELECT o_custkey,
+                  MIN(CASE WHEN rf = 1 THEN o_orderpriority END)
+                    AS first_priority,
+                  MIN(CASE WHEN rl = 1 THEN o_orderpriority END)
+                    AS last_priority
+                FROM o GROUP BY 1)
+              SELECT first_priority, last_priority,
+                count(*) AS n_customers
+              FROM fl GROUP BY 1, 2
+              ORDER BY first_priority, last_priority"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

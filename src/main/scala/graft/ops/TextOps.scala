@@ -2272,7 +2272,27 @@ object TextOps {
               FROM pc JOIN u ux ON ux.tok = pc.x
                 JOIN u uy ON uy.tok = pc.y, nu, np
               WHERE c_xy >= 10
-              ORDER BY pmi DESC, x, y LIMIT 20"""))
+              ORDER BY pmi DESC, x, y LIMIT 20""")),
+
+    // ── token length histogram ───────────────────────────────────────────
+    // Tokenizer-design signal: the distribution of token lengths in
+    // characters (long tails mean sub-word splitting pays). Row-local
+    // explode into ONE length-bounded census; occurrence AND distinct-
+    // type counts per length.
+    Q("q_token_length_hist",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(length(col("tok")).cast("long").as("tok_len"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("tok")).cast("long").as("n_types"))
+        .orderBy("tok_len"),
+      Some("""SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+                count(*) AS n_occurrences,
+                CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1 ORDER BY tok_len"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
