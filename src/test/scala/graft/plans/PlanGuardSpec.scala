@@ -720,7 +720,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_month_end_load" -> 0, "q_filter_impact_curve" -> 0,
       "q_brand_momentum" -> 0, "q_interaction_effects" -> 0, // persisted censuses
       "q_nation_self_sufficiency" -> 4, // single 4-table chain
-      "q_order_cadence" -> 1, "q_velocity_flags" -> 1, "q_aov_monthly" -> 1)
+      "q_order_cadence" -> 1, "q_velocity_flags" -> 1, "q_aov_monthly" -> 1,
+      "q_value_by_hour" -> 1, "q_priority_migration" -> 1,
+      "q_token_length_hist" -> 1)
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
