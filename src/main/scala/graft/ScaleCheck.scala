@@ -134,7 +134,11 @@ object ScaleCheck {
     "q_multisource_depth",
     // eval/behavior batch ≥1 s: corpus-BLEU census joins, session
     // windows + entry argmax
-    "q_bleu_corpus", "q_bounce_rate")
+    "q_bleu_corpus", "q_bounce_rate",
+    // final-bench stragglers ≥1 s among the round-6 growth queries
+    "q_deep_discount", "q_token_gini", "q_margin_waterfall",
+    "q_spearman_customers", "q_skipgram_pmi",
+    "q_nation_self_sufficiency", "q_brand_momentum")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
