@@ -1814,6 +1814,73 @@ object Curation {
                   - m_lang - m_src + m_all AS interaction
               FROM cells JOIN pl ON cells.lang = pl.lang
                 JOIN ps ON cells.source = ps.source, g
-              ORDER BY cells.lang, cells.source"""))
+              ORDER BY cells.lang, cells.source""")),
+
+    // ── doc-length shape moments per source (skewness + kurtosis) ───────
+    // The distribution-shape audit beyond mean/sd: per source, g1
+    // skewness and excess kurtosis of doc length from ONE partial+final
+    // agg carrying four exact power sums (Σx³/Σx⁴ ride DECIMAL(38,0)/
+    // HUGEINT; the per-row x⁴ product stays in int64 for x ≤ ~5·10⁴ —
+    // comfortably above any n_chars this column carries, and BOTH
+    // engines error loudly rather than drift past it); every
+    // downstream op is IEEE arithmetic on identical integers.
+    Q("q_length_moments",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("s2"),
+          sum((col("x") * col("x") * col("x")).cast(DecimalType(38, 0)))
+            .as("s3"),
+          sum((col("x") * col("x") * col("x") * col("x"))
+            .cast(DecimalType(38, 0))).as("s4"))
+        .select(col("source"), col("n"),
+          col("s1").cast("double").as("s1d"),
+          col("s2").cast("double").as("s2d"),
+          col("s3").cast("double").as("s3d"),
+          col("s4").cast("double").as("s4d"))
+        .select(col("source"), col("n"),
+          (col("s1d") / col("n")).as("mean"),
+          (col("s2d") / col("n") - (col("s1d") / col("n"))
+            * (col("s1d") / col("n"))).as("variance"),
+          col("s3d"), col("s4d"), col("s1d"), col("s2d"))
+        .select(col("source"), col("n"), col("mean"),
+          ((col("s3d") / col("n") - lit(3.0) * col("mean")
+            * (col("s2d") / col("n")) + lit(2.0) * col("mean")
+            * col("mean") * col("mean"))
+            / (sqrt(col("variance")) * col("variance"))).as("skewness"),
+          ((col("s4d") / col("n")
+            - lit(4.0) * col("mean") * (col("s3d") / col("n"))
+            + lit(6.0) * col("mean") * col("mean") * (col("s2d") / col("n"))
+            - lit(3.0) * col("mean") * col("mean") * col("mean")
+              * col("mean"))
+            / (col("variance") * col("variance")) - lit(3.0))
+            .as("excess_kurtosis"))
+        .orderBy("source"),
+      Some("""WITH m AS (
+                SELECT source, count(*) AS n,
+                  CAST(SUM(n_chars) AS DOUBLE) AS s1d,
+                  CAST(SUM(CAST(n_chars * n_chars AS HUGEINT)) AS DOUBLE)
+                    AS s2d,
+                  CAST(SUM(CAST(n_chars * n_chars * n_chars AS HUGEINT))
+                    AS DOUBLE) AS s3d,
+                  CAST(SUM(CAST(n_chars * n_chars * n_chars * n_chars
+                    AS HUGEINT)) AS DOUBLE) AS s4d
+                FROM documents GROUP BY 1),
+              mm AS (
+                SELECT source, n, s1d / n AS mean,
+                  s2d / n - (s1d / n) * (s1d / n) AS variance,
+                  s1d, s2d, s3d, s4d
+                FROM m)
+              SELECT source, n, mean,
+                (s3d / n - 3.0 * mean * (s2d / n)
+                  + 2.0 * mean * mean * mean)
+                  / (sqrt(variance) * variance) AS skewness,
+                (s4d / n - 4.0 * mean * (s3d / n)
+                  + 6.0 * mean * mean * (s2d / n)
+                  - 3.0 * mean * mean * mean * mean)
+                  / (variance * variance) - 3.0 AS excess_kurtosis
+              FROM mm ORDER BY source"""))
   )
 }

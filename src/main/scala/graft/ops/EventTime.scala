@@ -2371,7 +2371,31 @@ object EventTime {
                 count(*) AS n_events,
                 CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
                   AS DOUBLE) / count(*) / 100.0 AS avg_value
-              FROM events GROUP BY 1 ORDER BY hr"""))
+              FROM events GROUP BY 1 ORDER BY hr""")),
+
+    // ── payload fill rate by event type ─────────────────────────────────
+    // Ingest-quality lens: which event types ship an actual JSON
+    // payload (non-null, non-empty object)? One CASE-split partial+
+    // final agg to the ≤|types| census — the row-level complement of
+    // q_json_key_census's key-level view.
+    Q("q_props_fill_by_type",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("props").isNotNull && (col("props") =!= "{}")
+            && (col("props") =!= ""), 1L).otherwise(0L)).as("n_filled"))
+        .select(col("event_type"), col("n_events"), col("n_filled"),
+          (col("n_filled").cast("double") / col("n_events").cast("double"))
+            .as("fill_rate"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_events,
+                CAST(SUM(CASE WHEN props IS NOT NULL AND props <> '{}'
+                  AND props <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_filled,
+                CAST(SUM(CASE WHEN props IS NOT NULL AND props <> '{}'
+                  AND props <> '' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS fill_rate
+              FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type

@@ -5156,7 +5156,30 @@ object Relational {
               SELECT first_priority, last_priority,
                 count(*) AS n_customers
               FROM fl GROUP BY 1, 2
-              ORDER BY first_priority, last_priority"""))
+              ORDER BY first_priority, last_priority""")),
+
+    // ── supplier supply continuity ───────────────────────────────────────
+    // Per supplier, how many distinct months did they actually ship?
+    // Distinct (supplier, month) census → per-supplier count →
+    // bounded histogram (months are calendar-bounded) — the time-axis
+    // twin of q_multisource_depth's breadth readout.
+    Q("q_supplier_continuity",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_months"))
+        .groupBy("n_months")
+        .agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("n_months"),
+      Some("""WITH sm AS (SELECT DISTINCT l_suppkey,
+                  strftime(l_shipdate, '%Y-%m') AS month
+                FROM lineitem),
+              d AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months
+                    FROM sm GROUP BY 1)
+              SELECT n_months, count(*) AS n_suppliers
+              FROM d GROUP BY 1 ORDER BY n_months"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -722,7 +722,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_nation_self_sufficiency" -> 4, // single 4-table chain
       "q_order_cadence" -> 1, "q_velocity_flags" -> 1, "q_aov_monthly" -> 1,
       "q_value_by_hour" -> 1, "q_priority_migration" -> 1,
-      "q_token_length_hist" -> 1)
+      "q_token_length_hist" -> 1, "q_props_fill_by_type" -> 1,
+      "q_supplier_continuity" -> 1, "q_length_moments" -> 1)
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
