@@ -138,7 +138,9 @@ object ScaleCheck {
     // final-bench stragglers ≥1 s among the round-6 growth queries
     "q_deep_discount", "q_token_gini", "q_margin_waterfall",
     "q_spearman_customers", "q_skipgram_pmi",
-    "q_nation_self_sufficiency", "q_brand_momentum")
+    "q_nation_self_sufficiency", "q_brand_momentum",
+    // fact-scale distinct to the calendar-bounded continuity histogram
+    "q_supplier_continuity")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
