@@ -214,7 +214,8 @@ object PlanDump {
       || q_bounce_rate / q_label_purity / q_assortment_entropy | — | single consumer chain | **single plan** |
       || q_fk_orphans | — | 4 independent edge probes (child + parent key census each) | **accepted 8 scans** — per-edge audits scan each edge by definition |
       || q_month_end_load / q_filter_impact_curve / q_brand_momentum / q_interaction_effects | band/length/(brand,year)/(lang,source) census | totals broadcast / cut joins / delta+argmax / marginal means | **persisted** (budget guard 0) |
-      || q_nation_self_sufficiency / q_order_cadence / q_velocity_flags / q_aov_monthly / q_value_by_hour / q_priority_migration / q_token_length_hist / q_props_fill_by_type / q_supplier_continuity / q_length_moments | — | single consumer chain | **single plan** |
+      || q_nation_self_sufficiency / q_order_cadence / q_velocity_flags / q_aov_monthly / q_value_by_hour / q_priority_migration / q_token_length_hist / q_props_fill_by_type / q_supplier_continuity / q_length_moments / q_discount_tax_grid / q_user_type_diversity | — | single consumer chain | **single plan** |
+      || q_dedup_candidate_stats | shared pair core | degree histogram | **memoized checkpoint** (budget guard 0) |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

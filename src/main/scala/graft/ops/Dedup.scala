@@ -951,6 +951,34 @@ object Dedup {
               SELECT CAST(floor(j * 10) AS BIGINT) AS band,
                 count(*) AS n_pairs,
                 MIN(j) AS min_j, MAX(j) AS max_j
-              FROM j GROUP BY 1 ORDER BY band"""))
+              FROM j GROUP BY 1 ORDER BY band""")),
+
+    // ── candidate-load histogram (dedup workload shape) ─────────────────
+    // How many candidate pairs does each document drag into the exact
+    // verify stage? The per-doc candidate-degree log₂ histogram over
+    // the memoized shared pair core — the readout that sizes the verify
+    // stage's worst task (and shows the ShingleDfCap guard working:
+    // the tail is bounded). Both pair endpoints count (row-local
+    // explode of the two ids), then two bounded censuses.
+    Q("q_dedup_candidate_stats",
+      (s, dir) => shinglePairCore(s, dir)
+        .select(explode(array(col("a"), col("b"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        .groupBy(length(bin(col("deg"))).cast("long").as("deg_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("deg")).cast("long").as("n_pair_slots"),
+          max(col("deg")).cast("long").as("max_deg"))
+        .orderBy("deg_bucket"),
+      Some(s"""WITH $ShingleBaseCtes,
+              ends AS (
+                SELECT a AS doc_id FROM pairs
+                UNION ALL SELECT b AS doc_id FROM pairs),
+              deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg
+                      FROM ends GROUP BY 1)
+              SELECT CAST(length(bin(deg)) AS BIGINT) AS deg_bucket,
+                count(*) AS n_docs,
+                CAST(SUM(deg) AS BIGINT) AS n_pair_slots,
+                CAST(MAX(deg) AS BIGINT) AS max_deg
+              FROM deg GROUP BY 1 ORDER BY deg_bucket"""))
   )
 }

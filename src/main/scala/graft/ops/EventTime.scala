@@ -2395,7 +2395,25 @@ object EventTime {
                 CAST(SUM(CASE WHEN props IS NOT NULL AND props <> '{}'
                   AND props <> '' THEN 1 ELSE 0 END) AS DOUBLE)
                   / count(*) AS fill_rate
-              FROM events GROUP BY 1 ORDER BY event_type"""))
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ── behavioral breadth histogram ────────────────────────────────────
+    // How many distinct event types does each user touch? Distinct
+    // (user, type) census → per-user breadth → ≤|types|-row histogram
+    // — the engagement-depth readout next to q_user_activity_hist's
+    // volume lens.
+    Q("q_user_type_diversity",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+        .groupBy("n_types")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("n_types"),
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+              d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types
+                    FROM ut GROUP BY 1)
+              SELECT n_types, count(*) AS n_users
+              FROM d GROUP BY 1 ORDER BY n_types"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type

@@ -5179,7 +5179,26 @@ object Relational {
               d AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months
                     FROM sm GROUP BY 1)
               SELECT n_months, count(*) AS n_suppliers
-              FROM d GROUP BY 1 ORDER BY n_months"""))
+              FROM d GROUP BY 1 ORDER BY n_months""")),
+
+    // ── discount × tax joint distribution ────────────────────────────────
+    // Pricing-policy joint grid: are discount and tax rates set
+    // independently? Both dimensions as exact basis points (the
+    // round()-both-sides discipline), ONE partial+final agg to the
+    // bounded rate² census.
+    Q("q_discount_tax_grid",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(round(col("l_discount") * 100).cast("long").as("disc_pct"),
+          round(col("l_tax") * 100).cast("long").as("tax_pct"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumDec2(col("l_extendedprice")).as("revenue"))
+        .orderBy("disc_pct", "tax_pct"),
+      Some("""SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+                CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct,
+                count(*) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+              FROM lineitem GROUP BY 1, 2 ORDER BY disc_pct, tax_pct"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

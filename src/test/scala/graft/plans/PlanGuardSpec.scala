@@ -723,7 +723,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_order_cadence" -> 1, "q_velocity_flags" -> 1, "q_aov_monthly" -> 1,
       "q_value_by_hour" -> 1, "q_priority_migration" -> 1,
       "q_token_length_hist" -> 1, "q_props_fill_by_type" -> 1,
-      "q_supplier_continuity" -> 1, "q_length_moments" -> 1)
+      "q_supplier_continuity" -> 1, "q_length_moments" -> 1,
+      "q_dedup_candidate_stats" -> 0, // memoized checkpointed pair core
+      "q_discount_tax_grid" -> 1, "q_user_type_diversity" -> 1)
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
