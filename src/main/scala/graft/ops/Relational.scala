@@ -5198,7 +5198,48 @@ object Relational {
                 count(*) AS n_lines,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS revenue
-              FROM lineitem GROUP BY 1, 2 ORDER BY disc_pct, tax_pct"""))
+              FROM lineitem GROUP BY 1, 2 ORDER BY disc_pct, tax_pct""")),
+
+    // ── customer growth accounting (orders side) ────────────────────────
+    // Monthly active customers split new vs returning (first-order
+    // month = the cohort mark) — q_growth_accounting's commerce twin.
+    // The persisted distinct (customer, month) census feeds BOTH the
+    // first-month frame and the activity join; everything downstream is
+    // calendar × customer-keyed, exact counts.
+    Q("q_customer_growth",
+      (s, dir) => {
+        val cm = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .distinct()
+          .persist()
+        val first = cm.groupBy("o_custkey").agg(min(col("month")).as("fm"))
+        cm.join(first, "o_custkey")
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("month") === col("fm"), 1L).otherwise(0L))
+              .as("n_new"))
+          .select(col("month"), col("n_active"), col("n_new"),
+            (col("n_active") - col("n_new")).cast("long")
+              .as("n_returning"),
+            (col("n_new").cast("double") / col("n_active").cast("double"))
+              .as("new_share"))
+          .orderBy("month")
+      },
+      Some("""WITH cm AS (
+                SELECT DISTINCT o_custkey,
+                  strftime(o_orderdate, '%Y-%m') AS month
+                FROM orders),
+              f AS (SELECT o_custkey, MIN(month) AS fm FROM cm GROUP BY 1)
+              SELECT month, count(*) AS n_active,
+                CAST(SUM(CASE WHEN month = fm THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_new,
+                CAST(count(*) - SUM(CASE WHEN month = fm THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returning,
+                CAST(SUM(CASE WHEN month = fm THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS new_share
+              FROM cm JOIN f ON cm.o_custkey = f.o_custkey
+              GROUP BY 1 ORDER BY month"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

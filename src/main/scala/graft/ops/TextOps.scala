@@ -2292,7 +2292,93 @@ object TextOps {
                 CAST(count(DISTINCT tok) AS BIGINT) AS n_types
               FROM (SELECT unnest(string_split(text, ' ')) AS tok
                     FROM documents)
-              WHERE tok <> '' GROUP BY 1 ORDER BY tok_len"""))
+              WHERE tok <> '' GROUP BY 1 ORDER BY tok_len""")),
+
+    // ── language vocabulary similarity matrix ───────────────────────────
+    // Jaccard of BIGRAM vocabularies between language pairs — which
+    // languages share phrasing? The persisted (lang, gram) distinct
+    // census self-joins on the gram key (co-partitioned); pairs are
+    // bounded by the ≤langs² catalog, sizes census-over-census.
+    Q("q_lang_vocab_jaccard",
+      (s, dir) => {
+        val lg = t(s, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("toks"))
+          .select(col("lang"), explode(expr(
+            """CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                      i -> concat(toks[i], ' ', toks[i+1]))
+               ELSE array() END""")).as("g"))
+          .distinct()
+          .persist()
+        val sz = lg.groupBy("lang").agg(count(lit(1)).as("n"))
+        val inter = lg.select(col("lang").as("la"), col("g"))
+          .join(lg.select(col("lang").as("lb"), col("g")), "g")
+          .filter(col("la") < col("lb"))
+          .groupBy("la", "lb").agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(sz.select(col("lang").as("la"), col("n").as("n_a")), Seq("la"))
+          .join(sz.select(col("lang").as("lb"), col("n").as("n_b")), Seq("lb"))
+          .select(col("la"), col("lb"), col("n_shared"),
+            (col("n_shared").cast("double")
+              / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+              .as("jaccard"))
+          .orderBy("la", "lb")
+      },
+      Some("""WITH tl AS (SELECT lang, string_split(text, ' ') AS toks
+                          FROM documents),
+              lg AS (
+                SELECT DISTINCT lang, toks[i] || ' ' || toks[i+1] AS g
+                FROM tl, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+                WHERE len(toks) >= 2),
+              sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                     FROM lg GROUP BY 1),
+              inter AS (
+                SELECT a.lang AS la, b.lang AS lb,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM lg a JOIN lg b ON a.g = b.g AND a.lang < b.lang
+                GROUP BY 1, 2)
+              SELECT la, lb, n_shared,
+                CAST(n_shared AS DOUBLE)
+                  / CAST(za.n + zb.n - n_shared AS DOUBLE) AS jaccard
+              FROM inter JOIN sz za ON la = za.lang
+                JOIN sz zb ON lb = zb.lang
+              ORDER BY la, lb""")),
+
+    // ── private-vocabulary share per source ─────────────────────────────
+    // How much of each source's vocabulary appears NOWHERE else? The
+    // uniqueness complement of q_source_overlap: persisted
+    // (source, token) distinct census, token df derived from it, one
+    // co-partitioned rejoin — private share = exact counts.
+    Q("q_vocab_private_share",
+      (s, dir) => {
+        val st = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+          .persist()
+        val df = st.groupBy("tok").agg(count(lit(1)).as("df"))
+        st.join(df, "tok")
+          .groupBy("source")
+          .agg(count(lit(1)).as("vocab_n"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("private_n"))
+          .select(col("source"), col("vocab_n"), col("private_n"),
+            (col("private_n").cast("double") / col("vocab_n").cast("double"))
+              .as("private_share"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (
+                SELECT DISTINCT source, tok
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> ''),
+              df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                     FROM st GROUP BY 1)
+              SELECT source, count(*) AS vocab_n,
+                CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS private_n,
+                CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS private_share
+              FROM st JOIN df ON st.tok = df.tok
+              GROUP BY 1 ORDER BY source"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

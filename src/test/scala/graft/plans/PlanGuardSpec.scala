@@ -725,7 +725,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_token_length_hist" -> 1, "q_props_fill_by_type" -> 1,
       "q_supplier_continuity" -> 1, "q_length_moments" -> 1,
       "q_dedup_candidate_stats" -> 0, // memoized checkpointed pair core
-      "q_discount_tax_grid" -> 1, "q_user_type_diversity" -> 1)
+      "q_discount_tax_grid" -> 1, "q_user_type_diversity" -> 1,
+      "q_lang_vocab_jaccard" -> 0, // persisted (lang, gram) census
+      "q_vocab_private_share" -> 0, // persisted (source, token) census
+      "q_customer_growth" -> 0) // persisted (customer, month) census
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
