@@ -140,7 +140,10 @@ object ScaleCheck {
     "q_spearman_customers", "q_skipgram_pmi",
     "q_nation_self_sufficiency", "q_brand_momentum",
     // fact-scale distinct to the calendar-bounded continuity histogram
-    "q_supplier_continuity")
+    "q_supplier_continuity",
+    // closing similarity/growth batch (borderline-1 s cold): vocab
+    // census self-join, df rejoin, month-census growth split
+    "q_lang_vocab_jaccard", "q_vocab_private_share", "q_customer_growth")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
