@@ -2413,7 +2413,60 @@ object EventTime {
               d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types
                     FROM ut GROUP BY 1)
               SELECT n_types, count(*) AS n_users
-              FROM d GROUP BY 1 ORDER BY n_types"""))
+              FROM d GROUP BY 1 ORDER BY n_types""")),
+
+    // ── session value bands ──────────────────────────────────────────────
+    // Revenue-per-session distribution: the q_bounce_rate 30-minute
+    // sessions carrying exact-cents value sums, folded into log₂ bands
+    // (zero-value sessions get band 0). User-keyed windows at
+    // population parallelism; band census output.
+    Q("q_session_value_bands",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val gapUs = col("us") - lag(col("us"), 1).over(byUser)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            (dec2(col("value")) * 100).cast("long").as("cents"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("new_sess",
+            when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(sum(col("cents")).as("cents"))
+          .groupBy(when(col("cents") <= 0, 0L)
+            .otherwise(length(bin(col("cents"))).cast("long")).as("band"))
+          .agg(count(lit(1)).as("n_sessions"),
+            (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+          .orderBy("band")
+      },
+      Some("""WITH x AS (
+                SELECT user_id, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  epoch_us(ts) AS us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+              s AS (
+                SELECT user_id, cents,
+                  SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sess_id
+                FROM x),
+              sess AS (
+                SELECT user_id, sess_id, CAST(SUM(cents) AS BIGINT) AS cents
+                FROM s GROUP BY 1, 2)
+              SELECT CASE WHEN cents <= 0 THEN 0
+                       ELSE CAST(length(bin(cents)) AS BIGINT) END AS band,
+                count(*) AS n_sessions,
+                CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+              FROM sess GROUP BY 1 ORDER BY band"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type

@@ -5239,7 +5239,48 @@ object Relational {
                 CAST(SUM(CASE WHEN month = fm THEN 1 ELSE 0 END) AS DOUBLE)
                   / count(*) AS new_share
               FROM cm JOIN f ON cm.o_custkey = f.o_custkey
-              GROUP BY 1 ORDER BY month"""))
+              GROUP BY 1 ORDER BY month""")),
+
+    // ── brand loyalty (repeat-purchase rate) ─────────────────────────────
+    // Per brand: of the customers who bought it at all, how many came
+    // back in a DIFFERENT order? The 3-table chain folds to the
+    // (customer, brand, n_orders) census first (distinct orders per
+    // pair — co-partitioned keys), then one brand census; repeat rate
+    // is exact counts.
+    Q("q_brand_loyalty",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey"), col("p_brand"), col("o_orderkey"))
+        .distinct()
+        .groupBy("o_custkey", "p_brand")
+        .agg(count(lit(1)).as("n_orders"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+            .as("n_repeat"))
+        .select(col("p_brand"), col("n_buyers"), col("n_repeat"),
+          (col("n_repeat").cast("double") / col("n_buyers").cast("double"))
+            .as("repeat_rate"))
+        .orderBy("p_brand"),
+      Some("""WITH cb AS (
+                SELECT DISTINCT o_custkey, p_brand, o_orderkey
+                FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN part ON l_partkey = p_partkey),
+              per AS (
+                SELECT o_custkey, p_brand, CAST(count(*) AS BIGINT)
+                  AS n_orders
+                FROM cb GROUP BY 1, 2)
+              SELECT p_brand, count(*) AS n_buyers,
+                CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repeat,
+                CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS repeat_rate
+              FROM per GROUP BY 1 ORDER BY p_brand"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

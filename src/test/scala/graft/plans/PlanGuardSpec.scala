@@ -728,7 +728,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_discount_tax_grid" -> 1, "q_user_type_diversity" -> 1,
       "q_lang_vocab_jaccard" -> 0, // persisted (lang, gram) census
       "q_vocab_private_share" -> 0, // persisted (source, token) census
-      "q_customer_growth" -> 0) // persisted (customer, month) census
+      "q_customer_growth" -> 0, // persisted (customer, month) census
+      "q_brand_loyalty" -> 3, // single 3-table chain to the brand census
+      "q_session_value_bands" -> 1) // single session-window chain
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
