@@ -143,7 +143,9 @@ object ScaleCheck {
     "q_supplier_continuity",
     // closing similarity/growth batch (borderline-1 s cold): vocab
     // census self-join, df rejoin, month-census growth split
-    "q_lang_vocab_jaccard", "q_vocab_private_share", "q_customer_growth")
+    "q_lang_vocab_jaccard", "q_vocab_private_share", "q_customer_growth",
+    // loyalty batch: 3-table distinct fold, session-window value bands
+    "q_brand_loyalty", "q_session_value_bands")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
