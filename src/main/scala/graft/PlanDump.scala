@@ -217,7 +217,8 @@ object PlanDump {
       || q_nation_self_sufficiency / q_order_cadence / q_velocity_flags / q_aov_monthly / q_value_by_hour / q_priority_migration / q_token_length_hist / q_props_fill_by_type / q_supplier_continuity / q_length_moments / q_discount_tax_grid / q_user_type_diversity | — | single consumer chain | **single plan** |
       || q_dedup_candidate_stats | shared pair core | degree histogram | **memoized checkpoint** (budget guard 0) |
       || q_lang_vocab_jaccard / q_vocab_private_share / q_customer_growth | (lang, gram) / (source, token) / (customer, month) distinct census | self-join + sizes / df rejoin / first-month + activity join | **persisted** (budget guard 0) |
-      || q_brand_loyalty / q_session_value_bands | — | single consumer chain | **single plan** |
+      || q_brand_loyalty / q_session_value_bands / q_order_concentration | — | single consumer chain | **single plan** |
+      || q_psi_timeline | (week, bin) census | dense grid + base-week slice + per-week folds | **persisted** (budget guard 0) |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -2466,7 +2466,97 @@ object EventTime {
                        ELSE CAST(length(bin(cents)) AS BIGINT) END AS band,
                 count(*) AS n_sessions,
                 CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
-              FROM sess GROUP BY 1 ORDER BY band"""))
+              FROM sess GROUP BY 1 ORDER BY band""")),
+
+    // ── PSI timeline (weekly drift vs the first week) ───────────────────
+    // q_psi generalized to a monitor series: every week's value
+    // distribution scored against the FIRST week's. ONE (week, bin)
+    // census, persisted; the dense weeks × bins grid, Laplace-smoothed
+    // proportions, 12-decimal per-bin terms and the per-week pinned
+    // fold all live on calendar × bin-bounded frames (the q_js_drift
+    // grid discipline).
+    Q("q_psi_timeline",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .groupBy(
+            date_format(date_trunc("week", col("ts")).cast("date"),
+              "yyyy-MM-dd").as("week"),
+            floor(col("value") / 50).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .persist()
+        val weeks = cells.select("week").distinct()
+        val bins = cells.select("bin").distinct()
+        val nBins = broadcast(bins.agg(count(lit(1)).as("n_bins")))
+        val grid = weeks.crossJoin(bins)
+          .join(cells, Seq("week", "bin"), "left")
+          .select(col("week"), col("bin"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val wWeek = Window.partitionBy("week")
+        val withTot = grid
+          .select(col("week"), col("bin"), col("n"),
+            sum(col("n")).over(wWeek).cast("long").as("n_week"))
+        val base = withTot
+          .crossJoin(broadcast(weeks.agg(min(col("week")).as("w0"))))
+          .filter(col("week") === col("w0"))
+          .select(col("bin"), col("n").as("b_n"),
+            col("n_week").as("n_base"))
+        withTot.join(base, "bin").crossJoin(nBins)
+          .select(col("week"), col("bin"),
+            round(((col("n").cast("double") + 1.0)
+                / (col("n_week").cast("double") + col("n_bins").cast("double"))
+              - (col("b_n").cast("double") + 1.0)
+                / (col("n_base").cast("double")
+                  + col("n_bins").cast("double")))
+              * log(((col("n").cast("double") + 1.0)
+                  / (col("n_week").cast("double")
+                    + col("n_bins").cast("double")))
+                / ((col("b_n").cast("double") + 1.0)
+                  / (col("n_base").cast("double")
+                    + col("n_bins").cast("double")))), 12).as("term"))
+          .groupBy("week")
+          .agg(round(expr(
+            """aggregate(array_sort(collect_list(struct(bin, term))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+            .as("psi"))
+          .orderBy("week")
+      },
+      Some("""WITH cells AS (
+                SELECT strftime(CAST(date_trunc('week', ts) AS DATE),
+                    '%Y-%m-%d') AS week,
+                  CAST(floor(value / 50) AS BIGINT) AS bin,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+              weeks AS (SELECT DISTINCT week FROM cells),
+              bins AS (SELECT DISTINCT bin FROM cells),
+              nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins FROM bins),
+              grid AS (
+                SELECT weeks.week, bins.bin, coalesce(n, 0) AS n
+                FROM weeks CROSS JOIN bins
+                  LEFT JOIN cells ON cells.week = weeks.week
+                    AND cells.bin = bins.bin),
+              wt AS (
+                SELECT week, bin, n,
+                  CAST(SUM(n) OVER (PARTITION BY week) AS BIGINT) AS n_week
+                FROM grid),
+              base AS (
+                SELECT bin, n AS b_n, n_week AS n_base FROM wt
+                WHERE week = (SELECT MIN(week) FROM weeks)),
+              terms AS (
+                SELECT week, wt.bin,
+                  round(((CAST(wt.n AS DOUBLE) + 1.0)
+                      / (CAST(n_week AS DOUBLE) + CAST(n_bins AS DOUBLE))
+                    - (CAST(b_n AS DOUBLE) + 1.0)
+                      / (CAST(n_base AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+                    * ln(((CAST(wt.n AS DOUBLE) + 1.0)
+                        / (CAST(n_week AS DOUBLE) + CAST(n_bins AS DOUBLE)))
+                      / ((CAST(b_n AS DOUBLE) + 1.0)
+                        / (CAST(n_base AS DOUBLE)
+                          + CAST(n_bins AS DOUBLE)))), 12) AS term
+                FROM wt JOIN base ON wt.bin = base.bin, nb)
+              SELECT week,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY bin)), (a, x) -> a + x), 12) AS psi
+              FROM terms GROUP BY 1 ORDER BY week"""))
   )
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type

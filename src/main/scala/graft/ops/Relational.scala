@@ -5280,7 +5280,41 @@ object Relational {
                   AS BIGINT) AS n_repeat,
                 CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*) AS repeat_rate
-              FROM per GROUP BY 1 ORDER BY p_brand"""))
+              FROM per GROUP BY 1 ORDER BY p_brand""")),
+
+    // ── per-customer order concentration ─────────────────────────────────
+    // Whale detection: among multi-order customers, what share of a
+    // customer's lifetime value sits in their single biggest order?
+    // ONE per-customer (max, sum) cents census, share band histogram —
+    // the exact max/total ratio of identical integers cannot band
+    // differently between engines.
+    Q("q_order_concentration",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          max((dec2(col("o_totalprice")) * 100).cast("long")).as("top"),
+          sum((dec2(col("o_totalprice")) * 100).cast("long")).as("tot"))
+        .filter(col("n_orders") >= 2)
+        .groupBy(floor(col("top").cast("double")
+          / col("tot").cast("double") * 10).cast("long").as("share_band"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("n_orders")).cast("long").as("min_orders"),
+          max(col("n_orders")).cast("long").as("max_orders"))
+        .orderBy("share_band"),
+      Some("""WITH per AS (
+                SELECT o_custkey, count(*) AS n_orders,
+                  CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS top,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS tot
+                FROM orders GROUP BY 1)
+              SELECT CAST(floor(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE)
+                  * 10) AS BIGINT) AS share_band,
+                count(*) AS n_customers,
+                CAST(MIN(n_orders) AS BIGINT) AS min_orders,
+                CAST(MAX(n_orders) AS BIGINT) AS max_orders
+              FROM per WHERE n_orders >= 2
+              GROUP BY 1 ORDER BY share_band"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
