@@ -218,7 +218,8 @@ object PlanDump {
       || q_dedup_candidate_stats | shared pair core | degree histogram | **memoized checkpoint** (budget guard 0) |
       || q_lang_vocab_jaccard / q_vocab_private_share / q_customer_growth | (lang, gram) / (source, token) / (customer, month) distinct census | self-join + sizes / df rejoin / first-month + activity join | **persisted** (budget guard 0) |
       || q_brand_loyalty / q_session_value_bands / q_order_concentration | — | single consumer chain | **single plan** |
-      || q_psi_timeline | (week, bin) census | dense grid + base-week slice + per-week folds | **persisted** (budget guard 0) |
+      || q_psi_timeline | (week, bin) census | dense grid + base-week slice + per-week folds (streaming twin shares the census) | **persisted in finish** (budget guard 0) |
+      || q_brand_price_index | (brand, type) cents census | type averages + index join | **persisted** (budget guard 0) |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -2476,50 +2476,7 @@ object EventTime {
     // fold all live on calendar × bin-bounded frames (the q_js_drift
     // grid discipline).
     Q("q_psi_timeline",
-      (s, dir) => {
-        val cells = t(s, dir, "events")
-          .groupBy(
-            date_format(date_trunc("week", col("ts")).cast("date"),
-              "yyyy-MM-dd").as("week"),
-            floor(col("value") / 50).cast("long").as("bin"))
-          .agg(count(lit(1)).as("n"))
-          .persist()
-        val weeks = cells.select("week").distinct()
-        val bins = cells.select("bin").distinct()
-        val nBins = broadcast(bins.agg(count(lit(1)).as("n_bins")))
-        val grid = weeks.crossJoin(bins)
-          .join(cells, Seq("week", "bin"), "left")
-          .select(col("week"), col("bin"),
-            coalesce(col("n"), lit(0L)).as("n"))
-        val wWeek = Window.partitionBy("week")
-        val withTot = grid
-          .select(col("week"), col("bin"), col("n"),
-            sum(col("n")).over(wWeek).cast("long").as("n_week"))
-        val base = withTot
-          .crossJoin(broadcast(weeks.agg(min(col("week")).as("w0"))))
-          .filter(col("week") === col("w0"))
-          .select(col("bin"), col("n").as("b_n"),
-            col("n_week").as("n_base"))
-        withTot.join(base, "bin").crossJoin(nBins)
-          .select(col("week"), col("bin"),
-            round(((col("n").cast("double") + 1.0)
-                / (col("n_week").cast("double") + col("n_bins").cast("double"))
-              - (col("b_n").cast("double") + 1.0)
-                / (col("n_base").cast("double")
-                  + col("n_bins").cast("double")))
-              * log(((col("n").cast("double") + 1.0)
-                  / (col("n_week").cast("double")
-                    + col("n_bins").cast("double")))
-                / ((col("b_n").cast("double") + 1.0)
-                  / (col("n_base").cast("double")
-                    + col("n_bins").cast("double")))), 12).as("term"))
-          .groupBy("week")
-          .agg(round(expr(
-            """aggregate(array_sort(collect_list(struct(bin, term))),
-                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
-            .as("psi"))
-          .orderBy("week")
-      },
+      (s, dir) => psiTimelineFinish(psiTimelineCells(t(s, dir, "events"))),
       Some("""WITH cells AS (
                 SELECT strftime(CAST(date_trunc('week', ts) AS DATE),
                     '%Y-%m-%d') AS week,
@@ -2558,6 +2515,59 @@ object EventTime {
                   list(term ORDER BY bin)), (a, x) -> a + x), 12) AS psi
               FROM terms GROUP BY 1 ORDER BY week"""))
   )
+
+  /** PSI-timeline sufficient statistic: the (week, value-bin) count
+    * census — mergeable Complete-mode streaming state, bounded by
+    * calendar × bins (never event volume).
+    */
+  def psiTimelineCells(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("week", col("ts")).cast("date"),
+          "yyyy-MM-dd").as("week"),
+        floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Readout of [[psiTimelineCells]] (batch or drained stream state):
+    * dense grid, Laplace-smoothed proportions, 12-decimal terms and
+    * the per-week pinned fold — drained ≡ batch exactly.
+    */
+  def psiTimelineFinish(cells0: DataFrame): DataFrame = {
+    val cells = cells0.persist()
+    val weeks = cells.select("week").distinct()
+    val bins = cells.select("bin").distinct()
+    val nBins = broadcast(bins.agg(count(lit(1)).as("n_bins")))
+    val grid = weeks.crossJoin(bins)
+      .join(cells, Seq("week", "bin"), "left")
+      .select(col("week"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+    val wWeek = Window.partitionBy("week")
+    val withTot = grid
+      .select(col("week"), col("bin"), col("n"),
+        sum(col("n")).over(wWeek).cast("long").as("n_week"))
+    val base = withTot
+      .crossJoin(broadcast(weeks.agg(min(col("week")).as("w0"))))
+      .filter(col("week") === col("w0"))
+      .select(col("bin"), col("n").as("b_n"), col("n_week").as("n_base"))
+    withTot.join(base, "bin").crossJoin(nBins)
+      .select(col("week"), col("bin"),
+        round(((col("n").cast("double") + 1.0)
+            / (col("n_week").cast("double") + col("n_bins").cast("double"))
+          - (col("b_n").cast("double") + 1.0)
+            / (col("n_base").cast("double")
+              + col("n_bins").cast("double")))
+          * log(((col("n").cast("double") + 1.0)
+              / (col("n_week").cast("double")
+                + col("n_bins").cast("double")))
+            / ((col("b_n").cast("double") + 1.0)
+              / (col("n_base").cast("double")
+                + col("n_bins").cast("double")))), 12).as("term"))
+      .groupBy("week")
+      .agg(round(expr(
+        """aggregate(array_sort(collect_list(struct(bin, term))),
+             CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+        .as("psi"))
+      .orderBy("week")
+  }
 
   /** Seasonality-index sufficient statistic: the ≤7×|types| dow×type
     * count census — mergeable Complete-mode streaming state (exact

@@ -5314,7 +5314,51 @@ object Relational {
                 CAST(MIN(n_orders) AS BIGINT) AS min_orders,
                 CAST(MAX(n_orders) AS BIGINT) AS max_orders
               FROM per WHERE n_orders >= 2
-              GROUP BY 1 ORDER BY share_band"""))
+              GROUP BY 1 ORDER BY share_band""")),
+
+    // ── brand price positioning index ────────────────────────────────────
+    // Is a brand premium or discount within its own category? Per
+    // (brand, type): avg line price over the type's avg — an index > 1
+    // = premium positioning. ONE (brand, type) cents census, persisted;
+    // type averages are census-over-census; the index divides two
+    // exact-integer averages.
+    Q("q_brand_price_index",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .select(col("l_partkey"), dec2(col("l_extendedprice")).as("p"),
+            col("l_quantity"))
+          .join(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type")
+          .agg(count(lit(1)).as("n_lines"),
+            (sum(col("p")) * 100).cast("long").as("cents"))
+          .persist()
+        val perType = cen.groupBy("p_type")
+          .agg((sum(col("cents")).cast("double")
+            / sum(col("n_lines")).cast("double")).as("type_avg"))
+        cen.join(perType, "p_type")
+          .select(col("p_brand"), col("p_type"), col("n_lines"),
+            ((col("cents").cast("double") / col("n_lines").cast("double"))
+              / col("type_avg")).as("price_index"))
+          .orderBy("p_brand", "p_type")
+      },
+      Some("""WITH cen AS (
+                SELECT p_brand, p_type, count(*) AS n_lines,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2),
+              pt AS (
+                SELECT p_type,
+                  CAST(SUM(cents) AS DOUBLE) / CAST(SUM(n_lines) AS DOUBLE)
+                    AS type_avg
+                FROM cen GROUP BY 1)
+              SELECT p_brand, cen.p_type, n_lines,
+                (CAST(cents AS DOUBLE) / n_lines) / type_avg
+                  AS price_index
+              FROM cen JOIN pt ON cen.p_type = pt.p_type
+              ORDER BY p_brand, cen.p_type"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

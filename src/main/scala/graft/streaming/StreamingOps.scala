@@ -785,6 +785,15 @@ object StreamingOps {
   def seasonIdxCounts(events: DataFrame): DataFrame =
     graft.ops.EventTime.seasonIdxCounts(events)
 
+  /** Streaming half of q_psi_timeline — the live distribution-drift
+    * monitor. State = the (week, value-bin) count census (calendar ×
+    * bins bounded); [[graft.ops.EventTime.psiTimelineFinish]] over the
+    * drained state equals batch q_psi_timeline EXACTLY at any trigger
+    * (the Laplace smoothing and pinned folds live in the finish).
+    */
+  def psiTimelineCells(events: DataFrame): DataFrame =
+    graft.ops.EventTime.psiTimelineCells(events)
+
   /** Streaming half of q_type_share_drift — the live mix-shift monitor.
     * State = the calendar × types weekly count census (grows with time,
     * not volume); [[graft.ops.EventTime.typeShareFinish]] over the

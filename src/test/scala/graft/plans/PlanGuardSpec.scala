@@ -731,7 +731,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_customer_growth" -> 0, // persisted (customer, month) census
       "q_brand_loyalty" -> 3, // single 3-table chain to the brand census
       "q_session_value_bands" -> 1, // single session-window chain
-      "q_psi_timeline" -> 0, // persisted (week, bin) census, grid + base
+      "q_psi_timeline" -> 0, // persisted (week, bin) census (streaming twin)
+      "q_brand_price_index" -> 0, // persisted (brand, type) census
       "q_order_concentration" -> 1) // single per-customer census chain
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }

@@ -768,6 +768,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drained (week, bin) census finishes to batch q_psi_timeline exactly") {
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.psiTimelineCells(
+        StreamingOps.readEventStream(spark, batchDir)),
+      "t_psitl", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.psiTimelineFinish(census).collect()
+      .map(_.toSeq.toList).toSet
+    val batch = SparkEntry.queries("q_psi_timeline")(spark, sfDir)
+      .collect().map(_.toSeq.toList).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained (week, bin) census diverged from batch PSI timeline")
+  }
+
   test("stateful velocity flag census equals batch q_velocity_flags") {
     import spark.implicits._
     val stream = StreamingOps.readEventStream(spark, batchDir)
