@@ -145,7 +145,9 @@ object ScaleCheck {
     // census self-join, df rejoin, month-census growth split
     "q_lang_vocab_jaccard", "q_vocab_private_share", "q_customer_growth",
     // loyalty batch: 3-table distinct fold, session-window value bands
-    "q_brand_loyalty", "q_session_value_bands")
+    "q_brand_loyalty", "q_session_value_bands",
+    // drift-monitor series: calendar × bins census + grid folds
+    "q_psi_timeline")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
