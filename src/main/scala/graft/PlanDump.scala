@@ -220,6 +220,7 @@ object PlanDump {
       || q_brand_loyalty / q_session_value_bands / q_order_concentration | — | single consumer chain | **single plan** |
       || q_psi_timeline | (week, bin) census | dense grid + base-week slice + per-week folds (streaming twin shares the census) | **persisted in finish** (budget guard 0) |
       || q_brand_price_index | (brand, type) cents census | type averages + index join | **persisted** (budget guard 0) |
+      || q_dedup_savings | memoized CC cluster artifact | loser flags → per-source savings | **memoized** (one doc scan) |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -979,6 +979,53 @@ object Dedup {
                 count(*) AS n_docs,
                 CAST(SUM(deg) AS BIGINT) AS n_pair_slots,
                 CAST(MAX(deg) AS BIGINT) AS max_deg
-              FROM deg GROUP BY 1 ORDER BY deg_bucket"""))
+              FROM deg GROUP BY 1 ORDER BY deg_bucket""")),
+
+    // ── dedup savings readout (what near-dup removal buys) ──────────────
+    // The pipeline-planning number: per source, how many docs and what
+    // token mass would near-dup dedup remove? Losers come from the
+    // memoized connected-components artifact (non-representative
+    // cluster members — one pipeline pays for q_dup_clusters,
+    // q_dedup_survivors AND this); token counts are a row-local
+    // projection; the join is doc_id-keyed.
+    Q("q_dedup_savings",
+      (s, dir) => {
+        val losers = dupClusters(s, dir)
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id"), lit(1L).as("is_loser"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(filter(split(col("text"), " "), x => x =!= ""))
+              .cast("long").as("n_toks"))
+          .join(losers, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("is_loser"), lit(0L))).cast("long")
+              .as("n_removed"),
+            sum(col("n_toks")).cast("long").as("tokens_total"),
+            sum(col("n_toks") * coalesce(col("is_loser"), lit(0L)))
+              .cast("long").as("tokens_saved"))
+          .select(col("source"), col("n_docs"), col("n_removed"),
+            col("tokens_total"), col("tokens_saved"),
+            (col("tokens_saved").cast("double")
+              / col("tokens_total").cast("double")).as("savings_share"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $ClusterCtes,
+              losers AS (SELECT u FROM walk GROUP BY u HAVING min(r) <> u),
+              d AS (
+                SELECT doc_id, source,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_toks,
+                  CASE WHEN doc_id IN (SELECT u FROM losers)
+                    THEN 1 ELSE 0 END AS is_loser
+                FROM documents)
+              SELECT source, count(*) AS n_docs,
+                CAST(SUM(is_loser) AS BIGINT) AS n_removed,
+                CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+                CAST(SUM(n_toks * is_loser) AS BIGINT) AS tokens_saved,
+                CAST(SUM(n_toks * is_loser) AS DOUBLE)
+                  / CAST(SUM(n_toks) AS DOUBLE) AS savings_share
+              FROM d GROUP BY 1 ORDER BY source"""))
   )
 }

@@ -733,7 +733,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_session_value_bands" -> 1, // single session-window chain
       "q_psi_timeline" -> 0, // persisted (week, bin) census (streaming twin)
       "q_brand_price_index" -> 0, // persisted (brand, type) census
-      "q_order_concentration" -> 1) // single per-customer census chain
+      "q_order_concentration" -> 1, // single per-customer census chain
+      "q_dedup_savings" -> 1) // losers ride the memoized CC artifact; one doc scan
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
