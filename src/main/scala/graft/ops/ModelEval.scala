@@ -1507,6 +1507,252 @@ object ModelEval {
                 round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
                 (ssb / CAST(k - 1 AS DOUBLE))
                   / (ssw / CAST(n_tot - k AS DOUBLE)) AS f_stat
+              FROM agg""")),
+
+    // ── Mann–Whitney U: account balance, BUILDING vs AUTOMOBILE ─────────
+    // The rank-based two-sample test — the nonparametric complement of
+    // q_ab_test's t-test and q_ks_drift's CDF distance. The corpus
+    // collapses to the value-domain-bounded (cents → n_a, n_b) census
+    // (acctbal spans ~1.1 M distinct cents regardless of row count —
+    // the q_rolling_median envelope); midranks are exact half-integers
+    // carried ×2 in integers, rank sums and the tie correction are
+    // exact DECIMAL(38,0), and μ/σ²/z are IEEE expressions of those
+    // exact integers at the very end.
+    Q("q_mann_whitney",
+      (s, dir) => {
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val census = t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+          .select((dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("is_a"))
+          .groupBy("cents")
+          .agg(sum(col("is_a")).as("n_a"),
+            sum(lit(1L) - col("is_a")).as("n_b"))
+        val ranked = census
+          .withColumn("cum_before",
+            coalesce(sum(col("n_a") + col("n_b")).over(wv), lit(0L)))
+          .withColumn("midrank_x2",
+            lit(2L) * col("cum_before") + col("n_a") + col("n_b") + 1L)
+        val agg = ranked.agg(
+          sum(col("n_a")).cast("long").as("na"),
+          sum(col("n_b")).cast("long").as("nb"),
+          sum(col("n_a").cast(dec38) * col("midrank_x2")).as("ra_x2"),
+          sum((col("n_a") + col("n_b")).cast(dec38)
+            * (col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))
+            - (col("n_a") + col("n_b"))).as("ties"))
+        agg.select(col("na"), col("nb"),
+            (col("ra_x2").cast("double") / 2.0
+              - col("na").cast("double") * (col("na") + 1).cast("double")
+                / 2.0).as("u_a"),
+            (col("na").cast("double") * col("nb").cast("double") / 2.0)
+              .as("mu"),
+            col("ties").cast("double").as("tie_term"),
+            (col("na") + col("nb")).cast("long").as("n"))
+          .select(col("na"), col("nb"), col("u_a"), col("mu"),
+            when(col("na") === 0 || col("nb") === 0 || col("n") <= 1
+              || col("tie_term")
+                >= (col("n").cast("double") * col("n").cast("double")
+                  * col("n").cast("double") - col("n").cast("double")),
+              lit(null).cast("double"))
+              .otherwise((col("u_a") - col("mu"))
+                / sqrt(col("na").cast("double") * col("nb").cast("double")
+                  / 12.0
+                  * ((col("n") + 1).cast("double")
+                    - col("tie_term")
+                      / (col("n").cast("double")
+                        * (col("n") - 1).cast("double")))))
+              .as("z"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                FROM customer
+                WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                GROUP BY 1),
+              ranked AS (
+                SELECT cents, n_a, n_b,
+                  COALESCE(SUM(n_a + n_b) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+                FROM census),
+              agg AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+                  CAST(SUM(n_b) AS BIGINT) AS nb,
+                  SUM(CAST(n_a AS HUGEINT)
+                    * (2 * cum_before + n_a + n_b + 1)) AS ra_x2,
+                  SUM(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
+                    - (n_a + n_b)) AS ties
+                FROM ranked),
+              m AS (
+                SELECT na, nb,
+                  CAST(ra_x2 AS DOUBLE) / 2.0
+                    - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE) / 2.0
+                    AS u_a,
+                  CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS mu,
+                  CAST(ties AS DOUBLE) AS tie_term,
+                  CAST(na + nb AS BIGINT) AS n
+                FROM agg)
+              SELECT na, nb, u_a, mu,
+                CASE WHEN na = 0 OR nb = 0 OR n <= 1
+                  OR tie_term >= CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)
+                  THEN NULL
+                  ELSE (u_a - mu)
+                    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                      * (CAST(n + 1 AS DOUBLE)
+                        - tie_term / (CAST(n AS DOUBLE)
+                          * CAST(n - 1 AS DOUBLE)))) END AS z
+              FROM m""")),
+
+    // ── McNemar's test: two classifiers on the same events ──────────────
+    // Paired model comparison — the question A/B accuracy deltas can't
+    // answer (the pairing matters). Classifier A thresholds the score
+    // (value > 50), classifier B bets on time-of-day (hour ≥ 12);
+    // label = purchase. ONE partial+final agg to the 2×2 discordant
+    // census; the continuity-corrected χ² is one IEEE expression of
+    // exact counts, NULL-guarded when there are no discordant pairs.
+    Q("q_mcnemar",
+      (s, dir) => t(s, dir, "events")
+        .select(
+          (col("event_type") === "purchase").as("label"),
+          (col("value") > 50.0).as("pred_a"),
+          (hour(col("ts")) >= 12).as("pred_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("pred_a") === col("label"))
+            && (col("pred_b") =!= col("label")), 1L).otherwise(0L))
+            .cast("long").as("b"),
+          sum(when((col("pred_a") =!= col("label"))
+            && (col("pred_b") === col("label")), 1L).otherwise(0L))
+            .cast("long").as("c"))
+        .select(col("n_pairs"), col("b"), col("c"),
+          when(col("b") + col("c") === 0, lit(null).cast("double"))
+            .otherwise((abs(col("b") - col("c")).cast("double") - 1.0)
+              * (abs(col("b") - col("c")).cast("double") - 1.0)
+              / (col("b") + col("c")).cast("double")).as("chi2")),
+      Some("""WITH p AS (
+                SELECT event_type = 'purchase' AS label,
+                  value > 50.0 AS pred_a,
+                  hour(ts) >= 12 AS pred_b
+                FROM events)
+              SELECT count(*) AS n_pairs,
+                CAST(SUM(CASE WHEN pred_a = label AND pred_b <> label
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN pred_a <> label AND pred_b = label
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CASE WHEN SUM(CASE WHEN pred_a = label AND pred_b <> label
+                    THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN pred_a <> label AND pred_b = label
+                    THEN 1 ELSE 0 END) = 0 THEN NULL
+                  ELSE (abs(CAST(SUM(CASE WHEN pred_a = label
+                      AND pred_b <> label THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN pred_a <> label AND pred_b = label
+                      THEN 1 ELSE 0 END) AS DOUBLE)) - 1.0)
+                    * (abs(CAST(SUM(CASE WHEN pred_a = label
+                        AND pred_b <> label THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN pred_a <> label AND pred_b = label
+                        THEN 1 ELSE 0 END) AS DOUBLE)) - 1.0)
+                    / CAST(SUM(CASE WHEN pred_a = label AND pred_b <> label
+                        THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN pred_a <> label AND pred_b = label
+                        THEN 1 ELSE 0 END) AS DOUBLE) END AS chi2
+              FROM p""")),
+
+    // ── Brown–Forsythe Levene test: acctbal spread across segments ──────
+    // Variance homogeneity — the assumption q_anova quietly makes,
+    // tested with the robust median-centered variant. The corpus
+    // collapses to the (segment, cents) value-domain census ONCE
+    // (persisted: the median extraction and the deviation re-join both
+    // read it); group medians come from a cumulative-count selection
+    // (FP-free, exact half-cents carried ×2), absolute deviations stay
+    // integers, and the F statistic is [[anovaFinish]] verbatim over
+    // the exact (group, n, Σz, Σz²) moments.
+    Q("q_levene",
+      (s, dir) => {
+        val wc = Window.partitionBy("seg").orderBy("cents")
+        val census = t(s, dir, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            (dec2(col("c_acctbal")) * 100).cast("long").as("cents"))
+          .groupBy("seg", "cents")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .persist()
+        val tot = census.groupBy("seg")
+          .agg(sum(col("cnt")).cast("long").as("n_g"))
+        val med = census.join(broadcast(tot), "seg")
+          .withColumn("cum", sum(col("cnt")).over(wc))
+          .groupBy("seg")
+          .agg((min(when(col("cum") >= expr("(n_g + 1) div 2"),
+            col("cents")))
+            + min(when(col("cum") >= expr("(n_g + 2) div 2"),
+              col("cents")))).as("med_x2"))
+        val zc = census.join(broadcast(med), "seg")
+          .select(col("seg").as("event_type"), col("cnt"),
+            abs(lit(2L) * col("cents") - col("med_x2")).as("z2"))
+          .groupBy("event_type")
+          .agg(sum(col("cnt")).cast("long").as("n"),
+            sum(col("z2").cast(dec38) * col("cnt")).as("s"),
+            sum(col("z2").cast(dec38) * col("z2") * col("cnt")).as("ss"))
+        anovaFinish(zc)
+      },
+      Some("""WITH census AS (
+                SELECT c_mktsegment AS seg,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM customer GROUP BY 1, 2),
+              tot AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n_g
+                      FROM census GROUP BY 1),
+              cum AS (
+                SELECT census.seg, cents, cnt, n_g,
+                  SUM(cnt) OVER (PARTITION BY census.seg ORDER BY cents)
+                    AS cum
+                FROM census JOIN tot ON census.seg = tot.seg),
+              med AS (
+                SELECT seg,
+                  MIN(CASE WHEN cum >= (n_g + 1) // 2 THEN cents END)
+                    + MIN(CASE WHEN cum >= (n_g + 2) // 2 THEN cents END)
+                    AS med_x2
+                FROM cum GROUP BY 1),
+              zc AS (
+                SELECT census.seg AS event_type,
+                  CAST(SUM(cnt) AS BIGINT) AS n,
+                  SUM(CAST(abs(2 * cents - med_x2) AS HUGEINT) * cnt) AS s,
+                  SUM(CAST(abs(2 * cents - med_x2) AS HUGEINT)
+                    * abs(2 * cents - med_x2) * cnt) AS ss
+                FROM census JOIN med ON census.seg = med.seg
+                GROUP BY 1),
+              tt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                       CAST(SUM(s) AS HUGEINT) AS s_tot FROM zc),
+              terms AS (
+                SELECT event_type, n, n_tot,
+                  round(CAST(n AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / n
+                      - CAST(s_tot AS DOUBLE) / n_tot)
+                    * (CAST(s AS DOUBLE) / n
+                      - CAST(s_tot AS DOUBLE) / n_tot), 6) AS ssb_term,
+                  round(CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                    AS ssw_term
+                FROM zc, tt),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(MAX(n_tot) AS BIGINT) AS n_tot,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ssb_term ORDER BY event_type)),
+                    (a, x) -> a + x) AS ssb,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ssw_term ORDER BY event_type)),
+                    (a, x) -> a + x) AS ssw
+                FROM terms)
+              SELECT k, n_tot AS n,
+                round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+                (ssb / CAST(k - 1 AS DOUBLE))
+                  / (ssw / CAST(n_tot - k AS DOUBLE)) AS f_stat
               FROM agg"""))
   )
 }
