@@ -869,6 +869,144 @@ object Graph {
                 CASE WHEN SUM(possible) = 0 THEN NULL
                   ELSE CAST(SUM(tri) AS DOUBLE)
                     / CAST(SUM(possible) AS DOUBLE) END AS cc
-              FROM pernode GROUP BY 1 ORDER BY deg_bucket"""))
+              FROM pernode GROUP BY 1 ORDER BY deg_bucket""")),
+
+    // ── HITS hubs & authorities, 2 exact-integer iterations ──────────────
+    // Kleinberg's HITS on the DIRECTED customer→supplier graph: hub
+    // customers concentrate purchases on authoritative suppliers. Same
+    // integer-fixed-point discipline as q_pagerank (float HITS would
+    // drift with reduction order): scores normalize per half-round by
+    // the round MAX with truncating division — the max is a 1-row agg
+    // broadcast (iteration constant), DECIMAL keeps Σ hub·indeg exact
+    // at any degree. Per half-round shape: edges⋈scores on the cached
+    // src partitioning, partial-agg by the other endpoint — ONE
+    // edge-scale exchange, scores never broadcast.
+    Q("q_hits",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+          .repartition(col("c")).persist()
+        cs.count()
+        var hubs = cs.select(col("c")).distinct()
+          .select(col("c").as("node"), lit(Scale).as("h"))
+          .localCheckpoint(true)
+        var auths: DataFrame = hubs
+        for (_ <- 1 to 2) {
+          val araw = cs.join(hubs, cs("c") === hubs("node"))
+            .groupBy(col("s").as("node"))
+            .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
+          val amax = araw.agg(max(col("raw")).as("mx"))
+          auths = araw.crossJoin(broadcast(amax))
+            .select(col("node"),
+              expr("(raw * 1000000000000) div mx").cast("long").as("a"))
+            .localCheckpoint(true)
+          val hraw = cs.join(auths, cs("s") === auths("node"))
+            .groupBy(col("c").as("node"))
+            .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
+          val hmax = hraw.agg(max(col("raw")).as("mx"))
+          hubs = hraw.crossJoin(broadcast(hmax))
+            .select(col("node"),
+              expr("(raw * 1000000000000) div mx").cast("long").as("h"))
+            .localCheckpoint(true)
+        }
+        hubs.select(lit("hub").as("role"), col("node"),
+            col("h").as("score"))
+          .unionByName(auths.select(lit("authority").as("role"),
+            col("node"), col("a").as("score")))
+          .orderBy("role", "node")
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              h0 AS (SELECT DISTINCT c AS node,
+                       CAST(1000000000000 AS HUGEINT) AS h FROM cs),
+              a1r AS (SELECT s AS node, SUM(h) AS raw
+                      FROM cs JOIN h0 ON h0.node = cs.c GROUP BY 1),
+              a1 AS (SELECT node, CAST(raw * 1000000000000
+                       // (SELECT MAX(raw) FROM a1r) AS BIGINT) AS a
+                     FROM a1r),
+              h1r AS (SELECT c AS node, SUM(CAST(a AS HUGEINT)) AS raw
+                      FROM cs JOIN a1 ON a1.node = cs.s GROUP BY 1),
+              h1 AS (SELECT node, CAST(raw * 1000000000000
+                       // (SELECT MAX(raw) FROM h1r) AS BIGINT) AS h
+                     FROM h1r),
+              a2r AS (SELECT s AS node, SUM(CAST(h AS HUGEINT)) AS raw
+                      FROM cs JOIN h1 ON h1.node = cs.c GROUP BY 1),
+              a2 AS (SELECT node, CAST(raw * 1000000000000
+                       // (SELECT MAX(raw) FROM a2r) AS BIGINT) AS a
+                     FROM a2r),
+              h2r AS (SELECT c AS node, SUM(CAST(a AS HUGEINT)) AS raw
+                      FROM cs JOIN a2 ON a2.node = cs.s GROUP BY 1),
+              h2 AS (SELECT node, CAST(raw * 1000000000000
+                       // (SELECT MAX(raw) FROM h2r) AS BIGINT) AS h
+                     FROM h2r)
+              SELECT 'hub' AS role, node, h AS score FROM h2
+              UNION ALL
+              SELECT 'authority' AS role, node, a AS score FROM a2
+              ORDER BY role, node""")),
+
+    // ── Adamic–Adar link prediction (supplier pairs) ─────────────────────
+    // Which supplier pairs share the most DISCRIMINATING customers?
+    // Adamic–Adar down-weights promiscuous common neighbors by
+    // 1/ln(deg) — the classic link-prediction score. Candidate pairs
+    // come from the per-customer basket fan-out (ONE groupBy, row-local
+    // triangular expansion over the sorted supplier set, whale baskets
+    // >128 excluded on BOTH engines — never a fact self-join); pairs
+    // ride the shuffle as ONE packed long. Weights are 12-decimal
+    // rounded per customer and summed by the customer-pinned sorted
+    // fold, so both engines reduce in the same order.
+    Q("q_adamic_adar",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val b = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(sort_array(collect_set(col("l_suppkey"))).as("items"))
+          .filter(size(col("items")).between(2, 128))
+          .select(col("cust"), col("items"),
+            round(lit(1.0) / log(size(col("items")).cast("double")), 12)
+              .as("w"))
+        val pairs = b.select(col("cust"), col("w"), explode(expr(
+          """flatten(transform(items, (x, i) ->
+               transform(slice(items, i + 2, size(items)),
+                 y -> x * 4294967296L + y)))""")).as("pk"))
+        pairs.groupBy("pk")
+          .agg(count(lit(1)).cast("long").as("common"),
+            expr("""aggregate(array_sort(collect_list(struct(cust, w))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.w)""").as("aa"))
+          .select(expr("pk div 4294967296L").as("s1"),
+            (col("pk") % 4294967296L).as("s2"), col("common"), col("aa"))
+          .orderBy(col("aa").desc, col("s1"), col("s2"))
+          .limit(50)
+      },
+      Some("""WITH b AS (
+                SELECT o_custkey AS cust,
+                  list_sort(list(DISTINCT l_suppkey)) AS items
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1
+                HAVING len(list(DISTINCT l_suppkey)) BETWEEN 2 AND 128),
+              w AS (SELECT cust, items,
+                      round(1.0 / ln(CAST(len(items) AS DOUBLE)), 12) AS w
+                    FROM b),
+              pairs AS (
+                SELECT cust, w, unnest(flatten(list_transform(
+                  generate_series(1, len(items)),
+                  i -> list_transform(generate_series(i + 1, len(items)),
+                    j -> {'s1': items[i], 's2': items[j]})))) AS p
+                FROM w),
+              pc AS (SELECT p.s1 AS s1, p.s2 AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS common,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(w ORDER BY cust)), (a, x) -> a + x) AS aa
+                     FROM pairs GROUP BY 1, 2)
+              SELECT s1, s2, common, aa FROM pc
+              ORDER BY aa DESC, s1, s2 LIMIT 50"""))
   )
 }

@@ -5358,7 +5358,61 @@ object Relational {
                 (CAST(cents AS DOUBLE) / n_lines) / type_avg
                   AS price_index
               FROM cen JOIN pt ON cen.p_type = pt.p_type
-              ORDER BY p_brand, cen.p_type"""))
+              ORDER BY p_brand, cen.p_type""")),
+
+    // ── line-position effect within orders ───────────────────────────────
+    // Does a line's POSITION in its order predict its size? (Basket
+    // composition: first-listed items vs add-ons.) The projected
+    // lineitem frame is persisted — it feeds the per-order total census
+    // AND the position re-join (one parquet scan); position averages
+    // and the share-of-order mass ratio are IEEE divisions of exact
+    // DECIMAL sums on the ≤|positions|-row census.
+    Q("q_line_position_effect",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+          .persist()
+        val tot = li.groupBy("l_orderkey")
+          .agg(sum(col("cents")).cast("long").as("order_cents"))
+        li.join(tot, "l_orderkey")
+          .groupBy(col("l_linenumber").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty_c").cast("decimal(38,0)")).as("qm"),
+            sum(col("cents").cast("decimal(38,0)")).as("lm"),
+            sum(col("order_cents").cast("decimal(38,0)")).as("om"))
+          .select(col("pos"), col("n"),
+            (col("qm").cast("double") / col("n").cast("double") / 100.0)
+              .as("avg_qty"),
+            (col("lm").cast("double") / col("n").cast("double") / 100.0)
+              .as("avg_price"),
+            (col("lm").cast("double") / col("om").cast("double"))
+              .as("share_of_order"))
+          .orderBy("pos")
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_linenumber,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS qty_c,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem),
+              tot AS (
+                SELECT l_orderkey, CAST(SUM(cents) AS BIGINT)
+                  AS order_cents
+                FROM li GROUP BY 1)
+              SELECT CAST(l_linenumber AS BIGINT) AS pos,
+                count(*) AS n,
+                CAST(SUM(CAST(qty_c AS HUGEINT)) AS DOUBLE) / count(*)
+                  / 100.0 AS avg_qty,
+                CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / count(*)
+                  / 100.0 AS avg_price,
+                CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                  / CAST(SUM(CAST(order_cents AS HUGEINT)) AS DOUBLE)
+                  AS share_of_order
+              FROM li JOIN tot ON li.l_orderkey = tot.l_orderkey
+              GROUP BY 1 ORDER BY pos"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
