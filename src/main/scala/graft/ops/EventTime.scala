@@ -2513,7 +2513,51 @@ object EventTime {
               SELECT week,
                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY bin)), (a, x) -> a + x), 12) AS psi
-              FROM terms GROUP BY 1 ORDER BY week"""))
+              FROM terms GROUP BY 1 ORDER BY week""")),
+
+    // ── longest consecutive-week activity streaks ────────────────────────
+    // Habit strength: the longest run of back-to-back active weeks per
+    // user, folded to a streak-length histogram. The corpus collapses
+    // to the distinct (user, week-index) census ONCE; the gaps-islands
+    // trick (week − row_number is constant within a run) rides
+    // user-partitioned windows — a scaling key, constant work per
+    // user. Week indexing is Monday-anchored integer division on
+    // epoch days, identical in both engines.
+    Q("q_user_streaks",
+      (s, dir) => {
+        val wu = Window.partitionBy("user_id").orderBy("wk")
+        t(s, dir, "events")
+          .select(col("user_id"),
+            expr("datediff(CAST(ts AS DATE), DATE'1970-01-05') div 7")
+              .as("wk"))
+          .distinct()
+          .withColumn("grp", col("wk") - row_number().over(wu))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).cast("long").as("len"))
+          .groupBy("user_id")
+          .agg(max(col("len")).as("best_streak"))
+          .groupBy("best_streak")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("best_streak")
+      },
+      Some("""WITH uw AS (
+                SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                    AS wk
+                FROM events),
+              runs AS (
+                SELECT user_id,
+                  wk - row_number() OVER (PARTITION BY user_id
+                    ORDER BY wk) AS grp
+                FROM uw),
+              lens AS (
+                SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+                FROM runs GROUP BY 1, 2),
+              best AS (
+                SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak
+                FROM lens GROUP BY 1)
+              SELECT best_streak, count(*) AS n_users
+              FROM best GROUP BY 1 ORDER BY best_streak"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

@@ -2378,7 +2378,87 @@ object TextOps {
                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                   / count(*) AS private_share
               FROM st JOIN df ON st.tok = df.tok
-              GROUP BY 1 ORDER BY source"""))
+              GROUP BY 1 ORDER BY source""")),
+
+    // ── per-source unigram KL divergence vs the corpus LM ────────────────
+    // How far is each source's token distribution from the corpus mix?
+    // (The language-model view of q_mix_shift; the lens DoReMi-style
+    // domain reweighting reads.) Corpus-sized work is ONE (source,
+    // token) census (persisted — the corpus rollup, the top-K pick and
+    // the per-source restriction all read it); the distributions live
+    // on the DENSE sources × top-200 grid (catalog × constant — absent
+    // cells get the Laplace floor), add-one smoothed and renormalized
+    // on the frame. KL terms are 12-decimal rounded and summed by the
+    // token-pinned sorted fold — both engines reduce identically.
+    Q("q_source_kl",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .persist()
+        val top = census.groupBy("tok")
+          .agg(sum(col("n")).cast("long").as("n_tok"))
+          .orderBy(col("n_tok").desc, col("tok"))
+          .limit(200)
+        val topTot = top.agg(sum(col("n_tok")).cast("long").as("n_corpus"))
+        val grid = census.select("source").distinct()
+          .crossJoin(broadcast(top))
+          .join(census, Seq("source", "tok"), "left")
+          .select(col("source"), col("tok"), col("n_tok"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val srcTot = grid.groupBy("source")
+          .agg(sum(col("n")).cast("long").as("n_src"))
+        grid.join(srcTot, "source").crossJoin(broadcast(topTot))
+          .select(col("source"), col("tok"), col("n_src"),
+            round(((col("n") + 1).cast("double")
+              / (col("n_src") + 200).cast("double"))
+              * log(((col("n") + 1).cast("double")
+                / (col("n_src") + 200).cast("double"))
+                / ((col("n_tok") + 1).cast("double")
+                  / (col("n_corpus") + 200).cast("double"))), 12)
+              .as("term"))
+          .groupBy("source")
+          .agg(max(col("n_src")).as("n_top_tokens"),
+            expr("""aggregate(array_sort(collect_list(struct(tok, term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("kl"))
+          .orderBy("source")
+      },
+      Some("""WITH census AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY 1, 2),
+              top AS (
+                SELECT tok, CAST(SUM(n) AS BIGINT) AS n_tok
+                FROM census GROUP BY 1
+                ORDER BY n_tok DESC, tok LIMIT 200),
+              tt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_corpus
+                     FROM top),
+              grid AS (
+                SELECT s.source, top.tok, top.n_tok,
+                  COALESCE(census.n, 0) AS n
+                FROM (SELECT DISTINCT source FROM census) s
+                CROSS JOIN top
+                LEFT JOIN census ON census.source = s.source
+                  AND census.tok = top.tok),
+              st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src
+                     FROM grid GROUP BY 1),
+              terms AS (
+                SELECT grid.source, grid.tok, st.n_src,
+                  round((CAST(n + 1 AS DOUBLE)
+                      / CAST(n_src + 200 AS DOUBLE))
+                    * ln((CAST(n + 1 AS DOUBLE)
+                        / CAST(n_src + 200 AS DOUBLE))
+                      / (CAST(n_tok + 1 AS DOUBLE)
+                        / CAST(n_corpus + 200 AS DOUBLE))), 12) AS term
+                FROM grid JOIN st ON grid.source = st.source, tt)
+              SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_top_tokens,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY tok)), (a, x) -> a + x) AS kl
+              FROM terms GROUP BY 1 ORDER BY source"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
