@@ -221,6 +221,15 @@ object PlanDump {
       || q_psi_timeline | (week, bin) census | dense grid + base-week slice + per-week folds (streaming twin shares the census) | **persisted in finish** (budget guard 0) |
       || q_brand_price_index | (brand, type) cents census | type averages + index join | **persisted** (budget guard 0) |
       || q_dedup_savings | memoized CC cluster artifact | loser flags → per-source savings | **memoized** (one doc scan) |
+      || q_mann_whitney / q_mcnemar / q_user_streaks / q_sql_lateral / q_line_position_effect† | — | single consumer chain (†persisted projection feeds totals + rejoin) | **single plan / persisted** (budget guards 1/1/1/2/0) |
+      || q_levene | (segment, cents) value-domain census | group totals + cumulative-median pick + deviation rejoin | **persisted** (budget guard 0) |
+      || q_hits | directed c→s edge set, src-partitioned | 2×2 half-round contribution joins + per-half-round max agg | **persisted + count()** (budget guard 0; ranks localCheckpoint per half-round) |
+      || q_adamic_adar | — | single basket-fan-out chain (pair census consumes everything) | **single plan** (budget guard 2) |
+      || q_source_kl | (source, token) census | corpus top-200 + dense grid join + per-source totals | **persisted** (budget guard 0) |
+      || q_payload_dedup | md5-hashed payload frame | keeper census + loser rejoin | **persisted** (budget guard 0) |
+      || q_theil_between | ≤\|nations\| (n, Σcents) census | totals agg + term projection | **persisted** (budget guard 0) |
+      || q_bigram_cond_entropy | token arrays + head-restricted bigram census | uni head cut + bi census / den + terms | **persisted both** (budget guard 0) |
+      || q_mcnemar (census+finish split) | 2×2 agreement census | streaming twin shares mcnemarCensus; batch is a single chain | **single plan** (budget guard 1) |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

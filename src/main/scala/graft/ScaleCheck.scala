@@ -147,7 +147,11 @@ object ScaleCheck {
     // loyalty batch: 3-table distinct fold, session-window value bands
     "q_brand_loyalty", "q_session_value_bands",
     // drift-monitor series: calendar × bins census + grid folds
-    "q_psi_timeline")
+    "q_psi_timeline",
+    // continuation batch: 2-round integer HITS (edge-scale joins),
+    // shared-generator pair fan-out + integer-micros score, (source,
+    // token) census + dense top-200 grid, decorrelated LATERAL top-N
+    "q_hits", "q_adamic_adar", "q_source_kl", "q_sql_lateral")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -957,56 +957,60 @@ object Graph {
     // come from the per-customer basket fan-out (ONE groupBy, row-local
     // triangular expansion over the sorted supplier set, whale baskets
     // >128 excluded on BOTH engines — never a fact self-join); pairs
-    // ride the shuffle as ONE packed long. Weights are 12-decimal
-    // rounded per customer and summed by the customer-pinned sorted
-    // fold, so both engines reduce in the same order.
+    // ride the shuffle as ONE packed long. Weights are carried as
+    // EXACT integer micros (round(1/ln(deg)·10¹²) — the 1/ln is IEEE-
+    // identical per customer, and the integer sum is reduction-order-
+    // free), so the score needs no pinned fold: partial aggregation
+    // does the work and the top-50 sorts on the exact integer.
     Q("q_adamic_adar",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val ord = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val b = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey").as("cust"))
-          .agg(sort_array(collect_set(col("l_suppkey"))).as("items"))
-          .filter(size(col("items")).between(2, 128))
-          .select(col("cust"), col("items"),
-            round(lit(1.0) / log(size(col("items")).cast("double")), 12)
-              .as("w"))
-        val pairs = b.select(col("cust"), col("w"), explode(expr(
+        // candidate generation is SHARED with q_also_bought (one
+        // generator, two scores): pairs ≤ C(128,2)·customers by the
+        // basket cap — linear in the customer population, the same
+        // count-invariant ScaleCheck asserts for the also-bought path
+        val b = Curation.alsoBoughtBaskets(s, dir)
+          .filter(size(col("items")) >= 2)
+          .select(col("items"),
+            round(lit(1.0e12) / log(size(col("items")).cast("double")), 0)
+              .cast("long").as("w12"))
+        val pairs = b.select(col("w12"), explode(expr(
           """flatten(transform(items, (x, i) ->
                transform(slice(items, i + 2, size(items)),
                  y -> x * 4294967296L + y)))""")).as("pk"))
         pairs.groupBy("pk")
           .agg(count(lit(1)).cast("long").as("common"),
-            expr("""aggregate(array_sort(collect_list(struct(cust, w))),
-                    CAST(0 AS DOUBLE), (a, x) -> a + x.w)""").as("aa"))
+            sum(col("w12").cast("decimal(38,0)")).as("aa12"))
           .select(expr("pk div 4294967296L").as("s1"),
-            (col("pk") % 4294967296L).as("s2"), col("common"), col("aa"))
-          .orderBy(col("aa").desc, col("s1"), col("s2"))
+            (col("pk") % 4294967296L).as("s2"), col("common"),
+            col("aa12"),
+            (col("aa12").cast("double") / 1.0e12).as("aa"))
+          .orderBy(col("aa12").desc, col("s1"), col("s2"))
           .limit(50)
+          .drop("aa12")
       },
       Some("""WITH b AS (
                 SELECT o_custkey AS cust,
                   list_sort(list(DISTINCT l_suppkey)) AS items
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
                 GROUP BY 1
-                HAVING len(list(DISTINCT l_suppkey)) BETWEEN 2 AND 128),
+                HAVING len(list(DISTINCT l_suppkey)) <= 128),
               w AS (SELECT cust, items,
-                      round(1.0 / ln(CAST(len(items) AS DOUBLE)), 12) AS w
-                    FROM b),
+                      CAST(round(1.0e12
+                        / ln(CAST(len(items) AS DOUBLE)), 0) AS BIGINT)
+                        AS w12
+                    FROM b WHERE len(items) >= 2),
               pairs AS (
-                SELECT cust, w, unnest(flatten(list_transform(
+                SELECT w12, unnest(flatten(list_transform(
                   generate_series(1, len(items)),
                   i -> list_transform(generate_series(i + 1, len(items)),
                     j -> {'s1': items[i], 's2': items[j]})))) AS p
                 FROM w),
               pc AS (SELECT p.s1 AS s1, p.s2 AS s2,
                        CAST(COUNT(*) AS BIGINT) AS common,
-                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                         list(w ORDER BY cust)), (a, x) -> a + x) AS aa
+                       SUM(CAST(w12 AS HUGEINT)) AS aa12
                      FROM pairs GROUP BY 1, 2)
-              SELECT s1, s2, common, aa FROM pc
-              ORDER BY aa DESC, s1, s2 LIMIT 50"""))
+              SELECT s1, s2, common,
+                CAST(aa12 AS DOUBLE) / 1.0e12 AS aa
+              FROM pc ORDER BY aa12 DESC, s1, s2 LIMIT 50"""))
   )
 }

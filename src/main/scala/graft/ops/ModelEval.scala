@@ -301,6 +301,37 @@ object ModelEval {
           .as("f_stat"))
   }
 
+  /** McNemar sufficient statistic: the 2×2 (A-correct, B-correct)
+    * agreement census. Mergeable Complete-mode streaming state (4 rows
+    * max); [[mcnemarFinish]] over a drained state equals batch
+    * q_mcnemar exactly — the live paired-model comparison monitor.
+    */
+  def mcnemarCensus(events: DataFrame): DataFrame =
+    events
+      .select(
+        (col("event_type") === "purchase").as("label"),
+        (col("value") > 50.0).as("pred_a"),
+        (hour(col("ts")) >= 12).as("pred_b"))
+      .groupBy((col("pred_a") === col("label")).as("a_ok"),
+        (col("pred_b") === col("label")).as("b_ok"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Readout of [[mcnemarCensus]]: discordant counts + the continuity-
+    * corrected χ², NULL-guarded when the discordant cells are empty.
+    */
+  def mcnemarFinish(census: DataFrame): DataFrame =
+    census
+      .agg(sum(col("n")).cast("long").as("n_pairs"),
+        sum(when(col("a_ok") && !col("b_ok"), col("n")).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(!col("a_ok") && col("b_ok"), col("n")).otherwise(0L))
+          .cast("long").as("c"))
+      .select(col("n_pairs"), col("b"), col("c"),
+        when(col("b") + col("c") === 0, lit(null).cast("double"))
+          .otherwise((abs(col("b") - col("c")).cast("double") - 1.0)
+            * (abs(col("b") - col("c")).cast("double") - 1.0)
+            / (col("b") + col("c")).cast("double")).as("chi2"))
+
   val queries: Seq[Q] = Seq(
 
     // ── ROC AUC via Mann–Whitney midranks ───────────────────────────────
@@ -1614,27 +1645,13 @@ object ModelEval {
     // Paired model comparison — the question A/B accuracy deltas can't
     // answer (the pairing matters). Classifier A thresholds the score
     // (value > 50), classifier B bets on time-of-day (hour ≥ 12);
-    // label = purchase. ONE partial+final agg to the 2×2 discordant
-    // census; the continuity-corrected χ² is one IEEE expression of
-    // exact counts, NULL-guarded when there are no discordant pairs.
+    // label = purchase. ONE partial+final agg to the 2×2 agreement
+    // census ([[mcnemarCensus]] — mergeable, the streaming twin's
+    // Complete-mode state); the continuity-corrected χ² is one IEEE
+    // expression of exact counts, NULL-guarded when there are no
+    // discordant pairs.
     Q("q_mcnemar",
-      (s, dir) => t(s, dir, "events")
-        .select(
-          (col("event_type") === "purchase").as("label"),
-          (col("value") > 50.0).as("pred_a"),
-          (hour(col("ts")) >= 12).as("pred_b"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when((col("pred_a") === col("label"))
-            && (col("pred_b") =!= col("label")), 1L).otherwise(0L))
-            .cast("long").as("b"),
-          sum(when((col("pred_a") =!= col("label"))
-            && (col("pred_b") === col("label")), 1L).otherwise(0L))
-            .cast("long").as("c"))
-        .select(col("n_pairs"), col("b"), col("c"),
-          when(col("b") + col("c") === 0, lit(null).cast("double"))
-            .otherwise((abs(col("b") - col("c")).cast("double") - 1.0)
-              * (abs(col("b") - col("c")).cast("double") - 1.0)
-              / (col("b") + col("c")).cast("double")).as("chi2")),
+      (s, dir) => mcnemarFinish(mcnemarCensus(t(s, dir, "events"))),
       Some("""WITH p AS (
                 SELECT event_type = 'purchase' AS label,
                   value > 50.0 AS pred_a,

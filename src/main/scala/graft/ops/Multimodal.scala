@@ -166,7 +166,49 @@ object Multimodal {
                   unnest(generate_series(0, CAST(ceil(n_chars / 32.0) AS INT) - 1)) AS f
                 FROM documents)
               WHERE f % 4 = 0
-              ORDER BY doc_id, frame_id"""))
+              ORDER BY doc_id, frame_id""")),
+
+    // ── byte-exact payload dedup with storage-savings accounting ─────────
+    // The media twin of q_dedup_exact: identical BLOBS (md5 over the
+    // payload BYTES, not any source column) collapse to the min-id
+    // keeper, and the readout is what a storage planner needs — loser
+    // count and exact bytes reclaimed per source. The hashed frame is
+    // persisted (it feeds the keeper census AND the loser re-join — one
+    // corpus scan); the join is co-partitioned on the hash. The oracle
+    // recomputes md5 over the same utf-8 bytes from the text column.
+    Q("q_payload_dedup",
+      (s, dir) => {
+        val keyed = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_bytes"),
+            md5(encode(col("text"), "UTF-8")).as("h"))
+          .persist()
+        val keepers = keyed.groupBy("h")
+          .agg(min(col("doc_id")).as("keeper"))
+        keyed.join(keepers, "h")
+          .select(col("source"), col("n_bytes"),
+            (col("doc_id") =!= col("keeper")).as("loser"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(when(col("loser"), 1L).otherwise(0L)).cast("long")
+              .as("n_losers"),
+            sum(when(col("loser"), col("n_bytes")).otherwise(0L))
+              .cast("long").as("bytes_saved"))
+          .orderBy("source")
+      },
+      Some("""WITH keyed AS (
+                SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_bytes,
+                  md5(text) AS h
+                FROM documents),
+              keepers AS (
+                SELECT h, MIN(doc_id) AS keeper FROM keyed GROUP BY 1)
+              SELECT source, count(*) AS n_assets,
+                CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_losers,
+                CAST(SUM(CASE WHEN doc_id <> keeper THEN n_bytes
+                  ELSE 0 END) AS BIGINT) AS bytes_saved
+              FROM keyed JOIN keepers ON keyed.h = keepers.h
+              GROUP BY 1 ORDER BY source"""))
   )
 }
 

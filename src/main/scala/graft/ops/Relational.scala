@@ -5412,7 +5412,75 @@ object Relational {
                   / CAST(SUM(CAST(order_cents AS HUGEINT)) AS DOUBLE)
                   AS share_of_order
               FROM li JOIN tot ON li.l_orderkey = tot.l_orderkey
-              GROUP BY 1 ORDER BY pos"""))
+              GROUP BY 1 ORDER BY pos""")),
+
+    // ── between-nation Theil index (inequality decomposition) ────────────
+    // Which share of revenue inequality is BETWEEN markets? The Theil T
+    // between-group term Σ s_g·ln(s_g/p_g) over revenue shares s_g and
+    // population shares p_g — the group-level complement of q_gini's
+    // customer-level curve (Theil decomposes additively; Gini doesn't).
+    // The 3-table chain folds to the ≤|nations| (n, Σcents) census ONCE
+    // (persisted: totals + terms both read it); shares are IEEE ratios
+    // of exact DECIMAL sums, terms are 12-decimal rounded and summed by
+    // the nation-pinned fold.
+    Q("q_theil_between",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).cast("long").as("n_g"),
+            (sum(dec2(col("o_totalprice"))) * 100).cast("decimal(38,0)")
+              .as("cents_g"))
+          .persist()
+        val tot = cen.agg(sum(col("n_g")).cast("long").as("n_tot"),
+          sum(col("cents_g")).as("cents_tot"))
+        cen.crossJoin(broadcast(tot))
+          .select(col("n_name"), col("n_tot"),
+            round((col("cents_g").cast("double")
+              / col("cents_tot").cast("double"))
+              * log((col("cents_g").cast("double")
+                / col("cents_tot").cast("double"))
+                / (col("n_g").cast("double")
+                  / col("n_tot").cast("double"))), 12).as("term"))
+          .groupBy(col("n_tot").as("n"))
+          .agg(count(lit(1)).cast("long").as("k"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(n_name, term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+              .as("t_between"))
+          .select(col("k"), col("n"), col("t_between"))
+      },
+      Some("""WITH cen AS (
+                SELECT n_name, CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS HUGEINT) AS cents_g
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1),
+              tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+                        CAST(SUM(cents_g) AS HUGEINT) AS cents_tot
+                      FROM cen),
+              terms AS (
+                SELECT n_name, n_tot,
+                  round((CAST(cents_g AS DOUBLE)
+                      / CAST(cents_tot AS DOUBLE))
+                    * ln((CAST(cents_g AS DOUBLE)
+                        / CAST(cents_tot AS DOUBLE))
+                      / (CAST(n_g AS DOUBLE)
+                        / CAST(n_tot AS DOUBLE))), 12) AS term
+                FROM cen, tot)
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(MAX(n_tot) AS BIGINT) AS n,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY n_name)), (a, x) -> a + x)
+                  AS t_between
+              FROM terms"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

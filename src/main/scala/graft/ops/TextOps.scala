@@ -2458,7 +2458,83 @@ object TextOps {
               SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_top_tokens,
                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY tok)), (a, x) -> a + x) AS kl
-              FROM terms GROUP BY 1 ORDER BY source"""))
+              FROM terms GROUP BY 1 ORDER BY source""")),
+
+    // ── conditional bigram entropy H(next | prev) for head tokens ────────
+    // How predictable is the next token after each high-frequency
+    // token? (The LM-difficulty lens q_ngram_lm's probabilities feed;
+    // low entropy after a token = boilerplate collocations.) The token
+    // arrays are persisted ONCE and both the unigram head pick and the
+    // bigram census explode the cache; the entropy frame is bounded by
+    // the top-100 head cut. Per-head terms are 12-decimal rounded and
+    // folded pinned by the next-token, so both engines reduce
+    // identically; the bigram fan-out is guarded against <2-token docs
+    // (descending-sequence trap).
+    Q("q_bigram_cond_entropy",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("w"))
+          .persist()
+        val top = toks.select(explode(col("w")).as("u"))
+          .filter(col("u") =!= "")
+          .groupBy("u").agg(count(lit(1)).cast("long").as("n_u"))
+          .orderBy(col("n_u").desc, col("u"))
+          .limit(100)
+        val bi = toks.select(explode(when(size(col("w")) >= 2, expr(
+            """transform(sequence(0, size(w) - 2),
+                 i -> struct(w[i] AS u, w[i + 1] AS v))"""))
+            .otherwise(expr("CAST(array() AS ARRAY<STRUCT<u: STRING, v: STRING>>)")))
+            .as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+          .filter(col("u") =!= "" && col("v") =!= "")
+          .groupBy("u", "v").agg(count(lit(1)).cast("long").as("n_uv"))
+        val restricted = bi.join(broadcast(top.select("u")), "u").persist()
+        val den = restricted.groupBy("u")
+          .agg(sum(col("n_uv")).cast("long").as("n_u_dot"))
+        restricted.join(broadcast(den), "u")
+          .select(col("u"), col("v"), col("n_u_dot"),
+            round((col("n_uv").cast("double")
+              / col("n_u_dot").cast("double"))
+              * -log(col("n_uv").cast("double")
+                / col("n_u_dot").cast("double")), 12).as("term"))
+          .groupBy("u")
+          .agg(max(col("n_u_dot")).as("n_pairs"),
+            count(lit(1)).cast("long").as("branching"),
+            expr("""aggregate(array_sort(collect_list(struct(v, term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+              .as("h_next"))
+          .orderBy("u")
+      },
+      Some("""WITH toks AS (
+                SELECT string_split(text, ' ') AS w FROM documents),
+              uni AS (
+                SELECT u, CAST(count(*) AS BIGINT) AS n_u
+                FROM (SELECT unnest(w) AS u FROM toks)
+                WHERE u <> '' GROUP BY 1),
+              top AS (SELECT u FROM uni ORDER BY n_u DESC, u LIMIT 100),
+              bi AS (
+                SELECT p.u AS u, p.v AS v, CAST(count(*) AS BIGINT) AS n_uv
+                FROM (SELECT unnest(list_transform(
+                        generate_series(1, len(w) - 1),
+                        i -> {'u': w[i], 'v': w[i + 1]})) AS p
+                      FROM toks)
+                WHERE p.u <> '' AND p.v <> '' GROUP BY 1, 2),
+              restricted AS (
+                SELECT bi.u, bi.v, bi.n_uv FROM bi JOIN top ON bi.u = top.u),
+              den AS (
+                SELECT u, CAST(SUM(n_uv) AS BIGINT) AS n_u_dot
+                FROM restricted GROUP BY 1),
+              terms AS (
+                SELECT restricted.u, v, n_u_dot,
+                  round((CAST(n_uv AS DOUBLE) / CAST(n_u_dot AS DOUBLE))
+                    * -ln(CAST(n_uv AS DOUBLE) / CAST(n_u_dot AS DOUBLE)),
+                    12) AS term
+                FROM restricted JOIN den ON restricted.u = den.u)
+              SELECT u, CAST(MAX(n_u_dot) AS BIGINT) AS n_pairs,
+                count(*) AS branching,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY v)), (a, x) -> a + x) AS h_next
+              FROM terms GROUP BY 1 ORDER BY u"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

@@ -711,6 +711,15 @@ object StreamingOps {
   def anovaCounts(events: DataFrame): DataFrame =
     graft.ops.ModelEval.anovaCensus(events)
 
+  /** Streaming half of q_mcnemar — the live paired-model comparison.
+    * 2×2 agreement census as Complete-mode state (4 rows max);
+    * [[graft.ops.ModelEval.mcnemarFinish]] over the drained state
+    * equals batch q_mcnemar exactly at any trigger — two models stay
+    * under a running significance readout without an event rescan.
+    */
+  def mcnemarCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.mcnemarCensus(events)
+
   /** Schema of the orders table (for the order-ingest stream twins). */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),

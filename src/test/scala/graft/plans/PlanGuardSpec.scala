@@ -734,7 +734,20 @@ class PlanGuardSpec extends SparkSpec {
       "q_psi_timeline" -> 0, // persisted (week, bin) census (streaming twin)
       "q_brand_price_index" -> 0, // persisted (brand, type) census
       "q_order_concentration" -> 1, // single per-customer census chain
-      "q_dedup_savings" -> 1) // losers ride the memoized CC artifact; one doc scan
+      "q_dedup_savings" -> 1, // losers ride the memoized CC artifact; one doc scan
+      // round-6 continuation batches (stat tests / graph / LM)
+      "q_mann_whitney" -> 1, // single customer chain to the cents census
+      "q_mcnemar" -> 1, // ONE events agg to the 2×2 discordant census
+      "q_levene" -> 0, // persisted (seg, cents) census: totals + medians + z-join
+      "q_hits" -> 0, // edges persisted src-partitioned; rounds ride the cache
+      "q_adamic_adar" -> 2, // single li⋈orders chain to the basket fan-out
+      "q_line_position_effect" -> 0, // persisted projection: totals + rejoin
+      "q_source_kl" -> 0, // persisted (source, token) census: top + grid + totals
+      "q_user_streaks" -> 1, // single events chain to the (user, week) census
+      "q_sql_lateral" -> 2, // nation + customer single decorrelated chain
+      "q_payload_dedup" -> 0, // persisted hashed frame: keeper census + rejoin
+      "q_theil_between" -> 0, // persisted nation census: totals + terms
+      "q_bigram_cond_entropy" -> 0) // persisted token arrays + restricted census
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,

@@ -510,6 +510,24 @@ class StreamingSpec extends SparkSpec {
       "drained confusion census diverged from batch q_confusion_multi")
   }
 
+  test("drained McNemar census finishes to batch q_mcnemar exactly") {
+    val dir = Files.createTempDirectory("graft-mcnemar").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.mcnemarCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_mcnemar", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.mcnemarFinish(census).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_mcnemar")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained McNemar census diverged from batch q_mcnemar")
+  }
+
   test("drained ANOVA census finishes to batch q_anova exactly") {
     val dir = Files.createTempDirectory("graft-anova").toString
     Tables.load(spark, sfDir, "events")
