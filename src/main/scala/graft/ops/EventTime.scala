@@ -2557,7 +2557,67 @@ object EventTime {
                 SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak
                 FROM lens GROUP BY 1)
               SELECT best_streak, count(*) AS n_users
-              FROM best GROUP BY 1 ORDER BY best_streak"""))
+              FROM best GROUP BY 1 ORDER BY best_streak""")),
+
+    // ── exponentially decayed popularity (half-life = 1 day) ─────────────
+    // Recency-weighted engagement per event type, anchored at the
+    // corpus max date. The stream collapses ONCE to the calendar-bounded
+    // (type, day) census (persisted: the anchor max-date probe and the
+    // weighting both read it — no second corpus scan). Decay weights
+    // are EXACT powers of two carried as scaled integers
+    // (w = 2^(62-age) — a bigint shift, 0 beyond 62 days), so the
+    // weighted sums are exact DECIMAL(38,0) in both engines and the
+    // only FP is the final ÷2^62 (exact) and ÷100 readouts — no
+    // transcendental exp(), no fold-order drift.
+    Q("q_decayed_popularity",
+      (s, dir) => {
+        val cen = t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("d"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast("decimal(38,0)")).as("sc"))
+          .persist()
+        val anchor = cen.agg(max(col("d")).as("maxd"))
+        cen.crossJoin(broadcast(anchor))
+          .select(col("event_type"), col("n"), col("sc"),
+            expr("""CASE WHEN datediff(maxd, d) <= 62
+                      THEN shiftleft(CAST(1 AS BIGINT),
+                        CAST(62 - datediff(maxd, d) AS INT))
+                      ELSE CAST(0 AS BIGINT) END""").as("w"))
+          .groupBy("event_type")
+          .agg(sum(col("n")).cast("long").as("n_events"),
+            sum(col("w").cast("decimal(38,0)") * col("n")).as("sw"),
+            sum(col("w").cast("decimal(38,0)") * col("sc")).as("swv"))
+          .select(col("event_type"), col("n_events"),
+            (col("sw").cast("double")
+              / lit(4611686018427387904L).cast("double"))
+              .as("decayed_count"),
+            (col("swv").cast("double")
+              / lit(4611686018427387904L).cast("double") / 100.0)
+              .as("decayed_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cen AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc
+                FROM events GROUP BY 1, 2),
+              anchor AS (SELECT MAX(d) AS maxd FROM cen),
+              w AS (
+                SELECT event_type, n, sc,
+                  CASE WHEN date_diff('day', d, maxd) <= 62
+                    THEN (CAST(1 AS BIGINT)
+                      << (62 - date_diff('day', d, maxd)))
+                    ELSE 0 END AS w
+                FROM cen, anchor)
+              SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(w AS HUGEINT) * n) AS DOUBLE)
+                  / 4611686018427387904.0 AS decayed_count,
+                CAST(SUM(CAST(w AS HUGEINT) * sc) AS DOUBLE)
+                  / 4611686018427387904.0 / 100.0 AS decayed_value
+              FROM w GROUP BY 1 ORDER BY event_type"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

@@ -1641,6 +1641,118 @@ object ModelEval {
                           * CAST(n - 1 AS DOUBLE)))) END AS z
               FROM m""")),
 
+    // ── Kruskal–Wallis H: account balance across all 5 segments ─────────
+    // The k-group extension of q_mann_whitney's rank test. Same
+    // value-domain-bounded (cents, segment) census (acctbal spans
+    // ~1.1 M distinct cents regardless of row count), persisted so the
+    // midrank frame, the per-group rank sums and the tie term all read
+    // it without a corpus rescan; midranks are
+    // exact half-integers carried ×2, per-group rank sums and the tie
+    // term are exact DECIMAL(38,0), the Σ R_g²/n_g cross-group fold is
+    // 6-decimal rounded and segment-pinned, and H is one IEEE
+    // expression at the end (tie-corrected variant NULL-guarded for a
+    // degenerate all-ties corpus).
+    Q("q_kruskal_wallis",
+      (s, dir) => {
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cg = t(s, dir, "customer")
+          .select((dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+            col("c_mktsegment").as("grp"))
+          .groupBy("cents", "grp")
+          .agg(count(lit(1)).cast("long").as("n_g"))
+          .persist()
+        val cm = cg.groupBy("cents")
+          .agg(sum(col("n_g")).cast("long").as("n_c"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_c")).over(wv), lit(0L)))
+          .withColumn("midrank_x2",
+            lit(2L) * col("cum_before") + col("n_c") + 1L)
+          .persist()
+        val perG = cg.join(cm.select("cents", "midrank_x2"), "cents")
+          .groupBy("grp")
+          .agg(sum(col("n_g")).cast("long").as("ng"),
+            sum(col("n_g").cast(dec38) * col("midrank_x2")).as("rg_x2"))
+        val ties = cm.agg(
+          sum(col("n_c").cast(dec38) * col("n_c") * col("n_c")
+            - col("n_c")).as("tie"),
+          sum(col("n_c")).cast("long").as("n"))
+        perG.crossJoin(broadcast(ties))
+          .select(col("grp"), col("n"), col("tie"),
+            round((col("rg_x2").cast("double")
+              * col("rg_x2").cast("double") / 4.0)
+              / col("ng").cast("double"), 6).as("r2n"))
+          .groupBy("n", "tie")
+          .agg(count(lit(1)).cast("long").as("k"),
+            expr("""aggregate(array_sort(collect_list(struct(grp, r2n))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.r2n)""")
+              .as("sum_r2n"))
+          .withColumn("h",
+            lit(12.0) / (col("n").cast("double")
+              * (col("n") + 1).cast("double")) * col("sum_r2n")
+              - lit(3.0) * (col("n") + 1).cast("double"))
+          .select(col("k"), col("n"), col("h"),
+            when(col("n") <= 1
+              || col("tie").cast("double")
+                >= col("n").cast("double") * col("n").cast("double")
+                  * col("n").cast("double") - col("n").cast("double"),
+              lit(null).cast("double"))
+              .otherwise(col("h") / (lit(1.0)
+                - col("tie").cast("double")
+                  / (col("n").cast("double") * col("n").cast("double")
+                    * col("n").cast("double") - col("n").cast("double"))))
+              .as("h_tie"))
+      },
+      Some("""WITH cg AS (
+                SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n_g
+                FROM customer GROUP BY 1, 2),
+              cc AS (
+                SELECT cents, CAST(SUM(n_g) AS BIGINT) AS n_c
+                FROM cg GROUP BY 1),
+              cm AS (
+                SELECT cents, n_c,
+                  2 * COALESCE(SUM(n_c) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + n_c + 1 AS midrank_x2
+                FROM cc),
+              pg AS (
+                SELECT grp, CAST(SUM(n_g) AS BIGINT) AS ng,
+                  SUM(CAST(n_g AS HUGEINT) * midrank_x2) AS rg_x2
+                FROM cg JOIN cm USING (cents) GROUP BY 1),
+              ts AS (
+                SELECT SUM(CAST(n_c AS HUGEINT) * n_c * n_c - n_c) AS tie,
+                  CAST(SUM(n_c) AS BIGINT) AS n
+                FROM cc),
+              terms AS (
+                SELECT grp, n, tie,
+                  round((CAST(rg_x2 AS DOUBLE) * CAST(rg_x2 AS DOUBLE)
+                    / 4.0) / CAST(ng AS DOUBLE), 6) AS r2n
+                FROM pg, ts),
+              agg AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(MAX(tie) AS HUGEINT) AS tie,
+                  CAST(count(*) AS BIGINT) AS k,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(r2n ORDER BY grp)), (a, x) -> a + x) AS sum_r2n
+                FROM terms),
+              hh AS (
+                SELECT k, n, tie, sum_r2n,
+                  12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                    * sum_r2n - 3.0 * CAST(n + 1 AS DOUBLE) AS h
+                FROM agg)
+              SELECT k, n, h,
+                CASE WHEN n <= 1 OR CAST(tie AS DOUBLE)
+                    >= CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)
+                  THEN NULL
+                  ELSE h / (1.0 - CAST(tie AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) END
+                  AS h_tie
+              FROM hh""")),
+
     // ── McNemar's test: two classifiers on the same events ──────────────
     // Paired model comparison — the question A/B accuracy deltas can't
     // answer (the pairing matters). Classifier A thresholds the score

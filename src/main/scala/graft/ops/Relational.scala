@@ -5480,7 +5480,89 @@ object Relational {
                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY n_name)), (a, x) -> a + x)
                   AS t_between
-              FROM terms"""))
+              FROM terms""")),
+
+    // ── price-volume-mix revenue bridge, 1997 → 1998 per brand ──────────
+    // The FP&A decomposition: how much of each brand's revenue change
+    // came from selling MORE (volume at old prices) vs charging MORE
+    // (new price on new volume)? Both years fold to ONE exact
+    // (qty, cents) census per brand in a single partial+final agg over
+    // the year-filtered scan (filter + p_brand pushed to parquet);
+    // unit prices are IEEE ratios of exact DECIMAL sums, each effect
+    // is a row-local rounded expression — no cross-row FP fold.
+    // NULL-guarded for a brand absent from either year.
+    Q("q_price_volume_mix",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")).isin(1997, 1998))
+          .join(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            (year(col("l_shipdate")) === 1998).as("is1"),
+            (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+          .groupBy("p_brand")
+          .agg(
+            sum(when(!col("is1"), col("qty_c")).otherwise(0L)
+              .cast("decimal(38,0)")).as("q0"),
+            sum(when(!col("is1"), col("cents")).otherwise(0L)
+              .cast("decimal(38,0)")).as("r0"),
+            sum(when(col("is1"), col("qty_c")).otherwise(0L)
+              .cast("decimal(38,0)")).as("q1"),
+            sum(when(col("is1"), col("cents")).otherwise(0L)
+              .cast("decimal(38,0)")).as("r1"))
+        cen.select(col("p_brand"),
+            (col("r0").cast("double") / 100.0).as("rev0"),
+            (col("r1").cast("double") / 100.0).as("rev1"),
+            ((col("r1") - col("r0")).cast("double") / 100.0).as("delta"),
+            when(col("q0") === 0 || col("q1") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                ((col("q1") - col("q0")).cast("double") / 100.0)
+                  * (col("r0").cast("double")
+                    / col("q0").cast("double")), 6))
+              .as("volume_effect"),
+            when(col("q0") === 0 || col("q1") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("r1").cast("double") / col("q1").cast("double")
+                  - col("r0").cast("double") / col("q0").cast("double"))
+                  * (col("q1").cast("double") / 100.0), 6))
+              .as("price_effect"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH cen AS (
+                SELECT p_brand,
+                  SUM(CASE WHEN year(l_shipdate) = 1997
+                    THEN CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS HUGEINT) ELSE 0 END) AS q0,
+                  SUM(CASE WHEN year(l_shipdate) = 1997
+                    THEN CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) AS HUGEINT) ELSE 0 END) AS r0,
+                  SUM(CASE WHEN year(l_shipdate) = 1998
+                    THEN CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS HUGEINT) ELSE 0 END) AS q1,
+                  SUM(CASE WHEN year(l_shipdate) = 1998
+                    THEN CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) AS HUGEINT) ELSE 0 END) AS r1
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE year(l_shipdate) IN (1997, 1998)
+                GROUP BY 1)
+              SELECT p_brand,
+                CAST(r0 AS DOUBLE) / 100.0 AS rev0,
+                CAST(r1 AS DOUBLE) / 100.0 AS rev1,
+                CAST(r1 - r0 AS DOUBLE) / 100.0 AS delta,
+                CASE WHEN q0 = 0 OR q1 = 0 THEN NULL
+                  ELSE round((CAST(q1 - q0 AS DOUBLE) / 100.0)
+                    * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 6) END
+                  AS volume_effect,
+                CASE WHEN q0 = 0 OR q1 = 0 THEN NULL
+                  ELSE round((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                    - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                    * (CAST(q1 AS DOUBLE) / 100.0), 6) END
+                  AS price_effect
+              FROM cen ORDER BY p_brand"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -747,7 +747,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_sql_lateral" -> 2, // nation + customer single decorrelated chain
       "q_payload_dedup" -> 0, // persisted hashed frame: keeper census + rejoin
       "q_theil_between" -> 0, // persisted nation census: totals + terms
-      "q_bigram_cond_entropy" -> 0) // persisted token arrays + restricted census
+      "q_bigram_cond_entropy" -> 0, // persisted token arrays + restricted census
+      "q_decayed_popularity" -> 0, // persisted (type, day) census: anchor + weights
+      "q_price_volume_mix" -> 2, // single li⋈part chain, year filter pushed
+      "q_kruskal_wallis" -> 0) // persisted cents census: midranks + rank sums + ties
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
