@@ -1011,6 +1011,58 @@ object Graph {
                      FROM pairs GROUP BY 1, 2)
               SELECT s1, s2, common,
                 CAST(aa12 AS DOUBLE) / 1.0e12 AS aa
-              FROM pc ORDER BY aa12 DESC, s1, s2 LIMIT 50"""))
+              FROM pc ORDER BY aa12 DESC, s1, s2 LIMIT 50""")),
+
+    // ── directed-edge reciprocity of the part-transition graph ──────────
+    // The DIRECTED graph the bipartite customer–supplier projection
+    // can't ask about: part at line n → part at line n+1 within an
+    // order (the "what gets picked next" graph). Reciprocity = share
+    // of distinct directed edges whose reverse also exists. Edge
+    // derivation is ONE self-join co-partitioned on l_orderkey (the
+    // shuffle key both sides share); the mutual probe is a LEFT SEMI
+    // self-join of the persisted distinct-edge frame — edge-scale,
+    // never parts². Distinct edges are bounded by |lineitem|.
+    Q("q_reciprocity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val e = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("b.l_linenumber") === col("a.l_linenumber") + 1)
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .persist()
+        val mutual = e.as("e")
+          .join(e.select(col("src").as("rsrc"), col("dst").as("rdst")),
+            col("e.src") === col("rdst") && col("e.dst") === col("rsrc"),
+            "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_mutual"))
+        e.agg(count(lit(1)).cast("long").as("n_edges"))
+          .crossJoin(broadcast(mutual))
+          .select(col("n_edges"), col("n_mutual"),
+            when(col("n_edges") === 0, lit(null).cast("double"))
+              .otherwise(col("n_mutual").cast("double")
+                / col("n_edges").cast("double")).as("reciprocity"))
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+              e AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                  AND b.l_linenumber = a.l_linenumber + 1
+                WHERE a.l_partkey <> b.l_partkey),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM e
+                WHERE EXISTS (SELECT 1 FROM e r
+                  WHERE r.src = e.dst AND r.dst = e.src)),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+              SELECT n_edges, n_mutual,
+                CASE WHEN n_edges = 0 THEN NULL
+                  ELSE CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                  END AS reciprocity
+              FROM n, m"""))
   )
 }

@@ -1753,6 +1753,216 @@ object ModelEval {
                   AS h_tie
               FROM hh""")),
 
+    // ── Jarque–Bera normality test per segment ──────────────────────────
+    // Is acctbal normal within each segment? Skewness + excess-kurtosis
+    // moment test. ONE partial+final agg to the per-segment exact power
+    // sums Σx^k (DECIMAL(38,0) on cents — |x|⁴ ≈ 1.5e24 fits, and the
+    // sums stay exact at any SF); central moments, S, K and JB are
+    // row-local IEEE expressions of those exact sums (identical operand
+    // order both engines — no cross-row FP fold at all). NULL-guarded
+    // for a zero-variance segment.
+    Q("q_jarque_bera",
+      (s, dir) => {
+        t(s, dir, "customer")
+          .select(col("c_mktsegment").as("grp"),
+            (dec2(col("c_acctbal")) * 100).cast("long").as("x"))
+          .groupBy("grp")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x").cast(dec38)).as("s1"),
+            sum(col("x").cast(dec38) * col("x")).as("s2"),
+            sum(col("x").cast(dec38) * col("x") * col("x")).as("s3"),
+            sum(col("x").cast(dec38) * col("x") * col("x") * col("x"))
+              .as("s4"))
+          .select(col("grp"), col("n"),
+            (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+            (col("s2").cast("double") / col("n").cast("double")).as("r2"),
+            (col("s3").cast("double") / col("n").cast("double")).as("r3"),
+            (col("s4").cast("double") / col("n").cast("double")).as("r4"))
+          .select(col("grp"), col("n"),
+            (col("r2") - col("mu") * col("mu")).as("m2"),
+            (col("r3") - lit(3.0) * col("mu") * col("r2")
+              + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+            (col("r4") - lit(4.0) * col("mu") * col("r3")
+              + lit(6.0) * col("mu") * col("mu") * col("r2")
+              - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+              .as("m4"))
+          .select(col("grp"), col("n"),
+            when(col("m2") <= 0, lit(null).cast("double"))
+              .otherwise(col("m3") / (col("m2") * sqrt(col("m2"))))
+              .as("sk"),
+            when(col("m2") <= 0, lit(null).cast("double"))
+              .otherwise(col("m4") / (col("m2") * col("m2"))).as("ku"))
+          .select(col("grp"), col("n"),
+            round(col("sk"), 12).as("skewness"),
+            round(col("ku"), 12).as("kurtosis"),
+            when(col("sk").isNull, lit(null).cast("double"))
+              .otherwise(round(col("n").cast("double") / 6.0
+                * (col("sk") * col("sk")
+                  + (col("ku") - 3.0) * (col("ku") - 3.0) / 4.0), 6))
+              .as("jb"))
+          .orderBy("grp")
+      },
+      Some("""WITH cen AS (
+                SELECT c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s1,
+                  SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS s2,
+                  SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                      AS BIGINT)
+                    * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS s3,
+                  SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                      AS BIGINT)
+                    * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                      AS BIGINT)
+                    * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS s4
+                FROM customer GROUP BY 1),
+              raw AS (
+                SELECT grp, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                FROM cen),
+              cm AS (
+                SELECT grp, n,
+                  r2 - mu * mu AS m2,
+                  r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                  r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                    - 3.0 * mu * mu * mu * mu AS m4
+                FROM raw),
+              sk AS (
+                SELECT grp, n,
+                  CASE WHEN m2 <= 0 THEN NULL
+                    ELSE m3 / (m2 * sqrt(m2)) END AS sk,
+                  CASE WHEN m2 <= 0 THEN NULL
+                    ELSE m4 / (m2 * m2) END AS ku
+                FROM cm)
+              SELECT grp, n,
+                round(sk, 12) AS skewness, round(ku, 12) AS kurtosis,
+                CASE WHEN sk IS NULL THEN NULL
+                  ELSE round(CAST(n AS DOUBLE) / 6.0
+                    * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0), 6) END
+                  AS jb
+              FROM sk ORDER BY grp""")),
+
+    // ── Durbin–Watson serial-correlation test on daily revenue ──────────
+    // Are the residuals of the linear revenue trend autocorrelated?
+    // The corpus collapses ONCE to the calendar-bounded daily cents
+    // census (persisted: the OLS fit and the residual pass both read
+    // it); slope/intercept are IEEE ratios of exact DECIMAL sums,
+    // residuals are 6-decimal-rounded row-local expressions, and the
+    // two DW folds (Σ(eₜ−eₜ₋₁)², Σeₜ²) are day-pinned. The lag rides
+    // ONE day-ordered window over the bounded census. NULL-guarded
+    // for a degenerate (constant-day or zero-residual) series.
+    Q("q_durbin_watson",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(dec38)).as("y"))
+          .persist()
+        val fit = cen.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("d").cast(dec38)).as("st"),
+          sum(col("y")).as("sy"),
+          sum(col("d").cast(dec38) * col("d")).as("stt"),
+          sum(col("d").cast(dec38) * col("y")).as("sty"))
+        val ab = fit
+          .select(col("n"), col("st"), col("sy"),
+            when(col("n") * col("stt") - col("st") * col("st") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("n") * col("sty") - col("st") * col("sy"))
+                .cast("double")
+                / (col("n") * col("stt") - col("st") * col("st"))
+                  .cast("double"))
+              .as("slope"))
+          .select(col("n"), col("slope"),
+            ((col("sy").cast("double")
+              - col("slope") * col("st").cast("double"))
+              / col("n").cast("double")).as("icept"))
+        val wv = Window.orderBy("d")
+        cen.crossJoin(broadcast(ab))
+          .select(col("d"),
+            round(col("y").cast("double") - col("icept")
+              - col("slope") * col("d").cast("double"), 6).as("e"))
+          .withColumn("e_prev", lag(col("e"), 1).over(wv))
+          .select(col("d"),
+            round(col("e") * col("e"), 6).as("den_t"),
+            when(col("e_prev").isNull, lit(0.0))
+              .otherwise(round((col("e") - col("e_prev"))
+                * (col("e") - col("e_prev")), 6)).as("num_t"))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            expr("""aggregate(array_sort(collect_list(struct(d, num_t))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.num_t)""")
+              .as("num"),
+            expr("""aggregate(array_sort(collect_list(struct(d, den_t))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.den_t)""")
+              .as("den"))
+          .select(col("n_days"),
+            when(col("den").isNull || col("den") <= 0,
+              lit(null).cast("double"))
+              .otherwise(col("num") / col("den")).as("dw"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              fit AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(d AS HUGEINT)) AS st, SUM(y) AS sy,
+                  SUM(CAST(d AS HUGEINT) * d) AS stt,
+                  SUM(CAST(d AS HUGEINT) * y) AS sty
+                FROM cen),
+              ab AS (
+                SELECT n, st, sy,
+                  CASE WHEN n * stt - st * st = 0 THEN NULL
+                    ELSE CAST(n * sty - st * sy AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE) END AS slope
+                FROM fit),
+              ab2 AS (
+                SELECT n, slope,
+                  (CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS icept
+                FROM ab),
+              res AS (
+                SELECT d,
+                  round(CAST(y AS DOUBLE) - icept
+                    - slope * CAST(d AS DOUBLE), 6) AS e
+                FROM cen, ab2),
+              lagd AS (
+                SELECT d, e, lag(e) OVER (ORDER BY d) AS e_prev FROM res),
+              terms AS (
+                SELECT d, round(e * e, 6) AS den_t,
+                  CASE WHEN e_prev IS NULL THEN 0.0
+                    ELSE round((e - e_prev) * (e - e_prev), 6) END
+                    AS num_t
+                FROM lagd),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(num_t ORDER BY d)), (a, x) -> a + x) AS num,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(den_t ORDER BY d)), (a, x) -> a + x) AS den
+                FROM terms)
+              SELECT n_days,
+                CASE WHEN den IS NULL OR den <= 0 THEN NULL
+                  ELSE num / den END AS dw
+              FROM agg""")),
+
     // ── McNemar's test: two classifiers on the same events ──────────────
     // Paired model comparison — the question A/B accuracy deltas can't
     // answer (the pairing matters). Classifier A thresholds the score

@@ -750,7 +750,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_bigram_cond_entropy" -> 0, // persisted token arrays + restricted census
       "q_decayed_popularity" -> 0, // persisted (type, day) census: anchor + weights
       "q_price_volume_mix" -> 2, // single li⋈part chain, year filter pushed
-      "q_kruskal_wallis" -> 0) // persisted cents census: midranks + rank sums + ties
+      "q_kruskal_wallis" -> 0, // persisted cents census: midranks + rank sums + ties
+      "q_jarque_bera" -> 1, // single customer chain to the power-sum census
+      "q_durbin_watson" -> 0, // persisted daily census: OLS fit + residual pass
+      "q_reciprocity" -> 0) // persisted distinct-edge frame: count + semi probe
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
