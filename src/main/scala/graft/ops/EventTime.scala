@@ -25,6 +25,46 @@ object EventTime {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Decayed-popularity sufficient statistic: the calendar-bounded
+    * (type, day) census (counts + exact DECIMAL cent sums). Mergeable,
+    * so the streaming twin keeps exactly this frame as Complete-mode
+    * state — the decay weighting re-anchors on the CURRENT max date at
+    * every trigger, which a pre-weighted running sum could never do.
+    */
+  def decayCensus(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sc"))
+
+  /** Decayed-popularity readout over the census (batch or drained
+    * stream state): exact 2^(62−age) bigint-shift weights, DECIMAL
+    * weighted sums, ÷2^62 exact finisher.
+    */
+  def decayFinish(cen: DataFrame): DataFrame = {
+    val anchor = cen.agg(max(col("d")).as("maxd"))
+    cen.crossJoin(broadcast(anchor))
+      .select(col("event_type"), col("n"), col("sc"),
+        expr("""CASE WHEN datediff(maxd, d) <= 62
+                  THEN shiftleft(CAST(1 AS BIGINT),
+                    CAST(62 - datediff(maxd, d) AS INT))
+                  ELSE CAST(0 AS BIGINT) END""").as("w"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).cast("long").as("n_events"),
+        sum(col("w").cast("decimal(38,0)") * col("n")).as("sw"),
+        sum(col("w").cast("decimal(38,0)") * col("sc")).as("swv"))
+      .select(col("event_type"), col("n_events"),
+        (col("sw").cast("double")
+          / lit(4611686018427387904L).cast("double"))
+          .as("decayed_count"),
+        (col("swv").cast("double")
+          / lit(4611686018427387904L).cast("double") / 100.0)
+          .as("decayed_value"))
+      .orderBy("event_type")
+  }
+
   /** Seasonality sufficient statistic: the dow×type census (counts +
     * decimal value sums). Mergeable, so the streaming twin keeps exactly
     * this frame as Complete-mode state — same contract as
@@ -2570,34 +2610,7 @@ object EventTime {
     // only FP is the final ÷2^62 (exact) and ÷100 readouts — no
     // transcendental exp(), no fold-order drift.
     Q("q_decayed_popularity",
-      (s, dir) => {
-        val cen = t(s, dir, "events")
-          .select(col("event_type"), col("ts").cast("date").as("d"),
-            (dec2(col("value")) * 100).cast("long").as("cents"))
-          .groupBy("event_type", "d")
-          .agg(count(lit(1)).cast("long").as("n"),
-            sum(col("cents").cast("decimal(38,0)")).as("sc"))
-          .persist()
-        val anchor = cen.agg(max(col("d")).as("maxd"))
-        cen.crossJoin(broadcast(anchor))
-          .select(col("event_type"), col("n"), col("sc"),
-            expr("""CASE WHEN datediff(maxd, d) <= 62
-                      THEN shiftleft(CAST(1 AS BIGINT),
-                        CAST(62 - datediff(maxd, d) AS INT))
-                      ELSE CAST(0 AS BIGINT) END""").as("w"))
-          .groupBy("event_type")
-          .agg(sum(col("n")).cast("long").as("n_events"),
-            sum(col("w").cast("decimal(38,0)") * col("n")).as("sw"),
-            sum(col("w").cast("decimal(38,0)") * col("sc")).as("swv"))
-          .select(col("event_type"), col("n_events"),
-            (col("sw").cast("double")
-              / lit(4611686018427387904L).cast("double"))
-              .as("decayed_count"),
-            (col("swv").cast("double")
-              / lit(4611686018427387904L).cast("double") / 100.0)
-              .as("decayed_value"))
-          .orderBy("event_type")
-      },
+      (s, dir) => decayFinish(decayCensus(t(s, dir, "events")).persist()),
       Some("""WITH cen AS (
                 SELECT event_type, CAST(ts AS DATE) AS d,
                   CAST(count(*) AS BIGINT) AS n,

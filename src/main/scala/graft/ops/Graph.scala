@@ -1063,6 +1063,74 @@ object Graph {
                 CASE WHEN n_edges = 0 THEN NULL
                   ELSE CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
                   END AS reciprocity
-              FROM n, m"""))
+              FROM n, m""")),
+
+    // ── truncated closeness centrality from a seed panel ────────────────
+    // How central are the 8 lowest-id customers? Multi-source BFS to
+    // depth 4 carrying (seed, node) state — the exact shape a
+    // 1000-executor landmark-closeness job runs (state ≤ seeds×|V|,
+    // bounded by the fixed panel). Edges ride the cached src
+    // partitioning across all 4 frontier joins (kcore discipline);
+    // the 8-row seed panel is a driver constant like q_bfs_reach's
+    // single seed. Closeness = (reached−1)/Σdepth on the truncated
+    // distances — exact-int ratio, NULL-guarded for an isolated seed.
+    Q("q_closeness",
+      (s, dir) => {
+        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        val seeds = edges.select(col("src").cast("long").as("seed"))
+          .distinct().orderBy("seed").limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        var visited = edges.sparkSession
+          .createDataFrame(seeds.map(Tuple1(_)))
+          .select(col("_1").as("seed"), col("_1").as("node"),
+            lit(0L).as("depth"))
+          .localCheckpoint(true)
+        var frontier = visited.select(col("seed"), col("node"))
+        for (d <- 1 to 4) {
+          val next = edges
+            .join(frontier, edges("src") === frontier("node"))
+            .select(col("seed"), col("dst").cast("long").as("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), Seq("seed", "node"),
+              "left_anti")
+            .select(col("seed"), col("node"), lit(d.toLong).as("depth"))
+            .localCheckpoint(true)
+          visited = visited.unionByName(next)
+          frontier = next.select(col("seed"), col("node"))
+        }
+        visited.groupBy("seed")
+          .agg((count(lit(1)) - 1).cast("long").as("n_reached"),
+            sum(col("depth")).cast("long").as("sum_depth"))
+          .select(col("seed"), col("n_reached"), col("sum_depth"),
+            when(col("sum_depth") === 0, lit(null).cast("double"))
+              .otherwise(col("n_reached").cast("double")
+                / col("sum_depth").cast("double")).as("closeness"))
+          .orderBy("seed")
+      },
+      Some("""WITH RECURSIVE cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s AS src, c AS dst FROM cs),
+              seeds AS (
+                SELECT DISTINCT src AS seed FROM edges
+                ORDER BY seed LIMIT 8),
+              bfs(seed, node, depth) AS (
+                SELECT seed, seed, 0 FROM seeds
+                UNION
+                SELECT b.seed, e.dst, b.depth + 1
+                FROM bfs b JOIN edges e ON e.src = b.node
+                WHERE b.depth < 4),
+              d AS (
+                SELECT seed, node, MIN(depth) AS depth
+                FROM bfs GROUP BY 1, 2)
+              SELECT CAST(seed AS BIGINT) AS seed,
+                CAST(count(*) - 1 AS BIGINT) AS n_reached,
+                CAST(SUM(depth) AS BIGINT) AS sum_depth,
+                CASE WHEN SUM(depth) = 0 THEN NULL
+                  ELSE CAST(count(*) - 1 AS DOUBLE)
+                    / CAST(SUM(depth) AS DOUBLE) END AS closeness
+              FROM d GROUP BY 1 ORDER BY seed"""))
   )
 }

@@ -5562,7 +5562,84 @@ object Relational {
                     - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
                     * (CAST(q1 AS DOUBLE) / 100.0), 6) END
                   AS price_effect
-              FROM cen ORDER BY p_brand"""))
+              FROM cen ORDER BY p_brand""")),
+
+    // ── market-basket association rules over brand pairs ────────────────
+    // support / confidence / lift for brands co-bought in one order —
+    // the classic rule-mining readout q_also_bought's raw pair counts
+    // stop short of. The corpus collapses ONCE to the distinct
+    // (order, brand) census (persisted: pair fan-out, brand marginals
+    // and the order total all read it); the pair self-join is
+    // co-partitioned on o_orderkey with b1 < b2 (≤C(25,2) pairs per
+    // order — catalog-bounded, never orders²), marginals broadcast
+    // (≤25 rows), and every ratio is one IEEE division of exact longs.
+    Q("q_basket_lift",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+          .persist()
+        val nOrders = cen.agg(countDistinct(col("ok")).as("n_orders"))
+        val marg = cen.groupBy(col("b"))
+          .agg(count(lit(1)).cast("long").as("n_b"))
+        val pairs = cen.as("x")
+          .join(cen.select(col("ok").as("ok2"), col("b").as("b2")),
+            col("ok") === col("ok2") && col("b") < col("b2"))
+          .groupBy(col("b").as("b1"), col("b2"))
+          .agg(count(lit(1)).cast("long").as("n_ab"))
+          .filter(col("n_ab") >= 50)
+        pairs
+          .join(broadcast(marg.select(col("b").as("b1"),
+            col("n_b").as("n_a"))), "b1")
+          .join(broadcast(marg.select(col("b").as("b2"),
+            col("n_b").as("n_bb"))), "b2")
+          .crossJoin(broadcast(nOrders))
+          .select(col("b1"), col("b2"), col("n_ab"),
+            round(col("n_ab").cast("double")
+              / col("n_orders").cast("double"), 12).as("support"),
+            round(col("n_ab").cast("double")
+              / col("n_a").cast("double"), 12).as("conf_ab"),
+            round(col("n_ab").cast("double")
+              / col("n_bb").cast("double"), 12).as("conf_ba"),
+            round(col("n_orders").cast("double")
+              * col("n_ab").cast("double")
+              / (col("n_a").cast("double") * col("n_bb").cast("double")),
+              12).as("lift"))
+          .orderBy("b1", "b2")
+      },
+      Some("""WITH cen AS (
+                SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              tot AS (
+                SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+                FROM cen),
+              marg AS (
+                SELECT b, CAST(count(*) AS BIGINT) AS n_b
+                FROM cen GROUP BY 1),
+              pairs AS (
+                SELECT x.b AS b1, y.b AS b2,
+                  CAST(count(*) AS BIGINT) AS n_ab
+                FROM cen x JOIN cen y
+                  ON x.ok = y.ok AND x.b < y.b
+                GROUP BY 1, 2 HAVING count(*) >= 50)
+              SELECT b1, b2, n_ab,
+                round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 12)
+                  AS support,
+                round(CAST(n_ab AS DOUBLE) / CAST(ma.n_b AS DOUBLE), 12)
+                  AS conf_ab,
+                round(CAST(n_ab AS DOUBLE) / CAST(mb.n_b AS DOUBLE), 12)
+                  AS conf_ba,
+                round(CAST(n_orders AS DOUBLE) * CAST(n_ab AS DOUBLE)
+                  / (CAST(ma.n_b AS DOUBLE) * CAST(mb.n_b AS DOUBLE)), 12)
+                  AS lift
+              FROM pairs
+              JOIN marg ma ON pairs.b1 = ma.b
+              JOIN marg mb ON pairs.b2 = mb.b, tot
+              ORDER BY b1, b2"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -720,6 +720,16 @@ object StreamingOps {
   def mcnemarCounts(events: DataFrame): DataFrame =
     graft.ops.ModelEval.mcnemarCensus(events)
 
+  /** Streaming half of q_decayed_popularity — live recency-weighted
+    * engagement. (type, day) census as Complete-mode state (calendar
+    * bounded); [[graft.ops.EventTime.decayFinish]] re-anchors the
+    * exact 2^-age weights on the state's CURRENT max date at every
+    * trigger, so the readout tracks the stream head without any
+    * event rescan — a pre-weighted running sum could never re-anchor.
+    */
+  def decayCounts(events: DataFrame): DataFrame =
+    graft.ops.EventTime.decayCensus(events)
+
   /** Schema of the orders table (for the order-ingest stream twins). */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),

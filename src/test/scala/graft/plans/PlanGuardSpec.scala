@@ -753,7 +753,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_kruskal_wallis" -> 0, // persisted cents census: midranks + rank sums + ties
       "q_jarque_bera" -> 1, // single customer chain to the power-sum census
       "q_durbin_watson" -> 0, // persisted daily census: OLS fit + residual pass
-      "q_reciprocity" -> 0) // persisted distinct-edge frame: count + semi probe
+      "q_reciprocity" -> 0, // persisted distinct-edge frame: count + semi probe
+      "q_basket_lift" -> 0, // persisted (order, brand) census: pairs + marginals
+      "q_closeness" -> 0) // cached src-partitioned edges; BFS rounds checkpointed
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,

@@ -528,6 +528,24 @@ class StreamingSpec extends SparkSpec {
       "drained McNemar census diverged from batch q_mcnemar")
   }
 
+  test("drained decay census finishes to batch q_decayed_popularity exactly") {
+    val dir = Files.createTempDirectory("graft-decay").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.decayCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_decay", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.decayFinish(census).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_decayed_popularity")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained decay census diverged from batch q_decayed_popularity")
+  }
+
   test("drained ANOVA census finishes to batch q_anova exactly") {
     val dir = Files.createTempDirectory("graft-anova").toString
     Tables.load(spark, sfDir, "events")
