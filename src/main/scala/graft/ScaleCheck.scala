@@ -151,7 +151,10 @@ object ScaleCheck {
     // continuation batch: 2-round integer HITS (edge-scale joins),
     // shared-generator pair fan-out + integer-micros score, (source,
     // token) census + dense top-200 grid, decorrelated LATERAL top-N
-    "q_hits", "q_adamic_adar", "q_source_kl", "q_sql_lateral")
+    "q_hits", "q_adamic_adar", "q_source_kl", "q_sql_lateral",
+    // continuation batch: brand-pair association fan-out (catalog-
+    // bounded per order), 8-seed multi-source BFS rounds
+    "q_basket_lift", "q_closeness")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
