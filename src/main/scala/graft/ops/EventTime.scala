@@ -2630,7 +2630,72 @@ object EventTime {
                   / 4611686018427387904.0 AS decayed_count,
                 CAST(SUM(CAST(w AS HUGEINT) * sc) AS DOUBLE)
                   / 4611686018427387904.0 / 100.0 AS decayed_value
-              FROM w GROUP BY 1 ORDER BY event_type"""))
+              FROM w GROUP BY 1 ORDER BY event_type""")),
+
+    // ── Poisson overdispersion test on daily arrival counts ─────────────
+    // Are arrivals per day Poisson, or bursty? Dispersion index
+    // var/mean and the χ² = (D−1)s²/x̄ test per event type, over the
+    // observed-day census (a day with zero arrivals of a type never
+    // enters — the arrival-process convention, stated here because the
+    // oracle shares it). Counts are integers, so Σn/Σn² are exact
+    // longs in ONE partial+final agg and mean/var/χ² are row-local
+    // IEEE expressions — zero FP folds. NULL-guarded for D ≤ 1.
+    Q("q_poisson_dispersion",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("d"))
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("d_days"),
+            sum(col("n")).cast("long").as("s1"),
+            sum(col("n") * col("n")).cast("long").as("s2"))
+          .select(col("event_type"), col("d_days"),
+            (col("s1").cast("double") / col("d_days").cast("double"))
+              .as("mean_n"),
+            (col("s2").cast("double") / col("d_days").cast("double")
+              - (col("s1").cast("double") / col("d_days").cast("double"))
+                * (col("s1").cast("double")
+                  / col("d_days").cast("double"))).as("var_n"))
+          .select(col("event_type"), col("d_days"),
+            round(col("mean_n"), 12).as("mean_n"),
+            round(col("var_n"), 12).as("var_n"),
+            when(col("d_days") <= 1 || col("mean_n") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("var_n") / col("mean_n"), 12))
+              .as("dispersion"),
+            when(col("d_days") <= 1 || col("mean_n") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("d_days").cast("double") * col("var_n")
+                / col("mean_n"), 6)).as("chi2"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cen AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+              st AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS d_days,
+                  CAST(SUM(n) AS BIGINT) AS s1,
+                  CAST(SUM(n * n) AS BIGINT) AS s2
+                FROM cen GROUP BY 1),
+              mv AS (
+                SELECT event_type, d_days,
+                  CAST(s1 AS DOUBLE) / CAST(d_days AS DOUBLE) AS mean_n,
+                  CAST(s2 AS DOUBLE) / CAST(d_days AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(d_days AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(d_days AS DOUBLE))
+                    AS var_n
+                FROM st)
+              SELECT event_type, d_days,
+                round(mean_n, 12) AS mean_n,
+                round(var_n, 12) AS var_n,
+                CASE WHEN d_days <= 1 OR mean_n <= 0 THEN NULL
+                  ELSE round(var_n / mean_n, 12) END AS dispersion,
+                CASE WHEN d_days <= 1 OR mean_n <= 0 THEN NULL
+                  ELSE round(CAST(d_days AS DOUBLE) * var_n / mean_n, 6)
+                  END AS chi2
+              FROM mv ORDER BY event_type"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

@@ -1963,6 +1963,99 @@ object ModelEval {
                   ELSE num / den END AS dw
               FROM agg""")),
 
+    // ── Cronbach's alpha: internal consistency of the event "items" ─────
+    // Treat the 5 event types as instrument items and each user's
+    // per-type spend as the item score (absent cell = 0): are the
+    // items measuring one construct? The stream collapses ONCE to the
+    // (user, item) exact-cents census (persisted: item moments and
+    // user totals both read it); absent cells contribute 0 to every
+    // Σx/Σx², so only N needs the zero-fill — no dense grid is ever
+    // materialized. Item variances are IEEE of exact DECIMAL sums,
+    // the Σvar_i cross-item fold is item-pinned, α is one guarded
+    // expression at the end.
+    Q("q_cronbach_alpha",
+      (s, dir) => {
+        val cell = t(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("item"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("user_id", "item")
+          .agg(sum(col("cents").cast(dec38)).as("x"))
+          .persist()
+        val nUsers = cell.select(col("user_id")).distinct()
+          .agg(count(lit(1)).cast("long").as("n_users"))
+        val itemStats = cell.groupBy("item")
+          .agg(sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+        val totStats = cell.groupBy("user_id")
+          .agg(sum(col("x")).as("tot"))
+          .agg(sum(col("tot")).as("t1"),
+            sum(col("tot") * col("tot")).as("t2"))
+        val itemVar = itemStats.crossJoin(broadcast(nUsers))
+          .select(col("item"),
+            round(col("s2").cast("double") / col("n_users").cast("double")
+              - (col("s1").cast("double") / col("n_users").cast("double"))
+                * (col("s1").cast("double")
+                  / col("n_users").cast("double")), 6).as("v"))
+          .agg(count(lit(1)).cast("long").as("k"),
+            expr("""aggregate(array_sort(collect_list(struct(item, v))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.v)""")
+              .as("sum_item_var"))
+        itemVar.crossJoin(broadcast(totStats))
+          .crossJoin(broadcast(nUsers))
+          .select(col("n_users"), col("k"), col("sum_item_var"),
+            round(col("t2").cast("double") / col("n_users").cast("double")
+              - (col("t1").cast("double") / col("n_users").cast("double"))
+                * (col("t1").cast("double")
+                  / col("n_users").cast("double")), 6).as("total_var"))
+          .select(col("n_users"), col("k"),
+            col("sum_item_var"), col("total_var"),
+            when(col("k") <= 1 || col("total_var") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("k").cast("double")
+                / (col("k") - 1).cast("double")
+                * (lit(1.0) - col("sum_item_var") / col("total_var")), 12))
+              .as("alpha"))
+      },
+      Some("""WITH cell AS (
+                SELECT user_id, event_type AS item,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS x
+                FROM events GROUP BY 1, 2),
+              nu AS (
+                SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                FROM cell),
+              ist AS (
+                SELECT item, SUM(x) AS s1, SUM(x * x) AS s2
+                FROM cell GROUP BY 1),
+              iv AS (
+                SELECT item,
+                  round(CAST(s2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+                    AS v
+                FROM ist, nu),
+              siv AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(v ORDER BY item)), (a, x) -> a + x)
+                    AS sum_item_var
+                FROM iv),
+              ut AS (
+                SELECT user_id, SUM(x) AS tot FROM cell GROUP BY 1),
+              tv AS (
+                SELECT SUM(tot) AS t1, SUM(tot * tot) AS t2 FROM ut),
+              fin AS (
+                SELECT n_users, k, sum_item_var,
+                  round(CAST(t2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                    - (CAST(t1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+                      * (CAST(t1 AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+                    AS total_var
+                FROM siv, tv, nu)
+              SELECT n_users, k, sum_item_var, total_var,
+                CASE WHEN k <= 1 OR total_var <= 0 THEN NULL
+                  ELSE round(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                    * (1.0 - sum_item_var / total_var), 12) END AS alpha
+              FROM fin""")),
+
     // ── McNemar's test: two classifiers on the same events ──────────────
     // Paired model comparison — the question A/B accuracy deltas can't
     // answer (the pairing matters). Classifier A thresholds the score

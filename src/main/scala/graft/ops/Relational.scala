@@ -5639,7 +5639,116 @@ object Relational {
               FROM pairs
               JOIN marg ma ON pairs.b1 = ma.b
               JOIN marg mb ON pairs.b2 = mb.b, tot
-              ORDER BY b1, b2"""))
+              ORDER BY b1, b2""")),
+
+    // ── partial correlation: quantity ↔ price, discount partialled out ──
+    // Does quantity still track price once the discount channel is
+    // removed? r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    // ONE partial+final agg to the 9 exact moment sums (cents /
+    // basis-point integers in DECIMAL(38,0) — the q_corr_matrix
+    // discipline); all three Pearson r's and the partial are row-local
+    // IEEE expressions of those exact sums — zero cross-row FP folds.
+    // NULL-guarded for zero-variance or |r|=1 degeneracies.
+    Q("q_partial_corr",
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .select((dec2(col("l_quantity")) * 100).cast("long").as("x"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("y"),
+            (col("l_discount").cast("decimal(18,4)") * 10000)
+              .cast("long").as("z"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(col("z").cast("decimal(38,0)")).as("sz"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+            sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+            sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"),
+            sum(col("y").cast("decimal(38,0)") * col("z")).as("syz"))
+        val r = m.select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("r_xy"),
+          ((col("n") * col("sxz") - col("sx") * col("sz")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("szz") - col("sz") * col("sz"))
+                .cast("double"))).as("r_xz"),
+          ((col("n") * col("syz") - col("sy") * col("sz")).cast("double")
+            / sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")
+              * (col("n") * col("szz") - col("sz") * col("sz"))
+                .cast("double"))).as("r_yz"))
+        r.select(col("n"),
+          round(col("r_xy"), 12).as("r_xy"),
+          round(col("r_xz"), 12).as("r_xz"),
+          round(col("r_yz"), 12).as("r_yz"),
+          when((lit(1.0) - col("r_xz") * col("r_xz")) <= 0
+            || (lit(1.0) - col("r_yz") * col("r_yz")) <= 0,
+            lit(null).cast("double"))
+            .otherwise(round((col("r_xy") - col("r_xz") * col("r_yz"))
+              / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+                * (lit(1.0) - col("r_yz") * col("r_yz"))), 12))
+            .as("r_xy_given_z"))
+      },
+      Some("""WITH mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sx,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS sy,
+                  SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS HUGEINT)) AS sz,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sxx,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS syy,
+                  SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                      AS BIGINT)) AS szz,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sxy,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                      AS BIGINT)) AS sxz,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                      AS BIGINT)) AS syz
+                FROM lineitem),
+              r AS (
+                SELECT n,
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r_xy,
+                  CAST(n * sxz - sx * sz AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)) AS r_xz,
+                  CAST(n * syz - sy * sz AS DOUBLE)
+                    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)) AS r_yz
+                FROM mom)
+              SELECT n,
+                round(r_xy, 12) AS r_xy,
+                round(r_xz, 12) AS r_xz,
+                round(r_yz, 12) AS r_yz,
+                CASE WHEN (1.0 - r_xz * r_xz) <= 0
+                    OR (1.0 - r_yz * r_yz) <= 0 THEN NULL
+                  ELSE round((r_xy - r_xz * r_yz)
+                    / sqrt((1.0 - r_xz * r_xz)
+                      * (1.0 - r_yz * r_yz)), 12) END AS r_xy_given_z
+              FROM r"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -755,7 +755,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_durbin_watson" -> 0, // persisted daily census: OLS fit + residual pass
       "q_reciprocity" -> 0, // persisted distinct-edge frame: count + semi probe
       "q_basket_lift" -> 0, // persisted (order, brand) census: pairs + marginals
-      "q_closeness" -> 0) // cached src-partitioned edges; BFS rounds checkpointed
+      "q_closeness" -> 0, // cached src-partitioned edges; BFS rounds checkpointed
+      "q_cronbach_alpha" -> 0, // persisted (user, item) census: moments + totals
+      "q_partial_corr" -> 1, // ONE lineitem agg to the 9 moment sums
+      "q_poisson_dispersion" -> 1) // single events chain to the day census
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
