@@ -1881,6 +1881,91 @@ object Curation {
                   + 6.0 * mean * mean * (s2d / n)
                   - 3.0 * mean * mean * mean * mean)
                   / (variance * variance) - 3.0 AS excess_kurtosis
-              FROM mm ORDER BY source"""))
+              FROM mm ORDER BY source""")),
+
+    // ── per-document χ² anomaly vs the corpus letter profile ────────────
+    // Which docs are statistically unlike the corpus (encoding junk,
+    // wrong language, template noise)? χ² of each doc's a–z letter
+    // counts against the corpus profile, folded to a band histogram.
+    // The stream collapses ONCE to the (doc, letter) census (persisted:
+    // the ≤26-row corpus profile and the per-doc terms both read it).
+    // Absent letters enter via the identity χ² = n_d + Σ_present
+    // ((c−e)²/e − e) — NO dense doc×alphabet grid is materialized.
+    // Terms are 6-dec rounded, letter-pinned per doc (a ≤26-item
+    // fold); the band is an integer floor both engines share.
+    Q("q_doc_anomaly_chi2",
+      (s, dir) => {
+        val wd = Window.partitionBy("doc_id")
+        val cen = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "")).as("ch"))
+          .filter(col("ch").rlike("^[a-z]$"))
+          .groupBy("doc_id", "ch")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val prof = cen.groupBy("ch")
+          .agg(sum(col("c")).cast("long").as("cc"))
+          .crossJoin(broadcast(
+            cen.agg(sum(col("c")).cast("long").as("nn"))))
+          .select(col("ch"),
+            (col("cc").cast("double") / col("nn").cast("double"))
+              .as("p"))
+        cen
+          .withColumn("n_d", sum(col("c")).over(wd).cast("long"))
+          .join(broadcast(prof), "ch")
+          .select(col("doc_id"), col("n_d"),
+            round((col("c").cast("double")
+              - col("n_d").cast("double") * col("p"))
+              * (col("c").cast("double")
+                - col("n_d").cast("double") * col("p"))
+              / (col("n_d").cast("double") * col("p"))
+              - col("n_d").cast("double") * col("p"), 6).as("term"),
+            col("ch"))
+          .groupBy("doc_id")
+          .agg(max(col("n_d")).as("n_d"),
+            expr("""aggregate(array_sort(collect_list(struct(ch, term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+              .as("fold"))
+          .select(col("doc_id"),
+            floor(round(col("n_d").cast("double") + col("fold"), 6)
+              / 10.0).cast("long").as("band"))
+          .groupBy("band")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .orderBy("band")
+      },
+      Some("""WITH ch AS (
+                SELECT doc_id, substring(lower(text), i, 1) AS ch
+                FROM documents,
+                  UNNEST(generate_series(1, length(text))) AS t(i)),
+              cen AS (
+                SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                FROM ch
+                WHERE regexp_matches(ch, '^[a-z]$')
+                GROUP BY 1, 2),
+              prof AS (
+                SELECT ch,
+                  CAST(SUM(c) AS DOUBLE)
+                    / (SELECT CAST(SUM(c) AS DOUBLE) FROM cen) AS p
+                FROM cen GROUP BY 1),
+              nd AS (
+                SELECT doc_id, ch, c,
+                  CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_d
+                FROM cen),
+              terms AS (
+                SELECT doc_id, n_d, ch,
+                  round((CAST(c AS DOUBLE) - CAST(n_d AS DOUBLE) * p)
+                    * (CAST(c AS DOUBLE) - CAST(n_d AS DOUBLE) * p)
+                    / (CAST(n_d AS DOUBLE) * p)
+                    - CAST(n_d AS DOUBLE) * p, 6) AS term
+                FROM nd JOIN prof USING (ch)),
+              chi AS (
+                SELECT doc_id,
+                  CAST(floor(round(CAST(MAX(n_d) AS DOUBLE)
+                    + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list(term ORDER BY ch)), (a, x) -> a + x), 6)
+                    / 10.0) AS BIGINT) AS band
+                FROM terms GROUP BY 1)
+              SELECT band, CAST(count(*) AS BIGINT) AS n_docs
+              FROM chi GROUP BY 1 ORDER BY band"""))
   )
 }

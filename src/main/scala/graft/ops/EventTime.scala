@@ -2695,7 +2695,76 @@ object EventTime {
                 CASE WHEN d_days <= 1 OR mean_n <= 0 THEN NULL
                   ELSE round(CAST(d_days AS DOUBLE) * var_n / mean_n, 6)
                   END AS chi2
-              FROM mv ORDER BY event_type"""))
+              FROM mv ORDER BY event_type""")),
+
+    // ── renewal memory: lag-1 autocorrelation of inter-event gaps ───────
+    // Does a short wait predict another short wait? Pearson r over
+    // successive per-user gap pairs (g_t, g_{t+1}) — the memory
+    // q_burstiness's dispersion index can't see. Gaps are exact
+    // microsecond longs off ONE user-partitioned window (the scaling
+    // key; ties broken by event_id for a total order), the five moment
+    // sums are exact DECIMAL(38,0) in one partial+final agg, and r is
+    // a row-local IEEE expression — zero FP folds. NULL-guarded for
+    // degenerate variance.
+    Q("q_gap_autocorr",
+      (s, dir) => {
+        val wu = Window.partitionBy("user_id")
+          .orderBy("mu", "event_id")
+        val m = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("mu"))
+          .withColumn("gap", col("mu") - lag(col("mu"), 1).over(wu))
+          .withColumn("gap_prev", lag(col("gap"), 1).over(wu))
+          .filter(col("gap").isNotNull && col("gap_prev").isNotNull)
+          .select(col("gap_prev").as("x"), col("gap").as("y"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        m.select(col("n_pairs"),
+          when(col("n_pairs") <= 1
+            || (col("n_pairs") * col("sxx") - col("sx") * col("sx")) <= 0
+            || (col("n_pairs") * col("syy") - col("sy") * col("sy")) <= 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / sqrt((col("n_pairs") * col("sxx")
+                  - col("sx") * col("sx")).cast("double")
+                  * (col("n_pairs") * col("syy")
+                    - col("sy") * col("sy")).cast("double")), 12))
+            .as("r_gap"))
+      },
+      Some("""WITH g AS (
+                SELECT user_id, event_id, epoch_us(ts) AS mu,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    AS gap
+                FROM events),
+              p AS (
+                SELECT gap AS y,
+                  lag(gap) OVER (PARTITION BY user_id
+                    ORDER BY mu, event_id) AS x
+                FROM g),
+              mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * y) AS syy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy
+                FROM p WHERE x IS NOT NULL AND y IS NOT NULL)
+              SELECT n_pairs,
+                CASE WHEN n_pairs <= 1
+                    OR (n_pairs * sxx - sx * sx) <= 0
+                    OR (n_pairs * syy - sy * sy) <= 0 THEN NULL
+                  ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 12)
+                  END AS r_gap
+              FROM mom"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

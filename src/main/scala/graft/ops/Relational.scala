@@ -5748,7 +5748,101 @@ object Relational {
                   ELSE round((r_xy - r_xz * r_yz)
                     / sqrt((1.0 - r_xz * r_xz)
                       * (1.0 - r_yz * r_yz)), 12) END AS r_xy_given_z
-              FROM r"""))
+              FROM r""")),
+
+    // ── Simpson's-paradox scan: per-brand vs pooled price~qty slope ─────
+    // Does the within-brand price/quantity relationship reverse the
+    // pooled one? OLS slope per brand and pooled, flagged on sign
+    // reversal. ONE partial+final agg to per-brand exact moment sums
+    // (persisted: the pooled slope is the DECIMAL column-sum of the
+    // SAME census — exact, order-free — so no second corpus pass);
+    // slopes are row-local IEEE ratios, the reversal flag compares a
+    // product of identical doubles. NULL-guarded zero-variance cells.
+    Q("q_simpson_reversal",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            (dec2(col("l_quantity")) * 100).cast("long").as("x"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("y"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+          .persist()
+        val pooled = cen.agg(
+          sum(col("n")).cast("long").as("np"),
+          sum(col("sx")).as("px"), sum(col("sy")).as("py"),
+          sum(col("sxx")).as("pxx"), sum(col("sxy")).as("pxy"))
+          .select(
+            when(col("np") * col("pxx") - col("px") * col("px") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("np") * col("pxy") - col("px") * col("py"))
+                .cast("double")
+                / (col("np") * col("pxx") - col("px") * col("px"))
+                  .cast("double")).as("pooled_slope"))
+        cen.crossJoin(broadcast(pooled))
+          .select(col("p_brand"), col("n"),
+            when(col("n") * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / (col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")).as("slope"),
+            col("pooled_slope"))
+          .select(col("p_brand"), col("n"),
+            round(col("slope"), 12).as("slope"),
+            round(col("pooled_slope"), 12).as("pooled_slope"),
+            when(col("slope").isNull || col("pooled_slope").isNull,
+              lit(null).cast("boolean"))
+              .otherwise(col("slope") * col("pooled_slope") < 0)
+              .as("reversed"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH cen AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sx,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS sy,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sxx,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sxy
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1),
+              pool AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS np,
+                  SUM(sx) AS px, SUM(sy) AS py,
+                  SUM(sxx) AS pxx, SUM(sxy) AS pxy
+                FROM cen),
+              ps AS (
+                SELECT CASE WHEN np * pxx - px * px = 0 THEN NULL
+                  ELSE CAST(np * pxy - px * py AS DOUBLE)
+                    / CAST(np * pxx - px * px AS DOUBLE) END
+                  AS pooled_slope
+                FROM pool),
+              sl AS (
+                SELECT p_brand, n,
+                  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+                  pooled_slope
+                FROM cen, ps)
+              SELECT p_brand, n,
+                round(slope, 12) AS slope,
+                round(pooled_slope, 12) AS pooled_slope,
+                CASE WHEN slope IS NULL OR pooled_slope IS NULL THEN NULL
+                  ELSE slope * pooled_slope < 0 END AS reversed
+              FROM sl ORDER BY p_brand"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

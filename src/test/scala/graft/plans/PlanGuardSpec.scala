@@ -758,7 +758,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_closeness" -> 0, // cached src-partitioned edges; BFS rounds checkpointed
       "q_cronbach_alpha" -> 0, // persisted (user, item) census: moments + totals
       "q_partial_corr" -> 1, // ONE lineitem agg to the 9 moment sums
-      "q_poisson_dispersion" -> 1) // single events chain to the day census
+      "q_poisson_dispersion" -> 1, // single events chain to the day census
+      "q_doc_anomaly_chi2" -> 0, // persisted (doc, letter) census: profile + terms
+      "q_gap_autocorr" -> 1, // single events chain through the gap window
+      "q_simpson_reversal" -> 0) // persisted brand moment census: pooled + slopes
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
