@@ -154,7 +154,9 @@ object ScaleCheck {
     "q_hits", "q_adamic_adar", "q_source_kl", "q_sql_lateral",
     // continuation batch: brand-pair association fan-out (catalog-
     // bounded per order), 8-seed multi-source BFS rounds
-    "q_basket_lift", "q_closeness")
+    "q_basket_lift", "q_closeness",
+    // char-linear doc anomaly scan (letter census + bounded folds)
+    "q_doc_anomaly_chi2")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
