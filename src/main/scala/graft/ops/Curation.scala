@@ -1966,6 +1966,101 @@ object Curation {
                     / 10.0) AS BIGINT) AS band
                 FROM terms GROUP BY 1)
               SELECT band, CAST(count(*) AS BIGINT) AS n_docs
-              FROM chi GROUP BY 1 ORDER BY band"""))
+              FROM chi GROUP BY 1 ORDER BY band""")),
+
+    // ── DP contribution bounding: clip-threshold sweep ──────────────────
+    // The differential-privacy data-prep readout: if per-user
+    // contributions are clipped at k, how much signal survives and how
+    // many users are touched? The stream collapses ONCE to the
+    // per-user count census (persisted; every threshold reads it);
+    // the 6-row threshold panel broadcasts; retained = Σ min(n_u, k)
+    // stays an exact long, the share is one IEEE division.
+    Q("q_contribution_clipping",
+      (s, dir) => {
+        val cen = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_u"))
+          .persist()
+        val ks = cen.sparkSession.range(0, 6)
+          .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+            .cast("long").as("k"))
+        cen.crossJoin(broadcast(ks))
+          .groupBy("k")
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum(col("n_u")).cast("long").as("total_events"),
+            sum(least(col("n_u"), col("k"))).cast("long")
+              .as("retained_events"),
+            sum(when(col("n_u") > col("k"), 1L).otherwise(0L))
+              .cast("long").as("clipped_users"))
+          .select(col("k"), col("n_users"), col("total_events"),
+            col("retained_events"), col("clipped_users"),
+            when(col("total_events") === 0, lit(null).cast("double"))
+              .otherwise(col("retained_events").cast("double")
+                / col("total_events").cast("double"))
+              .as("retained_share"))
+          .orderBy("k")
+      },
+      Some("""WITH cen AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_u
+                FROM events GROUP BY 1),
+              ks AS (
+                SELECT CAST(k AS BIGINT) AS k
+                FROM UNNEST([1, 2, 4, 8, 16, 32]) AS t(k))
+              SELECT k, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(SUM(n_u) AS BIGINT) AS total_events,
+                CAST(SUM(LEAST(n_u, k)) AS BIGINT) AS retained_events,
+                CAST(SUM(CASE WHEN n_u > k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS clipped_users,
+                CASE WHEN SUM(n_u) = 0 THEN NULL
+                  ELSE CAST(SUM(LEAST(n_u, k)) AS DOUBLE)
+                    / CAST(SUM(n_u) AS DOUBLE) END AS retained_share
+              FROM cen, ks GROUP BY 1 ORDER BY k""")),
+
+    // ── sampling-temperature mix (α = 0.5) over sources ─────────────────
+    // The multilingual-corpus rebalancing rule p_s ∝ c_s^α with
+    // α = 0.5 — the one temperature that is CROSS-ENGINE EXACT
+    // (√ of an exact integer is correctly rounded IEEE in both
+    // engines; fractional powers via exp/ln are not — the q_bleu
+    // lesson). ONE agg to the per-source char-count census (≤sources
+    // rows); the normalizer is a source-pinned fold of 12-dec terms;
+    // effective upsampling = p_s/share_s is row-local IEEE.
+    Q("q_temperature_mix",
+      (s, dir) => {
+        val cen = t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("chars"))
+          .withColumn("sq", round(sqrt(col("chars").cast("double")), 12))
+          .persist()
+        val z = cen.agg(
+          expr("""aggregate(array_sort(collect_list(struct(source, sq))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.sq)""").as("z"),
+          sum(col("chars")).cast("long").as("tot"))
+        cen.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("chars"),
+            round(col("sq") / col("z"), 12).as("p_sample"),
+            round((col("sq") / col("z"))
+              / (col("chars").cast("double") / col("tot").cast("double")),
+              12).as("upsample_factor"))
+          .orderBy("source")
+      },
+      Some("""WITH cen AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS chars
+                FROM documents GROUP BY 1),
+              sq AS (
+                SELECT source, n_docs, chars,
+                  round(sqrt(CAST(chars AS DOUBLE)), 12) AS sq
+                FROM cen),
+              z AS (
+                SELECT CAST(SUM(chars) AS BIGINT) AS tot,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(sq ORDER BY source)), (a, x) -> a + x) AS z
+                FROM sq)
+              SELECT source, n_docs, chars,
+                round(sq / z, 12) AS p_sample,
+                round((sq / z) / (CAST(chars AS DOUBLE)
+                  / CAST(tot AS DOUBLE)), 12) AS upsample_factor
+              FROM sq, z ORDER BY source"""))
   )
 }

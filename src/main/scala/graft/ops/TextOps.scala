@@ -2534,7 +2534,56 @@ object TextOps {
                 count(*) AS branching,
                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY v)), (a, x) -> a + x) AS h_next
-              FROM terms GROUP BY 1 ORDER BY u"""))
+              FROM terms GROUP BY 1 ORDER BY u""")),
+
+    // ── word2vec-style negative-sampling table (unigram^3/4) ────────────
+    // The noise distribution p_i ∝ c_i^0.75 over the top-200 head —
+    // the skip-gram training prerequisite. c^0.75 = √c · √√c keeps the
+    // fractional power CROSS-ENGINE EXACT (two correctly-rounded
+    // IEEE square roots and one multiply — exp/ln powers are not);
+    // normalization is restricted to the head set, so the fold is a
+    // bounded token-pinned 200-item sum of 12-dec terms. ONE corpus
+    // pass to the token census; the head picks by (count, token) —
+    // an exact total order, no double-keyed ranking.
+    Q("q_negative_sampling",
+      (s, dir) => {
+        val head = t(s, dir, "documents")
+          .select(explode(
+            expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .orderBy(col("c").desc, col("tok"))
+          .limit(200)
+          .withColumn("w",
+            round(sqrt(col("c").cast("double"))
+              * sqrt(sqrt(col("c").cast("double"))), 12))
+          .persist()
+        val z = head.agg(
+          expr("""aggregate(array_sort(collect_list(struct(tok, w))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.w)""").as("z"))
+        head.crossJoin(broadcast(z))
+          .select(col("tok"), col("c"),
+            round(col("w") / col("z"), 12).as("p_neg"))
+          .orderBy(col("c").desc, col("tok"))
+      },
+      Some("""WITH tok AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS tok
+                FROM documents),
+              cen AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1),
+              head AS (
+                SELECT tok, c,
+                  round(sqrt(CAST(c AS DOUBLE))
+                    * sqrt(sqrt(CAST(c AS DOUBLE))), 12) AS w
+                FROM cen ORDER BY c DESC, tok LIMIT 200),
+              z AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(w ORDER BY tok)), (a, x) -> a + x) AS z
+                FROM head)
+              SELECT tok, c, round(w / z, 12) AS p_neg
+              FROM head, z ORDER BY c DESC, tok"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

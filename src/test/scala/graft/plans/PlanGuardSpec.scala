@@ -761,7 +761,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_poisson_dispersion" -> 1, // single events chain to the day census
       "q_doc_anomaly_chi2" -> 0, // persisted (doc, letter) census: profile + terms
       "q_gap_autocorr" -> 1, // single events chain through the gap window
-      "q_simpson_reversal" -> 0) // persisted brand moment census: pooled + slopes
+      "q_simpson_reversal" -> 0, // persisted brand moment census: pooled + slopes
+      "q_contribution_clipping" -> 0, // persisted per-user census × threshold panel
+      "q_temperature_mix" -> 0, // persisted source census: normalizer + readout
+      "q_negative_sampling" -> 0) // persisted top-200 head: normalizer + probs
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
