@@ -2056,6 +2056,133 @@ object ModelEval {
                     * (1.0 - sum_item_var / total_var), 12) END AS alpha
               FROM fin""")),
 
+    // ── IPS / SNIPS off-policy value estimate ───────────────────────────
+    // What would the "act when value > 50" policy earn, estimated from
+    // logs of a randomized logger? Logged action a = 1{event_id%4=0}
+    // (known propensities 1/4 vs 3/4 — the deterministic stand-in for
+    // the logger's coin), reward = purchase. Importance weights 1/p ∈
+    // {4, 4/3} are carried ×12 as EXACT integers (48, 16), so both
+    // estimator numerators and the SNIPS denominator are exact longs
+    // in ONE partial+final agg; the two estimates are single IEEE
+    // divisions at the end. NULL-guarded for zero matched mass.
+    Q("q_ips_estimator",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(
+            (pmod(col("event_id"), lit(4)) === 0).cast("int").as("a"),
+            (col("value") > 50.0).cast("int").as("pi"),
+            (col("event_type") === "purchase").cast("int").as("r"))
+          .select(col("a"), col("r"),
+            (col("pi") === col("a")).cast("long").as("m"),
+            when(col("a") === 1, lit(48L)).otherwise(lit(16L)).as("w12"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("m")).cast("long").as("n_matched"),
+            sum(col("m") * col("w12")).cast("long").as("sw12"),
+            sum(col("m") * col("w12") * col("r")).cast("long")
+              .as("swr12"))
+          .select(col("n"), col("n_matched"),
+            round(col("swr12").cast("double")
+              / (lit(12.0) * col("n").cast("double")), 12).as("ips"),
+            when(col("sw12") === 0, lit(null).cast("double"))
+              .otherwise(round(col("swr12").cast("double")
+                / col("sw12").cast("double"), 12)).as("snips"))
+      },
+      Some("""WITH logs AS (
+                SELECT CASE WHEN ((event_id % 4) + 4) % 4 = 0
+                    THEN 1 ELSE 0 END AS a,
+                  CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS pi,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS r
+                FROM events),
+              w AS (
+                SELECT a, r,
+                  CASE WHEN pi = a THEN 1 ELSE 0 END AS m,
+                  CASE WHEN a = 1 THEN 48 ELSE 16 END AS w12
+                FROM logs),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(m) AS BIGINT) AS n_matched,
+                  CAST(SUM(m * w12) AS BIGINT) AS sw12,
+                  CAST(SUM(m * w12 * r) AS BIGINT) AS swr12
+                FROM w)
+              SELECT n, n_matched,
+                round(CAST(swr12 AS DOUBLE)
+                  / (12.0 * CAST(n AS DOUBLE)), 12) AS ips,
+                CASE WHEN sw12 = 0 THEN NULL
+                  ELSE round(CAST(swr12 AS DOUBLE)
+                    / CAST(sw12 AS DOUBLE), 12) END AS snips
+              FROM agg""")),
+
+    // ── odds ratio / relative risk of the afternoon→purchase 2×2 ────────
+    // The epidemiological companion to q_mcnemar: exposure =
+    // afternoon event (hour ≥ 12), outcome = purchase. ONE
+    // partial+final agg to the exact 2×2; OR = ad/bc and RR are IEEE
+    // ratios of exact DECIMAL products, ln(OR) is the only
+    // transcendental and is 12-dec rounded. NULL-guarded zero cells.
+    Q("q_odds_ratio",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select((hour(col("ts")) >= 12).cast("int").as("e"),
+            (col("event_type") === "purchase").cast("int").as("o"))
+          .agg(
+            sum((col("e") * col("o")).cast("long")).cast("long").as("a"),
+            sum((col("e") * (lit(1) - col("o"))).cast("long"))
+              .cast("long").as("b"),
+            sum(((lit(1) - col("e")) * col("o")).cast("long"))
+              .cast("long").as("c"),
+            sum(((lit(1) - col("e")) * (lit(1) - col("o"))).cast("long"))
+              .cast("long").as("d"))
+          .select(col("a"), col("b"), col("c"), col("d"),
+            when(col("b") === 0 || col("c") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("a").cast("decimal(38,0)") * col("d"))
+                .cast("double")
+                / (col("b").cast("decimal(38,0)") * col("c"))
+                  .cast("double")).as("odds_ratio"),
+            when(col("a") + col("b") === 0 || col("c") + col("d") === 0
+              || col("c") === 0, lit(null).cast("double"))
+              .otherwise((col("a").cast("double")
+                / (col("a") + col("b")).cast("double"))
+                / (col("c").cast("double")
+                  / (col("c") + col("d")).cast("double")))
+              .as("relative_risk"))
+          .select(col("a"), col("b"), col("c"), col("d"),
+            round(col("odds_ratio"), 12).as("odds_ratio"),
+            round(col("relative_risk"), 12).as("relative_risk"),
+            when(col("odds_ratio").isNull || col("odds_ratio") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(log(col("odds_ratio")), 12)).as("ln_or"))
+      },
+      Some("""WITH p AS (
+                SELECT CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS e,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS o
+                FROM events),
+              cc AS (
+                SELECT CAST(SUM(e * o) AS BIGINT) AS a,
+                  CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+                  CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+                  CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+                FROM p),
+              m AS (
+                SELECT a, b, c, d,
+                  CASE WHEN b = 0 OR c = 0 THEN NULL
+                    ELSE CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                      / CAST(CAST(b AS HUGEINT) * c AS DOUBLE) END
+                    AS odds_ratio,
+                  CASE WHEN a + b = 0 OR c + d = 0 OR c = 0 THEN NULL
+                    ELSE (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                      / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) END
+                    AS relative_risk
+                FROM cc)
+              SELECT a, b, c, d,
+                round(odds_ratio, 12) AS odds_ratio,
+                round(relative_risk, 12) AS relative_risk,
+                CASE WHEN odds_ratio IS NULL OR odds_ratio <= 0
+                  THEN NULL
+                  ELSE round(ln(odds_ratio), 12) END AS ln_or
+              FROM m""")),
+
     // ── McNemar's test: two classifiers on the same events ──────────────
     // Paired model comparison — the question A/B accuracy deltas can't
     // answer (the pairing matters). Classifier A thresholds the score

@@ -5842,7 +5842,108 @@ object Relational {
                 round(pooled_slope, 12) AS pooled_slope,
                 CASE WHEN slope IS NULL OR pooled_slope IS NULL THEN NULL
                   ELSE slope * pooled_slope < 0 END AS reversed
-              FROM sl ORDER BY p_brand"""))
+              FROM sl ORDER BY p_brand""")),
+
+    // ── Kendall's W: do the 5 regions rank brands concordantly? ─────────
+    // Concordance of m regional brand-revenue rankings. The fact chain
+    // folds ONCE to the (region, brand, cents) census; the grid is
+    // densified (absent cell = 0 revenue) so every region ranks every
+    // brand — a ≤regions×brands frame. Ranks are row_number over the
+    // exact (cents DESC, brand) total order (no tie fractions, stated
+    // contract); rank sums and S are exact integers carried ×2
+    // (D_i = 2R_i − m(n+1)), W = 3·ΣD²/(m²·(n³−n)) is ONE IEEE
+    // division. NULL-guarded for n ≤ 1.
+    Q("q_kendall_w",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("rk"), col("p_brand"))
+          .agg((sum(dec2(col("l_extendedprice"))) * 100)
+            .cast("decimal(38,0)").as("cents"))
+          .persist()
+        val grid = cen.select(col("rk")).distinct()
+          .crossJoin(cen.select(col("p_brand")).distinct())
+          .join(cen, Seq("rk", "p_brand"), "left")
+          .select(col("rk"), col("p_brand"),
+            coalesce(col("cents"), lit(0).cast("decimal(38,0)"))
+              .as("cents"))
+        val wr = Window.partitionBy("rk")
+          .orderBy(col("cents").desc, col("p_brand"))
+        val ranks = grid
+          .withColumn("rank", row_number().over(wr).cast("long"))
+        val rs = ranks.groupBy("p_brand")
+          .agg(count(lit(1)).cast("long").as("m"),
+            sum(col("rank")).cast("long").as("r_i"))
+          .persist()
+        val nrow = rs.agg(count(lit(1)).cast("long").as("n"))
+        rs.crossJoin(broadcast(nrow))
+          .select(col("n"), col("m"),
+            ((lit(2L) * col("r_i") - col("m") * (col("n") + 1L))
+              .cast("decimal(38,0)")
+              * (lit(2L) * col("r_i") - col("m") * (col("n") + 1L)))
+              .as("d2"))
+          .groupBy("n")
+          .agg(max(col("m")).cast("long").as("m"),
+            sum(col("d2")).as("sd2"))
+          .select(col("n"), col("m"),
+            when(col("n") <= 1, lit(null).cast("double"))
+              .otherwise(round(lit(3.0) * col("sd2").cast("double")
+                / (col("m").cast("double") * col("m").cast("double")
+                  * (col("n").cast("double") * col("n").cast("double")
+                    * col("n").cast("double") - col("n").cast("double"))),
+                12)).as("w"))
+      },
+      Some("""WITH cen AS (
+                SELECT n_regionkey AS rk, p_brand,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS HUGEINT) AS cents
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2),
+              grid AS (
+                SELECT r.rk, b.p_brand,
+                  COALESCE(cents, CAST(0 AS HUGEINT)) AS cents
+                FROM (SELECT DISTINCT rk FROM cen) r
+                CROSS JOIN (SELECT DISTINCT p_brand FROM cen) b
+                LEFT JOIN cen ON cen.rk = r.rk
+                  AND cen.p_brand = b.p_brand),
+              ranks AS (
+                SELECT rk, p_brand,
+                  CAST(row_number() OVER (PARTITION BY rk
+                    ORDER BY cents DESC, p_brand) AS BIGINT) AS rank
+                FROM grid),
+              rs AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS m,
+                  CAST(SUM(rank) AS BIGINT) AS r_i
+                FROM ranks GROUP BY 1),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rs),
+              agg AS (
+                SELECT n, CAST(MAX(m) AS BIGINT) AS m,
+                  SUM(CAST(2 * r_i - m * (n + 1) AS HUGEINT)
+                    * (2 * r_i - m * (n + 1))) AS sd2
+                FROM rs, nn GROUP BY n)
+              SELECT n, m,
+                CASE WHEN n <= 1 THEN NULL
+                  ELSE round(3.0 * CAST(sd2 AS DOUBLE)
+                    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 12)
+                  END AS w
+              FROM agg"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -764,7 +764,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_simpson_reversal" -> 0, // persisted brand moment census: pooled + slopes
       "q_contribution_clipping" -> 0, // persisted per-user census × threshold panel
       "q_temperature_mix" -> 0, // persisted source census: normalizer + readout
-      "q_negative_sampling" -> 0) // persisted top-200 head: normalizer + probs
+      "q_negative_sampling" -> 0, // persisted top-200 head: normalizer + probs
+      "q_ips_estimator" -> 1, // ONE events agg to the exact-int estimator sums
+      "q_odds_ratio" -> 1, // ONE events agg to the 2×2
+      "q_kendall_w" -> 0) // persisted (region, brand) census: grid + ranks
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
