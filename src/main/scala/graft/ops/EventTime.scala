@@ -25,6 +25,46 @@ object EventTime {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Poisson-dispersion sufficient statistic: the (type, day) integer
+    * arrival-count census. Mergeable Complete-mode streaming state
+    * (calendar bounded); [[poisFinish]] over a drained state equals
+    * batch q_poisson_dispersion exactly — a live burstiness monitor.
+    */
+  def poisCensus(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Poisson-dispersion readout over the census (batch or drained
+    * stream state): Σn/Σn² exact longs, row-local IEEE finisher.
+    */
+  def poisFinish(cen: DataFrame): DataFrame =
+    cen
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("d_days"),
+        sum(col("n")).cast("long").as("s1"),
+        sum(col("n") * col("n")).cast("long").as("s2"))
+      .select(col("event_type"), col("d_days"),
+        (col("s1").cast("double") / col("d_days").cast("double"))
+          .as("mean_n"),
+        (col("s2").cast("double") / col("d_days").cast("double")
+          - (col("s1").cast("double") / col("d_days").cast("double"))
+            * (col("s1").cast("double")
+              / col("d_days").cast("double"))).as("var_n"))
+      .select(col("event_type"), col("d_days"),
+        round(col("mean_n"), 12).as("mean_n"),
+        round(col("var_n"), 12).as("var_n"),
+        when(col("d_days") <= 1 || col("mean_n") <= 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("var_n") / col("mean_n"), 12))
+          .as("dispersion"),
+        when(col("d_days") <= 1 || col("mean_n") <= 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("d_days").cast("double") * col("var_n")
+            / col("mean_n"), 6)).as("chi2"))
+      .orderBy("event_type")
+
   /** Decayed-popularity sufficient statistic: the calendar-bounded
     * (type, day) census (counts + exact DECIMAL cent sums). Mergeable,
     * so the streaming twin keeps exactly this frame as Complete-mode
@@ -2641,35 +2681,7 @@ object EventTime {
     // longs in ONE partial+final agg and mean/var/χ² are row-local
     // IEEE expressions — zero FP folds. NULL-guarded for D ≤ 1.
     Q("q_poisson_dispersion",
-      (s, dir) => {
-        t(s, dir, "events")
-          .select(col("event_type"), col("ts").cast("date").as("d"))
-          .groupBy("event_type", "d")
-          .agg(count(lit(1)).cast("long").as("n"))
-          .groupBy("event_type")
-          .agg(count(lit(1)).cast("long").as("d_days"),
-            sum(col("n")).cast("long").as("s1"),
-            sum(col("n") * col("n")).cast("long").as("s2"))
-          .select(col("event_type"), col("d_days"),
-            (col("s1").cast("double") / col("d_days").cast("double"))
-              .as("mean_n"),
-            (col("s2").cast("double") / col("d_days").cast("double")
-              - (col("s1").cast("double") / col("d_days").cast("double"))
-                * (col("s1").cast("double")
-                  / col("d_days").cast("double"))).as("var_n"))
-          .select(col("event_type"), col("d_days"),
-            round(col("mean_n"), 12).as("mean_n"),
-            round(col("var_n"), 12).as("var_n"),
-            when(col("d_days") <= 1 || col("mean_n") <= 0,
-              lit(null).cast("double"))
-              .otherwise(round(col("var_n") / col("mean_n"), 12))
-              .as("dispersion"),
-            when(col("d_days") <= 1 || col("mean_n") <= 0,
-              lit(null).cast("double"))
-              .otherwise(round(col("d_days").cast("double") * col("var_n")
-                / col("mean_n"), 6)).as("chi2"))
-          .orderBy("event_type")
-      },
+      (s, dir) => poisFinish(poisCensus(t(s, dir, "events"))),
       Some("""WITH cen AS (
                 SELECT event_type, CAST(ts AS DATE) AS d,
                   CAST(count(*) AS BIGINT) AS n
@@ -2764,7 +2776,140 @@ object EventTime {
                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
                       * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 12)
                   END AS r_gap
-              FROM mom"""))
+              FROM mom""")),
+
+    // ── max drawdown of the 7-day rolling order volume ──────────────────
+    // The peak-to-trough decline of demand momentum — q_changepoint's
+    // CUSUM sees mean SHIFTS, drawdown sees the worst sustained slide.
+    // Fully INTEGER: daily order counts → 7-day rolling sum → running
+    // max → drawdown, all exact longs over two day-ordered windows on
+    // the calendar-bounded census; the trough pick is the pinned
+    // earliest-day argmax. No FP anywhere until the final ratio.
+    Q("q_max_drawdown",
+      (s, dir) => {
+        val wd = Window.orderBy("d")
+        val w7 = wd.rowsBetween(-6, 0)
+        val wmax = wd.rowsBetween(Window.unboundedPreceding, 0)
+        val dd = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("s7", sum(col("n")).over(w7).cast("long"))
+          .withColumn("peak", max(col("s7")).over(wmax).cast("long"))
+          .withColumn("dd", col("peak") - col("s7"))
+          .persist()
+        dd.agg(max(col("dd")).cast("long").as("max_dd"))
+          .crossJoin(dd.select(col("d"), col("dd"), col("s7"),
+            col("peak")))
+          .filter(col("dd") === col("max_dd"))
+          .groupBy("max_dd")
+          .agg(min(col("d")).cast("long").as("trough_day"),
+            min(col("s7") + col("max_dd")).cast("long").as("peak_level"))
+          .select(col("max_dd"), col("trough_day"), col("peak_level"),
+            when(col("peak_level") === 0, lit(null).cast("double"))
+              .otherwise(col("max_dd").cast("double")
+                / col("peak_level").cast("double")).as("dd_share"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1),
+              roll AS (
+                SELECT d,
+                  CAST(SUM(n) OVER (ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS s7
+                FROM cen),
+              pk AS (
+                SELECT d, s7,
+                  CAST(MAX(s7) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS peak
+                FROM roll),
+              dd AS (SELECT d, s7, peak, peak - s7 AS dd FROM pk),
+              mx AS (SELECT CAST(MAX(dd) AS BIGINT) AS max_dd FROM dd)
+              SELECT max_dd,
+                CAST(MIN(d) AS BIGINT) AS trough_day,
+                CAST(MIN(s7 + max_dd) AS BIGINT) AS peak_level,
+                CASE WHEN MIN(s7 + max_dd) = 0 THEN NULL
+                  ELSE CAST(max_dd AS DOUBLE)
+                    / CAST(MIN(s7 + max_dd) AS DOUBLE) END AS dd_share
+              FROM dd, mx WHERE dd = max_dd GROUP BY 1""")),
+
+    // ── weekly SAX words over daily revenue ─────────────────────────────
+    // Symbolic Aggregate approXimation: each day's revenue z-score maps
+    // to a 4-letter alphabet (Gaussian breakpoints ±0.6745, 0), each
+    // ISO-ish week concatenates its days into a word — the discretized
+    // shape index motif mining runs on. Day census persists (moments +
+    // symbolization share it); z is one IEEE expression of exact
+    // DECIMAL sums, letters are boundary comparisons of identical
+    // doubles, and the word is a day-pinned ≤7-char assembly.
+    Q("q_sax_weekly",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
+          .persist()
+        val mom = cen.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).as("s1"), sum(col("y") * col("y")).as("s2"))
+          .select(col("n"),
+            (col("s1").cast("double") / col("n").cast("double"))
+              .as("mu"),
+            sqrt(col("s2").cast("double") / col("n").cast("double")
+              - (col("s1").cast("double") / col("n").cast("double"))
+                * (col("s1").cast("double") / col("n").cast("double")))
+              .as("sd"))
+        cen.crossJoin(broadcast(mom))
+          .select(expr("d div 7").as("week"), col("d"),
+            when(col("sd") <= 0, lit("b"))
+              .otherwise(
+                when((col("y").cast("double") - col("mu")) / col("sd")
+                  < -0.6745, lit("a"))
+                  .when((col("y").cast("double") - col("mu")) / col("sd")
+                    < 0.0, lit("b"))
+                  .when((col("y").cast("double") - col("mu")) / col("sd")
+                    < 0.6745, lit("c"))
+                  .otherwise(lit("d"))).as("letter"))
+          .groupBy("week")
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            expr("""array_join(transform(
+                      array_sort(collect_list(struct(d, letter))),
+                      x -> x.letter), '')""").as("sax_word"))
+          .orderBy("week")
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS HUGEINT) AS s1,
+                  CAST(SUM(y * y) AS HUGEINT) AS s2
+                FROM cen),
+              mm AS (
+                SELECT n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+                FROM mom),
+              sym AS (
+                SELECT d // 7 AS week, d,
+                  CASE WHEN sd <= 0 THEN 'b'
+                    WHEN (CAST(y AS DOUBLE) - mu) / sd < -0.6745 THEN 'a'
+                    WHEN (CAST(y AS DOUBLE) - mu) / sd < 0.0 THEN 'b'
+                    WHEN (CAST(y AS DOUBLE) - mu) / sd < 0.6745 THEN 'c'
+                    ELSE 'd' END AS letter
+                FROM cen, mm)
+              SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+                string_agg(letter, '' ORDER BY d) AS sax_word
+              FROM sym GROUP BY 1 ORDER BY week"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

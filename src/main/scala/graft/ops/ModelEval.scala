@@ -301,6 +301,59 @@ object ModelEval {
           .as("f_stat"))
   }
 
+  /** Jarque–Bera sufficient statistic: per-segment exact power sums
+    * Σx^k (k ≤ 4, DECIMAL(38,0) cents). Mergeable Complete-mode
+    * streaming state (≤segments rows); [[jbFinish]] over a drained
+    * state equals batch q_jarque_bera exactly — a live normality
+    * monitor over the customer ingest.
+    */
+  def jbCensus(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_mktsegment").as("grp"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(dec38)).as("s1"),
+        sum(col("x").cast(dec38) * col("x")).as("s2"),
+        sum(col("x").cast(dec38) * col("x") * col("x")).as("s3"),
+        sum(col("x").cast(dec38) * col("x") * col("x") * col("x"))
+          .as("s4"))
+
+  /** Jarque–Bera readout over the census (batch or drained stream
+    * state): central moments, skewness, kurtosis and JB as row-local
+    * IEEE expressions of the exact sums.
+    */
+  def jbFinish(cen: DataFrame): DataFrame =
+    cen
+      .select(col("grp"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2").cast("double") / col("n").cast("double")).as("r2"),
+        (col("s3").cast("double") / col("n").cast("double")).as("r3"),
+        (col("s4").cast("double") / col("n").cast("double")).as("r4"))
+      .select(col("grp"), col("n"),
+        (col("r2") - col("mu") * col("mu")).as("m2"),
+        (col("r3") - lit(3.0) * col("mu") * col("r2")
+          + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+        (col("r4") - lit(4.0) * col("mu") * col("r3")
+          + lit(6.0) * col("mu") * col("mu") * col("r2")
+          - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+          .as("m4"))
+      .select(col("grp"), col("n"),
+        when(col("m2") <= 0, lit(null).cast("double"))
+          .otherwise(col("m3") / (col("m2") * sqrt(col("m2"))))
+          .as("sk"),
+        when(col("m2") <= 0, lit(null).cast("double"))
+          .otherwise(col("m4") / (col("m2") * col("m2"))).as("ku"))
+      .select(col("grp"), col("n"),
+        round(col("sk"), 12).as("skewness"),
+        round(col("ku"), 12).as("kurtosis"),
+        when(col("sk").isNull, lit(null).cast("double"))
+          .otherwise(round(col("n").cast("double") / 6.0
+            * (col("sk") * col("sk")
+              + (col("ku") - 3.0) * (col("ku") - 3.0) / 4.0), 6))
+          .as("jb"))
+      .orderBy("grp")
+
   /** McNemar sufficient statistic: the 2×2 (A-correct, B-correct)
     * agreement census. Mergeable Complete-mode streaming state (4 rows
     * max); [[mcnemarFinish]] over a drained state equals batch
@@ -1762,46 +1815,7 @@ object ModelEval {
     // order both engines — no cross-row FP fold at all). NULL-guarded
     // for a zero-variance segment.
     Q("q_jarque_bera",
-      (s, dir) => {
-        t(s, dir, "customer")
-          .select(col("c_mktsegment").as("grp"),
-            (dec2(col("c_acctbal")) * 100).cast("long").as("x"))
-          .groupBy("grp")
-          .agg(count(lit(1)).cast("long").as("n"),
-            sum(col("x").cast(dec38)).as("s1"),
-            sum(col("x").cast(dec38) * col("x")).as("s2"),
-            sum(col("x").cast(dec38) * col("x") * col("x")).as("s3"),
-            sum(col("x").cast(dec38) * col("x") * col("x") * col("x"))
-              .as("s4"))
-          .select(col("grp"), col("n"),
-            (col("s1").cast("double") / col("n").cast("double")).as("mu"),
-            (col("s2").cast("double") / col("n").cast("double")).as("r2"),
-            (col("s3").cast("double") / col("n").cast("double")).as("r3"),
-            (col("s4").cast("double") / col("n").cast("double")).as("r4"))
-          .select(col("grp"), col("n"),
-            (col("r2") - col("mu") * col("mu")).as("m2"),
-            (col("r3") - lit(3.0) * col("mu") * col("r2")
-              + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
-            (col("r4") - lit(4.0) * col("mu") * col("r3")
-              + lit(6.0) * col("mu") * col("mu") * col("r2")
-              - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
-              .as("m4"))
-          .select(col("grp"), col("n"),
-            when(col("m2") <= 0, lit(null).cast("double"))
-              .otherwise(col("m3") / (col("m2") * sqrt(col("m2"))))
-              .as("sk"),
-            when(col("m2") <= 0, lit(null).cast("double"))
-              .otherwise(col("m4") / (col("m2") * col("m2"))).as("ku"))
-          .select(col("grp"), col("n"),
-            round(col("sk"), 12).as("skewness"),
-            round(col("ku"), 12).as("kurtosis"),
-            when(col("sk").isNull, lit(null).cast("double"))
-              .otherwise(round(col("n").cast("double") / 6.0
-                * (col("sk") * col("sk")
-                  + (col("ku") - 3.0) * (col("ku") - 3.0) / 4.0), 6))
-              .as("jb"))
-          .orderBy("grp")
-      },
+      (s, dir) => jbFinish(jbCensus(t(s, dir, "customer"))),
       Some("""WITH cen AS (
                 SELECT c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
                   SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100

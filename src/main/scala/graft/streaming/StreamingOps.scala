@@ -730,6 +730,14 @@ object StreamingOps {
   def decayCounts(events: DataFrame): DataFrame =
     graft.ops.EventTime.decayCensus(events)
 
+  /** Streaming half of q_poisson_dispersion — live burstiness monitor.
+    * (type, day) count census as Complete-mode state (calendar
+    * bounded); [[graft.ops.EventTime.poisFinish]] over the drained
+    * state equals batch q_poisson_dispersion at any trigger.
+    */
+  def poisCounts(events: DataFrame): DataFrame =
+    graft.ops.EventTime.poisCensus(events)
+
   /** Schema of the orders table (for the order-ingest stream twins). */
   val orderSchema: StructType = StructType(Seq(
     StructField("o_orderkey", LongType),
@@ -843,6 +851,14 @@ object StreamingOps {
     * ingest micro-batch re-audits re-identification risk without a
     * population rescan.
     */
+  /** Streaming half of q_jarque_bera — live normality monitor. Per-
+    * segment exact power sums as Complete-mode state (≤segments rows);
+    * [[graft.ops.ModelEval.jbFinish]] over the drained state equals
+    * batch q_jarque_bera EXACTLY at any trigger (exact DECIMAL sums).
+    */
+  def jbCounts(customers: DataFrame): DataFrame =
+    graft.ops.ModelEval.jbCensus(customers)
+
   def kAnonCounts(customers: DataFrame): DataFrame =
     graft.ops.Relational.kAnonCensus(customers)
 

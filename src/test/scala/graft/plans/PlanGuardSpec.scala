@@ -767,7 +767,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_negative_sampling" -> 0, // persisted top-200 head: normalizer + probs
       "q_ips_estimator" -> 1, // ONE events agg to the exact-int estimator sums
       "q_odds_ratio" -> 1, // ONE events agg to the 2×2
-      "q_kendall_w" -> 0) // persisted (region, brand) census: grid + ranks
+      "q_kendall_w" -> 0, // persisted (region, brand) census: grid + ranks
+      "q_max_drawdown" -> 0, // persisted drawdown frame: max + trough pick
+      "q_sax_weekly" -> 0) // persisted day census: moments + symbolization
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,

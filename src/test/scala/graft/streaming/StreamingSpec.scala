@@ -934,6 +934,44 @@ class StreamingSpec extends SparkSpec {
       "drained quasi-id census diverged from batch k-anonymity")
   }
 
+  test("drained power-sum census finishes to batch q_jarque_bera exactly") {
+    val dir = Files.createTempDirectory("graft-cust-jb").toString
+    Tables.load(spark, sfDir, "customer")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.jbCounts(
+        StreamingOps.readCustomerStream(spark, s"$dir/in")),
+      "t_jb", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.jbFinish(census).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_jarque_bera")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained power-sum census diverged from batch q_jarque_bera")
+  }
+
+  test("drained arrival census finishes to batch q_poisson_dispersion exactly") {
+    val dir = Files.createTempDirectory("graft-pois").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.poisCounts(
+        StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_pois", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.poisFinish(census).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_poisson_dispersion")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained arrival census diverged from batch q_poisson_dispersion")
+  }
+
   test("drained day census finishes to batch q_forecast_eval exactly") {
     // third readout of the medianCounts Complete-mode state (after
     // rolling-median): the d-7 backtest re-scores each trigger without
