@@ -230,6 +230,21 @@ object PlanDump {
       || q_theil_between | ≤\|nations\| (n, Σcents) census | totals agg + term projection | **persisted** (budget guard 0) |
       || q_bigram_cond_entropy | token arrays + head-restricted bigram census | uni head cut + bi census / den + terms | **persisted both** (budget guard 0) |
       || q_mcnemar (census+finish split) | 2×2 agreement census | streaming twin shares mcnemarCensus; batch is a single chain | **single plan** (budget guard 1) |
+      || q_decayed_popularity (census+finish split) | (type, day) census | max-date anchor + weighted agg; streaming twin shares decayCensus | **persisted** (budget guard 0) |
+      || q_kruskal_wallis | (cents, segment) census + midrank frame | midranks / per-group rank sums / tie term | **persisted both** (budget guard 0) |
+      || q_reciprocity | distinct directed-edge frame | edge count + reverse semi-probe | **persisted** (budget guard 0) |
+      || q_basket_lift | distinct (order, brand) census | pair fan-out + marginals + N scalar | **persisted** (budget guard 0) |
+      || q_closeness | src-partitioned edge cache | 4 frontier joins + seed probe | **persisted** (kcore discipline; budget guard 0) |
+      || q_cronbach_alpha | (user, item) cents census | item moments + user totals + N scalar | **persisted** (budget guard 0) |
+      || q_durbin_watson | daily cents census | OLS fit agg + residual pass | **persisted** (budget guard 0) |
+      || q_simpson_reversal | per-brand moment census | pooled column-sum + per-brand slopes | **persisted** (pooled = exact sum of census; budget guard 0) |
+      || q_doc_anomaly_chi2 | (doc, letter) census | ≤26-row profile + per-doc terms | **persisted** (budget guard 0) |
+      || q_temperature_mix | per-source char census | pinned normalizer + readout | **persisted** (budget guard 0) |
+      || q_negative_sampling | top-200 head census | pinned normalizer + prob projection | **persisted** (budget guard 0) |
+      || q_kendall_w | (region, brand, cents) census + rank sums | dense grid ×2 dims + rejoin; rs feeds N + S | **persisted both** (budget guard 0) |
+      || q_max_drawdown | windowed drawdown frame | global max + trough pick | **persisted** (budget guard 0) |
+      || q_sax_weekly | daily cents census | moment agg + symbolization | **persisted** (budget guard 0) |
+      || q_jarque_bera / q_poisson_dispersion / q_contribution_clipping (census+finish) | power-sum / arrival / per-user censuses | single batch chain; streaming twins share the census fn | **single plan** (budget guards 1/1/0) |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
