@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** LLM-pipeline deduplication over `documents` (SURVEY.md §2.C + north star).
   *
@@ -1026,6 +1027,80 @@ object Dedup {
                 CAST(SUM(n_toks * is_loser) AS BIGINT) AS tokens_saved,
                 CAST(SUM(n_toks * is_loser) AS DOUBLE)
                   / CAST(SUM(n_toks) AS DOUBLE) AS savings_share
-              FROM d GROUP BY 1 ORDER BY source"""))
+              FROM d GROUP BY 1 ORDER BY source""")),
+
+    // ── capture–recapture estimate of the shared template population ────
+    // Treat the two lexicographically-first sources as independent
+    // "captures" of an underlying 5-gram template population and
+    // estimate its size: Lincoln–Petersen n1·n2/m plus the
+    // bias-corrected Chapman (n1+1)(n2+1)/(m+1) − 1. ONE distinct
+    // (source, shingle) census for just those sources; flags collapse
+    // per shingle, so n1/n2/m are exact longs in a single
+    // partial+final agg and the estimates are IEEE ratios at the end.
+    // NULL-guarded for zero recapture.
+    Q("q_capture_recapture",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val wq = Window.orderBy("source")
+        val two = docs.select("source").distinct()
+          .orderBy("source").limit(2)
+          .withColumn("idx", row_number().over(wq).cast("long"))
+        val flags = docs
+          .join(broadcast(two), "source")
+          .select(col("idx"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("idx"), explode(expr(
+            """transform(
+                 CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4)
+                      ELSE array() END,
+                 i -> concat_ws(' ', slice(toks, i, 5)))""")).as("sh"))
+          .distinct()
+          .groupBy("sh")
+          .agg(max((col("idx") === 1L).cast("long")).as("f1"),
+            max((col("idx") === 2L).cast("long")).as("f2"))
+        flags.agg(sum(col("f1")).cast("long").as("n1"),
+            sum(col("f2")).cast("long").as("n2"),
+            sum(col("f1") * col("f2")).cast("long").as("m"))
+          .select(col("n1"), col("n2"), col("m"),
+            when(col("m") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n1").cast("double")
+                * col("n2").cast("double") / col("m").cast("double"), 6))
+              .as("n_lp"),
+            round((col("n1") + 1).cast("double")
+              * (col("n2") + 1).cast("double")
+              / (col("m") + 1).cast("double") - 1.0, 6).as("n_chapman"))
+      },
+      Some("""WITH two AS (
+                SELECT source,
+                  CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+                    AS idx
+                FROM (SELECT DISTINCT source FROM documents
+                      ORDER BY source LIMIT 2)),
+              sh AS (
+                SELECT DISTINCT idx,
+                  array_to_string(list_slice(
+                    list_filter(string_split(text, ' '), x -> x <> ''),
+                    i, i + 4), ' ') AS sh
+                FROM documents JOIN two USING (source),
+                  UNNEST(generate_series(1, len(list_filter(
+                    string_split(text, ' '), x -> x <> '')) - 4))
+                    AS t(i)),
+              flags AS (
+                SELECT sh,
+                  MAX(CASE WHEN idx = 1 THEN 1 ELSE 0 END) AS f1,
+                  MAX(CASE WHEN idx = 2 THEN 1 ELSE 0 END) AS f2
+                FROM sh GROUP BY 1),
+              agg AS (
+                SELECT CAST(SUM(f1) AS BIGINT) AS n1,
+                  CAST(SUM(f2) AS BIGINT) AS n2,
+                  CAST(SUM(f1 * f2) AS BIGINT) AS m
+                FROM flags)
+              SELECT n1, n2, m,
+                CASE WHEN m = 0 THEN NULL
+                  ELSE round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / CAST(m AS DOUBLE), 6) END AS n_lp,
+                round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                  / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS n_chapman
+              FROM agg"""))
   )
 }

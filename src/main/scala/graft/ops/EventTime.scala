@@ -2909,7 +2909,143 @@ object EventTime {
                 FROM cen, mm)
               SELECT week, CAST(count(*) AS BIGINT) AS n_days,
                 string_agg(letter, '' ORDER BY d) AS sax_word
-              FROM sym GROUP BY 1 ORDER BY week"""))
+              FROM sym GROUP BY 1 ORDER BY week""")),
+
+    // ── Gumbel fit of weekly revenue maxima (extreme value theory) ──────
+    // What do the TAILS look like? Weekly block maxima of daily
+    // revenue, with the Gumbel method-of-moments fit scale = s·√6/π,
+    // location = mean − γ·scale. The day census folds to ≤weeks exact
+    // maxima in one chain; moments are IEEE of exact DECIMAL sums; π
+    // and Euler's γ are the same 17-digit literals in both engines, √
+    // is correctly-rounded IEEE — no transcendental whose libm could
+    // drift. Population s (stated convention). NULL-guarded for
+    // degenerate variance.
+    Q("q_evt_gumbel",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
+          .select(expr("d div 7").as("wk"), col("y"))
+          .groupBy("wk")
+          .agg(max(col("y")).as("mx"))
+          .agg(count(lit(1)).cast("long").as("n_weeks"),
+            sum(col("mx")).as("s1"), sum(col("mx") * col("mx")).as("s2"))
+          .select(col("n_weeks"),
+            (col("s1").cast("double") / col("n_weeks").cast("double"))
+              .as("mean_max"),
+            (col("s2").cast("double") / col("n_weeks").cast("double")
+              - (col("s1").cast("double") / col("n_weeks").cast("double"))
+                * (col("s1").cast("double")
+                  / col("n_weeks").cast("double"))).as("v"))
+          .select(col("n_weeks"),
+            round(col("mean_max") / 100.0, 6).as("mean_max"),
+            when(col("v") <= 0, lit(null).cast("double"))
+              .otherwise(round(sqrt(col("v"))
+                * sqrt(lit(6.0)) / lit(3.141592653589793) / 100.0, 6))
+              .as("gumbel_scale"),
+            when(col("v") <= 0, lit(null).cast("double"))
+              .otherwise(round((col("mean_max")
+                - lit(0.5772156649015329) * (sqrt(col("v"))
+                  * sqrt(lit(6.0)) / lit(3.141592653589793))) / 100.0, 6))
+              .as("gumbel_location"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              wk AS (
+                SELECT d // 7 AS wk, CAST(MAX(y) AS HUGEINT) AS mx
+                FROM cen GROUP BY 1),
+              mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+                  SUM(mx) AS s1, SUM(mx * mx) AS s2
+                FROM wk),
+              mm AS (
+                SELECT n_weeks,
+                  CAST(s1 AS DOUBLE) / CAST(n_weeks AS DOUBLE)
+                    AS mean_max,
+                  CAST(s2 AS DOUBLE) / CAST(n_weeks AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+                    AS v
+                FROM mom)
+              SELECT n_weeks,
+                round(mean_max / 100.0, 6) AS mean_max,
+                CASE WHEN v <= 0 THEN NULL
+                  ELSE round(sqrt(v) * sqrt(6.0) / 3.141592653589793
+                    / 100.0, 6) END AS gumbel_scale,
+                CASE WHEN v <= 0 THEN NULL
+                  ELSE round((mean_max - 0.5772156649015329 * (sqrt(v)
+                    * sqrt(6.0) / 3.141592653589793)) / 100.0, 6) END
+                  AS gumbel_location
+              FROM mm""")),
+
+    // ── day-over-day audience turnover (consecutive-day Jaccard) ────────
+    // How fast does the active-user set churn? |A_d ∩ A_{d+1}| /
+    // |A_d ∪ A_{d+1}| for every observed day pair. ONE distinct
+    // (day, user) census (persisted: per-day actives, both sides of
+    // the d→d+1 self-join, all read it); the self-join co-partitions
+    // on user_id (the scaling key), counts are exact longs, Jaccard is
+    // one IEEE division.
+    Q("q_user_turnover",
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+            col("user_id"))
+          .distinct()
+          .persist()
+        val act = du.groupBy("d")
+          .agg(count(lit(1)).cast("long").as("n_active"))
+        val ret = du.as("a")
+          .join(du.select((col("d") - 1).as("d"),
+            col("user_id")), Seq("d", "user_id"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("retained"))
+        act
+          .join(broadcast(act.select((col("d") - 1).as("d"),
+            col("n_active").as("n_next"))), Seq("d"))
+          .join(broadcast(ret), Seq("d"), "left")
+          .select(col("d"), col("n_active"), col("n_next"),
+            coalesce(col("retained"), lit(0L)).as("retained"))
+          .select(col("d"), col("n_active"), col("n_next"),
+            col("retained"),
+            when(col("n_active") + col("n_next") - col("retained") === 0,
+              lit(null).cast("double"))
+              .otherwise(col("retained").cast("double")
+                / (col("n_active") + col("n_next") - col("retained"))
+                  .cast("double")).as("jaccard"))
+          .orderBy("d")
+      },
+      Some("""WITH du AS (
+                SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+                    CAST(ts AS DATE)) AS d, user_id
+                FROM events),
+              act AS (
+                SELECT d, CAST(count(*) AS BIGINT) AS n_active
+                FROM du GROUP BY 1),
+              ret AS (
+                SELECT a.d, CAST(count(*) AS BIGINT) AS retained
+                FROM du a JOIN du b
+                  ON b.d = a.d + 1 AND a.user_id = b.user_id
+                GROUP BY 1)
+              SELECT act.d, act.n_active AS n_active,
+                nx.n_active AS n_next,
+                COALESCE(retained, 0) AS retained,
+                CASE WHEN act.n_active + nx.n_active
+                    - COALESCE(retained, 0) = 0 THEN NULL
+                  ELSE CAST(COALESCE(retained, 0) AS DOUBLE)
+                    / CAST(act.n_active + nx.n_active
+                      - COALESCE(retained, 0) AS DOUBLE) END AS jaccard
+              FROM act
+              JOIN act nx ON nx.d = act.d + 1
+              LEFT JOIN ret ON ret.d = act.d
+              ORDER BY act.d"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

@@ -769,7 +769,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_odds_ratio" -> 1, // ONE events agg to the 2×2
       "q_kendall_w" -> 0, // persisted (region, brand) census: grid + ranks
       "q_max_drawdown" -> 0, // persisted drawdown frame: max + trough pick
-      "q_sax_weekly" -> 0) // persisted day census: moments + symbolization
+      "q_sax_weekly" -> 0, // persisted day census: moments + symbolization
+      "q_capture_recapture" -> 2, // docs chain + 2-row source panel
+      "q_evt_gumbel" -> 1, // single orders chain to weekly maxima
+      "q_user_turnover" -> 0) // persisted (day, user) census: actives + self-join
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
