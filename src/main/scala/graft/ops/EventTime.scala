@@ -3045,7 +3045,238 @@ object EventTime {
               FROM act
               JOIN act nx ON nx.d = act.d + 1
               LEFT JOIN ret ON ret.d = act.d
-              ORDER BY act.d"""))
+              ORDER BY act.d""")),
+
+    // ── Shapley-value channel attribution (3 channels, closed form) ─────
+    // Game-theoretic credit for conversions across the view/click/
+    // signup channels — the axiomatically-fair split position rules
+    // (q_attribution) can't give. Users collapse to an 8-row
+    // touched-channel-mask census of converted users (persisted);
+    // coalition values v(S) = Σ_{mask⊆S} cnt ride an 8×8 bounded
+    // containment join, and Shapley weights |S|!(2−|S|)!/3! are
+    // carried ×6 as EXACT integers {2,1,2} — φ×6 is an exact long,
+    // the readout one exact÷6 division. No sampling, no FP folds.
+    Q("q_shapley_attribution",
+      (s, dir) => {
+        val census = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            max((col("event_type") === "view").cast("long")).as("fv"),
+            max((col("event_type") === "click").cast("long")).as("fc"),
+            max((col("event_type") === "signup").cast("long")).as("fs"),
+            max((col("event_type") === "purchase").cast("long"))
+              .as("conv"))
+          .filter(col("conv") === 1)
+          .select((col("fv") + col("fc") * 2 + col("fs") * 4).as("mask"))
+          .groupBy("mask")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .persist()
+        val subsets = census.sparkSession.range(0, 8)
+          .select(col("id").cast("long").as("ss"))
+        val v = subsets
+          .join(census, expr("(mask & ss) = mask"), "left")
+          .groupBy("ss")
+          .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("v"))
+          .persist()
+        val channels = census.sparkSession.range(0, 3)
+          .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+            .as("ch"),
+            expr("""CASE id WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                    ELSE 'signup' END""").as("channel"))
+        channels
+          .join(v.select(col("ss"), col("v").as("v_s")),
+            expr("(ss & ch) = 0"))
+          .join(v.select(col("ss").as("ssi"), col("v").as("v_si")),
+            expr("ssi = ss + ch"))
+          .select(col("channel"),
+            (expr("""CASE bit_count(ss) WHEN 0 THEN 2 WHEN 1 THEN 1
+                     ELSE 2 END""")
+              * (col("v_si") - col("v_s"))).as("term"))
+          .groupBy("channel")
+          .agg(sum(col("term")).cast("long").as("phi6"))
+          .select(col("channel"), col("phi6"),
+            (col("phi6").cast("double") / 6.0).as("shapley"))
+          .orderBy("channel")
+      },
+      Some("""WITH flags AS (
+                SELECT user_id,
+                  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS fv,
+                  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS fc,
+                  MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS fs,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+                FROM events GROUP BY 1),
+              census AS (
+                SELECT fv + fc * 2 + fs * 4 AS mask,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM flags WHERE conv = 1 GROUP BY 1),
+              subsets AS (
+                SELECT CAST(ss AS BIGINT) AS ss
+                FROM UNNEST(generate_series(0, 7)) AS t(ss)),
+              v AS (
+                SELECT ss,
+                  CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+                FROM subsets LEFT JOIN census
+                  ON (mask & ss) = mask
+                GROUP BY 1),
+              channels AS (
+                SELECT CAST(1 AS BIGINT) AS ch, 'view' AS channel
+                UNION ALL SELECT 2, 'click'
+                UNION ALL SELECT 4, 'signup'),
+              terms AS (
+                SELECT channel,
+                  (CASE bit_count(vs.ss) WHEN 0 THEN 2 WHEN 1 THEN 1
+                    ELSE 2 END) * (vi.v - vs.v) AS term
+                FROM channels
+                JOIN v vs ON (vs.ss & ch) = 0
+                JOIN v vi ON vi.ss = vs.ss + ch)
+              SELECT channel, CAST(SUM(term) AS BIGINT) AS phi6,
+                CAST(SUM(term) AS DOUBLE) / 6.0 AS shapley
+              FROM terms GROUP BY 1 ORDER BY channel""")),
+
+    // ── Hurst exponent via rescaled-range (R/S) analysis ────────────────
+    // Long-range dependence of daily order volume: H ≈ 0.5 means no
+    // memory, H > 0.5 persistent trends. Classic dyadic R/S: complete
+    // blocks of b ∈ {8,16,32,64} observed days, per-block rescaled
+    // range R/S, H = the log2–log2 regression slope. The day census
+    // persists and replicates ×4 against the broadcast block-size
+    // panel (calendar-bounded frame); deviations are 6-dec rounded
+    // IEEE off exact block sums, the cumulative walk rides a
+    // (b, block)-partitioned day-ordered window (both engines run the
+    // frame left-to-right — identical accumulation), per-b means are
+    // block-pinned folds, and the 4-point slope folds are b-pinned
+    // with exact integer abscissae log2(b) ∈ {3,4,5,6}.
+    Q("q_hurst_exponent",
+      (s, dir) => {
+        val days = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
+          .withColumn("r",
+            (row_number().over(Window.orderBy("d")) - 1).cast("long"))
+          .persist()
+        val bs = days.sparkSession.range(0, 4)
+          .select(expr("shiftleft(CAST(8 AS BIGINT), CAST(id AS INT))")
+            .as("b"))
+        val rep = days.crossJoin(broadcast(bs))
+          .select(col("b"), expr("r div b").as("blk"), col("d"), col("x"))
+        val blocks = rep.groupBy("b", "blk")
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(col("x")).cast("long").as("s1"),
+            sum(col("x") * col("x")).cast("long").as("s2"))
+          .filter(col("cnt") === col("b"))
+        val wblk = Window.partitionBy("b", "blk").orderBy("d")
+        val rs = rep.join(blocks, Seq("b", "blk"))
+          .select(col("b"), col("blk"), col("d"), col("s1"), col("s2"),
+            round(col("x").cast("double")
+              - col("s1").cast("double") / col("b").cast("double"), 6)
+              .as("dev"))
+          .withColumn("w", sum(col("dev")).over(wblk))
+          .groupBy("b", "blk")
+          .agg((max(col("w")) - min(col("w"))).as("rr"),
+            sqrt(max(col("s2")).cast("double") / max(col("b")) // b const
+              - (max(col("s1")).cast("double") / max(col("b")))
+                * (max(col("s1")).cast("double") / max(col("b"))))
+              .as("sd"))
+          .filter(col("rr") > 0 && col("sd") > 0)
+          .select(col("b"), col("blk"),
+            round(log2(col("rr") / col("sd")), 6).as("l2"))
+        val perB = rs.groupBy("b")
+          .agg(count(lit(1)).cast("long").as("n_blk"),
+            expr("""aggregate(array_sort(collect_list(struct(blk, l2))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.l2)""").as("sl2"))
+          .select(col("b"), log2(col("b").cast("double")).as("lx"),
+            round(col("sl2") / col("n_blk").cast("double"), 12).as("ly"))
+        perB.agg(count(lit(1)).cast("long").as("n_pts"),
+            expr("""aggregate(array_sort(collect_list(struct(b, lx))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.lx)""").as("sx"),
+            expr("""aggregate(array_sort(collect_list(struct(b, ly))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.ly)""").as("sy"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(b, lx * ly))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.col2)""")
+              .as("sxy"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(b, lx * lx))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.col2)""")
+              .as("sxx"))
+          .select(col("n_pts"),
+            when(col("n_pts") <= 1
+              || col("n_pts") * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("n_pts") * col("sxy") - col("sx") * col("sy"))
+                  / (col("n_pts") * col("sxx") - col("sx") * col("sx")),
+                12)).as("h"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(count(*) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              days AS (
+                SELECT d, x,
+                  CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT)
+                    AS r
+                FROM cen),
+              bs AS (SELECT CAST(b AS BIGINT) AS b
+                     FROM UNNEST([8, 16, 32, 64]) AS t(b)),
+              rep AS (
+                SELECT b, r // b AS blk, d, x FROM days, bs),
+              blocks AS (
+                SELECT b, blk, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(SUM(x) AS BIGINT) AS s1,
+                  CAST(SUM(x * x) AS BIGINT) AS s2
+                FROM rep GROUP BY 1, 2),
+              fb AS (SELECT * FROM blocks WHERE cnt = b),
+              dev AS (
+                SELECT rep.b, rep.blk, d, s1, s2,
+                  round(CAST(x AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) / CAST(rep.b AS DOUBLE), 6)
+                    AS dev
+                FROM rep JOIN fb ON rep.b = fb.b AND rep.blk = fb.blk),
+              walk AS (
+                SELECT b, blk, s1, s2,
+                  SUM(dev) OVER (PARTITION BY b, blk ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS w
+                FROM dev),
+              rsx AS (
+                SELECT b, blk,
+                  MAX(w) - MIN(w) AS rr,
+                  sqrt(CAST(MAX(s2) AS DOUBLE) / MAX(b)
+                    - (CAST(MAX(s1) AS DOUBLE) / MAX(b))
+                      * (CAST(MAX(s1) AS DOUBLE) / MAX(b))) AS sd
+                FROM walk GROUP BY 1, 2),
+              l2s AS (
+                SELECT b, blk, round(log2(rr / sd), 6) AS l2
+                FROM rsx WHERE rr > 0 AND sd > 0),
+              perb AS (
+                SELECT b, log2(CAST(b AS DOUBLE)) AS lx,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(l2 ORDER BY blk)), (a, x) -> a + x)
+                    / count(*), 12) AS ly
+                FROM l2s GROUP BY b),
+              folds AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pts,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(lx ORDER BY b)), (a, x) -> a + x) AS sx,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ly ORDER BY b)), (a, x) -> a + x) AS sy,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(lx * ly ORDER BY b)), (a, x) -> a + x) AS sxy,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(lx * lx ORDER BY b)), (a, x) -> a + x) AS sxx
+                FROM perb)
+              SELECT n_pts,
+                CASE WHEN n_pts <= 1
+                    OR n_pts * sxx - sx * sx = 0 THEN NULL
+                  ELSE round((n_pts * sxy - sx * sy)
+                    / (n_pts * sxx - sx * sx), 12) END AS h
+              FROM folds"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

@@ -772,7 +772,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_sax_weekly" -> 0, // persisted day census: moments + symbolization
       "q_capture_recapture" -> 2, // docs chain + 2-row source panel
       "q_evt_gumbel" -> 1, // single orders chain to weekly maxima
-      "q_user_turnover" -> 0) // persisted (day, user) census: actives + self-join
+      "q_user_turnover" -> 0, // persisted (day, user) census: actives + self-join
+      "q_shapley_attribution" -> 0, // persisted mask census + persisted v(S)
+      "q_hurst_exponent" -> 0) // persisted ranked day census × dyadic panel
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
