@@ -1131,6 +1131,92 @@ object Graph {
                 CASE WHEN SUM(depth) = 0 THEN NULL
                   ELSE CAST(count(*) - 1 AS DOUBLE)
                     / CAST(SUM(depth) AS DOUBLE) END AS closeness
-              FROM d GROUP BY 1 ORDER BY seed"""))
+              FROM d GROUP BY 1 ORDER BY seed""")),
+
+    // ── modularity of the nation partition on the trade graph ───────────
+    // Does trade cluster along nation lines? Newman modularity
+    // Q = Σ_c (e_c/m − (d_c/2m)²) of the FIXED nation partition over
+    // the undirected distinct customer–supplier edge set — the
+    // community-quality readout q_label_prop's propagated labels can
+    // be compared against. ONE distinct-edge census carrying both
+    // endpoint nations (dimension joins broadcast); within-community
+    // edges and community degree sums are exact longs off the
+    // persisted census; the ≤|nations| terms are 12-dec rounded and
+    // nation-pinned. m never leaves the cluster.
+    Q("q_modularity",
+      (s, dir) => {
+        val e = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey").as("cn"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("su"),
+            col("cn").cast("long").as("cn"), col("sn").cast("long")
+              .as("sn"))
+          .distinct()
+          .persist()
+        val m = e.agg(count(lit(1)).cast("long").as("m"))
+        val within = e.filter(col("cn") === col("sn"))
+          .groupBy(col("cn").as("g"))
+          .agg(count(lit(1)).cast("long").as("e_c"))
+        val deg = e.select(col("cn").as("g"))
+          .unionByName(e.select(col("sn").as("g")))
+          .groupBy("g")
+          .agg(count(lit(1)).cast("long").as("d_c"))
+        deg.join(within, Seq("g"), "left")
+          .select(col("g"),
+            coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+          .crossJoin(broadcast(m))
+          .select(col("g"), col("m"),
+            round(col("e_c").cast("double") / col("m").cast("double")
+              - (col("d_c").cast("double")
+                / (lit(2.0) * col("m").cast("double")))
+                * (col("d_c").cast("double")
+                  / (lit(2.0) * col("m").cast("double"))), 12)
+              .as("term"))
+          .groupBy("m")
+          .agg(count(lit(1)).cast("long").as("n_communities"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(g, term))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+              .as("modularity"))
+          .select(col("m"), col("n_communities"), col("modularity"))
+      },
+      Some("""WITH e AS (
+                SELECT DISTINCT o_custkey AS c, l_suppkey AS su,
+                  CAST(c_nationkey AS BIGINT) AS cn,
+                  CAST(s_nationkey AS BIGINT) AS sn
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey),
+              mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+              within AS (
+                SELECT cn AS g, CAST(count(*) AS BIGINT) AS e_c
+                FROM e WHERE cn = sn GROUP BY 1),
+              deg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS d_c
+                FROM (SELECT cn AS g FROM e
+                      UNION ALL SELECT sn AS g FROM e)
+                GROUP BY 1),
+              terms AS (
+                SELECT g, m,
+                  round(CAST(COALESCE(e_c, 0) AS DOUBLE)
+                      / CAST(m AS DOUBLE)
+                    - (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                      * (CAST(d_c AS DOUBLE)
+                        / (2.0 * CAST(m AS DOUBLE))), 12) AS term
+                FROM deg LEFT JOIN within USING (g), mm)
+              SELECT m, CAST(count(*) AS BIGINT) AS n_communities,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY g)), (a, x) -> a + x), 12)
+                  AS modularity
+              FROM terms GROUP BY 1"""))
   )
 }

@@ -5943,7 +5943,198 @@ object Relational {
                       * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 12)
                   END AS w
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── Simpson's diversity of the brand mix per region ─────────────────
+    // Ecology's concentration lens on assortment: D = Σnᵢ(nᵢ−1) /
+    // (N(N−1)) — the probability two random line items share a brand —
+    // plus the effective-brand count 1/D. D is an EXACT RATIONAL of
+    // integer counts (unlike Shannon entropy, no transcendental at
+    // all): one census to (region, brand) counts over the broadcast-
+    // dimension join chain, exact DECIMAL numerator, ONE IEEE
+    // division per region. NULL-guarded for N ≤ 1.
+    Q("q_simpson_diversity",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("p_brand"))
+          .agg(count(lit(1)).cast("long").as("n_i"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).cast("long").as("n_brands"),
+            sum(col("n_i")).cast("long").as("n"),
+            sum(col("n_i").cast("decimal(38,0)") * (col("n_i") - 1))
+              .as("num"))
+          .select(col("r_name"), col("n_brands"), col("n"),
+            when(col("n") <= 1, lit(null).cast("double"))
+              .otherwise(col("num").cast("double")
+                / (col("n").cast("decimal(38,0)") * (col("n") - 1))
+                  .cast("double")).as("simpson_d"))
+          .select(col("r_name"), col("n_brands"), col("n"),
+            round(col("simpson_d"), 12).as("simpson_d"),
+            when(col("simpson_d").isNull || col("simpson_d") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(lit(1.0) / col("simpson_d"), 12))
+              .as("effective_brands"))
+          .orderBy("r_name")
+      },
+      Some("""WITH cen AS (
+                SELECT r_name, p_brand, CAST(count(*) AS BIGINT) AS n_i
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY 1, 2),
+              agg AS (
+                SELECT r_name, CAST(count(*) AS BIGINT) AS n_brands,
+                  CAST(SUM(n_i) AS BIGINT) AS n,
+                  SUM(CAST(n_i AS HUGEINT) * (n_i - 1)) AS num
+                FROM cen GROUP BY 1),
+              d AS (
+                SELECT r_name, n_brands, n,
+                  CASE WHEN n <= 1 THEN NULL
+                    ELSE CAST(num AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) END
+                    AS simpson_d
+                FROM agg)
+              SELECT r_name, n_brands, n,
+                round(simpson_d, 12) AS simpson_d,
+                CASE WHEN simpson_d IS NULL OR simpson_d <= 0 THEN NULL
+                  ELSE round(1.0 / simpson_d, 12) END
+                  AS effective_brands
+              FROM d ORDER BY r_name""")),
+
+    // ── variance inflation factors for the (qty, price, discount) trio ──
+    // The collinearity diagnostic OLS users check before trusting
+    // coefficients: VIF_i = 1/(1−R_i²), with each R_i² in closed form
+    // from the three pairwise correlations (3-regressor identity —
+    // no matrix inversion, no iteration). Same ONE-agg exact moment
+    // census as q_partial_corr; everything after is row-local IEEE.
+    // NULL-guarded degenerate correlations.
+    Q("q_vif",
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .select((dec2(col("l_quantity")) * 100).cast("long").as("x"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("y"),
+            (col("l_discount").cast("decimal(18,4)") * 10000)
+              .cast("long").as("z"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(col("z").cast("decimal(38,0)")).as("sz"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+            sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
+            sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+            sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"),
+            sum(col("y").cast("decimal(38,0)") * col("z")).as("syz"))
+        val r = m.select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("rxy"),
+          ((col("n") * col("sxz") - col("sx") * col("sz")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("szz") - col("sz") * col("sz"))
+                .cast("double"))).as("rxz"),
+          ((col("n") * col("syz") - col("sy") * col("sz")).cast("double")
+            / sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")
+              * (col("n") * col("szz") - col("sz") * col("sz"))
+                .cast("double"))).as("ryz"))
+        def r2(a: String, b: String, c: String) =
+          ((col(a) * col(a) + col(b) * col(b)
+            - lit(2.0) * col(a) * col(b) * col(c))
+            / (lit(1.0) - col(c) * col(c)))
+        def vif(a: String, b: String, c: String) =
+          when((lit(1.0) - col(c) * col(c)) <= 0
+            || (lit(1.0) - r2(a, b, c)) <= 0, lit(null).cast("double"))
+            .otherwise(round(lit(1.0) / (lit(1.0) - r2(a, b, c)), 12))
+        r.select(col("n"),
+          vif("rxy", "rxz", "ryz").as("vif_qty"),
+          vif("rxy", "ryz", "rxz").as("vif_price"),
+          vif("rxz", "ryz", "rxy").as("vif_discount"))
+      },
+      Some("""WITH mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sx,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS sy,
+                  SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS HUGEINT)) AS sz,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sxx,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS syy,
+                  SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                      AS BIGINT)) AS szz,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sxy,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                      AS BIGINT)) AS sxz,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                      AS BIGINT)) AS syz
+                FROM lineitem),
+              r AS (
+                SELECT n,
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+                  CAST(n * sxz - sx * sz AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+                  CAST(n * syz - sy * sz AS DOUBLE)
+                    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+                FROM mom)
+              SELECT n,
+                CASE WHEN (1.0 - ryz * ryz) <= 0
+                    OR (1.0 - (rxy * rxy + rxz * rxz
+                      - 2.0 * rxy * rxz * ryz)
+                      / (1.0 - ryz * ryz)) <= 0 THEN NULL
+                  ELSE round(1.0 / (1.0 - (rxy * rxy + rxz * rxz
+                    - 2.0 * rxy * rxz * ryz) / (1.0 - ryz * ryz)), 12)
+                  END AS vif_qty,
+                CASE WHEN (1.0 - rxz * rxz) <= 0
+                    OR (1.0 - (rxy * rxy + ryz * ryz
+                      - 2.0 * rxy * ryz * rxz)
+                      / (1.0 - rxz * rxz)) <= 0 THEN NULL
+                  ELSE round(1.0 / (1.0 - (rxy * rxy + ryz * ryz
+                    - 2.0 * rxy * ryz * rxz) / (1.0 - rxz * rxz)), 12)
+                  END AS vif_price,
+                CASE WHEN (1.0 - rxy * rxy) <= 0
+                    OR (1.0 - (rxz * rxz + ryz * ryz
+                      - 2.0 * rxz * ryz * rxy)
+                      / (1.0 - rxy * rxy)) <= 0 THEN NULL
+                  ELSE round(1.0 / (1.0 - (rxz * rxz + ryz * ryz
+                    - 2.0 * rxz * ryz * rxy) / (1.0 - rxy * rxy)), 12)
+                  END AS vif_discount
+              FROM r"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -774,7 +774,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_evt_gumbel" -> 1, // single orders chain to weekly maxima
       "q_user_turnover" -> 0, // persisted (day, user) census: actives + self-join
       "q_shapley_attribution" -> 0, // persisted mask census + persisted v(S)
-      "q_hurst_exponent" -> 0) // persisted ranked day census × dyadic panel
+      "q_hurst_exponent" -> 0, // persisted ranked day census × dyadic panel
+      "q_simpson_diversity" -> 5, // single broadcast-dim chain to the census
+      "q_vif" -> 1, // ONE lineitem agg to the 9 moment sums
+      "q_modularity" -> 0) // persisted edge census: m + within + degrees
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
