@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.Q._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -2196,6 +2196,160 @@ object ModelEval {
                   THEN NULL
                   ELSE round(ln(odds_ratio), 12) END AS ln_or
               FROM m""")),
+
+    // ── covariate balance: standardized mean differences ────────────────
+    // The causal-inference pre-check: before attributing anything to
+    // "being a purchaser", how imbalanced are the treated (≥1
+    // purchase) and control user populations on spend, activity and
+    // span? SMD = (m̄_t − m̄_c)/√((v_t+v_c)/2) per covariate. ONE
+    // per-user census (users collapse first), ONE partial+final agg
+    // to per-arm exact moment sums, row-local IEEE finishers.
+    // NULL-guarded degenerate variances.
+    Q("q_covariate_balance",
+      (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            max((col("event_type") === "purchase").cast("long"))
+              .as("treated"),
+            sum((dec2(col("value")) * 100).cast("long")
+              .cast(dec38)).as("spend"),
+            count(lit(1)).cast("long").as("activity"),
+            countDistinct(col("ts").cast("date")).cast("long")
+              .as("span"))
+        val arms = users.groupBy("treated")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("spend")).as("s1"),
+            sum(col("spend") * col("spend")).as("s2"),
+            sum(col("activity")).cast("long").as("a1"),
+            sum(col("activity") * col("activity")).cast("long").as("a2"),
+            sum(col("span")).cast("long").as("d1"),
+            sum(col("span") * col("span")).cast("long").as("d2"))
+        def mv(s1: Column, s2: Column, n: Column): (Column, Column) = {
+          val m = s1.cast("double") / n.cast("double")
+          (m, s2.cast("double") / n.cast("double") - m * m)
+        }
+        val wide = arms
+          .select(
+            sum(when(col("treated") === 1, col("n"))).as("n_t"),
+            sum(when(col("treated") === 0, col("n"))).as("n_c"),
+            sum(when(col("treated") === 1, col("s1"))).as("s1t"),
+            sum(when(col("treated") === 0, col("s1"))).as("s1c"),
+            sum(when(col("treated") === 1, col("s2"))).as("s2t"),
+            sum(when(col("treated") === 0, col("s2"))).as("s2c"),
+            sum(when(col("treated") === 1, col("a1"))).as("a1t"),
+            sum(when(col("treated") === 0, col("a1"))).as("a1c"),
+            sum(when(col("treated") === 1, col("a2"))).as("a2t"),
+            sum(when(col("treated") === 0, col("a2"))).as("a2c"),
+            sum(when(col("treated") === 1, col("d1"))).as("d1t"),
+            sum(when(col("treated") === 0, col("d1"))).as("d1c"),
+            sum(when(col("treated") === 1, col("d2"))).as("d2t"),
+            sum(when(col("treated") === 0, col("d2"))).as("d2c"))
+        def smd(s1t: String, s2t: String, s1c: String, s2c: String) = {
+          val (mt, vt) = mv(col(s1t), col(s2t), col("n_t"))
+          val (mc, vc) = mv(col(s1c), col(s2c), col("n_c"))
+          when(col("n_t").isNull || col("n_c").isNull
+            || col("n_t") === 0 || col("n_c") === 0
+            || (vt + vc) <= 0, lit(null).cast("double"))
+            .otherwise(round((mt - mc)
+              / sqrt((vt + vc) / lit(2.0)), 12))
+        }
+        wide.select(
+          col("n_t").cast("long").as("n_treated"),
+          col("n_c").cast("long").as("n_control"),
+          smd("s1t", "s2t", "s1c", "s2c").as("smd_spend"),
+          smd("a1t", "a2t", "a1c", "a2c").as("smd_activity"),
+          smd("d1t", "d2t", "d1c", "d2c").as("smd_span"))
+      },
+      Some("""WITH users AS (
+                SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS treated,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS spend,
+                  CAST(count(*) AS BIGINT) AS activity,
+                  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                    AS span
+                FROM events GROUP BY 1),
+              arms AS (
+                SELECT treated, CAST(count(*) AS BIGINT) AS n,
+                  SUM(spend) AS s1, SUM(spend * spend) AS s2,
+                  CAST(SUM(activity) AS BIGINT) AS a1,
+                  CAST(SUM(activity * activity) AS BIGINT) AS a2,
+                  CAST(SUM(span) AS BIGINT) AS d1,
+                  CAST(SUM(span * span) AS BIGINT) AS d2
+                FROM users GROUP BY 1),
+              wide AS (
+                SELECT
+                  SUM(CASE WHEN treated = 1 THEN n END) AS n_t,
+                  SUM(CASE WHEN treated = 0 THEN n END) AS n_c,
+                  SUM(CASE WHEN treated = 1 THEN s1 END) AS s1t,
+                  SUM(CASE WHEN treated = 0 THEN s1 END) AS s1c,
+                  SUM(CASE WHEN treated = 1 THEN s2 END) AS s2t,
+                  SUM(CASE WHEN treated = 0 THEN s2 END) AS s2c,
+                  SUM(CASE WHEN treated = 1 THEN a1 END) AS a1t,
+                  SUM(CASE WHEN treated = 0 THEN a1 END) AS a1c,
+                  SUM(CASE WHEN treated = 1 THEN a2 END) AS a2t,
+                  SUM(CASE WHEN treated = 0 THEN a2 END) AS a2c,
+                  SUM(CASE WHEN treated = 1 THEN d1 END) AS d1t,
+                  SUM(CASE WHEN treated = 0 THEN d1 END) AS d1c,
+                  SUM(CASE WHEN treated = 1 THEN d2 END) AS d2t,
+                  SUM(CASE WHEN treated = 0 THEN d2 END) AS d2c
+                FROM arms)
+              SELECT CAST(n_t AS BIGINT) AS n_treated,
+                CAST(n_c AS BIGINT) AS n_control,
+                CASE WHEN n_t IS NULL OR n_c IS NULL OR n_t = 0
+                    OR n_c = 0
+                    OR (CAST(s2t AS DOUBLE) / n_t
+                      - (CAST(s1t AS DOUBLE) / n_t)
+                        * (CAST(s1t AS DOUBLE) / n_t)
+                      + CAST(s2c AS DOUBLE) / n_c
+                      - (CAST(s1c AS DOUBLE) / n_c)
+                        * (CAST(s1c AS DOUBLE) / n_c)) <= 0 THEN NULL
+                  ELSE round((CAST(s1t AS DOUBLE) / n_t
+                    - CAST(s1c AS DOUBLE) / n_c)
+                    / sqrt((CAST(s2t AS DOUBLE) / n_t
+                      - (CAST(s1t AS DOUBLE) / n_t)
+                        * (CAST(s1t AS DOUBLE) / n_t)
+                      + CAST(s2c AS DOUBLE) / n_c
+                      - (CAST(s1c AS DOUBLE) / n_c)
+                        * (CAST(s1c AS DOUBLE) / n_c)) / 2.0), 12) END
+                  AS smd_spend,
+                CASE WHEN n_t IS NULL OR n_c IS NULL OR n_t = 0
+                    OR n_c = 0
+                    OR (CAST(a2t AS DOUBLE) / n_t
+                      - (CAST(a1t AS DOUBLE) / n_t)
+                        * (CAST(a1t AS DOUBLE) / n_t)
+                      + CAST(a2c AS DOUBLE) / n_c
+                      - (CAST(a1c AS DOUBLE) / n_c)
+                        * (CAST(a1c AS DOUBLE) / n_c)) <= 0 THEN NULL
+                  ELSE round((CAST(a1t AS DOUBLE) / n_t
+                    - CAST(a1c AS DOUBLE) / n_c)
+                    / sqrt((CAST(a2t AS DOUBLE) / n_t
+                      - (CAST(a1t AS DOUBLE) / n_t)
+                        * (CAST(a1t AS DOUBLE) / n_t)
+                      + CAST(a2c AS DOUBLE) / n_c
+                      - (CAST(a1c AS DOUBLE) / n_c)
+                        * (CAST(a1c AS DOUBLE) / n_c)) / 2.0), 12) END
+                  AS smd_activity,
+                CASE WHEN n_t IS NULL OR n_c IS NULL OR n_t = 0
+                    OR n_c = 0
+                    OR (CAST(d2t AS DOUBLE) / n_t
+                      - (CAST(d1t AS DOUBLE) / n_t)
+                        * (CAST(d1t AS DOUBLE) / n_t)
+                      + CAST(d2c AS DOUBLE) / n_c
+                      - (CAST(d1c AS DOUBLE) / n_c)
+                        * (CAST(d1c AS DOUBLE) / n_c)) <= 0 THEN NULL
+                  ELSE round((CAST(d1t AS DOUBLE) / n_t
+                    - CAST(d1c AS DOUBLE) / n_c)
+                    / sqrt((CAST(d2t AS DOUBLE) / n_t
+                      - (CAST(d1t AS DOUBLE) / n_t)
+                        * (CAST(d1t AS DOUBLE) / n_t)
+                      + CAST(d2c AS DOUBLE) / n_c
+                      - (CAST(d1c AS DOUBLE) / n_c)
+                        * (CAST(d1c AS DOUBLE) / n_c)) / 2.0), 12) END
+                  AS smd_span
+              FROM wide""")),
 
     // ── McNemar's test: two classifiers on the same events ──────────────
     // Paired model comparison — the question A/B accuracy deltas can't

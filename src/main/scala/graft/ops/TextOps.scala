@@ -2583,7 +2583,175 @@ object TextOps {
                   list(w ORDER BY tok)), (a, x) -> a + x) AS z
                 FROM head)
               SELECT tok, c, round(w / z, 12) AS p_neg
-              FROM head, z ORDER BY c DESC, tok"""))
+              FROM head, z ORDER BY c DESC, tok""")),
+
+    // ── Yule's K vocabulary-richness characteristic per source ──────────
+    // The repeat-rate constant stylometrics uses because it is nearly
+    // length-invariant: K = 10⁴·(Σc² − N)/N². ENTIRELY EXACT
+    // integers until one IEEE division — Σc² and N come straight off
+    // the (source, token) census, no frequency-spectrum pivot and no
+    // transcendental. ONE corpus pass, one partial+final agg.
+    Q("q_yule_k",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("source"), explode(
+            expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("vocab"),
+            sum(col("c")).cast("long").as("n_tokens"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+          .select(col("source"), col("vocab"), col("n_tokens"),
+            when(col("n_tokens") === 0, lit(null).cast("double"))
+              .otherwise(round(lit(10000.0)
+                * (col("sc2") - col("n_tokens")).cast("double")
+                / (col("n_tokens").cast("decimal(38,0)")
+                  * col("n_tokens")).cast("double"), 6)).as("yule_k"))
+          .orderBy("source")
+      },
+      Some("""WITH cen AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT source,
+                        unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2),
+              agg AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  SUM(CAST(c AS HUGEINT) * c) AS sc2
+                FROM cen GROUP BY 1)
+              SELECT source, vocab, n_tokens,
+                CASE WHEN n_tokens = 0 THEN NULL
+                  ELSE round(10000.0 * CAST(sc2 - n_tokens AS DOUBLE)
+                    / CAST(CAST(n_tokens AS HUGEINT) * n_tokens
+                      AS DOUBLE), 6) END AS yule_k
+              FROM agg ORDER BY source""")),
+
+    // ── Burrows' Delta: stylometric distance between sources ────────────
+    // The authorship-attribution classic: z-score each source's
+    // relative frequency of the corpus' top-30 tokens against the
+    // cross-source panel, Delta(a,b) = mean |z_a − z_b|. The corpus
+    // folds ONCE to the (source, token) census (persisted); the head
+    // set and the dense head×source grid are bounded (30×|sources|);
+    // panel moments are source-pinned folds of 12-dec frequencies,
+    // and each pair's Delta is a 30-term token-pinned fold. Pair
+    // fan-out is |sources|² — catalog-bounded, never corpus².
+    Q("q_burrows_delta",
+      (s, dir) => {
+        val cen = t(s, dir, "documents")
+          .select(col("source"), explode(
+            expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val totals = cen.groupBy("source")
+          .agg(sum(col("c")).cast("long").as("n_s"))
+        val head = cen.groupBy("tok")
+          .agg(sum(col("c")).cast("long").as("ct"))
+          .orderBy(col("ct").desc, col("tok")).limit(30)
+          .select(col("tok"))
+        val grid = head.crossJoin(totals)
+          .join(cen, Seq("source", "tok"), "left")
+          .select(col("tok"), col("source"),
+            round(coalesce(col("c"), lit(0L)).cast("double")
+              / col("n_s").cast("double"), 12).as("f"))
+          .persist()
+        val mom = grid.groupBy("tok")
+          .agg(count(lit(1)).cast("long").as("ns"),
+            expr("""aggregate(array_sort(collect_list(struct(source, f))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.f)""").as("sf"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(source, f * f))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.col2)""")
+              .as("sff"))
+          .select(col("tok"),
+            (col("sf") / col("ns").cast("double")).as("mu"),
+            sqrt(col("sff") / col("ns").cast("double")
+              - (col("sf") / col("ns").cast("double"))
+                * (col("sf") / col("ns").cast("double"))).as("sd"))
+          .filter(col("sd") > 0)
+        val z = grid.join(broadcast(mom), "tok")
+          .select(col("tok"), col("source"),
+            round((col("f") - col("mu")) / col("sd"), 12).as("z"))
+        z.as("a")
+          .join(z.select(col("tok").as("tok"),
+            col("source").as("src_b"), col("z").as("z_b")), Seq("tok"))
+          .filter(col("source") < col("src_b"))
+          .select(col("source").as("src_a"), col("src_b"), col("tok"),
+            round(abs(col("z") - col("z_b")), 12).as("t"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(tok, t))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.t)"""), 12)
+              .as("sum_t"))
+          .select(col("src_a"), col("src_b"), col("n_tokens"),
+            when(col("n_tokens") === 0, lit(null).cast("double"))
+              .otherwise(round(col("sum_t")
+                / col("n_tokens").cast("double"), 12)).as("delta"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH cen AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT source,
+                        unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2),
+              totals AS (
+                SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+                FROM cen GROUP BY 1),
+              head AS (
+                SELECT tok FROM (
+                  SELECT tok, CAST(SUM(c) AS BIGINT) AS ct
+                  FROM cen GROUP BY 1
+                  ORDER BY ct DESC, tok LIMIT 30)),
+              grid AS (
+                SELECT head.tok, totals.source,
+                  round(CAST(COALESCE(c, 0) AS DOUBLE)
+                    / CAST(n_s AS DOUBLE), 12) AS f
+                FROM head CROSS JOIN totals
+                LEFT JOIN cen ON cen.tok = head.tok
+                  AND cen.source = totals.source),
+              mom AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS ns,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(f ORDER BY source)), (a, x) -> a + x) AS sf,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(f * f ORDER BY source)), (a, x) -> a + x)
+                    AS sff
+                FROM grid GROUP BY 1),
+              ms AS (
+                SELECT tok,
+                  sf / CAST(ns AS DOUBLE) AS mu,
+                  sqrt(sff / CAST(ns AS DOUBLE)
+                    - (sf / CAST(ns AS DOUBLE))
+                      * (sf / CAST(ns AS DOUBLE))) AS sd
+                FROM mom),
+              zz AS (
+                SELECT grid.tok, source,
+                  round((f - mu) / sd, 12) AS z
+                FROM grid JOIN ms ON grid.tok = ms.tok
+                WHERE sd > 0),
+              pairs AS (
+                SELECT a.source AS src_a, b.source AS src_b, a.tok,
+                  round(abs(a.z - b.z), 12) AS t
+                FROM zz a JOIN zz b
+                  ON a.tok = b.tok AND a.source < b.source)
+              , folds AS (
+                SELECT src_a, src_b,
+                  CAST(count(*) AS BIGINT) AS n_tokens,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(t ORDER BY tok)), (a, x) -> a + x), 12)
+                    AS sum_t
+                FROM pairs GROUP BY 1, 2)
+              SELECT src_a, src_b, n_tokens,
+                CASE WHEN n_tokens = 0 THEN NULL
+                  ELSE round(sum_t / CAST(n_tokens AS DOUBLE), 12) END
+                  AS delta
+              FROM folds ORDER BY src_a, src_b"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

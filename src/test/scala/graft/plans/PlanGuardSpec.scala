@@ -777,7 +777,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_hurst_exponent" -> 0, // persisted ranked day census × dyadic panel
       "q_simpson_diversity" -> 5, // single broadcast-dim chain to the census
       "q_vif" -> 1, // ONE lineitem agg to the 9 moment sums
-      "q_modularity" -> 0) // persisted edge census: m + within + degrees
+      "q_modularity" -> 0, // persisted edge census: m + within + degrees
+      "q_covariate_balance" -> 1, // users collapse first; one events chain
+      "q_yule_k" -> 1, // single documents chain to the token census
+      "q_burrows_delta" -> 0) // persisted token census + persisted head grid
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
