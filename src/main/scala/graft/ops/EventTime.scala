@@ -3276,7 +3276,179 @@ object EventTime {
                     OR n_pts * sxx - sx * sx = 0 THEN NULL
                   ELSE round((n_pts * sxy - sx * sy)
                     / (n_pts * sxx - sx * sx), 12) END AS h
-              FROM folds"""))
+              FROM folds""")),
+
+    // ── Haar wavelet detail energy by level (3-level dyadic) ────────────
+    // Which time scale carries the volatility — day-to-day, 2-day or
+    // 4-day swings? Unnormalized Haar transform of the ranked daily
+    // order counts, truncated to the largest multiple of 8 days:
+    // pairwise sums (approximation) and differences (detail) are
+    // EXACT integers at every level, so each level's detail energy
+    // Σd² is an exact DECIMAL — zero FP until the share readout. The
+    // parity trick (Σ±x by r mod 2) turns each level into ONE
+    // partial+final agg off the persisted ranked census.
+    Q("q_haar_energy",
+      (s, dir) => {
+        val days = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
+          .withColumn("r",
+            (row_number().over(Window.orderBy("d")) - 1).cast("long"))
+          .persist()
+        val n8 = days.agg(
+          (expr("count(1) div 8") * 8).cast("long").as("n8"))
+        val base = days.crossJoin(broadcast(n8))
+          .filter(col("r") < col("n8"))
+        def level(in: DataFrame): DataFrame = in
+          .groupBy(expr("r div 2").as("r"))
+          .agg(sum(col("x")).cast("long").as("x"),
+            sum(when(pmod(col("r"), lit(2)) === 0, col("x"))
+              .otherwise(-col("x"))).cast("long").as("det"))
+        val l1 = level(base.select(col("r"), col("x"))).persist()
+        val l2 = level(l1.select(col("r"), col("x"))).persist()
+        val l3 = level(l2.select(col("r"), col("x")))
+        def energy(df: DataFrame, lv: Int): DataFrame = df
+          .agg(lit(lv).cast("long").as("level"),
+            count(lit(1)).cast("long").as("n_coeffs"),
+            sum(col("det").cast("decimal(38,0)") * col("det"))
+              .as("energy"))
+        val e = energy(l1, 1).unionByName(energy(l2, 2))
+          .unionByName(energy(l3, 3)).persist()
+        val tot = e.agg(sum(col("energy")).as("etot"))
+        e.crossJoin(broadcast(tot))
+          .select(col("level"), col("n_coeffs"),
+            col("energy").cast("double").as("energy"),
+            when(col("etot") === 0, lit(null).cast("double"))
+              .otherwise(round(col("energy").cast("double")
+                / col("etot").cast("double"), 12)).as("energy_share"))
+          .orderBy("level")
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(count(*) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              days AS (
+                SELECT x,
+                  CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT)
+                    AS r
+                FROM cen),
+              n8 AS (SELECT (count(*) // 8) * 8 AS n8 FROM days),
+              base AS (SELECT r, x FROM days, n8 WHERE r < n8),
+              l1 AS (
+                SELECT r // 2 AS r, CAST(SUM(x) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN r % 2 = 0 THEN x ELSE -x END)
+                    AS BIGINT) AS det
+                FROM base GROUP BY 1),
+              l2 AS (
+                SELECT r // 2 AS r, CAST(SUM(x) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN r % 2 = 0 THEN x ELSE -x END)
+                    AS BIGINT) AS det
+                FROM l1 GROUP BY 1),
+              l3 AS (
+                SELECT r // 2 AS r, CAST(SUM(x) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN r % 2 = 0 THEN x ELSE -x END)
+                    AS BIGINT) AS det
+                FROM l2 GROUP BY 1),
+              e AS (
+                SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+                  SUM(CAST(det AS HUGEINT) * det) AS energy FROM l1
+                UNION ALL
+                SELECT 2, CAST(count(*) AS BIGINT),
+                  SUM(CAST(det AS HUGEINT) * det) FROM l2
+                UNION ALL
+                SELECT 3, CAST(count(*) AS BIGINT),
+                  SUM(CAST(det AS HUGEINT) * det) FROM l3),
+              tot AS (SELECT SUM(energy) AS etot FROM e)
+              SELECT CAST(level AS BIGINT) AS level, n_coeffs,
+                CAST(energy AS DOUBLE) AS energy,
+                CASE WHEN etot = 0 THEN NULL
+                  ELSE round(CAST(energy AS DOUBLE)
+                    / CAST(etot AS DOUBLE), 12) END AS energy_share
+              FROM e, tot ORDER BY level""")),
+
+    // ── SPRT: sequential test of the purchase-share rate ────────────────
+    // Wald's sequential probability ratio test replayed over the event
+    // calendar: H0 p=0.18 vs H1 p=0.22, LLR walk over daily
+    // (events, purchases) counts, boundaries ±ln(19) (α=β=0.05).
+    // The stream folds ONCE to the daily 2-count census; cumulative
+    // counts are exact longs off a day-ordered window; the LLR is a
+    // row-local product of exact counts with two shared ln-constant
+    // factors (identical literals both engines, 12-dec rounded); the
+    // crossing day is an exact-comparison argmin. One partial+final
+    // agg ends it.
+    Q("q_sprt",
+      (s, dir) => {
+        val wd = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val walk = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"),
+            (col("event_type") === "purchase").cast("long").as("p"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("p")).cast("long").as("s"))
+          .withColumn("cn", sum(col("n")).over(wd).cast("long"))
+          .withColumn("cs", sum(col("s")).over(wd).cast("long"))
+          .select(col("d"), col("cn"), col("cs"),
+            round(col("cs").cast("double")
+              * log(lit(0.22) / lit(0.18))
+              + (col("cn") - col("cs")).cast("double")
+                * log(lit(0.78) / lit(0.82)), 12).as("llr"))
+          .persist()
+        val fin = walk.orderBy(col("d").desc).limit(1)
+          .select(col("d").as("last_day"), col("cn").as("n_events"),
+            round(col("llr"), 6).as("final_llr"),
+            when(col("llr") >= log(lit(19.0)), lit("accept_h1"))
+              .when(col("llr") <= -log(lit(19.0)), lit("accept_h0"))
+              .otherwise(lit("continue")).as("decision"))
+        val cross = walk
+          .filter(col("llr") >= log(lit(19.0))
+            || col("llr") <= -log(lit(19.0)))
+          .agg(min(col("d")).as("first_cross_day"))
+        fin.crossJoin(broadcast(cross))
+          .select(date_format(col("last_day"), "yyyy-MM-dd")
+            .as("last_day"),
+            col("n_events"), col("final_llr"), col("decision"),
+            date_format(col("first_cross_day"), "yyyy-MM-dd")
+              .as("first_cross_day"))
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                    ELSE 0 END) AS BIGINT) AS s
+                FROM events GROUP BY 1),
+              walk AS (
+                SELECT d,
+                  CAST(SUM(n) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn,
+                  CAST(SUM(s) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cs
+                FROM cen),
+              llrs AS (
+                SELECT d, cn, cs,
+                  round(CAST(cs AS DOUBLE) * ln(0.22 / 0.18)
+                    + CAST(cn - cs AS DOUBLE) * ln(0.78 / 0.82), 12)
+                    AS llr
+                FROM walk),
+              fin AS (
+                SELECT d AS last_day, cn AS n_events,
+                  round(llr, 6) AS final_llr,
+                  CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                    WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+                FROM llrs ORDER BY d DESC LIMIT 1),
+              crossed AS (
+                SELECT MIN(d) AS first_cross_day FROM llrs
+                WHERE llr >= ln(19.0) OR llr <= -ln(19.0))
+              SELECT strftime(last_day, '%Y-%m-%d') AS last_day,
+                n_events, final_llr, decision,
+                strftime(first_cross_day, '%Y-%m-%d')
+                  AS first_cross_day
+              FROM fin, crossed"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

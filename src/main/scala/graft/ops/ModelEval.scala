@@ -1977,6 +1977,163 @@ object ModelEval {
                   ELSE num / den END AS dw
               FROM agg""")),
 
+    // ── Chow test: structural break in the daily revenue trend ──────────
+    // Did the revenue~time relationship CHANGE at the calendar
+    // midpoint? F = ((SSR_p − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)),
+    // k = 2, each SSR in closed form from exact (n, Σx, Σy, Σx²,
+    // Σxy, Σy²) DECIMAL sums — the pooled sums are the exact column-
+    // sums of the two segment rows, so ONE partial+final agg over the
+    // persisted day census feeds everything. Row-local IEEE
+    // finishers; NULL-guarded degenerate segments.
+    Q("q_chow_test",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(dec38)).as("y"))
+          .persist()
+        val split = cen.agg(
+          expr("(min(d) + max(d)) div 2").cast("long").as("sp"))
+        val seg = cen.crossJoin(broadcast(split))
+          .select(when(col("d") <= col("sp"), 1L).otherwise(2L).as("h"),
+            col("d"), col("y"))
+          .groupBy("h")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("d").cast(dec38)).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("d").cast(dec38) * col("d")).as("sxx"),
+            sum(col("d").cast(dec38) * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+          .persist()
+        def ssr(n: Column, sx: Column, sy: Column, sxx: Column,
+            sxy: Column, syy: Column): Column = {
+          val nn = n.cast("double")
+          val sxc = (sxx.cast("double")
+            - sx.cast("double") * sx.cast("double") / nn)
+          val syc = (syy.cast("double")
+            - sy.cast("double") * sy.cast("double") / nn)
+          val sxyc = (sxy.cast("double")
+            - sx.cast("double") * sy.cast("double") / nn)
+          when(sxc <= 0, lit(null).cast("double"))
+            .otherwise(syc - sxyc * sxyc / sxc)
+        }
+        val wide = seg.agg(
+          sum(col("n")).cast("long").as("n"),
+          sum(when(col("h") === 1, col("n"))).cast("long").as("n1"),
+          sum(when(col("h") === 2, col("n"))).cast("long").as("n2"),
+          sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
+          sum(col("sxx")).as("psxx"), sum(col("sxy")).as("psxy"),
+          sum(col("syy")).as("psyy"),
+          sum(when(col("h") === 1, col("sx"))).as("sx1"),
+          sum(when(col("h") === 1, col("sy"))).as("sy1"),
+          sum(when(col("h") === 1, col("sxx"))).as("sxx1"),
+          sum(when(col("h") === 1, col("sxy"))).as("sxy1"),
+          sum(when(col("h") === 1, col("syy"))).as("syy1"),
+          sum(when(col("h") === 2, col("sx"))).as("sx2"),
+          sum(when(col("h") === 2, col("sy"))).as("sy2"),
+          sum(when(col("h") === 2, col("sxx"))).as("sxx2"),
+          sum(when(col("h") === 2, col("sxy"))).as("sxy2"),
+          sum(when(col("h") === 2, col("syy"))).as("syy2"))
+        wide.select(col("n"), col("n1"), col("n2"),
+          ssr(col("n"), col("psx"), col("psy"), col("psxx"),
+            col("psxy"), col("psyy")).as("ssr_p"),
+          ssr(col("n1"), col("sx1"), col("sy1"), col("sxx1"),
+            col("sxy1"), col("syy1")).as("ssr_1"),
+          ssr(col("n2"), col("sx2"), col("sy2"), col("sxx2"),
+            col("sxy2"), col("syy2")).as("ssr_2"))
+          .select(col("n"), col("n1"), col("n2"),
+            when(col("ssr_p").isNull || col("ssr_1").isNull
+              || col("ssr_2").isNull || col("n") <= 4
+              || (col("ssr_1") + col("ssr_2")) <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                ((col("ssr_p") - col("ssr_1") - col("ssr_2")) / 2.0)
+                  / ((col("ssr_1") + col("ssr_2"))
+                    / (col("n") - 4).cast("double")), 6)).as("f_stat"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              sp AS (SELECT (MIN(d) + MAX(d)) // 2 AS sp FROM cen),
+              seg AS (
+                SELECT CASE WHEN d <= sp THEN 1 ELSE 2 END AS h,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(d AS HUGEINT)) AS sx, SUM(y) AS sy,
+                  SUM(CAST(d AS HUGEINT) * d) AS sxx,
+                  SUM(CAST(d AS HUGEINT) * y) AS sxy,
+                  SUM(y * y) AS syy
+                FROM cen, sp GROUP BY 1),
+              wide AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN h = 1 THEN n END) AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN h = 2 THEN n END) AS BIGINT) AS n2,
+                  SUM(sx) AS psx, SUM(sy) AS psy, SUM(sxx) AS psxx,
+                  SUM(sxy) AS psxy, SUM(syy) AS psyy,
+                  SUM(CASE WHEN h = 1 THEN sx END) AS sx1,
+                  SUM(CASE WHEN h = 1 THEN sy END) AS sy1,
+                  SUM(CASE WHEN h = 1 THEN sxx END) AS sxx1,
+                  SUM(CASE WHEN h = 1 THEN sxy END) AS sxy1,
+                  SUM(CASE WHEN h = 1 THEN syy END) AS syy1,
+                  SUM(CASE WHEN h = 2 THEN sx END) AS sx2,
+                  SUM(CASE WHEN h = 2 THEN sy END) AS sy2,
+                  SUM(CASE WHEN h = 2 THEN sxx END) AS sxx2,
+                  SUM(CASE WHEN h = 2 THEN sxy END) AS sxy2,
+                  SUM(CASE WHEN h = 2 THEN syy END) AS syy2
+                FROM seg),
+              ssrs AS (
+                SELECT n, n1, n2,
+                  CASE WHEN (CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE)
+                      * CAST(psx AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+                    THEN NULL
+                    ELSE (CAST(psyy AS DOUBLE) - CAST(psy AS DOUBLE)
+                      * CAST(psy AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE)
+                        * CAST(psy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE)
+                          * CAST(psy AS DOUBLE) / CAST(n AS DOUBLE))
+                        / (CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE)
+                          * CAST(psx AS DOUBLE) / CAST(n AS DOUBLE))
+                    END AS ssr_p,
+                  CASE WHEN (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                      * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) <= 0
+                    THEN NULL
+                    ELSE (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                      * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                      - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                        * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                          * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                          * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    END AS ssr_1,
+                  CASE WHEN (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                      * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) <= 0
+                    THEN NULL
+                    ELSE (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+                      * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                      - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                        * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                          * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                          * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    END AS ssr_2
+                FROM wide)
+              SELECT n, n1, n2,
+                CASE WHEN ssr_p IS NULL OR ssr_1 IS NULL
+                    OR ssr_2 IS NULL OR n <= 4
+                    OR (ssr_1 + ssr_2) <= 0 THEN NULL
+                  ELSE round(((ssr_p - ssr_1 - ssr_2) / 2.0)
+                    / ((ssr_1 + ssr_2) / CAST(n - 4 AS DOUBLE)), 6)
+                  END AS f_stat
+              FROM ssrs""")),
+
     // ── Cronbach's alpha: internal consistency of the event "items" ─────
     // Treat the 5 event types as instrument items and each user's
     // per-type spend as the item score (absent cell = 0): are the

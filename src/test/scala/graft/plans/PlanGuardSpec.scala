@@ -780,7 +780,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_modularity" -> 0, // persisted edge census: m + within + degrees
       "q_covariate_balance" -> 1, // users collapse first; one events chain
       "q_yule_k" -> 1, // single documents chain to the token census
-      "q_burrows_delta" -> 0) // persisted token census + persisted head grid
+      "q_burrows_delta" -> 0, // persisted token census + persisted head grid
+      "q_haar_energy" -> 0, // persisted ranked day census; 3 tiny level aggs
+      "q_sprt" -> 0, // persisted LLR walk: final row + crossing argmin
+      "q_chow_test" -> 0) // persisted day census + persisted segment sums
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
