@@ -1518,12 +1518,12 @@ object EventTime {
         days.select(col("day"),
           count(lit(1)).over(w).as("c"),
           sum(col("n")).over(w).as("sx"),
-          sum(col("cents").cast(dec38)).over(w).as("sy"),
-          sum(col("n").cast(dec38) * col("cents").cast(dec38)).over(w)
+          sum(col("cents").cast(DecimalType(38, 0))).over(w).as("sy"),
+          sum(col("n").cast(DecimalType(38, 0)) * col("cents").cast(DecimalType(38, 0))).over(w)
             .as("sxy"),
-          sum(col("n").cast(dec38) * col("n").cast(dec38)).over(w)
+          sum(col("n").cast(DecimalType(38, 0)) * col("n").cast(DecimalType(38, 0))).over(w)
             .as("sxx"),
-          sum(col("cents").cast(dec38) * col("cents").cast(dec38)).over(w)
+          sum(col("cents").cast(DecimalType(38, 0)) * col("cents").cast(DecimalType(38, 0))).over(w)
             .as("syy"))
           .filter(col("c") === 28)
           .select(col("day"),
@@ -3448,7 +3448,266 @@ object EventTime {
                 n_events, final_llr, decision,
                 strftime(first_cross_day, '%Y-%m-%d')
                   AS first_cross_day
-              FROM fin, crossed"""))
+              FROM fin, crossed""")),
+
+    // ── Mann–Kendall trend test on daily revenue (exact) ────────────────
+    // The nonparametric monotone-trend test: S = Σ_{i<j} sign(y_j−y_i)
+    // with the tie-corrected variance, ENTIRELY EXACT integers until
+    // the final z. The day-pair self-join is CALENDAR² — bounded by
+    // the date span, NOT by data volume, so the shape is SF-invariant
+    // (the corpus collapses to ≤days rows first). Tie groups come off
+    // the same persisted census. One sqrt at the end; continuity-
+    // corrected z, NULL-guarded degenerate variance.
+    Q("q_mann_kendall",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
+          .persist()
+        val sStat = cen.as("a")
+          .join(cen.select(col("d").as("d2"), col("y").as("y2")),
+            col("d") < col("d2"))
+          .agg(sum(signum((col("y2") - col("y")).cast("double"))
+            .cast("long")).cast("long").as("s_stat"))
+        val ties = cen.groupBy("y")
+          .agg(count(lit(1)).cast("long").as("t"))
+          .agg(count(lit(1)).cast("long").as("n_groups"),
+            sum(col("t")).cast("long").as("n"),
+            sum(col("t").cast(DecimalType(38, 0)) * (col("t") - 1)
+              * (lit(2) * col("t") + 5)).as("tie_term"))
+        sStat.crossJoin(broadcast(ties))
+          .select(col("n").as("n_days"), col("s_stat"),
+            ((col("n").cast(DecimalType(38, 0)) * (col("n") - 1)
+              * (lit(2) * col("n") + 5) - col("tie_term"))
+              .cast("double") / 18.0).as("var_s"))
+          .select(col("n_days"), col("s_stat"),
+            round(col("var_s"), 6).as("var_s"),
+            when(col("var_s") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                when(col("s_stat") > 0,
+                  (col("s_stat") - 1).cast("double"))
+                  .when(col("s_stat") < 0,
+                    (col("s_stat") + 1).cast("double"))
+                  .otherwise(lit(0.0)) / sqrt(col("var_s")), 12))
+              .as("z"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              ss AS (
+                SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                  AS s_stat
+                FROM cen a JOIN cen b ON a.d < b.d),
+              tg AS (
+                SELECT y, CAST(count(*) AS BIGINT) AS t
+                FROM cen GROUP BY 1),
+              ties AS (
+                SELECT CAST(SUM(t) AS BIGINT) AS n,
+                  SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                    AS tie_term
+                FROM tg),
+              vv AS (
+                SELECT n AS n_days, s_stat,
+                  CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                    - tie_term AS DOUBLE) / 18.0 AS var_s
+                FROM ss, ties)
+              SELECT n_days, s_stat,
+                round(var_s, 6) AS var_s,
+                CASE WHEN var_s <= 0 THEN NULL
+                  ELSE round((CASE WHEN s_stat > 0
+                      THEN CAST(s_stat - 1 AS DOUBLE)
+                    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                    ELSE 0.0 END) / sqrt(var_s), 12) END AS z
+              FROM vv""")),
+
+    // ── Theil–Sen robust trend (median of pairwise slopes) ──────────────
+    // The 29%-breakdown-point regression OLS users reach for when
+    // outlier days poison the fit. Pairwise slopes ride the same
+    // CALENDAR²-bounded day-pair self-join as q_mann_kendall
+    // (SF-invariant by construction); the median is an exact
+    // row_number pick over the (slope, d_i, d_j) total order (no
+    // percentile interpolation ambiguity), and the Sen intercept is
+    // the same median machinery over per-day residuals. Slopes are
+    // 12-dec rounded IEEE ratios of exact integers.
+    Q("q_theil_sen",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
+          .persist()
+        val slopes = cen.as("a")
+          .join(cen.select(col("d").as("d2"), col("y").as("y2")),
+            col("d") < col("d2"))
+          .select(col("d"), col("d2"),
+            round((col("y2") - col("y")).cast("double")
+              / (col("d2") - col("d")).cast("double"), 12).as("sl"))
+          .withColumn("rn", row_number()
+            .over(Window.orderBy("sl", "d", "d2")).cast("long"))
+          .persist()
+        val mcount = slopes.agg(count(lit(1)).cast("long").as("m"))
+        val slope = slopes.crossJoin(broadcast(mcount))
+          .filter(col("rn") === expr("(m + 1) div 2")
+            || col("rn") === expr("(m + 2) div 2"))
+          .agg((sum(col("sl")) / count(lit(1))).as("slope"),
+            max(col("m")).as("n_pairs"))
+        val resid = cen.crossJoin(broadcast(slope))
+          .select(col("n_pairs"), col("slope"),
+            round(col("y").cast("double")
+              - col("slope") * col("d").cast("double"), 6).as("res"),
+            col("d"))
+          .withColumn("rn", row_number()
+            .over(Window.orderBy("res", "d")).cast("long"))
+          .persist()
+        val dcount = resid.agg(count(lit(1)).cast("long").as("nd"))
+        resid.crossJoin(broadcast(dcount))
+          .filter(col("rn") === expr("(nd + 1) div 2")
+            || col("rn") === expr("(nd + 2) div 2"))
+          .groupBy("n_pairs")
+          .agg(max(col("nd")).as("n_days"),
+            round(max(col("slope")), 12).as("slope"),
+            round((sum(col("res")) / count(lit(1))) / 100.0, 6)
+              .as("intercept"))
+          .select(col("n_days"), col("n_pairs"), col("slope"),
+            col("intercept"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              slopes AS (
+                SELECT a.d AS d, b.d AS d2,
+                  round(CAST(b.y - a.y AS DOUBLE)
+                    / CAST(b.d - a.d AS DOUBLE), 12) AS sl
+                FROM cen a JOIN cen b ON a.d < b.d),
+              ranked AS (
+                SELECT sl, CAST(row_number() OVER
+                  (ORDER BY sl, d, d2) AS BIGINT) AS rn
+                FROM slopes),
+              mc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ranked),
+              med AS (
+                SELECT SUM(sl) / count(*) AS slope, MAX(m) AS n_pairs
+                FROM ranked, mc
+                WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
+              resid AS (
+                SELECT n_pairs, slope,
+                  round(CAST(y AS DOUBLE)
+                    - slope * CAST(d AS DOUBLE), 6) AS res, d
+                FROM cen, med),
+              rranked AS (
+                SELECT n_pairs, slope, res,
+                  CAST(row_number() OVER (ORDER BY res, d) AS BIGINT)
+                    AS rn
+                FROM resid),
+              dc AS (SELECT CAST(count(*) AS BIGINT) AS nd
+                     FROM rranked)
+              SELECT CAST(MAX(nd) AS BIGINT) AS n_days,
+                CAST(n_pairs AS BIGINT) AS n_pairs,
+                round(MAX(slope), 12) AS slope,
+                round((SUM(res) / count(*)) / 100.0, 6) AS intercept
+              FROM rranked, dc
+              WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2
+              GROUP BY n_pairs""")),
+
+    // ── Page–Hinkley drift-detector replay on daily mean value ──────────
+    // The classic streaming mean-shift detector run over the event
+    // calendar: PHₜ = Σ(xₜ − μₜ) − min cumulative so far, alarm when
+    // PH > λ ($50). Daily means are IEEE ratios of exact cent sums;
+    // the cumulative walk and its running min ride day-ordered windows
+    // (left-to-right in both engines); the alarm day is an exact-
+    // comparison argmin. ONE events pass to the day census.
+    Q("q_page_hinkley",
+      (s, dir) => {
+        val wcum = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val walk = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast(DecimalType(38, 0))).as("sc"))
+          .withColumn("cn", sum(col("n")).over(wcum).cast("long"))
+          .withColumn("csc", sum(col("sc")).over(wcum))
+          .select(col("d"), col("n"), col("sc"), col("cn"),
+            round(col("sc").cast("double") / col("n").cast("double")
+              - col("csc").cast("double") / col("cn").cast("double"), 6)
+              .as("dev"))
+          .withColumn("cum", sum(col("dev")).over(wcum))
+          .withColumn("ph",
+            round(col("cum") - min(col("cum")).over(wcum), 6))
+          .persist()
+        val mx = walk.agg(max(col("ph")).as("max_ph"))
+        val arg = walk.crossJoin(broadcast(mx))
+          .filter(col("ph") === col("max_ph"))
+          .agg(min(col("d")).as("peak_day"))
+        val alarm = walk.filter(col("ph") > lit(5000.0))
+          .agg(min(col("d")).as("first_alarm_day"),
+            count(lit(1)).cast("long").as("n_alarm_days"))
+        mx.crossJoin(broadcast(arg)).crossJoin(broadcast(alarm))
+          .select(round(col("max_ph") / 100.0, 6).as("max_ph"),
+            date_format(col("peak_day"), "yyyy-MM-dd").as("peak_day"),
+            date_format(col("first_alarm_day"), "yyyy-MM-dd")
+              .as("first_alarm_day"),
+            col("n_alarm_days"))
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc
+                FROM events GROUP BY 1),
+              cum AS (
+                SELECT d, n, sc,
+                  CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                  CAST(SUM(sc) OVER w AS HUGEINT) AS csc
+                FROM cen
+                WINDOW w AS (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              dev AS (
+                SELECT d,
+                  round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(csc AS DOUBLE) / CAST(cn AS DOUBLE), 6)
+                    AS dev
+                FROM cum),
+              wlk AS (
+                SELECT d,
+                  SUM(dev) OVER w AS cum
+                FROM dev
+                WINDOW w AS (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              ph AS (
+                SELECT d,
+                  round(cum - MIN(cum) OVER w, 6) AS ph
+                FROM wlk
+                WINDOW w AS (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              mx AS (SELECT MAX(ph) AS max_ph FROM ph),
+              pk AS (
+                SELECT MIN(d) AS peak_day FROM ph, mx
+                WHERE ph = max_ph),
+              al AS (
+                SELECT MIN(d) AS first_alarm_day,
+                  CAST(count(*) AS BIGINT) AS n_alarm_days
+                FROM ph WHERE ph > 5000.0)
+              SELECT round(max_ph / 100.0, 6) AS max_ph,
+                strftime(peak_day, '%Y-%m-%d') AS peak_day,
+                strftime(first_alarm_day, '%Y-%m-%d')
+                  AS first_alarm_day,
+                n_alarm_days
+              FROM mx, pk, al"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

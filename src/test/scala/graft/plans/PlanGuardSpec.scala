@@ -783,7 +783,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_burrows_delta" -> 0, // persisted token census + persisted head grid
       "q_haar_energy" -> 0, // persisted ranked day census; 3 tiny level aggs
       "q_sprt" -> 0, // persisted LLR walk: final row + crossing argmin
-      "q_chow_test" -> 0) // persisted day census + persisted segment sums
+      "q_chow_test" -> 0, // persisted day census + persisted segment sums
+      "q_mann_kendall" -> 0, // persisted day census: pair join + tie groups
+      "q_theil_sen" -> 0, // persisted census + persisted ranked slope frame
+      "q_page_hinkley" -> 0) // persisted PH walk: max + peak + alarm reads
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
