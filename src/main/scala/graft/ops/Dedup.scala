@@ -1101,6 +1101,115 @@ object Dedup {
                     / CAST(m AS DOUBLE), 6) END AS n_lp,
                 round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
                   / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS n_chapman
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── LSH parameter sweep: expected load + recall per (r, b) ──────────
+    // The design tool that sizes a MinHash deployment BEFORE running
+    // it: for each 64-hash budget split (r rows × b bands), the
+    // S-curve P(candidate|J) = 1 − (1 − J^r)^b evaluated over the
+    // corpus' OWN measured candidate-pair Jaccard distribution
+    // (the memoized shared-shingle pair core). J^r and (·)^b are
+    // REPEATED-SQUARING products — exact IEEE chains, no libm pow —
+    // and per-pair probabilities are integerized ×10¹² so the
+    // expected-candidate and expected-recall sums are EXACT DECIMAL
+    // (no FP fold over the unbounded pair set). One readout row per
+    // combo.
+    Q("q_lsh_tuning",
+      (s, dir) => {
+        val base = shinglePairCore(s, dir)
+          .select((col("inter_sz").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter_sz"))
+              .cast("double")).as("j"))
+          .select(col("j"), (col("j") >= 0.3).cast("long").as("hi"))
+          .withColumn("j2", col("j") * col("j"))
+          .withColumn("j4", col("j2") * col("j2"))
+          .withColumn("j8", col("j4") * col("j4"))
+        def pcand(jr: Column, b: Int): Column = {
+          val t = lit(1.0) - jr
+          val t2 = t * t
+          val t4 = t2 * t2
+          val t8 = t4 * t4
+          val tb = b match {
+            case 8  => t8
+            case 16 => t8 * t8
+            case 32 => (t8 * t8) * (t8 * t8)
+          }
+          round((lit(1.0) - tb) * 1e12, 0).cast("decimal(38,0)")
+        }
+        val wide = base.select(col("hi"),
+          pcand(col("j2"), 32).as("p2"),
+          pcand(col("j4"), 16).as("p4"),
+          pcand(col("j8"), 8).as("p8"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(col("hi")).cast("long").as("n_hi"),
+            sum(col("p2")).as("e2"), sum(col("p2") * col("hi")).as("h2"),
+            sum(col("p4")).as("e4"), sum(col("p4") * col("hi")).as("h4"),
+            sum(col("p8")).as("e8"), sum(col("p8") * col("hi")).as("h8"))
+          .persist()
+        def row(r: Int, b: Int, e: String, h: String) = wide.select(
+          lit(r.toLong).as("r"), lit(b.toLong).as("b"),
+          col("n_pairs"), col("n_hi"),
+          round(col(e).cast("double") / 1e12, 6)
+            .as("expected_candidates"),
+          when(col("n_hi") === 0, lit(null).cast("double"))
+            .otherwise(round(col(h).cast("double") / 1e12
+              / col("n_hi").cast("double"), 12)).as("expected_recall"))
+        row(2, 32, "e2", "h2")
+          .unionByName(row(4, 16, "e4", "h4"))
+          .unionByName(row(8, 8, "e8", "h8"))
+          .orderBy("r")
+      },
+      Some(s"""WITH $ShingleBaseCtes,
+              jj AS (
+                SELECT CAST(inter_sz AS DOUBLE)
+                  / CAST(za.n_sh + zb.n_sh - inter_sz AS DOUBLE) AS j
+                FROM pairs JOIN sizes za ON pairs.a = za.doc_id
+                  JOIN sizes zb ON pairs.b = zb.doc_id),
+              pw AS (
+                SELECT CASE WHEN j >= 0.3 THEN 1 ELSE 0 END AS hi,
+                  j * j AS j2
+                FROM jj),
+              pw2 AS (SELECT hi, j2, j2 * j2 AS j4 FROM pw),
+              pw3 AS (SELECT hi, j2, j4, j4 * j4 AS j8 FROM pw2),
+              t0 AS (
+                SELECT hi, 1.0 - j2 AS ta, 1.0 - j4 AS tb,
+                  1.0 - j8 AS tc
+                FROM pw3),
+              t1 AS (SELECT hi, ta * ta AS ta2, tb * tb AS tb2,
+                       tc * tc AS tc2 FROM t0),
+              t2 AS (SELECT hi, ta2 * ta2 AS ta4, tb2 * tb2 AS tb4,
+                       tc2 * tc2 AS tc4 FROM t1),
+              t3 AS (SELECT hi, ta4 * ta4 AS ta8, tb4 * tb4 AS tb8,
+                       tc4 * tc4 AS tc8 FROM t2),
+              t4 AS (SELECT hi, ta8 * ta8 AS ta16, tb8 * tb8 AS tb16,
+                       tc8 FROM t3),
+              t5 AS (SELECT hi, ta16 * ta16 AS ta32, tb16, tc8 FROM t4),
+              probs AS (
+                SELECT hi,
+                  CAST(round((1.0 - ta32) * 1e12, 0) AS HUGEINT) AS p2,
+                  CAST(round((1.0 - tb16) * 1e12, 0) AS HUGEINT) AS p4,
+                  CAST(round((1.0 - tc8) * 1e12, 0) AS HUGEINT) AS p8
+                FROM t5),
+              wide AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(SUM(hi) AS BIGINT) AS n_hi,
+                  SUM(p2) AS e2, SUM(p2 * hi) AS h2,
+                  SUM(p4) AS e4, SUM(p4 * hi) AS h4,
+                  SUM(p8) AS e8, SUM(p8 * hi) AS h8
+                FROM probs)
+              SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+                n_pairs, n_hi,
+                round(CAST(e AS DOUBLE) / 1e12, 6)
+                  AS expected_candidates,
+                CASE WHEN n_hi = 0 THEN NULL
+                  ELSE round(CAST(h AS DOUBLE) / 1e12
+                    / CAST(n_hi AS DOUBLE), 12) END AS expected_recall
+              FROM wide, (
+                SELECT 2 AS r, 32 AS b, e2 AS e, h2 AS h FROM wide
+                UNION ALL
+                SELECT 4, 16, e4, h4 FROM wide
+                UNION ALL
+                SELECT 8, 8, e8, h8 FROM wide)
+              ORDER BY r"""))
   )
 }

@@ -369,6 +369,35 @@ object Layout {
       },
       Some("""SELECT source,
                 CAST(SUM(strlen(text) + 1) AS BIGINT) AS n_bytes
+              FROM documents GROUP BY 1 ORDER BY source""")),
+
+    // ── raw text-line ingest end-to-end (.txt shard format) ─────────────
+    // Completes the ingest family with the rawest source Spark has:
+    // spark.read.text over tab-delimited lines — the .txt-shard form
+    // LLM corpora ship in before any schema exists. The read side
+    // parses with split(_, '\t', 3) (the 3-limit keeps any tab INSIDE
+    // the payload intact — the parse contract, not an accident) and
+    // the per-source char census hash-matches DuckDB on the ORIGINAL
+    // parquet: the line round-trip is lossless.
+    Q("q_text_source",
+      (s, dir) => {
+        val path = textDocs(s, dir)
+        s.read.text(path)
+          .select(split(col("value"), "\t", 3).as("f"))
+          .select(col("f").getItem(0).cast("long").as("doc_id"),
+            col("f").getItem(1).as("source"),
+            col("f").getItem(2).as("text"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("n_chars"),
+            min(col("doc_id")).cast("long").as("min_id"),
+            max(col("doc_id")).cast("long").as("max_id"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+                CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                CAST(MAX(doc_id) AS BIGINT) AS max_id
               FROM documents GROUP BY 1 ORDER BY source"""))
   )
 
@@ -408,6 +437,24 @@ object Layout {
     jsonMemo.computeIfAbsent((s, dir), _ => {
       val path = s"/tmp/graft-sources/${tag(dir)}/events_json"
       srcProjection(s, dir).write.mode("overwrite").json(path)
+      path
+    })
+
+  private val textMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Documents exported once as raw text lines (doc_id \t source \t
+    * text — the .txt-shard format LLM corpora actually ship in;
+    * sanity: the synthetic text contains no tabs/newlines, asserted
+    * by the round-trip hash). Memoized per (session, sfDir).
+    */
+  private def textDocs(s: SparkSession, dir: String): String =
+    textMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-sources/${tag(dir)}/docs_text"
+      Tables.load(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("source"),
+          col("text")).as("value"))
+        .write.mode("overwrite").text(path)
       path
     })
 

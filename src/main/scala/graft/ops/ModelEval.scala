@@ -2134,6 +2134,67 @@ object ModelEval {
                   END AS f_stat
               FROM ssrs""")),
 
+    // ── experiment power: minimum detectable effect of an A/B split ─────
+    // Before running the test: with the observed purchase rate and a
+    // 50/50 split of the current user population, what's the smallest
+    // absolute/relative lift detectable at α=0.05, power 0.8?
+    // MDE = (z_{α/2}+z_β)·√(2p(1−p)/n_arm). Users collapse first
+    // (ONE census); p is an IEEE ratio of exact longs; the two z
+    // constants are the same 17-digit literals in both engines; one √.
+    // NULL-guarded degenerate rates.
+    Q("q_power_mde",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(max((col("event_type") === "purchase").cast("long"))
+            .as("conv"))
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum(col("conv")).cast("long").as("n_conv"))
+          .select(col("n_users"), col("n_conv"),
+            (col("n_conv").cast("double") / col("n_users").cast("double"))
+              .as("p"),
+            expr("n_users div 2").cast("long").as("n_arm"))
+          .select(col("n_users"), col("n_conv"),
+            round(col("p"), 12).as("p"), col("n_arm"),
+            when(col("n_arm") <= 0 || col("p") <= 0 || col("p") >= 1,
+              lit(null).cast("double"))
+              .otherwise(round(
+                lit(1.959963984540054 + 0.8416212335729143)
+                  * sqrt(lit(2.0) * col("p") * (lit(1.0) - col("p"))
+                    / col("n_arm").cast("double")), 12)).as("mde_abs"))
+          .select(col("n_users"), col("n_conv"), col("p"), col("n_arm"),
+            col("mde_abs"),
+            when(col("mde_abs").isNull || col("p") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("mde_abs") / col("p"), 12))
+              .as("mde_rel"))
+      },
+      Some("""WITH users AS (
+                SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS conv
+                FROM events GROUP BY 1),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(SUM(conv) AS BIGINT) AS n_conv
+                FROM users),
+              base AS (
+                SELECT n_users, n_conv,
+                  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+                  CAST(n_users // 2 AS BIGINT) AS n_arm
+                FROM agg),
+              mde AS (
+                SELECT n_users, n_conv, round(p, 12) AS p, n_arm,
+                  CASE WHEN n_arm <= 0 OR p <= 0 OR p >= 1 THEN NULL
+                    ELSE round((1.959963984540054 + 0.8416212335729143)
+                      * sqrt(2.0 * p * (1.0 - p)
+                        / CAST(n_arm AS DOUBLE)), 12) END AS mde_abs
+                FROM base)
+              SELECT n_users, n_conv, p, n_arm, mde_abs,
+                CASE WHEN mde_abs IS NULL OR p <= 0 THEN NULL
+                  ELSE round(mde_abs / p, 12) END AS mde_rel
+              FROM mde""")),
+
     // ── Cronbach's alpha: internal consistency of the event "items" ─────
     // Treat the 5 event types as instrument items and each user's
     // per-type spend as the item score (absent cell = 0): are the

@@ -786,7 +786,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_chow_test" -> 0, // persisted day census + persisted segment sums
       "q_mann_kendall" -> 0, // persisted day census: pair join + tie groups
       "q_theil_sen" -> 0, // persisted census + persisted ranked slope frame
-      "q_page_hinkley" -> 0) // persisted PH walk: max + peak + alarm reads
+      "q_page_hinkley" -> 0, // persisted PH walk: max + peak + alarm reads
+      "q_power_mde" -> 1, // users collapse first; one events chain
+      "q_lsh_tuning" -> 0) // memoized pair core; persisted wide sums ×3 rows
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
