@@ -3707,7 +3707,126 @@ object EventTime {
                 strftime(first_alarm_day, '%Y-%m-%d')
                   AS first_alarm_day,
                 n_alarm_days
-              FROM mx, pk, al"""))
+              FROM mx, pk, al""")),
+
+    // ── stationary distribution + entropy rate of the type chain ────────
+    // Where does the event-type Markov chain settle, and how
+    // predictable is it? Six power-iteration rounds in EXACT ×10¹²
+    // integer probability units with truncating division — the
+    // q_pagerank determinism trick on the ≤types² transition census
+    // (a bounded frame; the "iteration" is six joins of 5-row
+    // frames). Entropy rate H = Σπᵢp_ij·ln(1/p_ij) folds ≤25
+    // (i,j)-pinned 12-dec terms over the SAME persisted census.
+    Q("q_markov_stationary",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+        val trans = t(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(byUser).as("nxt"))
+          .filter(col("nxt").isNotNull)
+          .groupBy("cur", "nxt")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .withColumn("r",
+            sum(col("cnt")).over(Window.partitionBy("cur")).cast("long"))
+          .persist()
+        val states = trans.select(col("cur").as("state")).distinct()
+        val ns = states.agg(count(lit(1)).cast("long").as("k"))
+        var pi = states.crossJoin(broadcast(ns))
+          .select(col("state"),
+            expr("CAST(1000000000000 AS BIGINT) div k").as("pi"))
+        for (_ <- 1 to 6) {
+          pi = trans
+            .join(pi, trans("cur") === pi("state"))
+            .select(col("nxt").as("st"),
+              expr("(CAST(pi AS DECIMAL(38,0)) * cnt) div r")
+                .as("contrib"))
+            .groupBy("st")
+            .agg(sum(col("contrib")).cast("long").as("pi"))
+            .select(col("st").as("state"), col("pi"))
+        }
+        val piF = pi.persist()
+        val h = trans.join(piF, trans("cur") === piF("state"))
+          .select(col("cur"), col("nxt"),
+            round((col("pi").cast("double") / lit(1e12))
+              * (col("cnt").cast("double") / col("r").cast("double"))
+              * log(col("r").cast("double") / col("cnt").cast("double")),
+              12).as("term"))
+          .agg(round(expr(
+            """aggregate(array_sort(collect_list(
+                 struct(cur, nxt, term))),
+               CAST(0 AS DOUBLE), (a, x) -> a + x.term)"""), 12)
+            .as("entropy_rate"))
+        piF.crossJoin(broadcast(h))
+          .select(col("state"),
+            round(col("pi").cast("double") / lit(1e12), 12)
+              .as("stationary_p"),
+            col("entropy_rate"))
+          .orderBy("state")
+      },
+      Some("""WITH pairs AS (
+                SELECT event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+                FROM events),
+              cen AS (
+                SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+                FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+              trans AS (
+                SELECT cur, nxt, cnt,
+                  CAST(SUM(cnt) OVER (PARTITION BY cur) AS BIGINT) AS r
+                FROM cen),
+              st AS (SELECT DISTINCT cur AS state FROM trans),
+              ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+              p0 AS (
+                SELECT state, CAST(1000000000000 // k AS BIGINT) AS pi
+                FROM st, ns),
+              p1 AS (
+                SELECT nxt AS state,
+                  CAST(SUM((CAST(pi AS HUGEINT) * cnt) // r) AS BIGINT)
+                    AS pi
+                FROM trans JOIN p0 ON trans.cur = p0.state GROUP BY 1),
+              p2 AS (
+                SELECT nxt AS state,
+                  CAST(SUM((CAST(pi AS HUGEINT) * cnt) // r) AS BIGINT)
+                    AS pi
+                FROM trans JOIN p1 ON trans.cur = p1.state GROUP BY 1),
+              p3 AS (
+                SELECT nxt AS state,
+                  CAST(SUM((CAST(pi AS HUGEINT) * cnt) // r) AS BIGINT)
+                    AS pi
+                FROM trans JOIN p2 ON trans.cur = p2.state GROUP BY 1),
+              p4 AS (
+                SELECT nxt AS state,
+                  CAST(SUM((CAST(pi AS HUGEINT) * cnt) // r) AS BIGINT)
+                    AS pi
+                FROM trans JOIN p3 ON trans.cur = p3.state GROUP BY 1),
+              p5 AS (
+                SELECT nxt AS state,
+                  CAST(SUM((CAST(pi AS HUGEINT) * cnt) // r) AS BIGINT)
+                    AS pi
+                FROM trans JOIN p4 ON trans.cur = p4.state GROUP BY 1),
+              p6 AS (
+                SELECT nxt AS state,
+                  CAST(SUM((CAST(pi AS HUGEINT) * cnt) // r) AS BIGINT)
+                    AS pi
+                FROM trans JOIN p5 ON trans.cur = p5.state GROUP BY 1),
+              terms AS (
+                SELECT cur, nxt,
+                  round((CAST(pi AS DOUBLE) / 1e12)
+                    * (CAST(cnt AS DOUBLE) / CAST(r AS DOUBLE))
+                    * ln(CAST(r AS DOUBLE) / CAST(cnt AS DOUBLE)), 12)
+                    AS term
+                FROM trans JOIN p6 ON trans.cur = p6.state),
+              hh AS (
+                SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY cur, nxt)), (a, x) -> a + x), 12)
+                  AS entropy_rate
+                FROM terms)
+              SELECT state,
+                round(CAST(pi AS DOUBLE) / 1e12, 12) AS stationary_p,
+                entropy_rate
+              FROM p6, hh ORDER BY state"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

@@ -2195,6 +2195,121 @@ object ModelEval {
                   ELSE round(mde_abs / p, 12) END AS mde_rel
               FROM mde""")),
 
+    // ── optimal decision-stump split by Gini impurity ───────────────────
+    // The one-feature decision tree: which value threshold best
+    // separates purchases? The corpus collapses to the value-domain-
+    // bounded (cents → n, pos) census; prefix counts ride ONE
+    // cents-ordered window, every candidate split's weighted impurity
+    // is a row-local IEEE expression of exact longs, and the argmin
+    // pick is an ORDER BY (score, cents) LIMIT 1 over identical
+    // doubles — deterministic in both engines. Baseline Gini and the
+    // gain come off the same totals row.
+    Q("q_gini_split",
+      (s, dir) => {
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cen = t(s, dir, "events")
+          .select((dec2(col("value")) * 100).cast("long").as("cents"),
+            (col("event_type") === "purchase").cast("long").as("pos"))
+          .groupBy("cents")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("pos")).cast("long").as("p"))
+          .withColumn("nl", sum(col("n")).over(wv).cast("long"))
+          .withColumn("pl", sum(col("p")).over(wv).cast("long"))
+          .persist()
+        val tot = cen.agg(max(col("nl")).cast("long").as("nt"),
+          max(col("pl")).cast("long").as("pt"))
+        val scored = cen.crossJoin(broadcast(tot))
+          .filter(col("nl") < col("nt"))
+          .select(col("cents"), col("nl"), col("pl"), col("nt"),
+            col("pt"),
+            (col("nl") - col("pl")).as("ql"),
+            (col("nt") - col("nl")).as("nr"),
+            (col("pt") - col("pl")).as("pr"))
+          .select(col("cents"), col("nt"), col("pt"),
+            round((
+              (col("nl").cast("double")
+                - (col("pl").cast(dec38) * col("pl")).cast("double")
+                  / col("nl").cast("double")
+                - (col("ql").cast(dec38) * col("ql")).cast("double")
+                  / col("nl").cast("double"))
+              + (col("nr").cast("double")
+                - (col("pr").cast(dec38) * col("pr")).cast("double")
+                  / col("nr").cast("double")
+                - ((col("nr") - col("pr")).cast(dec38)
+                  * (col("nr") - col("pr")))
+                  .cast("double") / col("nr").cast("double")))
+              / col("nt").cast("double"), 12).as("score"))
+        val best = scored.orderBy(col("score"), col("cents")).limit(1)
+        best.select(
+          (col("cents").cast("double") / 100.0).as("threshold"),
+          col("score").as("split_gini"),
+          round(lit(1.0)
+            - (col("pt").cast("double") / col("nt").cast("double"))
+              * (col("pt").cast("double") / col("nt").cast("double"))
+            - ((col("nt") - col("pt")).cast("double")
+              / col("nt").cast("double"))
+              * ((col("nt") - col("pt")).cast("double")
+                / col("nt").cast("double")), 12).as("baseline_gini"))
+          .select(col("threshold"), col("split_gini"),
+            col("baseline_gini"),
+            round(col("baseline_gini") - col("split_gini"), 12)
+              .as("gain"))
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                    ELSE 0 END) AS BIGINT) AS p
+                FROM events GROUP BY 1),
+              pre AS (
+                SELECT cents,
+                  CAST(SUM(n) OVER w AS BIGINT) AS nl,
+                  CAST(SUM(p) OVER w AS BIGINT) AS pl
+                FROM cen
+                WINDOW w AS (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              tot AS (
+                SELECT CAST(MAX(nl) AS BIGINT) AS nt,
+                  CAST(MAX(pl) AS BIGINT) AS pt
+                FROM pre),
+              scored AS (
+                SELECT cents, nt, pt,
+                  round((
+                    (CAST(nl AS DOUBLE)
+                      - CAST(CAST(pl AS HUGEINT) * pl AS DOUBLE)
+                        / CAST(nl AS DOUBLE)
+                      - CAST(CAST(nl - pl AS HUGEINT) * (nl - pl)
+                          AS DOUBLE)
+                        / CAST(nl AS DOUBLE))
+                    + (CAST(nt - nl AS DOUBLE)
+                      - CAST(CAST(pt - pl AS HUGEINT) * (pt - pl)
+                          AS DOUBLE)
+                        / CAST(nt - nl AS DOUBLE)
+                      - CAST(CAST((nt - nl) - (pt - pl) AS HUGEINT)
+                          * ((nt - nl) - (pt - pl)) AS DOUBLE)
+                        / CAST(nt - nl AS DOUBLE)))
+                    / CAST(nt AS DOUBLE), 12) AS score
+                FROM pre, tot WHERE nl < nt),
+              best AS (
+                SELECT * FROM scored ORDER BY score, cents LIMIT 1)
+              SELECT CAST(cents AS DOUBLE) / 100.0 AS threshold,
+                score AS split_gini,
+                round(1.0
+                  - (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                  - (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE)), 12)
+                  AS baseline_gini,
+                round(round(1.0
+                  - (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                  - (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE)), 12)
+                  - score, 12) AS gain
+              FROM best""")),
+
     // ── Cronbach's alpha: internal consistency of the event "items" ─────
     // Treat the 5 event types as instrument items and each user's
     // per-type spend as the item score (absent cell = 0): are the

@@ -5945,6 +5945,115 @@ object Relational {
                   END AS w
               FROM agg""")),
 
+    // ── ABC × XYZ inventory classification matrix ───────────────────────
+    // The planner's 9-cell grid: ABC by cumulative revenue share
+    // (80/95%), XYZ by monthly-demand variability (CV < 0.5 / 1.0).
+    // ONE fact pass to the (part, month) census (persisted); per-part
+    // revenue AND the demand CV both derive from it. The cumulative
+    // rank rides a parts-bounded (rev DESC, partkey) window; shares
+    // are IEEE ratios of exact DECIMAL sums, CV is 12-dec rounded
+    // before its class compare (both engines branch on the identical
+    // double). Cell readout: part counts + revenue share.
+    Q("q_abc_xyz",
+      (s, dir) => {
+        val pm = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"),
+            expr("""(year(l_shipdate) * 12 + month(l_shipdate) - 1)""")
+              .cast("long").as("m"),
+            (dec2(col("l_quantity")) * 100).cast("long").as("q"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+          .groupBy("pk", "m")
+          .agg(sum(col("q").cast("decimal(38,0)")).as("mq"),
+            sum(col("cents").cast("decimal(38,0)")).as("mc"))
+          .persist()
+        val parts = pm.groupBy("pk")
+          .agg(count(lit(1)).cast("long").as("n_m"),
+            sum(col("mc")).as("rev"),
+            sum(col("mq")).as("sq"),
+            sum(col("mq") * col("mq")).as("sqq"))
+          .withColumn("cum",
+            sum(col("rev")).over(Window
+              .orderBy(col("rev").desc, col("pk"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .persist()
+        val tot = parts.agg(sum(col("rev")).as("trev"))
+        parts.crossJoin(broadcast(tot))
+          .select(col("pk"), col("rev"),
+            when(col("cum").cast("double") / col("trev").cast("double")
+              <= 0.80, lit("A"))
+              .when(col("cum").cast("double") / col("trev").cast("double")
+                <= 0.95, lit("B"))
+              .otherwise(lit("C")).as("abc"),
+            round(
+              when(col("sq") <= 0, lit(null).cast("double"))
+                .otherwise(sqrt(col("sqq").cast("double")
+                  / col("n_m").cast("double")
+                  - (col("sq").cast("double") / col("n_m").cast("double"))
+                    * (col("sq").cast("double")
+                      / col("n_m").cast("double")))
+                  / (col("sq").cast("double")
+                    / col("n_m").cast("double"))), 12).as("cv"))
+          .select(col("pk"), col("rev"), col("abc"),
+            when(col("cv").isNull, lit("Z"))
+              .when(col("cv") < 0.5, lit("X"))
+              .when(col("cv") < 1.0, lit("Y"))
+              .otherwise(lit("Z")).as("xyz"))
+          .groupBy("abc", "xyz")
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            sum(col("rev")).as("cell_rev"))
+          .crossJoin(broadcast(tot))
+          .select(col("abc"), col("xyz"), col("n_parts"),
+            round(col("cell_rev").cast("double")
+              / col("trev").cast("double"), 12).as("rev_share"))
+          .orderBy("abc", "xyz")
+      },
+      Some("""WITH pm AS (
+                SELECT l_partkey AS pk,
+                  CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS m,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS mq,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS mc
+                FROM lineitem GROUP BY 1, 2),
+              parts AS (
+                SELECT pk, CAST(count(*) AS BIGINT) AS n_m,
+                  SUM(mc) AS rev, SUM(mq) AS sq,
+                  SUM(mq * mq) AS sqq
+                FROM pm GROUP BY 1),
+              ranked AS (
+                SELECT pk, n_m, rev, sq, sqq,
+                  SUM(rev) OVER (ORDER BY rev DESC, pk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM parts),
+              tot AS (SELECT SUM(rev) AS trev FROM parts),
+              cls AS (
+                SELECT pk, rev,
+                  CASE WHEN CAST(cum AS DOUBLE) / CAST(trev AS DOUBLE)
+                      <= 0.80 THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(trev AS DOUBLE)
+                      <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc,
+                  round(CASE WHEN sq <= 0 THEN NULL
+                    ELSE sqrt(CAST(sqq AS DOUBLE) / CAST(n_m AS DOUBLE)
+                      - (CAST(sq AS DOUBLE) / CAST(n_m AS DOUBLE))
+                        * (CAST(sq AS DOUBLE) / CAST(n_m AS DOUBLE)))
+                      / (CAST(sq AS DOUBLE) / CAST(n_m AS DOUBLE)) END,
+                    12) AS cv
+                FROM ranked, tot),
+              xy AS (
+                SELECT pk, rev, abc,
+                  CASE WHEN cv IS NULL THEN 'Z'
+                    WHEN cv < 0.5 THEN 'X'
+                    WHEN cv < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz
+                FROM cls)
+              SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+                round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(trev)
+                  AS DOUBLE), 12) AS rev_share
+              FROM xy, tot GROUP BY 1, 2 ORDER BY abc, xyz""")),
+
     // ── Simpson's diversity of the brand mix per region ─────────────────
     // Ecology's concentration lens on assortment: D = Σnᵢ(nᵢ−1) /
     // (N(N−1)) — the probability two random line items share a brand —

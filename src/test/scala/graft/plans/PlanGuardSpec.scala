@@ -788,7 +788,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_theil_sen" -> 0, // persisted census + persisted ranked slope frame
       "q_page_hinkley" -> 0, // persisted PH walk: max + peak + alarm reads
       "q_power_mde" -> 1, // users collapse first; one events chain
-      "q_lsh_tuning" -> 0) // memoized pair core; persisted wide sums ×3 rows
+      "q_lsh_tuning" -> 0, // memoized pair core; persisted wide sums ×3 rows
+      "q_markov_stationary" -> 0, // persisted transition census; 6 tiny rounds
+      "q_gini_split" -> 0, // persisted prefix census: totals + scores
+      "q_abc_xyz" -> 0) // persisted (part, month) census: rev + CV + cells
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
