@@ -3826,7 +3826,248 @@ object EventTime {
               SELECT state,
                 round(CAST(pi AS DOUBLE) / 1e12, 12) AS stationary_p,
                 entropy_rate
-              FROM p6, hh ORDER BY state"""))
+              FROM p6, hh ORDER BY state""")),
+
+    // ── 1-lag Granger causality: does volume lead spend? ────────────────
+    // Does yesterday's event COUNT improve today's mean-value
+    // forecast beyond yesterday's value itself? Restricted
+    // (y~1+y₋₁) vs unrestricted (y~1+y₋₁+x₋₁) OLS in CLOSED FORM —
+    // the 2×2 normal equations solve by determinant, no iteration.
+    // ONE day census; the lag triple rides one day-ordered window;
+    // nine exact DECIMAL raw sums in one agg; centered sums, betas,
+    // SSRs and F are row-local IEEE. NULL-guarded degeneracies.
+    Q("q_granger",
+      (s, dir) => {
+        val wd = Window.orderBy("d")
+        val tri = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("x0"),
+            sum(col("cents").cast(DecimalType(38, 0))).as("sc"))
+          .select(col("d"),
+            expr("CAST(sc div x0 AS BIGINT)").as("ym"), col("x0"))
+          .withColumn("u", lag(col("ym"), 1).over(wd))
+          .withColumn("v", lag(col("x0"), 1).over(wd))
+          .filter(col("u").isNotNull && col("v").isNotNull)
+        val m = tri.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("ym").cast(DecimalType(38, 0))).as("sy"),
+          sum(col("u").cast(DecimalType(38, 0))).as("su"),
+          sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+          sum(col("ym").cast(DecimalType(38, 0)) * col("ym")).as("syy"),
+          sum(col("u").cast(DecimalType(38, 0)) * col("u")).as("suu"),
+          sum(col("v").cast(DecimalType(38, 0)) * col("v")).as("svv"),
+          sum(col("u").cast(DecimalType(38, 0)) * col("ym")).as("suy"),
+          sum(col("v").cast(DecimalType(38, 0)) * col("ym")).as("svy"),
+          sum(col("u").cast(DecimalType(38, 0)) * col("v")).as("suv"))
+        val c = m.select(col("n"),
+          (col("syy").cast("double") - col("sy").cast("double")
+            * col("sy").cast("double") / col("n").cast("double"))
+            .as("cyy"),
+          (col("suu").cast("double") - col("su").cast("double")
+            * col("su").cast("double") / col("n").cast("double"))
+            .as("cuu"),
+          (col("svv").cast("double") - col("sv").cast("double")
+            * col("sv").cast("double") / col("n").cast("double"))
+            .as("cvv"),
+          (col("suy").cast("double") - col("su").cast("double")
+            * col("sy").cast("double") / col("n").cast("double"))
+            .as("cuy"),
+          (col("svy").cast("double") - col("sv").cast("double")
+            * col("sy").cast("double") / col("n").cast("double"))
+            .as("cvy"),
+          (col("suv").cast("double") - col("su").cast("double")
+            * col("sv").cast("double") / col("n").cast("double"))
+            .as("cuv"))
+        c.select(col("n"),
+            when(col("cuu") <= 0, lit(null).cast("double"))
+              .otherwise(col("cyy")
+                - col("cuy") * col("cuy") / col("cuu")).as("ssr_r"),
+            (col("cuu") * col("cvv") - col("cuv") * col("cuv"))
+              .as("det"),
+            col("cyy"), col("cuy"), col("cvy"), col("cuv"),
+            col("cuu"), col("cvv"))
+          .select(col("n"), col("ssr_r"),
+            when(col("det") <= 0, lit(null).cast("double"))
+              .otherwise(col("cyy")
+                - ((col("cvv") * col("cuy") - col("cuv") * col("cvy"))
+                  / col("det")) * col("cuy")
+                - ((col("cuu") * col("cvy") - col("cuv") * col("cuy"))
+                  / col("det")) * col("cvy")).as("ssr_u"))
+          .select(col("n"),
+            round(col("ssr_r"), 6).as("ssr_restricted"),
+            round(col("ssr_u"), 6).as("ssr_unrestricted"),
+            when(col("ssr_r").isNull || col("ssr_u").isNull
+              || col("n") <= 3 || col("ssr_u") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("ssr_r") - col("ssr_u"))
+                / (col("ssr_u") / (col("n") - 3).cast("double")), 6))
+              .as("f_stat"))
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS x0,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc
+                FROM events GROUP BY 1),
+              ym AS (
+                SELECT d, CAST(sc // x0 AS BIGINT) AS ym, x0 FROM cen),
+              tri AS (
+                SELECT ym, lag(ym) OVER (ORDER BY d) AS u,
+                  lag(x0) OVER (ORDER BY d) AS v
+                FROM ym),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(ym AS HUGEINT)) AS sy,
+                  SUM(CAST(u AS HUGEINT)) AS su,
+                  SUM(CAST(v AS HUGEINT)) AS sv,
+                  SUM(CAST(ym AS HUGEINT) * ym) AS syy,
+                  SUM(CAST(u AS HUGEINT) * u) AS suu,
+                  SUM(CAST(v AS HUGEINT) * v) AS svv,
+                  SUM(CAST(u AS HUGEINT) * ym) AS suy,
+                  SUM(CAST(v AS HUGEINT) * ym) AS svy,
+                  SUM(CAST(u AS HUGEINT) * v) AS suv
+                FROM tri WHERE u IS NOT NULL AND v IS NOT NULL),
+              c AS (
+                SELECT n,
+                  CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+                  CAST(suu AS DOUBLE) - CAST(su AS DOUBLE)
+                    * CAST(su AS DOUBLE) / CAST(n AS DOUBLE) AS cuu,
+                  CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+                    * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS cvv,
+                  CAST(suy AS DOUBLE) - CAST(su AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cuy,
+                  CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cvy,
+                  CAST(suv AS DOUBLE) - CAST(su AS DOUBLE)
+                    * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS cuv
+                FROM m),
+              s1 AS (
+                SELECT n,
+                  CASE WHEN cuu <= 0 THEN NULL
+                    ELSE cyy - cuy * cuy / cuu END AS ssr_r,
+                  cuu * cvv - cuv * cuv AS det,
+                  cyy, cuy, cvy, cuv, cuu, cvv
+                FROM c),
+              s2 AS (
+                SELECT n, ssr_r,
+                  CASE WHEN det <= 0 THEN NULL
+                    ELSE cyy
+                      - ((cvv * cuy - cuv * cvy) / det) * cuy
+                      - ((cuu * cvy - cuv * cuy) / det) * cvy END
+                    AS ssr_u
+                FROM s1)
+              SELECT n,
+                round(ssr_r, 6) AS ssr_restricted,
+                round(ssr_u, 6) AS ssr_unrestricted,
+                CASE WHEN ssr_r IS NULL OR ssr_u IS NULL OR n <= 3
+                    OR ssr_u <= 0 THEN NULL
+                  ELSE round((ssr_r - ssr_u)
+                    / (ssr_u / CAST(n - 3 AS DOUBLE)), 6) END AS f_stat
+              FROM s2""")),
+
+    // ── Shewhart control chart with Western Electric rule 2 ─────────────
+    // Statistical process control on daily order volume: rule 1 =
+    // a day beyond μ±3σ, rule 2 = two of three consecutive days
+    // beyond 2σ on the same side. Control limits are IEEE of exact
+    // sums off the persisted day census; rule flags are boundary
+    // compares of identical doubles; the 3-day look-back rides ONE
+    // day-ordered window (two lags). Exact-compare argmin first-
+    // violation days.
+    Q("q_control_chart",
+      (s, dir) => {
+        val wd = Window.orderBy("d")
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
+          .persist()
+        val mom = cen.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("s1"),
+          sum(col("x") * col("x")).cast("long").as("s2"))
+          .select(col("n"),
+            (col("s1").cast("double") / col("n").cast("double"))
+              .as("mu"),
+            sqrt(col("s2").cast("double") / col("n").cast("double")
+              - (col("s1").cast("double") / col("n").cast("double"))
+                * (col("s1").cast("double") / col("n").cast("double")))
+              .as("sd"))
+        val flags = cen.crossJoin(broadcast(mom))
+          .select(col("d"), col("n"),
+            (col("x").cast("double") > col("mu")
+              + lit(3.0) * col("sd")
+              || col("x").cast("double") < col("mu")
+                - lit(3.0) * col("sd")).cast("long").as("r1"),
+            when(col("x").cast("double") > col("mu")
+              + lit(2.0) * col("sd"), lit(1L))
+              .when(col("x").cast("double") < col("mu")
+                - lit(2.0) * col("sd"), lit(-1L))
+              .otherwise(lit(0L)).as("side2"))
+          .withColumn("p1", lag(col("side2"), 1).over(wd))
+          .withColumn("p2", lag(col("side2"), 2).over(wd))
+          .select(col("d"), col("n"), col("r1"),
+            (col("side2") =!= 0
+              && (col("side2") === coalesce(col("p1"), lit(0L))
+                || col("side2") === coalesce(col("p2"), lit(0L))))
+              .cast("long").as("r2"))
+          .persist()
+        flags.agg(max(col("n")).as("n_days"),
+            sum(col("r1")).cast("long").as("n_rule1"),
+            sum(col("r2")).cast("long").as("n_rule2"),
+            min(when(col("r1") === 1, col("d"))).cast("long")
+              .as("first_rule1_day"),
+            min(when(col("r2") === 1, col("d"))).cast("long")
+              .as("first_rule2_day"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(count(*) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s1,
+                  CAST(SUM(x * x) AS BIGINT) AS s2
+                FROM cen),
+              mm AS (
+                SELECT n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    AS sd
+                FROM mom),
+              fl AS (
+                SELECT d, n,
+                  CASE WHEN CAST(x AS DOUBLE) > mu + 3.0 * sd
+                    OR CAST(x AS DOUBLE) < mu - 3.0 * sd
+                    THEN 1 ELSE 0 END AS r1,
+                  CASE WHEN CAST(x AS DOUBLE) > mu + 2.0 * sd THEN 1
+                    WHEN CAST(x AS DOUBLE) < mu - 2.0 * sd THEN -1
+                    ELSE 0 END AS side2
+                FROM cen, mm),
+              lagd AS (
+                SELECT d, n, r1, side2,
+                  lag(side2, 1) OVER (ORDER BY d) AS p1,
+                  lag(side2, 2) OVER (ORDER BY d) AS p2
+                FROM fl),
+              r2f AS (
+                SELECT d, n, r1,
+                  CASE WHEN side2 <> 0
+                    AND (side2 = COALESCE(p1, 0)
+                      OR side2 = COALESCE(p2, 0)) THEN 1 ELSE 0 END
+                    AS r2
+                FROM lagd)
+              SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                CAST(SUM(r1) AS BIGINT) AS n_rule1,
+                CAST(SUM(r2) AS BIGINT) AS n_rule2,
+                CAST(MIN(CASE WHEN r1 = 1 THEN d END) AS BIGINT)
+                  AS first_rule1_day,
+                CAST(MIN(CASE WHEN r2 = 1 THEN d END) AS BIGINT)
+                  AS first_rule2_day
+              FROM r2f"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

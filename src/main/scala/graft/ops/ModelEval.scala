@@ -2310,6 +2310,123 @@ object ModelEval {
                   - score, 12) AS gain
               FROM best""")),
 
+    // ── OLS influence diagnostics: leverage + Cook's distance ───────────
+    // Which days DRIVE the revenue trend fit? Leverage
+    // hᵢ = 1/n + (dᵢ−d̄)²/Sxx and Cook's D = e²h/(k·s²·(1−h)²) per
+    // day, top-10 by influence. The persisted day census feeds the
+    // OLS sums, the residual pass and the SSE fold (day-pinned); h is
+    // row-local IEEE of exact sums, and the top-10 pick is an ORDER
+    // BY (rounded D DESC, day) LIMIT over identical doubles.
+    Q("q_influence_diagnostics",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(dec38)).as("y"))
+          .persist()
+        val fit = cen.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("d").cast(dec38)).as("st"),
+          sum(col("y")).as("sy"),
+          sum(col("d").cast(dec38) * col("d")).as("stt"),
+          sum(col("d").cast(dec38) * col("y")).as("sty"))
+          .select(col("n"), col("st"), col("stt"),
+            when(col("n") * col("stt") - col("st") * col("st") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("n") * col("sty") - col("st") * col("sy"))
+                .cast("double")
+                / (col("n") * col("stt") - col("st") * col("st"))
+                  .cast("double")).as("slope"),
+            col("sy"))
+          .select(col("n"), col("st"), col("stt"), col("slope"),
+            ((col("sy").cast("double")
+              - col("slope") * col("st").cast("double"))
+              / col("n").cast("double")).as("icept"))
+        val res = cen.crossJoin(broadcast(fit))
+          .select(col("d"),
+            round(col("y").cast("double") - col("icept")
+              - col("slope") * col("d").cast("double"), 6).as("e"),
+            round(lit(1.0) / col("n").cast("double")
+              + (col("d").cast("double")
+                - col("st").cast("double") / col("n").cast("double"))
+                * (col("d").cast("double")
+                  - col("st").cast("double") / col("n").cast("double"))
+                / (col("stt").cast("double")
+                  - col("st").cast("double") * col("st").cast("double")
+                    / col("n").cast("double")), 12).as("h"))
+          .persist()
+        val sse = res.agg(
+          round(expr("""aggregate(array_sort(collect_list(
+                          struct(d, e * e))),
+                        CAST(0 AS DOUBLE), (a, x) -> a + x.col2)"""), 6)
+            .as("sse"),
+          count(lit(1)).cast("long").as("n"))
+        res.crossJoin(broadcast(sse))
+          .select(col("d"), col("e"), col("h"),
+            when(col("n") <= 2 || col("sse") <= 0 || col("h") >= 1,
+              lit(null).cast("double"))
+              .otherwise(round(col("e") * col("e") * col("h")
+                / (lit(2.0) * (col("sse") / (col("n") - 2)
+                  .cast("double"))
+                  * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))), 9))
+              .as("cooks_d"))
+          .orderBy(col("cooks_d").desc_nulls_last, col("d"))
+          .limit(10)
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              fit AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(d AS HUGEINT)) AS st, SUM(y) AS sy,
+                  SUM(CAST(d AS HUGEINT) * d) AS stt,
+                  SUM(CAST(d AS HUGEINT) * y) AS sty
+                FROM cen),
+              ab AS (
+                SELECT n, st, stt,
+                  CASE WHEN n * stt - st * st = 0 THEN NULL
+                    ELSE CAST(n * sty - st * sy AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE) END AS slope,
+                  sy
+                FROM fit),
+              ab2 AS (
+                SELECT n, st, stt, slope,
+                  (CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS icept
+                FROM ab),
+              res AS (
+                SELECT d,
+                  round(CAST(y AS DOUBLE) - icept
+                    - slope * CAST(d AS DOUBLE), 6) AS e,
+                  round(1.0 / CAST(n AS DOUBLE)
+                    + (CAST(d AS DOUBLE)
+                      - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(d AS DOUBLE)
+                        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(stt AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                          / CAST(n AS DOUBLE)), 12) AS h
+                FROM cen, ab2),
+              sse AS (
+                SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(e * e ORDER BY d)), (a, x) -> a + x), 6)
+                    AS sse,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM res)
+              SELECT d, e, h,
+                CASE WHEN n <= 2 OR sse <= 0 OR h >= 1 THEN NULL
+                  ELSE round(e * e * h
+                    / (2.0 * (sse / CAST(n - 2 AS DOUBLE))
+                      * (1.0 - h) * (1.0 - h)), 9) END AS cooks_d
+              FROM res, sse
+              ORDER BY cooks_d DESC NULLS LAST, d LIMIT 10""")),
+
     // ── Cronbach's alpha: internal consistency of the event "items" ─────
     // Treat the 5 event types as instrument items and each user's
     // per-type spend as the item score (absent cell = 0): are the

@@ -791,7 +791,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_lsh_tuning" -> 0, // memoized pair core; persisted wide sums ×3 rows
       "q_markov_stationary" -> 0, // persisted transition census; 6 tiny rounds
       "q_gini_split" -> 0, // persisted prefix census: totals + scores
-      "q_abc_xyz" -> 0) // persisted (part, month) census: rev + CV + cells
+      "q_abc_xyz" -> 0, // persisted (part, month) census: rev + CV + cells
+      "q_influence_diagnostics" -> 0, // persisted census + persisted residuals
+      "q_granger" -> 1, // single events chain through the lag window
+      "q_control_chart" -> 0) // persisted day census + persisted flags
     for ((q, b) <- budget) {
       val raw = qe(q).optimizedPlan.collect { case l: LogicalRelation => l }
       assert(raw.size <= b,
