@@ -6243,7 +6243,195 @@ object Relational {
                   ELSE round(1.0 / (1.0 - (rxz * rxz + ryz * ryz
                     - 2.0 * rxz * ryz * rxy) / (1.0 - rxy * rxy)), 12)
                   END AS vif_discount
-              FROM r"""))
+              FROM r""")),
+
+    // ── Fisher ideal price index (matched model, 1995-98 → 1999-01) ─────
+    // The deflator pipeline: per-part unit prices in the base era
+    // (ship years ≤ 1998) vs the current era, Laspeyres = Σp₁q₀/Σp₀q₀,
+    // Paasche = Σp₁q₁/Σp₀q₁, Fisher = √(L·P). ONE lineitem scan with
+    // conditional per-era sums (no two-scan self-join), matched model =
+    // parts traded in BOTH eras. Unit prices are μ-integerized
+    // (micro-cents via exact integer div), the four cross-term sums run
+    // in DECIMAL(38,0)/HUGEINT, so the only IEEE ops are the three final
+    // divisions and one sqrt — order-free and cross-engine exact. The
+    // part census is dimension-sized; everything before it is
+    // partial+final agg on the fact scan.
+    Q("q_fisher_index",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (year(col("l_shipdate")) <= 1998).as("base"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)")
+              .as("q"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val census = li.groupBy("l_partkey")
+          .agg(
+            sum(when(col("base"), col("q")).otherwise(lit(0L))
+              .cast(DecimalType(38, 0))).as("q0"),
+            sum(when(col("base"), col("cents")).otherwise(lit(0L))
+              .cast(DecimalType(38, 0))).as("c0"),
+            sum(when(!col("base"), col("q")).otherwise(lit(0L))
+              .cast(DecimalType(38, 0))).as("q1"),
+            sum(when(!col("base"), col("cents")).otherwise(lit(0L))
+              .cast(DecimalType(38, 0))).as("c1"))
+          .filter(col("q0") > 0 && col("q1") > 0)
+          .select(col("l_partkey"),
+            col("q0").cast("long").as("q0"),
+            col("q1").cast("long").as("q1"),
+            expr("CAST((c0 * 1000000) div q0 AS BIGINT)").as("p0"),
+            expr("CAST((c1 * 1000000) div q1 AS BIGINT)").as("p1"))
+        census.agg(
+            count(lit(1)).cast("long").as("n_matched"),
+            sum(col("p1").cast(DecimalType(38, 0)) * col("q0")).as("l_num"),
+            sum(col("p0").cast(DecimalType(38, 0)) * col("q0")).as("l_den"),
+            sum(col("p1").cast(DecimalType(38, 0)) * col("q1")).as("p_num"),
+            sum(col("p0").cast(DecimalType(38, 0)) * col("q1")).as("p_den"))
+          .select(col("n_matched"),
+            round(col("l_num").cast("double")
+              / col("l_den").cast("double"), 12).as("laspeyres"),
+            round(col("p_num").cast("double")
+              / col("p_den").cast("double"), 12).as("paasche"),
+            round(sqrt((col("l_num").cast("double")
+                / col("l_den").cast("double"))
+              * (col("p_num").cast("double")
+                / col("p_den").cast("double"))), 12).as("fisher"))
+      },
+      Some("""WITH li AS (
+                SELECT l_partkey,
+                  year(l_shipdate) <= 1998 AS base,
+                  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem),
+              census AS (
+                SELECT l_partkey,
+                  SUM(CAST(CASE WHEN base THEN q ELSE 0 END AS HUGEINT))
+                    AS q0,
+                  SUM(CAST(CASE WHEN base THEN cents ELSE 0 END
+                    AS HUGEINT)) AS c0,
+                  SUM(CAST(CASE WHEN NOT base THEN q ELSE 0 END
+                    AS HUGEINT)) AS q1,
+                  SUM(CAST(CASE WHEN NOT base THEN cents ELSE 0 END
+                    AS HUGEINT)) AS c1
+                FROM li GROUP BY 1),
+              px AS (
+                SELECT l_partkey,
+                  CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+                  CAST((c0 * 1000000) // q0 AS BIGINT) AS p0,
+                  CAST((c1 * 1000000) // q1 AS BIGINT) AS p1
+                FROM census WHERE q0 > 0 AND q1 > 0),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                  SUM(CAST(p1 AS HUGEINT) * q0) AS l_num,
+                  SUM(CAST(p0 AS HUGEINT) * q0) AS l_den,
+                  SUM(CAST(p1 AS HUGEINT) * q1) AS p_num,
+                  SUM(CAST(p0 AS HUGEINT) * q1) AS p_den
+                FROM px)
+              SELECT n_matched,
+                round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 12)
+                  AS laspeyres,
+                round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 12)
+                  AS paasche,
+                round(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                  * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 12)
+                  AS fisher
+              FROM m""")),
+
+    // ── Taylor's power law: variance ∝ mean^b across parts ──────────────
+    // Ecology's fluctuation-scaling law as a demand-volatility lens:
+    // per-part quantity mean/variance, then the ln-var ~ ln-mean OLS
+    // slope across the part census. Per-part moments are exact integer
+    // sums (one partial+final agg on the fact scan); mean/var/ln are
+    // row-local IEEE on identical inputs; the cross-part sums
+    // μ-integerize each log to 1e-9 (floor(x·1e9 + 0.5)) so the global
+    // OLS sums are exact integers — order-free, no pinned fold needed.
+    // Products run in DECIMAL(38,0)/HUGEINT (ln·1e9 ≈ 1e10 squares past
+    // int64). Slope is scale-free; intercept rescales by 1e-9.
+    Q("q_taylor_law",
+      (s, dir) => {
+        val mom = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)")
+              .as("q"))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("q").cast(DecimalType(38, 0))).as("s1"),
+            sum(col("q").cast(DecimalType(38, 0)) * col("q")).as("s2"))
+          .filter(col("n") >= 2)
+          .select(col("n").cast("double").as("nd"),
+            col("s1").cast("double").as("s1d"),
+            col("s2").cast("double").as("s2d"))
+          .select((col("s1d") / col("nd")).as("mean"),
+            ((col("s2d") - col("s1d") * col("s1d") / col("nd"))
+              / (col("nd") - 1)).as("variance"))
+          .filter(col("mean") > 0 && col("variance") > 0)
+          .select(
+            floor(log(col("mean")) * 1e9 + 0.5).cast("long").as("x"),
+            floor(log(col("variance")) * 1e9 + 0.5).cast("long").as("y"))
+        mom.agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+            sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+            sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+            sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+          .select(col("n"),
+            when((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                (col("n") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double")
+                / (col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"), 6)).as("slope"),
+            when((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                (col("sy").cast("double") / col("n").cast("double")
+                  - ((col("n") * col("sxy") - col("sx") * col("sy"))
+                    .cast("double")
+                    / (col("n") * col("sxx") - col("sx") * col("sx"))
+                      .cast("double"))
+                    * col("sx").cast("double") / col("n").cast("double"))
+                / 1e9, 6)).as("intercept"))
+      },
+      Some("""WITH mom AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                    AS BIGINT) AS HUGEINT)) AS s1,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT))
+                    AS s2
+                FROM lineitem GROUP BY 1),
+              mv AS (
+                SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1) AS variance
+                FROM mom WHERE n >= 2),
+              xy AS (
+                SELECT CAST(floor(ln(mean) * 1e9 + 0.5) AS BIGINT) AS x,
+                  CAST(floor(ln(variance) * 1e9 + 0.5) AS BIGINT) AS y
+                FROM mv WHERE mean > 0 AND variance > 0),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM xy)
+              SELECT n,
+                CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <= 0
+                  THEN NULL
+                  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+                CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <= 0
+                  THEN NULL
+                  ELSE round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    / 1e9, 6) END AS intercept
+              FROM m"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -2751,7 +2751,70 @@ object TextOps {
                 CASE WHEN n_tokens = 0 THEN NULL
                   ELSE round(sum_t / CAST(n_tokens AS DOUBLE), 12) END
                   AS delta
-              FROM folds ORDER BY src_a, src_b"""))
+              FROM folds ORDER BY src_a, src_b""")),
+
+    // ── Chao1 vocabulary-richness estimator (bigram species) ────────────
+    // "How much vocabulary haven't we seen yet?" — the capture-based
+    // richness estimate over bigram types: Chao1 = S_obs +
+    // F1(F1−1)/(2(F2+1)) (bias-corrected form, division-safe when
+    // F2 = 0) plus Good-Turing sample coverage 1 − F1/N. Everything is
+    // a two-stage integer census (grams → counts → abundance tallies) —
+    // partial+final aggs on one corpus scan, a 1-row result, and the
+    // only IEEE ops are two final divisions. At 100 TB this is the
+    // cheapest "is more crawl data still adding vocabulary" readout:
+    // no sort, no join, census-bounded by the gram vocabulary.
+    Q("q_chao1",
+      (s, dir) => {
+        val census = t(s, dir, "documents")
+          .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(explode(expr(
+            """transform(
+                 CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+                      ELSE array() END,
+                 i -> concat(toks[i - 1], ' ', toks[i]))""")).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).cast("long").as("c"))
+        census.agg(
+            count(lit(1)).cast("long").as("s_obs"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+              .as("f1"),
+            sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long")
+              .as("f2"),
+            sum(col("c")).cast("long").as("n_grams"))
+          .select(col("s_obs"), col("f1"), col("f2"), col("n_grams"),
+            round(col("s_obs").cast("double")
+              + col("f1").cast("double") * (col("f1") - 1).cast("double")
+                / (lit(2.0) * (col("f2") + 1).cast("double")), 6)
+              .as("chao1"),
+            round(lit(1.0) - col("f1").cast("double")
+              / col("n_grams").cast("double"), 12).as("coverage"))
+      },
+      Some("""WITH toks AS (
+                SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                  AS tk
+                FROM documents),
+              grams AS (
+                SELECT tk[i] || ' ' || tk[i + 1] AS gram
+                FROM (SELECT tk,
+                        unnest(generate_series(1, len(tk) - 1)) AS i
+                      FROM toks)),
+              cen AS (
+                SELECT gram, CAST(count(*) AS BIGINT) AS c
+                FROM grams GROUP BY 1),
+              h AS (
+                SELECT CAST(count(*) AS BIGINT) AS s_obs,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f1,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f2,
+                  CAST(SUM(c) AS BIGINT) AS n_grams
+                FROM cen)
+              SELECT s_obs, f1, f2, n_grams,
+                round(CAST(s_obs AS DOUBLE)
+                  + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                    / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+                round(1.0 - CAST(f1 AS DOUBLE)
+                  / CAST(n_grams AS DOUBLE), 12) AS coverage
+              FROM h"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
