@@ -2930,6 +2930,78 @@ object ModelEval {
                 round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
                 (ssb / CAST(k - 1 AS DOUBLE))
                   / (ssw / CAST(n_tot - k AS DOUBLE)) AS f_stat
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── Tukey HSD post-hoc: which event-type value means differ? ────────
+    // q_anova's natural companion: after the omnibus F, the pairwise
+    // studentized-range statistic qᵢⱼ = |μᵢ−μⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ))
+    // for every type pair. Rides the SAME ≤5-row persisted moment
+    // census as q_anova (one events scan); MSW folds the per-group
+    // SSW terms type-pinned; the pair frame is census × census (≤10
+    // rows) with a 1-row MSW broadcast — all row-local IEEE on exact
+    // cent sums.
+    Q("q_tukey_hsd",
+      (s, dir) => {
+        val census = anovaCensus(t(s, dir, "events")).persist()
+        val msw = census.agg(
+            sum(col("n")).as("n_tot"),
+            count(lit(1)).as("k"),
+            expr("""aggregate(array_sort(collect_list(struct(event_type,
+                      round(CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE), 6) AS ssw_term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssw_term)""")
+              .as("ssw"))
+          .select((col("ssw")
+            / (col("n_tot") - col("k")).cast("double")).as("msw"))
+        val a = census.select(col("event_type").as("type_a"),
+          col("n").cast("long").as("n_a"),
+          (col("s").cast("double") / col("n").cast("double")).as("m_a"))
+        val b = census.select(col("event_type").as("type_b"),
+          col("n").cast("long").as("n_b"),
+          (col("s").cast("double") / col("n").cast("double")).as("m_b"))
+        a.join(b, col("type_a") < col("type_b"))
+          .crossJoin(broadcast(msw))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            round((col("m_a") - col("m_b")) / 100.0, 6).as("mean_diff"),
+            when(col("msw") <= 0, lit(null).cast("double"))
+              .otherwise(round(abs(col("m_a") - col("m_b"))
+                / sqrt(col("msw") / 2.0
+                  * (lit(1.0) / col("n_a").cast("double")
+                    + lit(1.0) / col("n_b").cast("double"))), 6))
+              .as("q_stat"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH c AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS HUGEINT)) AS ss
+                FROM events GROUP BY 1),
+              mswt AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                  CAST(count(*) AS BIGINT) AS k,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(round(CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE), 6) ORDER BY event_type)),
+                    (a, x) -> a + x) AS ssw
+                FROM c),
+              msw AS (
+                SELECT ssw / CAST(n_tot - k AS DOUBLE) AS msw FROM mswt)
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.n AS n_a, b.n AS n_b,
+                round((CAST(a.s AS DOUBLE) / a.n
+                  - CAST(b.s AS DOUBLE) / b.n) / 100.0, 6) AS mean_diff,
+                CASE WHEN msw <= 0 THEN NULL
+                  ELSE round(abs(CAST(a.s AS DOUBLE) / a.n
+                    - CAST(b.s AS DOUBLE) / b.n)
+                    / sqrt(msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) END
+                  AS q_stat
+              FROM c a JOIN c b ON a.event_type < b.event_type, msw
+              ORDER BY type_a, type_b"""))
   )
 }

@@ -6431,7 +6431,179 @@ object Relational {
                       / CAST(n * sxx - sx * sx AS DOUBLE))
                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                     / 1e9, 6) END AS intercept
-              FROM m"""))
+              FROM m""")),
+
+    // ── Lorenz curve: revenue concentration by customer decile ──────────
+    // The curve behind q_gini's scalar: customers ranked by exact
+    // order-revenue cents, NTILE(10) deciles (ties broken by custkey —
+    // a total order, so both engines cut identical deciles), per-decile
+    // exact sums, then cumulative shares. The per-customer census is
+    // one partial+final agg; the decile rank is ONE range-partitioned
+    // sort of the customer-sized census (never the fact table); shares
+    // are two final IEEE divisions per decile row.
+    Q("q_lorenz_curve",
+      (s, dir) => {
+        val wnt = Window.orderBy("cents", "o_custkey")
+        val wcum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        // persist: the customer census feeds the decile cut AND the
+        // grand totals — un-persisted, each consumer re-scans orders
+        val cust = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("o_custkey")
+          .agg(sum(col("c").cast(DecimalType(38, 0))).as("cents"))
+          .persist()
+        cust
+          .withColumn("decile", ntile(10).over(wnt).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            sum(col("cents")).as("rev"))
+          .withColumn("cum_rev", sum(col("rev")).over(wcum))
+          .withColumn("cum_n", sum(col("n_customers")).over(wcum))
+          .crossJoin(broadcast(
+            cust.agg(sum(col("cents")).as("tot"),
+              count(lit(1)).cast("long").as("nc"))))
+          .select(col("decile"), col("n_customers"),
+            round(col("rev").cast("double") / col("tot").cast("double"),
+              12).as("rev_share"),
+            round(col("cum_rev").cast("double") / col("tot").cast("double"),
+              12).as("cum_rev_share"),
+            round(col("cum_n").cast("double") / col("nc").cast("double"),
+              12).as("cum_customer_share"))
+          .orderBy("decile")
+      },
+      Some("""WITH cust AS (
+                SELECT o_custkey,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS cents
+                FROM orders GROUP BY 1),
+              dec AS (
+                SELECT o_custkey, cents,
+                  CAST(ntile(10) OVER (ORDER BY cents, o_custkey)
+                    AS BIGINT) AS decile
+                FROM cust),
+              per AS (
+                SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                  SUM(cents) AS rev
+                FROM dec GROUP BY 1),
+              cum AS (
+                SELECT decile, n_customers, rev,
+                  SUM(rev) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_rev,
+                  SUM(n_customers) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_n
+                FROM per),
+              tot AS (
+                SELECT SUM(cents) AS tot,
+                  CAST(count(*) AS BIGINT) AS nc
+                FROM cust)
+              SELECT decile, n_customers,
+                round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS rev_share,
+                round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS cum_rev_share,
+                round(CAST(cum_n AS DOUBLE) / CAST(nc AS DOUBLE), 12)
+                  AS cum_customer_share
+              FROM cum, tot ORDER BY decile""")),
+
+    // ── Friedman rank test: priority effect controlling for nation ──────
+    // The nonparametric two-way companion to q_kruskal_wallis: blocks =
+    // customer nations, treatments = order priorities, y = block×cell
+    // mean order value. Cell means are IEEE ratios of exact cent sums
+    // (identical doubles both engines); within-block ranks are
+    // row_number over (mean, priority) — a deterministic total order —
+    // so the rank sums Rⱼ are exact integers and χ²_F =
+    // 12·ΣRⱼ²/(b·k·(k+1)) − 3·b·(k+1) is row-local IEEE on integers.
+    // The cell census is nations×priorities-bounded; one orders scan.
+    Q("q_friedman_test",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), col("o_orderpriority"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("c_nationkey", "o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("c").cast(DecimalType(38, 0))).as("sc"))
+          .select(col("c_nationkey"), col("o_orderpriority"),
+            (col("sc").cast("double") / col("n").cast("double"))
+              .as("m"))
+          // persist: the ≤nations×priorities census feeds the k probe,
+          // the full-block filter and the ranking — un-persisted, each
+          // consumer re-runs the orders⋈customer scan
+          .persist()
+        val k = cells.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("kb"))
+          .agg(max(col("kb")).cast("long").as("k"))
+        val ranked = cells.crossJoin(broadcast(k))
+          .withColumn("kb",
+            count(lit(1)).over(Window.partitionBy("c_nationkey")))
+          .filter(col("kb") === col("k"))
+          .withColumn("r",
+            row_number().over(Window.partitionBy("c_nationkey")
+              .orderBy("m", "o_orderpriority")).cast("long"))
+        val rsums = ranked.groupBy("o_orderpriority")
+          .agg(sum(col("r")).cast("long").as("rank_sum"),
+            count(lit(1)).cast("long").as("b"))
+        rsums.crossJoin(broadcast(k))
+          .crossJoin(broadcast(rsums.agg(
+            sum(col("rank_sum") * col("rank_sum")).cast("long")
+              .as("sr2"))))
+          .select(col("o_orderpriority"), col("rank_sum"), col("b"),
+            col("k"),
+            round(col("rank_sum").cast("double")
+              / col("b").cast("double"), 6).as("mean_rank"),
+            round(lit(12.0) * col("sr2").cast("double")
+              / (col("b") * col("k") * (col("k") + 1)).cast("double")
+              - lit(3.0) * (col("b") * (col("k") + 1)).cast("double"), 6)
+              .as("chi2_f"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH cells AS (
+                SELECT c_nationkey, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              mm AS (
+                SELECT c_nationkey, o_orderpriority,
+                  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS m
+                FROM cells),
+              kk AS (
+                SELECT CAST(MAX(kb) AS BIGINT) AS k FROM (
+                  SELECT count(*) AS kb FROM mm GROUP BY c_nationkey)),
+              full_blocks AS (
+                SELECT mm.*, kk.k FROM mm, kk
+                WHERE c_nationkey IN (
+                  SELECT c_nationkey FROM mm, kk
+                  GROUP BY c_nationkey, k HAVING count(*) = k)),
+              ranked AS (
+                SELECT o_orderpriority, k,
+                  CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY m, o_orderpriority) AS BIGINT) AS r
+                FROM full_blocks),
+              rsums AS (
+                SELECT o_orderpriority, MAX(k) AS k,
+                  CAST(SUM(r) AS BIGINT) AS rank_sum,
+                  CAST(count(*) AS BIGINT) AS b
+                FROM ranked GROUP BY 1),
+              sr AS (
+                SELECT CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS sr2
+                FROM rsums)
+              SELECT o_orderpriority, rank_sum, b, CAST(k AS BIGINT) AS k,
+                round(CAST(rank_sum AS DOUBLE) / CAST(b AS DOUBLE), 6)
+                  AS mean_rank,
+                round(12.0 * CAST(sr2 AS DOUBLE)
+                  / CAST(b * k * (k + 1) AS DOUBLE)
+                  - 3.0 * CAST(b * (k + 1) AS DOUBLE), 6) AS chi2_f
+              FROM rsums, sr ORDER BY o_orderpriority"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
