@@ -4067,7 +4067,76 @@ object EventTime {
                   AS first_rule1_day,
                 CAST(MIN(CASE WHEN r2 = 1 THEN d END) AS BIGINT)
                   AS first_rule2_day
-              FROM r2f"""))
+              FROM r2f""")),
+
+    // ── upper/lower tail dependence: spend vs traffic extremes ──────────
+    // Do the heaviest-revenue days coincide with the busiest days?
+    // Empirical tail-dependence λ_U = P(Y in top-k | X in top-k) on the
+    // day census (X = cent total, Y = event count), k = ⌈n/20⌉ — the
+    // copula-tail readout that correlation misses. Ranks are
+    // row_number over (value, day) total orders, so the tail sets and
+    // both λ are EXACT integer counts and two final divisions; one
+    // events pass, day-census-bounded.
+    Q("q_tail_dependence",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("x"),
+            count(lit(1)).cast("long").as("y"))
+          .withColumn("rx",
+            row_number().over(Window.orderBy("x", "d")).cast("long"))
+          .withColumn("ry",
+            row_number().over(Window.orderBy("y", "d")).cast("long"))
+        days
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("k",
+            greatest(lit(1L), expr("CAST((n + 19) div 20 AS BIGINT)")))
+          .agg(max(col("n")).cast("long").as("n_days"),
+            max(col("k")).cast("long").as("k_tail"),
+            sum(when(col("rx") > col("n") - col("k")
+              && col("ry") > col("n") - col("k"), 1L).otherwise(0L))
+              .cast("long").as("both_upper"),
+            sum(when(col("rx") <= col("k") && col("ry") <= col("k"), 1L)
+              .otherwise(0L)).cast("long").as("both_lower"))
+          .select(col("n_days"), col("k_tail"),
+            col("both_upper"), col("both_lower"),
+            round(col("both_upper").cast("double")
+              / col("k_tail").cast("double"), 12).as("lambda_upper"),
+            round(col("both_lower").cast("double")
+              / col("k_tail").cast("double"), 12).as("lambda_lower"))
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(ts AS DATE) AS d,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS x,
+                  CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1),
+              rk AS (
+                SELECT d, x, y,
+                  CAST(row_number() OVER (ORDER BY x, d) AS BIGINT)
+                    AS rx,
+                  CAST(row_number() OVER (ORDER BY y, d) AS BIGINT)
+                    AS ry
+                FROM cen),
+              nn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  GREATEST(CAST(1 AS BIGINT),
+                    CAST((count(*) + 19) // 20 AS BIGINT)) AS k
+                FROM rk)
+              SELECT n AS n_days, k AS k_tail,
+                CAST(SUM(CASE WHEN rx > n - k AND ry > n - k
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_upper,
+                CAST(SUM(CASE WHEN rx <= k AND ry <= k
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_lower,
+                round(CAST(SUM(CASE WHEN rx > n - k AND ry > n - k
+                  THEN 1 ELSE 0 END) AS DOUBLE) / k, 12)
+                  AS lambda_upper,
+                round(CAST(SUM(CASE WHEN rx <= k AND ry <= k
+                  THEN 1 ELSE 0 END) AS DOUBLE) / k, 12)
+                  AS lambda_lower
+              FROM rk, nn GROUP BY n, k"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

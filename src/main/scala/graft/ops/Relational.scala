@@ -6603,7 +6603,160 @@ object Relational {
                 round(12.0 * CAST(sr2 AS DOUBLE)
                   / CAST(b * k * (k + 1) AS DOUBLE)
                   - 3.0 * CAST(b * (k + 1) AS DOUBLE), 6) AS chi2_f
-              FROM rsums, sr ORDER BY o_orderpriority"""))
+              FROM rsums, sr ORDER BY o_orderpriority""")),
+
+    // ── Mantel–Haenszel pooled odds ratio (nation-stratified 2×2) ───────
+    // Does urgent priority associate with big orders once nation mix is
+    // controlled? Per-nation 2×2 (exposed = priority 1-2, outcome =
+    // totalprice > $250k), OR_MH = Σaᵢdᵢ/nᵢ ÷ Σbᵢcᵢ/nᵢ. Cells are
+    // exact integer counts from ONE orders⋈customer pass; the rational
+    // per-stratum terms are O(100) so they round to 6 (12 decimals past
+    // double precision at that magnitude) and fold nation-pinned; the
+    // pooled ratio is one final IEEE division. Nations-bounded census.
+    Q("q_mantel_haenszel",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"),
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("e"),
+            (expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              > 25000000L).as("y"))
+          .groupBy("c_nationkey")
+          .agg(
+            sum(when(col("e") && col("y"), 1L).otherwise(0L))
+              .cast("long").as("a"),
+            sum(when(col("e") && !col("y"), 1L).otherwise(0L))
+              .cast("long").as("b"),
+            sum(when(!col("e") && col("y"), 1L).otherwise(0L))
+              .cast("long").as("c"),
+            sum(when(!col("e") && !col("y"), 1L).otherwise(0L))
+              .cast("long").as("d"))
+          .select(col("c_nationkey"),
+            (col("a") + col("b") + col("c") + col("d")).as("n"),
+            col("a"), col("b"), col("c"), col("d"))
+          .filter(col("n") > 0)
+          .select(col("c_nationkey"),
+            round((col("a") * col("d")).cast("double")
+              / col("n").cast("double"), 6).as("r"),
+            round((col("b") * col("c")).cast("double")
+              / col("n").cast("double"), 6).as("ss"))
+        cells.agg(count(lit(1)).cast("long").as("n_strata"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, r))),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x.r)""")
+              .as("sum_r"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, ss))),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x.ss)""")
+              .as("sum_s"))
+          .select(col("n_strata"),
+            round(col("sum_r"), 6).as("sum_r"),
+            round(col("sum_s"), 6).as("sum_s"),
+            when(col("sum_s") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("sum_r") / col("sum_s"), 6))
+              .as("or_mh"))
+      },
+      Some("""WITH cells AS (
+                SELECT c_nationkey,
+                  CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+                  CAST(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+                FROM (
+                  SELECT c_nationkey,
+                    o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) > 25000000 AS y
+                  FROM orders JOIN customer ON o_custkey = c_custkey)
+                GROUP BY 1),
+              terms AS (
+                SELECT c_nationkey,
+                  round(CAST(a * d AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 6) AS r,
+                  round(CAST(b * c AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 6) AS ss
+                FROM cells WHERE a + b + c + d > 0),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(r ORDER BY c_nationkey)),
+                    (acc, x) -> acc + x) AS sum_r,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ss ORDER BY c_nationkey)),
+                    (acc, x) -> acc + x) AS sum_s
+                FROM terms)
+              SELECT n_strata, round(sum_r, 6) AS sum_r,
+                round(sum_s, 6) AS sum_s,
+                CASE WHEN sum_s <= 0 THEN NULL
+                  ELSE round(sum_r / sum_s, 6) END AS or_mh
+              FROM agg""")),
+
+    // ── Grubbs max-outlier statistic on daily order volume ──────────────
+    // The formal single-outlier test the IQR/z-score screens lack:
+    // G = max|xₜ − x̄| / s over the daily revenue census. Moments come
+    // from exact DECIMAL cent sums (one orders pass → day census);
+    // mean/sd/deviations are row-local IEEE on identical doubles; the
+    // argmax day is an exact-compare pick off the 12-dec-rounded
+    // deviation with a (dev DESC, day) total order.
+    Q("q_grubbs_test",
+      (s, dir) => {
+        // persist: the day census feeds the moment agg AND the argmax
+        // scan — un-persisted, each consumer re-scans orders
+        val days = t(s, dir, "orders")
+          .select(col("o_orderdate").cast("date").as("d"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("d")
+          .agg(sum(col("c").cast(DecimalType(38, 0))).as("x"))
+          .persist()
+        val mom = days.agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x")).as("s1"),
+            sum(col("x") * col("x").cast(DecimalType(38, 0))).as("s2"))
+          .select(col("n"),
+            (col("s1").cast("double") / col("n").cast("double"))
+              .as("mean"),
+            sqrt((col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double")
+                / col("n").cast("double"))
+              / (col("n") - 1).cast("double")).as("sd"))
+        days.crossJoin(broadcast(mom))
+          .filter(col("sd") > 0)
+          .select(col("d"), col("n"),
+            round(abs(col("x").cast("double") - col("mean"))
+              / col("sd"), 12).as("g"))
+          .orderBy(col("g").desc, col("d"))
+          .limit(1)
+          .select(col("n").as("n_days"),
+            round(col("g"), 6).as("grubbs_g"),
+            date_format(col("d"), "yyyy-MM-dd").as("outlier_day"))
+      },
+      Some("""WITH days AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS x
+                FROM orders GROUP BY 1),
+              mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS DOUBLE) / count(*) AS mean,
+                  sqrt((CAST(SUM(x * x) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                      / count(*)) / (count(*) - 1)) AS sd
+                FROM days)
+              SELECT n AS n_days,
+                round(round(abs(CAST(x AS DOUBLE) - mean) / sd, 12), 6)
+                  AS grubbs_g,
+                strftime(d, '%Y-%m-%d') AS outlier_day
+              FROM days, mom
+              WHERE sd > 0
+              ORDER BY round(abs(CAST(x AS DOUBLE) - mean) / sd, 12)
+                DESC, d
+              LIMIT 1"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
