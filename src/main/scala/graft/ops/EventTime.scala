@@ -4136,7 +4136,117 @@ object EventTime {
                 round(CAST(SUM(CASE WHEN rx <= k AND ry <= k
                   THEN 1 ELSE 0 END) AS DOUBLE) / k, 12)
                   AS lambda_lower
-              FROM rk, nn GROUP BY n, k"""))
+              FROM rk, nn GROUP BY n, k""")),
+
+    // ── STL-lite: weekday seasonal profile + seasonality strength ───────
+    // Classical decomposition of daily revenue: trend = centered 7-day
+    // MA (kept only where the window is full, so the trend is an EXACT
+    // integer 7-day cent sum), detrended = 7·x − t7 (exact), seasonal =
+    // weekday mean of detrended, remainder = detrended − seasonal, and
+    // strength = 1 − Var(R)/Var(detrended). Remainders are row-local
+    // IEEE on identical doubles, μ-integerized to 1e-6 dollars so the
+    // variance sums are EXACT integers — order-free, no pinned fold.
+    // One orders pass → persisted day census; everything downstream is
+    // day- or weekday-bounded.
+    Q("q_seasonal_strength",
+      (s, dir) => {
+        val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+        // persist: the detrended day frame feeds the weekday census AND
+        // the remainder/variance pass — un-persisted, each consumer
+        // re-scans orders
+        val det = t(s, dir, "orders")
+          .select(col("o_orderdate").cast("date").as("d"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("d")
+          .agg(sum(col("c")).cast("long").as("x"))
+          .withColumn("t7", sum(col("x")).over(w7).cast("long"))
+          .withColumn("n7", count(lit(1)).over(w7))
+          .filter(col("n7") === 7)
+          .select(col("d"), dayofweek(col("d")).cast("long").as("dow"),
+            (lit(7L) * col("x") - col("t7")).as("det7"))
+          .persist()
+        val season = det.groupBy("dow")
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            sum(col("det7").cast(DecimalType(38, 0))).as("sdet"))
+          .select(col("dow"), col("n_days"),
+            (col("sdet").cast("double") / col("n_days").cast("double"))
+              .as("s_units"))
+        val rem = det.join(broadcast(season), Seq("dow"))
+          .select(
+            floor((col("det7").cast("double") - col("s_units"))
+              / 700.0 * 1e6 + 0.5).cast("long").as("r6"),
+            floor(col("det7").cast("double") / 700.0 * 1e6 + 0.5)
+              .cast("long").as("d6"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("r6").cast(DecimalType(38, 0))).as("sr"),
+            sum(col("r6").cast(DecimalType(38, 0)) * col("r6")).as("srr"),
+            sum(col("d6").cast(DecimalType(38, 0))).as("sd"),
+            sum(col("d6").cast(DecimalType(38, 0)) * col("d6")).as("sdd"))
+          .select(col("n"),
+            ((col("srr").cast("double")
+              - col("sr").cast("double") * col("sr").cast("double")
+                / col("n").cast("double"))
+              / (col("n") - 1).cast("double") / 1e12).as("var_r"),
+            ((col("sdd").cast("double")
+              - col("sd").cast("double") * col("sd").cast("double")
+                / col("n").cast("double"))
+              / (col("n") - 1).cast("double") / 1e12).as("var_d"))
+        season.crossJoin(broadcast(rem))
+          .select(col("dow"), col("n_days"),
+            round(col("s_units") / 700.0, 6).as("seasonal_dollars"),
+            when(col("var_d") <= 0, lit(null).cast("double"))
+              .otherwise(round(lit(1.0) - col("var_r") / col("var_d"), 6))
+              .as("seasonal_strength"))
+          .orderBy("dow")
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                  CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              ma AS (
+                SELECT d, x,
+                  CAST(SUM(x) OVER w AS BIGINT) AS t7,
+                  CAST(count(*) OVER w AS BIGINT) AS n7
+                FROM cen
+                WINDOW w AS (ORDER BY d
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              det AS (
+                SELECT d, CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+                  7 * x - t7 AS det7
+                FROM ma WHERE n7 = 7),
+              season AS (
+                SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(SUM(CAST(det7 AS HUGEINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS s_units
+                FROM det GROUP BY 1),
+              r6 AS (
+                SELECT
+                  CAST(floor((CAST(det7 AS DOUBLE) - s_units)
+                    / 700.0 * 1e6 + 0.5) AS BIGINT) AS r6,
+                  CAST(floor(CAST(det7 AS DOUBLE) / 700.0 * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                FROM det JOIN season USING (dow)),
+              vv AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  (CAST(SUM(CAST(r6 AS HUGEINT) * r6) AS DOUBLE)
+                    - CAST(SUM(CAST(r6 AS HUGEINT)) AS DOUBLE)
+                      * CAST(SUM(CAST(r6 AS HUGEINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                    / CAST(count(*) - 1 AS DOUBLE) / 1e12 AS var_r,
+                  (CAST(SUM(CAST(d6 AS HUGEINT) * d6) AS DOUBLE)
+                    - CAST(SUM(CAST(d6 AS HUGEINT)) AS DOUBLE)
+                      * CAST(SUM(CAST(d6 AS HUGEINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                    / CAST(count(*) - 1 AS DOUBLE) / 1e12 AS var_d
+                FROM r6)
+              SELECT dow, n_days,
+                round(s_units / 700.0, 6) AS seasonal_dollars,
+                CASE WHEN var_d <= 0 THEN NULL
+                  ELSE round(1.0 - var_r / var_d, 6) END
+                  AS seasonal_strength
+              FROM season, vv ORDER BY dow"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

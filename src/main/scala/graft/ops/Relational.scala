@@ -6756,7 +6756,222 @@ object Relational {
               WHERE sd > 0
               ORDER BY round(abs(CAST(x AS DOUBLE) - mean) / sd, 12)
                 DESC, d
-              LIMIT 1"""))
+              LIMIT 1""")),
+
+    // ── ICC(1,1): how much order-value variance is "nation"? ────────────
+    // One-way random-effects intraclass correlation over nations:
+    // ICC = (MSB − MSW) / (MSB + (n₀−1)·MSW), n₀ the unbalanced-design
+    // effective group size (N − Σnᵢ²/N)/(k−1). Per-nation exact cent
+    // moments in ONE orders⋈customer pass; SSB/SSW terms are row-local
+    // IEEE rounded 6 and fold nation-pinned (the q_anova idiom);
+    // everything after the ≤25-row census is 1-row arithmetic.
+    Q("q_icc",
+      (s, dir) => {
+        val census = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("c").cast(DecimalType(38, 0))).as("s"),
+            sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("ss"))
+          .persist()
+        val tot = census.agg(sum(col("n")).cast("long").as("n_tot"),
+          sum(col("s")).as("s_tot"),
+          sum(col("n").cast(DecimalType(38, 0)) * col("n")).as("sn2"))
+        census.crossJoin(broadcast(tot))
+          .select(col("c_nationkey"), col("n"), col("n_tot"), col("sn2"),
+            round(col("n").cast("double")
+              * (col("s").cast("double") / col("n").cast("double")
+                - col("s_tot").cast("double") / col("n_tot").cast("double"))
+              * (col("s").cast("double") / col("n").cast("double")
+                - col("s_tot").cast("double") / col("n_tot").cast("double"))
+              / 1e12, 6).as("ssb_term"),
+            round((col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double")
+                / col("n").cast("double")) / 1e12, 6).as("ssw_term"))
+          .agg(count(lit(1)).cast("long").as("k"),
+            max(col("n_tot")).as("n_tot"),
+            max(col("sn2")).as("sn2"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, ssb_term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssb_term)""")
+              .as("ssb"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, ssw_term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssw_term)""")
+              .as("ssw"))
+          .select(col("k"), col("n_tot").as("n"),
+            round((col("n_tot").cast("double")
+              - col("sn2").cast("double") / col("n_tot").cast("double"))
+              / (col("k") - 1).cast("double"), 6).as("n0"),
+            (col("ssb") / (col("k") - 1).cast("double")).as("msb"),
+            (col("ssw") / (col("n_tot") - col("k")).cast("double"))
+              .as("msw"))
+          .select(col("k"), col("n"), col("n0"),
+            round(col("msb"), 6).as("msb"),
+            round(col("msw"), 6).as("msw"),
+            when(col("msb") + (col("n0") - 1) * col("msw") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("msb") - col("msw"))
+                / (col("msb") + (col("n0") - 1) * col("msw")), 6))
+              .as("icc"))
+      },
+      Some("""WITH census AS (
+                SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS ss
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                  SUM(CAST(s AS HUGEINT)) AS s_tot,
+                  SUM(CAST(n AS HUGEINT) * n) AS sn2
+                FROM census),
+              terms AS (
+                SELECT c_nationkey, n_tot, sn2,
+                  round(CAST(n AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                    / 1e12, 6) AS ssb_term,
+                  round((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / 1e12, 6) AS ssw_term
+                FROM census, tot),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(MAX(n_tot) AS BIGINT) AS n_tot,
+                  MAX(sn2) AS sn2,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ssb_term ORDER BY c_nationkey)),
+                    (a, x) -> a + x) AS ssb,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ssw_term ORDER BY c_nationkey)),
+                    (a, x) -> a + x) AS ssw
+                FROM terms),
+              ms AS (
+                SELECT k, n_tot AS n,
+                  round((CAST(n_tot AS DOUBLE)
+                    - CAST(sn2 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                    / CAST(k - 1 AS DOUBLE), 6) AS n0,
+                  ssb / CAST(k - 1 AS DOUBLE) AS msb,
+                  ssw / CAST(n_tot - k AS DOUBLE) AS msw
+                FROM agg)
+              SELECT k, n, n0,
+                round(msb, 6) AS msb, round(msw, 6) AS msw,
+                CASE WHEN msb + (n0 - 1) * msw <= 0 THEN NULL
+                  ELSE round((msb - msw) / (msb + (n0 - 1) * msw), 6)
+                  END AS icc
+              FROM ms""")),
+
+    // ── Croston intermittent-demand forecast (top-10 parts) ─────────────
+    // The sparse-demand classic the EWMA/Holt family mishandles:
+    // separate exponential smoothing of demand SIZE and demand
+    // INTERVAL, forecast = z/p units·day⁻¹. Demand days come from one
+    // lineitem pass; gaps ride a per-part lag window; the replay folds
+    // the last ≤16 demand days per part (bounded state — the full
+    // history per part grows with corpus scale, the tail does not).
+    // Spark folds a sorted struct array; the oracle replays the
+    // identical op sequence through a per-part recursive CTE, so the
+    // doubles stay bit-equal. Output: the 10 highest-traffic parts.
+    Q("q_croston",
+      (s, dir) => {
+        // persist: the demand-day census feeds the top-10 pick AND the
+        // replay — un-persisted, each consumer re-scans lineitem
+        val demands = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            col("l_shipdate").cast("date").as("d"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)")
+              .as("q"))
+          .groupBy("l_partkey", "d")
+          .agg(sum(col("q")).cast("long").as("q"))
+          .persist()
+        val top = demands.groupBy("l_partkey")
+          .agg(count(lit(1)).cast("long").as("n_demand_days"))
+          .orderBy(col("n_demand_days").desc, col("l_partkey"))
+          .limit(10)
+        val wpart = Window.partitionBy("l_partkey").orderBy("d")
+        val kept = demands.join(broadcast(top), Seq("l_partkey"))
+          .withColumn("gap",
+            datediff(col("d"), lag(col("d"), 1).over(wpart))
+              .cast("double"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("l_partkey")
+              .orderBy(col("d").desc)))
+          .filter(col("rn") <= 16)
+        kept.groupBy("l_partkey", "n_demand_days")
+          .agg(sort_array(collect_list(
+            struct(col("d"), col("q"), col("gap")))).as("ser"))
+          .select(col("l_partkey"), col("n_demand_days"),
+            expr("""aggregate(
+                      slice(ser, 2, size(ser) - 1),
+                      named_struct(
+                        'z', CAST(ser[0].q AS DOUBLE),
+                        'p', CAST(1.0 AS DOUBLE)),
+                      (a, x) -> named_struct(
+                        'z', 0.2 * CAST(x.q AS DOUBLE) + 0.8 * a.z,
+                        'p', 0.2 * x.gap + 0.8 * a.p))""").as("st"))
+          .select(col("l_partkey"), col("n_demand_days"),
+            round(col("st.z"), 6).as("size_forecast"),
+            round(col("st.p"), 6).as("interval_forecast"),
+            when(col("st.p") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("st.z") / col("st.p"), 6))
+              .as("demand_rate"))
+          .orderBy(col("n_demand_days").desc, col("l_partkey"))
+      },
+      Some("""WITH RECURSIVE demands AS (
+                SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+                  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                    AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2),
+              top AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT)
+                  AS n_demand_days
+                FROM demands GROUP BY 1
+                ORDER BY n_demand_days DESC, l_partkey LIMIT 10),
+              kept AS (
+                SELECT demands.l_partkey, n_demand_days, d, q,
+                  CAST(d - lag(d) OVER (PARTITION BY demands.l_partkey
+                    ORDER BY d) AS DOUBLE) AS gap,
+                  row_number() OVER (PARTITION BY demands.l_partkey
+                    ORDER BY d DESC) AS rn
+                FROM demands JOIN top USING (l_partkey)),
+              idx AS (
+                SELECT l_partkey, n_demand_days, q, gap,
+                  CAST(row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY d) AS BIGINT) AS i
+                FROM kept WHERE rn <= 16),
+              mx AS (
+                SELECT l_partkey, MAX(i) AS imax FROM idx GROUP BY 1),
+              rec(l_partkey, i, z, p) AS (
+                SELECT l_partkey, CAST(1 AS BIGINT),
+                  CAST(q AS DOUBLE), CAST(1.0 AS DOUBLE)
+                FROM idx WHERE i = 1
+                UNION ALL
+                SELECT r.l_partkey, r.i + 1,
+                  0.2 * CAST(x.q AS DOUBLE) + 0.8 * r.z,
+                  0.2 * x.gap + 0.8 * r.p
+                FROM rec r JOIN idx x
+                  ON x.l_partkey = r.l_partkey AND x.i = r.i + 1)
+              SELECT idx.l_partkey, MAX(n_demand_days) AS n_demand_days,
+                round(MAX(z), 6) AS size_forecast,
+                round(MAX(p), 6) AS interval_forecast,
+                CASE WHEN MAX(p) <= 0 THEN NULL
+                  ELSE round(MAX(z) / MAX(p), 6) END AS demand_rate
+              FROM rec JOIN mx ON rec.l_partkey = mx.l_partkey
+                AND rec.i = mx.imax
+              JOIN idx ON idx.l_partkey = rec.l_partkey AND idx.i = 1
+              GROUP BY idx.l_partkey
+              ORDER BY n_demand_days DESC, idx.l_partkey"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
