@@ -6434,16 +6434,17 @@ object Relational {
               FROM m""")),
 
     // ── Lorenz curve: revenue concentration by customer decile ──────────
-    // The curve behind q_gini's scalar: customers ranked by exact
-    // order-revenue cents, NTILE(10) deciles (ties broken by custkey —
-    // a total order, so both engines cut identical deciles), per-decile
-    // exact sums, then cumulative shares. The per-customer census is
-    // one partial+final agg; the decile rank is ONE range-partitioned
-    // sort of the customer-sized census (never the fact table); shares
-    // are two final IEEE divisions per decile row.
+    // The curve behind q_gini's scalar: customers ranked ASCENDING by
+    // exact order-revenue cents (tie-broken by custkey — a total
+    // order), cut into tenths by (rn−1)·10 div n, per-decile exact
+    // sums, then cumulative shares. The per-customer census is one
+    // partial+final agg; the rank rides RangeRank's 2-pass range
+    // partitioning — the customer census GROWS with the corpus, so a
+    // single-task global window would serialize at 100 TB (the
+    // q_ltv_deciles discipline); shares are final IEEE divisions on
+    // the 10-row frame.
     Q("q_lorenz_curve",
       (s, dir) => {
-        val wnt = Window.orderBy("cents", "o_custkey")
         val wcum = Window.orderBy("decile")
           .rowsBetween(Window.unboundedPreceding, 0)
         // persist: the customer census feeds the decile cut AND the
@@ -6455,8 +6456,10 @@ object Relational {
           .groupBy("o_custkey")
           .agg(sum(col("c").cast(DecimalType(38, 0))).as("cents"))
           .persist()
-        cust
-          .withColumn("decile", ntile(10).over(wnt).cast("long"))
+        RangeRank.ranked(cust, Seq.empty,
+            Seq(col("cents"), col("o_custkey")))
+          .select(col("cents"),
+            expr("CAST((rn - 1) * 10 div n + 1 AS BIGINT)").as("decile"))
           .groupBy("decile")
           .agg(count(lit(1)).cast("long").as("n_customers"),
             sum(col("cents")).as("rev"))
@@ -6481,8 +6484,10 @@ object Relational {
                 FROM orders GROUP BY 1),
               dec AS (
                 SELECT o_custkey, cents,
-                  CAST(ntile(10) OVER (ORDER BY cents, o_custkey)
-                    AS BIGINT) AS decile
+                  CAST((CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                    AS BIGINT) - 1) * 10
+                    // (SELECT count(*) FROM cust) + 1 AS BIGINT)
+                    AS decile
                 FROM cust),
               per AS (
                 SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,

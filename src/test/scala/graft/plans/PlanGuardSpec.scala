@@ -942,4 +942,37 @@ class PlanGuardSpec extends SparkSpec {
         s"$q truncates the audit instead of censusing")
     }
   }
+
+  /** Parquet-scan count by PHYSICAL TREE WALK (the hashExchanges
+    * discipline): InMemoryTableScan is a leaf, so a persisted census's
+    * one-time build scan does not count against its consumers — what
+    * remains is exactly the scans the query re-pays per execution.
+    */
+  private def parquetScans(name: String): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = qe(name).executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    root.collect { case s: FileSourceScanExec => s }.size
+  }
+
+  test("stats-battery scan budgets: persisted censuses are read, not rebuilt") {
+    // single-pass conditional-sum queries pay exactly their source scans;
+    // multi-consumer queries persist the census and pay ZERO parquet
+    // scans at readout (the cache build paid the one scan)
+    val budgets = Seq(
+      "q_fisher_index" -> 1, "q_taylor_law" -> 1, "q_chao1" -> 1,
+      "q_tail_dependence" -> 1, "q_mantel_haenszel" -> 2,
+      "q_tukey_hsd" -> 0, "q_lorenz_curve" -> 0, "q_friedman_test" -> 0,
+      "q_grubbs_test" -> 0, "q_icc" -> 0, "q_croston" -> 0,
+      "q_seasonal_strength" -> 0)
+    for ((q, budget) <- budgets) {
+      val scans = parquetScans(q)
+      assert(scans <= budget,
+        s"$q pays $scans parquet scans per execution (budget $budget) — " +
+          "a census is being rebuilt instead of read")
+    }
+  }
 }
