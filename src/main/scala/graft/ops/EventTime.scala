@@ -4246,7 +4246,72 @@ object EventTime {
                 CASE WHEN var_d <= 0 THEN NULL
                   ELSE round(1.0 - var_r / var_d, 6) END
                   AS seasonal_strength
-              FROM season, vv ORDER BY dow"""))
+              FROM season, vv ORDER BY dow""")),
+
+    // ── local-level Kalman filter on daily mean spend ───────────────────
+    // State-space smoothing the EWMA family can't do: a 1-D Kalman
+    // filter (Q=1, R=25, P₀=100 $²) whose gain ADAPTS — high while the
+    // prior is vague, converging to the steady-state Riccati gain.
+    // Day means are IEEE ratios of exact cent sums; the replay folds
+    // the day-ordered census with the Spark struct-fold ≡ recursive-CTE
+    // oracle discipline (identical per-step op text, bit-equal
+    // doubles). One events pass, day-census-bounded state.
+    Q("q_kalman_filter",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast(DecimalType(38, 0))).as("sc"))
+          .select(col("d"),
+            (col("sc").cast("double") / col("n").cast("double") / 100.0)
+              .as("v"))
+        daily
+          .agg(sort_array(collect_list(struct(col("d"), col("v"))))
+            .as("ser"))
+          .select(expr(
+            """aggregate(
+                 slice(ser, 2, size(ser) - 1),
+                 named_struct(
+                   'x', ser[0].v, 'p', CAST(100.0 AS DOUBLE), 'n', 1L),
+                 (a, x) -> named_struct(
+                   'x', a.x + ((a.p + 1.0) / (a.p + 1.0 + 25.0))
+                        * (x.v - a.x),
+                   'p', (1.0 - (a.p + 1.0) / (a.p + 1.0 + 25.0))
+                        * (a.p + 1.0),
+                   'n', a.n + 1L))""").as("st"))
+          .select(col("st.n").as("n_days"),
+            round(col("st.x"), 6).as("level"),
+            round(col("st.p"), 6).as("p_var"),
+            round((col("st.p") + 1.0) / (col("st.p") + 1.0 + 25.0), 6)
+              .as("gain_next"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc
+                FROM events GROUP BY 1),
+              idx AS (
+                SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                  AS i,
+                  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS v
+                FROM daily),
+              rec(i, x, p) AS (
+                SELECT CAST(1 AS BIGINT), v, CAST(100.0 AS DOUBLE)
+                FROM idx WHERE i = 1
+                UNION ALL
+                SELECT r.i + 1,
+                  r.x + ((r.p + 1.0) / (r.p + 1.0 + 25.0))
+                    * (e.v - r.x),
+                  (1.0 - (r.p + 1.0) / (r.p + 1.0 + 25.0))
+                    * (r.p + 1.0)
+                FROM rec r JOIN idx e ON e.i = r.i + 1)
+              SELECT i AS n_days, round(x, 6) AS level,
+                round(p, 6) AS p_var,
+                round((p + 1.0) / (p + 1.0 + 25.0), 6) AS gain_next
+              FROM rec WHERE i = (SELECT max(i) FROM idx)"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

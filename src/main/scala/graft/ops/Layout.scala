@@ -398,7 +398,32 @@ object Layout {
                 CAST(SUM(length(text)) AS BIGINT) AS n_chars,
                 CAST(MIN(doc_id) AS BIGINT) AS min_id,
                 CAST(MAX(doc_id) AS BIGINT) AS max_id
-              FROM documents GROUP BY 1 ORDER BY source"""))
+              FROM documents GROUP BY 1 ORDER BY source""")),
+
+    // ── XML ingest end-to-end (Spark 4 built-in XML source) ─────────────
+    // The enterprise-interchange member of the ingest family: events
+    // exported as <event> elements, read back with the built-in XML
+    // source (explicit schema + rowTag — no inference pass over 100 TB
+    // of markup). Epoch-micros timestamps and shortest-repr double
+    // serialization make the round-trip lossless; the per-type census
+    // hash-matches DuckDB on the ORIGINAL parquet.
+    Q("q_xml_source",
+      (s, dir) => {
+        val path = xmlEvents(s, dir)
+        s.read.schema(srcSchema).option("rowTag", "event").xml(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            max(col("event_id")).cast("long").as("max_id"),
+            sumDec2(col("value")).as("sum_val"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(MAX(event_id) AS BIGINT) AS max_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_val
+              FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 
   /** Schema of the text-exported event rows (ts as exact epoch micros —
@@ -465,6 +490,17 @@ object Layout {
     orcMemo.computeIfAbsent((s, dir), _ => {
       val path = s"/tmp/graft-sources/${tag(dir)}/events_orc"
       srcProjection(s, dir).write.mode("overwrite").orc(path)
+      path
+    })
+
+  private val xmlMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def xmlEvents(s: SparkSession, dir: String): String =
+    xmlMemo.computeIfAbsent((s, dir), _ => {
+      val path = s"/tmp/graft-sources/${tag(dir)}/events_xml"
+      srcProjection(s, dir).write.mode("overwrite")
+        .option("rowTag", "event").option("rootTag", "events").xml(path)
       path
     })
 

@@ -6976,7 +6976,87 @@ object Relational {
                 AND rec.i = mx.imax
               JOIN idx ON idx.l_partkey = rec.l_partkey AND idx.i = 1
               GROUP BY idx.l_partkey
-              ORDER BY n_demand_days DESC, idx.l_partkey"""))
+              ORDER BY n_demand_days DESC, idx.l_partkey""")),
+
+    // ── Wilcoxon signed-rank: did nation revenue shift 1997 → 1998? ─────
+    // The PAIRED nonparametric twin of q_mann_whitney: per-nation
+    // revenue in the two years (conditional exact cent sums, ONE
+    // orders⋈customer pass), signed differences, |diff| ranked by
+    // row_number over the (|diff|, nation) total order (tie policy:
+    // broken, not midrank — documented), W⁺/W⁻ exact integer rank
+    // sums, normal-approximation z as the one final IEEE step. The
+    // pair frame is nation-bounded.
+    Q("q_wilcoxon_signed_rank",
+      (s, dir) => {
+        val diffs = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .filter(year(col("o_orderdate")).isin(1997, 1998))
+          .select(col("c_nationkey"),
+            (year(col("o_orderdate")) === 1998).as("cur"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("c_nationkey")
+          .agg(
+            sum(when(col("cur"), col("c")).otherwise(lit(0L))
+              .cast(DecimalType(38, 0))).as("c98"),
+            sum(when(!col("cur"), col("c")).otherwise(lit(0L))
+              .cast(DecimalType(38, 0))).as("c97"))
+          .select(col("c_nationkey"),
+            (col("c98") - col("c97")).cast("long").as("diff"))
+          .filter(col("diff") =!= 0)
+          .withColumn("r",
+            row_number().over(Window.orderBy(abs(col("diff")),
+              col("c_nationkey"))).cast("long"))
+        diffs.agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(when(col("diff") > 0, col("r")).otherwise(lit(0L)))
+              .cast("long").as("w_plus"),
+            sum(when(col("diff") < 0, col("r")).otherwise(lit(0L)))
+              .cast("long").as("w_minus"))
+          .select(col("n_pairs"), col("w_plus"), col("w_minus"),
+            when(col("n_pairs") < 2, lit(null).cast("double"))
+              .otherwise(round(
+                (col("w_plus").cast("double")
+                  - (col("n_pairs") * (col("n_pairs") + 1)).cast("double")
+                    / 4.0)
+                / sqrt((col("n_pairs") * (col("n_pairs") + 1)
+                  * (col("n_pairs") * 2 + 1)).cast("double") / 24.0), 6))
+              .as("z"))
+      },
+      Some("""WITH diffs AS (
+                SELECT c_nationkey,
+                  CAST(SUM(CAST(CASE WHEN yr = 1998 THEN c ELSE 0 END
+                    AS HUGEINT))
+                  - SUM(CAST(CASE WHEN yr = 1997 THEN c ELSE 0 END
+                    AS HUGEINT)) AS BIGINT) AS diff
+                FROM (
+                  SELECT c_nationkey, year(o_orderdate) AS yr,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS c
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  WHERE year(o_orderdate) IN (1997, 1998))
+                GROUP BY 1),
+              ranked AS (
+                SELECT diff,
+                  CAST(row_number() OVER (ORDER BY abs(diff),
+                    c_nationkey) AS BIGINT) AS r
+                FROM diffs WHERE diff <> 0),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(SUM(CASE WHEN diff > 0 THEN r ELSE 0 END)
+                    AS BIGINT) AS w_plus,
+                  CAST(SUM(CASE WHEN diff < 0 THEN r ELSE 0 END)
+                    AS BIGINT) AS w_minus
+                FROM ranked)
+              SELECT n_pairs, w_plus, w_minus,
+                CASE WHEN n_pairs < 2 THEN NULL
+                  ELSE round((CAST(w_plus AS DOUBLE)
+                    - CAST(n_pairs * (n_pairs + 1) AS DOUBLE) / 4.0)
+                    / sqrt(CAST(n_pairs * (n_pairs + 1)
+                      * (2 * n_pairs + 1) AS DOUBLE) / 24.0), 6) END
+                  AS z
+              FROM agg"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
