@@ -7056,7 +7056,276 @@ object Relational {
                     / sqrt(CAST(n_pairs * (n_pairs + 1)
                       * (2 * n_pairs + 1) AS DOUBLE) / 24.0), 6) END
                   AS z
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── exact 2×2 PCA: (quantity, price) principal axes ─────────────────
+    // PCA without an iterative solver: for two features the
+    // eigendecomposition is CLOSED FORM — λ = tr/2 ± √((a−c)²/4 + b²)
+    // on the covariance matrix, whose entries come from exact
+    // DECIMAL(38,0) cent/unit sums in ONE lineitem pass (the
+    // q_corr_matrix census). Price is carried in k$ so both variances
+    // are O(10³) and 6-dec rounds sit far above the ULP. PC1's
+    // direction is reported as a slope ((λ₁−a)/b — no transcendental
+    // angle), var share is scale-free.
+    Q("q_pca_2d",
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .select(
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)")
+              .as("x"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("y"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+            sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+            sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+            sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
+            sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"))
+        val cov = m.select(col("n"),
+          ((col("sxx").cast("double") - col("sx").cast("double")
+            * col("sx").cast("double") / col("n").cast("double"))
+            / (col("n") - 1).cast("double")).as("a"),
+          ((col("sxy").cast("double") - col("sx").cast("double")
+            * col("sy").cast("double") / col("n").cast("double"))
+            / (col("n") - 1).cast("double") / 1e5).as("b"),
+          ((col("syy").cast("double") - col("sy").cast("double")
+            * col("sy").cast("double") / col("n").cast("double"))
+            / (col("n") - 1).cast("double") / 1e10).as("c"))
+        cov.select(col("n"),
+            (sqrt((col("a") - col("c")) * (col("a") - col("c")) / 4.0
+              + col("b") * col("b"))).as("disc"),
+            col("a"), col("b"), col("c"))
+          .select(col("n"),
+            round((col("a") + col("c")) / 2.0 + col("disc"), 6)
+              .as("lambda1"),
+            round((col("a") + col("c")) / 2.0 - col("disc"), 6)
+              .as("lambda2"),
+            when(col("a") + col("c") <= 0, lit(null).cast("double"))
+              .otherwise(round(((col("a") + col("c")) / 2.0 + col("disc"))
+                / (col("a") + col("c")), 12)).as("var_share_1"),
+            when(col("b") === 0, lit(null).cast("double"))
+              .otherwise(round(
+                (((col("a") + col("c")) / 2.0 + col("disc")) - col("a"))
+                  / col("b"), 6)).as("pc1_slope"))
+      },
+      Some("""WITH m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                    AS BIGINT) AS HUGEINT)) AS sx,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS sy,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT))
+                    AS sxx,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS syy,
+                  SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sxy
+                FROM lineitem),
+              cov AS (
+                SELECT n,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE) AS a,
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE) / 1e5 AS b,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE) / 1e10 AS c
+                FROM m),
+              ei AS (
+                SELECT n, a, b, c,
+                  sqrt((a - c) * (a - c) / 4.0 + b * b) AS disc
+                FROM cov)
+              SELECT n,
+                round((a + c) / 2.0 + disc, 6) AS lambda1,
+                round((a + c) / 2.0 - disc, 6) AS lambda2,
+                CASE WHEN a + c <= 0 THEN NULL
+                  ELSE round(((a + c) / 2.0 + disc) / (a + c), 12) END
+                  AS var_share_1,
+                CASE WHEN b = 0 THEN NULL
+                  ELSE round((((a + c) / 2.0 + disc) - a) / b, 6) END
+                  AS pc1_slope
+              FROM ei""")),
+
+    // ── Mahalanobis outlier days (quantity, revenue) ────────────────────
+    // The multivariate twin of q_grubbs_test: daily (unit, k$) totals,
+    // d² = Δᵀ Σ⁻¹ Δ with the 2×2 covariance inverted in CLOSED FORM
+    // (det/adjugate — no solver). The day census persists once (one
+    // lineitem pass) and feeds the moment agg + the scoring rejoin;
+    // all algebra is row-local IEEE on identical doubles; the top-10
+    // pick sorts the 12-dec-rounded d² with a day tiebreak.
+    Q("q_mahalanobis_outliers",
+      (s, dir) => {
+        val days = t(s, dir, "lineitem")
+          .select(col("l_shipdate").cast("date").as("d"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)")
+              .as("q"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("d")
+          .agg(sum(col("q")).cast("long").as("xq"),
+            sum(col("c").cast(DecimalType(38, 0))).cast("long").as("yc"))
+          .persist()
+        // moments from EXACT integer sums — covar_samp would float-sum
+        // in partial-agg order (nondeterministic and engine-divergent)
+        val mom = days
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("xq").cast(DecimalType(38, 0))).as("sx"),
+            sum(col("yc").cast(DecimalType(38, 0))).as("sy"),
+            sum(col("xq").cast(DecimalType(38, 0)) * col("xq")).as("sxx"),
+            sum(col("yc").cast(DecimalType(38, 0)) * col("yc")).as("syy"),
+            sum(col("xq").cast(DecimalType(38, 0)) * col("yc")).as("sxy"))
+          .select(col("n"),
+            (col("sx").cast("double") / col("n").cast("double")).as("mx"),
+            (col("sy").cast("double") / col("n").cast("double") / 1e5)
+              .as("my"),
+            ((col("sxx").cast("double") - col("sx").cast("double")
+              * col("sx").cast("double") / col("n").cast("double"))
+              / (col("n") - 1).cast("double")).as("a"),
+            ((col("sxy").cast("double") - col("sx").cast("double")
+              * col("sy").cast("double") / col("n").cast("double"))
+              / (col("n") - 1).cast("double") / 1e5).as("b"),
+            ((col("syy").cast("double") - col("sy").cast("double")
+              * col("sy").cast("double") / col("n").cast("double"))
+              / (col("n") - 1).cast("double") / 1e10).as("cc"))
+        days
+          .select(col("d"), col("xq").cast("double").as("x"),
+            (col("yc").cast("double") / 1e5).as("y"))
+          .crossJoin(broadcast(mom))
+          .filter(col("a") * col("cc") - col("b") * col("b") > 0)
+          .select(col("d"), col("n"),
+            round((
+              (col("cc") * (col("x") - col("mx")) * (col("x") - col("mx"))
+                - lit(2.0) * col("b") * (col("x") - col("mx"))
+                  * (col("y") - col("my"))
+                + col("a") * (col("y") - col("my")) * (col("y") - col("my")))
+              / (col("a") * col("cc") - col("b") * col("b"))), 12)
+              .as("d2"))
+          .orderBy(col("d2").desc, col("d"))
+          .limit(10)
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            round(col("d2"), 6).as("d2"))
+      },
+      Some("""WITH dayc AS (
+                SELECT CAST(l_shipdate AS DATE) AS d,
+                  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,0))
+                    AS BIGINT)) AS BIGINT) AS xq,
+                  CAST(SUM(CAST(CAST(CAST(l_extendedprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT))
+                    AS BIGINT) AS yc
+                FROM lineitem GROUP BY 1),
+              momr AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(xq AS HUGEINT)) AS sx,
+                  SUM(CAST(yc AS HUGEINT)) AS sy,
+                  SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+                  SUM(CAST(yc AS HUGEINT) * yc) AS syy,
+                  SUM(CAST(xq AS HUGEINT) * yc) AS sxy
+                FROM dayc),
+              mom AS (
+                SELECT n,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e5 AS my,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE) AS a,
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE) / 1e5 AS b,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE) / 1e10 AS cc
+                FROM momr),
+              days AS (
+                SELECT d, CAST(xq AS DOUBLE) AS x,
+                  CAST(yc AS DOUBLE) / 1e5 AS y
+                FROM dayc)
+              SELECT strftime(d, '%Y-%m-%d') AS day,
+                round(round((cc * (x - mx) * (x - mx)
+                  - 2.0 * b * (x - mx) * (y - my)
+                  + a * (y - my) * (y - my))
+                  / (a * cc - b * b), 12), 6) AS d2
+              FROM days, mom
+              WHERE a * cc - b * b > 0
+              ORDER BY round((cc * (x - mx) * (x - mx)
+                - 2.0 * b * (x - mx) * (y - my)
+                + a * (y - my) * (y - my))
+                / (a * cc - b * b), 12) DESC, d
+              LIMIT 10""")),
+
+    // ── Cochran–Armitage trend: is urgent share drifting by year? ───────
+    // The ordered-categories χ² that q_chi2's nominal test can't see:
+    // weights wᵢ = ship-year index, binary = 1-URGENT. T and Var(T)
+    // are algebra over SIX exact integer sums (N, A, Σwn, Σwa, Σw²n and
+    // year count) from ONE orders pass — no fold at all; z and χ² are
+    // row-local IEEE at O(1–10³) magnitudes.
+    Q("q_cochran_armitage",
+      (s, dir) => {
+        val m = t(s, dir, "orders")
+          .select((year(col("o_orderdate")) - 1995).cast("long").as("w"),
+            when(col("o_orderpriority") === "1-URGENT", 1L)
+              .otherwise(0L).as("u"))
+          .agg(count(lit(1)).cast("long").as("nn"),
+            sum(col("u")).cast("long").as("aa"),
+            sum(col("w")).cast("long").as("swn"),
+            sum(col("w") * col("u")).cast("long").as("swa"),
+            sum(col("w") * col("w")).cast("long").as("sw2n"),
+            count_distinct(col("w")).cast("long").as("n_years"))
+        m.select(col("n_years"), col("nn").as("n"), col("aa").as("n_urgent"),
+            (col("swa").cast("double")
+              - col("swn").cast("double") * col("aa").cast("double")
+                / col("nn").cast("double")).as("t"),
+            ((col("aa").cast("double") / col("nn").cast("double"))
+              * (lit(1.0) - col("aa").cast("double")
+                / col("nn").cast("double"))
+              * (col("sw2n").cast("double")
+                - col("swn").cast("double") * col("swn").cast("double")
+                  / col("nn").cast("double"))).as("v"))
+          .select(col("n_years"), col("n"), col("n_urgent"),
+            when(col("v") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("t") / sqrt(col("v")), 6)).as("z"),
+            when(col("v") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("t") * col("t") / col("v"), 6))
+              .as("chi2_trend"))
+      },
+      Some("""WITH b AS (
+                SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS w,
+                  CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                    AS u
+                FROM orders),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS nn,
+                  CAST(SUM(u) AS BIGINT) AS aa,
+                  CAST(SUM(w) AS BIGINT) AS swn,
+                  CAST(SUM(w * u) AS BIGINT) AS swa,
+                  CAST(SUM(w * w) AS BIGINT) AS sw2n,
+                  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_years
+                FROM b),
+              tv AS (
+                SELECT n_years, nn AS n, aa AS n_urgent,
+                  CAST(swa AS DOUBLE)
+                    - CAST(swn AS DOUBLE) * CAST(aa AS DOUBLE)
+                      / CAST(nn AS DOUBLE) AS t,
+                  (CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (1.0 - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (CAST(sw2n AS DOUBLE)
+                      - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                        / CAST(nn AS DOUBLE)) AS v
+                FROM m)
+              SELECT n_years, n, n_urgent,
+                CASE WHEN v <= 0 THEN NULL
+                  ELSE round(t / sqrt(v), 6) END AS z,
+                CASE WHEN v <= 0 THEN NULL
+                  ELSE round(t * t / v, 6) END AS chi2_trend
+              FROM tv"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
