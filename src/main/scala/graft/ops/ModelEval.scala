@@ -301,6 +301,44 @@ object ModelEval {
           .as("f_stat"))
   }
 
+  /** Readout of [[anovaCensus]] for q_tukey_hsd — the post-hoc pairwise
+    * studentized-range statistics. Shared with the streaming twin: the
+    * drained Complete-mode ANOVA state finishes to the identical pair
+    * table (StreamingSpec parity test).
+    */
+  def tukeyFinish(census0: DataFrame): DataFrame = {
+    // persist: the ≤5-row census feeds the MSW fold AND both pair sides
+    val census = census0.persist()
+    val msw = census.agg(
+        sum(col("n")).as("n_tot"),
+        count(lit(1)).as("k"),
+        expr("""aggregate(array_sort(collect_list(struct(event_type,
+                  round(CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE), 6) AS ssw_term))),
+                CAST(0 AS DOUBLE), (a, x) -> a + x.ssw_term)""")
+          .as("ssw"))
+      .select((col("ssw")
+        / (col("n_tot") - col("k")).cast("double")).as("msw"))
+    val a = census.select(col("event_type").as("type_a"),
+      col("n").cast("long").as("n_a"),
+      (col("s").cast("double") / col("n").cast("double")).as("m_a"))
+    val b = census.select(col("event_type").as("type_b"),
+      col("n").cast("long").as("n_b"),
+      (col("s").cast("double") / col("n").cast("double")).as("m_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        round((col("m_a") - col("m_b")) / 100.0, 6).as("mean_diff"),
+        when(col("msw") <= 0, lit(null).cast("double"))
+          .otherwise(round(abs(col("m_a") - col("m_b"))
+            / sqrt(col("msw") / 2.0
+              * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double"))), 6))
+          .as("q_stat"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Jarque–Bera sufficient statistic: per-segment exact power sums
     * Σx^k (k ≤ 4, DECIMAL(38,0) cents). Mergeable Complete-mode
     * streaming state (≤segments rows); [[jbFinish]] over a drained
@@ -2941,37 +2979,7 @@ object ModelEval {
     // rows) with a 1-row MSW broadcast — all row-local IEEE on exact
     // cent sums.
     Q("q_tukey_hsd",
-      (s, dir) => {
-        val census = anovaCensus(t(s, dir, "events")).persist()
-        val msw = census.agg(
-            sum(col("n")).as("n_tot"),
-            count(lit(1)).as("k"),
-            expr("""aggregate(array_sort(collect_list(struct(event_type,
-                      round(CAST(ss AS DOUBLE)
-                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                          / CAST(n AS DOUBLE), 6) AS ssw_term))),
-                    CAST(0 AS DOUBLE), (a, x) -> a + x.ssw_term)""")
-              .as("ssw"))
-          .select((col("ssw")
-            / (col("n_tot") - col("k")).cast("double")).as("msw"))
-        val a = census.select(col("event_type").as("type_a"),
-          col("n").cast("long").as("n_a"),
-          (col("s").cast("double") / col("n").cast("double")).as("m_a"))
-        val b = census.select(col("event_type").as("type_b"),
-          col("n").cast("long").as("n_b"),
-          (col("s").cast("double") / col("n").cast("double")).as("m_b"))
-        a.join(b, col("type_a") < col("type_b"))
-          .crossJoin(broadcast(msw))
-          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-            round((col("m_a") - col("m_b")) / 100.0, 6).as("mean_diff"),
-            when(col("msw") <= 0, lit(null).cast("double"))
-              .otherwise(round(abs(col("m_a") - col("m_b"))
-                / sqrt(col("msw") / 2.0
-                  * (lit(1.0) / col("n_a").cast("double")
-                    + lit(1.0) / col("n_b").cast("double"))), 6))
-              .as("q_stat"))
-          .orderBy("type_a", "type_b")
-      },
+      (s, dir) => tukeyFinish(anovaCensus(t(s, dir, "events"))),
       Some("""WITH c AS (
                 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                   SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
@@ -3002,6 +3010,130 @@ object ModelEval {
                     / sqrt(msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) END
                   AS q_stat
               FROM c a JOIN c b ON a.event_type < b.event_type, msw
-              ORDER BY type_a, type_b"""))
+              ORDER BY type_a, type_b""")),
+
+    // ── log-rank test: do urgent orders fulfil on a different curve? ────
+    // The two-group comparison q_survival_km's single curve can't make:
+    // same duration/event definitions (order → first ship, event =
+    // status F), groups = priority 1-2 vs rest. Per distinct duration
+    // the at-risk counts are EXACT suffix sums over the dur census
+    // (total − exclusive prefix, the KM idiom); O−E and variance terms
+    // are row-local rationals of those integers, rounded 9 and folded
+    // dur-pinned; χ² = (ΣO−ΣE)²/ΣV is the one final IEEE step. Two
+    // fact scans (lineitem first-ship + orders), dur-census-bounded.
+    Q("q_log_rank",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("ship0"))
+        val durs = t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            datediff(to_date(col("ship0")), to_date(col("o_orderdate")))
+              .cast("long").as("dur"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("ev"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("g"))
+        val census = durs.groupBy("dur")
+          .agg(sum(when(col("g") === 1, col("ev")).otherwise(lit(0L)))
+              .cast("long").as("d1"),
+            sum(when(col("g") === 1, lit(1L) - col("ev"))
+              .otherwise(lit(0L))).cast("long").as("c1"),
+            sum(when(col("g") === 0, col("ev")).otherwise(lit(0L)))
+              .cast("long").as("d0"),
+            sum(when(col("g") === 0, lit(1L) - col("ev"))
+              .otherwise(lit(0L))).cast("long").as("c0"))
+        val wAll = Window.partitionBy()
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = census
+          .select(col("dur"), col("d1"), col("d0"),
+            (sum(col("d1") + col("c1")).over(wAll)
+              - coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+              .cast("long").as("n1"),
+            (sum(col("d1") + col("c1") + col("d0") + col("c0")).over(wAll)
+              - coalesce(sum(col("d1") + col("c1") + col("d0") + col("c0"))
+                  .over(wPrev), lit(0L)))
+              .cast("long").as("nr"))
+          .filter(col("d1") + col("d0") > 0 && col("nr") > 1)
+          .select(col("dur"), col("d1"),
+            round((col("d1") + col("d0")).cast("double")
+              * col("n1").cast("double") / col("nr").cast("double"), 9)
+              .as("e1"),
+            round((col("d1") + col("d0")).cast("double")
+              * (col("n1").cast("double") / col("nr").cast("double"))
+              * (lit(1.0) - col("n1").cast("double")
+                / col("nr").cast("double"))
+              * (col("nr") - (col("d1") + col("d0"))).cast("double")
+              / (col("nr") - 1).cast("double"), 9).as("v"))
+        risk.agg(count(lit(1)).cast("long").as("n_times"),
+            sum(col("d1")).cast("long").as("o1"),
+            expr("""aggregate(array_sort(collect_list(struct(dur, e1))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.e1)""").as("se1"),
+            expr("""aggregate(array_sort(collect_list(struct(dur, v))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.v)""").as("sv"))
+          .select(col("n_times"), col("o1"),
+            round(col("se1"), 6).as("e1_total"),
+            when(col("sv") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                (col("o1").cast("double") - col("se1"))
+                  * (col("o1").cast("double") - col("se1")) / col("sv"),
+                6)).as("chi2"))
+      },
+      Some("""WITH firstship AS (
+                SELECT l_orderkey, MIN(l_shipdate) AS ship0
+                FROM lineitem GROUP BY 1),
+              durs AS (
+                SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(ship0 AS DATE)) AS BIGINT) AS dur,
+                  CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS ev,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS g
+                FROM orders JOIN firstship ON o_orderkey = l_orderkey),
+              census AS (
+                SELECT dur,
+                  CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(SUM(CASE WHEN g = 1 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN g = 0 THEN ev ELSE 0 END)
+                    AS BIGINT) AS d0,
+                  CAST(SUM(CASE WHEN g = 0 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS c0
+                FROM durs GROUP BY 1),
+              risk AS (
+                SELECT dur, d1, d0,
+                  CAST(SUM(d1 + c1) OVER ()
+                    - COALESCE(SUM(d1 + c1) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+                  CAST(SUM(d1 + c1 + d0 + c0) OVER ()
+                    - COALESCE(SUM(d1 + c1 + d0 + c0) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS nr
+                FROM census),
+              terms AS (
+                SELECT dur, d1,
+                  round(CAST(d1 + d0 AS DOUBLE)
+                    * CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE), 9) AS e1,
+                  round(CAST(d1 + d0 AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                    * (1.0 - CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                    * CAST(nr - (d1 + d0) AS DOUBLE)
+                    / CAST(nr - 1 AS DOUBLE), 9) AS v
+                FROM risk WHERE d1 + d0 > 0 AND nr > 1),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_times,
+                  CAST(SUM(d1) AS BIGINT) AS o1,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(e1 ORDER BY dur)), (a, x) -> a + x) AS se1,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(v ORDER BY dur)), (a, x) -> a + x) AS sv
+                FROM terms)
+              SELECT n_times, o1, round(se1, 6) AS e1_total,
+                CASE WHEN sv <= 0 THEN NULL
+                  ELSE round((CAST(o1 AS DOUBLE) - se1)
+                    * (CAST(o1 AS DOUBLE) - se1) / sv, 6) END AS chi2
+              FROM agg"""))
   )
 }

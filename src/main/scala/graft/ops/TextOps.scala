@@ -2814,7 +2814,84 @@ object TextOps {
                     / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
                 round(1.0 - CAST(f1 AS DOUBLE)
                   / CAST(n_grams AS DOUBLE), 12) AS coverage
-              FROM h"""))
+              FROM h""")),
+
+    // ── hashing-trick collision census (1024-bucket vectorizer) ─────────
+    // Before shipping a feature-hashed bag-of-words model, measure what
+    // the trick destroys: vocabulary → 1024 buckets via a fixed-window
+    // polynomial char hash (ascii/substr only — deliberately
+    // engine-portable arithmetic, NOT an engine hash builtin), then the
+    // bucket-load histogram + Σload²-based collision probability. Two
+    // integer censuses (vocab → buckets → loads), one corpus scan,
+    // everything bounded by vocab then 1024 then distinct loads.
+    Q("q_feature_hashing",
+      (s, dir) => {
+        // bigram features: the unigram vocab of the synthetic corpus is
+        // ~31 types — bigrams give a vocabulary that actually collides
+        val bucket = expr(
+          """pmod(ascii(substring(tok, 1, 1)) * 29791
+               + ascii(substring(tok, 2, 1)) * 961
+               + ascii(substring(tok, 3, 1)) * 31
+               + ascii(substring(tok, 4, 1)) * 7
+               + ascii(substring(tok, -1, 1)) * 127
+               + length(tok), 1024)""")
+        val loads = t(s, dir, "documents")
+          .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(explode(expr(
+            """transform(
+                 CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1)
+                      ELSE array() END,
+                 i -> concat(toks[i - 1], ' ', toks[i]))""")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .select(bucket.cast("long").as("b"))
+          .groupBy("b").agg(count(lit(1)).cast("long").as("load"))
+          .persist()
+        val tot = loads.agg(sum(col("load")).cast("long").as("n_vocab"),
+          count(lit(1)).cast("long").as("n_used"),
+          sum(col("load") * (col("load") - 1)).cast("long").as("coll2"))
+        loads.groupBy("load")
+          .agg(count(lit(1)).cast("long").as("n_buckets"))
+          .crossJoin(broadcast(tot))
+          .select(col("load"), col("n_buckets"), col("n_vocab"),
+            col("n_used"),
+            round(col("coll2").cast("double")
+              / (col("n_vocab") * (col("n_vocab") - 1)).cast("double"),
+              12).as("collision_prob"))
+          .orderBy("load")
+      },
+      Some("""WITH tk AS (
+                SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                  AS toks
+                FROM documents),
+              vocab AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT toks[i] || ' ' || toks[i + 1] AS tok
+                      FROM (SELECT toks,
+                              unnest(generate_series(1, len(toks) - 1))
+                                AS i
+                            FROM tk))
+                GROUP BY 1),
+              loads AS (
+                SELECT ((ascii(substr(tok, 1, 1)) * 29791
+                    + ascii(substr(tok, 2, 1)) * 961
+                    + ascii(substr(tok, 3, 1)) * 31
+                    + ascii(substr(tok, 4, 1)) * 7
+                    + ascii(substr(tok, -1, 1)) * 127
+                    + length(tok)) % 1024 + 1024) % 1024 AS b,
+                  CAST(count(*) AS BIGINT) AS load
+                FROM vocab GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(load) AS BIGINT) AS n_vocab,
+                  CAST(count(*) AS BIGINT) AS n_used,
+                  CAST(SUM(load * (load - 1)) AS BIGINT) AS coll2
+                FROM loads)
+              SELECT load, CAST(count(*) AS BIGINT) AS n_buckets,
+                n_vocab, n_used,
+                round(CAST(coll2 AS DOUBLE)
+                  / CAST(n_vocab * (n_vocab - 1) AS DOUBLE), 12)
+                  AS collision_prob
+              FROM loads, tot GROUP BY load, n_vocab, n_used, coll2
+              ORDER BY load"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

@@ -564,6 +564,26 @@ class StreamingSpec extends SparkSpec {
       "drained ANOVA census diverged from batch q_anova")
   }
 
+  test("drained ANOVA census finishes to batch q_tukey_hsd exactly") {
+    // the SAME streaming state serves the omnibus F and the post-hoc
+    // pair table — one live census, two readouts
+    val dir = Files.createTempDirectory("graft-tukey").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.anovaCounts(StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_tukey", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.tukeyFinish(census).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_tukey_hsd")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained ANOVA census diverged from batch q_tukey_hsd")
+  }
+
   test("drained calibration census finishes to batch q_calibration exactly") {
     val dir = Files.createTempDirectory("graft-calib").toString
     Tables.load(spark, sfDir, "events")
