@@ -184,6 +184,75 @@ object Approx {
                   AS p50,
                 MAX(CASE WHEN rn = CAST(ceil(n * 0.975) AS BIGINT) THEN m END)
                   AS hi95
-              FROM r"""))
+              FROM r""")),
+
+    // ── quasi-Monte Carlo π (Halton low-discrepancy, EXACT integers) ────
+    // The compute-bound member of the estimation family: 59 049 Halton
+    // points (x = 16-bit radical inverse base 2, y = 10-digit radical
+    // inverse base 3 — closed-form digit sums, NO RNG, so the estimate
+    // is reproducible on any cluster), inside-circle test done wholly
+    // in scaled integers ((x·3¹⁰)² + (y·2¹⁶)² ≤ (2¹⁶·3¹⁰)² in
+    // DECIMAL(38,0)) — zero FP until the final 4·k/n. spark.range fans
+    // the index space across the cluster; the shape is embarrassingly
+    // parallel with a 1-row result, the template for any numerical
+    // integration the pipeline needs.
+    Q("q_quasi_monte_carlo",
+      (s, dir) => {
+        val x2 = (0 until 16)
+          .map(k => s"((id div ${1L << k}) % 2) * ${1L << (15 - k)}")
+          .mkString(" + ")
+        val y3 = (0 until 10)
+          .map(k => s"((id div ${pow3(k)}) % 3) * ${pow3(9 - k)}")
+          .mkString(" + ")
+        s.range(59049L).toDF("id")
+          .select(expr(s"CAST($x2 AS BIGINT)").as("x2"),
+            expr(s"CAST($y3 AS BIGINT)").as("y3"))
+          .select(when(
+            expr("CAST(x2 AS DECIMAL(38,0)) * 59049 * (x2 * 59049)")
+              + expr("CAST(y3 AS DECIMAL(38,0)) * 65536 * (y3 * 65536)")
+              <= expr("CAST(65536 AS DECIMAL(38,0)) * 59049 * 65536 * 59049"),
+            1L).otherwise(0L).as("inside"))
+          .agg(count(lit(1)).cast("long").as("n_points"),
+            sum(col("inside")).cast("long").as("n_inside"))
+          .select(col("n_points"), col("n_inside"),
+            round(lit(4.0) * col("n_inside").cast("double")
+              / col("n_points").cast("double"), 12).as("pi_estimate"),
+            round(abs(lit(4.0) * col("n_inside").cast("double")
+              / col("n_points").cast("double")
+              - lit(3.141592653589793)), 12).as("abs_error"))
+      },
+      Some {
+        val x2 = (0 until 16)
+          .map(k => s"((i // ${1L << k}) % 2) * ${1L << (15 - k)}")
+          .mkString(" + ")
+        val y3 = (0 until 10)
+          .map(k => s"((i // ${pow3(k)}) % 3) * ${pow3(9 - k)}")
+          .mkString(" + ")
+        s"""WITH pts AS (
+              SELECT CAST($x2 AS BIGINT) AS x2,
+                CAST($y3 AS BIGINT) AS y3
+              FROM range(59049) t(i)),
+            flags AS (
+              SELECT CASE WHEN
+                  CAST(x2 AS HUGEINT) * 59049 * (x2 * 59049)
+                  + CAST(y3 AS HUGEINT) * 65536 * (y3 * 65536)
+                  <= CAST(65536 AS HUGEINT) * 59049 * 65536 * 59049
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                AS inside
+              FROM pts),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_points,
+                CAST(SUM(inside) AS BIGINT) AS n_inside
+              FROM flags)
+            SELECT n_points, n_inside,
+              round(4.0 * CAST(n_inside AS DOUBLE)
+                / CAST(n_points AS DOUBLE), 12) AS pi_estimate,
+              round(abs(4.0 * CAST(n_inside AS DOUBLE)
+                / CAST(n_points AS DOUBLE) - 3.141592653589793), 12)
+                AS abs_error
+            FROM agg"""
+      })
   )
+
+  private def pow3(k: Int): Long = math.pow(3, k).toLong
 }

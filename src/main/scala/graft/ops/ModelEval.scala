@@ -3134,6 +3134,123 @@ object ModelEval {
                 CASE WHEN sv <= 0 THEN NULL
                   ELSE round((CAST(o1 AS DOUBLE) - se1)
                     * (CAST(o1 AS DOUBLE) - se1) / sv, 6) END AS chi2
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── Weibull fit of fulfilment times (median-rank regression) ────────
+    // The reliability-engineering readout of the q_survival_km data:
+    // completed orders' day-to-first-ship durations, grouped median
+    // ranks F = (cum − 0.3)/(n + 0.4), then ln(−ln(1−F)) ~ ln(t) OLS —
+    // shape < 1 means infant-mortality, > 1 wear-out. At-risk cum
+    // counts are exact prefix sums on the dur census; both logs are
+    // row-local IEEE and μ-integerized to 1e-9 so the OLS sums are
+    // exact integers (the q_taylor_law discipline); scale is reported
+    // as ln(η) = −intercept/shape (no exp — libm parity). Two fact
+    // scans, dur-census-bounded.
+    Q("q_weibull_fit",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("ship0"))
+        val census = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            datediff(to_date(col("ship0")), to_date(col("o_orderdate")))
+              .cast("long").as("dur"))
+          .filter(col("dur") >= 1)
+          .groupBy("dur").agg(count(lit(1)).cast("long").as("cnt"))
+        val wcum = Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy()
+        val xy = census
+          .select(col("dur"),
+            sum(col("cnt")).over(wcum).cast("long").as("cum"),
+            sum(col("cnt")).over(wAll).cast("long").as("n"))
+          .select(col("dur"),
+            ((col("cum").cast("double") - 0.3)
+              / (col("n").cast("double") + 0.4)).as("f"))
+          .select(
+            floor(log(col("dur").cast("double")) * 1e9 + 0.5)
+              .cast("long").as("x"),
+            floor(log(-log(lit(1.0) - col("f"))) * 1e9 + 0.5)
+              .cast("long").as("y"))
+        xy.agg(count(lit(1)).cast("long").as("m"),
+            sum(col("x").cast(dec38)).as("sx"),
+            sum(col("y").cast(dec38)).as("sy"),
+            sum(col("x").cast(dec38) * col("y")).as("sxy"),
+            sum(col("x").cast(dec38) * col("x")).as("sxx"))
+          .select(col("m").as("n_points"),
+            when((col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                (col("m") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double")
+                / (col("m") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"), 6)).as("shape"),
+            when((col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") <= 0
+              || (col("m") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") === 0, lit(null).cast("double"))
+              .otherwise(round(
+                -((col("sy").cast("double") / col("m").cast("double")
+                  - ((col("m") * col("sxy") - col("sx") * col("sy"))
+                    .cast("double")
+                    / (col("m") * col("sxx") - col("sx") * col("sx"))
+                      .cast("double"))
+                    * col("sx").cast("double") / col("m").cast("double"))
+                  / 1e9)
+                / ((col("m") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double")
+                  / (col("m") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double")), 6)).as("ln_scale"))
+      },
+      Some("""WITH firstship AS (
+                SELECT l_orderkey, MIN(l_shipdate) AS ship0
+                FROM lineitem GROUP BY 1),
+              census AS (
+                SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(ship0 AS DATE)) AS BIGINT) AS dur,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM orders JOIN firstship ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'
+                  AND date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(ship0 AS DATE)) >= 1
+                GROUP BY 1),
+              ff AS (
+                SELECT dur,
+                  (CAST(SUM(cnt) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) - 0.3)
+                    / (CAST(SUM(cnt) OVER () AS DOUBLE) + 0.4) AS f
+                FROM census),
+              xy AS (
+                SELECT
+                  CAST(floor(ln(CAST(dur AS DOUBLE)) * 1e9 + 0.5)
+                    AS BIGINT) AS x,
+                  CAST(floor(ln(-ln(1.0 - f)) * 1e9 + 0.5) AS BIGINT)
+                    AS y
+                FROM ff),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS m,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * x) AS sxx
+                FROM xy)
+              SELECT m AS n_points,
+                CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) <= 0
+                  THEN NULL
+                  ELSE round(CAST(m * sxy - sx * sy AS DOUBLE)
+                    / CAST(m * sxx - sx * sx AS DOUBLE), 6) END
+                  AS shape,
+                CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) <= 0
+                    OR CAST(m * sxy - sx * sy AS DOUBLE) = 0 THEN NULL
+                  ELSE round(-((CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)
+                    - (CAST(m * sxy - sx * sy AS DOUBLE)
+                      / CAST(m * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) / 1e9)
+                    / (CAST(m * sxy - sx * sy AS DOUBLE)
+                      / CAST(m * sxx - sx * sx AS DOUBLE)), 6) END
+                  AS ln_scale
+              FROM m"""))
   )
 }
