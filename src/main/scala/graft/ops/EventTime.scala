@@ -4311,7 +4311,139 @@ object EventTime {
               SELECT i AS n_days, round(x, 6) AS level,
                 round(p, 6) AS p_var,
                 round((p + 1.0) / (p + 1.0 + 25.0), 6) AS gain_next
-              FROM rec WHERE i = (SELECT max(i) FROM idx)"""))
+              FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
+
+    // ── permutation entropy of daily revenue (order-3 patterns) ─────────
+    // Bandt–Pompe complexity: classify each (xₜ, xₜ₊₁, xₜ₊₂) triple by
+    // its strict-inequality ordinal pattern (ties collapse to the ≤
+    // side — deterministic on exact cent integers), census the ≤8
+    // pattern codes, H = −Σp·ln p normalized by ln 6. The triple walk
+    // is two lead()s over the day census; the entropy folds ≤8
+    // pattern-pinned 12-dec terms. Low H = predictable regime, H → 1 =
+    // noise. One orders pass, day-census-bounded.
+    Q("q_permutation_entropy",
+      (s, dir) => {
+        val wd = Window.orderBy("d")
+        val pats = t(s, dir, "orders")
+          .select(col("o_orderdate").cast("date").as("d"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("d").agg(sum(col("c")).cast("long").as("x"))
+          .select(col("x"), lead(col("x"), 1).over(wd).as("y"),
+            lead(col("x"), 2).over(wd).as("z"))
+          .filter(col("y").isNotNull && col("z").isNotNull)
+          .select((when(col("x") < col("y"), 4L).otherwise(0L)
+            + when(col("y") < col("z"), 2L).otherwise(0L)
+            + when(col("x") < col("z"), 1L).otherwise(0L)).as("pat"))
+          .groupBy("pat").agg(count(lit(1)).cast("long").as("cnt"))
+        val tot = pats.agg(sum(col("cnt")).cast("long").as("n"))
+        pats.crossJoin(broadcast(tot))
+          .select(col("pat"), col("n"),
+            round(-(col("cnt").cast("double") / col("n").cast("double"))
+              * log(col("cnt").cast("double") / col("n").cast("double")),
+              12).as("term"))
+          .agg(max(col("n")).as("n_triples"),
+            count(lit(1)).cast("long").as("n_patterns"),
+            expr("""aggregate(array_sort(collect_list(struct(pat, term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("h"))
+          .select(col("n_triples"), col("n_patterns"),
+            round(col("h"), 6).as("h"),
+            // ln(6) pinned as a decimal literal — computing it via libm
+            // on each side risks a last-ULP disagreement
+            round(col("h") / lit(1.791759469228055), 12).as("h_norm"))
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                  CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              tri AS (
+                SELECT x, lead(x, 1) OVER (ORDER BY d) AS y,
+                  lead(x, 2) OVER (ORDER BY d) AS z
+                FROM cen),
+              pats AS (
+                SELECT (CASE WHEN x < y THEN 4 ELSE 0 END
+                  + CASE WHEN y < z THEN 2 ELSE 0 END
+                  + CASE WHEN x < z THEN 1 ELSE 0 END) AS pat,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM tri WHERE y IS NOT NULL AND z IS NOT NULL
+                GROUP BY 1),
+              tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pats),
+              terms AS (
+                SELECT pat, n,
+                  round(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                    AS term
+                FROM pats, tot),
+              agg AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n_triples,
+                  CAST(count(*) AS BIGINT) AS n_patterns,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY pat)), (a, x) -> a + x) AS h
+                FROM terms)
+              SELECT n_triples, n_patterns, round(h, 6) AS h,
+                round(h / 1.791759469228055, 12) AS h_norm
+              FROM agg""")),
+
+    // ── turning-point randomness test on daily revenue ──────────────────
+    // The classic "is this series just noise" screen: count strict
+    // local maxima+minima T; under i.i.d. randomness E[T] = 2(n−2)/3,
+    // Var = (16n−29)/90 — all exact integer arithmetic off the day
+    // census (one lag + one lead window), one final z division. A
+    // different lens than q_runs_test (which sees level shifts, not
+    // alternation). One orders pass, day-census-bounded.
+    Q("q_turning_points",
+      (s, dir) => {
+        val wd = Window.orderBy("d")
+        val flags = t(s, dir, "orders")
+          .select(col("o_orderdate").cast("date").as("d"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("d").agg(sum(col("c")).cast("long").as("x"))
+          .select(col("x"), lag(col("x"), 1).over(wd).as("p"),
+            lead(col("x"), 1).over(wd).as("nx"))
+          .filter(col("p").isNotNull && col("nx").isNotNull)
+          .select(when((col("p") < col("x") && col("nx") < col("x"))
+            || (col("p") > col("x") && col("nx") > col("x")), 1L)
+            .otherwise(0L).as("tp"))
+        flags.agg((count(lit(1)) + 2).cast("long").as("n"),
+            sum(col("tp")).cast("long").as("t"))
+          .select(col("n").as("n_days"), col("t").as("n_turning"),
+            round((lit(2.0) * (col("n") - 2).cast("double")) / 3.0, 6)
+              .as("expected"),
+            when(col("n") < 4, lit(null).cast("double"))
+              .otherwise(round(
+                (col("t").cast("double")
+                  - (lit(2.0) * (col("n") - 2).cast("double")) / 3.0)
+                / sqrt((lit(16.0) * col("n").cast("double") - 29.0)
+                  / 90.0), 6)).as("z"))
+      },
+      Some("""WITH cen AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                  CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              tri AS (
+                SELECT x, lag(x, 1) OVER (ORDER BY d) AS p,
+                  lead(x, 1) OVER (ORDER BY d) AS nx
+                FROM cen),
+              flags AS (
+                SELECT CASE WHEN (p < x AND nx < x)
+                    OR (p > x AND nx > x) THEN 1 ELSE 0 END AS tp
+                FROM tri WHERE p IS NOT NULL AND nx IS NOT NULL),
+              agg AS (
+                SELECT CAST(count(*) + 2 AS BIGINT) AS n,
+                  CAST(SUM(tp) AS BIGINT) AS t
+                FROM flags)
+              SELECT n AS n_days, t AS n_turning,
+                round((2.0 * CAST(n - 2 AS DOUBLE)) / 3.0, 6)
+                  AS expected,
+                CASE WHEN n < 4 THEN NULL
+                  ELSE round((CAST(t AS DOUBLE)
+                    - (2.0 * CAST(n - 2 AS DOUBLE)) / 3.0)
+                    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)
+                  END AS z
+              FROM agg"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

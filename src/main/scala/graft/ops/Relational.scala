@@ -7325,7 +7325,98 @@ object Relational {
                   ELSE round(t / sqrt(v), 6) END AS z,
                 CASE WHEN v <= 0 THEN NULL
                   ELSE round(t * t / v, 6) END AS chi2_trend
-              FROM tv"""))
+              FROM tv""")),
+
+    // ── DTW: which nations' seasonal shape diverges from global? ────────
+    // Dynamic-time-warping distance between each nation's 12-month
+    // revenue profile (exact per-mille integers) and the global
+    // profile — the alignment-tolerant curve comparison Euclidean
+    // month-by-month deltas get wrong when a nation's season SHIFTS.
+    // The DP runs in the codegen'd `graft_dtw` expression (two rolling
+    // rows, all-integer — see functions/DtwDistance.scala); profiles
+    // come from ONE orders⋈customer pass (global = column sums of the
+    // persisted nation census). The oracle replays the identical
+    // recurrence as a 144-step recursive CTE over a 13-cell sliding
+    // window — integer DP, so the match is exact by construction.
+    Q("q_dtw_profile",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val monthSums = (1 to 12).map(m =>
+          sum(when(month(col("o_orderdate")) === m, col("c"))
+            .otherwise(lit(0L)).cast(DecimalType(38, 0))).as(s"m$m"))
+        val census = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), col("o_orderdate"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("c_nationkey")
+          .agg(monthSums.head, monthSums.tail: _*)
+          .persist()
+        val totExpr = (1 to 12).map(m => s"m$m").mkString(" + ")
+        val nat = census
+          .withColumn("tot", expr(totExpr))
+          .filter(col("tot") > 0)
+          .select(col("c_nationkey"),
+            array((1 to 12).map(m =>
+              expr(s"CAST((m$m * 1000) div tot AS BIGINT)")): _*).as("na"))
+        val glob = census
+          .agg((1 to 12).map(m => sum(col(s"m$m")).as(s"m$m")).head,
+            (2 to 12).map(m => sum(col(s"m$m")).as(s"m$m")): _*)
+          .withColumn("tot", expr(totExpr))
+          .filter(col("tot") > 0)
+          .select(array((1 to 12).map(m =>
+            expr(s"CAST((m$m * 1000) div tot AS BIGINT)")): _*).as("ga"))
+        nat.crossJoin(broadcast(glob))
+          .select(col("c_nationkey"),
+            expr("graft_dtw(na, ga)").as("dtw_permille"))
+          .orderBy("c_nationkey")
+      },
+      Some {
+        val mSums = (1 to 12).map(m =>
+          s"""SUM(CAST(CASE WHEN month(o_orderdate) = $m
+             |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) ELSE 0 END AS HUGEINT)) AS m$m"""
+            .stripMargin).mkString(",\n                  ")
+        val tot = (1 to 12).map(m => s"m$m").mkString(" + ")
+        val natArr = (1 to 12)
+          .map(m => s"CAST((m$m * 1000) // ($tot) AS BIGINT)")
+          .mkString(", ")
+        val globSums = (1 to 12).map(m => s"SUM(m$m) AS m$m")
+          .mkString(", ")
+        val zeros = Seq.fill(12)("CAST(0 AS BIGINT)").mkString(", ")
+        s"""WITH RECURSIVE cen AS (
+              SELECT c_nationkey,
+                  $mSums
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1),
+            nat AS (
+              SELECT c_nationkey, [$natArr] AS na
+              FROM cen WHERE $tot > 0),
+            gcen AS (SELECT $globSums FROM cen),
+            gl AS (
+              SELECT [$natArr] AS ga FROM gcen WHERE $tot > 0),
+            costs AS (
+              SELECT c_nationkey, t,
+                ((t - 1) % 12) + 1 AS i, ((t - 1) // 12) + 1 AS j,
+                CAST(abs(na[((t - 1) % 12) + 1]
+                  - ga[((t - 1) // 12) + 1]) AS BIGINT) AS c
+              FROM nat, gl, range(1, 145) r(t)),
+            rec(c_nationkey, t, w) AS (
+              SELECT c_nationkey, CAST(1 AS BIGINT), [$zeros] || [c]
+              FROM costs WHERE t = 1
+              UNION ALL
+              SELECT r.c_nationkey, r.t + 1,
+                r.w[2:13] || [x.c + CASE
+                  WHEN x.j = 1 THEN r.w[13]
+                  WHEN x.i = 1 THEN r.w[2]
+                  ELSE least(r.w[13], r.w[2], r.w[1]) END]
+              FROM rec r JOIN costs x
+                ON x.c_nationkey = r.c_nationkey AND x.t = r.t + 1)
+            SELECT c_nationkey, w[13] AS dtw_permille
+            FROM rec WHERE t = 144 ORDER BY c_nationkey"""
+      })
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DeflateLen, DotProduct, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, SortedIntersect, TopKAggregator, ZOrder}
+import graft.functions.{DeflateLen, DotProduct, DtwDistance, HyperplaneSignature, MgCounter, MinHashSig, MisraGries, Scored, ShingleHashes, SimHash64, SortedIntersect, TopKAggregator, ZOrder}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -140,8 +140,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
     (children: Seq[Expression]) => DeflateLen(children.head))
 
+  private val dtwFn = (
+    FunctionIdentifier("graft_dtw"),
+    new ExpressionInfo(classOf[DtwDistance].getName, "graft_dtw"),
+    (children: Seq[Expression]) => DtwDistance(children.head, children(1)))
+
   private val all = Seq(dotFn, sigFn, topkFn, simhashFn, shingleFn, minhashFn,
-    mgFn, zorderFn, interFn, deflateFn)
+    mgFn, zorderFn, interFn, deflateFn, dtwFn)
 
   /** Idempotently register the functions on an existing session — the
     * driver invokes `SparkEntry.queries` with its OWN session (no
