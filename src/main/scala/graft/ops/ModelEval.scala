@@ -3251,6 +3251,115 @@ object ModelEval {
                     / (CAST(m * sxy - sx * sy AS DOUBLE)
                       / CAST(m * sxx - sx * sx AS DOUBLE)), 6) END
                   AS ln_scale
-              FROM m"""))
+              FROM m""")),
+
+    // ── effect sizes: BUILDING vs AUTOMOBILE balances ───────────────────
+    // q_mann_whitney's significance companion answers "how BIG is the
+    // difference": Cliff's δ from the EXACT integer 2U (the same
+    // midrank-free prefix-count identity, 2U = Σ nₐ·(2·cumB + n_b)),
+    // Cohen's d from exact cent moments, Hedges' g small-sample
+    // correction. Everything derives from ONE persisted distinct-value
+    // census (bounded by the acctbal DOMAIN, not the row count — the
+    // [-999.99, 9999.99] grid is ≤1.1M cells at any SF); the value
+    // walk is one window over that census.
+    Q("q_effect_sizes",
+      (s, dir) => {
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val census = t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+          .select((dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("is_a"))
+          .groupBy("cents")
+          .agg(sum(col("is_a")).cast("long").as("n_a"),
+            sum(lit(1L) - col("is_a")).cast("long").as("n_b"))
+          .persist()
+        val u = census
+          .withColumn("cum_b",
+            coalesce(sum(col("n_b")).over(wv), lit(0L)))
+          .agg(sum(col("n_a").cast(dec38)
+            * (lit(2L) * col("cum_b") + col("n_b"))).as("two_u"))
+        val mom = census.agg(
+          sum(col("n_a")).cast("long").as("na"),
+          sum(col("n_b")).cast("long").as("nb"),
+          sum(col("cents").cast(dec38) * col("n_a")).as("sa"),
+          sum(col("cents").cast(dec38) * col("cents") * col("n_a"))
+            .as("ssa"),
+          sum(col("cents").cast(dec38) * col("n_b")).as("sb"),
+          sum(col("cents").cast(dec38) * col("cents") * col("n_b"))
+            .as("ssb"))
+        mom.crossJoin(broadcast(u))
+          .select(col("na"), col("nb"),
+            col("two_u").cast("long").as("two_u"),
+            round((col("two_u").cast("double")
+              - (col("na") * col("nb")).cast("double"))
+              / (col("na") * col("nb")).cast("double"), 12)
+              .as("cliffs_delta"),
+            ((col("sa").cast("double") / col("na").cast("double")
+              - col("sb").cast("double") / col("nb").cast("double"))
+              / sqrt(((col("ssa").cast("double")
+                - col("sa").cast("double") * col("sa").cast("double")
+                  / col("na").cast("double"))
+                + (col("ssb").cast("double")
+                  - col("sb").cast("double") * col("sb").cast("double")
+                    / col("nb").cast("double")))
+                / (col("na") + col("nb") - 2).cast("double")))
+              .as("d"))
+          .select(col("na"), col("nb"), col("two_u"),
+            col("cliffs_delta"),
+            round(col("d"), 6).as("cohen_d"),
+            round(col("d") * (lit(1.0) - lit(3.0)
+              / (lit(4.0) * (col("na") + col("nb")).cast("double")
+                - 9.0)), 6).as("hedges_g"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                FROM customer
+                WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                GROUP BY 1),
+              uu AS (
+                SELECT CAST(SUM(CAST(n_a AS HUGEINT)
+                  * (2 * cum_b + n_b)) AS HUGEINT) AS two_u
+                FROM (
+                  SELECT n_a, n_b,
+                    COALESCE(SUM(n_b) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cum_b
+                  FROM census)),
+              mom AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+                  CAST(SUM(n_b) AS BIGINT) AS nb,
+                  SUM(CAST(cents AS HUGEINT) * n_a) AS sa,
+                  SUM(CAST(cents AS HUGEINT) * cents * n_a) AS ssa,
+                  SUM(CAST(cents AS HUGEINT) * n_b) AS sb,
+                  SUM(CAST(cents AS HUGEINT) * cents * n_b) AS ssb
+                FROM census),
+              dd AS (
+                SELECT na, nb, CAST(two_u AS BIGINT) AS two_u,
+                  round((CAST(two_u AS DOUBLE)
+                    - CAST(na * nb AS DOUBLE))
+                    / CAST(na * nb AS DOUBLE), 12) AS cliffs_delta,
+                  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    / sqrt(((CAST(ssa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                        / CAST(na AS DOUBLE))
+                      + (CAST(ssb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                          / CAST(nb AS DOUBLE)))
+                      / CAST(na + nb - 2 AS DOUBLE)) AS d
+                FROM mom, uu)
+              SELECT na, nb, two_u, cliffs_delta,
+                round(d, 6) AS cohen_d,
+                round(d * (1.0 - 3.0
+                  / (4.0 * CAST(na + nb AS DOUBLE) - 9.0)), 6)
+                  AS hedges_g
+              FROM dd"""))
   )
 }

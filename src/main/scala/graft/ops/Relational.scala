@@ -7416,7 +7416,228 @@ object Relational {
                 ON x.c_nationkey = r.c_nationkey AND x.t = r.t + 1)
             SELECT c_nationkey, w[13] AS dtw_permille
             FROM rec WHERE t = 144 ORDER BY c_nationkey"""
-      })
+      }),
+
+    // ── Moran's I: is revenue autocorrelated over the trade network? ────
+    // Spatial statistics without geography: the weight matrix is the
+    // OBSERVED supplier→customer nation trade volume (ppm integer
+    // shares, diagonal zeroed), the attribute is nation revenue in M$.
+    // I = (n/S0)·Σwᵢⱼ(xᵢ−x̄)(xⱼ−x̄) / Σ(xᵢ−x̄)² — do trading partners
+    // have correlated demand? Revenue census = one orders⋈customer
+    // pass; the weight census is the q_trade_matrix 3-join collapsed
+    // to ≤nations²; both folds are (i,j)-pinned over that bounded
+    // frame. E[I] = −1/(n−1) is the null reference.
+    Q("q_morans_i",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .cast(DecimalType(38, 0))).as("cents"))
+          .select(col("nk"), (col("cents").cast("double") / 1e8).as("x"))
+          .persist()
+        val xbar = rev.agg(count(lit(1)).cast("long").as("n"),
+            expr("""aggregate(array_sort(collect_list(struct(nk, x))),
+                    CAST(0 AS DOUBLE), (a, e) -> a + e.x)""").as("sx"))
+          .select(col("n"), (col("sx") / col("n").cast("double")).as("xb"))
+        val trade = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(col("s_nationkey").as("i"), col("c_nationkey").as("j"))
+          .agg(sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .cast(DecimalType(38, 0))).as("w"))
+          .persist()
+        val wtot = trade.agg(sum(col("w")).as("wt"))
+        val wn = trade.crossJoin(broadcast(wtot))
+          .select(col("i"), col("j"),
+            expr("CAST((w * 1000000) div wt AS BIGINT)").as("wn"))
+          .filter(col("wn") > 0)
+        val xi = rev.select(col("nk").as("i"), col("x").as("xi"))
+        val xj = rev.select(col("nk").as("j"), col("x").as("xj"))
+        val num = wn.join(broadcast(xi), "i").join(broadcast(xj), "j")
+          .crossJoin(broadcast(xbar))
+          .select(col("i"), col("j"), col("n"),
+            round(col("wn").cast("double") * (col("xi") - col("xb"))
+              * (col("xj") - col("xb")), 6).as("t"))
+          .agg(max(col("n")).as("n"),
+            sum(lit(1L)).cast("long").as("n_links"),
+            expr("""aggregate(array_sort(collect_list(struct(i, j, t))),
+                    CAST(0 AS DOUBLE), (a, e) -> a + e.t)""").as("num"))
+        val den = rev.crossJoin(broadcast(xbar))
+          .select(col("nk"),
+            round((col("x") - col("xb")) * (col("x") - col("xb")), 6)
+              .as("d"))
+          .agg(expr(
+            """aggregate(array_sort(collect_list(struct(nk, d))),
+               CAST(0 AS DOUBLE), (a, e) -> a + e.d)""").as("den"))
+        val s0 = wn.agg(sum(col("wn")).cast("long").as("s0"))
+        num.crossJoin(broadcast(den)).crossJoin(broadcast(s0))
+          .select(col("n").as("n_nations"), col("n_links"), col("s0"),
+            when(col("den") <= 0 || col("s0") <= 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("n").cast("double")
+                / col("s0").cast("double"))
+                * col("num") / col("den"), 6)).as("morans_i"),
+            round(lit(-1.0) / (col("n") - 1).cast("double"), 12)
+              .as("expected_i"))
+      },
+      Some("""WITH rev AS (
+                SELECT c_nationkey AS nk,
+                  CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS DOUBLE) / 1e8 AS x
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1),
+              xbar AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(x ORDER BY nk)), (a, e) -> a + e)
+                    / CAST(count(*) AS DOUBLE) AS xb
+                FROM rev),
+              trade AS (
+                SELECT s_nationkey AS i, c_nationkey AS j,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS w
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE s_nationkey <> c_nationkey
+                GROUP BY 1, 2),
+              wtot AS (SELECT SUM(w) AS wt FROM trade),
+              wn AS (
+                SELECT i, j, CAST((w * 1000000) // wt AS BIGINT) AS wn
+                FROM trade, wtot),
+              wnf AS (SELECT i, j, wn FROM wn WHERE wn > 0),
+              numt AS (
+                SELECT i, j, n,
+                  round(CAST(wn AS DOUBLE) * (a.x - xb) * (b.x - xb), 6)
+                    AS t
+                FROM wnf JOIN rev a ON wnf.i = a.nk
+                JOIN rev b ON wnf.j = b.nk, xbar),
+              num AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_links,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(t ORDER BY i, j)), (a, e) -> a + e) AS num
+                FROM numt),
+              dent AS (
+                SELECT nk, round((x - xb) * (x - xb), 6) AS d
+                FROM rev, xbar),
+              den AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(d ORDER BY nk)), (a, e) -> a + e) AS den
+                FROM dent),
+              s0 AS (SELECT CAST(SUM(wn) AS BIGINT) AS s0 FROM wnf)
+              SELECT n AS n_nations, n_links, s0,
+                CASE WHEN den <= 0 OR s0 <= 0 THEN NULL
+                  ELSE round((CAST(n AS DOUBLE) / CAST(s0 AS DOUBLE))
+                    * num / den, 6) END AS morans_i,
+                round(-1.0 / CAST(n - 1 AS DOUBLE), 12) AS expected_i
+              FROM num, den, s0""")),
+
+    // ── Bland–Altman agreement: header total vs line-derived total ──────
+    // The measurement-agreement lens as a data-quality audit: per
+    // order, o_totalprice vs Σ extprice·(1−disc)·(1+tax) computed
+    // EXACTLY in 1e-8-cent integers, differences carried in 1e-4-cent
+    // units (exact div), bias and 1.96σ limits of agreement from exact
+    // DECIMAL moment sums, and the outside-LoA count by exact integer
+    // comparison against the identical broadcast doubles. One
+    // lineitem pass + one orders pass, joined on orderkey.
+    Q("q_bland_altman",
+      (s, dir) => {
+        val lines = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .cast(DecimalType(38, 0))
+              * expr("CAST(10000 - CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+              * expr("CAST(10000 + CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+              .as("net8"))
+          .groupBy("l_orderkey")
+          .agg(sum(col("net8")).as("line8"))
+        val diffs = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("hc"))
+          .join(lines, col("o_orderkey") === col("l_orderkey"))
+          .select(expr(
+            "CAST((CAST(hc AS DECIMAL(38,0)) * 100000000 - line8) div 10000 AS BIGINT)")
+            .as("d4"))
+          .persist()
+        val mom = diffs.agg(count(lit(1)).cast("long").as("n"),
+            sum(col("d4").cast(DecimalType(38, 0))).as("s1"),
+            sum(col("d4").cast(DecimalType(38, 0)) * col("d4")).as("s2"))
+          .select(col("n"),
+            (col("s1").cast("double") / col("n").cast("double"))
+              .as("mu"),
+            sqrt((col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double")
+                / col("n").cast("double"))
+              / (col("n") - 1).cast("double")).as("sd"))
+        diffs.crossJoin(broadcast(mom))
+          .agg(max(col("n")).as("n_orders"), max(col("mu")).as("mu"),
+            max(col("sd")).as("sd"),
+            sum(when(abs(col("d4").cast("double") - col("mu"))
+              > lit(1.96) * col("sd"), 1L).otherwise(0L)).cast("long")
+              .as("n_outside"))
+          .select(col("n_orders"),
+            round(col("mu") / 1e6, 6).as("bias_dollars"),
+            round((col("mu") - lit(1.96) * col("sd")) / 1e6, 6)
+              .as("loa_low"),
+            round((col("mu") + lit(1.96) * col("sd")) / 1e6, 6)
+              .as("loa_high"),
+            col("n_outside"),
+            round(col("n_outside").cast("double")
+              / col("n_orders").cast("double"), 12).as("pct_outside"))
+      },
+      Some("""WITH lines AS (
+                SELECT l_orderkey,
+                  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) AS HUGEINT)
+                    * CAST(10000 - CAST(l_discount AS DECIMAL(18,4))
+                      * 10000 AS BIGINT)
+                    * CAST(10000 + CAST(l_tax AS DECIMAL(18,4))
+                      * 10000 AS BIGINT)) AS line8
+                FROM lineitem GROUP BY 1),
+              diffs AS (
+                SELECT CAST((CAST(CAST(CAST(o_totalprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                    * 100000000 - line8) // 10000 AS BIGINT) AS d4
+                FROM orders JOIN lines ON o_orderkey = l_orderkey),
+              mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS mu,
+                  sqrt((CAST(SUM(CAST(d4 AS HUGEINT) * d4) AS DOUBLE)
+                    - CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE)
+                      * CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                    / CAST(count(*) - 1 AS DOUBLE)) AS sd
+                FROM diffs),
+              agg AS (
+                SELECT MAX(n) AS n_orders, MAX(mu) AS mu, MAX(sd) AS sd,
+                  CAST(SUM(CASE WHEN abs(CAST(d4 AS DOUBLE) - mu)
+                    > 1.96 * sd THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_outside
+                FROM diffs, mom)
+              SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                round(mu / 1e6, 6) AS bias_dollars,
+                round((mu - 1.96 * sd) / 1e6, 6) AS loa_low,
+                round((mu + 1.96 * sd) / 1e6, 6) AS loa_high,
+                n_outside,
+                round(CAST(n_outside AS DOUBLE)
+                  / CAST(n_orders AS DOUBLE), 12) AS pct_outside
+              FROM agg"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
