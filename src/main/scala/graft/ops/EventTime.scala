@@ -4443,7 +4443,136 @@ object EventTime {
                     - (2.0 * CAST(n - 2 AS DOUBLE)) / 3.0)
                     / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)
                   END AS z
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── EWMA control chart with exact time-varying limits ───────────────
+    // The small-shift chart Shewhart misses: zₜ = 0.2x + 0.8z with the
+    // EXACT early-run limit L·σ√((λ/(2−λ))(1−(1−λ)^{2t})) — the decay
+    // factor (1−λ)^{2t} is CARRIED in the replay state (one multiply
+    // per step, identical IEEE sequence both engines — no libm pow).
+    // μ, σ come from exact day-census cent moments broadcast into the
+    // fold; the state also accumulates the violation count and first
+    // violation index. Day means in dollars; Spark struct-fold ≡
+    // recursive-CTE oracle.
+    Q("q_ewma_chart",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(col("ts").cast("date").as("d"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast(DecimalType(38, 0))).as("sc"))
+          .select(col("d"),
+            (col("sc").cast("double") / col("n").cast("double") / 100.0)
+              .as("v"))
+          .persist()
+        val mom = daily.agg(count(lit(1)).cast("long").as("nd"),
+            sum(floor(col("v") * 1e6 + 0.5).cast("long")
+              .cast(DecimalType(38, 0))).as("s1"),
+            sum(floor(col("v") * 1e6 + 0.5).cast("long")
+              .cast(DecimalType(38, 0))
+              * floor(col("v") * 1e6 + 0.5).cast("long")).as("s2"))
+          .select(col("nd"),
+            (col("s1").cast("double") / col("nd").cast("double") / 1e6)
+              .as("mu"),
+            (sqrt((col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double")
+                / col("nd").cast("double"))
+              / (col("nd") - 1).cast("double")) / 1e6).as("sd"))
+        daily
+          .agg(sort_array(collect_list(struct(col("d"), col("v"))))
+            .as("ser"))
+          .crossJoin(broadcast(mom))
+          .select(col("nd").as("n_days"), expr(
+            """aggregate(
+                 slice(ser, 2, size(ser) - 1),
+                 named_struct(
+                   'z', 0.2 * ser[0].v + 0.8 * mu,
+                   'f', CAST(0.64 AS DOUBLE),
+                   'viol', CASE WHEN abs(0.2 * ser[0].v + 0.8 * mu - mu)
+                     > 3.0 * sd * sqrt((0.2 / 1.8) * (1.0 - 0.64))
+                     THEN 1L ELSE 0L END,
+                   'first', CASE WHEN abs(0.2 * ser[0].v + 0.8 * mu - mu)
+                     > 3.0 * sd * sqrt((0.2 / 1.8) * (1.0 - 0.64))
+                     THEN 1L ELSE CAST(NULL AS BIGINT) END,
+                   't', 1L),
+                 (a, x) -> named_struct(
+                   'z', 0.2 * x.v + 0.8 * a.z,
+                   'f', a.f * 0.64,
+                   'viol', a.viol + CASE
+                     WHEN abs(0.2 * x.v + 0.8 * a.z - mu)
+                       > 3.0 * sd * sqrt((0.2 / 1.8) * (1.0 - a.f * 0.64))
+                     THEN 1L ELSE 0L END,
+                   'first', CASE WHEN a.first IS NOT NULL THEN a.first
+                     WHEN abs(0.2 * x.v + 0.8 * a.z - mu)
+                       > 3.0 * sd * sqrt((0.2 / 1.8) * (1.0 - a.f * 0.64))
+                     THEN a.t + 1L ELSE CAST(NULL AS BIGINT) END,
+                   't', a.t + 1L))""").as("st"))
+          .select(col("n_days"),
+            round(col("st.z"), 6).as("ewma_final"),
+            col("st.viol").as("n_violations"),
+            col("st.first").as("first_violation_t"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+                SELECT CAST(ts AS DATE) AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc
+                FROM events GROUP BY 1),
+              vals AS (
+                SELECT d,
+                  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS v
+                FROM daily),
+              mom AS (
+                SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(SUM(CAST(CAST(floor(v * 1e6 + 0.5) AS BIGINT)
+                    AS HUGEINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) / 1e6 AS mu,
+                  sqrt((CAST(SUM(CAST(CAST(floor(v * 1e6 + 0.5)
+                      AS BIGINT) AS HUGEINT)
+                      * CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                    - CAST(SUM(CAST(CAST(floor(v * 1e6 + 0.5) AS BIGINT)
+                        AS HUGEINT)) AS DOUBLE)
+                      * CAST(SUM(CAST(CAST(floor(v * 1e6 + 0.5)
+                        AS BIGINT) AS HUGEINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE))
+                    / CAST(count(*) - 1 AS DOUBLE)) / 1e6 AS sd
+                FROM vals),
+              idx AS (
+                SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                  AS i, v
+                FROM vals),
+              rec(i, z, f, viol, frst) AS (
+                SELECT CAST(1 AS BIGINT),
+                  0.2 * v + 0.8 * mu,
+                  CAST(0.64 AS DOUBLE),
+                  CASE WHEN abs(0.2 * v + 0.8 * mu - mu)
+                    > 3.0 * sd * sqrt((0.2 / 1.8) * (1.0 - 0.64))
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+                  CASE WHEN abs(0.2 * v + 0.8 * mu - mu)
+                    > 3.0 * sd * sqrt((0.2 / 1.8) * (1.0 - 0.64))
+                    THEN CAST(1 AS BIGINT)
+                    ELSE CAST(NULL AS BIGINT) END
+                FROM idx, mom WHERE i = 1
+                UNION ALL
+                SELECT r.i + 1,
+                  0.2 * x.v + 0.8 * r.z,
+                  r.f * 0.64,
+                  r.viol + CASE WHEN abs(0.2 * x.v + 0.8 * r.z - mu)
+                    > 3.0 * sd
+                      * sqrt((0.2 / 1.8) * (1.0 - r.f * 0.64))
+                    THEN 1 ELSE 0 END,
+                  CASE WHEN r.frst IS NOT NULL THEN r.frst
+                    WHEN abs(0.2 * x.v + 0.8 * r.z - mu)
+                      > 3.0 * sd
+                        * sqrt((0.2 / 1.8) * (1.0 - r.f * 0.64))
+                    THEN r.i + 1 ELSE CAST(NULL AS BIGINT) END
+                FROM rec r JOIN idx x ON x.i = r.i + 1, mom)
+              SELECT (SELECT nd FROM mom) AS n_days,
+                round(z, 6) AS ewma_final,
+                viol AS n_violations,
+                frst AS first_violation_t
+              FROM rec WHERE i = (SELECT max(i) FROM idx)"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

@@ -3360,6 +3360,154 @@ object ModelEval {
                 round(d * (1.0 - 3.0
                   / (4.0 * CAST(na + nb AS DOUBLE) - 9.0)), 6)
                   AS hedges_g
-              FROM dd"""))
+              FROM dd""")),
+
+    // ── DeLong standard error + CI for q_auc ────────────────────────────
+    // The error bar the point-estimate AUC lacks: DeLong's variance
+    // from placement values, computed EXACTLY — per distinct score,
+    // t10 = 2·(negatives below) + (negatives tied) is an integer, so
+    // ΣV10 and ΣV10² are exact DECIMAL sums (scaled by 2n₀), same for
+    // V01 mirrored; the sample variances and SE are row-local IEEE at
+    // the end. Rides the q_auc value census with RangeRank prefix
+    // sums (the census grows with data — no single-task window).
+    Q("q_auc_delong",
+      (s, dir) => {
+        val census = labeled(t(s, dir, "events"))
+          .groupBy("value")
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(col("pos")).cast("long").as("p"))
+        val ranked = RangeRank.ranked(
+          census, Seq.empty, Seq(col("value")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(
+            RangeRank.PrefixSum(col("cnt") - col("p"), "cumq"),
+            RangeRank.PrefixSum(col("p"), "cump")))
+        val agg = ranked
+          .agg(sum(col("p")).cast("long").as("n1"),
+            sum(col("cnt") - col("p")).cast("long").as("n0"),
+            sum(col("p").cast(dec38)
+              * (lit(2L) * col("cumq") + (col("cnt") - col("p"))))
+              .as("s10"),
+            sum(col("p").cast(dec38)
+              * (lit(2L) * col("cumq") + (col("cnt") - col("p")))
+              * (lit(2L) * col("cumq") + (col("cnt") - col("p"))))
+              .as("s10q"),
+            sum((col("cnt") - col("p")).cast(dec38)
+              * (lit(2L) * col("cump") + col("p"))).as("s01r"),
+            sum((col("cnt") - col("p")).cast(dec38)
+              * (lit(2L) * col("cump") + col("p"))
+              * (lit(2L) * col("cump") + col("p")))
+              .as("s01rq"))
+        // V01 uses positives ABOVE the negative: t01 = 2n1 − (2·cump + p);
+        // Σ and Σ² expand algebraically from the below-sums (exact)
+        agg.select(col("n1"), col("n0"),
+            (col("s10").cast("double")
+              / (lit(2.0) * col("n0").cast("double")
+                * col("n1").cast("double"))).as("auc"),
+            ((col("s10q").cast("double")
+              / (lit(4.0) * col("n0").cast("double")
+                * col("n0").cast("double"))
+              - col("n1").cast("double")
+                * (col("s10").cast("double")
+                  / (lit(2.0) * col("n0").cast("double")
+                    * col("n1").cast("double")))
+                * (col("s10").cast("double")
+                  / (lit(2.0) * col("n0").cast("double")
+                    * col("n1").cast("double"))))
+              / (col("n1") - 1).cast("double")).as("v10"),
+            ((
+              (lit(4.0) * col("n1").cast("double")
+                * col("n1").cast("double") * col("n0").cast("double")
+                - lit(4.0) * col("n1").cast("double")
+                  * col("s01r").cast("double")
+                + col("s01rq").cast("double"))
+              / (lit(4.0) * col("n1").cast("double")
+                * col("n1").cast("double"))
+              - col("n0").cast("double")
+                * (lit(1.0) - col("s01r").cast("double")
+                  / (lit(2.0) * col("n1").cast("double")
+                    * col("n0").cast("double")))
+                * (lit(1.0) - col("s01r").cast("double")
+                  / (lit(2.0) * col("n1").cast("double")
+                    * col("n0").cast("double"))))
+              / (col("n0") - 1).cast("double")).as("v01"))
+          .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+            round(col("auc"), 12).as("auc"),
+            round(sqrt(col("v10") / col("n1").cast("double")
+              + col("v01") / col("n0").cast("double")), 6).as("se"),
+            round(col("auc") - lit(1.96)
+              * sqrt(col("v10") / col("n1").cast("double")
+                + col("v01") / col("n0").cast("double")), 6)
+              .as("ci_low"),
+            round(col("auc") + lit(1.96)
+              * sqrt(col("v10") / col("n1").cast("double")
+                + col("v01") / col("n0").cast("double")), 6)
+              .as("ci_high"))
+      },
+      Some("""WITH census AS (
+                SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p
+                FROM events GROUP BY 1),
+              r AS (
+                SELECT cnt, p,
+                  COALESCE(SUM(cnt - p) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cumq,
+                  COALESCE(SUM(p) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cump
+                FROM census),
+              agg AS (
+                SELECT CAST(SUM(p) AS BIGINT) AS n1,
+                  CAST(SUM(cnt - p) AS BIGINT) AS n0,
+                  SUM(CAST(p AS HUGEINT)
+                    * (2 * cumq + (cnt - p))) AS s10,
+                  SUM(CAST(p AS HUGEINT)
+                    * (2 * cumq + (cnt - p))
+                    * (2 * cumq + (cnt - p))) AS s10q,
+                  SUM(CAST(cnt - p AS HUGEINT)
+                    * (2 * cump + p)) AS s01r,
+                  SUM(CAST(cnt - p AS HUGEINT)
+                    * (2 * cump + p) * (2 * cump + p)) AS s01rq
+                FROM r),
+              vv AS (
+                SELECT n1, n0,
+                  CAST(s10 AS DOUBLE)
+                    / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                    AS auc,
+                  (CAST(s10q AS DOUBLE)
+                    / (4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+                    - CAST(n1 AS DOUBLE)
+                      * (CAST(s10 AS DOUBLE)
+                        / (2.0 * CAST(n0 AS DOUBLE)
+                          * CAST(n1 AS DOUBLE)))
+                      * (CAST(s10 AS DOUBLE)
+                        / (2.0 * CAST(n0 AS DOUBLE)
+                          * CAST(n1 AS DOUBLE))))
+                    / CAST(n1 - 1 AS DOUBLE) AS v10,
+                  ((4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      * CAST(n0 AS DOUBLE)
+                    - 4.0 * CAST(n1 AS DOUBLE) * CAST(s01r AS DOUBLE)
+                    + CAST(s01rq AS DOUBLE))
+                    / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                    - CAST(n0 AS DOUBLE)
+                      * (1.0 - CAST(s01r AS DOUBLE)
+                        / (2.0 * CAST(n1 AS DOUBLE)
+                          * CAST(n0 AS DOUBLE)))
+                      * (1.0 - CAST(s01r AS DOUBLE)
+                        / (2.0 * CAST(n1 AS DOUBLE)
+                          * CAST(n0 AS DOUBLE))))
+                    / CAST(n0 - 1 AS DOUBLE) AS v01
+                FROM agg)
+              SELECT n1 AS n_pos, n0 AS n_neg,
+                round(auc, 12) AS auc,
+                round(sqrt(v10 / CAST(n1 AS DOUBLE)
+                  + v01 / CAST(n0 AS DOUBLE)), 6) AS se,
+                round(auc - 1.96 * sqrt(v10 / CAST(n1 AS DOUBLE)
+                  + v01 / CAST(n0 AS DOUBLE)), 6) AS ci_low,
+                round(auc + 1.96 * sqrt(v10 / CAST(n1 AS DOUBLE)
+                  + v01 / CAST(n0 AS DOUBLE)), 6) AS ci_high
+              FROM vv"""))
   )
 }

@@ -7637,6 +7637,74 @@ object Relational {
                 n_outside,
                 round(CAST(n_outside AS DOUBLE)
                   / CAST(n_orders AS DOUBLE), 12) AS pct_outside
+              FROM agg""")),
+
+    // ── Hill tail-index of order values (top-1000 order statistics) ─────
+    // How heavy is the revenue tail, really? Hill's estimator
+    // ĥ = (1/k)Σ ln(xᵢ/x₍ₖ₊₁₎) over the k largest values. The top-1001
+    // cut is a DISTRIBUTED TakeOrdered on the (cents DESC, orderkey)
+    // total order (per-partition heaps + driver merge — never a global
+    // sort); the rank window that drops the boundary row runs on the
+    // 1001-row frame (k-bounded, not data-bounded). Log ratios are
+    // row-local IEEE vs the broadcast boundary value, μ-integerized to
+    // 1e-9 → the mean is an exact-integer sum ÷ k. α = 1/ĥ.
+    Q("q_hill_tail",
+      (s, dir) => {
+        val top = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .orderBy(col("c").desc, col("o_orderkey"))
+          .limit(1001)
+          .persist()
+        val boundary = top.agg(min(col("c")).cast("long").as("xk"))
+        top.crossJoin(broadcast(boundary))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc, col("o_orderkey"))))
+          .filter(col("rn") <= 1000)
+          .select(floor(log(col("c").cast("double")
+            / col("xk").cast("double")) * 1e9 + 0.5).cast("long")
+            .as("t"), col("xk"))
+          .agg(count(lit(1)).cast("long").as("k"),
+            max(col("xk")).as("xk"),
+            sum(col("t").cast(DecimalType(38, 0))).as("st"))
+          .select(col("k"),
+            round(col("xk").cast("double") / 100.0, 2).as("x_boundary"),
+            round(col("st").cast("double") / col("k").cast("double")
+              / 1e9, 6).as("hill"),
+            when(col("st") <= 0, lit(null).cast("double"))
+              .otherwise(round(lit(1.0)
+                / (col("st").cast("double") / col("k").cast("double")
+                  / 1e9), 6)).as("alpha"))
+      },
+      Some("""WITH top AS (
+                SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS c
+                FROM orders
+                ORDER BY c DESC, o_orderkey LIMIT 1001),
+              b AS (SELECT CAST(MIN(c) AS BIGINT) AS xk FROM top),
+              kept AS (
+                SELECT c, xk,
+                  row_number() OVER (ORDER BY c DESC, o_orderkey) AS rn
+                FROM top, b),
+              terms AS (
+                SELECT CAST(floor(ln(CAST(c AS DOUBLE)
+                    / CAST(xk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS t,
+                  xk
+                FROM kept WHERE rn <= 1000),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(MAX(xk) AS BIGINT) AS xk,
+                  SUM(CAST(t AS HUGEINT)) AS st
+                FROM terms)
+              SELECT k,
+                round(CAST(xk AS DOUBLE) / 100.0, 2) AS x_boundary,
+                round(CAST(st AS DOUBLE) / CAST(k AS DOUBLE) / 1e9, 6)
+                  AS hill,
+                CASE WHEN st <= 0 THEN NULL
+                  ELSE round(1.0 / (CAST(st AS DOUBLE)
+                    / CAST(k AS DOUBLE) / 1e9), 6) END AS alpha
               FROM agg"""))
   )
 
