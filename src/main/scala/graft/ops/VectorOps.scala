@@ -705,7 +705,146 @@ object VectorOps {
               SELECT label, n_docs, n_langs, majority_lang,
                 CAST(majority_n AS DOUBLE) / CAST(n_docs AS DOUBLE)
                   AS purity
-              FROM agg ORDER BY label"""))
+              FROM agg ORDER BY label""")),
+
+    // ── Matryoshka truncation eval: overlap@10, 64-dim vs 16-dim ────────
+    // The MRL deployment question — how much retrieval quality survives
+    // a 4× embedding truncation? For 10 probes, top-10 by full-dim
+    // cosine vs top-10 by first-16-dims cosine, overlap counted
+    // exactly. Both rankings ride the bounded-heap graft_topk (≤10
+    // rows per task×probe cross the shuffle); sims are identical
+    // doubles in both engines (ascending-index dot products) and ties
+    // break by id, so the SETS — and the integer overlaps — hash-match.
+    // One corpus scan; probes broadcast.
+    Q("q_mrl_overlap",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            norm2(col("embedding")).as("n2"),
+            expr("slice(embedding, 1, 16)").as("e16"))
+          .withColumn("n216", dot(col("e16"), col("e16")))
+          .filter(col("n2") > 0 && col("n216") > 0)
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pf"),
+            col("n2").as("pn2"), col("e16").as("p16"),
+            col("n216").as("pn216"))
+        emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            (dot(col("pf"), col("embedding"))
+              / sqrt(col("pn2") * col("n2"))).as("simf"),
+            (dot(col("p16"), col("e16"))
+              / sqrt(col("pn216") * col("n216"))).as("simt"))
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(vec_id, simf, 10)").as("tf"),
+            expr("graft_topk(vec_id, simt, 10)").as("tt"))
+          .select(col("probe_id"),
+            size(array_intersect(expr("transform(tf, x -> x.id)"),
+              expr("transform(tt, x -> x.id)"))).cast("long")
+              .as("overlap_at_10"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH e AS (
+                SELECT vec_id, embedding, embedding[1:16] AS e16,
+                  ${duckDot("embedding", "embedding")} AS n2,
+                  (SELECT sum(CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE))
+                   FROM generate_series(1, 16) g(i)) AS n216
+                FROM embeddings),
+              ef AS (SELECT * FROM e WHERE n2 > 0 AND n216 > 0),
+              p AS (
+                SELECT vec_id AS probe_id, embedding AS pf, n2 AS pn2,
+                  e16 AS p16, n216 AS pn216
+                FROM ef WHERE vec_id < 10),
+              j AS (
+                SELECT p.probe_id, ef.vec_id,
+                  ${duckDot("p.pf", "ef.embedding")}
+                    / sqrt(p.pn2 * ef.n2) AS simf,
+                  (SELECT sum(CAST(p.p16[i] AS DOUBLE)
+                    * CAST(ef.e16[i] AS DOUBLE))
+                   FROM generate_series(1, 16) g(i))
+                    / sqrt(p.pn216 * ef.n216) AS simt
+                FROM p, ef WHERE ef.vec_id <> p.probe_id),
+              rf AS (
+                SELECT probe_id, vec_id,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY simf DESC, vec_id) AS rk
+                FROM j),
+              rt AS (
+                SELECT probe_id, vec_id,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY simt DESC, vec_id) AS rk
+                FROM j),
+              sf AS (
+                SELECT probe_id, list(vec_id) AS ids
+                FROM rf WHERE rk <= 10 GROUP BY 1),
+              st AS (
+                SELECT probe_id, list(vec_id) AS ids
+                FROM rt WHERE rk <= 10 GROUP BY 1)
+              SELECT sf.probe_id,
+                CAST(len(list_intersect(sf.ids, st.ids)) AS BIGINT)
+                  AS overlap_at_10
+              FROM sf JOIN st ON sf.probe_id = st.probe_id
+              ORDER BY sf.probe_id""")),
+
+    // ── MMR diversity re-ranking (oracle-exempt: greedy engine loop) ────
+    // The retrieval-stage re-ranker RAG stacks need: from the top-20
+    // cosine candidates of one probe, greedily select 5 maximizing
+    // λ·relevance − (1−λ)·max-sim-to-selected (λ = 0.7). The candidate
+    // pool and its 20×20 cosine matrix are tiny persisted frames (the
+    // pool is k-bounded no matter the corpus); each of the 5 rounds is
+    // an anti-join + max-sim join + (score DESC, id) argmax — driver
+    // code is loop control only, never data. MmrRerankSpec replays the
+    // greedy reference on the collected pool and pins the sequence.
+    Q("q_mmr_rerank",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            norm2(col("embedding")).as("n2"))
+          .filter(col("n2") > 0)
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pf"), col("n2").as("pn2"))
+        val cands = emb.crossJoin(broadcast(probe))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"), col("n2"),
+            (dot(col("pf"), col("embedding"))
+              / sqrt(col("pn2") * col("n2"))).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(20)
+          .persist()
+        val sims = cands.as("x").join(cands.as("y"),
+            col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            (dot(col("x.embedding"), col("y.embedding"))
+              / sqrt(col("x.n2") * col("y.n2"))).as("sim"))
+          .persist()
+        val pool = cands.select(col("vec_id"), col("rel"))
+        var selected = pool
+          .orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("rel"), lit(1L).as("rank"))
+          .localCheckpoint(true)
+        for (r <- 2 to 5) {
+          val pick = pool
+            .join(selected.select(col("vec_id").as("sv")),
+              col("vec_id") === col("sv"), "left_anti")
+            .join(sims, col("vec_id") === col("a"))
+            .join(selected.select(col("vec_id").as("sel")),
+              col("b") === col("sel"))
+            .groupBy("vec_id", "rel")
+            .agg(max(col("sim")).as("maxsim"))
+            .select(col("vec_id"), col("rel"),
+              (lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+                .as("score"))
+            .orderBy(col("score").desc, col("vec_id")).limit(1)
+            .select(col("vec_id"), col("rel"), lit(r.toLong).as("rank"))
+          selected = selected.union(pick).localCheckpoint(true)
+        }
+        selected.select(col("rank"), col("vec_id"),
+            round(col("rel"), 6).as("relevance"))
+          .orderBy("rank")
+      },
+      None)
   )
 
   /** The q_power_iteration engine, exposed so the spec can compare
