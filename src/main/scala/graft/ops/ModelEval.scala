@@ -339,6 +339,69 @@ object ModelEval {
       .orderBy("type_a", "type_b")
   }
 
+  /** Distinct-balance value census for q_effect_sizes — per exact cent
+    * value, BUILDING (n_a) and AUTOMOBILE (n_b) counts. Complete-mode
+    * mergeable streaming state (bounded by the acctbal DOMAIN grid,
+    * not the customer count).
+    */
+  def effectCensus(customers: DataFrame): DataFrame =
+    customers
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select((dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("is_a"))
+      .groupBy("cents")
+      .agg(sum(col("is_a")).cast("long").as("n_a"),
+        sum(lit(1L) - col("is_a")).cast("long").as("n_b"))
+
+  /** Readout of [[effectCensus]]: exact-2U Cliff's δ, Cohen's d and
+    * Hedges' g. Shared with the streaming twin — the drained census
+    * finishes to the identical row (StreamingSpec parity test).
+    */
+  def effectFinish(census0: DataFrame): DataFrame = {
+    val wv = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // persist: the value census feeds the U walk AND the moment agg
+    val census = census0.persist()
+    val u = census
+      .withColumn("cum_b",
+        coalesce(sum(col("n_b")).over(wv), lit(0L)))
+      .agg(sum(col("n_a").cast(dec38)
+        * (lit(2L) * col("cum_b") + col("n_b"))).as("two_u"))
+    val mom = census.agg(
+      sum(col("n_a")).cast("long").as("na"),
+      sum(col("n_b")).cast("long").as("nb"),
+      sum(col("cents").cast(dec38) * col("n_a")).as("sa"),
+      sum(col("cents").cast(dec38) * col("cents") * col("n_a"))
+        .as("ssa"),
+      sum(col("cents").cast(dec38) * col("n_b")).as("sb"),
+      sum(col("cents").cast(dec38) * col("cents") * col("n_b"))
+        .as("ssb"))
+    mom.crossJoin(broadcast(u))
+      .select(col("na"), col("nb"),
+        col("two_u").cast("long").as("two_u"),
+        round((col("two_u").cast("double")
+          - (col("na") * col("nb")).cast("double"))
+          / (col("na") * col("nb")).cast("double"), 12)
+          .as("cliffs_delta"),
+        ((col("sa").cast("double") / col("na").cast("double")
+          - col("sb").cast("double") / col("nb").cast("double"))
+          / sqrt(((col("ssa").cast("double")
+            - col("sa").cast("double") * col("sa").cast("double")
+              / col("na").cast("double"))
+            + (col("ssb").cast("double")
+              - col("sb").cast("double") * col("sb").cast("double")
+                / col("nb").cast("double")))
+            / (col("na") + col("nb") - 2).cast("double")))
+          .as("d"))
+      .select(col("na"), col("nb"), col("two_u"),
+        col("cliffs_delta"),
+        round(col("d"), 6).as("cohen_d"),
+        round(col("d") * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("na") + col("nb")).cast("double")
+            - 9.0)), 6).as("hedges_g"))
+  }
+
   /** Jarque–Bera sufficient statistic: per-segment exact power sums
     * Σx^k (k ≤ 4, DECIMAL(38,0) cents). Mergeable Complete-mode
     * streaming state (≤segments rows); [[jbFinish]] over a drained
@@ -3263,56 +3326,7 @@ object ModelEval {
     // [-999.99, 9999.99] grid is ≤1.1M cells at any SF); the value
     // walk is one window over that census.
     Q("q_effect_sizes",
-      (s, dir) => {
-        val wv = Window.orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val census = t(s, dir, "customer")
-          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-          .select((dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
-            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
-              .as("is_a"))
-          .groupBy("cents")
-          .agg(sum(col("is_a")).cast("long").as("n_a"),
-            sum(lit(1L) - col("is_a")).cast("long").as("n_b"))
-          .persist()
-        val u = census
-          .withColumn("cum_b",
-            coalesce(sum(col("n_b")).over(wv), lit(0L)))
-          .agg(sum(col("n_a").cast(dec38)
-            * (lit(2L) * col("cum_b") + col("n_b"))).as("two_u"))
-        val mom = census.agg(
-          sum(col("n_a")).cast("long").as("na"),
-          sum(col("n_b")).cast("long").as("nb"),
-          sum(col("cents").cast(dec38) * col("n_a")).as("sa"),
-          sum(col("cents").cast(dec38) * col("cents") * col("n_a"))
-            .as("ssa"),
-          sum(col("cents").cast(dec38) * col("n_b")).as("sb"),
-          sum(col("cents").cast(dec38) * col("cents") * col("n_b"))
-            .as("ssb"))
-        mom.crossJoin(broadcast(u))
-          .select(col("na"), col("nb"),
-            col("two_u").cast("long").as("two_u"),
-            round((col("two_u").cast("double")
-              - (col("na") * col("nb")).cast("double"))
-              / (col("na") * col("nb")).cast("double"), 12)
-              .as("cliffs_delta"),
-            ((col("sa").cast("double") / col("na").cast("double")
-              - col("sb").cast("double") / col("nb").cast("double"))
-              / sqrt(((col("ssa").cast("double")
-                - col("sa").cast("double") * col("sa").cast("double")
-                  / col("na").cast("double"))
-                + (col("ssb").cast("double")
-                  - col("sb").cast("double") * col("sb").cast("double")
-                    / col("nb").cast("double")))
-                / (col("na") + col("nb") - 2).cast("double")))
-              .as("d"))
-          .select(col("na"), col("nb"), col("two_u"),
-            col("cliffs_delta"),
-            round(col("d"), 6).as("cohen_d"),
-            round(col("d") * (lit(1.0) - lit(3.0)
-              / (lit(4.0) * (col("na") + col("nb")).cast("double")
-                - 9.0)), 6).as("hedges_g"))
-      },
+      (s, dir) => effectFinish(effectCensus(t(s, dir, "customer"))),
       Some("""WITH census AS (
                 SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
                     AS BIGINT) AS cents,
@@ -3508,6 +3522,76 @@ object ModelEval {
                   + v01 / CAST(n0 AS DOUBLE)), 6) AS ci_low,
                 round(auc + 1.96 * sqrt(v10 / CAST(n1 AS DOUBLE)
                   + v01 / CAST(n0 AS DOUBLE)), 6) AS ci_high
-              FROM vv"""))
+              FROM vv""")),
+
+    // ── Wilson score intervals: big-ticket share per event type ─────────
+    // The binomial CI that stays sane at extreme rates (the naive ±z√pq
+    // interval leaks outside [0,1]): per event type, the share of
+    // events with value > $100, with the z=1.96 Wilson center and
+    // half-width. Counts are exact integers from ONE partial+final
+    // agg; the interval is row-local IEEE per ≤5 census rows.
+    Q("q_ctr_wilson",
+      (s, dir) => {
+        val z2 = lit(1.96 * 1.96)
+        t(s, dir, "events")
+          .select(col("event_type"),
+            when((dec2(col("value")) * 100).cast("long") > 10000L, 1L)
+              .otherwise(0L).as("hit"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("hit")).cast("long").as("k"))
+          .select(col("event_type"), col("n"), col("k"),
+            round(col("k").cast("double") / col("n").cast("double"), 12)
+              .as("p_hat"),
+            round(((col("k").cast("double") / col("n").cast("double")
+              + z2 / (lit(2.0) * col("n").cast("double")))
+              - lit(1.96) * sqrt((col("k").cast("double")
+                / col("n").cast("double"))
+                * (lit(1.0) - col("k").cast("double")
+                  / col("n").cast("double")) / col("n").cast("double")
+                + z2 / (lit(4.0) * col("n").cast("double")
+                  * col("n").cast("double"))))
+              / (lit(1.0) + z2 / col("n").cast("double")), 6)
+              .as("wilson_low"),
+            round(((col("k").cast("double") / col("n").cast("double")
+              + z2 / (lit(2.0) * col("n").cast("double")))
+              + lit(1.96) * sqrt((col("k").cast("double")
+                / col("n").cast("double"))
+                * (lit(1.0) - col("k").cast("double")
+                  / col("n").cast("double")) / col("n").cast("double")
+                + z2 / (lit(4.0) * col("n").cast("double")
+                  * col("n").cast("double"))))
+              / (lit(1.0) + z2 / col("n").cast("double")), 6)
+              .as("wilson_high"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN CAST(CAST(value AS DECIMAL(18,2))
+                    * 100 AS BIGINT) > 10000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+                FROM events GROUP BY 1)
+              SELECT event_type, n, k,
+                round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 12)
+                  AS p_hat,
+                round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                    + 3.8415999999999997 / (4.0 * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE))))
+                  / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)), 6)
+                  AS wilson_low,
+                round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                    + 3.8415999999999997 / (4.0 * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE))))
+                  / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)), 6)
+                  AS wilson_high
+              FROM c ORDER BY event_type"""))
   )
 }

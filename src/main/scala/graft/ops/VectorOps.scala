@@ -844,7 +844,86 @@ object VectorOps {
             round(col("rel"), 6).as("relevance"))
           .orderBy("rank")
       },
-      None)
+      None),
+
+    // ── ColBERT-style MaxSim late interaction (4×16-dim sub-vectors) ────
+    // Late-interaction retrieval: treat each 64-dim embedding as FOUR
+    // 16-dim "token" vectors; score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ). The
+    // 16 sub-cosines are row-local ascending-index dot products
+    // (identical doubles both engines), the max/sum is a greatest()
+    // tree, and the per-probe top-5 rides the bounded-heap graft_topk.
+    // One corpus scan with the 4 slices+norms computed once per row;
+    // probes broadcast. The oracle mirrors every op in the same order.
+    Q("q_maxsim_late_interaction",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        def slices(prefix: String): Seq[Column] =
+          (0 until 4).flatMap { i =>
+            val sl = expr(s"slice(embedding, ${i * 16 + 1}, 16)")
+            Seq(sl.as(s"$prefix$i"),
+              dot(sl, sl).as(s"${prefix}n$i"))
+          }
+        val emb = t(s, dir, "embeddings")
+          .select((col("vec_id") +: slices("d")): _*)
+          .filter((0 until 4).map(i => col(s"dn$i") > 0)
+            .reduce(_ && _))
+        val probes = emb.filter(col("vec_id") < 5)
+          .select((col("vec_id").as("probe_id") +:
+            (0 until 4).flatMap(i => Seq(col(s"d$i").as(s"q$i"),
+              col(s"dn$i").as(s"qn$i")))): _*)
+        val score = (0 until 4).map { i =>
+          greatest((0 until 4).map(j =>
+            dot(col(s"q$i"), col(s"d$j"))
+              / sqrt(col(s"qn$i") * col(s"dn$j"))): _*)
+        }.reduce(_ + _)
+        emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), score.as("maxsim"))
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(vec_id, maxsim, 5)").as("topk"))
+          .select(col("probe_id"),
+            posexplode(col("topk")).as(Seq("pos", "s")))
+          .select(col("probe_id"), col("s.id").as("doc_id"),
+            round(col("s.score"), 6).as("maxsim"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("probe_id", "rk")
+      },
+      Some {
+        def sub(arr: String, i: Int): String =
+          s"(SELECT sum(CAST($arr[${i * 16} + g.i] AS DOUBLE)" +
+            s" * CAST($arr[${i * 16} + g.i] AS DOUBLE))" +
+            " FROM generate_series(1, 16) g(i))"
+        def cross(i: Int, j: Int): String =
+          s"(SELECT sum(CAST(p.embedding[${i * 16} + g.i] AS DOUBLE)" +
+            s" * CAST(e.embedding[${j * 16} + g.i] AS DOUBLE))" +
+            s" FROM generate_series(1, 16) g(i))" +
+            s" / sqrt(p.qn$i * e.dn$j)"
+        val norms = (0 until 4)
+          .map(i => s"${sub("embedding", i)} AS n$i").mkString(", ")
+        val scoreSql = (0 until 4).map { i =>
+          s"greatest(${(0 until 4).map(j => cross(i, j)).mkString(", ")})"
+        }.mkString(" + ")
+        s"""WITH e0 AS (
+              SELECT vec_id, embedding, $norms FROM embeddings),
+            ef AS (
+              SELECT vec_id, embedding,
+                n0 AS dn0, n1 AS dn1, n2 AS dn2, n3 AS dn3
+              FROM e0 WHERE n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0),
+            p AS (
+              SELECT vec_id AS probe_id, embedding,
+                dn0 AS qn0, dn1 AS qn1, dn2 AS qn2, dn3 AS qn3
+              FROM ef WHERE vec_id < 5),
+            j AS (
+              SELECT p.probe_id, e.vec_id, $scoreSql AS maxsim
+              FROM p, ef e WHERE e.vec_id <> p.probe_id),
+            r AS (
+              SELECT probe_id, vec_id, maxsim,
+                CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rk
+              FROM j)
+            SELECT probe_id, vec_id AS doc_id,
+              round(maxsim, 6) AS maxsim, rk
+            FROM r WHERE rk <= 5 ORDER BY probe_id, rk"""
+      })
   )
 
   /** The q_power_iteration engine, exposed so the spec can compare

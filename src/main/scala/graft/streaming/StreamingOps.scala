@@ -862,6 +862,15 @@ object StreamingOps {
   def kAnonCounts(customers: DataFrame): DataFrame =
     graft.ops.Relational.kAnonCensus(customers)
 
+  /** Streaming half of q_effect_sizes — live effect-size monitor for
+    * the BUILDING/AUTOMOBILE balance split. The distinct-cent value
+    * census is Complete-mode state bounded by the acctbal domain grid;
+    * [[graft.ops.ModelEval.effectFinish]] over the drained state equals
+    * batch q_effect_sizes EXACTLY at any trigger (exact counts).
+    */
+  def effectCounts(customers: DataFrame): DataFrame =
+    graft.ops.ModelEval.effectCensus(customers)
+
   /** Streaming half of q_export_shards — the live export manifest. The
     * 16-row per-shard census (counts, token sums, order-free XOR
     * fingerprints) is mergeable Complete-mode state;

@@ -584,6 +584,25 @@ class StreamingSpec extends SparkSpec {
       "drained ANOVA census diverged from batch q_tukey_hsd")
   }
 
+  test("drained effect-size census finishes to batch q_effect_sizes exactly") {
+    val dir = Files.createTempDirectory("graft-effect").toString
+    Tables.load(spark, sfDir, "customer")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.effectCounts(
+        StreamingOps.readCustomerStream(spark, s"$dir/in")),
+      "t_effect", OutputMode.Complete())
+    val census = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.ModelEval.effectFinish(census).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_effect_sizes")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained effect-size census diverged from batch q_effect_sizes")
+  }
+
   test("drained calibration census finishes to batch q_calibration exactly") {
     val dir = Files.createTempDirectory("graft-calib").toString
     Tables.load(spark, sfDir, "events")
