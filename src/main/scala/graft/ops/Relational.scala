@@ -7705,7 +7705,216 @@ object Relational {
                 CASE WHEN st <= 0 THEN NULL
                   ELSE round(1.0 / (CAST(st AS DOUBLE)
                     / CAST(k AS DOUBLE) / 1e9), 6) END AS alpha
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── quantile treatment effects: urgent vs rest, 9 deciles ───────────
+    // Distributional version of a mean lift: QTE(d) = Q_d(urgent) −
+    // Q_d(rest) for d = 10..90. Per-group decile values are EXACT
+    // percentile_disc picks — RangeRank ranks the (group, cents,
+    // orderkey) total order (the per-group censuses grow with data),
+    // the pick is rn = ⌈d·n/10⌉ by integer arithmetic, and the 9×2
+    // picked rows pivot into diffs. No FP anywhere but the final
+    // dollar conversion.
+    Q("q_quantile_treatment_effect",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              lit("urgent")).otherwise(lit("rest")).as("g"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"),
+            col("o_orderkey"))
+        val ranked = RangeRank.ranked(base, Seq("g"),
+          Seq(col("cents"), col("o_orderkey")))
+        val deciles = (1 to 9).map(d =>
+          when(col("rn") === expr(s"(n * $d + 9) div 10"), d.toLong))
+        val picks = ranked
+          .select(col("g"), col("cents"),
+            coalesce(deciles: _*).as("decile"))
+          .filter(col("decile").isNotNull)
+          .groupBy("decile")
+          .agg(
+            min(when(col("g") === "urgent", col("cents"))).as("qu"),
+            min(when(col("g") === "rest", col("cents"))).as("qr"))
+        picks.select(col("decile"),
+            round(col("qu").cast("double") / 100.0, 2).as("q_urgent"),
+            round(col("qr").cast("double") / 100.0, 2).as("q_rest"),
+            round((col("qu") - col("qr")).cast("double") / 100.0, 2)
+              .as("qte"))
+          .orderBy("decile")
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'urgent' ELSE 'rest' END AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  o_orderkey
+                FROM orders),
+              r AS (
+                SELECT g, cents,
+                  CAST(row_number() OVER (PARTITION BY g
+                    ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                FROM base),
+              marked AS (
+                SELECT g, cents, d.d AS decile
+                FROM r JOIN (SELECT unnest(generate_series(1, 9)) AS d)
+                  d ON r.rn = (r.n * d.d + 9) // 10),
+              picks AS (
+                SELECT decile,
+                  MIN(CASE WHEN g = 'urgent' THEN cents END) AS qu,
+                  MIN(CASE WHEN g = 'rest' THEN cents END) AS qr
+                FROM marked GROUP BY 1)
+              SELECT CAST(decile AS BIGINT) AS decile,
+                round(CAST(qu AS DOUBLE) / 100.0, 2) AS q_urgent,
+                round(CAST(qr AS DOUBLE) / 100.0, 2) AS q_rest,
+                round(CAST(qu - qr AS DOUBLE) / 100.0, 2) AS qte
+              FROM picks ORDER BY decile""")),
+
+    // ── Anderson–Darling uniformity audit of the Knuth hash ─────────────
+    // Is pmod(orderkey·2654435761, 4096) actually uniform? The A²
+    // statistic weights the CDF tails the KS screen underweights. On
+    // the 4096-bin census the order statistics collapse to runs:
+    // Σ(2i−1) over a run is c·(2p+c−2) EXACT, the two log terms
+    // μ-integerize to 1e-9 (F = (h+0.5)/4096 never hits 0/1), so S is
+    // an exact DECIMAL sum and A² = −n − S/n is one final division.
+    // One orders pass, 4096-bounded census.
+    Q("q_anderson_darling",
+      (s, dir) => {
+        val wAll = Window.partitionBy()
+        val wPrev = Window.orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAfter = Window.orderBy(col("h"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val census = t(s, dir, "orders")
+          .select(expr(
+            "pmod((o_orderkey % 2147483648) * 2654435761, 4096)")
+            .cast("long").as("h"))
+          .groupBy("h").agg(count(lit(1)).cast("long").as("c"))
+        val terms = census
+          .select(col("h"), col("c"),
+            coalesce(sum(col("c")).over(wPrev), lit(0L)).as("below"),
+            coalesce(sum(col("c")).over(wAfter), lit(0L)).as("above"),
+            sum(col("c")).over(wAll).cast("long").as("n"))
+          .select(col("n"),
+            (col("c") * (lit(2L) * (col("below") + 1) + col("c")
+              - 2)).as("w1"),
+            (col("c") * (lit(2L) * (col("above") + 1) + col("c")
+              - 2)).as("w2"),
+            floor(log((col("h").cast("double") + 0.5) / 4096.0) * 1e9
+              + 0.5).cast("long").as("t1"),
+            floor(log(lit(1.0) - (col("h").cast("double") + 0.5)
+              / 4096.0) * 1e9 + 0.5).cast("long").as("t2"))
+        terms.agg(max(col("n")).as("n"),
+            sum(col("w1").cast(DecimalType(38, 0)) * col("t1")).as("s1"),
+            sum(col("w2").cast(DecimalType(38, 0)) * col("t2")).as("s2"))
+          .select(col("n").as("n_orders"),
+            round(lit(-1.0) * col("n").cast("double")
+              - (col("s1").cast("double") + col("s2").cast("double"))
+                / 1e9 / col("n").cast("double"), 6).as("a_squared"))
+      },
+      Some("""WITH census AS (
+                SELECT ((o_orderkey % 2147483648) * 2654435761 % 4096
+                  + 4096) % 4096 AS h,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1),
+              terms AS (
+                SELECT
+                  CAST(SUM(c) OVER () AS BIGINT) AS n,
+                  c * (2 * (COALESCE(SUM(c) OVER (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1) + c - 2) AS w1,
+                  c * (2 * (COALESCE(SUM(c) OVER (ORDER BY h
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                    0) + 1) + c - 2) AS w2,
+                  CAST(floor(ln((CAST(h AS DOUBLE) + 0.5) / 4096.0)
+                    * 1e9 + 0.5) AS BIGINT) AS t1,
+                  CAST(floor(ln(1.0 - (CAST(h AS DOUBLE) + 0.5)
+                    / 4096.0) * 1e9 + 0.5) AS BIGINT) AS t2
+                FROM census),
+              agg AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n,
+                  SUM(CAST(w1 AS HUGEINT) * t1) AS s1,
+                  SUM(CAST(w2 AS HUGEINT) * t2) AS s2
+                FROM terms)
+              SELECT n AS n_orders,
+                round(-1.0 * CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) / 1e9
+                    / CAST(n AS DOUBLE), 6) AS a_squared
+              FROM agg""")),
+
+    // ── knee of the revenue-concentration curve (Kneedle-lite) ──────────
+    // "How many customers until the curve flattens?" — the knee is the
+    // percentile bin maximizing distance from the (0,0)→(100,total)
+    // chord. The distance ordering is computed WITHOUT FP: argmax of
+    // |100·cum_cents − bin·total| over exact DECIMAL integers, via the
+    // (dev DESC, bin) total order on the ≤100-row bin census. Ranks
+    // ride RangeRank (customer census grows with data); only the
+    // reported shares are doubles.
+    Q("q_knee_detection",
+      (s, dir) => {
+        val cust = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("o_custkey")
+          .agg(sum(col("c").cast(DecimalType(38, 0))).as("cents"))
+        val ranked = RangeRank.ranked(cust, Seq.empty,
+          Seq(col("cents").desc, col("o_custkey")))
+        val bins = ranked
+          .select(expr("(rn - 1) * 100 div n").cast("long").as("bin"),
+            col("cents"))
+          .groupBy("bin").agg(sum(col("cents")).as("binc"))
+        val wcum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy()
+        bins
+          .select(col("bin"),
+            sum(col("binc")).over(wcum).as("cum"),
+            sum(col("binc")).over(wAll).as("tot"))
+          .select(col("bin"), col("cum"), col("tot"),
+            abs(col("cum") * 100 - (col("bin") + 1) * col("tot"))
+              .as("dev"))
+          .orderBy(col("dev").desc, col("bin"))
+          .limit(1)
+          .select((col("bin") + 1).as("knee_percentile"),
+            round(col("cum").cast("double") / col("tot").cast("double"),
+              12).as("cum_share_at_knee"),
+            round((col("cum").cast("double") * 100.0
+              - ((col("bin") + 1) * col("tot")).cast("double"))
+              / col("tot").cast("double") / 100.0, 12)
+              .as("max_gap_share"))
+      },
+      Some("""WITH cust AS (
+                SELECT o_custkey,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS HUGEINT)) AS cents
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents DESC,
+                    o_custkey) AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM cust),
+              bins AS (
+                SELECT (rn - 1) * 100 // n AS bin, SUM(cents) AS binc
+                FROM r GROUP BY 1),
+              curve AS (
+                SELECT bin,
+                  SUM(binc) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  SUM(binc) OVER () AS tot
+                FROM bins)
+              SELECT CAST(bin + 1 AS BIGINT) AS knee_percentile,
+                round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                  AS cum_share_at_knee,
+                round((CAST(cum AS DOUBLE) * 100.0
+                  - CAST((bin + 1) * tot AS DOUBLE))
+                  / CAST(tot AS DOUBLE) / 100.0, 12) AS max_gap_share
+              FROM curve
+              ORDER BY abs(cum * 100 - (bin + 1) * tot) DESC, bin
+              LIMIT 1"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class
