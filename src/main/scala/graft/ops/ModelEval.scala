@@ -3592,6 +3592,218 @@ object ModelEval {
                       * CAST(n AS DOUBLE))))
                   / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)), 6)
                   AS wilson_high
-              FROM c ORDER BY event_type"""))
+              FROM c ORDER BY event_type""")),
+
+    // ── Youden-J optimal cutoff (FP-free argmax) ────────────────────────
+    // The threshold q_auc ranks but never picks: classify positive when
+    // value > v, J(v) = TPR − FPR. On the score census the confusion
+    // counts are exact inclusive prefix sums, and the argmax orders by
+    // the INTEGER tp·nn − fp·np (= J·np·nn — same ordering, no
+    // division), tie-broken by cutoff. RangeRank carries the prefix
+    // sums (the census grows with data); J itself is two divisions on
+    // the one winning row.
+    Q("q_youden_cutoff",
+      (s, dir) => {
+        val census = labeled(t(s, dir, "events"))
+          .groupBy("value")
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            sum(col("pos")).cast("long").as("p"))
+        val ranked = RangeRank.ranked(
+          census, Seq.empty, Seq(col("value")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(
+            RangeRank.PrefixSum(col("p"), "cump"),
+            RangeRank.PrefixSum(col("cnt") - col("p"), "cumq")))
+        val tot = census.agg(sum(col("p")).cast("long").as("np"),
+          sum(col("cnt") - col("p")).cast("long").as("nn"))
+        ranked.crossJoin(broadcast(tot))
+          .select(col("value"), col("np"), col("nn"),
+            (col("np") - (col("cump") + col("p"))).cast("long").as("tp"),
+            (col("nn") - (col("cumq") + (col("cnt") - col("p"))))
+              .cast("long").as("fp"))
+          .select(col("value"), col("np"), col("nn"), col("tp"),
+            col("fp"),
+            (col("tp").cast(dec38) * col("nn")
+              - col("fp").cast(dec38) * col("np")).as("score"))
+          .orderBy(col("score").desc, col("value"))
+          .limit(1)
+          .select(col("value").as("cutoff"), col("tp"), col("fp"),
+            (col("np") - col("tp")).as("fn"),
+            (col("nn") - col("fp")).as("tn"),
+            round(col("tp").cast("double") / col("np").cast("double")
+              - col("fp").cast("double") / col("nn").cast("double"), 6)
+              .as("youden_j"))
+      },
+      Some("""WITH census AS (
+                SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p
+                FROM events GROUP BY 1),
+              r AS (
+                SELECT value, cnt, p,
+                  COALESCE(SUM(p) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cump,
+                  COALESCE(SUM(cnt - p) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cumq
+                FROM census),
+              tot AS (
+                SELECT CAST(SUM(p) AS BIGINT) AS np,
+                  CAST(SUM(cnt - p) AS BIGINT) AS nn
+                FROM census),
+              scored AS (
+                SELECT value, np, nn,
+                  CAST(np - (cump + p) AS BIGINT) AS tp,
+                  CAST(nn - (cumq + (cnt - p)) AS BIGINT) AS fp,
+                  CAST(np - (cump + p) AS HUGEINT) * nn
+                    - CAST(nn - (cumq + (cnt - p)) AS HUGEINT) * np
+                    AS score
+                FROM r, tot)
+              SELECT value AS cutoff, tp, fp,
+                CAST(np - tp AS BIGINT) AS fn,
+                CAST(nn - fp AS BIGINT) AS tn,
+                round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)
+                  - CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                  AS youden_j
+              FROM scored
+              ORDER BY score DESC, value LIMIT 1""")),
+
+    // ── Spiegelhalter calibration z (exact carriers) ────────────────────
+    // The calibration TEST the binned ECE can't give a p-value shape
+    // for: with p = min(cents, 50000)/50000 (the q_brier probability
+    // proxy), Z = Σ(y−p)(1−2p)/√(Σ(1−2p)²p(1−p)). Both sums expand to
+    // INTEGER polynomials in m = min(cents, 50000) — (5·10⁴)² scale
+    // factors cancel between numerator and √denominator — so the whole
+    // statistic is two exact DECIMAL sums and one final division. One
+    // events pass, 1-row result.
+    Q("q_spiegelhalter_z",
+      (s, dir) => {
+        val m = labeled(t(s, dir, "events"))
+          .select(least((dec2(col("value")) * 100).cast("long"),
+            lit(50000L)).as("m"), col("pos"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(((lit(50000L) * col("pos") - col("m")).cast(dec38)
+              * (lit(50000L) - lit(2L) * col("m"))))
+              .as("num"),
+            sum(((lit(50000L) - lit(2L) * col("m")).cast(dec38)
+              * (lit(50000L) - lit(2L) * col("m"))
+              * col("m") * (lit(50000L) - col("m"))))
+              .as("den"))
+        m.select(col("n"),
+            when(col("den") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("num").cast("double")
+                / sqrt(col("den").cast("double")), 6)).as("z"))
+      },
+      Some("""WITH b AS (
+                SELECT LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT), 50000) AS m,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS y
+                FROM events),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(50000 * y - m AS HUGEINT)
+                    * (50000 - 2 * m)) AS num,
+                  SUM(CAST(50000 - 2 * m AS HUGEINT)
+                    * (50000 - 2 * m) * m * (50000 - m)) AS den
+                FROM b)
+              SELECT n,
+                CASE WHEN den <= 0 THEN NULL
+                  ELSE round(CAST(num AS DOUBLE)
+                    / sqrt(CAST(den AS DOUBLE)), 6) END AS z
+              FROM agg""")),
+
+    // ── isotonic calibration (pool-adjacent-violators) ──────────────────
+    // The production calibrator behind Platt-free score calibration:
+    // project the 100-bin empirical purchase rate onto the monotone
+    // cone. The engine runs PARALLEL PAV — each round merges every
+    // leftmost-greedy violating adjacent block pair simultaneously
+    // (violation = EXACT integer cross-product compare k·n' > k'·n);
+    // merging is confluent, so any order reaches the unique isotonic
+    // fit. Blocks are a ≤100-row frame; the driver loop is convergence
+    // control only. The oracle computes the SAME unique fit by the
+    // minimax identity ŷᵢ = max_{j≤i} min_{l≥i} avg(j..l) over prefix
+    // sums (≤100³ bounded enumeration) — two different algorithms, one
+    // answer, hash-matched.
+    Q("q_isotonic_calibration",
+      (s, dir) => {
+        val census = labeled(t(s, dir, "events"))
+          .select((dec2(col("value")) * 100).cast("long").as("cents"),
+            col("pos"))
+          .select(expr("CAST(least(cents, 49999) div 500 AS BIGINT)")
+            .as("b"), col("pos"))
+          .groupBy("b")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("pos")).cast("long").as("k"))
+          .persist()
+        val w = Window.orderBy("lo")
+        var blocks = census.select(col("b").as("lo"), col("b").as("hi"),
+            col("k"), col("n")).localCheckpoint(true)
+        var merged = true
+        while (merged) {
+          val f = blocks
+            .withColumn("nk", lead(col("k"), 1).over(w))
+            .withColumn("nn2", lead(col("n"), 1).over(w))
+            .withColumn("nhi", lead(col("hi"), 1).over(w))
+            .withColumn("viol", col("nk").isNotNull
+              && col("k").cast(dec38) * col("nn2")
+                > col("nk").cast(dec38) * col("n"))
+            .withColumn("mergeL", col("viol")
+              && !coalesce(lag(col("viol"), 1).over(w), lit(false)))
+            .withColumn("dropR",
+              coalesce(lag(col("mergeL"), 1).over(w), lit(false)))
+          val next = f.filter(!col("dropR"))
+            .select(col("lo"),
+              when(col("mergeL"), col("nhi")).otherwise(col("hi"))
+                .as("hi"),
+              when(col("mergeL"), col("k") + col("nk"))
+                .otherwise(col("k")).as("k"),
+              when(col("mergeL"), col("n") + col("nn2"))
+                .otherwise(col("n")).as("n"))
+            .localCheckpoint(true)
+          merged = f.filter(col("mergeL")).count() > 0
+          blocks = next
+        }
+        census.join(blocks,
+            col("b") >= col("lo") && col("b") <= col("hi"))
+          .select(col("b").as("bin"), census("n").as("n_bin"),
+            census("k").as("k_bin"),
+            round(blocks("k").cast("double")
+              / blocks("n").cast("double"), 12).as("iso_rate"))
+          .orderBy("bin")
+      },
+      Some("""WITH census AS (
+                SELECT CAST(LEAST(CAST(CAST(value AS DECIMAL(18,2))
+                    * 100 AS BIGINT), 49999) // 500 AS BIGINT) AS b,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS k
+                FROM events GROUP BY 1),
+              pre AS (
+                SELECT b, n, k,
+                  CAST(SUM(n) OVER (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn,
+                  CAST(SUM(k) OVER (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ck
+                FROM census),
+              pairs AS (
+                SELECT a.b AS jb, z.b AS lb,
+                  CAST(z.ck - (a.ck - a.k) AS DOUBLE)
+                    / CAST(z.cn - (a.cn - a.n) AS DOUBLE) AS avgv
+                FROM pre a JOIN pre z ON a.b <= z.b),
+              inner_min AS (
+                SELECT i.b AS bin, p.jb, MIN(p.avgv) AS mn
+                FROM census i JOIN pairs p
+                  ON p.jb <= i.b AND p.lb >= i.b
+                GROUP BY 1, 2),
+              iso AS (
+                SELECT bin, MAX(mn) AS rate FROM inner_min GROUP BY 1)
+              SELECT census.b AS bin, n AS n_bin, k AS k_bin,
+                round(rate, 12) AS iso_rate
+              FROM census JOIN iso ON census.b = iso.bin
+              ORDER BY bin"""))
   )
 }
