@@ -4336,6 +4336,9 @@ object EventTime {
             + when(col("y") < col("z"), 2L).otherwise(0L)
             + when(col("x") < col("z"), 1L).otherwise(0L)).as("pat"))
           .groupBy("pat").agg(count(lit(1)).cast("long").as("cnt"))
+          // persist: the ≤8-row pattern census feeds the total AND the
+          // term projection — un-persisted, each consumer re-scans orders
+          .persist()
         val tot = pats.agg(sum(col("cnt")).cast("long").as("n"))
         pats.crossJoin(broadcast(tot))
           .select(col("pat"), col("n"),

@@ -967,7 +967,24 @@ class PlanGuardSpec extends SparkSpec {
       "q_tail_dependence" -> 1, "q_mantel_haenszel" -> 2,
       "q_tukey_hsd" -> 0, "q_lorenz_curve" -> 0, "q_friedman_test" -> 0,
       "q_grubbs_test" -> 0, "q_icc" -> 0, "q_croston" -> 0,
-      "q_seasonal_strength" -> 0)
+      "q_seasonal_strength" -> 0,
+      // session batches 27-37: single-pass queries pay their scans,
+      // persisted-census/RangeRank queries pay zero at readout; the
+      // probe+corpus vector scans pay the documented two
+      "q_kalman_filter" -> 1, "q_wilcoxon_signed_rank" -> 2,
+      "q_pca_2d" -> 1, "q_mahalanobis_outliers" -> 0,
+      "q_cochran_armitage" -> 1, "q_dtw_profile" -> 0,
+      "q_permutation_entropy" -> 1, "q_turning_points" -> 1,
+      "q_morans_i" -> 0, "q_bland_altman" -> 0,
+      "q_effect_sizes" -> 0, "q_auc_delong" -> 0,
+      "q_hill_tail" -> 0, "q_ewma_chart" -> 0,
+      "q_mrl_overlap" -> 2, "q_mmr_rerank" -> 0,
+      "q_maxsim_late_interaction" -> 2, "q_ctr_wilson" -> 1,
+      "q_quantile_treatment_effect" -> 0, "q_anderson_darling" -> 1,
+      "q_knee_detection" -> 0, "q_youden_cutoff" -> 1,
+      "q_spiegelhalter_z" -> 1, "q_isotonic_calibration" -> 0,
+      "q_weibull_fit" -> 2, "q_log_rank" -> 2, "q_feature_hashing" -> 0,
+      "q_quasi_monte_carlo" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
