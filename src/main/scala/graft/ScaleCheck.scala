@@ -148,6 +148,10 @@ object ScaleCheck {
     "q_brand_loyalty", "q_session_value_bands",
     // drift-monitor series: calendar × bins census + grid folds
     "q_psi_timeline",
+    // late round-6 battery: PAV runs bounded merge ROUNDS over a ≤100-row
+    // block frame — per-round cost is fixed, only the census scan scales;
+    // expect near-flat-to-linear
+    "q_isotonic_calibration",
     // continuation batch: 2-round integer HITS (edge-scale joins),
     // shared-generator pair fan-out + integer-micros score, (source,
     // token) census + dense top-200 grid, decorrelated LATERAL top-N
