@@ -943,6 +943,93 @@ object Curation {
               GROUP BY ce.source, ns.n_src, nn.n
               ORDER BY ce.source""")),
 
+    // ── per-source Cramér–von Mises drift (squared-ECDF-gap mass) ────────
+    // The fourth drift lens: KS takes the WORST ECDF gap, W₁ the total
+    // |gap|·width transport, CvM integrates the SQUARED gap against the
+    // POOLED sample measure — it weights divergence where the data
+    // actually sits, so a tail-only shift KS flags loudly is discounted
+    // and a body shift W₁ smears is sharpened. Two-sample statistic per
+    // source vs rest: T = Σ_v c_all(v)·D_v² / (n_s·m_s·N²) with
+    // D_v = cum_src·m_s − cum_rest·n_s the exact-integer common-
+    // denominator ECDF gap over the same dense (source × value) grid
+    // q_ks_drift walks (c_all = pooled multiplicity at v). The only FP
+    // is the final stepwise division (÷n_s ÷m_s ÷N ÷N — the identical
+    // IEEE sequence in both engines). Scale shape: the corpus collapses
+    // in the ksCounts census (one scan, persisted for the four census
+    // consumers); grid, cumsums, and the D² fold are catalog-bounded.
+    Q("q_cvm_drift",
+      (s, dir) => {
+        val counts = ksCounts(t(s, dir, "documents"))
+          .select(col("source"), col("v"), col("c").cast("long").as("c"))
+          .persist()
+        val n = counts.agg(sum(col("c")).cast("long")).head.getLong(0)
+        val grid = counts.select("source").distinct()
+          .crossJoin(counts.select("v").distinct())
+        val perSrc = counts.groupBy("source").agg(sum(col("c")).as("n_src"))
+        val w = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = counts.groupBy("v").agg(sum(col("c")).as("cv"))
+          .select(col("v"), col("cv"),
+            sum(col("cv")).over(totW).as("cum_all"))
+        val d = (col("cum_src") * (lit(n) - col("n_src"))
+          - (col("cum_all") - col("cum_src")) * col("n_src"))
+        grid.join(counts, Seq("source", "v"), "left")
+          .select(col("source"), col("v"),
+            sum(coalesce(col("c"), lit(0L))).over(w).as("cum_src"))
+          .join(tot, "v")
+          .join(perSrc, "source")
+          .select(col("source"), col("n_src"),
+            (col("cv").cast(DecimalType(38, 0))
+              * d.cast(DecimalType(38, 0))
+              * d.cast(DecimalType(38, 0))).as("term"))
+          .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+          .agg(sum(col("term")).as("num"))
+          .select(col("source"), col("n_src"),
+            round(col("num").cast("double")
+              / col("n_src").cast("double")
+              / (lit(n) - col("n_src")).cast("double")
+              / lit(n.toDouble) / lit(n.toDouble), 6).as("cvm"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+                SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2),
+              grid AS (
+                SELECT s.source, vv.v
+                FROM (SELECT DISTINCT source FROM counts) s,
+                  (SELECT DISTINCT v FROM counts) vv),
+              cums AS (
+                SELECT g.source, g.v,
+                  SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+                    ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum_src
+                FROM grid g LEFT JOIN counts c
+                  ON g.source = c.source AND g.v = c.v),
+              tot AS (
+                SELECT v, cv, SUM(cv) OVER (ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+                FROM (SELECT v, SUM(c) AS cv FROM counts GROUP BY 1)),
+              ns AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+                FROM documents GROUP BY 1),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+              SELECT cu.source, ns.n_src,
+                round(CAST(SUM(CAST(t.cv AS HUGEINT)
+                    * (cu.cum_src * (nn.n - ns.n_src)
+                       - (t.cum_all - cu.cum_src) * ns.n_src)
+                    * (cu.cum_src * (nn.n - ns.n_src)
+                       - (t.cum_all - cu.cum_src) * ns.n_src)) AS DOUBLE)
+                  / CAST(ns.n_src AS DOUBLE)
+                  / CAST(nn.n - ns.n_src AS DOUBLE)
+                  / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+                  AS cvm
+              FROM cums cu JOIN tot t ON cu.v = t.v
+                JOIN ns ON cu.source = ns.source, nn
+              GROUP BY cu.source, ns.n_src, nn.n
+              ORDER BY cu.source""")),
+
     // ── per-source 1-D Wasserstein (earth-mover) drift ───────────────────
     // The third drift lens: KS is the WORST point gap, TVD the
     // categorical mass gap, W₁ the TOTAL transport cost — it sees slow

@@ -1131,6 +1131,96 @@ object EventTime {
                   / CAST(mm.n * mm.n * q2 - mm.n * mm.s * mm.s AS DOUBLE) AS r
               FROM agg, mm ORDER BY k""")),
 
+    // ── Ljung–Box portmanteau over the daily order series ────────────────
+    // q_autocorr reads the lag structure one coefficient at a time; the
+    // Ljung–Box Q aggregates lags 1..10 into ONE whiteness test:
+    // Q = n(n+2)·Σ_k r_k²/(n−k). Exact carriers all the way to the
+    // per-lag division: on the centered series y_t = n·x_t − S (integer
+    // — no FP mean subtraction), r_k = Σ y_t·y_{t+k} / Σ y_t², both
+    // sums exact BIGINTs over the calendar-bounded dense day spine.
+    // The 10-term Σ r²/(n−k) is a pinned sorted fold (every input
+    // bit-identical across engines, so the fold is too). Scale shape:
+    // one orders scan collapses to the persisted ≤|days| census; spine,
+    // lag joins, and the fold are calendar-bounded.
+    Q("q_ljung_box",
+      (s, dir) => {
+        val counts = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
+          .persist()
+        val stats = counts.agg(min(col("d")), max(col("d")),
+          sum(col("x"))).head
+        val (minD, maxD) = (stats.getLong(0), stats.getLong(1))
+        val bigS = stats.getLong(2)
+        val n = maxD - minD + 1
+        val dense = s.range(minD, maxD + 1)
+          .select(col("id").as("d"))
+          .join(counts, Seq("d"), "left")
+          .select(col("d"),
+            (lit(n) * coalesce(col("x"), lit(0L)) - lit(bigS)).as("y"))
+        val denF = dense.agg(sum(col("y") * col("y")).cast("long").as("den"))
+        val ks = s.range(1, 11).select(col("id").as("k"))
+        val byLag = dense.crossJoin(ks)
+          .select(col("k"), col("y").as("ya"), (col("d") + col("k")).as("d2"))
+          .join(dense.select(col("d").as("d2"), col("y").as("yb")), "d2")
+          .groupBy("k")
+          .agg(sum(col("ya") * col("yb")).cast("long").as("num"))
+          .crossJoin(broadcast(denF))
+          .select(col("k"), (lit(n) - col("k")).cast("long").as("n_pairs"),
+            (col("num").cast("double") / col("den").cast("double")).as("r"))
+        val tot = byLag
+          .select(col("k"),
+            (col("r") * col("r") / (lit(n) - col("k")).cast("double"))
+              .as("term"))
+          .agg(expr("""aggregate(array_sort(collect_list(struct(k, term))),
+                         CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+            .as("sq"))
+          .select(round(lit((n * (n + 2)).toDouble) * col("sq"), 6)
+            .as("lb_q"))
+        byLag.crossJoin(broadcast(tot))
+          .select(col("k").cast("long").as("k"), col("n_pairs"),
+            round(col("r"), 12).as("r"), col("lb_q"),
+            lit(10L).as("dof"))
+          .orderBy("k")
+      },
+      Some("""WITH c AS (
+                SELECT DATE_DIFF('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              mm AS (SELECT MIN(d) AS mn, MAX(d) AS mx,
+                       CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n,
+                       SUM(x) AS s FROM c),
+              dense AS (
+                SELECT g.d, CAST(mm.n * COALESCE(c.x, 0) - mm.s AS BIGINT)
+                    AS y
+                FROM (SELECT UNNEST(generate_series(
+                        (SELECT mn FROM mm), (SELECT mx FROM mm))) AS d) g
+                  LEFT JOIN c ON g.d = c.d, mm),
+              den AS (SELECT SUM(y * y) AS den FROM dense),
+              lags AS (SELECT UNNEST(generate_series(1, 10)) AS k),
+              bylag AS (
+                SELECT l.k, CAST(SUM(a.y * b.y) AS BIGINT) AS num
+                FROM dense a CROSS JOIN lags l
+                  JOIN dense b ON b.d = a.d + l.k
+                GROUP BY 1),
+              rr AS (
+                SELECT k, CAST((SELECT n FROM mm) - k AS BIGINT) AS n_pairs,
+                  CAST(num AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE)
+                    AS r
+                FROM bylag),
+              tot AS (
+                SELECT round(CAST(mm.n * (mm.n + 2) AS DOUBLE)
+                    * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list(rr.r * rr.r / CAST(mm.n - rr.k AS DOUBLE)
+                          ORDER BY rr.k)),
+                      (a, x) -> a + x), 6) AS lb_q
+                FROM rr, mm GROUP BY mm.n)
+              SELECT CAST(rr.k AS BIGINT) AS k, rr.n_pairs,
+                round(rr.r, 12) AS r, tot.lb_q, CAST(10 AS BIGINT) AS dof
+              FROM rr, tot ORDER BY rr.k""")),
+
     // ── day-of-week × event-type seasonality contingency ─────────────────
     // The calendar-profile report behind every staffing / anomaly
     // baseline: the dow×type contingency census with each cell's share

@@ -3714,6 +3714,93 @@ object ModelEval {
                     / sqrt(CAST(den AS DOUBLE)), 6) END AS z
               FROM agg""")),
 
+    // ── Hosmer–Lemeshow calibration chi-square over score deciles ───────
+    // The grouped calibration test that complements q_spiegelhalter_z's
+    // per-observation z: split by PREDICTED-probability decile (the
+    // RangeRank total order lift_gain uses, ties broken by event_id),
+    // then HL = Σ_g (O_g − E_g)² / (E_g·(1 − E_g/n_g)), dof = 10−2.
+    // With p = m/50000 (m = min(cents, 5·10⁴), the q_brier proxy), the
+    // per-decile term is fully rational in integer carriers:
+    // D = 5·10⁴·O − Σm, term = D²·n_g / (Σm·(5·10⁴·n_g − Σm)) — exact
+    // DECIMAL numerator/denominator, ONE IEEE division per decile, and
+    // the 10-term total is a pinned sorted fold. Scale: one events scan
+    // into RangeRank's range exchange; everything after is 10 rows.
+    Q("q_hosmer_lemeshow",
+      (s, dir) => {
+        val ranked = RangeRank.ranked(
+          labeled(t(s, dir, "events"))
+            .select(col("event_id"), col("pos"),
+              least((dec2(col("value")) * 100).cast("long"),
+                lit(50000L)).as("m")),
+          Seq.empty, Seq(col("m"), col("event_id")),
+          rnName = "rn", nName = Some("n"))
+        val byDec = ranked
+          .select(expr("CAST((rn - 1) * 10 DIV n AS BIGINT) + 1")
+            .as("decile"), col("pos"), col("m"))
+          .groupBy("decile")
+          .agg(count(lit(1)).cast("long").as("n_g"),
+            sum(col("pos")).cast("long").as("o_g"),
+            sum(col("m")).cast("long").as("em"))
+          .select(col("decile"), col("n_g"), col("o_g"),
+            round(col("em").cast("double") / 50000d, 6).as("e_g"),
+            when(col("em") <= 0L || col("em") >= lit(50000L) * col("n_g"),
+              lit(null).cast("double"))
+              .otherwise(
+                ((lit(50000L) * col("o_g") - col("em")).cast(dec38)
+                  * (lit(50000L) * col("o_g") - col("em"))
+                  * col("n_g")).cast("double")
+                / (col("em").cast(dec38)
+                  * (lit(50000L) * col("n_g") - col("em"))).cast("double"))
+              .as("term"))
+        val tot = byDec
+          .agg(expr(
+            """round(aggregate(array_sort(collect_list(struct(decile, term))),
+                 CAST(0 AS DOUBLE),
+                 (a, x) -> a + coalesce(x.term, CAST(0 AS DOUBLE))), 6)""")
+            .as("hl"))
+        byDec.crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_g"), col("o_g"), col("e_g"),
+            round(col("term"), 6).as("term"), col("hl"),
+            lit(8L).as("dof"))
+          .orderBy("decile")
+      },
+      Some("""WITH b AS (
+                SELECT event_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS pos,
+                  LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT), 50000) AS m
+                FROM events),
+              ranked AS (
+                SELECT pos, m,
+                  row_number() OVER (ORDER BY m, event_id) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM b),
+              bydec AS (
+                SELECT CAST((rn - 1) * 10 // n AS BIGINT) + 1 AS decile,
+                  CAST(COUNT(*) AS BIGINT) AS n_g,
+                  CAST(SUM(pos) AS BIGINT) AS o_g,
+                  CAST(SUM(m) AS BIGINT) AS em
+                FROM ranked GROUP BY 1),
+              terms AS (
+                SELECT decile, n_g, o_g,
+                  round(CAST(em AS DOUBLE) / 50000, 6) AS e_g,
+                  CASE WHEN em <= 0 OR em >= 50000 * n_g THEN NULL
+                    ELSE CAST(CAST(50000 * o_g - em AS HUGEINT)
+                        * (50000 * o_g - em) * n_g AS DOUBLE)
+                      / CAST(CAST(em AS HUGEINT)
+                        * (50000 * n_g - em) AS DOUBLE) END AS term
+                FROM bydec),
+              tot AS (
+                SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(COALESCE(term, CAST(0 AS DOUBLE))
+                      ORDER BY decile)),
+                  (a, x) -> a + x), 6) AS hl
+                FROM terms)
+              SELECT t.decile, t.n_g, t.o_g, t.e_g,
+                round(t.term, 6) AS term, tot.hl, CAST(8 AS BIGINT) AS dof
+              FROM terms t, tot ORDER BY t.decile""")),
+
     // ── isotonic calibration (pool-adjacent-violators) ──────────────────
     // The production calibrator behind Platt-free score calibration:
     // project the 100-bin empirical purchase rate onto the monotone
