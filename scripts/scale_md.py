@@ -51,15 +51,21 @@ def main(argv):
     start = src.index("| query |")
     end = src.index("## ", start)
     old_lines = src[start:end].rstrip("\n").split("\n")
-    kept = []
+    # rebuild preserving original row order: re-measured queries are
+    # replaced IN PLACE (not dropped-and-appended, which degraded the
+    # table ordering across merge runs); only genuinely new queries
+    # append at the end
+    body, seen = [], set()
     for line in old_lines[2:]:
         m = re.match(r"\| `([^`]+)` \|", line)
-        if not m:
+        if not m or replace:
             continue
-        if replace or m.group(1) in new:
-            continue
-        kept.append(line)
-    table = "\n".join(old_lines[:2] + kept + [new[n] for n in new])
+        q = m.group(1)
+        seen.add(q)
+        body.append(new.get(q, line))
+    body.extend(new[n] for n in new if n not in seen)
+    kept = [l for l in body if l not in new.values()]
+    table = "\n".join(old_lines[:2] + body)
 
     inv_block = ""
     if inv_a:

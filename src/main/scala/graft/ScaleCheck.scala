@@ -160,7 +160,25 @@ object ScaleCheck {
     // bounded per order), 8-seed multi-source BFS rounds
     "q_basket_lift", "q_closeness",
     // char-linear doc anomaly scan (letter census + bounded folds)
-    "q_doc_anomaly_chi2")
+    "q_doc_anomaly_chi2",
+    // round-7 coverage batch (r6 verdict item 1): the 41 ≥1 s battery
+    // queries the 401→467 late-round growth left without a slope row —
+    // stats batteries (calendar- or census-bounded folds over one fact
+    // scan: expect near-linear-to-flat), the RangeRank'd Theil–Sen,
+    // report joins, and the SQL-surface grouping sets
+    "q_theil_sen", "q_abc_xyz", "q_line_position_effect",
+    "q_bland_altman", "q_morans_i", "q_modularity", "q_croston",
+    "q_kendall_w", "q_ljung_box", "q_burrows_delta", "q_reciprocity",
+    "q_sql_grouping_sets", "q_simpson_reversal", "q_markov_stationary",
+    "q_cvm_drift", "q_quantile_treatment_effect", "q_partial_corr",
+    "q_cronbach_alpha", "q_friedman_test", "q_fisher_index",
+    "q_dtw_profile", "q_collocations", "q_hosmer_lemeshow", "q_vif",
+    "q_user_turnover", "q_mahalanobis_outliers", "q_lorenz_curve",
+    "q_bigram_cond_entropy", "q_levene", "q_important_parts",
+    "q_xml_source", "q_promo_share", "q_ks_model", "q_source_keywords",
+    "q_basket_size_dist", "q_knee_detection", "q_mann_kendall",
+    "q_ab_test", "q_join_skew_salted", "q_trade_matrix",
+    "q_group_percentiles")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

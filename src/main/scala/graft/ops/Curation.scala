@@ -973,17 +973,23 @@ object Curation {
         val tot = counts.groupBy("v").agg(sum(col("c")).as("cv"))
           .select(col("v"), col("cv"),
             sum(col("cv")).over(totW).as("cum_all"))
-        val d = (col("cum_src") * (lit(n) - col("n_src"))
-          - (col("cum_all") - col("cum_src")) * col("n_src"))
+        // ECDF gap in DECIMAL(38,0) from the first multiply: at 100-TB
+        // corpus counts (cum ≳ 3e9) the int64 products would wrap
+        // silently in non-ANSI Spark while the oracle's HUGEINT path
+        // doesn't — dec38 before the multiplications keeps both engines
+        // exact to the same width (ADVICE r6).
+        val dec38 = DecimalType(38, 0)
+        val d = (col("cum_src").cast(dec38)
+          * (lit(n) - col("n_src")).cast(dec38)
+          - (col("cum_all").cast(dec38) - col("cum_src").cast(dec38))
+          * col("n_src").cast(dec38))
         grid.join(counts, Seq("source", "v"), "left")
           .select(col("source"), col("v"),
             sum(coalesce(col("c"), lit(0L))).over(w).as("cum_src"))
           .join(tot, "v")
           .join(perSrc, "source")
           .select(col("source"), col("n_src"),
-            (col("cv").cast(DecimalType(38, 0))
-              * d.cast(DecimalType(38, 0))
-              * d.cast(DecimalType(38, 0))).as("term"))
+            (col("cv").cast(dec38) * d * d).as("term"))
           .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
           .agg(sum(col("term")).as("num"))
           .select(col("source"), col("n_src"),
@@ -1017,10 +1023,16 @@ object Curation {
               nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
               SELECT cu.source, ns.n_src,
                 round(CAST(SUM(CAST(t.cv AS HUGEINT)
-                    * (cu.cum_src * (nn.n - ns.n_src)
-                       - (t.cum_all - cu.cum_src) * ns.n_src)
-                    * (cu.cum_src * (nn.n - ns.n_src)
-                       - (t.cum_all - cu.cum_src) * ns.n_src)) AS DOUBLE)
+                    * (CAST(cu.cum_src AS HUGEINT)
+                         * CAST(nn.n - ns.n_src AS HUGEINT)
+                       - (CAST(t.cum_all AS HUGEINT)
+                          - CAST(cu.cum_src AS HUGEINT))
+                         * CAST(ns.n_src AS HUGEINT))
+                    * (CAST(cu.cum_src AS HUGEINT)
+                         * CAST(nn.n - ns.n_src AS HUGEINT)
+                       - (CAST(t.cum_all AS HUGEINT)
+                          - CAST(cu.cum_src AS HUGEINT))
+                         * CAST(ns.n_src AS HUGEINT))) AS DOUBLE)
                   / CAST(ns.n_src AS DOUBLE)
                   / CAST(nn.n - ns.n_src AS DOUBLE)
                   / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)

@@ -3637,31 +3637,31 @@ object EventTime {
           .groupBy("d")
           .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
           .persist()
-        val slopes = cen.as("a")
+        // Median picks ride RangeRank's 2-pass selection (range shuffle +
+        // census offsets + per-slice local rank): the ~2.9 M-row slope
+        // frame never funnels through ONE task the way a global
+        // row_number window would, and the rank values are identical, so
+        // the oracle hash cannot move. nName doubles as the old
+        // count-crossJoin, dropping that extra pass entirely.
+        val pairs = cen.as("a")
           .join(cen.select(col("d").as("d2"), col("y").as("y2")),
             col("d") < col("d2"))
           .select(col("d"), col("d2"),
             round((col("y2") - col("y")).cast("double")
               / (col("d2") - col("d")).cast("double"), 12).as("sl"))
-          .withColumn("rn", row_number()
-            .over(Window.orderBy("sl", "d", "d2")).cast("long"))
-          .persist()
-        val mcount = slopes.agg(count(lit(1)).cast("long").as("m"))
-        val slope = slopes.crossJoin(broadcast(mcount))
+        val slope = RangeRank.ranked(pairs, Seq.empty,
+            Seq(col("sl"), col("d"), col("d2")), nName = Some("m"))
           .filter(col("rn") === expr("(m + 1) div 2")
             || col("rn") === expr("(m + 2) div 2"))
           .agg((sum(col("sl")) / count(lit(1))).as("slope"),
             max(col("m")).as("n_pairs"))
-        val resid = cen.crossJoin(broadcast(slope))
+        val residBase = cen.crossJoin(broadcast(slope))
           .select(col("n_pairs"), col("slope"),
             round(col("y").cast("double")
               - col("slope") * col("d").cast("double"), 6).as("res"),
             col("d"))
-          .withColumn("rn", row_number()
-            .over(Window.orderBy("res", "d")).cast("long"))
-          .persist()
-        val dcount = resid.agg(count(lit(1)).cast("long").as("nd"))
-        resid.crossJoin(broadcast(dcount))
+        RangeRank.ranked(residBase, Seq.empty,
+            Seq(col("res"), col("d")), nName = Some("nd"))
           .filter(col("rn") === expr("(nd + 1) div 2")
             || col("rn") === expr("(nd + 2) div 2"))
           .groupBy("n_pairs")

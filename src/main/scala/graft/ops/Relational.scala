@@ -4168,9 +4168,14 @@ object Relational {
             col("l_partkey") === col("p_partkey"))
           .select(col("p_type"), col("bp"))
           .persist()
+        // Σbp and Σbp² in DECIMAL(38,0): bp² reaches 1e8 per row, so a
+        // plain long sum wraps silently past ~9e10 rows per type — the
+        // same dec38/HUGEINT discipline as the neighboring moment
+        // censuses (ADVICE r6).
         val stats = li.groupBy("p_type")
-          .agg(count(lit(1)).as("n"), sum(col("bp")).as("s"),
-            sum(col("bp") * col("bp")).as("ss"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("bp").cast(DecimalType(38, 0))).as("s"),
+            sum((col("bp") * col("bp")).cast(DecimalType(38, 0))).as("ss"))
           .select(col("p_type").as("t2"),
             (col("s").cast("double") / col("n").cast("double")).as("mean_bp"),
             sqrt((col("ss").cast("double") / col("n").cast("double"))
@@ -4194,10 +4199,13 @@ object Relational {
                 FROM lineitem JOIN part ON l_partkey = p_partkey),
               stats AS (
                 SELECT p_type,
-                  CAST(SUM(bp) AS DOUBLE) / count(*) AS mean_bp,
-                  sqrt(CAST(SUM(bp * bp) AS DOUBLE) / count(*)
-                    - (CAST(SUM(bp) AS DOUBLE) / count(*))
-                    * (CAST(SUM(bp) AS DOUBLE) / count(*))) AS sd_bp
+                  CAST(SUM(CAST(bp AS HUGEINT)) AS DOUBLE) / count(*)
+                    AS mean_bp,
+                  sqrt(CAST(SUM(CAST(bp AS HUGEINT) * bp) AS DOUBLE)
+                      / count(*)
+                    - (CAST(SUM(CAST(bp AS HUGEINT)) AS DOUBLE) / count(*))
+                    * (CAST(SUM(CAST(bp AS HUGEINT)) AS DOUBLE) / count(*)))
+                    AS sd_bp
                 FROM li GROUP BY 1)
               SELECT li.p_type, count(*) AS n_lines,
                 CAST(SUM(CASE WHEN CAST(bp AS DOUBLE)
@@ -7726,12 +7734,19 @@ object Relational {
             col("o_orderkey"))
         val ranked = RangeRank.ranked(base, Seq("g"),
           Seq(col("cents"), col("o_orderkey")))
-        val deciles = (1 to 9).map(d =>
-          when(col("rn") === expr(s"(n * $d + 9) div 10"), d.toLong))
+        // Explode EVERY decile whose rank target this row hits (not a
+        // coalesce first-match): when a group has n < 10 two targets
+        // coincide and the oracle's join emits one row per matching
+        // decile — a first-match pick would diverge on degenerate group
+        // sizes (ADVICE r6). explode (not _outer) drops non-target rows,
+        // mirroring the oracle's inner join.
         val picks = ranked
-          .select(col("g"), col("cents"),
-            coalesce(deciles: _*).as("decile"))
-          .filter(col("decile").isNotNull)
+          .withColumn("decile", explode(expr(
+            """filter(transform(sequence(1, 9),
+              |  d -> CASE WHEN rn = (n * d + 9) div 10
+              |       THEN CAST(d AS BIGINT) END),
+              |  x -> x IS NOT NULL)""".stripMargin)))
+          .select(col("g"), col("cents"), col("decile"))
           .groupBy("decile")
           .agg(
             min(when(col("g") === "urgent", col("cents"))).as("qu"),

@@ -20,7 +20,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  val sfDir = "/root/testdata/sf0.001"
+  /** Testdata root, overridable per environment — specs must derive
+    * every scale-factor directory from here rather than hardcoding
+    * absolute paths (ADVICE r6: DedupRecallSpec silently coupled to
+    * this machine's layout).
+    */
+  val testdataRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+  def sfPath(sf: String): String = s"$testdataRoot/sf$sf"
+  val sfDir = sfPath("0.001")
 
   override def beforeAll(): Unit = {
     super.beforeAll()

@@ -82,7 +82,7 @@ class MapReduceJobSpec extends SparkSpec {
   // ── distributed sink path (the 100-TB shape: no driver collect) ──────
   test("plan() writes results to a distributed sink and matches q_charcount") {
     import spark.implicits._
-    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = graft.Tables.load(spark, sfPath("0.001"), "documents")
       .select("text").collect().map(r => (null: Null, r.getString(0))).toIndexedSeq
     val input = sc.parallelize(docs, 4)
     val out = java.nio.file.Files.createTempDirectory("mr-sink").toString
@@ -93,7 +93,7 @@ class MapReduceJobSpec extends SparkSpec {
     val fromSink = spark.read.parquet(s"$out/chars")
       .groupBy("ch").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val fromQuery = graft.SparkEntry.queries("q_charcount")(spark, "/root/testdata/sf0.001")
+    val fromQuery = graft.SparkEntry.queries("q_charcount")(spark, sfPath("0.001"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fromSink === fromQuery)
   }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 class DedupRecallSpec extends SparkSpec {
 
   test("banded candidates cover the exact J>=0.3 pair set at sf0.1") {
-    val dir = "/root/testdata/sf0.1"
+    val dir = sfPath("0.1")
     val exact = SparkEntry.queries("q_dedup_ngram")(spark, dir)
       .select(col("a"), col("b"), col("jaccard")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -56,7 +56,7 @@ class DedupRecallSpec extends SparkSpec {
     // (no extras, no drops): its J >= 0.3 filter runs on the UNCAPPED
     // hashed-shingle Jaccard, so compare pair SETS restricted to banded
     // candidates — agreement here proves the verify stage is faithful
-    val dir = "/root/testdata/sf0.01"
+    val dir = sfPath("0.01")
     val exactPairs = SparkEntry.queries("q_dedup_ngram")(spark, dir)
       .select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

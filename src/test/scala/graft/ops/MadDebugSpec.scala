@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class MadDebugSpec extends SparkSpec {
 
   test("pass-2 rank over the joined dev frame equals the naive window") {
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val li = spark.read.parquet(sfPath("0.01") + "/lineitem.parquet")
     val med = RangeRank.ranked(
       li.select("l_returnflag", "l_extendedprice", "l_orderkey",
         "l_linenumber"),
