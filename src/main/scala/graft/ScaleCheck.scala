@@ -178,7 +178,10 @@ object ScaleCheck {
     "q_xml_source", "q_promo_share", "q_ks_model", "q_source_keywords",
     "q_basket_size_dist", "q_knee_detection", "q_mann_kendall",
     "q_ab_test", "q_join_skew_salted", "q_trade_matrix",
-    "q_group_percentiles")
+    "q_group_percentiles",
+    // round-7 growth batch ≥1 s: dense-grid RangeRank trend test and
+    // the artifact-backed rich-club census
+    "q_jonckheere_terpstra", "q_rich_club")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -4665,7 +4665,92 @@ object EventTime {
                 round(z, 6) AS ewma_final,
                 viol AS n_violations,
                 frst AS first_violation_t
-              FROM rec WHERE i = (SELECT max(i) FROM idx)"""))
+              FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
+
+    // ── MASE + Theil's U1: scale-free forecast accuracy ─────────────────
+    // The two scale-free accuracy metrics q_forecast_eval's sMAPE
+    // doesn't give: MASE = MAE(naive-1 forecast) / MAE(seasonal-naive
+    // lag-7 in-sample baseline) — the Hyndman–Koehler "is the model
+    // beating a calendar-aware random walk" readout — and Theil's
+    // U1 = √Σe² / (√Σc² + √Σĉ²) ∈ [0,1]. Rides [[medianDaily]]'s
+    // calendar-bounded exact-cents census (lag windows above the
+    // Aggregate, the q_rolling_median discipline); Σ|e|, Σe², Σc² stay
+    // exact DECIMAL(38,0); MASE is ONE division of exact cross-products
+    // (Σ|e₁|·n₇ vs Σ|e₇|·n₁) and U1 is three √s of identical integers.
+    Q("q_mase",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val w = Window.orderBy("day")
+        val days = medianDaily(t(s, dir, "orders"))
+          .withColumn("lag1", lag(col("cents"), 1).over(w))
+          .withColumn("lag7", lag(col("cents"), 7).over(w))
+        val agg = days.agg(
+          count(lit(1)).cast("long").as("n_days"),
+          sum(when(col("lag1").isNotNull, 1L)).cast("long").as("n1"),
+          sum(when(col("lag7").isNotNull, 1L)).cast("long").as("n7"),
+          sum(abs((col("cents") - col("lag1")).cast(dec38))).as("ae1"),
+          sum(abs((col("cents") - col("lag7")).cast(dec38))).as("ae7"),
+          sum(when(col("lag1").isNotNull,
+            (col("cents") - col("lag1")).cast(dec38)
+              * (col("cents") - col("lag1")).cast(dec38))).as("se1"),
+          sum(when(col("lag1").isNotNull,
+            col("cents").cast(dec38) * col("cents").cast(dec38)))
+            .as("sc2"),
+          sum(col("lag1").cast(dec38) * col("lag1").cast(dec38))
+            .as("sf2"))
+        agg.select(col("n_days"), col("n1"), col("n7"),
+          when(col("n1") === 0 || col("n7") === 0 || col("ae7") === 0,
+            lit(null).cast("double"))
+            .otherwise(round((col("ae1").cast(dec38) * col("n7"))
+              .cast("double")
+              / (col("ae7").cast(dec38) * col("n1")).cast("double"), 12))
+            .as("mase"),
+          when(col("n1") === 0
+            || sqrt(col("sc2").cast("double"))
+              + sqrt(col("sf2").cast("double")) === 0.0,
+            lit(null).cast("double"))
+            .otherwise(round(sqrt(col("se1").cast("double"))
+              / (sqrt(col("sc2").cast("double"))
+                + sqrt(col("sf2").cast("double"))), 12)).as("theil_u1"))
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              lagged AS (
+                SELECT cents,
+                  lag(cents, 1) OVER (ORDER BY day) AS lag1,
+                  lag(cents, 7) OVER (ORDER BY day) AS lag7
+                FROM days),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(SUM(CASE WHEN lag1 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n1,
+                  CAST(SUM(CASE WHEN lag7 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n7,
+                  SUM(abs(CAST(cents - lag1 AS HUGEINT))) AS ae1,
+                  SUM(abs(CAST(cents - lag7 AS HUGEINT))) AS ae7,
+                  SUM(CASE WHEN lag1 IS NOT NULL THEN
+                    CAST(cents - lag1 AS HUGEINT)
+                      * CAST(cents - lag1 AS HUGEINT) END) AS se1,
+                  SUM(CASE WHEN lag1 IS NOT NULL THEN
+                    CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT) END)
+                    AS sc2,
+                  SUM(CAST(lag1 AS HUGEINT) * CAST(lag1 AS HUGEINT))
+                    AS sf2
+                FROM lagged)
+              SELECT n_days, n1, n7,
+                CASE WHEN n1 = 0 OR n7 = 0 OR ae7 = 0 THEN NULL
+                  ELSE round(CAST(ae1 * n7 AS DOUBLE)
+                    / CAST(ae7 * n1 AS DOUBLE), 12) END AS mase,
+                CASE WHEN n1 = 0
+                    OR sqrt(CAST(sc2 AS DOUBLE))
+                      + sqrt(CAST(sf2 AS DOUBLE)) = 0.0 THEN NULL
+                  ELSE round(sqrt(CAST(se1 AS DOUBLE))
+                    / (sqrt(CAST(sc2 AS DOUBLE))
+                      + sqrt(CAST(sf2 AS DOUBLE))), 12) END AS theil_u1
+              FROM agg"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

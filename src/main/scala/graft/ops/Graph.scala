@@ -1248,6 +1248,79 @@ object Graph {
                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY g)), (a, x) -> a + x), 12)
                   AS modularity
-              FROM terms GROUP BY 1"""))
+              FROM terms GROUP BY 1""")),
+
+    // ── rich-club coefficient over the degree hierarchy ─────────────────
+    // Do high-degree nodes trade preferentially with each other?
+    // φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = nodes with degree > k
+    // and E_k = undirected edges with BOTH endpoints above k — the
+    // power-law readout that says whether the hubs form a core. Reads
+    // the shared edge artifact: the degree census is one partial+final
+    // agg over it, the two enrichment joins are size-gated (the census
+    // scales with SF — never hinted broadcast), and the 6 thresholds
+    // fold as conditional sums in ONE pass (zero fan-out), so the
+    // output is 6 rows at any scale. Exact integers until φ's one
+    // division.
+    Q("q_rich_club",
+      (s, dir) => {
+        val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+        val deg = bipartiteEdges(s, dir)
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .persist()
+        val nCols = ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L))
+          .cast("long").as(s"n_$k"))
+        val nodeCounts = deg.agg(nCols.head, nCols.tail: _*)
+        val e = bipartiteEdges(s, dir)
+          .filter(col("src") % 2 === 0)
+          .join(deg.select(col("node"), col("deg").as("deg_a")),
+            col("src") === col("node"))
+          .drop("node")
+          .join(deg.select(col("node"), col("deg").as("deg_b")),
+            col("dst") === col("node"))
+        val eCols = ks.map(k =>
+          sum(when(col("deg_a") > k && col("deg_b") > k, 1L)
+            .otherwise(0L)).cast("long").as(s"e_$k"))
+        val edgeCounts = e.agg(eCols.head, eCols.tail: _*)
+        val stacked = nodeCounts.crossJoin(edgeCounts)
+          .select(expr("stack(6, " + ks.map(k =>
+            s"CAST($k AS BIGINT), n_$k, e_$k").mkString(", ") +
+            ") AS (k, n_k, e_k)"))
+        stacked.select(col("k"), col("n_k"), col("e_k"),
+            when(col("n_k") < 2, lit(null).cast("double"))
+              .otherwise(round(lit(2.0) * col("e_k").cast("double")
+                / (col("n_k").cast("double")
+                  * (col("n_k") - 1).cast("double")), 12)).as("phi"))
+          .orderBy("k")
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              sym AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s AS src, c AS dst FROM cs),
+              deg AS (
+                SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM sym GROUP BY 1),
+              e AS (
+                SELECT da.deg AS deg_a, db.deg AS deg_b
+                FROM cs JOIN deg da ON cs.c = da.node
+                  JOIN deg db ON cs.s = db.node),
+              grid AS (SELECT UNNEST([1, 2, 4, 8, 16, 32]) AS k),
+              nk AS (
+                SELECT k, CAST(SUM(CASE WHEN deg > k THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_k
+                FROM grid, deg GROUP BY 1),
+              ek AS (
+                SELECT k, CAST(SUM(CASE WHEN deg_a > k AND deg_b > k
+                  THEN 1 ELSE 0 END) AS BIGINT) AS e_k
+                FROM grid, e GROUP BY 1)
+              SELECT CAST(nk.k AS BIGINT) AS k, n_k, e_k,
+                CASE WHEN n_k < 2 THEN NULL
+                  ELSE round(2.0 * CAST(e_k AS DOUBLE)
+                    / (CAST(n_k AS DOUBLE) * CAST(n_k - 1 AS DOUBLE)), 12)
+                  END AS phi
+              FROM nk JOIN ek ON nk.k = ek.k
+              ORDER BY k"""))
   )
 }

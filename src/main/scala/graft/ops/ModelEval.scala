@@ -3891,6 +3891,241 @@ object ModelEval {
               SELECT census.b AS bin, n AS n_bin, k AS k_bin,
                 round(rate, 12) AS iso_rate
               FROM census JOIN iso ON census.b = iso.bin
-              ORDER BY bin"""))
+              ORDER BY bin""")),
+
+    // ── Cliff's delta: ordinal effect size, returned vs kept lines ──────
+    // The nonparametric effect size q_mann_whitney's z cannot give:
+    // δ = (#(x>y) − #(x<y)) / (n_a·n_b) over ALL cross-group pairs,
+    // read directly as "probability a returned line outranks a kept
+    // one, minus the reverse". Never pairwise: l_quantity lives on a
+    // 1..50 VALUE-DOMAIN-BOUNDED census (the q_mann_whitney
+    // discipline), so #gt/#lt collapse to census cumsums —
+    // #(a>b) = Σ_v n_a(v)·cum_b(<v) — all exact DECIMAL(38,0)
+    // integers, one IEEE division at the end. The ≤50-row window is
+    // census-bounded at any SF.
+    Q("q_cliffs_delta",
+      (s, dir) => {
+        val wv = Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val census = t(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L)
+              .as("is_r"))
+          .groupBy("q")
+          .agg(sum(col("is_r")).as("n_a"),
+            sum(lit(1L) - col("is_r")).as("n_b"))
+        val cum = census
+          .withColumn("cb_a", coalesce(sum(col("n_a")).over(wv), lit(0L)))
+          .withColumn("cb_b", coalesce(sum(col("n_b")).over(wv), lit(0L)))
+        val agg = cum.agg(
+          sum(col("n_a")).cast("long").as("na"),
+          sum(col("n_b")).cast("long").as("nb"),
+          sum(col("n_a").cast(dec38) * col("cb_b")).as("gt"),
+          sum(col("n_b").cast(dec38) * col("cb_a")).as("lt"))
+        agg.select(col("na"), col("nb"),
+          col("gt").cast("long").as("n_gt"),
+          col("lt").cast("long").as("n_lt"),
+          when(col("na") === 0 || col("nb") === 0,
+            lit(null).cast("double"))
+            .otherwise(round((col("gt") - col("lt")).cast("double")
+              / (col("na").cast("double") * col("nb").cast("double")), 12))
+            .as("delta"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+                FROM lineitem GROUP BY 1),
+              cum AS (
+                SELECT q, n_a, n_b,
+                  COALESCE(SUM(n_a) OVER (ORDER BY q ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_a,
+                  COALESCE(SUM(n_b) OVER (ORDER BY q ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_b
+                FROM census),
+              agg AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+                  CAST(SUM(n_b) AS BIGINT) AS nb,
+                  SUM(CAST(n_a AS HUGEINT) * cb_b) AS gt,
+                  SUM(CAST(n_b AS HUGEINT) * cb_a) AS lt
+                FROM cum)
+              SELECT na, nb,
+                CAST(gt AS BIGINT) AS n_gt,
+                CAST(lt AS BIGINT) AS n_lt,
+                CASE WHEN na = 0 OR nb = 0 THEN NULL
+                  ELSE round(CAST(gt - lt AS DOUBLE)
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 12)
+                  END AS delta
+              FROM agg""")),
+
+    // ── Jonckheere–Terpstra ordered-alternative trend test ──────────────
+    // Does order value fall monotonically with priority class (1-URGENT
+    // … 5-LOW)? J = Σ_{i<j} U_ij over the ORDERED groups — the test
+    // Kruskal–Wallis can't run because H ignores group order. Never
+    // pairwise: the (group, cents) census joins a dense value grid,
+    // per-group exclusive cumulative counts ride [[RangeRank]] prefix
+    // sums (5 groups × a scaling value census — exactly its few-group
+    // shape), and 2J = Σ c_j·(2·cum_i(<v) + c_i(v)) folds the ×10
+    // group-pair join in DECIMAL(38,0) (ties counted ½, carried ×2
+    // exact). E[J] and the variance are group-size-census integers;
+    // z is tie-uncorrected (ties in cents are rare; documented) and
+    // one IEEE expression.
+    Q("q_jonckheere_terpstra",
+      (s, dir) => {
+        val census = t(s, dir, "orders")
+          .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+              .as("g"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("g", "v").agg(count(lit(1)).as("c"))
+          .persist()
+        val grid = census.select("g").distinct()
+          .crossJoin(census.select("v").distinct())
+          .join(census, Seq("g", "v"), "left")
+          .select(col("g"), col("v"),
+            coalesce(col("c"), lit(0L)).as("c0"))
+        val cum = RangeRank.ranked(grid, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c0"), "cum_ex")))
+        val jx2 = cum.as("j").filter(col("j.c0") > 0)
+          .join(cum.as("i").select(col("i.g").as("gi"),
+              col("i.v").as("vi"), col("i.c0").as("ci"),
+              col("i.cum_ex").as("cumi")),
+            col("j.v") === col("vi") && col("gi") < col("j.g"))
+          .agg(sum(col("j.c0").cast(dec38)
+            * (col("cumi").cast(dec38) * 2 + col("ci"))).as("j2"))
+        val sizes = census.groupBy("g").agg(sum(col("c")).as("n_g"))
+          .agg(sum(col("n_g")).cast(dec38).as("nn"),
+            sum(col("n_g").cast(dec38) * col("n_g")).as("sn2"),
+            sum(col("n_g").cast(dec38) * col("n_g")
+              * (col("n_g") * 2 + 3)).as("sn23"))
+        jx2.crossJoin(sizes)
+          .select(col("nn").cast("long").as("n"),
+            col("j2").cast("long").as("j_x2"),
+            (col("nn") * col("nn") - col("sn2")).as("e4"),
+            (col("nn") * col("nn") * (col("nn") * 2 + 3) - col("sn23"))
+              .as("v72"))
+          .select(col("n"), col("j_x2"),
+            (col("e4").cast("double") / 4.0).as("e_j"),
+            when(col("v72") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                (col("j_x2") * 2 - col("e4")).cast("double") / 4.0
+                  / sqrt(col("v72").cast("double") / 72.0), 6))
+              .as("z"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                    AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1, 2),
+              grid0 AS (
+                SELECT gg.g, vv.v
+                FROM (SELECT DISTINCT g FROM census) gg
+                CROSS JOIN (SELECT DISTINCT v FROM census) vv),
+              grid AS (
+                SELECT grid0.g, grid0.v, COALESCE(c.c, 0) AS c0
+                FROM grid0 LEFT JOIN census c
+                  ON c.g = grid0.g AND c.v = grid0.v),
+              cum AS (
+                SELECT g, v, c0,
+                  COALESCE(SUM(c0) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_ex
+                FROM grid),
+              j2 AS (
+                SELECT SUM(CAST(j.c0 AS HUGEINT)
+                  * (2 * i.cum_ex + i.c0)) AS j2
+                FROM cum j JOIN cum i ON j.v = i.v AND i.g < j.g
+                WHERE j.c0 > 0),
+              sizes AS (
+                SELECT CAST(SUM(n_g) AS HUGEINT) AS nn,
+                  SUM(CAST(n_g AS HUGEINT) * n_g) AS sn2,
+                  SUM(CAST(n_g AS HUGEINT) * n_g * (2 * n_g + 3)) AS sn23
+                FROM (SELECT g, SUM(c) AS n_g FROM census GROUP BY 1))
+              SELECT CAST(nn AS BIGINT) AS n,
+                CAST(j2 AS BIGINT) AS j_x2,
+                CAST(nn * nn - sn2 AS DOUBLE) / 4.0 AS e_j,
+                CASE WHEN nn * nn * (2 * nn + 3) - sn23 <= 0 THEN NULL
+                  ELSE round(CAST(2 * j2 - (nn * nn - sn2) AS DOUBLE)
+                    / 4.0
+                    / sqrt(CAST(nn * nn * (2 * nn + 3) - sn23 AS DOUBLE)
+                      / 72.0), 6) END AS z
+              FROM j2, sizes""")),
+
+    // ── Cochran's Q: repeated-measures binary agreement across years ────
+    // Did the customer population's "active this year" flags shift
+    // across 1995/1996/1997? Cochran's Q is the k-treatment extension
+    // of McNemar over per-subject binary outcomes. The corpus collapses
+    // to the distinct (customer, year) activity census ONCE
+    // (persisted); row totals L_i and column totals G_j are censuses
+    // over it; Q = (k−1)(k·ΣG² − T²)/(k·T − ΣL²) is exact
+    // DECIMAL(38,0) integer arithmetic with ONE division.
+    Q("q_cochran_q",
+      (s, dir) => {
+        val flags = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("y"))
+          .filter(col("y").isin(1995L, 1996L, 1997L))
+          .distinct()
+          .persist()
+        val rows = flags.groupBy("o_custkey")
+          .agg(count(lit(1)).as("l"))
+          .agg(count(lit(1)).cast("long").as("n_subjects"),
+            sum(col("l")).cast(dec38).as("t"),
+            sum(col("l").cast(dec38) * col("l")).as("sl2"))
+        val cols = flags.agg(
+          sum(when(col("y") === 1995L, 1L).otherwise(0L)).cast("long")
+            .as("g_1995"),
+          sum(when(col("y") === 1996L, 1L).otherwise(0L)).cast("long")
+            .as("g_1996"),
+          sum(when(col("y") === 1997L, 1L).otherwise(0L)).cast("long")
+            .as("g_1997"))
+        rows.crossJoin(cols)
+          .select(col("n_subjects"), col("g_1995"), col("g_1996"),
+            col("g_1997"),
+            (col("g_1995").cast(dec38) * col("g_1995")
+              + col("g_1996").cast(dec38) * col("g_1996")
+              + col("g_1997").cast(dec38) * col("g_1997")).as("sg2"),
+            col("t"), col("sl2"))
+          .select(col("n_subjects"), col("g_1995"), col("g_1996"),
+            col("g_1997"),
+            when(col("t") * 3 - col("sl2") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                (lit(2) * (col("sg2") * 3 - col("t") * col("t")))
+                  .cast("double")
+                  / (col("t") * 3 - col("sl2")).cast("double"), 6))
+              .as("q"))
+      },
+      Some("""WITH flags AS (
+                SELECT DISTINCT o_custkey,
+                  CAST(year(o_orderdate) AS BIGINT) AS y
+                FROM orders
+                WHERE year(o_orderdate) IN (1995, 1996, 1997)),
+              r AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                  CAST(SUM(l) AS HUGEINT) AS t,
+                  SUM(CAST(l AS HUGEINT) * l) AS sl2
+                FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS l
+                      FROM flags GROUP BY 1)),
+              g AS (
+                SELECT CAST(SUM(CASE WHEN y = 1995 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS g_1995,
+                  CAST(SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS g_1996,
+                  CAST(SUM(CASE WHEN y = 1997 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS g_1997
+                FROM flags)
+              SELECT n_subjects, g_1995, g_1996, g_1997,
+                CASE WHEN 3 * t - sl2 = 0 THEN NULL
+                  ELSE round(CAST(2 * (3 * (CAST(g_1995 AS HUGEINT)
+                        * g_1995 + CAST(g_1996 AS HUGEINT) * g_1996
+                        + CAST(g_1997 AS HUGEINT) * g_1997)
+                      - t * t) AS DOUBLE)
+                    / CAST(3 * t - sl2 AS DOUBLE), 6) END AS q
+              FROM r, g"""))
   )
 }

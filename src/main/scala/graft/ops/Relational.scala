@@ -7929,7 +7929,68 @@ object Relational {
                   / CAST(tot AS DOUBLE) / 100.0, 12) AS max_gap_share
               FROM curve
               ORDER BY abs(cum * 100 - (bin + 1) * tot) DESC, bin
-              LIMIT 1"""))
+              LIMIT 1""")),
+
+    // ── Atkinson inequality index (ε = 2) per market segment ────────────
+    // The welfare-weighted inequality readout the Gini/Lorenz family
+    // doesn't give: at ε = 2 Atkinson is ALGEBRAIC — A₂ = 1 − H/μ
+    // (harmonic over arithmetic mean) — so no log/exp leaves the
+    // engines. Reciprocals are μ-integerized at 1e-15 (1e15 div cents
+    // — deterministic identical integers in both engines; documented
+    // quantization, error < 1e-7 relative at any spend), summed in
+    // DECIMAL(38,0), and A₂ = 1 − n²·1e15/(S·T) is ONE IEEE expression
+    // of exact integers. Per-customer spend census first (one orders
+    // pass), size-gated segment join (customer scales — never hinted).
+    Q("q_atkinson_index",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val spend = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .filter(col("cents") > 0)
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        spend.groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast(dec38)).as("t"),
+            sum(expr("1000000000000000 div cents").cast(dec38)).as("s"))
+          .select(col("segment"), col("n"),
+            round(col("t").cast("double") / col("n").cast("double")
+              / 100.0, 2).as("mean_spend"),
+            when(col("s") === 0 || col("t") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(lit(1.0)
+                - (col("n").cast(dec38) * col("n")
+                    * lit(1000000000000000L)).cast("double")
+                  / (col("s") * col("t")).cast("double"), 12))
+              .as("atkinson2"))
+          .orderBy("segment")
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+                HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) > 0),
+              j AS (
+                SELECT c_mktsegment AS segment, cents,
+                  1000000000000000 // cents AS recip
+                FROM spend JOIN customer ON o_custkey = c_custkey)
+              SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                  / count(*) / 100.0, 2) AS mean_spend,
+                CASE WHEN SUM(CAST(recip AS HUGEINT)) = 0
+                    OR SUM(CAST(cents AS HUGEINT)) = 0 THEN NULL
+                  ELSE round(1.0
+                    - CAST(CAST(count(*) AS HUGEINT) * count(*)
+                        * 1000000000000000 AS DOUBLE)
+                      / CAST(SUM(CAST(recip AS HUGEINT))
+                        * SUM(CAST(cents AS HUGEINT)) AS DOUBLE), 12)
+                  END AS atkinson2
+              FROM j GROUP BY 1 ORDER BY segment"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

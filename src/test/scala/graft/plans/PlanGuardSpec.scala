@@ -984,7 +984,14 @@ class PlanGuardSpec extends SparkSpec {
       "q_knee_detection" -> 0, "q_youden_cutoff" -> 1,
       "q_spiegelhalter_z" -> 1, "q_isotonic_calibration" -> 0,
       "q_weibull_fit" -> 2, "q_log_rank" -> 2, "q_feature_hashing" -> 0,
-      "q_quasi_monte_carlo" -> 0)
+      "q_quasi_monte_carlo" -> 0,
+      // round-7 batches: single-pass queries pay their source scans
+      // (the rich-club pass reads the shared edge ARTIFACT, not the
+      // facts — its budget is the one artifact scan); persisted-census
+      // queries pay zero at readout
+      "q_cliffs_delta" -> 1, "q_mase" -> 1, "q_rich_club" -> 1,
+      "q_jonckheere_terpstra" -> 0, "q_cochran_q" -> 0,
+      "q_atkinson_index" -> 2)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
