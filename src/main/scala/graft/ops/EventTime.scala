@@ -3637,40 +3637,36 @@ object EventTime {
           .groupBy("d")
           .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
           .persist()
-        // Median picks ride RangeRank's 2-pass selection (range shuffle +
-        // census offsets + per-slice local rank): the ~2.9 M-row slope
-        // frame never funnels through ONE task the way a global
-        // row_number window would, and the rank values are identical, so
-        // the oracle hash cannot move. nName doubles as the old
-        // count-crossJoin, dropping that extra pass entirely.
+        // Median picks ride RangeRank.medianValues — exact histogram-
+        // bracketed selection (two cache passes, census arithmetic) in
+        // place of the r6 verdict's single-task global row_number
+        // windows AND of a full range sort: the median VALUES are
+        // tie-order-invariant, and the oracle's avg-of-two-middle-ranks
+        // is exactly (v1+v2)/2, so the hash cannot move. The pair frame
+        // is persisted because both selection passes reread it.
         val pairs = cen.as("a")
           .join(cen.select(col("d").as("d2"), col("y").as("y2")),
             col("d") < col("d2"))
-          .select(col("d"), col("d2"),
+          .select(
             round((col("y2") - col("y")).cast("double")
               / (col("d2") - col("d")).cast("double"), 12).as("sl"))
-        val slope = RangeRank.ranked(pairs, Seq.empty,
-            Seq(col("sl"), col("d"), col("d2")), nName = Some("m"))
-          .filter(col("rn") === expr("(m + 1) div 2")
-            || col("rn") === expr("(m + 2) div 2"))
-          .agg((sum(col("sl")) / count(lit(1))).as("slope"),
-            max(col("m")).as("n_pairs"))
+          .persist()
+        val slope = RangeRank.medianValues(pairs, "sl", nName = "m")
+          .select(((col("v1") + col("v2")) / 2.0).as("slope"),
+            col("m").as("n_pairs"))
         val residBase = cen.crossJoin(broadcast(slope))
           .select(col("n_pairs"), col("slope"),
             round(col("y").cast("double")
-              - col("slope") * col("d").cast("double"), 6).as("res"),
-            col("d"))
-        RangeRank.ranked(residBase, Seq.empty,
-            Seq(col("res"), col("d")), nName = Some("nd"))
-          .filter(col("rn") === expr("(nd + 1) div 2")
-            || col("rn") === expr("(nd + 2) div 2"))
-          .groupBy("n_pairs")
-          .agg(max(col("nd")).as("n_days"),
-            round(max(col("slope")), 12).as("slope"),
-            round((sum(col("res")) / count(lit(1))) / 100.0, 6)
+              - col("slope") * col("d").cast("double"), 6).as("res"))
+          .persist()
+        RangeRank.medianValues(residBase, "res", nName = "nd")
+          .crossJoin(broadcast(residBase
+            .groupBy("n_pairs", "slope").agg(count(lit(1)).as("__x"))
+            .select("n_pairs", "slope")))
+          .select(col("nd").as("n_days"), col("n_pairs"),
+            round(col("slope"), 12).as("slope"),
+            round(((col("v1") + col("v2")) / 2.0) / 100.0, 6)
               .as("intercept"))
-          .select(col("n_days"), col("n_pairs"), col("slope"),
-            col("intercept"))
       },
       Some("""WITH cen AS (
                 SELECT date_diff('day', DATE '1970-01-01',

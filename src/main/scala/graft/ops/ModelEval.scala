@@ -4126,6 +4126,224 @@ object ModelEval {
                         + CAST(g_1997 AS HUGEINT) * g_1997)
                       - t * t) AS DOUBLE)
                     / CAST(3 * t - sl2 AS DOUBLE), 6) END AS q
-              FROM r, g"""))
+              FROM r, g""")),
+
+    // ── Murphy decomposition of the Brier score ─────────────────────────
+    // Brier = reliability − resolution + uncertainty over the
+    // q_calibration bin grid: REL says how far bin-mean forecasts sit
+    // from bin outcome rates, RES how much the bins separate outcomes,
+    // UNC the outcome base-rate variance. Per-bin numerators are exact
+    // DECIMAL(38,0) cross-products — REL·N·5e4² = Σ(5e4·pos_k − Σc_k)²/n_k
+    // and RES·N³ = Σ(pos_k·N − pos·n_k)²/n_k carry ONE IEEE division per
+    // bin — folded bin-pinned (≤21 bins), normalized once outside.
+    // brier_binned = REL − RES + UNC (exact for bin-mean forecasts).
+    Q("q_brier_decomposition",
+      (s, dir) => {
+        val census = labeled(t(s, dir, "events"))
+          .select(floor(col("value") / 50).cast("long").as("bin"),
+            (dec2(col("value")) * 100).cast("long").as("cents"),
+            col("pos"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_k"),
+            sum(col("pos")).as("pos_k"),
+            sum(col("cents").cast(dec38)).as("sc_k"))
+          .persist()
+        val tot = census.agg(sum(col("n_k")).cast("long").as("n"),
+          sum(col("pos_k")).cast("long").as("pos"))
+        census.crossJoin(broadcast(tot))
+          .select(col("n"), col("pos"),
+            // per-bin terms stay UNROUNDED: they are IEEE quotients of
+            // identical exact integers (magnitude ~1e14 — any rounding
+            // there would sit past double precision), and the pinned
+            // fold of identical doubles is itself identical
+            struct(col("bin"),
+              ((col("pos_k").cast(dec38) * 50000 - col("sc_k"))
+                .cast("double")
+                * (col("pos_k").cast(dec38) * 50000 - col("sc_k"))
+                  .cast("double")
+                / col("n_k").cast("double")).as("rel_t"),
+              (((col("pos_k").cast(dec38) * col("n")
+                - col("pos").cast(dec38) * col("n_k"))
+                * (col("pos_k").cast(dec38) * col("n")
+                  - col("pos").cast(dec38) * col("n_k"))).cast("double")
+                / col("n_k").cast("double")).as("res_t")).as("t"))
+          .groupBy("n", "pos")
+          .agg(
+            expr("""aggregate(array_sort(collect_list(t)),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.rel_t)""").as("rel_s"),
+            expr("""aggregate(array_sort(collect_list(t)),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.res_t)""").as("res_s"))
+          .select(col("n"),
+            round(col("rel_s") / (col("n").cast("double") * 2.5e9), 12)
+              .as("reliability"),
+            round(col("res_s") / (col("n").cast("double")
+              * col("n").cast("double") * col("n").cast("double")), 12)
+              .as("resolution"),
+            round(col("pos").cast("double") / col("n").cast("double")
+              * (lit(1.0) - col("pos").cast("double")
+                / col("n").cast("double")), 12).as("uncertainty"))
+          .select(col("n"), col("reliability"), col("resolution"),
+            col("uncertainty"),
+            round(col("reliability") - col("resolution")
+              + col("uncertainty"), 12).as("brier_binned"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+                  CAST(count(*) AS BIGINT) AS n_k,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pos_k,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc_k
+                FROM events GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                  CAST(SUM(pos_k) AS BIGINT) AS pos
+                FROM census),
+              terms AS (
+                SELECT n, pos, bin,
+                  CAST(CAST(pos_k AS HUGEINT) * 50000 - sc_k AS DOUBLE)
+                    * CAST(CAST(pos_k AS HUGEINT) * 50000 - sc_k
+                      AS DOUBLE)
+                    / CAST(n_k AS DOUBLE) AS rel_t,
+                  CAST((CAST(pos_k AS HUGEINT) * n
+                      - CAST(pos AS HUGEINT) * n_k)
+                    * (CAST(pos_k AS HUGEINT) * n
+                      - CAST(pos AS HUGEINT) * n_k) AS DOUBLE)
+                    / CAST(n_k AS DOUBLE) AS res_t
+                FROM census, tot),
+              folded AS (
+                SELECT n, pos,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(rel_t ORDER BY bin)), (a, x) -> a + x) AS rel_s,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(res_t ORDER BY bin)), (a, x) -> a + x) AS res_s
+                FROM terms GROUP BY 1, 2),
+              outp AS (
+                SELECT n,
+                  round(rel_s / (CAST(n AS DOUBLE) * 2.5e9), 12)
+                    AS reliability,
+                  round(res_s / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE)), 12) AS resolution,
+                  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                    * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                    AS uncertainty
+                FROM folded)
+              SELECT n, reliability, resolution, uncertainty,
+                round(reliability - resolution + uncertainty, 12)
+                  AS brier_binned
+              FROM outp""")),
+
+    // ── Krippendorff's α (nominal, 3 raters, no missing) ────────────────
+    // The agreement coefficient q_fleiss_kappa can't give: α corrects
+    // by the PERMUTATION-based expected disagreement over all N = 3n
+    // ratings (small-sample exact), so α and κ diverge whenever the
+    // category split is lopsided. Same synthetic high-bit-mixed raters
+    // as q_fleiss_kappa; per-item disagreement collapses to the ≤4-row
+    // v-census (v = #positive ratings: 2v(3−v) discordant ordered
+    // pairs); D_o and D_e are exact integer ratios — α is three IEEE
+    // ops on identical integers.
+    Q("q_krippendorff_alpha",
+      (s, dir) => {
+        def rater(shift: Int) = expr(
+          s"pmod(((doc_id % 2147483648) * 2654435761) div ${1L << shift}, 2)")
+        val census = t(s, dir, "documents")
+          .select((rater(16) + rater(19) + rater(22)).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+        census
+          .agg(sum(col("cnt")).cast("long").as("n_items"),
+            sum(col("cnt") * col("v")).cast(dec38).as("n1"),
+            sum(col("cnt").cast(dec38) * col("v") * (lit(3L) - col("v"))
+              * 2).as("disc"))
+          .select(col("n_items"), col("n1").cast("long").as("n_pos"),
+            col("disc"),
+            (col("n_items").cast(dec38) * 3).as("nr"))
+          .select(col("n_items"), col("n_pos"),
+            when(col("n_pos") === 0 || col("n_pos") === col("nr"),
+              lit(null).cast("double"))
+              .otherwise(round(lit(1.0)
+                - col("disc").cast("double")
+                  * (col("nr") - 1).cast("double")
+                  / (lit(4.0) * col("n_pos").cast("double")
+                    * (col("nr") - col("n_pos")).cast("double")), 12))
+              .as("alpha"))
+      },
+      Some(s"""WITH v AS (
+                SELECT
+                  (((doc_id % 2147483648) * 2654435761 // ${1L << 16} % 2 + 2) % 2)
+                  + (((doc_id % 2147483648) * 2654435761 // ${1L << 19} % 2 + 2) % 2)
+                  + (((doc_id % 2147483648) * 2654435761 // ${1L << 22} % 2 + 2) % 2)
+                    AS v
+                FROM documents),
+              c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM v GROUP BY 1),
+              s AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS n_items,
+                  CAST(SUM(cnt * v) AS BIGINT) AS n_pos,
+                  SUM(CAST(cnt AS HUGEINT) * v * (3 - v) * 2) AS disc
+                FROM c)
+              SELECT n_items, n_pos,
+                CASE WHEN n_pos = 0 OR n_pos = 3 * n_items THEN NULL
+                  ELSE round(1.0
+                    - CAST(disc AS DOUBLE)
+                      * CAST(3 * n_items - 1 AS DOUBLE)
+                      / (4.0 * CAST(n_pos AS DOUBLE)
+                        * CAST(3 * n_items - n_pos AS DOUBLE)), 12)
+                  END AS alpha
+              FROM s""")),
+
+    // ── Page's L trend test: monotone revenue trend across years ────────
+    // The ordered-blocks twin of q_jonckheere_terpstra: within each
+    // nation (block), the three years 1995-1997 get ranks 1..3 by
+    // exact revenue cents (deterministic year tiebreak — exact-cent
+    // ties are measure-zero and the tiebreak is identical in both
+    // engines); L = Σ_year year_index · ΣR. The block census is
+    // ≤ 25×3 rows at any SF (one scaling 3-join collapses to it);
+    // E[L] = 12b and Var₀[L] = 2b are closed-form, z is one IEEE
+    // expression of exact integers.
+    Q("q_page_trend",
+      (s, dir) => {
+        val wB = Window.partitionBy("nation").orderBy("cents", "y")
+        val cells = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .filter(col("y").isin(1995L, 1996L, 1997L))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("y"))
+          .agg(sum(col("cents").cast(dec38)).as("cents"))
+        val ranked = cells
+          .withColumn("r", row_number().over(wB).cast("long"))
+        ranked
+          .agg(countDistinct(col("nation")).cast("long").as("b"),
+            sum((col("y") - 1994L) * col("r")).cast("long").as("l"))
+          .select(col("b"), col("l"),
+            (col("b") * 12L).as("e_l"),
+            round((col("l") - col("b") * 12L).cast("double")
+              / sqrt((col("b") * 2L).cast("double")), 6).as("z"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                  CAST(year(o_orderdate) AS BIGINT) AS y,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE year(o_orderdate) IN (1995, 1996, 1997)
+                GROUP BY 1, 2),
+              ranked AS (
+                SELECT nation, y,
+                  CAST(row_number() OVER (PARTITION BY nation
+                    ORDER BY cents, y) AS BIGINT) AS r
+                FROM cells),
+              agg AS (
+                SELECT CAST(COUNT(DISTINCT nation) AS BIGINT) AS b,
+                  CAST(SUM((y - 1994) * r) AS BIGINT) AS l
+                FROM ranked)
+              SELECT b, l, CAST(b * 12 AS BIGINT) AS e_l,
+                round(CAST(l - b * 12 AS DOUBLE)
+                  / sqrt(CAST(b * 2 AS DOUBLE)), 6) AS z
+              FROM agg"""))
   )
 }

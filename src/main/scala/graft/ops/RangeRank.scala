@@ -69,6 +69,82 @@ object RangeRank {
     * tiebreaker) — that is what makes the result identical to the naive
     * single-task window.
     */
+  /** Exact median-pair selection over ONE numeric column WITHOUT a
+    * global sort: a 2¹⁶-bucket histogram brackets the two middle ranks
+    * ((n+1) div 2 and (n+2) div 2), then a value census over ONLY the
+    * bracketed buckets resolves the exact values — two passes over the
+    * (caller-persisted) input plus census arithmetic, no range
+    * exchange, no per-row rank materialization. Correct because the
+    * median VALUES are invariant to tie order: the value at rank k is
+    * the v with cum(<v) < k ≤ cum(≤v), which the bucket-offset +
+    * within-bucket cumulative reads off exactly.
+    *
+    * The bucket boundaries are FP arithmetic but purely internal —
+    * every returned value is an exact member of the input column, so
+    * cross-engine parity never sees the bucketing.
+    *
+    * Returns a 1-row frame (nName, v1Name, v2Name). Input MUST be
+    * persisted — the histogram and resolve passes both reread it.
+    */
+  def medianValues(
+      df: DataFrame,
+      valueCol: String,
+      nName: String = "n",
+      v1Name: String = "v1",
+      v2Name: String = "v2"): DataFrame = {
+    val v = col(valueCol)
+    // localCheckpoint(true): the 1-row stats frame is referenced by the
+    // histogram, the bracket filter AND the final pick — un-materialized
+    // it would re-execute its full input pass per reference
+    val stats = df.agg(min(v).as("__mn"), max(v).as("__mx"),
+      count(lit(1)).cast("long").as(nName))
+      .withColumn("__k1", expr(s"($nName + 1) div 2"))
+      .withColumn("__k2", expr(s"($nName + 2) div 2"))
+      .localCheckpoint(true)
+    // histogram pass: 2^16 buckets over [mn, mx]; census-bounded
+    val bucketed = df.crossJoin(broadcast(stats))
+      .select(when(col("__mx") === col("__mn"), lit(0L))
+        .otherwise(least(lit(65535L),
+          floor((v.cast("double") - col("__mn").cast("double"))
+            / (col("__mx").cast("double") - col("__mn").cast("double"))
+            * 65536.0).cast("long"))).as("__b"), v.as("__v"))
+    val hist = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val wB = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("__off", coalesce(sum(col("__c")).over(wB), lit(0L)))
+      .crossJoin(broadcast(stats.select("__k1", "__k2")))
+      .filter((col("__off") < col("__k1")
+          && col("__k1") <= col("__off") + col("__c"))
+        || (col("__off") < col("__k2")
+          && col("__k2") <= col("__off") + col("__c")))
+      .select(col("__b"), col("__off"))
+      // materialized: the resolve pass broadcasts this ≤2-row bracket —
+      // lazy, it would re-run the whole histogram pass inside the join
+      .localCheckpoint(true)
+    // resolve pass: value census over the 1-2 bracketed buckets only
+    val within = bucketed.join(broadcast(cum), "__b")
+      .groupBy("__b", "__off", "__v")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__voff", col("__off")
+        + coalesce(sum(col("__c")).over(Window.partitionBy("__b")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val picks = within
+      .crossJoin(broadcast(stats.select(col(nName), col("__k1"),
+        col("__k2"))))
+      .select(col(nName),
+        when(col("__voff") < col("__k1")
+          && col("__k1") <= col("__voff") + col("__c"), col("__v"))
+          .as("__p1"),
+        when(col("__voff") < col("__k2")
+          && col("__k2") <= col("__voff") + col("__c"), col("__v"))
+          .as("__p2"))
+      .groupBy(nName)
+      .agg(max(col("__p1")).as(v1Name), max(col("__p2")).as(v2Name))
+    picks
+  }
+
   def ranked(
       df: DataFrame,
       groupCols: Seq[String],

@@ -991,7 +991,9 @@ class PlanGuardSpec extends SparkSpec {
       // queries pay zero at readout
       "q_cliffs_delta" -> 1, "q_mase" -> 1, "q_rich_club" -> 1,
       "q_jonckheere_terpstra" -> 0, "q_cochran_q" -> 0,
-      "q_atkinson_index" -> 2)
+      "q_atkinson_index" -> 2,
+      "q_brier_decomposition" -> 0, "q_krippendorff_alpha" -> 1,
+      "q_page_trend" -> 2)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
