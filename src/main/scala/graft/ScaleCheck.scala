@@ -181,7 +181,11 @@ object ScaleCheck {
     "q_group_percentiles",
     // round-7 growth batch ≥1 s: dense-grid RangeRank trend test and
     // the artifact-backed rich-club census
-    "q_jonckheere_terpstra", "q_rich_club")
+    "q_jonckheere_terpstra", "q_rich_club",
+    // round-7 batch D ≥1 s: 3-round integer walk counts, the shared
+    // basket generator's third score (pair-volume-bound like
+    // q_also_bought), and the stopword-phrase word census
+    "q_katz_centrality", "q_preferential_attachment", "q_rake_keywords")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

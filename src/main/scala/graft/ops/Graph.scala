@@ -1043,6 +1043,142 @@ object Graph {
                 CAST(aa12 AS DOUBLE) / 1.0e12 AS aa
               FROM pc ORDER BY aa12 DESC, s1, s2 LIMIT 50""")),
 
+    // ── preferential-attachment link prediction (supplier pairs) ────────
+    // The degree-product baseline Adamic–Adar is judged against: for
+    // the SAME candidate pairs (the shared per-customer basket
+    // generator — one generator, three scores now), score
+    // PA(s1,s2) = deg(s1)·deg(s2) with degrees read from the shared
+    // edge artifact's supplier side. Exact longs end to end (deg ≤
+    // customers, product < 2⁶³ at any realistic scale, carried dec38
+    // anyway); the deg joins are size-gated (supplier census scales).
+    Q("q_preferential_attachment",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val deg = bipartiteEdges(s, dir)
+          .filter(col("src") % 2 === 1)
+          .groupBy(expr("(src - 1) div 2").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val pairs = Curation.alsoBoughtBaskets(s, dir)
+          .filter(size(col("items")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(items, (x, i) ->
+                 transform(slice(items, i + 2, size(items)),
+                   y -> x * 4294967296L + y)))""")).as("pk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).cast("long").as("common"))
+          .select(expr("pk div 4294967296L").as("s1"),
+            (col("pk") % 4294967296L).as("s2"), col("common"))
+        pairs
+          .join(deg.select(col("node").as("n1"), col("deg").as("d1")),
+            col("s1") === col("n1"))
+          .join(deg.select(col("node").as("n2"), col("deg").as("d2")),
+            col("s2") === col("n2"))
+          .select(col("s1"), col("s2"), col("common"),
+            col("d1"), col("d2"),
+            (col("d1").cast(dec38) * col("d2")).as("pa"))
+          .orderBy(col("pa").desc, col("s1"), col("s2"))
+          .limit(50)
+          .select(col("s1"), col("s2"), col("common"), col("d1"),
+            col("d2"), col("pa").cast("long").as("pa"))
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              deg AS (
+                SELECT (s - 1) // 2 AS node, CAST(count(*) AS BIGINT)
+                  AS deg
+                FROM cs GROUP BY 1),
+              b AS (
+                SELECT o_custkey AS cust,
+                  list_sort(list(DISTINCT l_suppkey)) AS items
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1
+                HAVING len(list(DISTINCT l_suppkey)) <= 128),
+              pairs AS (
+                SELECT unnest(flatten(list_transform(
+                  generate_series(1, len(items)),
+                  i -> list_transform(generate_series(i + 1, len(items)),
+                    j -> {'s1': items[i], 's2': items[j]})))) AS p
+                FROM b WHERE len(items) >= 2),
+              pc AS (SELECT p.s1 AS s1, p.s2 AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS common
+                     FROM pairs GROUP BY 1, 2)
+              SELECT pc.s1, pc.s2, pc.common,
+                d1.deg AS d1, d2.deg AS d2,
+                CAST(CAST(d1.deg AS HUGEINT) * d2.deg AS BIGINT) AS pa
+              FROM pc JOIN deg d1 ON pc.s1 = d1.node
+                JOIN deg d2 ON pc.s2 = d2.node
+              ORDER BY CAST(d1.deg AS HUGEINT) * d2.deg DESC,
+                pc.s1, pc.s2
+              LIMIT 50""")),
+
+    // ── Katz centrality: 3-hop attenuated path counts ───────────────────
+    // The path-counting centrality q_pagerank's normalized ranks can't
+    // give: katz(v) = Σ_h α^h · (#walks of length h ending at v),
+    // truncated at h = 3 with α = 1/2. Exact integers end to end —
+    // walk counts are integer edge-join sums (p₁ = A·1, p₂ = A·p₁,
+    // p₃ = A·p₂, each ONE edge-scale exchange off the shared artifact,
+    // the q_pagerank round shape), and the α-weighted combination is
+    // carried ×8 (α³ = 1/8 ⇒ katz_x8 = 4p₁ + 2p₂ + p₃ in
+    // DECIMAL(38,0) — no truncating division anywhere). Top-25 hubs by
+    // the exact integer.
+    Q("q_katz_centrality",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        val p1 = edges.groupBy(col("dst").as("node"))
+          .agg(count(lit(1)).cast(dec38).as("p1"))
+          .localCheckpoint(true)
+        val p2 = edges.join(p1, edges("src") === p1("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("p1")).as("p2"))
+          .localCheckpoint(true)
+        val p3 = edges.join(p2, edges("src") === p2("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("p2")).as("p3"))
+        p1.join(p2.select(col("node").as("n2"), col("p2")),
+            col("node") === col("n2"))
+          .join(p3.select(col("node").as("n3"), col("p3")),
+            col("node") === col("n3"))
+          .select(col("node"),
+            col("p1").cast("long").as("walks1"),
+            col("p2").cast("long").as("walks2"),
+            col("p3").as("walks3"),
+            (col("p1") * 4 + col("p2") * 2 + col("p3")).as("katz_x8"))
+          .orderBy(col("katz_x8").desc, col("node"))
+          .limit(25)
+          // walks3/katz ride dec38 internally and surface as DOUBLE —
+          // 3-hop walk counts exceed int64 at extreme degree scale, and
+          // decimal→double is the same nearest-rounding in both engines
+          .select(col("node"), col("walks1"), col("walks2"),
+            col("walks3").cast("double").as("walks3"),
+            col("katz_x8").cast("double").as("katz_x8"))
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              sym AS (
+                SELECT c AS src, s AS dst FROM cs
+                UNION ALL SELECT s AS src, c AS dst FROM cs),
+              p1 AS (
+                SELECT dst AS node, CAST(count(*) AS HUGEINT) AS p1
+                FROM sym GROUP BY 1),
+              p2 AS (
+                SELECT sym.dst AS node, SUM(p1.p1) AS p2
+                FROM sym JOIN p1 ON sym.src = p1.node GROUP BY 1),
+              p3 AS (
+                SELECT sym.dst AS node, SUM(p2.p2) AS p3
+                FROM sym JOIN p2 ON sym.src = p2.node GROUP BY 1)
+              SELECT p1.node AS node,
+                CAST(p1.p1 AS BIGINT) AS walks1,
+                CAST(p2.p2 AS BIGINT) AS walks2,
+                CAST(p3.p3 AS DOUBLE) AS walks3,
+                CAST(p1.p1 * 4 + p2.p2 * 2 + p3.p3 AS DOUBLE) AS katz_x8
+              FROM p1 JOIN p2 ON p1.node = p2.node
+                JOIN p3 ON p1.node = p3.node
+              ORDER BY p1.p1 * 4 + p2.p2 * 2 + p3.p3 DESC, p1.node
+              LIMIT 25""")),
+
     // ── directed-edge reciprocity of the part-transition graph ──────────
     // The DIRECTED graph the bipartite customer–supplier projection
     // can't ask about: part at line n → part at line n+1 within an

@@ -2891,7 +2891,75 @@ object TextOps {
                   / CAST(n_vocab * (n_vocab - 1) AS DOUBLE), 12)
                   AS collision_prob
               FROM loads, tot GROUP BY load, n_vocab, n_used, coll2
-              ORDER BY load"""))
+              ORDER BY load""")),
+
+    // ── RAKE keyword extraction (degree/frequency word scores) ──────────
+    // Rapid Automatic Keyword Extraction's core scoring: split each
+    // document into candidate phrases at STOPWORDS (membership list,
+    // not regex — regex dialects differ across engines), then score
+    // every content word by deg(w)/freq(w), where freq counts
+    // occurrences and deg sums the LENGTHS of the phrases each
+    // occurrence sits in (long-phrase words outrank isolated ones —
+    // the co-occurrence signal tf-idf misses). Phrase ids are a
+    // per-doc stopword-prefix-count (the gaps-islands trick, windows
+    // partitioned by doc — row-local at any SF); deg/freq are exact
+    // longs off the word census; the top-15 orders on the IEEE ratio
+    // of identical integers with a word tiebreak.
+    Q("q_rake_keywords",
+      (s, dir) => {
+        val wPos = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wPhrase = Window.partitionBy("doc_id", "phrase_id")
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+          .withColumn("is_stop", col("w").isin("a", "the"))
+          .withColumn("phrase_id",
+            sum(col("is_stop").cast("long")).over(wPos))
+        val words = toks.filter(!col("is_stop"))
+          .withColumn("plen", count(lit(1)).over(wPhrase))
+        words.groupBy("w")
+          .agg(count(lit(1)).cast("long").as("freq"),
+            sum(col("plen")).cast("long").as("deg"))
+          .select(col("w"), col("freq"), col("deg"),
+            round(col("deg").cast("double") / col("freq").cast("double"),
+              6).as("score"))
+          .orderBy((col("deg").cast("double")
+            / col("freq").cast("double")).desc, col("w"))
+          .limit(15)
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, g.i AS pos,
+                  string_split(text, ' ')[g.i] AS w
+                FROM documents,
+                  UNNEST(generate_series(1,
+                    len(string_split(text, ' ')))) AS g(i)),
+              flagged AS (
+                SELECT doc_id, pos, w,
+                  CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END AS st
+                FROM toks WHERE w <> ''),
+              phrased AS (
+                SELECT doc_id, pos, w, st,
+                  SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS phrase_id
+                FROM flagged),
+              words AS (
+                SELECT doc_id, w, phrase_id,
+                  COUNT(*) OVER (PARTITION BY doc_id, phrase_id)
+                    AS plen
+                FROM phrased WHERE st = 0),
+              census AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                  CAST(SUM(plen) AS BIGINT) AS deg
+                FROM words GROUP BY 1)
+              SELECT w, freq, deg,
+                round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+                  AS score
+              FROM census
+              ORDER BY CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) DESC, w
+              LIMIT 15"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

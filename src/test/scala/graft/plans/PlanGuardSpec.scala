@@ -993,7 +993,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_jonckheere_terpstra" -> 0, "q_cochran_q" -> 0,
       "q_atkinson_index" -> 2,
       "q_brier_decomposition" -> 0, "q_krippendorff_alpha" -> 1,
-      "q_page_trend" -> 2)
+      "q_page_trend" -> 2,
+      "q_katz_centrality" -> 0, "q_preferential_attachment" -> 3,
+      "q_rake_keywords" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
