@@ -185,7 +185,10 @@ object ScaleCheck {
     // round-7 batch D ≥1 s: 3-round integer walk counts, the shared
     // basket generator's third score (pair-volume-bound like
     // q_also_bought), and the stopword-phrase word census
-    "q_katz_centrality", "q_preferential_attachment", "q_rake_keywords")
+    "q_katz_centrality", "q_preferential_attachment", "q_rake_keywords",
+    // round-7 batch E ≥1 s: value-census median test and the exact
+    // absolute-deviation inequality index
+    "q_moods_median", "q_hoover_index")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -4674,41 +4674,7 @@ object EventTime {
     // exact DECIMAL(38,0); MASE is ONE division of exact cross-products
     // (Σ|e₁|·n₇ vs Σ|e₇|·n₁) and U1 is three √s of identical integers.
     Q("q_mase",
-      (s, dir) => {
-        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val w = Window.orderBy("day")
-        val days = medianDaily(t(s, dir, "orders"))
-          .withColumn("lag1", lag(col("cents"), 1).over(w))
-          .withColumn("lag7", lag(col("cents"), 7).over(w))
-        val agg = days.agg(
-          count(lit(1)).cast("long").as("n_days"),
-          sum(when(col("lag1").isNotNull, 1L)).cast("long").as("n1"),
-          sum(when(col("lag7").isNotNull, 1L)).cast("long").as("n7"),
-          sum(abs((col("cents") - col("lag1")).cast(dec38))).as("ae1"),
-          sum(abs((col("cents") - col("lag7")).cast(dec38))).as("ae7"),
-          sum(when(col("lag1").isNotNull,
-            (col("cents") - col("lag1")).cast(dec38)
-              * (col("cents") - col("lag1")).cast(dec38))).as("se1"),
-          sum(when(col("lag1").isNotNull,
-            col("cents").cast(dec38) * col("cents").cast(dec38)))
-            .as("sc2"),
-          sum(col("lag1").cast(dec38) * col("lag1").cast(dec38))
-            .as("sf2"))
-        agg.select(col("n_days"), col("n1"), col("n7"),
-          when(col("n1") === 0 || col("n7") === 0 || col("ae7") === 0,
-            lit(null).cast("double"))
-            .otherwise(round((col("ae1").cast(dec38) * col("n7"))
-              .cast("double")
-              / (col("ae7").cast(dec38) * col("n1")).cast("double"), 12))
-            .as("mase"),
-          when(col("n1") === 0
-            || sqrt(col("sc2").cast("double"))
-              + sqrt(col("sf2").cast("double")) === 0.0,
-            lit(null).cast("double"))
-            .otherwise(round(sqrt(col("se1").cast("double"))
-              / (sqrt(col("sc2").cast("double"))
-                + sqrt(col("sf2").cast("double"))), 12)).as("theil_u1"))
-      },
+      (s, dir) => maseFinish(medianDaily(t(s, dir, "orders"))),
       Some("""WITH days AS (
                 SELECT date_trunc('day', o_orderdate) AS day,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -4992,6 +4958,49 @@ object EventTime {
         (col("abs_err_cents").cast("double")
           / col("denom_cents").cast("double")).as("smape"))
       .orderBy("month")
+  }
+
+  /** Finishing arithmetic of q_mase over the SAME day census
+    * q_rolling_median / q_forecast_eval keep ([[medianDaily]]) — the
+    * FOURTH readout of that Complete-mode streaming state: lag-1 /
+    * lag-7 windows above the calendar-bounded frame, exact dec38
+    * Σ|e|/Σe² sums, MASE as one cross-product division and Theil's U1
+    * as three √s of identical integers. Drained ≡ batch exactly.
+    */
+  def maseFinish(daysIn: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.orderBy("day")
+    val days = daysIn
+      .withColumn("lag1", lag(col("cents"), 1).over(w))
+      .withColumn("lag7", lag(col("cents"), 7).over(w))
+    val agg = days.agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum(when(col("lag1").isNotNull, 1L)).cast("long").as("n1"),
+      sum(when(col("lag7").isNotNull, 1L)).cast("long").as("n7"),
+      sum(abs((col("cents") - col("lag1")).cast(dec38))).as("ae1"),
+      sum(abs((col("cents") - col("lag7")).cast(dec38))).as("ae7"),
+      sum(when(col("lag1").isNotNull,
+        (col("cents") - col("lag1")).cast(dec38)
+          * (col("cents") - col("lag1")).cast(dec38))).as("se1"),
+      sum(when(col("lag1").isNotNull,
+        col("cents").cast(dec38) * col("cents").cast(dec38)))
+        .as("sc2"),
+      sum(col("lag1").cast(dec38) * col("lag1").cast(dec38))
+        .as("sf2"))
+    agg.select(col("n_days"), col("n1"), col("n7"),
+      when(col("n1") === 0 || col("n7") === 0 || col("ae7") === 0,
+        lit(null).cast("double"))
+        .otherwise(round((col("ae1").cast(dec38) * col("n7"))
+          .cast("double")
+          / (col("ae7").cast(dec38) * col("n1")).cast("double"), 12))
+        .as("mase"),
+      when(col("n1") === 0
+        || sqrt(col("sc2").cast("double"))
+          + sqrt(col("sf2").cast("double")) === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(sqrt(col("se1").cast("double"))
+          / (sqrt(col("sc2").cast("double"))
+            + sqrt(col("sf2").cast("double"))), 12)).as("theil_u1"))
   }
 
   /** Finishing arithmetic of q_rolling_median over the bounded day

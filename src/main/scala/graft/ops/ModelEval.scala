@@ -4344,6 +4344,155 @@ object ModelEval {
               SELECT b, l, CAST(b * 12 AS BIGINT) AS e_l,
                 round(CAST(l - b * 12 AS DOUBLE)
                   / sqrt(CAST(b * 2 AS DOUBLE)), 6) AS z
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── Mood's median test: acctbal above/below the grand median ────────
+    // The robust k-group location test that needs NO rank sums: count
+    // each segment's customers above the GRAND median and χ²-test the
+    // 5×2 table. The grand median is a census pick — acctbal lives on
+    // a value-domain-bounded cents census (the q_mann_whitney
+    // discipline), so the median value is the row where the cumulative
+    // count brackets (N+1) div 2, found on the census, never by
+    // sorting customers. Above-counts are exact ints off the same
+    // persisted census; χ² terms are IEEE from identical integers,
+    // segment-pinned fold.
+    Q("q_moods_median",
+      (s, dir) => {
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val census = t(s, dir, "customer")
+          .select((dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+            col("c_mktsegment").as("seg"))
+          .groupBy("cents", "seg").agg(count(lit(1)).as("c"))
+          .persist()
+        val byVal = census.groupBy("cents")
+          .agg(sum(col("c")).as("cv"))
+          .withColumn("cum_before", coalesce(sum(col("cv")).over(
+            Window.orderBy("cents")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val tot = census.agg(sum(col("c")).cast("long").as("n"))
+        val med = byVal.crossJoin(broadcast(tot))
+          .filter(col("cum_before") < expr("(n + 1) div 2")
+            && expr("(n + 1) div 2") <= col("cum_before") + col("cv"))
+          .select(col("cents").as("med"), col("n"))
+        val perSeg = census.crossJoin(broadcast(med))
+          .groupBy("seg")
+          .agg(sum(col("c")).cast("long").as("n_j"),
+            sum(when(col("cents") > col("med"), col("c"))
+              .otherwise(0L)).cast("long").as("a_j"),
+            max(col("med")).as("med"), max(col("n")).as("n"))
+        val withTot = perSeg
+          .withColumn("a", sum(col("a_j")).over(Window.partitionBy()))
+        withTot
+          .select(col("med"), col("n"), col("a"),
+            struct(col("seg"),
+              (((col("a_j").cast(dec38) * col("n")
+                - col("n_j").cast(dec38) * col("a"))
+                * (col("a_j").cast(dec38) * col("n")
+                  - col("n_j").cast(dec38) * col("a"))).cast("double")
+                / (col("n_j").cast("double") * col("a").cast("double")
+                  * (col("n") - col("a")).cast("double"))).as("term"))
+              .as("t"))
+          .groupBy("med", "n", "a")
+          .agg(expr("""aggregate(array_sort(collect_list(t)),
+               CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("s"))
+          .select(col("n"), col("a").cast("long").as("n_above"),
+            round(col("med").cast("double") / 100.0, 2).as("median"),
+            round(col("s"), 6).as("chi2"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS c
+                FROM customer GROUP BY 1, 2),
+              byval AS (
+                SELECT cents, SUM(c) AS cv,
+                  COALESCE(SUM(SUM(c)) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+                FROM census GROUP BY cents),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM census),
+              med AS (
+                SELECT cents AS med, n FROM byval, tot
+                WHERE cum_before < (n + 1) // 2
+                  AND (n + 1) // 2 <= cum_before + cv),
+              per AS (
+                SELECT seg, CAST(SUM(c) AS BIGINT) AS n_j,
+                  CAST(SUM(CASE WHEN cents > med THEN c ELSE 0 END)
+                    AS BIGINT) AS a_j,
+                  MAX(med) AS med, MAX(n) AS n
+                FROM census, med GROUP BY 1),
+              wt AS (
+                SELECT *, CAST(SUM(a_j) OVER () AS BIGINT) AS a FROM per),
+              terms AS (
+                SELECT med, n, a, seg,
+                  CAST((CAST(a_j AS HUGEINT) * n
+                      - CAST(n_j AS HUGEINT) * a)
+                    * (CAST(a_j AS HUGEINT) * n
+                      - CAST(n_j AS HUGEINT) * a) AS DOUBLE)
+                    / (CAST(n_j AS DOUBLE) * CAST(a AS DOUBLE)
+                      * CAST(n - a AS DOUBLE)) AS term
+                FROM wt)
+              SELECT CAST(n AS BIGINT) AS n, a AS n_above,
+                round(CAST(med AS DOUBLE) / 100.0, 2) AS median,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY seg)), (acc, x) -> acc + x),
+                  6) AS chi2
+              FROM terms GROUP BY n, a, med""")),
+
+    // ── Gwet's AC1 inter-rater agreement (2 raters) ─────────────────────
+    // The paradox-resistant alternative to Cohen's κ: when the
+    // category split is lopsided, κ collapses while AC1 stays
+    // interpretable, because its chance term uses the MEAN category
+    // prevalence π — p_e = 2π(1−π). Two synthetic high-bit-mixed
+    // raters (the q_fleiss_kappa family); agreement and prevalence
+    // are exact counts off ONE ≤4-cell census; AC1 is three IEEE ops.
+    Q("q_gwet_ac1",
+      (s, dir) => {
+        def rater(shift: Int) = expr(
+          s"pmod(((doc_id % 2147483648) * 2654435761) div ${1L << shift}, 2)")
+        t(s, dir, "documents")
+          .select(rater(16).as("r1"), rater(19).as("r2"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("r1") === col("r2"), 1L).otherwise(0L))
+              .cast("long").as("agree"),
+            sum(col("r1") + col("r2")).cast("long").as("pos2"))
+          .select(col("n"), col("agree"),
+            (col("agree").cast("double") / col("n").cast("double"))
+              .as("p_a"),
+            (col("pos2").cast("double")
+              / (lit(2.0) * col("n").cast("double"))).as("pi"))
+          .select(col("n"), col("agree"), round(col("p_a"), 12).as("p_a"),
+            when(lit(1.0) - lit(2.0) * col("pi") * (lit(1.0) - col("pi"))
+              === 0.0, lit(null).cast("double"))
+              .otherwise(round((col("p_a")
+                - lit(2.0) * col("pi") * (lit(1.0) - col("pi")))
+                / (lit(1.0)
+                  - lit(2.0) * col("pi") * (lit(1.0) - col("pi"))), 12))
+              .as("ac1"))
+      },
+      Some(s"""WITH r AS (
+                SELECT
+                  ((doc_id % 2147483648) * 2654435761 // ${1L << 16} % 2 + 2) % 2
+                    AS r1,
+                  ((doc_id % 2147483648) * 2654435761 // ${1L << 19} % 2 + 2) % 2
+                    AS r2
+                FROM documents),
+              a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS agree,
+                  CAST(SUM(r1 + r2) AS BIGINT) AS pos2
+                FROM r),
+              m AS (
+                SELECT n, agree,
+                  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_a,
+                  CAST(pos2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS pi
+                FROM a)
+              SELECT n, agree, round(p_a, 12) AS p_a,
+                CASE WHEN 1.0 - 2.0 * pi * (1.0 - pi) = 0.0 THEN NULL
+                  ELSE round((p_a - 2.0 * pi * (1.0 - pi))
+                    / (1.0 - 2.0 * pi * (1.0 - pi)), 12) END AS ac1
+              FROM m"""))
   )
 }

@@ -7990,7 +7990,62 @@ object Relational {
                       / CAST(SUM(CAST(recip AS HUGEINT))
                         * SUM(CAST(cents AS HUGEINT)) AS DOUBLE), 12)
                   END AS atkinson2
-              FROM j GROUP BY 1 ORDER BY segment"""))
+              FROM j GROUP BY 1 ORDER BY segment""")),
+
+    // ── Hoover (Robin Hood) index per market segment ────────────────────
+    // The third inequality lens after Gini/Lorenz and Atkinson: the
+    // share of total spend that would have to move to equalize
+    // everyone — the maximum vertical Lorenz gap. FULLY exact:
+    // H = Σ|n·xᵢ − T| / (2·n·T) needs only the per-customer spend
+    // census, per-segment (n, T) totals folded back (5-row broadcast),
+    // an exact DECIMAL(38,0) absolute-deviation sum, and ONE IEEE
+    // division — no FP accumulates anywhere.
+    Q("q_hoover_index",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val spend = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+            col("o_custkey") === col("c_custkey"))
+          .select("segment", "cents")
+          .persist()
+        val totals = spend.groupBy("segment")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast(dec38)).as("t"))
+        spend.join(broadcast(totals), "segment")
+          .groupBy(col("segment"), col("n"), col("t"))
+          .agg(sum(abs(col("cents").cast(dec38) * col("n") - col("t")))
+            .as("dev"))
+          .select(col("segment"), col("n"),
+            when(col("t") === 0 || col("n") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("dev").cast("double")
+                / (lit(2.0) * col("n").cast("double")
+                  * col("t").cast("double")), 12)).as("hoover"))
+          .orderBy("segment")
+      },
+      Some("""WITH spend AS (
+                SELECT c_mktsegment AS segment,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY segment, o_custkey),
+              totals AS (
+                SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS t
+                FROM spend GROUP BY 1)
+              SELECT s.segment, n,
+                CASE WHEN t = 0 OR n = 0 THEN NULL
+                  ELSE round(CAST(SUM(abs(CAST(s.cents AS HUGEINT) * n
+                      - t)) AS DOUBLE)
+                    / (2.0 * CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 12)
+                  END AS hoover
+              FROM spend s JOIN totals ON s.segment = totals.segment
+              GROUP BY s.segment, n, t
+              ORDER BY s.segment"""))
   )
 
   /** k-anonymity sufficient statistic: the quasi-id equivalence-class

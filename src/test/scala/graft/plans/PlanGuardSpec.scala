@@ -995,7 +995,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_brier_decomposition" -> 0, "q_krippendorff_alpha" -> 1,
       "q_page_trend" -> 2,
       "q_katz_centrality" -> 0, "q_preferential_attachment" -> 3,
-      "q_rake_keywords" -> 1)
+      "q_rake_keywords" -> 1,
+      "q_moods_median" -> 0, "q_gwet_ac1" -> 1, "q_hoover_index" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
