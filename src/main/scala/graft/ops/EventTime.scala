@@ -1081,10 +1081,13 @@ object EventTime {
         val (bigS, q2) = (stats.getLong(2), stats.getLong(3))
         val n = maxD - minD + 1
         val den = n * n * q2 - n * bigS * bigS
+        // persisted: BOTH sides of the lag self-join read the spine —
+        // un-cached, each re-pays the orders scan (guard-caught)
         val dense = s.range(minD, maxD + 1)
           .select(col("id").as("d"))
           .join(counts, Seq("d"), "left")
           .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+          .persist()
         val ks = s.range(1, 8).select(col("id").as("k"))
         dense.crossJoin(ks)
           .select(col("k"), col("x").as("xa"), (col("d") + col("k")).as("d2"))
@@ -4663,6 +4666,203 @@ object EventTime {
                 frst AS first_violation_t
               FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
 
+    // ── spectral power at the calendar periods (7-day, 30-day) ──────────
+    // A Goertzel-style single-bin DFT: how much weekly and monthly
+    // periodicity does daily revenue actually carry? The trig weights
+    // exist only at d mod p ∈ {0..p−1}, so they are P PINNED INTEGER
+    // LITERALS (round(cos·10⁶), computed once in Scala and interpolated
+    // into BOTH the Spark plan and the DuckDB oracle — the ln(6)
+    // pinned-literal discipline, automated). Σ x·w stays exact
+    // DECIMAL(38,0); amplitude = 2√(cs²+ss²)/(n·10⁶) is IEEE on
+    // identical integers (squares in DOUBLE — the decimal square would
+    // overflow 38 digits at 100-TB revenue). One orders scan, census
+    // fold, 2-row output.
+    Q("q_spectral_power",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        def arr(ws: Seq[Long]) =
+          s"array(${ws.mkString("L, ")}L)"
+        def wExpr(p: Int, ws: Seq[Long]) =
+          expr(s"element_at(${arr(ws)}, CAST(d % $p AS INT) + 1)")
+        val days = medianDaily(t(s, dir, "orders"))
+          .select(datediff(col("day").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+            col("cents"))
+        val agg = days.agg(
+          count(lit(1)).cast("long").as("n_days"),
+          sum(col("cents").cast(dec38) * wExpr(7, SpectralLits.c7))
+            .as("c7"),
+          sum(col("cents").cast(dec38) * wExpr(7, SpectralLits.s7))
+            .as("s7"),
+          sum(col("cents").cast(dec38) * wExpr(30, SpectralLits.c30))
+            .as("c30"),
+          sum(col("cents").cast(dec38) * wExpr(30, SpectralLits.s30))
+            .as("s30"))
+        agg.select(expr(
+          """stack(2,
+            |  CAST(7 AS BIGINT), n_days, c7, s7,
+            |  CAST(30 AS BIGINT), n_days, c30, s30)
+            |AS (period, n_days, cs, ss)""".stripMargin))
+          .select(col("period"), col("n_days"),
+            round(lit(2.0)
+              * sqrt(col("cs").cast("double") * col("cs").cast("double")
+                + col("ss").cast("double") * col("ss").cast("double"))
+              / (col("n_days").cast("double") * 1.0e6 * 100.0), 4)
+              .as("amp_dollars"))
+          .orderBy("period")
+      },
+      Some(s"""WITH days AS (
+                SELECT DATE_DIFF('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  SUM(CAST(cents AS HUGEINT)
+                    * ([${SpectralLits.c7.mkString(", ")}])[d % 7 + 1])
+                    AS c7,
+                  SUM(CAST(cents AS HUGEINT)
+                    * ([${SpectralLits.s7.mkString(", ")}])[d % 7 + 1])
+                    AS s7,
+                  SUM(CAST(cents AS HUGEINT)
+                    * ([${SpectralLits.c30.mkString(", ")}])[d % 30 + 1])
+                    AS c30,
+                  SUM(CAST(cents AS HUGEINT)
+                    * ([${SpectralLits.s30.mkString(", ")}])[d % 30 + 1])
+                    AS s30
+                FROM days),
+              outp AS (
+                SELECT CAST(7 AS BIGINT) AS period, n_days,
+                  CAST(c7 AS DOUBLE) AS cs, CAST(s7 AS DOUBLE) AS ss
+                FROM agg
+                UNION ALL
+                SELECT CAST(30 AS BIGINT), n_days,
+                  CAST(c30 AS DOUBLE), CAST(s30 AS DOUBLE)
+                FROM agg)
+              SELECT period, n_days,
+                round(2.0 * sqrt(cs * cs + ss * ss)
+                  / (CAST(n_days AS DOUBLE) * 1.0e6 * 100.0), 4)
+                  AS amp_dollars
+              FROM outp ORDER BY period""")),
+
+    // ── partial autocorrelation (Durbin–Levinson, lags 1-3) ─────────────
+    // q_autocorr's r_k confound direct and inherited correlation; PACF
+    // isolates the DIRECT lag-k effect — the readout that says whether
+    // a daily AR(1) suffices or the series carries genuine multi-day
+    // structure. r₁..r₃ are the exact-integer-ratio autocorrelations
+    // (the q_autocorr machinery verbatim: dense spine, n²-scaled
+    // integer numerators, ONE division each), so both engines hold
+    // bit-identical r's; the Durbin–Levinson recursion (φ₁₁ = r₁,
+    // φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₃₃ via level-2 coefficients) is then
+    // the same IEEE op sequence on identical doubles. Calendar-bounded
+    // everywhere past the one orders scan.
+    Q("q_pacf",
+      (s, dir) => {
+        val counts = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
+        val stats = counts.agg(min(col("d")), max(col("d")),
+          sum(col("x")), sum(col("x") * col("x"))).head
+        val (minD, maxD) = (stats.getLong(0), stats.getLong(1))
+        val (bigS, q2) = (stats.getLong(2), stats.getLong(3))
+        val n = maxD - minD + 1
+        val den = n * n * q2 - n * bigS * bigS
+        val dense = s.range(minD, maxD + 1)
+          .select(col("id").as("d"))
+          .join(counts, Seq("d"), "left")
+          .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+          .persist()
+        val ks = s.range(1, 4).select(col("id").as("k"))
+        val rs = dense.crossJoin(ks)
+          .select(col("k"), col("x").as("xa"),
+            (col("d") + col("k")).as("d2"))
+          .join(dense.select(col("d").as("d2"), col("x").as("xb")), "d2")
+          .groupBy("k")
+          .agg(sum(col("xa") * col("xb")).as("p"),
+            sum(col("xa")).as("h"), sum(col("xb")).as("tt"))
+          .select(col("k"),
+            ((lit(n * n) * col("p") - lit(n * bigS) * (col("h") + col("tt"))
+              + (lit(n) - col("k")) * lit(bigS * bigS)).cast("double")
+              / lit(den.toDouble)).as("r"))
+        val wide = rs.agg(
+          max(when(col("k") === 1, col("r"))).as("r1"),
+          max(when(col("k") === 2, col("r"))).as("r2"),
+          max(when(col("k") === 3, col("r"))).as("r3"))
+        val lvl2 = wide
+          .withColumn("p11", col("r1"))
+          .withColumn("p22",
+            (col("r2") - col("r1") * col("r1"))
+              / (lit(1.0) - col("r1") * col("r1")))
+          .withColumn("p21", col("p11") - col("p22") * col("p11"))
+        val lvl3 = lvl2.withColumn("p33",
+          (col("r3") - col("p21") * col("r2") - col("p22") * col("r1"))
+            / (lit(1.0) - col("p21") * col("r1")
+              - col("p22") * col("r2")))
+        lvl3.select(expr(
+          """stack(3,
+            |  CAST(1 AS BIGINT), r1, round(p11, 12),
+            |  CAST(2 AS BIGINT), r2, round(p22, 12),
+            |  CAST(3 AS BIGINT), r3, round(p33, 12))
+            |AS (k, r, pacf)""".stripMargin))
+          .select(col("k"), round(col("r"), 12).as("r"), col("pacf"))
+          .orderBy("k")
+      },
+      Some("""WITH c AS (
+                SELECT DATE_DIFF('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              mm AS (SELECT MIN(d) AS mn, MAX(d) AS mx,
+                       CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n,
+                       SUM(x) AS s, SUM(x * x) AS q2 FROM c),
+              dense AS (
+                SELECT g.d, COALESCE(c.x, 0) AS x
+                FROM (SELECT UNNEST(generate_series(
+                        (SELECT mn FROM mm), (SELECT mx FROM mm))) AS d) g
+                  LEFT JOIN c ON g.d = c.d),
+              lags AS (SELECT UNNEST(generate_series(1, 3)) AS k),
+              pairs AS (
+                SELECT l.k, a.x AS xa, b.x AS xb
+                FROM dense a CROSS JOIN lags l
+                  JOIN dense b ON b.d = a.d + l.k),
+              agg AS (
+                SELECT k, SUM(xa * xb) AS p, SUM(xa) AS h, SUM(xb) AS tt
+                FROM pairs GROUP BY 1),
+              rr AS (
+                SELECT k,
+                  CAST(mm.n * mm.n * p - mm.n * mm.s * (h + tt)
+                    + (mm.n - k) * mm.s * mm.s AS DOUBLE)
+                    / CAST(mm.n * mm.n * q2 - mm.n * mm.s * mm.s
+                      AS DOUBLE) AS r
+                FROM agg, mm),
+              wide AS (
+                SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
+                  MAX(CASE WHEN k = 2 THEN r END) AS r2,
+                  MAX(CASE WHEN k = 3 THEN r END) AS r3
+                FROM rr),
+              l2 AS (
+                SELECT r1, r2, r3, r1 AS p11,
+                  (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+                FROM wide),
+              l2b AS (
+                SELECT *, p11 - p22 * p11 AS p21 FROM l2),
+              l3 AS (
+                SELECT *,
+                  (r3 - p21 * r2 - p22 * r1)
+                    / (1.0 - p21 * r1 - p22 * r2) AS p33
+                FROM l2b),
+              outp AS (
+                SELECT CAST(1 AS BIGINT) AS k, r1 AS r,
+                  round(p11, 12) AS pacf FROM l3
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), r2, round(p22, 12) FROM l3
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), r3, round(p33, 12) FROM l3)
+              SELECT k, round(r, 12) AS r, pacf
+              FROM outp ORDER BY k""")),
+
     // ── MASE + Theil's U1: scale-free forecast accuracy ─────────────────
     // The two scale-free accuracy metrics q_forecast_eval's sMAPE
     // doesn't give: MASE = MAE(naive-1 forecast) / MAE(seasonal-naive
@@ -4928,6 +5128,21 @@ object EventTime {
           col("n_last7").cast("double") / col("n_prev7").cast("double"))
           .otherwise(lit(0.0)).as("wow_ratio"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Pinned integer trig weights for q_spectral_power: round(cos/sin of
+    * 2πk/p × 10⁶) computed ONCE here and interpolated into both the
+    * Spark plan and the DuckDB oracle, so no engine ever evaluates a
+    * transcendental — the ln(6) pinned-literal discipline, automated
+    * for a weight table.
+    */
+  private[ops] object SpectralLits {
+    private def w(p: Int, f: Double => Double): Seq[Long] =
+      (0 until p).map(k => math.round(f(2 * math.Pi * k / p) * 1e6))
+    val c7: Seq[Long] = w(7, math.cos)
+    val s7: Seq[Long] = w(7, math.sin)
+    val c30: Seq[Long] = w(30, math.cos)
+    val s30: Seq[Long] = w(30, math.sin)
   }
 
   /** Sliding-median sufficient statistic: the per-day revenue-cents

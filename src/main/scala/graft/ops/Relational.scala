@@ -3400,6 +3400,116 @@ object Relational {
               FROM cnt GROUP BY 1, 2
               ORDER BY c_nationkey, c_mktsegment""")),
 
+    // ── t-closeness report (the third privacy audit) ────────────────────
+    // Completes the k-anonymity → l-diversity → t-closeness triad:
+    // a class can be k-anonymous AND l-diverse yet still leak if its
+    // sensitive-attribute DISTRIBUTION differs from the table's (the
+    // attacker updates a prior). For the ordered sensitive attribute
+    // (order priority 1..5), t = ordered-EMD = Σ_{j<5} |F_class(j) −
+    // F_global(j)| / (k−1). Exact to the end: class and global
+    // cumulatives are census integers, each prefix term is the
+    // cross-product |cum_c·N − cum_g·n| in DECIMAL(38,0), and t is
+    // ONE IEEE division per class. Shape: one fact⋈dim shuffle to the
+    // ≤125×5 class×value census, everything after census-sized.
+    Q("q_t_closeness",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wC = Window.partitionBy("c_nationkey", "c_mktsegment")
+          .orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wG = Window.orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cnt = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            substring(col("o_orderpriority"), 1, 1).cast("long").as("p"))
+          .agg(count(lit(1)).as("c"))
+          .persist()
+        // dense class × priority grid: a class with NO orders at some
+        // priority still carries its running cumulative at that prefix
+        // point — a sparse join would silently skip the term
+        val grid = cnt.select("c_nationkey", "c_mktsegment").distinct()
+          .crossJoin(cnt.select("p").distinct())
+          .join(cnt, Seq("c_nationkey", "c_mktsegment", "p"), "left")
+          .select(col("c_nationkey"), col("c_mktsegment"), col("p"),
+            coalesce(col("c"), lit(0L)).as("c0"))
+        val globalCum = cnt.groupBy("p")
+          .agg(sum(col("c")).as("g"))
+          .select(col("p"), sum(col("g")).over(wG).as("cum_g"))
+        val tot = cnt.agg(sum(col("c")).cast("long").as("nn"))
+        val classCum = grid
+          .select(col("c_nationkey"), col("c_mktsegment"), col("p"),
+            sum(col("c0")).over(wC).as("cum_c"))
+        val classN = cnt.groupBy("c_nationkey", "c_mktsegment")
+          .agg(sum(col("c")).cast("long").as("n"))
+        classCum
+          .join(broadcast(globalCum), "p")
+          .join(classN, Seq("c_nationkey", "c_mktsegment"))
+          .crossJoin(broadcast(tot))
+          .filter(col("p") < 5)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"),
+            col("nn"))
+          .agg(sum(abs(col("cum_c").cast(dec38) * col("nn")
+            - col("cum_g").cast(dec38) * col("n"))).as("dev"))
+          .select(col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_mktsegment"), col("n"),
+            when(col("n") === 0 || col("nn") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("dev").cast("double")
+                / (lit(4.0) * col("n").cast("double")
+                  * col("nn").cast("double")), 12)).as("t"))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""WITH cnt AS (
+                SELECT c_nationkey, c_mktsegment,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS p,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2, 3),
+              grid0 AS (
+                SELECT k.c_nationkey, k.c_mktsegment, pv.p
+                FROM (SELECT DISTINCT c_nationkey, c_mktsegment
+                      FROM cnt) k
+                CROSS JOIN (SELECT DISTINCT p FROM cnt) pv),
+              grid AS (
+                SELECT g.c_nationkey, g.c_mktsegment, g.p,
+                  COALESCE(c.c, 0) AS c0
+                FROM grid0 g LEFT JOIN cnt c
+                  ON g.c_nationkey = c.c_nationkey
+                  AND g.c_mktsegment = c.c_mktsegment AND g.p = c.p),
+              gc AS (
+                SELECT p, SUM(SUM(c)) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_g
+                FROM cnt GROUP BY p),
+              tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cnt),
+              cc AS (
+                SELECT c_nationkey, c_mktsegment, p,
+                  SUM(c0) OVER (PARTITION BY c_nationkey, c_mktsegment
+                    ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum_c
+                FROM grid),
+              cn AS (
+                SELECT c_nationkey, c_mktsegment,
+                  CAST(SUM(c) AS BIGINT) AS n
+                FROM cnt GROUP BY 1, 2)
+              SELECT CAST(cc.c_nationkey AS BIGINT) AS c_nationkey,
+                cc.c_mktsegment, cn.n,
+                CASE WHEN cn.n = 0 OR tot.nn = 0 THEN NULL
+                  ELSE round(CAST(SUM(abs(CAST(cc.cum_c AS HUGEINT)
+                      * tot.nn - CAST(gc.cum_g AS HUGEINT) * cn.n))
+                    AS DOUBLE)
+                    / (4.0 * CAST(cn.n AS DOUBLE)
+                      * CAST(tot.nn AS DOUBLE)), 12) END AS t
+              FROM cc
+                JOIN gc ON cc.p = gc.p
+                JOIN cn ON cc.c_nationkey = cn.c_nationkey
+                  AND cc.c_mktsegment = cn.c_mktsegment, tot
+              WHERE cc.p < 5
+              GROUP BY cc.c_nationkey, cc.c_mktsegment, cn.n, tot.nn
+              ORDER BY c_nationkey, cc.c_mktsegment""")),
+
     // ── RFM segmentation (recency / frequency / monetary) ────────────────
     // The classic customer-scoring rollup: one per-customer census
     // (last order date, order count, exact lifetime cents), banded into

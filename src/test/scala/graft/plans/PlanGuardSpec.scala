@@ -996,7 +996,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_page_trend" -> 2,
       "q_katz_centrality" -> 0, "q_preferential_attachment" -> 3,
       "q_rake_keywords" -> 1,
-      "q_moods_median" -> 0, "q_gwet_ac1" -> 1, "q_hoover_index" -> 0)
+      "q_moods_median" -> 0, "q_gwet_ac1" -> 1, "q_hoover_index" -> 0,
+      "q_pacf" -> 0, "q_autocorr" -> 0, "q_spectral_power" -> 1,
+      "q_t_closeness" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
