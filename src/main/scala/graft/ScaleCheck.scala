@@ -188,7 +188,9 @@ object ScaleCheck {
     "q_katz_centrality", "q_preferential_attachment", "q_rake_keywords",
     // round-7 batch E ≥1 s: value-census median test and the exact
     // absolute-deviation inequality index
-    "q_moods_median", "q_hoover_index")
+    "q_moods_median", "q_hoover_index",
+    // round-7 batch G ≥1 s: 4-sweep IPF over the persisted 25-cell census
+    "q_ipf_raking")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -4493,6 +4493,69 @@ object ModelEval {
                 CASE WHEN 1.0 - 2.0 * pi * (1.0 - pi) = 0.0 THEN NULL
                   ELSE round((p_a - 2.0 * pi * (1.0 - pi))
                     / (1.0 - 2.0 * pi * (1.0 - pi)), 12) END AS ac1
-              FROM m"""))
+              FROM m""")),
+
+    // ── quadratic-weighted kappa (ordinal 3-category raters) ────────────
+    // The ordinal-agreement coefficient Cohen's κ throws away: near
+    // misses (|i−j| = 1) cost ¼ of a full miss under quadratic
+    // weights. Two correlated synthetic ordinal raters (sums of the
+    // q_fleiss_kappa bit-raters, sharing one bit so agreement is
+    // structurally high); κ_w = 1 − N·ΣO_ij(i−j)² / Σrow_i·col_j(i−j)²
+    // — the ≤9-cell census makes BOTH sums exact DECIMAL(38,0)
+    // cross-products, so κ_w is ONE division of exact integers.
+    Q("q_weighted_kappa",
+      (s, dir) => {
+        def rater(shift: Int) = expr(
+          s"pmod(((doc_id % 2147483648) * 2654435761) div ${1L << shift}, 2)")
+        val cells = t(s, dir, "documents")
+          .select((rater(16) + rater(19)).as("v1"),
+            (rater(19) + rater(22)).as("v2"))
+          .groupBy("v1", "v2").agg(count(lit(1)).as("c"))
+          .persist()
+        val obs = cells.agg(
+          sum(col("c")).cast("long").as("n"),
+          sum(col("c").cast(dec38) * (col("v1") - col("v2"))
+            * (col("v1") - col("v2"))).as("o_d2"))
+        val margins = cells.groupBy("v1").agg(sum(col("c")).as("row_c"))
+          .crossJoin(cells.groupBy(col("v2").as("w2"))
+            .agg(sum(col("c")).as("col_c")))
+          .agg(sum(col("row_c").cast(dec38) * col("col_c")
+            * (col("v1") - col("w2")) * (col("v1") - col("w2")))
+            .as("e_d2"))
+        obs.crossJoin(margins)
+          .select(col("n"),
+            col("o_d2").cast("long").as("obs_d2"),
+            when(col("e_d2") === 0, lit(null).cast("double"))
+              .otherwise(round(lit(1.0)
+                - (col("o_d2") * col("n")).cast("double")
+                  / col("e_d2").cast("double"), 12)).as("kappa_w"))
+      },
+      Some(s"""WITH r AS (
+                SELECT
+                  ((doc_id % 2147483648) * 2654435761 // ${1L << 16} % 2 + 2) % 2
+                  + ((doc_id % 2147483648) * 2654435761 // ${1L << 19} % 2 + 2) % 2
+                    AS v1,
+                  ((doc_id % 2147483648) * 2654435761 // ${1L << 19} % 2 + 2) % 2
+                  + ((doc_id % 2147483648) * 2654435761 // ${1L << 22} % 2 + 2) % 2
+                    AS v2
+                FROM documents),
+              cells AS (
+                SELECT v1, v2, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1, 2),
+              obs AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(CAST(c AS HUGEINT) * (v1 - v2) * (v1 - v2)) AS o_d2
+                FROM cells),
+              m AS (
+                SELECT SUM(CAST(rw.row_c AS HUGEINT) * cl.col_c
+                  * (rw.v1 - cl.w2) * (rw.v1 - cl.w2)) AS e_d2
+                FROM (SELECT v1, SUM(c) AS row_c FROM cells GROUP BY 1) rw
+                CROSS JOIN (SELECT v2 AS w2, SUM(c) AS col_c
+                            FROM cells GROUP BY 1) cl)
+              SELECT n, CAST(o_d2 AS BIGINT) AS obs_d2,
+                CASE WHEN e_d2 = 0 THEN NULL
+                  ELSE round(1.0 - CAST(o_d2 * n AS DOUBLE)
+                    / CAST(e_d2 AS DOUBLE), 12) END AS kappa_w
+              FROM obs, m"""))
   )
 }

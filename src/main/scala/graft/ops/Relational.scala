@@ -3510,7 +3510,192 @@ object Relational {
               GROUP BY cc.c_nationkey, cc.c_mktsegment, cn.n, tot.nn
               ORDER BY c_nationkey, cc.c_mktsegment""")),
 
-    // ── RFM segmentation (recency / frequency / monetary) ────────────────
+    // ── Tukey median polish: robust nation × year decomposition ─────────
+    // The outlier-proof two-way split (value = row effect + column
+    // effect + residual) that mean-based ANOVA decompositions can't
+    // give. ONE polish sweep over the ≤25×7 nation×year cents table:
+    // row medians are exact LOWER-median picks (row_number over
+    // (value, year) within ≤7-value groups), subtracted in integer
+    // cents; column medians of the residuals likewise; the output grid
+    // is FULLY exact integers — no FP anywhere.
+    Q("q_median_polish",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            year(col("o_orderdate")).cast("long").as("y"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("v"))
+          .persist()
+        val wRow = Window.partitionBy("nation").orderBy("v", "y")
+        val rowMed = cells
+          .withColumn("rn", row_number().over(wRow))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy("nation")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("nation"), col("v").as("row_eff"))
+        val r1 = cells.join(rowMed, "nation")
+          .select(col("nation"), col("y"), col("row_eff"),
+            (col("v") - col("row_eff")).as("r1"))
+        val wCol = Window.partitionBy("y").orderBy("r1", "nation")
+        val colMed = r1
+          .withColumn("rn", row_number().over(wCol))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("y")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("y"), col("r1").as("col_eff"))
+        r1.join(colMed, "y")
+          .select(col("nation"), col("y"), col("row_eff"),
+            col("col_eff"), (col("r1") - col("col_eff")).as("resid"))
+          .orderBy("nation", "y")
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                  CAST(year(o_orderdate) AS BIGINT) AS y,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS v
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              rm AS (
+                SELECT nation, v AS row_eff
+                FROM (SELECT nation, v,
+                        row_number() OVER (PARTITION BY nation
+                          ORDER BY v, y) AS rn,
+                        count(*) OVER (PARTITION BY nation) AS cnt
+                      FROM cells)
+                WHERE rn = (cnt + 1) // 2),
+              r1 AS (
+                SELECT c.nation, c.y, rm.row_eff,
+                  c.v - rm.row_eff AS r1
+                FROM cells c JOIN rm ON c.nation = rm.nation),
+              cm AS (
+                SELECT y, r1 AS col_eff
+                FROM (SELECT y, r1,
+                        row_number() OVER (PARTITION BY y
+                          ORDER BY r1, nation) AS rn,
+                        count(*) OVER (PARTITION BY y) AS cnt
+                      FROM r1)
+                WHERE rn = (cnt + 1) // 2)
+              SELECT r1.nation, r1.y, r1.row_eff, cm.col_eff,
+                r1.r1 - cm.col_eff AS resid
+              FROM r1 JOIN cm ON r1.y = cm.y
+              ORDER BY r1.nation, r1.y""")),
+
+    // ── iterative proportional fitting (raking) to known margins ────────
+    // The survey-calibration workhorse: scale the observed
+    // segment × priority order table so row margins match the CUSTOMER
+    // POPULATION's segment counts and column margins match a uniform
+    // priority target — two full IPF sweeps (row-scale, col-scale) ×2.
+    // Everything lives on the ≤25-cell census: each sweep is a window
+    // marginal + one IEEE division per cell, the same op sequence on
+    // identical doubles in both engines (inputs are exact integers).
+    Q("q_ipf_raking",
+      (s, dir) => {
+        val wSeg = Window.partitionBy("segment")
+        val wPri = Window.partitionBy("p")
+        val obs = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"),
+            substring(col("o_orderpriority"), 1, 1).cast("long").as("p"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val rowTarget = t(s, dir, "customer")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).cast("long").as("r_t"))
+        // column target = uniform fifth of the ROW-target mass, so the
+        // two margin systems are consistent and IPF converges
+        val tot = rowTarget.agg(sum(col("r_t")).cast("long").as("rt_tot"))
+        // persisted: every sweep's marginal re-derives its input chain
+        // (m is computed FROM df and joined back onto it), so an
+        // un-cached base would re-pay the fact joins once per sweep
+        // side — cached, the re-executions are 25-row census arithmetic
+        val base = obs.join(broadcast(rowTarget), "segment")
+          .crossJoin(broadcast(tot))
+          .withColumn("c_t", col("rt_tot").cast("double") / 5.0)
+          .withColumn("w", lit(1.0))
+          .persist()
+        // marginals are PINNED sorted folds, not window sums — a
+        // 5-double window sum reduces in engine-chosen order and the
+        // divergence compounds across sweeps
+        def scale(df: DataFrame, key: String, ord: String,
+            target: org.apache.spark.sql.Column): DataFrame = {
+          val m = df.groupBy(key).agg(expr(
+            s"""aggregate(array_sort(collect_list(
+               |  named_struct('o', $ord, 't', CAST(c AS DOUBLE) * w))),
+               |  CAST(0 AS DOUBLE), (a, x) -> a + x.t)""".stripMargin)
+            .as("__m"))
+          df.join(broadcast(m), key)
+            .withColumn("w", col("w") * target / col("__m"))
+            .drop("__m")
+        }
+        def rowScale(df: DataFrame): DataFrame =
+          scale(df, "segment", "p", col("r_t").cast("double"))
+        def colScale(df: DataFrame): DataFrame =
+          scale(df, "p", "segment", col("c_t"))
+        val fitted = colScale(rowScale(colScale(rowScale(base))))
+        fitted.select(col("segment"), col("p"), col("c"),
+            round(col("w"), 9).as("w"),
+            round(col("c").cast("double") * col("w"), 4).as("adjusted"))
+          .orderBy("segment", "p")
+      },
+      Some("""WITH obs AS (
+                SELECT c_mktsegment AS segment,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS p,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              rt AS (
+                SELECT c_mktsegment AS segment,
+                  CAST(count(*) AS BIGINT) AS r_t
+                FROM customer GROUP BY 1),
+              tot AS (SELECT CAST(SUM(r_t) AS BIGINT) AS rt_tot FROM rt),
+              base AS (
+                SELECT obs.segment, obs.p, obs.c, rt.r_t,
+                  CAST(rt_tot AS DOUBLE) / 5.0 AS c_t,
+                  CAST(1.0 AS DOUBLE) AS w
+                FROM obs JOIN rt ON obs.segment = rt.segment, tot),
+              m1 AS (
+                SELECT segment, list_reduce(list_prepend(
+                    CAST(0 AS DOUBLE),
+                    list(CAST(c AS DOUBLE) * w ORDER BY p)),
+                  (a, x) -> a + x) AS m
+                FROM base GROUP BY segment),
+              s1 AS (
+                SELECT b.segment, b.p, b.c, b.r_t, b.c_t,
+                  b.w * CAST(b.r_t AS DOUBLE) / m1.m AS w
+                FROM base b JOIN m1 ON b.segment = m1.segment),
+              m2 AS (
+                SELECT p, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(CAST(c AS DOUBLE) * w ORDER BY segment)),
+                  (a, x) -> a + x) AS m
+                FROM s1 GROUP BY p),
+              s2 AS (
+                SELECT b.segment, b.p, b.c, b.r_t, b.c_t,
+                  b.w * b.c_t / m2.m AS w
+                FROM s1 b JOIN m2 ON b.p = m2.p),
+              m3 AS (
+                SELECT segment, list_reduce(list_prepend(
+                    CAST(0 AS DOUBLE),
+                    list(CAST(c AS DOUBLE) * w ORDER BY p)),
+                  (a, x) -> a + x) AS m
+                FROM s2 GROUP BY segment),
+              s3 AS (
+                SELECT b.segment, b.p, b.c, b.r_t, b.c_t,
+                  b.w * CAST(b.r_t AS DOUBLE) / m3.m AS w
+                FROM s2 b JOIN m3 ON b.segment = m3.segment),
+              m4 AS (
+                SELECT p, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(CAST(c AS DOUBLE) * w ORDER BY segment)),
+                  (a, x) -> a + x) AS m
+                FROM s3 GROUP BY p),
+              s4 AS (
+                SELECT b.segment, b.p, b.c,
+                  b.w * b.c_t / m4.m AS w
+                FROM s3 b JOIN m4 ON b.p = m4.p)
+              SELECT segment, p, c, round(w, 9) AS w,
+                round(CAST(c AS DOUBLE) * w, 4) AS adjusted
+              FROM s4 ORDER BY segment, p""")),
     // The classic customer-scoring rollup: one per-customer census
     // (last order date, order count, exact lifetime cents), banded into
     // a 5×6×6 segment cube. The reference date is the table's own max

@@ -998,7 +998,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_rake_keywords" -> 1,
       "q_moods_median" -> 0, "q_gwet_ac1" -> 1, "q_hoover_index" -> 0,
       "q_pacf" -> 0, "q_autocorr" -> 0, "q_spectral_power" -> 1,
-      "q_t_closeness" -> 0)
+      "q_t_closeness" -> 0,
+      "q_weighted_kappa" -> 0, "q_median_polish" -> 0,
+      "q_ipf_raking" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
