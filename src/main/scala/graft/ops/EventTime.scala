@@ -3621,6 +3621,93 @@ object EventTime {
                     ELSE 0.0 END) / sqrt(var_s), 12) END AS z
               FROM vv""")),
 
+    // ── seasonal Mann–Kendall (Hirsch–Slack, weekday strata) ────────────
+    // Weekly cycles poison the plain MK test (Monday vs Friday pairs
+    // carry the cycle, not the trend). The seasonal variant compares
+    // ONLY same-weekday pairs: S = Σ_w S_w over the 7 strata, Var =
+    // Σ_w Var_w with per-stratum tie corrections. Same calendar²-
+    // bounded census self-join as q_mann_kendall but ÷7 pair volume
+    // (the dow equi-key joins the strata); signs and tie terms exact
+    // integers, z one IEEE expression with continuity correction.
+    // Weekday = epoch-day mod 7 (pure integer — no timezone surface).
+    Q("q_seasonal_mann_kendall",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
+          .select(col("d"), (col("d") % 7).as("w"), col("y"))
+          .persist()
+        val sStat = cen.as("a")
+          .join(cen.select(col("d").as("d2"), col("w").as("w2"),
+              col("y").as("y2")),
+            col("w") === col("w2") && col("d") < col("d2"))
+          .agg(sum(signum((col("y2") - col("y")).cast("double"))
+            .cast("long")).cast("long").as("s_stat"))
+        val perW = cen.groupBy("w")
+          .agg(count(lit(1)).as("n_w"))
+          .agg(sum(col("n_w")).cast("long").as("n"),
+            sum(col("n_w").cast(dec38) * (col("n_w") - 1)
+              * (lit(2) * col("n_w") + 5)).as("var_base"))
+        val ties = cen.groupBy("w", "y")
+          .agg(count(lit(1)).cast("long").as("t"))
+          .agg(sum(col("t").cast(dec38) * (col("t") - 1)
+            * (lit(2) * col("t") + 5)).as("tie_term"))
+        sStat.crossJoin(broadcast(perW)).crossJoin(broadcast(ties))
+          .select(col("n").as("n_days"), col("s_stat"),
+            ((col("var_base") - col("tie_term")).cast("double") / 18.0)
+              .as("var_s"))
+          .select(col("n_days"), col("s_stat"),
+            round(col("var_s"), 6).as("var_s"),
+            when(col("var_s") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                when(col("s_stat") > 0,
+                  (col("s_stat") - 1).cast("double"))
+                  .when(col("s_stat") < 0,
+                    (col("s_stat") + 1).cast("double"))
+                  .otherwise(lit(0.0)) / sqrt(col("var_s")), 12))
+              .as("z"))
+      },
+      Some("""WITH cen AS (
+                SELECT d, d % 7 AS w, y FROM (
+                  SELECT date_diff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS d,
+                    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) AS HUGEINT)) AS y
+                  FROM orders GROUP BY 1)),
+              ss AS (
+                SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                  AS s_stat
+                FROM cen a JOIN cen b ON a.w = b.w AND a.d < b.d),
+              pw AS (
+                SELECT CAST(SUM(n_w) AS BIGINT) AS n,
+                  SUM(CAST(n_w AS HUGEINT) * (n_w - 1) * (2 * n_w + 5))
+                    AS var_base
+                FROM (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+                      FROM cen GROUP BY 1)),
+              tg AS (
+                SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                  AS tie_term
+                FROM (SELECT w, y, CAST(count(*) AS BIGINT) AS t
+                      FROM cen GROUP BY 1, 2)),
+              vv AS (
+                SELECT n AS n_days, s_stat,
+                  CAST(var_base - tie_term AS DOUBLE) / 18.0 AS var_s
+                FROM ss, pw, tg)
+              SELECT n_days, s_stat,
+                round(var_s, 6) AS var_s,
+                CASE WHEN var_s <= 0 THEN NULL
+                  ELSE round((CASE WHEN s_stat > 0
+                      THEN CAST(s_stat - 1 AS DOUBLE)
+                    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                    ELSE 0.0 END) / sqrt(var_s), 12) END AS z
+              FROM vv""")),
+
     // ── Theil–Sen robust trend (median of pairwise slopes) ──────────────
     // The 29%-breakdown-point regression OLS users reach for when
     // outlier days poison the fit. Pairwise slopes ride the same

@@ -2959,7 +2959,122 @@ object TextOps {
                   AS score
               FROM census
               ORDER BY CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) DESC, w
-              LIMIT 15"""))
+              LIMIT 15""")),
+
+    // ── token burstiness (Church–Gale adaptation probability) ───────────
+    // tf-idf assumes occurrences are independent; real tokens ADAPT —
+    // once a document uses a token it tends to reuse it. Burstiness =
+    // P(k ≥ 2 | k ≥ 1) = docs-with-repeat / docs-with-token, the
+    // readout LM-data curation uses to separate topical from function
+    // words. One (doc, token) count census (partial+final agg),
+    // conditional doc counts per token, one IEEE division; top-20 over
+    // a df ≥ 50 support floor with a token tiebreak.
+    Q("q_token_burstiness",
+      (s, dir) => {
+        val perDoc = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+        perDoc.groupBy("tok")
+          .agg(count(lit(1)).cast("long").as("df"),
+            sum(when(col("k") >= 2, 1L).otherwise(0L)).cast("long")
+              .as("df_repeat"))
+          .filter(col("df") >= 50)
+          .select(col("tok"), col("df"), col("df_repeat"),
+            round(col("df_repeat").cast("double")
+              / col("df").cast("double"), 12).as("burstiness"))
+          .orderBy((col("df_repeat").cast("double")
+            / col("df").cast("double")).desc, col("tok"))
+          .limit(20)
+      },
+      Some("""WITH perdoc AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k
+                FROM (SELECT doc_id, unnest(string_split(text, ' '))
+                        AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY 1, 2),
+              census AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                  CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_repeat
+                FROM perdoc GROUP BY 1)
+              SELECT tok, df, df_repeat,
+                round(CAST(df_repeat AS DOUBLE) / CAST(df AS DOUBLE), 12)
+                  AS burstiness
+              FROM census WHERE df >= 50
+              ORDER BY CAST(df_repeat AS DOUBLE) / CAST(df AS DOUBLE)
+                DESC, tok
+              LIMIT 20""")),
+
+    // ── Gries' DP: token dispersion across sources ──────────────────────
+    // How evenly does a token spread over the corpus parts? DP =
+    // Σᵢ|observed share − expected share|/2 (0 = perfectly even,
+    // →1 = one source owns it). GRID-FREE exact form: with T = total
+    // tokens, Tᵢ = source sizes, f = token count, vᵢ = in-source
+    // counts, 2·DP·f·T = Σ_present(|vᵢT − Tᵢf| − Tᵢf) + T·f — absent
+    // sources fold into the closed T·f term, so only observed
+    // (token, source) cells are touched. All cross-products exact
+    // DECIMAL(38,0); ONE division per token.
+    Q("q_token_dispersion",
+      (s, dir) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cells = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("source", "tok").agg(count(lit(1)).as("v"))
+          .persist()
+        val sizes = cells.groupBy("source")
+          .agg(sum(col("v")).cast("long").as("t_i"))
+        val tot = sizes.agg(sum(col("t_i")).cast("long").as("tt"))
+        val fTok = cells.groupBy("tok")
+          .agg(sum(col("v")).cast("long").as("f"))
+        cells.join(broadcast(sizes), "source")
+          .join(fTok, "tok")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("tok"), col("f"), col("tt"))
+          .agg(sum(abs(col("v").cast(dec38) * col("tt")
+              - col("t_i").cast(dec38) * col("f"))
+            - col("t_i").cast(dec38) * col("f")).as("s_present"))
+          .filter(col("f") >= 100)
+          .select(col("tok"), col("f"),
+            round((col("s_present") + col("f").cast(dec38) * col("tt"))
+              .cast("double")
+              / (lit(2.0) * col("f").cast("double")
+                * col("tt").cast("double")), 12).as("dp"))
+          .orderBy(col("dp").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""WITH cells AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS v
+                FROM (SELECT source, unnest(string_split(text, ' '))
+                        AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY 1, 2),
+              sizes AS (
+                SELECT source, CAST(SUM(v) AS BIGINT) AS t_i
+                FROM cells GROUP BY 1),
+              tot AS (SELECT CAST(SUM(t_i) AS BIGINT) AS tt FROM sizes),
+              ftok AS (
+                SELECT tok, CAST(SUM(v) AS BIGINT) AS f
+                FROM cells GROUP BY 1),
+              terms AS (
+                SELECT c.tok, f.f, tot.tt,
+                  SUM(abs(CAST(c.v AS HUGEINT) * tot.tt
+                      - CAST(s.t_i AS HUGEINT) * f.f)
+                    - CAST(s.t_i AS HUGEINT) * f.f) AS s_present
+                FROM cells c
+                  JOIN sizes s ON c.source = s.source
+                  JOIN ftok f ON c.tok = f.tok, tot
+                GROUP BY 1, 2, 3)
+              SELECT tok, f,
+                round(CAST(s_present + CAST(f AS HUGEINT) * tt AS DOUBLE)
+                  / (2.0 * CAST(f AS DOUBLE) * CAST(tt AS DOUBLE)), 12)
+                  AS dp
+              FROM terms WHERE f >= 100
+              ORDER BY dp DESC, tok
+              LIMIT 20"""))
   )
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,

@@ -1000,7 +1000,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_pacf" -> 0, "q_autocorr" -> 0, "q_spectral_power" -> 1,
       "q_t_closeness" -> 0,
       "q_weighted_kappa" -> 0, "q_median_polish" -> 0,
-      "q_ipf_raking" -> 0)
+      "q_ipf_raking" -> 0,
+      "q_token_burstiness" -> 1, "q_token_dispersion" -> 0,
+      "q_seasonal_mann_kendall" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
