@@ -3510,6 +3510,220 @@ object Relational {
               GROUP BY cc.c_nationkey, cc.c_mktsegment, cn.n, tot.nn
               ORDER BY c_nationkey, cc.c_mktsegment""")),
 
+    // ── Lorenz asymmetry coefficient (global customer spend) ────────────
+    // Two populations can share a Gini yet differ in WHERE the
+    // inequality lives; S = F(μ) + L(μ) reads it off the Lorenz curve
+    // (S < 1: driven by many small spenders, S > 1: by few whales).
+    // Everything is census-exact: m = #{x < μ} compares x·n < T in
+    // DECIMAL(38,0) (no FP mean), the bracketing values x_m / x_{m+1}
+    // are conditional max/min, and only the interpolation fraction δ
+    // and the final two shares are IEEE — on identical integers.
+    Q("q_lorenz_asymmetry",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val spend = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("x"))
+          .persist()
+        val tot = spend.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x").cast(dec38)).as("t"))
+        spend.crossJoin(broadcast(tot))
+          .groupBy("n", "t")
+          .agg(
+            sum(when(col("x").cast(dec38) * col("n") < col("t"), 1L)
+              .otherwise(0L)).cast("long").as("m"),
+            sum(when(col("x").cast(dec38) * col("n") < col("t"),
+              col("x").cast(dec38)).otherwise(lit(0).cast(dec38)))
+              .as("l_m"),
+            max(when(col("x").cast(dec38) * col("n") < col("t"),
+              col("x"))).as("xm"),
+            min(when(col("x").cast(dec38) * col("n") >= col("t"),
+              col("x"))).as("xm1"))
+          .select(col("n"), col("m"),
+            when(col("xm").isNull || col("xm1").isNull
+              || col("xm1") === col("xm") || col("t") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("m").cast("double")
+                  + (col("t").cast("double") / col("n").cast("double")
+                    - col("xm").cast("double"))
+                    / (col("xm1").cast("double")
+                      - col("xm").cast("double")))
+                  / col("n").cast("double")
+                + (col("l_m").cast("double")
+                  + (col("t").cast("double") / col("n").cast("double")
+                    - col("xm").cast("double"))
+                    / (col("xm1").cast("double")
+                      - col("xm").cast("double"))
+                    * col("xm1").cast("double"))
+                  / col("t").cast("double"), 12))
+              .as("s_coeff"))
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS t
+                FROM spend),
+              agg AS (
+                SELECT n, t,
+                  CAST(SUM(CASE WHEN CAST(x AS HUGEINT) * n < t
+                    THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                  SUM(CASE WHEN CAST(x AS HUGEINT) * n < t
+                    THEN CAST(x AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END) AS l_m,
+                  MAX(CASE WHEN CAST(x AS HUGEINT) * n < t
+                    THEN x END) AS xm,
+                  MIN(CASE WHEN CAST(x AS HUGEINT) * n >= t
+                    THEN x END) AS xm1
+                FROM spend, tot GROUP BY 1, 2)
+              SELECT n, m,
+                CASE WHEN xm IS NULL OR xm1 IS NULL OR xm1 = xm
+                    OR t = 0 THEN NULL
+                  ELSE round(
+                    (CAST(m AS DOUBLE)
+                      + (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(xm AS DOUBLE))
+                        / (CAST(xm1 AS DOUBLE) - CAST(xm AS DOUBLE)))
+                      / CAST(n AS DOUBLE)
+                    + (CAST(l_m AS DOUBLE)
+                      + (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(xm AS DOUBLE))
+                        / (CAST(xm1 AS DOUBLE) - CAST(xm AS DOUBLE))
+                        * CAST(xm1 AS DOUBLE))
+                      / CAST(t AS DOUBLE), 12) END AS s_coeff
+              FROM agg""")),
+
+    // ── Kolkata index: the "top (1−k) own k" crossing ───────────────────
+    // The generalized-Pareto readout (k = 0.8 recovers the 80/20
+    // rule): the k where F(x) + L(x) = 1 on the Lorenz curve. The
+    // crossing is found by EXACT integer comparison — rn·T + n·cum ≥
+    // n·T on the RangeRank-ranked spend census (rank + inclusive
+    // prefix sum, both scale-safe) — and only the output shares
+    // divide. First crossing row via ORDER rn LIMIT 1 on the
+    // (tiny) crossing set.
+    Q("q_kolkata_index",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val spend = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("x"))
+        val ranked = RangeRank.ranked(spend, Seq.empty,
+          Seq(col("x"), col("o_custkey")), nName = Some("n"),
+          prefixSums = Seq(RangeRank.PrefixSum(
+            col("x").cast(dec38), "cum_ex")))
+        val tot = ranked.agg(sum(col("x").cast(dec38)).as("t"))
+        ranked.crossJoin(broadcast(tot))
+          .select(col("rn"), col("n"), col("t"),
+            (col("cum_ex") + col("x")).as("cum"))
+          .filter(col("rn").cast(dec38) * col("t")
+            + col("cum") * col("n") >= col("n").cast(dec38) * col("t"))
+          .orderBy("rn")
+          .limit(1)
+          .select(col("n"),
+            round(col("rn").cast("double") / col("n").cast("double"), 12)
+              .as("k_index"),
+            round(col("cum").cast("double") / col("t").cast("double"), 12)
+              .as("bottom_share"))
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              ranked AS (
+                SELECT x,
+                  CAST(row_number() OVER (ORDER BY x, o_custkey)
+                    AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n,
+                  SUM(CAST(x AS HUGEINT)) OVER (ORDER BY x, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM spend),
+              tot AS (SELECT CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT)
+                        AS t FROM spend)
+              SELECT n,
+                round(CAST(rn AS DOUBLE) / CAST(n AS DOUBLE), 12)
+                  AS k_index,
+                round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 12)
+                  AS bottom_share
+              FROM ranked, tot
+              WHERE CAST(rn AS HUGEINT) * t + CAST(cum AS HUGEINT) * n
+                >= CAST(n AS HUGEINT) * t
+              ORDER BY rn LIMIT 1""")),
+
+    // ── Bowley quartile skewness per market segment ─────────────────────
+    // The outlier-proof skewness the third-moment version can't give:
+    // (Q₃ + Q₁ − 2·Q₂)/(Q₃ − Q₁) from EXACT percentile_disc picks —
+    // one RangeRank pass over the per-customer spend census groups the
+    // 5 segments, the three quartiles are rank-equality filters on
+    // exact integers, and the statistic is one guarded IEEE ratio.
+    Q("q_bowley_skew",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("x"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+            col("o_custkey") === col("c_custkey"))
+          .select("segment", "x", "o_custkey")
+        val ranked = RangeRank.ranked(spend, Seq("segment"),
+          Seq(col("x"), col("o_custkey")))
+        ranked
+          .groupBy("segment")
+          .agg(max(col("n")).as("n"),
+            min(when(col("rn") === expr("(n + 3) div 4"), col("x")))
+              .as("q1"),
+            min(when(col("rn") === expr("(n + 1) div 2"), col("x")))
+              .as("q2"),
+            min(when(col("rn") === expr("(3 * n + 1) div 4"), col("x")))
+              .as("q3"))
+          .select(col("segment"), col("n"),
+            round(col("q1").cast("double") / 100.0, 2).as("q1"),
+            round(col("q2").cast("double") / 100.0, 2).as("q2"),
+            round(col("q3").cast("double") / 100.0, 2).as("q3"),
+            when(col("q3") === col("q1"), lit(null).cast("double"))
+              .otherwise(round(
+                (col("q3") + col("q1") - lit(2L) * col("q2"))
+                  .cast("double")
+                  / (col("q3") - col("q1")).cast("double"), 12))
+              .as("bowley"))
+          .orderBy("segment")
+      },
+      Some("""WITH spend AS (
+                SELECT c_mktsegment AS segment, o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              ranked AS (
+                SELECT segment, x,
+                  CAST(row_number() OVER (PARTITION BY segment
+                    ORDER BY x, o_custkey) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY segment) AS BIGINT)
+                    AS n
+                FROM spend),
+              q AS (
+                SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+                  MIN(CASE WHEN rn = (n + 3) // 4 THEN x END) AS q1,
+                  MIN(CASE WHEN rn = (n + 1) // 2 THEN x END) AS q2,
+                  MIN(CASE WHEN rn = (3 * n + 1) // 4 THEN x END) AS q3
+                FROM ranked GROUP BY 1)
+              SELECT segment, n,
+                round(CAST(q1 AS DOUBLE) / 100.0, 2) AS q1,
+                round(CAST(q2 AS DOUBLE) / 100.0, 2) AS q2,
+                round(CAST(q3 AS DOUBLE) / 100.0, 2) AS q3,
+                CASE WHEN q3 = q1 THEN NULL
+                  ELSE round(CAST(q3 + q1 - 2 * q2 AS DOUBLE)
+                    / CAST(q3 - q1 AS DOUBLE), 12) END AS bowley
+              FROM q ORDER BY segment""")),
+
     // ── Tukey median polish: robust nation × year decomposition ─────────
     // The outlier-proof two-way split (value = row effect + column
     // effect + residual) that mean-based ANOVA decompositions can't

@@ -1002,7 +1002,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_weighted_kappa" -> 0, "q_median_polish" -> 0,
       "q_ipf_raking" -> 0,
       "q_token_burstiness" -> 1, "q_token_dispersion" -> 0,
-      "q_seasonal_mann_kendall" -> 0)
+      "q_seasonal_mann_kendall" -> 0,
+      "q_lorenz_asymmetry" -> 0, "q_kolkata_index" -> 0,
+      "q_bowley_skew" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
