@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: the two physical-design levers q_zorder_layout
@@ -423,7 +424,92 @@ object Layout {
                 CAST(MAX(event_id) AS BIGINT) AS max_id,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_val
-              FROM events GROUP BY 1 ORDER BY event_type"""))
+              FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ── RLE compressibility audit (which columns reward sorting) ────────
+    // The layout-advisor readout behind encoding choices: within each
+    // order's natural (l_orderkey, l_linenumber) clustering, how many
+    // value RUNS does each column carry? runs/rows near 1 ⇒ RLE is
+    // useless; low ⇒ the column dictionary/RLE-encodes well in this
+    // layout. Runs count via lag within ≤7-row order groups (bounded
+    // partitions — never a global window); exact integer run counts,
+    // one IEEE ratio per column.
+    Q("q_rle_compressibility",
+      (s, dir) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — tie-break the window order by the compared values
+        // themselves so the run sequence is a total order in both engines
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "c_flag", "c_disc", "c_qty")
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag").as("c_flag"),
+            (dec2(col("l_discount")) * 100).cast("long").as("c_disc"),
+            col("l_quantity").cast("long").as("c_qty"))
+        val agg = li.select(col("l_orderkey"), col("l_linenumber"),
+            col("c_flag"), col("c_disc"), col("c_qty"),
+            when(lag(col("c_flag"), 1).over(w).isNull
+              || lag(col("c_flag"), 1).over(w) =!= col("c_flag"), 1L)
+              .otherwise(0L).as("r_flag"),
+            when(lag(col("c_disc"), 1).over(w).isNull
+              || lag(col("c_disc"), 1).over(w) =!= col("c_disc"), 1L)
+              .otherwise(0L).as("r_disc"),
+            when(lag(col("c_qty"), 1).over(w).isNull
+              || lag(col("c_qty"), 1).over(w) =!= col("c_qty"), 1L)
+              .otherwise(0L).as("r_qty"))
+          .agg(count(lit(1)).cast("long").as("rows"),
+            sum(col("r_flag")).cast("long").as("runs_flag"),
+            sum(col("r_disc")).cast("long").as("runs_disc"),
+            sum(col("r_qty")).cast("long").as("runs_qty"))
+        agg.select(expr(
+          """stack(3,
+            |  'l_returnflag', rows, runs_flag,
+            |  'l_discount', rows, runs_disc,
+            |  'l_quantity', rows, runs_qty)
+            |AS (column_name, n_rows, n_runs)""".stripMargin))
+          .select(col("column_name"), col("n_rows"), col("n_runs"),
+            round(col("n_runs").cast("double")
+              / col("n_rows").cast("double"), 12).as("rle_ratio"))
+          .orderBy("column_name")
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_linenumber,
+                  l_returnflag AS c_flag,
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS c_disc,
+                  CAST(l_quantity AS BIGINT) AS c_qty
+                FROM lineitem),
+              flagged AS (
+                SELECT
+                  CASE WHEN lag(c_flag, 1) OVER w IS NULL
+                    OR lag(c_flag, 1) OVER w <> c_flag
+                    THEN 1 ELSE 0 END AS r_flag,
+                  CASE WHEN lag(c_disc, 1) OVER w IS NULL
+                    OR lag(c_disc, 1) OVER w <> c_disc
+                    THEN 1 ELSE 0 END AS r_disc,
+                  CASE WHEN lag(c_qty, 1) OVER w IS NULL
+                    OR lag(c_qty, 1) OVER w <> c_qty
+                    THEN 1 ELSE 0 END AS r_qty
+                FROM li
+                WINDOW w AS (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, c_flag, c_disc, c_qty)),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(r_flag) AS BIGINT) AS runs_flag,
+                  CAST(SUM(r_disc) AS BIGINT) AS runs_disc,
+                  CAST(SUM(r_qty) AS BIGINT) AS runs_qty
+                FROM flagged),
+              outp AS (
+                SELECT 'l_returnflag' AS column_name, n_rows,
+                  runs_flag AS n_runs FROM agg
+                UNION ALL
+                SELECT 'l_discount', n_rows, runs_disc FROM agg
+                UNION ALL
+                SELECT 'l_quantity', n_rows, runs_qty FROM agg)
+              SELECT column_name, n_rows, n_runs,
+                round(CAST(n_runs AS DOUBLE) / CAST(n_rows AS DOUBLE),
+                  12) AS rle_ratio
+              FROM outp ORDER BY column_name"""))
   )
 
   /** Schema of the text-exported event rows (ts as exact epoch micros —

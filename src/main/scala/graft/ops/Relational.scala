@@ -3510,6 +3510,73 @@ object Relational {
               GROUP BY cc.c_nationkey, cc.c_mktsegment, cn.n, tot.nn
               ORDER BY c_nationkey, cc.c_mktsegment""")),
 
+    // ── Syntetos–Boylan demand classification (SBC quadrants) ───────────
+    // The forecasting-method router q_croston assumes: classify each
+    // part's demand pattern by mean inter-demand interval (ADI) and
+    // demand-size CV² into smooth / intermittent / erratic / lumpy.
+    // The cutoffs (1.32, 0.49) are EXACT integer cross-comparisons —
+    // ADI ≥ 1.32 ⇔ 100·span ≥ 132·(k−1), CV² ≥ 0.49 ⇔ 100·k·Σq² ≥
+    // 149·(Σq)² (population variance) — so the quadrant census never
+    // touches FP. One lineitem pass to the (part, day) demand census,
+    // a per-part rollup, 4-row output.
+    Q("q_sbc_classification",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val demand = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"),
+            expr("datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')")
+              .as("d"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val perPart = demand.groupBy("l_partkey")
+          .agg(count(lit(1)).cast("long").as("k"),
+            (max(col("d")) - min(col("d"))).cast("long").as("span"),
+            sum(col("q").cast(dec38)).as("sq"),
+            sum(col("q").cast(dec38) * col("q")).as("sq2"))
+          .filter(col("k") >= 2)
+        perPart
+          .select(
+            (col("span") * 100 >= (col("k") - 1) * 132).as("adi_high"),
+            (col("sq2") * col("k") * 100 >= col("sq") * col("sq") * 149)
+              .as("cv_high"))
+          .groupBy()
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            sum(when(!col("adi_high") && !col("cv_high"), 1L)
+              .otherwise(0L)).cast("long").as("smooth"),
+            sum(when(col("adi_high") && !col("cv_high"), 1L)
+              .otherwise(0L)).cast("long").as("intermittent"),
+            sum(when(!col("adi_high") && col("cv_high"), 1L)
+              .otherwise(0L)).cast("long").as("erratic"),
+            sum(when(col("adi_high") && col("cv_high"), 1L)
+              .otherwise(0L)).cast("long").as("lumpy"))
+      },
+      Some("""WITH demand AS (
+                SELECT l_partkey,
+                  date_diff('day', DATE '1970-01-01',
+                    CAST(l_shipdate AS DATE)) AS d,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2),
+              per AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS k,
+                  CAST(MAX(d) - MIN(d) AS BIGINT) AS span,
+                  CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS sq,
+                  SUM(CAST(q AS HUGEINT) * q) AS sq2
+                FROM demand GROUP BY 1
+                HAVING count(*) >= 2),
+              flags AS (
+                SELECT span * 100 >= (k - 1) * 132 AS adi_high,
+                  sq2 * k * 100 >= sq * sq * 149 AS cv_high
+                FROM per)
+              SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(SUM(CASE WHEN NOT adi_high AND NOT cv_high
+                  THEN 1 ELSE 0 END) AS BIGINT) AS smooth,
+                CAST(SUM(CASE WHEN adi_high AND NOT cv_high
+                  THEN 1 ELSE 0 END) AS BIGINT) AS intermittent,
+                CAST(SUM(CASE WHEN NOT adi_high AND cv_high
+                  THEN 1 ELSE 0 END) AS BIGINT) AS erratic,
+                CAST(SUM(CASE WHEN adi_high AND cv_high
+                  THEN 1 ELSE 0 END) AS BIGINT) AS lumpy
+              FROM flags""")),
+
     // ── Lorenz asymmetry coefficient (global customer spend) ────────────
     // Two populations can share a Gini yet differ in WHERE the
     // inequality lives; S = F(μ) + L(μ) reads it off the Lorenz curve

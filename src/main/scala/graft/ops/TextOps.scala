@@ -3007,6 +3007,42 @@ object TextOps {
                 DESC, tok
               LIMIT 20""")),
 
+    // ── Menzerath–Altmann law: word length vs document length ───────────
+    // The linguistic scaling law ("the longer the construct, the
+    // shorter its parts"): do longer documents use shorter words? Docs
+    // band by word count (width-10 bands — value-bounded, the corpus
+    // length distribution caps the band census); mean word length per
+    // band is ONE exact-integer ratio (Σ chars-in-words / Σ words) —
+    // whitespace-free char mass so the law isn't polluted by spacing.
+    Q("q_menzerath",
+      (s, dir) => {
+        val perDoc = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            (length(col("text"))
+              - (size(split(col("text"), " ")) - 1)).cast("long")
+              .as("n_wchars"))
+        perDoc
+          .groupBy(expr("n_words div 10").as("band"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_words")).cast("long").as("words"),
+            sum(col("n_wchars")).cast("long").as("wchars"))
+          .select(col("band"), col("n_docs"),
+            round(col("wchars").cast("double")
+              / col("words").cast("double"), 12).as("mean_word_len"))
+          .orderBy("band")
+      },
+      Some("""WITH per AS (
+                SELECT len(string_split(text, ' ')) AS n_words,
+                  strlen(text) - (len(string_split(text, ' ')) - 1)
+                    AS n_wchars
+                FROM documents)
+              SELECT CAST(n_words // 10 AS BIGINT) AS band,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                round(CAST(SUM(n_wchars) AS DOUBLE)
+                  / CAST(SUM(n_words) AS DOUBLE), 12) AS mean_word_len
+              FROM per GROUP BY 1 ORDER BY band""")),
+
     // ── Gries' DP: token dispersion across sources ──────────────────────
     // How evenly does a token spread over the corpus parts? DP =
     // Σᵢ|observed share − expected share|/2 (0 = perfectly even,

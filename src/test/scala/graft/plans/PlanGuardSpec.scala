@@ -1004,7 +1004,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_token_burstiness" -> 1, "q_token_dispersion" -> 0,
       "q_seasonal_mann_kendall" -> 0,
       "q_lorenz_asymmetry" -> 0, "q_kolkata_index" -> 0,
-      "q_bowley_skew" -> 0)
+      "q_bowley_skew" -> 0,
+      "q_sbc_classification" -> 1, "q_menzerath" -> 1,
+      "q_rle_compressibility" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
