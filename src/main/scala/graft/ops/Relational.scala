@@ -3510,7 +3510,235 @@ object Relational {
               GROUP BY cc.c_nationkey, cc.c_mktsegment, cn.n, tot.nn
               ORDER BY c_nationkey, cc.c_mktsegment""")),
 
-    // ── Syntetos–Boylan demand classification (SBC quadrants) ───────────
+    // ── process capability Cp / Cpk of order values ─────────────────────
+    // The SPC readout q_control_chart's per-day limits don't give:
+    // against FIXED spec limits ($1k–$400k, pinned literals), how
+    // capable is the whole order process? Cp = (USL−LSL)/6σ, Cpk =
+    // min(USL−μ, μ−LSL)/3σ, plus the EXACT out-of-spec count (integer
+    // comparisons, no FP boundary). Moments ride the one-agg dec38
+    // census; σ is IEEE from identical integers.
+    Q("q_cpk_capability",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val lsl = 100000L // cents
+        val usl = 40000000L
+        t(s, dir, "orders")
+          .select((dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast(dec38)).as("s"),
+            sum(col("cents").cast(dec38) * col("cents")).as("ss"),
+            sum(when(col("cents") < lsl || col("cents") > usl, 1L)
+              .otherwise(0L)).cast("long").as("n_oos"))
+          .select(col("n"), col("n_oos"),
+            (col("s").cast("double") / col("n").cast("double"))
+              .as("mu"),
+            sqrt((col("ss").cast("double")
+              - col("s").cast("double") * col("s").cast("double")
+                / col("n").cast("double"))
+              / (col("n") - 1).cast("double")).as("sd"))
+          .select(col("n"), col("n_oos"),
+            round(col("mu") / 100.0, 2).as("mean_value"),
+            when(col("sd") === 0.0, lit(null).cast("double"))
+              .otherwise(round(lit((usl - lsl).toDouble)
+                / (lit(6.0) * col("sd")), 6)).as("cp"),
+            when(col("sd") === 0.0, lit(null).cast("double"))
+              .otherwise(round(least(lit(usl.toDouble) - col("mu"),
+                col("mu") - lit(lsl.toDouble))
+                / (lit(3.0) * col("sd")), 6)).as("cpk"))
+      },
+      Some("""WITH m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS ss,
+                  CAST(SUM(CASE WHEN CAST(CAST(o_totalprice
+                      AS DECIMAL(18,2)) * 100 AS BIGINT) < 100000
+                    OR CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) > 40000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oos
+                FROM orders),
+              d AS (
+                SELECT n, n_oos,
+                  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                  sqrt((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE)) AS sd
+                FROM m)
+              SELECT n, n_oos,
+                round(mu / 100.0, 2) AS mean_value,
+                CASE WHEN sd = 0.0 THEN NULL
+                  ELSE round(CAST(40000000 - 100000 AS DOUBLE)
+                    / (6.0 * sd), 6) END AS cp,
+                CASE WHEN sd = 0.0 THEN NULL
+                  ELSE round(least(40000000.0 - mu, mu - 100000.0)
+                    / (3.0 * sd), 6) END AS cpk
+              FROM d""")),
+
+    // ── Duncan dissimilarity index (urgent-order segregation) ───────────
+    // Are urgent orders geographically segregated from the rest?
+    // D = ½·Σᵢ|aᵢ/A − bᵢ/B| — the share of either group that would
+    // have to relocate to equalize the nation mix. Exact to the single
+    // division: per-nation cross-products |aᵢ·B − bᵢ·A| sum in
+    // DECIMAL(38,0), D = Σ/(2·A·B). One fact⋈dim shuffle to the
+    // ≤25-row census.
+    Q("q_duncan_segregation",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"))
+          .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("a"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              0L).otherwise(1L)).as("b"))
+          .persist()
+        val tot = census.agg(sum(col("a")).cast("long").as("aa"),
+          sum(col("b")).cast("long").as("bb"))
+        census.crossJoin(broadcast(tot))
+          .groupBy("aa", "bb")
+          .agg(count(lit(1)).cast("long").as("n_nations"),
+            sum(abs(col("a").cast(dec38) * col("bb")
+              - col("b").cast(dec38) * col("aa"))).as("dev"))
+          .select(col("n_nations"), col("aa").as("n_urgent"),
+            col("bb").as("n_rest"),
+            when(col("aa") === 0 || col("bb") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("dev").cast("double")
+                / (lit(2.0) * col("aa").cast("double")
+                  * col("bb").cast("double")), 12)).as("duncan_d"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                    AS BIGINT) AS b
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(a) AS BIGINT) AS aa,
+                  CAST(SUM(b) AS BIGINT) AS bb
+                FROM census)
+              SELECT CAST(count(*) AS BIGINT) AS n_nations,
+                aa AS n_urgent, bb AS n_rest,
+                CASE WHEN aa = 0 OR bb = 0 THEN NULL
+                  ELSE round(CAST(SUM(abs(CAST(a AS HUGEINT) * bb
+                      - CAST(b AS HUGEINT) * aa)) AS DOUBLE)
+                    / (2.0 * CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)),
+                    12) END AS duncan_d
+              FROM census, tot GROUP BY aa, bb""")),
+
+    // ── shift-share decomposition of nation revenue growth ──────────────
+    // The regional-economics split of 1996→1997 growth: per nation,
+    // growth = NATIONAL effect (base × overall rate) + segment-MIX
+    // effect (over/under-weighting nationally fast segments) +
+    // COMPETITIVE effect (beating the segment's national rate). All
+    // rates are IEEE ratios of exact cents off ONE (nation, segment,
+    // year) census; the three effects reconstruct actual growth by
+    // construction. Segment-pinned folds for the two Σ_seg terms.
+    Q("q_shift_share",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"))
+          .agg(sum(when(year(col("o_orderdate")) === 1996,
+            (dec2(col("o_totalprice")) * 100).cast("long"))
+            .otherwise(0L).cast(dec38)).as("base"),
+            sum(when(year(col("o_orderdate")) === 1997,
+              (dec2(col("o_totalprice")) * 100).cast("long"))
+              .otherwise(0L).cast(dec38)).as("cur"))
+          .persist()
+        val segRates = census.groupBy("segment")
+          .agg(sum(col("base")).as("sb"), sum(col("cur")).as("sc"))
+          .select(col("segment"),
+            ((col("sc") - col("sb")).cast("double")
+              / col("sb").cast("double")).as("r_seg"))
+        val natRate = census.agg(
+          ((sum(col("cur")) - sum(col("base"))).cast("double")
+            / sum(col("base")).cast("double")).as("r_nat"))
+        census.join(broadcast(segRates), "segment")
+          .crossJoin(broadcast(natRate))
+          .groupBy("nation", "r_nat")
+          .agg(sum(col("base")).as("base"),
+            sum(col("cur")).as("cur"),
+            expr("""aggregate(array_sort(collect_list(named_struct(
+                 's', segment,
+                 't', CAST(base AS DOUBLE) * (r_seg - r_nat)))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.t)""").as("mix"),
+            expr("""aggregate(array_sort(collect_list(named_struct(
+                 's', segment,
+                 't', CAST(cur AS DOUBLE) - CAST(base AS DOUBLE)
+                   - CAST(base AS DOUBLE) * r_seg))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.t)""").as("comp"))
+          .select(col("nation"),
+            round(col("base").cast("double") / 100.0, 2).as("base_1996"),
+            round((col("cur") - col("base")).cast("double") / 100.0, 2)
+              .as("growth"),
+            round(col("base").cast("double") * col("r_nat") / 100.0, 2)
+              .as("national_effect"),
+            round(col("mix") / 100.0, 2).as("mix_effect"),
+            round(col("comp") / 100.0, 2).as("competitive_effect"))
+          .orderBy("nation")
+      },
+      Some("""WITH census AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                  c_mktsegment AS segment,
+                  SUM(CASE WHEN year(o_orderdate) = 1996
+                    THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END) AS base,
+                  SUM(CASE WHEN year(o_orderdate) = 1997
+                    THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END) AS cur
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE year(o_orderdate) IN (1996, 1997)
+                GROUP BY 1, 2),
+              sr AS (
+                SELECT segment,
+                  CAST(SUM(cur) - SUM(base) AS DOUBLE)
+                    / CAST(SUM(base) AS DOUBLE) AS r_seg
+                FROM census GROUP BY 1),
+              nr AS (
+                SELECT CAST(SUM(cur) - SUM(base) AS DOUBLE)
+                  / CAST(SUM(base) AS DOUBLE) AS r_nat
+                FROM census),
+              j AS (
+                SELECT c.nation, c.segment, c.base, c.cur,
+                  sr.r_seg, nr.r_nat
+                FROM census c JOIN sr ON c.segment = sr.segment, nr),
+              folded AS (
+                SELECT nation, r_nat,
+                  CAST(SUM(base) AS HUGEINT) AS base,
+                  CAST(SUM(cur) AS HUGEINT) AS cur,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(CAST(base AS DOUBLE) * (r_seg - r_nat)
+                      ORDER BY segment)), (a, x) -> a + x) AS mix,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(CAST(cur AS DOUBLE) - CAST(base AS DOUBLE)
+                      - CAST(base AS DOUBLE) * r_seg
+                      ORDER BY segment)), (a, x) -> a + x) AS comp
+                FROM j GROUP BY 1, 2)
+              SELECT nation,
+                round(CAST(base AS DOUBLE) / 100.0, 2) AS base_1996,
+                round(CAST(cur - base AS DOUBLE) / 100.0, 2) AS growth,
+                round(CAST(base AS DOUBLE) * r_nat / 100.0, 2)
+                  AS national_effect,
+                round(mix / 100.0, 2) AS mix_effect,
+                round(comp / 100.0, 2) AS competitive_effect
+              FROM folded ORDER BY nation""")),
     // The forecasting-method router q_croston assumes: classify each
     // part's demand pattern by mean inter-demand interval (ADI) and
     // demand-size CV² into smooth / intermittent / erratic / lumpy.

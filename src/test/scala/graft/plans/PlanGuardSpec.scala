@@ -1006,7 +1006,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_lorenz_asymmetry" -> 0, "q_kolkata_index" -> 0,
       "q_bowley_skew" -> 0,
       "q_sbc_classification" -> 1, "q_menzerath" -> 1,
-      "q_rle_compressibility" -> 1)
+      "q_rle_compressibility" -> 1,
+      "q_cpk_capability" -> 1, "q_duncan_segregation" -> 0,
+      "q_shift_share" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
