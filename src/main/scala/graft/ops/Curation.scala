@@ -67,7 +67,7 @@ object Curation {
     * row-local triangular fan-out at 8128 pairs per customer
     * independent of SF (whale accounts are dropped, not exploded).
     */
-  def alsoBoughtBaskets(s: SparkSession, dir: String): DataFrame =
+  private def alsoBoughtBasketsRaw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
@@ -75,6 +75,53 @@ object Curation {
       .groupBy("cust")
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .filter(size(col("items")) <= 128)
+
+  /** The materialized "basket project": the capped basket frame AND its
+    * pair core — (packed pair, co-occurrence count, exact Adamic–Adar
+    * micros) — written ONCE per (session, dir) and read by every
+    * basket-pair consumer (q_also_bought, q_adamic_adar,
+    * q_preferential_attachment each paid the ~12.5 M-pair fan-out +
+    * shuffle privately; the round-7 graph edge artifact's discipline
+    * applied to the OTHER shared derivation the battery exposes). The
+    * w12 expression is verbatim q_adamic_adar's, so aa12 is
+    * bit-identical to the private derivation (DECIMAL sums are
+    * reduction-order-free). Explicit read schemas; pid-tagged paths.
+    */
+  private val basketMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+
+  private def basketPaths(s: SparkSession, dir: String): (String, String) =
+    basketMemo.computeIfAbsent((s, dir), _ => {
+      val tg = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_p" + ProcessHandle.current().pid()
+      val bp = s"/tmp/graft-baskets/$tg/baskets"
+      val pp = s"/tmp/graft-baskets/$tg/paircore"
+      alsoBoughtBasketsRaw(s, dir)
+        .write.mode("overwrite").parquet(bp)
+      s.read.schema("cust BIGINT, items ARRAY<BIGINT>").parquet(bp)
+        .filter(size(col("items")) >= 2)
+        .select(
+          round(lit(1.0e12) / log(size(col("items")).cast("double")), 0)
+            .cast("long").as("w12"),
+          explode(expr(
+            """flatten(transform(items, (x, i) ->
+                 transform(slice(items, i + 2, size(items)),
+                   y -> x * 4294967296L + y)))""")).as("pk"))
+        .groupBy("pk")
+        .agg(count(lit(1)).cast("long").as("common"),
+          sum(col("w12").cast(org.apache.spark.sql.types
+            .DecimalType(38, 0))).as("aa12"))
+        .write.mode("overwrite").parquet(pp)
+      (bp, pp)
+    })
+
+  def alsoBoughtBaskets(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("cust BIGINT, items ARRAY<BIGINT>")
+      .parquet(basketPaths(s, dir)._1)
+
+  private[ops] def basketPairCore(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("pk BIGINT, common BIGINT, aa12 DECIMAL(38,0)")
+      .parquet(basketPaths(s, dir)._2)
 
   /** KS-drift sufficient statistic: per-(source, doc-length) counts.
     * Mergeable (a count census), so the streaming twin keeps exactly
@@ -798,22 +845,15 @@ object Curation {
     // the N scalar is a 1-row broadcast; top-100 by a total order.
     Q("q_also_bought",
       (s, dir) => {
-        // persist: the basket frame feeds the pair fan-out, the per-item
-        // support census, AND the N scalar — un-persisted, the
-        // orders⋈lineitem join + distinct + collect_set ran three times
-        // (three corpus passes at 100 TB); cached it is customer-bounded
+        // the basket artifact feeds the support census and the N
+        // scalar; the 12.5 M-pair fan-out + shuffle now lives in the
+        // SHARED pair-core artifact (one build serves also_bought,
+        // adamic_adar and preferential_attachment)
         val b = alsoBoughtBaskets(s, dir).persist()
-        // pairs ride the shuffle as ONE packed long (s1·2³² + s2, keys
-        // < 2³¹ at any plausible SF) — half the shuffle bytes and a
-        // single-word hash key vs a two-field struct; unpacked after
-        // the count folds
-        val pairs = b.select(explode(expr(
-          """flatten(transform(items, (x, i) ->
-               transform(slice(items, i + 2, size(items)),
-                 y -> x * 4294967296L + y)))""")).as("pk"))
-        val pc = pairs.groupBy("pk").agg(count(lit(1)).as("n12"))
+        val pc = basketPairCore(s, dir)
           .select(expr("pk div 4294967296L").as("s1"),
-            (col("pk") % 4294967296L).as("s2"), col("n12"))
+            (col("pk") % 4294967296L).as("s2"),
+            col("common").as("n12"))
         val sup = b.select(explode(col("items")).as("s_item"))
           .groupBy("s_item").agg(count(lit(1)).as("n"))
         val nn = b.agg(count(lit(1)).as("n_cust"))

@@ -994,22 +994,13 @@ object Graph {
     // does the work and the top-50 sorts on the exact integer.
     Q("q_adamic_adar",
       (s, dir) => {
-        // candidate generation is SHARED with q_also_bought (one
-        // generator, two scores): pairs ≤ C(128,2)·customers by the
-        // basket cap — linear in the customer population, the same
-        // count-invariant ScaleCheck asserts for the also-bought path
-        val b = Curation.alsoBoughtBaskets(s, dir)
-          .filter(size(col("items")) >= 2)
-          .select(col("items"),
-            round(lit(1.0e12) / log(size(col("items")).cast("double")), 0)
-              .cast("long").as("w12"))
-        val pairs = b.select(col("w12"), explode(expr(
-          """flatten(transform(items, (x, i) ->
-               transform(slice(items, i + 2, size(items)),
-                 y -> x * 4294967296L + y)))""")).as("pk"))
-        pairs.groupBy("pk")
-          .agg(count(lit(1)).cast("long").as("common"),
-            sum(col("w12").cast("decimal(38,0)")).as("aa12"))
+        // the pair census lives in the SHARED basket pair-core artifact
+        // (one generator, three scores: also_bought / this /
+        // preferential_attachment); aa12 in the artifact is the
+        // verbatim w12 expression summed in DECIMAL, so the values —
+        // and hence the top-50 and its hashes — are bit-identical to
+        // the old private derivation
+        Curation.basketPairCore(s, dir)
           .select(expr("pk div 4294967296L").as("s1"),
             (col("pk") % 4294967296L).as("s2"), col("common"),
             col("aa12"),
@@ -1054,18 +1045,14 @@ object Graph {
     Q("q_preferential_attachment",
       (s, dir) => {
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        // persisted: BOTH endpoint joins (d1, d2) read the degree
+        // census — un-cached, each re-scans the edge artifact
         val deg = bipartiteEdges(s, dir)
           .filter(col("src") % 2 === 1)
           .groupBy(expr("(src - 1) div 2").as("node"))
           .agg(count(lit(1)).as("deg"))
-        val pairs = Curation.alsoBoughtBaskets(s, dir)
-          .filter(size(col("items")) >= 2)
-          .select(explode(expr(
-            """flatten(transform(items, (x, i) ->
-                 transform(slice(items, i + 2, size(items)),
-                   y -> x * 4294967296L + y)))""")).as("pk"))
-          .groupBy("pk")
-          .agg(count(lit(1)).cast("long").as("common"))
+          .persist()
+        val pairs = Curation.basketPairCore(s, dir)
           .select(expr("pk div 4294967296L").as("s1"),
             (col("pk") % 4294967296L).as("s2"), col("common"))
         pairs

@@ -312,26 +312,20 @@ class PlanGuardSpec extends SparkSpec {
       "winsorize clamp join is not broadcast — fact re-shuffles on priority")
   }
 
-  test("q_also_bought fans out pairs above the basket aggregate, never a self-join") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join}
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+  test("q_also_bought reads the shared pair-core artifact, never a self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the triangular fan-out moved into the basket pair-core ARTIFACT
+    // builder (one build serves also_bought / adamic_adar /
+    // preferential_attachment); the query plan must read that artifact
+    // — and must never degrade to the corpus² basket×basket join shape
     val plan = qe("q_also_bought").optimizedPlan
-    // the triangular fan-out must be a Generate whose subtree aggregates
-    // baskets first — a basket×basket join would be the corpus² shape.
-    // The basket frame is persisted (round 5), so the aggregate may sit
-    // inside the cached relation.
-    val gens = plan.collect { case g: Generate => g }
-    assert(gens.nonEmpty, "expected the pair fan-out Generate")
-    for (g <- gens) {
-      assert(g.child.collectFirst { case a: Aggregate => a }.nonEmpty
-        || g.child.collectFirst { case r: InMemoryRelation => r }
-          .exists(_.cachedPlan.toString.contains("Aggregate")),
-        "pair fan-out runs below the basket aggregate")
-      assert(g.child.collect { case j: Join => j }
-        .forall(j => !(j.left.toString.contains("collect_set")
-          && j.right.toString.contains("collect_set"))),
-        "baskets self-join instead of row-local fan-out")
-    }
+    // the artifact path only prints in the PHYSICAL scan's Location
+    assert(qe("q_also_bought").executedPlan.toString.contains("paircore"),
+      "q_also_bought no longer reads the shared pair-core artifact")
+    assert(plan.collect { case j: Join => j }
+      .forall(j => !(j.left.toString.contains("collect_set")
+        && j.right.toString.contains("collect_set"))),
+      "baskets self-join instead of the artifact read")
     assert(qe("q_also_bought").executedPlan.toString
       .contains("TakeOrderedAndProject"), "top-100 is not a bounded take")
   }
@@ -994,8 +988,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_atkinson_index" -> 2,
       "q_brier_decomposition" -> 0, "q_krippendorff_alpha" -> 1,
       "q_page_trend" -> 2,
-      "q_katz_centrality" -> 0, "q_preferential_attachment" -> 3,
-      "q_rake_keywords" -> 1,
+      "q_katz_centrality" -> 0, "q_rake_keywords" -> 1,
+      // basket pair-core artifact readers: pair core (+ edge artifact
+      // for PA's degrees / + basket artifact for also_bought's support)
+      "q_adamic_adar" -> 1, "q_preferential_attachment" -> 1,
+      "q_also_bought" -> 2,
       "q_moods_median" -> 0, "q_gwet_ac1" -> 1, "q_hoover_index" -> 0,
       "q_pacf" -> 0, "q_autocorr" -> 0, "q_spectral_power" -> 1,
       "q_t_closeness" -> 0,
