@@ -3510,6 +3510,241 @@ object Relational {
               GROUP BY cc.c_nationkey, cc.c_mktsegment, cn.n, tot.nn
               ORDER BY c_nationkey, cc.c_mktsegment""")),
 
+    // ── ordinal association: γ, Somers' D, Kendall τ-b in one census ────
+    // Does order priority (1..5) track quantity band (0..4)? All three
+    // ordinal-association coefficients fall out of ONE ≤25-cell census:
+    // concordant/discordant mass is a 625-row cell×cell classification
+    // (each unordered pair counted once by the strict-both-greater
+    // direction), tie masses are census identities ((Σc)²−Σc² halved —
+    // provably even), everything exact DECIMAL(38,0) until the three
+    // final IEEE ratios.
+    Q("q_ordinal_association",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val cells = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            substring(col("o_orderpriority"), 1, 1).cast("long").as("p"),
+            expr("(CAST(l_quantity AS BIGINT) - 1) div 10").as("qb"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val cd = cells.as("a")
+          .crossJoin(cells.select(col("p").as("p2"), col("qb").as("qb2"),
+            col("c").as("c2")))
+          .agg(
+            sum(when(col("p2") > col("p") && col("qb2") > col("qb"),
+              col("c").cast(dec38) * col("c2")).otherwise(
+              lit(0).cast(dec38))).as("conc"),
+            sum(when(col("p2") > col("p") && col("qb2") < col("qb"),
+              col("c").cast(dec38) * col("c2")).otherwise(
+              lit(0).cast(dec38))).as("disc"))
+        val ties = cells
+          .agg(sum(col("c")).cast(dec38).as("n"),
+            sum(col("c").cast(dec38) * col("c")).as("sc2"))
+        val tx = cells.groupBy("p").agg(sum(col("c")).cast(dec38).as("np"))
+          .agg(sum(col("np") * col("np")).as("sp2"))
+        val ty = cells.groupBy("qb").agg(sum(col("c")).cast(dec38).as("nq"))
+          .agg(sum(col("nq") * col("nq")).as("sq2"))
+        cd.crossJoin(ties).crossJoin(tx).crossJoin(ty)
+          .select(col("n").cast("long").as("n"),
+            col("conc").cast("long").as("conc"),
+            col("disc").cast("long").as("disc"),
+            ((col("sp2") - col("sc2")) / 2).as("t_x"),
+            ((col("sq2") - col("sc2")) / 2).as("t_y"))
+          .select(col("n"), col("conc"), col("disc"),
+            when(col("conc") + col("disc") === 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("conc") - col("disc")).cast("double")
+                / (col("conc") + col("disc")).cast("double"), 12))
+              .as("gamma"),
+            when(col("conc") + col("disc") + col("t_y") === 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("conc") - col("disc")).cast("double")
+                / (col("conc") + col("disc") + col("t_y"))
+                  .cast("double"), 12)).as("somers_d"),
+            when((col("conc") + col("disc") + col("t_x")) === 0
+              || (col("conc") + col("disc") + col("t_y")) === 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("conc") - col("disc")).cast("double")
+                / sqrt((col("conc") + col("disc") + col("t_x"))
+                  .cast("double")
+                  * (col("conc") + col("disc") + col("t_y"))
+                    .cast("double")), 12)).as("tau_b"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                    AS p,
+                  (CAST(l_quantity AS BIGINT) - 1) // 10 AS qb,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+              cd AS (
+                SELECT
+                  SUM(CASE WHEN b.p > a.p AND b.qb > a.qb
+                    THEN CAST(a.c AS HUGEINT) * b.c
+                    ELSE CAST(0 AS HUGEINT) END) AS conc,
+                  SUM(CASE WHEN b.p > a.p AND b.qb < a.qb
+                    THEN CAST(a.c AS HUGEINT) * b.c
+                    ELSE CAST(0 AS HUGEINT) END) AS disc
+                FROM cells a CROSS JOIN cells b),
+              tie AS (
+                SELECT CAST(SUM(c) AS HUGEINT) AS n,
+                  SUM(CAST(c AS HUGEINT) * c) AS sc2
+                FROM cells),
+              txx AS (
+                SELECT SUM(CAST(np AS HUGEINT) * np) AS sp2
+                FROM (SELECT p, CAST(SUM(c) AS BIGINT) AS np
+                      FROM cells GROUP BY 1)),
+              tyy AS (
+                SELECT SUM(CAST(nq AS HUGEINT) * nq) AS sq2
+                FROM (SELECT qb, CAST(SUM(c) AS BIGINT) AS nq
+                      FROM cells GROUP BY 1)),
+              m AS (
+                SELECT CAST(n AS BIGINT) AS n,
+                  CAST(conc AS BIGINT) AS conc,
+                  CAST(disc AS BIGINT) AS disc,
+                  (sp2 - sc2) // 2 AS t_x,
+                  (sq2 - sc2) // 2 AS t_y
+                FROM cd, tie, txx, tyy)
+              SELECT n, conc, disc,
+                CASE WHEN conc + disc = 0 THEN NULL
+                  ELSE round(CAST(conc - disc AS DOUBLE)
+                    / CAST(conc + disc AS DOUBLE), 12) END AS gamma,
+                CASE WHEN conc + disc + t_y = 0 THEN NULL
+                  ELSE round(CAST(conc - disc AS DOUBLE)
+                    / CAST(conc + disc + t_y AS DOUBLE), 12)
+                  END AS somers_d,
+                CASE WHEN conc + disc + t_x = 0
+                    OR conc + disc + t_y = 0 THEN NULL
+                  ELSE round(CAST(conc - disc AS DOUBLE)
+                    / sqrt(CAST(conc + disc + t_x AS DOUBLE)
+                      * CAST(conc + disc + t_y AS DOUBLE)), 12)
+                  END AS tau_b
+              FROM m""")),
+
+    // ── Palma ratio: top-10% share over bottom-40% share ────────────────
+    // The inequality headline number policy work actually quotes. Both
+    // shares are EXACT prefix-sum picks — cum at rank (2n) div 5 and
+    // rank (9n) div 10 off one RangeRank pass (rank + inclusive prefix
+    // in dec38) — and the ratio is one guarded IEEE division.
+    Q("q_palma_ratio",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val spend = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("x"))
+        val ranked = RangeRank.ranked(spend, Seq.empty,
+          Seq(col("x"), col("o_custkey")), nName = Some("n"),
+          prefixSums = Seq(RangeRank.PrefixSum(
+            col("x").cast(dec38), "cum_ex")))
+        val tot = ranked.agg(sum(col("x").cast(dec38)).as("t"))
+        ranked.crossJoin(broadcast(tot))
+          .select(col("rn"), col("n"), col("t"),
+            (col("cum_ex") + col("x")).as("cum"))
+          .filter(col("rn") === expr("(2 * n) div 5")
+            || col("rn") === expr("(9 * n) div 10"))
+          .groupBy("n", "t")
+          .agg(
+            max(when(col("rn") === expr("(2 * n) div 5"), col("cum")))
+              .as("cum40"),
+            max(when(col("rn") === expr("(9 * n) div 10"), col("cum")))
+              .as("cum90"))
+          .select(col("n"),
+            round(col("cum40").cast("double") / col("t").cast("double"),
+              12).as("bottom40_share"),
+            round((col("t") - col("cum90")).cast("double")
+              / col("t").cast("double"), 12).as("top10_share"),
+            when(col("cum40") === 0, lit(null).cast("double"))
+              .otherwise(round((col("t") - col("cum90")).cast("double")
+                / col("cum40").cast("double"), 12)).as("palma"))
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+              ranked AS (
+                SELECT x,
+                  CAST(row_number() OVER (ORDER BY x, o_custkey)
+                    AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n,
+                  SUM(CAST(x AS HUGEINT)) OVER (ORDER BY x, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM spend),
+              tot AS (SELECT CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT)
+                        AS t FROM spend),
+              picks AS (
+                SELECT n, t,
+                  MAX(CASE WHEN rn = (2 * n) // 5 THEN cum END) AS cum40,
+                  MAX(CASE WHEN rn = (9 * n) // 10 THEN cum END)
+                    AS cum90
+                FROM ranked, tot
+                WHERE rn = (2 * n) // 5 OR rn = (9 * n) // 10
+                GROUP BY 1, 2)
+              SELECT n,
+                round(CAST(cum40 AS DOUBLE) / CAST(t AS DOUBLE), 12)
+                  AS bottom40_share,
+                round(CAST(t - cum90 AS DOUBLE) / CAST(t AS DOUBLE), 12)
+                  AS top10_share,
+                CASE WHEN cum40 = 0 THEN NULL
+                  ELSE round(CAST(t - cum90 AS DOUBLE)
+                    / CAST(cum40 AS DOUBLE), 12) END AS palma
+              FROM picks""")),
+
+    // ── Goodman–Kruskal λ: does segment predict priority? ───────────────
+    // The proportional-reduction-in-error measure for NOMINAL pairs
+    // (χ²/Cramér's V say association exists; λ says how much it HELPS
+    // PREDICTION): λ = (Σ_seg max_prio c − max_prio marginal)/(N −
+    // max marginal). Exact integers off the ≤25-cell census with one
+    // division; max ties resolve identically (max over counts).
+    Q("q_gk_lambda",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            substring(col("o_orderpriority"), 1, 1).cast("long").as("p"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val rowMax = cells.groupBy("seg")
+          .agg(max(col("c")).as("mx"))
+          .agg(sum(col("mx")).cast("long").as("sum_rowmax"))
+        val colMax = cells.groupBy("p")
+          .agg(sum(col("c")).as("cp"))
+          .agg(max(col("cp")).cast("long").as("max_marginal"),
+            sum(col("cp")).cast("long").as("n"))
+        rowMax.crossJoin(colMax)
+          .select(col("n"), col("sum_rowmax"), col("max_marginal"),
+            when(col("n") === col("max_marginal"),
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("sum_rowmax") - col("max_marginal")).cast("double")
+                  / (col("n") - col("max_marginal")).cast("double"), 12))
+              .as("lambda"))
+      },
+      Some("""WITH cells AS (
+                SELECT c_mktsegment AS seg,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS p,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              rm AS (
+                SELECT CAST(SUM(mx) AS BIGINT) AS sum_rowmax
+                FROM (SELECT seg, MAX(c) AS mx FROM cells GROUP BY 1)),
+              cm AS (
+                SELECT CAST(MAX(cp) AS BIGINT) AS max_marginal,
+                  CAST(SUM(cp) AS BIGINT) AS n
+                FROM (SELECT p, SUM(c) AS cp FROM cells GROUP BY 1))
+              SELECT n, sum_rowmax, max_marginal,
+                CASE WHEN n = max_marginal THEN NULL
+                  ELSE round(CAST(sum_rowmax - max_marginal AS DOUBLE)
+                    / CAST(n - max_marginal AS DOUBLE), 12)
+                  END AS lambda
+              FROM rm, cm""")),
+
     // ── process capability Cp / Cpk of order values ─────────────────────
     // The SPC readout q_control_chart's per-day limits don't give:
     // against FIXED spec limits ($1k–$400k, pinned literals), how

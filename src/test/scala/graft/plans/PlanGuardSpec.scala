@@ -1005,7 +1005,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_sbc_classification" -> 1, "q_menzerath" -> 1,
       "q_rle_compressibility" -> 1,
       "q_cpk_capability" -> 1, "q_duncan_segregation" -> 0,
-      "q_shift_share" -> 0)
+      "q_shift_share" -> 0,
+      "q_ordinal_association" -> 0, "q_palma_ratio" -> 0,
+      "q_gk_lambda" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
