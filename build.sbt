@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the tail of its own captured stdout for the Bench
+// JSON record. sbt's default forked-run logger re-emits the child's
+// stdout behind an "[info] " prefix, which broke the driver's parser
+// three rounds running — StdoutOutput passes the child's streams
+// through raw instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

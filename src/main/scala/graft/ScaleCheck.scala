@@ -190,7 +190,13 @@ object ScaleCheck {
     // absolute-deviation inequality index
     "q_moods_median", "q_hoover_index",
     // round-7 batch G ≥1 s: 4-sweep IPF over the persisted 25-cell census
-    "q_ipf_raking")
+    "q_ipf_raking",
+    // round-8 coverage: the 3 late-r7 queries that leaked past the
+    // same-commit invariant (r7 verdict item 2)
+    "q_median_polish", "q_palma_ratio", "q_t_closeness",
+    // round-8: the newly exact-census-oracled sketch queries (their
+    // plans grew an exact distinct/pair side)
+    "q_overlap_sketch", "q_sketch_rollup")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -20,6 +20,67 @@ object Approx {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Raw HLL inclusion–exclusion estimates per event-type pair —
+    * package-private so OpsSpec asserts the tolerance bound on the RAW
+    * estimates (vs its own exact census) independently of the oracled
+    * q_overlap_sketch output that folds them into `est_ok`.
+    */
+  private[graft] def overlapSketchEst(s: SparkSession, dir: String): DataFrame =
+    overlapSketchEstFrom(t(s, dir, "events"))
+
+  /** [[overlapSketchEst]] over a caller-supplied (user_id, event_type)
+    * frame. HLL insertion is duplicate-insensitive and order-free, so
+    * feeding the DISTINCT pair census yields byte-identical sketches to
+    * the raw event stream — the oracled query reuses its persisted
+    * exact-census input here and pays zero extra scans.
+    */
+  private[graft] def overlapSketchEstFrom(events: DataFrame): DataFrame = {
+    val sk = events
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val a = sk.select(col("event_type").as("ta"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("tb"), col("sk").as("sk_b"))
+    a.crossJoin(b).filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+      .select(col("ta"), col("tb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_both"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Raw HLL sketch-cube estimates at cell / priority / grand-total
+    * levels — the [[overlapSketchEst]] twin for q_sketch_rollup.
+    */
+  private[graft] def sketchRollupEst(s: SparkSession, dir: String): DataFrame =
+    sketchRollupEstFrom(t(s, dir, "orders"))
+
+  /** [[sketchRollupEst]] over a caller-supplied orders frame — the
+    * oracled query passes its persisted 3-column projection so the
+    * sketch cube and the exact rollup share one scan.
+    */
+  private[graft] def sketchRollupEstFrom(orders: DataFrame): DataFrame = {
+    val cells = orders
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+        count(lit(1)).as("cnt"))
+    val perPriority = cells.groupBy("o_orderpriority")
+      .agg(hll_union_agg(col("sk")).as("sk"), sum("cnt").as("cnt"))
+      .select(col("o_orderpriority"), lit("ALL").as("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("est_custs"), col("cnt"))
+    val total = cells.groupBy()
+      .agg(hll_union_agg(col("sk")).as("sk"), sum("cnt").as("cnt"))
+      .select(lit("ALL").as("o_orderpriority"), lit("ALL").as("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("est_custs"), col("cnt"))
+    cells.select(col("o_orderpriority"), col("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("est_custs"), col("cnt"))
+      .unionByName(perPriority).unionByName(total)
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── sketch-based audience overlap (inclusion–exclusion on HLL) ──────
@@ -29,28 +90,60 @@ object Approx {
     // is then |A| + |B| − |A ∪ B| over UNIONED STORED SKETCHES — no
     // second pass over the events. The I-E subtraction amplifies HLL's
     // relative error when the intersection is small relative to the
-    // union (the documented trade); OpsSpec asserts every estimate
-    // within tolerance of the exact census. Pair fan-out is a crossJoin
-    // of the ≤|types|-row sketch table — constant size at any SF.
+    // union (the documented trade); OpsSpec asserts every raw estimate
+    // (from [[overlapSketchEst]]) within tolerance of the exact census.
+    // Pair fan-out is a crossJoin of the ≤|types|-row sketch table —
+    // constant size at any SF. The QUERY output is hash-oracled
+    // (r7 verdict #7): the exact pair census rides alongside, and the
+    // sketch surfaces through `est_ok` — |est − exact| within the
+    // spec's tolerance — which DuckDB pins to TRUE, so an out-of-bound
+    // estimate fails the hash gate, not just the spec.
     Q("q_overlap_sketch",
       (s, dir) => {
-        val sk = t(s, dir, "events")
-          .groupBy("event_type")
-          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-        val a = sk.select(col("event_type").as("ta"), col("sk").as("sk_a"))
-        val b = sk.select(col("event_type").as("tb"), col("sk").as("sk_b"))
-        a.crossJoin(b).filter(col("ta") < col("tb"))
-          .select(col("ta"), col("tb"),
-            hll_sketch_estimate(col("sk_a")).as("est_a"),
-            hll_sketch_estimate(col("sk_b")).as("est_b"),
-            hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
-              .as("est_union"))
-          .select(col("ta"), col("tb"), col("est_a"), col("est_b"),
-            col("est_union"),
-            (col("est_a") + col("est_b") - col("est_union")).as("est_both"))
+        val ut = t(s, dir, "events")
+          .select("user_id", "event_type").distinct().persist()
+        // sketches read the SAME persisted pair census (HLL insertion
+        // is duplicate-insensitive, so the estimates are byte-identical
+        // to raw-stream sketches) — readout pays zero parquet scans
+        val est = overlapSketchEstFrom(ut)
+        val exact = ut.as("a")
+          .join(ut.as("b"), col("a.user_id") === col("b.user_id")
+            && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"),
+            col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_both"))
+        val sz = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+        exact
+          .join(sz.select(col("event_type").as("ta"), col("n").as("n_a")),
+            Seq("ta"))
+          .join(sz.select(col("event_type").as("tb"), col("n").as("n_b")),
+            Seq("tb"))
+          .join(est, Seq("ta", "tb"))
+          .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+            col("n_both"),
+            // OpsSpec's bound: I-E amplifies HLL error by the
+            // union/intersection ratio, so tolerate 5% of the UNION
+            (abs(col("est_both").cast("double")
+              - col("n_both").cast("double"))
+              <= greatest(lit(3.0),
+                (col("n_a") + col("n_b") - col("n_both"))
+                  .cast("double") * 0.05)).as("est_ok"))
           .orderBy("ta", "tb")
       },
-      None),
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+              pairs AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                  CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2),
+              sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM ut GROUP BY 1)
+              SELECT ta, tb, za.n AS n_a, zb.n AS n_b, n_both,
+                TRUE AS est_ok
+              FROM pairs JOIN sz za ON ta = za.event_type
+                JOIN sz zb ON tb = zb.event_type
+              ORDER BY ta, tb""")),
 
     Q("q_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
@@ -80,29 +173,44 @@ object Approx {
     // the grand total — comes from UNIONING the stored binary sketches,
     // never rescanning the fact table. A daily 100-TB pipeline keeps a
     // sketch cube and answers month/year/all-time distincts in
-    // milliseconds. Estimates at every level are asserted within HLL
-    // error of exact in OpsSpec (oracle-exempt: sketch bytes are
-    // implementation-specific).
+    // milliseconds. Raw estimates at every level (from
+    // [[sketchRollupEst]]) are asserted within HLL error of exact in
+    // OpsSpec; the QUERY output is hash-oracled (r7 verdict #7): the
+    // exact rollup census rides alongside, and the sketch surfaces
+    // through `est_ok` — |est − exact| ≤ max(2, 5%·exact) — which
+    // DuckDB pins to TRUE, so an out-of-bound estimate fails the hash
+    // gate, not just the spec.
     Q("q_sketch_rollup",
       (s, dir) => {
-        val cells = t(s, dir, "orders")
-          .groupBy("o_orderpriority", "o_orderstatus")
-          .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
-            count(lit(1)).as("cnt"))
-        val perPriority = cells.groupBy("o_orderpriority")
-          .agg(hll_union_agg(col("sk")).as("sk"), sum("cnt").as("cnt"))
-          .select(col("o_orderpriority"), lit("ALL").as("o_orderstatus"),
-            hll_sketch_estimate(col("sk")).as("est_custs"), col("cnt"))
-        val total = cells.groupBy()
-          .agg(hll_union_agg(col("sk")).as("sk"), sum("cnt").as("cnt"))
-          .select(lit("ALL").as("o_orderpriority"), lit("ALL").as("o_orderstatus"),
-            hll_sketch_estimate(col("sk")).as("est_custs"), col("cnt"))
-        cells.select(col("o_orderpriority"), col("o_orderstatus"),
-            hll_sketch_estimate(col("sk")).as("est_custs"), col("cnt"))
-          .unionByName(perPriority).unionByName(total)
+        val base = t(s, dir, "orders")
+          .select("o_orderpriority", "o_orderstatus", "o_custkey")
+          .persist()
+        val est = sketchRollupEstFrom(base)
+        val exact = base
+          .rollup("o_orderpriority", "o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL"))
+              .as("o_orderpriority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            col("exact_custs"))
+        est.join(exact, Seq("o_orderpriority", "o_orderstatus"))
+          .select(col("o_orderpriority"), col("o_orderstatus"),
+            col("exact_custs"), col("cnt"),
+            (abs(col("est_custs").cast("double")
+              - col("exact_custs").cast("double"))
+              <= greatest(lit(2.0), col("exact_custs").cast("double")
+                * 0.05)).as("est_ok"))
           .orderBy("o_orderpriority", "o_orderstatus")
       },
-      None),
+      Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                TRUE AS est_ok
+              FROM orders
+              GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+              ORDER BY 1, 2""")),
 
     // ── deterministic Poisson-bootstrap confidence interval ──────────────
     // Error bars WITHOUT collecting anything: each of B=32 replicates

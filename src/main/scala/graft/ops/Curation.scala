@@ -85,17 +85,17 @@ object Curation {
     * applied to the OTHER shared derivation the battery exposes). The
     * w12 expression is verbatim q_adamic_adar's, so aa12 is
     * bit-identical to the private derivation (DECIMAL sums are
-    * reduction-order-free). Explicit read schemas; pid-tagged paths.
+    * reduction-order-free). Explicit read schemas; path, staleness and
+    * cleanup semantics follow the [[Artifacts]] contract.
     */
-  private val basketMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, String)]()
+  private val basketMemo = Artifacts.memo[(String, String)]()
 
   private def basketPaths(s: SparkSession, dir: String): (String, String) =
     basketMemo.computeIfAbsent((s, dir), _ => {
-      val tg = dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_p" + ProcessHandle.current().pid()
-      val bp = s"/tmp/graft-baskets/$tg/baskets"
-      val pp = s"/tmp/graft-baskets/$tg/paircore"
+      val root = Artifacts.cleanupOnExit(
+        s"/tmp/graft-baskets/${Artifacts.tag(dir)}")
+      val bp = s"$root/baskets"
+      val pp = s"$root/paircore"
       alsoBoughtBasketsRaw(s, dir)
         .write.mode("overwrite").parquet(bp)
       s.read.schema("cust BIGINT, items ARRAY<BIGINT>").parquet(bp)
@@ -700,26 +700,24 @@ object Curation {
     // ── winsorized robust statistics ─────────────────────────────────────
     // Outlier-clipping before feature extraction: clamp order totals to
     // the exact per-priority [p05, p95] (discrete percentiles — real
-    // members of the multiset, q_percentile_disc's FP-free rank
-    // selection), then census the clamps. The threshold table is
-    // |priorities| rows — constant at any SF, so the clamp join is a
-    // size-gated broadcast; ranks come from RangeRank's 2-pass range-
-    // partitioned selection, so the sort parallelism is cluster-sized
-    // even with 5 priorities.
+    // members of the multiset, selected by RangeRank.groupValuesAtRanks'
+    // FP-free histogram-bracketed value-at-rank picks: no range
+    // exchange, no per-group single-task sort, parallelism stays
+    // cluster-sized with 5 priorities), then census the clamps. The
+    // threshold table is |priorities| rows — constant at any SF, so the
+    // clamp join is a size-gated broadcast.
     Q("q_winsorize",
       (s, dir) => {
-        val ranked = RangeRank.ranked(
-          t(s, dir, "orders")
-            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
-          groupCols = Seq("o_orderpriority"),
-          sortCols = Seq(col("o_totalprice"), col("o_orderkey")))
-        val th = ranked.groupBy("o_orderpriority")
-          .agg(
-            max(when(col("rn") === ceil(col("n") * 0.05), col("o_totalprice"))).as("p05"),
-            max(when(col("rn") === ceil(col("n") * 0.95), col("o_totalprice"))).as("p95"))
-          .withColumnRenamed("o_orderpriority", "t_priority")
-        t(s, dir, "orders")
-          .join(th, col("o_orderpriority") === col("t_priority"))
+        val base = t(s, dir, "orders")
+          .select("o_orderpriority", "o_totalprice").persist()
+        val th = RangeRank.groupValuesAtRanks(base,
+          Seq("o_orderpriority"), "o_totalprice",
+          Seq(RangeRank.RankPick("p05", n => ceil(n * 0.05)),
+            RangeRank.RankPick("p95", n => ceil(n * 0.95))))
+          .select(col("o_orderpriority").as("t_priority"),
+            col("p05"), col("p95"))
+        base
+          .join(broadcast(th), col("o_orderpriority") === col("t_priority"))
           .select(col("o_orderpriority"),
             when(col("o_totalprice") < col("p05"), col("p05"))
               .when(col("o_totalprice") > col("p95"), col("p95"))

@@ -148,7 +148,7 @@ object Dedup {
     * can't force a silent recompute.
     */
   private val pairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    Artifacts.memo[DataFrame]()
 
   private def shinglePairCore(s: SparkSession, dir: String): DataFrame =
     pairMemo.computeIfAbsent((s, dir), _ => {
@@ -361,7 +361,7 @@ object Dedup {
   }
 
   private val labelMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    Artifacts.memo[DataFrame]()
 
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
     labelMemo.computeIfAbsent((s, dir), _ =>
@@ -375,13 +375,12 @@ object Dedup {
   // discipline — built once per corpus snapshot, appended per ingest,
   // NEVER rebuilt by a query). appendHashIndex/appendBandIndex are the
   // per-ingest write path; DedupIndexSpec proves append ≡ rebuild.
-  // Paths carry the JVM pid so a second JVM on the same dir cannot
-  // clobber index files mid-query in the first.
+  // Paths, staleness and cleanup semantics follow the [[Artifacts]]
+  // contract: collision-proof hashed+pid tags, Artifacts.invalidate(dir)
+  // drops the memos after a mid-session input mutation, index dirs are
+  // reaped at JVM exit.
 
-  private val jvmTag = ProcessHandle.current().pid().toString
-
-  private def idxTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + jvmTag
+  private def idxTag(dir: String): String = Artifacts.tag(dir)
 
   /** Distinct md5 content hashes of a document frame — the exact-dedup
     * index rows (the corpus contributes its hash set, never text).
@@ -409,11 +408,11 @@ object Dedup {
     * once per (JVM, dir) and then only READ. Returns the path.
     */
   private val hashIdxMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   def hashIndexPath(s: SparkSession, dir: String): String =
     hashIdxMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-dedup-index/${idxTag(dir)}/hash"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-dedup-index/${idxTag(dir)}") + "/hash"
       contentHashes(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7))
         .write.mode("overwrite").parquet(path)
       path
@@ -423,11 +422,11 @@ object Dedup {
     * analog of [[hashIndexPath]], built once per (JVM, dir).
     */
   private val bandIdxMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   def bandIndexPath(s: SparkSession, dir: String): String =
     bandIdxMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-dedup-index/${idxTag(dir)}/bands"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-dedup-index/${idxTag(dir)}") + "/bands"
       bandRows(s, t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7))
         .write.mode("overwrite").parquet(path)
       path

@@ -1071,37 +1071,51 @@ object EventTime {
     // double-valued epoch()), so both engines bucket identically.
     Q("q_autocorr",
       (s, dir) => {
+        val dec38 = DecimalType(38, 0)
         val counts = t(s, dir, "orders")
           .select(datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("long").as("d"))
           .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
-        val stats = counts.agg(min(col("d")), max(col("d")),
-          sum(col("x")), sum(col("x") * col("x"))).head
-        val (minD, maxD) = (stats.getLong(0), stats.getLong(1))
-        val (bigS, q2) = (stats.getLong(2), stats.getLong(3))
-        val n = maxD - minD + 1
-        val den = n * n * q2 - n * bigS * bigS
-        // persisted: BOTH sides of the lag self-join read the spine —
-        // un-cached, each re-pays the orders scan (guard-caught)
+        // only the calendar bounds reach the driver; S, Q2 and every
+        // product of them ride DECIMAL(38,0) COLUMNS (ADVICE r7:
+        // n²·Σx² wraps a driver-side Long well before 100-TB volume,
+        // while the oracle computes the same quantity in HUGEINT)
+        val bounds = counts.agg(min(col("d")), max(col("d"))).head
+        val (minD, maxD) = (bounds.getLong(0), bounds.getLong(1))
+        val n = maxD - minD + 1 // calendar span — Long-safe forever
+        val nC = lit(n).cast(dec38)
+        // persisted: BOTH sides of the lag self-join AND the moments agg
+        // read the spine — un-cached, each re-pays the orders scan
+        // (guard-caught; zero-filled days contribute 0 to S and Q2, so
+        // the spine's moments equal the census's)
         val dense = s.range(minD, maxD + 1)
           .select(col("id").as("d"))
           .join(counts, Seq("d"), "left")
           .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
           .persist()
+        val moments = dense.agg(
+          sum(col("x")).cast(dec38).as("s1"),
+          sum(col("x").cast(dec38) * col("x")).as("q2"))
+          .select(col("s1"),
+            (nC * nC * col("q2") - nC * col("s1") * col("s1")).as("den"))
         val ks = s.range(1, 8).select(col("id").as("k"))
         dense.crossJoin(ks)
           .select(col("k"), col("x").as("xa"), (col("d") + col("k")).as("d2"))
           .join(dense.select(col("d").as("d2"), col("x").as("xb")), "d2")
           .groupBy("k")
-          .agg(sum(col("xa") * col("xb")).as("p"),
-            sum(col("xa")).as("h"), sum(col("xb")).as("tt"))
+          .agg(sum(col("xa").cast(dec38) * col("xb")).as("p"),
+            sum(col("xa")).cast(dec38).as("h"),
+            sum(col("xb")).cast(dec38).as("tt"))
+          .crossJoin(broadcast(moments))
           .select(col("k"),
             lit(n).minus(col("k")).cast("long").as("n_pairs"),
-            (lit(n * n) * col("p") - lit(n * bigS) * (col("h") + col("tt"))
-              + (lit(n) - col("k")) * lit(bigS * bigS)).cast("long").as("num"),
-            ((lit(n * n) * col("p") - lit(n * bigS) * (col("h") + col("tt"))
-              + (lit(n) - col("k")) * lit(bigS * bigS)).cast("double")
-              / lit(den.toDouble)).as("r"))
+            (nC * nC * col("p") - nC * col("s1") * (col("h") + col("tt"))
+              + (nC - col("k")) * col("s1") * col("s1")).as("numd"),
+            col("den"))
+          .select(col("k"), col("n_pairs"),
+            col("numd").cast("long").as("num"),
+            (col("numd").cast("double") / col("den").cast("double"))
+              .as("r"))
           .orderBy("k")
       },
       Some("""WITH c AS (
@@ -4846,33 +4860,45 @@ object EventTime {
     // everywhere past the one orders scan.
     Q("q_pacf",
       (s, dir) => {
+        val dec38 = DecimalType(38, 0)
         val counts = t(s, dir, "orders")
           .select(datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("long").as("d"))
           .groupBy("d").agg(count(lit(1)).cast("long").as("x"))
-        val stats = counts.agg(min(col("d")), max(col("d")),
-          sum(col("x")), sum(col("x") * col("x"))).head
-        val (minD, maxD) = (stats.getLong(0), stats.getLong(1))
-        val (bigS, q2) = (stats.getLong(2), stats.getLong(3))
-        val n = maxD - minD + 1
-        val den = n * n * q2 - n * bigS * bigS
+        // q_autocorr's dec38 discipline (ADVICE r7): only the calendar
+        // bounds reach the driver; S, Q2, numerator and denominator are
+        // DECIMAL(38,0) columns — driver-Long products of them wrap
+        // silently once n²·Σx² exceeds int64
+        val bounds = counts.agg(min(col("d")), max(col("d"))).head
+        val (minD, maxD) = (bounds.getLong(0), bounds.getLong(1))
+        val n = maxD - minD + 1 // calendar span — Long-safe forever
+        val nC = lit(n).cast(dec38)
+        // moments read the PERSISTED spine (zero-filled days add 0 to S
+        // and Q2) so the readout plan pays zero parquet scans
         val dense = s.range(minD, maxD + 1)
           .select(col("id").as("d"))
           .join(counts, Seq("d"), "left")
           .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
           .persist()
+        val moments = dense.agg(
+          sum(col("x")).cast(dec38).as("s1"),
+          sum(col("x").cast(dec38) * col("x")).as("q2"))
+          .select(col("s1"),
+            (nC * nC * col("q2") - nC * col("s1") * col("s1")).as("den"))
         val ks = s.range(1, 4).select(col("id").as("k"))
         val rs = dense.crossJoin(ks)
           .select(col("k"), col("x").as("xa"),
             (col("d") + col("k")).as("d2"))
           .join(dense.select(col("d").as("d2"), col("x").as("xb")), "d2")
           .groupBy("k")
-          .agg(sum(col("xa") * col("xb")).as("p"),
-            sum(col("xa")).as("h"), sum(col("xb")).as("tt"))
+          .agg(sum(col("xa").cast(dec38) * col("xb")).as("p"),
+            sum(col("xa")).cast(dec38).as("h"),
+            sum(col("xb")).cast(dec38).as("tt"))
+          .crossJoin(broadcast(moments))
           .select(col("k"),
-            ((lit(n * n) * col("p") - lit(n * bigS) * (col("h") + col("tt"))
-              + (lit(n) - col("k")) * lit(bigS * bigS)).cast("double")
-              / lit(den.toDouble)).as("r"))
+            ((nC * nC * col("p") - nC * col("s1") * (col("h") + col("tt"))
+              + (nC - col("k")) * col("s1") * col("s1")).cast("double")
+              / col("den").cast("double")).as("r"))
         val wide = rs.agg(
           max(when(col("k") === 1, col("r"))).as("r1"),
           max(when(col("k") === 2, col("r"))).as("r2"),

@@ -54,17 +54,17 @@ object Graph {
     * their explicit repartition(src)+persist, so every downstream
     * physical plan is unchanged — only the subtree under the exchange
     * collapses from a fact join to a pruned artifact scan. Explicit
-    * read schema (the Layout.scala:238 rule); path carries the JVM pid
-    * so two JVMs on one dir can't overwrite each other mid-query.
+    * read schema (the Layout.scala:238 rule); path, staleness and
+    * cleanup semantics follow the [[Artifacts]] contract (collision-
+    * proof hashed tag, `Artifacts.invalidate(dir)` after mid-session
+    * input mutation, reaped at JVM exit).
     */
-  private val edgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val edgeMemo = Artifacts.memo[String]()
 
   private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
     val path = edgeMemo.computeIfAbsent((s, dir), _ => {
-      val p = "/tmp/graft-graph/" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_p" + ProcessHandle.current().pid() + "/edges"
+      val p = Artifacts.cleanupOnExit(
+        "/tmp/graft-graph/" + Artifacts.tag(dir)) + "/edges"
       bipartiteEdgesRaw(s, dir).repartition(32, col("src"))
         .write.mode("overwrite").parquet(p)
       p

@@ -36,15 +36,12 @@ object Layout {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Artifact paths and catalog names carry the JVM pid: the in-memory
-    * memos below are per-JVM anyway (no cross-JVM artifact reuse ever
-    * existed), while a FIXED path would let a second JVM running the
-    * same dir overwrite bucket files mid-query in the first.
+  /** Artifact paths and catalog names follow the [[Artifacts]] contract:
+    * collision-proof hashed+pid tag, `Artifacts.invalidate(dir)` drops
+    * the memos after a mid-session input mutation, written directories
+    * are reaped at JVM exit.
     */
-  private val jvmTag = ProcessHandle.current().pid().toString
-
-  private def tag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + jvmTag
+  private def tag(dir: String): String = Artifacts.tag(dir)
 
   /** Bucketed orders/customer tables, hash-bucketed 8-ways on the join
     * key and sorted within buckets; one file per bucket (the repartition
@@ -53,13 +50,13 @@ object Layout {
     * (session, dir): written once, joined many times.
     */
   private val bucketMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+    Artifacts.memo[(String, String)]()
 
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketMemo.computeIfAbsent((s, dir), _ => {
       val tg = tag(dir)
       val (to, tc) = (s"graft_bkt_orders_$tg", s"graft_bkt_customer_$tg")
-      val path = s"/tmp/graft-bucketed/$tg"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-bucketed/$tg")
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .repartition(8, col("o_custkey"))
@@ -86,13 +83,13 @@ object Layout {
     * orderkey, sorted within buckets, one file per bucket.
     */
   private val factMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+    Artifacts.memo[(String, String)]()
 
   private def bucketedFactTables(s: SparkSession, dir: String): (String, String) =
     factMemo.computeIfAbsent((s, dir), _ => {
       val tg = tag(dir)
       val (tl, to) = (s"graft_bkt_lineitem_$tg", s"graft_bkt_ford_$tg")
-      val path = s"/tmp/graft-bucketed/$tg"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-bucketed/$tg")
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
         .repartition(8, col("l_orderkey"))
@@ -114,11 +111,11 @@ object Layout {
     * any parquet footer is opened. Memoized like the bucketed layout.
     */
   private val partMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   private def partitionedOrders(s: SparkSession, dir: String): String =
     partMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-partitioned/${tag(dir)}/orders"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-partitioned/${tag(dir)}") + "/orders"
       t(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -532,27 +529,27 @@ object Layout {
       col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
 
   private val csvMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   private def csvEvents(s: SparkSession, dir: String): String =
     csvMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-sources/${tag(dir)}/events_csv"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-sources/${tag(dir)}") + "/events_csv"
       srcProjection(s, dir).write.mode("overwrite").csv(path)
       path
     })
 
   private val jsonMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   private def jsonEvents(s: SparkSession, dir: String): String =
     jsonMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-sources/${tag(dir)}/events_json"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-sources/${tag(dir)}") + "/events_json"
       srcProjection(s, dir).write.mode("overwrite").json(path)
       path
     })
 
   private val textMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   /** Documents exported once as raw text lines (doc_id \t source \t
     * text — the .txt-shard format LLM corpora actually ship in;
@@ -561,7 +558,7 @@ object Layout {
     */
   private def textDocs(s: SparkSession, dir: String): String =
     textMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-sources/${tag(dir)}/docs_text"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-sources/${tag(dir)}") + "/docs_text"
       Tables.load(s, dir, "documents")
         .select(concat_ws("\t", col("doc_id"), col("source"),
           col("text")).as("value"))
@@ -570,28 +567,28 @@ object Layout {
     })
 
   private val orcMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   private def orcEvents(s: SparkSession, dir: String): String =
     orcMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-sources/${tag(dir)}/events_orc"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-sources/${tag(dir)}") + "/events_orc"
       srcProjection(s, dir).write.mode("overwrite").orc(path)
       path
     })
 
   private val xmlMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   private def xmlEvents(s: SparkSession, dir: String): String =
     xmlMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-sources/${tag(dir)}/events_xml"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-sources/${tag(dir)}") + "/events_xml"
       srcProjection(s, dir).write.mode("overwrite")
         .option("rowTag", "event").option("rootTag", "events").xml(path)
       path
     })
 
   private val binMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    Artifacts.memo[String]()
 
   /** Source-partitioned text export of the corpus (one directory per
     * source, the blob layout a multimodal ingest starts from). Memoized
@@ -599,7 +596,7 @@ object Layout {
     */
   private def binaryDocs(s: SparkSession, dir: String): String =
     binMemo.computeIfAbsent((s, dir), _ => {
-      val path = s"/tmp/graft-sources/${tag(dir)}/docs_bin"
+      val path = Artifacts.cleanupOnExit(s"/tmp/graft-sources/${tag(dir)}") + "/docs_bin"
       t(s, dir, "documents").select(col("source"), col("text"))
         .write.mode("overwrite").partitionBy("source").text(path)
       path

@@ -4000,17 +4000,20 @@ object ModelEval {
             sum(col("n_g").cast(dec38) * col("n_g")).as("sn2"),
             sum(col("n_g").cast(dec38) * col("n_g")
               * (col("n_g") * 2 + 3)).as("sn23"))
+        // z is computed from the exact DECIMAL(38,0) pair mass j2 (the
+        // oracle's HUGEINT); the BIGINT casts are DISPLAY-only — a
+        // premature cast wraps past ~9.2e18 pairs (ADVICE r7)
         jx2.crossJoin(sizes)
-          .select(col("nn").cast("long").as("n"),
-            col("j2").cast("long").as("j_x2"),
+          .select(col("nn"), col("j2"),
             (col("nn") * col("nn") - col("sn2")).as("e4"),
             (col("nn") * col("nn") * (col("nn") * 2 + 3) - col("sn23"))
               .as("v72"))
-          .select(col("n"), col("j_x2"),
+          .select(col("nn").cast("long").as("n"),
+            col("j2").cast("long").as("j_x2"),
             (col("e4").cast("double") / 4.0).as("e_j"),
             when(col("v72") <= 0, lit(null).cast("double"))
               .otherwise(round(
-                (col("j_x2") * 2 - col("e4")).cast("double") / 4.0
+                (col("j2") * 2 - col("e4")).cast("double") / 4.0
                   / sqrt(col("v72").cast("double") / 72.0), 6))
               .as("z"))
       },

@@ -145,6 +145,102 @@ object RangeRank {
     picks
   }
 
+  /** One requested per-group rank pick for [[groupValuesAtRanks]]:
+    * `k` maps the group's row count column to the 1-based target rank
+    * (e.g. `n => ceil(n * 0.5)`); the picked value surfaces as
+    * `outName`.
+    */
+  final case class RankPick(outName: String, k: Column => Column)
+
+  /** Per-group exact value-at-rank selection — [[medianValues]]
+    * generalized to grouped inputs and arbitrary rank targets. For each
+    * group g (|groups| small, input a scaling fact table) and each
+    * [[RankPick]], returns THE value at that rank of the group's value
+    * order: one output row per group, `groupCols ++ nName ++ picks`.
+    *
+    * Same histogram-bracketed machinery as [[medianValues]], grouped:
+    * a per-group 2¹⁶-bucket census brackets every requested rank, then
+    * a value census over ONLY the bracketed (group, bucket) cells reads
+    * the exact member values off cumulative counts. Three passes over
+    * the (caller-persisted) input — per-group min/max/count, bucket
+    * census, bracket resolve — each a partial+final agg with
+    * cluster-wide parallelism; no range exchange, no per-row rank
+    * materialization, no single-task group sort. Selection-by-value is
+    * tie-order-invariant (the value at rank k is the v with
+    * cum(<v) < k ≤ cum(≤v)), so results are byte-identical to a
+    * row_number-over-any-total-order pick at the same rank.
+    *
+    * Contract: `valueCol` non-null; every k in [1, n] for non-empty
+    * groups (ceil(n·q) and (n·d + 9) div 10 forms qualify); input
+    * persisted by the caller (all three passes reread it).
+    */
+  def groupValuesAtRanks(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      picks: Seq[RankPick],
+      nName: String = "n"): DataFrame = {
+    val v = col(valueCol)
+    val g = groupCols.map(col)
+    val kCol = picks.indices.map(i => s"__gk$i")
+    // per-group bounds + count + every rank target: |groups| rows,
+    // localCheckpoint'd — referenced by the bucketing, the bracket
+    // filter AND the final pick (lazy, each reference would re-execute
+    // the full input pass)
+    val stats = picks.zipWithIndex.foldLeft(
+      df.groupBy(g: _*).agg(min(v).as("__mn"), max(v).as("__mx"),
+        count(lit(1)).cast("long").as(nName))) {
+      case (d, (p, i)) => d.withColumn(kCol(i), p.k(col(nName)).cast("long"))
+    }.localCheckpoint(true)
+    // bucket pass: 2^16 buckets over each group's [mn, mx]; the bucket
+    // boundaries are FP but purely internal — every returned value is
+    // an exact member of the input column
+    val bucketed = df
+      .join(broadcast(stats.select((g :+ col("__mn") :+ col("__mx")): _*)),
+        groupCols)
+      .select(g ++ Seq(
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(65535L),
+            floor((v.cast("double") - col("__mn").cast("double"))
+              / (col("__mx").cast("double") - col("__mn").cast("double"))
+              * 65536.0).cast("long"))).as("__b"),
+        v.as("__v")): _*)
+    val hist = bucketed.groupBy((g :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wB = Window.partitionBy(g: _*).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bracketed (group, bucket) cells: ≤ |picks| per group, checkpointed
+    // so the resolve pass broadcasts rows, not the histogram subtree
+    val hit = kCol.map(k => col("__off") < col(k)
+      && col(k) <= col("__off") + col("__c")).reduce(_ || _)
+    val brackets = hist
+      .withColumn("__off", coalesce(sum(col("__c")).over(wB), lit(0L)))
+      .join(broadcast(stats.select((g ++ kCol.map(col)): _*)), groupCols)
+      .filter(hit)
+      .select((g :+ col("__b") :+ col("__off")): _*)
+      .localCheckpoint(true)
+    // resolve pass: value census over the bracketed cells only
+    val within = bucketed
+      .join(broadcast(brackets), groupCols :+ "__b")
+      .groupBy((g :+ col("__b") :+ col("__off") :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__voff", col("__off")
+        + coalesce(sum(col("__c")).over(
+          Window.partitionBy((g :+ col("__b")): _*).orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    within
+      .join(broadcast(stats.select((g :+ col(nName)) ++ kCol.map(col): _*)),
+        groupCols)
+      .select((g :+ col(nName)) ++ picks.indices.map(i =>
+        when(col("__voff") < col(kCol(i))
+          && col(kCol(i)) <= col("__voff") + col("__c"), col("__v"))
+          .as(s"__gp$i")): _*)
+      .groupBy((g :+ col(nName)): _*)
+      .agg(max(col("__gp0")).as(picks.head.outName),
+        picks.indices.tail.map(i =>
+          max(col(s"__gp$i")).as(picks(i).outName)): _*)
+  }
+
   def ranked(
       df: DataFrame,
       groupCols: Seq[String],

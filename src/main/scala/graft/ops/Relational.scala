@@ -843,17 +843,16 @@ object Relational {
     // q_approx_quantiles, this is the exact-answer path.
     Q("q_percentile_disc",
       (s, dir) => {
-        RangeRank.ranked(
-          t(s, dir, "lineitem")
-            .select("l_returnflag", "l_extendedprice", "l_orderkey",
-              "l_linenumber"),
-          groupCols = Seq("l_returnflag"),
-          sortCols = Seq(col("l_extendedprice"), col("l_orderkey"),
-            col("l_linenumber")))
-          .groupBy("l_returnflag")
-          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("p50"),
-            max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90"),
-            max(col("n")).as("n"))
+        // value-at-rank via the grouped histogram selection (no range
+        // exchange, no per-row rank): selection-by-value is tie-order
+        // invariant, so the picks equal the oracle's row_number targets
+        val base = t(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice").persist()
+        RangeRank.groupValuesAtRanks(base, Seq("l_returnflag"),
+          "l_extendedprice",
+          Seq(RangeRank.RankPick("p50", n => ceil(n * 0.5)),
+            RangeRank.RankPick("p90", n => ceil(n * 0.9))))
+          .select(col("l_returnflag"), col("p50"), col("p90"), col("n"))
           .orderBy("l_returnflag")
       },
       Some("""WITH r AS (
@@ -2018,32 +2017,31 @@ object Relational {
     // ── order→ship latency percentiles (fulfillment SLA readout) ─────────
     // The ops metric behind every SLA dashboard. lineitem folds to one
     // MIN per order BEFORE the orders join (Q18 discipline); latency is
-    // exact integer days; percentiles are rank-selected members (no
-    // interpolation); and the n_preship column counts ship-before-order
-    // rows — the data-quality signal this synthetic data deliberately
-    // carries. Rank windows parallelize per priority (the documented
-    // exact-path trade vs q_approx_quantiles at 100 TB).
+    // exact integer days; percentiles are value-at-rank member picks
+    // via RangeRank.groupValuesAtRanks (no interpolation, no per-group
+    // single-task sort — histogram selection keeps parallelism cluster-
+    // sized); and the n_preship column counts ship-before-order rows —
+    // the data-quality signal this synthetic data deliberately carries.
     Q("q_ship_latency",
       (s, dir) => {
         val firstShip = t(s, dir, "lineitem")
           .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("first_ship"))
         val lat = t(s, dir, "orders")
           .join(firstShip, col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_orderpriority"), col("o_orderkey"),
+          .select(col("o_orderpriority"),
             datediff(col("first_ship").cast("date"),
               col("o_orderdate").cast("date")).cast("long").as("days"))
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("days"), col("o_orderkey"))
-        lat
-          .select(col("o_orderpriority"), col("days"),
-            row_number().over(w).cast("long").as("rn"),
-            count(lit(1)).over(Window.partitionBy("o_orderpriority")).as("n"))
-          .groupBy("o_orderpriority")
-          .agg(max(col("n")).as("n"),
-            max(when(col("rn") === ceil(col("n") * 0.5), col("days"))).as("p50_days"),
-            max(when(col("rn") === ceil(col("n") * 0.9), col("days"))).as("p90_days"),
-            max(col("days")).as("max_days"),
+          .persist()
+        val qs = RangeRank.groupValuesAtRanks(lat, Seq("o_orderpriority"),
+          "days",
+          Seq(RangeRank.RankPick("p50_days", n => ceil(n * 0.5)),
+            RangeRank.RankPick("p90_days", n => ceil(n * 0.9))))
+        val extras = lat.groupBy("o_orderpriority")
+          .agg(max(col("days")).as("max_days"),
             sum(when(col("days") < 0, 1L).otherwise(0L)).as("n_preship"))
+        qs.join(extras, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("n"), col("p50_days"),
+            col("p90_days"), col("max_days"), col("n_preship"))
           .orderBy("o_orderpriority")
       },
       Some("""WITH fs AS (
@@ -2073,36 +2071,32 @@ object Relational {
 
     // ── median absolute deviation (robust dispersion) ────────────────────
     // The robust twin of q_stats_agg's stddev: MAD = p50 of |x − p50(x)|,
-    // immune to the outliers that winsorize clips. Two rank-selection
-    // passes per group — the median is an actual element (FP-free
-    // selection), the deviation |x − m| is ONE exact-rounded IEEE
-    // subtraction of identical operands in both engines, then the second
-    // selection. Parallelism = |groups|, same documented trade as every
-    // exact-percentile path here.
+    // immune to the outliers that winsorize clips. Two value-at-rank
+    // selections per group via RangeRank.groupValuesAtRanks — histogram-
+    // bracketed exact member picks (FP-free selection, tie-order
+    // invariant, so no tiebreak columns are even needed), each pass a
+    // partial+final agg with cluster-wide parallelism: no range
+    // exchange, no per-row rank, no single-task group sort. The
+    // deviation |x − m| is ONE exact-rounded IEEE subtraction of
+    // identical operands in both engines between the passes.
     Q("q_mad",
       (s, dir) => {
-        val med = RangeRank.ranked(
-          t(s, dir, "lineitem")
-            .select("l_returnflag", "l_extendedprice", "l_orderkey",
-              "l_linenumber"),
-          groupCols = Seq("l_returnflag"),
-          sortCols = Seq(col("l_extendedprice"), col("l_orderkey"),
-            col("l_linenumber")))
-          .groupBy("l_returnflag")
-          .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice")))
-            .as("med"))
-          .withColumnRenamed("l_returnflag", "m_flag")
-        val dev = t(s, dir, "lineitem")
-          .join(med, col("l_returnflag") === col("m_flag"))
-          .select(col("l_returnflag"), col("med"),
-            abs(col("l_extendedprice") - col("med")).as("dev"),
-            col("l_orderkey"), col("l_linenumber"))
-        RangeRank.ranked(dev,
-          groupCols = Seq("l_returnflag"),
-          sortCols = Seq(col("dev"), col("l_orderkey"), col("l_linenumber")))
-          .groupBy("l_returnflag")
-          .agg(max(col("n")).as("n"), max(col("med")).as("median"),
-            max(when(col("rn") === ceil(col("n") * 0.5), col("dev"))).as("mad"))
+        val base = t(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice").persist()
+        val med = RangeRank.groupValuesAtRanks(base, Seq("l_returnflag"),
+          "l_extendedprice",
+          Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))))
+          .select(col("l_returnflag").as("m_flag"), col("med"))
+        val dev = base
+          .join(broadcast(med), col("l_returnflag") === col("m_flag"))
+          .select(col("l_returnflag"),
+            abs(col("l_extendedprice") - col("med")).as("dev"))
+          .persist()
+        RangeRank.groupValuesAtRanks(dev, Seq("l_returnflag"), "dev",
+          Seq(RangeRank.RankPick("mad", n => ceil(n * 0.5))))
+          .join(broadcast(med), col("l_returnflag") === col("m_flag"))
+          .select(col("l_returnflag"), col("n"), col("med").as("median"),
+            col("mad"))
           .orderBy("l_returnflag")
       },
       Some("""WITH r1 AS (
@@ -3546,13 +3540,19 @@ object Relational {
           .agg(sum(col("np") * col("np")).as("sp2"))
         val ty = cells.groupBy("qb").agg(sum(col("c")).cast(dec38).as("nq"))
           .agg(sum(col("nq") * col("nq")).as("sq2"))
+        // ratios are computed from the exact DECIMAL(38,0) masses; the
+        // BIGINT casts are DISPLAY-only (ADVICE r7: a premature cast
+        // would wrap/overflow past ~9.2e18 pairs, lineitem ≳ 4e9 rows,
+        // with divergent Spark-NULL vs DuckDB-error failure modes)
         cd.crossJoin(ties).crossJoin(tx).crossJoin(ty)
+          .select(col("n"),
+            col("conc"),
+            col("disc"),
+            ((col("sp2") - col("sc2")) / 2).cast(dec38).as("t_x"),
+            ((col("sq2") - col("sc2")) / 2).cast(dec38).as("t_y"))
           .select(col("n").cast("long").as("n"),
             col("conc").cast("long").as("conc"),
             col("disc").cast("long").as("disc"),
-            ((col("sp2") - col("sc2")) / 2).as("t_x"),
-            ((col("sq2") - col("sc2")) / 2).as("t_y"))
-          .select(col("n"), col("conc"), col("disc"),
             when(col("conc") + col("disc") === 0,
               lit(null).cast("double"))
               .otherwise(round((col("conc") - col("disc")).cast("double")
@@ -3601,13 +3601,13 @@ object Relational {
                 FROM (SELECT qb, CAST(SUM(c) AS BIGINT) AS nq
                       FROM cells GROUP BY 1)),
               m AS (
-                SELECT CAST(n AS BIGINT) AS n,
-                  CAST(conc AS BIGINT) AS conc,
-                  CAST(disc AS BIGINT) AS disc,
+                SELECT n, conc, disc,
                   (sp2 - sc2) // 2 AS t_x,
                   (sq2 - sc2) // 2 AS t_y
                 FROM cd, tie, txx, tyy)
-              SELECT n, conc, disc,
+              SELECT CAST(n AS BIGINT) AS n,
+                CAST(conc AS BIGINT) AS conc,
+                CAST(disc AS BIGINT) AS disc,
                 CASE WHEN conc + disc = 0 THEN NULL
                   ELSE round(CAST(conc - disc AS DOUBLE)
                     / CAST(conc + disc AS DOUBLE), 12) END AS gamma,
@@ -8757,11 +8757,13 @@ object Relational {
     // ── quantile treatment effects: urgent vs rest, 9 deciles ───────────
     // Distributional version of a mean lift: QTE(d) = Q_d(urgent) −
     // Q_d(rest) for d = 10..90. Per-group decile values are EXACT
-    // percentile_disc picks — RangeRank ranks the (group, cents,
-    // orderkey) total order (the per-group censuses grow with data),
-    // the pick is rn = ⌈d·n/10⌉ by integer arithmetic, and the 9×2
-    // picked rows pivot into diffs. No FP anywhere but the final
-    // dollar conversion.
+    // value-at-rank picks at (n·d + 9) div 10 via
+    // RangeRank.groupValuesAtRanks — selection-by-value is tie-order
+    // invariant, so the picks equal the oracle's row_number targets
+    // (including degenerate n < 10 groups where two targets coincide:
+    // both deciles read the same member value, exactly the row the
+    // oracle's join emits twice — ADVICE r6). No FP anywhere but the
+    // final dollar conversion.
     Q("q_quantile_treatment_effect",
       (s, dir) => {
         val base = t(s, dir, "orders")
@@ -8769,27 +8771,21 @@ object Relational {
             when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
               lit("urgent")).otherwise(lit("rest")).as("g"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-              .as("cents"),
-            col("o_orderkey"))
-        val ranked = RangeRank.ranked(base, Seq("g"),
-          Seq(col("cents"), col("o_orderkey")))
-        // Explode EVERY decile whose rank target this row hits (not a
-        // coalesce first-match): when a group has n < 10 two targets
-        // coincide and the oracle's join emits one row per matching
-        // decile — a first-match pick would diverge on degenerate group
-        // sizes (ADVICE r6). explode (not _outer) drops non-target rows,
-        // mirroring the oracle's inner join.
-        val picks = ranked
-          .withColumn("decile", explode(expr(
-            """filter(transform(sequence(1, 9),
-              |  d -> CASE WHEN rn = (n * d + 9) div 10
-              |       THEN CAST(d AS BIGINT) END),
-              |  x -> x IS NOT NULL)""".stripMargin)))
-          .select(col("g"), col("cents"), col("decile"))
+              .as("cents"))
+          .persist()
+        // rank targets reference the count column by name (exact
+        // integer div — no FP rank arithmetic)
+        val wide = RangeRank.groupValuesAtRanks(base, Seq("g"), "cents",
+          (1 to 9).map(d =>
+            RangeRank.RankPick(s"q$d", n => expr(s"(n * $d + 9) div 10"))))
+        val picks = wide
+          .select(col("g"), expr("stack(9, " + (1 to 9)
+            .map(d => s"CAST($d AS BIGINT), q$d").mkString(", ")
+            + ") AS (decile, q)"))
           .groupBy("decile")
           .agg(
-            min(when(col("g") === "urgent", col("cents"))).as("qu"),
-            min(when(col("g") === "rest", col("cents"))).as("qr"))
+            min(when(col("g") === "urgent", col("q"))).as("qu"),
+            min(when(col("g") === "rest", col("q"))).as("qr"))
         picks.select(col("decile"),
             round(col("qu").cast("double") / 100.0, 2).as("q_urgent"),
             round(col("qr").cast("double") / 100.0, 2).as("q_rest"),

@@ -3156,6 +3156,6 @@ object TextOps {
       merges.result()
     })
 
-  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(Long, String, String, Long)]]()
+  private val bpeMemo =
+    Artifacts.memo[Seq[(Long, String, String, Long)]]()
 }

@@ -1009,7 +1009,7 @@ object VectorOps {
     * decimal sums) means the artifact is also identical across sessions.
     */
   private val ivfMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    Artifacts.memo[(DataFrame, DataFrame)]()
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.computeIfAbsent((s, dir), _ => {

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The [[Artifacts]] lifecycle contract (round-8 verdict item 8 /
+  * ADVICE r7 medium): collision-proof paths, per-dir invalidation, and
+  * the stale-read semantics the scaladoc documents.
+  */
+class ArtifactsSpec extends SparkSpec {
+
+  test("tag: dirs that sanitize identically get distinct paths") {
+    // the r7 ADVICE collision: both sanitize to _data_sf0_1
+    assert(Artifacts.tag("/data/sf0.1") !== Artifacts.tag("/data/sf0_1"))
+    // and punctuation-only differences
+    assert(Artifacts.tag("/a/b") !== Artifacts.tag("/a.b"))
+    // same dir is stable within a JVM (memo paths must be deterministic)
+    assert(Artifacts.tag("/data/sf0.1") === Artifacts.tag("/data/sf0.1"))
+  }
+
+  test("invalidate drops exactly the given dir's keys, across memos") {
+    val m1 = Artifacts.memo[String]()
+    val m2 = Artifacts.memo[Int]()
+    m1.put((spark, "/tmp/a"), "x")
+    m1.put((spark, "/tmp/b"), "y")
+    m2.put((spark, "/tmp/a"), 1)
+    Artifacts.invalidate("/tmp/a")
+    assert(!m1.containsKey((spark, "/tmp/a")))
+    assert(!m2.containsKey((spark, "/tmp/a")))
+    assert(m1.get((spark, "/tmp/b")) === "y")
+  }
+
+  test("mutable-dir semantics: stale until invalidate, fresh after") {
+    // a mutable copy of the sf0.001 graph inputs under /tmp
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-artifacts-spec").toString
+    Artifacts.cleanupOnExit(dir)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_linenumber")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val n0 = Graph.bipartiteEdges(spark, dir).count()
+    assert(n0 > 0)
+
+    // mutate the dir: keep only even orderkeys — the edge set shrinks
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // documented stale-read: the memoized artifact still answers
+    assert(Graph.bipartiteEdges(spark, dir).count() === n0)
+
+    // the invalidation hook: next access rebuilds from the live data
+    Artifacts.invalidate(dir)
+    val n1 = Graph.bipartiteEdges(spark, dir).count()
+    assert(n1 > 0 && n1 < n0)
+  }
+}

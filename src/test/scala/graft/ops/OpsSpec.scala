@@ -277,7 +277,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("q_sketch_rollup estimates match exact distincts at every level") {
-    val rows = q("q_sketch_rollup").collect()
+    val rows = Approx.sketchRollupEst(spark, sfDir).collect()
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     def exact(f: org.apache.spark.sql.DataFrame) =
       f.agg(countDistinct(col("o_custkey"))).head().getLong(0)
@@ -449,7 +449,7 @@ class OpsSpec extends SparkSpec {
         -> (r.getLong(r.fieldIndex("n_both")),
             r.getLong(r.fieldIndex("n_a")) + r.getLong(r.fieldIndex("n_b"))
               - r.getLong(r.fieldIndex("n_both")))).toMap
-    val est = q("q_overlap_sketch").collect()
+    val est = Approx.overlapSketchEst(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1))
         -> r.getLong(r.fieldIndex("est_both")).toDouble).toMap
     assert(est.keySet === exact.keySet, "pair sets differ")

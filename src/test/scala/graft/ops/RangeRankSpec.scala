@@ -76,6 +76,90 @@ class RangeRankSpec extends SparkSpec {
     }
   }
 
+  test("groupValuesAtRanks equals the naive window's rank picks") {
+    // the equivalence guard for the histogram-bracketed selection path
+    // (q_percentile_disc / q_winsorize / q_ship_latency / q_mad / QTE)
+    val li = spark.read.parquet(sfPath("0.01") + "/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_orderkey",
+        "l_linenumber").persist()
+    val naiveW = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+    val naive = li
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(naiveW).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === 1, col("l_extendedprice"))).as("lo"),
+        max(when(col("rn") === ceil(col("n") * 0.05),
+          col("l_extendedprice"))).as("p05"),
+        max(when(col("rn") === ceil(col("n") * 0.5),
+          col("l_extendedprice"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9),
+          col("l_extendedprice"))).as("p90"),
+        max(when(col("rn") === col("n"), col("l_extendedprice")))
+          .as("hi"))
+    val fast = RangeRank.groupValuesAtRanks(li, Seq("l_returnflag"),
+      "l_extendedprice",
+      Seq(RangeRank.RankPick("lo", _ => lit(1L)), // rank 1 = min
+        RangeRank.RankPick("p05", n => ceil(n * 0.05)),
+        RangeRank.RankPick("p50", n => ceil(n * 0.5)),
+        RangeRank.RankPick("p90", n => ceil(n * 0.9)),
+        RangeRank.RankPick("hi", n => n))) // rank n = max
+      .select("l_returnflag", "n", "lo", "p05", "p50", "p90", "hi")
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty,
+      "histogram value-at-rank diverged from the naive window picks")
+    li.unpersist()
+  }
+
+  test("groupValuesAtRanks: second pass over a derived dev frame " +
+    "equals the naive window (the q_mad shape)") {
+    // formerly MadDebugSpec: the MAD second selection runs over a frame
+    // DERIVED from the first pick (dev = |x − med|) — guard that the
+    // derived-input path stays equivalent too
+    val li = spark.read.parquet(sfPath("0.01") + "/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").persist()
+    val med = RangeRank.groupValuesAtRanks(li, Seq("l_returnflag"),
+      "l_extendedprice",
+      Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))))
+      .select(col("l_returnflag").as("m_flag"), col("med"))
+    val dev = li.join(broadcast(med),
+        col("l_returnflag") === col("m_flag"))
+      .select(col("l_returnflag"),
+        abs(col("l_extendedprice") - col("med")).as("dev")).persist()
+    val naiveW = Window.partitionBy("l_returnflag").orderBy(col("dev"))
+    val naive = dev
+      .select(col("l_returnflag"), col("dev"),
+        row_number().over(naiveW).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+      .groupBy("l_returnflag")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("dev")))
+        .as("mad"))
+    val fast = RangeRank.groupValuesAtRanks(dev, Seq("l_returnflag"),
+      "dev", Seq(RangeRank.RankPick("mad", n => ceil(n * 0.5))))
+      .select("l_returnflag", "mad")
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty,
+      "derived-frame value-at-rank diverged from the naive window")
+    li.unpersist(); dev.unpersist()
+  }
+
+  test("groupValuesAtRanks: constant groups and coinciding targets") {
+    import spark.implicits._
+    // group a: all-equal values (mn == mx bucket collapse); group b:
+    // n = 3 where ceil(n·0.5) = ceil(n·0.66) = 2 (coinciding targets)
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("a", 7L),
+      ("b", 1L), ("b", 5L), ("b", 9L)).toDF("g", "v").persist()
+    val out = RangeRank.groupValuesAtRanks(df, Seq("g"), "v",
+      Seq(RangeRank.RankPick("k1", n => ceil(n * 0.5)),
+        RangeRank.RankPick("k2", n => ceil(n * 0.66))))
+      .orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(out(0).getLong(2) === 7L && out(0).getLong(3) === 7L)
+    assert(out(1).getLong(2) === 5L && out(1).getLong(3) === 5L)
+    df.unpersist()
+  }
+
   test("the range exchange is planned once (ReuseExchange fires)") {
     // correctness depends on the census and the rank pass observing the
     // SAME physical range partitioning; the reused exchange guarantees it

@@ -495,7 +495,11 @@ class PlanGuardSpec extends SparkSpec {
       // round-6 members: nation percent-rank, global quartile/decile
       // cuts, per-type percentiles, per-lang trigram top-5
       "q_percent_rank", "q_ntile_orders", "q_ltv_deciles",
-      "q_group_percentiles", "q_char_trigrams")
+      "q_group_percentiles", "q_char_trigrams",
+      // round-8 members: moved from ranked()/plain windows onto the
+      // groupValuesAtRanks histogram selection — their remaining
+      // windows are the bucket/value censuses (over Aggregates)
+      "q_ship_latency", "q_quantile_treatment_effect")
     for (q <- family) {
       val windows = qe(q).optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$q lost its rank windows entirely")
@@ -1007,7 +1011,16 @@ class PlanGuardSpec extends SparkSpec {
       "q_cpk_capability" -> 1, "q_duncan_segregation" -> 0,
       "q_shift_share" -> 0,
       "q_ordinal_association" -> 0, "q_palma_ratio" -> 0,
-      "q_gk_lambda" -> 0)
+      "q_gk_lambda" -> 0,
+      // round-8: groupValuesAtRanks consumers persist their projected
+      // base — every selection pass reads the cache, zero parquet scans
+      // at readout
+      "q_mad" -> 0, "q_percentile_disc" -> 0, "q_winsorize" -> 0,
+      "q_ship_latency" -> 0,
+      // round-8: the newly-oracled sketch queries share ONE persisted
+      // projection between the sketch and exact sides (HLL insertion is
+      // duplicate-insensitive) — zero parquet scans at readout
+      "q_overlap_sketch" -> 0, "q_sketch_rollup" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,

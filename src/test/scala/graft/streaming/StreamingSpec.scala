@@ -422,7 +422,7 @@ class StreamingSpec extends SparkSpec {
           - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
           .as("est_both"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val batch = SparkEntry.queries("q_overlap_sketch")(spark, sfDir).collect()
+    val batch = graft.ops.Approx.overlapSketchEst(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1))
         -> r.getLong(r.fieldIndex("est_both"))).toMap
     assert(streamed.nonEmpty)
