@@ -196,7 +196,9 @@ object ScaleCheck {
     "q_median_polish", "q_palma_ratio", "q_t_closeness",
     // round-8: the newly exact-census-oracled sketch queries (their
     // plans grew an exact distinct/pair side)
-    "q_overlap_sketch", "q_sketch_rollup")
+    "q_overlap_sketch", "q_sketch_rollup",
+    // round-8 growth: quantile-forecast loss (selection + loss censuses)
+    "q_pinball_loss")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

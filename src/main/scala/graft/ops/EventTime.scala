@@ -5025,7 +5025,238 @@ object EventTime {
                   ELSE round(sqrt(CAST(se1 AS DOUBLE))
                     / (sqrt(CAST(sc2 AS DOUBLE))
                       + sqrt(CAST(sf2 AS DOUBLE))), 12) END AS theil_u1
-              FROM agg"""))
+              FROM agg""")),
+
+    // ── tracking signal: monthly forecast-bias monitor ───────────────────
+    // The ops-review readout MASE doesn't give: is the seasonal-naive
+    // forecast BIASED, not just inaccurate? Per month, TS = Σe / (Σ|e|/n)
+    // over lag-7 forecast errors — |TS| ≥ 4 is the classic re-fit
+    // trigger. Rides [[medianDaily]]'s calendar-bounded exact-cents
+    // census (the q_forecast_eval 7-day self-join); Σe and Σ|e| stay
+    // exact DECIMAL(38,0) and TS is ONE division of exact cross-products
+    // (Σe·n vs Σ|e|). Scale shape: one orders scan collapses to the
+    // ≤|days| census; everything after is calendar-bounded.
+    Q("q_tracking_signal",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        // persisted: the d−7 self-join consumes the census twice
+        // (q_forecast_eval's discipline)
+        val days = medianDaily(t(s, dir, "orders")).persist()
+        val f = days.select(expr("day + interval 7 days").as("day"),
+          col("cents").as("f_cents"))
+        days.join(f, "day")
+          .groupBy(date_trunc("month", col("day")).as("month"))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            sum((col("cents") - col("f_cents")).cast(dec38)).as("sum_e"),
+            sum(abs((col("cents") - col("f_cents")).cast(dec38)))
+              .as("sum_abs_e"))
+          .select(col("month"), col("n_days"),
+            col("sum_e").cast("long").as("err_cents"),
+            when(col("sum_abs_e") === 0, lit(null).cast("double"))
+              .otherwise(round((col("sum_e") * col("n_days"))
+                .cast("double") / col("sum_abs_e").cast("double"), 12))
+              .as("tracking_signal"))
+          .orderBy("month")
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              j AS (
+                SELECT a.day, a.cents,
+                  f.cents AS f_cents
+                FROM days a JOIN days f
+                  ON a.day = f.day + INTERVAL 7 DAY),
+              m AS (
+                SELECT date_trunc('month', day) AS month,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  SUM(CAST(cents - f_cents AS HUGEINT)) AS sum_e,
+                  SUM(abs(CAST(cents - f_cents AS HUGEINT))) AS sum_abs_e
+                FROM j GROUP BY 1)
+              SELECT month, n_days,
+                CAST(sum_e AS BIGINT) AS err_cents,
+                CASE WHEN sum_abs_e = 0 THEN NULL
+                  ELSE round(CAST(sum_e * n_days AS DOUBLE)
+                    / CAST(sum_abs_e AS DOUBLE), 12)
+                  END AS tracking_signal
+              FROM m ORDER BY month""")),
+
+    // ── pinball loss: quantile-forecast evaluation at τ = .1/.5/.9 ──────
+    // THE loss that grades probabilistic forecasts (quantile regression,
+    // demand planning P10/P50/P90). The in-sample quantile forecasts are
+    // EXACT member picks from the daily-cents distribution
+    // (RangeRank.groupValuesAtRanks — no interpolation, no sort), and
+    // the loss is computed in τ-cleared integer decicents:
+    // 10·L_τ(y,q) = (10τ)(y−q)⁺ + (10−10τ)(q−y)⁺ — exact DECIMAL sums,
+    // ONE division per τ for the dollar display. Scale: one orders scan
+    // → calendar-bounded census; selection and loss are census passes.
+    Q("q_pinball_loss",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val days = medianDaily(t(s, dir, "orders"))
+          .withColumn("g", lit(1L)).persist()
+        val qs = RangeRank.groupValuesAtRanks(days, Seq("g"), "cents",
+          Seq(RangeRank.RankPick("q10", n => ceil(n * 0.1)),
+            RangeRank.RankPick("q50", n => ceil(n * 0.5)),
+            RangeRank.RankPick("q90", n => ceil(n * 0.9))))
+          .select("q10", "q50", "q90")
+        val losses = days.crossJoin(broadcast(qs))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            max(col("q10")).as("f10"), max(col("q50")).as("f50"),
+            max(col("q90")).as("f90"),
+            sum(when(col("cents") >= col("q10"),
+              (col("cents") - col("q10")).cast(dec38) * 1)
+              .otherwise((col("q10") - col("cents")).cast(dec38) * 9))
+              .as("l10"),
+            sum(when(col("cents") >= col("q50"),
+              (col("cents") - col("q50")).cast(dec38) * 5)
+              .otherwise((col("q50") - col("cents")).cast(dec38) * 5))
+              .as("l50"),
+            sum(when(col("cents") >= col("q90"),
+              (col("cents") - col("q90")).cast(dec38) * 9)
+              .otherwise((col("q90") - col("cents")).cast(dec38) * 1))
+              .as("l90"))
+        losses.select(expr(
+          """stack(3,
+            |  CAST(10 AS BIGINT), n_days, f10, l10,
+            |  CAST(50 AS BIGINT), n_days, f50, l50,
+            |  CAST(90 AS BIGINT), n_days, f90, l90)
+            |AS (tau_pct, n_days, forecast_cents, loss_x10)""".stripMargin))
+          .select(col("tau_pct"), col("n_days"), col("forecast_cents"),
+            round(col("loss_x10").cast("double")
+              / (col("n_days").cast("double") * 1000.0), 6)
+              .as("mean_pinball_dollars"))
+          .orderBy("tau_pct")
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents) AS BIGINT)
+                    AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM days),
+              qs AS (
+                SELECT
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.1) AS BIGINT)
+                    THEN cents END) AS q10,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN cents END) AS q50,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                    THEN cents END) AS q90
+                FROM r),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  MAX(q10) AS f10, MAX(q50) AS f50, MAX(q90) AS f90,
+                  SUM(CASE WHEN cents >= q10
+                    THEN CAST(cents - q10 AS HUGEINT) * 1
+                    ELSE CAST(q10 - cents AS HUGEINT) * 9 END) AS l10,
+                  SUM(CASE WHEN cents >= q50
+                    THEN CAST(cents - q50 AS HUGEINT) * 5
+                    ELSE CAST(q50 - cents AS HUGEINT) * 5 END) AS l50,
+                  SUM(CASE WHEN cents >= q90
+                    THEN CAST(cents - q90 AS HUGEINT) * 9
+                    ELSE CAST(q90 - cents AS HUGEINT) * 1 END) AS l90
+                FROM days, qs),
+              outp AS (
+                SELECT CAST(10 AS BIGINT) AS tau_pct, n_days,
+                  f10 AS forecast_cents, l10 AS loss_x10 FROM agg
+                UNION ALL
+                SELECT CAST(50 AS BIGINT), n_days, f50, l50 FROM agg
+                UNION ALL
+                SELECT CAST(90 AS BIGINT), n_days, f90, l90 FROM agg)
+              SELECT tau_pct, n_days, forecast_cents,
+                round(CAST(loss_x10 AS DOUBLE)
+                  / (CAST(n_days AS DOUBLE) * 1000.0), 6)
+                  AS mean_pinball_dollars
+              FROM outp ORDER BY tau_pct""")),
+
+    // ── two-sided tabular CUSUM over daily revenue (exact integers) ─────
+    // The SPC change detector q_page_hinkley doesn't give: TWO one-sided
+    // charts with a k-slack at half the global mean, alarm counts at
+    // h = 5μ. FP-free throughout: with the classic recursion
+    // C⁺_t = max(0, C⁺_{t−1} + x_t − 1.5μ) rewritten as a prefix-sum
+    // identity C⁺_t = P_t − min_{j≤t} P_j (P = running Σ(x − 1.5μ)),
+    // everything clears to integers at the 2n scale: 2n·(x − 1.5μ) =
+    // 2n·x − 3S. Exact DECIMAL cumsums + running extrema over the
+    // calendar-bounded day spine; the dollar display is an exact
+    // integer division. One orders scan → ≤|days| census.
+    Q("q_cusum_chart",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val days = medianDaily(t(s, dir, "orders")).persist()
+        val tot = days.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast(dec38).as("s"))
+        val wCum = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val p = days.crossJoin(broadcast(tot))
+          .select(col("day"), col("n"), col("s"),
+            sum(col("cents").cast(dec38) * 2 * col("n") - col("s") * 3)
+              .over(wCum).as("p_hi"),
+            sum(col("s") - col("cents").cast(dec38) * 2 * col("n"))
+              .over(wCum).as("p_lo"))
+          .select(col("day"), col("n"), col("s"),
+            (col("p_hi") - least(min(col("p_hi")).over(wCum), lit(0)))
+              .as("c_hi"),
+            (col("p_lo") - least(min(col("p_lo")).over(wCum), lit(0)))
+              .as("c_lo"))
+        p.groupBy(date_trunc("quarter", col("day")).as("quarter"))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            // max chart levels, de-scaled to whole dollars exactly:
+            // C is in (2n × cents) units → div by 2n·100
+            floor(max(col("c_hi")) / (max(col("n")) * 200))
+              .cast("long").as("max_cusum_hi_dollars"),
+            floor(max(col("c_lo")) / (max(col("n")) * 200))
+              .cast("long").as("max_cusum_lo_dollars"),
+            // alarms at h = 5μ: C > 2n·5μ·100-cleared = 10·S
+            sum(when(col("c_hi") > col("s") * 10, 1L).otherwise(0L))
+              .cast("long").as("n_alarms_hi"),
+            sum(when(col("c_lo") > col("s") * 10, 1L).otherwise(0L))
+              .cast("long").as("n_alarms_lo"))
+          .orderBy("quarter")
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(cents) AS HUGEINT) AS s
+                FROM days),
+              p AS (
+                SELECT day, n, s,
+                  SUM(CAST(cents AS HUGEINT) * 2 * n - s * 3)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS p_hi,
+                  SUM(s - CAST(cents AS HUGEINT) * 2 * n)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS p_lo
+                FROM days, tot),
+              c AS (
+                SELECT day, n, s,
+                  p_hi - LEAST(MIN(p_hi) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0) AS c_hi,
+                  p_lo - LEAST(MIN(p_lo) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0) AS c_lo
+                FROM p)
+              SELECT date_trunc('quarter', day) AS quarter,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(MAX(c_hi) // (MAX(n) * 200) AS BIGINT)
+                  AS max_cusum_hi_dollars,
+                CAST(MAX(c_lo) // (MAX(n) * 200) AS BIGINT)
+                  AS max_cusum_lo_dollars,
+                CAST(SUM(CASE WHEN c_hi > s * 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alarms_hi,
+                CAST(SUM(CASE WHEN c_lo > s * 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alarms_lo
+              FROM c GROUP BY 1 ORDER BY quarter"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

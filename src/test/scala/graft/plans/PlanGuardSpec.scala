@@ -1020,7 +1020,10 @@ class PlanGuardSpec extends SparkSpec {
       // round-8: the newly-oracled sketch queries share ONE persisted
       // projection between the sketch and exact sides (HLL insertion is
       // duplicate-insensitive) — zero parquet scans at readout
-      "q_overlap_sketch" -> 0, "q_sketch_rollup" -> 0)
+      "q_overlap_sketch" -> 0, "q_sketch_rollup" -> 0,
+      // round-8 forecast/monitor batch: persisted day censuses
+      "q_tracking_signal" -> 0, "q_pinball_loss" -> 0,
+      "q_cusum_chart" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
