@@ -198,7 +198,10 @@ object ScaleCheck {
     // plans grew an exact distinct/pair side)
     "q_overlap_sketch", "q_sketch_rollup",
     // round-8 growth: quantile-forecast loss (selection + loss censuses)
-    "q_pinball_loss")
+    "q_pinball_loss",
+    // round-8 robust-dispersion batch: prefix-sum-at-rank selections
+    // and the census-ranked GMD
+    "q_trimmed_stats", "q_quartile_dispersion", "q_gini_mean_difference")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

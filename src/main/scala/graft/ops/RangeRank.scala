@@ -148,9 +148,14 @@ object RangeRank {
   /** One requested per-group rank pick for [[groupValuesAtRanks]]:
     * `k` maps the group's row count column to the 1-based target rank
     * (e.g. `n => ceil(n * 0.5)`); the picked value surfaces as
-    * `outName`.
+    * `outName`. When `sumName` is set, the EXACT prefix sum of the k
+    * smallest values (DECIMAL(38,0) — requires an integral valueCol)
+    * also surfaces under that name: S(k) = Σ values at ranks 1..k,
+    * the primitive exact trimmed/winsorized sums build on. A k of 0
+    * yields NULL for both (callers coalesce S(0) to 0).
     */
-  final case class RankPick(outName: String, k: Column => Column)
+  final case class RankPick(outName: String, k: Column => Column,
+      sumName: Option[String] = None)
 
   /** Per-group exact value-at-rank selection — [[medianValues]]
     * generalized to grouped inputs and arbitrary rank targets. For each
@@ -180,6 +185,10 @@ object RangeRank {
       valueCol: String,
       picks: Seq[RankPick],
       nName: String = "n"): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // prefix-sum plumbing is gated on request so sum-free consumers'
+    // plans carry zero extra aggregation columns
+    val needSums = picks.exists(_.sumName.isDefined)
     val v = col(valueCol)
     val g = groupCols.map(col)
     val kCol = picks.indices.map(i => s"__gk$i")
@@ -205,40 +214,61 @@ object RangeRank {
               / (col("__mx").cast("double") - col("__mn").cast("double"))
               * 65536.0).cast("long"))).as("__b"),
         v.as("__v")): _*)
+    val histAggs = Seq(count(lit(1)).as("__c")) ++
+      (if (needSums) Seq(sum(col("__v").cast(dec38)).as("__hs")) else Nil)
     val hist = bucketed.groupBy((g :+ col("__b")): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(histAggs.head, histAggs.tail: _*)
     val wB = Window.partitionBy(g: _*).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     // bracketed (group, bucket) cells: ≤ |picks| per group, checkpointed
     // so the resolve pass broadcasts rows, not the histogram subtree
     val hit = kCol.map(k => col("__off") < col(k)
       && col(k) <= col("__off") + col("__c")).reduce(_ || _)
+    val brkCols = (g :+ col("__b") :+ col("__off")) ++
+      (if (needSums) Seq(col("__soff")) else Nil)
     val brackets = hist
       .withColumn("__off", coalesce(sum(col("__c")).over(wB), lit(0L)))
+      .withColumn("__soff",
+        if (needSums)
+          coalesce(sum(col("__hs")).over(wB), lit(0).cast(dec38))
+        else lit(0L))
       .join(broadcast(stats.select((g ++ kCol.map(col)): _*)), groupCols)
       .filter(hit)
-      .select((g :+ col("__b") :+ col("__off")): _*)
+      .select(brkCols: _*)
       .localCheckpoint(true)
     // resolve pass: value census over the bracketed cells only
-    val within = bucketed
+    val wV = Window.partitionBy((g :+ col("__b")): _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within0 = bucketed
       .join(broadcast(brackets), groupCols :+ "__b")
-      .groupBy((g :+ col("__b") :+ col("__off") :+ col("__v")): _*)
+      .groupBy((brkCols :+ col("__v")): _*)
       .agg(count(lit(1)).as("__c"))
       .withColumn("__voff", col("__off")
-        + coalesce(sum(col("__c")).over(
-          Window.partitionBy((g :+ col("__b")): _*).orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        + coalesce(sum(col("__c")).over(wV), lit(0L)))
+    val within = if (needSums) within0
+      .withColumn("__vsoff", col("__soff")
+        + coalesce(sum(col("__v").cast(dec38) * col("__c")).over(wV),
+          lit(0).cast(dec38)))
+    else within0
+    val pickCols = picks.indices.flatMap { i =>
+      val hitI = col("__voff") < col(kCol(i)) &&
+        col(kCol(i)) <= col("__voff") + col("__c")
+      Seq(when(hitI, col("__v")).as(s"__gp$i")) ++
+        picks(i).sumName.map(_ => when(hitI,
+          col("__vsoff")
+            + (col(kCol(i)) - col("__voff")) * col("__v").cast(dec38))
+          .as(s"__gs$i")).toSeq
+    }
+    val outAggs = picks.indices.flatMap { i =>
+      Seq(max(col(s"__gp$i")).as(picks(i).outName)) ++
+        picks(i).sumName.map(sn => max(col(s"__gs$i")).as(sn)).toSeq
+    }
     within
       .join(broadcast(stats.select((g :+ col(nName)) ++ kCol.map(col): _*)),
         groupCols)
-      .select((g :+ col(nName)) ++ picks.indices.map(i =>
-        when(col("__voff") < col(kCol(i))
-          && col(kCol(i)) <= col("__voff") + col("__c"), col("__v"))
-          .as(s"__gp$i")): _*)
+      .select((g :+ col(nName)) ++ pickCols: _*)
       .groupBy((g :+ col(nName)): _*)
-      .agg(max(col("__gp0")).as(picks.head.outName),
-        picks.indices.tail.map(i =>
-          max(col(s"__gp$i")).as(picks(i).outName)): _*)
+      .agg(outAggs.head, outAggs.tail: _*)
   }
 
   def ranked(

@@ -2128,6 +2128,208 @@ object Relational {
                     THEN dev END) AS mad
               FROM r2 GROUP BY 1 ORDER BY 1""")),
 
+    // ── trimmed & winsorized means (exact, via prefix-sums-at-rank) ─────
+    // The robust-location pair q_winsorize's census doesn't give: the
+    // 10%-trimmed mean (drop the k = n div 10 smallest and largest) and
+    // the 10%-winsorized mean (replace them with the boundary members).
+    // Exact at any scale: RankPick.sumName surfaces S(k) = Σ of the k
+    // smallest cents as a DECIMAL(38,0) prefix-sum-at-rank, so
+    // trimmed_sum = S(n−k) − S(k) and the winsorized tails are
+    // k·x₍k+1₎ + k·x₍n−k₎ — integer arithmetic until ONE division per
+    // statistic. Selection-by-value is tie-order-invariant, so both
+    // engines pick identical members. Scale: persisted 2-col census
+    // input, three histogram passes, no range exchange.
+    Q("q_trimmed_stats",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val base = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .persist()
+        RangeRank.groupValuesAtRanks(base, Seq("o_orderpriority"),
+          "cents",
+          Seq(
+            RangeRank.RankPick("v_lo", n => expr("n div 10"),
+              sumName = Some("s_lo")),
+            RangeRank.RankPick("v_lo1", n => expr("n div 10 + 1")),
+            RangeRank.RankPick("v_hi", n => expr("n - n div 10"),
+              sumName = Some("s_hi"))))
+          .select(col("o_orderpriority"), col("n"),
+            expr("n div 10").as("k"),
+            (col("s_hi") - coalesce(col("s_lo"), lit(0).cast(dec38)))
+              .as("tsum"),
+            col("v_lo1"), col("v_hi"))
+          .select(col("o_orderpriority"), col("n"), col("k"),
+            round(col("tsum").cast("double")
+              / ((col("n") - col("k") * 2).cast("double") * 100.0), 6)
+              .as("trimmed_mean_dollars"),
+            round((col("tsum") + (col("v_lo1").cast(dec38)
+                + col("v_hi")) * col("k")).cast("double")
+              / (col("n").cast("double") * 100.0), 6)
+              .as("winsorized_mean_dollars"),
+            round(col("v_lo1").cast("double") / 100.0, 2)
+              .as("lo_bound_dollars"),
+            round(col("v_hi").cast("double") / 100.0, 2)
+              .as("hi_bound_dollars"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH base AS (
+                SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+                FROM orders),
+              r AS (
+                SELECT o_orderpriority, cents,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY cents) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+                FROM base),
+              agg AS (
+                SELECT o_orderpriority, MAX(n) AS n, MAX(n) // 10 AS k,
+                  SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                    THEN CAST(cents AS HUGEINT) END) AS tsum,
+                  MAX(CASE WHEN rn = n // 10 + 1 THEN cents END) AS v_lo1,
+                  MAX(CASE WHEN rn = n - n // 10 THEN cents END) AS v_hi
+                FROM r GROUP BY 1)
+              SELECT o_orderpriority, n, k,
+                round(CAST(tsum AS DOUBLE)
+                  / (CAST(n - 2 * k AS DOUBLE) * 100.0), 6)
+                  AS trimmed_mean_dollars,
+                round(CAST(tsum + (CAST(v_lo1 AS HUGEINT) + v_hi) * k
+                    AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 100.0), 6)
+                  AS winsorized_mean_dollars,
+                round(CAST(v_lo1 AS DOUBLE) / 100.0, 2)
+                  AS lo_bound_dollars,
+                round(CAST(v_hi AS DOUBLE) / 100.0, 2) AS hi_bound_dollars
+              FROM agg ORDER BY 1""")),
+
+    // ── quartile dispersion: IQR, QCD, midhinge per priority ────────────
+    // The bounded-influence dispersion readouts (quartile coefficient of
+    // dispersion is the robust CV): q1/q3 are exact member picks via the
+    // histogram selection; IQR and midhinge are integer cents; QCD is
+    // ONE division of exact integers.
+    Q("q_quartile_dispersion",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .persist()
+        RangeRank.groupValuesAtRanks(base, Seq("o_orderpriority"),
+          "cents",
+          Seq(RangeRank.RankPick("q1", n => ceil(n * 0.25)),
+            RangeRank.RankPick("q3", n => ceil(n * 0.75))))
+          .select(col("o_orderpriority"), col("n"),
+            ((col("q3") - col("q1")).cast("double") / 100.0).as("iqr_dollars"),
+            when(col("q1") + col("q3") === 0, lit(null).cast("double"))
+              .otherwise(round((col("q3") - col("q1")).cast("double")
+                / (col("q3") + col("q1")).cast("double"), 12)).as("qcd"),
+            ((col("q1") + col("q3")).cast("double") / 200.0)
+              .as("midhinge_dollars"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH r AS (
+                SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT)) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+                FROM orders),
+              qs AS (
+                SELECT o_orderpriority, MAX(n) AS n,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                    THEN cents END) AS q1,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                    THEN cents END) AS q3
+                FROM r GROUP BY 1)
+              SELECT o_orderpriority, n,
+                CAST(q3 - q1 AS DOUBLE) / 100.0 AS iqr_dollars,
+                CASE WHEN q1 + q3 = 0 THEN NULL
+                  ELSE round(CAST(q3 - q1 AS DOUBLE)
+                    / CAST(q3 + q1 AS DOUBLE), 12) END AS qcd,
+                CAST(q1 + q3 AS DOUBLE) / 200.0 AS midhinge_dollars
+              FROM qs ORDER BY 1""")),
+
+    // ── Gini mean difference: E|X−X′| per priority, EXACT ───────────────
+    // The dispersion the Gini family is built from, computed WITHOUT the
+    // n² pair fan-out: over the (priority, cents) value census with
+    // exclusive prefix counts (RangeRank.ranked on census rows — the
+    // per-group census grows with data, so the prefix rides the range
+    // shuffle, never a single-task window), the rank-weighted sum
+    // collapses per value-run: Σᵢ(2i−n−1)x₍ᵢ₎ = Σᵥ v·c·(2·off + c − n),
+    // all DECIMAL(38,0). GMD = 2Σ/(n(n−1)) and the relative mean
+    // difference GMD/μ = 2Σ/((n−1)·S) are each ONE division.
+    Q("q_gini_mean_difference",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        // persisted: consumed by the RangeRank pass AND the totals agg
+        val census = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("g", "cents")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .persist()
+        val tot = census.groupBy(col("g").as("tg"))
+          .agg(sum(col("cnt")).cast("long").as("n"),
+            sum(col("cents").cast(dec38) * col("cnt")).as("s"))
+        RangeRank.ranked(census, Seq("g"), Seq(col("cents")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("cnt"), "cum_ex")))
+          .join(broadcast(tot), col("g") === col("tg"))
+          .select(col("g"), col("n"), col("s"),
+            (col("cents").cast(dec38) * col("cnt")
+              * (col("cum_ex") * 2 + col("cnt") - col("n"))).as("term"))
+          .groupBy("g", "n", "s")
+          .agg(sum(col("term")).as("w"))
+          .select(col("g"), col("n"),
+            when(col("n") < 2, lit(null).cast("double"))
+              .otherwise(round((col("w") * 2).cast("double")
+                / (col("n").cast("double") * (col("n") - 1).cast("double")
+                  * 100.0), 6)).as("gmd_dollars"),
+            when(col("n") < 2 || col("s") === 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("w") * 2).cast("double")
+                / ((col("n") - 1).cast("double")
+                  * col("s").cast("double")), 12))
+              .as("relative_mean_diff"))
+          .orderBy("g")
+      },
+      Some("""WITH census AS (
+                SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM orders GROUP BY 1, 2),
+              tot AS (
+                SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+                  SUM(CAST(cents AS HUGEINT) * cnt) AS s
+                FROM census GROUP BY 1),
+              ranked AS (
+                SELECT census.g, cents, cnt, n, s,
+                  COALESCE(SUM(cnt) OVER (PARTITION BY census.g
+                    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cum_ex
+                FROM census JOIN tot ON census.g = tot.g),
+              agg AS (
+                SELECT g, MAX(n) AS n, MAX(s) AS s,
+                  SUM(CAST(cents AS HUGEINT) * cnt
+                    * (2 * cum_ex + cnt - n)) AS w
+                FROM ranked GROUP BY 1)
+              SELECT g, n,
+                CASE WHEN n < 2 THEN NULL
+                  ELSE round(CAST(w * 2 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                      * 100.0), 6) END AS gmd_dollars,
+                CASE WHEN n < 2 OR s = 0 THEN NULL
+                  ELSE round(CAST(w * 2 AS DOUBLE)
+                    / (CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)), 12)
+                  END AS relative_mean_diff
+              FROM agg ORDER BY g""")),
+
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best
     // offer" becomes agg-to-one-row-per-part + equality join — each side

@@ -144,6 +144,39 @@ class RangeRankSpec extends SparkSpec {
     li.unpersist(); dev.unpersist()
   }
 
+  test("groupValuesAtRanks sumName: S(k) equals the naive window prefix") {
+    // the exact prefix-sum-at-rank primitive (trimmed/winsorized sums)
+    val li = spark.read.parquet(sfPath("0.01") + "/lineitem.parquet")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q")).persist()
+    val naiveW = Window.partitionBy("l_returnflag").orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rnW = Window.partitionBy("l_returnflag").orderBy(col("q"))
+    val naive = li
+      .select(col("l_returnflag"), sum(col("q")).over(naiveW).as("sk"),
+        row_number().over(rnW).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === expr("n div 10"), col("sk"))).as("s_lo"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("sk"))).as("s_med"))
+    // naive prefix at rank k is tie-DEPENDENT only in which row carries
+    // rank k, not in the sum of the k smallest (equal values commute)
+    val fast = RangeRank.groupValuesAtRanks(li, Seq("l_returnflag"), "q",
+      Seq(RangeRank.RankPick("v_lo", n => expr("n div 10"),
+          sumName = Some("s_lo")),
+        RangeRank.RankPick("v_med", n => ceil(n * 0.5),
+          sumName = Some("s_med"))))
+      .select(col("l_returnflag"), col("s_lo").cast("long").as("s_lo"),
+        col("s_med").cast("long").as("s_med"))
+    val naiveL = naive.select(col("l_returnflag"),
+      col("s_lo").cast("long").as("s_lo"),
+      col("s_med").cast("long").as("s_med"))
+    assert(naiveL.exceptAll(fast).isEmpty && fast.exceptAll(naiveL).isEmpty,
+      "prefix-sum-at-rank diverged from the naive running sum")
+    li.unpersist()
+  }
+
   test("groupValuesAtRanks: constant groups and coinciding targets") {
     import spark.implicits._
     // group a: all-equal values (mn == mx bucket collapse); group b:

@@ -1023,7 +1023,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_overlap_sketch" -> 0, "q_sketch_rollup" -> 0,
       // round-8 forecast/monitor batch: persisted day censuses
       "q_tracking_signal" -> 0, "q_pinball_loss" -> 0,
-      "q_cusum_chart" -> 0)
+      "q_cusum_chart" -> 0,
+      // round-8 robust-dispersion batch: persisted projections/censuses
+      "q_trimmed_stats" -> 0, "q_quartile_dispersion" -> 0,
+      "q_gini_mean_difference" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
