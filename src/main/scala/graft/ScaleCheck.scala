@@ -201,7 +201,9 @@ object ScaleCheck {
     "q_pinball_loss",
     // round-8 robust-dispersion batch: prefix-sum-at-rank selections
     // and the census-ranked GMD
-    "q_trimmed_stats", "q_quartile_dispersion", "q_gini_mean_difference")
+    "q_trimmed_stats", "q_quartile_dispersion", "q_gini_mean_difference",
+    // round-8 tail/uplift/entropy batch
+    "q_peak_over_threshold", "q_entropy_rate", "q_qini_uplift")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

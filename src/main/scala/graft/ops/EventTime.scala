@@ -5256,7 +5256,65 @@ object EventTime {
                   AS BIGINT) AS n_alarms_hi,
                 CAST(SUM(CASE WHEN c_lo > s * 10 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_alarms_lo
-              FROM c GROUP BY 1 ORDER BY quarter"""))
+              FROM c GROUP BY 1 ORDER BY quarter""")),
+
+    // ── conditional next-event entropy H(next | prev) per source state ──
+    // The information-theoretic readout of q_transitions' Markov chain:
+    // how predictable is the next event given the current one?
+    // H(·|a) = Σ_b (c_ab/n_a)·ln(n_a/c_ab) over the ≤|types|² transition
+    // census. Terms are rounded to 12 decimals (the ln is the only libm
+    // op; a last-ULP split dies at the rounding, the q_js_drift
+    // discipline) and summed with a b-pinned fold so both engines add
+    // in the same order. Scale: the event-scale work is q_transitions'
+    // lag shuffle + census agg; everything after is alphabet-bounded.
+    Q("q_entropy_rate",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(byUser).as("nxt"))
+          .filter(col("nxt").isNotNull)
+        // persisted: consumed by the out-degree census AND the term join
+        val census = pairs.groupBy("cur", "nxt")
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .persist()
+        val outDeg = census.groupBy(col("cur").as("c2"))
+          .agg(sum(col("cnt")).cast("long").as("n_out"))
+        census.join(broadcast(outDeg), col("cur") === col("c2"))
+          .select(col("cur"), col("nxt"), col("n_out"),
+            round((col("cnt").cast("double") / col("n_out").cast("double"))
+              * log(col("n_out").cast("double") / col("cnt").cast("double")),
+              12).as("term"))
+          .groupBy("cur")
+          .agg(max(col("n_out")).as("n_out"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(nxt, term))),
+                |  CAST(0 AS DOUBLE), (a, x) -> a + x.term)""".stripMargin),
+              12).as("h_nats"))
+          .orderBy("cur")
+      },
+      Some("""WITH pairs AS (
+                SELECT event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+                FROM events),
+              census AS (
+                SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+                FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+              deg AS (
+                SELECT cur AS c2, CAST(SUM(cnt) AS BIGINT) AS n_out
+                FROM census GROUP BY 1),
+              terms AS (
+                SELECT cur, nxt, n_out,
+                  round((CAST(cnt AS DOUBLE) / CAST(n_out AS DOUBLE))
+                    * ln(CAST(n_out AS DOUBLE) / CAST(cnt AS DOUBLE)), 12)
+                    AS term
+                FROM census JOIN deg ON cur = c2)
+              SELECT cur, MAX(n_out) AS n_out,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY nxt)), (a, x) -> a + x), 12)
+                  AS h_nats
+              FROM terms GROUP BY 1 ORDER BY cur"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

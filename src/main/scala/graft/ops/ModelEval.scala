@@ -4559,6 +4559,100 @@ object ModelEval {
                 CASE WHEN e_d2 = 0 THEN NULL
                   ELSE round(1.0 - CAST(o_d2 * n AS DOUBLE)
                     / CAST(e_d2 AS DOUBLE), 12) END AS kappa_w
-              FROM obs, m"""))
+              FROM obs, m""")),
+
+    // ── Qini / uplift deciles: does targeting-by-value find lift? ───────
+    // The uplift-modeling readout q_lift_gain (outcome-only) cannot
+    // give: with treatment = urgent/high priority and outcome =
+    // fulfilled status, rank ALL units by the targeting score
+    // (order value, desc) and read the CUMULATIVE treated-vs-control
+    // response gap per decile. uplift(d) = Y̅_t − Y̅_c over the top d
+    // deciles (two exact ratios), qini(d) = Y_t − Y_c·N_t/N_c in
+    // response counts. Ranking rides RangeRank (cluster-wide, exact,
+    // same tiebreak both engines); per-decile cells are a 10-row
+    // census, cumulated with a 10-row window.
+    Q("q_qini_uplift",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+            col("o_orderkey"))
+          .withColumn("g", lit(1L))
+        val ranked = RangeRank.ranked(base, Seq("g"),
+          Seq(col("cents").desc, col("o_orderkey")))
+        val cells = ranked
+          .select(expr("(rn - 1) * 10 div n + 1").as("decile"),
+            col("tr"), col("y"))
+          .groupBy("decile")
+          .agg(sum(col("tr")).cast("long").as("nt"),
+            sum(lit(1L) - col("tr")).cast("long").as("nc"),
+            sum(col("y") * col("tr")).cast("long").as("yt"),
+            sum(col("y") * (lit(1L) - col("tr"))).cast("long").as("yc"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cells
+          .select(col("decile"),
+            sum(col("nt")).over(wCum).cast("long").as("cnt_t"),
+            sum(col("nc")).over(wCum).cast("long").as("cnt_c"),
+            sum(col("yt")).over(wCum).cast("long").as("cy_t"),
+            sum(col("yc")).over(wCum).cast("long").as("cy_c"))
+          .select(col("decile"), col("cnt_t"), col("cnt_c"),
+            col("cy_t"), col("cy_c"),
+            when(col("cnt_t") === 0 || col("cnt_c") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(col("cy_t").cast("double")
+                / col("cnt_t").cast("double")
+                - col("cy_c").cast("double")
+                  / col("cnt_c").cast("double"), 12)).as("uplift_cum"),
+            when(col("cnt_c") === 0, lit(null).cast("double"))
+              .otherwise(round(col("cy_t").cast("double")
+                - col("cy_c").cast("double")
+                  * col("cnt_t").cast("double")
+                  / col("cnt_c").cast("double"), 6)).as("qini"))
+          .orderBy("decile")
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority
+                    IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  o_orderkey
+                FROM orders),
+              r AS (
+                SELECT tr, y,
+                  CAST(row_number() OVER (ORDER BY cents DESC,
+                    o_orderkey) AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM base),
+              cells AS (
+                SELECT (rn - 1) * 10 // n + 1 AS decile,
+                  CAST(SUM(tr) AS BIGINT) AS nt,
+                  CAST(SUM(1 - tr) AS BIGINT) AS nc,
+                  CAST(SUM(y * tr) AS BIGINT) AS yt,
+                  CAST(SUM(y * (1 - tr)) AS BIGINT) AS yc
+                FROM r GROUP BY 1),
+              cum AS (
+                SELECT CAST(decile AS BIGINT) AS decile,
+                  CAST(SUM(nt) OVER w AS BIGINT) AS cnt_t,
+                  CAST(SUM(nc) OVER w AS BIGINT) AS cnt_c,
+                  CAST(SUM(yt) OVER w AS BIGINT) AS cy_t,
+                  CAST(SUM(yc) OVER w AS BIGINT) AS cy_c
+                FROM cells
+                WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW))
+              SELECT decile, cnt_t, cnt_c, cy_t, cy_c,
+                CASE WHEN cnt_t = 0 OR cnt_c = 0 THEN NULL
+                  ELSE round(CAST(cy_t AS DOUBLE) / CAST(cnt_t AS DOUBLE)
+                    - CAST(cy_c AS DOUBLE) / CAST(cnt_c AS DOUBLE), 12)
+                  END AS uplift_cum,
+                CASE WHEN cnt_c = 0 THEN NULL
+                  ELSE round(CAST(cy_t AS DOUBLE)
+                    - CAST(cy_c AS DOUBLE) * CAST(cnt_t AS DOUBLE)
+                      / CAST(cnt_c AS DOUBLE), 6) END AS qini
+              FROM cum ORDER BY decile"""))
   )
 }

@@ -2330,6 +2330,94 @@ object Relational {
                   END AS relative_mean_diff
               FROM agg ORDER BY g""")),
 
+    // ── peaks-over-threshold: mean excess at p90/p95/p99 ────────────────
+    // The POT half of extreme-value analysis (q_evt_gumbel covers block
+    // maxima): exceedance counts and the mean-excess function e(u) at
+    // exact member thresholds. A rising e(u) ⇒ heavy tail (GPD ξ > 0).
+    // All exact: u and S(k) come from ONE groupValuesAtRanks pass with
+    // prefix-sums-at-rank, excess mass = S_total − S(k) − u·(n−k) in
+    // DECIMAL(38,0), one division per threshold.
+    Q("q_peak_over_threshold",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val base = t(s, dir, "orders")
+          .select((dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+          .withColumn("g", lit(1L)).persist()
+        val tot = base.agg(sum(col("cents").cast(dec38)).as("s_all"))
+        val gv = RangeRank.groupValuesAtRanks(base, Seq("g"), "cents",
+          Seq(
+            RangeRank.RankPick("u90", n => ceil(n * 0.90),
+              sumName = Some("s90")),
+            RangeRank.RankPick("u95", n => ceil(n * 0.95),
+              sumName = Some("s95")),
+            RangeRank.RankPick("u99", n => ceil(n * 0.99),
+              sumName = Some("s99"))))
+        gv.crossJoin(broadcast(tot))
+          .select(col("n"), col("s_all"), expr(
+            """stack(3,
+              |  CAST(90 AS BIGINT), u90, s90, CAST(ceil(n * 0.90) AS BIGINT),
+              |  CAST(95 AS BIGINT), u95, s95, CAST(ceil(n * 0.95) AS BIGINT),
+              |  CAST(99 AS BIGINT), u99, s99, CAST(ceil(n * 0.99) AS BIGINT))
+              |AS (pct, u, sk, k)""".stripMargin))
+          .select(col("pct"),
+            round(col("u").cast("double") / 100.0, 2)
+              .as("threshold_dollars"),
+            (col("n") - col("k")).as("n_exceed"),
+            when(col("n") === col("k"), lit(null).cast("double"))
+              .otherwise(round(
+                (col("s_all") - col("sk")
+                  - col("u").cast(dec38) * (col("n") - col("k")))
+                  .cast("double")
+                / ((col("n") - col("k")).cast("double") * 100.0), 6))
+              .as("mean_excess_dollars"))
+          .orderBy("pct")
+      },
+      Some("""WITH base AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+                FROM orders),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents) AS BIGINT)
+                    AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM base),
+              qs AS (
+                SELECT MAX(n) AS n,
+                  CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s_all,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT)
+                    THEN cents END) AS u90,
+                  SUM(CASE WHEN rn <= CAST(ceil(n * 0.90) AS BIGINT)
+                    THEN CAST(cents AS HUGEINT) END) AS s90,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                    THEN cents END) AS u95,
+                  SUM(CASE WHEN rn <= CAST(ceil(n * 0.95) AS BIGINT)
+                    THEN CAST(cents AS HUGEINT) END) AS s95,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                    THEN cents END) AS u99,
+                  SUM(CASE WHEN rn <= CAST(ceil(n * 0.99) AS BIGINT)
+                    THEN CAST(cents AS HUGEINT) END) AS s99
+                FROM r),
+              outp AS (
+                SELECT CAST(90 AS BIGINT) AS pct, n, s_all, u90 AS u,
+                  s90 AS sk, CAST(ceil(n * 0.90) AS BIGINT) AS k FROM qs
+                UNION ALL
+                SELECT CAST(95 AS BIGINT), n, s_all, u95, s95,
+                  CAST(ceil(n * 0.95) AS BIGINT) FROM qs
+                UNION ALL
+                SELECT CAST(99 AS BIGINT), n, s_all, u99, s99,
+                  CAST(ceil(n * 0.99) AS BIGINT) FROM qs)
+              SELECT pct,
+                round(CAST(u AS DOUBLE) / 100.0, 2) AS threshold_dollars,
+                n - k AS n_exceed,
+                CASE WHEN n = k THEN NULL
+                  ELSE round(CAST(s_all - sk - CAST(u AS HUGEINT)
+                      * (n - k) AS DOUBLE)
+                    / (CAST(n - k AS DOUBLE) * 100.0), 6)
+                  END AS mean_excess_dollars
+              FROM outp ORDER BY pct""")),
+
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best
     // offer" becomes agg-to-one-row-per-part + equality join — each side

@@ -1026,7 +1026,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_cusum_chart" -> 0,
       // round-8 robust-dispersion batch: persisted projections/censuses
       "q_trimmed_stats" -> 0, "q_quartile_dispersion" -> 0,
-      "q_gini_mean_difference" -> 0)
+      "q_gini_mean_difference" -> 0,
+      // round-8 tail/uplift/entropy batch
+      "q_peak_over_threshold" -> 0, "q_entropy_rate" -> 1,
+      "q_qini_uplift" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
