@@ -2198,6 +2198,61 @@ object Curation {
                 round(sq / z, 12) AS p_sample,
                 round((sq / z) / (CAST(chars AS DOUBLE)
                   / CAST(tot AS DOUBLE)), 12) AS upsample_factor
-              FROM sq, z ORDER BY source"""))
+              FROM sq, z ORDER BY source""")),
+
+    // ── length-bucketed batching vs fixed-context padding ───────────────
+    // The batching-policy readout q_token_budget's fixed-512 plan can't
+    // give: assign each doc to the smallest power-of-two bucket in
+    // [128, 2048] that fits (docs past 2048 split into 2048-token
+    // chunks) and compare total padded slots against the fixed-512
+    // policy. Pure integer arithmetic per row (CASE ladder + ceil-div),
+    // partial-agg census per source, one division for the savings
+    // share. The decision this feeds: is dynamic batching worth the
+    // bucketing complexity on THIS corpus?
+    Q("q_length_buckets",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .select(col("source"), col("n_tok"),
+          expr("""CASE WHEN n_tok <= 128 THEN 128
+                 WHEN n_tok <= 256 THEN 256
+                 WHEN n_tok <= 512 THEN 512
+                 WHEN n_tok <= 1024 THEN 1024
+                 WHEN n_tok <= 2048 THEN 2048
+                 ELSE ((n_tok + 2047) div 2048) * 2048 END""")
+            .as("bucketed"),
+          expr("((n_tok + 511) div 512) * 512").as("fixed512"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          sum(col("bucketed")).cast("long").as("bucketed_slots"),
+          sum(col("fixed512")).cast("long").as("fixed512_slots"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("bucketed_slots"), col("fixed512_slots"),
+          round(lit(1.0) - col("bucketed_slots").cast("double")
+            / col("fixed512_slots").cast("double"), 12)
+            .as("savings_share"))
+        .orderBy("source"),
+      Some("""WITH d AS (
+                SELECT source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents),
+              b AS (
+                SELECT source, n_tok,
+                  CASE WHEN n_tok <= 128 THEN 128
+                    WHEN n_tok <= 256 THEN 256
+                    WHEN n_tok <= 512 THEN 512
+                    WHEN n_tok <= 1024 THEN 1024
+                    WHEN n_tok <= 2048 THEN 2048
+                    ELSE ((n_tok + 2047) // 2048) * 2048 END AS bucketed,
+                  ((n_tok + 511) // 512) * 512 AS fixed512
+                FROM d)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                CAST(SUM(bucketed) AS BIGINT) AS bucketed_slots,
+                CAST(SUM(fixed512) AS BIGINT) AS fixed512_slots,
+                round(1.0 - CAST(SUM(bucketed) AS DOUBLE)
+                  / CAST(SUM(fixed512) AS DOUBLE), 12) AS savings_share
+              FROM b GROUP BY 1 ORDER BY source"""))
   )
 }

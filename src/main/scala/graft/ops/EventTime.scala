@@ -5314,7 +5314,94 @@ object EventTime {
                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list(term ORDER BY nxt)), (a, x) -> a + x), 12)
                   AS h_nats
-              FROM terms GROUP BY 1 ORDER BY cur"""))
+              FROM terms GROUP BY 1 ORDER BY cur""")),
+
+    // ── Lo–MacKinlay variance-ratio test on daily revenue ───────────────
+    // Is the daily revenue series a random walk? VR(q) compares the
+    // variance of q-day changes against q × the 1-day-change variance:
+    // VR(q) = ((n−1)·Σ D_q²) / (q·(n−q)·Σ d²), zero-drift form — a
+    // martingale holds VR ≈ 1, mean reversion pulls it below. Both
+    // sums are exact DECIMAL(38,0) over the PERSISTED zero-filled day
+    // spine (q_autocorr's calendar-bounded shape); ONE division per q.
+    Q("q_variance_ratio",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val counts = medianDaily(t(s, dir, "orders"))
+          .select(datediff(col("day").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d"),
+            col("cents"))
+        val bounds = counts.agg(min(col("d")), max(col("d"))).head
+        val (minD, maxD) = (bounds.getLong(0), bounds.getLong(1))
+        val dense = s.range(minD, maxD + 1)
+          .select(col("id").as("d"))
+          .join(counts, Seq("d"), "left")
+          .select(col("d"), coalesce(col("cents"), lit(0L)).as("x"))
+          .persist()
+        val w = Window.orderBy("d")
+        val diffs = dense
+          .select(col("d"), col("x"),
+            (col("x") - lag(col("x"), 1).over(w)).as("d1"),
+            (col("x") - lag(col("x"), 2).over(w)).as("d2"),
+            (col("x") - lag(col("x"), 5).over(w)).as("d5"),
+            (col("x") - lag(col("x"), 10).over(w)).as("d10"))
+        val agg = diffs.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum((col("d1").cast(dec38) * col("d1"))).as("s1"),
+          sum((col("d2").cast(dec38) * col("d2"))).as("s2"),
+          sum((col("d5").cast(dec38) * col("d5"))).as("s5"),
+          sum((col("d10").cast(dec38) * col("d10"))).as("s10"))
+        agg.select(expr(
+          """stack(3,
+            |  CAST(2 AS BIGINT), n, s1, s2,
+            |  CAST(5 AS BIGINT), n, s1, s5,
+            |  CAST(10 AS BIGINT), n, s1, s10)
+            |AS (q, n, s1, sq)""".stripMargin))
+          .select(col("q"), col("n"),
+            when(col("s1") === 0 || col("n") <= col("q"),
+              lit(null).cast("double"))
+              .otherwise(round((col("sq") * (col("n") - 1)).cast("double")
+                / (col("s1") * col("q") * (col("n") - col("q")))
+                  .cast("double"), 12)).as("vr"))
+          .orderBy("q")
+      },
+      Some("""WITH days AS (
+                SELECT DATE_DIFF('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', o_orderdate) AS DATE)) AS d,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              mm AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM days),
+              dense AS (
+                SELECT g.d, COALESCE(days.cents, 0) AS x
+                FROM (SELECT UNNEST(generate_series(
+                        (SELECT mn FROM mm), (SELECT mx FROM mm))) AS d) g
+                  LEFT JOIN days ON g.d = days.d),
+              diffs AS (
+                SELECT x,
+                  x - lag(x, 1) OVER (ORDER BY d) AS d1,
+                  x - lag(x, 2) OVER (ORDER BY d) AS d2,
+                  x - lag(x, 5) OVER (ORDER BY d) AS d5,
+                  x - lag(x, 10) OVER (ORDER BY d) AS d10
+                FROM dense),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(d1 AS HUGEINT) * d1) AS s1,
+                  SUM(CAST(d2 AS HUGEINT) * d2) AS s2,
+                  SUM(CAST(d5 AS HUGEINT) * d5) AS s5,
+                  SUM(CAST(d10 AS HUGEINT) * d10) AS s10
+                FROM diffs),
+              outp AS (
+                SELECT CAST(2 AS BIGINT) AS q, n, s1, s2 AS sq FROM agg
+                UNION ALL
+                SELECT CAST(5 AS BIGINT), n, s1, s5 FROM agg
+                UNION ALL
+                SELECT CAST(10 AS BIGINT), n, s1, s10 FROM agg)
+              SELECT q, n,
+                CASE WHEN s1 = 0 OR n <= q THEN NULL
+                  ELSE round(CAST(sq * (n - 1) AS DOUBLE)
+                    / CAST(s1 * q * (n - q) AS DOUBLE), 12)
+                  END AS vr
+              FROM outp ORDER BY q"""))
   )
 
   /** PSI-timeline sufficient statistic: the (week, value-bin) count

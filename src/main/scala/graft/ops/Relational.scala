@@ -2418,6 +2418,69 @@ object Relational {
                   END AS mean_excess_dollars
               FROM outp ORDER BY pct""")),
 
+    // ── price-ending ladder: psychological-pricing audit ────────────────
+    // Which cent endings does each priority's order book sit on? The
+    // retail data-quality readout (a synthetic book shows ~uniform
+    // endings; a curated catalog clusters on .99/.00 — the audit is the
+    // point). Shares are exact count ratios; the modal ending is a
+    // deterministic struct-argmax (count desc, ending asc tiebreak —
+    // the q_argmax discipline).
+    Q("q_price_ladder",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            pmod((dec2(col("o_totalprice")) * 100).cast("long"), lit(100L))
+              .as("ending"))
+          .groupBy("o_orderpriority", "ending")
+          .agg(count(lit(1)).cast("long").as("c"))
+        cells.groupBy("o_orderpriority")
+          .agg(sum(col("c")).cast("long").as("n"),
+            max(struct(col("c").as("c"), (-col("ending")).as("negend")))
+              .as("mx"),
+            sum(when(col("ending") === 0, col("c")).otherwise(0L))
+              .cast("long").as("n_00"),
+            sum(when(col("ending") === 50, col("c")).otherwise(0L))
+              .cast("long").as("n_50"),
+            sum(when(col("ending") === 99, col("c")).otherwise(0L))
+              .cast("long").as("n_99"))
+          .select(col("o_orderpriority"), col("n"),
+            (-col("mx.negend")).as("modal_ending"),
+            col("mx.c").as("modal_count"),
+            round(col("n_00").cast("double") / col("n").cast("double"), 12)
+              .as("share_00"),
+            round(col("n_50").cast("double") / col("n").cast("double"), 12)
+              .as("share_50"),
+            round(col("n_99").cast("double") / col("n").cast("double"), 12)
+              .as("share_99"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH cells AS (
+                SELECT o_orderpriority,
+                  ((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) % 100) + 100) % 100 AS ending,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1, 2),
+              agg AS (
+                SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n,
+                  MAX(struct_pack(c := c, negend := -ending)) AS mx,
+                  CAST(SUM(CASE WHEN ending = 0 THEN c ELSE 0 END)
+                    AS BIGINT) AS n_00,
+                  CAST(SUM(CASE WHEN ending = 50 THEN c ELSE 0 END)
+                    AS BIGINT) AS n_50,
+                  CAST(SUM(CASE WHEN ending = 99 THEN c ELSE 0 END)
+                    AS BIGINT) AS n_99
+                FROM cells GROUP BY 1)
+              SELECT o_orderpriority, n,
+                -(mx.negend) AS modal_ending,
+                (mx.c) AS modal_count,
+                round(CAST(n_00 AS DOUBLE) / CAST(n AS DOUBLE), 12)
+                  AS share_00,
+                round(CAST(n_50 AS DOUBLE) / CAST(n AS DOUBLE), 12)
+                  AS share_50,
+                round(CAST(n_99 AS DOUBLE) / CAST(n AS DOUBLE), 12)
+                  AS share_99
+              FROM agg ORDER BY 1""")),
+
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best
     // offer" becomes agg-to-one-row-per-part + equality join — each side

@@ -1029,7 +1029,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_gini_mean_difference" -> 0,
       // round-8 tail/uplift/entropy batch
       "q_peak_over_threshold" -> 0, "q_entropy_rate" -> 1,
-      "q_qini_uplift" -> 1)
+      "q_qini_uplift" -> 1,
+      // round-8 series/audit batch
+      "q_variance_ratio" -> 0, "q_price_ladder" -> 1,
+      "q_length_buckets" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
