@@ -203,7 +203,9 @@ object ScaleCheck {
     // and the census-ranked GMD
     "q_trimmed_stats", "q_quartile_dispersion", "q_gini_mean_difference",
     // round-8 tail/uplift/entropy batch
-    "q_peak_over_threshold", "q_entropy_rate", "q_qini_uplift")
+    "q_peak_over_threshold", "q_entropy_rate", "q_qini_uplift",
+    // round-8 selection batch: 4-pick gap-ratio screen
+    "q_dixon_q")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

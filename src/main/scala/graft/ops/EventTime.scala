@@ -5037,27 +5037,11 @@ object EventTime {
     // (Σe·n vs Σ|e|). Scale shape: one orders scan collapses to the
     // ≤|days| census; everything after is calendar-bounded.
     Q("q_tracking_signal",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        // persisted: the d−7 self-join consumes the census twice
-        // (q_forecast_eval's discipline)
-        val days = medianDaily(t(s, dir, "orders")).persist()
-        val f = days.select(expr("day + interval 7 days").as("day"),
-          col("cents").as("f_cents"))
-        days.join(f, "day")
-          .groupBy(date_trunc("month", col("day")).as("month"))
-          .agg(count(lit(1)).cast("long").as("n_days"),
-            sum((col("cents") - col("f_cents")).cast(dec38)).as("sum_e"),
-            sum(abs((col("cents") - col("f_cents")).cast(dec38)))
-              .as("sum_abs_e"))
-          .select(col("month"), col("n_days"),
-            col("sum_e").cast("long").as("err_cents"),
-            when(col("sum_abs_e") === 0, lit(null).cast("double"))
-              .otherwise(round((col("sum_e") * col("n_days"))
-                .cast("double") / col("sum_abs_e").cast("double"), 12))
-              .as("tracking_signal"))
-          .orderBy("month")
-      },
+      // persisted: the d−7 self-join consumes the census twice
+      // (q_forecast_eval's discipline); trackingFinish is the FIFTH
+      // readout of the medianDaily Complete-mode streaming state
+      // (StreamingSpec proves drained ≡ batch)
+      (s, dir) => trackingFinish(medianDaily(t(s, dir, "orders")).persist()),
       Some("""WITH days AS (
                 SELECT date_trunc('day', o_orderdate) AS day,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -5671,6 +5655,31 @@ object EventTime {
     * Σ|e|/Σe² sums, MASE as one cross-product division and Theil's U1
     * as three √s of identical integers. Drained ≡ batch exactly.
     */
+  /** Finishing arithmetic of q_tracking_signal over the SAME day census
+    * the rolling-median / forecast / MASE family keeps ([[medianDaily]])
+    * — the FIFTH readout of that Complete-mode streaming state: d−7
+    * self-join, exact dec38 Σe and Σ|e| per month, TS as one
+    * cross-product division. Drained ≡ batch exactly.
+    */
+  def trackingFinish(days: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val f = days.select(expr("day + interval 7 days").as("day"),
+      col("cents").as("f_cents"))
+    days.join(f, "day")
+      .groupBy(date_trunc("month", col("day")).as("month"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum((col("cents") - col("f_cents")).cast(dec38)).as("sum_e"),
+        sum(abs((col("cents") - col("f_cents")).cast(dec38)))
+          .as("sum_abs_e"))
+      .select(col("month"), col("n_days"),
+        col("sum_e").cast("long").as("err_cents"),
+        when(col("sum_abs_e") === 0, lit(null).cast("double"))
+          .otherwise(round((col("sum_e") * col("n_days"))
+            .cast("double") / col("sum_abs_e").cast("double"), 12))
+          .as("tracking_signal"))
+      .orderBy("month")
+  }
+
   def maseFinish(daysIn: DataFrame): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.orderBy("day")

@@ -367,6 +367,61 @@ object Relational {
                 ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
               ORDER BY e.event_id""")),
 
+    // ── as-of join with a staleness tolerance (the production variant) ──
+    // Real feature pipelines bound how stale a matched record may be:
+    // an as-of match older than 90 days is a MISS, not a feature. Same
+    // union + last-ignoreNulls machinery as q_join_asof (one user-keyed
+    // shuffle, no per-event re-probe) with the order DATE carried
+    // through the window so the staleness test is one integer datediff
+    // per event — matches past tolerance null out exactly like the
+    // oracle's post-ASOF filter.
+    Q("q_join_asof_tolerance",
+      (s, dir) => {
+        val tolDays = 90
+        val e = t(s, dir, "events").select(
+          col("user_id").as("k"), col("ts").cast("timestamp_ntz").as("tt"),
+          lit(1L).as("is_event"), col("event_id"),
+          lit(null).cast("long").as("okey"))
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("k"),
+            col("o_orderdate").cast("timestamp_ntz").as("tt"))
+          .agg(max("o_orderkey").as("okey"))
+          .select(col("k"), col("tt"), lit(0L).as("is_event"),
+            lit(null).cast("long").as("event_id"), col("okey"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("tt").asc, col("is_event").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .select(col("k").as("user_id"), col("event_id"),
+            col("is_event"), col("tt"),
+            last(col("okey"), ignoreNulls = true).over(w).as("okey"),
+            last(when(col("is_event") === 0, col("tt")),
+              ignoreNulls = true).over(w).as("odate"))
+          .filter(col("is_event") === 1L)
+          .select(col("event_id"), col("user_id"),
+            datediff(col("tt").cast("date"), col("odate").cast("date"))
+              .cast("long").as("gap"), col("okey"))
+          .select(col("event_id"), col("user_id"),
+            when(col("gap") <= tolDays, col("okey")).as("asof_orderkey"),
+            when(col("gap") <= tolDays, col("gap")).as("days_since"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, o_orderdate,
+                  max(o_orderkey) AS okey
+                FROM orders GROUP BY 1, 2)
+              SELECT e.event_id, e.user_id,
+                CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(e.ts AS DATE)) <= 90 THEN o.okey END
+                  AS asof_orderkey,
+                CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(e.ts AS DATE)) <= 90
+                  THEN CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(e.ts AS DATE)) AS BIGINT) END AS days_since
+              FROM events e ASOF LEFT JOIN o
+                ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+              ORDER BY e.event_id""")),
+
     // ── skew-salted join as a first-class query ──────────────────────────
     // The static skew mitigation ([[graft.functions.SaltedJoin]]) run as
     // a real query: the fact side salts deterministically (content hash,
@@ -2480,6 +2535,66 @@ object Relational {
                 round(CAST(n_99 AS DOUBLE) / CAST(n AS DOUBLE), 12)
                   AS share_99
               FROM agg ORDER BY 1""")),
+
+    // ── Dixon's Q gap-ratio outlier screen per priority ─────────────────
+    // The small-overhead cousin of q_grubbs_test (which needs mean/sd):
+    // Q_low = (x₍₂₎−x₍₁₎)/range, Q_high = (x₍n₎−x₍n₋₁₎)/range from FOUR
+    // exact member picks — extremes and their neighbors in one
+    // groupValuesAtRanks pass (ranks 1, 2, n−1, n). One guarded
+    // division per side.
+    Q("q_dixon_q",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .persist()
+        RangeRank.groupValuesAtRanks(base, Seq("o_orderpriority"),
+          "cents",
+          Seq(RangeRank.RankPick("x1", _ => lit(1L)),
+            RangeRank.RankPick("x2", n => least(lit(2L), n)),
+            RangeRank.RankPick("xn1", n => greatest(n - 1, lit(1L))),
+            RangeRank.RankPick("xn", n => n)))
+          .select(col("o_orderpriority"), col("n"),
+            round((col("xn") - col("x1")).cast("double") / 100.0, 2)
+              .as("range_dollars"),
+            when(col("xn") === col("x1"), lit(null).cast("double"))
+              .otherwise(round((col("x2") - col("x1")).cast("double")
+                / (col("xn") - col("x1")).cast("double"), 12))
+              .as("q_low"),
+            when(col("xn") === col("x1"), lit(null).cast("double"))
+              .otherwise(round((col("xn") - col("xn1")).cast("double")
+                / (col("xn") - col("x1")).cast("double"), 12))
+              .as("q_high"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH r AS (
+                SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT)) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+                FROM orders),
+              p AS (
+                SELECT o_orderpriority, MAX(n) AS n,
+                  MAX(CASE WHEN rn = 1 THEN cents END) AS x1,
+                  MAX(CASE WHEN rn = LEAST(2, n) THEN cents END) AS x2,
+                  MAX(CASE WHEN rn = GREATEST(n - 1, 1) THEN cents END)
+                    AS xn1,
+                  MAX(CASE WHEN rn = n THEN cents END) AS xn
+                FROM r GROUP BY 1)
+              SELECT o_orderpriority, n,
+                round(CAST(xn - x1 AS DOUBLE) / 100.0, 2)
+                  AS range_dollars,
+                CASE WHEN xn = x1 THEN NULL
+                  ELSE round(CAST(x2 - x1 AS DOUBLE)
+                    / CAST(xn - x1 AS DOUBLE), 12) END AS q_low,
+                CASE WHEN xn = x1 THEN NULL
+                  ELSE round(CAST(xn - xn1 AS DOUBLE)
+                    / CAST(xn - x1 AS DOUBLE), 12) END AS q_high
+              FROM p ORDER BY 1""")),
 
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best

@@ -1032,7 +1032,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_qini_uplift" -> 1,
       // round-8 series/audit batch
       "q_variance_ratio" -> 0, "q_price_ladder" -> 1,
-      "q_length_buckets" -> 1)
+      "q_length_buckets" -> 1,
+      // round-8 selection/join batch
+      "q_dixon_q" -> 0, "q_join_asof_tolerance" -> 2)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,

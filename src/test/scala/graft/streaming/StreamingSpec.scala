@@ -1057,6 +1057,27 @@ class StreamingSpec extends SparkSpec {
       "drained day census diverged from batch q_mase")
   }
 
+  test("drained day census finishes to batch q_tracking_signal exactly") {
+    // FIFTH readout of the medianCounts Complete-mode state: the live
+    // forecast-bias monitor re-scores each trigger without an
+    // order-history rescan; exact dec38 sums, so drain ≡ batch
+    val dir = Files.createTempDirectory("graft-orders-ts").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.medianCounts(StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_tsig", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.trackingFinish(counts).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_tracking_signal")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained day census diverged from batch q_tracking_signal")
+  }
+
   test("drained shard census finishes to batch q_export_shards exactly") {
     // the live export manifest: counts/sums/XORs are order-free
     // mergeable state, so the drained 16-row census equals the batch
