@@ -4653,6 +4653,131 @@ object ModelEval {
                   ELSE round(CAST(cy_t AS DOUBLE)
                     - CAST(cy_c AS DOUBLE) * CAST(cnt_t AS DOUBLE)
                       / CAST(cnt_c AS DOUBLE), 6) END AS qini
-              FROM cum ORDER BY decile"""))
+              FROM cum ORDER BY decile""")),
+
+    // ── randomization (permutation) test for the treatment mean gap ─────
+    // The deterministic-resampling sibling of q_bootstrap_ci: does the
+    // urgent-vs-rest order-value gap survive re-randomization? B = 32
+    // Fisher-style replicates reassign each order to pseudo-treatment
+    // by a Knuth-hash draw AT THE OBSERVED TREATMENT RATE — the rate
+    // test u·n < 2³²·n_t is exact integer arithmetic (no FP
+    // probability), so draws are reproducible on any cluster. Per
+    // replicate the mean gap is two exact-cents ratios; the two-sided
+    // p is (1 + #{|d_b| ≥ |d_obs|})/(B+1). Shape: ×32 row-local
+    // fan-out, map-side-combined replicate aggs (the q_bootstrap_ci
+    // scale shape), 32-row finish.
+    Q("q_permutation_test",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .persist()
+        val obs = base.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("tr")).cast("long").as("n_t"),
+          sum(when(col("tr") === 1, col("cents")).otherwise(0L)
+            .cast(dec38)).as("s_t"),
+          sum(col("cents").cast(dec38)).as("s_all"))
+          .select(col("n"), col("n_t"), (col("n") - col("n_t")).as("n_c"),
+            (col("s_t").cast("double") / col("n_t").cast("double")
+              - (col("s_all") - col("s_t")).cast("double")
+                / (col("n") - col("n_t")).cast("double")).as("d_obs"))
+          .localCheckpoint(true)
+        // Knuth-hash u ∈ [0, 2³²); pseudo-treatment iff u·n < 2³²·n_t
+        val u = expr("""pmod(pmod(o_orderkey * 64 + b, 2147483648)
+                        * 2654435761, 4294967296)""")
+        val reps = base
+          .select(col("o_orderkey"), col("cents"),
+            explode(expr("sequence(0, 31)")).as("b"))
+          .crossJoin(broadcast(obs.select("n", "n_t")))
+          .select(col("b"), col("cents"),
+            // dec38 carriers: u·n tops int64 once n ≳ 2³¹ (u < 2³²)
+            when(u.cast(dec38) * col("n")
+              < lit(4294967296L).cast(dec38) * col("n_t"),
+              1L).otherwise(0L).as("pt"))
+          .groupBy("b")
+          .agg(sum(col("pt")).cast("long").as("m_t"),
+            count(lit(1)).cast("long").as("m"),
+            sum(when(col("pt") === 1, col("cents")).otherwise(0L)
+              .cast(dec38)).as("r_t"),
+            sum(col("cents").cast(dec38)).as("r_all"))
+          .select(col("b"), col("m_t"), col("m"),
+            when(col("m_t") === 0 || col("m_t") === col("m"),
+              lit(null).cast("double"))
+              .otherwise(col("r_t").cast("double")
+                / col("m_t").cast("double")
+                - (col("r_all") - col("r_t")).cast("double")
+                  / (col("m") - col("m_t")).cast("double")).as("d_b"))
+        reps.crossJoin(broadcast(obs))
+          .agg(max(col("n_t")).as("n_treat"),
+            max(col("n_c")).as("n_ctrl"),
+            round(max(col("d_obs")) / 100.0, 6).as("d_obs_dollars"),
+            sum(when(abs(col("d_b")) >= abs(col("d_obs")), 1L)
+              .otherwise(0L)).cast("long").as("n_extreme"))
+          .select(col("n_treat"), col("n_ctrl"), col("d_obs_dollars"),
+            col("n_extreme"),
+            round((col("n_extreme") + 1).cast("double") / 33.0, 6)
+              .as("p_value"))
+      },
+      Some("""WITH base AS (
+                SELECT o_orderkey,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+                FROM orders),
+              obs AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(tr) AS BIGINT) AS n_t,
+                  CAST(count(*) - SUM(tr) AS BIGINT) AS n_c,
+                  CAST(SUM(CASE WHEN tr = 1 THEN CAST(cents AS HUGEINT)
+                    ELSE 0 END) AS HUGEINT) AS s_t,
+                  SUM(CAST(cents AS HUGEINT)) AS s_all
+                FROM base),
+              obs2 AS (
+                SELECT n, n_t, n_c,
+                  CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                    - CAST(s_all - s_t AS DOUBLE)
+                      / CAST(n - n_t AS DOUBLE) AS d_obs
+                FROM obs),
+              reps AS (
+                SELECT b, cents,
+                  CASE WHEN CAST(((((o_orderkey * 64 + b) % 2147483648
+                        + 2147483648) % 2147483648 * 2654435761)
+                        % 4294967296 + 4294967296) % 4294967296
+                        AS HUGEINT)
+                      * (SELECT n FROM obs2)
+                    < CAST(4294967296 AS HUGEINT)
+                      * (SELECT n_t FROM obs2)
+                    THEN 1 ELSE 0 END AS pt
+                FROM base, (SELECT unnest(generate_series(0, 31)) AS b)),
+              agg AS (
+                SELECT b, CAST(SUM(pt) AS BIGINT) AS m_t,
+                  CAST(count(*) AS BIGINT) AS m,
+                  CAST(SUM(CASE WHEN pt = 1 THEN CAST(cents AS HUGEINT)
+                    ELSE 0 END) AS HUGEINT) AS r_t,
+                  SUM(CAST(cents AS HUGEINT)) AS r_all
+                FROM reps GROUP BY 1),
+              db AS (
+                SELECT b,
+                  CASE WHEN m_t = 0 OR m_t = m THEN NULL
+                    ELSE CAST(r_t AS DOUBLE) / CAST(m_t AS DOUBLE)
+                      - CAST(r_all - r_t AS DOUBLE)
+                        / CAST(m - m_t AS DOUBLE) END AS d_b
+                FROM agg)
+              SELECT (SELECT n_t FROM obs2) AS n_treat,
+                (SELECT n_c FROM obs2) AS n_ctrl,
+                round((SELECT d_obs FROM obs2) / 100.0, 6)
+                  AS d_obs_dollars,
+                CAST(SUM(CASE WHEN abs(d_b)
+                  >= abs((SELECT d_obs FROM obs2)) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_extreme,
+                round((SUM(CASE WHEN abs(d_b)
+                  >= abs((SELECT d_obs FROM obs2)) THEN 1 ELSE 0 END)
+                  + 1) / 33.0, 6) AS p_value
+              FROM db"""))
   )
 }

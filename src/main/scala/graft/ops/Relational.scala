@@ -2596,6 +2596,97 @@ object Relational {
                     / CAST(xn - x1 AS DOUBLE), 12) END AS q_high
               FROM p ORDER BY 1""")),
 
+    // ── delete-one-month jackknife for the mean order value ─────────────
+    // The resampling error bar a sharded pipeline actually computes:
+    // leave each month's shard out, re-estimate, and read the spread.
+    // LOO means are exact-integer ratios ((S−s_m)/(N−n_m)); the
+    // pseudo-value variance runs over the ≤|months| census with
+    // month-pinned folds (both engines add in the same order), and the
+    // SE is one sqrt. One orders scan → calendar-bounded census.
+    Q("q_jackknife_variance",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val months = t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).cast("long").as("n_m"),
+            sum((dec2(col("o_totalprice")) * 100).cast("long")
+              .cast(dec38)).as("s_m"))
+          .persist()
+        val tot = months.agg(sum(col("n_m")).cast("long").as("n"),
+          sum(col("s_m")).as("s"),
+          count(lit(1)).cast("long").as("g"))
+        val loo = months.crossJoin(broadcast(tot))
+          .select(col("m"), col("g"), col("n"), col("s"),
+            ((col("s") - col("s_m")).cast("double")
+              / (col("n") - col("n_m")).cast("double")).as("loo"))
+        val mBar = loo
+          .groupBy("g", "n", "s")
+          .agg(expr(
+            """aggregate(array_sort(collect_list(struct(m, loo))),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x.loo)""".stripMargin)
+            .as("loo_sum"))
+          .select(col("g"), col("n"), col("s"),
+            (col("loo_sum") / col("g").cast("double")).as("loo_bar"))
+        loo.join(broadcast(mBar), Seq("g", "n", "s"))
+          .select(col("g"), col("n"), col("s"),
+            col("m"),
+            // un-rounded: every input double is bit-identical across
+            // engines (exact-int ratios + pinned-fold mean), and dev2
+            // ~1e10 cents^2 sits far past round-6's safe magnitude
+            ((col("loo") - col("loo_bar"))
+              * (col("loo") - col("loo_bar"))).as("dev2"))
+          .groupBy("g", "n", "s")
+          .agg(expr(
+            """aggregate(array_sort(collect_list(struct(m, dev2))),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x.dev2)""".stripMargin)
+            .as("ss"))
+          .select(col("g").as("n_months"),
+            round(col("s").cast("double")
+              / (col("n").cast("double") * 100.0), 6)
+              .as("mean_dollars"),
+            round(sqrt(col("ss") * (col("g") - 1).cast("double")
+              / col("g").cast("double")) / 100.0, 6)
+              .as("jackknife_se_dollars"))
+      },
+      Some("""WITH months AS (
+                SELECT date_trunc('month', o_orderdate) AS m,
+                  CAST(count(*) AS BIGINT) AS n_m,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s_m
+                FROM orders GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(n_m) AS BIGINT) AS n,
+                  CAST(SUM(s_m) AS HUGEINT) AS s,
+                  CAST(count(*) AS BIGINT) AS g
+                FROM months),
+              loo AS (
+                SELECT m, g, n, s,
+                  CAST(s - s_m AS DOUBLE) / CAST(n - n_m AS DOUBLE)
+                    AS loo
+                FROM months, tot),
+              mb AS (
+                SELECT g, n, s,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(loo ORDER BY m)), (a, x) -> a + x)
+                    / CAST(g AS DOUBLE) AS loo_bar
+                FROM loo GROUP BY 1, 2, 3),
+              dev AS (
+                SELECT loo.g, loo.n, loo.s, loo.m,
+                  (loo - loo_bar) * (loo - loo_bar) AS dev2
+                FROM loo JOIN mb ON loo.g = mb.g),
+              ss AS (
+                SELECT g, n, s,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(dev2 ORDER BY m)), (a, x) -> a + x) AS ss
+                FROM dev GROUP BY 1, 2, 3)
+              SELECT g AS n_months,
+                round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+                  AS mean_dollars,
+                round(sqrt(ss * CAST(g - 1 AS DOUBLE)
+                  / CAST(g AS DOUBLE)) / 100.0, 6)
+                  AS jackknife_se_dollars
+              FROM ss""")),
+
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best
     // offer" becomes agg-to-one-row-per-part + equality join — each side

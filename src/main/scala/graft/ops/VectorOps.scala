@@ -202,6 +202,60 @@ object VectorOps {
                     FROM embeddings)
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ── per-dimension distribution profile of the embedding corpus ──────
+    // The whitening/quantization design readout: which dimensions carry
+    // variance, which are near-constant? Moments ride q_vector_agg's
+    // order-free carrier (float → double → DECIMAL(18,9), summed as
+    // decimals so reduction order cannot drift them); mean and variance
+    // are then identical IEEE formulas on identical decimal-derived
+    // doubles. One embeddings scan, 64-row output.
+    Q("q_dim_variance_profile",
+      (s, dir) => {
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 9)
+        t(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+          .groupBy((col("pos0") + 1).cast("long").as("pos"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("v").cast("double").cast(d18)).as("s1"),
+            sum((col("v").cast("double") * col("v").cast("double"))
+              .cast(d18)).as("s2"),
+            min(col("v").cast("double")).as("vmin"),
+            max(col("v").cast("double")).as("vmax"))
+          .select(col("pos"), col("n"),
+            round(col("s1").cast("double") / col("n").cast("double"), 9)
+              .as("mean_v"),
+            round(col("s2").cast("double") / col("n").cast("double")
+              - (col("s1").cast("double") / col("n").cast("double"))
+                * (col("s1").cast("double") / col("n").cast("double")),
+              9).as("var_v"),
+            round(col("vmin"), 9).as("min_v"),
+            round(col("vmax"), 9).as("max_v"))
+          .orderBy("pos")
+      },
+      Some("""WITH x AS (
+                SELECT unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS pos
+                FROM embeddings),
+              agg AS (
+                SELECT CAST(pos AS BIGINT) AS pos,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS s1,
+                  SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                    AS DECIMAL(18,9))) AS s2,
+                  MIN(CAST(v AS DOUBLE)) AS vmin,
+                  MAX(CAST(v AS DOUBLE)) AS vmax
+                FROM x GROUP BY 1)
+              SELECT pos, n,
+                round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                  AS mean_v,
+                round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                  AS var_v,
+                round(vmin, 9) AS min_v,
+                round(vmax, 9) AS max_v
+              FROM agg ORDER BY pos""")),
+
     // ── int8 scalar quantization of the embedding corpus ─────────────────
     // Per-dimension global min/max (one tiny agg, broadcast back), then
     // affine code = round(((v-min)/(max-min))*255)-128. 4× storage cut

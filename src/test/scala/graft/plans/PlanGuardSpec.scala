@@ -1034,7 +1034,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_variance_ratio" -> 0, "q_price_ladder" -> 1,
       "q_length_buckets" -> 1,
       // round-8 selection/join batch
-      "q_dixon_q" -> 0, "q_join_asof_tolerance" -> 2)
+      "q_dixon_q" -> 0, "q_join_asof_tolerance" -> 2,
+      // round-8 resampling/profile batch
+      "q_permutation_test" -> 0, "q_jackknife_variance" -> 0,
+      "q_dim_variance_profile" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
