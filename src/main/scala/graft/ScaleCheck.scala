@@ -205,7 +205,9 @@ object ScaleCheck {
     // round-8 tail/uplift/entropy batch
     "q_peak_over_threshold", "q_entropy_rate", "q_qini_uplift",
     // round-8 selection batch: 4-pick gap-ratio screen
-    "q_dixon_q")
+    "q_dixon_q",
+    // round-8 density batch: ×21 kernel fan-out
+    "q_kde_profile")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

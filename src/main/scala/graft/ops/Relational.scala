@@ -2687,6 +2687,185 @@ object Relational {
                   AS jackknife_se_dollars
               FROM ss""")),
 
+    // ── Epanechnikov KDE profile of order values (21-point grid) ────────
+    // Density estimation WITHOUT transcendentals: the Epanechnikov
+    // kernel 0.75(1−u²) is polynomial, the bandwidth is half the exact
+    // member IQR, and the grid is 21 integer-cent points spanning
+    // [p05, p95] (integer division — both engines identical). Per-row
+    // kernel terms μ-integerize at 1e12 (floor(x·1e12 + 0.5) of
+    // IDENTICAL doubles) and sum exactly in DECIMAL(38,0) — reduction
+    // order cannot drift the density. ×21 row-local fan-out, map-side
+    // combined; one division per grid point.
+    Q("q_kde_profile",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val base = t(s, dir, "orders")
+          .select((dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+          .withColumn("g", lit(1L)).persist()
+        val qs = RangeRank.groupValuesAtRanks(base, Seq("g"), "cents",
+          Seq(RangeRank.RankPick("p05", n => ceil(n * 0.05)),
+            RangeRank.RankPick("p25", n => ceil(n * 0.25)),
+            RangeRank.RankPick("p75", n => ceil(n * 0.75)),
+            RangeRank.RankPick("p95", n => ceil(n * 0.95))))
+          .select(col("n"), col("p05"), col("p25"), col("p75"), col("p95"))
+          .localCheckpoint(true)
+        base.crossJoin(broadcast(qs))
+          .select(col("cents"), col("n"), col("p05"), col("p25"),
+            col("p75"), col("p95"),
+            explode(expr("sequence(0, 20)")).as("j"))
+          .select(col("n"), col("j"),
+            (col("p75") - col("p25")).as("iqr"),
+            (col("p05") + expr("(j * (p95 - p05)) div 20")).as("gp"),
+            col("cents"))
+          .select(col("n"), col("j"), col("iqr"), col("gp"),
+            // u = 2(x − g)/IQR; identical doubles in both engines
+            ((col("cents") - col("gp")).cast("double") * 2.0
+              / col("iqr").cast("double")).as("u"))
+          .select(col("n"), col("j"), col("iqr"), col("gp"),
+            when(abs(col("u")) < 1.0,
+              floor(lit(0.75) * (lit(1.0) - col("u") * col("u"))
+                * 1.0e12 + 0.5).cast("long"))
+              .otherwise(0L).as("k"))
+          .groupBy("j", "gp", "iqr", "n")
+          .agg(sum(col("k").cast(dec38)).as("ks"))
+          .select(col("j"),
+            round(col("gp").cast("double") / 100.0, 2).as("grid_dollars"),
+            when(col("iqr") === 0, lit(null).cast("double"))
+              .otherwise(round(col("ks").cast("double")
+                / (col("n").cast("double")
+                  * (col("iqr").cast("double") / 2.0) * 1.0e12)
+                * 100.0, 12)).as("density_per_dollar"))
+          .orderBy("j")
+      },
+      Some("""WITH base AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+                FROM orders),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents) AS BIGINT)
+                    AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM base),
+              qs AS (
+                SELECT MAX(n) AS n,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT)
+                    THEN cents END) AS p05,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                    THEN cents END) AS p25,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                    THEN cents END) AS p75,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                    THEN cents END) AS p95
+                FROM r),
+              pts AS (
+                SELECT base.cents, qs.n, qs.p75 - qs.p25 AS iqr,
+                  qs.p05 + (j.j * (qs.p95 - qs.p05)) // 20 AS gp, j.j
+                FROM base, qs,
+                  (SELECT unnest(generate_series(0, 20)) AS j) j),
+              terms AS (
+                SELECT j, gp, iqr, n,
+                  CASE WHEN abs(CAST(cents - gp AS DOUBLE) * 2.0
+                      / CAST(iqr AS DOUBLE)) < 1.0
+                    THEN CAST(floor(0.75 * (1.0
+                      - (CAST(cents - gp AS DOUBLE) * 2.0
+                          / CAST(iqr AS DOUBLE))
+                        * (CAST(cents - gp AS DOUBLE) * 2.0
+                          / CAST(iqr AS DOUBLE))) * 1.0e12 + 0.5)
+                      AS BIGINT)
+                    ELSE 0 END AS k
+                FROM pts),
+              agg AS (
+                SELECT CAST(j AS BIGINT) AS j, gp, iqr, n,
+                  SUM(CAST(k AS HUGEINT)) AS ks
+                FROM terms GROUP BY 1, 2, 3, 4)
+              SELECT j,
+                round(CAST(gp AS DOUBLE) / 100.0, 2) AS grid_dollars,
+                CASE WHEN iqr = 0 THEN NULL
+                  ELSE round(CAST(ks AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(iqr AS DOUBLE) / 2.0)
+                      * 1.0e12) * 100.0, 12) END AS density_per_dollar
+              FROM agg ORDER BY j""")),
+
+    // ── actuarial life table of customer tenure (hazard + e(t)) ─────────
+    // The complete-data companion of q_survival_km: customer "tenure"
+    // in months (first → last order), with per-month at-risk counts,
+    // deaths, the discrete hazard d_t/n_t, survival S(t) read DIRECTLY
+    // off the census (no product — uncensored S(t) = survivors/N
+    // exactly), and the actuarial readout KM doesn't give: remaining
+    // life expectancy e(t) = Σ_{s>t} alive_s / alive_t, an exact ratio
+    // of suffix-summed counts. One orders scan → per-customer census →
+    // ≤|months| table.
+    Q("q_life_table",
+      (s, dir) => {
+        val life = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((months_between(
+            date_trunc("month", max(col("o_orderdate"))),
+            date_trunc("month", min(col("o_orderdate"))))
+            .cast("long")).as("t"))
+        val census = life.groupBy("t")
+          .agg(count(lit(1)).cast("long").as("d"))
+        val wAfter = Window.orderBy("t")
+          .rowsBetween(1, Window.unboundedFollowing)
+        val wFrom = Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wAll = Window.partitionBy()
+        census
+          .select(col("t"), col("d"),
+            sum(col("d")).over(wFrom).cast("long").as("n_at_risk"),
+            coalesce(sum(col("d")).over(wAfter), lit(0L)).cast("long")
+              .as("survivors"),
+            sum(col("d")).over(wAll).cast("long").as("n_total"),
+            // Σ_{s>t} alive_s = Σ over later deaths of (their t − this t)
+            coalesce(sum(col("d") * col("t")).over(wAfter), lit(0L))
+              .cast("long").as("later_mass"))
+          .select(col("t"), col("n_at_risk"), col("d").as("deaths"),
+            round(col("deaths").cast("double")
+              / col("n_at_risk").cast("double"), 12).as("hazard"),
+            round(col("survivors").cast("double")
+              / col("n_total").cast("double"), 12).as("survival"),
+            when(col("survivors") === 0, lit(null).cast("double"))
+              .otherwise(round((col("later_mass")
+                - col("survivors") * col("t")).cast("double")
+                / col("n_at_risk").cast("double"), 12))
+              .as("e_remaining_months"))
+          .orderBy("t")
+      },
+      Some("""WITH life AS (
+                SELECT o_custkey,
+                  CAST(date_diff('month',
+                    date_trunc('month', MIN(o_orderdate)),
+                    date_trunc('month', MAX(o_orderdate))) AS BIGINT)
+                    AS t
+                FROM orders GROUP BY 1),
+              census AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS d
+                FROM life GROUP BY 1),
+              w AS (
+                SELECT t, d,
+                  CAST(SUM(d) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk,
+                  CAST(COALESCE(SUM(d) OVER (ORDER BY t ROWS BETWEEN
+                    1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+                    AS survivors,
+                  CAST(SUM(d) OVER () AS BIGINT) AS n_total,
+                  CAST(COALESCE(SUM(d * t) OVER (ORDER BY t ROWS BETWEEN
+                    1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+                    AS later_mass
+                FROM census)
+              SELECT t, n_at_risk, d AS deaths,
+                round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 12)
+                  AS hazard,
+                round(CAST(survivors AS DOUBLE)
+                  / CAST(n_total AS DOUBLE), 12) AS survival,
+                CASE WHEN survivors = 0 THEN NULL
+                  ELSE round(CAST(later_mass - survivors * t AS DOUBLE)
+                    / CAST(n_at_risk AS DOUBLE), 12)
+                  END AS e_remaining_months
+              FROM w ORDER BY t""")),
+
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best
     // offer" becomes agg-to-one-row-per-part + equality join — each side

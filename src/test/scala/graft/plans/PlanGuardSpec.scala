@@ -1037,7 +1037,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_dixon_q" -> 0, "q_join_asof_tolerance" -> 2,
       // round-8 resampling/profile batch
       "q_permutation_test" -> 0, "q_jackknife_variance" -> 0,
-      "q_dim_variance_profile" -> 1)
+      "q_dim_variance_profile" -> 1,
+      // round-8 density/actuarial batch
+      "q_kde_profile" -> 0, "q_life_table" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
