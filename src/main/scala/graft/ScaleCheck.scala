@@ -207,7 +207,9 @@ object ScaleCheck {
     // round-8 selection batch: 4-pick gap-ratio screen
     "q_dixon_q",
     // round-8 density batch: ×21 kernel fan-out
-    "q_kde_profile")
+    "q_kde_profile",
+    // round-8 rank-test batch: census prefix pass
+    "q_brunner_munzel")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

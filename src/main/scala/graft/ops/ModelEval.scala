@@ -4778,6 +4778,180 @@ object ModelEval {
                 round((SUM(CASE WHEN abs(d_b)
                   >= abs((SELECT d_obs FROM obs2)) THEN 1 ELSE 0 END)
                   + 1) / 33.0, 6) AS p_value
-              FROM db"""))
+              FROM db""")),
+
+    // ── Brunner–Munzel test: urgent vs rest, unequal variances ──────────
+    // The nonparametric two-sample test q_mann_whitney can't replace
+    // when dispersions differ (the Behrens–Fisher analog of ranks).
+    // EVERYTHING reduces to integer placement moments over the
+    // (value → c₁, c₂) census: a group-1 observation at value v has
+    // doubled placement D = 2·#{group-2 below v} + c₂(v) and doubled
+    // pooled midrank 2R = 2·off(v) + c(v) + 1, both read off two
+    // RangeRank prefix sums (the census grows with data — no
+    // single-task window). The rank-variance ΣT² folds to the moment
+    // identity Q − (2PS − P²)/n — P, S, Q exact DECIMAL(38,0) — and
+    // p̂, W, and the Welch-type df are IEEE formulas on those integers.
+    Q("q_brunner_munzel",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("v"), col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+        val tots = cum
+          .select(col("c1"), col("c2"),
+            // doubled pooled midrank at v (shared by both groups)
+            (col("off1") * 2 + col("off2") * 2 + col("c1") + col("c2")
+              + 1).as("r2"),
+            // doubled placements: opponents below ×2 + tied opponents
+            (col("off2") * 2 + col("c2")).as("d1"),
+            (col("off1") * 2 + col("c1")).as("d2"))
+          .agg(
+            sum(col("c1")).cast("long").as("n1"),
+            sum(col("c2")).cast("long").as("n2"),
+            sum(col("c1").cast(dec38) * col("r2")).as("p1"),
+            sum(col("c2").cast(dec38) * col("r2")).as("p2"),
+            sum(col("c1").cast(dec38) * col("d1")).as("sd1"),
+            sum(col("c2").cast(dec38) * col("d2")).as("sd2"),
+            sum(col("c1").cast(dec38) * col("d1") * col("d1")).as("qd1"),
+            sum(col("c2").cast(dec38) * col("d2") * col("d2")).as("qd2"))
+        tots
+          .select(col("n1"), col("n2"),
+            // shift D by (n_i + 1): S = ΣD + n(n+1), Q = ΣD² + 2(n+1)ΣD
+            //   + n(n+1)² — then ΣT² = Q − (2·P·S − P²)/n
+            (col("sd1") + col("n1").cast(dec38) * (col("n1") + 1))
+              .as("s1"),
+            (col("sd2") + col("n2").cast(dec38) * (col("n2") + 1))
+              .as("s2"),
+            (col("qd1") + col("sd1") * 2 * (col("n1") + 1)
+              + col("n1").cast(dec38) * (col("n1") + 1)
+                * (col("n1") + 1)).as("q1"),
+            (col("qd2") + col("sd2") * 2 * (col("n2") + 1)
+              + col("n2").cast(dec38) * (col("n2") + 1)
+                * (col("n2") + 1)).as("q2"),
+            col("p1"), col("p2"))
+          .select(col("n1"), col("n2"), col("p1"), col("p2"),
+            // the /n division leaves the exact-decimal domain — do it
+            // in doubles IDENTICALLY on both engines (decimal-division
+            // scale rules differ across engines)
+            ((col("q1").cast("double")
+              - (col("p1") * 2 * col("s1") - col("p1") * col("p1"))
+                .cast("double") / col("n1").cast("double"))
+              / ((col("n1") - 1).cast("double") * 4.0)).as("v1"),
+            ((col("q2").cast("double")
+              - (col("p2") * 2 * col("s2") - col("p2") * col("p2"))
+                .cast("double") / col("n2").cast("double"))
+              / ((col("n2") - 1).cast("double") * 4.0)).as("v2"))
+          .select(col("n1"), col("n2"),
+            round((col("p2").cast("double")
+              / (col("n2").cast("double") * 2.0)
+              - (col("n2") + 1).cast("double") / 2.0)
+              / col("n1").cast("double"), 12).as("p_hat"),
+            when(col("n1") < 2 || col("n2") < 2
+              || col("n1") * col("v1") + col("n2") * col("v2") <= 0.0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                col("n1").cast("double") * col("n2").cast("double")
+                  * (col("p2").cast("double")
+                      / (col("n2").cast("double") * 2.0)
+                    - col("p1").cast("double")
+                      / (col("n1").cast("double") * 2.0))
+                / ((col("n1") + col("n2")).cast("double")
+                  * sqrt(col("n1") * col("v1")
+                    + col("n2") * col("v2"))), 6)).as("w_stat"),
+            when(col("n1") < 2 || col("n2") < 2
+              || col("n1") * col("v1") + col("n2") * col("v2") <= 0.0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("n1") * col("v1") + col("n2") * col("v2"))
+                  * (col("n1") * col("v1") + col("n2") * col("v2"))
+                / ((col("n1") * col("v1")) * (col("n1") * col("v1"))
+                    / (col("n1") - 1).cast("double")
+                  + (col("n2") * col("v2")) * (col("n2") * col("v2"))
+                    / (col("n2") - 1).cast("double")), 6)).as("df"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority
+                    IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              cum AS (
+                SELECT v, c1, c2,
+                  CAST(COALESCE(SUM(c1) OVER (ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS off1,
+                  CAST(COALESCE(SUM(c2) OVER (ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS off2
+                FROM census),
+              tots AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  SUM(CAST(c1 AS HUGEINT)
+                    * (2 * off1 + 2 * off2 + c1 + c2 + 1)) AS p1,
+                  SUM(CAST(c2 AS HUGEINT)
+                    * (2 * off1 + 2 * off2 + c1 + c2 + 1)) AS p2,
+                  SUM(CAST(c1 AS HUGEINT) * (2 * off2 + c2)) AS sd1,
+                  SUM(CAST(c2 AS HUGEINT) * (2 * off1 + c1)) AS sd2,
+                  SUM(CAST(c1 AS HUGEINT) * (2 * off2 + c2)
+                    * (2 * off2 + c2)) AS qd1,
+                  SUM(CAST(c2 AS HUGEINT) * (2 * off1 + c1)
+                    * (2 * off1 + c1)) AS qd2
+                FROM cum),
+              sh AS (
+                SELECT n1, n2, p1, p2,
+                  sd1 + CAST(n1 AS HUGEINT) * (n1 + 1) AS s1,
+                  sd2 + CAST(n2 AS HUGEINT) * (n2 + 1) AS s2,
+                  qd1 + sd1 * 2 * (n1 + 1)
+                    + CAST(n1 AS HUGEINT) * (n1 + 1) * (n1 + 1) AS q1,
+                  qd2 + sd2 * 2 * (n2 + 1)
+                    + CAST(n2 AS HUGEINT) * (n2 + 1) * (n2 + 1) AS q2
+                FROM tots),
+              vv AS (
+                SELECT n1, n2, p1, p2,
+                  (CAST(q1 AS DOUBLE)
+                    - CAST(p1 * 2 * s1 - p1 * p1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE))
+                    / (4.0 * CAST(n1 - 1 AS DOUBLE)) AS v1,
+                  (CAST(q2 AS DOUBLE)
+                    - CAST(p2 * 2 * s2 - p2 * p2 AS DOUBLE)
+                      / CAST(n2 AS DOUBLE))
+                    / (4.0 * CAST(n2 - 1 AS DOUBLE)) AS v2
+                FROM sh)
+              SELECT n1, n2,
+                round((CAST(p2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                  - CAST(n2 + 1 AS DOUBLE) / 2.0)
+                  / CAST(n1 AS DOUBLE), 12) AS p_hat,
+                CASE WHEN n1 < 2 OR n2 < 2
+                    OR n1 * v1 + n2 * v2 <= 0.0 THEN NULL
+                  ELSE round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (CAST(p2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                      - CAST(p1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)))
+                    / (CAST(n1 + n2 AS DOUBLE)
+                      * sqrt(n1 * v1 + n2 * v2)), 6) END AS w_stat,
+                CASE WHEN n1 < 2 OR n2 < 2
+                    OR n1 * v1 + n2 * v2 <= 0.0 THEN NULL
+                  ELSE round((n1 * v1 + n2 * v2) * (n1 * v1 + n2 * v2)
+                    / ((n1 * v1) * (n1 * v1) / CAST(n1 - 1 AS DOUBLE)
+                      + (n2 * v2) * (n2 * v2)
+                        / CAST(n2 - 1 AS DOUBLE)), 6) END AS df
+              FROM vv"""))
   )
 }

@@ -1039,7 +1039,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_permutation_test" -> 0, "q_jackknife_variance" -> 0,
       "q_dim_variance_profile" -> 1,
       // round-8 density/actuarial batch
-      "q_kde_profile" -> 0, "q_life_table" -> 1)
+      "q_kde_profile" -> 0, "q_life_table" -> 1,
+      // round-8 rank-test batch (RangeRank internal persist)
+      "q_brunner_munzel" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
