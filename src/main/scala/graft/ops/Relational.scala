@@ -2866,6 +2866,194 @@ object Relational {
                   END AS e_remaining_months
               FROM w ORDER BY t""")),
 
+    // ── nested Theil decomposition: region → nation revenue inequality ──
+    // q_theil_between's full two-level story: total Theil T (GE(1)) over
+    // the 25-nation revenue census splits EXACTLY into between-region
+    // and within-region components (T = T_b + Σ s_r·T_r), and the same
+    // census yields the mean-log-deviation MLD (GE(0)) pair. The only
+    // libm op is ln on identical exact-ratio doubles; every term is
+    // rounded to 12 dp and folded nation-pinned (the q_js_drift
+    // discipline), so both engines add identical terms in identical
+    // order. One orders⋈customer⋈nation pass → 25-row census.
+    Q("q_theil_decomposition",
+      (s, dir) => {
+        val census = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("region"),
+            col("n_name").as("nation"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .persist()
+        val tot = census.agg(sum(col("cents")).cast("long").as("x"),
+          count(lit(1)).cast("long").as("k")).localCheckpoint(true)
+        val rtot = census.groupBy(col("region").as("r2"))
+          .agg(sum(col("cents")).cast("long").as("xr"),
+            count(lit(1)).cast("long").as("kr"))
+        val terms = census.join(broadcast(rtot),
+            col("region") === col("r2"))
+          .crossJoin(broadcast(tot))
+          .select(col("region"), col("nation"), col("xr"), col("kr"),
+            col("x"), col("k"),
+            // within-region GE(1)/GE(0) terms (share and log of exact
+            // ratios — identical doubles both engines, 12-dp pinned)
+            round((col("cents").cast("double") / col("xr").cast("double"))
+              * log((col("cents").cast("double")
+                / col("xr").cast("double"))
+                * col("kr").cast("double")), 12).as("t_term"),
+            round(log((col("xr").cast("double")
+              / col("cents").cast("double"))
+              / col("kr").cast("double")), 12).as("m_term"))
+        val within = terms.groupBy("region", "xr", "kr", "x", "k")
+          .agg(
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(nation, t_term))),
+                |  CAST(0 AS DOUBLE), (a, x) -> a + x.t_term)"""
+                .stripMargin), 12).as("t_within"),
+            round(expr(
+              """aggregate(array_sort(collect_list(struct(nation, m_term))),
+                |  CAST(0 AS DOUBLE), (a, x) -> a + x.m_term)"""
+                .stripMargin), 12).as("mld_sum"))
+          .select(col("region"), col("kr"),
+            round(col("xr").cast("double") / col("x").cast("double"), 12)
+              .as("rev_share"),
+            col("t_within"),
+            round(col("mld_sum") / col("kr").cast("double"), 12)
+              .as("mld_within"),
+            // between-region terms at the region grain
+            round((col("xr").cast("double") / col("x").cast("double"))
+              * log((col("xr").cast("double") / col("x").cast("double"))
+                * (col("k").cast("double") / col("kr").cast("double"))),
+              12).as("tb_term"),
+            round((col("kr").cast("double") / col("k").cast("double"))
+              * log((col("x").cast("double") / col("xr").cast("double"))
+                * (col("kr").cast("double") / col("k").cast("double"))),
+              12).as("mb_term"))
+        within.select(col("region"), col("kr").as("n_nations"),
+            col("rev_share"), col("t_within"), col("mld_within"),
+            col("tb_term"), col("mb_term"))
+          .orderBy("region")
+      },
+      Some("""WITH census AS (
+                SELECT n_regionkey AS region, n_name AS nation,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2),
+              tot AS (
+                SELECT CAST(SUM(cents) AS BIGINT) AS x,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM census),
+              rtot AS (
+                SELECT region AS r2, CAST(SUM(cents) AS BIGINT) AS xr,
+                  CAST(count(*) AS BIGINT) AS kr
+                FROM census GROUP BY 1),
+              terms AS (
+                SELECT region, nation, xr, kr, x, k,
+                  round((CAST(cents AS DOUBLE) / CAST(xr AS DOUBLE))
+                    * ln((CAST(cents AS DOUBLE) / CAST(xr AS DOUBLE))
+                      * CAST(kr AS DOUBLE)), 12) AS t_term,
+                  round(ln((CAST(xr AS DOUBLE)
+                    / CAST(cents AS DOUBLE))
+                    / CAST(kr AS DOUBLE)), 12) AS m_term
+                FROM census JOIN rtot ON region = r2 CROSS JOIN tot),
+              within AS (
+                SELECT region, xr, kr, x, k,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(t_term ORDER BY nation)), (a, b) -> a + b), 12)
+                    AS t_within,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(m_term ORDER BY nation)), (a, b) -> a + b), 12)
+                    AS mld_sum
+                FROM terms GROUP BY 1, 2, 3, 4, 5)
+              SELECT region, kr AS n_nations,
+                round(CAST(xr AS DOUBLE) / CAST(x AS DOUBLE), 12)
+                  AS rev_share,
+                t_within,
+                round(mld_sum / CAST(kr AS DOUBLE), 12) AS mld_within,
+                round((CAST(xr AS DOUBLE) / CAST(x AS DOUBLE))
+                  * ln((CAST(xr AS DOUBLE) / CAST(x AS DOUBLE))
+                    * (CAST(k AS DOUBLE) / CAST(kr AS DOUBLE))), 12)
+                  AS tb_term,
+                round((CAST(kr AS DOUBLE) / CAST(k AS DOUBLE))
+                  * ln((CAST(x AS DOUBLE) / CAST(xr AS DOUBLE))
+                    * (CAST(kr AS DOUBLE) / CAST(k AS DOUBLE))), 12)
+                  AS mb_term
+              FROM within ORDER BY region""")),
+
+    // ── rank-distance audit: brand revenue rank vs volume rank ──────────
+    // Do the two natural brand orderings agree? Spearman's footrule
+    // Σ|r_rev − r_vol| and the Kendall (bubble-sort) distance — the
+    // rank-DISTANCE readouts q_spearman/q_kendall_tau (correlations)
+    // don't give. Ranks are deterministic over the ≤25-brand census
+    // (value desc, brand asc tiebreak); the pair scan is C(25,2)
+    // row-local; normalized distances are one division each.
+    Q("q_rank_distance",
+      (s, dir) => {
+        val census = t(s, dir, "part")
+          .join(t(s, dir, "lineitem"),
+            col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long")
+            .as("rev"), count(lit(1)).cast("long").as("vol"))
+          .persist()
+        val wr = Window.orderBy(col("rev").desc, col("brand"))
+        val wv = Window.orderBy(col("vol").desc, col("brand"))
+        val ranked = census
+          .select(col("brand"),
+            row_number().over(wr).cast("long").as("rr"),
+            row_number().over(wv).cast("long").as("rv"))
+        val foot = ranked
+          .agg(count(lit(1)).cast("long").as("k"),
+            sum(abs(col("rr") - col("rv"))).cast("long").as("footrule"))
+        val kd = ranked.as("a")
+          .join(ranked.as("b"), col("a.brand") < col("b.brand"))
+          .agg(sum(when((col("a.rr") < col("b.rr"))
+              =!= (col("a.rv") < col("b.rv")), 1L).otherwise(0L))
+            .cast("long").as("kendall_dist"))
+        foot.crossJoin(kd)
+          .select(col("k"), col("footrule"), col("kendall_dist"),
+            // max footrule = ⌊k²/2⌋, max kendall = C(k,2)
+            round(col("footrule").cast("double")
+              / expr("(k * k) div 2").cast("double"), 12)
+              .as("footrule_norm"),
+            round(col("kendall_dist").cast("double")
+              / (col("k") * (col("k") - 1) / 2).cast("double"), 12)
+              .as("kendall_norm"))
+      },
+      Some("""WITH census AS (
+                SELECT p_brand AS brand,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rev,
+                  CAST(count(*) AS BIGINT) AS vol
+                FROM part JOIN lineitem ON p_partkey = l_partkey
+                GROUP BY 1),
+              ranked AS (
+                SELECT brand,
+                  CAST(row_number() OVER (ORDER BY rev DESC, brand)
+                    AS BIGINT) AS rr,
+                  CAST(row_number() OVER (ORDER BY vol DESC, brand)
+                    AS BIGINT) AS rv
+                FROM census),
+              foot AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(SUM(abs(rr - rv)) AS BIGINT) AS footrule
+                FROM ranked),
+              kd AS (
+                SELECT CAST(SUM(CASE WHEN (a.rr < b.rr) <> (a.rv < b.rv)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS kendall_dist
+                FROM ranked a JOIN ranked b ON a.brand < b.brand)
+              SELECT k, footrule, kendall_dist,
+                round(CAST(footrule AS DOUBLE)
+                  / CAST((k * k) // 2 AS DOUBLE), 12) AS footrule_norm,
+                round(CAST(kendall_dist AS DOUBLE)
+                  / CAST(k * (k - 1) // 2 AS DOUBLE), 12) AS kendall_norm
+              FROM foot, kd""")),
+
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best
     // offer" becomes agg-to-one-row-per-part + equality join — each side

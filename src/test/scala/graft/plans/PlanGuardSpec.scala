@@ -1041,7 +1041,10 @@ class PlanGuardSpec extends SparkSpec {
       // round-8 density/actuarial batch
       "q_kde_profile" -> 0, "q_life_table" -> 1,
       // round-8 rank-test batch (RangeRank internal persist)
-      "q_brunner_munzel" -> 1)
+      "q_brunner_munzel" -> 1,
+      // round-8 inequality/rank-distance batch (persisted censuses;
+      // theil joins three tables once at census build)
+      "q_theil_decomposition" -> 0, "q_rank_distance" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
