@@ -209,7 +209,9 @@ object ScaleCheck {
     // round-8 density batch: ×21 kernel fan-out
     "q_kde_profile",
     // round-8 rank-test batch: census prefix pass
-    "q_brunner_munzel")
+    "q_brunner_munzel",
+    // round-8 resampling heavy: ×32 randomization fan-out
+    "q_permutation_test")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
