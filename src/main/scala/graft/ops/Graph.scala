@@ -43,33 +43,40 @@ object Graph {
   }
 
   /** The materialized "graph project": [[bipartiteEdgesRaw]] written ONCE
-    * per (session, dir) as a parquet artifact and read by every graph
-    * query. Before this memo each of q_pagerank / q_kcore / q_hits /
-    * q_closeness / q_bfs_reach / q_label_prop / q_sssp / q_assortativity
-    * privately re-derived the same distinct-edge frame from
-    * lineitem⋈orders — ~1-2 s of EVERY graph query's battery time at
-    * sf0.1 — and at 100 TB a user materializes exactly this projection
-    * once before running a graph family (the Layout.scala / dedup-index
-    * artifact discipline). Plain parquet, NOT bucketed: consumers keep
-    * their explicit repartition(src)+persist, so every downstream
-    * physical plan is unchanged — only the subtree under the exchange
-    * collapses from a fact join to a pruned artifact scan. Explicit
-    * read schema (the Layout.scala:238 rule); path, staleness and
-    * cleanup semantics follow the [[Artifacts]] contract (collision-
-    * proof hashed tag, `Artifacts.invalidate(dir)` after mid-session
-    * input mutation, reaped at JVM exit).
+    * per (session, dir) and read by every graph query. Before this memo
+    * each of q_pagerank / q_kcore / q_hits / q_closeness / q_bfs_reach /
+    * q_label_prop / q_sssp / q_assortativity privately re-derived the
+    * same distinct-edge frame from lineitem⋈orders — ~1-2 s of EVERY
+    * graph query's battery time at sf0.1 — and at 100 TB a user
+    * materializes exactly this projection once before running a graph
+    * family (the Layout.scala / dedup-index artifact discipline).
+    *
+    * Round 8: the artifact is a 32-way src-BUCKETED table (the
+    * Layout.scala bucketed-layout lever applied to the graph project):
+    * the scan itself reports hashpartitioning(src, 32), so consumers
+    * persist the scan DIRECTLY — the per-query edge-scale
+    * repartition(src) exchange every graph query used to pay at read
+    * time is gone, and at 100 TB that exchange IS the family's setup
+    * cost. One file per bucket (the pre-write repartition matches the
+    * bucket spec). Path, staleness and cleanup semantics follow the
+    * [[Artifacts]] contract (collision-proof hashed tag,
+    * `Artifacts.invalidate(dir)` after mid-session input mutation,
+    * reaped at JVM exit).
     */
   private val edgeMemo = Artifacts.memo[String]()
 
   private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
-    val path = edgeMemo.computeIfAbsent((s, dir), _ => {
-      val p = Artifacts.cleanupOnExit(
-        "/tmp/graft-graph/" + Artifacts.tag(dir)) + "/edges"
+    val tbl = edgeMemo.computeIfAbsent((s, dir), _ => {
+      val tag = Artifacts.tag(dir)
+      val name = s"graft_graph_edges_$tag"
+      val path = Artifacts.cleanupOnExit("/tmp/graft-graph/" + tag)
       bipartiteEdgesRaw(s, dir).repartition(32, col("src"))
-        .write.mode("overwrite").parquet(p)
-      p
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "src")
+        .option("path", s"$path/edges").saveAsTable(name)
+      name
     })
-    s.read.schema("src BIGINT, dst BIGINT").parquet(path)
+    s.table(tbl)
   }
 
   /** q_kcore's input edge list with the round invariant established:
@@ -85,7 +92,7 @@ object Graph {
     // downstream rounds plan their census/src-semi exchange-free.
     // Three fixed rounds stay far below the lineage depth that forces
     // checkpointing in ccStar/pagerank.
-    val e = bipartiteEdges(s, dir).repartition(col("src")).persist()
+    val e = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
     e.count()
     e
   }
@@ -249,7 +256,7 @@ object Graph {
         //   bench regression that motivated this split). The checkpoint
         //   costs one NODE-scale exchange per round (ranks report
         //   Unknown partitioning) — the small side, the right trade.
-        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        val edges = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
         val deg = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg")).persist()
         val n = deg.count()
@@ -456,7 +463,7 @@ object Graph {
         // partitioning, so all 4 frontier joins would re-exchange the
         // edge list; cached, the edges side of every round is free).
         // The seed action below doubles as the materialization barrier.
-        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        val edges = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
         // deterministic seed: the smallest node id (an even ⇒ customer).
         // A driver-side scalar like PageRank's N — iteration constant,
         // not a data collect.
@@ -522,7 +529,7 @@ object Graph {
         val edges = bipartiteEdges(s, dir)
           .select(col("src"), col("dst"),
             (lit(1L) + (col("src") + col("dst")) % 5).as("w"))
-          .repartition(col("src")).persist()
+          .persist() // bucketed scan: projection keeps src partitioning
         val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
         var dist = edges.sparkSession.range(1)
           .select(lit(seed).as("node"), lit(0L).as("cost"))
@@ -1112,7 +1119,7 @@ object Graph {
     Q("q_katz_centrality",
       (s, dir) => {
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        val edges = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
         val p1 = edges.groupBy(col("dst").as("node"))
           .agg(count(lit(1)).cast(dec38).as("p1"))
           .localCheckpoint(true)
@@ -1229,7 +1236,7 @@ object Graph {
     // distances — exact-int ratio, NULL-guarded for an isolated seed.
     Q("q_closeness",
       (s, dir) => {
-        val edges = bipartiteEdges(s, dir).repartition(col("src")).persist()
+        val edges = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
         val seeds = edges.select(col("src").cast("long").as("seed"))
           .distinct().orderBy("seed").limit(8)
           .collect().map(_.getLong(0)).toSeq

@@ -152,6 +152,21 @@ class PlanGuardSpec extends SparkSpec {
         s"bloom join force-broadcasts the SF-scaling customer side:\n${h.child}")
   }
 
+  test("graph edge artifact reads as a bucketed scan (no read-time exchange)") {
+    // round 8: the graph project is a 32-way src-bucketed table, so the
+    // per-node degree census rides the scan's hashpartitioning — the
+    // edge-scale repartition every graph query used to pay is gone
+    val ex = formatted("q_degree_stats")
+    assert(ex.contains("Bucketed: true"),
+      "edge artifact scan is not bucketed — consumers re-shuffle at read")
+    val plan = qe("q_degree_stats").executedPlan.toString
+    // allowed hash exchanges: the 8-row bit-length census (+nothing
+    // else); the src-keyed degree agg must NOT exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1,
+      s"degree census exchanges $hashEx times — bucketing not picked up")
+  }
+
   test("q_pagerank never broadcasts ranks (they scale with the node population)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val hints = qe("q_pagerank").analyzed.collect { case h: ResolvedHint => h }
