@@ -211,7 +211,9 @@ object ScaleCheck {
     // round-8 rank-test batch: census prefix pass
     "q_brunner_munzel",
     // round-8 resampling heavy: ×32 randomization fan-out
-    "q_permutation_test")
+    "q_permutation_test",
+    // round-8 closing pair: sum-at-rank mass shares, wallet argmax
+    "q_middle_mass_share", "q_share_of_wallet")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

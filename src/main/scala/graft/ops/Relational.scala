@@ -3054,6 +3054,125 @@ object Relational {
                   / CAST(k * (k - 1) // 2 AS DOUBLE), 12) AS kendall_norm
               FROM foot, kd""")),
 
+    // ── interquartile mass: where does the revenue actually sit? ────────
+    // The distributional readout the palma/top-share family (by
+    // CUSTOMER) doesn't give: how much order-value MASS lies below p25,
+    // between the quartiles, and above p75 — ONE prefix-sums-at-rank
+    // pass (thresholds + S(k) together), total from the same persisted
+    // projection, three exact-ratio shares.
+    Q("q_middle_mass_share",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val base = t(s, dir, "orders")
+          .select((dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+          .withColumn("g", lit(1L)).persist()
+        val tot = base.agg(sum(col("cents").cast(dec38)).as("s_all"))
+        RangeRank.groupValuesAtRanks(base, Seq("g"), "cents",
+          Seq(RangeRank.RankPick("p25", n => ceil(n * 0.25),
+              sumName = Some("s25")),
+            RangeRank.RankPick("p75", n => ceil(n * 0.75),
+              sumName = Some("s75"))))
+          .crossJoin(broadcast(tot))
+          .select(col("n"),
+            round(col("p25").cast("double") / 100.0, 2).as("p25_dollars"),
+            round(col("p75").cast("double") / 100.0, 2).as("p75_dollars"),
+            round(col("s25").cast("double") / col("s_all").cast("double"),
+              12).as("bottom_share"),
+            round((col("s75") - col("s25")).cast("double")
+              / col("s_all").cast("double"), 12).as("middle_share"),
+            round((col("s_all") - col("s75")).cast("double")
+              / col("s_all").cast("double"), 12).as("top_share"))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+                FROM orders),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents) AS BIGINT)
+                    AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM base),
+              qs AS (
+                SELECT MAX(n) AS n,
+                  SUM(CAST(cents AS HUGEINT)) AS s_all,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                    THEN cents END) AS p25,
+                  SUM(CASE WHEN rn <= CAST(ceil(n * 0.25) AS BIGINT)
+                    THEN CAST(cents AS HUGEINT) END) AS s25,
+                  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                    THEN cents END) AS p75,
+                  SUM(CASE WHEN rn <= CAST(ceil(n * 0.75) AS BIGINT)
+                    THEN CAST(cents AS HUGEINT) END) AS s75
+                FROM r)
+              SELECT n,
+                round(CAST(p25 AS DOUBLE) / 100.0, 2) AS p25_dollars,
+                round(CAST(p75 AS DOUBLE) / 100.0, 2) AS p75_dollars,
+                round(CAST(s25 AS DOUBLE) / CAST(s_all AS DOUBLE), 12)
+                  AS bottom_share,
+                round(CAST(s75 - s25 AS DOUBLE)
+                  / CAST(s_all AS DOUBLE), 12) AS middle_share,
+                round(CAST(s_all - s75 AS DOUBLE)
+                  / CAST(s_all AS DOUBLE), 12) AS top_share
+              FROM qs""")),
+
+    // ── share-of-wallet concentration: customers' top-brand loyalty ─────
+    // q_brand_loyalty reads loyalty per BRAND; this reads it per
+    // CUSTOMER: what fraction of each customer's spend goes to their
+    // single favorite brand, censused into permille bands. The
+    // favorite-brand pick is a deterministic struct-argmax (spend desc,
+    // brand asc); the share is an exact integer permille
+    // ((max·1000) div total), so the band histogram and the per-band
+    // mean permille are pure integer arithmetic.
+    Q("q_share_of_wallet",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val spend = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("o_custkey"), col("p_brand"))
+          .agg((sum(dec2(col("l_extendedprice"))) * 100).cast("long")
+            .as("cents"))
+        // per-customer totals stay comfortably inside int64 (cents ≤
+        // ~9e15 per customer before the ×1000 could wrap)
+        val perCust = spend.groupBy("o_custkey")
+          .agg(sum(col("cents")).cast("long").as("total"),
+            max(struct(col("cents").as("c"), col("p_brand").as("b")))
+              .as("mx"))
+          .select(col("o_custkey"),
+            expr("(mx.c * 1000) div total").cast("long").as("permille"))
+        perCust.groupBy(expr("permille div 100").as("band"))
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            sum(col("permille")).cast("long").as("sp"))
+          .select(col("band"), col("n_customers"),
+            round(col("sp").cast("double")
+              / col("n_customers").cast("double"), 6)
+              .as("avg_permille"))
+          .orderBy("band")
+      },
+      Some("""WITH spend AS (
+                SELECT o_custkey, p_brand,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2),
+              pc AS (
+                SELECT o_custkey,
+                  CAST(CAST((MAX(struct_pack(c := cents, b := p_brand))).c
+                      AS HUGEINT) * 1000
+                    // SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS permille
+                FROM spend GROUP BY 1)
+              SELECT permille // 100 AS band,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                round(CAST(SUM(permille) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS avg_permille
+              FROM pc GROUP BY 1 ORDER BY band""")),
+
     // ── min-cost supplier per part (TPC-H Q2 shape) ──────────────────────
     // The correlated-min decorrelation: "suppliers matching the best
     // offer" becomes agg-to-one-row-per-part + equality join — each side

@@ -1059,7 +1059,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_brunner_munzel" -> 1,
       // round-8 inequality/rank-distance batch (persisted censuses;
       // theil joins three tables once at census build)
-      "q_theil_decomposition" -> 0, "q_rank_distance" -> 0)
+      "q_theil_decomposition" -> 0, "q_rank_distance" -> 0,
+      // round-8 closing pair
+      "q_middle_mass_share" -> 0, "q_share_of_wallet" -> 3)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
