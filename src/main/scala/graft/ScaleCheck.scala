@@ -213,7 +213,11 @@ object ScaleCheck {
     // round-8 resampling heavy: ×32 randomization fan-out
     "q_permutation_test",
     // round-8 closing pair: sum-at-rank mass shares, wallet argmax
-    "q_middle_mass_share", "q_share_of_wallet")
+    "q_middle_mass_share", "q_share_of_wallet",
+    // round-8 final coverage audit catches: BPE apply (oracle-exempt
+    // but >=1 s in the 527-query battery) and the borderline Kolkata
+    // crossing
+    "q_bpe_apply", "q_kolkata_index")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
