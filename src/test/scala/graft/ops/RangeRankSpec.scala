@@ -177,6 +177,24 @@ class RangeRankSpec extends SparkSpec {
     li.unpersist()
   }
 
+  test("groupValuesAtRanks: k = 0 yields NULL pick and NULL S(0)") {
+    // the documented degenerate contract (q_trimmed_stats coalesces
+    // S(0) to 0 when n div 10 = 0): a zero rank target matches no
+    // bracket, so both the member pick and the prefix sum come back
+    // null rather than a wrong row
+    import spark.implicits._
+    val df = Seq(("a", 3L), ("a", 5L), ("a", 9L)).toDF("g", "v").persist()
+    val out = RangeRank.groupValuesAtRanks(df, Seq("g"), "v",
+      Seq(RangeRank.RankPick("v0", n => n * 0, sumName = Some("s0")),
+        RangeRank.RankPick("v2", n => n - 1, sumName = Some("s2"))))
+      .collect()(0)
+    assert(out.isNullAt(out.fieldIndex("v0"))
+      && out.isNullAt(out.fieldIndex("s0")))
+    assert(out.getLong(out.fieldIndex("v2")) === 5L)
+    assert(out.getDecimal(out.fieldIndex("s2")).longValue === 8L)
+    df.unpersist()
+  }
+
   test("groupValuesAtRanks: constant groups and coinciding targets") {
     import spark.implicits._
     // group a: all-equal values (mn == mx bucket collapse); group b:
