@@ -46,28 +46,67 @@ object Artifacts {
       "_h" + java.lang.Integer.toHexString(dir.hashCode) +
       "_p" + pid
 
-  // every artifact memo in the engine registers here so invalidate()
-  // can drop a dir's keys across all families in one call
-  private val memos =
-    new CopyOnWriteArrayList[ConcurrentHashMap[(SparkSession, String), _]]()
+  /** A session-unique tag, distinct across every SparkSession this JVM
+    * ever creates (monotone counter, not a hash — identity hashes can
+    * collide). Memos whose VALUE is a named catalog table or a shared
+    * mutable path include this in the name so a second session over the
+    * same dir builds its OWN artifact instead of `mode(overwrite)`-
+    * dropping the one the first session may be reading mid-query.
+    */
+  def sessionTag(s: SparkSession): String =
+    "s" + sessionIds.computeIfAbsent(s, _ => sessionSeq.incrementAndGet())
+
+  private val sessionIds = new ConcurrentHashMap[SparkSession, java.lang.Long]()
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  // every artifact memo in the engine registers here (with its release
+  // hook) so invalidate() can drop a dir's keys across all families —
+  // and free what they hold — in one call
+  private final case class Registered(
+      map: ConcurrentHashMap[(SparkSession, String), _],
+      release: ((SparkSession, String), Any) => Unit)
+  private val memos = new CopyOnWriteArrayList[Registered]()
 
   /** A registered artifact memo: identical to a plain ConcurrentHashMap
-    * except [[invalidate]] can see it.
+    * except [[invalidate]] can see it. Memos whose values hold live
+    * resources (persisted/localCheckpoint'd DataFrames, catalog tables)
+    * pass a `release` hook: [[invalidate]] calls `release(key, value)`
+    * on every entry it evicts — unpersist the frame, DROP the table —
+    * so a mid-session invalidation does not leak cached storage blocks
+    * for the rest of the session.
     */
-  def memo[V](): ConcurrentHashMap[(SparkSession, String), V] = {
+  def memo[V](release: ((SparkSession, String), V) => Unit =
+        (_: (SparkSession, String), _: V) => ())
+      : ConcurrentHashMap[(SparkSession, String), V] = {
     val m = new ConcurrentHashMap[(SparkSession, String), V]()
-    memos.add(m)
+    memos.add(Registered(m,
+      release.asInstanceOf[((SparkSession, String), Any) => Unit]))
     m
   }
 
   /** Drop every memoized artifact for `dir` (all sessions, all
-    * families). The artifact FILES are left on disk (a reader mid-query
-    * may still hold the path — the shutdown hook reaps them); the next
-    * access through any memo rebuilds from the live data at a fresh
-    * read. Call after mutating a dir's parquet mid-session.
+    * families), calling each memo's release hook on the evicted values
+    * (freeing persisted blocks / catalog tables — the r8 ADVICE leak).
+    * The artifact FILES are left on disk (a reader mid-query may still
+    * hold the path — the shutdown hook reaps them); the next access
+    * through any memo rebuilds from the live data at a fresh read. Call
+    * after mutating a dir's parquet mid-session.
     */
   def invalidate(dir: String): Unit =
-    memos.forEach(m => m.keySet.removeIf(_._2 == dir))
+    memos.forEach { r =>
+      val it = r.map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._2 == dir) {
+          val k = e.getKey
+          val v = e.getValue
+          it.remove()
+          // release must never turn a cache eviction into a query
+          // failure — a dead session's unpersist/DROP is best-effort
+          try r.release(k, v) catch { case _: Throwable => () }
+        }
+      }
+    }
 
   private val cleanupDirs = ConcurrentHashMap.newKeySet[String]()
 

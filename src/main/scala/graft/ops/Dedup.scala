@@ -148,7 +148,7 @@ object Dedup {
     * can't force a silent recompute.
     */
   private val pairMemo =
-    Artifacts.memo[DataFrame]()
+    Artifacts.memo[DataFrame] { (_, df) => df.unpersist(false); () }
 
   private def shinglePairCore(s: SparkSession, dir: String): DataFrame =
     pairMemo.computeIfAbsent((s, dir), _ => {
@@ -361,7 +361,7 @@ object Dedup {
   }
 
   private val labelMemo =
-    Artifacts.memo[DataFrame]()
+    Artifacts.memo[DataFrame] { (_, df) => df.unpersist(false); () }
 
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
     labelMemo.computeIfAbsent((s, dir), _ =>

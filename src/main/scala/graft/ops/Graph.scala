@@ -63,11 +63,20 @@ object Graph {
     * `Artifacts.invalidate(dir)` after mid-session input mutation,
     * reaped at JVM exit).
     */
-  private val edgeMemo = Artifacts.memo[String]()
+  private val edgeMemo = Artifacts.memo[String] { case ((s, _), name) =>
+    // free the catalog entry (and its files — exit-hook also reaps the
+    // dir) when a mid-session invalidate evicts the artifact
+    if (!s.sparkContext.isStopped) s.sql(s"DROP TABLE IF EXISTS $name"): Unit
+  }
 
   private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
     val tbl = edgeMemo.computeIfAbsent((s, dir), _ => {
-      val tag = Artifacts.tag(dir)
+      // the table name/path carries a session-unique tag on top of the
+      // (dir-hash, pid) tag: a SECOND SparkSession in this JVM over the
+      // same dir builds its OWN table instead of saveAsTable(overwrite)-
+      // dropping the one the first session may be reading mid-query
+      // (the r8 ADVICE race)
+      val tag = Artifacts.tag(dir) + "_" + Artifacts.sessionTag(s)
       val name = s"graft_graph_edges_$tag"
       val path = Artifacts.cleanupOnExit("/tmp/graft-graph/" + tag)
       bipartiteEdgesRaw(s, dir).repartition(32, col("src"))

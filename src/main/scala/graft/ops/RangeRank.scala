@@ -178,13 +178,29 @@ object RangeRank {
     * Contract: `valueCol` non-null; every k in [1, n] for non-empty
     * groups (ceil(n·q) and (n·d + 9) div 10 forms qualify); input
     * persisted by the caller (all three passes reread it).
+    *
+    * Skew guard (r8 ADVICE): an adversarial value distribution — one
+    * extreme outlier stretching [min, max] — collapses nearly all rows
+    * into a single bucket, so the resolve pass's per-(group, bucket)
+    * value census would sort ~all distinct group values on one task.
+    * When any bracketed cell holds more than `refineCellRows` rows, a
+    * SECOND bracketing level re-buckets the hit cells (2¹⁶ sub-buckets
+    * over each cell's analytic bounds — 32 bits of combined resolution)
+    * before the value census, restoring 'no single-task group sort' at
+    * one extra partial+final histogram pass over the bracketed cells.
+    * The check itself is free: the bracket frame is already
+    * materialized (localCheckpoint) and ≤ |picks|·|groups| rows.
+    * Results are byte-identical either way — sub-bucketing is a
+    * monotone partition of each cell's value order, and selection is
+    * by cumulative count, never by bucket boundary.
     */
   def groupValuesAtRanks(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       picks: Seq[RankPick],
-      nName: String = "n"): DataFrame = {
+      nName: String = "n",
+      refineCellRows: Long = 1L << 20): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     // prefix-sum plumbing is gated on request so sum-free consumers'
     // plans carry zero extra aggregation columns
@@ -224,23 +240,71 @@ object RangeRank {
     // so the resolve pass broadcasts rows, not the histogram subtree
     val hit = kCol.map(k => col("__off") < col(k)
       && col(k) <= col("__off") + col("__c")).reduce(_ || _)
-    val brkCols = (g :+ col("__b") :+ col("__off")) ++
+    val offCols = Seq(col("__off")) ++
       (if (needSums) Seq(col("__soff")) else Nil)
-    val brackets = hist
+    // level-1 brackets carry the cell row count (__bc, the skew probe)
+    // and the cell's analytic bounds (__lo/__w, the level-2 re-bucket
+    // basis): lo_b = mn + b·W, width W = (mx−mn)/2¹⁶ — computable
+    // without another input pass
+    val w1 = (col("__mx").cast("double") - col("__mn").cast("double")) / 65536.0
+    val brackets1 = hist
       .withColumn("__off", coalesce(sum(col("__c")).over(wB), lit(0L)))
       .withColumn("__soff",
         if (needSums)
           coalesce(sum(col("__hs")).over(wB), lit(0).cast(dec38))
         else lit(0L))
-      .join(broadcast(stats.select((g ++ kCol.map(col)): _*)), groupCols)
+      .join(broadcast(stats), groupCols)
       .filter(hit)
-      .select(brkCols: _*)
+      .select((g :+ col("__b")) ++ offCols ++ Seq(col("__c").as("__bc"),
+        (col("__mn").cast("double") + col("__b").cast("double") * w1)
+          .as("__lo"), w1.as("__w")): _*)
       .localCheckpoint(true)
+    // skew probe on the materialized ≤|picks|·|groups|-row bracket frame
+    val maxCell = brackets1.agg(coalesce(max(col("__bc")), lit(0L)))
+      .first().getLong(0)
+    val (cellRows, brackets, cellKey) = if (maxCell <= refineCellRows) {
+      (bucketed, brackets1.drop("__bc", "__lo", "__w"), Seq("__b"))
+    } else {
+      // level 2: re-bucket the hit cells' rows over each cell's analytic
+      // bounds. greatest/least clamp FP boundary drift (v landed in cell
+      // b under the level-1 formula but sits an ULP outside lo_b under
+      // this one); clamping keeps the partition monotone in __v, which
+      // is all selection-by-cumulative-count needs. __w = 0 (degenerate
+      // single-value group) maps everything to sub-bucket 0.
+      val sub = bucketed
+        .join(broadcast(brackets1.select((g :+ col("__b") :+ col("__lo")
+          :+ col("__w")): _*)), groupCols :+ "__b")
+        .withColumn("__b2", when(col("__w") === 0.0, lit(0L))
+          .otherwise(least(lit(65535L), greatest(lit(0L),
+            floor((col("__v").cast("double") - col("__lo")) / col("__w")
+              * 65536.0).cast("long")))))
+      val hist2 = sub.groupBy((g :+ col("__b") :+ col("__b2")): _*)
+        .agg(histAggs.head, histAggs.tail: _*)
+      val wB2 = Window.partitionBy((g :+ col("__b")): _*).orderBy("__b2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val parentOff = Seq(col("__off").as("__o1")) ++
+        (if (needSums) Seq(col("__soff").as("__so1")) else Nil)
+      val brackets2 = hist2
+        .join(broadcast(brackets1.select((g :+ col("__b")) ++ parentOff: _*)),
+          groupCols :+ "__b")
+        .withColumn("__off", col("__o1")
+          + coalesce(sum(col("__c")).over(wB2), lit(0L)))
+        .withColumn("__soff",
+          if (needSums) col("__so1")
+            + coalesce(sum(col("__hs")).over(wB2), lit(0).cast(dec38))
+          else lit(0L))
+        .join(broadcast(stats.select((g ++ kCol.map(col)): _*)), groupCols)
+        .filter(hit)
+        .select((g :+ col("__b") :+ col("__b2")) ++ offCols: _*)
+        .localCheckpoint(true)
+      (sub, brackets2, Seq("__b", "__b2"))
+    }
+    val brkCols = (g ++ cellKey.map(col)) ++ offCols
     // resolve pass: value census over the bracketed cells only
-    val wV = Window.partitionBy((g :+ col("__b")): _*).orderBy("__v")
+    val wV = Window.partitionBy((g ++ cellKey.map(col)): _*).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val within0 = bucketed
-      .join(broadcast(brackets), groupCols :+ "__b")
+    val within0 = cellRows
+      .join(broadcast(brackets), groupCols ++ cellKey)
       .groupBy((brkCols :+ col("__v")): _*)
       .agg(count(lit(1)).as("__c"))
       .withColumn("__voff", col("__off")

@@ -2887,10 +2887,16 @@ object Relational {
           .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
             .as("cents"))
           .persist()
-        val tot = census.agg(sum(col("cents")).cast("long").as("x"),
+        // grand/region totals stay DECIMAL(38,0) through the ratio/log
+        // arithmetic (at 100 TB the grand total in cents is ~2.25e18 —
+        // under 4x headroom from int64 wrap, with divergent failure
+        // modes: Spark non-ANSI cast nulls, DuckDB HUGEINT→BIGINT
+        // errors); doubles only at the readout casts below.
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tot = census.agg(sum(col("cents").cast(dec38)).as("x"),
           count(lit(1)).cast("long").as("k")).localCheckpoint(true)
         val rtot = census.groupBy(col("region").as("r2"))
-          .agg(sum(col("cents")).cast("long").as("xr"),
+          .agg(sum(col("cents").cast(dec38)).as("xr"),
             count(lit(1)).cast("long").as("kr"))
         val terms = census.join(broadcast(rtot),
             col("region") === col("r2"))
@@ -2945,11 +2951,11 @@ object Relational {
                   JOIN nation ON c_nationkey = n_nationkey
                 GROUP BY 1, 2),
               tot AS (
-                SELECT CAST(SUM(cents) AS BIGINT) AS x,
+                SELECT SUM(cents) AS x,
                   CAST(count(*) AS BIGINT) AS k
                 FROM census),
               rtot AS (
-                SELECT region AS r2, CAST(SUM(cents) AS BIGINT) AS xr,
+                SELECT region AS r2, SUM(cents) AS xr,
                   CAST(count(*) AS BIGINT) AS kr
                 FROM census GROUP BY 1),
               terms AS (
@@ -3122,7 +3128,11 @@ object Relational {
     // CUSTOMER: what fraction of each customer's spend goes to their
     // single favorite brand, censused into permille bands. The
     // favorite-brand pick is a deterministic struct-argmax (spend desc,
-    // brand asc); the share is an exact integer permille
+    // brand DESC on spend ties — max(struct(cents, brand)) compares the
+    // brand field ascending-under-max, i.e. the LARGEST brand wins; the
+    // oracle mirrors the identical struct order, and only the spend
+    // value reaches the output anyway); the share is an exact integer
+    // permille
     // ((max·1000) div total), so the band histogram and the per-band
     // mean permille are pure integer arithmetic.
     Q("q_share_of_wallet",

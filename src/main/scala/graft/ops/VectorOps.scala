@@ -1063,7 +1063,9 @@ object VectorOps {
     * decimal sums) means the artifact is also identical across sessions.
     */
   private val ivfMemo =
-    Artifacts.memo[(DataFrame, DataFrame)]()
+    Artifacts.memo[(DataFrame, DataFrame)] { case (_, (a, b)) =>
+      a.unpersist(false); b.unpersist(false); ()
+    }
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.computeIfAbsent((s, dir), _ => {

@@ -30,6 +30,42 @@ class ArtifactsSpec extends SparkSpec {
     assert(m1.get((spark, "/tmp/b")) === "y")
   }
 
+  test("invalidate calls the release hook on exactly the evicted values") {
+    var released = List.empty[String]
+    val m = Artifacts.memo[String]((_, v) => released ::= v)
+    m.put((spark, "/tmp/rel-a"), "va")
+    m.put((spark, "/tmp/rel-b"), "vb")
+    Artifacts.invalidate("/tmp/rel-a")
+    assert(released === List("va"))
+    assert(!m.containsKey((spark, "/tmp/rel-a")))
+    assert(m.get((spark, "/tmp/rel-b")) === "vb")
+    // a throwing hook must not abort the eviction sweep
+    val bad = Artifacts.memo[String]((_, _) => sys.error("boom"))
+    bad.put((spark, "/tmp/rel-b"), "vc")
+    Artifacts.invalidate("/tmp/rel-b")
+    assert(!bad.containsKey((spark, "/tmp/rel-b")))
+    assert(!m.containsKey((spark, "/tmp/rel-b")) && released.contains("vb"))
+  }
+
+  test("invalidate unpersists a memoized persisted frame (no leak)") {
+    val m = Artifacts.memo[org.apache.spark.sql.DataFrame] { (_, df) =>
+      df.unpersist(false); ()
+    }
+    val df = spark.range(100).toDF("id").persist()
+    df.count()
+    assert(df.storageLevel.useMemory, "fixture frame failed to persist")
+    m.put((spark, "/tmp/rel-c"), df)
+    Artifacts.invalidate("/tmp/rel-c")
+    assert(!df.storageLevel.useMemory,
+      "evicted frame still holds storage blocks after invalidate")
+  }
+
+  test("sessionTag: stable per session, distinct across sessions") {
+    assert(Artifacts.sessionTag(spark) === Artifacts.sessionTag(spark))
+    val s2 = spark.newSession()
+    assert(Artifacts.sessionTag(spark) !== Artifacts.sessionTag(s2))
+  }
+
   test("mutable-dir semantics: stale until invalidate, fresh after") {
     // a mutable copy of the sf0.001 graph inputs under /tmp
     val dir = java.nio.file.Files

@@ -211,6 +211,53 @@ class RangeRankSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("groupValuesAtRanks: adversarial skew engages the second " +
+      "bracketing level and stays byte-identical") {
+    import spark.implicits._
+    // the r8 ADVICE shape: one extreme outlier stretches [mn, mx] so
+    // EVERY other row collapses into level-1 bucket 0 — without
+    // refinement the resolve pass would census ~all distinct group
+    // values in one cell
+    val rows = (0 until 5000).map(i => ("a", (i * 7 % 1000).toLong)) ++
+      Seq(("a", 1000000000000L)) ++
+      (0 until 3000).map(i => ("b", (i * 13 % 700).toLong)) ++
+      Seq(("b", 999999999999L))
+    val df = rows.toDF("g", "v").repartition(8).persist()
+    val naiveW = Window.partitionBy("g").orderBy(col("v"))
+    val naive = df
+      .select(col("g"), col("v"),
+        row_number().over(naiveW).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("g")).as("n"),
+        coalesce(sum(col("v").cast("long")).over(naiveW.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)).as("ps"))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("v"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.5), col("ps") + col("v")))
+          .as("s50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("v"))).as("p90"))
+    val picks = Seq(
+      RangeRank.RankPick("p50", n => ceil(n * 0.5), Some("s50")),
+      RangeRank.RankPick("p90", n => ceil(n * 0.9)))
+    // refined path (threshold forces level 2 on this input) and the
+    // default single-level path must agree with the naive window AND
+    // each other — selection is bucketing-invariant
+    val refined = RangeRank.groupValuesAtRanks(df, Seq("g"), "v", picks,
+        refineCellRows = 100L)
+    assert(refined.queryExecution.analyzed.toString.contains("__b2"),
+      "skew probe did not engage the second bracketing level")
+    val onePass = RangeRank.groupValuesAtRanks(df, Seq("g"), "v", picks)
+    assert(!onePass.queryExecution.analyzed.toString.contains("__b2"),
+      "second level engaged below the cell-population threshold")
+    for (fast <- Seq(refined, onePass)) {
+      val out = fast.select(col("g"), col("n"), col("p50"),
+        col("s50").cast("long").as("s50"), col("p90"))
+      assert(naive.exceptAll(out).isEmpty && out.exceptAll(naive).isEmpty,
+        "skew-refined value-at-rank diverged from the naive window")
+    }
+    df.unpersist()
+  }
+
   test("the range exchange is planned once (ReuseExchange fires)") {
     // correctness depends on the census and the rank pass observing the
     // SAME physical range partitioning; the reused exchange guarantees it
