@@ -930,6 +930,31 @@ class PlanGuardSpec extends SparkSpec {
       "forecast backtest re-scans orders past its persisted day census")
   }
 
+  test("sketch pair: exact census and HLL sketch read ONE persisted build") {
+    // r8 verdict item 1: q_sketch_rollup / q_overlap_sketch tripled in
+    // the driver battery when they joined the hash gate — the claim
+    // that the exact side and the sketch side share ONE persisted
+    // projection (HLL is duplicate-insensitive, so sketching the cached
+    // distinct census is byte-identical to sketching the raw stream)
+    // was asserted only in comments. Mechanically: the optimized plan
+    // must contain ZERO raw LogicalRelations (every consumer reads the
+    // cache, no direct parquet re-scan) and exactly ONE DISTINCT cache
+    // builder (both paths share the same build, not two separate caches)
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    for (q <- Seq("q_sketch_rollup", "q_overlap_sketch")) {
+      val opt = qe(q).optimizedPlan
+      val raw = opt.collect { case l: LogicalRelation => l }
+      assert(raw.isEmpty,
+        s"$q re-scans parquet past its persisted projection: ${raw.size}")
+      val builders = opt.collect { case r: InMemoryRelation => r.cacheBuilder }
+      assert(builders.nonEmpty, s"$q lost its cache read:\n$opt")
+      assert(builders.distinct.size === 1,
+        s"$q's exact and sketch paths read ${builders.distinct.size} " +
+          "separate cache builds instead of the one shared projection")
+    }
+  }
+
   test("q_schema_evolution: both generation branches push their era filter") {
     // one branch keeps `ts < cutover`, the other `ts >= cutover` — a
     // single non-empty PushedFilters anywhere would let one branch
