@@ -1126,9 +1126,10 @@ object TextOps {
     // like PageRank's N), then a row-local greedy left-to-right fold
     // merges the winning pair inside every symbol array — no shuffle in
     // the merge step. Deterministic: ties break (count DESC, pair ASC).
-    // Output = the 10-row merge table. No SQL oracle (iterative with
-    // data-dependent literals); OpsSpec replays the identical greedy
-    // algorithm in plain Scala and asserts all 10 merges agree.
+    // Output = the 10-row merge table. Hash-oracled since r9: DuckDB
+    // replays the full training as a generated CTE chain (greedy merge
+    // ≡ anchored-string replace — see [[bpeOracleCtes]]); OpsSpec's
+    // plain-Scala greedy replay stays as the semantic guard.
     Q("q_bpe_train",
       (s, dir) => {
         val s2 = s
@@ -1136,7 +1137,7 @@ object TextOps {
         bpeMerges(s, dir).toDF("round", "left", "right", "pair_count")
           .orderBy("round")
       },
-      None),
+      Some(bpeTrainOracle)),
 
     // ── BPE tokenizer application: encode the corpus with the merges ─────
     // The other half of the tokenizer lifecycle: run the 10 trained
@@ -1149,10 +1150,11 @@ object TextOps {
     // key (un-hinted — the vocabulary grows with the corpus until the
     // language saturates it). Word-frequency skew ("the") is absorbed by
     // the census's partial agg, and the expensive fold runs |vocab|
-    // times, not |corpus| times. No SQL oracle (the merge table is
-    // data-dependent, q_bpe_train's exemption); BpeApplySpec replays the
-    // identical greedy encode in plain Scala and asserts the per-source
-    // totals agree.
+    // times, not |corpus| times. Hash-oracled since r9: the oracle
+    // trains in DuckDB (q_bpe_train's CTE chain) and encodes the
+    // distinct-word frame with the 10 winners as nested anchored
+    // replaces; OpsSpec's plain-Scala greedy encode replay stays as the
+    // semantic guard.
     Q("q_bpe_apply",
       (s, dir) => {
         val merges = bpeMerges(s, dir)
@@ -1182,7 +1184,7 @@ object TextOps {
               .as("chars_per_token"))
           .orderBy("source")
       },
-      None),
+      Some(bpeApplyOracle)),
 
     // ── long-tail mining: every doc's rarest token ───────────────────────
     // The curation probe for niche/valuable content (and for tokenizer
@@ -3112,6 +3114,94 @@ object TextOps {
               ORDER BY dp DESC, tok
               LIMIT 20"""))
   )
+
+  /** r9 (r8 verdict item 5): the BPE pair moved INTO the hash gate.
+    * The oracle trains the same 10 greedy merge rounds inside DuckDB —
+    * no pinned literals needed once the greedy left-to-right merge is
+    * recognized as SQL `replace` on an ANCHORED symbol string: encode
+    * every word as `' a  b  c '` (single space at the ends, double
+    * space between symbols — symbols never contain spaces), and one
+    * merge round is `replace(seq, ' a  b ', ' ab ')`. SQL replace scans
+    * left to right and resumes AFTER each insertion — exactly the
+    * greedy fold's overlap rule (`' a  a  a '` → `' aa  a '`), and the
+    * full anchoring makes a cross-symbol match impossible (a suffix
+    * match would need the interior double space). Per round the oracle
+    * censuses adjacent pairs off the split symbol string, arg-maxes
+    * (cnt DESC, a, b) — the engine's exact tiebreak — and re-encodes;
+    * the apply oracle chains all `rounds` winners as nested replaces
+    * over the distinct-word frame and reads token counts off the space
+    * census (k symbols ⇔ 2k spaces). Everything is exact integers until
+    * the final chars/token division of identical doubles.
+    */
+  // final + literal = compile-time constant: the oracle builders run
+  // during the `queries` val's initialization, BEFORE ordinary vals
+  // declared below it would be assigned (a plain val here reads 0)
+  private final val BpeRounds = 10
+
+  /** The shared training CTE chain (v0 → p_r/w_r/v_r per round). */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """v0 AS (
+      SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+               AS seq,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY 1)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      p$r AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, freq
+        FROM (SELECT string_split(trim(seq), '  ') AS syms, freq
+              FROM v${r - 1}),
+             UNNEST(generate_series(1, len(syms) - 1)) AS t(i)),
+      w$r AS (
+        SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$r
+        GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+      v$r AS (
+        SELECT replace(seq, ' ' || w.a || '  ' || w.b || ' ',
+                       ' ' || w.a || w.b || ' ') AS seq, freq
+        FROM v${r - 1}, w$r w)"""
+    }
+    sb.result()
+  }
+
+  private def bpeTrainOracle: String = {
+    val unions = (1 to BpeRounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS "left", b AS "right",
+            cnt AS pair_count FROM w$r""").mkString(" UNION ALL ")
+    s"WITH ${bpeOracleCtes(BpeRounds)} " +
+      s"SELECT * FROM ($unions) ORDER BY round"
+  }
+
+  private def bpeApplyOracle: String = {
+    val enc = (1 to BpeRounds).foldLeft("seq") { (e, r) =>
+      s"replace($e, ' ' || w$r.a || '  ' || w$r.b || ' ', " +
+        s"' ' || w$r.a || w$r.b || ' ')"
+    }
+    val wJoin = (1 to BpeRounds).map(r => s"w$r").mkString(", ")
+    s"""WITH ${bpeOracleCtes(BpeRounds)},
+      words AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY 1, 2),
+      enc AS (
+        SELECT word, $enc AS eseq
+        FROM (SELECT DISTINCT word,
+                ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+                  AS seq
+              FROM words), $wJoin),
+      tok AS (
+        SELECT word,
+          (length(eseq) - length(replace(eseq, ' ', ''))) // 2 AS toks
+        FROM enc)
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_words,
+        CAST(SUM(n * length(word)) AS BIGINT) AS n_chars,
+        CAST(SUM(n * toks) AS BIGINT) AS n_tokens,
+        CAST(SUM(n * length(word)) AS DOUBLE)
+          / CAST(SUM(n * toks) AS DOUBLE) AS chars_per_token
+      FROM words JOIN tok USING (word) GROUP BY source ORDER BY source"""
+  }
 
   /** The 10 trained BPE merges for a corpus — (round, left, right,
     * pair_count), memoized per (session, corpus) like the IVF index and
