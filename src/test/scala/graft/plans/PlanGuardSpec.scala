@@ -955,6 +955,22 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_sql_exists: EXISTS/NOT EXISTS plan as semi/anti hash joins " +
+      "with the return filter pushed to the scan") {
+    // the r9 text-in twins must get the same physical treatment as the
+    // DataFrame path: correlated EXISTS → left-semi hash join, NOT
+    // EXISTS → left-anti hash join (never a nested loop), and the
+    // l_returnflag = 'R' predicate reaches the lineitem parquet scan
+    val plan = qe("q_sql_exists").executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS lost its semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS lost its anti join")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "correlated EXISTS degraded to a nested-loop shape")
+    val ex = formatted("q_sql_exists")
+    assert(ex.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter not pushed into the lineitem scan")
+  }
+
   test("q_schema_evolution: both generation branches push their era filter") {
     // one branch keeps `ts < cutover`, the other `ts >= cutover` — a
     // single non-empty PushedFilters anywhere would let one branch
