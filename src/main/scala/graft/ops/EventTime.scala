@@ -5076,43 +5076,7 @@ object EventTime {
     // ONE division per τ for the dollar display. Scale: one orders scan
     // → calendar-bounded census; selection and loss are census passes.
     Q("q_pinball_loss",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val days = medianDaily(t(s, dir, "orders"))
-          .withColumn("g", lit(1L)).persist()
-        val qs = RangeRank.groupValuesAtRanks(days, Seq("g"), "cents",
-          Seq(RangeRank.RankPick("q10", n => ceil(n * 0.1)),
-            RangeRank.RankPick("q50", n => ceil(n * 0.5)),
-            RangeRank.RankPick("q90", n => ceil(n * 0.9))))
-          .select("q10", "q50", "q90")
-        val losses = days.crossJoin(broadcast(qs))
-          .agg(count(lit(1)).cast("long").as("n_days"),
-            max(col("q10")).as("f10"), max(col("q50")).as("f50"),
-            max(col("q90")).as("f90"),
-            sum(when(col("cents") >= col("q10"),
-              (col("cents") - col("q10")).cast(dec38) * 1)
-              .otherwise((col("q10") - col("cents")).cast(dec38) * 9))
-              .as("l10"),
-            sum(when(col("cents") >= col("q50"),
-              (col("cents") - col("q50")).cast(dec38) * 5)
-              .otherwise((col("q50") - col("cents")).cast(dec38) * 5))
-              .as("l50"),
-            sum(when(col("cents") >= col("q90"),
-              (col("cents") - col("q90")).cast(dec38) * 9)
-              .otherwise((col("q90") - col("cents")).cast(dec38) * 1))
-              .as("l90"))
-        losses.select(expr(
-          """stack(3,
-            |  CAST(10 AS BIGINT), n_days, f10, l10,
-            |  CAST(50 AS BIGINT), n_days, f50, l50,
-            |  CAST(90 AS BIGINT), n_days, f90, l90)
-            |AS (tau_pct, n_days, forecast_cents, loss_x10)""".stripMargin))
-          .select(col("tau_pct"), col("n_days"), col("forecast_cents"),
-            round(col("loss_x10").cast("double")
-              / (col("n_days").cast("double") * 1000.0), 6)
-              .as("mean_pinball_dollars"))
-          .orderBy("tau_pct")
-      },
+      (s, dir) => pinballFinish(medianDaily(t(s, dir, "orders"))),
       Some("""WITH days AS (
                 SELECT date_trunc('day', o_orderdate) AS day,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -5731,6 +5695,51 @@ object EventTime {
       .filter(col("rn") >= 7)
       .select(col("day"), element_at(col("arr"), 4).as("med_cents"))
       .orderBy("day")
+  }
+
+  /** Finishing arithmetic of q_pinball_loss over the bounded day
+    * census (the r9 drained≡batch streaming twin — it rides the SAME
+    * per-day revenue census [[medianFinish]] reads): exact
+    * value-at-rank quantile selection (RangeRank's histogram bracket),
+    * then the τ-weighted dec38 loss masses and one rounded double
+    * division per row. All-integer until the display division —
+    * drained streaming state finishes to batch bit-for-bit.
+    */
+  def pinballFinish(dayCensus: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val days = dayCensus.withColumn("g", lit(1L)).persist()
+    val qs = RangeRank.groupValuesAtRanks(days, Seq("g"), "cents",
+      Seq(RangeRank.RankPick("q10", n => ceil(n * 0.1)),
+        RangeRank.RankPick("q50", n => ceil(n * 0.5)),
+        RangeRank.RankPick("q90", n => ceil(n * 0.9))))
+      .select("q10", "q50", "q90")
+    val losses = days.crossJoin(broadcast(qs))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        max(col("q10")).as("f10"), max(col("q50")).as("f50"),
+        max(col("q90")).as("f90"),
+        sum(when(col("cents") >= col("q10"),
+          (col("cents") - col("q10")).cast(dec38) * 1)
+          .otherwise((col("q10") - col("cents")).cast(dec38) * 9))
+          .as("l10"),
+        sum(when(col("cents") >= col("q50"),
+          (col("cents") - col("q50")).cast(dec38) * 5)
+          .otherwise((col("q50") - col("cents")).cast(dec38) * 5))
+          .as("l50"),
+        sum(when(col("cents") >= col("q90"),
+          (col("cents") - col("q90")).cast(dec38) * 9)
+          .otherwise((col("q90") - col("cents")).cast(dec38) * 1))
+          .as("l90"))
+    losses.select(expr(
+      """stack(3,
+        |  CAST(10 AS BIGINT), n_days, f10, l10,
+        |  CAST(50 AS BIGINT), n_days, f50, l50,
+        |  CAST(90 AS BIGINT), n_days, f90, l90)
+        |AS (tau_pct, n_days, forecast_cents, loss_x10)""".stripMargin))
+      .select(col("tau_pct"), col("n_days"), col("forecast_cents"),
+        round(col("loss_x10").cast("double")
+          / (col("n_days").cast("double") * 1000.0), 6)
+          .as("mean_pinball_dollars"))
+      .orderBy("tau_pct")
   }
 
   def cusumFinish(daily: DataFrame): DataFrame = {

@@ -784,11 +784,13 @@ object StreamingOps {
   def errorCounts(events: DataFrame): DataFrame =
     graft.ops.EventTime.errorDaily(events)
 
-  /** Streaming half of q_rolling_median — the live robust-smoother
-    * monitor. The per-day revenue census is mergeable Complete-mode
-    * state bounded by the calendar; all-integer, so
-    * [[graft.ops.EventTime.medianFinish]] over the drained state
-    * equals batch q_rolling_median EXACTLY at any trigger.
+  /** Streaming half of q_rolling_median AND q_pinball_loss — the live
+    * robust-smoother / quantile-forecast-loss monitors. The per-day
+    * revenue census is ONE mergeable Complete-mode state bounded by the
+    * calendar; all-integer, so [[graft.ops.EventTime.medianFinish]] and
+    * [[graft.ops.EventTime.pinballFinish]] over the drained state equal
+    * their batch queries EXACTLY at any trigger (one live census, two
+    * readouts — the ANOVA/Tukey discipline).
     */
   def medianCounts(orders: DataFrame): DataFrame =
     graft.ops.EventTime.medianDaily(orders)

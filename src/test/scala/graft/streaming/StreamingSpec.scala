@@ -691,6 +691,29 @@ class StreamingSpec extends SparkSpec {
       "drained day census diverged from batch rolling median")
   }
 
+  test("drained day census finishes to batch q_pinball_loss exactly") {
+    // the r8 forecast-loss readout rides the SAME per-day revenue
+    // census the rolling-median twin maintains (one live Complete-mode
+    // state, two readouts — the ANOVA/Tukey discipline): quantile
+    // selection + dec38 loss masses are pure finishing arithmetic over
+    // the drained state, integer-exact until the display division
+    val dir = Files.createTempDirectory("graft-orders-pinball").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.medianCounts(StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_pinball", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.EventTime.pinballFinish(counts).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_pinball_loss")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained day census diverged from batch pinball loss")
+  }
+
   test("drained error census finishes to batch q_error_burn exactly") {
     // per-day (total, errors) Complete-mode state; exact counts, so the
     // trailing-7 burn-rate finish is bit-equal to batch at any trigger
