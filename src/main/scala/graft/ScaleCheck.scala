@@ -241,6 +241,12 @@ object ScaleCheck {
           s"known: ${Picks.mkString(", ")}")
       Picks.filter(want)
     } else Picks
+    // optional 4th arg: comma-separated multipliers (default 1,2,4,8) —
+    // the r8 verdict's deep-scale probe (×16/×32) uses this to confirm
+    // the steepest ×2→×8 slopes flatten rather than bend up
+    val mults = if (args.length > 3)
+      args(3).split(',').map(_.trim.toInt).toSeq
+    else Mults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -251,12 +257,12 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    Mults.foreach(m => buildScaled(spark, base, s"$work/m$m", m))
+    mults.foreach(m => buildScaled(spark, base, s"$work/m$m", m))
 
     // warmup (session + codegen)
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    Mults.foreach { m =>
+    mults.foreach { m =>
       val dir = s"$work/m$m"
       val times = picks.map { name =>
         spark.catalog.clearCache()
@@ -280,7 +286,7 @@ object ScaleCheck {
     // ∝ customers across ×M — i.e. the pair census is linear in the
     // scaled fact volume, never quadratic.
     if (picks.contains("q_also_bought")) {
-      Mults.foreach { m =>
+      mults.foreach { m =>
         val b = graft.ops.Curation.alsoBoughtBaskets(spark, s"$work/m$m")
         val r = b.select(
           expr("cast(size(items) as bigint) * (size(items) - 1) div 2")

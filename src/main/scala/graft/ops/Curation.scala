@@ -264,6 +264,53 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Finishing arithmetic of q_g_test over the bounded counts frame —
+    * the likelihood-ratio sibling of [[chi2Finish]], reading the SAME
+    * mergeable [[tvdCounts]] census (one live state, three readouts
+    * with tvd/chi2). Terms are normalized to O(1) before the ln,
+    * 12-dec-pinned and lang-pinned-folded per source; the 2N rescale
+    * happens after the fold on identical doubles.
+    */
+  def gTestFinish(counts0: DataFrame): DataFrame = {
+    // persist: the census feeds n, per-source, per-lang and the cell
+    // join — four consumers; materialized once by the n action
+    val counts = counts0.select(col("source"), col("lang"),
+      col("a").cast("long").as("o")).persist()
+    val n = counts.agg(sum(col("o"))).head.getLong(0)
+    val perSrc = counts.groupBy("source").agg(sum(col("o")).as("r"))
+    val perLang = counts.groupBy("lang").agg(sum(col("o")).as("c"))
+    val dims = counts.agg(
+      countDistinct(col("source")).as("n_src"),
+      countDistinct(col("lang")).as("n_lang"))
+    // zero cells contribute exactly 0 to G — no dense grid fill needed
+    // (unlike chi2, whose E-only cells carry mass)
+    val cells = counts
+      .join(perSrc, "source").join(perLang, "lang")
+      .select(col("source"), col("lang"), col("r"),
+        when(col("o") === 0, lit(0.0)).otherwise(
+          round((col("o").cast("double") / lit(n.toDouble))
+            * log((col("o").cast("double") / col("r").cast("double"))
+              * (lit(n.toDouble) / col("c").cast("double"))), 12))
+          .as("term"))
+    val bySrc = cells.groupBy(col("source"), col("r").as("n_src_docs"))
+      .agg(expr("""aggregate(array_sort(collect_list(struct(lang, term))),
+                     CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+        .as("tsum"))
+      .select(col("source"), col("n_src_docs"),
+        (col("tsum") * 2.0 * lit(n.toDouble)).as("g_src"))
+    val tot = bySrc
+      .agg(expr("""aggregate(array_sort(collect_list(struct(source, g_src))),
+                     CAST(0 AS DOUBLE), (a, x) -> a + x.g_src)""")
+        .as("g_stat"))
+      .crossJoin(broadcast(dims))
+      .select(col("g_stat"),
+        ((col("n_src") - 1) * (col("n_lang") - 1)).cast("long").as("dof"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src_docs"), col("g_src"),
+        col("g_stat"), col("dof"))
+      .orderBy("source")
+  }
+
   /** Distinct word 3-gram strings per doc — the DuckDB-mirrorable twin
     * of the hashed shingles the dedup path uses (decontamination wants
     * the readable n-gram for auditability anyway).
@@ -1220,6 +1267,59 @@ object Curation {
                   AS cramers_v
               FROM bysrc b, tot t, dims d, nn
               ORDER BY b.source""")),
+
+    // ── G-test (log-likelihood ratio) of source×lang independence ───────
+    // The likelihood-ratio twin of q_chi2 — G = 2·Σ O·ln(O/E) is what
+    // chi² approximates, and the better-behaved statistic at small
+    // expected counts (the sparse-cell regime a growing crawl's
+    // source×lang grid lives in). SAME mergeable census as
+    // q_chi2/q_tvd_drift ([[tvdCounts]] — so the streaming state
+    // already serves it). Cross-engine: each cell term is normalized
+    // to O(1) BEFORE the libm ln — term = (O/N)·ln((O/r)·(N/c)), all
+    // factors exact-int ratio doubles — then 12-dec-pinned and folded
+    // lang-pinned per source; G = 2N·Σ multiplies back AFTER the fold
+    // (products of identical doubles, no re-rounding). Zero cells
+    // contribute exactly 0 (lim x·ln x), so the sparse grid needs no
+    // dense fill. Catalog-bounded finish over one corpus scan.
+    Q("q_g_test",
+      (s, dir) => gTestFinish(tvdCounts(t(s, dir, "documents"))),
+      Some("""WITH counts AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2),
+              nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
+              rr AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r
+                     FROM counts GROUP BY 1),
+              cc AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c
+                     FROM counts GROUP BY 1),
+              dims AS (
+                SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src,
+                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang
+                FROM counts),
+              cells AS (
+                SELECT counts.source, counts.lang, rr.r,
+                  CASE WHEN o = 0 THEN 0.0 ELSE
+                    round((CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                      * ln((CAST(o AS DOUBLE) / CAST(rr.r AS DOUBLE))
+                        * (CAST(nn.n AS DOUBLE) / CAST(cc.c AS DOUBLE))),
+                      12) END AS term
+                FROM counts JOIN rr USING (source)
+                  JOIN cc USING (lang), nn),
+              bysrc AS (
+                SELECT source, r AS n_src_docs,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY lang)), (a, x) -> a + x) AS tsum
+                FROM cells GROUP BY 1, 2),
+              g AS (
+                SELECT source, n_src_docs,
+                  tsum * 2.0 * CAST(nn.n AS DOUBLE) AS g_src
+                FROM bysrc, nn),
+              tot AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(g_src ORDER BY source)), (a, x) -> a + x) AS g_stat
+                FROM g)
+              SELECT g.source, g.n_src_docs, g.g_src, tot.g_stat,
+                (d.n_src - 1) * (d.n_lang - 1) AS dof
+              FROM g, tot, dims d ORDER BY g.source""")),
 
     // ── IQR-fence outlier census per source ──────────────────────────────
     // The Tukey box-plot rule as a data-quality gate: per source, exact

@@ -2755,6 +2755,133 @@ object TextOps {
                   AS delta
               FROM folds ORDER BY src_a, src_b""")),
 
+    // ── lexical-richness battery: Guiraud R, Honoré R, Sichel S ─────────
+    // The three classic length-corrected vocabulary-richness indices a
+    // corpus-quality pass reads next to q_yule_k / q_chao1: Guiraud
+    // R = V/√N (root-corrected type-token ratio), Honoré
+    // R = 100·ln(N)/(1 − V1/V) (hapax-weighted — rises when fresh data
+    // keeps minting one-off words), Sichel S = V2/V (dis-legomena
+    // share, a stable authorship signal). ONE (source, token) census
+    // feeds all three: V/V1/V2/N are exact-integer tallies of it;
+    // sqrt is correctly-rounded IEEE (identical both engines on
+    // identical ints) so Guiraud and Sichel need no rounding at all,
+    // and only Honoré's ln gets the 6-dec pin. Census-bounded, one
+    // corpus scan, partial+final aggs — the q_yule_k scale shape.
+    Q("q_lexical_richness",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("source"), explode(
+            expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("vocab"),
+            sum(col("c")).cast("long").as("n_tokens"),
+            count(when(col("c") === 1, lit(1))).cast("long").as("v1"),
+            count(when(col("c") === 2, lit(1))).cast("long").as("v2"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            col("v1"), col("v2"),
+            (col("vocab").cast("double")
+              / sqrt(col("n_tokens").cast("double"))).as("guiraud_r"),
+            when(col("v1") === col("vocab"), lit(null).cast("double"))
+              .otherwise(round(lit(100.0)
+                * log(col("n_tokens").cast("double"))
+                / (lit(1.0) - col("v1").cast("double")
+                  / col("vocab").cast("double")), 6)).as("honore_r"),
+            (col("v2").cast("double") / col("vocab").cast("double"))
+              .as("sichel_s"))
+          .orderBy("source")
+      },
+      Some("""WITH cen AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT source,
+                        unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2),
+              agg AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS v1,
+                  CAST(COUNT(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS v2
+                FROM cen GROUP BY 1)
+              SELECT source, n_tokens, vocab, v1, v2,
+                CAST(vocab AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+                  AS guiraud_r,
+                CASE WHEN v1 = vocab THEN NULL
+                  ELSE round(100.0 * ln(CAST(n_tokens AS DOUBLE))
+                    / (1.0 - CAST(v1 AS DOUBLE) / CAST(vocab AS DOUBLE)),
+                    6) END AS honore_r,
+                CAST(v2 AS DOUBLE) / CAST(vocab AS DOUBLE) AS sichel_s
+              FROM agg ORDER BY source""")),
+
+    // ── expected reciprocal rank (ERR@10): the cascade-model metric ─────
+    // Completes the MRR/nDCG/MAP/precision-recall ranking family with
+    // the cascade-click model: ERR = Σ_r (σ_{r−1}·R_r)/r where
+    // R = (2^rel − 1)/16 and σ is the running "not yet satisfied"
+    // probability Π(1 − R_i). Same deterministic top-10 per source as
+    // q_precision_recall_at_k (n_chars DESC, doc_id; hash-derived
+    // rel 1..4). Cross-engine exactness without any rounding: R and
+    // 1−R are DYADIC rationals (x/16), so σ is exact in ≤40 mantissa
+    // bits, and both engines run the IDENTICAL rank-ordered fold — a
+    // same-shape struct accumulator {r, e=ERR, s=σ} over the ordered
+    // {r, e=R/r, s=1−R} elements (acc type = element type, the only
+    // fold DuckDB's list_reduce admits). Census-bounded: the fold runs
+    // over ≤10 rows per source.
+    Q("q_err_ranking",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            expr("pmod(((doc_id % 2147483648) * 2654435761) div 65536, 4) + 1")
+              .as("rel"))
+        val top = base.groupBy("source")
+          .agg(expr("graft_topk(doc_id, CAST(n_chars AS DOUBLE), 10)")
+            .as("topk"))
+          .select(col("source"),
+            posexplode(col("topk")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("r"),
+            // (2^rel − 1)/16 via an exact integer shift — no libm pow
+            expr("""CAST(shiftleft(1L, CAST(pmod(((t.id % 2147483648)
+                * 2654435761) div 65536, 4) + 1 AS INT)) - 1 AS DOUBLE)
+                / 16.0""").as("rr"))
+        top.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("k"),
+            expr("""aggregate(
+                array_sort(collect_list(named_struct(
+                  'r', CAST(r AS DOUBLE),
+                  'e', rr / CAST(r AS DOUBLE),
+                  's', 1.0 - rr))),
+                named_struct('r', CAST(0 AS DOUBLE), 'e', CAST(0 AS DOUBLE),
+                  's', CAST(1 AS DOUBLE)),
+                (a, x) -> named_struct('r', x.r, 'e', a.e + a.s * x.e,
+                  's', a.s * x.s)).e""").as("err_at_k"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+                SELECT source, doc_id, n_chars,
+                  ((doc_id % 2147483648) * 2654435761 // 65536 % 4 + 4)
+                    % 4 + 1 AS rel
+                FROM documents),
+              r AS (
+                SELECT source, rel, CAST(row_number() OVER
+                  (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS i
+                FROM base),
+              top AS (
+                SELECT source, i AS rk,
+                  CAST((1 << rel) - 1 AS DOUBLE) / 16.0 AS rr
+                FROM r WHERE i <= 10)
+              SELECT source, CAST(count(*) AS BIGINT) AS k,
+                (list_reduce(list_prepend(
+                  struct_pack(r := CAST(0 AS DOUBLE),
+                    e := CAST(0 AS DOUBLE), s := CAST(1 AS DOUBLE)),
+                  list(struct_pack(r := CAST(rk AS DOUBLE),
+                    e := rr / CAST(rk AS DOUBLE), s := 1.0 - rr)
+                    ORDER BY rk)),
+                  (a, x) -> struct_pack(r := x.r, e := a.e + a.s * x.e,
+                    s := a.s * x.s))).e AS err_at_k
+              FROM top GROUP BY source ORDER BY source""")),
+
     // ── Chao1 vocabulary-richness estimator (bigram species) ────────────
     // "How much vocabulary haven't we seen yet?" — the capture-based
     // richness estimate over bigram types: Chao1 = S_obs +
