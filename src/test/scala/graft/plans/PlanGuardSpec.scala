@@ -1102,7 +1102,10 @@ class PlanGuardSpec extends SparkSpec {
       // theil joins three tables once at census build)
       "q_theil_decomposition" -> 0, "q_rank_distance" -> 0,
       // round-8 closing pair
-      "q_middle_mass_share" -> 0, "q_share_of_wallet" -> 3)
+      "q_middle_mass_share" -> 0, "q_share_of_wallet" -> 3,
+      // round-9 text/eval batch: single-chain corpus censuses pay one
+      // scan; the G-test reads the persisted tvd census at zero
+      "q_lexical_richness" -> 1, "q_err_ranking" -> 1, "q_g_test" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
