@@ -4259,6 +4259,67 @@ object EventTime {
                   AS first_rule2_day
               FROM r2f""")),
 
+    // ── p-chart: daily return-share attribute control chart ─────────────
+    // The SPC chart family's attribute member (q_control_chart is the
+    // count chart, q_cusum_chart/q_ewma_chart the drift detectors):
+    // per ship-day return share p_t = d_t/n_t against VARYING 3σ
+    // limits p̄ ± 3·√(p̄(1−p̄)/n_t) — the varying subgroup size is what
+    // DEFINES a p-chart (a fixed-limit chart false-alarms on thin
+    // days). FP-free by construction: every value is a division/sqrt
+    // of exact integers — sqrt is correctly-rounded IEEE, so both
+    // engines produce bit-identical limits with zero rounding. One
+    // lineitem scan → persisted calendar-bounded day census → 1-row
+    // grand-rate broadcast → row-local limits.
+    Q("q_p_chart",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .select(
+            expr("datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+          .groupBy("d")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("r")).cast("long").as("ret"))
+          .persist()
+        val tot = cen.agg(
+          (sum(col("ret")).cast("double") / sum(col("n")).cast("double"))
+            .as("pbar")).localCheckpoint(true)
+        cen.crossJoin(broadcast(tot))
+          .select(col("d"), col("n"), col("ret"), col("pbar"),
+            (col("ret").cast("double") / col("n").cast("double")).as("p"),
+            (col("pbar") * (lit(1.0) - col("pbar"))
+              / col("n").cast("double")).as("v"))
+          .select(col("d"), col("n"), col("ret"), col("p"),
+            (col("pbar") + sqrt(col("v")) * 3.0).as("ucl"),
+            greatest(lit(0.0), col("pbar") - sqrt(col("v")) * 3.0)
+              .as("lcl"))
+          .withColumn("alarm", col("p") > col("ucl")
+            || col("p") < col("lcl"))
+          .orderBy("d")
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(l_shipdate AS DATE)) AS d,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                    END) AS BIGINT) AS ret
+                FROM lineitem GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(ret) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                  AS pbar
+                FROM cen),
+              lim AS (
+                SELECT d, n, ret,
+                  CAST(ret AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  pbar + sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE))
+                    * 3.0 AS ucl,
+                  greatest(0.0, pbar - sqrt(pbar * (1.0 - pbar)
+                    / CAST(n AS DOUBLE)) * 3.0) AS lcl
+                FROM cen, tot)
+              SELECT d, n, ret, p, ucl, lcl,
+                (p > ucl OR p < lcl) AS alarm
+              FROM lim ORDER BY d""")),
+
     // ── upper/lower tail dependence: spend vs traffic extremes ──────────
     // Do the heaviest-revenue days coincide with the busiest days?
     // Empirical tail-dependence λ_U = P(Y in top-k | X in top-k) on the

@@ -1115,6 +1115,73 @@ object Graph {
                 pc.s1, pc.s2
               LIMIT 50""")),
 
+    // ── neighbor-Jaccard link prediction (supplier pairs) ───────────────
+    // The third score over the SAME shared candidate generator
+    // (also_bought / adamic_adar / preferential_attachment → this):
+    // J(s1,s2) = |N₁∩N₂| / |N₁∪N₂| = common / (d1 + d2 − common), the
+    // normalized link predictor PA's raw degree product and AA's
+    // rarity weighting bracket. common reads the basket pair-core
+    // artifact, degrees the edge artifact (both built once per dir) —
+    // the query itself is pair-volume-bounded, zero corpus rescans.
+    // The score is ONE division of exact ints — identical doubles both
+    // engines — so the top-50 order (J desc, s1, s2) is deterministic
+    // and hash-stable.
+    Q("q_link_jaccard",
+      (s, dir) => {
+        // persisted: BOTH endpoint joins read the degree census
+        val deg = bipartiteEdges(s, dir)
+          .filter(col("src") % 2 === 1)
+          .groupBy(expr("(src - 1) div 2").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .persist()
+        val pairs = Curation.basketPairCore(s, dir)
+          .select(expr("pk div 4294967296L").as("s1"),
+            (col("pk") % 4294967296L).as("s2"), col("common"))
+        pairs
+          .join(deg.select(col("node").as("n1"), col("deg").as("d1")),
+            col("s1") === col("n1"))
+          .join(deg.select(col("node").as("n2"), col("deg").as("d2")),
+            col("s2") === col("n2"))
+          .select(col("s1"), col("s2"), col("common"),
+            col("d1").cast("long").as("d1"),
+            col("d2").cast("long").as("d2"),
+            (col("common").cast("double")
+              / (col("d1") + col("d2") - col("common")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+          .limit(50)
+      },
+      Some("""WITH cs AS (
+                SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              deg AS (
+                SELECT (s - 1) // 2 AS node, CAST(count(*) AS BIGINT)
+                  AS deg
+                FROM cs GROUP BY 1),
+              b AS (
+                SELECT o_custkey AS cust,
+                  list_sort(list(DISTINCT l_suppkey)) AS items
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1
+                HAVING len(list(DISTINCT l_suppkey)) <= 128),
+              pairs AS (
+                SELECT unnest(flatten(list_transform(
+                  generate_series(1, len(items)),
+                  i -> list_transform(generate_series(i + 1, len(items)),
+                    j -> {'s1': items[i], 's2': items[j]})))) AS p
+                FROM b WHERE len(items) >= 2),
+              pc AS (SELECT p.s1 AS s1, p.s2 AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS common
+                     FROM pairs GROUP BY 1, 2)
+              SELECT pc.s1, pc.s2, pc.common,
+                d1.deg AS d1, d2.deg AS d2,
+                CAST(pc.common AS DOUBLE)
+                  / CAST(d1.deg + d2.deg - pc.common AS DOUBLE) AS jaccard
+              FROM pc JOIN deg d1 ON pc.s1 = d1.node
+                JOIN deg d2 ON pc.s2 = d2.node
+              ORDER BY jaccard DESC, pc.s1, pc.s2
+              LIMIT 50""")),
+
     // ── Katz centrality: 3-hop attenuated path counts ───────────────────
     // The path-counting centrality q_pagerank's normalized ranks can't
     // give: katz(v) = Σ_h α^h · (#walks of length h ending at v),

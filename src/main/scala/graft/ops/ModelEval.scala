@@ -1251,6 +1251,92 @@ object ModelEval {
               FROM risk r, ts ORDER BY r.dur"""))
     ,
 
+    // ── Nelson–Aalen cumulative hazard (the KM curve's dual) ────────────
+    // The additive estimator next to Kaplan–Meier's multiplicative one:
+    // H(t) = Σ_{dur≤t} d/n_risk — preferred when hazard RATES (not
+    // survival probabilities) drive the readout, and the better-behaved
+    // small-risk-set estimate. SAME duration census and risk-set
+    // machinery as q_survival_km (one lineitem+orders pass, persisted
+    // day census); the cumulative sum is the same one-pass pinned
+    // prefix fold as KM's prefix product — pp[i] = pp[i−1] + term_i in
+    // dur order — so every H value is bit-identical to the oracle's
+    // per-row left fold (terms are exact-int ratio doubles; no libm,
+    // no rounding).
+    Q("q_nelson_aalen",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("ship0"))
+        val durs = t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            datediff(to_date(col("ship0")), to_date(col("o_orderdate")))
+              .cast("long").as("dur"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("ev"))
+        val census = durs.groupBy("dur")
+          .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+        val wAll = Window.partitionBy()
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = census
+          .select(col("dur"), col("d").cast("long").as("d"),
+            col("c").cast("long").as("c"),
+            (sum(col("d") + col("c")).over(wAll)
+              - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+              .cast("long").as("n_risk"))
+          .select(col("dur"), col("d"), col("c"), col("n_risk"),
+            (col("d").cast("double") / col("n_risk").cast("double"))
+              .as("term"))
+          // persist: feeds the prefix collect AND the output join
+          .persist()
+        val curve = risk
+          .agg(expr("""array_sort(collect_list(struct(dur, term)))""")
+            .as("ts"))
+          .select(col("ts"), expr(
+            """aggregate(ts, array(CAST(0 AS DOUBLE)),
+                 (acc, x) -> concat(acc, array(element_at(acc, -1) + x.term)))""")
+            .as("pp"))
+          .select(explode(expr(
+            """transform(sequence(1, size(ts)),
+                 i -> struct(ts[i-1].dur AS dur, pp[i] AS cumhaz))""")).as("z"))
+          .select(col("z.dur").as("dur"), col("z.cumhaz").as("cumhaz"))
+        risk.join(broadcast(curve), "dur")
+          .select(col("dur"), col("d"), col("c"), col("n_risk"),
+            col("cumhaz"))
+          .orderBy("dur")
+      },
+      Some("""WITH fs AS (
+                SELECT l_orderkey, MIN(l_shipdate) AS ship0
+                FROM lineitem GROUP BY 1),
+              durs AS (
+                SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(ship0 AS DATE)) AS BIGINT) AS dur,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+                FROM orders JOIN fs ON o_orderkey = l_orderkey),
+              census AS (
+                SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+                  CAST(SUM(1 - ev) AS BIGINT) AS c
+                FROM durs GROUP BY 1),
+              nr AS (
+                SELECT dur, d, c,
+                  CAST(SUM(d + c) OVER ()
+                    - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+                FROM census),
+              risk AS (
+                SELECT dur, d, c, n_risk,
+                  CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS term
+                FROM nr),
+              ts AS (
+                SELECT list({'dur': dur, 'term': term} ORDER BY dur)
+                  AS terms FROM risk)
+              SELECT r.dur, r.d, r.c, r.n_risk,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  [x.term FOR x IN ts.terms IF x.dur <= r.dur]),
+                  (a, x) -> a + x) AS cumhaz
+              FROM risk r, ts ORDER BY r.dur"""))
+    ,
+
     // ── fairness audit: per-group confusion parity ──────────────────────
     // The model-eval readout a release gate runs before shipping a
     // classifier: per-cohort selection rate (demographic parity),

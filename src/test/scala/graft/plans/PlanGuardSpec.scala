@@ -1105,7 +1105,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_middle_mass_share" -> 0, "q_share_of_wallet" -> 3,
       // round-9 text/eval batch: single-chain corpus censuses pay one
       // scan; the G-test reads the persisted tvd census at zero
-      "q_lexical_richness" -> 1, "q_err_ranking" -> 1, "q_g_test" -> 0)
+      "q_lexical_richness" -> 1, "q_err_ranking" -> 1, "q_g_test" -> 0,
+      // round-9 link/survival/SPC batch: jaccard reads the two shared
+      // artifacts (pair core + edge), the hazard and p-chart read their
+      // persisted day censuses at zero
+      "q_link_jaccard" -> 2, "q_nelson_aalen" -> 0, "q_p_chart" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
