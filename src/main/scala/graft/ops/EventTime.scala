@@ -494,6 +494,82 @@ object EventTime {
               FROM p2 p JOIN deg d USING (cur)
               GROUP BY p.cur, p.nxt ORDER BY 1, 2""")),
 
+    // ── Bowker symmetry test on the event-transition matrix ─────────────
+    // McNemar's k×k generalization (q_mcnemar is the 2×2): is the user
+    // next-event flow SYMMETRIC — view→click as often as click→view —
+    // or directional? χ²_B = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji),
+    // dof = #pairs with traffic. Same per-user lead() pass as
+    // q_transitions collapses the corpus to the ≤|types|² transition
+    // census; the pair grid is a full self-merge of its upper/lower
+    // triangles (catalog-bounded). Terms are exact-int ratios
+    // (identical doubles both engines), the total a pair-pinned fold —
+    // zero rounding anywhere.
+    Q("q_bowker_symmetry",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cnts = t(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(byUser).as("nxt"))
+          .filter(col("nxt").isNotNull && col("nxt") =!= col("cur"))
+          .groupBy("cur", "nxt").agg(count(lit(1)).cast("long").as("c"))
+        val ab = cnts.filter(col("cur") < col("nxt"))
+          .select(col("cur").as("ta"), col("nxt").as("tb"),
+            col("c").as("n_ab"))
+        val ba = cnts.filter(col("cur") > col("nxt"))
+          .select(col("nxt").as("ta"), col("cur").as("tb"),
+            col("c").as("n_ba"))
+        // persist: the grid feeds the fold AND the output projection
+        val grid = ab.join(ba, Seq("ta", "tb"), "full")
+          .select(col("ta"), col("tb"),
+            coalesce(col("n_ab"), lit(0L)).as("n_ab"),
+            coalesce(col("n_ba"), lit(0L)).as("n_ba"))
+          .withColumn("term",
+            ((col("n_ab") - col("n_ba")) * (col("n_ab") - col("n_ba")))
+              .cast("double")
+              / (col("n_ab") + col("n_ba")).cast("double"))
+          .persist()
+        val tot = grid.agg(
+          expr("""aggregate(array_sort(collect_list(struct(ta, tb, term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+            .as("chi2_bowker"),
+          count(lit(1)).cast("long").as("dof"))
+        grid.crossJoin(broadcast(tot))
+          .select(col("ta"), col("tb"), col("n_ab"), col("n_ba"),
+            col("term"), col("chi2_bowker"), col("dof"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH pairs AS (
+                SELECT user_id, event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+                FROM events),
+              cnts AS (
+                SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+                FROM pairs
+                WHERE nxt IS NOT NULL AND nxt <> cur
+                GROUP BY 1, 2),
+              ab AS (SELECT cur AS ta, nxt AS tb, c AS n_ab
+                     FROM cnts WHERE cur < nxt),
+              ba AS (SELECT nxt AS ta, cur AS tb, c AS n_ba
+                     FROM cnts WHERE cur > nxt),
+              grid AS (
+                SELECT COALESCE(ab.ta, ba.ta) AS ta,
+                  COALESCE(ab.tb, ba.tb) AS tb,
+                  COALESCE(n_ab, 0) AS n_ab, COALESCE(n_ba, 0) AS n_ba,
+                  CAST((COALESCE(n_ab, 0) - COALESCE(n_ba, 0))
+                      * (COALESCE(n_ab, 0) - COALESCE(n_ba, 0)) AS DOUBLE)
+                    / CAST(COALESCE(n_ab, 0) + COALESCE(n_ba, 0)
+                      AS DOUBLE) AS term
+                FROM ab FULL JOIN ba ON ab.ta = ba.ta AND ab.tb = ba.tb),
+              tot AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY ta, tb)), (a, x) -> a + x)
+                    AS chi2_bowker,
+                  CAST(count(*) AS BIGINT) AS dof
+                FROM grid)
+              SELECT ta, tb, n_ab, n_ba, term, chi2_bowker, dof
+              FROM grid, tot ORDER BY ta, tb""")),
+
     // ── weekly churn (the flip side of q_retention) ──────────────────────
     // Per week: actives, and how many of them do NOT return the next
     // week. The (user, week) activity set collapses first (partial-agg
@@ -3565,6 +3641,87 @@ object EventTime {
     // (the corpus collapses to ≤days rows first). Tie groups come off
     // the same persisted census. One sqrt at the end; continuity-
     // corrected z, NULL-guarded degenerate variance.
+    // ── Cox–Stuart trend sign test on daily revenue ──────────────────────
+    // The O(n) sibling of q_mann_kendall's O(n²) S statistic: pair day
+    // i of the first half with day i + ⌈n/2⌉ of the second (odd middle
+    // dropped), count upward vs downward pairs, z with continuity
+    // correction. The whole test is exact integers until one final
+    // |pos−neg|−1 over √pairs — identical doubles both engines, zero
+    // rounding. One orders scan → calendar-bounded day census; the
+    // half-pairing is a census self-join on the rank key.
+    Q("q_cox_stuart",
+      (s, dir) => {
+        val wd = Window.orderBy("d")
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0)))
+            .cast("long").as("y"))
+          .withColumn("rn", row_number().over(wd).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy()).cast("long"))
+          .persist()
+        val m = expr("n div 2")
+        val gap = expr("(n + 1) div 2")
+        val pairs = cen.filter(col("rn") <= m)
+          .select(col("rn"), col("y"), (col("rn") + gap).as("rn2"),
+            col("n"))
+          .join(cen.select(col("rn").as("rnb"), col("y").as("y2")),
+            col("rn2") === col("rnb"))
+        pairs.agg(max(col("n")).as("n_days"),
+            count(when(col("y2") > col("y"), lit(1))).cast("long")
+              .as("n_pos"),
+            count(when(col("y2") < col("y"), lit(1))).cast("long")
+              .as("n_neg"))
+          .select(col("n_days"), col("n_pos"), col("n_neg"),
+            (col("n_pos") + col("n_neg")).cast("long").as("n_pairs"),
+            when(col("n_pos") + col("n_neg") === 0,
+              lit(null).cast("double"))
+              .otherwise((abs(col("n_pos") - col("n_neg")) - 1)
+                .cast("double")
+                / sqrt((col("n_pos") + col("n_neg")).cast("double")))
+              .as("z_abs"),
+            when(col("n_pos") > col("n_neg"), lit("increasing"))
+              .when(col("n_neg") > col("n_pos"), lit("decreasing"))
+              .otherwise(lit("none")).as("trend"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS y
+                FROM orders GROUP BY 1),
+              rk AS (
+                SELECT y,
+                  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM cen),
+              pr AS (
+                SELECT a.n, a.y AS y1, b.y AS y2
+                FROM rk a JOIN rk b
+                  ON b.rn = a.rn + (a.n + 1) // 2
+                WHERE a.rn <= a.n // 2),
+              agg AS (
+                SELECT MAX(n) AS n_days,
+                  CAST(COUNT(CASE WHEN y2 > y1 THEN 1 END) AS BIGINT)
+                    AS n_pos,
+                  CAST(COUNT(CASE WHEN y2 < y1 THEN 1 END) AS BIGINT)
+                    AS n_neg
+                FROM pr)
+              SELECT n_days, n_pos, n_neg,
+                CAST(n_pos + n_neg AS BIGINT) AS n_pairs,
+                CASE WHEN n_pos + n_neg = 0 THEN NULL
+                  ELSE CAST(abs(n_pos - n_neg) - 1 AS DOUBLE)
+                    / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+                  END AS z_abs,
+                CASE WHEN n_pos > n_neg THEN 'increasing'
+                  WHEN n_neg > n_pos THEN 'decreasing'
+                  ELSE 'none' END AS trend
+              FROM agg""")),
+
     Q("q_mann_kendall",
       (s, dir) => {
         val cen = t(s, dir, "orders")

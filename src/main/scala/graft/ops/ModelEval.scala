@@ -2834,6 +2834,74 @@ object ModelEval {
                   ELSE round(ln(odds_ratio), 12) END AS ln_or
               FROM m""")),
 
+    // ── two-proportion z test: urgent vs rest completion rates ──────────
+    // The pooled-variance z the A/B readouts (q_ab_test reads means,
+    // q_srm reads allocation) don't give: is the fulfilled-order RATE
+    // different between the urgent-priority slice and the rest?
+    // z = (p₁ − p₂)/√(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the pooled rate.
+    // FP-free discipline: one orders scan folds to a 4-cell census
+    // (partial+final agg), every output is a division/sqrt chain over
+    // exact integers mirrored operation-for-operation — identical
+    // doubles both engines, zero rounding.
+    Q("q_two_proportion_z",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("e"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+          .agg(sum(col("e")).cast("long").as("n1"),
+            sum(col("e") * col("y")).cast("long").as("x1"),
+            sum(lit(1L) - col("e")).cast("long").as("n2"),
+            sum((lit(1L) - col("e")) * col("y")).cast("long").as("x2"))
+          .select(col("n1"), col("x1"), col("n2"), col("x2"),
+            (col("x1").cast("double") / col("n1").cast("double"))
+              .as("p1"),
+            (col("x2").cast("double") / col("n2").cast("double"))
+              .as("p2"),
+            ((col("x1") + col("x2")).cast("double")
+              / (col("n1") + col("n2")).cast("double")).as("pooled"))
+          .select(col("n1"), col("x1"), col("n2"), col("x2"),
+            col("p1"), col("p2"), col("pooled"),
+            when(col("n1") === 0 || col("n2") === 0
+              || col("pooled") === 0.0 || col("pooled") === 1.0,
+              lit(null).cast("double"))
+              .otherwise((col("p1") - col("p2"))
+                / sqrt(col("pooled") * (lit(1.0) - col("pooled"))
+                  * (lit(1.0) / col("n1").cast("double")
+                    + lit(1.0) / col("n2").cast("double"))))
+              .as("z"))
+      },
+      Some("""WITH cc AS (
+                SELECT
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                  CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2,
+                  CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS x2
+                FROM orders),
+              r AS (
+                SELECT n1, x1, n2, x2,
+                  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                  CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                  CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                    AS pooled
+                FROM cc)
+              SELECT n1, x1, n2, x2, p1, p2, pooled,
+                CASE WHEN n1 = 0 OR n2 = 0 OR pooled = 0.0
+                    OR pooled = 1.0 THEN NULL
+                  ELSE (p1 - p2) / sqrt(pooled * (1.0 - pooled)
+                    * (1.0 / CAST(n1 AS DOUBLE)
+                      + 1.0 / CAST(n2 AS DOUBLE))) END AS z
+              FROM r""")),
+
     // ── covariate balance: standardized mean differences ────────────────
     // The causal-inference pre-check: before attributing anything to
     // "being a purchaser", how imbalanced are the treated (≥1

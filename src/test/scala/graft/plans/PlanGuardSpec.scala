@@ -1109,7 +1109,11 @@ class PlanGuardSpec extends SparkSpec {
       // round-9 link/survival/SPC batch: jaccard reads the two shared
       // artifacts (pair core + edge), the hazard and p-chart read their
       // persisted day censuses at zero
-      "q_link_jaccard" -> 2, "q_nelson_aalen" -> 0, "q_p_chart" -> 0)
+      "q_link_jaccard" -> 2, "q_nelson_aalen" -> 0, "q_p_chart" -> 0,
+      // round-9 test batch: persisted grids/censuses at zero, the
+      // single-pass 2x2 pays its one scan
+      "q_bowker_symmetry" -> 0, "q_cox_stuart" -> 0,
+      "q_two_proportion_z" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
