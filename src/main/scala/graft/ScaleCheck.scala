@@ -217,7 +217,10 @@ object ScaleCheck {
     // round-8 final coverage audit catches: BPE apply (oracle-exempt
     // but >=1 s in the 527-query battery) and the borderline Kolkata
     // crossing
-    "q_bpe_apply", "q_kolkata_index")
+    "q_bpe_apply", "q_kolkata_index",
+    // round-9: the VaR backtest rides the day census + a RangeRank
+    // selection — borderline 1 s steady-state
+    "q_kupiec_pof")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -1487,6 +1487,53 @@ object Curation {
               FROM d JOIN e ON d.digit = e.digit, nn
               ORDER BY d.digit""")),
 
+    // ── second-digit Benford audit (forensic round-number detector) ─────
+    // The standard follow-up when q_benford's first digit passes:
+    // fabricated or round-number-biased figures often survive the
+    // first-digit test and fail the SECOND (prices ending .99, manual
+    // entries snapping to 0/5). Expected P(d₂=d) = Σ_{k=1..9}
+    // log10(1 + 1/(10k+d)) — transcendental, so the ten probabilities
+    // are PINNED ×10⁵ literals computed once offline and interpolated
+    // into BOTH engines (the q_spectral_power discipline); deviations
+    // stay exact integers at the 10⁵ scale. Values < 10 have no second
+    // digit and are excluded on both sides. One scan → 10-row census.
+    Q("q_benford_second",
+      (s, dir) => {
+        val digits = t(s, dir, "orders")
+          .filter(col("o_totalprice") >= 10)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 2, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).cast("long").as("cnt"))
+        val expE5 = typedLit(Map(0L -> 11968L, 1L -> 11389L, 2L -> 10882L,
+          3L -> 10433L, 4L -> 10031L, 5L -> 9668L, 6L -> 9337L,
+          7L -> 9035L, 8L -> 8757L, 9L -> 8500L))
+        digits
+          .crossJoin(digits.agg(sum(col("cnt")).as("n")))
+          .select(col("digit"), col("cnt"),
+            expE5(col("digit")).as("exp_e5"),
+            abs(col("cnt") * 100000L - expE5(col("digit")) * col("n"))
+              .cast("long").as("dev_e5"),
+            (col("cnt").cast("double") / col("n").cast("double"))
+              .as("share"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+                SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice)
+                    AS BIGINT) AS VARCHAR), 2, 1) AS BIGINT) AS digit,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM orders WHERE o_totalprice >= 10 GROUP BY 1),
+              e AS (SELECT * FROM (VALUES (0, 11968), (1, 11389),
+                  (2, 10882), (3, 10433), (4, 10031), (5, 9668),
+                  (6, 9337), (7, 9035), (8, 8757), (9, 8500))
+                  AS t(digit, exp_e5)),
+              nn AS (SELECT SUM(cnt) AS n FROM d)
+              SELECT d.digit, d.cnt, CAST(e.exp_e5 AS BIGINT) AS exp_e5,
+                CAST(ABS(d.cnt * 100000 - e.exp_e5 * nn.n) AS BIGINT)
+                  AS dev_e5,
+                CAST(d.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE) AS share
+              FROM d JOIN e ON d.digit = e.digit, nn
+              ORDER BY d.digit""")),
+
     // ── boilerplate template mining: top-5 leading 4-grams per source ────
     // The curation lens that catches TEMPLATED content (scraped footers,
     // form letters, generated boilerplate) before any dedup pass: the

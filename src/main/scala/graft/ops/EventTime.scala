@@ -5351,6 +5351,88 @@ object EventTime {
     // 2n·x − 3S. Exact DECIMAL cumsums + running extrema over the
     // calendar-bounded day spine; the dollar display is an exact
     // integer division. One orders scan → ≤|days| census.
+    // ── Kupiec POF backtest: does the 90% VaR hold its exception rate? ──
+    // The risk-monitor readout over the SAME per-day revenue census the
+    // median/pinball twins maintain: set the threshold at the exact
+    // 90th-percentile day (RangeRank histogram bracket — value
+    // selection, no global sort), count exceedances x of n, and test
+    // x/n against p = 0.1 with Kupiec's proportion-of-failures LR
+    // = −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n) − x·ln(x/n)],
+    // χ²₁-distributed under the null. ln(0.1)/ln(0.9) are PINNED
+    // literals (no engine evaluates the transcendental); the data-side
+    // lns act on exact-int ratios and the 6-dec round pins the libm
+    // ULP; the rejection compares the ROUNDED LR to the pinned χ²₁
+    // critical value so the boolean cannot straddle an ULP.
+    Q("q_kupiec_pof",
+      (s, dir) => {
+        val days = medianDaily(t(s, dir, "orders"))
+          .withColumn("g", lit(1L)).persist()
+        val thr = RangeRank.groupValuesAtRanks(days, Seq("g"), "cents",
+          Seq(RangeRank.RankPick("var90", n => ceil(n * 0.9))))
+          .select(col("var90")).localCheckpoint(true)
+        days.crossJoin(broadcast(thr))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            max(col("var90")).cast("long").as("var_cents"),
+            count(when(col("cents") > col("var90"), lit(1)))
+              .cast("long").as("x"))
+          .select(col("n_days"), col("var_cents"),
+            col("x").as("n_exceptions"),
+            (col("x").cast("double") / col("n_days").cast("double"))
+              .as("obs_rate"),
+            round(lit(-2.0) * (
+              (col("n_days") - col("x")).cast("double")
+                * lit(-0.10536051565782628)
+              + col("x").cast("double") * lit(-2.302585092994046)
+              - when(col("x") < col("n_days"),
+                  (col("n_days") - col("x")).cast("double")
+                    * log((col("n_days") - col("x")).cast("double")
+                      / col("n_days").cast("double")))
+                .otherwise(lit(0.0))
+              - when(col("x") > 0,
+                  col("x").cast("double")
+                    * log(col("x").cast("double")
+                      / col("n_days").cast("double")))
+                .otherwise(lit(0.0))), 6).as("lr_pof"))
+          .withColumn("reject_95", col("lr_pof") > 3.841459)
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT cents,
+                  CAST(row_number() OVER (ORDER BY cents) AS BIGINT)
+                    AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS n
+                FROM days),
+              thr AS (
+                SELECT MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                  THEN cents END) AS var90
+                FROM r),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(MAX(var90) AS BIGINT) AS var_cents,
+                  CAST(COUNT(CASE WHEN cents > var90 THEN 1 END)
+                    AS BIGINT) AS x
+                FROM days, thr),
+              res AS (
+                SELECT n_days, var_cents, x AS n_exceptions,
+                  CAST(x AS DOUBLE) / CAST(n_days AS DOUBLE) AS obs_rate,
+                  round(-2.0 * (
+                    CAST(n_days - x AS DOUBLE) * -0.10536051565782628
+                    + CAST(x AS DOUBLE) * -2.302585092994046
+                    - CASE WHEN x < n_days THEN CAST(n_days - x AS DOUBLE)
+                        * ln(CAST(n_days - x AS DOUBLE)
+                          / CAST(n_days AS DOUBLE)) ELSE 0.0 END
+                    - CASE WHEN x > 0 THEN CAST(x AS DOUBLE)
+                        * ln(CAST(x AS DOUBLE) / CAST(n_days AS DOUBLE))
+                        ELSE 0.0 END), 6) AS lr_pof
+                FROM agg)
+              SELECT n_days, var_cents, n_exceptions, obs_rate, lr_pof,
+                lr_pof > 3.841459 AS reject_95
+              FROM res""")),
+
     Q("q_cusum_chart",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)

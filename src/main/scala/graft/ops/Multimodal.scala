@@ -135,6 +135,56 @@ object Multimodal {
               FROM documents d LEFT JOIN a USING (doc_id)
               ORDER BY d.doc_id""")),
 
+    // ── resolution/aspect census over decoded media headers ─────────────
+    // The asset-inventory readout a media-curation pass runs first:
+    // decode every header (the REAL GIMG codec path — init-once
+    // mapPartitions, same as q_multimodal_decode) and census the fleet
+    // by (channels, aspect band, pixel band) with min/max pixels and
+    // mean width per cell. All bands are exact integer div arithmetic;
+    // the one division (mean width) is an exact-int ratio. The oracle
+    // recomputes the synthetic header fields from the generator
+    // formulas, so the codec round-trip stays hash-gated while the
+    // census shape (decode → partial+final agg over a bounded grid)
+    // is the 100-TB plan.
+    Q("q_media_resolution",
+      (s, dir) => {
+        import s.implicits._
+        packedAssets(s, dir)
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val dec = new HeaderCodec // init once, stream rows
+            it.map { case (id, bytes) => dec.decode(id, bytes) }
+          }
+          .toDF()
+          .select(col("channels"),
+            expr("((width * 1000) div height) div 500").as("aspect_band"),
+            expr("(width * height) div 50000").as("mp_band"),
+            (col("width") * col("height")).as("px"), col("width"))
+          .groupBy("channels", "aspect_band", "mp_band")
+          .agg(count(lit(1)).cast("long").as("n_assets"),
+            min(col("px")).cast("long").as("min_px"),
+            max(col("px")).cast("long").as("max_px"),
+            (sum(col("width")).cast("double")
+              / count(lit(1)).cast("double")).as("avg_width"))
+          .orderBy("channels", "aspect_band", "mp_band")
+      },
+      Some("""WITH m AS (
+                SELECT CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
+                  CAST(n_chars % 640 + 16 AS BIGINT) AS w,
+                  CAST(doc_id % 480 + 16 AS BIGINT) AS h
+                FROM documents),
+              b AS (
+                SELECT channels, (w * 1000 // h) // 500 AS aspect_band,
+                  (w * h) // 50000 AS mp_band, w * h AS px, w
+                FROM m)
+              SELECT channels, aspect_band, mp_band,
+                CAST(count(*) AS BIGINT) AS n_assets,
+                CAST(MIN(px) AS BIGINT) AS min_px,
+                CAST(MAX(px) AS BIGINT) AS max_px,
+                CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  AS avg_width
+              FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // ── frame sampling (media chunking pipeline) ─────────────────────────
     // Payload sliced into fixed 32-byte "frames" (stand-in for video
     // frames / audio windows), every 4th frame sampled, per-frame feature

@@ -1113,7 +1113,13 @@ class PlanGuardSpec extends SparkSpec {
       // round-9 test batch: persisted grids/censuses at zero, the
       // single-pass 2x2 pays its one scan
       "q_bowker_symmetry" -> 0, "q_cox_stuart" -> 0,
-      "q_two_proportion_z" -> 1)
+      "q_two_proportion_z" -> 1,
+      // round-9 audit/risk/media batch: benford's digit census pays its
+      // scan twice (census + totals subtree, the q_benford shape); the
+      // VaR backtest reads the persisted day census; the header census
+      // is one decode chain
+      "q_benford_second" -> 2, "q_kupiec_pof" -> 0,
+      "q_media_resolution" -> 1)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
