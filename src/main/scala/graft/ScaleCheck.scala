@@ -220,7 +220,9 @@ object ScaleCheck {
     "q_bpe_apply", "q_kolkata_index",
     // round-9: the VaR backtest rides the day census + a RangeRank
     // selection — borderline 1 s steady-state
-    "q_kupiec_pof")
+    "q_kupiec_pof",
+    // round-9 survival/strata tests — borderline 1 s steady-state
+    "q_gehan_wilcoxon", "q_breslow_day")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

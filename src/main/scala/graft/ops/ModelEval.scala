@@ -3353,6 +3353,130 @@ object ModelEval {
                     * (CAST(o1 AS DOUBLE) - se1) / sv, 6) END AS chi2
               FROM agg""")),
 
+    // ── Gehan–Wilcoxon survival test (early-difference weighted) ────────
+    // The log-rank's weighted sibling: weight each event time by the
+    // RISK-SET size w_t = n_t, so early differences dominate — the
+    // test that flags "urgent orders ship faster at the start even if
+    // the tails converge", which q_log_rank's flat weights dilute.
+    // SAME duration/risk censuses as q_log_rank; per-time terms
+    // w·(d₁ − e₁) and w²·v are exact-int multiples of the 9-dec-pinned
+    // e₁/v (identical doubles both engines), dur-pinned folds, one
+    // final z = Σw·diff / √Σw²v.
+    Q("q_gehan_wilcoxon",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("ship0"))
+        val durs = t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            datediff(to_date(col("ship0")), to_date(col("o_orderdate")))
+              .cast("long").as("dur"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("ev"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("g"))
+        val census = durs.groupBy("dur")
+          .agg(sum(when(col("g") === 1, col("ev")).otherwise(lit(0L)))
+              .cast("long").as("d1"),
+            sum(when(col("g") === 1, lit(1L) - col("ev"))
+              .otherwise(lit(0L))).cast("long").as("c1"),
+            sum(when(col("g") === 0, col("ev")).otherwise(lit(0L)))
+              .cast("long").as("d0"),
+            sum(when(col("g") === 0, lit(1L) - col("ev"))
+              .otherwise(lit(0L))).cast("long").as("c0"))
+        val wAll = Window.partitionBy()
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = census
+          .select(col("dur"), col("d1"), col("d0"),
+            (sum(col("d1") + col("c1")).over(wAll)
+              - coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+              .cast("long").as("n1"),
+            (sum(col("d1") + col("c1") + col("d0") + col("c0")).over(wAll)
+              - coalesce(sum(col("d1") + col("c1") + col("d0") + col("c0"))
+                  .over(wPrev), lit(0L)))
+              .cast("long").as("nr"))
+          .filter(col("d1") + col("d0") > 0 && col("nr") > 1)
+          .select(col("dur"),
+            (col("nr").cast("double") * (col("d1").cast("double")
+              - round((col("d1") + col("d0")).cast("double")
+                * col("n1").cast("double") / col("nr").cast("double"),
+                9))).as("wdiff"),
+            ((col("nr") * col("nr")).cast("double")
+              * round((col("d1") + col("d0")).cast("double")
+                * (col("n1").cast("double") / col("nr").cast("double"))
+                * (lit(1.0) - col("n1").cast("double")
+                  / col("nr").cast("double"))
+                * (col("nr") - (col("d1") + col("d0"))).cast("double")
+                / (col("nr") - 1).cast("double"), 9)).as("wv"))
+        risk.agg(count(lit(1)).cast("long").as("n_times"),
+            expr("""aggregate(array_sort(collect_list(struct(dur, wdiff))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.wdiff)""")
+              .as("swd"),
+            expr("""aggregate(array_sort(collect_list(struct(dur, wv))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.wv)""").as("swv"))
+          .select(col("n_times"), round(col("swd"), 6).as("sum_w_diff"),
+            when(col("swv") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("swd") / sqrt(col("swv")), 6))
+              .as("z_gehan"))
+      },
+      Some("""WITH firstship AS (
+                SELECT l_orderkey, MIN(l_shipdate) AS ship0
+                FROM lineitem GROUP BY 1),
+              durs AS (
+                SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(ship0 AS DATE)) AS BIGINT) AS dur,
+                  CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS ev,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS g
+                FROM orders JOIN firstship ON o_orderkey = l_orderkey),
+              census AS (
+                SELECT dur,
+                  CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(SUM(CASE WHEN g = 1 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN g = 0 THEN ev ELSE 0 END)
+                    AS BIGINT) AS d0,
+                  CAST(SUM(CASE WHEN g = 0 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS c0
+                FROM durs GROUP BY 1),
+              risk AS (
+                SELECT dur, d1, d0,
+                  CAST(SUM(d1 + c1) OVER ()
+                    - COALESCE(SUM(d1 + c1) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+                  CAST(SUM(d1 + c1 + d0 + c0) OVER ()
+                    - COALESCE(SUM(d1 + c1 + d0 + c0) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS nr
+                FROM census),
+              terms AS (
+                SELECT dur,
+                  CAST(nr AS DOUBLE) * (CAST(d1 AS DOUBLE)
+                    - round(CAST(d1 + d0 AS DOUBLE)
+                      * CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE), 9))
+                    AS wdiff,
+                  CAST(nr * nr AS DOUBLE)
+                    * round(CAST(d1 + d0 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                      * (1.0 - CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                      * CAST(nr - (d1 + d0) AS DOUBLE)
+                      / CAST(nr - 1 AS DOUBLE), 9) AS wv
+                FROM risk WHERE d1 + d0 > 0 AND nr > 1),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_times,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(wdiff ORDER BY dur)), (a, x) -> a + x) AS swd,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(wv ORDER BY dur)), (a, x) -> a + x) AS swv
+                FROM terms)
+              SELECT n_times, round(swd, 6) AS sum_w_diff,
+                CASE WHEN swv <= 0 THEN NULL
+                  ELSE round(swd / sqrt(swv), 6) END AS z_gehan
+              FROM agg""")),
+
     // ── Weibull fit of fulfilment times (median-rank regression) ────────
     // The reliability-engineering readout of the q_survival_km data:
     // completed orders' day-to-first-ship durations, grouped median

@@ -8804,6 +8804,198 @@ object Relational {
                   ELSE round(sum_r / sum_s, 6) END AS or_mh
               FROM agg""")),
 
+    // ── Breslow–Day homogeneity of odds ratios across strata ────────────
+    // The companion q_mantel_haenszel assumes but cannot check: is the
+    // urgent→high-value odds ratio the SAME in every nation stratum, or
+    // does pooling hide heterogeneity? Per stratum, the expected a-cell
+    // ã under the common OR solves the quadratic
+    // (1−OR)x² + [n₂−m₁+OR(n₁+m₁)]x − OR·n₁·m₁ = 0 (both roots
+    // computed, the in-range one picked by comparisons of identical
+    // doubles); V = 1/(Σ reciprocal cells at ã); χ²_BD = Σ (a−ã)²/V,
+    // dof = strata − 1. The common OR is the MH estimate at ITS
+    // declared 6-dec precision (q_mantel_haenszel's exact output —
+    // keeps both engines on one literal path); every downstream op is
+    // a mirrored division/sqrt chain with 6-dec-pinned terms and a
+    // stratum-pinned fold. One orders⋈customer pass → ≤|nations|
+    // strata census.
+    Q("q_breslow_day",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"),
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("e"),
+            (expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              > 25000000L).as("y"))
+          .groupBy("c_nationkey")
+          .agg(
+            sum(when(col("e") && col("y"), 1L).otherwise(0L))
+              .cast("long").as("a"),
+            sum(when(col("e") && !col("y"), 1L).otherwise(0L))
+              .cast("long").as("b"),
+            sum(when(!col("e") && col("y"), 1L).otherwise(0L))
+              .cast("long").as("c"),
+            sum(when(!col("e") && !col("y"), 1L).otherwise(0L))
+              .cast("long").as("d"))
+          .persist()
+        val orMh = cells
+          .select(col("c_nationkey"),
+            (col("a") + col("b") + col("c") + col("d")).as("n"),
+            col("a"), col("b"), col("c"), col("d"))
+          .filter(col("n") > 0)
+          .select(col("c_nationkey"),
+            round((col("a") * col("d")).cast("double")
+              / col("n").cast("double"), 6).as("r"),
+            round((col("b") * col("c")).cast("double")
+              / col("n").cast("double"), 6).as("ss"))
+          .agg(
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, r))),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x.r)""")
+              .as("sum_r"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, ss))),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x.ss)""")
+              .as("sum_s"))
+          .select(round(col("sum_r") / col("sum_s"), 6).as("orc"))
+          .localCheckpoint(true)
+        val strata = cells.crossJoin(broadcast(orMh))
+          .select(col("c_nationkey"), col("a"),
+            (col("a") + col("b")).cast("double").as("n1"),
+            (col("c") + col("d")).cast("double").as("n2"),
+            (col("a") + col("c")).cast("double").as("m1"),
+            (col("b") + col("d")).cast("double").as("m0"),
+            col("orc"))
+          .filter(col("n1") > 0 && col("n2") > 0 && col("m1") > 0
+            && col("m0") > 0)
+          .withColumn("qa", lit(1.0) - col("orc"))
+          .withColumn("qb", col("n2") - col("m1")
+            + col("orc") * (col("n1") + col("m1")))
+          .withColumn("qc", -col("orc") * col("n1") * col("m1"))
+          .withColumn("disc",
+            sqrt(col("qb") * col("qb") - col("qa") * col("qc") * 4.0))
+          .withColumn("r1", (-col("qb") + col("disc")) / (col("qa") * 2.0))
+          .withColumn("r2", (-col("qb") - col("disc")) / (col("qa") * 2.0))
+          .withColumn("lo", greatest(lit(0.0), col("m1") - col("n2")))
+          .withColumn("hi", least(col("m1"), col("n1")))
+          .withColumn("ea",
+            when(col("orc") === 1.0,
+              col("n1") * col("m1") / (col("n1") + col("n2")))
+              .when(col("r1") > col("lo") && col("r1") < col("hi"),
+                col("r1"))
+              .otherwise(col("r2")))
+          // when-guarded so a degenerate root can never hit an ANSI
+          // divide-by-zero before the filter prunes it
+          .withColumn("vinv",
+            when(col("ea") > 0.0 && col("n1") - col("ea") > 0.0
+              && col("m1") - col("ea") > 0.0
+              && col("n2") - col("m1") + col("ea") > 0.0,
+              lit(1.0) / col("ea") + lit(1.0) / (col("n1") - col("ea"))
+                + lit(1.0) / (col("m1") - col("ea"))
+                + lit(1.0) / (col("n2") - col("m1") + col("ea"))))
+          .filter(col("vinv").isNotNull)
+          .select(col("c_nationkey"), col("a"),
+            round(col("ea"), 6).as("exp_a"),
+            round((col("a").cast("double") - col("ea"))
+              * (col("a").cast("double") - col("ea")) * col("vinv"), 6)
+              .as("term"))
+          .persist()
+        val tot = strata.agg(
+          count(lit(1)).cast("long").as("n_strata"),
+          expr("""aggregate(array_sort(collect_list(
+                    struct(c_nationkey, term))),
+                  CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)""")
+            .as("chi2_bd"))
+          .select(col("n_strata"), round(col("chi2_bd"), 6).as("chi2_bd"),
+            (col("n_strata") - 1).cast("long").as("dof"))
+        strata.crossJoin(broadcast(tot))
+          .select(col("c_nationkey"), col("a"), col("exp_a"), col("term"),
+            col("chi2_bd"), col("dof"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH cells AS (
+                SELECT c_nationkey,
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH')
+                    AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) > 25000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH')
+                    AND NOT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) > 25000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+                  CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH')
+                    AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) > 25000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                    ('1-URGENT', '2-HIGH')
+                    AND NOT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) > 25000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1),
+              mhterms AS (
+                SELECT c_nationkey,
+                  round(CAST(a * d AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 6) AS r,
+                  round(CAST(b * c AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 6) AS ss
+                FROM cells WHERE a + b + c + d > 0),
+              ormh AS (
+                SELECT round(
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(r ORDER BY c_nationkey)), (acc, x) -> acc + x)
+                  / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ss ORDER BY c_nationkey)), (acc, x) -> acc + x),
+                  6) AS orc
+                FROM mhterms),
+              q AS (
+                SELECT c_nationkey, a,
+                  CAST(a + b AS DOUBLE) AS n1, CAST(c + d AS DOUBLE) AS n2,
+                  CAST(a + c AS DOUBLE) AS m1, CAST(b + d AS DOUBLE) AS m0,
+                  orc
+                FROM cells, ormh
+                WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0),
+              roots AS (
+                SELECT c_nationkey, a, n1, n2, m1, orc,
+                  1.0 - orc AS qa,
+                  n2 - m1 + orc * (n1 + m1) AS qb,
+                  -orc * n1 * m1 AS qc
+                FROM q),
+              pick AS (
+                SELECT c_nationkey, a, n1, n2, m1,
+                  CASE WHEN orc = 1.0 THEN n1 * m1 / (n1 + n2)
+                    WHEN (-qb + sqrt(qb * qb - qa * qc * 4.0))
+                        / (qa * 2.0) > greatest(0.0, m1 - n2)
+                      AND (-qb + sqrt(qb * qb - qa * qc * 4.0))
+                        / (qa * 2.0) < least(m1, n1)
+                      THEN (-qb + sqrt(qb * qb - qa * qc * 4.0))
+                        / (qa * 2.0)
+                    ELSE (-qb - sqrt(qb * qb - qa * qc * 4.0))
+                      / (qa * 2.0) END AS ea
+                FROM roots),
+              terms AS (
+                SELECT c_nationkey, a, round(ea, 6) AS exp_a,
+                  round((CAST(a AS DOUBLE) - ea) * (CAST(a AS DOUBLE) - ea)
+                    * (1.0 / ea + 1.0 / (n1 - ea) + 1.0 / (m1 - ea)
+                      + 1.0 / (n2 - m1 + ea)), 6) AS term
+                FROM pick
+                WHERE ea > 0.0 AND n1 - ea > 0.0 AND m1 - ea > 0.0
+                  AND n2 - m1 + ea > 0.0),
+              tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY c_nationkey)),
+                    (acc, x) -> acc + x), 6) AS chi2_bd
+                FROM terms)
+              SELECT t.c_nationkey, t.a, t.exp_a, t.term,
+                tot.chi2_bd, CAST(tot.n_strata - 1 AS BIGINT) AS dof
+              FROM terms t, tot ORDER BY t.c_nationkey""")),
+
     // ── Grubbs max-outlier statistic on daily order volume ──────────────
     // The formal single-outlier test the IQR/z-score screens lack:
     // G = max|xₜ − x̄| / s over the daily revenue census. Moments come

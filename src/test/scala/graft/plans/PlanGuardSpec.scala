@@ -1119,7 +1119,11 @@ class PlanGuardSpec extends SparkSpec {
       // VaR backtest reads the persisted day census; the header census
       // is one decode chain
       "q_benford_second" -> 2, "q_kupiec_pof" -> 0,
-      "q_media_resolution" -> 1)
+      "q_media_resolution" -> 1,
+      // round-9 survival/strata batch: gehan pays the log_rank pair of
+      // source scans (single chain); breslow-day reads its persisted
+      // strata census at zero
+      "q_gehan_wilcoxon" -> 2, "q_breslow_day" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
