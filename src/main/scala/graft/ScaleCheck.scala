@@ -222,7 +222,10 @@ object ScaleCheck {
     // selection — borderline 1 s steady-state
     "q_kupiec_pof",
     // round-9 survival/strata tests — borderline 1 s steady-state
-    "q_gehan_wilcoxon", "q_breslow_day")
+    "q_gehan_wilcoxon", "q_breslow_day",
+    // round-9: the re-spelled SQL as-of (the 80 s decorrelation fix) —
+    // its fan-out must stay bounded by per-customer order counts
+    "q_sql_asof")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

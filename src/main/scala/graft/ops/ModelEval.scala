@@ -2902,6 +2902,96 @@ object ModelEval {
                       + 1.0 / CAST(n2 AS DOUBLE))) END AS z
               FROM r""")),
 
+    // ── TOST equivalence test: urgent vs rest order values ──────────────
+    // The inverted question every A/B readout here asks the wrong way
+    // around: not "is there a difference" but "are the means
+    // EQUIVALENT within ±$50"? Two one-sided Welch z's against the
+    // pinned margin: t_lo = (d+δ)/se, t_hi = (d−δ)/se, equivalent iff
+    // t_lo > z₀.₉₅ AND t_hi < −z₀.₉₅ (z pinned 1.644854; compared
+    // against the ROUNDED statistics so the boolean cannot straddle an
+    // ULP). Moments from exact DECIMAL(38,0) sums (the covar_samp
+    // trap); variances via n·Σx²−(Σx)² in dec38, leaving the exact
+    // domain only at the double casts — mirrored op-for-op, sqrt is
+    // IEEE-exact. One orders scan → 2-group census.
+    Q("q_tost_equivalence",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val g = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("e"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("e")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("cents").cast(dec38)).as("s1"),
+            sum(col("cents").cast(dec38) * col("cents")).as("s2"))
+          .select(col("e"), col("n"),
+            (col("s1").cast("double") / col("n").cast("double"))
+              .as("mean"),
+            ((col("n").cast(dec38) * col("s2") - col("s1") * col("s1"))
+              .cast("double")
+              / (col("n").cast(dec38) * (col("n") - 1)).cast("double"))
+              .as("v"))
+          // 2-row moment frame referenced by BOTH group branches —
+          // materialized so the orders scan is paid exactly once
+          .localCheckpoint(true)
+        val wide = g.filter(col("e") === 1)
+          .select(col("n").as("n1"), col("mean").as("m1"),
+            col("v").as("v1"))
+          .crossJoin(g.filter(col("e") === 0)
+            .select(col("n").as("n2"), col("mean").as("m2"),
+              col("v").as("v2")))
+        wide.select(col("n1"), col("n2"),
+            (col("m1") - col("m2")).as("diff_cents"),
+            sqrt(col("v1") / col("n1").cast("double")
+              + col("v2") / col("n2").cast("double")).as("se"))
+          .select(col("n1"), col("n2"),
+            round(col("diff_cents"), 6).as("diff_cents"),
+            round(col("se"), 6).as("se"),
+            round((col("diff_cents") + lit(5000.0)) / col("se"), 6)
+              .as("t_lower"),
+            round((col("diff_cents") - lit(5000.0)) / col("se"), 6)
+              .as("t_upper"))
+          .withColumn("equivalent",
+            col("t_lower") > 1.644854 && col("t_upper") < -1.644854)
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS e,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+                FROM orders),
+              g AS (
+                SELECT e, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(cents AS HUGEINT)) AS s1,
+                  SUM(CAST(cents AS HUGEINT) * cents) AS s2
+                FROM base GROUP BY 1),
+              m AS (
+                SELECT e, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS v
+                FROM g),
+              wide AS (
+                SELECT a.n AS n1, a.mean AS m1, a.v AS v1,
+                  b.n AS n2, b.mean AS m2, b.v AS v2
+                FROM m a, m b WHERE a.e = 1 AND b.e = 0),
+              stats AS (
+                SELECT n1, n2, m1 - m2 AS diff_cents,
+                  sqrt(v1 / CAST(n1 AS DOUBLE)
+                    + v2 / CAST(n2 AS DOUBLE)) AS se
+                FROM wide),
+              res AS (
+                SELECT n1, n2, round(diff_cents, 6) AS diff_cents,
+                  round(se, 6) AS se,
+                  round((diff_cents + 5000.0) / se, 6) AS t_lower,
+                  round((diff_cents - 5000.0) / se, 6) AS t_upper
+                FROM stats)
+              SELECT n1, n2, diff_cents, se, t_lower, t_upper,
+                (t_lower > 1.644854 AND t_upper < -1.644854)
+                  AS equivalent
+              FROM res""")),
+
     // ── covariate balance: standardized mean differences ────────────────
     // The causal-inference pre-check: before attributing anything to
     // "being a purchaser", how imbalanced are the treated (≥1

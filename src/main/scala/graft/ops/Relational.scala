@@ -8440,6 +8440,92 @@ object Relational {
                   AS fisher
               FROM m""")),
 
+    // ── Törnqvist price index (log form) ─────────────────────────────────
+    // The superlative index that completes q_fisher_index's
+    // Laspeyres/Paasche/Fisher trio: ln T = Σ s̄ᵢ·ln(p¹ᵢ/p⁰ᵢ) with
+    // expenditure-share weights s̄ = (s⁰+s¹)/2 — the discrete Divisia
+    // approximation national statistics offices actually publish.
+    // Reported in LOG form (no cross-engine exp): shares are exact
+    // cent ratios, each ln acts on an exact micro-price ratio, terms
+    // 12-dec-pinned and part-pinned-folded. Same matched-part census
+    // as Fisher (one lineitem pass).
+    Q("q_tornqvist_index",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            (year(col("l_shipdate")) <= 1998).as("base"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT)")
+              .as("q"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val census = li.groupBy("l_partkey")
+          .agg(
+            sum(when(col("base"), col("q")).otherwise(lit(0L))
+              .cast(dec38)).as("q0"),
+            sum(when(col("base"), col("cents")).otherwise(lit(0L))
+              .cast(dec38)).as("c0"),
+            sum(when(!col("base"), col("q")).otherwise(lit(0L))
+              .cast(dec38)).as("q1"),
+            sum(when(!col("base"), col("cents")).otherwise(lit(0L))
+              .cast(dec38)).as("c1"))
+          .filter(col("q0") > 0 && col("q1") > 0)
+          .select(col("l_partkey"), col("c0"), col("c1"),
+            expr("CAST((c0 * 1000000) div q0 AS BIGINT)").as("p0"),
+            expr("CAST((c1 * 1000000) div q1 AS BIGINT)").as("p1"))
+          .persist()
+        val tot = census.agg(sum(col("c0")).as("tc0"),
+          sum(col("c1")).as("tc1")).localCheckpoint(true)
+        census.crossJoin(broadcast(tot))
+          .select(col("l_partkey"),
+            round(((col("c0").cast("double") / col("tc0").cast("double")
+              + col("c1").cast("double") / col("tc1").cast("double"))
+              / 2.0)
+              * log(col("p1").cast("double") / col("p0").cast("double")),
+              12).as("term"))
+          .agg(count(lit(1)).cast("long").as("n_matched"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(l_partkey, term))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.term)""")
+              .as("lnt"))
+          .select(col("n_matched"), round(col("lnt"), 12)
+            .as("ln_tornqvist"))
+      },
+      Some("""WITH li AS (
+                SELECT l_partkey,
+                  year(l_shipdate) <= 1998 AS base,
+                  CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+                FROM lineitem),
+              census AS (
+                SELECT l_partkey,
+                  SUM(CASE WHEN base THEN q ELSE 0 END) AS q0,
+                  SUM(CASE WHEN base THEN cents ELSE 0 END) AS c0,
+                  SUM(CASE WHEN NOT base THEN q ELSE 0 END) AS q1,
+                  SUM(CASE WHEN NOT base THEN cents ELSE 0 END) AS c1
+                FROM li GROUP BY 1
+                HAVING SUM(CASE WHEN base THEN q ELSE 0 END) > 0
+                  AND SUM(CASE WHEN NOT base THEN q ELSE 0 END) > 0),
+              px AS (
+                SELECT l_partkey, c0, c1,
+                  CAST((c0 * 1000000) // q0 AS BIGINT) AS p0,
+                  CAST((c1 * 1000000) // q1 AS BIGINT) AS p1
+                FROM census),
+              tot AS (SELECT SUM(c0) AS tc0, SUM(c1) AS tc1 FROM px),
+              terms AS (
+                SELECT l_partkey,
+                  round(((CAST(c0 AS DOUBLE) / CAST(tc0 AS DOUBLE)
+                    + CAST(c1 AS DOUBLE) / CAST(tc1 AS DOUBLE)) / 2.0)
+                    * ln(CAST(p1 AS DOUBLE) / CAST(p0 AS DOUBLE)), 12)
+                    AS term
+                FROM px, tot)
+              SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(term ORDER BY l_partkey)), (a, x) -> a + x), 12)
+                  AS ln_tornqvist
+              FROM terms""")),
+
     // ── Taylor's power law: variance ∝ mean^b across parts ──────────────
     // Ecology's fluctuation-scaling law as a demand-volatility lens:
     // per-part quantity mean/variance, then the ln-var ~ ln-mean OLS

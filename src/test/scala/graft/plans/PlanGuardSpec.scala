@@ -1123,7 +1123,10 @@ class PlanGuardSpec extends SparkSpec {
       // round-9 survival/strata batch: gehan pays the log_rank pair of
       // source scans (single chain); breslow-day reads its persisted
       // strata census at zero
-      "q_gehan_wilcoxon" -> 2, "q_breslow_day" -> 0)
+      "q_gehan_wilcoxon" -> 2, "q_breslow_day" -> 0,
+      // round-9 index/equivalence batch: persisted matched-part census /
+      // checkpointed 2-row moment frame — zero scans at readout
+      "q_tornqvist_index" -> 0, "q_tost_equivalence" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,

@@ -788,6 +788,27 @@ class StreamingSpec extends SparkSpec {
       "drained lang census diverged from batch chi2")
   }
 
+  test("drained lang census finishes to batch q_g_test exactly") {
+    // the THIRD readout of the same Complete-mode (source, lang)
+    // census state (tvd → chi2 → G log-likelihood ratio) — one live
+    // state, three batch-exact lenses
+    val dir = Files.createTempDirectory("graft-docs-gtest").toString
+    Tables.load(spark, sfDir, "documents")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.langDriftCounts(StreamingOps.readDocStream(spark, s"$dir/in")),
+      "t_gtest", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val streamed = graft.ops.Curation.gTestFinish(counts).collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_g_test")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "drained lang census diverged from batch G-test")
+  }
+
   test("drained seasonality census finishes to batch q_seasonality exactly") {
     val sink = StreamingOps.runToMemory(
       StreamingOps.seasonalityCounts(
