@@ -225,7 +225,10 @@ object ScaleCheck {
     "q_gehan_wilcoxon", "q_breslow_day",
     // round-9: the re-spelled SQL as-of (the 80 s decorrelation fix) —
     // its fan-out must stay bounded by per-customer order counts
-    "q_sql_asof")
+    "q_sql_asof",
+    // round-9: 3-round iterative ESD over the day census — fixed round
+    // overhead, only the census build scales
+    "q_rosner_esd")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

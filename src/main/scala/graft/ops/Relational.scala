@@ -8798,6 +8798,130 @@ object Relational {
                   - 3.0 * CAST(b * (k + 1) AS DOUBLE), 6) AS chi2_f
               FROM rsums, sr ORDER BY o_orderpriority""")),
 
+    // ── Quade test: block-weighted rank ANOVA (Friedman's sharper kin) ──
+    // Friedman throws away HOW DIFFERENT the blocks are; Quade weights
+    // each nation block by the rank Q_b of its mean-value RANGE, so
+    // high-signal nations dominate — the more powerful test at small k.
+    // Entirely exact integers by doubling through the centering:
+    // S = Q_b·(2r − (k+1)) keeps every score integral, so
+    // F = (b−1)·ΣⱼSⱼ² / (b·ΣS² − ΣⱼSⱼ²) is ONE division of exact longs
+    // — zero rounding, zero libm. Same persisted ≤nations×priorities
+    // census as q_friedman_test (one orders⋈customer pass); block
+    // ranks/ranges are census-grid windows.
+    Q("q_quade",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), col("o_orderpriority"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("c_nationkey", "o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("c").cast(DecimalType(38, 0))).as("sc"))
+          .select(col("c_nationkey"), col("o_orderpriority"),
+            (col("sc").cast("double") / col("n").cast("double"))
+              .as("m"))
+          .persist()
+        val k = cells.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("kb"))
+          .agg(max(col("kb")).cast("long").as("k"))
+        val full = cells.crossJoin(broadcast(k))
+          .withColumn("kb",
+            count(lit(1)).over(Window.partitionBy("c_nationkey")))
+          .filter(col("kb") === col("k"))
+          .withColumn("r",
+            row_number().over(Window.partitionBy("c_nationkey")
+              .orderBy("m", "o_orderpriority")).cast("long"))
+          .withColumn("rng", max(col("m"))
+            .over(Window.partitionBy("c_nationkey"))
+            - min(col("m")).over(Window.partitionBy("c_nationkey")))
+        // block weights: rank of the block's range over the ≤|nations|
+        // distinct (rng, nation) grid — deterministic (rng is an
+        // identical double both engines, nation breaks ties)
+        val qb = full.select("c_nationkey", "rng").distinct()
+          .withColumn("qb", row_number()
+            .over(Window.orderBy(col("rng"), col("c_nationkey")))
+            .cast("long"))
+          .select("c_nationkey", "qb")
+        val scored = full.join(broadcast(qb), "c_nationkey")
+          .select(col("o_orderpriority"), col("k"),
+            (col("qb") * (col("r") * 2 - (col("k") + 1))).as("s2"))
+          .persist()
+        val perTreat = scored.groupBy("o_orderpriority")
+          .agg(sum(col("s2")).cast("long").as("s2_sum"),
+            count(lit(1)).cast("long").as("b"),
+            max(col("k")).as("k"))
+        val tot = perTreat.agg(
+          sum(col("s2_sum") * col("s2_sum")).cast("long").as("sj2"),
+          max(col("b")).cast("long").as("b"),
+          max(col("k")).cast("long").as("k"))
+          .crossJoin(broadcast(scored.agg(
+            sum(col("s2") * col("s2")).cast("long").as("a2"))))
+          .select(col("sj2"), col("a2"), col("b"), col("k"),
+            when(col("b") * col("a2") - col("sj2") === 0,
+              lit(null).cast("double"))
+              .otherwise(((col("b") - 1) * col("sj2")).cast("double")
+                / (col("b") * col("a2") - col("sj2")).cast("double"))
+              .as("quade_f"),
+            (col("k") - 1).cast("long").as("df1"),
+            ((col("b") - 1) * (col("k") - 1)).cast("long").as("df2"))
+        perTreat.select(col("o_orderpriority"), col("s2_sum"))
+          .crossJoin(broadcast(tot.select(col("quade_f"), col("df1"),
+            col("df2"), col("b"), col("k"))))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH cells AS (
+                SELECT c_nationkey, o_orderpriority,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS m
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              kk AS (
+                SELECT CAST(MAX(kb) AS BIGINT) AS k
+                FROM (SELECT c_nationkey, count(*) AS kb
+                      FROM cells GROUP BY 1)),
+              fullb AS (
+                SELECT c.c_nationkey, c.o_orderpriority, c.m, kk.k,
+                  CAST(row_number() OVER (PARTITION BY c.c_nationkey
+                    ORDER BY c.m, c.o_orderpriority) AS BIGINT) AS r,
+                  MAX(c.m) OVER (PARTITION BY c.c_nationkey)
+                    - MIN(c.m) OVER (PARTITION BY c.c_nationkey) AS rng,
+                  count(*) OVER (PARTITION BY c.c_nationkey) AS kb
+                FROM cells c, kk),
+              fb AS (SELECT * FROM fullb WHERE kb = k),
+              qb AS (
+                SELECT c_nationkey,
+                  CAST(row_number() OVER (ORDER BY rng, c_nationkey)
+                    AS BIGINT) AS qb
+                FROM (SELECT DISTINCT c_nationkey, rng FROM fb)),
+              scored AS (
+                SELECT fb.o_orderpriority, fb.k,
+                  qb.qb * (fb.r * 2 - (fb.k + 1)) AS s2
+                FROM fb JOIN qb USING (c_nationkey)),
+              pertreat AS (
+                SELECT o_orderpriority,
+                  CAST(SUM(s2) AS BIGINT) AS s2_sum,
+                  CAST(count(*) AS BIGINT) AS b,
+                  CAST(MAX(k) AS BIGINT) AS k
+                FROM scored GROUP BY 1),
+              tot AS (
+                SELECT
+                  CAST(SUM(s2_sum * s2_sum) AS BIGINT) AS sj2,
+                  CAST(MAX(b) AS BIGINT) AS b, CAST(MAX(k) AS BIGINT) AS k,
+                  (SELECT CAST(SUM(s2 * s2) AS BIGINT) FROM scored) AS a2
+                FROM pertreat)
+              SELECT p.o_orderpriority, p.s2_sum,
+                CASE WHEN t.b * t.a2 - t.sj2 = 0 THEN NULL
+                  ELSE CAST((t.b - 1) * t.sj2 AS DOUBLE)
+                    / CAST(t.b * t.a2 - t.sj2 AS DOUBLE) END AS quade_f,
+                CAST(t.k - 1 AS BIGINT) AS df1,
+                CAST((t.b - 1) * (t.k - 1) AS BIGINT) AS df2,
+                t.b, t.k
+              FROM pertreat p, tot t ORDER BY p.o_orderpriority""")),
+
     // ── Mantel–Haenszel pooled odds ratio (nation-stratified 2×2) ───────
     // Does urgent priority associate with big orders once nation mix is
     // controlled? Per-nation 2×2 (exposed = priority 1-2, outcome =
@@ -9142,6 +9266,57 @@ object Relational {
               ORDER BY round(abs(CAST(x AS DOUBLE) - mean) / sd, 12)
                 DESC, d
               LIMIT 1""")),
+
+    // ── Rosner generalized ESD: k=3 iterative outlier screen ────────────
+    // What q_grubbs_test can't do: Grubbs is invalidated by MASKING
+    // (two outliers hide each other); Rosner's ESD re-computes moments
+    // after removing each extreme, so the screen survives clustered
+    // anomalies. Three fixed rounds over the calendar-bounded day
+    // census (localCheckpoint per round — the ccStar/k-means iterative
+    // discipline); the per-round argmax is FP-FREE (maximize the exact
+    // integer |n·x − Σx|, day tiebreak) and only the reported R
+    // statistic divides doubles (identical operands → 6-dec display
+    // round). Oracle = the identical three rounds as chained CTEs.
+    Q("q_rosner_esd",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        var rem = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")
+            .cast(dec38)).as("x"))
+          .localCheckpoint(true)
+        val outs = Seq.newBuilder[DataFrame]
+        for (i <- 1 to 3) {
+          val mom = rem.agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"))
+            .select(col("n"), col("s1"),
+              (col("s1").cast("double") / col("n").cast("double"))
+                .as("mean"),
+              sqrt((col("s2").cast("double")
+                - col("s1").cast("double") * col("s1").cast("double")
+                  / col("n").cast("double"))
+                / (col("n") - 1).cast("double")).as("sd"))
+            .localCheckpoint(true)
+          val pick = rem.crossJoin(broadcast(mom))
+            .withColumn("absdev", abs(col("x") * col("n") - col("s1")))
+            .orderBy(col("absdev").desc, col("d"))
+            .limit(1)
+            .select(col("d"), lit(i.toLong).as("iteration"),
+              col("n").as("n_remaining"),
+              date_format(col("d"), "yyyy-MM-dd").as("outlier_day"),
+              col("x").cast("long").as("cents"),
+              when(col("sd") > 0,
+                round(abs(col("x").cast("double") - col("mean"))
+                  / col("sd"), 6)).as("r_stat"))
+            .localCheckpoint(true)
+          outs += pick.drop("d")
+          rem = rem.join(pick.select("d"), Seq("d"), "left_anti")
+            .localCheckpoint(true)
+        }
+        outs.result().reduce(_ unionByName _).orderBy("iteration")
+      },
+      Some(rosnerOracle)),
 
     // ── ICC(1,1): how much order-value variance is "nation"? ────────────
     // One-way random-effects intraclass correlation over nations:
@@ -10463,5 +10638,49 @@ object Relational {
       .withColumn("z",
         call_function("graft_zorder", col("xq"), col("yq"), lit(16)))
       .drop("x", "y", "xmin", "xmax", "ymin", "ymax")
+  }
+
+  /** q_rosner_esd's DuckDB twin: the identical three remove-and-recompute
+    * rounds as a generated CTE chain (r0 → m_i/p_i/r_i per round) — the
+    * q_bpe_train oracle-generation discipline applied to iterative
+    * moment recomputation. The argmax mirrors the engine's FP-free
+    * |n·x − Σx| integer ordering.
+    */
+  private def rosnerOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH r0 AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+          AS BIGINT) AS HUGEINT)) AS x
+      FROM orders GROUP BY 1)"""
+    for (i <- 1 to 3) {
+      sb ++= s""",
+      m$i AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS s1,
+          CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+          sqrt((CAST(SUM(x * x) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE))
+            / CAST(count(*) - 1 AS DOUBLE)) AS sd
+        FROM r${i - 1}),
+      p$i AS (
+        SELECT d, CAST($i AS BIGINT) AS iteration,
+          m$i.n AS n_remaining,
+          strftime(d, '%Y-%m-%d') AS outlier_day,
+          CAST(x AS BIGINT) AS cents,
+          CASE WHEN sd > 0
+            THEN round(abs(CAST(x AS DOUBLE) - mean) / sd, 6)
+            END AS r_stat
+        FROM r${i - 1}, m$i
+        ORDER BY abs(x * m$i.n - m$i.s1) DESC, d LIMIT 1),
+      r$i AS (
+        SELECT r.d, r.x FROM r${i - 1} r, p$i WHERE r.d <> p$i.d)"""
+    }
+    sb ++= """
+      SELECT iteration, n_remaining, outlier_day, cents, r_stat
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+            UNION ALL SELECT * FROM p3)
+      ORDER BY iteration"""
+    sb.result()
   }
 }

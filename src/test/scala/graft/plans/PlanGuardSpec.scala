@@ -971,6 +971,22 @@ class PlanGuardSpec extends SparkSpec {
       "returnflag filter not pushed into the lineitem scan")
   }
 
+  test("q_sql_asof: the as-of join is equi-keyed — no nested-loop, no " +
+      "domain join") {
+    // the round-9 scale-killer class: Catalyst decorrelated the original
+    // correlated scalar MAX into a |dates|×|orders| NON-EQUI domain join
+    // (BroadcastNestedLoopJoin, 80 s at sf0.1). The re-spelled query
+    // must keep every join equi-keyed (hash/merge on o_custkey) with the
+    // range predicate as a join condition, not a nested loop
+    val plan = qe("q_sql_asof").executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop")
+      && !plan.contains("CartesianProduct"),
+      s"as-of degraded to a nested-loop/domain join:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "as-of lost its equi join")
+  }
+
   test("q_schema_evolution: both generation branches push their era filter") {
     // one branch keeps `ts < cutover`, the other `ts >= cutover` — a
     // single non-empty PushedFilters anywhere would let one branch
@@ -1126,7 +1142,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_gehan_wilcoxon" -> 2, "q_breslow_day" -> 0,
       // round-9 index/equivalence batch: persisted matched-part census /
       // checkpointed 2-row moment frame — zero scans at readout
-      "q_tornqvist_index" -> 0, "q_tost_equivalence" -> 0)
+      "q_tornqvist_index" -> 0, "q_tost_equivalence" -> 0,
+      // round-9 rank/outlier batch: persisted census grids and
+      // checkpointed iterative rounds — zero scans at readout
+      "q_quade" -> 0, "q_rosner_esd" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
