@@ -228,7 +228,10 @@ object ScaleCheck {
     "q_sql_asof",
     // round-9: 3-round iterative ESD over the day census — fixed round
     // overhead, only the census build scales
-    "q_rosner_esd")
+    "q_rosner_esd",
+    // round-9: pooled squared-rank dispersion test — value census +
+    // RangeRank prefix sums + fixed-point moments
+    "q_conover_squared_ranks")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

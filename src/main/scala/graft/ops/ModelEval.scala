@@ -2902,6 +2902,149 @@ object ModelEval {
                       + 1.0 / CAST(n2 AS DOUBLE))) END AS z
               FROM r""")),
 
+    // ── Conover squared-ranks test: nonparametric variance equality ─────
+    // The rank-based alternative to q_levene (which trusts means): are
+    // urgent and non-urgent order values equally DISPERSED? Ranks of
+    // |x − group mean| over the pooled sample, T = Σ_{g1} R². Numeric
+    // discipline for scale: deviations stay exact by multiplying
+    // through (n₂·|n₁x − S₁| vs n₁·|n₂x − S₂| — cross-group comparable
+    // integers), midranks come from RangeRank prefix sums over the
+    // value census (doubled to stay integral under ties), and the R²/R⁴
+    // moments — whose raw integer forms would overflow ANY fixed
+    // decimal at 100 TB ((2N)⁴ > 10³⁸ past N ~ 10⁹) — are carried as
+    // FIXED-POINT integers of the RELATIVE rank (round(rel^k·10¹⁸)):
+    // identical doubles both engines → identical integers → order-free
+    // exact sums at any N. z is scale-invariant in rel units.
+    Q("q_conover_squared_ranks",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val base = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .persist()
+        val gs = base.groupBy("tr")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("v").cast(dec38)).as("sv"))
+        val wide = gs.filter(col("tr") === 1)
+          .select(col("n").as("n1"), col("sv").as("s1"))
+          .crossJoin(gs.filter(col("tr") === 0)
+            .select(col("n").as("n2"), col("sv").as("s2")))
+          .localCheckpoint(true)
+        val census = base.crossJoin(broadcast(wide))
+          .select(col("tr"),
+            when(col("tr") === 1,
+              abs(col("v").cast(dec38) * col("n1") - col("s1"))
+                * col("n2"))
+              .otherwise(
+                abs(col("v").cast(dec38) * col("n2") - col("s2"))
+                  * col("n1")).as("u"))
+          .groupBy("u")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("u")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+        val terms = cum.crossJoin(broadcast(wide.select("n1", "n2")))
+          .select(col("c1"), col("c2"),
+            (((col("off1") + col("off2")) * 2 + col("c1") + col("c2")
+              + 1).cast("double")
+              / ((col("n1") + col("n2")).cast("double") * 2.0)).as("rel"))
+          .select(col("c1"), col("c2"),
+            round(col("rel") * col("rel") * 1e18, 0).cast(dec38).as("q2"),
+            round(col("rel") * col("rel") * col("rel") * col("rel")
+              * 1e18, 0).cast(dec38).as("q4"))
+        terms.agg(
+            sum(col("c1").cast(dec38) * col("q2")).as("t1"),
+            sum((col("c1") + col("c2")).cast(dec38) * col("q2")).as("a2"),
+            sum((col("c1") + col("c2")).cast(dec38) * col("q4")).as("b4"))
+          .crossJoin(broadcast(wide.select("n1", "n2")))
+          .select(col("n1"), col("n2"),
+            (col("t1").cast("double") / 1e18).as("t_rel"),
+            (col("a2").cast("double") / 1e18).as("a_rel"),
+            (col("b4").cast("double") / 1e18).as("b_rel"))
+          .select(col("n1"), col("n2"),
+            round(col("t_rel"), 6).as("t_rel"),
+            round(
+              (col("t_rel") - col("n1").cast("double") * col("a_rel")
+                / (col("n1") + col("n2")).cast("double"))
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                / ((col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2") - 1).cast("double"))
+                * (col("b_rel") - col("a_rel") * col("a_rel")
+                  / (col("n1") + col("n2")).cast("double"))), 6)
+              .as("z_conover"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              gs AS (
+                SELECT tr, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(v AS HUGEINT)) AS sv
+                FROM base GROUP BY 1),
+              wide AS (
+                SELECT a.n AS n1, a.sv AS s1, b.n AS n2, b.sv AS s2
+                FROM gs a, gs b WHERE a.tr = 1 AND b.tr = 0),
+              census AS (
+                SELECT u, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM (
+                  SELECT tr,
+                    CASE WHEN tr = 1
+                      THEN abs(CAST(v AS HUGEINT) * n1 - s1) * n2
+                      ELSE abs(CAST(v AS HUGEINT) * n2 - s2) * n1
+                      END AS u
+                  FROM base, wide)
+                GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  COALESCE(SUM(c1) OVER (ORDER BY u
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off1,
+                  COALESCE(SUM(c2) OVER (ORDER BY u
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off2
+                FROM census),
+              terms AS (
+                SELECT c1, c2,
+                  CAST(round(rel * rel * 1e18) AS HUGEINT) AS q2,
+                  CAST(round(rel * rel * rel * rel * 1e18) AS HUGEINT)
+                    AS q4
+                FROM (
+                  SELECT c1, c2,
+                    CAST((off1 + off2) * 2 + c1 + c2 + 1 AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * 2.0) AS rel
+                  FROM cum, wide)),
+              agg AS (
+                SELECT SUM(CAST(c1 AS HUGEINT) * q2) AS t1,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * q2) AS a2,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * q4) AS b4
+                FROM terms),
+              rels AS (
+                SELECT n1, n2,
+                  CAST(t1 AS DOUBLE) / 1e18 AS t_rel,
+                  CAST(a2 AS DOUBLE) / 1e18 AS a_rel,
+                  CAST(b4 AS DOUBLE) / 1e18 AS b_rel
+                FROM agg, wide)
+              SELECT n1, n2, round(t_rel, 6) AS t_rel,
+                round((t_rel - CAST(n1 AS DOUBLE) * a_rel
+                    / CAST(n1 + n2 AS DOUBLE))
+                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 + n2 - 1 AS DOUBLE))
+                    * (b_rel - a_rel * a_rel
+                      / CAST(n1 + n2 AS DOUBLE))), 6) AS z_conover
+              FROM rels""")),
+
     // ── TOST equivalence test: urgent vs rest order values ──────────────
     // The inverted question every A/B readout here asks the wrong way
     // around: not "is there a difference" but "are the means

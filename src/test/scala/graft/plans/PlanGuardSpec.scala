@@ -1145,7 +1145,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_tornqvist_index" -> 0, "q_tost_equivalence" -> 0,
       // round-9 rank/outlier batch: persisted census grids and
       // checkpointed iterative rounds — zero scans at readout
-      "q_quade" -> 0, "q_rosner_esd" -> 0)
+      "q_quade" -> 0, "q_rosner_esd" -> 0,
+      // round-9 dispersion batch: persisted base + RangeRank internals
+      "q_conover_squared_ranks" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
