@@ -231,7 +231,9 @@ object ScaleCheck {
     "q_rosner_esd",
     // round-9: pooled squared-rank dispersion test — value census +
     // RangeRank prefix sums + fixed-point moments
-    "q_conover_squared_ranks")
+    "q_conover_squared_ranks",
+    // round-9: 3-pick order-statistic CI off one RangeRank bracket pass
+    "q_median_ci")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

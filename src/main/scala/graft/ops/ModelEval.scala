@@ -3045,6 +3045,116 @@ object ModelEval {
                       / CAST(n1 + n2 AS DOUBLE))), 6) AS z_conover
               FROM rels""")),
 
+    // ── Welch's heteroscedastic one-way ANOVA across priorities ─────────
+    // q_anova assumes equal variances; q_levene/q_conover test that
+    // assumption — this is what to RUN when it fails: Welch's F* with
+    // reciprocal-variance weights w = n/s² and the Satterthwaite-style
+    // df₂. All moments from exact dec38 sums (one orders pass, 5-row
+    // census); the Σ's over the ≤5 groups are priority-pinned folds of
+    // 12-dec terms; every downstream op is a mirrored division chain.
+    Q("q_welch_anova",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val g = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("p"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+          .groupBy("p")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("c").cast(dec38)).as("s1"),
+            sum(col("c").cast(dec38) * col("c")).as("s2"))
+          .select(col("p"), col("n"),
+            (col("s1").cast("double") / col("n").cast("double"))
+              .as("m"),
+            ((col("n").cast(dec38) * col("s2") - col("s1") * col("s1"))
+              .cast("double")
+              / (col("n").cast(dec38) * (col("n") - 1)).cast("double"))
+              .as("v"))
+          .select(col("p"), col("n"), col("m"), col("v"),
+            (col("n").cast("double") / col("v")).as("w"))
+          .persist()
+        val k2 = g.select(col("p"), col("w"), (col("w") * col("m"))
+          .as("wm")).agg(
+          count(lit(1)).cast("long").as("k"),
+          expr("""aggregate(array_sort(collect_list(struct(p, w))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.w)""").as("sw"),
+          expr("""aggregate(array_sort(collect_list(struct(p, wm))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.wm)""").as("swm"))
+          .withColumn("xbar", col("swm") / col("sw"))
+          .localCheckpoint(true)
+        val terms = g.crossJoin(broadcast(k2))
+          .select(col("p"), col("n"), col("w"),
+            round(col("w") * (col("m") - col("xbar"))
+              * (col("m") - col("xbar")), 6).as("num_term"),
+            round((lit(1.0) - col("w") / col("sw"))
+              * (lit(1.0) - col("w") / col("sw"))
+              / (col("n") - 1).cast("double"), 12).as("lam_term"))
+        val folds = terms.agg(
+          expr("""aggregate(array_sort(collect_list(struct(p, num_term))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.num_term)""")
+            .as("snum"),
+          expr("""aggregate(array_sort(collect_list(struct(p, lam_term))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.lam_term)""")
+            .as("slam"))
+        folds.crossJoin(broadcast(k2.select("k")))
+          .select(col("k"),
+            round(col("snum") / (col("k") - 1).cast("double")
+              / (lit(1.0) + (col("k") - 2).cast("double") * 2.0
+                / ((col("k") * col("k") - 1)).cast("double")
+                * col("slam")), 6).as("welch_f"),
+            (col("k") - 1).cast("long").as("df1"),
+            round((col("k") * col("k") - 1).cast("double")
+              / (col("slam") * 3.0), 6).as("df2"))
+      },
+      Some("""WITH g AS (
+                SELECT o_orderpriority AS p,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s1,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS s2
+                FROM orders GROUP BY 1),
+              m AS (
+                SELECT p, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                  CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS v
+                FROM g),
+              w AS (
+                SELECT p, n, m, CAST(n AS DOUBLE) / v AS w FROM m),
+              k2 AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(w ORDER BY p)), (a, x) -> a + x) AS sw,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(w * m ORDER BY p)), (a, x) -> a + x) AS swm
+                FROM w),
+              xb AS (SELECT k, sw, swm, swm / sw AS xbar FROM k2),
+              terms AS (
+                SELECT w.p, w.n, w.w,
+                  round(w.w * (w.m - xb.xbar) * (w.m - xb.xbar), 6)
+                    AS num_term,
+                  round((1.0 - w.w / xb.sw) * (1.0 - w.w / xb.sw)
+                    / CAST(w.n - 1 AS DOUBLE), 12) AS lam_term
+                FROM w, xb),
+              folds AS (
+                SELECT
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(num_term ORDER BY p)), (a, x) -> a + x) AS snum,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(lam_term ORDER BY p)), (a, x) -> a + x) AS slam
+                FROM terms)
+              SELECT xb.k,
+                round(f.snum / CAST(xb.k - 1 AS DOUBLE)
+                  / (1.0 + CAST(xb.k - 2 AS DOUBLE) * 2.0
+                    / CAST(xb.k * xb.k - 1 AS DOUBLE) * f.slam), 6)
+                  AS welch_f,
+                CAST(xb.k - 1 AS BIGINT) AS df1,
+                round(CAST(xb.k * xb.k - 1 AS DOUBLE) / (f.slam * 3.0),
+                  6) AS df2
+              FROM folds f, xb""")),
+
     // ── TOST equivalence test: urgent vs rest order values ──────────────
     // The inverted question every A/B readout here asks the wrong way
     // around: not "is there a difference" but "are the means

@@ -2124,6 +2124,53 @@ object Relational {
                   AS n_preship
               FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ── distribution-free median CI (order-statistic bounds) ────────────
+    // The error bar q_percentile_disc's point estimate lacks, with NO
+    // distributional assumption and NO resampling: the exact 95% CI for
+    // the median is the pair of order statistics at ranks
+    // (n − z√n)/2 and n+1−that (binomial argument). √n is IEEE-exact,
+    // z is the pinned literal, floor of identical doubles is identical
+    // — so the rank targets are the same longs in both engines, and the
+    // three value selections ride ONE RangeRank histogram-bracketed
+    // pass (no sort, no rank materialization). Per returnflag group.
+    Q("q_median_ci",
+      (s, dir) => {
+        val base = t(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice").persist()
+        val loRank = (n: org.apache.spark.sql.Column) => greatest(lit(1L),
+          floor((n.cast("double")
+            - sqrt(n.cast("double")) * 1.959963985) / 2.0).cast("long"))
+        RangeRank.groupValuesAtRanks(base, Seq("l_returnflag"),
+          "l_extendedprice",
+          Seq(RangeRank.RankPick("median", n => ceil(n * 0.5)),
+            RangeRank.RankPick("ci_lo", loRank),
+            RangeRank.RankPick("ci_hi", n => n + 1 - loRank(n))))
+          .select(col("l_returnflag"), col("n"), col("median"),
+            col("ci_lo"), col("ci_hi"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (
+                SELECT l_returnflag, l_extendedprice,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS n
+                FROM lineitem),
+              k AS (
+                SELECT l_returnflag, l_extendedprice, rn, n,
+                  greatest(1, CAST(floor((CAST(n AS DOUBLE)
+                    - sqrt(CAST(n AS DOUBLE)) * 1.959963985) / 2.0)
+                    AS BIGINT)) AS klo
+                FROM r)
+              SELECT l_returnflag, MAX(n) AS n,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                  THEN l_extendedprice END) AS median,
+                MAX(CASE WHEN rn = klo THEN l_extendedprice END)
+                  AS ci_lo,
+                MAX(CASE WHEN rn = n + 1 - klo THEN l_extendedprice END)
+                  AS ci_hi
+              FROM k GROUP BY 1 ORDER BY 1""")),
+
     // ── median absolute deviation (robust dispersion) ────────────────────
     // The robust twin of q_stats_agg's stddev: MAD = p50 of |x − p50(x)|,
     // immune to the outliers that winsorize clips. Two value-at-rank

@@ -1147,7 +1147,9 @@ class PlanGuardSpec extends SparkSpec {
       // checkpointed iterative rounds — zero scans at readout
       "q_quade" -> 0, "q_rosner_esd" -> 0,
       // round-9 dispersion batch: persisted base + RangeRank internals
-      "q_conover_squared_ranks" -> 0)
+      "q_conover_squared_ranks" -> 0,
+      // round-9 closing batch: persisted censuses
+      "q_welch_anova" -> 0, "q_median_ci" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
