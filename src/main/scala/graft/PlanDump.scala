@@ -261,7 +261,25 @@ object PlanDump {
     sb.append("# PLANS — physical-plan evidence (generated by `graft.PlanDump`)\n\n")
     sb.append(s"Source data: `$sfDir`. Regenerate after plan-affecting changes:\n")
     sb.append("`sbt \"runMain graft.PlanDump\"`.\n\n")
-    sb.append(censusAudit)
+    // the census-reuse table and the tail artifact-delta sections are
+    // HAND-MAINTAINED per round (new query rows land there at commit
+    // time); regeneration must carry the live PLANS.md versions, not
+    // the round-5 snapshot baked in below — otherwise one PlanDump run
+    // silently reverts three rounds of budget rows
+    val live = try {
+      Some(new String(java.nio.file.Files.readAllBytes(
+        Paths.get("PLANS.md"))))
+    } catch { case _: Throwable => None }
+    val census = live.flatMap { cur =>
+      val st = cur.indexOf("## Census-reuse audit")
+      val en = cur.indexOf("\n## q_", st)
+      if (st >= 0 && en > st) Some(cur.substring(st, en)) else None
+    }.getOrElse(censusAudit)
+    sb.append(census)
+    val tail = live.flatMap { cur =>
+      val st = cur.indexOf("\n## Shared basket pair-core artifact")
+      if (st >= 0) Some(cur.substring(st + 1)) else None
+    }
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n$note\n\n```\n")
@@ -280,6 +298,7 @@ object PlanDump {
           "of nested cache build plans]")
       sb.append("\n```\n")
     }
+    tail.foreach(t => sb.append("\n").append(t))
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${picks.size} plans)")
     spark.stop()

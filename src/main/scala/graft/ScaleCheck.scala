@@ -233,7 +233,17 @@ object ScaleCheck {
     // RangeRank prefix sums + fixed-point moments
     "q_conover_squared_ranks",
     // round-9: 3-pick order-statistic CI off one RangeRank bracket pass
-    "q_median_ci")
+    "q_median_ci",
+    // round-9 close coverage audit: the 19 borderline queries the slow
+    // close battery pushed over the 1 s line (1.0-2.3 s, mostly census
+    // reports and the new SQL twins) — every >=1 s battery query keeps
+    // a measured slope row
+    "q_assortment_entropy", "q_bowley_skew", "q_brand_price_index",
+    "q_map_ops", "q_nelson_aalen", "q_payload_key_drift",
+    "q_product_margin", "q_quade", "q_rank_distance",
+    "q_rle_compressibility", "q_sbc_classification", "q_shift_share",
+    "q_sql_exists", "q_sql_pivot", "q_sql_setops", "q_sql_window",
+    "q_supplier_trend", "q_tornqvist_index", "q_trigram_hapax")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
