@@ -3045,6 +3045,256 @@ object ModelEval {
                       / CAST(n1 + n2 AS DOUBLE))), 6) AS z_conover
               FROM rels""")),
 
+    // ── Sobel mediation: does basket size carry the priority effect? ────
+    // The causal-chain readout q_diff_in_diff/q_cuped don't give: how
+    // much of priority's (X) effect on order value (Y) flows THROUGH
+    // line count (M)? Two OLS fits from ONE pass of exact dec38 sums
+    // (n, Σ of every first/second moment): a = X→M slope, b = M→Y|X
+    // partial slope via the closed-form normal equations, Sobel
+    // z = ab/√(a²se_b² + b²se_a²). Centered sums n·Σab − ΣaΣb stay in
+    // dec38 (≤10³⁶ at the design point), then leave the exact domain
+    // at ONE double cast each — the coefficient/SE chains multiply
+    // n²-scale values whose products would overflow ANY decimal, so
+    // they run in doubles on identical operands, mirrored op-for-op.
+    Q("q_sobel_mediation",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val lines = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(count(lit(1)).cast("long").as("m"))
+        val sums = t(s, dir, "orders")
+          .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("x"),
+            coalesce(col("m"), lit(0L)).as("m"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("y"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x").cast(dec38)).as("sx"),
+            sum(col("m").cast(dec38)).as("sm"),
+            sum(col("y").cast(dec38)).as("sy"),
+            sum((col("x") * col("m")).cast(dec38)).as("sxm"),
+            sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+            sum(col("m").cast(dec38) * col("y")).as("smy"),
+            sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+            sum((col("m") * col("m")).cast(dec38)).as("smm"),
+            sum(col("y").cast(dec38) * col("y")).as("syy"))
+        val cs = sums.select(col("n"),
+          ((col("n").cast(dec38) * col("sxx") - col("sx") * col("sx"))
+            .cast("double") / col("n").cast("double")).as("csxx"),
+          ((col("n").cast(dec38) * col("smm") - col("sm") * col("sm"))
+            .cast("double") / col("n").cast("double")).as("csmm"),
+          ((col("n").cast(dec38) * col("syy") - col("sy") * col("sy"))
+            .cast("double") / col("n").cast("double")).as("csyy"),
+          ((col("n").cast(dec38) * col("sxm") - col("sx") * col("sm"))
+            .cast("double") / col("n").cast("double")).as("csxm"),
+          ((col("n").cast(dec38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / col("n").cast("double")).as("csxy"),
+          ((col("n").cast(dec38) * col("smy") - col("sm") * col("sy"))
+            .cast("double") / col("n").cast("double")).as("csmy"))
+        cs.select(col("n"),
+            (col("csmm") * col("csxx") - col("csxm") * col("csxm"))
+              .as("den"),
+            col("csxx"), col("csmm"), col("csyy"), col("csxm"),
+            col("csxy"), col("csmy"))
+          .select(col("n"),
+            (col("csxm") / col("csxx")).as("a"),
+            ((col("csmy") * col("csxx") - col("csxm") * col("csxy"))
+              / col("den")).as("b"),
+            ((col("csxy") * col("csmm") - col("csxm") * col("csmy"))
+              / col("den")).as("c"),
+            col("den"), col("csxx"), col("csmm"), col("csyy"),
+            col("csxm"), col("csxy"), col("csmy"))
+          .select(col("n"), col("a"), col("b"), col("c"),
+            (((col("csmm") - col("csxm") * col("csxm") / col("csxx"))
+              / (col("n") - 2).cast("double")) / col("csxx"))
+              .as("se2_a"),
+            (((col("csyy") - col("b") * col("csmy")
+              - col("c") * col("csxy"))
+              / (col("n") - 3).cast("double")) * col("csxx")
+              / col("den")).as("se2_b"))
+          .select(col("n"), round(col("a"), 6).as("a_path"),
+            round(col("b"), 6).as("b_path"),
+            round(col("c"), 6).as("direct_c"),
+            round(col("a") * col("b")
+              / sqrt(col("a") * col("a") * col("se2_b")
+                + col("b") * col("b") * col("se2_a")), 6).as("sobel_z"),
+            when(col("c") + col("a") * col("b") === 0.0,
+              lit(null).cast("double"))
+              .otherwise(round(col("a") * col("b")
+                / (col("c") + col("a") * col("b")), 6))
+              .as("prop_mediated"))
+      },
+      Some("""WITH lines AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS m
+                FROM lineitem GROUP BY 1),
+              base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS x,
+                  COALESCE(m, 0) AS m,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y
+                FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey),
+              sums AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(m AS HUGEINT)) AS sm,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x * m AS HUGEINT)) AS sxm,
+                  SUM(CAST(x * y AS HUGEINT)) AS sxy,
+                  SUM(CAST(m AS HUGEINT) * y) AS smy,
+                  SUM(CAST(x * x AS HUGEINT)) AS sxx,
+                  SUM(CAST(m * m AS HUGEINT)) AS smm,
+                  SUM(CAST(y AS HUGEINT) * y) AS syy
+                FROM base),
+              cs AS (
+                SELECT n,
+                  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    / CAST(n AS DOUBLE) AS csxx,
+                  CAST(CAST(n AS HUGEINT) * smm - sm * sm AS DOUBLE)
+                    / CAST(n AS DOUBLE) AS csmm,
+                  CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+                    / CAST(n AS DOUBLE) AS csyy,
+                  CAST(CAST(n AS HUGEINT) * sxm - sx * sm AS DOUBLE)
+                    / CAST(n AS DOUBLE) AS csxm,
+                  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                    / CAST(n AS DOUBLE) AS csxy,
+                  CAST(CAST(n AS HUGEINT) * smy - sm * sy AS DOUBLE)
+                    / CAST(n AS DOUBLE) AS csmy
+                FROM sums),
+              co AS (
+                SELECT n, csxx, csmm, csyy, csxm, csxy, csmy,
+                  csmm * csxx - csxm * csxm AS den,
+                  csxm / csxx AS a
+                FROM cs),
+              co2 AS (
+                SELECT n, csxx, csmm, csyy, csxm, csxy, csmy, den, a,
+                  (csmy * csxx - csxm * csxy) / den AS b,
+                  (csxy * csmm - csxm * csmy) / den AS c
+                FROM co),
+              ses AS (
+                SELECT n, a, b, c,
+                  ((csmm - csxm * csxm / csxx)
+                    / CAST(n - 2 AS DOUBLE)) / csxx AS se2_a,
+                  ((csyy - b * csmy - c * csxy)
+                    / CAST(n - 3 AS DOUBLE)) * csxx / den AS se2_b
+                FROM co2)
+              SELECT n, round(a, 6) AS a_path, round(b, 6) AS b_path,
+                round(c, 6) AS direct_c,
+                round(a * b / sqrt(a * a * se2_b + b * b * se2_a), 6)
+                  AS sobel_z,
+                CASE WHEN c + a * b = 0.0 THEN NULL
+                  ELSE round(a * b / (c + a * b), 6) END
+                  AS prop_mediated
+              FROM ses""")),
+
+    // ── Ansari–Bradley dispersion test (rank-from-both-ends) ────────────
+    // The third dispersion lens (q_levene parametric, q_conover squared
+    // ranks): score each pooled value by its distance from the NEAREST
+    // end of the ranking, s = min(R, N+1−R) — small scores at the
+    // extremes, so a LOW group-1 sum means group 1 is MORE dispersed.
+    // Everything stays exact integers: doubled midranks from RangeRank
+    // prefix sums over the value census, doubled scores
+    // s₂ = min(r₂, 2(N+1)−r₂), and the permutation moments
+    // E[T] = n₁M₁/N, Var[T] = n₁n₂(N·M₂−M₁²)/(N²(N−1)) from dec38
+    // census sums — one mirrored division/sqrt chain at the readout.
+    Q("q_ansari_bradley",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        val scored = cum.crossJoin(broadcast(ns))
+          .select(col("c1"), col("c2"),
+            least(
+              (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1,
+              (col("n1") + col("n2") + 1) * 2
+                - ((col("off1") + col("off2")) * 2 + col("c1")
+                  + col("c2") + 1)).as("s2"))
+        scored.agg(
+            sum(col("c1").cast(dec38) * col("s2")).as("t1"),
+            sum((col("c1") + col("c2")).cast(dec38) * col("s2")).as("m1"),
+            sum((col("c1") + col("c2")).cast(dec38) * col("s2")
+              * col("s2")).as("m2"))
+          .crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"),
+            (col("t1").cast("double") / 2.0).as("t_ab"),
+            round(
+              ((col("t1").cast("double")
+                - col("n1").cast("double") * col("m1").cast("double")
+                  / (col("n1") + col("n2")).cast("double")) / 2.0)
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * ((col("n1") + col("n2")).cast("double")
+                    * col("m2").cast("double")
+                  - col("m1").cast("double") * col("m1").cast("double"))
+                / ((col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2") - 1).cast("double")) / 4.0),
+              6).as("z_ab"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  COALESCE(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off1,
+                  COALESCE(SUM(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off2
+                FROM census),
+              ns AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2
+                FROM cum),
+              scored AS (
+                SELECT c1, c2,
+                  least((off1 + off2) * 2 + c1 + c2 + 1,
+                    (n1 + n2 + 1) * 2
+                      - ((off1 + off2) * 2 + c1 + c2 + 1)) AS s2
+                FROM cum, ns),
+              agg AS (
+                SELECT SUM(CAST(c1 AS HUGEINT) * s2) AS t1,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * s2) AS m1,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * s2 * s2) AS m2
+                FROM scored)
+              SELECT n1, n2,
+                CAST(t1 AS DOUBLE) / 2.0 AS t_ab,
+                round(
+                  ((CAST(t1 AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE)) / 2.0)
+                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (CAST(n1 + n2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+                      - CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
+                    / (CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 + n2 - 1 AS DOUBLE)) / 4.0), 6) AS z_ab
+              FROM agg, ns""")),
+
     // ── Welch's heteroscedastic one-way ANOVA across priorities ─────────
     // q_anova assumes equal variances; q_levene/q_conover test that
     // assumption — this is what to RUN when it fails: Welch's F* with

@@ -1149,7 +1149,10 @@ class PlanGuardSpec extends SparkSpec {
       // round-9 dispersion batch: persisted base + RangeRank internals
       "q_conover_squared_ranks" -> 0,
       // round-9 closing batch: persisted censuses
-      "q_welch_anova" -> 0, "q_median_ci" -> 0)
+      "q_welch_anova" -> 0, "q_median_ci" -> 0,
+      // round-9 mediation/dispersion pair: the AB census persists, the
+      // mediation moments are one orders+lineitem pass
+      "q_ansari_bradley" -> 0, "q_sobel_mediation" -> 2)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
