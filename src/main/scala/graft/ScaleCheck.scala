@@ -243,7 +243,10 @@ object ScaleCheck {
     "q_product_margin", "q_quade", "q_rank_distance",
     "q_rle_compressibility", "q_sbc_classification", "q_shift_share",
     "q_sql_exists", "q_sql_pivot", "q_sql_setops", "q_sql_window",
-    "q_supplier_trend", "q_tornqvist_index", "q_trigram_hapax")
+    "q_supplier_trend", "q_tornqvist_index", "q_trigram_hapax",
+    // round-9 curation batch: x3 n-gram sweep off one cached tokenized
+    // frame — shingle volume scales with corpus x sweep width
+    "q_contamination_sweep")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

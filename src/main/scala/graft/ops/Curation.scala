@@ -1268,6 +1268,167 @@ object Curation {
               FROM bysrc b, tot t, dims d, nn
               ORDER BY b.source""")),
 
+    // ── Gopher rule battery: named quality gates, per-rule fail census ──
+    // q_quality_score blends signals into one number; production
+    // curation wants the RULE-LEVEL report (Rae et al. 2021's Gopher
+    // filters): which gate kills how many docs per source? Five rules,
+    // every comparison EXACT-INTEGER by clearing denominators (mean
+    // word length ∈ [3,10] ⇔ 3n ≤ chars ≤ 10n; symbol ratio ≤ 10% ⇔
+    // 10·sym ≤ n; alpha share ≥ 80% ⇔ 5·alpha ≥ 4n) — no FP until the
+    // final pass-rate display division. One scan, row-local lambdas,
+    // ≤|sources| output.
+    Q("q_gopher_rules",
+      (s, dir) => {
+        val flags = t(s, dir, "documents")
+          .select(col("source"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("source"),
+            size(col("toks")).cast("long").as("n"),
+            expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+              .as("chars"),
+            expr("CAST(size(filter(toks, x -> x LIKE '%#%' OR " +
+              "x LIKE '%...%')) AS BIGINT)").as("sym"),
+            expr("CAST(size(filter(toks, x -> x rlike '[a-zA-Z]')) " +
+              "AS BIGINT)").as("alpha"),
+            expr("CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', " +
+              "'and'))) AS BIGINT)").as("stop"))
+          .select(col("source"),
+            (col("n") < 50 || col("n") > 100000).as("f_words"),
+            (col("n") > 0 && (col("chars") < col("n") * 3
+              || col("chars") > col("n") * 10)).as("f_mwl"),
+            (col("n") > 0 && col("sym") * 10 > col("n")).as("f_sym"),
+            (col("n") > 0 && col("alpha") * 5 < col("n") * 4)
+              .as("f_alpha"),
+            (col("stop") < 2).as("f_stop"))
+        flags.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("f_words").cast("long")).cast("long")
+              .as("fail_words"),
+            sum(col("f_mwl").cast("long")).cast("long").as("fail_mwl"),
+            sum(col("f_sym").cast("long")).cast("long").as("fail_sym"),
+            sum(col("f_alpha").cast("long")).cast("long")
+              .as("fail_alpha"),
+            sum(col("f_stop").cast("long")).cast("long").as("fail_stop"),
+            sum((!col("f_words") && !col("f_mwl") && !col("f_sym")
+              && !col("f_alpha") && !col("f_stop")).cast("long"))
+              .cast("long").as("n_pass"))
+          .withColumn("pass_rate",
+            col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+                SELECT source,
+                  CAST(len(toks) AS BIGINT) AS n,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS chars,
+                  CAST(len(list_filter(toks, x -> x LIKE '%#%'
+                    OR x LIKE '%...%')) AS BIGINT) AS sym,
+                  CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                    AS alpha,
+                  CAST(len(list_filter(toks, x -> x IN ('the', 'a',
+                    'of', 'and'))) AS BIGINT) AS stop
+                FROM (SELECT source, list_filter(string_split(text, ' '),
+                        x -> x <> '') AS toks
+                      FROM documents)),
+              r AS (
+                SELECT source,
+                  (n < 50 OR n > 100000) AS f_words,
+                  (n > 0 AND (chars < n * 3 OR chars > n * 10)) AS f_mwl,
+                  (n > 0 AND sym * 10 > n) AS f_sym,
+                  (n > 0 AND alpha * 5 < n * 4) AS f_alpha,
+                  (stop < 2) AS f_stop
+                FROM f)
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_words,
+                CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_mwl,
+                CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_sym,
+                CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_alpha,
+                CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_stop,
+                CAST(SUM(CASE WHEN NOT f_words AND NOT f_mwl
+                  AND NOT f_sym AND NOT f_alpha AND NOT f_stop
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                CAST(SUM(CASE WHEN NOT f_words AND NOT f_mwl
+                  AND NOT f_sym AND NOT f_alpha AND NOT f_stop
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS pass_rate
+              FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ── contamination sweep: benchmark overlap rate by n-gram size ──────
+    // Decontamination thresholds are an n-gram-size POLICY (8-gram for
+    // some suites, 13 for others); this measures how the contaminated
+    // share moves across n ∈ {3, 5, 8} against the same held-out bench
+    // slice (doc_id % 50 = 3, q_decontaminate's fixture). One tokenized
+    // pass persists; each n derives its shingles from the cached frame
+    // (3 row-local explodes, zero re-scans), joins the bench shingles
+    // un-hinted on the shingle key, and collapses to ONE row per n.
+    Q("q_contamination_sweep",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .persist()
+        val total = toks.filter(col("doc_id") % 50 =!= 3)
+          .agg(count(lit(1)).cast("long").as("n_corpus"))
+          .localCheckpoint(true)
+        val sweeps = Seq(3, 5, 8).map { n =>
+          val sh = toks.select(col("doc_id"), explode(expr(
+            s"""CASE WHEN size(toks) >= $n THEN array_distinct(
+                 transform(sequence(0, size(toks) - $n),
+                   i -> array_join(slice(toks, i + 1, $n), ' ')))
+               ELSE array() END""")).as("shingle"))
+          val bench = sh.filter(col("doc_id") % 50 === 3)
+            .select(col("shingle")).distinct()
+          sh.filter(col("doc_id") % 50 =!= 3)
+            .join(bench, "shingle")
+            .agg(countDistinct(col("doc_id")).cast("long")
+              .as("n_contaminated"))
+            .select(lit(n.toLong).as("ngram"), col("n_contaminated"))
+        }
+        sweeps.reduce(_ unionByName _)
+          .crossJoin(broadcast(total))
+          .select(col("ngram"), col("n_corpus"), col("n_contaminated"),
+            (col("n_contaminated").cast("double")
+              / col("n_corpus").cast("double")).as("contaminated_rate"))
+          .orderBy("ngram")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              total AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_corpus
+                FROM toks WHERE doc_id % 50 <> 3),
+              sweep AS (
+                SELECT n.n AS ngram, t.doc_id,
+                  unnest(CASE WHEN len(t.toks) >= n.n THEN list_distinct(
+                    [array_to_string(t.toks[i:i+n.n-1], ' ')
+                     for i in generate_series(1, len(t.toks) - n.n + 1)])
+                  ELSE [] END) AS shingle
+                FROM toks t, (VALUES (3), (5), (8)) AS n(n)),
+              hits AS (
+                SELECT s.ngram,
+                  CAST(COUNT(DISTINCT s.doc_id) AS BIGINT)
+                    AS n_contaminated
+                FROM sweep s
+                JOIN (SELECT DISTINCT ngram, shingle FROM sweep
+                      WHERE doc_id % 50 = 3) b
+                  ON s.ngram = b.ngram AND s.shingle = b.shingle
+                WHERE s.doc_id % 50 <> 3
+                GROUP BY 1)
+              SELECT CAST(g.n AS BIGINT) AS ngram, t.n_corpus,
+                COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                  / CAST(t.n_corpus AS DOUBLE) AS contaminated_rate
+              FROM (VALUES (3), (5), (8)) AS g(n)
+                LEFT JOIN hits h ON g.n = h.ngram, total t
+              ORDER BY 1""")),
+
     // ── G-test (log-likelihood ratio) of source×lang independence ───────
     // The likelihood-ratio twin of q_chi2 — G = 2·Σ O·ln(O/E) is what
     // chi² approximates, and the better-behaved statistic at small

@@ -1152,7 +1152,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_welch_anova" -> 0, "q_median_ci" -> 0,
       // round-9 mediation/dispersion pair: the AB census persists, the
       // mediation moments are one orders+lineitem pass
-      "q_ansari_bradley" -> 0, "q_sobel_mediation" -> 2)
+      "q_ansari_bradley" -> 0, "q_sobel_mediation" -> 2,
+      // round-9 curation pair: single rule chain / cached token frame
+      "q_gopher_rules" -> 1, "q_contamination_sweep" -> 0)
     for ((q, budget) <- budgets) {
       val scans = parquetScans(q)
       assert(scans <= budget,
