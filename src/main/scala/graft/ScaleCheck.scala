@@ -246,7 +246,9 @@ object ScaleCheck {
     "q_supplier_trend", "q_tornqvist_index", "q_trigram_hapax",
     // round-9 curation batch: x3 n-gram sweep off one cached tokenized
     // frame — shingle volume scales with corpus x sweep width
-    "q_contamination_sweep")
+    "q_contamination_sweep",
+    // round-9 final-battery straggler: pooled rank census + scores
+    "q_ansari_bradley")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
