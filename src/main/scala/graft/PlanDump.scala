@@ -270,15 +270,26 @@ object PlanDump {
       Some(new String(java.nio.file.Files.readAllBytes(
         Paths.get("PLANS.md"))))
     } catch { case _: Throwable => None }
-    val census = live.flatMap { cur =>
+    // fail LOUDLY when a live PLANS.md exists but a splice marker is
+    // missing — a silent fallback would revert the census table to the
+    // baked-in round-5 snapshot / drop the hand-maintained tail, the
+    // exact silent-revert failure this splice was written to prevent
+    def markerGone(which: String): Nothing =
+      sys.error(s"PLANS.md exists but splice marker '$which' not found — " +
+        "refusing to regenerate over a reworded live file; restore the " +
+        "marker (or delete PLANS.md to rebuild from the baked-in snapshot)")
+    val census = live.map { cur =>
       val st = cur.indexOf("## Census-reuse audit")
+      if (st < 0) markerGone("## Census-reuse audit")
       val en = cur.indexOf("\n## q_", st)
-      if (st >= 0 && en > st) Some(cur.substring(st, en)) else None
+      if (en < st) markerGone("\\n## q_ (census table end)")
+      cur.substring(st, en)
     }.getOrElse(censusAudit)
     sb.append(census)
-    val tail = live.flatMap { cur =>
+    val tail = live.map { cur =>
       val st = cur.indexOf("\n## Shared basket pair-core artifact")
-      if (st >= 0) Some(cur.substring(st + 1)) else None
+      if (st < 0) markerGone("\\n## Shared basket pair-core artifact")
+      cur.substring(st + 1)
     }
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -52,11 +52,18 @@ object Artifacts {
     * mutable path include this in the name so a second session over the
     * same dir builds its OWN artifact instead of `mode(overwrite)`-
     * dropping the one the first session may be reading mid-query.
+    * Weak-keyed so a stopped session (and everything it pins) stays
+    * collectable in a session-churning JVM — the tag only needs to be
+    * stable while the session is alive, which weak identity keys give.
     */
-  def sessionTag(s: SparkSession): String =
-    "s" + sessionIds.computeIfAbsent(s, _ => sessionSeq.incrementAndGet())
+  def sessionTag(s: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) { id = sessionSeq.incrementAndGet(); sessionIds.put(s, id) }
+    "s" + id
+  }
 
-  private val sessionIds = new ConcurrentHashMap[SparkSession, java.lang.Long]()
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]()
   private val sessionSeq = new java.util.concurrent.atomic.AtomicLong()
 
   // every artifact memo in the engine registers here (with its release

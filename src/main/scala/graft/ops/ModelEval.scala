@@ -3994,7 +3994,7 @@ object ModelEval {
               - round((col("d1") + col("d0")).cast("double")
                 * col("n1").cast("double") / col("nr").cast("double"),
                 9))).as("wdiff"),
-            ((col("nr") * col("nr")).cast("double")
+            ((col("nr").cast("double") * col("nr").cast("double"))
               * round((col("d1") + col("d0")).cast("double")
                 * (col("n1").cast("double") / col("nr").cast("double"))
                 * (lit(1.0) - col("n1").cast("double")
@@ -4051,7 +4051,7 @@ object ModelEval {
                     - round(CAST(d1 + d0 AS DOUBLE)
                       * CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE), 9))
                     AS wdiff,
-                  CAST(nr * nr AS DOUBLE)
+                  CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
                     * round(CAST(d1 + d0 AS DOUBLE)
                       * (CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))
                       * (1.0 - CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))

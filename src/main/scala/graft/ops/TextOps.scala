@@ -2830,10 +2830,12 @@ object TextOps {
     // over ≤10 rows per source.
     Q("q_err_ranking",
       (s, dir) => {
+        // relevance is re-derived from t.id AFTER the top-k pick (the
+        // bounded heap only carries (id, score)) — deriving it here too
+        // would be dead weight through the groupBy and a second site to
+        // drift from the in-projection formula
         val base = t(s, dir, "documents")
-          .select(col("source"), col("doc_id"), col("n_chars"),
-            expr("pmod(((doc_id % 2147483648) * 2654435761) div 65536, 4) + 1")
-              .as("rel"))
+          .select(col("source"), col("doc_id"), col("n_chars"))
         val top = base.groupBy("source")
           .agg(expr("graft_topk(doc_id, CAST(n_chars AS DOUBLE), 10)")
             .as("topk"))
