@@ -23,7 +23,23 @@ object Tables {
     * TimestampType — the session zone is pinned to UTC, so NTZ→LTZ is a
     * relabel with identical micros values and oracle hashes are unchanged.
     */
+  /** Analyzed-plan memo: `spark.read.parquet` re-lists the directory
+    * and re-reads the footer for schema inference on EVERY call, and a
+    * 556-query battery calls load ~2000 times over the same ten
+    * immutable files. The memoized DataFrame is just the analyzed
+    * logical plan — immutable, cache-independent (clearCache does not
+    * touch it), and exactly what a catalog serves at scale instead of
+    * per-query file listings. Registered with [[graft.ops.Artifacts]]
+    * so `invalidate(dir)` drops the keys when a caller mutates a dir.
+    */
+  private val loaded =
+    graft.ops.Artifacts.memo[DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loaded.computeIfAbsent((spark, s"$sfDir#$name"),
+      _ => load0(spark, sfDir, name))
+
+  private def load0(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -104,7 +104,9 @@ object Artifacts {
       val it = r.map.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey._2 == dir) {
+        // exact dir keys, plus "dir#sub" keys (per-table loader memos
+        // key one entry per table under the dir)
+        if (e.getKey._2 == dir || e.getKey._2.startsWith(dir + "#")) {
           val k = e.getKey
           val v = e.getValue
           it.remove()
