@@ -617,21 +617,51 @@ object VectorOps {
               FROM sim GROUP BY 1 ORDER BY label""")),
 
     // ── top principal direction by exact-integer power iteration ─────────
-    // (oracle-exempt: 5 rounds of matrix-free XᵀXv are not SQL-shaped;
-    // PowerIterationSpec asserts convergence — cos(v₅, v₆) ≈ 1 and a
-    // non-decreasing Rayleigh quotient — and DeterminismSpec pins
-    // byte-stability.) The PCA primitive an embedding-health check
-    // runs: the dominant direction of the (uncentered) second-moment
-    // matrix. Matrix-FREE: each round is ONE corpus aggregation of
-    // x·(x·v) with v broadcast as a literal — X never shuffles and the
-    // 64×64 Gram matrix never materializes. Bit-determinism comes from
-    // the INTEGER domain: embeddings quantize to a 10⁶ grid once, every
-    // dot/outer product is exact in int64/DECIMAL(38,0), and the
-    // per-round renormalization is integer division on the driver
-    // (5 × 64-value collects — iteration control, the BPE-loop class).
+    // The PCA primitive an embedding-health check runs: the dominant
+    // direction of the (uncentered) second-moment matrix. Matrix-FREE:
+    // each round is ONE corpus aggregation of x·(x·v) with v broadcast
+    // as a literal — X never shuffles and the 64×64 Gram matrix never
+    // materializes. Bit-determinism comes from the INTEGER domain:
+    // embeddings quantize to a 10⁶ grid once, every dot/outer product
+    // is exact in int64/DECIMAL(38,0), and the per-round
+    // renormalization is integer division on the driver (5 × 64-value
+    // collects — iteration control, the BPE-loop class). Hash-oracled
+    // via the BPE technique: the loop is 5 EXACT-integer rounds, so
+    // DuckDB replays them as generated d/y/m/v CTE chains in HUGEINT —
+    // `//` truncates toward zero exactly like BigInt division, and the
+    // Rayleigh readout is the same quotient+remainder double assembly
+    // as the engine. PowerIterationSpec retains the convergence
+    // semantics (cos(v₅, v₆) ≈ 1, non-decreasing Rayleigh).
     Q("q_power_iteration",
       (s, dir) => powerIterate(s, dir, rounds = 5),
-      None),
+      Some {
+        def rnd(r: Int): String = s"""
+              d$r AS (SELECT qv, (SELECT sum(q.qv[t.i] * v.v)
+                        FROM generate_series(1, 64) t(i)
+                        JOIN v${r - 1} v ON v.j = t.i - 1) AS d
+                      FROM q),
+              y$r AS (SELECT t.i - 1 AS j,
+                        sum(CAST(d.qv[t.i] AS HUGEINT)
+                          * CAST(d.d AS HUGEINT)) AS y
+                      FROM d$r d, generate_series(1, 64) t(i) GROUP BY 1),
+              m$r AS (SELECT greatest(max(abs(y)), 1) AS m FROM y$r),
+              v$r AS (SELECT j, (y * 1000000) // m AS v FROM y$r, m$r)"""
+        s"""WITH q AS (
+              SELECT list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                AS qv
+              FROM embeddings),
+            v0 AS (SELECT g.i - 1 AS j, CAST(1000000 AS HUGEINT) AS v
+                   FROM generate_series(1, 64) g(i)),
+            ${(1 to 5).map(rnd).mkString(",")},
+            ray AS (SELECT sum(v.v * y.y) AS num, sum(v.v * v.v) AS den
+                    FROM v4 v JOIN y5 y ON v.j = y.j)
+            SELECT CAST(v5.j AS BIGINT) AS component,
+              CAST(v5.v AS BIGINT) AS v,
+              CAST(num // den AS DOUBLE)
+                + CAST(num % den AS DOUBLE) / CAST(den AS DOUBLE) AS rayleigh
+            FROM v5, ray ORDER BY component"""
+      }),
 
     // ── per-label centroid drift vs the global centroid ──────────────────
     // (oracle-exempt: 64-dim decimal component means are not reasonably
@@ -841,7 +871,7 @@ object VectorOps {
               FROM sf JOIN st ON sf.probe_id = st.probe_id
               ORDER BY sf.probe_id""")),
 
-    // ── MMR diversity re-ranking (oracle-exempt: greedy engine loop) ────
+    // ── MMR diversity re-ranking ────────────────────────────────────────
     // The retrieval-stage re-ranker RAG stacks need: from the top-20
     // cosine candidates of one probe, greedily select 5 maximizing
     // λ·relevance − (1−λ)·max-sim-to-selected (λ = 0.7). The candidate
@@ -850,6 +880,12 @@ object VectorOps {
     // an anti-join + max-sim join + (score DESC, id) argmax — driver
     // code is loop control only, never data. MmrRerankSpec replays the
     // greedy reference on the collected pool and pins the sequence.
+    // Hash-oracled via the BPE technique (r9): the greedy loop has a
+    // FIXED round count, so DuckDB replays it as 4 generated pick/sel
+    // CTE pairs — every score is the same IEEE double on both sides
+    // (ascending-index dot folds, one sqrt, one division, the identical
+    // 0.7·rel − 0.3·maxsim expression), so selection comparisons can
+    // never diverge; ties break on vec_id in both engines.
     Q("q_mmr_rerank",
       (s, dir) => {
         GraftExtensions.ensureRegistered(s)
@@ -898,7 +934,43 @@ object VectorOps {
             round(col("rel"), 6).as("relevance"))
           .orderBy("rank")
       },
-      None),
+      Some {
+        def pick(r: Int): String = s"""
+              pick$r AS (
+                SELECT c.vec_id, c.rel, CAST($r AS BIGINT) AS rank
+                FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+                ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+                    - CAST(0.3 AS DOUBLE) * (
+                      SELECT max(s.sim) FROM sims s
+                      WHERE s.a = c.vec_id
+                        AND s.b IN (SELECT vec_id FROM sel${r - 1})) DESC,
+                  c.vec_id
+                LIMIT 1),
+              sel$r AS (SELECT * FROM sel${r - 1}
+                        UNION ALL SELECT * FROM pick$r)"""
+        s"""WITH e AS (
+              SELECT vec_id, embedding,
+                ${duckDot("embedding", "embedding")} AS n2
+              FROM embeddings),
+            e2 AS (SELECT * FROM e WHERE n2 > 0),
+            p AS (SELECT embedding AS pf, n2 AS pn2 FROM e2 WHERE vec_id = 0),
+            c AS (
+              SELECT e2.vec_id, e2.embedding, e2.n2,
+                ${duckDot("p.pf", "e2.embedding")} / sqrt(p.pn2 * e2.n2) AS rel
+              FROM e2, p WHERE e2.vec_id <> 0
+              ORDER BY rel DESC, e2.vec_id LIMIT 20),
+            sims AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                ${duckDot("x.embedding", "y.embedding")}
+                  / sqrt(x.n2 * y.n2) AS sim
+              FROM c x, c y WHERE x.vec_id <> y.vec_id),
+            sel1 AS (
+              SELECT vec_id, rel, CAST(1 AS BIGINT) AS rank FROM c
+              ORDER BY rel DESC, vec_id LIMIT 1),
+            ${(2 to 5).map(pick).mkString(",")}
+            SELECT rank, vec_id, round(rel, 6) AS relevance
+            FROM sel5 ORDER BY rank"""
+      }),
 
     // ── ColBERT-style MaxSim late interaction (4×16-dim sub-vectors) ────
     // Late-interaction retrieval: treat each 64-dim embedding as FOUR
@@ -988,8 +1060,13 @@ object VectorOps {
   def powerIterate(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val q = t(s, dir, "embeddings")
+      // the float→double widening is EXPLICIT: a float-domain multiply
+      // moves ~0.4% of elements across the rounding boundary (DuckDB
+      // multiplies FLOAT[] elements in float; Spark widens) — pin both
+      // engines to round(double(x) · 10⁶)
       .select(expr(
-        "transform(embedding, x -> cast(round(x * 1000000) as long))")
+        """transform(embedding,
+           x -> cast(round(cast(x as double) * 1000000.0d) as long))""")
         .as("q"))
       .persist()
     var v: IndexedSeq[BigInt] = IndexedSeq.fill(64)(BigInt(1000000))
@@ -1008,10 +1085,18 @@ object VectorOps {
       val rowsY = y.collect().map(r =>
         r.getAs[Int]("j") -> BigInt(r.getAs[java.math.BigDecimal]("y")
           .toBigInteger)).sortBy(_._1).map(_._2).toIndexedSeq
-      // exact integer Rayleigh quotient (v·y)/(v·v), one double division
+      // exact integer Rayleigh quotient (v·y)/(v·v), assembled as
+      // quotient + remainder/denominator: qint < 2⁵³ and rem < den ≤
+      // 64·10¹² are both EXACT in double, so the assembly is one
+      // correctly-rounded division on both engines — a direct
+      // big-integer→double cast of the 10²⁴-scale num is not
+      // guaranteed correctly rounded in DuckDB (hugeint composes from
+      // two 64-bit halves), which would put the oracle a ULP off.
+      // num ≥ 0 always: v·y = vᵀXᵀXv = |Xv|² in exact arithmetic.
       val num = v.zip(rowsY).map { case (a, b) => a * b }.sum
       val den = v.map(a => a * a).sum
-      rayleigh = (BigDecimal(num) / BigDecimal(den)).toDouble
+      val qint = num / den
+      rayleigh = qint.toDouble + (num - qint * den).toDouble / den.toDouble
       // renormalize to the ±10⁶ grid by exact integer division
       val m = rowsY.map(_.abs).max max BigInt(1)
       v = rowsY.map(x => x * 1000000 / m)
