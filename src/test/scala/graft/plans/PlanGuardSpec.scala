@@ -971,6 +971,23 @@ class PlanGuardSpec extends SparkSpec {
       "returnflag filter not pushed into the lineitem scan")
   }
 
+  test("q_sql_exists_agg: EXISTS-with-aggregate decorrelates to an " +
+      "aggregate + equi semi join — no nested loop") {
+    // the r10 text-in gate widening: EXISTS over a correlated scalar
+    // aggregate with HAVING is the raw-SQL shape nearest the q_sql_asof
+    // failure class. The correlation is equi (l_orderkey = o_orderkey),
+    // so the executed plan must be an aggregate feeding a hash/merge
+    // semi join — never a BroadcastNestedLoopJoin/CartesianProduct
+    val plan = qe("q_sql_exists_agg").executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop")
+      && !plan.contains("CartesianProduct"),
+      s"EXISTS-with-aggregate degraded to a nested-loop shape:\n${plan.take(2000)}")
+    assert(plan.contains("LeftSemi"),
+      "EXISTS-with-aggregate lost its semi join")
+    assert(plan.contains("HashAggregate"),
+      "the correlated SUM did not decorrelate into an aggregate")
+  }
+
   test("q_sql_asof: the as-of join is equi-keyed — no nested-loop, no " +
       "domain join") {
     // the round-9 scale-killer class: Catalyst decorrelated the original
