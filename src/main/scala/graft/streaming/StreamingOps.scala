@@ -65,9 +65,50 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
       .select(col("user_id"), col("sw.start").as("sess_start"),
-        col("sw.end").as("sess_end"), col("n_events"))
+        col("sw.end").as("sess_end"), col("n_events"),
+        col("last_ts"), col("sum_dec"))
+
+  /** Finish the drained [[sessionWindows]] state to EXACTLY the batch
+    * q_sessionize output: per-user sess_id by session start (sessions
+    * are disjoint per user, so rank-by-start reproduces the lag+cumsum
+    * numbering), sess_end = last event ts (session_window's own `end`
+    * is last + gap), DECIMAL value sum surfaced as double. Equality is
+    * bit-for-bit PROVIDED no inter-event gap is exactly 30 min (the
+    * built-in starts a new session at gap ≥ gap-duration, the lag
+    * formulation at gap > it); StreamingSpec asserts that precondition
+    * on the data before asserting the twin.
+    */
+  def sessionizeFinish(sessions: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sess_start")
+    sessions
+      .withColumn("sess_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("sess_id"), col("sess_start"),
+        col("last_ts").as("sess_end"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_val"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Finish the SAME drained session state to the batch q_session_stats
+    * duration-bucket census (one live state, two readouts — the
+    * rolling-median/pinball discipline): all-integer durations and
+    * counts, so drain ≡ batch at any trigger.
+    */
+  def sessionStatsFinish(sessions: DataFrame): DataFrame =
+    sessions
+      .select(col("n_events"),
+        expr("(unix_micros(last_ts) - unix_micros(sess_start)) div 1000000")
+          .as("dur_s"))
+      .groupBy(length(bin(greatest(col("dur_s"), lit(1L)))).cast("long")
+        .as("dur_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        min(col("dur_s")).as("min_dur_s"),
+        max(col("dur_s")).as("max_dur_s"))
+      .orderBy("dur_bucket")
 
   /** Exact in-stream dedup by event_id, state bounded by the watermark. */
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =

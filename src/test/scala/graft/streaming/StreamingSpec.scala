@@ -81,6 +81,39 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow === viaLag)
   }
 
+  test("drained session state finishes to batch q_sessionize AND " +
+      "q_session_stats exactly") {
+    // r9 verdict item 7: the session family's drained-Complete twin.
+    // Precondition that makes the gap-boundary semantics coincide: the
+    // built-in session_window opens a new session at gap ≥ 30 min, the
+    // batch lag+cumsum at gap > 30 min — assert no inter-event gap is
+    // EXACTLY 30 min, so the two carve identical sessions.
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val boundary = batchEvents
+      .withColumn("gap", unix_micros(col("ts"))
+        - lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap") === 1800L * 1000000L).count()
+    assert(boundary === 0L,
+      s"$boundary exact-30-min gaps — twin precondition does not hold")
+
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.sessionWindows(StreamingOps.readEventStream(spark, batchDir)),
+      "t_sessfin", OutputMode.Complete())
+    val drained = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val sessS = rows(StreamingOps.sessionizeFinish(drained))
+    val sessB = rows(SparkEntry.queries("q_sessionize")(spark, sfDir))
+    assert(sessB.nonEmpty && sessS === sessB,
+      "drained session state diverged from batch q_sessionize")
+    val statsS = rows(StreamingOps.sessionStatsFinish(drained))
+    val statsB = rows(SparkEntry.queries("q_session_stats")(spark, sfDir))
+    assert(statsB.nonEmpty && statsS === statsB,
+      "drained session state diverged from batch q_session_stats")
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late").toString
