@@ -248,7 +248,9 @@ object ScaleCheck {
     // frame — shingle volume scales with corpus x sweep width
     "q_contamination_sweep",
     // round-9 final-battery straggler: pooled rank census + scores
-    "q_ansari_bradley")
+    "q_ansari_bradley",
+    // round-10 SQL-gate widening: the ≥1 s text-in member
+    "q_sql_exists_agg")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
