@@ -145,6 +145,90 @@ object Approx {
                 JOIN sz zb ON tb = zb.event_type
               ORDER BY ta, tb""")),
 
+    // ── count-min sketch heavy-token estimates, exact error readout ──────
+    // The third sketch family (HLL = distinct, Misra-Gries = candidates,
+    // CMS = frequencies): a d=4 × w=1024 count-min sketch expressed
+    // RELATIONALLY — each row r hashes every token into w buckets and
+    // the (r, bucket) cell mass is a plain partial+final SUM, so the
+    // sketch is mergeable across partitions/streams by construction and
+    // costs 4·w longs no matter the corpus. est(t) = min_r cell_r(t) ≥
+    // true count always. Built from the exact token census, which CMS's
+    // count-additivity makes byte-identical to sketching the raw stream
+    // (the HLL shared-projection trick, additive version) — so the
+    // corpus is scanned once and the whole query, estimates INCLUDED,
+    // is deterministic exact-integer arithmetic the oracle replays:
+    // the portable polynomial char hash and the 4 pinned affine row
+    // hashes compute identically in both engines. Output: the top-10
+    // tokens by exact count with their CMS estimate and overcount —
+    // the sketch-accuracy readout a 100-TB pipeline monitors before
+    // trusting CMS-gated filters.
+    Q("q_cms_topk",
+      (s, dir) => {
+        val P = 1000000007L
+        val counts = t(s, dir, "documents")
+          .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .withColumn("h", expr(
+            s"""aggregate(filter(split(token, ''), ch -> ch <> ''),
+                0L, (acc, ch) -> (acc * 31 + ascii(ch)) % ${P}L"""
+              + ")"))
+          .persist()
+        val params = array(
+          struct(lit(0).as("r"), lit(31L).as("a"), lit(7L).as("b")),
+          struct(lit(1).as("r"), lit(131L).as("a"), lit(911L).as("b")),
+          struct(lit(2).as("r"), lit(8191L).as("a"), lit(3571L).as("b")),
+          struct(lit(3).as("r"), lit(524287L).as("a"), lit(1231L).as("b")))
+        val rb = counts
+          .select(col("token"), col("cnt"), col("h"),
+            explode(params).as("pp"))
+          .select(col("token"), col("cnt"), col("pp.r").as("r"),
+            (((col("h") * col("pp.a") + col("pp.b")) % P) % 1024)
+              .as("bucket"))
+        val cells = rb.groupBy("r", "bucket")
+          .agg(sum(col("cnt")).cast("long").as("mass"))
+        rb.join(broadcast(cells), Seq("r", "bucket"))
+          .groupBy("token", "cnt")
+          .agg(min(col("mass")).as("cms_est"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(10)
+          .select(col("token"), col("cnt"), col("cms_est"),
+            (col("cms_est") - col("cnt")).as("overcount"))
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents),
+              counts AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks WHERE token <> '' GROUP BY 1),
+              h AS (
+                SELECT token, cnt,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(token, ''),
+                      ch -> CAST(ascii(ch) AS BIGINT))),
+                    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
+                FROM counts),
+              params(r, a, b) AS (VALUES
+                (0, 31, 7), (1, 131, 911),
+                (2, 8191, 3571), (3, 524287, 1231)),
+              rb AS (
+                SELECT h.token, h.cnt, p.r,
+                  ((h.h * p.a + p.b) % 1000000007) % 1024 AS bucket
+                FROM h, params p),
+              cells AS (
+                SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS mass
+                FROM rb GROUP BY 1, 2),
+              est AS (
+                SELECT rb.token, rb.cnt, MIN(c.mass) AS cms_est
+                FROM rb JOIN cells c
+                  ON rb.r = c.r AND rb.bucket = c.bucket
+                GROUP BY 1, 2
+                ORDER BY rb.cnt DESC, rb.token LIMIT 10)
+              SELECT token, cnt, CAST(cms_est AS BIGINT) AS cms_est,
+                CAST(cms_est - cnt AS BIGINT) AS overcount
+              FROM est ORDER BY cnt DESC, token""")),
+
     Q("q_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")

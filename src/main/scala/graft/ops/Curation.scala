@@ -183,8 +183,27 @@ object Curation {
     * sized; the corpus-sized work all happened in [[ksCounts]].
     */
   def ksFinish(counts0: DataFrame): DataFrame = {
-    // persist: same four-consumer census as [[tvdFinish]] — the scalar-n
-    // action materializes it, so the corpus is scanned exactly once.
+    val (gaps, n) = ecdfGaps(counts0)
+    gaps
+      .select(col("source"), col("n_src"), abs(col("g")).as("dnum"))
+      .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+      .agg(max(col("dnum")).cast("long").as("d_num"))
+      .select(col("source"), col("n_src"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_src") * (lit(n) - col("n_src"))).cast("double"))
+          .as("ks"))
+      .orderBy("source")
+  }
+
+  /** Shared source-vs-rest ECDF machinery of the KS and Kuiper drift
+    * lenses: the SIGNED common-denominator ECDF gap per (source, v),
+    * g_v = cum_src·(N−n_s) − cum_rest·n_s, over the dense
+    * source × value grid — exact integers end to end. Returns the gap
+    * frame plus the corpus total N (the scalar action that also
+    * materializes the persisted census, so the corpus is scanned
+    * exactly once per drift query — the [[tvdFinish]] discipline).
+    */
+  private def ecdfGaps(counts0: DataFrame): (DataFrame, Long) = {
     val counts = counts0.select(col("source"), col("v"),
       col("c").cast("long").as("c")).persist()
     val n = counts.agg(sum(col("c")).cast("long")).head.getLong(0)
@@ -197,22 +216,15 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = counts.groupBy("v").agg(sum(col("c")).as("cv"))
       .select(col("v"), sum(col("cv")).over(totW).as("cum_all"))
-    grid.join(counts, Seq("source", "v"), "left")
+    val gaps = grid.join(counts, Seq("source", "v"), "left")
       .select(col("source"), col("v"),
         sum(coalesce(col("c"), lit(0L))).over(w).as("cum_src"))
       .join(tot, "v")
       .join(perSrc, "source")
       .select(col("source"), col("n_src"),
-        abs(col("cum_src") * (lit(n) - col("n_src"))
-          - (col("cum_all") - col("cum_src")) * col("n_src"))
-          .as("dnum"))
-      .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
-      .agg(max(col("dnum")).cast("long").as("d_num"))
-      .select(col("source"), col("n_src"), col("d_num"),
-        (col("d_num").cast("double")
-          / (col("n_src") * (lit(n) - col("n_src"))).cast("double"))
-          .as("ks"))
-      .orderBy("source")
+        (col("cum_src") * (lit(n) - col("n_src"))
+          - (col("cum_all") - col("cum_src")) * col("n_src")).as("g"))
+    (gaps, n)
   }
 
   /** Finishing arithmetic of q_chi2 over the same mergeable
@@ -991,6 +1003,70 @@ object Curation {
                 JOIN ns ON cu.source = ns.source, nn
               GROUP BY 1, 2, nn.n
               ORDER BY cu.source""")),
+
+    // ── per-source Kuiper drift: both-tails ECDF divergence ─────────────
+    // The fifth drift lens: Kuiper's V = D⁺ + D⁻ sums the largest
+    // ABOVE-gap and the largest BELOW-gap separately, so a source that
+    // is light in one tail and heavy in the other scores their SUM —
+    // divergences KS's single sup|gap| lets partially cancel when they
+    // sit at different value quantiles (and the statistic every
+    // cyclic/quantile-shift drift monitor prefers). Same exact-integer
+    // common-denominator gap frame as q_ks_drift ([[ecdfGaps]] — one
+    // corpus scan into the persisted census, everything after
+    // catalog-bounded); D⁺/D⁻ clamp at 0 because the sup over the
+    // extended value axis includes the zero endpoints. One IEEE
+    // division per source.
+    Q("q_kuiper_drift",
+      (s, dir) => {
+        val (gaps, n) = ecdfGaps(ksCounts(t(s, dir, "documents")))
+        gaps
+          .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+          .agg(greatest(max(col("g")), lit(0L)).as("dp"),
+            greatest(max(-col("g")), lit(0L)).as("dm"))
+          .select(col("source"), col("n_src"),
+            (col("dp") + col("dm")).cast("long").as("v_num"),
+            ((col("dp") + col("dm")).cast("double")
+              / (col("n_src") * (lit(n) - col("n_src"))).cast("double"))
+              .as("kuiper_v"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+                SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2),
+              grid AS (
+                SELECT s.source, vv.v
+                FROM (SELECT DISTINCT source FROM counts) s,
+                  (SELECT DISTINCT v FROM counts) vv),
+              cums AS (
+                SELECT g.source, g.v,
+                  SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+                    ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum_src
+                FROM grid g LEFT JOIN counts c
+                  ON g.source = c.source AND g.v = c.v),
+              tot AS (
+                SELECT v, SUM(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cum_all
+                FROM (SELECT v, SUM(c) AS cv FROM counts GROUP BY 1)),
+              ns AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+                FROM documents GROUP BY 1),
+              nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+              gaps AS (
+                SELECT cu.source, ns.n_src,
+                  cu.cum_src * (nn.n - ns.n_src)
+                    - (t.cum_all - cu.cum_src) * ns.n_src AS g
+                FROM cums cu JOIN tot t ON cu.v = t.v
+                  JOIN ns ON cu.source = ns.source, nn)
+              SELECT g.source, g.n_src,
+                CAST(GREATEST(MAX(g.g), 0) + GREATEST(MAX(-g.g), 0)
+                  AS BIGINT) AS v_num,
+                CAST(GREATEST(MAX(g.g), 0) + GREATEST(MAX(-g.g), 0)
+                  AS DOUBLE)
+                  / CAST(g.n_src * (nn.n - g.n_src) AS DOUBLE) AS kuiper_v
+              FROM gaps g, nn
+              GROUP BY g.source, g.n_src, nn.n
+              ORDER BY g.source""")),
 
     // ── per-source CATEGORICAL drift: exact total-variation distance ─────
     // The categorical sibling of q_ks_drift (which needs an ordered

@@ -3405,6 +3405,107 @@ object ModelEval {
                   6) AS df2
               FROM folds f, xb""")),
 
+    // ── Bartlett's variance-homogeneity test across priorities ──────────
+    // The normal-theory counterpart of q_levene (which is the robust
+    // lens): T = Σᵢ(nᵢ−1)·ln(s_p²/sᵢ²) / C with the pooled s_p² and
+    // C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)) — the ANOVA-precondition
+    // check a dashboard runs BEFORE trusting q_anova's F. Cross-engine
+    // discipline: group variances come from exact DECIMAL(38,0) moment
+    // sums (the covar_samp trap) so both engines hold identical
+    // doubles; the only libm is ln of the O(1) ratio s_p²/sᵢ²
+    // (rounded to 12 — safe at |x| ≲ 1), every Σ over the ≤k groups is
+    // a priority-pinned fold, and C is assembled from exact counts.
+    // Scale: one orders scan → k-row census; everything after is
+    // census arithmetic.
+    Q("q_bartlett",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val g = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("p"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("c"))
+          .groupBy("p")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("c").cast(dec38)).as("s1"),
+            sum(col("c").cast(dec38) * col("c")).as("s2"))
+          .select(col("p"), col("n"),
+            ((col("n").cast(dec38) * col("s2") - col("s1") * col("s1"))
+              .cast("double")
+              / (col("n").cast(dec38) * (col("n") - 1)).cast("double"))
+              .as("v"))
+          .persist()
+        val t1 = g.select(col("p"), col("n"), col("v"),
+          ((col("n") - 1).cast("double") * col("v")).as("nv"),
+          (lit(1.0) / (col("n") - 1).cast("double")).as("invdf"))
+        val k2 = t1.agg(
+          count(lit(1)).cast("long").as("k"),
+          sum(col("n")).cast("long").as("nn"),
+          expr("""aggregate(array_sort(collect_list(struct(p, nv))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.nv)""").as("snv"),
+          expr("""aggregate(array_sort(collect_list(struct(p, invdf))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.invdf)""").as("sinv"))
+          .withColumn("sp2",
+            col("snv") / (col("nn") - col("k")).cast("double"))
+          .withColumn("cfac", lit(1.0)
+            + (col("sinv") - lit(1.0) / (col("nn") - col("k")).cast("double"))
+              / (lit(3.0) * (col("k") - 1).cast("double")))
+          .localCheckpoint(true)
+        val lts = g.crossJoin(broadcast(k2))
+          .select(col("p"),
+            ((col("n") - 1).cast("double")
+              * round(log(col("sp2") / col("v")), 12)).as("lt"))
+        lts.agg(
+            expr("""aggregate(array_sort(collect_list(struct(p, lt))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.lt)""").as("slt"))
+          .crossJoin(broadcast(k2.select("k", "cfac")))
+          .select(col("k"), (col("k") - 1).cast("long").as("df"),
+            round(col("slt") / col("cfac"), 6).as("bartlett_t"),
+            round(col("cfac"), 6).as("c_factor"))
+      },
+      Some("""WITH g AS (
+                SELECT o_orderpriority AS p,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s1,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS s2
+                FROM orders GROUP BY 1),
+              m AS (
+                SELECT p, n,
+                  CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS v
+                FROM g),
+              t1 AS (
+                SELECT p, n, v, CAST(n - 1 AS DOUBLE) * v AS nv,
+                  1.0 / CAST(n - 1 AS DOUBLE) AS invdf
+                FROM m),
+              k2 AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(SUM(n) AS BIGINT) AS nn,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(nv ORDER BY p)), (a, x) -> a + x) AS snv,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(invdf ORDER BY p)), (a, x) -> a + x) AS sinv
+                FROM t1),
+              s AS (
+                SELECT k, nn, snv / CAST(nn - k AS DOUBLE) AS sp2,
+                  1.0 + (sinv - 1.0 / CAST(nn - k AS DOUBLE))
+                    / (3.0 * CAST(k - 1 AS DOUBLE)) AS cfac
+                FROM k2),
+              lts AS (
+                SELECT m.p, CAST(m.n - 1 AS DOUBLE)
+                  * round(ln(s.sp2 / m.v), 12) AS lt
+                FROM m, s),
+              f AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(lt ORDER BY p)), (a, x) -> a + x) AS slt
+                FROM lts)
+              SELECT s.k, CAST(s.k - 1 AS BIGINT) AS df,
+                round(f.slt / s.cfac, 6) AS bartlett_t,
+                round(s.cfac, 6) AS c_factor
+              FROM f, s""")),
+
     // ── TOST equivalence test: urgent vs rest order values ──────────────
     // The inverted question every A/B readout here asks the wrong way
     // around: not "is there a difference" but "are the means
