@@ -229,6 +229,81 @@ object Approx {
                 CAST(cms_est - cnt AS BIGINT) AS overcount
               FROM est ORDER BY cnt DESC, token""")),
 
+    // ── KMV bottom-k distinct sketch, estimate hash-gated ───────────────
+    // The fourth sketch family (HLL = distinct-bits, Misra-Gries =
+    // candidates, CMS = frequencies, KMV = distinct-order-statistics):
+    // keep the k = 256 smallest hash values of the token vocabulary;
+    // D̂ = (k−1)·P / h₍ₖ₎ estimates the distinct count from how densely
+    // the bottom of the hash range fills. Relational spelling is ONE
+    // global bottom-k — Spark plans orderBy().limit(k) as per-partition
+    // top-k + a k-row driver merge (TakeOrderedAndProject), never a full
+    // sort, so the sketch costs k longs at any corpus. Insertion is
+    // duplicate-insensitive ⇒ built from the DISTINCT-token census
+    // (the HLL shared-projection trick); the portable polynomial char
+    // hash replays in DuckDB, ordering of exact longs is total, and the
+    // estimate is one pinned double division — so the ESTIMATE itself
+    // is hash-gated, not just bounded. Fewer-than-k vocab degenerates
+    // to the exact regime (the sketch IS exact there), guarded.
+    Q("q_kmv_distinct",
+      (s, dir) => {
+        val P = 1000000007L
+        val k = 256
+        val hashes = t(s, dir, "documents")
+          .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+            .as("token"))
+          .distinct()
+          .withColumn("h", expr(
+            s"""aggregate(filter(split(token, ''), ch -> ch <> ''),
+                0L, (acc, ch) -> (acc * 31 + ascii(ch)) % ${P}L"""
+              + ")"))
+          .persist()
+        val nExact = hashes.agg(count(lit(1)).cast("long").as("n_exact"),
+          countDistinct(col("h")).cast("long").as("n_h"))
+        val kth = hashes.select("h").distinct()
+          .orderBy("h").limit(k)
+          .agg(max(col("h")).cast("long").as("kth_min"),
+            count(lit(1)).cast("long").as("k_used"))
+        kth.crossJoin(broadcast(nExact))
+          .select(col("k_used"), col("kth_min"), col("n_exact"),
+            when(col("k_used") < k, col("n_h").cast("double"))
+              .otherwise((lit((k - 1).toLong * P)).cast("double")
+                / col("kth_min").cast("double")).as("kmv_est"))
+          .select(col("k_used"), col("kth_min"), col("n_exact"),
+            col("kmv_est"),
+            ((col("kmv_est") - col("n_exact").cast("double"))
+              / col("n_exact").cast("double")).as("rel_err"))
+      },
+      Some(s"""WITH toks AS (
+                SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+                FROM documents),
+              h AS (
+                SELECT token,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(token, ''),
+                      ch -> CAST(ascii(ch) AS BIGINT))),
+                    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
+                FROM toks WHERE token <> ''),
+              nx AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                  CAST(count(DISTINCT h) AS BIGINT) AS n_h
+                FROM h),
+              bot AS (
+                SELECT DISTINCT h AS hv FROM h ORDER BY hv LIMIT 256),
+              kth AS (
+                SELECT CAST(MAX(hv) AS BIGINT) AS kth_min,
+                  CAST(count(*) AS BIGINT) AS k_used
+                FROM bot),
+              m AS (
+                SELECT k_used, kth_min, n_exact,
+                  CASE WHEN k_used < 256 THEN CAST(n_h AS DOUBLE)
+                    ELSE CAST(${(255L * 1000000007L)} AS DOUBLE)
+                      / CAST(kth_min AS DOUBLE) END AS kmv_est
+                FROM kth, nx)
+              SELECT k_used, kth_min, n_exact, kmv_est,
+                (kmv_est - CAST(n_exact AS DOUBLE))
+                  / CAST(n_exact AS DOUBLE) AS rel_err
+              FROM m""")),
+
     Q("q_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")

@@ -1104,6 +1104,79 @@ object Curation {
               GROUP BY ce.source, ns.n_src, nn.n
               ORDER BY ce.source""")),
 
+    // ── per-source Hellinger drift (geometric-overlap lens) ─────────────
+    // The sixth drift lens, on q_tvd_drift's categorical frame: the
+    // Bhattacharyya coefficient BC = Σ_l √(p_l·q_l) measures geometric
+    // OVERLAP of each source's language mix vs the rest, and
+    // H = √(1−BC) is its metric (TVD bounds it: H² ≤ TVD ≤ H√2 — a
+    // source the two lenses rank differently has its mass split across
+    // many small cells, which BC discounts quadratically). Cross-engine
+    // exact: √(p·q) = √(a·(n_l−a))/√(n_s·(N−n_s)) keeps every radicand
+    // an exact dec38 integer (100-TB-safe — n_s·(N−n_s) overflows int64
+    // past n_s~3·10⁹), sqrt is correctly-rounded IEEE on identical
+    // doubles, the lang fold is pinned, and the one division per source
+    // is the identical op sequence in both engines. Same single-scan
+    // census shape as TVD: corpus collapses in tvdCounts, everything
+    // after is catalog-bounded (sources × langs).
+    Q("q_hellinger_drift",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val counts = tvdCounts(t(s, dir, "documents"))
+          .select(col("source"), col("lang"), col("a").cast("long").as("a"))
+          .persist()
+        val n = counts.agg(sum(col("a"))).head.getLong(0)
+        val perSrc = counts.groupBy("source").agg(sum(col("a")).as("n_src"))
+        val perLang = counts.groupBy("lang").agg(sum(col("a")).as("n_lang"))
+        perSrc.select("source").crossJoin(perLang.select("lang"))
+          .join(counts, Seq("source", "lang"), "left")
+          .select(col("source"), col("lang"),
+            coalesce(col("a"), lit(0L)).as("a"))
+          .join(perLang, "lang")
+          .join(perSrc, "source")
+          .select(col("source"), col("n_src"), col("lang"),
+            sqrt((col("a").cast(dec38) * (col("n_lang") - col("a")))
+              .cast("double")).as("term"))
+          .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+          .agg(expr("""aggregate(array_sort(collect_list(struct(lang, term))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("num"))
+          .select(col("source"), col("n_src"),
+            (col("num") / sqrt((col("n_src").cast(dec38)
+              * (lit(n) - col("n_src"))).cast("double"))).as("bc"))
+          .select(col("source"), col("n_src"), col("bc"),
+            sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))).as("hellinger"))
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+                SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS a
+                FROM documents GROUP BY 1, 2),
+              ns AS (SELECT source, SUM(a) AS n_src FROM counts GROUP BY 1),
+              nl AS (SELECT lang, SUM(a) AS n_lang FROM counts GROUP BY 1),
+              nn AS (SELECT SUM(a) AS n FROM counts),
+              grid AS (SELECT s.source, l.lang FROM
+                         (SELECT source FROM ns) s, (SELECT lang FROM nl) l),
+              cells AS (
+                SELECT g.source, g.lang, COALESCE(c.a, 0) AS a
+                FROM grid g LEFT JOIN counts c
+                  ON g.source = c.source AND g.lang = c.lang),
+              terms AS (
+                SELECT ce.source, CAST(ns.n_src AS BIGINT) AS n_src,
+                  ce.lang,
+                  sqrt(CAST(CAST(ce.a AS HUGEINT) * (nl.n_lang - ce.a)
+                    AS DOUBLE)) AS term,
+                  CAST(CAST(ns.n_src AS HUGEINT) * (nn.n - ns.n_src)
+                    AS DOUBLE) AS den
+                FROM cells ce JOIN ns ON ce.source = ns.source
+                  JOIN nl ON ce.lang = nl.lang, nn),
+              bcs AS (
+                SELECT source, n_src,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY lang)), (a, x) -> a + x)
+                    / sqrt(MAX(den)) AS bc
+                FROM terms GROUP BY 1, 2)
+              SELECT source, n_src, bc,
+                sqrt(GREATEST(0.0, 1.0 - bc)) AS hellinger
+              FROM bcs ORDER BY source""")),
+
     // ── per-source Cramér–von Mises drift (squared-ECDF-gap mass) ────────
     // The fourth drift lens: KS takes the WORST ECDF gap, W₁ the total
     // |gap|·width transport, CvM integrates the SQUARED gap against the

@@ -2362,6 +2362,354 @@ object EventTime {
                       / CAST(n_plus + n_minus - 1 AS DOUBLE)) END AS z
               FROM m""")),
 
+    // ── Bartels rank test: von Neumann ratio of daily-revenue ranks ─────
+    // The rank twin of q_runs_test: where runs only sees the SIGN of
+    // each day-over-day move, Bartels' RVN = Σ(R_i−R_{i+1})²/Σ(R_i−R̄)²
+    // measures how far successive daily-revenue RANKS jump — low ⇒
+    // trending/sticky, high ⇒ mean-reverting — so a slow drift the runs
+    // test reads as random still scores. Exact-integer end to end:
+    // midranks ride the ×2 domain (value census → cum-before, the
+    // q_kruskal_wallis idiom), numerator and denominator are dec38 sums
+    // of integer squares (Σ(R−R̄)² ×4 collapses to Σm² − n(n+1)² since
+    // Σm = n(n+1)), and the asymptotic z uses the exact rational
+    // 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²) — two casts, one division, one
+    // sqrt of identical doubles. Corpus-sized work is ONE (day, cents)
+    // census; ranks, diffs and folds live on the calendar-bounded frame
+    // (~2.4k days at ANY scale factor, the q_runs_test envelope).
+    Q("q_bartels_rank",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wDay = Window.orderBy("day")
+        val daily = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+        val vc = daily.groupBy("cents")
+          .agg(count(lit(1)).cast("long").as("n_c"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_c")).over(wv), lit(0L)))
+          .withColumn("midrank_x2",
+            lit(2L) * col("cum_before") + col("n_c") + 1L)
+        val a = daily.join(vc.select("cents", "midrank_x2"), "cents")
+          .withColumn("dd",
+            col("midrank_x2") - lead(col("midrank_x2"), 1).over(wDay))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("midrank_x2").cast(dec38) * col("midrank_x2"))
+              .as("s2"),
+            sum(when(col("dd").isNotNull,
+              col("dd").cast(dec38) * col("dd"))
+              .otherwise(lit(0L).cast(dec38))).as("num4"))
+        a.select(col("n"), col("num4").cast("long").as("num4"),
+            (col("s2") - col("n").cast(dec38) * (col("n") + 1)
+              * (col("n") + 1)).cast("long").as("den4"))
+          .withColumn("rvn",
+            when(col("den4") <= 0, lit(null).cast("double"))
+              .otherwise(col("num4").cast("double")
+                / col("den4").cast("double")))
+          .withColumn("z",
+            when(col("rvn").isNull || col("n") < 4,
+              lit(null).cast("double"))
+              .otherwise((col("rvn") - 2.0)
+                / sqrt(
+                  (lit(4L).cast(dec38) * (col("n") - 2)
+                    * ((lit(5L).cast(dec38) * col("n") * col("n"))
+                      - lit(2L) * col("n") - lit(9L))).cast("double")
+                  / (lit(5L).cast(dec38) * col("n") * (col("n") + 1)
+                    * (col("n") - 1) * (col("n") - 1)).cast("double"))))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              vc AS (
+                SELECT cents, CAST(COUNT(*) AS BIGINT) AS n_c
+                FROM daily GROUP BY 1),
+              vm AS (
+                SELECT cents,
+                  2 * COALESCE(SUM(n_c) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + n_c + 1 AS midrank_x2
+                FROM vc),
+              r AS (
+                SELECT d.day, vm.midrank_x2,
+                  vm.midrank_x2 - lead(vm.midrank_x2)
+                    OVER (ORDER BY d.day) AS dd
+                FROM daily d JOIN vm USING (cents)),
+              a AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(midrank_x2 AS HUGEINT) * midrank_x2) AS s2,
+                  SUM(CASE WHEN dd IS NULL THEN CAST(0 AS HUGEINT)
+                    ELSE CAST(dd AS HUGEINT) * dd END) AS num4
+                FROM r),
+              b AS (
+                SELECT n, CAST(num4 AS BIGINT) AS num4,
+                  CAST(s2 - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                    AS BIGINT) AS den4
+                FROM a),
+              c AS (
+                SELECT n, num4, den4,
+                  CASE WHEN den4 <= 0 THEN NULL
+                    ELSE CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+                    END AS rvn
+                FROM b)
+              SELECT n, num4, den4, rvn,
+                CASE WHEN rvn IS NULL OR n < 4 THEN NULL
+                  ELSE (rvn - 2.0) / sqrt(
+                    CAST(CAST(4 AS HUGEINT) * (n - 2)
+                      * (CAST(5 AS HUGEINT) * n * n - 2 * n - 9)
+                      AS DOUBLE)
+                    / CAST(CAST(5 AS HUGEINT) * n * (n + 1)
+                      * (n - 1) * (n - 1) AS DOUBLE)) END AS z
+              FROM c""")),
+
+    // ── Pettitt change-point test on daily revenue ──────────────────────
+    // WHERE does the revenue regime shift, distribution-free? The rank
+    // sibling of q_changepoint: U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j)
+    // collapses to the exact-integer prefix identity
+    // U_t = Σ_{i≤t} midrank_x2_i − t(n+1) (midranks carried ×2, so ties
+    // stay integral), K = max|U_t| with the FIRST argmax day as the
+    // change point (abs-desc, day-asc pick — deterministic in both
+    // engines). The only FP is the readout λ = 6K²/(n³+n²) (the
+    // p ≈ 2e^{−λ} exponent — exp itself is libm, so the exponent IS the
+    // emitted statistic): K squared AFTER the double cast on both sides
+    // (the q_gehan_wilcoxon overflow lesson), n³+n² exact in dec38.
+    // One (day, cents) census scan; everything else calendar-bounded.
+    Q("q_pettitt",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val daily = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+        val vc = daily.groupBy("cents")
+          .agg(count(lit(1)).cast("long").as("n_c"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_c")).over(wv), lit(0L)))
+          .withColumn("midrank_x2",
+            lit(2L) * col("cum_before") + col("n_c") + 1L)
+        val u = daily.join(vc.select("cents", "midrank_x2"), "cents")
+          .withColumn("t_idx",
+            row_number().over(Window.orderBy("day")).cast("long"))
+          .withColumn("cum_x2",
+            sum(col("midrank_x2")).over(wCum).cast("long"))
+        val nf = u.agg(max(col("t_idx")).cast("long").as("n"))
+        val pick = Window.orderBy(abs(col("u")).desc, col("day").asc)
+        u.crossJoin(broadcast(nf))
+          .filter(col("t_idx") < col("n"))
+          .select(col("day"), col("n"),
+            (col("cum_x2") - col("t_idx") * (col("n") + 1)).as("u"))
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("n"), col("day").as("change_day"),
+            col("u").cast("long").as("u_change"),
+            abs(col("u")).cast("long").as("k_stat"),
+            (lit(6.0) * abs(col("u")).cast("double")
+              * abs(col("u")).cast("double")
+              / (col("n").cast(dec38) * col("n") * col("n")
+                + col("n").cast(dec38) * col("n")).cast("double"))
+              .as("lambda"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              vc AS (
+                SELECT cents, CAST(COUNT(*) AS BIGINT) AS n_c
+                FROM daily GROUP BY 1),
+              vm AS (
+                SELECT cents,
+                  2 * COALESCE(SUM(n_c) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + n_c + 1 AS midrank_x2
+                FROM vc),
+              r AS (
+                SELECT d.day,
+                  CAST(row_number() OVER (ORDER BY d.day) AS BIGINT)
+                    AS t_idx,
+                  CAST(SUM(vm.midrank_x2) OVER (ORDER BY d.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_x2
+                FROM daily d JOIN vm USING (cents)),
+              nf AS (SELECT CAST(MAX(t_idx) AS BIGINT) AS n FROM r),
+              us AS (
+                SELECT r.day, nf.n,
+                  r.cum_x2 - r.t_idx * (nf.n + 1) AS u
+                FROM r, nf WHERE r.t_idx < nf.n),
+              p AS (
+                SELECT day, n, u,
+                  row_number() OVER (ORDER BY abs(u) DESC, day) AS rn
+                FROM us)
+              SELECT n, day AS change_day, CAST(u AS BIGINT) AS u_change,
+                CAST(abs(u) AS BIGINT) AS k_stat,
+                6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * n * n
+                    + CAST(n AS HUGEINT) * n AS DOUBLE) AS lambda
+              FROM p WHERE rn = 1""")),
+
+    // ── Dickey–Fuller unit-root t on daily revenue ──────────────────────
+    // Is daily revenue a random walk (unit root) or mean-reverting?
+    // The OLS Δy_t = α + ρ·y_{t−1} + ε readout, with the DF t = ρ̂/SE(ρ̂)
+    // the emitted statistic (critical values are table lookups, not
+    // arithmetic). Exact-moment discipline: all five sums (Σx, Σd, Σx²,
+    // Σxd, Σd²) are dec38 integers off ONE day census, the centered
+    // moments stay in the integer domain as n·Σx²−(Σx)² (never the
+    // catastrophic 1e30−1e30 double subtraction — 100-TB cents make
+    // Σx² ~ 4·10³⁰, far past int64 but comfortably inside dec38), and
+    // ρ̂, s², SE, t are ONE pinned double sequence from the exact casts.
+    // Calendar-bounded after the census; guards: n > 2, Sxx > 0, s² > 0.
+    Q("q_adf_test",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wDay = Window.orderBy("day")
+        val pairs = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .withColumn("x", lag(col("cents"), 1).over(wDay))
+          .filter(col("x").isNotNull)
+          .select(col("x"), (col("cents") - col("x")).as("d"))
+        val sums = pairs.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast(dec38).as("sx"),
+          sum(col("d")).cast(dec38).as("sd"),
+          sum(col("x").cast(dec38) * col("x")).as("sx2"),
+          sum(col("x").cast(dec38) * col("d")).as("sxd"),
+          sum(col("d").cast(dec38) * col("d")).as("sd2"))
+        sums.select(col("n"),
+            (col("n") * col("sx2") - col("sx") * col("sx"))
+              .cast("double").as("sxxn"),
+            (col("n") * col("sxd") - col("sx") * col("sd"))
+              .cast("double").as("sxyn"),
+            (col("n") * col("sd2") - col("sd") * col("sd"))
+              .cast("double").as("sddn"))
+          .select(col("n"), col("sxxn"), col("sxyn"), col("sddn"),
+            when(col("sxxn") <= 0, lit(null).cast("double"))
+              .otherwise(col("sxyn") / col("sxxn")).as("rho"))
+          .select(col("n"), col("rho"),
+            when(col("rho").isNull || col("n") <= 2,
+              lit(null).cast("double"))
+              .otherwise(((col("sddn") - col("rho") * col("sxyn"))
+                / col("n").cast("double"))
+                / (col("n").cast("double") - 2.0)).as("s2"),
+            col("sxxn"))
+          .select(col("n"), col("rho"),
+            when(col("s2").isNull || col("s2") <= 0,
+              lit(null).cast("double"))
+              .otherwise(col("rho")
+                / sqrt(col("s2") * col("n").cast("double")
+                  / col("sxxn"))).as("t_stat"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              pairs AS (
+                SELECT lag(cents) OVER (ORDER BY day) AS x,
+                  cents - lag(cents) OVER (ORDER BY day) AS d
+                FROM daily QUALIFY x IS NOT NULL),
+              sums AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS HUGEINT) AS sx,
+                  CAST(SUM(d) AS HUGEINT) AS sd,
+                  SUM(CAST(x AS HUGEINT) * x) AS sx2,
+                  SUM(CAST(x AS HUGEINT) * d) AS sxd,
+                  SUM(CAST(d AS HUGEINT) * d) AS sd2
+                FROM pairs),
+              mom AS (
+                SELECT n,
+                  CAST(n * sx2 - sx * sx AS DOUBLE) AS sxxn,
+                  CAST(n * sxd - sx * sd AS DOUBLE) AS sxyn,
+                  CAST(n * sd2 - sd * sd AS DOUBLE) AS sddn
+                FROM sums),
+              r AS (
+                SELECT n, sxxn, sxyn, sddn,
+                  CASE WHEN sxxn <= 0 THEN NULL
+                    ELSE sxyn / sxxn END AS rho
+                FROM mom),
+              v AS (
+                SELECT n, rho, sxxn,
+                  CASE WHEN rho IS NULL OR n <= 2 THEN NULL
+                    ELSE ((sddn - rho * sxyn) / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 2.0) END AS s2
+                FROM r)
+              SELECT n, rho,
+                CASE WHEN s2 IS NULL OR s2 <= 0 THEN NULL
+                  ELSE rho / sqrt(s2 * CAST(n AS DOUBLE) / sxxn)
+                  END AS t_stat
+              FROM v""")),
+
+    // ── Theil U₂: does weekly seasonality beat the naive forecast? ──────
+    // The forecast-value readout on the raw day census: U =
+    // √(Σ(y_t−y_{t−7})² / Σ(y_t−y_{t−1})²) compares the seasonal-naive
+    // lag-7 forecast against the naive lag-1 — U < 1 means the weekly
+    // cycle carries real signal, U ≥ 1 means yesterday is the better
+    // predictor. Squared cent diffs are exact dec38 integers (diffs
+    // squared IN the decimal domain — int64 overflows past ~3e9-cent
+    // daily swings), restricted to days where BOTH lags exist so the
+    // two sums cover the identical day set; one division + sqrt.
+    Q("q_theil_u2",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wDay = Window.orderBy("day")
+        val diffs = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .withColumn("l1", lag(col("cents"), 1).over(wDay))
+          .withColumn("l7", lag(col("cents"), 7).over(wDay))
+          .filter(col("l1").isNotNull && col("l7").isNotNull)
+          .select((col("cents") - col("l7")).as("d7"),
+            (col("cents") - col("l1")).as("d1"))
+        diffs.agg(count(lit(1)).cast("long").as("n_days"),
+            sum(col("d7").cast(dec38) * col("d7")).as("num"),
+            sum(col("d1").cast(dec38) * col("d1")).as("den"))
+          .select(col("n_days"),
+            col("num").cast("double").as("sse_seasonal"),
+            col("den").cast("double").as("sse_naive"))
+          .select(col("n_days"), col("sse_seasonal"), col("sse_naive"),
+            when(col("sse_naive") <= 0, lit(null).cast("double"))
+              .otherwise(sqrt(col("sse_seasonal") / col("sse_naive")))
+              .as("theil_u2"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              diffs AS (
+                SELECT cents - lag(cents, 7) OVER (ORDER BY day) AS d7,
+                  cents - lag(cents, 1) OVER (ORDER BY day) AS d1
+                FROM daily
+                QUALIFY d7 IS NOT NULL AND d1 IS NOT NULL),
+              sums AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                  SUM(CAST(d7 AS HUGEINT) * d7) AS num,
+                  SUM(CAST(d1 AS HUGEINT) * d1) AS den
+                FROM diffs)
+              SELECT n_days,
+                CAST(num AS DOUBLE) AS sse_seasonal,
+                CAST(den AS DOUBLE) AS sse_naive,
+                CASE WHEN CAST(den AS DOUBLE) <= 0 THEN NULL
+                  ELSE sqrt(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                  END AS theil_u2
+              FROM sums""")),
+
     // ── payload-key fill-rate drift (schema drift monitor) ──────────────
     // Which JSON payload keys are appearing/disappearing week over
     // week? The projected (week, keys) frame is persisted — the weekly

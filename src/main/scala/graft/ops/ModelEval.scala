@@ -1993,6 +1993,97 @@ object ModelEval {
                   AS h_tie
               FROM hh""")),
 
+    // ── Dunn post-hoc: WHICH segment pairs differ, after Kruskal–Wallis ─
+    // The follow-up q_kruskal_wallis's single H can't answer: pairwise
+    // mean-rank gaps z_ab = (R̄_a−R̄_b)/√(S·(1/n_a+1/n_b)) with the
+    // pooled tie-corrected S = (N(N+1) − Σ(t³−t)/(N−1))/12, over the
+    // SAME (cents, segment) census. Midranks ride the ×2 domain so S
+    // carries ×4 and the gap ×2 — the scale factors cancel in z. Per-
+    // group rank sums are exact dec38; R̄, S and z are the identical
+    // IEEE division sequence in both engines (pinned step order, no
+    // rounding — every operand is a cast of an exact integer). Output
+    // is the C(5,2) = 10-row pair grid — catalog-bounded, ordered.
+    Q("q_dunn_posthoc",
+      (s, dir) => {
+        val wv = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cg = t(s, dir, "customer")
+          .select((dec2(col("c_acctbal")) * 100).cast("long").as("cents"),
+            col("c_mktsegment").as("grp"))
+          .groupBy("cents", "grp")
+          .agg(count(lit(1)).cast("long").as("n_g"))
+          .persist()
+        val cm = cg.groupBy("cents")
+          .agg(sum(col("n_g")).cast("long").as("n_c"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_c")).over(wv), lit(0L)))
+          .withColumn("midrank_x2",
+            lit(2L) * col("cum_before") + col("n_c") + 1L)
+          .persist()
+        val perG = cg.join(cm.select("cents", "midrank_x2"), "cents")
+          .groupBy("grp")
+          .agg(sum(col("n_g")).cast("long").as("ng"),
+            sum(col("n_g").cast(dec38) * col("midrank_x2")).as("rg_x2"))
+        val ties = cm.agg(
+          sum(col("n_c").cast(dec38) * col("n_c") * col("n_c")
+            - col("n_c")).as("tie"),
+          sum(col("n_c")).cast("long").as("n"))
+        perG.as("a")
+          .join(perG.as("b"), col("a.grp") < col("b.grp"))
+          .crossJoin(broadcast(ties))
+          .select(col("a.grp").as("seg_a"), col("b.grp").as("seg_b"),
+            col("a.ng").as("n_a"), col("b.ng").as("n_b"),
+            (col("a.rg_x2").cast("double") / col("a.ng").cast("double")
+              - col("b.rg_x2").cast("double") / col("b.ng").cast("double"))
+              .as("gap_x2"),
+            ((col("n").cast("double") * (col("n") + 1).cast("double")
+              - col("tie").cast("double") / (col("n") - 1).cast("double"))
+              / 3.0).as("s_x4"),
+            (lit(1.0) / col("a.ng").cast("double")
+              + lit(1.0) / col("b.ng").cast("double")).as("inv"))
+          .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+            when(col("s_x4") <= 0, lit(null).cast("double"))
+              .otherwise(col("gap_x2") / sqrt(col("s_x4") * col("inv")))
+              .as("z"))
+          .orderBy("seg_a", "seg_b")
+      },
+      Some("""WITH cg AS (
+                SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n_g
+                FROM customer GROUP BY 1, 2),
+              cc AS (
+                SELECT cents, CAST(SUM(n_g) AS BIGINT) AS n_c
+                FROM cg GROUP BY 1),
+              cm AS (
+                SELECT cents, n_c,
+                  2 * COALESCE(SUM(n_c) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + n_c + 1 AS midrank_x2
+                FROM cc),
+              pg AS (
+                SELECT grp, CAST(SUM(n_g) AS BIGINT) AS ng,
+                  SUM(CAST(n_g AS HUGEINT) * midrank_x2) AS rg_x2
+                FROM cg JOIN cm USING (cents) GROUP BY 1),
+              ts AS (
+                SELECT SUM(CAST(n_c AS HUGEINT) * n_c * n_c - n_c) AS tie,
+                  CAST(SUM(n_c) AS BIGINT) AS n
+                FROM cc)
+              SELECT a.grp AS seg_a, b.grp AS seg_b,
+                a.ng AS n_a, b.ng AS n_b,
+                CASE WHEN (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                    - CAST(tie AS DOUBLE) / CAST(n - 1 AS DOUBLE)) / 3.0
+                    <= 0 THEN NULL
+                  ELSE (CAST(a.rg_x2 AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                    - CAST(b.rg_x2 AS DOUBLE) / CAST(b.ng AS DOUBLE))
+                    / sqrt(((CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                      - CAST(tie AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                      / 3.0)
+                      * (1.0 / CAST(a.ng AS DOUBLE)
+                        + 1.0 / CAST(b.ng AS DOUBLE))) END AS z
+              FROM pg a JOIN pg b ON a.grp < b.grp, ts
+              ORDER BY seg_a, seg_b""")),
+
     // ── Jarque–Bera normality test per segment ──────────────────────────
     // Is acctbal normal within each segment? Skewness + excess-kurtosis
     // moment test. ONE partial+final agg to the per-segment exact power
@@ -4171,6 +4262,131 @@ object ModelEval {
                   ELSE round(swd / sqrt(swv), 6) END AS z_gehan
               FROM agg""")),
 
+    // ── Tarone–Ware survival test (√n̄-weighted middle ground) ──────────
+    // Completes the weighted-log-rank triple: q_log_rank weights every
+    // event time 1 (late differences count fully), q_gehan_wilcoxon
+    // weights by the risk set n_t (early dominates), Tarone–Ware's
+    // w_t = √n_t sits between — the recommended default when you don't
+    // know WHERE the curves separate. SAME duration/risk censuses;
+    // w = √nr is one sqrt of an identical long (bit-stable), w² = nr
+    // EXACTLY — so the variance terms stay integer-weighted multiples
+    // of the 9-dec-pinned v, never squaring a double. Dur-pinned
+    // folds, one final z = Σ√n·diff / √Σn·v.
+    Q("q_tarone_ware",
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("ship0"))
+        val durs = t(s, dir, "orders")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(
+            datediff(to_date(col("ship0")), to_date(col("o_orderdate")))
+              .cast("long").as("dur"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("ev"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("g"))
+        val census = durs.groupBy("dur")
+          .agg(sum(when(col("g") === 1, col("ev")).otherwise(lit(0L)))
+              .cast("long").as("d1"),
+            sum(when(col("g") === 1, lit(1L) - col("ev"))
+              .otherwise(lit(0L))).cast("long").as("c1"),
+            sum(when(col("g") === 0, col("ev")).otherwise(lit(0L)))
+              .cast("long").as("d0"),
+            sum(when(col("g") === 0, lit(1L) - col("ev"))
+              .otherwise(lit(0L))).cast("long").as("c0"))
+        val wAll = Window.partitionBy()
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = census
+          .select(col("dur"), col("d1"), col("d0"),
+            (sum(col("d1") + col("c1")).over(wAll)
+              - coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+              .cast("long").as("n1"),
+            (sum(col("d1") + col("c1") + col("d0") + col("c0")).over(wAll)
+              - coalesce(sum(col("d1") + col("c1") + col("d0") + col("c0"))
+                  .over(wPrev), lit(0L)))
+              .cast("long").as("nr"))
+          .filter(col("d1") + col("d0") > 0 && col("nr") > 1)
+          .select(col("dur"),
+            (sqrt(col("nr").cast("double")) * (col("d1").cast("double")
+              - round((col("d1") + col("d0")).cast("double")
+                * col("n1").cast("double") / col("nr").cast("double"),
+                9))).as("wdiff"),
+            (col("nr").cast("double")
+              * round((col("d1") + col("d0")).cast("double")
+                * (col("n1").cast("double") / col("nr").cast("double"))
+                * (lit(1.0) - col("n1").cast("double")
+                  / col("nr").cast("double"))
+                * (col("nr") - (col("d1") + col("d0"))).cast("double")
+                / (col("nr") - 1).cast("double"), 9)).as("wv"))
+        risk.agg(count(lit(1)).cast("long").as("n_times"),
+            expr("""aggregate(array_sort(collect_list(struct(dur, wdiff))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.wdiff)""")
+              .as("swd"),
+            expr("""aggregate(array_sort(collect_list(struct(dur, wv))),
+                    CAST(0 AS DOUBLE), (a, x) -> a + x.wv)""").as("swv"))
+          .select(col("n_times"), round(col("swd"), 6).as("sum_w_diff"),
+            when(col("swv") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("swd") / sqrt(col("swv")), 6))
+              .as("z_tw"))
+      },
+      Some("""WITH firstship AS (
+                SELECT l_orderkey, MIN(l_shipdate) AS ship0
+                FROM lineitem GROUP BY 1),
+              durs AS (
+                SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(ship0 AS DATE)) AS BIGINT) AS dur,
+                  CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS ev,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS g
+                FROM orders JOIN firstship ON o_orderkey = l_orderkey),
+              census AS (
+                SELECT dur,
+                  CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(SUM(CASE WHEN g = 1 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS c1,
+                  CAST(SUM(CASE WHEN g = 0 THEN ev ELSE 0 END)
+                    AS BIGINT) AS d0,
+                  CAST(SUM(CASE WHEN g = 0 THEN 1 - ev ELSE 0 END)
+                    AS BIGINT) AS c0
+                FROM durs GROUP BY 1),
+              risk AS (
+                SELECT dur, d1, d0,
+                  CAST(SUM(d1 + c1) OVER ()
+                    - COALESCE(SUM(d1 + c1) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+                  CAST(SUM(d1 + c1 + d0 + c0) OVER ()
+                    - COALESCE(SUM(d1 + c1 + d0 + c0) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS nr
+                FROM census),
+              terms AS (
+                SELECT dur,
+                  sqrt(CAST(nr AS DOUBLE)) * (CAST(d1 AS DOUBLE)
+                    - round(CAST(d1 + d0 AS DOUBLE)
+                      * CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE), 9))
+                    AS wdiff,
+                  CAST(nr AS DOUBLE)
+                    * round(CAST(d1 + d0 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                      * (1.0 - CAST(n1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                      * CAST(nr - (d1 + d0) AS DOUBLE)
+                      / CAST(nr - 1 AS DOUBLE), 9) AS wv
+                FROM risk WHERE d1 + d0 > 0 AND nr > 1),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_times,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(wdiff ORDER BY dur)), (a, x) -> a + x) AS swd,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(wv ORDER BY dur)), (a, x) -> a + x) AS swv
+                FROM terms)
+              SELECT n_times, round(swd, 6) AS sum_w_diff,
+                CASE WHEN swv <= 0 THEN NULL
+                  ELSE round(swd / sqrt(swv), 6) END AS z_tw
+              FROM agg""")),
+
     // ── Weibull fit of fulfilment times (median-rank regression) ────────
     // The reliability-engineering readout of the q_survival_km data:
     // completed orders' day-to-first-ship durations, grouped median
@@ -5029,6 +5245,111 @@ object ModelEval {
                     / sqrt(CAST(nn * nn * (2 * nn + 3) - sn23 AS DOUBLE)
                       / 72.0), 6) END AS z
               FROM j2, sizes""")),
+
+    // ── Cuzick trend test: score-weighted rank sum across priorities ───
+    // The Wilcoxon-type trend lens on the SAME ordered-priority frame
+    // as q_jonckheere_terpstra: where J-T counts pairwise wins between
+    // every group pair, Cuzick's T = Σ z_g·ΣR_g weights each group's
+    // pooled-rank SUM by its ordinal score — linear in the census where
+    // J-T is quadratic in groups, and the statistic regulators quote
+    // for dose-response. Exact-integer end to end: midranks ride the
+    // ×2 domain off ONE (cents, priority) census; the global value
+    // order rides [[RangeRank]] (orders totalprice has up to ~6·10⁷
+    // distinct cents — never a single-task window); T, E(T) = (n+1)/2
+    // ·Σn_g z_g and the permutation variance Var(T) = Σ(R−R̄)²·Σn_g(z−z̄)²
+    // /(n−1) (ties absorbed exactly by Σ(R−R̄)² = (n³−n−Σ(t³−t))/12)
+    // are dec38 rationals; two pinned double divisions and one sqrt.
+    Q("q_cuzick_trend",
+      (s, dir) => {
+        val cg = t(s, dir, "orders")
+          .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+              .as("g"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("g", "v").agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val cc = cg.groupBy("v").agg(sum(col("c")).cast("long").as("n_c"))
+        val ranked = RangeRank.ranked(cc, Seq.empty, Seq(col("v")),
+            rnName = "__rn", nName = None,
+            prefixSums = Seq(RangeRank.PrefixSum(col("n_c"), "cum")))
+          .select(col("v"), col("n_c"),
+            (lit(2L) * col("cum") + col("n_c") + 1L).cast("long")
+              .as("midrank_x2"))
+        val ties = ranked.agg(
+          sum(col("n_c").cast(dec38) * col("n_c") * col("n_c")
+            - col("n_c")).as("tie"),
+          sum(col("n_c")).cast("long").as("n"))
+        val perG = cg.join(ranked.select("v", "midrank_x2"), "v")
+          .groupBy("g")
+          .agg(sum(col("c")).cast("long").as("ng"),
+            sum(col("c").cast(dec38) * col("midrank_x2")).as("rg_x2"))
+        perG.crossJoin(broadcast(ties))
+          .groupBy("n", "tie")
+          .agg(count(lit(1)).cast("long").as("k"),
+            sum(col("rg_x2") * col("g")).as("t_x2"),
+            sum(col("ng") * col("g")).cast("long").as("sz"),
+            sum(col("ng") * col("g") * col("g")).cast("long").as("sz2"))
+          .select(col("k"), col("n"),
+            col("t_x2").cast("double").as("t_x2"),
+            ((col("n") + 1) * col("sz").cast(dec38)).cast("double")
+              .as("e_x2"),
+            (col("n").cast(dec38) * col("n") * col("n") - col("n")
+              - col("tie")).cast("double").as("a4"),
+            col("sz").cast("double").as("szd"),
+            col("sz2").cast("double").as("sz2d"))
+          .select(col("k"), col("n"), col("t_x2"), col("e_x2"),
+            when(col("n") <= 1 || col("a4") <= 0,
+              lit(null).cast("double"))
+              .otherwise((col("t_x2") - col("e_x2"))
+                / sqrt((col("a4")
+                    / (lit(3.0) * (col("n").cast("double") - 1.0)))
+                  * (col("sz2d") - col("szd") * col("szd")
+                    / col("n").cast("double")))).as("z"))
+      },
+      Some("""WITH cg AS (
+                SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                    AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1, 2),
+              cc AS (
+                SELECT v, CAST(SUM(c) AS BIGINT) AS n_c
+                FROM cg GROUP BY 1),
+              vm AS (
+                SELECT v, n_c,
+                  2 * COALESCE(SUM(n_c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + n_c + 1 AS midrank_x2
+                FROM cc),
+              ts AS (
+                SELECT SUM(CAST(n_c AS HUGEINT) * n_c * n_c - n_c)
+                    AS tie,
+                  CAST(SUM(n_c) AS BIGINT) AS n
+                FROM vm),
+              pg AS (
+                SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+                  SUM(CAST(c AS HUGEINT) * midrank_x2) AS rg_x2
+                FROM cg JOIN vm USING (v) GROUP BY 1),
+              agg AS (
+                SELECT n, tie, CAST(count(*) AS BIGINT) AS k,
+                  SUM(rg_x2 * g) AS t_x2,
+                  CAST(SUM(ng * g) AS BIGINT) AS sz,
+                  CAST(SUM(ng * g * g) AS BIGINT) AS sz2
+                FROM pg, ts GROUP BY 1, 2),
+              m AS (
+                SELECT k, n, CAST(t_x2 AS DOUBLE) AS t_x2,
+                  CAST((n + 1) * CAST(sz AS HUGEINT) AS DOUBLE) AS e_x2,
+                  CAST(CAST(n AS HUGEINT) * n * n - n - tie AS DOUBLE)
+                    AS a4,
+                  CAST(sz AS DOUBLE) AS szd,
+                  CAST(sz2 AS DOUBLE) AS sz2d
+                FROM agg)
+              SELECT k, n, t_x2, e_x2,
+                CASE WHEN n <= 1 OR a4 <= 0 THEN NULL
+                  ELSE (t_x2 - e_x2)
+                    / sqrt((a4 / (3.0 * (CAST(n AS DOUBLE) - 1.0)))
+                      * (sz2d - szd * szd / CAST(n AS DOUBLE))) END AS z
+              FROM m""")),
 
     // ── Cochran's Q: repeated-measures binary agreement across years ────
     // Did the customer population's "active this year" flags shift
