@@ -166,7 +166,7 @@ object ScaleCheck {
     // stats batteries (calendar- or census-bounded folds over one fact
     // scan: expect near-linear-to-flat), the RangeRank'd Theil–Sen,
     // report joins, and the SQL-surface grouping sets
-    "q_theil_sen", "q_abc_xyz", "q_line_position_effect",
+    "q_theil_sen", "q_theil_sen_ci", "q_abc_xyz", "q_line_position_effect",
     "q_bland_altman", "q_morans_i", "q_modularity", "q_croston",
     "q_kendall_w", "q_ljung_box", "q_burrows_delta", "q_reciprocity",
     "q_sql_grouping_sets", "q_simpson_reversal", "q_markov_stationary",
@@ -222,7 +222,7 @@ object ScaleCheck {
     // selection — borderline 1 s steady-state
     "q_kupiec_pof",
     // round-9 survival/strata tests — borderline 1 s steady-state
-    "q_gehan_wilcoxon", "q_breslow_day",
+    "q_gehan_wilcoxon", "q_breslow_day", "q_tarone_ware",
     // round-9: the re-spelled SQL as-of (the 80 s decorrelation fix) —
     // its fan-out must stay bounded by per-customer order counts
     "q_sql_asof",

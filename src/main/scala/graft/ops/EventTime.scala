@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.Q._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -2377,49 +2377,7 @@ object EventTime {
     // census; ranks, diffs and folds live on the calendar-bounded frame
     // (~2.4k days at ANY scale factor, the q_runs_test envelope).
     Q("q_bartels_rank",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val wv = Window.orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wDay = Window.orderBy("day")
-        val daily = t(s, dir, "orders")
-          .groupBy(datediff(col("o_orderdate").cast("date"),
-            lit("1970-01-01").cast("date")).cast("long").as("day"))
-          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
-            .as("cents"))
-        val vc = daily.groupBy("cents")
-          .agg(count(lit(1)).cast("long").as("n_c"))
-          .withColumn("cum_before",
-            coalesce(sum(col("n_c")).over(wv), lit(0L)))
-          .withColumn("midrank_x2",
-            lit(2L) * col("cum_before") + col("n_c") + 1L)
-        val a = daily.join(vc.select("cents", "midrank_x2"), "cents")
-          .withColumn("dd",
-            col("midrank_x2") - lead(col("midrank_x2"), 1).over(wDay))
-          .agg(count(lit(1)).cast("long").as("n"),
-            sum(col("midrank_x2").cast(dec38) * col("midrank_x2"))
-              .as("s2"),
-            sum(when(col("dd").isNotNull,
-              col("dd").cast(dec38) * col("dd"))
-              .otherwise(lit(0L).cast(dec38))).as("num4"))
-        a.select(col("n"), col("num4").cast("long").as("num4"),
-            (col("s2") - col("n").cast(dec38) * (col("n") + 1)
-              * (col("n") + 1)).cast("long").as("den4"))
-          .withColumn("rvn",
-            when(col("den4") <= 0, lit(null).cast("double"))
-              .otherwise(col("num4").cast("double")
-                / col("den4").cast("double")))
-          .withColumn("z",
-            when(col("rvn").isNull || col("n") < 4,
-              lit(null).cast("double"))
-              .otherwise((col("rvn") - 2.0)
-                / sqrt(
-                  (lit(4L).cast(dec38) * (col("n") - 2)
-                    * ((lit(5L).cast(dec38) * col("n") * col("n"))
-                      - lit(2L) * col("n") - lit(9L))).cast("double")
-                  / (lit(5L).cast(dec38) * col("n") * (col("n") + 1)
-                    * (col("n") - 1) * (col("n") - 1)).cast("double"))))
-      },
+      (s, dir) => bartelsFinish(medianDaily(t(s, dir, "orders"))),
       Some("""WITH daily AS (
                 SELECT CAST(date_diff('day', DATE '1970-01-01',
                     CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
@@ -2480,45 +2438,7 @@ object EventTime {
     // (the q_gehan_wilcoxon overflow lesson), n³+n² exact in dec38.
     // One (day, cents) census scan; everything else calendar-bounded.
     Q("q_pettitt",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val wv = Window.orderBy("cents")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wCum = Window.orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val daily = t(s, dir, "orders")
-          .groupBy(datediff(col("o_orderdate").cast("date"),
-            lit("1970-01-01").cast("date")).cast("long").as("day"))
-          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
-            .as("cents"))
-        val vc = daily.groupBy("cents")
-          .agg(count(lit(1)).cast("long").as("n_c"))
-          .withColumn("cum_before",
-            coalesce(sum(col("n_c")).over(wv), lit(0L)))
-          .withColumn("midrank_x2",
-            lit(2L) * col("cum_before") + col("n_c") + 1L)
-        val u = daily.join(vc.select("cents", "midrank_x2"), "cents")
-          .withColumn("t_idx",
-            row_number().over(Window.orderBy("day")).cast("long"))
-          .withColumn("cum_x2",
-            sum(col("midrank_x2")).over(wCum).cast("long"))
-        val nf = u.agg(max(col("t_idx")).cast("long").as("n"))
-        val pick = Window.orderBy(abs(col("u")).desc, col("day").asc)
-        u.crossJoin(broadcast(nf))
-          .filter(col("t_idx") < col("n"))
-          .select(col("day"), col("n"),
-            (col("cum_x2") - col("t_idx") * (col("n") + 1)).as("u"))
-          .withColumn("rn", row_number().over(pick))
-          .filter(col("rn") === 1)
-          .select(col("n"), col("day").as("change_day"),
-            col("u").cast("long").as("u_change"),
-            abs(col("u")).cast("long").as("k_stat"),
-            (lit(6.0) * abs(col("u")).cast("double")
-              * abs(col("u")).cast("double")
-              / (col("n").cast(dec38) * col("n") * col("n")
-                + col("n").cast(dec38) * col("n")).cast("double"))
-              .as("lambda"))
-      },
+      (s, dir) => pettittFinish(medianDaily(t(s, dir, "orders"))),
       Some("""WITH daily AS (
                 SELECT CAST(date_diff('day', DATE '1970-01-01',
                     CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
@@ -2709,6 +2629,207 @@ object EventTime {
                   ELSE sqrt(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
                   END AS theil_u2
               FROM sums""")),
+
+    // ── KPSS level-stationarity η on daily revenue ──────────────────────
+    // The complementary null to q_adf_test (ADF: H₀ = unit root; KPSS:
+    // H₀ = stationary) — running both is the standard protocol, since
+    // "fails to reject" alone is uninformative. η = n⁻²ΣS_t²/s̄²(l)
+    // over mean residuals, Bartlett-kernel long-run variance at FIXED
+    // lag l = 7 (the weekly cycle; the n^0.25 rule needs libm pow —
+    // a pinned constant is both deterministic and the honest choice on
+    // a daily series). Exactness: residuals ride the ×n integer domain
+    // (e'_t = n·y_t − Σy, dec38), the cumsum S' stays exact dec38, and
+    // every fold term (S'², e'·e'₊ⱼ) is a product of identical casts —
+    // day-pinned folds, Bartlett weights 1−j/8 are exact binary
+    // fractions, one final division. The ×n/×n² scalings cancel to
+    // η = ΣS'² / (n·(g₀+2Σwⱼgⱼ)) — algebra in the scaladoc trail.
+    // One day census; everything after is calendar-bounded.
+    Q("q_kpss_test",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wDay = Window.orderBy("day")
+        val wCum = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val daily = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+        val nf = daily.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast(dec38).as("sy"))
+        var e = daily.crossJoin(broadcast(nf))
+          .withColumn("e",
+            col("n").cast(dec38) * col("cents") - col("sy"))
+          .withColumn("ed", col("e").cast("double"))
+          .withColumn("sd", sum(col("e")).over(wCum).cast("double"))
+        for (j <- 1 to 7)
+          e = e.withColumn(s"p$j",
+            coalesce(col("ed") * lead(col("ed"), j).over(wDay), lit(0.0)))
+        def fold(c: String) =
+          expr(s"""aggregate(array_sort(collect_list(struct(day, $c))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.$c)""")
+        val aggCols =
+          expr("""aggregate(array_sort(collect_list(struct(day, sd))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.sd * x.sd)""")
+            .as("num") +:
+          expr("""aggregate(array_sort(collect_list(struct(day, ed))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.ed * x.ed)""")
+            .as("g0") +:
+          (1 to 7).map(j => fold(s"p$j").as(s"g$j"))
+        val agg = e.groupBy("n").agg(aggCols.head, aggCols.tail: _*)
+        agg.select(col("n"),
+            (col("g0") + (col("g1") * 0.875 + col("g2") * 0.75
+              + col("g3") * 0.625 + col("g4") * 0.5 + col("g5") * 0.375
+              + col("g6") * 0.25 + col("g7") * 0.125) * 2.0).as("s2term"),
+            col("num"))
+          .select(col("n"), lit(7L).as("lag_l"),
+            when(col("s2term") <= 0, lit(null).cast("double"))
+              .otherwise(col("num")
+                / (col("n").cast("double") * col("s2term"))).as("eta"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              nf AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(cents) AS HUGEINT) AS sy
+                FROM daily),
+              e AS (
+                SELECT day, n,
+                  CAST(CAST(n AS HUGEINT) * cents - sy AS DOUBLE) AS ed,
+                  CAST(SUM(CAST(n AS HUGEINT) * cents - sy)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) AS sd
+                FROM daily, nf),
+              p AS (
+                SELECT day, n, ed, sd,
+                  COALESCE(ed * lead(ed, 1) OVER (ORDER BY day), 0) AS p1,
+                  COALESCE(ed * lead(ed, 2) OVER (ORDER BY day), 0) AS p2,
+                  COALESCE(ed * lead(ed, 3) OVER (ORDER BY day), 0) AS p3,
+                  COALESCE(ed * lead(ed, 4) OVER (ORDER BY day), 0) AS p4,
+                  COALESCE(ed * lead(ed, 5) OVER (ORDER BY day), 0) AS p5,
+                  COALESCE(ed * lead(ed, 6) OVER (ORDER BY day), 0) AS p6,
+                  COALESCE(ed * lead(ed, 7) OVER (ORDER BY day), 0) AS p7
+                FROM e),
+              agg AS (
+                SELECT n,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(sd * sd ORDER BY day)), (a, x) -> a + x) AS num,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ed * ed ORDER BY day)), (a, x) -> a + x) AS g0,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p1 ORDER BY day)), (a, x) -> a + x) AS g1,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p2 ORDER BY day)), (a, x) -> a + x) AS g2,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p3 ORDER BY day)), (a, x) -> a + x) AS g3,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p4 ORDER BY day)), (a, x) -> a + x) AS g4,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p5 ORDER BY day)), (a, x) -> a + x) AS g5,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p6 ORDER BY day)), (a, x) -> a + x) AS g6,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p7 ORDER BY day)), (a, x) -> a + x) AS g7
+                FROM p GROUP BY n),
+              m AS (
+                SELECT n,
+                  g0 + (g1 * 0.875 + g2 * 0.75 + g3 * 0.625 + g4 * 0.5
+                    + g5 * 0.375 + g6 * 0.25 + g7 * 0.125) * 2.0
+                    AS s2term,
+                  num
+                FROM agg)
+              SELECT n, CAST(7 AS BIGINT) AS lag_l,
+                CASE WHEN s2term <= 0 THEN NULL
+                  ELSE num / (CAST(n AS DOUBLE) * s2term) END AS eta
+              FROM m""")),
+
+    // ── two-group Poisson rate test: weekend vs weekday event rate ──────
+    // Is the PER-DAY event rate different on weekends, exposure-
+    // adjusted? The conditional-binomial spelling avoids every libm
+    // trap: under H₀ equal rates, a | a+b ~ Bin(n, p₀ = E_a/(E_a+E_b))
+    // with E the OBSERVED distinct active days per stratum (true
+    // exposure, not 2/7 — dark days drop out of both sides), so
+    // z = (a − n·p₀)/√(n·p₀(1−p₀)) is a pinned double sequence over
+    // four exact census integers, and the rate ratio is two pinned
+    // divisions. Engine-neutral (epoch+4)%7 dow (the q_weekend_effect
+    // idiom). Corpus-sized work = ONE (day) census; 1-row finish.
+    Q("q_poisson_rate_test",
+      (s, dir) => {
+        val days = t(s, dir, "events")
+          .groupBy(datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .select(col("n"),
+            (((col("day") + 4) % 7) === 0 || ((col("day") + 4) % 7) === 6)
+              .as("is_we"))
+        days.agg(
+            sum(when(col("is_we"), col("n")).otherwise(0L)).cast("long")
+              .as("a"),
+            sum(when(!col("is_we"), col("n")).otherwise(0L)).cast("long")
+              .as("b"),
+            sum(when(col("is_we"), 1L).otherwise(0L)).cast("long")
+              .as("e_a"),
+            sum(when(!col("is_we"), 1L).otherwise(0L)).cast("long")
+              .as("e_b"))
+          .select(col("a"), col("b"), col("e_a"), col("e_b"),
+            when(col("e_a") === 0 || col("e_b") === 0 || col("b") === 0,
+              lit(null).cast("double"))
+              .otherwise((col("a").cast("double") / col("e_a").cast("double"))
+                / (col("b").cast("double") / col("e_b").cast("double")))
+              .as("rate_ratio"),
+            when(col("e_a") === 0 || col("e_b") === 0
+              || col("a") + col("b") === 0, lit(null).cast("double"))
+              .otherwise(col("e_a").cast("double")
+                / (col("e_a") + col("e_b")).cast("double")).as("p0"),
+            ((col("a") + col("b")).cast("double")).as("nn"))
+          .select(col("a"), col("b"), col("e_a"), col("e_b"),
+            col("rate_ratio"),
+            when(col("p0").isNull || col("p0") <= 0 || col("p0") >= 1,
+              lit(null).cast("double"))
+              .otherwise((col("a").cast("double") - col("nn") * col("p0"))
+                / sqrt(col("nn") * col("p0") * (lit(1.0) - col("p0"))))
+              .as("z"))
+      },
+      Some("""WITH days AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(ts AS DATE)) AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+              f AS (
+                SELECT n,
+                  ((day + 4) % 7 = 0 OR (day + 4) % 7 = 6) AS is_we
+                FROM days),
+              agg AS (
+                SELECT
+                  CAST(SUM(CASE WHEN is_we THEN n ELSE 0 END) AS BIGINT)
+                    AS a,
+                  CAST(SUM(CASE WHEN is_we THEN 0 ELSE n END) AS BIGINT)
+                    AS b,
+                  CAST(SUM(CASE WHEN is_we THEN 1 ELSE 0 END) AS BIGINT)
+                    AS e_a,
+                  CAST(SUM(CASE WHEN is_we THEN 0 ELSE 1 END) AS BIGINT)
+                    AS e_b
+                FROM f),
+              m AS (
+                SELECT a, b, e_a, e_b,
+                  CASE WHEN e_a = 0 OR e_b = 0 OR b = 0 THEN NULL
+                    ELSE (CAST(a AS DOUBLE) / CAST(e_a AS DOUBLE))
+                      / (CAST(b AS DOUBLE) / CAST(e_b AS DOUBLE)) END
+                    AS rate_ratio,
+                  CASE WHEN e_a = 0 OR e_b = 0 OR a + b = 0 THEN NULL
+                    ELSE CAST(e_a AS DOUBLE) / CAST(e_a + e_b AS DOUBLE)
+                    END AS p0,
+                  CAST(a + b AS DOUBLE) AS nn
+                FROM agg)
+              SELECT a, b, e_a, e_b, rate_ratio,
+                CASE WHEN p0 IS NULL OR p0 <= 0 OR p0 >= 1 THEN NULL
+                  ELSE (CAST(a AS DOUBLE) - nn * p0)
+                    / sqrt(nn * p0 * (1.0 - p0)) END AS z
+              FROM m""")),
 
     // ── payload-key fill-rate drift (schema drift monitor) ──────────────
     // Which JSON payload keys are appearing/disappearing week over
@@ -4316,6 +4437,93 @@ object EventTime {
               FROM rranked, dc
               WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2
               GROUP BY n_pairs""")),
+
+    // ── Theil–Sen slope CONFIDENCE interval (rank-based, no bootstrap) ──
+    // The error bar q_theil_sen's point estimate ships without: the
+    // distribution-free Sen CI picks the pairwise-slope order
+    // statistics at ranks (M ∓ z·√Var(S))/2 — Var(S) from the
+    // Mann–Kendall variance of the day count. Same calendar²-bounded
+    // pair frame; the two rank targets ride
+    // [[RangeRank.groupValuesAtRanks]] (histogram-bracketed exact
+    // selection, value-at-rank is tie-order-invariant so the hash
+    // cannot move). n_days is recovered EXACTLY from the triangular
+    // pair count (√(8M+1) of a perfect square is exact IEEE), so every
+    // rank expression is a deterministic function of M alone —
+    // identical floor/sqrt sequences in both engines; z = 1.96 is a
+    // literal, not libm.
+    Q("q_theil_sen_ci",
+      (s, dir) => {
+        val cen = t(s, dir, "orders")
+          .select(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+              .as("d"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy("d")
+          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
+          .persist()
+        val pairs = cen.as("a")
+          .join(cen.select(col("d").as("d2"), col("y").as("y2")),
+            col("d") < col("d2"))
+          .select(
+            round((col("y2") - col("y")).cast("double")
+              / (col("d2") - col("d")).cast("double"), 12).as("sl"))
+          .persist()
+        def ndOf(n: Column) =
+          floor((sqrt(n.cast("double") * 8.0 + 1.0) + 1.0) / 2.0)
+        def cOf(n: Column) = {
+          val nd = ndOf(n)
+          sqrt(nd * (nd - 1.0) * (nd * 2.0 + 5.0) / 18.0) * 1.96
+        }
+        RangeRank.groupValuesAtRanks(pairs, Seq.empty, "sl",
+          Seq(
+            RangeRank.RankPick("slope_lo", n =>
+              greatest(lit(1L),
+                floor((n.cast("double") - cOf(n)) / 2.0).cast("long"))),
+            RangeRank.RankPick("slope_hi", n =>
+              least(n.cast("long"),
+                floor((n.cast("double") + cOf(n)) / 2.0).cast("long")
+                  + 1L))),
+          nName = "n_pairs")
+          .select(col("n_pairs"),
+            ndOf(col("n_pairs")).cast("long").as("n_days"),
+            col("slope_lo"), col("slope_hi"))
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS y
+                FROM orders GROUP BY 1),
+              pairs AS (
+                SELECT round(CAST(b.y - a.y AS DOUBLE)
+                  / CAST(b.d - a.d AS DOUBLE), 12) AS sl
+                FROM cen a JOIN cen b ON a.d < b.d),
+              r AS (
+                SELECT sl, row_number() OVER (ORDER BY sl) AS rk,
+                  COUNT(*) OVER () AS m
+                FROM pairs),
+              k AS (
+                SELECT CAST(MAX(m) AS BIGINT) AS m,
+                  floor((sqrt(CAST(MAX(m) AS DOUBLE) * 8.0 + 1.0) + 1.0)
+                    / 2.0) AS ndd
+                FROM r),
+              b AS (
+                SELECT m, ndd,
+                  sqrt(ndd * (ndd - 1.0) * (ndd * 2.0 + 5.0) / 18.0)
+                    * 1.96 AS c
+                FROM k),
+              kk AS (
+                SELECT m, ndd,
+                  GREATEST(1, CAST(floor((CAST(m AS DOUBLE) - c) / 2.0)
+                    AS BIGINT)) AS rlo,
+                  LEAST(m, CAST(floor((CAST(m AS DOUBLE) + c) / 2.0)
+                    AS BIGINT) + 1) AS rhi
+                FROM b)
+              SELECT kk.m AS n_pairs, CAST(kk.ndd AS BIGINT) AS n_days,
+                MAX(CASE WHEN r.rk = kk.rlo THEN r.sl END) AS slope_lo,
+                MAX(CASE WHEN r.rk = kk.rhi THEN r.sl END) AS slope_hi
+              FROM r, kk
+              GROUP BY kk.m, kk.ndd""")),
 
     // ── Page–Hinkley drift-detector replay on daily mean value ──────────
     // The classic streaming mean-shift detector run over the event
@@ -6343,6 +6551,103 @@ object EventTime {
       .filter(col("rn") >= 7)
       .select(col("day"), element_at(col("arr"), 4).as("med_cents"))
       .orderBy("day")
+  }
+
+  /** The [[medianDaily]] census with its timestamp day key converted
+    * to the epoch-day longs the rank-test finishes sort by — the
+    * conversion is a bijection on day keys, so the census rows (and
+    * every statistic below) are identical to grouping by epoch day
+    * directly.
+    */
+  private def epochDays(days: DataFrame): DataFrame =
+    days.select(
+      datediff(col("day").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      col("cents"))
+
+  /** Finishing arithmetic of q_bartels_rank over the bounded day
+    * census (drained≡batch: midranks, the dec38 RVN integers and the
+    * exact-rational z are all deterministic functions of the census).
+    */
+  def bartelsFinish(days0: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val wv = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDay = Window.orderBy("day")
+    val daily = epochDays(days0)
+    val vc = daily.groupBy("cents")
+      .agg(count(lit(1)).cast("long").as("n_c"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_c")).over(wv), lit(0L)))
+      .withColumn("midrank_x2",
+        lit(2L) * col("cum_before") + col("n_c") + 1L)
+    val a = daily.join(vc.select("cents", "midrank_x2"), "cents")
+      .withColumn("dd",
+        col("midrank_x2") - lead(col("midrank_x2"), 1).over(wDay))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("midrank_x2").cast(dec38) * col("midrank_x2"))
+          .as("s2"),
+        sum(when(col("dd").isNotNull,
+          col("dd").cast(dec38) * col("dd"))
+          .otherwise(lit(0L).cast(dec38))).as("num4"))
+    a.select(col("n"), col("num4").cast("long").as("num4"),
+        (col("s2") - col("n").cast(dec38) * (col("n") + 1)
+          * (col("n") + 1)).cast("long").as("den4"))
+      .withColumn("rvn",
+        when(col("den4") <= 0, lit(null).cast("double"))
+          .otherwise(col("num4").cast("double")
+            / col("den4").cast("double")))
+      .withColumn("z",
+        when(col("rvn").isNull || col("n") < 4,
+          lit(null).cast("double"))
+          .otherwise((col("rvn") - 2.0)
+            / sqrt(
+              (lit(4L).cast(dec38) * (col("n") - 2)
+                * ((lit(5L).cast(dec38) * col("n") * col("n"))
+                  - lit(2L) * col("n") - lit(9L))).cast("double")
+              / (lit(5L).cast(dec38) * col("n") * (col("n") + 1)
+                * (col("n") - 1) * (col("n") - 1)).cast("double"))))
+  }
+
+  /** Finishing arithmetic of q_pettitt over the bounded day census —
+    * the U_t prefix identity, the abs-desc/day-asc argmax pick and the
+    * λ readout are exact-integer functions of the census (drained
+    * streaming state finishes to batch bit-for-bit).
+    */
+  def pettittFinish(days0: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val wv = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = epochDays(days0)
+    val vc = daily.groupBy("cents")
+      .agg(count(lit(1)).cast("long").as("n_c"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_c")).over(wv), lit(0L)))
+      .withColumn("midrank_x2",
+        lit(2L) * col("cum_before") + col("n_c") + 1L)
+    val u = daily.join(vc.select("cents", "midrank_x2"), "cents")
+      .withColumn("t_idx",
+        row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("cum_x2",
+        sum(col("midrank_x2")).over(wCum).cast("long"))
+    val nf = u.agg(max(col("t_idx")).cast("long").as("n"))
+    val pick = Window.orderBy(abs(col("u")).desc, col("day").asc)
+    u.crossJoin(broadcast(nf))
+      .filter(col("t_idx") < col("n"))
+      .select(col("day"), col("n"),
+        (col("cum_x2") - col("t_idx") * (col("n") + 1)).as("u"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("n"), col("day").as("change_day"),
+        col("u").cast("long").as("u_change"),
+        abs(col("u")).cast("long").as("k_stat"),
+        (lit(6.0) * abs(col("u")).cast("double")
+          * abs(col("u")).cast("double")
+          / (col("n").cast(dec38) * col("n") * col("n")
+            + col("n").cast(dec38) * col("n")).cast("double"))
+          .as("lambda"))
   }
 
   /** Finishing arithmetic of q_pinball_loss over the bounded day

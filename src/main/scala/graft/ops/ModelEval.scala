@@ -3597,6 +3597,76 @@ object ModelEval {
                 round(s.cfac, 6) AS c_factor
               FROM f, s""")),
 
+    // ── Cochran's C + Hartley's Fmax: variance-OUTLIER screen ───────────
+    // Completes the variance-homogeneity quartet (Levene = robust
+    // omnibus, Bartlett = normal-theory omnibus, Conover = rank
+    // dispersion): C = s²max/Σs²  and Fmax = s²max/s²min ask the
+    // sharper question — is ONE group's variance the problem? Same
+    // dec38 moment census as q_bartlett; each group variance is the
+    // exact rational (n·ss−s²)/(n·(n−1)) surfaced by ONE pinned double
+    // division (both factors dec38 — n(n−1) overflows int64 past
+    // n~3·10⁹), the Σs² fold is type-pinned, max/min are
+    // order-insensitive, and the argmax group is a deterministic
+    // (v desc, type) pick over the ≤5-row frame.
+    Q("q_cochran_c",
+      (s, dir) => {
+        val terms = anovaCensus(t(s, dir, "events"))
+          .filter(col("n") > 1)
+          .select(col("event_type"),
+            ((col("n").cast(dec38) * col("ss") - col("s") * col("s"))
+              .cast("double")
+              / (col("n").cast(dec38) * (col("n") - 1)).cast("double"))
+              .as("v"))
+          .persist()
+        val agg = terms.agg(count(lit(1)).cast("long").as("k"),
+          max(col("v")).as("v_max"), min(col("v")).as("v_min"),
+          expr("""aggregate(array_sort(collect_list(struct(event_type, v))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.v)""").as("v_sum"))
+        val pick = terms
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("v").desc, col("event_type"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type").as("type_max"))
+        agg.crossJoin(broadcast(pick))
+          .select(col("k"), col("type_max"),
+            when(col("v_sum") <= 0, lit(null).cast("double"))
+              .otherwise(col("v_max") / col("v_sum")).as("c_stat"),
+            when(col("v_min") <= 0, lit(null).cast("double"))
+              .otherwise(col("v_max") / col("v_min")).as("f_max"))
+      },
+      Some("""WITH c AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS s,
+                  SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS ss
+                FROM events GROUP BY 1),
+              terms AS (
+                SELECT event_type,
+                  CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS v
+                FROM c WHERE n > 1),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                  MAX(v) AS v_max, MIN(v) AS v_min,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(v ORDER BY event_type)), (a, x) -> a + x)
+                    AS v_sum
+                FROM terms),
+              pick AS (
+                SELECT event_type AS type_max
+                FROM (SELECT event_type,
+                        row_number() OVER (ORDER BY v DESC, event_type)
+                          AS rn
+                      FROM terms) WHERE rn = 1)
+              SELECT k, type_max,
+                CASE WHEN v_sum <= 0 THEN NULL
+                  ELSE v_max / v_sum END AS c_stat,
+                CASE WHEN v_min <= 0 THEN NULL
+                  ELSE v_max / v_min END AS f_max
+              FROM agg, pick""")),
+
     // ── TOST equivalence test: urgent vs rest order values ──────────────
     // The inverted question every A/B readout here asks the wrong way
     // around: not "is there a difference" but "are the means
@@ -5146,6 +5216,87 @@ object ModelEval {
                   ELSE round(CAST(gt - lt AS DOUBLE)
                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 12)
                   END AS delta
+              FROM agg""")),
+
+    // ── Hodges–Lehmann shift estimator (returned vs kept quantity) ──────
+    // The MAGNITUDE q_cliffs_delta's direction-only δ can't give: the
+    // median of all nA·nB pairwise differences — the robust "how many
+    // units more" answer, and the estimator the Mann–Whitney test
+    // inverts to. Entirely EXACT: the 1..50 value-domain census makes
+    // the pair grid ≤50² cells, per-difference mass is a dec38 product
+    // sum, and the weighted median is an integer-rank pick over the
+    // ≤99-row difference census (lower/upper medians via the parity
+    // identities 2·cum ≥ T+odd(T) / ≥ T+2−odd(T); odd(nA·nB) =
+    // odd(nA)·odd(nB) stays in the long domain). Half-integer HL is
+    // the one division by 2. Corpus work = ONE lineitem census scan.
+    Q("q_hodges_lehmann",
+      (s, dir) => {
+        val census = t(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("q"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L)
+              .as("is_r"))
+          .groupBy("q")
+          .agg(sum(col("is_r")).cast("long").as("n_a"),
+            sum(lit(1L) - col("is_r")).cast("long").as("n_b"))
+          .persist()
+        val diffs = census.as("a").crossJoin(census.as("b"))
+          .filter(col("a.n_a") > 0 && col("b.n_b") > 0)
+          .groupBy((col("a.q") - col("b.q")).as("d"))
+          .agg(sum(col("a.n_a").cast(dec38) * col("b.n_b")).as("w"))
+        val wv = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = diffs.withColumn("cum", sum(col("w")).over(wv))
+        val tot = census.agg(sum(col("n_a")).cast("long").as("na"),
+            sum(col("n_b")).cast("long").as("nb"))
+          .select(col("na"), col("nb"),
+            (col("na").cast(dec38) * col("nb")).as("t"),
+            ((col("na") % 2) * (col("nb") % 2)).as("todd"))
+        cum.crossJoin(broadcast(tot))
+          .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+            min(when(col("cum") * 2 >= col("t") + col("todd"),
+              col("d"))).as("hl_lo"),
+            min(when(col("cum") * 2 >= col("t") + lit(2) - col("todd"),
+              col("d"))).as("hl_hi"))
+          .select(col("na"), col("nb"),
+            col("hl_lo").cast("long").as("hl_lo"),
+            col("hl_hi").cast("long").as("hl_hi"),
+            ((col("hl_lo") + col("hl_hi")).cast("double") / 2.0)
+              .as("hl_shift"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+                FROM lineitem GROUP BY 1),
+              diffs AS (
+                SELECT a.q - b.q AS d,
+                  SUM(CAST(a.n_a AS HUGEINT) * b.n_b) AS w
+                FROM census a, census b
+                WHERE a.n_a > 0 AND b.n_b > 0
+                GROUP BY 1),
+              cum AS (
+                SELECT d, SUM(w) OVER (ORDER BY d ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM diffs),
+              tot AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+                  CAST(SUM(n_b) AS BIGINT) AS nb,
+                  CAST(SUM(n_a) AS HUGEINT) * CAST(SUM(n_b) AS BIGINT)
+                    AS t,
+                  (CAST(SUM(n_a) AS BIGINT) % 2)
+                    * (CAST(SUM(n_b) AS BIGINT) % 2) AS todd
+                FROM census),
+              agg AS (
+                SELECT MAX(na) AS na, MAX(nb) AS nb,
+                  MIN(CASE WHEN cum * 2 >= t + todd THEN d END) AS hl_lo,
+                  MIN(CASE WHEN cum * 2 >= t + 2 - todd THEN d END)
+                    AS hl_hi
+                FROM cum, tot)
+              SELECT na, nb, CAST(hl_lo AS BIGINT) AS hl_lo,
+                CAST(hl_hi AS BIGINT) AS hl_hi,
+                CAST(hl_lo + hl_hi AS DOUBLE) / 2.0 AS hl_shift
               FROM agg""")),
 
     // ── Jonckheere–Terpstra ordered-alternative trend test ──────────────

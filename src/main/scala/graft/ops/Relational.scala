@@ -6253,6 +6253,134 @@ object Relational {
                 count(*) AS n_customers
               FROM per GROUP BY 1, 2 ORDER BY band_h1, band_h2""")),
 
+    // ── Stuart–Maxwell marginal-homogeneity test (first → last order) ───
+    // The inferential partner of q_customer_migration's descriptive
+    // matrix and of q_bowker_symmetry (Bowker asks "are flows
+    // symmetric CELL-wise?"; Stuart–Maxwell asks "did the MARGINS
+    // move?" — a population can churn cell-wise yet keep its mix).
+    // Paired categorical: each customer's FIRST vs LAST order priority
+    // bucket (urgent 1-2 / medium 3 / low 4-5; first/last by
+    // (date, orderkey) — deterministic). k = 3 makes the quadratic
+    // form d'V⁻¹d CLOSED-FORM on the 2×2 inverse: χ² = (V₂₂d₁² −
+    // 2V₁₂d₁d₂ + V₁₁d₂²)/(V₁₁V₂₂ − V₁₂²) with every d and V entry an
+    // exact census integer — dec38 through the quadratic form (d² is
+    // ~10²⁰ past int64 at 100-TB customer counts), ONE double division.
+    // Per-customer first/last ride scaling-key windows; the 3×3 census
+    // is 9 rows; dof = 2.
+    Q("q_stuart_maxwell",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wF = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wL = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val bucketed = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"),
+              1L)
+              .when(substring(col("o_orderpriority"), 1, 1) === "3", 2L)
+              .otherwise(3L).as("b"))
+          .withColumn("rf", row_number().over(wF))
+          .withColumn("rl", row_number().over(wL))
+        val cells = bucketed.filter(col("rf") === 1)
+          .select(col("o_custkey"), col("b").as("bf"))
+          .join(bucketed.filter(col("rl") === 1)
+            .select(col("o_custkey"), col("b").as("bl")), "o_custkey")
+          .groupBy("bf", "bl").agg(count(lit(1)).cast("long").as("c"))
+        val m = cells.agg(
+          sum(col("c")).cast("long").as("n"),
+          sum(when(col("bf") === 1, col("c")).otherwise(0L)).cast("long")
+            .as("r1"),
+          sum(when(col("bf") === 2, col("c")).otherwise(0L)).cast("long")
+            .as("r2"),
+          sum(when(col("bl") === 1, col("c")).otherwise(0L)).cast("long")
+            .as("c1"),
+          sum(when(col("bl") === 2, col("c")).otherwise(0L)).cast("long")
+            .as("c2"),
+          sum(when(col("bf") === 1 && col("bl") === 1, col("c"))
+            .otherwise(0L)).cast("long").as("n11"),
+          sum(when(col("bf") === 2 && col("bl") === 2, col("c"))
+            .otherwise(0L)).cast("long").as("n22"),
+          sum(when(col("bf") === 1 && col("bl") === 2, col("c"))
+            .otherwise(0L)).cast("long").as("n12"),
+          sum(when(col("bf") === 2 && col("bl") === 1, col("c"))
+            .otherwise(0L)).cast("long").as("n21"))
+        m.select(col("n"),
+            (col("r1") - col("c1")).as("d1"),
+            (col("r2") - col("c2")).as("d2"),
+            (col("r1") + col("c1") - lit(2L) * col("n11")).as("v11"),
+            (col("r2") + col("c2") - lit(2L) * col("n22")).as("v22"),
+            (-(col("n12") + col("n21"))).as("v12"))
+          .select(col("n"), col("d1"), col("d2"),
+            (col("v11").cast(dec38) * col("v22")
+              - col("v12").cast(dec38) * col("v12")).as("det"),
+            (col("v22").cast(dec38) * col("d1") * col("d1")
+              - lit(2L).cast(dec38) * col("v12") * col("d1") * col("d2")
+              + col("v11").cast(dec38) * col("d2") * col("d2"))
+              .as("qf"))
+          .select(col("n"), col("d1"), col("d2"),
+            col("det").cast("double").as("det"),
+            when(col("det") <= 0, lit(null).cast("double"))
+              .otherwise(col("qf").cast("double")
+                / col("det").cast("double")).as("chi2_sm"))
+      },
+      Some("""WITH bucketed AS (
+                SELECT o_custkey, o_orderdate, o_orderkey,
+                  CASE WHEN substring(o_orderpriority, 1, 1) IN ('1','2')
+                    THEN 1
+                    WHEN substring(o_orderpriority, 1, 1) = '3' THEN 2
+                    ELSE 3 END AS b,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS rf,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl
+                FROM orders),
+              cells AS (
+                SELECT f.b AS bf, l.b AS bl,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT o_custkey, b FROM bucketed WHERE rf = 1) f
+                JOIN (SELECT o_custkey, b FROM bucketed WHERE rl = 1) l
+                  USING (o_custkey)
+                GROUP BY 1, 2),
+              m AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN bf = 1 THEN c ELSE 0 END) AS BIGINT)
+                    AS r1,
+                  CAST(SUM(CASE WHEN bf = 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS r2,
+                  CAST(SUM(CASE WHEN bl = 1 THEN c ELSE 0 END) AS BIGINT)
+                    AS c1,
+                  CAST(SUM(CASE WHEN bl = 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS c2,
+                  CAST(SUM(CASE WHEN bf = 1 AND bl = 1 THEN c ELSE 0 END)
+                    AS BIGINT) AS n11,
+                  CAST(SUM(CASE WHEN bf = 2 AND bl = 2 THEN c ELSE 0 END)
+                    AS BIGINT) AS n22,
+                  CAST(SUM(CASE WHEN bf = 1 AND bl = 2 THEN c ELSE 0 END)
+                    AS BIGINT) AS n12,
+                  CAST(SUM(CASE WHEN bf = 2 AND bl = 1 THEN c ELSE 0 END)
+                    AS BIGINT) AS n21
+                FROM cells),
+              v AS (
+                SELECT n, r1 - c1 AS d1, r2 - c2 AS d2,
+                  r1 + c1 - 2 * n11 AS v11,
+                  r2 + c2 - 2 * n22 AS v22,
+                  -(n12 + n21) AS v12
+                FROM m),
+              q AS (
+                SELECT n, d1, d2,
+                  CAST(v11 AS HUGEINT) * v22
+                    - CAST(v12 AS HUGEINT) * v12 AS det,
+                  CAST(v22 AS HUGEINT) * d1 * d1
+                    - CAST(2 AS HUGEINT) * v12 * d1 * d2
+                    + CAST(v11 AS HUGEINT) * d2 * d2 AS qf
+                FROM v)
+              SELECT n, d1, d2, CAST(det AS DOUBLE) AS det,
+                CASE WHEN det <= 0 THEN NULL
+                  ELSE CAST(qf AS DOUBLE) / CAST(det AS DOUBLE)
+                  END AS chi2_sm
+              FROM q""")),
+
     // ── return rate by brand ─────────────────────────────────────────────
     // Product-quality lens: per part brand, the returned-line share and
     // returned-revenue share. One size-gated lineitem × part join
@@ -9059,6 +9187,112 @@ object Relational {
                 round(sum_s, 6) AS sum_s,
                 CASE WHEN sum_s <= 0 THEN NULL
                   ELSE round(sum_r / sum_s, 6) END AS or_mh
+              FROM agg""")),
+
+    // ── Cochran–Mantel–Haenszel χ²: the TEST beside the OR estimate ────
+    // q_mantel_haenszel pools the odds ratio, q_breslow_day checks the
+    // strata agree — CMH is the missing third leg: does the
+    // urgent→big-order association EXIST at all after nation
+    // stratification? χ² = (Σ(aₖ−Eₖ))²/ΣVₖ over the SAME 25-stratum
+    // 2×2 frame. Per-stratum the expected-count gap rides the ×n
+    // integer domain (aₙ·n − r1·c1 exact in dec38 — r1·c1 passes int64
+    // at ~3·10⁹-order strata) before its single rounded division, and
+    // Vₖ = r1·r0·c1·c0/(n²(n−1)) is one pinned double product chain;
+    // both fold nation-pinned, χ² is one final division. (No
+    // continuity correction — the uncorrected statistic is the one
+    // that generalizes to the I×J CMH family.)
+    Q("q_cmh_test",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val cells = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"),
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("e"),
+            (expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              > 25000000L).as("y"))
+          .groupBy("c_nationkey")
+          .agg(
+            sum(when(col("e") && col("y"), 1L).otherwise(0L))
+              .cast("long").as("a"),
+            sum(when(col("e") && !col("y"), 1L).otherwise(0L))
+              .cast("long").as("b"),
+            sum(when(!col("e") && col("y"), 1L).otherwise(0L))
+              .cast("long").as("c"),
+            sum(when(!col("e") && !col("y"), 1L).otherwise(0L))
+              .cast("long").as("d"))
+          .select(col("c_nationkey"), col("a"),
+            (col("a") + col("b")).as("r1"), (col("c") + col("d")).as("r0"),
+            (col("a") + col("c")).as("c1"), (col("b") + col("d")).as("c0"),
+            (col("a") + col("b") + col("c") + col("d")).as("n"))
+          .filter(col("n") > 1)
+          .select(col("c_nationkey"),
+            round((col("a").cast(dec38) * col("n")
+              - col("r1").cast(dec38) * col("c1")).cast("double")
+              / col("n").cast("double"), 9).as("diff"),
+            round(col("r1").cast("double") * col("r0").cast("double")
+              * col("c1").cast("double") * col("c0").cast("double")
+              / (col("n").cast("double") * col("n").cast("double")
+                * (col("n").cast("double") - 1.0)), 9).as("v"))
+        cells.agg(count(lit(1)).cast("long").as("n_strata"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, diff))),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x.diff)""")
+              .as("sd"),
+            expr("""aggregate(array_sort(collect_list(
+                      struct(c_nationkey, v))),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x.v)""")
+              .as("sv"))
+          .select(col("n_strata"), round(col("sd"), 6).as("sum_diff"),
+            when(col("sv") <= 0, lit(null).cast("double"))
+              .otherwise(round(col("sd") * col("sd") / col("sv"), 6))
+              .as("chi2_cmh"))
+      },
+      Some("""WITH cells AS (
+                SELECT c_nationkey,
+                  CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+                  CAST(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+                FROM (
+                  SELECT c_nationkey,
+                    o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) > 25000000 AS y
+                  FROM orders JOIN customer ON o_custkey = c_custkey)
+                GROUP BY 1),
+              m AS (
+                SELECT c_nationkey, a,
+                  a + b AS r1, c + d AS r0, a + c AS c1, b + d AS c0,
+                  a + b + c + d AS n
+                FROM cells WHERE a + b + c + d > 1),
+              terms AS (
+                SELECT c_nationkey,
+                  round(CAST(CAST(a AS HUGEINT) * n
+                    - CAST(r1 AS HUGEINT) * c1 AS DOUBLE)
+                    / CAST(n AS DOUBLE), 9) AS diff,
+                  round(CAST(r1 AS DOUBLE) * CAST(r0 AS DOUBLE)
+                    * CAST(c1 AS DOUBLE) * CAST(c0 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)), 9) AS v
+                FROM m),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(diff ORDER BY c_nationkey)),
+                    (acc, x) -> acc + x) AS sd,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(v ORDER BY c_nationkey)),
+                    (acc, x) -> acc + x) AS sv
+                FROM terms)
+              SELECT n_strata, round(sd, 6) AS sum_diff,
+                CASE WHEN sv <= 0 THEN NULL
+                  ELSE round(sd * sd / sv, 6) END AS chi2_cmh
               FROM agg""")),
 
     // ── Breslow–Day homogeneity of odds ratios across strata ────────────

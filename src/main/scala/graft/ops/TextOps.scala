@@ -1004,6 +1004,57 @@ object TextOps {
               FROM ranked JOIN ideal ON ranked.source = ideal.source
               ORDER BY ranked.source""")),
 
+    // ── RBP@10: rank-biased precision with p = ½ (exact powers) ─────────
+    // The user-model cousin of q_ndcg: RBP = (1−p)·Σ relᵢ·p^{i−1}
+    // models a user who continues down the ranking with persistence p.
+    // p = ½ makes every weight an exact binary fraction — the whole
+    // metric is INTEGER arithmetic in the ×2¹⁰ domain (weights 512…1,
+    // RBP = num/1024 exact in both engines; contrast nDCG's 1e9-scaled
+    // log discounts, which are pinned but not exact). Binary relevance
+    // rel≥3 (canonical RBP is binary); same graft_topk bounded-heap
+    // ranking and (score DESC, doc_id) tie rule as q_ndcg — k rows per
+    // source cross the shuffle, never the corpus.
+    Q("q_rbp_ranking",
+      (s, dir) => {
+        val w = typedLit(Map(1L -> 512L, 2L -> 256L, 3L -> 128L,
+          4L -> 64L, 5L -> 32L, 6L -> 16L, 7L -> 8L, 8L -> 4L,
+          9L -> 2L, 10L -> 1L))
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .groupBy("source")
+          .agg(expr("graft_topk(doc_id, CAST(n_chars AS DOUBLE), 10)")
+            .as("topk"))
+          .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
+          .select(col("source"),
+            when(expr("pmod(((t.id % 2147483648) * 2654435761) div 65536, 4) + 1")
+              >= 3, 1L).otherwise(0L).as("rel01"),
+            (col("pos") + 1).cast("long").as("i"))
+          .groupBy("source")
+          .agg(sum(col("rel01") * w(col("i"))).cast("long").as("rbp_num"))
+          .select(col("source"), col("rbp_num"),
+            (col("rbp_num").cast("double") / 1024.0).as("rbp"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT * FROM (VALUES
+                (1, 512), (2, 256), (3, 128), (4, 64), (5, 32),
+                (6, 16), (7, 8), (8, 4), (9, 2), (10, 1)) AS t(i, wt)),
+              base AS (
+                SELECT source, doc_id, n_chars,
+                  CASE WHEN ((doc_id % 2147483648) * 2654435761 // 65536
+                    % 4 + 4) % 4 + 1 >= 3 THEN 1 ELSE 0 END AS rel01
+                FROM documents),
+              ranked AS (
+                SELECT source, rel01, row_number() OVER
+                    (PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id) AS i
+                FROM base)
+              SELECT source,
+                CAST(SUM(rel01 * wt) AS BIGINT) AS rbp_num,
+                CAST(SUM(rel01 * wt) AS DOUBLE) / 1024.0 AS rbp
+              FROM ranked JOIN w ON ranked.i = w.i
+              GROUP BY source
+              ORDER BY source""")),
+
     // ── MRR@10 (the first-hit retrieval metric next to q_ndcg) ──────────
     // Where nDCG grades the whole ranking, MRR grades time-to-first-
     // relevant: reciprocal rank of the first grade-4 doc in each

@@ -724,6 +724,36 @@ class StreamingSpec extends SparkSpec {
       "drained day census diverged from batch rolling median")
   }
 
+  test("drained day census finishes to batch q_pettitt AND q_bartels_rank") {
+    // the round-10 rank-test family rides the SAME Complete-mode
+    // per-day revenue census as rolling_median/pinball/forecast_eval —
+    // one live state, now five readouts. Midranks, the Pettitt U_t
+    // prefix walk and the Bartels RVN integers are all deterministic
+    // finishing arithmetic over the drained census, so drain ≡ batch
+    // bit-for-bit at any trigger.
+    val dir = Files.createTempDirectory("graft-orders-rank").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.medianCounts(StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_rank", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val petS = graft.ops.EventTime.pettittFinish(counts).collect()
+      .map(_.toString).toSet
+    val petB = SparkEntry.queries("q_pettitt")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(petB.nonEmpty && petS === petB,
+      "drained day census diverged from batch Pettitt")
+    val barS = graft.ops.EventTime.bartelsFinish(counts).collect()
+      .map(_.toString).toSet
+    val barB = SparkEntry.queries("q_bartels_rank")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(barB.nonEmpty && barS === barB,
+      "drained day census diverged from batch Bartels RVN")
+  }
+
   test("drained day census finishes to batch q_pinball_loss exactly") {
     // the r8 forecast-loss readout rides the SAME per-day revenue
     // census the rolling-median twin maintains (one live Complete-mode
