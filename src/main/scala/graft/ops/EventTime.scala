@@ -2115,6 +2115,110 @@ object EventTime {
                 l + 7.0 * b AS forecast_7d
               FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
 
+    // ── Holt–Winters triple smoothing (additive, weekly season) ─────────
+    // Completes the exponential family (q_ewma = single,
+    // q_holt_smoothing = double): level + trend + a 7-slot additive
+    // dow seasonal state, α=0.3 β=0.1 γ=0.2. The recurrence is
+    // inherently sequential — spelled as ONE sequential fold over the
+    // day-sorted census (Spark `aggregate`, DuckDB `list_reduce`),
+    // state = a flat 10-slot double vector [l, b, s₀..s₆, i] (DuckDB
+    // 1.0's list_prepend must type-unify accumulator and elements, so
+    // the state is a DOUBLE[] like the observations, not a struct).
+    // Every step is rational-constant double arithmetic in the same
+    // textual op order on both engines — bit-identical with NO
+    // rounding (no libm anywhere). Cents stay exactly representable
+    // (< 2⁵³) at any SF. The fold runs on the calendar-bounded census
+    // on the driver-side of the agg — the corpus collapses in the ONE
+    // day-census shuffle, the ~2.4k-step recurrence is O(days), the
+    // same envelope as q_holt_smoothing's recursive CTE.
+    Q("q_holt_winters",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .select(col("day"),
+            ((col("day") + 4) % 7).cast("double").as("dw"),
+            col("cents").cast("double").as("y"))
+        val lp = "0.3D * (x.y - element_at(acc, CAST(x.dw AS INT) + 3))" +
+          " + 0.7D * (element_at(acc, 1) + element_at(acc, 2))"
+        daily.agg(count(lit(1)).cast("long").as("n"),
+            expr(s"""aggregate(
+              array_sort(collect_list(struct(day, dw, y))),
+              array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D,
+                    0.0D, 0.0D),
+              (acc, x) -> CASE WHEN element_at(acc, 10) = 0.0D THEN
+                  array(x.y, 0.0D, element_at(acc, 3), element_at(acc, 4),
+                    element_at(acc, 5), element_at(acc, 6),
+                    element_at(acc, 7), element_at(acc, 8),
+                    element_at(acc, 9), 1.0D)
+                ELSE
+                  concat(
+                    array(
+                      $lp,
+                      0.1D * (($lp) - element_at(acc, 1))
+                        + 0.9D * element_at(acc, 2)),
+                    transform(sequence(0, 6),
+                      j -> CASE WHEN CAST(j AS DOUBLE) = x.dw
+                        THEN 0.2D * (x.y - ($lp))
+                          + 0.8D * element_at(acc, CAST(x.dw AS INT) + 3)
+                        ELSE element_at(acc, CAST(j AS INT) + 3) END),
+                    array(element_at(acc, 10) + 1.0D))
+                END)""").as("st"))
+          .select(col("n"),
+            element_at(col("st"), 1).as("level"),
+            element_at(col("st"), 2).as("trend"),
+            element_at(col("st"), 3).as("s_sun"),
+            element_at(col("st"), 4).as("s_mon"),
+            element_at(col("st"), 5).as("s_tue"),
+            element_at(col("st"), 6).as("s_wed"),
+            element_at(col("st"), 7).as("s_thu"),
+            element_at(col("st"), 8).as("s_fri"),
+            element_at(col("st"), 9).as("s_sat"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              arr AS (
+                SELECT list([CAST((day + 4) % 7 AS DOUBLE),
+                    CAST(cents AS DOUBLE)] ORDER BY day) AS xs,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                FROM daily),
+              fold AS (
+                SELECT n,
+                  list_reduce(
+                    list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                        0.0, 0.0, 0.0], xs),
+                    (acc, x) -> CASE WHEN acc[10] = 0.0 THEN
+                        [x[2], 0.0, acc[3], acc[4], acc[5], acc[6],
+                         acc[7], acc[8], acc[9], 1.0]
+                      ELSE
+                        [0.3 * (x[2] - acc[CAST(x[1] AS INTEGER) + 3])
+                           + 0.7 * (acc[1] + acc[2]),
+                         0.1 * ((0.3 * (x[2]
+                               - acc[CAST(x[1] AS INTEGER) + 3])
+                             + 0.7 * (acc[1] + acc[2])) - acc[1])
+                           + 0.9 * acc[2]]
+                        || list_transform(range(7),
+                             j -> CASE WHEN CAST(j AS DOUBLE) = x[1]
+                               THEN 0.2 * (x[2] - (0.3 * (x[2]
+                                     - acc[CAST(x[1] AS INTEGER) + 3])
+                                   + 0.7 * (acc[1] + acc[2])))
+                                 + 0.8 * acc[CAST(x[1] AS INTEGER) + 3]
+                               ELSE acc[CAST(j AS INTEGER) + 3] END)
+                        || [acc[10] + 1.0]
+                      END) AS st
+                FROM arr)
+              SELECT n, st[1] AS level, st[2] AS trend,
+                st[3] AS s_sun, st[4] AS s_mon, st[5] AS s_tue,
+                st[6] AS s_wed, st[7] AS s_thu, st[8] AS s_fri,
+                st[9] AS s_sat
+              FROM fold""")),
+
     // ── day-of-week seasonality index per event type ─────────────────────
     // The normalized seasonal profile (share within type ÷ share
     // overall): index > 1 = that type over-indexes on that weekday.

@@ -8973,6 +8973,107 @@ object Relational {
                   - 3.0 * CAST(b * (k + 1) AS DOUBLE), 6) AS chi2_f
               FROM rsums, sr ORDER BY o_orderpriority""")),
 
+    // ── Nemenyi post-hoc: WHICH priority pairs differ, after Friedman ──
+    // The blocked-design twin of q_dunn_posthoc (Dunn follows
+    // Kruskal–Wallis, Nemenyi follows Friedman): pairwise mean-rank
+    // gaps over the SAME nation-blocked priority ranks, studentized by
+    // the constant SE = √(k(k+1)/(6b)) — the statistic CD diagrams
+    // plot. Rank sums are exact integers off the deterministic
+    // (mean, priority) within-block total order; mean ranks, SE and q
+    // are one pinned IEEE sequence per pair; C(k,2) = 10 output rows,
+    // catalog-bounded. One orders scan (the persisted cell census
+    // feeds the k probe, the full-block filter and the ranking).
+    Q("q_nemenyi_posthoc",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey"), col("o_orderpriority"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("c"))
+          .groupBy("c_nationkey", "o_orderpriority")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("c").cast(DecimalType(38, 0))).as("sc"))
+          .select(col("c_nationkey"), col("o_orderpriority"),
+            (col("sc").cast("double") / col("n").cast("double"))
+              .as("m"))
+          .persist()
+        val k = cells.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("kb"))
+          .agg(max(col("kb")).cast("long").as("k"))
+        val ranked = cells.crossJoin(broadcast(k))
+          .withColumn("kb",
+            count(lit(1)).over(Window.partitionBy("c_nationkey")))
+          .filter(col("kb") === col("k"))
+          .withColumn("r",
+            row_number().over(Window.partitionBy("c_nationkey")
+              .orderBy("m", "o_orderpriority")).cast("long"))
+        val rsums = ranked.groupBy("o_orderpriority")
+          .agg(sum(col("r")).cast("long").as("rs"),
+            count(lit(1)).cast("long").as("b"))
+        rsums.as("a")
+          .join(rsums.as("bb"),
+            col("a.o_orderpriority") < col("bb.o_orderpriority"))
+          .crossJoin(broadcast(k))
+          .select(col("a.o_orderpriority").as("prio_a"),
+            col("bb.o_orderpriority").as("prio_b"),
+            col("a.rs").as("rs_a"), col("bb.rs").as("rs_b"),
+            col("a.b").as("b"), col("k"))
+          .select(col("prio_a"), col("prio_b"), col("rs_a"), col("rs_b"),
+            col("b"), col("k"),
+            when(col("b") <= 0, lit(null).cast("double"))
+              .otherwise(round(
+                (col("rs_a").cast("double") / col("b").cast("double")
+                  - col("rs_b").cast("double") / col("b").cast("double"))
+                / sqrt((col("k") * (col("k") + 1)).cast("double")
+                  / (col("b") * 6L).cast("double")), 6)).as("q_stat"))
+          .orderBy("prio_a", "prio_b")
+      },
+      Some("""WITH cells AS (
+                SELECT c_nationkey, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS HUGEINT)) AS sc
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              means AS (
+                SELECT c_nationkey, o_orderpriority,
+                  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS m
+                FROM cells),
+              kk AS (
+                SELECT CAST(MAX(kb) AS BIGINT) AS k
+                FROM (SELECT c_nationkey, count(*) AS kb
+                      FROM means GROUP BY 1)),
+              full_blocks AS (
+                SELECT c_nationkey, o_orderpriority, m
+                FROM (SELECT c_nationkey, o_orderpriority, m,
+                        count(*) OVER (PARTITION BY c_nationkey) AS kb
+                      FROM means), kk
+                WHERE kb = k),
+              ranked AS (
+                SELECT o_orderpriority,
+                  CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY m, o_orderpriority) AS BIGINT) AS r
+                FROM full_blocks),
+              rsums AS (
+                SELECT o_orderpriority, CAST(SUM(r) AS BIGINT) AS rs,
+                  CAST(count(*) AS BIGINT) AS b
+                FROM ranked GROUP BY 1)
+              SELECT a.o_orderpriority AS prio_a,
+                bb.o_orderpriority AS prio_b,
+                a.rs AS rs_a, bb.rs AS rs_b, a.b AS b,
+                CAST(k AS BIGINT) AS k,
+                CASE WHEN a.b <= 0 THEN NULL
+                  ELSE round(
+                    (CAST(a.rs AS DOUBLE) / CAST(a.b AS DOUBLE)
+                      - CAST(bb.rs AS DOUBLE) / CAST(bb.b AS DOUBLE))
+                    / sqrt(CAST(k * (k + 1) AS DOUBLE)
+                      / CAST(a.b * 6 AS DOUBLE)), 6) END AS q_stat
+              FROM rsums a JOIN rsums bb
+                ON a.o_orderpriority < bb.o_orderpriority, kk
+              ORDER BY prio_a, prio_b""")),
+
     // ── Quade test: block-weighted rank ANOVA (Friedman's sharper kin) ──
     // Friedman throws away HOW DIFFERENT the blocks are; Quade weights
     // each nation block by the rank Q_b of its mean-value RANGE, so

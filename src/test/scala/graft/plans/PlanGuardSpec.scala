@@ -988,6 +988,44 @@ class PlanGuardSpec extends SparkSpec {
       "the correlated SUM did not decorrelate into an aggregate")
   }
 
+  test("q_sql_values: the literal band join is the JUSTIFIED nested " +
+      "loop — broadcast build side is the 3-row VALUES relation") {
+    // the inverse guard of the no-BNLJ family: a range join against a
+    // LITERAL-bounded dimension SHOULD plan as a broadcast nested loop
+    // (3-row build, streaming probe — linear at any SF). What must
+    // never happen is the inversion: orders as the build side, or a
+    // CartesianProduct (row-by-row filter with no broadcast). The
+    // LocalTableScan in the plan is the VALUES relation; its presence
+    // under the join's build side is the literal-boundedness evidence.
+    val plan = qe("q_sql_values").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"VALUES band join degraded to a Cartesian product:\n${plan.take(2000)}")
+    assert(plan.contains("LocalTableScan"),
+      "the VALUES literal relation vanished from the executed plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "expected the literal-build broadcast nested loop for the range join")
+    // the parquet side must stream as the probe: exactly one scan of
+    // orders, no exchange between scan and join (broadcast goes the
+    // other way)
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "orders must be scanned exactly once as the streaming probe side")
+  }
+
+  test("q_sql_having_scalar: the global scalar is a 1-row subquery — " +
+      "no join materializes for the HAVING compare") {
+    // HAVING count(*)*10 > (SELECT count(*) FROM orders): Catalyst must
+    // execute the uncorrelated scalar ONCE (Subquery/scalar-subquery
+    // reuse) and fold it into the post-agg Filter — a BNLJ or cross
+    // join against the 1-row aggregate would put a corpus-sized probe
+    // through a nested loop for a constant compare
+    val plan = qe("q_sql_having_scalar").executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop")
+      && !plan.contains("CartesianProduct"),
+      s"scalar HAVING degraded to a join shape:\n${plan.take(2000)}")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      "the global count did not plan as a scalar subquery")
+  }
+
   test("q_sql_asof: the as-of join is equi-keyed — no nested-loop, no " +
       "domain join") {
     // the round-9 scale-killer class: Catalyst decorrelated the original
