@@ -222,7 +222,7 @@ object ScaleCheck {
     // selection — borderline 1 s steady-state
     "q_kupiec_pof",
     // round-9 survival/strata tests — borderline 1 s steady-state
-    "q_gehan_wilcoxon", "q_breslow_day", "q_tarone_ware",
+    "q_gehan_wilcoxon", "q_breslow_day", "q_tarone_ware", "q_double_mad",
     // round-9: the re-spelled SQL as-of (the 80 s decorrelation fix) —
     // its fan-out must stay bounded by per-customer order counts
     "q_sql_asof",

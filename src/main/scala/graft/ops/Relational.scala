@@ -2230,6 +2230,97 @@ object Relational {
                     THEN dev END) AS mad
               FROM r2 GROUP BY 1 ORDER BY 1""")),
 
+    // ── double MAD: asymmetric robust outlier screen on order values ────
+    // The upgrade q_mad's single scale can't give on a SKEWED
+    // distribution: one MAD from each side of the median (deviations
+    // of the ≤median half and of the ≥median half, separately), so a
+    // long right tail doesn't inflate the left fence. Order values are
+    // the canonical asymmetric case. All exact: cents median and both
+    // side-MADs are value-at-rank picks (RangeRank histogram brackets,
+    // tie-order-invariant), fences m ∓ 3·MAD are exact integers, and
+    // the two outlier counts are plain conditional sums — the whole
+    // readout is hash-gated with zero FP. Base projection persisted:
+    // the median pass, both side frames and the fence count read it.
+    Q("q_double_mad",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select((dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+          .persist()
+        val med = RangeRank.medianValues(base, "cents", nName = "n")
+          .select(col("n"), col("v1").as("m"))
+          .localCheckpoint(true)
+        // ONE grouped rank machine for both side-MADs: tag each
+        // deviation with its side (the median row belongs to BOTH,
+        // so it is emitted twice — standard double-MAD semantics)
+        val devs = base.crossJoin(broadcast(med))
+          .select(col("cents"), col("m"))
+          .filter(col("cents") <= col("m"))
+          .select(lit(0L).as("side"), (col("m") - col("cents")).as("dev"))
+          .unionAll(base.crossJoin(broadcast(med))
+            .filter(col("cents") >= col("m"))
+            .select(lit(1L).as("side"),
+              (col("cents") - col("m")).as("dev")))
+        val mads = RangeRank.groupValuesAtRanks(devs, Seq("side"), "dev",
+            Seq(RangeRank.RankPick("mad", n => expr("(n + 1) div 2"))))
+          .groupBy()
+          .agg(max(when(col("side") === 0, col("mad"))).as("mad_lo"),
+            max(when(col("side") === 1, col("mad"))).as("mad_hi"))
+        base.crossJoin(broadcast(med))
+          .crossJoin(broadcast(mads))
+          .agg(max(col("n")).as("n"), max(col("m")).as("median_cents"),
+            max(col("mad_lo")).as("mad_lo"),
+            max(col("mad_hi")).as("mad_hi"),
+            sum(when(col("cents") < col("m") - lit(3L) * col("mad_lo"),
+              1L).otherwise(0L)).cast("long").as("n_out_lo"),
+            sum(when(col("cents") > col("m") + lit(3L) * col("mad_hi"),
+              1L).otherwise(0L)).cast("long").as("n_out_hi"))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+                FROM orders),
+              r AS (
+                SELECT cents,
+                  row_number() OVER (ORDER BY cents) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM base),
+              med AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n,
+                  MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS m
+                FROM r),
+              dlo AS (
+                SELECT m - cents AS dev
+                FROM base, med WHERE cents <= m),
+              rlo AS (
+                SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM dlo),
+              mlo AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n_lo,
+                  MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+                    AS mad_lo
+                FROM rlo),
+              dhi AS (
+                SELECT cents - m AS dev
+                FROM base, med WHERE cents >= m),
+              rhi AS (
+                SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM dhi),
+              mhi AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n_hi,
+                  MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+                    AS mad_hi
+                FROM rhi)
+              SELECT med.n, med.m AS median_cents, mlo.mad_lo,
+                mhi.mad_hi,
+                CAST((SELECT COUNT(*) FROM base, med, mlo
+                  WHERE cents < m - 3 * mad_lo) AS BIGINT) AS n_out_lo,
+                CAST((SELECT COUNT(*) FROM base, med, mhi
+                  WHERE cents > m + 3 * mad_hi) AS BIGINT) AS n_out_hi
+              FROM med, mlo, mhi""")),
+
     // ── trimmed & winsorized means (exact, via prefix-sums-at-rank) ─────
     // The robust-location pair q_winsorize's census doesn't give: the
     // 10%-trimmed mean (drop the k = n div 10 smallest and largest) and
@@ -4846,6 +4937,114 @@ object Relational {
                     / CAST(n - max_marginal AS DOUBLE), 12)
                   END AS lambda
               FROM rm, cm""")),
+
+    // ── Goodman–Kruskal τ: variance-type PRE association, both ways ────
+    // The third categorical-association lens on the seg×priority
+    // frame: q_cramers_v asks "is there association" (χ²-scaled),
+    // q_gk_lambda asks "how much better is the MODAL guess" (and is
+    // famously 0 when one mode dominates every row), τ asks "how much
+    // of the full DISTRIBUTION's Gini concentration does knowing X
+    // remove" — nonzero whenever any cell deviates, and asymmetric,
+    // so both directions are emitted. Exact arithmetic: every
+    // Σn²/marginal term is a single division of exact dec38 integers
+    // (identical doubles, no rounding), folds seg-/priority-pinned,
+    // τ two final IEEE steps. Same one-scan ≤ segments×priorities
+    // census as its two siblings.
+    Q("q_gk_tau",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val cells = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            substring(col("o_orderpriority"), 1, 1).cast("long").as("p"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val byX = cells.groupBy("seg")
+          .agg(sum(col("c")).cast("long").as("nx"),
+            sum(col("c").cast(dec38) * col("c")).as("sq"))
+          .select(col("seg"),
+            (col("sq").cast("double") / col("nx").cast("double"))
+              .as("tx"))
+          .agg(expr("""aggregate(array_sort(collect_list(struct(seg, tx))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.tx)""").as("a_yx"))
+        val byY = cells.groupBy("p")
+          .agg(sum(col("c")).cast("long").as("ny"),
+            sum(col("c").cast(dec38) * col("c")).as("sq"))
+          .select(col("p"),
+            (col("sq").cast("double") / col("ny").cast("double"))
+              .as("ty"))
+          .agg(expr("""aggregate(array_sort(collect_list(struct(p, ty))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.ty)""").as("a_xy"))
+        val marg = cells.agg(sum(col("c")).cast("long").as("n"))
+          .crossJoin(broadcast(cells.groupBy("p")
+            .agg(sum(col("c")).cast("long").as("cp"))
+            .agg(sum(col("cp").cast(dec38) * col("cp")).as("sy2"))))
+          .crossJoin(broadcast(cells.groupBy("seg")
+            .agg(sum(col("c")).cast("long").as("cx"))
+            .agg(sum(col("cx").cast(dec38) * col("cx")).as("sx2"))))
+        marg.crossJoin(broadcast(byX)).crossJoin(broadcast(byY))
+          .select(col("n"),
+            (col("sy2").cast("double") / col("n").cast("double"))
+              .as("b_y"),
+            (col("sx2").cast("double") / col("n").cast("double"))
+              .as("b_x"),
+            col("a_yx"), col("a_xy"))
+          .select(col("n"),
+            when(col("n").cast("double") - col("b_y") <= 0,
+              lit(null).cast("double"))
+              .otherwise((col("a_yx") - col("b_y"))
+                / (col("n").cast("double") - col("b_y")))
+              .as("tau_prio_given_seg"),
+            when(col("n").cast("double") - col("b_x") <= 0,
+              lit(null).cast("double"))
+              .otherwise((col("a_xy") - col("b_x"))
+                / (col("n").cast("double") - col("b_x")))
+              .as("tau_seg_given_prio"))
+      },
+      Some("""WITH cells AS (
+                SELECT c_mktsegment AS seg,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS p,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              bx AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(tx ORDER BY seg)), (a, x) -> a + x) AS a_yx
+                FROM (SELECT seg,
+                        CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                          / CAST(SUM(c) AS DOUBLE) AS tx
+                      FROM cells GROUP BY 1)),
+              by_ AS (
+                SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(ty ORDER BY p)), (a, x) -> a + x) AS a_xy
+                FROM (SELECT p,
+                        CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                          / CAST(SUM(c) AS DOUBLE) AS ty
+                      FROM cells GROUP BY 1)),
+              marg AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  (SELECT SUM(CAST(cp AS HUGEINT) * cp) FROM
+                    (SELECT p, CAST(SUM(c) AS BIGINT) AS cp
+                     FROM cells GROUP BY 1)) AS sy2,
+                  (SELECT SUM(CAST(cx AS HUGEINT) * cx) FROM
+                    (SELECT seg, CAST(SUM(c) AS BIGINT) AS cx
+                     FROM cells GROUP BY 1)) AS sx2
+                FROM cells),
+              m AS (
+                SELECT n,
+                  CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE) AS b_y,
+                  CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS b_x,
+                  a_yx, a_xy
+                FROM marg, bx, by_)
+              SELECT n,
+                CASE WHEN CAST(n AS DOUBLE) - b_y <= 0 THEN NULL
+                  ELSE (a_yx - b_y) / (CAST(n AS DOUBLE) - b_y) END
+                  AS tau_prio_given_seg,
+                CASE WHEN CAST(n AS DOUBLE) - b_x <= 0 THEN NULL
+                  ELSE (a_xy - b_x) / (CAST(n AS DOUBLE) - b_x) END
+                  AS tau_seg_given_prio
+              FROM m""")),
 
     // ── process capability Cp / Cpk of order values ─────────────────────
     // The SPC readout q_control_chart's per-day limits don't give:
