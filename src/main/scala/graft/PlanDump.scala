@@ -266,9 +266,16 @@ object PlanDump {
     // time); regeneration must carry the live PLANS.md versions, not
     // the round-5 snapshot baked in below — otherwise one PlanDump run
     // silently reverts three rounds of budget rows
+    // UTF-8 EXPLICITLY: the platform default charset is ASCII in the
+    // build container (file.encoding=ANSI_X3.4-1968), and a
+    // default-charset read decodes every multi-byte character in the
+    // hand-maintained sections to U+FFFD before writeString re-encodes
+    // the damage — 114 silently mangled lines in round 10 until the
+    // close audit caught it. Read and write must both pin UTF-8
+    // (writeString already does).
     val live = try {
       Some(new String(java.nio.file.Files.readAllBytes(
-        Paths.get("PLANS.md"))))
+        Paths.get("PLANS.md")), java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => None }
     // fail LOUDLY when a live PLANS.md exists but a splice marker is
     // missing — a silent fallback would revert the census table to the

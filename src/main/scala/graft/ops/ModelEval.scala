@@ -3386,6 +3386,144 @@ object ModelEval {
                       * CAST(n1 + n2 - 1 AS DOUBLE)) / 4.0), 6) AS z_ab
               FROM agg, ns""")),
 
+    // ── Cucconi joint location-scale test (urgent vs rest values) ──────
+    // The SINGLE test for "did the urgent orders' value distribution
+    // move OR spread?" — q_mann_whitney sees location only, Ansari
+    // scale only; running both and Bonferroni-ing loses power to the
+    // correlation Cucconi models EXPLICITLY: U from Σ(pooled ranks)²,
+    // V from Σ(contrary ranks)², ρ(N) their exact correlation, C =
+    // (U²+V²−2ρUV)/(2(1−ρ²)). Exact on the SAME value census as
+    // q_ansari_bradley (urgent/rest × totalprice cents): ΣS², ΣT² are
+    // dec38 sums of c·midrank² cells (midranks ×2), the centered
+    // numerators 6ΣS²−n(N+1)(2N+1) stay EXACT dec38 (the cancellation
+    // that would shred doubles at 10¹⁰ rows), and only the
+    // cancellation-free variance product B = mn(N+1)(2N+1)(8N+11)/5
+    // (~N⁵ — past dec38 at 100-TB counts) drops to a pinned double
+    // chain. Pooled midranks ride RangeRank prefix sums — never a
+    // single-task window over the ~6·10⁷-value census.
+    Q("q_cucconi",
+      (s, dir) => {
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+        val cum = RangeRank.ranked(census, Seq.empty, Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(
+            RangeRank.PrefixSum(col("c1") + col("c2"), "cum")))
+          .select(col("c1"), col("c2"),
+            (lit(2L) * col("cum") + col("c1") + col("c2") + 1L)
+              .as("mr_x2"))
+        val agg = cum.agg(
+          sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2"),
+          sum(col("c1").cast(dec38) * col("mr_x2") * col("mr_x2"))
+            .as("ss_x4"))
+        val aggT = cum.crossJoin(broadcast(
+            cum.agg((sum(col("c1")) + sum(col("c2"))).cast("long")
+              .as("nn"))))
+          .select(col("c1"),
+            (lit(2L) * (col("nn") + 1L) - col("mr_x2")).as("t_x2"))
+          .agg(sum(col("c1").cast(dec38) * col("t_x2") * col("t_x2"))
+            .as("tt_x4"))
+        agg.crossJoin(broadcast(aggT))
+          .select(col("n1"), col("n2"),
+            (col("n1") + col("n2")).as("nn"),
+            (lit(6L).cast(dec38) * col("ss_x4")
+              - lit(4L).cast(dec38) * col("n1")
+                * (col("n1") + col("n2") + 1)
+                * (lit(2L) * (col("n1") + col("n2")) + 1)).as("a4u"),
+            (lit(6L).cast(dec38) * col("tt_x4")
+              - lit(4L).cast(dec38) * col("n1")
+                * (col("n1") + col("n2") + 1)
+                * (lit(2L) * (col("n1") + col("n2")) + 1)).as("a4v"))
+          .select(col("n1"), col("n2"),
+            (col("a4u").cast("double") / 4.0
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * (col("nn").cast("double") + 1.0)
+                * (col("nn").cast("double") * 2.0 + 1.0)
+                * (col("nn").cast("double") * 8.0 + 11.0) / 5.0))
+              .as("u"),
+            (col("a4v").cast("double") / 4.0
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * (col("nn").cast("double") + 1.0)
+                * (col("nn").cast("double") * 2.0 + 1.0)
+                * (col("nn").cast("double") * 8.0 + 11.0) / 5.0))
+              .as("v"),
+            ((col("nn").cast(dec38) * col("nn") - 4).cast("double") * 2.0
+              / ((lit(2L).cast(dec38) * col("nn") + 1)
+                * (lit(8L) * col("nn") + 11)).cast("double") - 1.0)
+              .as("rho"))
+          .select(col("n1"), col("n2"), col("u"), col("v"), col("rho"),
+            when(col("rho") * col("rho") >= 1.0,
+              lit(null).cast("double"))
+              .otherwise((col("u") * col("u") + col("v") * col("v")
+                - col("rho") * col("u") * col("v") * 2.0)
+                / (lit(2.0) * (lit(1.0) - col("rho") * col("rho"))))
+              .as("c_stat"))
+      },
+      Some("""WITH census AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                    AS c1,
+                  CAST(SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                    AS c2
+                FROM orders GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c1 + c2 + 1 AS mr_x2
+                FROM census),
+              ns AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  CAST(SUM(c1) + SUM(c2) AS BIGINT) AS nn,
+                  SUM(CAST(c1 AS HUGEINT) * mr_x2 * mr_x2) AS ss_x4
+                FROM cum),
+              ts AS (
+                SELECT SUM(CAST(c1 AS HUGEINT)
+                  * (2 * (nn + 1) - mr_x2) * (2 * (nn + 1) - mr_x2))
+                  AS tt_x4
+                FROM cum, ns),
+              m AS (
+                SELECT n1, n2, nn,
+                  CAST(6 AS HUGEINT) * ss_x4
+                    - CAST(4 AS HUGEINT) * n1 * (nn + 1) * (2 * nn + 1)
+                    AS a4u,
+                  CAST(6 AS HUGEINT) * tt_x4
+                    - CAST(4 AS HUGEINT) * n1 * (nn + 1) * (2 * nn + 1)
+                    AS a4v
+                FROM ns, ts),
+              uv AS (
+                SELECT n1, n2,
+                  CAST(a4u AS DOUBLE) / 4.0
+                    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (CAST(nn AS DOUBLE) + 1.0)
+                      * (CAST(nn AS DOUBLE) * 2.0 + 1.0)
+                      * (CAST(nn AS DOUBLE) * 8.0 + 11.0) / 5.0) AS u,
+                  CAST(a4v AS DOUBLE) / 4.0
+                    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (CAST(nn AS DOUBLE) + 1.0)
+                      * (CAST(nn AS DOUBLE) * 2.0 + 1.0)
+                      * (CAST(nn AS DOUBLE) * 8.0 + 11.0) / 5.0) AS v,
+                  CAST(CAST(nn AS HUGEINT) * nn - 4 AS DOUBLE) * 2.0
+                    / CAST((CAST(2 AS HUGEINT) * nn + 1)
+                      * (8 * nn + 11) AS DOUBLE) - 1.0 AS rho
+                FROM m)
+              SELECT n1, n2, u, v, rho,
+                CASE WHEN rho * rho >= 1.0 THEN NULL
+                  ELSE (u * u + v * v - rho * u * v * 2.0)
+                    / (2.0 * (1.0 - rho * rho)) END AS c_stat
+              FROM uv""")),
+
     // ── Welch's heteroscedastic one-way ANOVA across priorities ─────────
     // q_anova assumes equal variances; q_levene/q_conover test that
     // assumption — this is what to RUN when it fails: Welch's F* with

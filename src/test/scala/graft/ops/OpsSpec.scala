@@ -442,6 +442,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // ── KMV mergeability: the 100-TB law the estimate's scale story rests on
+  test("KMV bottom-k sketch is mergeable: merge of partition sketches " +
+      "== whole-corpus sketch") {
+    // bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    // property that lets a 1000-executor run keep k longs per
+    // partition and a k-row driver merge. Exercised on the SAME
+    // portable hash q_kmv_distinct gates, split by hash parity.
+    val P = 1000000007L
+    val hashes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("token"))
+      .distinct()
+      .withColumn("h", expr(
+        s"""aggregate(filter(split(token, ''), ch -> ch <> ''),
+            0L, (acc, ch) -> (acc * 31 + ascii(ch)) % ${P}L)"""))
+      .select("h").distinct().persist()
+    // k = 16 in the TEST: the sf0.001 vocabulary is ~31 tokens, so a
+    // 256-row bottom-k would be the trivial identity — k=16 makes both
+    // halves genuinely truncate and the merge genuinely select
+    def bottomK(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("h").limit(16)
+    val whole = bottomK(hashes).collect().map(_.getLong(0)).sorted
+    val merged = bottomK(
+        bottomK(hashes.filter(col("h") % 2 === 0))
+          .unionAll(bottomK(hashes.filter(col("h") % 2 =!= 0))))
+      .collect().map(_.getLong(0)).sorted
+    assert(whole.length == 16, s"vocab too small: ${whole.length}")
+    assert(merged.sameElements(whole),
+      "partition-sketch merge diverged from the whole-corpus sketch")
+  }
+
   // ── sketch overlap: I-E estimates track the exact census ─────────────
   test("q_overlap_sketch intersection estimates stay within tolerance of exact") {
     val exact = q("q_set_overlap").collect()
