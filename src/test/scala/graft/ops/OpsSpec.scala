@@ -473,6 +473,61 @@ class OpsSpec extends SparkSpec {
       "partition-sketch merge diverged from the whole-corpus sketch")
   }
 
+  // ── CMS additivity: partition sketches sum to the corpus sketch ──────
+  test("CMS cell masses are additive: sum of partition sketches == " +
+      "whole-corpus sketch") {
+    // count-min cells are plain SUMs, so sketch(A) + sketch(B) ==
+    // sketch(A ∪ B) cell-by-cell — the merge law that lets 1000
+    // executors keep d×w longs each and reduce them. Rebuilt here from
+    // the same token census + pinned affine row hashes as q_cms_topk,
+    // split by document parity.
+    val P = 1000000007L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')"))
+          .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", expr(
+        s"""aggregate(filter(split(token, ''), ch -> ch <> ''),
+            0L, (acc, ch) -> (acc * 31 + ascii(ch)) % ${P}L"""
+          + ")"))
+      .select(col("cnt"), explode(expr(
+        s"""transform(array(struct(0 AS r, 31L AS a, 7L AS b),
+              struct(1 AS r, 131L AS a, 911L AS b),
+              struct(2 AS r, 8191L AS a, 3571L AS b),
+              struct(3 AS r, 524287L AS a, 1231L AS b)),
+            p -> struct(p.r AS r,
+              ((h * p.a + p.b) % ${P}L) % 1024 AS bucket))"""))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("mass"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = toMap(cells(docs))
+    val a = toMap(cells(docs.filter(col("doc_id") % 2 === 0)))
+    val b = toMap(cells(docs.filter(col("doc_id") % 2 =!= 0)))
+    assert(whole.nonEmpty)
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === whole,
+      "partition CMS sum diverged from the whole-corpus sketch")
+  }
+
+  // ── Cucconi: the quadratic form is nonnegative and MW/Ansari-coherent
+  test("q_cucconi C is a nonnegative quadratic form with finite U, V") {
+    val r = q("q_cucconi").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val u = row.getDouble(row.fieldIndex("u"))
+    val v = row.getDouble(row.fieldIndex("v"))
+    val c = row.getDouble(row.fieldIndex("c_stat"))
+    assert(!u.isNaN && !u.isInfinite && !v.isNaN && !v.isInfinite)
+    // (U²+V²−2ρUV)/(2(1−ρ²)) is PSD for |ρ|<1 — a negative C means the
+    // exact-integer centering or the ρ(N) constant drifted
+    assert(c >= 0.0, s"Cucconi C went negative: $c (u=$u v=$v)")
+  }
+
   // ── sketch overlap: I-E estimates track the exact census ─────────────
   test("q_overlap_sketch intersection estimates stay within tolerance of exact") {
     val exact = q("q_set_overlap").collect()
