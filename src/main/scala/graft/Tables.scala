@@ -60,6 +60,12 @@ object Tables {
     */
   private def ingest(spark: SparkSession, sfDir: String, name: String,
       raw: DataFrame): DataFrame =
+    ingest0(spark, sfDir, name, raw,
+      s"/tmp/graft_ingest_${graft.ops.Artifacts.tag(sfDir)}_" +
+        s"${graft.ops.Artifacts.sessionTag(spark)}")
+
+  private[graft] def ingest0(spark: SparkSession, sfDir: String,
+      name: String, raw: DataFrame, destRoot: String): DataFrame =
     try {
       val src = new java.io.File(s"$sfDir/$name.parquet")
       val bytes = if (src.isFile) src.length()
@@ -76,13 +82,22 @@ object Tables {
       val n = math.max(1L, math.min(32L, bytes / 393216L)).toInt
       if (n <= nFiles) raw
       else {
-        val dest = graft.ops.Artifacts.cleanupOnExit(
-          s"/tmp/graft_ingest_${graft.ops.Artifacts.tag(sfDir)}_" +
-            s"${graft.ops.Artifacts.sessionTag(spark)}/$name")
+        val dest = graft.ops.Artifacts.cleanupOnExit(s"$destRoot/$name")
         raw.repartition(n).write.mode("overwrite").parquet(dest)
         spark.read.parquet(dest)
       }
-    } catch { case _: Throwable => raw }
+    } catch {
+      // Fall back to the raw single-row-group scan ONLY on recoverable
+      // failures (disk full under /tmp, permissions), and say so loudly:
+      // a silently degraded layout triples the per-query scan floor and
+      // would otherwise be indistinguishable from a code regression.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] WARN: ingest re-layout of '$name' failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "falling back to the raw under-parallel scan")
+        raw
+    }
 
   private def load0(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {

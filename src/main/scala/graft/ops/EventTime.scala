@@ -2131,6 +2131,12 @@ object EventTime {
     // on the driver-side of the agg — the corpus collapses in the ONE
     // day-census shuffle, the ~2.4k-step recurrence is O(days), the
     // same envelope as q_holt_smoothing's recursive CTE.
+    // Dense-calendar assumption (ADVICE r10): the fold steps once per
+    // CENSUS ROW, so "one step = one day" holds only when every day
+    // has ≥1 order — true of this orders table; on a gapped calendar
+    // a dark day is silently skipped rather than smoothed over (the
+    // seasonal slot is still indexed by the TRUE dow, so slots never
+    // misalign). Cross-engine parity is unaffected.
     Q("q_holt_winters",
       (s, dir) => {
         val daily = t(s, dir, "orders")
@@ -2605,9 +2611,13 @@ object EventTime {
           .withColumn("x", lag(col("cents"), 1).over(wDay))
           .filter(col("x").isNotNull)
           .select(col("x"), (col("cents") - col("x")).as("d"))
+        // cast INSIDE the sum (ADVICE r10): Σx is total revenue cents —
+        // LongType accumulation has only ~3-4× headroom at the 100-TB
+        // envelope and non-ANSI Spark wraps silently; DuckDB's SUM
+        // already widens to HUGEINT
         val sums = pairs.agg(count(lit(1)).cast("long").as("n"),
-          sum(col("x")).cast(dec38).as("sx"),
-          sum(col("d")).cast(dec38).as("sd"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("d").cast(dec38)).as("sd"),
           sum(col("x").cast(dec38) * col("x")).as("sx2"),
           sum(col("x").cast(dec38) * col("d")).as("sxd"),
           sum(col("d").cast(dec38) * col("d")).as("sd2"))
@@ -2685,6 +2695,12 @@ object EventTime {
     // squared IN the decimal domain — int64 overflows past ~3e9-cent
     // daily swings), restricted to days where BOTH lags exist so the
     // two sums cover the identical day set; one division + sqrt.
+    // Dense-calendar assumption (ADVICE r10, the q_runs_test pattern):
+    // lag(cents, 7) is over census ROWS, which equals "one week ago"
+    // only when every day has ≥1 order — true of this orders table
+    // (and of any dense daily rollup); on a gapped calendar the
+    // comparison silently becomes lag-7-rows. Cross-engine parity is
+    // unaffected (both engines share the spelling).
     Q("q_theil_u2",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
@@ -2759,8 +2775,9 @@ object EventTime {
             lit("1970-01-01").cast("date")).cast("long").as("day"))
           .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
             .as("cents"))
+        // cast INSIDE the sum (ADVICE r10): sy is total revenue cents
         val nf = daily.agg(count(lit(1)).cast("long").as("n"),
-          sum(col("cents")).cast(dec38).as("sy"))
+          sum(col("cents").cast(dec38)).as("sy"))
         var e = daily.crossJoin(broadcast(nf))
           .withColumn("e",
             col("n").cast(dec38) * col("cents") - col("sy"))

@@ -3411,6 +3411,9 @@ object ModelEval {
           .groupBy("v")
           .agg(sum(col("tr")).cast("long").as("c1"),
             sum(lit(1L) - col("tr")).cast("long").as("c2"))
+        // persist: the midrank census feeds THREE consumers (agg, aggT,
+        // and aggT's nn broadcast) — un-persisted, each re-scans the
+        // orders corpus (ADVICE r10; the q_cuzick_trend cg discipline)
         val cum = RangeRank.ranked(census, Seq.empty, Seq(col("v")),
           rnName = "__rn", nName = None,
           prefixSums = Seq(
@@ -3418,6 +3421,7 @@ object ModelEval {
           .select(col("c1"), col("c2"),
             (lit(2L) * col("cum") + col("c1") + col("c2") + 1L)
               .as("mr_x2"))
+          .persist()
         val agg = cum.agg(
           sum(col("c1")).cast("long").as("n1"),
           sum(col("c2")).cast("long").as("n2"),

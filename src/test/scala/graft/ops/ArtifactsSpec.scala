@@ -93,4 +93,24 @@ class ArtifactsSpec extends SparkSpec {
     val n1 = Graph.bipartiteEdges(spark, dir).count()
     assert(n1 > 0 && n1 < n0)
   }
+
+  test("ingest fallback answers from the raw frame AND warns (r10 verdict #1)") {
+    // destRoot is a path UNDER a regular file — any write there throws,
+    // driving the NonFatal fallback; the result must still be the full
+    // raw table and a loud stderr line must name the table and cause.
+    val blocker = java.nio.file.Files.createTempFile("graft-block", "")
+    val dir = sfPath("0.01") // big enough that re-layout isn't skipped
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+    val err = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    val out = try {
+      System.setErr(new java.io.PrintStream(err, true))
+      Tables.ingest0(spark, dir, "lineitem", raw, s"$blocker/sub")
+    } finally System.setErr(saved)
+    assert(out.count() === raw.count())
+    val msg = err.toString
+    assert(msg.contains("ingest re-layout of 'lineitem' failed"),
+      s"expected a loud fallback warning, got: $msg")
+    java.nio.file.Files.deleteIfExists(blocker)
+  }
 }
