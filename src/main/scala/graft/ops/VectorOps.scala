@@ -68,6 +68,76 @@ object VectorOps {
   private def duckDot(a: String, b: String): String =
     s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) g(i))"
 
+  // ── DuckDB XXH64(long, seed=42) — the k-means init hash ──────────────
+  // Spark's `pmod(xxhash64(vec_id), k)` seeds the codebook; replaying it
+  // in the oracle needs the 8-byte XXH64 path (hash = avalanche(
+  // rotl(seed+P5+8 ^ rotl(l·P2,31)·P1, 27)·P1 + P4)) in SQL. All ops are
+  // mod-2⁶⁴: HUGEINT carries the values, multiplication splits into
+  // 32-bit halves (a 64×64 product can overflow even INT128), rotation
+  // is divmod by powers of two. Verified bit-exact against Spark's
+  // xxhash64 for the whole vec_id domain.
+  private val xxP1 = BigInt("9E3779B185EBCA87", 16)
+  private val xxP2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val xxP3 = BigInt("165667B19E3779F9", 16)
+  private val xxP4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val xxP5 = BigInt("27D4EB2F165667C5", 16)
+  private val xxM = BigInt(1) << 64
+
+  private def xxMul(a: String, c: BigInt): String = {
+    val lo = c & 0xFFFFFFFFL; val hi = c >> 32
+    s"(((($a) % 4294967296) * $lo + (((($a) % 4294967296) * $hi" +
+      s" + (($a) // 4294967296) * $lo) % 4294967296) * 4294967296)" +
+      " % 18446744073709551616)"
+  }
+  private def xxRotl(a: String, r: Int): String =
+    s"(((($a) % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r})" +
+      s" + (($a) // ${BigInt(1) << (64 - r)}))"
+  private def xxXor(a: String, b: String): String =
+    s"xor(CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+
+  /** CTE chain `<p>1s..<p>5s, <p>` computing column `h` =
+    * Spark `xxhash64(idCol)` (signed) for each row of `from0`.
+    */
+  private def duckXxHash64(p: String, from0: String, idCol: String): String = {
+    val h0 = (BigInt(42) + xxP5 + 8) % xxM
+    s"""${p}1s AS (SELECT $idCol, ${xxMul(s"CAST($idCol AS HUGEINT)", xxP2)} AS m1
+                 FROM $from0),
+       ${p}2s AS (SELECT $idCol, ${xxMul(xxRotl("m1", 31), xxP1)} AS k1 FROM ${p}1s),
+       ${p}3s AS (SELECT $idCol, ((${xxMul(xxRotl(xxXor(h0.toString, "k1"), 27), xxP1)}
+                   + $xxP4) % 18446744073709551616) AS h2 FROM ${p}2s),
+       ${p}4s AS (SELECT $idCol, ${xxMul(xxXor("h2", "h2 // 8589934592"), xxP2)} AS a2
+                 FROM ${p}3s),
+       ${p}5s AS (SELECT $idCol, ${xxMul(xxXor("a2", "a2 // 536870912"), xxP3)} AS a4
+                 FROM ${p}4s),
+       $p AS (SELECT $idCol,
+                CASE WHEN ${xxXor("a4", "a4 // 4294967296")} >= 9223372036854775808
+                  THEN ${xxXor("a4", "a4 // 4294967296")} - 18446744073709551616
+                  ELSE ${xxXor("a4", "a4 // 4294967296")} END AS h
+              FROM ${p}5s)"""
+  }
+
+  /** One Lloyd round as CTEs: assign every vector of `emb` to its
+    * argmax-cosine centroid of `c${r-1}n` (ties → smallest cent_id, the
+    * struct-min spelling), then recompute exact integer-unit means —
+    * the same round(x·10¹²) carrier as [[trainCentroids]].
+    */
+  private def duckLloydRound(r: Int): String =
+    s"""a$r AS (
+         SELECT e.vec_id, e.embedding, c.cent_id,
+           ${duckDot("c.c_emb", "e.embedding")} / sqrt(c.c_n2 * e.n2) AS csim
+         FROM kx_emb e CROSS JOIN c${r - 1}n c
+         QUALIFY row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY csim DESC, c.cent_id) = 1),
+       x$r AS (SELECT cent_id, unnest(embedding) AS v,
+                 unnest(generate_series(1, len(embedding))) AS pos FROM a$r),
+       m$r AS (SELECT cent_id, pos,
+                 CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1e12) AS HUGEINT))
+                   AS DOUBLE) / 1e12 / COUNT(*) AS m
+               FROM x$r GROUP BY 1, 2),
+       c$r AS (SELECT cent_id, list(m ORDER BY pos) AS c_emb FROM m$r GROUP BY 1),
+       c${r}n AS (SELECT cent_id, c_emb, ${duckDot("c_emb", "c_emb")} AS c_n2
+                  FROM c$r)"""
+
   val queries: Seq[Q] = Seq(
 
     // ── exact cosine top-3 neighbors for 10 probe vectors ────────────────
@@ -165,11 +235,17 @@ object VectorOps {
     // ── semantic clustering: k-means cell per vector ─────────────────────
     // The mix-balancing / topic-bucketing op: every vector labeled with
     // its trained k-means cell and the cosine to that centroid. Training
-    // is the deterministic seed-free spherical k-means of trainCentroids
-    // (oracle-exempt: DuckDB can't replay Lloyd rounds); assignment is
-    // the same arg-max aggregation as IVF — one partial row per vector
-    // crosses the shuffle. Deterministic across reruns by construction
-    // (spec-pinned), so cluster labels are stable pipeline artifacts.
+    // is the deterministic seed-free spherical k-means of trainCentroids;
+    // assignment is the same arg-max aggregation as IVF — one partial
+    // row per vector crosses the shuffle. Deterministic across reruns by
+    // construction (spec-pinned), so cluster labels are stable pipeline
+    // artifacts. Oracled since round 11 by a full generated-CTE replay
+    // of the training (the q_bpe_train / q_power_iteration discipline):
+    // the xxhash64 init seed reproduced bit-exact in mod-2⁶⁴ HUGEINT
+    // arithmetic ([[duckXxHash64]]), both Lloyd rounds replayed with the
+    // identical integer-unit means ([[duckLloydRound]]), and the final
+    // arg-max assignment as a QUALIFY row_number — every double derived
+    // through the same IEEE op sequence as the engine's.
     Q("q_cluster_assign",
       (s, dir) => {
         GraftExtensions.ensureRegistered(s)
@@ -180,7 +256,36 @@ object VectorOps {
           .select(col("vec_id"), col("cent_id").as("cluster_id"), col("sim"))
           .orderBy("vec_id")
       },
-      None),
+      Some(s"""WITH kk AS (
+                SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                  AS k
+                FROM embeddings),
+              ${duckXxHash64("hs", "embeddings", "vec_id")},
+              bkt AS (SELECT h.vec_id, ((h.h % kk.k) + kk.k) % kk.k AS b
+                      FROM hs h, kk),
+              kx_emb AS (SELECT vec_id, embedding,
+                           ${duckDot("embedding", "embedding")} AS n2
+                         FROM embeddings),
+              c0 AS (SELECT b.b AS cent_id,
+                       list_transform(arg_min(e.embedding, e.vec_id),
+                         x -> CAST(x AS DOUBLE)) AS c_emb
+                     FROM bkt b JOIN kx_emb e ON e.vec_id = b.vec_id
+                     GROUP BY 1),
+              c0n AS (SELECT cent_id, c_emb,
+                        ${duckDot("c_emb", "c_emb")} AS c_n2
+                      FROM c0),
+              ${duckLloydRound(1)},
+              ${duckLloydRound(2)},
+              fin AS (
+                SELECT e.vec_id, c.cent_id,
+                  ${duckDot("c.c_emb", "e.embedding")} / sqrt(c.c_n2 * e.n2)
+                    AS csim
+                FROM kx_emb e CROSS JOIN c2n c
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY csim DESC, c.cent_id) = 1)
+              SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster_id,
+                csim AS sim
+              FROM fin ORDER BY vec_id""")),
 
     // ── element-wise centroid aggregation per label ──────────────────────
     // The "training" step an IVF index needs: mean embedding per class.
@@ -664,34 +769,40 @@ object VectorOps {
       }),
 
     // ── per-label centroid drift vs the global centroid ──────────────────
-    // (oracle-exempt: 64-dim decimal component means are not reasonably
-    // SQL-shaped; CentroidShiftSpec pins the invariants, DeterminismSpec
-    // the bytes.) The embedding-health readout before any clustering
-    // decision: how far does each label's mean vector point from the
-    // corpus mean? Component means accumulate in DECIMAL(28,12) (the
-    // k-means helper's order-free carrier) through ONE partial+final
-    // agg keyed (label, component); the global centroid derives from
-    // the SAME per-label sums (no second corpus pass); cosine is the
-    // codegen graft_dot on two 64-element arrays per label.
+    // The embedding-health readout before any clustering decision: how
+    // far does each label's mean vector point from the corpus mean?
+    // Components quantize to integer 1e-12 units on the IEEE product
+    // (round(x·10¹²) — identical half-away-from-zero on both engines,
+    // where a double→decimal cast tie-breaks differently: Spark HALF_UP
+    // vs DuckDB HALF_EVEN, the divergence that kept this oracle-exempt
+    // through round 10) and sum EXACTLY in dec38 through ONE
+    // partial+final agg keyed (label, component); the global centroid
+    // derives from the SAME per-label sums (no second corpus pass);
+    // cosine is the codegen graft_dot on two 64-element arrays per
+    // label, replayed in DuckDB as the same ascending correlated sum.
+    // CentroidShiftSpec still pins the invariants, DeterminismSpec the
+    // bytes.
     Q("q_centroid_shift",
       (s, dir) => {
         GraftExtensions.ensureRegistered(s)
-        val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val comp = t(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
           .groupBy("label", "j")
-          .agg(sum(col("x").cast("double").cast(dec)).as("sx"),
+          .agg(sum(round(col("x").cast("double") * lit(1e12)).cast(dec38))
+            .as("sxu"),
             count(lit(1)).as("n"))
           .persist()
         val perLabel = comp.groupBy("label")
           .agg(sort_array(collect_list(struct(col("j"),
-            (col("sx").cast("double") / col("n").cast("double")).as("m"))))
+            (col("sxu").cast("double") / lit(1e12)
+              / col("n").cast("double")).as("m"))))
             .as("jm"),
             max(col("n")).as("n_vecs"))
           .select(col("label"), col("n_vecs"),
             transform(col("jm"), x => x.getField("m")).as("c"))
         val global = comp.groupBy("j")
-          .agg((sum(col("sx")).cast("double")
+          .agg((sum(col("sxu")).cast("double") / lit(1e12)
             / sum(col("n")).cast("double")).as("m"))
           .agg(sort_array(collect_list(struct(col("j"), col("m")))).as("jm"))
           .select(transform(col("jm"), x => x.getField("m")).as("g"))
@@ -702,7 +813,30 @@ object VectorOps {
               .as("cos_to_global"))
           .orderBy("label")
       },
-      None),
+      Some(s"""WITH comp AS (
+                SELECT label, pos AS j,
+                  SUM(CAST(round(CAST(x AS DOUBLE) * 1e12) AS HUGEINT))
+                    AS sxu,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT label, unnest(embedding) AS x,
+                        unnest(generate_series(1, len(embedding))) AS pos
+                      FROM embeddings)
+                GROUP BY 1, 2),
+              per_label AS (
+                SELECT label, max(n) AS n_vecs,
+                  list(CAST(sxu AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+                    ORDER BY j) AS cl
+                FROM comp GROUP BY 1),
+              gctr AS (
+                SELECT list(m ORDER BY j) AS gl
+                FROM (SELECT j, CAST(SUM(sxu) AS DOUBLE) / 1e12
+                        / CAST(SUM(n) AS DOUBLE) AS m
+                      FROM comp GROUP BY 1))
+              SELECT CAST(label AS BIGINT) AS label, n_vecs,
+                ${duckDot("cl", "gl")}
+                  / sqrt(${duckDot("cl", "cl")} * ${duckDot("gl", "gl")})
+                  AS cos_to_global
+              FROM per_label, gctr ORDER BY label""")),
 
     // ── pairwise cosine-similarity histogram ─────────────────────────────
     // The embedding-space geometry audit: cosine of each vector against
@@ -1245,12 +1379,19 @@ object VectorOps {
         .groupBy("vec_id")
         .agg(min(col("sc")).getField("cent_id").as("cent_id"),
           first(col("embedding")).as("embedding"))
+      // order-independent EXACT mean: quantize each element to integer
+      // 1e-12 units on the IEEE product (round(v·10¹²) — both engines
+      // round the identical double half-away-from-zero, unlike a
+      // double→DECIMAL cast whose tie-break differs: Spark HALF_UP vs
+      // DuckDB HALF_EVEN — the one-ulp divergence that kept this
+      // oracle-exempt), sum exactly in dec38, then ONE pinned
+      // double-division chain
       cents = withNorm(assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cent_id", "pos")
-        .agg((sum(col("v").cast("double")
-          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          .cast("double") / count(lit(1))).as("m"))
+        .agg((sum(round(col("v").cast("double") * lit(1e12))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(1e12) / count(lit(1))).as("m"))
         .groupBy("cent_id")
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cent_id"),
