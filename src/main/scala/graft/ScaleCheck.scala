@@ -250,7 +250,12 @@ object ScaleCheck {
     // round-9 final-battery straggler: pooled rank census + scores
     "q_ansari_bradley",
     // round-10 SQL-gate widening: the ≥1 s text-in member
-    "q_sql_exists_agg")
+    "q_sql_exists_agg",
+    // round-11 (r10 verdict item 2): the five ≥1 s round-10 queries
+    // that landed without a slope row — rank/census statistics riding
+    // RangeRank or the shared ecdf/day frames
+    "q_cuzick_trend", "q_cucconi", "q_kuiper_drift",
+    "q_nemenyi_posthoc", "q_hodges_lehmann")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
