@@ -361,20 +361,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("graft_mg"), "Misra-Gries sketch agg missing")
   }
 
-  test("q_triangle_count: ship-year slice pushes to the scan, closure is hashed") {
-    val ex = formatted("q_triangle_count")
+  test("wedge core: ship-year slice pushes to the scan, closure is hashed") {
+    // round 11: the pairs→orientation→closure pipeline is the shared
+    // wedgeCore artifact; the pushdown is asserted on its BUILD plan
+    // (the queries themselves read the checkpointed result)
+    val ex = graft.ops.Graph.wedgePairsRaw(spark, sfDir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(ex.contains("GreaterThanOrEqual(l_shipdate")
       && ex.contains("LessThan(l_shipdate"),
       "the co-occurrence time window did not reach the parquet scan")
     // the wedge self-join and the closure probe must be equi joins with
     // NO forced broadcast (adjacency and edge sets scale with the data;
-    // at test SF AQE legitimately size-gates them to BHJ). The only
-    // nested-loop shape allowed is the final 1-row × 1-row census
-    // crossJoin (constant size by construction).
-    assert(!ex.contains("CartesianProduct"),
-      "wedge closure degraded to a cartesian product")
-    assert(!qe("q_triangle_count").analyzed.toString.contains("broadcast"),
-      "q_triangle_count force-broadcasts a scaling side")
+    // at test SF AQE legitimately size-gates them to BHJ)
+    for (q <- Seq("q_triangle_count", "q_local_clustering"))
+      assert(!qe(q).executedPlan.toString.contains("CartesianProduct"),
+        s"$q degraded to a cartesian product")
+    assert(!qe("q_local_clustering").analyzed.toString.contains("broadcast"),
+      "q_local_clustering force-broadcasts a scaling side")
   }
 
   test("q_semdedup joins cell-mates on cent_id, never broadcasting the corpus") {
