@@ -2225,6 +2225,108 @@ object EventTime {
                 st[9] AS s_sat
               FROM fold""")),
 
+    // ── Holt–Winters in-sample one-step SSE (fit quality) ───────────────
+    // The r10-scoped seed: how well does the triple-smoothing state
+    // actually track the series? One-step-ahead forecast at step t is
+    // ŷ = l + b + s_dow read from the PRIOR state; the squared error
+    // accumulates in an 11th fold slot — same recurrence, same
+    // bit-identical rational-constant discipline as q_holt_winters
+    // (the forecast subtraction, square, and add are the identical
+    // IEEE op sequence on both engines), zero extra passes: the whole
+    // statistic is one more slot in the ONE sequential fold over the
+    // day-sorted census. RMSE = √(SSE/(n−1)) — n−1 forecasted steps
+    // (the first observation only initializes the level). Same
+    // dense-calendar note as q_holt_winters.
+    Q("q_holt_winters_sse",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+          .select(col("day"),
+            ((col("day") + 4) % 7).cast("double").as("dw"),
+            col("cents").cast("double").as("y"))
+        val lp = "0.3D * (x.y - element_at(acc, CAST(x.dw AS INT) + 3))" +
+          " + 0.7D * (element_at(acc, 1) + element_at(acc, 2))"
+        val ferr = "(x.y - (element_at(acc, 1) + element_at(acc, 2)" +
+          " + element_at(acc, CAST(x.dw AS INT) + 3)))"
+        daily.agg(count(lit(1)).cast("long").as("n"),
+            expr(s"""aggregate(
+              array_sort(collect_list(struct(day, dw, y))),
+              array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D,
+                    0.0D, 0.0D, 0.0D),
+              (acc, x) -> CASE WHEN element_at(acc, 10) = 0.0D THEN
+                  array(x.y, 0.0D, element_at(acc, 3), element_at(acc, 4),
+                    element_at(acc, 5), element_at(acc, 6),
+                    element_at(acc, 7), element_at(acc, 8),
+                    element_at(acc, 9), 1.0D, 0.0D)
+                ELSE
+                  concat(
+                    array(
+                      $lp,
+                      0.1D * (($lp) - element_at(acc, 1))
+                        + 0.9D * element_at(acc, 2)),
+                    transform(sequence(0, 6),
+                      j -> CASE WHEN CAST(j AS DOUBLE) = x.dw
+                        THEN 0.2D * (x.y - ($lp))
+                          + 0.8D * element_at(acc, CAST(x.dw AS INT) + 3)
+                        ELSE element_at(acc, CAST(j AS INT) + 3) END),
+                    array(element_at(acc, 10) + 1.0D,
+                      element_at(acc, 11) + $ferr * $ferr))
+                END)""").as("st"))
+          .select(col("n"),
+            element_at(col("st"), 11).as("sse"),
+            when(col("n") <= 1, lit(null).cast("double"))
+              .otherwise(sqrt(element_at(col("st"), 11)
+                / (col("n") - 1).cast("double"))).as("rmse_one_step"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              arr AS (
+                SELECT list([CAST((day + 4) % 7 AS DOUBLE),
+                    CAST(cents AS DOUBLE)] ORDER BY day) AS xs,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                FROM daily),
+              fold AS (
+                SELECT n,
+                  list_reduce(
+                    list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                        0.0, 0.0, 0.0, 0.0], xs),
+                    (acc, x) -> CASE WHEN acc[10] = 0.0 THEN
+                        [x[2], 0.0, acc[3], acc[4], acc[5], acc[6],
+                         acc[7], acc[8], acc[9], 1.0, 0.0]
+                      ELSE
+                        [0.3 * (x[2] - acc[CAST(x[1] AS INTEGER) + 3])
+                           + 0.7 * (acc[1] + acc[2]),
+                         0.1 * ((0.3 * (x[2]
+                               - acc[CAST(x[1] AS INTEGER) + 3])
+                             + 0.7 * (acc[1] + acc[2])) - acc[1])
+                           + 0.9 * acc[2]]
+                        || list_transform(range(7),
+                             j -> CASE WHEN CAST(j AS DOUBLE) = x[1]
+                               THEN 0.2 * (x[2] - (0.3 * (x[2]
+                                     - acc[CAST(x[1] AS INTEGER) + 3])
+                                   + 0.7 * (acc[1] + acc[2])))
+                                 + 0.8 * acc[CAST(x[1] AS INTEGER) + 3]
+                               ELSE acc[CAST(j AS INTEGER) + 3] END)
+                        || [acc[10] + 1.0,
+                            acc[11] + (x[2] - (acc[1] + acc[2]
+                                + acc[CAST(x[1] AS INTEGER) + 3]))
+                              * (x[2] - (acc[1] + acc[2]
+                                + acc[CAST(x[1] AS INTEGER) + 3]))]
+                      END) AS st
+                FROM arr)
+              SELECT n, st[11] AS sse,
+                CASE WHEN n <= 1 THEN NULL
+                  ELSE sqrt(st[11] / CAST(n - 1 AS DOUBLE)) END
+                  AS rmse_one_step
+              FROM fold""")),
+
     // ── day-of-week seasonality index per event type ─────────────────────
     // The normalized seasonal profile (share within type ÷ share
     // overall): index > 1 = that type over-indexes on that weekday.

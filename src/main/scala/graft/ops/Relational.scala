@@ -6580,6 +6580,158 @@ object Relational {
                   END AS chi2_sm
               FROM q""")),
 
+    // ── Stuart–Maxwell marginal homogeneity, k = 4 ──────────────────────
+    // The r10-scoped seed: the k=3 closed form above generalizes one
+    // step — d = (rᵢ−cᵢ)ᵢ₌₁..₃, V the 3×3 covariance (vᵢᵢ = rᵢ+cᵢ−2nᵢᵢ,
+    // vᵢⱼ = −(nᵢⱼ+nⱼᵢ)), and χ² = dᵀV⁻¹d computed RATIONALLY through
+    // the exact 3×3 adjugate: qf = dᵀ·adj(V)·d and det(V) are integer
+    // polynomials of degree 3 in O(n) cell counts — exact in dec38 up
+    // to ~10¹² customers (n³ < 10³⁸), far past the 100-TB envelope —
+    // and χ² = qf/det is the ONE pinned double division. Beyond k=5
+    // the adjugate degree would outgrow dec38; that k would drop to
+    // pinned doubles (documented wall, not needed for the 5-priority
+    // domain). Same first/last-order transition frame as k=3; buckets
+    // 1/2/3/rest.
+    Q("q_stuart_maxwell4",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wF = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wL = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val bucketed = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            when(substring(col("o_orderpriority"), 1, 1) === "1", 1L)
+              .when(substring(col("o_orderpriority"), 1, 1) === "2", 2L)
+              .when(substring(col("o_orderpriority"), 1, 1) === "3", 3L)
+              .otherwise(4L).as("b"))
+          .withColumn("rf", row_number().over(wF))
+          .withColumn("rl", row_number().over(wL))
+        val cells = bucketed.filter(col("rf") === 1)
+          .select(col("o_custkey"), col("b").as("bf"))
+          .join(bucketed.filter(col("rl") === 1)
+            .select(col("o_custkey"), col("b").as("bl")), "o_custkey")
+          .groupBy("bf", "bl").agg(count(lit(1)).cast("long").as("c"))
+        def rsum(i: Int) = sum(when(col("bf") === i, col("c"))
+          .otherwise(0L)).cast("long").as(s"r$i")
+        def csum(i: Int) = sum(when(col("bl") === i, col("c"))
+          .otherwise(0L)).cast("long").as(s"c$i")
+        def nij(i: Int, j: Int) =
+          sum(when(col("bf") === i && col("bl") === j, col("c"))
+            .otherwise(0L)).cast("long").as(s"n$i$j")
+        val m = cells.agg(sum(col("c")).cast("long").as("n"),
+          rsum(1), rsum(2), rsum(3), csum(1), csum(2), csum(3),
+          nij(1, 1), nij(2, 2), nij(3, 3),
+          nij(1, 2), nij(2, 1), nij(1, 3), nij(3, 1), nij(2, 3),
+          nij(3, 2))
+        val v = m.select(col("n"),
+          (col("r1") - col("c1")).as("d1"),
+          (col("r2") - col("c2")).as("d2"),
+          (col("r3") - col("c3")).as("d3"),
+          (col("r1") + col("c1") - lit(2L) * col("n11")).cast(dec38)
+            .as("v11"),
+          (col("r2") + col("c2") - lit(2L) * col("n22")).cast(dec38)
+            .as("v22"),
+          (col("r3") + col("c3") - lit(2L) * col("n33")).cast(dec38)
+            .as("v33"),
+          (-(col("n12") + col("n21"))).cast(dec38).as("v12"),
+          (-(col("n13") + col("n31"))).cast(dec38).as("v13"),
+          (-(col("n23") + col("n32"))).cast(dec38).as("v23"))
+        val co = v.select(col("n"), col("d1"), col("d2"), col("d3"),
+          col("v11"), col("v12"), col("v13"),
+          (col("v22") * col("v33") - col("v23") * col("v23")).as("a11"),
+          (col("v11") * col("v33") - col("v13") * col("v13")).as("a22"),
+          (col("v11") * col("v22") - col("v12") * col("v12")).as("a33"),
+          (negate(col("v12") * col("v33") - col("v13") * col("v23")))
+            .as("a12"),
+          (col("v12") * col("v23") - col("v22") * col("v13")).as("a13"),
+          (negate(col("v11") * col("v23") - col("v12") * col("v13")))
+            .as("a23"))
+        co.select(col("n"), col("d1"), col("d2"), col("d3"),
+            (col("v11") * col("a11") + col("v12") * col("a12")
+              + col("v13") * col("a13")).as("det"),
+            (col("a11") * col("d1") * col("d1")
+              + col("a22") * col("d2") * col("d2")
+              + col("a33") * col("d3") * col("d3")
+              + lit(2L).cast(dec38) * col("a12") * col("d1") * col("d2")
+              + lit(2L).cast(dec38) * col("a13") * col("d1") * col("d3")
+              + lit(2L).cast(dec38) * col("a23") * col("d2") * col("d3"))
+              .as("qf"))
+          .select(col("n"), col("d1"), col("d2"), col("d3"),
+            col("det").cast("double").as("det"),
+            when(col("det") <= 0, lit(null).cast("double"))
+              .otherwise(col("qf").cast("double")
+                / col("det").cast("double")).as("chi2_sm4"))
+      },
+      Some("""WITH bucketed AS (
+                SELECT o_custkey, o_orderdate, o_orderkey,
+                  CASE substring(o_orderpriority, 1, 1)
+                    WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
+                    ELSE 4 END AS b,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS rf,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl
+                FROM orders),
+              cells AS (
+                SELECT f.b AS bf, l.b AS bl,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT o_custkey, b FROM bucketed WHERE rf = 1) f
+                JOIN (SELECT o_custkey, b FROM bucketed WHERE rl = 1) l
+                  USING (o_custkey)
+                GROUP BY 1, 2),
+              m AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(CASE WHEN bf = 1 THEN c ELSE 0 END) AS r1,
+                  SUM(CASE WHEN bf = 2 THEN c ELSE 0 END) AS r2,
+                  SUM(CASE WHEN bf = 3 THEN c ELSE 0 END) AS r3,
+                  SUM(CASE WHEN bl = 1 THEN c ELSE 0 END) AS c1,
+                  SUM(CASE WHEN bl = 2 THEN c ELSE 0 END) AS c2,
+                  SUM(CASE WHEN bl = 3 THEN c ELSE 0 END) AS c3,
+                  SUM(CASE WHEN bf = 1 AND bl = 1 THEN c ELSE 0 END) AS n11,
+                  SUM(CASE WHEN bf = 2 AND bl = 2 THEN c ELSE 0 END) AS n22,
+                  SUM(CASE WHEN bf = 3 AND bl = 3 THEN c ELSE 0 END) AS n33,
+                  SUM(CASE WHEN bf = 1 AND bl = 2 THEN c ELSE 0 END) AS n12,
+                  SUM(CASE WHEN bf = 2 AND bl = 1 THEN c ELSE 0 END) AS n21,
+                  SUM(CASE WHEN bf = 1 AND bl = 3 THEN c ELSE 0 END) AS n13,
+                  SUM(CASE WHEN bf = 3 AND bl = 1 THEN c ELSE 0 END) AS n31,
+                  SUM(CASE WHEN bf = 2 AND bl = 3 THEN c ELSE 0 END) AS n23,
+                  SUM(CASE WHEN bf = 3 AND bl = 2 THEN c ELSE 0 END) AS n32
+                FROM cells),
+              v AS (
+                SELECT n,
+                  CAST(r1 - c1 AS BIGINT) AS d1,
+                  CAST(r2 - c2 AS BIGINT) AS d2,
+                  CAST(r3 - c3 AS BIGINT) AS d3,
+                  CAST(r1 + c1 - 2 * n11 AS HUGEINT) AS v11,
+                  CAST(r2 + c2 - 2 * n22 AS HUGEINT) AS v22,
+                  CAST(r3 + c3 - 2 * n33 AS HUGEINT) AS v33,
+                  CAST(-(n12 + n21) AS HUGEINT) AS v12,
+                  CAST(-(n13 + n31) AS HUGEINT) AS v13,
+                  CAST(-(n23 + n32) AS HUGEINT) AS v23
+                FROM m),
+              co AS (
+                SELECT n, d1, d2, d3, v11, v12, v13,
+                  v22 * v33 - v23 * v23 AS a11,
+                  v11 * v33 - v13 * v13 AS a22,
+                  v11 * v22 - v12 * v12 AS a33,
+                  -(v12 * v33 - v13 * v23) AS a12,
+                  v12 * v23 - v22 * v13 AS a13,
+                  -(v11 * v23 - v12 * v13) AS a23
+                FROM v),
+              q AS (
+                SELECT n, d1, d2, d3,
+                  v11 * a11 + v12 * a12 + v13 * a13 AS det,
+                  a11 * d1 * d1 + a22 * d2 * d2 + a33 * d3 * d3
+                    + 2 * a12 * d1 * d2 + 2 * a13 * d1 * d3
+                    + 2 * a23 * d2 * d3 AS qf
+                FROM co)
+              SELECT n, d1, d2, d3, CAST(det AS DOUBLE) AS det,
+                CASE WHEN det <= 0 THEN NULL
+                  ELSE CAST(qf AS DOUBLE) / CAST(det AS DOUBLE)
+                  END AS chi2_sm4
+              FROM q""")),
+
     // ── return rate by brand ─────────────────────────────────────────────
     // Product-quality lens: per part brand, the returned-line share and
     // returned-revenue share. One size-gated lineitem × part join

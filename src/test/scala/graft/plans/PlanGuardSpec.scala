@@ -1034,6 +1034,29 @@ class PlanGuardSpec extends SparkSpec {
       "the global count did not plan as a scalar subquery")
   }
 
+  test("round-11 SQL gates: one scan each, sort after aggregate, " +
+      "ILIKE filters before the aggregate") {
+    // q_sql_order_by_all: ORDER BY ALL resolves to a real Sort ABOVE
+    // the aggregate (not a re-aggregation or a join)
+    val oba = qe("q_sql_order_by_all").executedPlan.toString
+    assert(oba.contains("Sort") && oba.contains("HashAggregate"),
+      "ORDER BY ALL lost its sort-over-aggregate shape")
+    // q_sql_ilike: the case-insensitive predicate must run BEFORE the
+    // aggregate — a Filter (or scan-pushed predicate) under one scan,
+    // never a post-agg filter over the full census
+    val il = formatted("q_sql_ilike")
+    assert(il.contains("Filter"), "ILIKE predicate vanished from the plan")
+    assert(il.indexOf("Filter") > il.indexOf("HashAggregate")
+      || il.contains("ilike") || il.contains("ILIKE")
+      || il.contains("lower"),
+      s"ILIKE did not plan as a pre-aggregate filter:\n${il.take(1500)}")
+    // q_sql_try_cast: a single scan + project/agg — TRY_CAST must not
+    // introduce joins or subqueries
+    val tc = qe("q_sql_try_cast").executedPlan.toString
+    assert(!tc.contains("Join") && !tc.contains("CartesianProduct"),
+      "TRY_CAST projection grew a join")
+  }
+
   test("q_sql_asof: the as-of join is equi-keyed — no nested-loop, no " +
       "domain join") {
     // the round-9 scale-killer class: Catalyst decorrelated the original
