@@ -195,6 +195,27 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Kuiper finishing arithmetic over the SAME mergeable [[ksCounts]]
+    * census as [[ksFinish]] — the streaming twin keeps ONE drained
+    * Complete-mode count state and finishes it to either drift lens
+    * (r10 verdict item 7). V = D⁺ + D⁻ off the signed [[ecdfGaps]]
+    * frame; D⁺/D⁻ clamp at 0 because the sup over the extended value
+    * axis includes the zero endpoints. One IEEE division per source.
+    */
+  def kuiperFinish(counts0: DataFrame): DataFrame = {
+    val (gaps, n) = ecdfGaps(counts0)
+    gaps
+      .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
+      .agg(greatest(max(col("g")), lit(0L)).as("dp"),
+        greatest(max(-col("g")), lit(0L)).as("dm"))
+      .select(col("source"), col("n_src"),
+        (col("dp") + col("dm")).cast("long").as("v_num"),
+        ((col("dp") + col("dm")).cast("double")
+          / (col("n_src") * (lit(n) - col("n_src"))).cast("double"))
+          .as("kuiper_v"))
+      .orderBy("source")
+  }
+
   /** Shared source-vs-rest ECDF machinery of the KS and Kuiper drift
     * lenses: the SIGNED common-denominator ECDF gap per (source, v),
     * g_v = cum_src·(N−n_s) − cum_rest·n_s, over the dense
@@ -1017,19 +1038,7 @@ object Curation {
     // extended value axis includes the zero endpoints. One IEEE
     // division per source.
     Q("q_kuiper_drift",
-      (s, dir) => {
-        val (gaps, n) = ecdfGaps(ksCounts(t(s, dir, "documents")))
-        gaps
-          .groupBy(col("source"), col("n_src").cast("long").as("n_src"))
-          .agg(greatest(max(col("g")), lit(0L)).as("dp"),
-            greatest(max(-col("g")), lit(0L)).as("dm"))
-          .select(col("source"), col("n_src"),
-            (col("dp") + col("dm")).cast("long").as("v_num"),
-            ((col("dp") + col("dm")).cast("double")
-              / (col("n_src") * (lit(n) - col("n_src"))).cast("double"))
-              .as("kuiper_v"))
-          .orderBy("source")
-      },
+      (s, dir) => kuiperFinish(ksCounts(t(s, dir, "documents"))),
       Some("""WITH counts AS (
                 SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
                 FROM documents GROUP BY 1, 2),

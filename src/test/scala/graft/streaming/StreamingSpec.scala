@@ -483,6 +483,17 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(batch.nonEmpty && streamed === batch,
       "drained drift state diverged from batch KS")
+    // r10 verdict item 7: the SAME drained count state also finishes to
+    // the Kuiper lens — one live Complete-mode census, two readouts
+    val streamedKuiper = graft.ops.Curation.kuiperFinish(counts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batchKuiper = SparkEntry.queries("q_kuiper_drift")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batchKuiper.nonEmpty && streamedKuiper === batchKuiper,
+      "drained drift state diverged from batch Kuiper")
   }
 
   test("drained PSI census finishes to batch q_psi exactly") {
