@@ -1680,6 +1680,42 @@ object EventTime {
                   / CAST(SUM(cents + f_cents) AS DOUBLE) AS smape
               FROM j GROUP BY 1 ORDER BY month""")),
 
+    // ── paired sign test: week-over-week revenue direction ──────────────
+    // The distribution-free "did revenue move up?" companion of
+    // q_forecast_eval: each day pairs with day−7 by a CALENDAR self-join
+    // (range semantics — a dark day drops the pair rather than silently
+    // sliding to lag-7-rows, the ADVICE-r10 q_theil_u2 trap avoided by
+    // construction), up/down counts are exact census integers, ties
+    // (identical cents) drop per the classical test, and
+    // z = (up − down)/√(up+down) is the ONE IEEE step. A fourth readout
+    // of the [[medianDaily]] Complete-mode day-census state.
+    Q("q_sign_test",
+      (s, dir) => signFinish(medianDaily(t(s, dir, "orders"))),
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              j AS (
+                SELECT a.cents, p.cents AS p_cents
+                FROM days a JOIN days p ON a.day = p.day + INTERVAL 7 DAY)
+              SELECT count(*) AS n_pairs,
+                CAST(SUM(CASE WHEN cents > p_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_up,
+                CAST(SUM(CASE WHEN cents < p_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_down,
+                CASE WHEN SUM(CASE WHEN cents <> p_cents THEN 1 ELSE 0
+                    END) = 0 THEN NULL
+                  ELSE (CAST(SUM(CASE WHEN cents > p_cents THEN 1
+                        ELSE 0 END) AS DOUBLE)
+                      - CAST(SUM(CASE WHEN cents < p_cents THEN 1
+                        ELSE 0 END) AS DOUBLE))
+                    / sqrt(CAST(SUM(CASE WHEN cents > p_cents THEN 1
+                        ELSE 0 END) AS DOUBLE)
+                      + CAST(SUM(CASE WHEN cents < p_cents THEN 1
+                        ELSE 0 END) AS DOUBLE)) END AS z_sign
+              FROM j""")),
+
     // ── 28-day rolling correlation (volume vs revenue co-movement) ──────
     // Does order count still predict revenue, or has ticket size
     // decoupled? Trailing-28-day Pearson between daily order count and
@@ -6669,6 +6705,30 @@ object EventTime {
   def medianDaily(orders: DataFrame): DataFrame =
     orders.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+
+  /** Sign-test finishing arithmetic over the SAME [[medianDaily]] day
+    * census — pairs each day with day−7 by calendar self-join, counts
+    * strict up/down moves, z = (up − down)/√(up + down). A drained
+    * Complete-mode day census finishes here bit-for-bit (all-integer
+    * until the one division).
+    */
+  def signFinish(days: DataFrame): DataFrame = {
+    val prev = days.select(expr("day + interval 7 days").as("day"),
+      col("cents").as("p_cents"))
+    days.join(prev, "day")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cents") > col("p_cents"), 1L).otherwise(0L))
+          .cast("long").as("n_up"),
+        sum(when(col("cents") < col("p_cents"), 1L).otherwise(0L))
+          .cast("long").as("n_down"))
+      .select(col("n_pairs"), col("n_up"), col("n_down"),
+        when(col("n_up") + col("n_down") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("n_up").cast("double")
+            - col("n_down").cast("double"))
+            / sqrt(col("n_up").cast("double")
+              + col("n_down").cast("double"))).as("z_sign"))
+  }
 
   /** Finishing arithmetic of q_forecast_eval over the SAME day census
     * q_rolling_median keeps ([[medianDaily]]) — the third readout of

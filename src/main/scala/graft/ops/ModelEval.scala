@@ -3386,6 +3386,236 @@ object ModelEval {
                       * CAST(n1 + n2 - 1 AS DOUBLE)) / 4.0), 6) AS z_ab
               FROM agg, ns""")),
 
+    // ── Lepage joint location-scale test (urgent vs rest values) ───────
+    // The CLASSICAL joint two-sample test beside q_cucconi's modern
+    // one: L = z_W² + z_AB² — the squared standardized Wilcoxon
+    // rank-sum (location) plus the squared standardized Ansari–Bradley
+    // (scale), χ²₂ under H₀. Rides the IDENTICAL value census +
+    // RangeRank prefix frame as q_ansari_bradley: midranks ×2 and
+    // Ansari scores ×2 come off the same cum rows, W and the tie term
+    // accumulate exactly in dec38, the Ansari moments reuse the m1/m2
+    // tie-conditional spelling verbatim, and each z is the same pinned
+    // double chain its parent query uses (rounded to 6 before the
+    // squares, L from the ROUNDED z's — fully order-free).
+    Q("q_lepage",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        val scored = cum.crossJoin(broadcast(ns))
+          .select(col("c1"), col("c2"),
+            ((col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
+              .as("mr2"),
+            least(
+              (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1,
+              (col("n1") + col("n2") + 1) * 2
+                - ((col("off1") + col("off2")) * 2 + col("c1")
+                  + col("c2") + 1)).as("s2"))
+        val agg = scored.agg(
+          sum(col("c1").cast(dec38) * col("mr2")).as("w2"),
+          sum((col("c1") + col("c2")).cast(dec38)
+            * (col("c1") + col("c2")) * (col("c1") + col("c2"))
+            - (col("c1") + col("c2"))).as("ties"),
+          sum(col("c1").cast(dec38) * col("s2")).as("t1"),
+          sum((col("c1") + col("c2")).cast(dec38) * col("s2")).as("m1"),
+          sum((col("c1") + col("c2")).cast(dec38) * col("s2")
+            * col("s2")).as("m2"))
+        val nn = col("n1") + col("n2")
+        val zs = agg.crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"),
+            when(col("n1") === 0 || col("n2") === 0 || nn <= 1
+              || col("ties").cast("double")
+                >= (nn.cast("double") * nn.cast("double")
+                  * nn.cast("double") - nn.cast("double")),
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("w2").cast("double") / 2.0
+                  - col("n1").cast("double") * (nn + 1).cast("double")
+                    / 2.0)
+                / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                  / 12.0
+                  * ((nn + 1).cast("double")
+                    - col("ties").cast("double")
+                      / (nn.cast("double") * (nn - 1).cast("double")))),
+                6)).as("z_w"),
+            when(col("n1") === 0 || col("n2") === 0 || nn <= 1
+              || (nn.cast("double") * col("m2").cast("double")
+                - col("m1").cast("double") * col("m1").cast("double"))
+                <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                ((col("t1").cast("double")
+                  - col("n1").cast("double") * col("m1").cast("double")
+                    / nn.cast("double")) / 2.0)
+                / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                  * (nn.cast("double") * col("m2").cast("double")
+                    - col("m1").cast("double") * col("m1").cast("double"))
+                  / (nn.cast("double") * nn.cast("double")
+                    * (nn - 1).cast("double")) / 4.0),
+                6)).as("z_ab"))
+        zs.select(col("n1"), col("n2"), col("z_w"), col("z_ab"),
+          when(col("z_w").isNull || col("z_ab").isNull,
+            lit(null).cast("double"))
+            .otherwise(round(col("z_w") * col("z_w")
+              + col("z_ab") * col("z_ab"), 6)).as("lepage_l"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  COALESCE(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off1,
+                  COALESCE(SUM(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off2
+                FROM census),
+              ns AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2
+                FROM cum),
+              scored AS (
+                SELECT c1, c2,
+                  (off1 + off2) * 2 + c1 + c2 + 1 AS mr2,
+                  least((off1 + off2) * 2 + c1 + c2 + 1,
+                    (n1 + n2 + 1) * 2
+                      - ((off1 + off2) * 2 + c1 + c2 + 1)) AS s2
+                FROM cum, ns),
+              agg AS (
+                SELECT SUM(CAST(c1 AS HUGEINT) * mr2) AS w2,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                    - (c1 + c2)) AS ties,
+                  SUM(CAST(c1 AS HUGEINT) * s2) AS t1,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * s2) AS m1,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * s2 * s2) AS m2
+                FROM scored),
+              zs AS (
+                SELECT n1, n2,
+                  CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1
+                      OR CAST(ties AS DOUBLE)
+                        >= CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 AS DOUBLE)
+                          - CAST(n1 + n2 AS DOUBLE) THEN NULL
+                    ELSE round(
+                      (CAST(w2 AS DOUBLE) / 2.0
+                        - CAST(n1 AS DOUBLE)
+                          * CAST(n1 + n2 + 1 AS DOUBLE) / 2.0)
+                      / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                          - CAST(ties AS DOUBLE)
+                            / (CAST(n1 + n2 AS DOUBLE)
+                              * CAST(n1 + n2 - 1 AS DOUBLE)))), 6)
+                    END AS z_w,
+                  CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1
+                      OR CAST(n1 + n2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+                        - CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE) <= 0
+                      THEN NULL
+                    ELSE round(
+                      ((CAST(t1 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE)) / 2.0)
+                      / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+                          - CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE))
+                        / (CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 AS DOUBLE)
+                          * CAST(n1 + n2 - 1 AS DOUBLE)) / 4.0), 6)
+                    END AS z_ab
+                FROM agg, ns)
+              SELECT n1, n2, z_w, z_ab,
+                CASE WHEN z_w IS NULL OR z_ab IS NULL THEN NULL
+                  ELSE round(z_w * z_w + z_ab * z_ab, 6) END AS lepage_l
+              FROM zs""")),
+
+    // ── Tukey's quick (pocket) test: tail-exceedance count ──────────────
+    // The back-of-envelope two-sample test (Tukey 1959): T = #(urgent
+    // values STRICTLY above the rest's maximum) + #(rest values
+    // STRICTLY below urgent's minimum); T ≥ 7 rejects at ~5%
+    // regardless of n. All-integer on the same urgent-vs-rest value
+    // census as the rank tests — two extreme bounds off the persisted
+    // census broadcast back over it, exceedance counts exact; no FP at
+    // all. Strict inequalities make ties contribute zero on both
+    // engines.
+    Q("q_tukey_quick",
+      (s, dir) => {
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .persist()
+        val bounds = census.agg(
+          max(when(col("c2") > 0, col("v"))).as("max_b"),
+          min(when(col("c1") > 0, col("v"))).as("min_a"),
+          sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2"))
+        census.crossJoin(broadcast(bounds))
+          .groupBy("n1", "n2")
+          .agg(
+            sum(when(col("v") > col("max_b"), col("c1")).otherwise(0L))
+              .cast("long").as("a_above"),
+            sum(when(col("v") < col("min_a"), col("c2")).otherwise(0L))
+              .cast("long").as("b_below"))
+          .select(col("n1"), col("n2"), col("a_above"), col("b_below"),
+            (col("a_above") + col("b_below")).as("tukey_t"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              bounds AS (
+                SELECT MAX(CASE WHEN c2 > 0 THEN v END) AS max_b,
+                  MIN(CASE WHEN c1 > 0 THEN v END) AS min_a,
+                  CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2
+                FROM census)
+              SELECT n1, n2,
+                CAST(SUM(CASE WHEN v > max_b THEN c1 ELSE 0 END)
+                  AS BIGINT) AS a_above,
+                CAST(SUM(CASE WHEN v < min_a THEN c2 ELSE 0 END)
+                  AS BIGINT) AS b_below,
+                CAST(SUM(CASE WHEN v > max_b THEN c1 ELSE 0 END)
+                  + SUM(CASE WHEN v < min_a THEN c2 ELSE 0 END)
+                  AS BIGINT) AS tukey_t
+              FROM census, bounds
+              GROUP BY n1, n2""")),
+
     // ── Cucconi joint location-scale test (urgent vs rest values) ──────
     // The SINGLE test for "did the urgent orders' value distribution
     // move OR spread?" — q_mann_whitney sees location only, Ansari
