@@ -3616,6 +3616,152 @@ object ModelEval {
               FROM census, bounds
               GROUP BY n1, n2""")),
 
+    // ── Baumgartner–Weiss–Schindler two-sample test ─────────────────────
+    // The r10-parked seed, landed: B = (B_X + B_Y)/2 where B_X =
+    // (1/n)Σᵢ (Rᵢ − (N/n)i)² / [i/(n+1)(1−i/(n+1)) · mN/n] over the
+    // i-th order statistic's pooled midrank. Per-observation variance
+    // weights make this corpus-sized ARITHMETIC (the reason it was
+    // parked) but strictly linear: the value census explodes back to
+    // one row per observation via its per-sample prefix ranges
+    // (sequence over [off+1, off+c] — every member of a tied cell
+    // shares the cell's pooled midrank ×2), each term is ONE division
+    // of two exact dec38 integers — numerator (n·mr₂ − 2Ni)²(n+1)²,
+    // denominator 4n²mN·i(n+1−i), both inside dec38 up to ~10⁸ rows
+    // per group (past that the squares outgrow dec38 — the q_cucconi
+    // B-term envelope note) — and each sample's sum is the
+    // position-pinned sorted fold (the q_psi discipline), so the
+    // statistic is bit-stable on both engines.
+    Q("q_bws_test",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+          .withColumn("mr2",
+            (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        def side(cc: String, off: String, smp: Int) = cum
+          .filter(col(cc) > 0)
+          .select(lit(smp.toLong).as("smp"), col("mr2"),
+            explode(sequence(col(off) + 1, col(off) + col(cc))).as("i"))
+        val rows = side("c1", "off1", 1).unionByName(side("c2", "off2", 2))
+        val terms = rows.crossJoin(broadcast(ns))
+          .select(col("smp"), col("i"),
+            when(col("smp") === 1, col("n1")).otherwise(col("n2"))
+              .as("n_own"),
+            when(col("smp") === 1, col("n2")).otherwise(col("n1"))
+              .as("n_oth"),
+            col("mr2"))
+          .select(col("smp"), col("i"),
+            (col("n_own").cast(dec38) * col("mr2")
+              - lit(2L).cast(dec38) * (col("n_own") + col("n_oth"))
+                * col("i")).as("a"),
+            col("n_own"), col("n_oth"))
+          .select(col("smp"), col("i"),
+            (col("a") * col("a") * (col("n_own") + 1)
+              * (col("n_own") + 1)).as("num"),
+            (lit(4L).cast(dec38) * col("n_own") * col("n_own")
+              * col("n_oth") * (col("n_own") + col("n_oth"))
+              * col("i") * (col("n_own") + 1 - col("i"))).as("den"))
+          .select(col("smp"), col("i"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("term"))
+        val folded = terms.groupBy("smp")
+          .agg(expr("""aggregate(array_sort(collect_list(struct(i, term))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("b"))
+        folded.groupBy()
+          .agg(max(when(col("smp") === 1, col("b"))).as("b_x"),
+            max(when(col("smp") === 2, col("b"))).as("b_y"))
+          .crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"), col("b_x"), col("b_y"),
+            ((col("b_x") + col("b_y")) / 2.0).as("bws_b"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  COALESCE(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off1,
+                  COALESCE(SUM(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off2
+                FROM census),
+              cum2 AS (
+                SELECT c1, c2,
+                  CAST(off1 AS BIGINT) AS off1,
+                  CAST(off2 AS BIGINT) AS off2,
+                  CAST((off1 + off2) * 2 + c1 + c2 + 1 AS BIGINT) AS mr2
+                FROM cum),
+              ns AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2
+                FROM cum2),
+              rows_x AS (
+                SELECT 1 AS smp, mr2, unnest(generate_series(off1 + 1,
+                  off1 + c1)) AS i
+                FROM cum2 WHERE c1 > 0),
+              rows_y AS (
+                SELECT 2 AS smp, mr2, unnest(generate_series(off2 + 1,
+                  off2 + c2)) AS i
+                FROM cum2 WHERE c2 > 0),
+              rows_all AS (
+                SELECT * FROM rows_x UNION ALL SELECT * FROM rows_y),
+              terms AS (
+                SELECT smp, i,
+                  CAST(CASE WHEN smp = 1 THEN
+                      (CAST(n1 AS HUGEINT) * mr2 - 2 * (n1 + n2) * i)
+                        * (CAST(n1 AS HUGEINT) * mr2 - 2 * (n1 + n2) * i)
+                        * (n1 + 1) * (n1 + 1)
+                    ELSE
+                      (CAST(n2 AS HUGEINT) * mr2 - 2 * (n1 + n2) * i)
+                        * (CAST(n2 AS HUGEINT) * mr2 - 2 * (n1 + n2) * i)
+                        * (n2 + 1) * (n2 + 1)
+                    END AS DOUBLE)
+                  / CAST(CASE WHEN smp = 1 THEN
+                      4 * CAST(n1 AS HUGEINT) * n1 * n2 * (n1 + n2)
+                        * i * (n1 + 1 - i)
+                    ELSE
+                      4 * CAST(n2 AS HUGEINT) * n2 * n1 * (n1 + n2)
+                        * i * (n2 + 1 - i)
+                    END AS DOUBLE) AS term
+                FROM rows_all, ns),
+              folded AS (
+                SELECT smp,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(term ORDER BY i)), (a, x) -> a + x) AS b
+                FROM terms GROUP BY smp)
+              SELECT n1, n2,
+                MAX(CASE WHEN smp = 1 THEN b END) AS b_x,
+                MAX(CASE WHEN smp = 2 THEN b END) AS b_y,
+                (MAX(CASE WHEN smp = 1 THEN b END)
+                  + MAX(CASE WHEN smp = 2 THEN b END)) / 2.0 AS bws_b
+              FROM folded, ns
+              GROUP BY n1, n2""")),
+
     // ── Cucconi joint location-scale test (urgent vs rest values) ──────
     // The SINGLE test for "did the urgent orders' value distribution
     // move OR spread?" — q_mann_whitney sees location only, Ansari
