@@ -1716,6 +1716,122 @@ object EventTime {
                         ELSE 0 END) AS DOUBLE)) END AS z_sign
               FROM j""")),
 
+    // ── difference-sign test: monotone drift in successive days ─────────
+    // The simplest randomness-against-trend check on the day census:
+    // P = #(successive increases) among n−1 consecutive-census diffs,
+    // E[P] = (n−1)/2, Var = (n+1)/12; z = (P − E)/√Var. Successive
+    // means consecutive CENSUS observations by definition of the test
+    // (no calendar assumption needed — the statistic is about the
+    // observed sequence). All-integer until the one z.
+    Q("q_difference_sign",
+      (s, dir) => {
+        val wDay = Window.orderBy("day")
+        medianDaily(t(s, dir, "orders"))
+          .select(col("day"), col("cents"),
+            lag(col("cents"), 1).over(wDay).as("prev"))
+          .filter(col("prev").isNotNull)
+          .agg(count(lit(1)).as("n_diffs"),
+            sum(when(col("cents") > col("prev"), 1L).otherwise(0L))
+              .cast("long").as("n_up"))
+          .select((col("n_diffs") + 1).cast("long").as("n_days"),
+            col("n_up"),
+            when(col("n_diffs") < 2, lit(null).cast("double"))
+              .otherwise((col("n_up").cast("double")
+                - col("n_diffs").cast("double") / 2.0)
+                / sqrt((col("n_diffs") + 2).cast("double") / 12.0))
+              .as("z_ds"))
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              d AS (
+                SELECT cents, lag(cents) OVER (ORDER BY day) AS prev
+                FROM days QUALIFY prev IS NOT NULL),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_diffs,
+                  CAST(SUM(CASE WHEN cents > prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_up
+                FROM d)
+              SELECT CAST(n_diffs + 1 AS BIGINT) AS n_days, n_up,
+                CASE WHEN n_diffs < 2 THEN NULL
+                  ELSE (CAST(n_up AS DOUBLE)
+                      - CAST(n_diffs AS DOUBLE) / 2.0)
+                    / sqrt(CAST(n_diffs + 2 AS DOUBLE) / 12.0)
+                  END AS z_ds
+              FROM m""")),
+
+    // ── Foster–Stuart records test: trend via record counts ─────────────
+    // Upper/lower RECORDS in the day-revenue series: uₜ = 1 iff day t
+    // strictly exceeds every earlier day, lₜ the mirror. D = Σ(u−l)
+    // detects trend, S = Σ(u+l) detects variance change;
+    // Var(D) = 2·Σ_{t=2..n} 1/t (2(Hₙ−1)), summed by the pinned
+    // ascending fold over the harmonic terms so both engines reduce
+    // identically. Running extrema ride one unpartitioned window over
+    // the calendar-bounded census (the q_adf_test discipline).
+    Q("q_foster_stuart",
+      (s, dir) => {
+        val wPrev = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        medianDaily(t(s, dir, "orders"))
+          .select(col("day"), col("cents"),
+            max(col("cents")).over(wPrev).as("pmax"),
+            min(col("cents")).over(wPrev).as("pmin"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("pmax").isNotNull
+              && col("cents") > col("pmax"), 1L).otherwise(0L))
+              .cast("long").as("n_upper"),
+            sum(when(col("pmin").isNotNull
+              && col("cents") < col("pmin"), 1L).otherwise(0L))
+              .cast("long").as("n_lower"))
+          .select(col("n"), col("n_upper"), col("n_lower"),
+            (col("n_upper") - col("n_lower")).as("d_stat"),
+            (col("n_upper") + col("n_lower")).as("s_stat"),
+            expr("""aggregate(sequence(2L, n),
+              CAST(0 AS DOUBLE), (a, t) -> a + CAST(1 AS DOUBLE) / t)""")
+              .as("hsum"))
+          .select(col("n"), col("n_upper"), col("n_lower"),
+            col("d_stat"), col("s_stat"),
+            when(col("n") < 2 || col("hsum") <= 0,
+              lit(null).cast("double"))
+              .otherwise(col("d_stat").cast("double")
+                / sqrt(lit(2.0) * col("hsum"))).as("z_fs"))
+      },
+      Some("""WITH days AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT cents,
+                  MAX(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING) AS pmax,
+                  MIN(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING) AS pmin
+                FROM days),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN pmax IS NOT NULL AND cents > pmax
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+                  CAST(SUM(CASE WHEN pmin IS NOT NULL AND cents < pmin
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_lower
+                FROM r),
+              h AS (
+                SELECT n, n_upper, n_lower,
+                  CAST(n_upper - n_lower AS BIGINT) AS d_stat,
+                  CAST(n_upper + n_lower AS BIGINT) AS s_stat,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(generate_series(2, n),
+                      t -> CAST(1 AS DOUBLE) / t)), (a, x) -> a + x)
+                    AS hsum
+                FROM m)
+              SELECT n, n_upper, n_lower, d_stat, s_stat,
+                CASE WHEN n < 2 OR hsum <= 0 THEN NULL
+                  ELSE CAST(d_stat AS DOUBLE) / sqrt(2.0 * hsum)
+                  END AS z_fs
+              FROM h""")),
+
     // ── 28-day rolling correlation (volume vs revenue co-movement) ──────
     // Does order count still predict revenue, or has ticket size
     // decoupled? Trailing-28-day Pearson between daily order count and

@@ -1668,6 +1668,130 @@ object ModelEval {
                   ELSE 2.0 * tp / (n_predicted + n_actual) END AS f1
               FROM j ORDER BY cls""")),
 
+    // ── Scott's π (chance-corrected agreement, joint-marginal chance) ──
+    // Beside q_cohen_kappa on the IDENTICAL binary frame: Scott
+    // replaces Cohen's per-rater chance model with the JOINT marginal
+    // p̄ = (na+nb)/2n, pe = p̄² + (1−p̄)² — the agreement coefficient
+    // Krippendorff's α generalizes. Same one-pass integer census, two
+    // IEEE steps at the end; κ ≥ π always (Cohen's pe ≤ Scott's).
+    Q("q_scotts_pi",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(when(col("value") >= 250, 1L).otherwise(0L).as("a"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+          .agg(count(lit(1)).as("n"), sum(col("a") * col("b")).as("tp"),
+            sum(col("a")).as("na"), sum(col("b")).as("nb"))
+          .select(col("n").cast("long").as("n"),
+            ((col("n") - col("na") - col("nb") + lit(2L) * col("tp"))
+              .cast("double") / col("n").cast("double")).as("po"),
+            ((col("na") + col("nb")).cast("double")
+              / (lit(2L) * col("n")).cast("double")).as("pbar"))
+          .select(col("n"), col("po"),
+            (col("pbar") * col("pbar")
+              + (lit(1.0) - col("pbar")) * (lit(1.0) - col("pbar")))
+              .as("pe_scott"), col("pbar"))
+          .select(col("n"), col("po"), col("pe_scott"),
+            when(col("pe_scott") >= 1.0, lit(null).cast("double"))
+              .otherwise((col("po") - col("pe_scott"))
+                / (lit(1.0) - col("pe_scott"))).as("scotts_pi")),
+      Some("""WITH m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN value >= 250 AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(SUM(CASE WHEN value >= 250 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+                FROM events),
+              s AS (
+                SELECT n,
+                  CAST(n - na - nb + 2 * tp AS DOUBLE) / CAST(n AS DOUBLE)
+                    AS po,
+                  CAST(na + nb AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pbar
+                FROM m),
+              s2 AS (
+                SELECT n, po,
+                  pbar * pbar + (1.0 - pbar) * (1.0 - pbar) AS pe_scott
+                FROM s)
+              SELECT n, po, pe_scott,
+                CASE WHEN pe_scott >= 1.0 THEN NULL
+                  ELSE (po - pe_scott) / (1.0 - pe_scott) END AS scotts_pi
+              FROM s2""")),
+
+    // ── Rₖ correlation (multi-class MCC) over the confusion census ──────
+    // Gorodkin's Rₖ — the Matthews coefficient generalized to k
+    // classes — on the SAME [[confusionCells]] census as
+    // q_confusion_multi: Rₖ = (N·trace − Σₖ tₖpₖ) /
+    // (√(N²−Σpₖ²)·√(N²−Σtₖ²)). Every moment is an exact dec38 integer
+    // off the ≤k² census (row/col totals full-joined so one-sided
+    // classes contribute zero); two √'s and one division at the end.
+    Q("q_rk_correlation",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val cells = confusionCells(t(s, dir, "events")).persist()
+        val rows = cells.groupBy(col("t").as("cls"))
+          .agg(sum(col("n")).cast("long").as("tk"))
+        val cols = cells.groupBy(col("p").as("cls"))
+          .agg(sum(col("n")).cast("long").as("pk"))
+        val marg = rows.join(cols, Seq("cls"), "full")
+          .select(coalesce(col("tk"), lit(0L)).as("tk"),
+            coalesce(col("pk"), lit(0L)).as("pk"))
+          .agg(sum(col("tk").cast(dec38) * col("pk")).as("tp_cross"),
+            sum(col("tk").cast(dec38) * col("tk")).as("t2"),
+            sum(col("pk").cast(dec38) * col("pk")).as("p2"))
+        val base = cells.agg(sum(col("n")).cast("long").as("nn"),
+          sum(when(col("t") === col("p"), col("n")).otherwise(0L))
+            .cast("long").as("trace"))
+        base.crossJoin(broadcast(marg))
+          .select(col("nn"), col("trace"),
+            (col("nn").cast(dec38) * col("trace") - col("tp_cross"))
+              .as("num"),
+            (col("nn").cast(dec38) * col("nn") - col("p2")).as("dp"),
+            (col("nn").cast(dec38) * col("nn") - col("t2")).as("dt"))
+          .select(col("nn").as("n"), col("trace"),
+            when(col("dp") <= 0 || col("dt") <= 0,
+              lit(null).cast("double"))
+              .otherwise(col("num").cast("double")
+                / sqrt(col("dp").cast("double"))
+                / sqrt(col("dt").cast("double"))).as("rk"))
+      },
+      Some("""WITH cells AS (
+                SELECT event_type AS t,
+                  CASE least(CAST(floor(value / 100) AS BIGINT), 4)
+                    WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                    WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                    ELSE 'view' END AS p,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+              r AS (SELECT t AS cls, CAST(SUM(n) AS BIGINT) AS tk
+                    FROM cells GROUP BY 1),
+              c AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS pk
+                    FROM cells GROUP BY 1),
+              marg AS (
+                SELECT SUM(CAST(COALESCE(tk, 0) AS HUGEINT)
+                    * COALESCE(pk, 0)) AS tp_cross,
+                  SUM(CAST(COALESCE(tk, 0) AS HUGEINT)
+                    * COALESCE(tk, 0)) AS t2,
+                  SUM(CAST(COALESCE(pk, 0) AS HUGEINT)
+                    * COALESCE(pk, 0)) AS p2
+                FROM r FULL JOIN c USING (cls)),
+              base AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                  CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)
+                    AS trace
+                FROM cells),
+              q AS (
+                SELECT nn, trace,
+                  CAST(nn AS HUGEINT) * trace - tp_cross AS num,
+                  CAST(nn AS HUGEINT) * nn - p2 AS dp,
+                  CAST(nn AS HUGEINT) * nn - t2 AS dt
+                FROM base, marg)
+              SELECT nn AS n, trace,
+                CASE WHEN dp <= 0 OR dt <= 0 THEN NULL
+                  ELSE CAST(num AS DOUBLE) / sqrt(CAST(dp AS DOUBLE))
+                    / sqrt(CAST(dt AS DOUBLE)) END AS rk
+              FROM q""")),
+
     // ── Fleiss' kappa (multi-rater agreement, beyond Cohen's 2 raters) ──
     // Three deterministic raters (distinct high-bit windows of the
     // masked Knuth hash — the q_ndcg relevance discipline) vote a
