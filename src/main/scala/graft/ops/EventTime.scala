@@ -5408,6 +5408,104 @@ object EventTime {
                 (p > ucl OR p < lcl) AS alarm
               FROM lim ORDER BY d""")),
 
+    // ── c-chart: daily defect-count control limits ──────────────────────
+    // Completes the attribute-chart family beside q_p_chart (proportion)
+    // and q_control_chart (individuals): Poisson count limits on the
+    // daily error-event census, c̄ ± 3√c̄ with the LCL floored at 0.
+    // One partial+final day census; the 1-row c̄ broadcasts back.
+    Q("q_c_chart",
+      (s, dir) => {
+        val cen = t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select(expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')")
+            .as("d"))
+          .groupBy("d").agg(count(lit(1)).cast("long").as("c"))
+          .persist()
+        val tot = cen.agg((sum(col("c")).cast("double")
+          / count(lit(1)).cast("double")).as("cbar")).localCheckpoint(true)
+        cen.crossJoin(broadcast(tot))
+          .select(col("d"), col("c"), col("cbar"),
+            (col("cbar") + sqrt(col("cbar")) * 3.0).as("ucl"),
+            greatest(lit(0.0), col("cbar") - sqrt(col("cbar")) * 3.0)
+              .as("lcl"))
+          .withColumn("alarm", col("c").cast("double") > col("ucl")
+            || col("c").cast("double") < col("lcl"))
+          .orderBy("d")
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(ts AS DATE)) AS d,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE event_type = 'error' GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS cbar
+                FROM cen)
+              SELECT d, c, cbar,
+                cbar + sqrt(cbar) * 3.0 AS ucl,
+                greatest(0.0, cbar - sqrt(cbar) * 3.0) AS lcl,
+                (CAST(c AS DOUBLE) > cbar + sqrt(cbar) * 3.0
+                  OR CAST(c AS DOUBLE)
+                    < greatest(0.0, cbar - sqrt(cbar) * 3.0)) AS alarm
+              FROM cen, tot ORDER BY d""")),
+
+    // ── u-chart: defects per unit with varying daily exposure ───────────
+    // The varying-n attribute chart: u = errors per ACTIVE USER per
+    // day, limits ū ± 3√(ū/nᵢ) — exposure (distinct users) varies by
+    // day, so each day gets its own limit width, exactly the q_p_chart
+    // discipline with a Poisson-rate variance. One day census carrying
+    // both the error count and the exact distinct-user exposure.
+    Q("q_u_chart",
+      (s, dir) => {
+        val cen = t(s, dir, "events")
+          .select(expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')")
+            .as("d"),
+            col("user_id"),
+            when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+          .groupBy("d")
+          .agg(countDistinct(col("user_id")).cast("long").as("n_units"),
+            sum(col("e")).cast("long").as("c"))
+          .persist()
+        val tot = cen.agg((sum(col("c")).cast("double")
+          / sum(col("n_units")).cast("double")).as("ubar"))
+          .localCheckpoint(true)
+        cen.crossJoin(broadcast(tot))
+          .select(col("d"), col("n_units"), col("c"), col("ubar"),
+            (col("c").cast("double") / col("n_units").cast("double"))
+              .as("u"),
+            (col("ubar")
+              + sqrt(col("ubar") / col("n_units").cast("double")) * 3.0)
+              .as("ucl"),
+            greatest(lit(0.0), col("ubar")
+              - sqrt(col("ubar") / col("n_units").cast("double")) * 3.0)
+              .as("lcl"))
+          .withColumn("alarm", col("u") > col("ucl")
+            || col("u") < col("lcl"))
+          .orderBy("d")
+      },
+      Some("""WITH cen AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(ts AS DATE)) AS d,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_units,
+                  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                    END) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+              tot AS (
+                SELECT CAST(SUM(c) AS DOUBLE)
+                  / CAST(SUM(n_units) AS DOUBLE) AS ubar
+                FROM cen),
+              lim AS (
+                SELECT d, n_units, c, ubar,
+                  CAST(c AS DOUBLE) / CAST(n_units AS DOUBLE) AS u,
+                  ubar + sqrt(ubar / CAST(n_units AS DOUBLE)) * 3.0
+                    AS ucl,
+                  greatest(0.0, ubar
+                    - sqrt(ubar / CAST(n_units AS DOUBLE)) * 3.0) AS lcl
+                FROM cen, tot)
+              SELECT d, n_units, c, ubar, u, ucl, lcl,
+                (u > ucl OR u < lcl) AS alarm
+              FROM lim ORDER BY d""")),
+
     // ── upper/lower tail dependence: spend vs traffic extremes ──────────
     // Do the heaviest-revenue days coincide with the busiest days?
     // Empirical tail-dependence λ_U = P(Y in top-k | X in top-k) on the
