@@ -763,6 +763,13 @@ class StreamingSpec extends SparkSpec {
       .map(_.toString).toSet
     assert(barB.nonEmpty && barS === barB,
       "drained day census diverged from batch Bartels RVN")
+    // round 11: the sign test is the sixth readout of the same state
+    val sgS = graft.ops.EventTime.signFinish(counts).collect()
+      .map(_.toString).toSet
+    val sgB = SparkEntry.queries("q_sign_test")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(sgB.nonEmpty && sgS === sgB,
+      "drained day census diverged from batch sign test")
   }
 
   test("drained day census finishes to batch q_pinball_loss exactly") {
