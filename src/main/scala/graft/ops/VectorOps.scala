@@ -65,8 +65,8 @@ object VectorOps {
   /** Shared DuckDB fragment: exact double dot product via an ascending
     * correlated sum — same fold order as graft_dot.
     */
-  private def duckDot(a: String, b: String): String =
-    s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) g(i))"
+  private def duckDot(a: String, b: String, dims: Int = 64): String =
+    s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, $dims) g(i))"
 
   // ── DuckDB XXH64(long, seed=42) — the k-means init hash ──────────────
   // Spark's `pmod(xxhash64(vec_id), k)` seeds the codebook; replaying it
@@ -121,22 +121,23 @@ object VectorOps {
     * struct-min spelling), then recompute exact integer-unit means —
     * the same round(x·10¹²) carrier as [[trainCentroids]].
     */
-  private def duckLloydRound(r: Int): String =
-    s"""a$r AS (
+  private def duckLloydRound(r: Int, dims: Int = 64, pfx: String = "",
+      src: String = "kx_emb"): String =
+    s"""${pfx}a$r AS (
          SELECT e.vec_id, e.embedding, c.cent_id,
-           ${duckDot("c.c_emb", "e.embedding")} / sqrt(c.c_n2 * e.n2) AS csim
-         FROM kx_emb e CROSS JOIN c${r - 1}n c
+           ${duckDot("c.c_emb", "e.embedding", dims)} / sqrt(c.c_n2 * e.n2) AS csim
+         FROM $src e CROSS JOIN ${pfx}c${r - 1}n c
          QUALIFY row_number() OVER (PARTITION BY e.vec_id
            ORDER BY csim DESC, c.cent_id) = 1),
-       x$r AS (SELECT cent_id, unnest(embedding) AS v,
-                 unnest(generate_series(1, len(embedding))) AS pos FROM a$r),
-       m$r AS (SELECT cent_id, pos,
+       ${pfx}x$r AS (SELECT cent_id, unnest(embedding) AS v,
+                 unnest(generate_series(1, len(embedding))) AS pos FROM ${pfx}a$r),
+       ${pfx}m$r AS (SELECT cent_id, pos,
                  CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1e12) AS HUGEINT))
                    AS DOUBLE) / 1e12 / COUNT(*) AS m
-               FROM x$r GROUP BY 1, 2),
-       c$r AS (SELECT cent_id, list(m ORDER BY pos) AS c_emb FROM m$r GROUP BY 1),
-       c${r}n AS (SELECT cent_id, c_emb, ${duckDot("c_emb", "c_emb")} AS c_n2
-                  FROM c$r)"""
+               FROM ${pfx}x$r GROUP BY 1, 2),
+       ${pfx}c$r AS (SELECT cent_id, list(m ORDER BY pos) AS c_emb FROM ${pfx}m$r GROUP BY 1),
+       ${pfx}c${r}n AS (SELECT cent_id, c_emb, ${duckDot("c_emb", "c_emb", dims)} AS c_n2
+                  FROM ${pfx}c$r)"""
 
   val queries: Seq[Q] = Seq(
 
@@ -286,6 +287,66 @@ object VectorOps {
               SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster_id,
                 csim AS sim
               FROM fin ORDER BY vec_id""")),
+
+    // ── product-quantization codes: 4×16-dim sub-codebooks ──────────────
+    // The IVF-PQ compression layer ([[pqCodes]]): 64 floats → 4 sub-
+    // codes (one byte each) + per-subspace cosine; avg_sim is the
+    // reconstruction-quality readout. Oracled end-to-end by the same
+    // generated-CTE training replay as q_cluster_assign — one shared
+    // xxhash64 init chain (k = 16 buckets), then four independent
+    // init + 2-Lloyd-round + assign replays over the sliced columns.
+    Q("q_pq_codes",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val c = pqCodes(s, dir)
+        c.select(col("vec_id"),
+            col("c0"), col("c1"), col("c2"), col("c3"),
+            ((col("s0") + col("s1") + col("s2") + col("s3")) / 4.0)
+              .as("avg_sim"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def subBlock(sub: Int): String = {
+          val lo = sub * 16 + 1; val hi = sub * 16 + 16
+          s"""p${sub}_emb AS (
+                SELECT vec_id, embedding,
+                  ${duckDot("embedding", "embedding", 16)} AS n2
+                FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
+                      FROM embeddings)),
+              p${sub}_c0 AS (
+                SELECT b.b AS cent_id,
+                  list_transform(arg_min(e.embedding, e.vec_id),
+                    x -> CAST(x AS DOUBLE)) AS c_emb
+                FROM bkt b JOIN p${sub}_emb e USING (vec_id)
+                GROUP BY 1),
+              p${sub}_c0n AS (
+                SELECT cent_id, c_emb,
+                  ${duckDot("c_emb", "c_emb", 16)} AS c_n2
+                FROM p${sub}_c0),
+              ${duckLloydRound(1, 16, s"p${sub}_", s"p${sub}_emb")},
+              ${duckLloydRound(2, 16, s"p${sub}_", s"p${sub}_emb")},
+              p${sub}_fin AS (
+                SELECT e.vec_id, c.cent_id,
+                  ${duckDot("c.c_emb", "e.embedding", 16)}
+                    / sqrt(c.c_n2 * e.n2) AS csim
+                FROM p${sub}_emb e CROSS JOIN p${sub}_c2n c
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY csim DESC, c.cent_id) = 1)"""
+        }
+        s"""WITH ${duckXxHash64("hs", "embeddings", "vec_id")},
+              bkt AS (SELECT vec_id, ((h % 16) + 16) % 16 AS b FROM hs),
+              ${(0 until 4).map(subBlock).mkString(",\n")}
+              SELECT f0.vec_id,
+                CAST(f0.cent_id AS BIGINT) AS c0,
+                CAST(f1.cent_id AS BIGINT) AS c1,
+                CAST(f2.cent_id AS BIGINT) AS c2,
+                CAST(f3.cent_id AS BIGINT) AS c3,
+                (f0.csim + f1.csim + f2.csim + f3.csim) / 4.0 AS avg_sim
+              FROM p0_fin f0 JOIN p1_fin f1 USING (vec_id)
+                JOIN p2_fin f2 USING (vec_id)
+                JOIN p3_fin f3 USING (vec_id)
+              ORDER BY vec_id"""
+      }),
 
     // ── element-wise centroid aggregation per label ──────────────────────
     // The "training" step an IVF index needs: mean embedding per class.
@@ -1305,6 +1366,51 @@ object VectorOps {
       val assigned = assignCells(emb, centroids).localCheckpoint(true)
       emb.unpersist()
       (centroids, assigned)
+    })
+
+  /** Product-quantization codes: the 64-dim corpus split into 4
+    * contiguous 16-dim subspaces, each with its OWN deterministic
+    * 16-cell codebook ([[trainCentroids]] on the subvectors — same
+    * seed-free xxhash64 init, same integer-unit means), every vector
+    * labeled with its 4 sub-codes + per-subspace cosine. This is the
+    * IVF-PQ compression layer: 64 floats → 4 bytes of code (64×
+    * smaller), distances approximated per-subspace against 4×16
+    * centroid tables. Train-once artifact (the [[ivfIndex]] contract);
+    * fully ORACLED by the same generated-CTE replay as
+    * q_cluster_assign — one shared xxhash64 chain (k=16 buckets), then
+    * 4 independent init+2-Lloyd-round+assign replays over the sliced
+    * columns.
+    */
+  private val PqSubs = 4
+  private val PqDims = 16
+  private val PqK = 16
+
+  private val pqMemo = Artifacts.memo[DataFrame] { case (_, d) =>
+    d.unpersist(false); ()
+  }
+
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqMemo.computeIfAbsent((s, dir), _ => {
+      GraftExtensions.ensureRegistered(s)
+      val subes = (0 until PqSubs).map { sub =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            slice(col("embedding"), sub * PqDims + 1, PqDims)
+              .as("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            norm2(col("embedding")).as("n2"))
+          .persist()
+      }
+      val joined = subes.zipWithIndex.map { case (sube, sub) =>
+        val cents = trainCentroids(s, sube, k = PqK, iters = 2)
+          .localCheckpoint(true)
+        assignCells(sube, cents)
+          .select(col("vec_id"), col("cent_id").as(s"c$sub"),
+            col("sim").as(s"s$sub"))
+      }.reduce(_.join(_, "vec_id"))
+      val out = joined.localCheckpoint(true)
+      subes.foreach(_.unpersist())
+      out
     })
 
   /** IVF search kernel shared by q_ann_ivf (constant probe batch) and

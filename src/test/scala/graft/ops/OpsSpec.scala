@@ -724,4 +724,22 @@ class OpsSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  // ── PQ codes: compression-layer invariants ──────────────────────────
+  test("q_pq_codes: codes in [0,16), sims in (0,1], codebooks learned") {
+    val rows = q("q_pq_codes").collect()
+    assert(rows.nonEmpty)
+    val sims = rows.map(_.getDouble(5))
+    rows.foreach { r =>
+      for (j <- 1 to 4) {
+        val c = r.getLong(j)
+        assert(c >= 0 && c < 16, s"sub-code $c out of the 16-cell range")
+      }
+    }
+    sims.foreach(v => assert(v > 0.0 && v <= 1.0, s"avg_sim $v out of range"))
+    // a random (untrained) assignment on this corpus averages ~0.2-0.3;
+    // the trained sub-codebooks measure ~0.52 — assert the learning floor
+    val mean = sims.sum / sims.length
+    assert(mean >= 0.35, s"PQ reconstruction quality degraded: mean=$mean")
+  }
 }
