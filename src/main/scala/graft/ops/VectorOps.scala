@@ -139,6 +139,45 @@ object VectorOps {
        ${pfx}c${r}n AS (SELECT cent_id, c_emb, ${duckDot("c_emb", "c_emb", dims)} AS c_n2
                   FROM ${pfx}c$r)"""
 
+  /** The full 4-subspace PQ training replay as a WITH body: the shared
+    * xxhash64 init chain, k=16 bucketing, and per-subspace
+    * init + 2-Lloyd-round + final-assignment CTEs (`p0_…p3_fin`,
+    * codebooks `p{s}_c2n`). Shared by the q_pq_codes and q_pq_adc
+    * oracles.
+    */
+  private lazy val duckPqReplay: String = {
+    def subBlock(sub: Int): String = {
+      val lo = sub * 16 + 1; val hi = sub * 16 + 16
+      s"""p${sub}_emb AS (
+            SELECT vec_id, embedding,
+              ${duckDot("embedding", "embedding", 16)} AS n2
+            FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
+                  FROM embeddings)),
+          p${sub}_c0 AS (
+            SELECT b.b AS cent_id,
+              list_transform(arg_min(e.embedding, e.vec_id),
+                x -> CAST(x AS DOUBLE)) AS c_emb
+            FROM bkt b JOIN p${sub}_emb e USING (vec_id)
+            GROUP BY 1),
+          p${sub}_c0n AS (
+            SELECT cent_id, c_emb,
+              ${duckDot("c_emb", "c_emb", 16)} AS c_n2
+            FROM p${sub}_c0),
+          ${duckLloydRound(1, 16, s"p${sub}_", s"p${sub}_emb")},
+          ${duckLloydRound(2, 16, s"p${sub}_", s"p${sub}_emb")},
+          p${sub}_fin AS (
+            SELECT e.vec_id, c.cent_id,
+              ${duckDot("c.c_emb", "e.embedding", 16)}
+                / sqrt(c.c_n2 * e.n2) AS csim
+            FROM p${sub}_emb e CROSS JOIN p${sub}_c2n c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY csim DESC, c.cent_id) = 1)"""
+    }
+    s"""${duckXxHash64("hs", "embeddings", "vec_id")},
+          bkt AS (SELECT vec_id, ((h % 16) + 16) % 16 AS b FROM hs),
+          ${(0 until 4).map(subBlock).mkString(",\n")}"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── exact cosine top-3 neighbors for 10 probe vectors ────────────────
@@ -298,7 +337,7 @@ object VectorOps {
     Q("q_pq_codes",
       (s, dir) => {
         GraftExtensions.ensureRegistered(s)
-        val c = pqCodes(s, dir)
+        val c = pqIndex(s, dir)._1
         c.select(col("vec_id"),
             col("c0"), col("c1"), col("c2"), col("c3"),
             ((col("s0") + col("s1") + col("s2") + col("s3")) / 4.0)
@@ -306,36 +345,7 @@ object VectorOps {
           .orderBy("vec_id")
       },
       Some {
-        def subBlock(sub: Int): String = {
-          val lo = sub * 16 + 1; val hi = sub * 16 + 16
-          s"""p${sub}_emb AS (
-                SELECT vec_id, embedding,
-                  ${duckDot("embedding", "embedding", 16)} AS n2
-                FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
-                      FROM embeddings)),
-              p${sub}_c0 AS (
-                SELECT b.b AS cent_id,
-                  list_transform(arg_min(e.embedding, e.vec_id),
-                    x -> CAST(x AS DOUBLE)) AS c_emb
-                FROM bkt b JOIN p${sub}_emb e USING (vec_id)
-                GROUP BY 1),
-              p${sub}_c0n AS (
-                SELECT cent_id, c_emb,
-                  ${duckDot("c_emb", "c_emb", 16)} AS c_n2
-                FROM p${sub}_c0),
-              ${duckLloydRound(1, 16, s"p${sub}_", s"p${sub}_emb")},
-              ${duckLloydRound(2, 16, s"p${sub}_", s"p${sub}_emb")},
-              p${sub}_fin AS (
-                SELECT e.vec_id, c.cent_id,
-                  ${duckDot("c.c_emb", "e.embedding", 16)}
-                    / sqrt(c.c_n2 * e.n2) AS csim
-                FROM p${sub}_emb e CROSS JOIN p${sub}_c2n c
-                QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY csim DESC, c.cent_id) = 1)"""
-        }
-        s"""WITH ${duckXxHash64("hs", "embeddings", "vec_id")},
-              bkt AS (SELECT vec_id, ((h % 16) + 16) % 16 AS b FROM hs),
-              ${(0 until 4).map(subBlock).mkString(",\n")}
+        s"""WITH $duckPqReplay
               SELECT f0.vec_id,
                 CAST(f0.cent_id AS BIGINT) AS c0,
                 CAST(f1.cent_id AS BIGINT) AS c1,
@@ -346,6 +356,100 @@ object VectorOps {
                 JOIN p2_fin f2 USING (vec_id)
                 JOIN p3_fin f3 USING (vec_id)
               ORDER BY vec_id"""
+      }),
+
+    // ── PQ asymmetric-distance search (ADC top-3) ───────────────────────
+    // The SEARCH path the PQ codes exist for: each probe scores the
+    // whole corpus WITHOUT touching raw vectors — 4 tiny per-subspace
+    // lookup tables (probe × 16 centroids: exact partial dot + centroid
+    // norm, broadcast) joined to the 1-byte codes, approximate cosine
+    // = Σd_sub / √(‖p‖²·Σ‖c_sub‖²). At 100 TB this is the memory
+    // contract that makes billion-vector search feasible: the scan
+    // reads 4 bytes per vector instead of 256. Bounded-heap graft_topk
+    // (never a window), self excluded. Fully oracled — the replay CTEs
+    // plus the same LUT joins in SQL.
+    Q("q_pq_adc",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val (codes, books) = pqIndex(s, dir)
+        val probes = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"),
+            norm2(col("embedding")).as("p_n2"))
+        val luts = books.zipWithIndex.map { case (book, sub) =>
+          probes.crossJoin(book)
+            .select(col("probe_id"), col("cent_id").as(s"c$sub"),
+              dot(slice(col("p_emb"), sub * PqDims + 1, PqDims),
+                col("c_emb")).as(s"d$sub"),
+              col("c_n2").as(s"n$sub"))
+        }
+        val adc = luts.foldLeft(
+          codes.crossJoin(
+            broadcast(probes.select(col("probe_id"), col("p_n2"))))) {
+          case (acc, lut) =>
+            val sub = lut.columns.find(_.startsWith("c")).get
+            acc.join(broadcast(lut), Seq("probe_id", sub))
+        }
+        adc.filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            ((col("d0") + col("d1") + col("d2") + col("d3"))
+              / sqrt(col("p_n2")
+                * (col("n0") + col("n1") + col("n2") + col("n3"))))
+              .as("adc_sim"))
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(neighbor_id, adc_sim, 3)").as("topk"))
+          .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+          .select(col("probe_id"), col("t.id").as("neighbor_id"),
+            col("t.score").as("adc_sim"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("probe_id", "rk")
+      },
+      Some {
+        def lutBlock(sub: Int): String = {
+          val off = sub * 16
+          s"""lut$sub AS (
+                SELECT p.probe_id, c.cent_id,
+                  (SELECT sum(CAST(p.p_emb[i + $off] AS DOUBLE)
+                     * CAST(c.c_emb[i] AS DOUBLE))
+                   FROM generate_series(1, 16) g(i)) AS d,
+                  c.c_n2
+                FROM probes p CROSS JOIN p${sub}_c2n c)"""
+        }
+        s"""WITH $duckPqReplay,
+              probes AS (
+                SELECT vec_id AS probe_id, embedding AS p_emb,
+                  ${duckDot("embedding", "embedding")} AS p_n2
+                FROM embeddings WHERE vec_id < 10),
+              ${(0 until 4).map(lutBlock).mkString(",\n")},
+              j AS (
+                SELECT f0.vec_id, pr.probe_id, pr.p_n2,
+                  l0.d AS d0, l0.c_n2 AS n0,
+                  l1.d AS d1, l1.c_n2 AS n1,
+                  l2.d AS d2, l2.c_n2 AS n2,
+                  l3.d AS d3, l3.c_n2 AS n3
+                FROM p0_fin f0 JOIN p1_fin f1 USING (vec_id)
+                  JOIN p2_fin f2 USING (vec_id)
+                  JOIN p3_fin f3 USING (vec_id)
+                  CROSS JOIN probes pr
+                  JOIN lut0 l0 ON l0.probe_id = pr.probe_id
+                    AND l0.cent_id = f0.cent_id
+                  JOIN lut1 l1 ON l1.probe_id = pr.probe_id
+                    AND l1.cent_id = f1.cent_id
+                  JOIN lut2 l2 ON l2.probe_id = pr.probe_id
+                    AND l2.cent_id = f2.cent_id
+                  JOIN lut3 l3 ON l3.probe_id = pr.probe_id
+                    AND l3.cent_id = f3.cent_id),
+              scored AS (
+                SELECT probe_id, vec_id AS neighbor_id,
+                  (d0 + d1 + d2 + d3)
+                    / sqrt(p_n2 * (n0 + n1 + n2 + n3)) AS adc_sim
+                FROM j WHERE vec_id <> probe_id),
+              r AS (
+                SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY adc_sim DESC, neighbor_id) AS BIGINT) AS rk
+                FROM scored)
+              SELECT probe_id, neighbor_id, adc_sim, rk
+              FROM r WHERE rk <= 3 ORDER BY probe_id, rk"""
       }),
 
     // ── element-wise centroid aggregation per label ──────────────────────
@@ -1385,11 +1489,12 @@ object VectorOps {
   private val PqDims = 16
   private val PqK = 16
 
-  private val pqMemo = Artifacts.memo[DataFrame] { case (_, d) =>
-    d.unpersist(false); ()
+  private val pqMemo = Artifacts.memo[(DataFrame, Seq[DataFrame])] {
+    case (_, (d, books)) =>
+      d.unpersist(false); books.foreach(_.unpersist(false)); ()
   }
 
-  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
     pqMemo.computeIfAbsent((s, dir), _ => {
       GraftExtensions.ensureRegistered(s)
       val subes = (0 until PqSubs).map { sub =>
@@ -1401,16 +1506,17 @@ object VectorOps {
             norm2(col("embedding")).as("n2"))
           .persist()
       }
-      val joined = subes.zipWithIndex.map { case (sube, sub) =>
-        val cents = trainCentroids(s, sube, k = PqK, iters = 2)
-          .localCheckpoint(true)
-        assignCells(sube, cents)
-          .select(col("vec_id"), col("cent_id").as(s"c$sub"),
-            col("sim").as(s"s$sub"))
+      val books = subes.map(sube =>
+        trainCentroids(s, sube, k = PqK, iters = 2).localCheckpoint(true))
+      val joined = subes.zip(books).zipWithIndex.map {
+        case ((sube, cents), sub) =>
+          assignCells(sube, cents)
+            .select(col("vec_id"), col("cent_id").as(s"c$sub"),
+              col("sim").as(s"s$sub"))
       }.reduce(_.join(_, "vec_id"))
       val out = joined.localCheckpoint(true)
       subes.foreach(_.unpersist())
-      out
+      (out, books)
     })
 
   /** IVF search kernel shared by q_ann_ivf (constant probe batch) and

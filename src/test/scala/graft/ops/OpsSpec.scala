@@ -742,4 +742,32 @@ class OpsSpec extends SparkSpec {
     val mean = sims.sum / sims.length
     assert(mean >= 0.35, s"PQ reconstruction quality degraded: mean=$mean")
   }
+
+  // ── PQ ADC search: 4-byte codes must preserve neighborhood signal ───
+  test("q_pq_adc: picks concentrate in the exact top-20 neighborhood") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val picks = q("q_pq_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(picks.nonEmpty)
+    val top20 = picks.map(_._1).distinct.map { p =>
+      p -> emb.keys.filter(_ != p).toSeq
+        .sortBy(v => -cos(emb(p), emb(v))).take(20).toSet
+    }.toMap
+    val inTop = picks.count { case (p, n) => top20(p)(n) }
+    // measured 19/30 (63%) at sf0.001; a code-damaging regression (bad
+    // codebooks, mis-joined LUTs) drops this toward the ~4% random rate
+    assert(inTop.toDouble / picks.length >= 0.4,
+      s"ADC picks lost the neighborhood: $inTop/${picks.length} in top-20")
+    val meanCos = picks.map { case (p, n) => cos(emb(p), emb(n)) }.sum / picks.length
+    assert(meanCos >= 0.1, s"mean exact cosine of ADC picks fell to $meanCos")
+  }
 }
