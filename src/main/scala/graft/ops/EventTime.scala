@@ -4734,28 +4734,16 @@ object EventTime {
     // 12-dec rounded IEEE ratios of exact integers.
     Q("q_theil_sen",
       (s, dir) => {
-        val cen = t(s, dir, "orders")
-          .select(
-            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
-              .as("d"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-          .groupBy("d")
-          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
-          .persist()
+        val cen = senDayCensus(s, dir).persist()
         // Median picks ride RangeRank.medianValues — exact histogram-
         // bracketed selection (two cache passes, census arithmetic) in
         // place of the r6 verdict's single-task global row_number
         // windows AND of a full range sort: the median VALUES are
         // tie-order-invariant, and the oracle's avg-of-two-middle-ranks
         // is exactly (v1+v2)/2, so the hash cannot move. The pair frame
-        // is persisted because both selection passes reread it.
-        val pairs = cen.as("a")
-          .join(cen.select(col("d").as("d2"), col("y").as("y2")),
-            col("d") < col("d2"))
-          .select(
-            round((col("y2") - col("y")).cast("double")
-              / (col("d2") - col("d")).cast("double"), 12).as("sl"))
-          .persist()
+        // is the SHARED [[senPairs]] artifact (round 11 — built once,
+        // also read by q_theil_sen_ci).
+        val pairs = senPairs(s, dir)
         val slope = RangeRank.medianValues(pairs, "sl", nName = "m")
           .select(((col("v1") + col("v2")) / 2.0).as("slope"),
             col("m").as("n_pairs"))
@@ -4828,21 +4816,8 @@ object EventTime {
     // literal, not libm.
     Q("q_theil_sen_ci",
       (s, dir) => {
-        val cen = t(s, dir, "orders")
-          .select(
-            expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
-              .as("d"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-          .groupBy("d")
-          .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
-          .persist()
-        val pairs = cen.as("a")
-          .join(cen.select(col("d").as("d2"), col("y").as("y2")),
-            col("d") < col("d2"))
-          .select(
-            round((col("y2") - col("y")).cast("double")
-              / (col("d2") - col("d")).cast("double"), 12).as("sl"))
-          .persist()
+        // pair frame = the SHARED [[senPairs]] artifact (round 11)
+        val pairs = senPairs(s, dir)
         def ndOf(n: Column) =
           floor((sqrt(n.cast("double") * 8.0 + 1.0) + 1.0) / 2.0)
         def cOf(n: Column) = {
@@ -6916,6 +6891,41 @@ object EventTime {
     * streaming twin keeps exactly this frame as Complete-mode state,
     * bounded by the calendar). Same contract as [[cusumDaily]].
     */
+  /** Shared Sen-slope pair frame for q_theil_sen / q_theil_sen_ci
+    * (round 11): both queries build the IDENTICAL calendar²-bounded
+    * (d < d2) slope frame off the day census — ~2.9M 12-rounded slope
+    * doubles at any SF (days², not rows²). Built once per (session,
+    * dir) and localCheckpoint-pinned (the Artifacts train-once
+    * contract) so the point estimate and the rank CI read one
+    * materialization instead of each paying the pair join.
+    */
+  private val senPairsMemo = graft.ops.Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  private def senPairs(s: SparkSession, dir: String): DataFrame =
+    senPairsMemo.computeIfAbsent((s, dir), _ => {
+      val cen = senDayCensus(s, dir).persist()
+      val pairs = cen.as("a")
+        .join(cen.select(col("d").as("d2"), col("y").as("y2")),
+          col("d") < col("d2"))
+        .select(
+          round((col("y2") - col("y")).cast("double")
+            / (col("d2") - col("d")).cast("double"), 12).as("sl"))
+        .localCheckpoint(true)
+      cen.unpersist()
+      pairs
+    })
+
+  private def senDayCensus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+          .as("d"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy("d")
+      .agg(sum(col("cents").cast(DecimalType(38, 0))).as("y"))
+
   def medianDaily(orders: DataFrame): DataFrame =
     orders.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
