@@ -22,6 +22,37 @@ object TextOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Shared per-doc n-gram censuses for the BLEU family (round 11):
+    * q_bleu_pairs and q_bleu_corpus build the IDENTICAL per-doc
+    * unigram and bigram count censuses — built once per (session,
+    * dir), localCheckpoint-pinned (the Artifacts train-once contract),
+    * read by both readouts.
+    */
+  private val bleuMemo = Artifacts.memo[(DataFrame, DataFrame)] {
+    case (_, (u, b)) => u.unpersist(false); b.unpersist(false); ()
+  }
+
+  private def bleuCensuses(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bleuMemo.computeIfAbsent((s, dir), _ => {
+      val tl = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val u = tl.select(col("doc_id"), explode(col("toks")).as("g"))
+        .filter(col("g") =!= "")
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val b = tl.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                    i -> struct(toks[i] AS x, toks[i+1] AS y))
+             ELSE array() END""")).as("bg"))
+        .filter(col("bg.x") =!= "" && col("bg.y") =!= "")
+        .select(col("doc_id"),
+          concat(col("bg.x"), lit(" "), col("bg.y")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      (u, b)
+    })
+
   val queries: Seq[Q] = Seq(
 
     // ── corpus token statistics: top-20 tokens by frequency ──────────────
@@ -1811,22 +1842,8 @@ object TextOps {
     // exp is not cross-engine reproducible, sqrt is IEEE-exact).
     Q("q_bleu_pairs",
       (s, dir) => {
-        val tl = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val u = tl.select(col("doc_id"), explode(col("toks")).as("g"))
-          .filter(col("g") =!= "")
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .persist()
-        val b = tl.select(col("doc_id"), explode(expr(
-            """CASE WHEN size(toks) >= 2
-               THEN transform(sequence(0, size(toks) - 2),
-                      i -> struct(toks[i] AS x, toks[i+1] AS y))
-               ELSE array() END""")).as("bg"))
-          .filter(col("bg.x") =!= "" && col("bg.y") =!= "")
-          .select(col("doc_id"),
-            concat(col("bg.x"), lit(" "), col("bg.y")).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .persist()
+        // per-doc n-gram censuses = the SHARED [[bleuCensuses]] artifact
+        val (u, b) = bleuCensuses(s, dir)
         def prec(cen: DataFrame, lenName: String, clipName: String) = {
           val cand = cen.select(col("doc_id").as("pair"), col("g"), col("c"))
           val ref = cen.select((col("doc_id") - 20).as("pair"),
@@ -2168,22 +2185,8 @@ object TextOps {
     // brevity penalty for the same cross-engine-exactness reason.
     Q("q_bleu_corpus",
       (s, dir) => {
-        val tl = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val u = tl.select(col("doc_id"), explode(col("toks")).as("g"))
-          .filter(col("g") =!= "")
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .persist()
-        val b = tl.select(col("doc_id"), explode(expr(
-            """CASE WHEN size(toks) >= 2
-               THEN transform(sequence(0, size(toks) - 2),
-                      i -> struct(toks[i] AS x, toks[i+1] AS y))
-               ELSE array() END""")).as("bg"))
-          .filter(col("bg.x") =!= "" && col("bg.y") =!= "")
-          .select(col("doc_id"),
-            concat(col("bg.x"), lit(" "), col("bg.y")).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .persist()
+        // per-doc n-gram censuses = the SHARED [[bleuCensuses]] artifact
+        val (u, b) = bleuCensuses(s, dir)
         def tot(cen: DataFrame, lenName: String, clipName: String) = {
           val cand = cen.select(col("doc_id").as("pair"), col("g"), col("c"))
           val ref = cen.select((col("doc_id") - 20).as("pair"),
