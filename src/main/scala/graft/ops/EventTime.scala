@@ -1716,6 +1716,138 @@ object EventTime {
                         ELSE 0 END) AS DOUBLE)) END AS z_sign
               FROM j""")),
 
+    // ── Diebold–Mariano forecast-comparison test ────────────────────────
+    // The standard "is forecast 1 actually better?" test, completing
+    // the backtest family (SMAPE/MASE/pinball/tracking/Theil-U₂ score
+    // forecasts; DM decides between them): loss differential
+    // dₜ = e₁ₜ² − e₂ₜ² between the naive (day−1) and seasonal-naive
+    // (day−7) forecasts, both resolved by CALENDAR self-joins (range
+    // semantics); DM = d̄/√(Var(d̄)) with the long-run variance
+    // γ₀ + 2Σ_{k=1..6}γ_k (uniform weights, truncation at the h−1 = 6
+    // of the 7-day horizon — Diebold–Mariano 1995). Squared cent
+    // errors and dₜ are EXACT dec38 integers; the centered
+    // autocovariances are position-pinned sorted folds over the
+    // day-ordered series (the q_kpss_test machinery verbatim), so both
+    // engines reduce identically. The variance can go negative under
+    // uniform weights (the test's documented caveat) → NULL.
+    Q("q_diebold_mariano",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val wDay = Window.orderBy("day")
+        val daily = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+        val l1 = daily.select((col("day") + 1).as("day"),
+          col("cents").as("c1"))
+        val l7 = daily.select((col("day") + 7).as("day"),
+          col("cents").as("c7"))
+        // dₜ in the EXACT-double domain: |e| < 2⁵³ cents, so the
+        // error casts are exact and e₁²−e₂² is the identical IEEE
+        // sequence on both engines; Σdₜ goes through a day-pinned
+        // fold (a plain SUM of doubles is reduction-order-dependent,
+        // and DuckDB's int128→double cast is not correctly rounded
+        // above 2⁵³ — the divergence that killed the dec38 spelling)
+        val d = daily.join(l1, "day").join(l7, "day")
+          .select(col("day"),
+            ((col("cents") - col("c1")).cast("double")
+              * (col("cents") - col("c1")).cast("double")
+              - (col("cents") - col("c7")).cast("double")
+                * (col("cents") - col("c7")).cast("double")).as("dt"))
+        val nf = d.agg(count(lit(1)).cast("long").as("n"),
+          expr("""aggregate(array_sort(collect_list(struct(day, dt))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.dt)""").as("sd"))
+        var e = d.crossJoin(broadcast(nf))
+          .withColumn("cd", col("dt")
+            - col("sd") / col("n").cast("double"))
+        for (k <- 1 to 6)
+          e = e.withColumn(s"p$k",
+            coalesce(col("cd") * lead(col("cd"), k).over(wDay), lit(0.0)))
+        def fold(c: String) =
+          expr(s"""aggregate(array_sort(collect_list(struct(day, $c))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.$c)""")
+        val aggCols =
+          expr("""aggregate(array_sort(collect_list(struct(day, cd))),
+                  CAST(0 AS DOUBLE), (a, x) -> a + x.cd * x.cd)""")
+            .as("g0") +:
+          (1 to 6).map(k => fold(s"p$k").as(s"g$k"))
+        val agg = e.groupBy("n", "sd").agg(aggCols.head, aggCols.tail: _*)
+        agg.select(col("n"),
+            (col("sd").cast("double") / col("n").cast("double"))
+              .as("dbar"),
+            ((col("g0") + (col("g1") + col("g2") + col("g3") + col("g4")
+              + col("g5") + col("g6")) * 2.0)
+              / (col("n").cast("double") * col("n").cast("double")))
+              .as("var_dbar"))
+          .select(col("n"), col("dbar"), col("var_dbar"),
+            when(col("var_dbar") <= 0 || col("n") < 2,
+              lit(null).cast("double"))
+              .otherwise(col("dbar") / sqrt(col("var_dbar")))
+              .as("dm_stat"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              d AS (
+                SELECT a.day,
+                  CAST(a.cents - l1.cents AS DOUBLE)
+                    * CAST(a.cents - l1.cents AS DOUBLE)
+                  - CAST(a.cents - l7.cents AS DOUBLE)
+                    * CAST(a.cents - l7.cents AS DOUBLE) AS dt
+                FROM daily a
+                  JOIN daily l1 ON a.day = l1.day + 1
+                  JOIN daily l7 ON a.day = l7.day + 7),
+              nf AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(dt ORDER BY day)), (a, x) -> a + x) AS sd
+                FROM d),
+              e AS (
+                SELECT day,
+                  dt - sd / CAST(n AS DOUBLE) AS cd
+                FROM d, nf),
+              p AS (
+                SELECT day, cd,
+                  COALESCE(cd * lead(cd, 1) OVER (ORDER BY day), 0) AS p1,
+                  COALESCE(cd * lead(cd, 2) OVER (ORDER BY day), 0) AS p2,
+                  COALESCE(cd * lead(cd, 3) OVER (ORDER BY day), 0) AS p3,
+                  COALESCE(cd * lead(cd, 4) OVER (ORDER BY day), 0) AS p4,
+                  COALESCE(cd * lead(cd, 5) OVER (ORDER BY day), 0) AS p5,
+                  COALESCE(cd * lead(cd, 6) OVER (ORDER BY day), 0) AS p6
+                FROM e),
+              agg AS (
+                SELECT
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(cd * cd ORDER BY day)), (a, x) -> a + x) AS g0,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p1 ORDER BY day)), (a, x) -> a + x) AS g1,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p2 ORDER BY day)), (a, x) -> a + x) AS g2,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p3 ORDER BY day)), (a, x) -> a + x) AS g3,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p4 ORDER BY day)), (a, x) -> a + x) AS g4,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p5 ORDER BY day)), (a, x) -> a + x) AS g5,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(p6 ORDER BY day)), (a, x) -> a + x) AS g6
+                FROM p),
+              r AS (
+                SELECT n,
+                  CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS dbar,
+                  (g0 + (g1 + g2 + g3 + g4 + g5 + g6) * 2.0)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                    AS var_dbar
+                FROM agg, nf)
+              SELECT n, dbar, var_dbar,
+                CASE WHEN var_dbar <= 0 OR n < 2 THEN NULL
+                  ELSE dbar / sqrt(var_dbar) END AS dm_stat
+              FROM r""")),
+
     // ── difference-sign test: monotone drift in successive days ─────────
     // The simplest randomness-against-trend check on the day census:
     // P = #(successive increases) among n−1 consecutive-census diffs,

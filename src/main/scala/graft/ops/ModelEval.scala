@@ -959,6 +959,61 @@ object ModelEval {
                 AS brier
               FROM m""")),
 
+    // ── Brier skill score vs the climatology baseline ───────────────────
+    // BSS = 1 − BS/BS_ref with BS_ref = p̄(1−p̄), the Brier score of
+    // always forecasting the base rate — the skill normalization that
+    // makes Brier scores comparable across base rates. Same one-pass
+    // integer census as q_brier_score (cents² sums exact in dec38);
+    // the base rate and both scores are a short pinned double chain.
+    Q("q_brier_skill",
+      (s, dir) =>
+        labeled(t(s, dir, "events"))
+          .select((dec2(col("value")) * 100).cast("long").as("cents"),
+            col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pos")).as("npos"),
+            sum(((col("cents") - lit(50000L) * col("pos"))
+              * (col("cents") - lit(50000L) * col("pos"))).cast(dec38))
+              .as("se"))
+          .select(col("n").cast("long").as("n"),
+            col("npos").cast("long").as("n_pos"),
+            (col("se").cast("double")
+              / (col("n").cast("double") * lit(2.5e9))).as("brier"),
+            (col("npos").cast("double") / col("n").cast("double"))
+              .as("pbar"))
+          .select(col("n"), col("n_pos"), col("brier"),
+            (col("pbar") * (lit(1.0) - col("pbar"))).as("brier_ref"),
+            col("pbar"))
+          .select(col("n"), col("n_pos"), col("brier"), col("brier_ref"),
+            when(col("brier_ref") <= 0, lit(null).cast("double"))
+              .otherwise(lit(1.0) - col("brier") / col("brier_ref"))
+              .as("bss")),
+      Some("""WITH b AS (
+                SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                FROM events),
+              m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS n_pos,
+                  SUM(CAST(cents - 50000 * y AS HUGEINT)
+                    * CAST(cents - 50000 * y AS HUGEINT)) AS se
+                FROM b),
+              sc AS (
+                SELECT n, n_pos,
+                  CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 2.5e9)
+                    AS brier,
+                  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pbar
+                FROM m),
+              r AS (
+                SELECT n, n_pos, brier,
+                  pbar * (1.0 - pbar) AS brier_ref
+                FROM sc)
+              SELECT n, n_pos, brier, brier_ref,
+                CASE WHEN brier_ref <= 0 THEN NULL
+                  ELSE 1.0 - brier / brier_ref END AS bss
+              FROM r""")),
+
     // ── expected calibration error ──────────────────────────────────────
     // ECE = Σ_b (n_b/n)·|pos_rate_b − mean_pred_b| over the same
     // fixed-width bins as q_calibration, with mean predicted probability

@@ -3833,6 +3833,64 @@ object Relational {
     // where Σx² nears 2⁶³, re-scale the unit — HHI is scale-invariant.)
     // Shape: a (brand, supplier)-keyed partial+final agg, then a
     // brand-keyed partial+final agg — no windows, no data-sized sort.
+    // ── Rosenbluth (Hall–Tideman) concentration index per brand ────────
+    // The rank-weighted sibling of q_hhi on the SAME supplier-revenue
+    // frame: B = T/(2·Σᵢ i·dᵢ − T) with suppliers ranked by revenue
+    // DESC (i = 1 the largest; ties broken by suppkey for a total
+    // order). Unlike HHI it weights by rank, so it reacts to the
+    // SHAPE of the tail, not just the big squares. The rank window
+    // partitions by brand (scaling key); numerator and T stay exact
+    // dec38 integers, one IEEE division per brand.
+    Q("q_rosenbluth_index",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("dollars").desc, col("l_suppkey"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("l_suppkey"))
+          .agg(((sum(dec2(col("l_extendedprice"))) * 100).cast("long"))
+            .as("cents"))
+          .select(col("p_brand"), col("l_suppkey"),
+            expr("cents div 100").as("dollars"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("dollars").cast(dec38)).as("t"),
+            sum(col("i").cast(dec38) * col("dollars")).as("iw"))
+          .select(col("p_brand"), col("n_suppliers"),
+            col("t").cast("long").as("total_dollars"),
+            when(lit(2L).cast(dec38) * col("iw") - col("t") <= 0,
+              lit(null).cast("double"))
+              .otherwise(col("t").cast("double")
+                / (lit(2L).cast(dec38) * col("iw") - col("t"))
+                  .cast("double")).as("rosenbluth"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH rev AS (
+                SELECT p_brand, l_suppkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) // 100 AS dollars
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2),
+              rk AS (
+                SELECT p_brand, dollars,
+                  CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY dollars DESC, l_suppkey) AS BIGINT) AS i
+                FROM rev),
+              agg AS (
+                SELECT p_brand,
+                  CAST(count(*) AS BIGINT) AS n_suppliers,
+                  SUM(CAST(dollars AS HUGEINT)) AS t,
+                  SUM(CAST(i AS HUGEINT) * dollars) AS iw
+                FROM rk GROUP BY 1)
+              SELECT p_brand, n_suppliers,
+                CAST(t AS BIGINT) AS total_dollars,
+                CASE WHEN 2 * iw - t <= 0 THEN NULL
+                  ELSE CAST(t AS DOUBLE) / CAST(2 * iw - t AS DOUBLE)
+                  END AS rosenbluth
+              FROM agg ORDER BY p_brand""")),
+
     Q("q_hhi",
       (s, dir) => {
         val rev = t(s, dir, "lineitem")
@@ -8267,6 +8325,98 @@ object Relational {
               FROM pairs
               JOIN marg ma ON pairs.b1 = ma.b
               JOIN marg mb ON pairs.b2 = mb.b, tot
+              ORDER BY b1, b2""")),
+
+    // ── association-rule quality metrics beyond lift ────────────────────
+    // The rule-mining readouts q_basket_lift stops short of, on the
+    // SAME brand-basket census + ≥50-pair threshold: leverage =
+    // supp(AB) − supp(A)·supp(B) (additive deviation), conviction =
+    // (1 − supp(B))/(1 − conf(A→B)) in both directions (∞-prone —
+    // conf=1 rules get NULL on both engines), and basket Jaccard.
+    // Counts exact; each metric a short pinned double chain.
+    Q("q_association_metrics",
+      (s, dir) => {
+        val cen = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+          .persist()
+        val nOrders = cen.agg(countDistinct(col("ok")).as("n_orders"))
+        val marg = cen.groupBy(col("b"))
+          .agg(count(lit(1)).cast("long").as("n_b"))
+        val pairs = cen.as("x")
+          .join(cen.select(col("ok").as("ok2"), col("b").as("b2")),
+            col("ok") === col("ok2") && col("b") < col("b2"))
+          .groupBy(col("b").as("b1"), col("b2"))
+          .agg(count(lit(1)).cast("long").as("n_ab"))
+          .filter(col("n_ab") >= 50)
+        pairs
+          .join(broadcast(marg.select(col("b").as("b1"),
+            col("n_b").as("n_a"))), "b1")
+          .join(broadcast(marg.select(col("b").as("b2"),
+            col("n_b").as("n_bb"))), "b2")
+          .crossJoin(broadcast(nOrders))
+          .select(col("b1"), col("b2"), col("n_ab"),
+            round(col("n_ab").cast("double")
+                / col("n_orders").cast("double")
+              - col("n_a").cast("double")
+                / col("n_orders").cast("double")
+                * (col("n_bb").cast("double")
+                  / col("n_orders").cast("double")), 12).as("leverage"),
+            when(col("n_a") === col("n_ab"), lit(null).cast("double"))
+              .otherwise(round(
+                (lit(1.0) - col("n_bb").cast("double")
+                  / col("n_orders").cast("double"))
+                / (lit(1.0) - col("n_ab").cast("double")
+                  / col("n_a").cast("double")), 12)).as("conviction_ab"),
+            when(col("n_bb") === col("n_ab"), lit(null).cast("double"))
+              .otherwise(round(
+                (lit(1.0) - col("n_a").cast("double")
+                  / col("n_orders").cast("double"))
+                / (lit(1.0) - col("n_ab").cast("double")
+                  / col("n_bb").cast("double")), 12)).as("conviction_ba"),
+            round(col("n_ab").cast("double")
+              / (col("n_a") + col("n_bb") - col("n_ab")).cast("double"),
+              12).as("jaccard"))
+          .orderBy("b1", "b2")
+      },
+      Some("""WITH cen AS (
+                SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              tot AS (
+                SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+                FROM cen),
+              marg AS (
+                SELECT b, CAST(count(*) AS BIGINT) AS n_b
+                FROM cen GROUP BY 1),
+              pairs AS (
+                SELECT x.b AS b1, y.b AS b2,
+                  CAST(count(*) AS BIGINT) AS n_ab
+                FROM cen x JOIN cen y ON x.ok = y.ok AND x.b < y.b
+                GROUP BY 1, 2 HAVING count(*) >= 50)
+              SELECT b1, b2, n_ab,
+                round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                  - CAST(ma.n_b AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                    * (CAST(mb.n_b AS DOUBLE)
+                      / CAST(n_orders AS DOUBLE)), 12) AS leverage,
+                CASE WHEN ma.n_b = n_ab THEN NULL
+                  ELSE round((1.0 - CAST(mb.n_b AS DOUBLE)
+                      / CAST(n_orders AS DOUBLE))
+                    / (1.0 - CAST(n_ab AS DOUBLE)
+                      / CAST(ma.n_b AS DOUBLE)), 12) END AS conviction_ab,
+                CASE WHEN mb.n_b = n_ab THEN NULL
+                  ELSE round((1.0 - CAST(ma.n_b AS DOUBLE)
+                      / CAST(n_orders AS DOUBLE))
+                    / (1.0 - CAST(n_ab AS DOUBLE)
+                      / CAST(mb.n_b AS DOUBLE)), 12) END AS conviction_ba,
+                round(CAST(n_ab AS DOUBLE)
+                  / CAST(ma.n_b + mb.n_b - n_ab AS DOUBLE), 12)
+                  AS jaccard
+              FROM pairs JOIN marg ma ON ma.b = b1
+                JOIN marg mb ON mb.b = b2, tot
               ORDER BY b1, b2""")),
 
     // ── partial correlation: quantity ↔ price, discount partialled out ──
