@@ -1435,6 +1435,57 @@ object Curation {
     // 10·sym ≤ n; alpha share ≥ 80% ⇔ 5·alpha ≥ 4n) — no FP until the
     // final pass-rate display division. One scan, row-local lambdas,
     // ≤|sources| output.
+    // ── duplicate-sentence share per source ─────────────────────────────
+    // The repetition gate the q_gopher_rules battery stops short of
+    // (the "duplicate line fraction" rule of the Gopher repetition
+    // family, at sentence granularity): per doc, how many sentences
+    // are exact repeats of an earlier sentence in the SAME doc; rolled
+    // up per source with the share of docs carrying any repeat. One
+    // row-local sentence explode → per-doc distinct census → source
+    // rollup; exact integers until two divisions.
+    Q("q_dup_sentences",
+      (s, dir) => {
+        val perDoc = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), "\\. ")).as("sent"))
+          .filter(trim(col("sent")) =!= "")
+          .groupBy("source", "doc_id")
+          .agg(count(lit(1)).cast("long").as("ns"),
+            countDistinct(col("sent")).cast("long").as("ds"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("ns")).cast("long").as("n_sents"),
+            sum(col("ns") - col("ds")).cast("long").as("n_dup_sents"),
+            sum(when(col("ns") > col("ds"), 1L).otherwise(0L))
+              .cast("long").as("docs_with_dup"))
+          .select(col("source"), col("n_docs"), col("n_sents"),
+            col("n_dup_sents"),
+            (col("n_dup_sents").cast("double")
+              / col("n_sents").cast("double")).as("dup_sent_share"),
+            (col("docs_with_dup").cast("double")
+              / col("n_docs").cast("double")).as("frac_docs_with_dup"))
+          .orderBy("source")
+      },
+      Some("""WITH sents AS (
+                SELECT source, doc_id,
+                  unnest(string_split(text, '. ')) AS sent
+                FROM documents),
+              per_doc AS (
+                SELECT source, doc_id,
+                  CAST(count(*) AS BIGINT) AS ns,
+                  CAST(count(DISTINCT sent) AS BIGINT) AS ds
+                FROM sents WHERE trim(sent) <> ''
+                GROUP BY 1, 2)
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(ns) AS BIGINT) AS n_sents,
+                CAST(SUM(ns - ds) AS BIGINT) AS n_dup_sents,
+                CAST(SUM(ns - ds) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE)
+                  AS dup_sent_share,
+                CAST(SUM(CASE WHEN ns > ds THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS frac_docs_with_dup
+              FROM per_doc GROUP BY 1 ORDER BY source""")),
+
     Q("q_gopher_rules",
       (s, dir) => {
         val flags = t(s, dir, "documents")
