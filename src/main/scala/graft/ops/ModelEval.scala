@@ -3795,6 +3795,225 @@ object ModelEval {
               FROM census, bounds
               GROUP BY n1, n2""")),
 
+    // ── Cramér–von Mises two-sample test (urgent vs rest values) ────────
+    // The integrated-ECDF companion of the sup-based tests: T =
+    // (n₁n₂/N²)·Σ_obs (F₁−F₂)² evaluated at every pooled observation.
+    // On the shared value census the common-denominator gap
+    // d_v = cum₁·n₂ − cum₂·n₁ (INCLUSIVE prefix sums) is an exact
+    // dec38 integer, each value contributes (c₁+c₂)·d_v², and
+    // T = Σ(c₁+c₂)d_v² / (N²n₁n₂) is ONE division of exact operands —
+    // zero FP until the end. Σd² fits dec38 to ~10⁸ rows per group
+    // (the q_bws_test envelope note).
+    Q("q_cvm_two_sample",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            (col("off1") + col("c1")).cast("long").as("cum1"),
+            (col("off2") + col("c2")).cast("long").as("cum2"))
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        cum.crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"),
+            ((col("c1") + col("c2")).cast(dec38)
+              * (col("cum1").cast(dec38) * col("n2")
+                - col("cum2").cast(dec38) * col("n1"))
+              * (col("cum1").cast(dec38) * col("n2")
+                - col("cum2").cast(dec38) * col("n1"))).as("m"))
+          .groupBy("n1", "n2")
+          .agg(sum(col("m")).as("num"))
+          .select(col("n1"), col("n2"),
+            when(col("n1") === 0 || col("n2") === 0,
+              lit(null).cast("double"))
+              .otherwise(col("num").cast("double")
+                / ((col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2")).cast("double")
+                  * col("n1").cast("double") * col("n2").cast("double")))
+              .as("t_cvm"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  CAST(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum1,
+                  CAST(SUM(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum2
+                FROM census),
+              ns AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2
+                FROM cum),
+              agg AS (
+                SELECT n1, n2,
+                  SUM(CAST(c1 + c2 AS HUGEINT)
+                    * (CAST(cum1 AS HUGEINT) * n2
+                      - CAST(cum2 AS HUGEINT) * n1)
+                    * (CAST(cum1 AS HUGEINT) * n2
+                      - CAST(cum2 AS HUGEINT) * n1)) AS num
+                FROM cum, ns GROUP BY n1, n2)
+              SELECT n1, n2,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                  ELSE CAST(num AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  END AS t_cvm
+              FROM agg""")),
+
+    // ── van Elteren stratified Wilcoxon (urgent vs rest, by year) ───────
+    // The rank analog of the CMH family: the two-sample comparison run
+    // WITHIN each order-year stratum and combined with the locally-
+    // most-powerful 1/(N_s+1) weights — the design that removes the
+    // year-mix confound a pooled Wilcoxon absorbs. Per-stratum
+    // midranks/ties come off ONE (year, value) census (window
+    // partitioned by the stratum key); W_s, E_s, Var_s use
+    // q_mann_whitney's tie-corrected spellings; the three cross-
+    // stratum sums are year-pinned sorted folds, so the combination
+    // is bit-stable. Degenerate strata (one-sided or all-tied) are
+    // excluded by the SAME predicate on both engines.
+    Q("q_van_elteren",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val w = Window.partitionBy("yr").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cen = t(s, dir, "orders")
+          .select(year(col("o_orderdate").cast("date")).cast("long")
+              .as("yr"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("yr", "v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+        val cum = cen
+          .withColumn("off",
+            coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+          .withColumn("mr2",
+            lit(2L) * col("off") + col("c1") + col("c2") + 1L)
+        val perS = cum.groupBy("yr")
+          .agg(sum(col("c1")).cast("long").as("n1s"),
+            sum(col("c2")).cast("long").as("n2s"),
+            sum(col("c1").cast(dec38) * col("mr2")).as("w2s"),
+            sum((col("c1") + col("c2")).cast(dec38)
+              * (col("c1") + col("c2")) * (col("c1") + col("c2"))
+              - (col("c1") + col("c2"))).as("ties"))
+          .withColumn("ns", col("n1s") + col("n2s"))
+          .filter(col("n1s") > 0 && col("n2s") > 0 && col("ns") >= 2
+            && col("ties").cast("double")
+              < (col("ns").cast("double") * col("ns").cast("double")
+                * col("ns").cast("double") - col("ns").cast("double")))
+          .select(col("yr"), col("n1s"), col("n2s"), col("ns"),
+            (col("w2s").cast("double") / 2.0
+              / (col("ns") + 1).cast("double")).as("tw"),
+            (col("n1s").cast("double") / 2.0).as("te"),
+            ((col("n1s").cast("double") * col("n2s").cast("double")
+              / 12.0
+              * ((col("ns") + 1).cast("double")
+                - col("ties").cast("double")
+                  / (col("ns").cast("double")
+                    * (col("ns") - 1).cast("double"))))
+              / ((col("ns") + 1).cast("double")
+                * (col("ns") + 1).cast("double"))).as("tv"))
+        def fold(c: String) =
+          expr(s"""aggregate(array_sort(collect_list(struct(yr, $c))),
+                   CAST(0 AS DOUBLE), (a, x) -> a + x.$c)""")
+        perS.agg(count(lit(1)).cast("long").as("n_strata"),
+            fold("tw").as("w_ve"), fold("te").as("e_ve"),
+            fold("tv").as("v_ve"))
+          .select(col("n_strata"),
+            round(col("w_ve"), 6).as("w_ve"),
+            round(col("e_ve"), 6).as("e_ve"),
+            when(col("v_ve") <= 0, lit(null).cast("double"))
+              .otherwise(round((col("w_ve") - col("e_ve"))
+                / sqrt(col("v_ve")), 6)).as("z_ve"))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)
+                    AS yr,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              cen AS (
+                SELECT yr, v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1, 2),
+              cum AS (
+                SELECT yr, c1, c2,
+                  COALESCE(SUM(c1 + c2) OVER (PARTITION BY yr ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off
+                FROM cen),
+              cum2 AS (
+                SELECT yr, c1, c2,
+                  2 * off + c1 + c2 + 1 AS mr2
+                FROM cum),
+              per_s AS (
+                SELECT yr,
+                  CAST(SUM(c1) AS BIGINT) AS n1s,
+                  CAST(SUM(c2) AS BIGINT) AS n2s,
+                  CAST(SUM(c1) + SUM(c2) AS BIGINT) AS ns,
+                  SUM(CAST(c1 AS HUGEINT) * mr2) AS w2s,
+                  SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                    - (c1 + c2)) AS ties
+                FROM cum2 GROUP BY 1),
+              terms AS (
+                SELECT yr, n1s, n2s, ns,
+                  CAST(w2s AS DOUBLE) / 2.0 / CAST(ns + 1 AS DOUBLE)
+                    AS tw,
+                  CAST(n1s AS DOUBLE) / 2.0 AS te,
+                  (CAST(n1s AS DOUBLE) * CAST(n2s AS DOUBLE) / 12.0
+                    * (CAST(ns + 1 AS DOUBLE)
+                      - CAST(ties AS DOUBLE)
+                        / (CAST(ns AS DOUBLE)
+                          * CAST(ns - 1 AS DOUBLE))))
+                    / (CAST(ns + 1 AS DOUBLE) * CAST(ns + 1 AS DOUBLE))
+                    AS tv
+                FROM per_s
+                WHERE n1s > 0 AND n2s > 0 AND ns >= 2
+                  AND CAST(ties AS DOUBLE)
+                    < CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE)
+                      * CAST(ns AS DOUBLE) - CAST(ns AS DOUBLE)),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(tw ORDER BY yr)), (a, x) -> a + x) AS w_ve,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(te ORDER BY yr)), (a, x) -> a + x) AS e_ve,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list(tv ORDER BY yr)), (a, x) -> a + x) AS v_ve
+                FROM terms)
+              SELECT n_strata,
+                round(w_ve, 6) AS w_ve,
+                round(e_ve, 6) AS e_ve,
+                CASE WHEN v_ve <= 0 THEN NULL
+                  ELSE round((w_ve - e_ve) / sqrt(v_ve), 6) END AS z_ve
+              FROM agg""")),
+
     // ── Baumgartner–Weiss–Schindler two-sample test ─────────────────────
     // The r10-parked seed, landed: B = (B_X + B_Y)/2 where B_X =
     // (1/n)Σᵢ (Rᵢ − (N/n)i)² / [i/(n+1)(1−i/(n+1)) · mN/n] over the
