@@ -3795,6 +3795,235 @@ object ModelEval {
               FROM census, bounds
               GROUP BY n1, n2""")),
 
+    // ── Yuen's trimmed-mean t-test (10% trim, urgent vs rest) ───────────
+    // The robust Behrens–Fisher t (Yuen 1974): compare 10%-trimmed
+    // means with winsorized variances. Positional winsorization equals
+    // a VALUE clamp at the rank-cut picks (values at ranks g+1 and
+    // n−g, g = n div 10 — ties straddling the cut clamp to themselves),
+    // so the whole statistic reduces to exact integer census
+    // arithmetic: Σw and Σw² in dec38 off one clamped pass, trimmed
+    // sums recovered as Σw − g·vlo − g·vhi, SSD_w = (nΣw²−(Σw)²)/n via
+    // the integer identity, dᵢ = SSD_w/(hᵢ(hᵢ−1)) (the n−1 factors
+    // cancel in Yuen's dᵢ), and t = Δtm/√(d₁+d₂) is the one pinned
+    // double chain.
+    Q("q_yuen_t",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val base = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("grp"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .persist()
+        val picks = RangeRank.groupValuesAtRanks(base, Seq("grp"),
+          "cents",
+          Seq(RangeRank.RankPick("vlo", n => expr("(n div 10) + 1")),
+            RangeRank.RankPick("vhi", n => expr("n - (n div 10)"))))
+          .select(col("grp"), col("n"), col("vlo"), col("vhi"))
+        val perG = base.join(broadcast(picks), "grp")
+          .select(col("grp"), col("n"), col("vlo"), col("vhi"),
+            least(greatest(col("cents"), col("vlo")), col("vhi"))
+              .as("w"))
+          .groupBy("grp", "n", "vlo", "vhi")
+          .agg(sum(col("w").cast(dec38)).as("sw"),
+            sum(col("w").cast(dec38) * col("w")).as("sww"))
+          .select(col("grp"), col("n"),
+            expr("n div 10").as("g"),
+            (col("n") - lit(2L) * expr("n div 10")).as("h"),
+            col("vlo"), col("vhi"), col("sw"), col("sww"))
+          .select(col("grp"), col("n"), col("h"),
+            ((col("sw") - col("g").cast(dec38) * col("vlo")
+              - col("g").cast(dec38) * col("vhi")).cast("double")
+              / col("h").cast("double")).as("tm"),
+            (((col("n").cast(dec38) * col("sww") - col("sw") * col("sw"))
+              .cast("double") / col("n").cast("double"))
+              / (col("h").cast("double")
+                * (col("h") - 1).cast("double"))).as("d"))
+        perG.groupBy()
+          .agg(max(when(col("grp") === 1, col("n"))).as("n1"),
+            max(when(col("grp") === 0, col("n"))).as("n2"),
+            max(when(col("grp") === 1, col("h"))).as("h1"),
+            max(when(col("grp") === 0, col("h"))).as("h2"),
+            max(when(col("grp") === 1, col("tm"))).as("tm1"),
+            max(when(col("grp") === 0, col("tm"))).as("tm2"),
+            max(when(col("grp") === 1, col("d"))).as("d1"),
+            max(when(col("grp") === 0, col("d"))).as("d2"))
+          .select(col("n1"), col("n2"), col("h1"), col("h2"),
+            round((col("tm1") - col("tm2")) / 100.0, 6)
+              .as("tm_diff_dollars"),
+            when(col("d1") + col("d2") <= 0, lit(null).cast("double"))
+              .otherwise(round((col("tm1") - col("tm2"))
+                / sqrt(col("d1") + col("d2")), 6)).as("t_yuen"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS grp,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+                FROM orders),
+              r AS (
+                SELECT grp, cents,
+                  CAST(row_number() OVER (PARTITION BY grp
+                    ORDER BY cents) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+                FROM base),
+              picks AS (
+                SELECT grp, MAX(n) AS n,
+                  MAX(CASE WHEN rn = (n // 10) + 1 THEN cents END)
+                    AS vlo,
+                  MAX(CASE WHEN rn = n - (n // 10) THEN cents END)
+                    AS vhi
+                FROM r GROUP BY grp),
+              wz AS (
+                SELECT b.grp, p.n, p.vlo, p.vhi,
+                  least(greatest(b.cents, p.vlo), p.vhi) AS w
+                FROM base b JOIN picks p ON b.grp = p.grp),
+              agg AS (
+                SELECT grp, n, n // 10 AS g, n - 2 * (n // 10) AS h,
+                  vlo, vhi,
+                  SUM(CAST(w AS HUGEINT)) AS sw,
+                  SUM(CAST(w AS HUGEINT) * w) AS sww
+                FROM wz GROUP BY grp, n, vlo, vhi),
+              st AS (
+                SELECT grp, n, h,
+                  CAST(sw - CAST(g AS HUGEINT) * vlo
+                      - CAST(g AS HUGEINT) * vhi AS DOUBLE)
+                    / CAST(h AS DOUBLE) AS tm,
+                  (CAST(CAST(n AS HUGEINT) * sww - sw * sw AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                    / (CAST(h AS DOUBLE) * CAST(h - 1 AS DOUBLE)) AS d
+                FROM agg)
+              SELECT
+                MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+                MAX(CASE WHEN grp = 0 THEN n END) AS n2,
+                MAX(CASE WHEN grp = 1 THEN h END) AS h1,
+                MAX(CASE WHEN grp = 0 THEN h END) AS h2,
+                round((MAX(CASE WHEN grp = 1 THEN tm END)
+                  - MAX(CASE WHEN grp = 0 THEN tm END)) / 100.0, 6)
+                  AS tm_diff_dollars,
+                CASE WHEN MAX(CASE WHEN grp = 1 THEN d END)
+                    + MAX(CASE WHEN grp = 0 THEN d END) <= 0 THEN NULL
+                  ELSE round((MAX(CASE WHEN grp = 1 THEN tm END)
+                      - MAX(CASE WHEN grp = 0 THEN tm END))
+                    / sqrt(MAX(CASE WHEN grp = 1 THEN d END)
+                      + MAX(CASE WHEN grp = 0 THEN d END)), 6)
+                  END AS t_yuen
+              FROM st""")),
+
+    // ── Fligner–Policello robust rank-order test ────────────────────────
+    // The Behrens–Fisher corner of the two-sample battery: compares
+    // medians WITHOUT the equal-shape assumption Mann–Whitney needs,
+    // via placements — P_i = #(sample-2 values below X_i), Q_j the
+    // mirror (ties counted half, the midrank convention ×2 to stay
+    // integer). Off the shared value census every moment is exact:
+    // ΣP, ΣQ from c·(2·cum_excl + ties), the dispersions
+    // V = Σ(P−P̄)² via the n·ΣP²−(ΣP)² integer identity in dec38, and
+    // z = (ΣP−ΣQ) / 2√(V₁+V₂+P̄Q̄) is the one pinned double chain
+    // (Fligner–Policello 1981).
+    Q("q_fligner_policello",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val census = t(s, dir, "orders")
+          .select(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("tr"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(col("tr")).cast("long").as("c1"),
+            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+        // placements ×2: p2 = 2·#(other strictly below) + #(other tied)
+        val m = cum
+          .select(col("c1"), col("c2"),
+            (lit(2L) * col("off2") + col("c2")).as("p2"),
+            (lit(2L) * col("off1") + col("c1")).as("q2"))
+          .agg(sum(col("c1")).cast("long").as("n1"),
+            sum(col("c2")).cast("long").as("n2"),
+            sum(col("c1").cast(dec38) * col("p2")).as("sp2"),
+            sum(col("c2").cast(dec38) * col("q2")).as("sq2"),
+            sum(col("c1").cast(dec38) * col("p2") * col("p2")).as("spp4"),
+            sum(col("c2").cast(dec38) * col("q2") * col("q2")).as("sqq4"))
+        m.select(col("n1"), col("n2"),
+            (col("sp2").cast("double") / 2.0).as("sum_p"),
+            (col("sq2").cast("double") / 2.0).as("sum_q"),
+            // 4·n·V = n·Σ(2P)² − (Σ2P)² — exact dec38
+            ((col("n1").cast(dec38) * col("spp4")
+              - col("sp2") * col("sp2")).cast("double")
+              / (col("n1").cast("double") * 4.0)).as("v1"),
+            ((col("n2").cast(dec38) * col("sqq4")
+              - col("sq2") * col("sq2")).cast("double")
+              / (col("n2").cast("double") * 4.0)).as("v2"))
+          .select(col("n1"), col("n2"), col("sum_p"), col("sum_q"),
+            when(col("n1") === 0 || col("n2") === 0
+              || col("v1") + col("v2")
+                + (col("sum_p") / col("n1").cast("double"))
+                  * (col("sum_q") / col("n2").cast("double")) <= 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("sum_p") - col("sum_q"))
+                / (lit(2.0) * sqrt(col("v1") + col("v2")
+                  + (col("sum_p") / col("n1").cast("double"))
+                    * (col("sum_q") / col("n2").cast("double")))), 6))
+              .as("z_fp"))
+      },
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  COALESCE(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off1,
+                  COALESCE(SUM(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off2
+                FROM census),
+              pl AS (
+                SELECT c1, c2,
+                  2 * off2 + c2 AS p2,
+                  2 * off1 + c1 AS q2
+                FROM cum),
+              m AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2,
+                  SUM(CAST(c1 AS HUGEINT) * p2) AS sp2,
+                  SUM(CAST(c2 AS HUGEINT) * q2) AS sq2,
+                  SUM(CAST(c1 AS HUGEINT) * p2 * p2) AS spp4,
+                  SUM(CAST(c2 AS HUGEINT) * q2 * q2) AS sqq4
+                FROM pl),
+              d AS (
+                SELECT n1, n2,
+                  CAST(sp2 AS DOUBLE) / 2.0 AS sum_p,
+                  CAST(sq2 AS DOUBLE) / 2.0 AS sum_q,
+                  CAST(CAST(n1 AS HUGEINT) * spp4 - sp2 * sp2 AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * 4.0) AS v1,
+                  CAST(CAST(n2 AS HUGEINT) * sqq4 - sq2 * sq2 AS DOUBLE)
+                    / (CAST(n2 AS DOUBLE) * 4.0) AS v2
+                FROM m)
+              SELECT n1, n2, sum_p, sum_q,
+                CASE WHEN n1 = 0 OR n2 = 0
+                    OR v1 + v2 + (sum_p / CAST(n1 AS DOUBLE))
+                      * (sum_q / CAST(n2 AS DOUBLE)) <= 0 THEN NULL
+                  ELSE round((sum_p - sum_q)
+                    / (2.0 * sqrt(v1 + v2
+                      + (sum_p / CAST(n1 AS DOUBLE))
+                        * (sum_q / CAST(n2 AS DOUBLE)))), 6)
+                  END AS z_fp
+              FROM d""")),
+
     // ── Cramér–von Mises two-sample test (urgent vs rest values) ────────
     // The integrated-ECDF companion of the sup-based tests: T =
     // (n₁n₂/N²)·Σ_obs (F₁−F₂)² evaluated at every pooled observation.
