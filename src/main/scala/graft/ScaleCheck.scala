@@ -255,7 +255,9 @@ object ScaleCheck {
     // that landed without a slope row — rank/census statistics riding
     // RangeRank or the shared ecdf/day frames
     "q_cuzick_trend", "q_cucconi", "q_kuiper_drift",
-    "q_nemenyi_posthoc", "q_hodges_lehmann")
+    "q_nemenyi_posthoc", "q_hodges_lehmann",
+    // round-11 borderline-1 s addition: clamp pass + rank cuts
+    "q_yuen_t", "q_bws_test")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
