@@ -486,6 +486,82 @@ object ModelEval {
             * (abs(col("b") - col("c")).cast("double") - 1.0)
             / (col("b") + col("c")).cast("double")).as("chi2"))
 
+  /** Urgent-vs-rest value-census sufficient statistic shared by the
+    * two-sample battery (Ansari/Cucconi/Lepage/BWS/CvM/Fligner/Tukey):
+    * a MERGEABLE (v, c1, c2) count census, so the streaming twin keeps
+    * exactly this frame as Complete-mode state and the finishes below
+    * read either the batch or the drained census bit-for-bit.
+    */
+  def ansariCounts(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("tr"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+      .groupBy("v")
+      .agg(sum(col("tr")).cast("long").as("c1"),
+        sum(lit(1L) - col("tr")).cast("long").as("c2"))
+
+  /** Tukey-quick finishing arithmetic over the drained
+    * [[ansariCounts]] census — see q_tukey_quick. */
+  def tukeyQuickFinish(census0: DataFrame): DataFrame = {
+    val census = census0
+      .select(col("v"), col("c1").cast("long").as("c1"),
+        col("c2").cast("long").as("c2"))
+      .persist()
+    val bounds = census.agg(
+      max(when(col("c2") > 0, col("v"))).as("max_b"),
+      min(when(col("c1") > 0, col("v"))).as("min_a"),
+      sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    census.crossJoin(broadcast(bounds))
+      .groupBy("n1", "n2")
+      .agg(
+        sum(when(col("v") > col("max_b"), col("c1")).otherwise(0L))
+          .cast("long").as("a_above"),
+        sum(when(col("v") < col("min_a"), col("c2")).otherwise(0L))
+          .cast("long").as("b_below"))
+      .select(col("n1"), col("n2"), col("a_above"), col("b_below"),
+        (col("a_above") + col("b_below")).as("tukey_t"))
+  }
+
+  /** Cramér–von Mises finishing arithmetic over the drained
+    * [[ansariCounts]] census — see q_cvm_two_sample. */
+  def cvmTwoSampleFinish(census0: DataFrame): DataFrame = {
+        val dec38 = DecimalType(38, 0)
+        val census = census0
+          .select(col("v"), col("c1").cast("long").as("c1"),
+            col("c2").cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            (col("off1") + col("c1")).cast("long").as("cum1"),
+            (col("off2") + col("c2")).cast("long").as("cum2"))
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        cum.crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"),
+            ((col("c1") + col("c2")).cast(dec38)
+              * (col("cum1").cast(dec38) * col("n2")
+                - col("cum2").cast(dec38) * col("n1"))
+              * (col("cum1").cast(dec38) * col("n2")
+                - col("cum2").cast(dec38) * col("n1"))).as("m"))
+          .groupBy("n1", "n2")
+          .agg(sum(col("m")).as("num"))
+          .select(col("n1"), col("n2"),
+            when(col("n1") === 0 || col("n2") === 0,
+              lit(null).cast("double"))
+              .otherwise(col("num").cast("double")
+                / ((col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2")).cast("double")
+                  * col("n1").cast("double") * col("n2").cast("double")))
+              .as("t_cvm"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── ROC AUC via Mann–Whitney midranks ───────────────────────────────
@@ -3743,31 +3819,7 @@ object ModelEval {
     // all. Strict inequalities make ties contribute zero on both
     // engines.
     Q("q_tukey_quick",
-      (s, dir) => {
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
-          .persist()
-        val bounds = census.agg(
-          max(when(col("c2") > 0, col("v"))).as("max_b"),
-          min(when(col("c1") > 0, col("v"))).as("min_a"),
-          sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2"))
-        census.crossJoin(broadcast(bounds))
-          .groupBy("n1", "n2")
-          .agg(
-            sum(when(col("v") > col("max_b"), col("c1")).otherwise(0L))
-              .cast("long").as("a_above"),
-            sum(when(col("v") < col("min_a"), col("c2")).otherwise(0L))
-              .cast("long").as("b_below"))
-          .select(col("n1"), col("n2"), col("a_above"), col("b_below"),
-            (col("a_above") + col("b_below")).as("tukey_t"))
-      },
+      (s, dir) => tukeyQuickFinish(ansariCounts(t(s, dir, "orders"))),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4034,45 +4086,7 @@ object ModelEval {
     // zero FP until the end. Σd² fits dec38 to ~10⁸ rows per group
     // (the q_bws_test envelope note).
     Q("q_cvm_two_sample",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
-          .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
-            RangeRank.PrefixSum(col("c2"), "off2")))
-          .select(col("c1"), col("c2"),
-            (col("off1") + col("c1")).cast("long").as("cum1"),
-            (col("off2") + col("c2")).cast("long").as("cum2"))
-          .persist()
-        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
-        cum.crossJoin(broadcast(ns))
-          .select(col("n1"), col("n2"),
-            ((col("c1") + col("c2")).cast(dec38)
-              * (col("cum1").cast(dec38) * col("n2")
-                - col("cum2").cast(dec38) * col("n1"))
-              * (col("cum1").cast(dec38) * col("n2")
-                - col("cum2").cast(dec38) * col("n1"))).as("m"))
-          .groupBy("n1", "n2")
-          .agg(sum(col("m")).as("num"))
-          .select(col("n1"), col("n2"),
-            when(col("n1") === 0 || col("n2") === 0,
-              lit(null).cast("double"))
-              .otherwise(col("num").cast("double")
-                / ((col("n1") + col("n2")).cast("double")
-                  * (col("n1") + col("n2")).cast("double")
-                  * col("n1").cast("double") * col("n2").cast("double")))
-              .as("t_cvm"))
-      },
+      (s, dir) => cvmTwoSampleFinish(ansariCounts(t(s, dir, "orders"))),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,

@@ -836,6 +836,16 @@ object StreamingOps {
   def medianCounts(orders: DataFrame): DataFrame =
     graft.ops.EventTime.medianDaily(orders)
 
+  /** Streaming half of the two-sample battery: the urgent-vs-rest
+    * (v, c1, c2) value census is mergeable Complete-mode state —
+    * [[graft.ops.ModelEval.tukeyQuickFinish]] /
+    * [[graft.ops.ModelEval.cvmTwoSampleFinish]] over the drained
+    * state equal their batch queries bit-for-bit (all-integer census,
+    * one pinned division each).
+    */
+  def ansariValueCounts(orders: DataFrame): DataFrame =
+    graft.ops.ModelEval.ansariCounts(orders)
+
   /** Streaming half of q_seasonality — the live calendar-profile
     * baseline. The dow×type census (counts + exact decimal value sums)
     * is mergeable Complete-mode state bounded at ≤7×|types| rows;

@@ -462,6 +462,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "drained sketch census diverged from batch")
   }
 
+  test("drained two-sample value census finishes to batch Tukey-quick " +
+      "AND CvM exactly") {
+    // round 11: the urgent-vs-rest value census is the two-sample
+    // battery's sufficient statistic — one live Complete-mode state,
+    // here read out to the pocket test and the integrated-ECDF test
+    val dir = Files.createTempDirectory("graft-orders-2s").toString
+    Tables.load(spark, sfDir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.ansariValueCounts(
+        StreamingOps.readOrderStream(spark, s"$dir/in")),
+      "t_twosample", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val tqS = graft.ops.ModelEval.tukeyQuickFinish(counts).collect()
+      .map(_.toString).toSet
+    val tqB = SparkEntry.queries("q_tukey_quick")(spark, sfDir).collect()
+      .map(_.toString).toSet
+    assert(tqB.nonEmpty && tqS === tqB,
+      "drained value census diverged from batch Tukey-quick")
+    val cvS = graft.ops.ModelEval.cvmTwoSampleFinish(counts).collect()
+      .map(_.toString).toSet
+    val cvB = SparkEntry.queries("q_cvm_two_sample")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(cvB.nonEmpty && cvS === cvB,
+      "drained value census diverged from batch CvM")
+  }
+
   test("drained drift-count state finishes to batch q_ks_drift exactly") {
     val dir = Files.createTempDirectory("graft-docs").toString
     Tables.load(spark, sfDir, "documents")
