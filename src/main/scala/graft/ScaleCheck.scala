@@ -257,7 +257,9 @@ object ScaleCheck {
     "q_cuzick_trend", "q_cucconi", "q_kuiper_drift",
     "q_nemenyi_posthoc", "q_hodges_lehmann",
     // round-11 borderline-1 s addition: clamp pass + rank cuts
-    "q_yuen_t", "q_bws_test")
+    "q_yuen_t", "q_bws_test",
+    // round-11 final-battery >=1 s: census placement agg
+    "q_fligner_policello")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
