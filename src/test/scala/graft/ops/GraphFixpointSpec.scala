@@ -79,4 +79,36 @@ class GraphFixpointSpec extends SparkSpec {
     assert(edgeSet(gated) == fix,
       "real-graph fixpoint diverges from 12 gated rounds")
   }
+
+  // ── wedge core: the analytic wedge count equals the counted join ────
+  test("wedgeCore.nWedges equals the directly-counted wedge join") {
+    // round 11 computes n_wedges as Σ_src C(outdeg, 2) so the closure
+    // join never materializes twice; this law pins the identity against
+    // the join it replaced
+    import org.apache.spark.sql.functions._
+    val wc = Graph.wedgeCore(spark, sfDir)
+    val pairs = Graph.wedgePairsRaw(spark, sfDir).persist()
+    val deg = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val ori = pairs
+      .join(deg.select(col("node").as("un"), col("dg").as("ud")),
+        col("u") === col("un"))
+      .join(deg.select(col("node").as("vn"), col("dg").as("vd")),
+        col("v") === col("vn"))
+      .select(
+        when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+      .persist()
+    val counted = ori.as("a")
+      .join(ori.as("b"), col("a.src") === col("b.src")
+        && col("a.dst") < col("b.dst"))
+      .count()
+    assert(wc.nWedges === counted,
+      s"analytic wedge count ${wc.nWedges} != joined count $counted")
+    assert(wc.nEdges === pairs.count())
+    pairs.unpersist(); ori.unpersist()
+  }
 }

@@ -462,6 +462,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "drained sketch census diverged from batch")
   }
 
+  test("ansariCounts is mergeable: disjoint-half censuses sum to the whole") {
+    // the law behind the two-sample streaming twin: the (v, c1, c2)
+    // census of any partition union is the cell-wise sum of the parts
+    import org.apache.spark.sql.functions._
+    val orders = Tables.load(spark, sfDir, "orders")
+    val whole = graft.ops.ModelEval.ansariCounts(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = graft.ops.ModelEval.ansariCounts(
+      orders.filter(col("o_orderkey") % 2 === 0))
+    val b = graft.ops.ModelEval.ansariCounts(
+      orders.filter(col("o_orderkey") % 2 =!= 0))
+    val merged = a.select(col("v"), col("c1"), col("c2"))
+      .unionByName(b.select(col("v"), col("c1"), col("c2")))
+      .groupBy("v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(whole.nonEmpty && merged === whole,
+      "half-censuses did not merge to the whole-corpus census")
+  }
+
   test("drained two-sample value census finishes to batch Tukey-quick " +
       "AND CvM exactly") {
     // round 11: the urgent-vs-rest value census is the two-sample
