@@ -562,6 +562,306 @@ object ModelEval {
               .as("t_cvm"))
   }
 
+  /** Finishing arithmetic of q_ansari_bradley over the drained
+    * [[ansariCounts]] census — one Complete-mode state, many readouts. */
+  def ansariBradleyFinish(census0: DataFrame): DataFrame = {
+
+        val dec38 = DecimalType(38, 0)
+        val census = census0
+          .select(col("v"), col("c1").cast("long").as("c1"),
+            col("c2").cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        val scored = cum.crossJoin(broadcast(ns))
+          .select(col("c1"), col("c2"),
+            least(
+              (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1,
+              (col("n1") + col("n2") + 1) * 2
+                - ((col("off1") + col("off2")) * 2 + col("c1")
+                  + col("c2") + 1)).as("s2"))
+        scored.agg(
+            sum(col("c1").cast(dec38) * col("s2")).as("t1"),
+            sum((col("c1") + col("c2")).cast(dec38) * col("s2")).as("m1"),
+            sum((col("c1") + col("c2")).cast(dec38) * col("s2")
+              * col("s2")).as("m2"))
+          .crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"),
+            (col("t1").cast("double") / 2.0).as("t_ab"),
+            round(
+              ((col("t1").cast("double")
+                - col("n1").cast("double") * col("m1").cast("double")
+                  / (col("n1") + col("n2")).cast("double")) / 2.0)
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * ((col("n1") + col("n2")).cast("double")
+                    * col("m2").cast("double")
+                  - col("m1").cast("double") * col("m1").cast("double"))
+                / ((col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2") - 1).cast("double")) / 4.0),
+              6).as("z_ab"))
+  }
+
+  /** Finishing arithmetic of q_lepage over the drained
+    * [[ansariCounts]] census — one Complete-mode state, many readouts. */
+  def lepageFinish(census0: DataFrame): DataFrame = {
+
+        val dec38 = DecimalType(38, 0)
+        val census = census0
+          .select(col("v"), col("c1").cast("long").as("c1"),
+            col("c2").cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        val scored = cum.crossJoin(broadcast(ns))
+          .select(col("c1"), col("c2"),
+            ((col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
+              .as("mr2"),
+            least(
+              (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1,
+              (col("n1") + col("n2") + 1) * 2
+                - ((col("off1") + col("off2")) * 2 + col("c1")
+                  + col("c2") + 1)).as("s2"))
+        val agg = scored.agg(
+          sum(col("c1").cast(dec38) * col("mr2")).as("w2"),
+          sum((col("c1") + col("c2")).cast(dec38)
+            * (col("c1") + col("c2")) * (col("c1") + col("c2"))
+            - (col("c1") + col("c2"))).as("ties"),
+          sum(col("c1").cast(dec38) * col("s2")).as("t1"),
+          sum((col("c1") + col("c2")).cast(dec38) * col("s2")).as("m1"),
+          sum((col("c1") + col("c2")).cast(dec38) * col("s2")
+            * col("s2")).as("m2"))
+        val nn = col("n1") + col("n2")
+        val zs = agg.crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"),
+            when(col("n1") === 0 || col("n2") === 0 || nn <= 1
+              || col("ties").cast("double")
+                >= (nn.cast("double") * nn.cast("double")
+                  * nn.cast("double") - nn.cast("double")),
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("w2").cast("double") / 2.0
+                  - col("n1").cast("double") * (nn + 1).cast("double")
+                    / 2.0)
+                / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                  / 12.0
+                  * ((nn + 1).cast("double")
+                    - col("ties").cast("double")
+                      / (nn.cast("double") * (nn - 1).cast("double")))),
+                6)).as("z_w"),
+            when(col("n1") === 0 || col("n2") === 0 || nn <= 1
+              || (nn.cast("double") * col("m2").cast("double")
+                - col("m1").cast("double") * col("m1").cast("double"))
+                <= 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                ((col("t1").cast("double")
+                  - col("n1").cast("double") * col("m1").cast("double")
+                    / nn.cast("double")) / 2.0)
+                / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                  * (nn.cast("double") * col("m2").cast("double")
+                    - col("m1").cast("double") * col("m1").cast("double"))
+                  / (nn.cast("double") * nn.cast("double")
+                    * (nn - 1).cast("double")) / 4.0),
+                6)).as("z_ab"))
+        zs.select(col("n1"), col("n2"), col("z_w"), col("z_ab"),
+          when(col("z_w").isNull || col("z_ab").isNull,
+            lit(null).cast("double"))
+            .otherwise(round(col("z_w") * col("z_w")
+              + col("z_ab") * col("z_ab"), 6)).as("lepage_l"))
+  }
+
+  /** Finishing arithmetic of q_bws_test over the drained
+    * [[ansariCounts]] census — one Complete-mode state, many readouts. */
+  def bwsFinish(census0: DataFrame): DataFrame = {
+
+        val dec38 = DecimalType(38, 0)
+        val census = census0
+          .select(col("v"), col("c1").cast("long").as("c1"),
+            col("c2").cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+          .withColumn("mr2",
+            (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
+          .persist()
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        def side(cc: String, off: String, smp: Int) = cum
+          .filter(col(cc) > 0)
+          .select(lit(smp.toLong).as("smp"), col("mr2"),
+            explode(sequence(col(off) + 1, col(off) + col(cc))).as("i"))
+        val rows = side("c1", "off1", 1).unionByName(side("c2", "off2", 2))
+        val terms = rows.crossJoin(broadcast(ns))
+          .select(col("smp"), col("i"),
+            when(col("smp") === 1, col("n1")).otherwise(col("n2"))
+              .as("n_own"),
+            when(col("smp") === 1, col("n2")).otherwise(col("n1"))
+              .as("n_oth"),
+            col("mr2"))
+          .select(col("smp"), col("i"),
+            (col("n_own").cast(dec38) * col("mr2")
+              - lit(2L).cast(dec38) * (col("n_own") + col("n_oth"))
+                * col("i")).as("a"),
+            col("n_own"), col("n_oth"))
+          .select(col("smp"), col("i"),
+            (col("a") * col("a") * (col("n_own") + 1)
+              * (col("n_own") + 1)).as("num"),
+            (lit(4L).cast(dec38) * col("n_own") * col("n_own")
+              * col("n_oth") * (col("n_own") + col("n_oth"))
+              * col("i") * (col("n_own") + 1 - col("i"))).as("den"))
+          .select(col("smp"), col("i"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("term"))
+        val folded = terms.groupBy("smp")
+          .agg(expr("""aggregate(array_sort(collect_list(struct(i, term))),
+                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("b"))
+        folded.groupBy()
+          .agg(max(when(col("smp") === 1, col("b"))).as("b_x"),
+            max(when(col("smp") === 2, col("b"))).as("b_y"))
+          .crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"), col("b_x"), col("b_y"),
+            ((col("b_x") + col("b_y")) / 2.0).as("bws_b"))
+  }
+
+  /** Finishing arithmetic of q_fligner_policello over the drained
+    * [[ansariCounts]] census — one Complete-mode state, many readouts. */
+  def flignerPolicelloFinish(census0: DataFrame): DataFrame = {
+
+        val dec38 = DecimalType(38, 0)
+        val census = census0
+          .select(col("v"), col("c1").cast("long").as("c1"),
+            col("c2").cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            col("off1").cast("long").as("off1"),
+            col("off2").cast("long").as("off2"))
+        // placements ×2: p2 = 2·#(other strictly below) + #(other tied)
+        val m = cum
+          .select(col("c1"), col("c2"),
+            (lit(2L) * col("off2") + col("c2")).as("p2"),
+            (lit(2L) * col("off1") + col("c1")).as("q2"))
+          .agg(sum(col("c1")).cast("long").as("n1"),
+            sum(col("c2")).cast("long").as("n2"),
+            sum(col("c1").cast(dec38) * col("p2")).as("sp2"),
+            sum(col("c2").cast(dec38) * col("q2")).as("sq2"),
+            sum(col("c1").cast(dec38) * col("p2") * col("p2")).as("spp4"),
+            sum(col("c2").cast(dec38) * col("q2") * col("q2")).as("sqq4"))
+        m.select(col("n1"), col("n2"),
+            (col("sp2").cast("double") / 2.0).as("sum_p"),
+            (col("sq2").cast("double") / 2.0).as("sum_q"),
+            // 4·n·V = n·Σ(2P)² − (Σ2P)² — exact dec38
+            ((col("n1").cast(dec38) * col("spp4")
+              - col("sp2") * col("sp2")).cast("double")
+              / (col("n1").cast("double") * 4.0)).as("v1"),
+            ((col("n2").cast(dec38) * col("sqq4")
+              - col("sq2") * col("sq2")).cast("double")
+              / (col("n2").cast("double") * 4.0)).as("v2"))
+          .select(col("n1"), col("n2"), col("sum_p"), col("sum_q"),
+            when(col("n1") === 0 || col("n2") === 0
+              || col("v1") + col("v2")
+                + (col("sum_p") / col("n1").cast("double"))
+                  * (col("sum_q") / col("n2").cast("double")) <= 0,
+              lit(null).cast("double"))
+              .otherwise(round((col("sum_p") - col("sum_q"))
+                / (lit(2.0) * sqrt(col("v1") + col("v2")
+                  + (col("sum_p") / col("n1").cast("double"))
+                    * (col("sum_q") / col("n2").cast("double")))), 6))
+              .as("z_fp"))
+  }
+
+  /** Finishing arithmetic of q_cucconi over the drained
+    * [[ansariCounts]] census — one Complete-mode state, many readouts. */
+  def cucconiFinish(census0: DataFrame): DataFrame = {
+
+        val census = census0
+          .select(col("v"), col("c1").cast("long").as("c1"),
+            col("c2").cast("long").as("c2"))
+        // persist: the midrank census feeds THREE consumers (agg, aggT,
+        // and aggT's nn broadcast) — un-persisted, each re-scans the
+        // orders corpus (ADVICE r10; the q_cuzick_trend cg discipline)
+        val cum = RangeRank.ranked(census, Seq.empty, Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(
+            RangeRank.PrefixSum(col("c1") + col("c2"), "cum")))
+          .select(col("c1"), col("c2"),
+            (lit(2L) * col("cum") + col("c1") + col("c2") + 1L)
+              .as("mr_x2"))
+          .persist()
+        val agg = cum.agg(
+          sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2"),
+          sum(col("c1").cast(dec38) * col("mr_x2") * col("mr_x2"))
+            .as("ss_x4"))
+        val aggT = cum.crossJoin(broadcast(
+            cum.agg((sum(col("c1")) + sum(col("c2"))).cast("long")
+              .as("nn"))))
+          .select(col("c1"),
+            (lit(2L) * (col("nn") + 1L) - col("mr_x2")).as("t_x2"))
+          .agg(sum(col("c1").cast(dec38) * col("t_x2") * col("t_x2"))
+            .as("tt_x4"))
+        agg.crossJoin(broadcast(aggT))
+          .select(col("n1"), col("n2"),
+            (col("n1") + col("n2")).as("nn"),
+            (lit(6L).cast(dec38) * col("ss_x4")
+              - lit(4L).cast(dec38) * col("n1")
+                * (col("n1") + col("n2") + 1)
+                * (lit(2L) * (col("n1") + col("n2")) + 1)).as("a4u"),
+            (lit(6L).cast(dec38) * col("tt_x4")
+              - lit(4L).cast(dec38) * col("n1")
+                * (col("n1") + col("n2") + 1)
+                * (lit(2L) * (col("n1") + col("n2")) + 1)).as("a4v"))
+          .select(col("n1"), col("n2"),
+            (col("a4u").cast("double") / 4.0
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * (col("nn").cast("double") + 1.0)
+                * (col("nn").cast("double") * 2.0 + 1.0)
+                * (col("nn").cast("double") * 8.0 + 11.0) / 5.0))
+              .as("u"),
+            (col("a4v").cast("double") / 4.0
+              / sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * (col("nn").cast("double") + 1.0)
+                * (col("nn").cast("double") * 2.0 + 1.0)
+                * (col("nn").cast("double") * 8.0 + 11.0) / 5.0))
+              .as("v"),
+            ((col("nn").cast(dec38) * col("nn") - 4).cast("double") * 2.0
+              / ((lit(2L).cast(dec38) * col("nn") + 1)
+                * (lit(8L) * col("nn") + 11)).cast("double") - 1.0)
+              .as("rho"))
+          .select(col("n1"), col("n2"), col("u"), col("v"), col("rho"),
+            when(col("rho") * col("rho") >= 1.0,
+              lit(null).cast("double"))
+              .otherwise((col("u") * col("u") + col("v") * col("v")
+                - col("rho") * col("u") * col("v") * 2.0)
+                / (lit(2.0) * (lit(1.0) - col("rho") * col("rho"))))
+              .as("c_stat"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── ROC AUC via Mann–Whitney midranks ───────────────────────────────
@@ -3544,55 +3844,7 @@ object ModelEval {
     // E[T] = n₁M₁/N, Var[T] = n₁n₂(N·M₂−M₁²)/(N²(N−1)) from dec38
     // census sums — one mirrored division/sqrt chain at the readout.
     Q("q_ansari_bradley",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
-          .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
-            RangeRank.PrefixSum(col("c2"), "off2")))
-          .select(col("c1"), col("c2"),
-            col("off1").cast("long").as("off1"),
-            col("off2").cast("long").as("off2"))
-          .persist()
-        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
-        val scored = cum.crossJoin(broadcast(ns))
-          .select(col("c1"), col("c2"),
-            least(
-              (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1,
-              (col("n1") + col("n2") + 1) * 2
-                - ((col("off1") + col("off2")) * 2 + col("c1")
-                  + col("c2") + 1)).as("s2"))
-        scored.agg(
-            sum(col("c1").cast(dec38) * col("s2")).as("t1"),
-            sum((col("c1") + col("c2")).cast(dec38) * col("s2")).as("m1"),
-            sum((col("c1") + col("c2")).cast(dec38) * col("s2")
-              * col("s2")).as("m2"))
-          .crossJoin(broadcast(ns))
-          .select(col("n1"), col("n2"),
-            (col("t1").cast("double") / 2.0).as("t_ab"),
-            round(
-              ((col("t1").cast("double")
-                - col("n1").cast("double") * col("m1").cast("double")
-                  / (col("n1") + col("n2")).cast("double")) / 2.0)
-              / sqrt(col("n1").cast("double") * col("n2").cast("double")
-                * ((col("n1") + col("n2")).cast("double")
-                    * col("m2").cast("double")
-                  - col("m1").cast("double") * col("m1").cast("double"))
-                / ((col("n1") + col("n2")).cast("double")
-                  * (col("n1") + col("n2")).cast("double")
-                  * (col("n1") + col("n2") - 1).cast("double")) / 4.0),
-              6).as("z_ab"))
-      },
+      (s, dir) => ansariBradleyFinish(ansariCounts(t(s, dir, "orders"))),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -3653,84 +3905,7 @@ object ModelEval {
     // double chain its parent query uses (rounded to 6 before the
     // squares, L from the ROUNDED z's — fully order-free).
     Q("q_lepage",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
-          .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
-            RangeRank.PrefixSum(col("c2"), "off2")))
-          .select(col("c1"), col("c2"),
-            col("off1").cast("long").as("off1"),
-            col("off2").cast("long").as("off2"))
-          .persist()
-        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
-        val scored = cum.crossJoin(broadcast(ns))
-          .select(col("c1"), col("c2"),
-            ((col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
-              .as("mr2"),
-            least(
-              (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1,
-              (col("n1") + col("n2") + 1) * 2
-                - ((col("off1") + col("off2")) * 2 + col("c1")
-                  + col("c2") + 1)).as("s2"))
-        val agg = scored.agg(
-          sum(col("c1").cast(dec38) * col("mr2")).as("w2"),
-          sum((col("c1") + col("c2")).cast(dec38)
-            * (col("c1") + col("c2")) * (col("c1") + col("c2"))
-            - (col("c1") + col("c2"))).as("ties"),
-          sum(col("c1").cast(dec38) * col("s2")).as("t1"),
-          sum((col("c1") + col("c2")).cast(dec38) * col("s2")).as("m1"),
-          sum((col("c1") + col("c2")).cast(dec38) * col("s2")
-            * col("s2")).as("m2"))
-        val nn = col("n1") + col("n2")
-        val zs = agg.crossJoin(broadcast(ns))
-          .select(col("n1"), col("n2"),
-            when(col("n1") === 0 || col("n2") === 0 || nn <= 1
-              || col("ties").cast("double")
-                >= (nn.cast("double") * nn.cast("double")
-                  * nn.cast("double") - nn.cast("double")),
-              lit(null).cast("double"))
-              .otherwise(round(
-                (col("w2").cast("double") / 2.0
-                  - col("n1").cast("double") * (nn + 1).cast("double")
-                    / 2.0)
-                / sqrt(col("n1").cast("double") * col("n2").cast("double")
-                  / 12.0
-                  * ((nn + 1).cast("double")
-                    - col("ties").cast("double")
-                      / (nn.cast("double") * (nn - 1).cast("double")))),
-                6)).as("z_w"),
-            when(col("n1") === 0 || col("n2") === 0 || nn <= 1
-              || (nn.cast("double") * col("m2").cast("double")
-                - col("m1").cast("double") * col("m1").cast("double"))
-                <= 0,
-              lit(null).cast("double"))
-              .otherwise(round(
-                ((col("t1").cast("double")
-                  - col("n1").cast("double") * col("m1").cast("double")
-                    / nn.cast("double")) / 2.0)
-                / sqrt(col("n1").cast("double") * col("n2").cast("double")
-                  * (nn.cast("double") * col("m2").cast("double")
-                    - col("m1").cast("double") * col("m1").cast("double"))
-                  / (nn.cast("double") * nn.cast("double")
-                    * (nn - 1).cast("double")) / 4.0),
-                6)).as("z_ab"))
-        zs.select(col("n1"), col("n2"), col("z_w"), col("z_ab"),
-          when(col("z_w").isNull || col("z_ab").isNull,
-            lit(null).cast("double"))
-            .otherwise(round(col("z_w") * col("z_w")
-              + col("z_ab") * col("z_ab"), 6)).as("lepage_l"))
-      },
+      (s, dir) => lepageFinish(ansariCounts(t(s, dir, "orders"))),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -3973,57 +4148,7 @@ object ModelEval {
     // z = (ΣP−ΣQ) / 2√(V₁+V₂+P̄Q̄) is the one pinned double chain
     // (Fligner–Policello 1981).
     Q("q_fligner_policello",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
-          .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
-            RangeRank.PrefixSum(col("c2"), "off2")))
-          .select(col("c1"), col("c2"),
-            col("off1").cast("long").as("off1"),
-            col("off2").cast("long").as("off2"))
-        // placements ×2: p2 = 2·#(other strictly below) + #(other tied)
-        val m = cum
-          .select(col("c1"), col("c2"),
-            (lit(2L) * col("off2") + col("c2")).as("p2"),
-            (lit(2L) * col("off1") + col("c1")).as("q2"))
-          .agg(sum(col("c1")).cast("long").as("n1"),
-            sum(col("c2")).cast("long").as("n2"),
-            sum(col("c1").cast(dec38) * col("p2")).as("sp2"),
-            sum(col("c2").cast(dec38) * col("q2")).as("sq2"),
-            sum(col("c1").cast(dec38) * col("p2") * col("p2")).as("spp4"),
-            sum(col("c2").cast(dec38) * col("q2") * col("q2")).as("sqq4"))
-        m.select(col("n1"), col("n2"),
-            (col("sp2").cast("double") / 2.0).as("sum_p"),
-            (col("sq2").cast("double") / 2.0).as("sum_q"),
-            // 4·n·V = n·Σ(2P)² − (Σ2P)² — exact dec38
-            ((col("n1").cast(dec38) * col("spp4")
-              - col("sp2") * col("sp2")).cast("double")
-              / (col("n1").cast("double") * 4.0)).as("v1"),
-            ((col("n2").cast(dec38) * col("sqq4")
-              - col("sq2") * col("sq2")).cast("double")
-              / (col("n2").cast("double") * 4.0)).as("v2"))
-          .select(col("n1"), col("n2"), col("sum_p"), col("sum_q"),
-            when(col("n1") === 0 || col("n2") === 0
-              || col("v1") + col("v2")
-                + (col("sum_p") / col("n1").cast("double"))
-                  * (col("sum_q") / col("n2").cast("double")) <= 0,
-              lit(null).cast("double"))
-              .otherwise(round((col("sum_p") - col("sum_q"))
-                / (lit(2.0) * sqrt(col("v1") + col("v2")
-                  + (col("sum_p") / col("n1").cast("double"))
-                    * (col("sum_q") / col("n2").cast("double")))), 6))
-              .as("z_fp"))
-      },
+      (s, dir) => flignerPolicelloFinish(ansariCounts(t(s, dir, "orders"))),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4273,65 +4398,7 @@ object ModelEval {
     // position-pinned sorted fold (the q_psi discipline), so the
     // statistic is bit-stable on both engines.
     Q("q_bws_test",
-      (s, dir) => {
-        val dec38 = DecimalType(38, 0)
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
-          .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
-            RangeRank.PrefixSum(col("c2"), "off2")))
-          .select(col("c1"), col("c2"),
-            col("off1").cast("long").as("off1"),
-            col("off2").cast("long").as("off2"))
-          .withColumn("mr2",
-            (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
-          .persist()
-        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
-        def side(cc: String, off: String, smp: Int) = cum
-          .filter(col(cc) > 0)
-          .select(lit(smp.toLong).as("smp"), col("mr2"),
-            explode(sequence(col(off) + 1, col(off) + col(cc))).as("i"))
-        val rows = side("c1", "off1", 1).unionByName(side("c2", "off2", 2))
-        val terms = rows.crossJoin(broadcast(ns))
-          .select(col("smp"), col("i"),
-            when(col("smp") === 1, col("n1")).otherwise(col("n2"))
-              .as("n_own"),
-            when(col("smp") === 1, col("n2")).otherwise(col("n1"))
-              .as("n_oth"),
-            col("mr2"))
-          .select(col("smp"), col("i"),
-            (col("n_own").cast(dec38) * col("mr2")
-              - lit(2L).cast(dec38) * (col("n_own") + col("n_oth"))
-                * col("i")).as("a"),
-            col("n_own"), col("n_oth"))
-          .select(col("smp"), col("i"),
-            (col("a") * col("a") * (col("n_own") + 1)
-              * (col("n_own") + 1)).as("num"),
-            (lit(4L).cast(dec38) * col("n_own") * col("n_own")
-              * col("n_oth") * (col("n_own") + col("n_oth"))
-              * col("i") * (col("n_own") + 1 - col("i"))).as("den"))
-          .select(col("smp"), col("i"),
-            (col("num").cast("double") / col("den").cast("double"))
-              .as("term"))
-        val folded = terms.groupBy("smp")
-          .agg(expr("""aggregate(array_sort(collect_list(struct(i, term))),
-                 CAST(0 AS DOUBLE), (a, x) -> a + x.term)""").as("b"))
-        folded.groupBy()
-          .agg(max(when(col("smp") === 1, col("b"))).as("b_x"),
-            max(when(col("smp") === 2, col("b"))).as("b_y"))
-          .crossJoin(broadcast(ns))
-          .select(col("n1"), col("n2"), col("b_x"), col("b_y"),
-            ((col("b_x") + col("b_y")) / 2.0).as("bws_b"))
-      },
+      (s, dir) => bwsFinish(ansariCounts(t(s, dir, "orders"))),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4419,74 +4486,7 @@ object ModelEval {
     // chain. Pooled midranks ride RangeRank prefix sums — never a
     // single-task window over the ~6·10⁷-value census.
     Q("q_cucconi",
-      (s, dir) => {
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
-        // persist: the midrank census feeds THREE consumers (agg, aggT,
-        // and aggT's nn broadcast) — un-persisted, each re-scans the
-        // orders corpus (ADVICE r10; the q_cuzick_trend cg discipline)
-        val cum = RangeRank.ranked(census, Seq.empty, Seq(col("v")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(
-            RangeRank.PrefixSum(col("c1") + col("c2"), "cum")))
-          .select(col("c1"), col("c2"),
-            (lit(2L) * col("cum") + col("c1") + col("c2") + 1L)
-              .as("mr_x2"))
-          .persist()
-        val agg = cum.agg(
-          sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2"),
-          sum(col("c1").cast(dec38) * col("mr_x2") * col("mr_x2"))
-            .as("ss_x4"))
-        val aggT = cum.crossJoin(broadcast(
-            cum.agg((sum(col("c1")) + sum(col("c2"))).cast("long")
-              .as("nn"))))
-          .select(col("c1"),
-            (lit(2L) * (col("nn") + 1L) - col("mr_x2")).as("t_x2"))
-          .agg(sum(col("c1").cast(dec38) * col("t_x2") * col("t_x2"))
-            .as("tt_x4"))
-        agg.crossJoin(broadcast(aggT))
-          .select(col("n1"), col("n2"),
-            (col("n1") + col("n2")).as("nn"),
-            (lit(6L).cast(dec38) * col("ss_x4")
-              - lit(4L).cast(dec38) * col("n1")
-                * (col("n1") + col("n2") + 1)
-                * (lit(2L) * (col("n1") + col("n2")) + 1)).as("a4u"),
-            (lit(6L).cast(dec38) * col("tt_x4")
-              - lit(4L).cast(dec38) * col("n1")
-                * (col("n1") + col("n2") + 1)
-                * (lit(2L) * (col("n1") + col("n2")) + 1)).as("a4v"))
-          .select(col("n1"), col("n2"),
-            (col("a4u").cast("double") / 4.0
-              / sqrt(col("n1").cast("double") * col("n2").cast("double")
-                * (col("nn").cast("double") + 1.0)
-                * (col("nn").cast("double") * 2.0 + 1.0)
-                * (col("nn").cast("double") * 8.0 + 11.0) / 5.0))
-              .as("u"),
-            (col("a4v").cast("double") / 4.0
-              / sqrt(col("n1").cast("double") * col("n2").cast("double")
-                * (col("nn").cast("double") + 1.0)
-                * (col("nn").cast("double") * 2.0 + 1.0)
-                * (col("nn").cast("double") * 8.0 + 11.0) / 5.0))
-              .as("v"),
-            ((col("nn").cast(dec38) * col("nn") - 4).cast("double") * 2.0
-              / ((lit(2L).cast(dec38) * col("nn") + 1)
-                * (lit(8L) * col("nn") + 11)).cast("double") - 1.0)
-              .as("rho"))
-          .select(col("n1"), col("n2"), col("u"), col("v"), col("rho"),
-            when(col("rho") * col("rho") >= 1.0,
-              lit(null).cast("double"))
-              .otherwise((col("u") * col("u") + col("v") * col("v")
-                - col("rho") * col("u") * col("v") * 2.0)
-                / (lit(2.0) * (lit(1.0) - col("rho") * col("rho"))))
-              .as("c_stat"))
-      },
+      (s, dir) => cucconiFinish(ansariCounts(t(s, dir, "orders"))),
       Some("""WITH census AS (
                 SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                     AS BIGINT) AS v,

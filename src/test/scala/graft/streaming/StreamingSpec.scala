@@ -509,6 +509,22 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(cvB.nonEmpty && cvS === cvB,
       "drained value census diverged from batch CvM")
+    // round-11 twin completion: the whole two-sample battery reads the
+    // SAME drained state — seven readouts of one Complete-mode census
+    val finishes = Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)](
+      "q_ansari_bradley" -> graft.ops.ModelEval.ansariBradleyFinish,
+      "q_cucconi" -> graft.ops.ModelEval.cucconiFinish,
+      "q_lepage" -> graft.ops.ModelEval.lepageFinish,
+      "q_bws_test" -> graft.ops.ModelEval.bwsFinish,
+      "q_fligner_policello" -> graft.ops.ModelEval.flignerPolicelloFinish)
+    for ((qn, fin) <- finishes) {
+      val st = fin(counts).collect().map(_.toString).toSet
+      val ba = SparkEntry.queries(qn)(spark, sfDir).collect()
+        .map(_.toString).toSet
+      assert(ba.nonEmpty && st === ba,
+        s"drained value census diverged from batch $qn")
+    }
   }
 
   test("drained drift-count state finishes to batch q_ks_drift exactly") {
