@@ -377,7 +377,10 @@ object VectorOps {
             col("embedding").as("p_emb"),
             norm2(col("embedding")).as("p_n2"))
         val luts = books.zipWithIndex.map { case (book, sub) =>
-          probes.crossJoin(book)
+          // both sides constant-size (10 probes × ≤16 centroids); the
+          // hint keeps the family convention — every crossJoin builds
+          // against an explicit broadcast
+          probes.crossJoin(broadcast(book))
             .select(col("probe_id"), col("cent_id").as(s"c$sub"),
               dot(slice(col("p_emb"), sub * PqDims + 1, PqDims),
                 col("c_emb")).as(s"d$sub"),
