@@ -156,11 +156,16 @@ object Graph {
           when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
             col("v")).otherwise(col("u")).as("dst"))
         .persist()
-      val nWedges = ori.groupBy("src")
-        .agg(count(lit(1)).as("od"))
-        .agg(sum(expr("od * (od - 1) div 2").cast("decimal(38,0)"))
-          .cast("long"))
-        .head().getLong(0)
+      val nWedges = {
+        // sum() over an empty frame is NULL (e.g. a ship-year slice
+        // with zero qualifying pairs) — read 0 wedges, not an NPE.
+        val r = ori.groupBy("src")
+          .agg(count(lit(1)).as("od"))
+          .agg(sum(expr("od * (od - 1) div 2").cast("decimal(38,0)"))
+            .cast("long"))
+          .head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       val closed = ori.as("a")
         .join(ori.as("b"), col("a.src") === col("b.src")
           && col("a.dst") < col("b.dst"))

@@ -502,13 +502,32 @@ object ModelEval {
       .agg(sum(col("tr")).cast("long").as("c1"),
         sum(lit(1L) - col("tr")).cast("long").as("c2"))
 
+  /** Persist the hot frame a finish helper reads more than once, build
+    * the finishing result, materialize it (every finish below reduces
+    * to an O(1)-row scalar frame — the collect is constant-size by
+    * construction), and RELEASE the cache before returning. A battery
+    * or long verify session must not accrete per-query cached blocks
+    * (r11 ADVICE: 7 batch queries + 7 streaming readouts each leaked a
+    * census cache until clearCache). The returned frame is a local
+    * relation — re-reading it never recomputes the census.
+    */
+  private def finishWith(hot: DataFrame)(f: DataFrame => DataFrame)
+      : DataFrame = {
+    val c = hot.persist()
+    try {
+      val out = f(c)
+      val rows = out.collect()
+      out.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { c.unpersist(); () }
+  }
+
   /** Tukey-quick finishing arithmetic over the drained
     * [[ansariCounts]] census — see q_tukey_quick. */
-  def tukeyQuickFinish(census0: DataFrame): DataFrame = {
-    val census = census0
+  def tukeyQuickFinish(census0: DataFrame): DataFrame =
+    finishWith(census0
       .select(col("v"), col("c1").cast("long").as("c1"),
-        col("c2").cast("long").as("c2"))
-      .persist()
+        col("c2").cast("long").as("c2"))) { census =>
     val bounds = census.agg(
       max(when(col("c2") > 0, col("v"))).as("max_b"),
       min(when(col("c1") > 0, col("v"))).as("min_a"),
@@ -533,14 +552,13 @@ object ModelEval {
           .select(col("v"), col("c1").cast("long").as("c1"),
             col("c2").cast("long").as("c2"))
           .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+        finishWith(RangeRank.ranked(census, Seq("g"), Seq(col("v")),
           rnName = "__rn", nName = None,
           prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
             RangeRank.PrefixSum(col("c2"), "off2")))
           .select(col("c1"), col("c2"),
             (col("off1") + col("c1")).cast("long").as("cum1"),
-            (col("off2") + col("c2")).cast("long").as("cum2"))
-          .persist()
+            (col("off2") + col("c2")).cast("long").as("cum2"))) { cum =>
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
           sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
         cum.crossJoin(broadcast(ns))
@@ -560,7 +578,7 @@ object ModelEval {
                   * (col("n1") + col("n2")).cast("double")
                   * col("n1").cast("double") * col("n2").cast("double")))
               .as("t_cvm"))
-  }
+  }}
 
   /** Finishing arithmetic of q_ansari_bradley over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
@@ -571,14 +589,13 @@ object ModelEval {
           .select(col("v"), col("c1").cast("long").as("c1"),
             col("c2").cast("long").as("c2"))
           .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+        finishWith(RangeRank.ranked(census, Seq("g"), Seq(col("v")),
           rnName = "__rn", nName = None,
           prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
             RangeRank.PrefixSum(col("c2"), "off2")))
           .select(col("c1"), col("c2"),
             col("off1").cast("long").as("off1"),
-            col("off2").cast("long").as("off2"))
-          .persist()
+            col("off2").cast("long").as("off2"))) { cum =>
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
           sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
         val scored = cum.crossJoin(broadcast(ns))
@@ -608,7 +625,7 @@ object ModelEval {
                   * (col("n1") + col("n2")).cast("double")
                   * (col("n1") + col("n2") - 1).cast("double")) / 4.0),
               6).as("z_ab"))
-  }
+  }}
 
   /** Finishing arithmetic of q_lepage over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
@@ -619,14 +636,13 @@ object ModelEval {
           .select(col("v"), col("c1").cast("long").as("c1"),
             col("c2").cast("long").as("c2"))
           .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+        finishWith(RangeRank.ranked(census, Seq("g"), Seq(col("v")),
           rnName = "__rn", nName = None,
           prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
             RangeRank.PrefixSum(col("c2"), "off2")))
           .select(col("c1"), col("c2"),
             col("off1").cast("long").as("off1"),
-            col("off2").cast("long").as("off2"))
-          .persist()
+            col("off2").cast("long").as("off2"))) { cum =>
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
           sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
         val scored = cum.crossJoin(broadcast(ns))
@@ -685,7 +701,7 @@ object ModelEval {
             lit(null).cast("double"))
             .otherwise(round(col("z_w") * col("z_w")
               + col("z_ab") * col("z_ab"), 6)).as("lepage_l"))
-  }
+  }}
 
   /** Finishing arithmetic of q_bws_test over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
@@ -696,7 +712,7 @@ object ModelEval {
           .select(col("v"), col("c1").cast("long").as("c1"),
             col("c2").cast("long").as("c2"))
           .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+        finishWith(RangeRank.ranked(census, Seq("g"), Seq(col("v")),
           rnName = "__rn", nName = None,
           prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
             RangeRank.PrefixSum(col("c2"), "off2")))
@@ -704,8 +720,7 @@ object ModelEval {
             col("off1").cast("long").as("off1"),
             col("off2").cast("long").as("off2"))
           .withColumn("mr2",
-            (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
-          .persist()
+            (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)) { cum =>
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
           sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
         def side(cc: String, off: String, smp: Int) = cum
@@ -743,7 +758,7 @@ object ModelEval {
           .crossJoin(broadcast(ns))
           .select(col("n1"), col("n2"), col("b_x"), col("b_y"),
             ((col("b_x") + col("b_y")) / 2.0).as("bws_b"))
-  }
+  }}
 
   /** Finishing arithmetic of q_fligner_policello over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
@@ -802,17 +817,18 @@ object ModelEval {
         val census = census0
           .select(col("v"), col("c1").cast("long").as("c1"),
             col("c2").cast("long").as("c2"))
-        // persist: the midrank census feeds THREE consumers (agg, aggT,
-        // and aggT's nn broadcast) — un-persisted, each re-scans the
-        // orders corpus (ADVICE r10; the q_cuzick_trend cg discipline)
-        val cum = RangeRank.ranked(census, Seq.empty, Seq(col("v")),
+        // finishWith: the midrank census feeds THREE consumers (agg,
+        // aggT, and aggT's nn broadcast) — un-persisted, each re-scans
+        // the orders corpus (ADVICE r10; the q_cuzick_trend cg
+        // discipline); the cache is released once the scalar result is
+        // materialized (r11 ADVICE)
+        finishWith(RangeRank.ranked(census, Seq.empty, Seq(col("v")),
           rnName = "__rn", nName = None,
           prefixSums = Seq(
             RangeRank.PrefixSum(col("c1") + col("c2"), "cum")))
           .select(col("c1"), col("c2"),
             (lit(2L) * col("cum") + col("c1") + col("c2") + 1L)
-              .as("mr_x2"))
-          .persist()
+              .as("mr_x2"))) { cum =>
         val agg = cum.agg(
           sum(col("c1")).cast("long").as("n1"),
           sum(col("c2")).cast("long").as("n2"),
@@ -860,7 +876,7 @@ object ModelEval {
                 - col("rho") * col("u") * col("v") * 2.0)
                 / (lit(2.0) * (lit(1.0) - col("rho") * col("rho"))))
               .as("c_stat"))
-  }
+  }}
 
   val queries: Seq[Q] = Seq(
 
@@ -3844,7 +3860,7 @@ object ModelEval {
     // E[T] = n₁M₁/N, Var[T] = n₁n₂(N·M₂−M₁²)/(N²(N−1)) from dec38
     // census sums — one mirrored division/sqrt chain at the readout.
     Q("q_ansari_bradley",
-      (s, dir) => ansariBradleyFinish(ansariCounts(t(s, dir, "orders"))),
+      (s, dir) => ansariBradleyFinish(Censuses.ansariCountsOf(s, dir)),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -3905,7 +3921,7 @@ object ModelEval {
     // double chain its parent query uses (rounded to 6 before the
     // squares, L from the ROUNDED z's — fully order-free).
     Q("q_lepage",
-      (s, dir) => lepageFinish(ansariCounts(t(s, dir, "orders"))),
+      (s, dir) => lepageFinish(Censuses.ansariCountsOf(s, dir)),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -3994,7 +4010,7 @@ object ModelEval {
     // all. Strict inequalities make ties contribute zero on both
     // engines.
     Q("q_tukey_quick",
-      (s, dir) => tukeyQuickFinish(ansariCounts(t(s, dir, "orders"))),
+      (s, dir) => tukeyQuickFinish(Censuses.ansariCountsOf(s, dir)),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4148,7 +4164,7 @@ object ModelEval {
     // z = (ΣP−ΣQ) / 2√(V₁+V₂+P̄Q̄) is the one pinned double chain
     // (Fligner–Policello 1981).
     Q("q_fligner_policello",
-      (s, dir) => flignerPolicelloFinish(ansariCounts(t(s, dir, "orders"))),
+      (s, dir) => flignerPolicelloFinish(Censuses.ansariCountsOf(s, dir)),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4211,7 +4227,7 @@ object ModelEval {
     // zero FP until the end. Σd² fits dec38 to ~10⁸ rows per group
     // (the q_bws_test envelope note).
     Q("q_cvm_two_sample",
-      (s, dir) => cvmTwoSampleFinish(ansariCounts(t(s, dir, "orders"))),
+      (s, dir) => cvmTwoSampleFinish(Censuses.ansariCountsOf(s, dir)),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4398,7 +4414,7 @@ object ModelEval {
     // position-pinned sorted fold (the q_psi discipline), so the
     // statistic is bit-stable on both engines.
     Q("q_bws_test",
-      (s, dir) => bwsFinish(ansariCounts(t(s, dir, "orders"))),
+      (s, dir) => bwsFinish(Censuses.ansariCountsOf(s, dir)),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4486,7 +4502,7 @@ object ModelEval {
     // chain. Pooled midranks ride RangeRank prefix sums — never a
     // single-task window over the ~6·10⁷-value census.
     Q("q_cucconi",
-      (s, dir) => cucconiFinish(ansariCounts(t(s, dir, "orders"))),
+      (s, dir) => cucconiFinish(Censuses.ansariCountsOf(s, dir)),
       Some("""WITH census AS (
                 SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                     AS BIGINT) AS v,
@@ -6472,37 +6488,51 @@ object ModelEval {
     // one IEEE expression.
     Q("q_jonckheere_terpstra",
       (s, dir) => {
-        val census = t(s, dir, "orders")
-          .select(substring(col("o_orderpriority"), 1, 1).cast("long")
-              .as("g"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("g", "v").agg(count(lit(1)).as("c"))
-          .persist()
-        val grid = census.select("g").distinct()
-          .crossJoin(census.select("v").distinct())
-          .join(census, Seq("g", "v"), "left")
-          .select(col("g"), col("v"),
-            coalesce(col("c"), lit(0L)).as("c0"))
-        val cum = RangeRank.ranked(grid, Seq("g"), Seq(col("v")),
+        // round 12 plan: the priority alphabet is bounded (5), so the
+        // per-(group, value) cumulative counts the pairwise win mass
+        // needs ride ONE census-sized RangeRank pass with 5 pivoted
+        // prefix-sum columns — no dense g×v grid, no census self-join;
+        // J2 collapses row-locally over the C(5,2) ordered group pairs.
+        // Source: the SHARED pinned census ([[Censuses.priorityCents]]).
+        // Hash-identical to the r10 grid+self-join plan: cum_i(v) =
+        // exclusive prefix of c_i over the pooled value order = count
+        // of group-i values < v, exactly the grid row's cum_ex.
+        val census = Censuses.priorityCents(s, dir)
+          .select(substring(col("p"), 1, 1).cast("long").as("g"),
+            col("v"), col("c"))
+        val pooled = census.groupBy("v")
+          .agg((1 to 5).map(i =>
+            sum(when(col("g") === i, col("c")).otherwise(0L))
+              .cast("long").as(s"c$i")).head,
+            (2 to 5).map(i =>
+              sum(when(col("g") === i, col("c")).otherwise(0L))
+                .cast("long").as(s"c$i")): _*)
+        val cum = RangeRank.ranked(pooled, Seq.empty, Seq(col("v")),
           rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("c0"), "cum_ex")))
-        val jx2 = cum.as("j").filter(col("j.c0") > 0)
-          .join(cum.as("i").select(col("i.g").as("gi"),
-              col("i.v").as("vi"), col("i.c0").as("ci"),
-              col("i.cum_ex").as("cumi")),
-            col("j.v") === col("vi") && col("gi") < col("j.g"))
-          .agg(sum(col("j.c0").cast(dec38)
-            * (col("cumi").cast(dec38) * 2 + col("ci"))).as("j2"))
+          prefixSums = (1 to 5).map(i =>
+            RangeRank.PrefixSum(col(s"c$i"), s"cum$i")))
+        val pairTerm = (2 to 5).map { j =>
+          (1 until j).map { i =>
+            col(s"c$j").cast(dec38) *
+              (col(s"cum$i").cast(dec38) * 2 + col(s"c$i"))
+          }.reduce(_ + _)
+        }.reduce(_ + _)
+        val jx2 = cum.agg(sum(pairTerm).as("j2_raw"))
         val sizes = census.groupBy("g").agg(sum(col("c")).as("n_g"))
-          .agg(sum(col("n_g")).cast(dec38).as("nn"),
+          .agg(count(lit(1)).cast("long").as("k_g"),
+            sum(col("n_g")).cast(dec38).as("nn"),
             sum(col("n_g").cast(dec38) * col("n_g")).as("sn2"),
             sum(col("n_g").cast(dec38) * col("n_g")
               * (col("n_g") * 2 + 3)).as("sn23"))
         // z is computed from the exact DECIMAL(38,0) pair mass j2 (the
         // oracle's HUGEINT); the BIGINT casts are DISPLAY-only — a
-        // premature cast wraps past ~9.2e18 pairs (ADVICE r7)
+        // premature cast wraps past ~9.2e18 pairs (ADVICE r7).
+        // k_g guard: with < 2 groups the oracle's pair join is empty
+        // (NULL j2) — mirror it, the pivoted sum would read 0
         jx2.crossJoin(sizes)
-          .select(col("nn"), col("j2"),
+          .select(col("nn"),
+            when(col("k_g") < 2, lit(null).cast(dec38))
+              .otherwise(col("j2_raw")).as("j2"),
             (col("nn") * col("nn") - col("sn2")).as("e4"),
             (col("nn") * col("nn") * (col("nn") * 2 + 3) - col("sn23"))
               .as("v72"))
@@ -6571,12 +6601,11 @@ object ModelEval {
     // are dec38 rationals; two pinned double divisions and one sqrt.
     Q("q_cuzick_trend",
       (s, dir) => {
-        val cg = t(s, dir, "orders")
-          .select(substring(col("o_orderpriority"), 1, 1).cast("long")
-              .as("g"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("g", "v").agg(count(lit(1)).cast("long").as("c"))
-          .persist()
+        // SHARED pinned census (round 12): the leading-digit regroup is
+        // census-sized; both consumers (cc, perG) read pinned blocks
+        val cg = Censuses.priorityCents(s, dir)
+          .select(substring(col("p"), 1, 1).cast("long").as("g"),
+            col("v"), col("c"))
         val cc = cg.groupBy("v").agg(sum(col("c")).cast("long").as("n_c"))
         val ranked = RangeRank.ranked(cc, Seq.empty, Seq(col("v")),
             rnName = "__rn", nName = None,

@@ -194,13 +194,85 @@ object RangeRank {
     * monotone partition of each cell's value order, and selection is
     * by cumulative count, never by bucket boundary.
     */
+  /** [[groupValuesAtRanks]] over a pre-aggregated VALUE CENSUS —
+    * `census` holds one row per (group, value) with its multiplicity in
+    * `countCol`, and ranks are taken over the expanded multiset. The
+    * round-12 artifact-sharing primitive: consumers of ONE shared
+    * census ([[Censuses.priorityCents]] and friends) finish their rank
+    * picks on census rows only, so the selection pass costs
+    * O(|census|), never another corpus scan.
+    *
+    * Value-at-rank reads off the exclusive multiplicity prefix: the
+    * value at rank k is the census row with off < k ≤ off + c —
+    * tie-order-invariant by construction, byte-identical to the
+    * raw-row machinery. Prefix-sum-at-rank is exact because every
+    * member inside a value run equals the run's value:
+    * S(k) = vsOff + (k − off)·v, all DECIMAL(38,0) (requires an
+    * integral valueCol, same contract as [[RankPick.sumName]]). A k
+    * of 0 (or > n) yields NULL for both (callers coalesce).
+    *
+    * The census order statistic rides [[ranked]] — a census can grow
+    * with the value domain (~10⁷ distinct cents at 100 TB), so the
+    * prefix pass keeps range-shuffle parallelism, never a single-task
+    * window.
+    */
+  def censusValuesAtRanks(
+      census: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      countCol: String,
+      picks: Seq[RankPick],
+      nName: String = "n"): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val needSums = picks.exists(_.sumName.isDefined)
+    val g = groupCols.map(col)
+    // rank targets: |groups| rows, materialized once (referenced by
+    // every pick's bracket predicate)
+    val targets0 = census.groupBy(g: _*)
+      .agg(sum(col(countCol)).cast("long").as(nName))
+    val targets = picks.zipWithIndex.foldLeft(targets0) {
+      case (d, (p, i)) =>
+        d.withColumn(s"__cv_k$i", p.k(col(nName)).cast("long"))
+    }.coalesce(1).localCheckpoint(true)
+    val pre = Seq(PrefixSum(col(countCol), "__cv_off")) ++
+      (if (needSums)
+        Seq(PrefixSum(col(valueCol).cast(dec38) * col(countCol),
+          "__cv_vs"))
+      else Nil)
+    val cum = ranked(census, groupCols, Seq(col(valueCol)),
+      rnName = "__cv_rn", nName = None, prefixSums = pre)
+    val joined =
+      if (groupCols.isEmpty) cum.crossJoin(broadcast(targets))
+      else cum.join(broadcast(targets), groupCols)
+    val c = col(countCol)
+    val pickAggs = picks.zipWithIndex.flatMap { case (p, i) =>
+      val k = col(s"__cv_k$i")
+      val hit = col("__cv_off") < k && k <= col("__cv_off") + c
+      Seq(max(when(hit, col(valueCol))).as(p.outName)) ++
+        p.sumName.map(sn => max(when(hit,
+          coalesce(col("__cv_vs").cast(dec38), lit(0).cast(dec38))
+            + (k - col("__cv_off")).cast(dec38)
+              * col(valueCol).cast(dec38))).as(sn)).toSeq
+    }
+    val aggs = max(col(nName)).as(nName) +: pickAggs
+    if (groupCols.isEmpty) joined.agg(aggs.head, aggs.tail: _*)
+    else joined.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def groupValuesAtRanks(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       picks: Seq[RankPick],
       nName: String = "n",
-      refineCellRows: Long = 1L << 20): DataFrame = {
+      refineCellRows: Long = 1L << 20,
+      weightCol: Option[String] = None): DataFrame = {
+    // weightCol (round 12): `df` is a pre-aggregated VALUE CENSUS and
+    // ranks are taken over the expanded multiset — every count in the
+    // machinery becomes Σweight and the prefix-sum mass becomes
+    // Σ(v·weight). Byte-identical to feeding the raw rows (selection
+    // is by cumulative count either way), but the passes cost
+    // O(|census|): the shared-census artifact consumers' fast path.
     // A/B knobs (same-binary paired timing; see AbRangeRank):
     //   -Dgraft.rr.refine=N   override refineCellRows (MaxValue ⇒ the
     //                         skew probe action is skipped entirely)
@@ -215,6 +287,12 @@ object RangeRank {
     val needSums = picks.exists(_.sumName.isDefined)
     val v = col(valueCol)
     val g = groupCols.map(col)
+    // multiset count / value-mass aggregators: raw rows or weighted census
+    val rowCnt: Column =
+      weightCol.map(w => sum(col(w)).cast("long")).getOrElse(count(lit(1)))
+    val hsAgg: Column = weightCol
+      .map(w => sum(col("__v").cast(dec38) * col(w)))
+      .getOrElse(sum(col("__v").cast(dec38)))
     val kCol = picks.indices.map(i => s"__gk$i")
     // per-group bounds + count + every rank target: |groups| rows,
     // localCheckpoint'd — referenced by the bucketing, the bracket
@@ -228,7 +306,7 @@ object RangeRank {
     // At ~25 census rows the single final task is trivially cheap.
     val stats0 = picks.zipWithIndex.foldLeft(
       df.groupBy(g: _*).agg(min(v).as("__mn"), max(v).as("__mx"),
-        count(lit(1)).cast("long").as(nName))) {
+        rowCnt.cast("long").as(nName))) {
       case (d, (p, i)) => d.withColumn(kCol(i), p.k(col(nName)).cast("long"))
     }
     val stats = (if (c1) stats0.coalesce(1) else stats0).localCheckpoint(true)
@@ -244,9 +322,9 @@ object RangeRank {
             floor((v.cast("double") - col("__mn").cast("double"))
               / (col("__mx").cast("double") - col("__mn").cast("double"))
               * 65536.0).cast("long"))).as("__b"),
-        v.as("__v")): _*)
-    val histAggs = Seq(count(lit(1)).as("__c")) ++
-      (if (needSums) Seq(sum(col("__v").cast(dec38)).as("__hs")) else Nil)
+        v.as("__v")) ++ weightCol.map(col).toSeq: _*)
+    val histAggs = Seq(rowCnt.as("__c")) ++
+      (if (needSums) Seq(hsAgg.as("__hs")) else Nil)
     val hist = bucketed.groupBy((g :+ col("__b")): _*)
       .agg(histAggs.head, histAggs.tail: _*)
     val wB = Window.partitionBy(g: _*).orderBy("__b")
@@ -332,7 +410,7 @@ object RangeRank {
     val within0 = cellRows
       .join(broadcast(brackets), groupCols ++ cellKey)
       .groupBy((brkCols :+ col("__v")): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(rowCnt.as("__c"))
       .withColumn("__voff", col("__off")
         + coalesce(sum(col("__c")).over(wV), lit(0L)))
     val within = if (needSums) within0

@@ -2174,31 +2174,40 @@ object Relational {
     // ── median absolute deviation (robust dispersion) ────────────────────
     // The robust twin of q_stats_agg's stddev: MAD = p50 of |x − p50(x)|,
     // immune to the outliers that winsorize clips. Two value-at-rank
-    // selections per group via RangeRank.groupValuesAtRanks — histogram-
-    // bracketed exact member picks (FP-free selection, tie-order
-    // invariant, so no tiebreak columns are even needed), each pass a
-    // partial+final agg with cluster-wide parallelism: no range
-    // exchange, no per-row rank, no single-task group sort. The
+    // selections per group over the shared (flag, price) VALUE CENSUS
+    // (exact member picks off multiplicity prefixes — FP-free
+    // selection, tie-order invariant, so no tiebreak columns are even
+    // needed); the deviation census derives row-locally, so after the
+    // one shared corpus collapse every pass is census-sized. The
     // deviation |x − m| is ONE exact-rounded IEEE subtraction of
     // identical operands in both engines between the passes.
     Q("q_mad",
       (s, dir) => {
-        val base = t(s, dir, "lineitem")
-          .select("l_returnflag", "l_extendedprice").persist()
-        val med = RangeRank.groupValuesAtRanks(base, Seq("l_returnflag"),
-          "l_extendedprice",
-          Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))))
-          .select(col("l_returnflag").as("m_flag"), col("med"))
+        // round 12: both passes read the SHARED pinned value census
+        // ([[Censuses.flagPrice]]) — the corpus scan is paid once per
+        // session, and selection runs over census rows (value-at-rank
+        // with multiplicity ≡ raw-row rank, tie-order-invariant)
+        val base = Censuses.flagPrice(s, dir)
+        val med = RangeRank.groupValuesAtRanks(base, Seq("f"), "v",
+          Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))),
+          weightCol = Some("c"))
+          .select(col("f").as("m_flag"), col("n"), col("med"))
+          .localCheckpoint(true)
+        // deviation census derives row-locally; checkpointed because
+        // the histogram selection makes three passes over it
         val dev = base
-          .join(broadcast(med), col("l_returnflag") === col("m_flag"))
-          .select(col("l_returnflag"),
-            abs(col("l_extendedprice") - col("med")).as("dev"))
-          .persist()
-        RangeRank.groupValuesAtRanks(dev, Seq("l_returnflag"), "dev",
-          Seq(RangeRank.RankPick("mad", n => ceil(n * 0.5))))
-          .join(broadcast(med), col("l_returnflag") === col("m_flag"))
-          .select(col("l_returnflag"), col("n"), col("med").as("median"),
-            col("mad"))
+          .join(broadcast(med), col("f") === col("m_flag"))
+          .select(col("f"), abs(col("v") - col("med")).as("dev"),
+            col("c"))
+          .groupBy("f", "dev").agg(sum(col("c")).cast("long").as("c"))
+          .localCheckpoint(true)
+        RangeRank.groupValuesAtRanks(dev, Seq("f"), "dev",
+          Seq(RangeRank.RankPick("mad", n => ceil(n * 0.5))),
+          weightCol = Some("c"))
+          .drop("n")
+          .join(broadcast(med), col("f") === col("m_flag"))
+          .select(col("f").as("l_returnflag"), col("n"),
+            col("med").as("median"), col("mad"))
           .orderBy("l_returnflag")
       },
       Some("""WITH r1 AS (
@@ -2239,30 +2248,35 @@ object Relational {
     // side-MADs are value-at-rank picks (RangeRank histogram brackets,
     // tie-order-invariant), fences m ∓ 3·MAD are exact integers, and
     // the two outlier counts are plain conditional sums — the whole
-    // readout is hash-gated with zero FP. Base projection persisted:
-    // the median pass, both side frames and the fence count read it.
+    // readout is hash-gated with zero FP. The median pass, both side
+    // frames and the fence count read the shared pinned census.
     Q("q_double_mad",
       (s, dir) => {
-        val base = t(s, dir, "orders")
-          .select((dec2(col("o_totalprice")) * 100).cast("long")
-            .as("cents"))
-          .persist()
-        val med = RangeRank.medianValues(base, "cents", nName = "n")
-          .select(col("n"), col("v1").as("m"))
+        // round 12: every pass reads the SHARED pinned (v, c) census
+        // ([[Censuses.orderCents]]); side-deviation censuses derive
+        // row-locally, so median, both side-MADs and the fence counts
+        // are census-sized after the one shared corpus collapse
+        val base = Censuses.orderCents(s, dir)
+        val med = RangeRank.censusValuesAtRanks(base, Seq.empty,
+            "v", "c",
+            Seq(RangeRank.RankPick("m", n => expr("(n + 1) div 2"))))
           .localCheckpoint(true)
         // ONE grouped rank machine for both side-MADs: tag each
-        // deviation with its side (the median row belongs to BOTH,
-        // so it is emitted twice — standard double-MAD semantics)
+        // deviation with its side (the median VALUE RUN belongs to
+        // BOTH, so it is counted twice — standard double-MAD semantics)
         val devs = base.crossJoin(broadcast(med))
-          .select(col("cents"), col("m"))
-          .filter(col("cents") <= col("m"))
-          .select(lit(0L).as("side"), (col("m") - col("cents")).as("dev"))
+          .filter(col("v") <= col("m"))
+          .select(lit(0L).as("side"), (col("m") - col("v")).as("dev"),
+            col("c"))
           .unionAll(base.crossJoin(broadcast(med))
-            .filter(col("cents") >= col("m"))
-            .select(lit(1L).as("side"),
-              (col("cents") - col("m")).as("dev")))
+            .filter(col("v") >= col("m"))
+            .select(lit(1L).as("side"), (col("v") - col("m")).as("dev"),
+              col("c")))
+          .groupBy("side", "dev").agg(sum(col("c")).cast("long").as("c"))
+          .localCheckpoint(true)
         val mads = RangeRank.groupValuesAtRanks(devs, Seq("side"), "dev",
-            Seq(RangeRank.RankPick("mad", n => expr("(n + 1) div 2"))))
+            Seq(RangeRank.RankPick("mad", n => expr("(n + 1) div 2"))),
+            weightCol = Some("c"))
           .groupBy()
           .agg(max(when(col("side") === 0, col("mad"))).as("mad_lo"),
             max(when(col("side") === 1, col("mad"))).as("mad_hi"))
@@ -2271,10 +2285,10 @@ object Relational {
           .agg(max(col("n")).as("n"), max(col("m")).as("median_cents"),
             max(col("mad_lo")).as("mad_lo"),
             max(col("mad_hi")).as("mad_hi"),
-            sum(when(col("cents") < col("m") - lit(3L) * col("mad_lo"),
-              1L).otherwise(0L)).cast("long").as("n_out_lo"),
-            sum(when(col("cents") > col("m") + lit(3L) * col("mad_hi"),
-              1L).otherwise(0L)).cast("long").as("n_out_hi"))
+            sum(when(col("v") < col("m") - lit(3L) * col("mad_lo"),
+              col("c")).otherwise(0L)).cast("long").as("n_out_lo"),
+            sum(when(col("v") > col("m") + lit(3L) * col("mad_hi"),
+              col("c")).otherwise(0L)).cast("long").as("n_out_hi"))
       },
       Some("""WITH base AS (
                 SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
@@ -2330,17 +2344,19 @@ object Relational {
     // trimmed_sum = S(n−k) − S(k) and the winsorized tails are
     // k·x₍k+1₎ + k·x₍n−k₎ — integer arithmetic until ONE division per
     // statistic. Selection-by-value is tie-order-invariant, so both
-    // engines pick identical members. Scale: persisted 2-col census
-    // input, three histogram passes, no range exchange.
+    // engines pick identical members. Scale: shared pinned census
+    // input, one census-sized prefix pass.
     Q("q_trimmed_stats",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
-        val base = t(s, dir, "orders")
-          .select(col("o_orderpriority"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-          .persist()
-        RangeRank.groupValuesAtRanks(base, Seq("o_orderpriority"),
-          "cents",
+        // round 12: picks + prefix-sums-at-rank off the SHARED pinned
+        // (priority, cents) census — S(k) is exact on census rows
+        // because every member of a value run equals the run's value
+        val base = Censuses.priorityCents(s, dir)
+          .select(col("p").as("o_orderpriority"), col("v").as("cents"),
+            col("c"))
+        RangeRank.censusValuesAtRanks(base, Seq("o_orderpriority"),
+          "cents", "c",
           Seq(
             RangeRank.RankPick("v_lo", n => expr("n div 10"),
               sumName = Some("s_lo")),
@@ -2405,12 +2421,11 @@ object Relational {
     // ONE division of exact integers.
     Q("q_quartile_dispersion",
       (s, dir) => {
-        val base = t(s, dir, "orders")
-          .select(col("o_orderpriority"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-          .persist()
-        RangeRank.groupValuesAtRanks(base, Seq("o_orderpriority"),
-          "cents",
+        val base = Censuses.priorityCents(s, dir)
+          .select(col("p").as("o_orderpriority"), col("v").as("cents"),
+            col("c"))
+        RangeRank.censusValuesAtRanks(base, Seq("o_orderpriority"),
+          "cents", "c",
           Seq(RangeRank.RankPick("q1", n => ceil(n * 0.25)),
             RangeRank.RankPick("q3", n => ceil(n * 0.75))))
           .select(col("o_orderpriority"), col("n"),
@@ -2459,13 +2474,11 @@ object Relational {
     Q("q_gini_mean_difference",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
-        // persisted: consumed by the RangeRank pass AND the totals agg
-        val census = t(s, dir, "orders")
-          .select(col("o_orderpriority").as("g"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-          .groupBy("g", "cents")
-          .agg(count(lit(1)).cast("long").as("cnt"))
-          .persist()
+        // SHARED pinned census (round 12): consumed by the RangeRank
+        // pass AND the totals agg — both read the checkpointed blocks
+        val census = Censuses.priorityCents(s, dir)
+          .select(col("p").as("g"), col("v").as("cents"),
+            col("c").as("cnt"))
         val tot = census.groupBy(col("g").as("tg"))
           .agg(sum(col("cnt")).cast("long").as("n"),
             sum(col("cents").cast(dec38) * col("cnt")).as("s"))

@@ -128,7 +128,8 @@ object VectorOps {
            ${duckDot("c.c_emb", "e.embedding", dims)} / sqrt(c.c_n2 * e.n2) AS csim
          FROM $src e CROSS JOIN ${pfx}c${r - 1}n c
          QUALIFY row_number() OVER (PARTITION BY e.vec_id
-           ORDER BY csim DESC, c.cent_id) = 1),
+           ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
+             DESC NULLS LAST, c.cent_id) = 1),
        ${pfx}x$r AS (SELECT cent_id, unnest(embedding) AS v,
                  unnest(generate_series(1, len(embedding))) AS pos FROM ${pfx}a$r),
        ${pfx}m$r AS (SELECT cent_id, pos,
@@ -171,7 +172,8 @@ object VectorOps {
                 / sqrt(c.c_n2 * e.n2) AS csim
             FROM p${sub}_emb e CROSS JOIN p${sub}_c2n c
             QUALIFY row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY csim DESC, c.cent_id) = 1)"""
+              ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
+                DESC NULLS LAST, c.cent_id) = 1)"""
     }
     s"""${duckXxHash64("hs", "embeddings", "vec_id")},
           bkt AS (SELECT vec_id, ((h % 16) + 16) % 16 AS b FROM hs),
@@ -322,7 +324,8 @@ object VectorOps {
                     AS csim
                 FROM kx_emb e CROSS JOIN c2n c
                 QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY csim DESC, c.cent_id) = 1)
+                  ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
+                    DESC NULLS LAST, c.cent_id) = 1)
               SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster_id,
                 csim AS sim
               FROM fin ORDER BY vec_id""")),
