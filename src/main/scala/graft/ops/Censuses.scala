@@ -73,6 +73,21 @@ object Censuses {
         .agg(sum(col("c")).cast("long").as("c"))
         .localCheckpoint(true))
 
+  private val scoreCensusMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** Pinned per-score census over events — the ranking-quality
+    * battery's sufficient statistic ([[ModelEval.scoreCensus]]): the
+    * AUC / PR-curve / KS / DeLong finishes all read this one artifact;
+    * the streaming twin builds the identical frame as Complete-mode
+    * state from the live stream.
+    */
+  def scoreCensus(s: SparkSession, dir: String): DataFrame =
+    scoreCensusMemo.computeIfAbsent((s, dir), _ =>
+      ModelEval.scoreCensus(Tables.load(s, dir, "events"))
+        .localCheckpoint(true))
+
   private val flagPriceMemo = Artifacts.memo[DataFrame] {
     case (_, d) => d.unpersist(false); ()
   }

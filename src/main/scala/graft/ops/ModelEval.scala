@@ -43,6 +43,168 @@ object ModelEval {
     ev.select(col("event_id"), col("value"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
 
+  /** Per-score census — the sufficient statistic of the ranking-quality
+    * battery (AUC, PR curve, KS, DeLong CI): value → (total count,
+    * positive count). MERGEABLE (plain counts), so the streaming twin
+    * keeps exactly this frame as Complete-mode state, the batch queries
+    * read it off the shared pinned artifact ([[Censuses.scoreCensus]]),
+    * and the finishes below produce bit-identical results from either.
+    */
+  def scoreCensus(events: DataFrame): DataFrame =
+    labeled(events)
+      .groupBy("value")
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("pos")).cast("long").as("p"))
+
+  /** ROC-AUC finishing arithmetic over the drained/pinned
+    * [[scoreCensus]] — see q_auc. */
+  def aucFinish(census: DataFrame): DataFrame = {
+    val ranked = RangeRank.ranked(
+      census, Seq.empty, Seq(col("value")),
+      rnName = "__rn", nName = None,
+      prefixSums = Seq(RangeRank.PrefixSum(col("cnt"), "cum")))
+    ranked
+      .agg(sum(col("p")).as("npos"),
+        sum(col("cnt") - col("p")).as("nneg"),
+        sum(col("p").cast(dec38)
+          * (lit(2L) * col("cum") + col("cnt") + lit(1L)).cast(dec38))
+          .as("tworpos"))
+      .select(col("npos").cast("long").as("n_pos"),
+        col("nneg").cast("long").as("n_neg"),
+        ((col("tworpos").cast("double")
+          - col("npos").cast("double") * (col("npos").cast("double") + 1))
+          / (lit(2.0) * col("npos").cast("double")
+             * col("nneg").cast("double"))).as("auc"))
+  }
+
+  /** Precision/recall/F1-by-threshold finishing arithmetic over the
+    * drained/pinned [[scoreCensus]] — see q_pr_curve. Output is
+    * census-sized (one row per threshold), so it stays a frame. */
+  def prCurveFinish(census: DataFrame): DataFrame = {
+    val ranked = RangeRank.ranked(
+      census, Seq.empty, Seq(col("value").desc),
+      rnName = "__rn", nName = None,
+      prefixSums = Seq(
+        RangeRank.PrefixSum(col("p"), "tp_above"),
+        RangeRank.PrefixSum(col("cnt") - col("p"), "fp_above")))
+    // total positives: 1-row broadcast, NOT a global window — the
+    // census is distinct-score-sized (≈ data-sized for a continuous
+    // score), so an unpartitioned window would funnel it through one
+    // task at 100 TB
+    val np = census.agg(sum(col("p")).cast("long").as("np"))
+    ranked.crossJoin(broadcast(np))
+      .select(col("value").as("threshold"),
+        (col("tp_above") + col("p")).cast("long").as("tp"),
+        (col("fp_above") + col("cnt") - col("p")).cast("long").as("fp"),
+        col("np"))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double")).as("precision"),
+        (col("tp").cast("double") / col("np").cast("double"))
+          .as("recall"),
+        ((lit(2.0) * col("tp").cast("double"))
+          / (col("tp") + col("fp") + col("np")).cast("double")).as("f1"))
+      .orderBy("threshold")
+  }
+
+  /** Two-sample KS over the score order (model discrimination)
+    * finishing arithmetic over the drained/pinned [[scoreCensus]] —
+    * see q_ks_model. */
+  def ksModelFinish(census: DataFrame): DataFrame = {
+    val ranked = RangeRank.ranked(
+      census, Seq.empty, Seq(col("value")),
+      rnName = "__rn", nName = None,
+      prefixSums = Seq(
+        RangeRank.PrefixSum(col("p"), "cp"),
+        RangeRank.PrefixSum(col("cnt") - col("p"), "cn")))
+    val tot = census.agg(sum(col("p")).cast("long").as("npos"),
+      sum(col("cnt") - col("p")).cast("long").as("nneg"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("npos"), col("nneg"), col("value"),
+        abs((col("cp") + col("p")).cast(dec38) * col("nneg").cast(dec38)
+          - (col("cn") + col("cnt") - col("p")).cast(dec38)
+            * col("npos").cast(dec38)).as("dnum"))
+      .groupBy("npos", "nneg")
+      .agg(max(struct(col("dnum"), col("value"))).as("m"))
+      .select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        col("m.value").as("at_threshold"),
+        (col("m.dnum").cast("double")
+          / (col("npos").cast("double") * col("nneg").cast("double")))
+          .as("ks"))
+  }
+
+  /** DeLong AUC variance/CI finishing arithmetic over the
+    * drained/pinned [[scoreCensus]] — see q_auc_delong. */
+  def aucDelongFinish(census: DataFrame): DataFrame = {
+    val ranked = RangeRank.ranked(
+      census, Seq.empty, Seq(col("value")),
+      rnName = "__rn", nName = None,
+      prefixSums = Seq(
+        RangeRank.PrefixSum(col("cnt") - col("p"), "cumq"),
+        RangeRank.PrefixSum(col("p"), "cump")))
+    val agg = ranked
+      .agg(sum(col("p")).cast("long").as("n1"),
+        sum(col("cnt") - col("p")).cast("long").as("n0"),
+        sum(col("p").cast(dec38)
+          * (lit(2L) * col("cumq") + (col("cnt") - col("p"))))
+          .as("s10"),
+        sum(col("p").cast(dec38)
+          * (lit(2L) * col("cumq") + (col("cnt") - col("p")))
+          * (lit(2L) * col("cumq") + (col("cnt") - col("p"))))
+          .as("s10q"),
+        sum((col("cnt") - col("p")).cast(dec38)
+          * (lit(2L) * col("cump") + col("p"))).as("s01r"),
+        sum((col("cnt") - col("p")).cast(dec38)
+          * (lit(2L) * col("cump") + col("p"))
+          * (lit(2L) * col("cump") + col("p")))
+          .as("s01rq"))
+    // V01 uses positives ABOVE the negative: t01 = 2n1 − (2·cump + p);
+    // Σ and Σ² expand algebraically from the below-sums (exact)
+    agg.select(col("n1"), col("n0"),
+        (col("s10").cast("double")
+          / (lit(2.0) * col("n0").cast("double")
+            * col("n1").cast("double"))).as("auc"),
+        ((col("s10q").cast("double")
+          / (lit(4.0) * col("n0").cast("double")
+            * col("n0").cast("double"))
+          - col("n1").cast("double")
+            * (col("s10").cast("double")
+              / (lit(2.0) * col("n0").cast("double")
+                * col("n1").cast("double")))
+            * (col("s10").cast("double")
+              / (lit(2.0) * col("n0").cast("double")
+                * col("n1").cast("double"))))
+          / (col("n1") - 1).cast("double")).as("v10"),
+        ((
+          (lit(4.0) * col("n1").cast("double")
+            * col("n1").cast("double") * col("n0").cast("double")
+            - lit(4.0) * col("n1").cast("double")
+              * col("s01r").cast("double")
+            + col("s01rq").cast("double"))
+          / (lit(4.0) * col("n1").cast("double")
+            * col("n1").cast("double"))
+          - col("n0").cast("double")
+            * (lit(1.0) - col("s01r").cast("double")
+              / (lit(2.0) * col("n1").cast("double")
+                * col("n0").cast("double")))
+            * (lit(1.0) - col("s01r").cast("double")
+              / (lit(2.0) * col("n1").cast("double")
+                * col("n0").cast("double"))))
+          / (col("n0") - 1).cast("double")).as("v01"))
+      .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        round(col("auc"), 12).as("auc"),
+        round(sqrt(col("v10") / col("n1").cast("double")
+          + col("v01") / col("n0").cast("double")), 6).as("se"),
+        round(col("auc") - lit(1.96)
+          * sqrt(col("v10") / col("n1").cast("double")
+            + col("v01") / col("n0").cast("double")), 6)
+          .as("ci_low"),
+        round(col("auc") + lit(1.96)
+          * sqrt(col("v10") / col("n1").cast("double")
+            + col("v01") / col("n0").cast("double")), 6)
+          .as("ci_high"))
+  }
+
   /** Mergeable half of q_psi: the (bin → ref/cur counts) census. All-
     * integer and bounded by the bin grid, so it doubles as Complete-mode
     * streaming state — [[psiFinish]] over a drained census equals batch
@@ -892,27 +1054,7 @@ object ModelEval {
     // order statistic rides RangeRank, so a 100-TB score column with
     // billions of distinct values still ranks at cluster parallelism.
     Q("q_auc",
-      (s, dir) => {
-        val census = labeled(t(s, dir, "events"))
-          .groupBy("value")
-          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
-        val ranked = RangeRank.ranked(
-          census, Seq.empty, Seq(col("value")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("cnt"), "cum")))
-        ranked
-          .agg(sum(col("p")).as("npos"),
-            sum(col("cnt") - col("p")).as("nneg"),
-            sum(col("p").cast(dec38)
-              * (lit(2L) * col("cum") + col("cnt") + lit(1L)).cast(dec38))
-              .as("tworpos"))
-          .select(col("npos").cast("long").as("n_pos"),
-            col("nneg").cast("long").as("n_neg"),
-            ((col("tworpos").cast("double")
-              - col("npos").cast("double") * (col("npos").cast("double") + 1))
-              / (lit(2.0) * col("npos").cast("double")
-                 * col("nneg").cast("double"))).as("auc"))
-      },
+      (s, dir) => aucFinish(Censuses.scoreCensus(s, dir)),
       Some("""WITH census AS (
                 SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -1263,38 +1405,9 @@ object ModelEval {
     // rows = distinct scores (data-sized, like the curve itself). Per-row
     // divisions only — no cross-row FP accumulation anywhere.
     Q("q_pr_curve",
-      (s, dir) => {
-        // persist: the score census feeds RangeRank AND the 1-row total —
-        // without it the total's agg re-scans events (second corpus pass)
-        val census = labeled(t(s, dir, "events"))
-          .groupBy("value")
-          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
-          .persist()
-        val ranked = RangeRank.ranked(
-          census, Seq.empty, Seq(col("value").desc),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(
-            RangeRank.PrefixSum(col("p"), "tp_above"),
-            RangeRank.PrefixSum(col("cnt") - col("p"), "fp_above")))
-        // total positives: 1-row broadcast, NOT a global window — the
-        // census is distinct-score-sized (≈ data-sized for a continuous
-        // score), so an unpartitioned window would funnel it through one
-        // task at 100 TB
-        val np = census.agg(sum(col("p")).cast("long").as("np"))
-        ranked.crossJoin(broadcast(np))
-          .select(col("value").as("threshold"),
-            (col("tp_above") + col("p")).cast("long").as("tp"),
-            (col("fp_above") + col("cnt") - col("p")).cast("long").as("fp"),
-            col("np"))
-          .select(col("threshold"), col("tp"), col("fp"),
-            (col("tp").cast("double")
-              / (col("tp") + col("fp")).cast("double")).as("precision"),
-            (col("tp").cast("double") / col("np").cast("double"))
-              .as("recall"),
-            ((lit(2.0) * col("tp").cast("double"))
-              / (col("tp") + col("fp") + col("np")).cast("double")).as("f1"))
-          .orderBy("threshold")
-      },
+      // the census feeds RangeRank AND the 1-row total — both read the
+      // shared pinned artifact (round 12; was a per-query persist)
+      (s, dir) => prCurveFinish(Censuses.scoreCensus(s, dir)),
       Some("""WITH census AS (
                 SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -1513,33 +1626,7 @@ object ModelEval {
     // lexicographic struct-extreme aggregate (order-free, no FP until
     // the final division). Single row out.
     Q("q_ks_model",
-      (s, dir) => {
-        // persist: feeds RangeRank AND the 1-row class-totals broadcast
-        val census = labeled(t(s, dir, "events"))
-          .groupBy("value")
-          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
-          .persist()
-        val ranked = RangeRank.ranked(
-          census, Seq.empty, Seq(col("value")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(
-            RangeRank.PrefixSum(col("p"), "cp"),
-            RangeRank.PrefixSum(col("cnt") - col("p"), "cn")))
-        val tot = census.agg(sum(col("p")).cast("long").as("npos"),
-          sum(col("cnt") - col("p")).cast("long").as("nneg"))
-        ranked.crossJoin(broadcast(tot))
-          .select(col("npos"), col("nneg"), col("value"),
-            abs((col("cp") + col("p")).cast(dec38) * col("nneg").cast(dec38)
-              - (col("cn") + col("cnt") - col("p")).cast(dec38)
-                * col("npos").cast(dec38)).as("dnum"))
-          .groupBy("npos", "nneg")
-          .agg(max(struct(col("dnum"), col("value"))).as("m"))
-          .select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
-            col("m.value").as("at_threshold"),
-            (col("m.dnum").cast("double")
-              / (col("npos").cast("double") * col("nneg").cast("double")))
-              .as("ks"))
-      },
+      (s, dir) => ksModelFinish(Censuses.scoreCensus(s, dir)),
       Some("""WITH census AS (
                 SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -5818,79 +5905,7 @@ object ModelEval {
     // the end. Rides the q_auc value census with RangeRank prefix
     // sums (the census grows with data — no single-task window).
     Q("q_auc_delong",
-      (s, dir) => {
-        val census = labeled(t(s, dir, "events"))
-          .groupBy("value")
-          .agg(count(lit(1)).cast("long").as("cnt"),
-            sum(col("pos")).cast("long").as("p"))
-        val ranked = RangeRank.ranked(
-          census, Seq.empty, Seq(col("value")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(
-            RangeRank.PrefixSum(col("cnt") - col("p"), "cumq"),
-            RangeRank.PrefixSum(col("p"), "cump")))
-        val agg = ranked
-          .agg(sum(col("p")).cast("long").as("n1"),
-            sum(col("cnt") - col("p")).cast("long").as("n0"),
-            sum(col("p").cast(dec38)
-              * (lit(2L) * col("cumq") + (col("cnt") - col("p"))))
-              .as("s10"),
-            sum(col("p").cast(dec38)
-              * (lit(2L) * col("cumq") + (col("cnt") - col("p")))
-              * (lit(2L) * col("cumq") + (col("cnt") - col("p"))))
-              .as("s10q"),
-            sum((col("cnt") - col("p")).cast(dec38)
-              * (lit(2L) * col("cump") + col("p"))).as("s01r"),
-            sum((col("cnt") - col("p")).cast(dec38)
-              * (lit(2L) * col("cump") + col("p"))
-              * (lit(2L) * col("cump") + col("p")))
-              .as("s01rq"))
-        // V01 uses positives ABOVE the negative: t01 = 2n1 − (2·cump + p);
-        // Σ and Σ² expand algebraically from the below-sums (exact)
-        agg.select(col("n1"), col("n0"),
-            (col("s10").cast("double")
-              / (lit(2.0) * col("n0").cast("double")
-                * col("n1").cast("double"))).as("auc"),
-            ((col("s10q").cast("double")
-              / (lit(4.0) * col("n0").cast("double")
-                * col("n0").cast("double"))
-              - col("n1").cast("double")
-                * (col("s10").cast("double")
-                  / (lit(2.0) * col("n0").cast("double")
-                    * col("n1").cast("double")))
-                * (col("s10").cast("double")
-                  / (lit(2.0) * col("n0").cast("double")
-                    * col("n1").cast("double"))))
-              / (col("n1") - 1).cast("double")).as("v10"),
-            ((
-              (lit(4.0) * col("n1").cast("double")
-                * col("n1").cast("double") * col("n0").cast("double")
-                - lit(4.0) * col("n1").cast("double")
-                  * col("s01r").cast("double")
-                + col("s01rq").cast("double"))
-              / (lit(4.0) * col("n1").cast("double")
-                * col("n1").cast("double"))
-              - col("n0").cast("double")
-                * (lit(1.0) - col("s01r").cast("double")
-                  / (lit(2.0) * col("n1").cast("double")
-                    * col("n0").cast("double")))
-                * (lit(1.0) - col("s01r").cast("double")
-                  / (lit(2.0) * col("n1").cast("double")
-                    * col("n0").cast("double"))))
-              / (col("n0") - 1).cast("double")).as("v01"))
-          .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-            round(col("auc"), 12).as("auc"),
-            round(sqrt(col("v10") / col("n1").cast("double")
-              + col("v01") / col("n0").cast("double")), 6).as("se"),
-            round(col("auc") - lit(1.96)
-              * sqrt(col("v10") / col("n1").cast("double")
-                + col("v01") / col("n0").cast("double")), 6)
-              .as("ci_low"),
-            round(col("auc") + lit(1.96)
-              * sqrt(col("v10") / col("n1").cast("double")
-                + col("v01") / col("n0").cast("double")), 6)
-              .as("ci_high"))
-      },
+      (s, dir) => aucDelongFinish(Censuses.scoreCensus(s, dir)),
       Some("""WITH census AS (
                 SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
                   CAST(SUM(CASE WHEN event_type = 'purchase'

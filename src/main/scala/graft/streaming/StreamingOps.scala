@@ -846,6 +846,19 @@ object StreamingOps {
   def ansariValueCounts(orders: DataFrame): DataFrame =
     graft.ops.ModelEval.ansariCounts(orders)
 
+  /** Streaming half of the ranking-quality battery (round-12 fourth
+    * twin family — the live model monitor): the per-score
+    * (value → count, positives) census is mergeable Complete-mode
+    * state; [[graft.ops.ModelEval.aucFinish]] /
+    * [[graft.ops.ModelEval.prCurveFinish]] /
+    * [[graft.ops.ModelEval.ksModelFinish]] /
+    * [[graft.ops.ModelEval.aucDelongFinish]] over the drained state
+    * equal their batch queries bit-for-bit (all-integer census; the
+    * finishes' divisions are pinned). One live state, four readouts.
+    */
+  def scoreCounts(events: DataFrame): DataFrame =
+    graft.ops.ModelEval.scoreCensus(events)
+
   /** Streaming half of q_seasonality — the live calendar-profile
     * baseline. The dow×type census (counts + exact decimal value sums)
     * is mergeable Complete-mode state bounded at ≤7×|types| rows;

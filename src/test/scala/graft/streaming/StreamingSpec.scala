@@ -482,6 +482,36 @@ class StreamingSpec extends SparkSpec {
       "half-censuses did not merge to the whole-corpus census")
   }
 
+  test("drained score census finishes to batch AUC, PR-curve, KS-model " +
+      "and DeLong exactly") {
+    // round 12 (fourth twin family): the per-score census is the
+    // ranking-quality battery's sufficient statistic — one live
+    // Complete-mode state, four readouts of the model monitor
+    val dir = Files.createTempDirectory("graft-events-score").toString
+    Tables.load(spark, sfDir, "events")
+      .repartition(4) // several files = several source-arrival batches
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val sink = StreamingOps.runToMemory(
+      StreamingOps.scoreCounts(
+        StreamingOps.readEventStream(spark, s"$dir/in")),
+      "t_score", OutputMode.Complete())
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    val finishes = Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)](
+      "q_auc" -> graft.ops.ModelEval.aucFinish,
+      "q_pr_curve" -> graft.ops.ModelEval.prCurveFinish,
+      "q_ks_model" -> graft.ops.ModelEval.ksModelFinish,
+      "q_auc_delong" -> graft.ops.ModelEval.aucDelongFinish)
+    for ((qn, fin) <- finishes) {
+      val st = fin(counts).collect().map(_.toString).toSet
+      val ba = SparkEntry.queries(qn)(spark, sfDir).collect()
+        .map(_.toString).toSet
+      assert(ba.nonEmpty && st === ba,
+        s"drained score census diverged from batch $qn")
+    }
+  }
+
   test("drained two-sample value census finishes to batch Tukey-quick " +
       "AND CvM exactly") {
     // round 11: the urgent-vs-rest value census is the two-sample
