@@ -180,6 +180,84 @@ object VectorOps {
           ${(0 until 4).map(subBlock).mkString(",\n")}"""
   }
 
+  /** The full ⌈√n⌉-cell IVF training replay as a WITH body: the
+    * dynamic-k xxhash64 init chain, exact-integer-unit Lloyd rounds
+    * (codebook `c2n`) and the final per-vector assignment (`fin`, with
+    * each vector's raw (embedding, n2) in `kx_emb`). Shared by the
+    * q_cluster_assign oracle since round 11; round 12 extends it to
+    * q_ann_ivf / q_knn_graph / q_semdedup — the three remaining ANN
+    * exemptions ride the SAME proven replay.
+    */
+  private lazy val duckIvfReplay: String =
+    s"""kk AS (
+                SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                  AS k
+                FROM embeddings),
+              ${duckXxHash64("hs", "embeddings", "vec_id")},
+              bkt AS (SELECT h.vec_id, ((h.h % kk.k) + kk.k) % kk.k AS b
+                      FROM hs h, kk),
+              kx_emb AS (SELECT vec_id, embedding,
+                           ${duckDot("embedding", "embedding")} AS n2
+                         FROM embeddings),
+              c0 AS (SELECT b.b AS cent_id,
+                       list_transform(arg_min(e.embedding, e.vec_id),
+                         x -> CAST(x AS DOUBLE)) AS c_emb
+                     FROM bkt b JOIN kx_emb e ON e.vec_id = b.vec_id
+                     GROUP BY 1),
+              c0n AS (SELECT cent_id, c_emb,
+                        ${duckDot("c_emb", "c_emb")} AS c_n2
+                      FROM c0),
+              ${duckLloydRound(1)},
+              ${duckLloydRound(2)},
+              fin AS (
+                SELECT e.vec_id, c.cent_id,
+                  ${duckDot("c.c_emb", "e.embedding")} / sqrt(c.c_n2 * e.n2)
+                    AS csim
+                FROM kx_emb e CROSS JOIN c2n c
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
+                    DESC NULLS LAST, c.cent_id) = 1)"""
+
+  /** IVF probe→top-k search replay over [[duckIvfReplay]]'s artifacts —
+    * the [[ivfTopK]] kernel in SQL: top-`nprobe` cells per probe by
+    * codebook cosine (graft_topk tie order: score DESC, id ASC — the
+    * NaN demotion mirrors Spark's NaN-last), candidates = assigned
+    * members of those cells minus the probe itself, bounded top-`k` by
+    * recomputed exact cosine. `probeWhere` selects the probe rows from
+    * `kx_emb`; `outId` names the probe column in the output.
+    */
+  private def duckIvfSearch(probeWhere: String, outId: String,
+      k: Int = 3, nprobe: Int = 4): String =
+    s"""WITH $duckIvfReplay,
+              probes AS (
+                SELECT vec_id AS probe_id, embedding AS p_emb, n2 AS p_n2
+                FROM kx_emb $probeWhere),
+              pcell AS (
+                SELECT probe_id, p_emb, p_n2, cent_id
+                FROM (SELECT p.probe_id, p.p_emb, p.p_n2, c.cent_id,
+                        ${duckDot("c.c_emb", "p.p_emb")}
+                          / sqrt(c.c_n2 * p.p_n2) AS csim
+                      FROM probes p CROSS JOIN c2n c)
+                QUALIFY row_number() OVER (PARTITION BY probe_id
+                  ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
+                    DESC NULLS LAST, cent_id) <= $nprobe),
+              cand AS (
+                SELECT pc.probe_id, f.vec_id AS neighbor_id,
+                  ${duckDot("pc.p_emb", "e.embedding")}
+                    / sqrt(pc.p_n2 * e.n2) AS sim
+                FROM pcell pc
+                JOIN fin f ON f.cent_id = pc.cent_id
+                JOIN kx_emb e ON e.vec_id = f.vec_id
+                WHERE f.vec_id <> pc.probe_id),
+              ranked_cand AS (
+                SELECT probe_id, neighbor_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY (CASE WHEN isnan(sim) THEN NULL ELSE sim END)
+                      DESC NULLS LAST, neighbor_id) AS BIGINT) AS rk
+                FROM cand)
+              SELECT probe_id AS $outId, neighbor_id, sim, rk
+              FROM ranked_cand WHERE rk <= $k ORDER BY 1, rk"""
+
   val queries: Seq[Q] = Seq(
 
     // ── exact cosine top-3 neighbors for 10 probe vectors ────────────────
@@ -247,7 +325,7 @@ object VectorOps {
       },
       None),
 
-    // ── approximate kNN graph (oracle-exempt: approximate) ───────────────
+    // ── approximate kNN graph (oracled via the IVF replay, round 12) ─────
     // The all-vectors neighbor graph behind semantic dedup and graph
     // clustering: top-3 cosine neighbors PER VECTOR. Candidates come from
     // the trained IVF codebook (every vector probes its nprobe=4 nearest
@@ -272,7 +350,8 @@ object VectorOps {
           .withColumnRenamed("probe_id", "vec_id")
           .orderBy("vec_id", "rk")
       },
-      None),
+      // probes = the whole corpus: the same search replay, unfiltered
+      Some(duckIvfSearch("", "vec_id"))),
 
     // ── semantic clustering: k-means cell per vector ─────────────────────
     // The mix-balancing / topic-bucketing op: every vector labeled with
@@ -298,34 +377,7 @@ object VectorOps {
           .select(col("vec_id"), col("cent_id").as("cluster_id"), col("sim"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH kk AS (
-                SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
-                  AS k
-                FROM embeddings),
-              ${duckXxHash64("hs", "embeddings", "vec_id")},
-              bkt AS (SELECT h.vec_id, ((h.h % kk.k) + kk.k) % kk.k AS b
-                      FROM hs h, kk),
-              kx_emb AS (SELECT vec_id, embedding,
-                           ${duckDot("embedding", "embedding")} AS n2
-                         FROM embeddings),
-              c0 AS (SELECT b.b AS cent_id,
-                       list_transform(arg_min(e.embedding, e.vec_id),
-                         x -> CAST(x AS DOUBLE)) AS c_emb
-                     FROM bkt b JOIN kx_emb e ON e.vec_id = b.vec_id
-                     GROUP BY 1),
-              c0n AS (SELECT cent_id, c_emb,
-                        ${duckDot("c_emb", "c_emb")} AS c_n2
-                      FROM c0),
-              ${duckLloydRound(1)},
-              ${duckLloydRound(2)},
-              fin AS (
-                SELECT e.vec_id, c.cent_id,
-                  ${duckDot("c.c_emb", "e.embedding")} / sqrt(c.c_n2 * e.n2)
-                    AS csim
-                FROM kx_emb e CROSS JOIN c2n c
-                QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
-                    DESC NULLS LAST, c.cent_id) = 1)
+      Some(s"""WITH $duckIvfReplay
               SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster_id,
                 csim AS sim
               FROM fin ORDER BY vec_id""")),
@@ -567,7 +619,7 @@ object VectorOps {
                 MAX(code) AS code_max, COUNT(*) AS dims
               FROM codes GROUP BY 1 ORDER BY 1""")),
 
-    // ── IVF-style approximate nearest neighbor (oracle-exempt) ───────────
+    // ── IVF-style approximate nearest neighbor (oracled, round 12) ───────
     // Codebook = ⌈√n⌉ spherical-k-means centroids (kCells) trained by
     // [[trainCentroids]] (deterministic seed-free init, Lloyd rounds as
     // DataFrame aggregations). Every corpus vector is assigned to its
@@ -577,7 +629,9 @@ object VectorOps {
     // row_number window would sort. Probe cell selection (nprobe=4) and
     // the final top-3 both go through the bounded-heap graft_topk — no
     // WindowExec anywhere in the plan. Recall vs the exact baseline is
-    // asserted in OpsSpec.
+    // asserted in OpsSpec; since round 12 the whole search is ALSO
+    // hash-oracled by the generated-CTE replay ([[duckIvfSearch]]) —
+    // training, cell pruning and both top-k tie orders replayed in SQL.
     Q("q_ann_ivf",
       (s, dir) => {
         GraftExtensions.ensureRegistered(s)
@@ -588,7 +642,7 @@ object VectorOps {
         ivfTopK(s, dir, probes, k = 3, nprobe = 4, broadcastProbes = true)
           .orderBy("probe_id", "rk")
       },
-      None),
+      Some(duckIvfSearch("WHERE vec_id < 10", "probe_id"))),
 
     // ── hybrid retrieval: reciprocal-rank fusion (BM25 ⊕ dense cosine) ───
     // The retrieval-stack composition op: one request scored by BOTH
@@ -758,7 +812,7 @@ object VectorOps {
                 neighbor_id, CAST(n_label AS BIGINT) AS n_label, sim, rk
               FROM r WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
-    // ── semantic dedup via the IVF index (oracle-exempt: approximate) ────
+    // ── semantic dedup via the IVF index (oracled, round 12) ─────────────
     // SemDeDup (Abbas et al., 2023): embedding-level near-duplicate
     // pruning — cluster the corpus, compare only WITHIN cells, drop every
     // vector that has a lower-id cell-mate above the cosine threshold
@@ -786,7 +840,23 @@ object VectorOps {
           .select(col("vec_id"), col("cent_id"))
           .orderBy("vec_id")
       },
-      None),
+      // round 12: within-cell pruning replayed off the shared IVF
+      // training replay — the ≥ 0.4 gate is safe cross-engine because
+      // both sides compute the identical double (same fold order)
+      Some(s"""WITH $duckIvfReplay,
+              x AS (SELECT f.cent_id, f.vec_id, e.embedding, e.n2
+                    FROM fin f JOIN kx_emb e USING (vec_id)),
+              losers AS (
+                SELECT DISTINCT b.vec_id
+                FROM x a JOIN x b
+                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                WHERE ${duckDot("a.embedding", "b.embedding")}
+                  / sqrt(a.n2 * b.n2) >= 0.4)
+              SELECT f.vec_id, CAST(f.cent_id AS BIGINT) AS cent_id
+              FROM fin f
+              WHERE NOT EXISTS (SELECT 1 FROM losers l
+                                WHERE l.vec_id = f.vec_id)
+              ORDER BY f.vec_id""")),
 
     // ── per-label embedding-norm percentile profile ──────────────────────
     // The embedding-QA readout (collapsed vectors, un-normalized feeds,
