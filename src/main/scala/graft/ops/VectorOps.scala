@@ -188,35 +188,37 @@ object VectorOps {
     * q_ann_ivf / q_knn_graph / q_semdedup — the three remaining ANN
     * exemptions ride the SAME proven replay.
     */
-  private lazy val duckIvfReplay: String =
-    s"""kk AS (
+  private def duckIvfReplayPfx(P: String): String =
+    s"""${P}kk AS (
                 SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
                   AS k
                 FROM embeddings),
-              ${duckXxHash64("hs", "embeddings", "vec_id")},
-              bkt AS (SELECT h.vec_id, ((h.h % kk.k) + kk.k) % kk.k AS b
-                      FROM hs h, kk),
-              kx_emb AS (SELECT vec_id, embedding,
+              ${duckXxHash64(s"${P}hs", "embeddings", "vec_id")},
+              ${P}bkt AS (SELECT h.vec_id, ((h.h % kk.k) + kk.k) % kk.k AS b
+                      FROM ${P}hs h, ${P}kk kk),
+              ${P}kx_emb AS (SELECT vec_id, embedding,
                            ${duckDot("embedding", "embedding")} AS n2
                          FROM embeddings),
-              c0 AS (SELECT b.b AS cent_id,
+              ${P}c0 AS (SELECT b.b AS cent_id,
                        list_transform(arg_min(e.embedding, e.vec_id),
                          x -> CAST(x AS DOUBLE)) AS c_emb
-                     FROM bkt b JOIN kx_emb e ON e.vec_id = b.vec_id
+                     FROM ${P}bkt b JOIN ${P}kx_emb e ON e.vec_id = b.vec_id
                      GROUP BY 1),
-              c0n AS (SELECT cent_id, c_emb,
+              ${P}c0n AS (SELECT cent_id, c_emb,
                         ${duckDot("c_emb", "c_emb")} AS c_n2
-                      FROM c0),
-              ${duckLloydRound(1)},
-              ${duckLloydRound(2)},
-              fin AS (
+                      FROM ${P}c0),
+              ${duckLloydRound(1, 64, P, s"${P}kx_emb")},
+              ${duckLloydRound(2, 64, P, s"${P}kx_emb")},
+              ${P}fin AS (
                 SELECT e.vec_id, c.cent_id,
                   ${duckDot("c.c_emb", "e.embedding")} / sqrt(c.c_n2 * e.n2)
                     AS csim
-                FROM kx_emb e CROSS JOIN c2n c
+                FROM ${P}kx_emb e CROSS JOIN ${P}c2n c
                 QUALIFY row_number() OVER (PARTITION BY e.vec_id
                   ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
                     DESC NULLS LAST, c.cent_id) = 1)"""
+
+  private lazy val duckIvfReplay: String = duckIvfReplayPfx("")
 
   /** IVF probe→top-k search replay over [[duckIvfReplay]]'s artifacts —
     * the [[ivfTopK]] kernel in SQL: top-`nprobe` cells per probe by
@@ -508,6 +510,162 @@ object VectorOps {
                 FROM scored)
               SELECT probe_id, neighbor_id, adc_sim, rk
               FROM r WHERE rk <= 3 ORDER BY probe_id, rk"""
+      }),
+
+    // ── IVF-PQ composed search: the full billion-vector serving path ────
+    // Round-12 composition of the two trained artifacts (SURVEY §19
+    // seed): (1) nprobe-cell pruning on the ⌈√n⌉-cell IVF codebook —
+    // the corpus never fully scanned; (2) ADC scoring of ONLY the
+    // pruned cells' members through the composed posting-list artifact
+    // ([[ivfPqIndex]]: cell + 4 one-byte PQ codes per vector, the
+    // 4-bytes-per-candidate memory contract) against broadcast
+    // probe×centroid LUTs; (3) exact-cosine rerank of the ≤20-per-probe
+    // ADC pool — raw vectors touched ONLY here, via one scan filtered
+    // by the broadcast pool. Every stage a bounded graft_topk heap; no
+    // WindowExec, no corpus-sized shuffle. Fully ORACLED: the IVF and
+    // PQ training replays compose in one WITH (prefix-isolated CTEs),
+    // then cell pruning, LUT joins and both heaps replay with the
+    // engine's exact tie order (score DESC, id ASC, NaN last).
+    Q("q_ivf_pq_search",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val centroids = ivfIndex(s, dir)._1
+        val (_, books) = pqIndex(s, dir)
+        val index = ivfPqIndex(s, dir)
+        val probes = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb"),
+            norm2(col("embedding")).as("p_n2"))
+        // (1) nprobe-cell pruning (the ivfTopK probe-cell step)
+        val pcsim = dot(col("c_emb"), col("p_emb")) /
+          sqrt(col("c_n2") * col("p_n2"))
+        val probeCells = probes.join(broadcast(centroids))
+          .select(col("probe_id"), col("p_emb"), col("p_n2"),
+            col("cent_id"), pcsim.as("csim"))
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(cent_id, csim, 4)").as("cells"),
+            first(col("p_emb")).as("p_emb"), first(col("p_n2")).as("p_n2"))
+          .select(col("probe_id"), col("p_emb"), col("p_n2"),
+            explode(col("cells.id")).as("cent_id"))
+        // (2) ADC over the posting list: candidates = pruned cells'
+        // members, scored through the 4 broadcast LUTs — the scan reads
+        // 4 bytes/vector, raw embeddings never touched here
+        val cand = index
+          .join(broadcast(probeCells.select("probe_id", "cent_id")),
+            Seq("cent_id"))
+          .filter(col("vec_id") =!= col("probe_id"))
+        val luts = books.zipWithIndex.map { case (book, sub) =>
+          probes.crossJoin(broadcast(book))
+            .select(col("probe_id"), col("cent_id").as(s"c$sub"),
+              dot(slice(col("p_emb"), sub * PqDims + 1, PqDims),
+                col("c_emb")).as(s"d$sub"),
+              col("c_n2").as(s"n$sub"))
+        }
+        val adc = luts.foldLeft(
+          cand.join(broadcast(probes.select(col("probe_id"),
+            col("p_n2"))), Seq("probe_id"))) {
+          case (acc, lut) =>
+            val sub = lut.columns.find(_.startsWith("c")).get
+            acc.join(broadcast(lut), Seq("probe_id", sub))
+        }
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+            ((col("d0") + col("d1") + col("d2") + col("d3"))
+              / sqrt(col("p_n2")
+                * (col("n0") + col("n1") + col("n2") + col("n3"))))
+              .as("adc_sim"))
+        val pool = adc.groupBy("probe_id")
+          .agg(expr("graft_topk(neighbor_id, adc_sim, 20)").as("topk"))
+          .select(col("probe_id"), explode(col("topk.id")).as("neighbor_id"))
+        // (3) exact rerank: ONE raw-vector scan filtered by the
+        // broadcast ≤ 10×20-row pool, then the final bounded heap
+        val emb = ivfIndex(s, dir)._2
+          .select(col("vec_id").as("neighbor_id"), col("embedding"),
+            col("n2"))
+        emb.join(broadcast(pool), Seq("neighbor_id"))
+          .join(broadcast(probes), Seq("probe_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            (dot(col("p_emb"), col("embedding"))
+              / sqrt(col("p_n2") * col("n2"))).as("sim"))
+          .groupBy("probe_id")
+          .agg(expr("graft_topk(neighbor_id, sim, 3)").as("topk"))
+          .select(col("probe_id"),
+            posexplode(col("topk")).as(Seq("pos", "t")))
+          .select(col("probe_id"), col("t.id").as("neighbor_id"),
+            col("t.score").as("sim"),
+            (col("pos") + 1).cast("long").as("rk"))
+          .orderBy("probe_id", "rk")
+      },
+      Some {
+        def lutBlock(sub: Int): String = {
+          val off = sub * 16
+          s"""lut$sub AS (
+                SELECT p.probe_id, c.cent_id,
+                  (SELECT sum(CAST(p.p_emb[i + $off] AS DOUBLE)
+                     * CAST(c.c_emb[i] AS DOUBLE))
+                   FROM generate_series(1, 16) g(i)) AS d,
+                  c.c_n2
+                FROM probes p CROSS JOIN p${sub}_c2n c)"""
+        }
+        s"""WITH ${duckIvfReplayPfx("iv_")},
+              $duckPqReplay,
+              probes AS (
+                SELECT vec_id AS probe_id, embedding AS p_emb, n2 AS p_n2
+                FROM iv_kx_emb WHERE vec_id < 10),
+              pcell AS (
+                SELECT probe_id, cent_id
+                FROM (SELECT p.probe_id, c.cent_id,
+                        ${duckDot("c.c_emb", "p.p_emb")}
+                          / sqrt(c.c_n2 * p.p_n2) AS csim
+                      FROM probes p CROSS JOIN iv_c2n c)
+                QUALIFY row_number() OVER (PARTITION BY probe_id
+                  ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
+                    DESC NULLS LAST, cent_id) <= 4),
+              ${(0 until 4).map(lutBlock).mkString(",\n")},
+              cand AS (
+                SELECT pc.probe_id, f.vec_id AS neighbor_id
+                FROM pcell pc JOIN iv_fin f ON f.cent_id = pc.cent_id
+                WHERE f.vec_id <> pc.probe_id),
+              adc AS (
+                SELECT c.probe_id, c.neighbor_id,
+                  (l0.d + l1.d + l2.d + l3.d)
+                    / sqrt(pr.p_n2
+                      * (l0.c_n2 + l1.c_n2 + l2.c_n2 + l3.c_n2))
+                    AS adc_sim
+                FROM cand c
+                JOIN probes pr ON pr.probe_id = c.probe_id
+                JOIN p0_fin f0 ON f0.vec_id = c.neighbor_id
+                JOIN p1_fin f1 ON f1.vec_id = c.neighbor_id
+                JOIN p2_fin f2 ON f2.vec_id = c.neighbor_id
+                JOIN p3_fin f3 ON f3.vec_id = c.neighbor_id
+                JOIN lut0 l0 ON l0.probe_id = c.probe_id
+                  AND l0.cent_id = f0.cent_id
+                JOIN lut1 l1 ON l1.probe_id = c.probe_id
+                  AND l1.cent_id = f1.cent_id
+                JOIN lut2 l2 ON l2.probe_id = c.probe_id
+                  AND l2.cent_id = f2.cent_id
+                JOIN lut3 l3 ON l3.probe_id = c.probe_id
+                  AND l3.cent_id = f3.cent_id),
+              pool AS (
+                SELECT probe_id, neighbor_id
+                FROM adc
+                QUALIFY row_number() OVER (PARTITION BY probe_id
+                  ORDER BY (CASE WHEN isnan(adc_sim) THEN NULL
+                    ELSE adc_sim END) DESC NULLS LAST, neighbor_id) <= 20),
+              rerank AS (
+                SELECT po.probe_id, po.neighbor_id,
+                  ${duckDot("pr.p_emb", "e.embedding")}
+                    / sqrt(pr.p_n2 * e.n2) AS sim
+                FROM pool po
+                JOIN probes pr ON pr.probe_id = po.probe_id
+                JOIN iv_kx_emb e ON e.vec_id = po.neighbor_id),
+              rr AS (
+                SELECT probe_id, neighbor_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY (CASE WHEN isnan(sim) THEN NULL ELSE sim END)
+                      DESC NULLS LAST, neighbor_id) AS BIGINT) AS rk
+                FROM rerank)
+              SELECT probe_id, neighbor_id, sim, rk
+              FROM rr WHERE rk <= 3 ORDER BY probe_id, rk"""
       }),
 
     // ── element-wise centroid aggregation per label ──────────────────────
@@ -1594,6 +1752,28 @@ object VectorOps {
       subes.foreach(_.unpersist())
       (out, books)
     })
+
+  /** The composed IVF-PQ posting-list artifact — (cent_id, vec_id,
+    * c0..c3): each vector's IVF cell plus its 4 one-byte PQ codes, the
+    * index a production billion-vector server actually stores (cells
+    * for pruning, codes for ADC; raw vectors live elsewhere and are
+    * touched only at rerank). Built once per (session, dir) by joining
+    * the two trained artifacts; the join is a one-time index-build
+    * cost, after which q_ivf_pq_search scans 4 bytes + 2 ids per
+    * corpus vector.
+    */
+  private val ivfPqMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  private def ivfPqIndex(s: SparkSession, dir: String): DataFrame =
+    ivfPqMemo.computeIfAbsent((s, dir), _ =>
+      ivfIndex(s, dir)._2.select(col("vec_id"), col("cent_id"))
+        .join(pqIndex(s, dir)._1
+          .select(col("vec_id"), col("c0"), col("c1"), col("c2"),
+            col("c3")),
+          Seq("vec_id"))
+        .localCheckpoint(true))
 
   /** IVF search kernel shared by q_ann_ivf (constant probe batch) and
     * q_knn_graph (probes = the corpus): for each probe row (probe_id,
