@@ -2611,6 +2611,118 @@ object EventTime {
                   AS rmse_one_step
               FROM fold""")),
 
+    // ── Theta-method forecast (the M3 classic; round-12 seed) ───────────
+    // Completes the exponential family with its strongest competition
+    // benchmark member: decompose the daily-revenue series into the
+    // θ=0 line (OLS linear trend — exact dec38 normal-equation sums
+    // over integer (t, cents), two pinned double divisions) and the
+    // θ=2 line z_t = 2y_t − (a + b·t); SES(α=0.5, l₀=z₁) over z is one
+    // more q_holt_winters-style pinned fold (sorted collect_list,
+    // DOUBLE[] state); the h=1 forecast averages the SES level with
+    // the trend extrapolation. The t-index row_number rides the
+    // calendar-bounded daily census (the q_runs_test dense-calendar
+    // class — never a data-sized window).
+    Q("q_theta_method",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val daily = t(s, dir, "orders")
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+            .as("cents"))
+        val ranked = daily
+          .select(row_number().over(Window.orderBy("day")).cast("long")
+            .as("t"), col("cents"))
+        val ols = ranked.agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(col("t").cast(dec38)).as("st"),
+            sum(col("cents").cast(dec38)).as("sy"),
+            sum(col("t").cast(dec38) * col("t")).as("st2"),
+            sum(col("t").cast(dec38) * col("cents")).as("sty"))
+          .select(col("n"), col("st"), col("sy"),
+            when(col("n") < 2, lit(null).cast("double"))
+              .otherwise((col("n").cast(dec38) * col("sty")
+                - col("st") * col("sy")).cast("double")
+                / (col("n").cast(dec38) * col("st2")
+                  - col("st") * col("st")).cast("double")).as("b"))
+          .select(col("n"), col("b"),
+            ((col("sy").cast("double")
+              - col("b") * col("st").cast("double"))
+              / col("n").cast("double")).as("a"))
+          .localCheckpoint(true)
+        ranked.crossJoin(broadcast(ols))
+          .select(col("t"), col("n"), col("a"), col("b"),
+            (col("cents").cast("double") * 2.0
+              - (col("a") + col("b") * col("t").cast("double"))).as("z"))
+          .groupBy("n", "a", "b")
+          .agg(expr("""aggregate(array_sort(collect_list(struct(t, z))),
+              array(0.0D, 0.0D),
+              (acc, x) -> CASE WHEN element_at(acc, 2) = 0.0D
+                THEN array(x.z, 1.0D)
+                ELSE array(0.5D * x.z + 0.5D * element_at(acc, 1),
+                  element_at(acc, 2) + 1.0D) END)""").as("st"))
+          .select(col("n"), col("a").as("intercept"),
+            col("b").as("slope"),
+            element_at(col("st"), 1).as("ses_theta2"),
+            (element_at(col("st"), 1) * 0.5
+              + (col("a") + col("b") * (col("n") + 1).cast("double"))
+                * 0.5).as("forecast_1"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              ranked AS (
+                SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                    AS t,
+                  cents
+                FROM daily),
+              sums AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(t AS HUGEINT)) AS st,
+                  SUM(CAST(cents AS HUGEINT)) AS sy,
+                  SUM(CAST(t AS HUGEINT) * t) AS st2,
+                  SUM(CAST(t AS HUGEINT) * cents) AS sty
+                FROM ranked),
+              ols AS (
+                SELECT n,
+                  CASE WHEN n < 2 THEN NULL
+                    ELSE CAST(CAST(n AS HUGEINT) * sty - st * sy
+                        AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * st2 - st * st
+                        AS DOUBLE) END AS b,
+                  st, sy
+                FROM sums),
+              ols2 AS (
+                SELECT n, b,
+                  (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS a
+                FROM ols),
+              zs AS (
+                SELECT o.n, o.a, o.b,
+                  list([CAST(r.t AS DOUBLE),
+                    CAST(r.cents AS DOUBLE) * 2.0
+                      - (o.a + o.b * CAST(r.t AS DOUBLE))]
+                    ORDER BY r.t) AS xs
+                FROM ranked r, ols2 o
+                GROUP BY o.n, o.a, o.b),
+              fold AS (
+                SELECT n, a, b,
+                  list_reduce(
+                    list_prepend([0.0, 0.0], xs),
+                    (acc, x) -> CASE WHEN acc[2] = 0.0
+                      THEN [x[2], 1.0]
+                      ELSE [0.5 * x[2] + 0.5 * acc[1], acc[2] + 1.0]
+                      END) AS st
+                FROM zs)
+              SELECT n, a AS intercept, b AS slope,
+                st[1] AS ses_theta2,
+                st[1] * 0.5 + (a + b * CAST(n + 1 AS DOUBLE)) * 0.5
+                  AS forecast_1
+              FROM fold""")),
+
     // ── day-of-week seasonality index per event type ─────────────────────
     // The normalized seasonal profile (share within type ÷ share
     // overall): index > 1 = that type over-indexes on that weekday.

@@ -742,6 +742,127 @@ object ModelEval {
               .as("t_cvm"))
   }}
 
+  /** Watson's U² (the circular / rotation-invariant two-sample CvM)
+    * finishing arithmetic over the drained [[ansariCounts]] census —
+    * one extra FIRST moment on the SAME integrated-ECDF frame as
+    * [[cvmTwoSampleFinish]]: with D = cum1·n2 − cum2·n1 exact dec38
+    * per value run (c members each), T = Σc·D²/(N²·n1·n2) and
+    * U² = T − (Σc·D)²/(N³·n1·n2) — the mean-gap recentering that makes
+    * the statistic invariant to where the value circle is cut. Both
+    * terms are one double division off dec38 integers, identically
+    * spelled in both engines.
+    */
+  def watsonU2Finish(census0: DataFrame): DataFrame = {
+        val dec38 = DecimalType(38, 0)
+        val census = census0
+          .select(col("v"), col("c1").cast("long").as("c1"),
+            col("c2").cast("long").as("c2"))
+          .withColumn("g", lit(1L))
+        finishWith(RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+            RangeRank.PrefixSum(col("c2"), "off2")))
+          .select(col("c1"), col("c2"),
+            (col("off1") + col("c1")).cast("long").as("cum1"),
+            (col("off2") + col("c2")).cast("long").as("cum2"))) { cum =>
+        val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+        val nn = (col("n1") + col("n2")).cast("double")
+        cum.crossJoin(broadcast(ns))
+          .select(col("n1"), col("n2"),
+            (col("c1") + col("c2")).cast(dec38).as("c"),
+            (col("cum1").cast(dec38) * col("n2")
+              - col("cum2").cast(dec38) * col("n1")).as("d"))
+          .groupBy("n1", "n2")
+          .agg(sum(col("c") * col("d")).as("s1"),
+            sum(col("c") * col("d") * col("d")).as("s2"))
+          .select(col("n1"), col("n2"),
+            when(col("n1") === 0 || col("n2") === 0,
+              lit(null).cast("double"))
+              .otherwise(col("s2").cast("double")
+                / (nn * nn
+                  * col("n1").cast("double") * col("n2").cast("double")))
+              .as("t_cvm"),
+            when(col("n1") === 0 || col("n2") === 0,
+              lit(null).cast("double"))
+              .otherwise(col("s2").cast("double")
+                / (nn * nn
+                  * col("n1").cast("double") * col("n2").cast("double"))
+                - col("s1").cast("double") * col("s1").cast("double")
+                  / (nn * nn * nn
+                    * col("n1").cast("double")
+                    * col("n2").cast("double")))
+              .as("u2_watson"))
+  }}
+
+  /** Hoeffding's D finishing arithmetic over an (x, y, c) grid
+    * census — see q_hoeffding_d for the statistic's derivation and the
+    * dec38 wall. Exposed so the law tests can drive it with
+    * constructed censuses (perfect dependence vs independence), since
+    * the synthetic corpus's columns are independent by generation and
+    * the batch query's oracle therefore pins the null case only.
+    */
+  def hoeffdingFinish(cen: DataFrame): DataFrame = {
+        // densify: A's prefix-over-x needs every (x, y) lattice point —
+        // the grid is alphabet-bounded, so the dense frame is
+        // constant-size by construction
+        val grid = cen.select("x").distinct()
+          .crossJoin(cen.select("y").distinct())
+          .join(cen, Seq("x", "y"), "left")
+          .select(col("x"), col("y"), coalesce(col("c"), lit(0L)).as("c"))
+        val wInX = Window.partitionBy("x").orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wInY = Window.partitionBy("y").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cells = grid
+          .withColumn("bx", coalesce(sum(col("c")).over(wInX), lit(0L)))
+          .withColumn("by", coalesce(sum(col("c")).over(wInY), lit(0L)))
+          .withColumn("a", coalesce(sum(col("bx")).over(wInY), lit(0L)))
+          .filter(col("c") > 0)
+        val wX = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wY = Window.orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val mx = grid.groupBy("x").agg(sum(col("c")).as("cx"))
+          .select(col("x").as("mx_x"),
+            (lit(2L) * coalesce(sum(col("cx")).over(wX), lit(0L))
+              + col("cx") + 1L).as("r2"))
+        val my = grid.groupBy("y").agg(sum(col("c")).as("cy"))
+          .select(col("y").as("my_y"),
+            (lit(2L) * coalesce(sum(col("cy")).over(wY), lit(0L))
+              + col("cy") + 1L).as("s2"))
+        val terms = cells
+          .join(broadcast(mx), col("x") === col("mx_x"))
+          .join(broadcast(my), col("y") === col("my_y"))
+          .select(col("c"),
+            (lit(4L) * col("a") + lit(2L) * col("bx")
+              + lit(2L) * col("by") + col("c") - 1L).as("phi4"),
+            col("r2"), col("s2"))
+        terms.agg(
+            sum(col("c")).cast("long").as("n"),
+            sum(col("c").cast(dec38) * col("phi4")
+              * (col("phi4") - 4)).as("d1x"),
+            sum(col("c").cast(dec38) * (col("r2") - 2) * (col("r2") - 4)
+              * (col("s2") - 2) * (col("s2") - 4)).as("d2x"),
+            sum(col("c").cast(dec38) * (col("r2") - 4) * (col("s2") - 4)
+              * col("phi4")).as("d3x"))
+          .select(col("n"),
+            when(col("n") < 5, lit(null).cast("double"))
+              .otherwise(round(
+                (lit(30L).cast(dec38)
+                  * ((col("n") - 2).cast(dec38) * (col("n") - 3)
+                      * col("d1x")
+                    + col("d2x")
+                    - lit(2L).cast(dec38) * (col("n") - 2)
+                      * col("d3x"))).cast("double")
+                / (lit(16.0) * col("n").cast("double")
+                  * (col("n") - 1).cast("double")
+                  * (col("n") - 2).cast("double")
+                  * (col("n") - 3).cast("double")
+                  * (col("n") - 4).cast("double")), 12))
+              .as("hoeffding_d"))
+  }
+
   /** Finishing arithmetic of q_ansari_bradley over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
   def ansariBradleyFinish(census0: DataFrame): DataFrame = {
@@ -4352,6 +4473,158 @@ object ModelEval {
                     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
                       * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
                   END AS t_cvm
+              FROM agg""")),
+
+    // ── Watson's U²: the circular two-sample CvM (round-12 seed) ───────
+    // The rotation-invariant lens on the SAME integrated-ECDF frame as
+    // q_cvm_two_sample — recentering the gap process by its mean makes
+    // the statistic independent of where the value circle is cut, the
+    // standard two-sample test for circular/periodic domains. One extra
+    // FIRST moment (Σc·D) in the same dec38 agg; the eighth readout of
+    // the drained two-sample streaming twin (StreamingSpec).
+    Q("q_watson_u2",
+      (s, dir) => watsonU2Finish(Censuses.ansariCountsOf(s, dir)),
+      Some("""WITH base AS (
+                SELECT CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+                FROM orders),
+              census AS (
+                SELECT v, CAST(SUM(tr) AS BIGINT) AS c1,
+                  CAST(SUM(1 - tr) AS BIGINT) AS c2
+                FROM base GROUP BY 1),
+              cum AS (
+                SELECT c1, c2,
+                  CAST(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum1,
+                  CAST(SUM(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum2
+                FROM census),
+              ns AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c2) AS BIGINT) AS n2
+                FROM cum),
+              agg AS (
+                SELECT n1, n2,
+                  SUM(CAST(c1 + c2 AS HUGEINT)
+                    * (CAST(cum1 AS HUGEINT) * n2
+                      - CAST(cum2 AS HUGEINT) * n1)) AS s1,
+                  SUM(CAST(c1 + c2 AS HUGEINT)
+                    * (CAST(cum1 AS HUGEINT) * n2
+                      - CAST(cum2 AS HUGEINT) * n1)
+                    * (CAST(cum1 AS HUGEINT) * n2
+                      - CAST(cum2 AS HUGEINT) * n1)) AS s2
+                FROM cum, ns GROUP BY n1, n2)
+              SELECT n1, n2,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                  ELSE CAST(s2 AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  END AS t_cvm,
+                CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                  ELSE CAST(s2 AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  END AS u2_watson
+              FROM agg""")),
+
+    // ── Hoeffding's D: nonparametric independence on a bounded grid ────
+    // The rank-association family's completion (round-12 seed): D
+    // detects ANY dependence (including non-monotone) between quantity
+    // and extended-price bucket, where Kendall/Spearman see only
+    // monotone trends. Everything reduces to the BOUNDED (quantity ×
+    // thousand-dollar-bucket) grid census (≤ 50×~110 cells at any
+    // corpus size): per-cell bivariate mass A/Bx/By from 2-D exclusive
+    // prefix sums (three windows over the constant-size dense grid —
+    // the q_lift_gain "single-task window is fine THERE" rule),
+    // marginal midranks in the ×2 integer domain, Q in the ×4 domain
+    // with the c(u) = {1, ½, 0} tie convention (Q4 − 4 = φ4 =
+    // 4A + 2Bx + 2By + (E−1)). D1/D2/D3 and the final numerator are
+    // exact DECIMAL(38,0); ONE cast + division + round(12). dec38
+    // wall (documented, the q_stuart_maxwell4 class): the D2 moment is
+    // Σ c·R²S² ≈ n⁵/16 — exact through n ≈ 4·10⁷ pooled rows; beyond
+    // that the moment needs a wider integer carrier.
+    Q("q_hoeffding_d",
+      (s, dir) => hoeffdingFinish(
+        t(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("x"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+          .select(col("x"), expr("cents div 100000").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).cast("long").as("c"))),
+      Some("""WITH cen AS (
+                SELECT CAST(l_quantity AS BIGINT) AS x,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) // 100000 AS y,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1, 2),
+              grid AS (
+                SELECT xx.x, yy.y, COALESCE(c.c, 0) AS c
+                FROM (SELECT DISTINCT x FROM cen) xx
+                CROSS JOIN (SELECT DISTINCT y FROM cen) yy
+                LEFT JOIN cen c ON c.x = xx.x AND c.y = yy.y),
+              cells0 AS (
+                SELECT x, y, c,
+                  COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS bx,
+                  COALESCE(SUM(c) OVER (PARTITION BY y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS byy
+                FROM grid),
+              cells AS (
+                SELECT x, y, c, bx, byy,
+                  COALESCE(SUM(bx) OVER (PARTITION BY y ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS a
+                FROM cells0
+                QUALIFY c > 0),
+              mx AS (
+                SELECT x, 2 * COALESCE(SUM(cx) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + cx + 1 AS r2
+                FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+                      FROM grid GROUP BY 1)),
+              my AS (
+                SELECT y, 2 * COALESCE(SUM(cy) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + cy + 1 AS s2
+                FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+                      FROM grid GROUP BY 1)),
+              terms AS (
+                SELECT c.c,
+                  4 * c.a + 2 * c.bx + 2 * c.byy + c.c - 1 AS phi4,
+                  mx.r2, my.s2
+                FROM cells c
+                JOIN mx ON mx.x = c.x
+                JOIN my ON my.y = c.y),
+              agg AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(CAST(c AS HUGEINT) * phi4 * (phi4 - 4)) AS d1x,
+                  SUM(CAST(c AS HUGEINT) * (r2 - 2) * (r2 - 4)
+                    * (s2 - 2) * (s2 - 4)) AS d2x,
+                  SUM(CAST(c AS HUGEINT) * (r2 - 4) * (s2 - 4)
+                    * phi4) AS d3x
+                FROM terms)
+              SELECT n,
+                CASE WHEN n < 5 THEN NULL
+                  ELSE round(
+                    CAST(CAST(30 AS HUGEINT)
+                      * (CAST(n - 2 AS HUGEINT) * (n - 3) * d1x
+                        + d2x
+                        - CAST(2 AS HUGEINT) * (n - 2) * d3x)
+                      AS DOUBLE)
+                    / (16.0 * CAST(n AS DOUBLE)
+                      * CAST(n - 1 AS DOUBLE) * CAST(n - 2 AS DOUBLE)
+                      * CAST(n - 3 AS DOUBLE) * CAST(n - 4 AS DOUBLE)),
+                    12) END AS hoeffding_d
               FROM agg""")),
 
     // ── van Elteren stratified Wilcoxon (urgent vs rest, by year) ───────

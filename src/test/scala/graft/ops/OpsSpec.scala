@@ -770,4 +770,20 @@ class OpsSpec extends SparkSpec {
     val meanCos = picks.map { case (p, n) => cos(emb(p), emb(n)) }.sum / picks.length
     assert(meanCos >= 0.1, s"mean exact cosine of ADC picks fell to $meanCos")
   }
+
+  // ── Hoeffding's D law: the oracle pins the corpus's null case only
+  // (the synthetic columns are independent by generation), so the
+  // dependent regime is asserted on constructed censuses ──────────────
+  test("hoeffdingFinish: ~1 under perfect dependence, ~0 under independence") {
+    import spark.implicits._
+    val dep = (1L to 40L).map(i => (i, i, 1L)).toDF("x", "y", "c")
+    val dDep = graft.ops.ModelEval.hoeffdingFinish(dep)
+      .collect()(0).getDouble(1)
+    assert(dDep > 0.9, s"perfect dependence read D=$dDep")
+    // a fixed decorrelating permutation (bit-reversal-ish stride)
+    val ind = (1L to 40L).map(i => (i, (i * 17) % 40, 1L)).toDF("x", "y", "c")
+    val dInd = graft.ops.ModelEval.hoeffdingFinish(ind)
+      .collect()(0).getDouble(1)
+    assert(math.abs(dInd) < 0.05, s"permuted input read D=$dInd")
+  }
 }

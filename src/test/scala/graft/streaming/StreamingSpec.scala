@@ -547,7 +547,9 @@ class StreamingSpec extends SparkSpec {
       "q_cucconi" -> graft.ops.ModelEval.cucconiFinish,
       "q_lepage" -> graft.ops.ModelEval.lepageFinish,
       "q_bws_test" -> graft.ops.ModelEval.bwsFinish,
-      "q_fligner_policello" -> graft.ops.ModelEval.flignerPolicelloFinish)
+      "q_fligner_policello" -> graft.ops.ModelEval.flignerPolicelloFinish,
+      // round 12: the circular-CvM lens is the EIGHTH readout
+      "q_watson_u2" -> graft.ops.ModelEval.watsonU2Finish)
     for ((qn, fin) <- finishes) {
       val st = fin(counts).collect().map(_.toString).toSet
       val ba = SparkEntry.queries(qn)(spark, sfDir).collect()
