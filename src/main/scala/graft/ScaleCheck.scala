@@ -259,7 +259,13 @@ object ScaleCheck {
     // round-11 borderline-1 s addition: clamp pass + rank cuts
     "q_yuen_t", "q_bws_test",
     // round-11 final-battery >=1 s: census placement agg
-    "q_fligner_policello")
+    "q_fligner_policello",
+    // round-12 (r11 verdict item 3): the close-map >=1 s queries the
+    // automated gate (scripts/scale_gate.py) found without slope rows
+    "q_association_metrics", "q_cvm_two_sample", "q_lepage",
+    "q_decayed_popularity",
+    // round-12 additions >=1 s at close: the composed IVF-PQ search
+    "q_ivf_pq_search")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
