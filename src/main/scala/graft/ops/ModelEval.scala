@@ -675,13 +675,32 @@ object ModelEval {
     */
   private def finishWith(hot: DataFrame)(f: DataFrame => DataFrame)
       : DataFrame = {
+    val sc = hot.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val c = hot.persist()
     try {
       val out = f(c)
       val rows = out.collect()
       out.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), out.schema)
-    } finally { c.unpersist(); () }
+    } finally {
+      c.unpersist()
+      // Release every PLAIN cache this finish materialized below the
+      // census — RangeRank.ranked's range-partitioned frame is the
+      // big one — the scalar result is collected, nothing re-reads
+      // them. localCheckpoint'd RDDs are skipped: destroying one
+      // breaks later readers (a lazily-built shared artifact), and
+      // the small per-call checkpoints are ContextCleaner-reaped.
+      // Best-effort by construction: if another query is
+      // materializing concurrently its delta entries lose their
+      // cached blocks and recompute — slower, never wrong.
+      val after = sc.getPersistentRDDs
+      after.keysIterator.filterNot(before).foreach { id =>
+        after.get(id).filterNot(_.isCheckpointed)
+          .foreach(_.unpersist(false))
+      }
+      ()
+    }
   }
 
   /** Tukey-quick finishing arithmetic over the drained

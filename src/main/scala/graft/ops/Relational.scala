@@ -900,14 +900,16 @@ object Relational {
       (s, dir) => {
         // value-at-rank via the grouped histogram selection (no range
         // exchange, no per-row rank): selection-by-value is tie-order
-        // invariant, so the picks equal the oracle's row_number targets
-        val base = t(s, dir, "lineitem")
-          .select("l_returnflag", "l_extendedprice").persist()
-        RangeRank.groupValuesAtRanks(base, Seq("l_returnflag"),
-          "l_extendedprice",
+        // invariant, so the picks equal the oracle's row_number targets.
+        // Round 12: rides the SHARED pinned (flag, price) census with
+        // weighted multiplicity — the corpus scan is paid once/session
+        val base = Censuses.flagPrice(s, dir)
+        RangeRank.groupValuesAtRanks(base, Seq("f"), "v",
           Seq(RangeRank.RankPick("p50", n => ceil(n * 0.5)),
-            RangeRank.RankPick("p90", n => ceil(n * 0.9))))
-          .select(col("l_returnflag"), col("p50"), col("p90"), col("n"))
+            RangeRank.RankPick("p90", n => ceil(n * 0.9))),
+          weightCol = Some("c"))
+          .select(col("f").as("l_returnflag"), col("p50"), col("p90"),
+            col("n"))
           .orderBy("l_returnflag")
       },
       Some("""WITH r AS (
@@ -2135,17 +2137,18 @@ object Relational {
     // pass (no sort, no rank materialization). Per returnflag group.
     Q("q_median_ci",
       (s, dir) => {
-        val base = t(s, dir, "lineitem")
-          .select("l_returnflag", "l_extendedprice").persist()
+        // round 12: picks ride the SHARED pinned (flag, price) census
+        // with weighted multiplicity — same tie-invariant selections
+        val base = Censuses.flagPrice(s, dir)
         val loRank = (n: org.apache.spark.sql.Column) => greatest(lit(1L),
           floor((n.cast("double")
             - sqrt(n.cast("double")) * 1.959963985) / 2.0).cast("long"))
-        RangeRank.groupValuesAtRanks(base, Seq("l_returnflag"),
-          "l_extendedprice",
+        RangeRank.groupValuesAtRanks(base, Seq("f"), "v",
           Seq(RangeRank.RankPick("median", n => ceil(n * 0.5)),
             RangeRank.RankPick("ci_lo", loRank),
-            RangeRank.RankPick("ci_hi", n => n + 1 - loRank(n))))
-          .select(col("l_returnflag"), col("n"), col("median"),
+            RangeRank.RankPick("ci_hi", n => n + 1 - loRank(n))),
+          weightCol = Some("c"))
+          .select(col("f").as("l_returnflag"), col("n"), col("median"),
             col("ci_lo"), col("ci_hi"))
           .orderBy("l_returnflag")
       },

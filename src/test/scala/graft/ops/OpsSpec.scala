@@ -771,6 +771,24 @@ class OpsSpec extends SparkSpec {
     assert(meanCos >= 0.1, s"mean exact cosine of ADC picks fell to $meanCos")
   }
 
+  // ── persist hygiene (r11 ADVICE): a finish-based battery run must
+  // not accrete per-query caches — the census and every plain cache
+  // the finish materializes are released once the scalar result is
+  // collected (localCheckpoints are ContextCleaner-scoped and exempt) ─
+  test("two-sample/score finishes leak no plain caches across a repeat run") {
+    val family = Seq("q_tukey_quick", "q_cvm_two_sample",
+      "q_ansari_bradley", "q_lepage", "q_bws_test",
+      "q_fligner_policello", "q_cucconi", "q_watson_u2",
+      "q_auc", "q_ks_model", "q_auc_delong")
+    def plainCached(): Int = spark.sparkContext.getPersistentRDDs
+      .values.count(!_.isCheckpointed)
+    family.foreach(q(_).collect()) // warm: artifacts build here
+    val base = plainCached()
+    family.foreach(q(_).collect()) // repeat: must not grow the cache
+    assert(plainCached() <= base,
+      s"repeat run grew plain caches: $base -> ${plainCached()}")
+  }
+
   // ── Hoeffding's D law: the oracle pins the corpus's null case only
   // (the synthetic columns are independent by generation), so the
   // dependent regime is asserted on constructed censuses ──────────────
