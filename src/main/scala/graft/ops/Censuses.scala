@@ -88,6 +88,21 @@ object Censuses {
       ModelEval.scoreCensus(Tables.load(s, dir, "events"))
         .localCheckpoint(true))
 
+  private val ksCountsMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** Pinned (source, n_chars) document-length census — the drift
+    * battery's sufficient statistic ([[Curation.ksCounts]]): the KS /
+    * Kuiper / CvM / Wasserstein drift lenses all read this one
+    * artifact (the streaming twin builds the identical frame live).
+    */
+  def ksCounts(s: SparkSession, dir: String): DataFrame =
+    ksCountsMemo.computeIfAbsent((s, dir), _ =>
+      Curation.ksCounts(Tables.load(s, dir, "documents"))
+        .select(col("source"), col("v"), col("c").cast("long").as("c"))
+        .localCheckpoint(true))
+
   private val flagPriceMemo = Artifacts.memo[DataFrame] {
     case (_, d) => d.unpersist(false); ()
   }

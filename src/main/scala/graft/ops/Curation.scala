@@ -990,7 +990,7 @@ object Curation {
     // is one partial+final count agg per (source, length). Windows run
     // per source over the bounded grid, never over raw docs.
     Q("q_ks_drift",
-      (s, dir) => ksFinish(ksCounts(t(s, dir, "documents"))),
+      (s, dir) => ksFinish(Censuses.ksCounts(s, dir)),
       Some("""WITH counts AS (
                 SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
                 FROM documents GROUP BY 1, 2),
@@ -1038,7 +1038,7 @@ object Curation {
     // extended value axis includes the zero endpoints. One IEEE
     // division per source.
     Q("q_kuiper_drift",
-      (s, dir) => kuiperFinish(ksCounts(t(s, dir, "documents"))),
+      (s, dir) => kuiperFinish(Censuses.ksCounts(s, dir)),
       Some("""WITH counts AS (
                 SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
                 FROM documents GROUP BY 1, 2),
@@ -1202,9 +1202,9 @@ object Curation {
     // consumers); grid, cumsums, and the D² fold are catalog-bounded.
     Q("q_cvm_drift",
       (s, dir) => {
-        val counts = ksCounts(t(s, dir, "documents"))
-          .select(col("source"), col("v"), col("c").cast("long").as("c"))
-          .persist()
+        // SHARED pinned census (round 12): all consumers below read
+        // the checkpointed artifact blocks
+        val counts = Censuses.ksCounts(s, dir)
         val n = counts.agg(sum(col("c")).cast("long")).head.getLong(0)
         val grid = counts.select("source").distinct()
           .crossJoin(counts.select("v").distinct())
@@ -1297,11 +1297,9 @@ object Curation {
     // catalog-bounded.
     Q("q_wasserstein",
       (s, dir) => {
-        // persist: same multi-consumer census shape as ksFinish — the
-        // n action materializes it; one corpus scan for the whole query.
-        val counts = ksCounts(t(s, dir, "documents"))
-          .select(col("source"), col("v"), col("c").cast("long").as("c"))
-          .persist()
+        // SHARED pinned census (round 12): same multi-consumer shape
+        // as ksFinish — one corpus scan per session for the family.
+        val counts = Censuses.ksCounts(s, dir)
         val n = counts.agg(sum(col("c"))).head.getLong(0)
         val grid = counts.select("source").distinct()
           .crossJoin(counts.select("v").distinct())
