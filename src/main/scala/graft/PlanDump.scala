@@ -123,7 +123,15 @@ object PlanDump {
     "q_phrase_search" -> "positional phrase probe: the 4-phrase set broadcasts onto first-term postings only; adjacency is an equi-join on (doc, pos+1, term) — the corpus-scale index is probed, never scanned per phrase",
     "q_power_iteration" -> "matrix-free power method: each round is ONE corpus aggregation of x*(x.v) with v broadcast as a literal — X never shuffles, the 64x64 Gram never materializes; exact-integer carriers end to end",
     "q_trade_matrix" -> "full nation-pair trade grid (Q7 generalized): both nation dims BHJ by size-gating, the two fact joins hash-partition on orderkey/suppkey, ONE partial+final agg to the ≤nation² census — no per-pair re-probe",
-    "q_deep_discount" -> "2σ discount outliers: the li⋈part frame is persisted ONCE; the per-type moment census broadcasts back onto the cached frame — the fact join never runs twice")
+    "q_deep_discount" -> "2σ discount outliers: the li⋈part frame is persisted ONCE; the per-type moment census broadcasts back onto the cached frame — the fact join never runs twice",
+    // round-12 additions: the composed serving pipeline, the pivoted
+    // rank-trend replan, and the shared-census rank statistics
+    "q_ivf_pq_search" -> "composed IVF-PQ: nprobe cell pruning → posting-list ADC (cell + 4 one-byte codes per vector) through broadcast probe LUTs → exact rerank of the broadcast ≤20-per-probe pool; three bounded graft_topk heaps, no WindowExec, raw vectors scanned exactly once (at rerank)",
+    "q_jonckheere_terpstra" -> "pivoted-prefix replan (r12): the bounded 5-priority alphabet rides ONE census-sized RangeRank pass with 5 prefix-sum columns; J2 collapses row-locally over the C(5,2) ordered pairs — the dense g×v grid and the census self-join are gone",
+    "q_mad" -> "shared (flag, price) census artifact + weighted histogram selection: both value-at-rank passes run over census rows with multiplicity; the lineitem scan is paid once per session",
+    "q_hoeffding_d" -> "bounded dense (quantity × price-bucket) grid: A/Bx/By from 2-D exclusive prefix sums via three constant-size windows; the only corpus-sized work is one census agg",
+    "q_watson_u2" -> "one RangeRank prefix pass over the shared urgent-vs-rest value census; two dec38 moments, two pinned divisions — the q_cvm_two_sample frame with one extra column",
+    "q_theta_method" -> "calendar-bounded daily census: exact dec38 OLS normal-equation sums + one sorted-fold SES — no data-sized window, one orders scan")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its
