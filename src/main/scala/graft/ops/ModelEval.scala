@@ -3807,31 +3807,27 @@ object ModelEval {
     Q("q_conover_squared_ranks",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
-        val base = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .persist()
-        val gs = base.groupBy("tr")
-          .agg(count(lit(1)).cast("long").as("n"),
-            sum(col("v").cast(dec38)).as("sv"))
-        val wide = gs.filter(col("tr") === 1)
-          .select(col("n").as("n1"), col("sv").as("s1"))
-          .crossJoin(gs.filter(col("tr") === 0)
-            .select(col("n").as("n2"), col("sv").as("s2")))
+        // round 12: the raw (tr, v) projection and its per-query persist
+        // are replaced by the SHARED pinned urgent-vs-rest census —
+        // group sums and the |v·n_g − s_g| deviation census all derive
+        // from census rows with multiplicity
+        val cen0 = Censuses.ansariCountsOf(s, dir)
+        val wide = cen0.agg(
+            sum(col("c1")).cast("long").as("n1"),
+            sum(col("v").cast(dec38) * col("c1")).as("s1"),
+            sum(col("c2")).cast("long").as("n2"),
+            sum(col("v").cast(dec38) * col("c2")).as("s2"))
           .localCheckpoint(true)
-        val census = base.crossJoin(broadcast(wide))
-          .select(col("tr"),
-            when(col("tr") === 1,
-              abs(col("v").cast(dec38) * col("n1") - col("s1"))
-                * col("n2"))
-              .otherwise(
-                abs(col("v").cast(dec38) * col("n2") - col("s2"))
-                  * col("n1")).as("u"))
-          .groupBy("u")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+        val census = cen0.crossJoin(broadcast(wide))
+          .select(explode(array(
+            struct((abs(col("v").cast(dec38) * col("n1") - col("s1"))
+              * col("n2")).as("u"), col("c1").as("k1"), lit(0L).as("k2")),
+            struct((abs(col("v").cast(dec38) * col("n2") - col("s2"))
+              * col("n1")).as("u"), lit(0L).as("k1"), col("c2").as("k2"))))
+            .as("x"))
+          .groupBy(col("x.u").as("u"))
+          .agg(sum(col("x.k1")).cast("long").as("c1"),
+            sum(col("x.k2")).cast("long").as("c2"))
           .withColumn("g", lit(1L))
         val cum = RangeRank.ranked(census, Seq("g"), Seq(col("u")),
           rnName = "__rn", nName = None,
@@ -7733,14 +7729,8 @@ object ModelEval {
     Q("q_brunner_munzel",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
-        val census = t(s, dir, "orders")
-          .select(
-            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L).as("tr"),
-            (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-          .groupBy("v")
-          .agg(sum(col("tr")).cast("long").as("c1"),
-            sum(lit(1L) - col("tr")).cast("long").as("c2"))
+        // round 12: the census IS the shared pinned urgent-vs-rest frame
+        val census = Censuses.ansariCountsOf(s, dir)
           .withColumn("g", lit(1L))
         val cum = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
           rnName = "__rn", nName = None,
