@@ -264,8 +264,10 @@ object ScaleCheck {
     // automated gate (scripts/scale_gate.py) found without slope rows
     "q_association_metrics", "q_cvm_two_sample", "q_lepage",
     "q_decayed_popularity",
-    // round-12 additions >=1 s at close: the composed IVF-PQ search
-    "q_ivf_pq_search")
+    // round-12 additions >=1 s at close: the composed IVF-PQ search,
+    // the grid-census independence seed, and the close map's one
+    // spiked cell (q_chow_test 0.65->1.71 with no code change)
+    "q_ivf_pq_search", "q_hoeffding_d", "q_chow_test")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

@@ -485,6 +485,7 @@ class PlanGuardSpec extends SparkSpec {
     // surviving LogicalRelation is a direct parquet re-scan. Tree
     // collection cannot descend into the cached plan, so the census's
     // own (single) scan never false-positives.
+    import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     for (q <- Seq("q_tvd_drift", "q_ks_drift", "q_wasserstein", "q_chi2",
@@ -493,8 +494,13 @@ class PlanGuardSpec extends SparkSpec {
       val raw = opt.collect { case l: LogicalRelation => l }
       assert(raw.isEmpty,
         s"$q re-scans parquet past its persisted census: ${raw.size} raw relations")
-      assert(opt.collect { case r: InMemoryRelation => r }.nonEmpty,
-        s"$q lost its census cache read:\n$opt")
+      // the census read is either a persisted cache (InMemoryRelation)
+      // or — since r12 for the ks/wasserstein family — the pinned
+      // checkpointed session artifact (LogicalRDD via Censuses)
+      val cached = opt.collect { case r: InMemoryRelation => r }
+      val pinned = opt.collect { case r: LogicalRDD => r }
+      assert(cached.nonEmpty || pinned.nonEmpty,
+        s"$q lost its census cache/artifact read:\n$opt")
     }
   }
 
