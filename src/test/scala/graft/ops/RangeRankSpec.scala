@@ -272,4 +272,39 @@ class RangeRankSpec extends SparkSpec {
       || df.queryExecution.executedPlan.toString.contains("TableCacheQueryStage"),
       "census and rank subtrees planned independent range exchanges")
   }
+
+  // ── round-12 law: the three selection machines agree bit-for-bit ────
+  // weighted-census groupValuesAtRanks and censusValuesAtRanks must
+  // reproduce the raw-row machinery exactly — value-at-rank AND
+  // prefix-sum-at-rank — on a tie-heavy skewed input. This is the
+  // equivalence the shared-census artifact consumers rely on.
+  test("weighted-census selection equals raw-row selection (both variants)") {
+    import spark.implicits._
+    val raw = (1 to 500).flatMap { i =>
+      Seq.fill(i % 7 + 1)((s"g${i % 3}", (i.toLong * i) % 97))
+    }.toDF("g", "v").persist()
+    val census = raw.groupBy("g", "v")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val picks = Seq(
+      RangeRank.RankPick("p25", n => ceil(n * 0.25)),
+      RangeRank.RankPick("med", n => expr("(n + 1) div 2"),
+        sumName = Some("s_med")),
+      RangeRank.RankPick("p90", n => ceil(n * 0.9)))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .select(col("g"), col("n"), col("p25"), col("med"),
+        col("s_med").cast("decimal(38,0)"), col("p90"))
+      .collect().map(_.toString).toSet
+    val rawSel = canon(RangeRank.groupValuesAtRanks(
+      raw, Seq("g"), "v", picks))
+    val weighted = canon(RangeRank.groupValuesAtRanks(
+      census, Seq("g"), "v", picks, weightCol = Some("c")))
+    val prefix = canon(RangeRank.censusValuesAtRanks(
+      census, Seq("g"), "v", "c", picks))
+    raw.unpersist()
+    assert(rawSel.nonEmpty && weighted === rawSel,
+      "weighted histogram selection diverged from raw rows")
+    assert(prefix === rawSel,
+      "census prefix selection diverged from raw rows")
+  }
 }

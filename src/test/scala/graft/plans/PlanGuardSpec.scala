@@ -1254,4 +1254,31 @@ class PlanGuardSpec extends SparkSpec {
           "a census is being rebuilt instead of read")
     }
   }
+
+  // ── round-12 guards for the composed serving pipeline + the J-T replan
+  test("q_ivf_pq_search: broadcast-pruned, heap-bounded, window-free") {
+    val plan = qe("q_ivf_pq_search").executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the serving path plans a window where graft_topk should aggregate")
+    // BroadcastNestedLoopJoin appears ONLY as the constant-size LUT
+    // builds (probes × ≤16-centroid codebooks, the family's explicit
+    // crossJoin-against-broadcast convention) — an unhinted
+    // CartesianProduct is the unbounded shape this guard forbids
+    assert(!plan.contains("CartesianProduct"),
+      "the serving path plans an unbounded cartesian product")
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe-cell/LUT/pool joins lost their broadcasts")
+  }
+
+  test("q_jonckheere_terpstra plans no data-sized join (pivoted prefix)") {
+    // r12 replan: the dense g×v grid and the census self-join are gone;
+    // the only combines left are 1-row crossJoins (jx2 × sizes), which
+    // plan as nested-loop over single rows — a SortMergeJoin or
+    // ShuffledHashJoin here means the grid crept back
+    val plan = qe("q_jonckheere_terpstra").executedPlan.toString
+    assert(!plan.contains("SortMergeJoin")
+      && !plan.contains("ShuffledHashJoin"),
+      "J-T replanned a data-sized join — the pivoted prefix was lost:\n" +
+        plan.linesIterator.take(40).mkString("\n"))
+  }
 }
