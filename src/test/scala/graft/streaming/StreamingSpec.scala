@@ -482,6 +482,28 @@ class StreamingSpec extends SparkSpec {
       "half-censuses did not merge to the whole-corpus census")
   }
 
+  test("scoreCensus is mergeable: disjoint-half censuses sum to the whole") {
+    // the law behind the fourth twin: per-score counts from disjoint
+    // event halves must SUM to the whole-corpus census — what lets
+    // Complete-mode state absorb micro-batches in any order
+    val events = Tables.load(spark, sfDir, "events")
+    val whole = graft.ops.ModelEval.scoreCensus(events).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = graft.ops.ModelEval.scoreCensus(
+      events.filter(col("event_id") % 2 === 0)).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = graft.ops.ModelEval.scoreCensus(
+      events.filter(col("event_id") % 2 =!= 0)).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = (a.keySet ++ b.keySet).map { v =>
+      val (c1, p1) = a.getOrElse(v, (0L, 0L))
+      val (c2, p2) = b.getOrElse(v, (0L, 0L))
+      v -> (c1 + c2, p1 + p2)
+    }.toMap
+    assert(whole.nonEmpty && merged === whole,
+      "half-censuses did not merge to the whole-corpus score census")
+  }
+
   test("drained score census finishes to batch AUC, PR-curve, KS-model " +
       "and DeLong exactly") {
     // round 12 (fourth twin family): the per-score census is the
