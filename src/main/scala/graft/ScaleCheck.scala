@@ -267,7 +267,19 @@ object ScaleCheck {
     // round-12 additions >=1 s at close: the composed IVF-PQ search,
     // the grid-census independence seed, and the close map's one
     // spiked cell (q_chow_test 0.65->1.71 with no code change)
-    "q_ivf_pq_search", "q_hoeffding_d", "q_chow_test")
+    "q_ivf_pq_search", "q_hoeffding_d", "q_chow_test",
+    // round 13 (r12 verdict item 3 + ADVICE): the DRIVER-map >=1 s
+    // queries the gate found without slope rows (the close map sat
+    // below 1 s on every one of them — tenancy-hot cells), plus
+    // q_watson_u2 (flagged by ADVICE as missing from this list)
+    "q_watson_u2", "q_agg_distinct", "q_auc_delong", "q_c_chart",
+    "q_cochran_q", "q_cohort_ltv", "q_cold_start_parts",
+    "q_feature_hashing", "q_fk_orphans", "q_interaction_effects",
+    "q_pacf", "q_quantile_norm",
+    // round-13 seeds (rows needed only if >=1 s at close; picks listed
+    // so ScaleCheck can measure them either way)
+    "q_energy_distance", "q_kendall_tau_b", "q_somers_d",
+    "q_damped_holt")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era

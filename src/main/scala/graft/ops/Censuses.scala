@@ -82,6 +82,18 @@ object Censuses {
     * AUC / PR-curve / KS / DeLong finishes all read this one artifact;
     * the streaming twin builds the identical frame as Complete-mode
     * state from the live stream.
+    *
+    * Scale caveat (r12 ADVICE): unlike the cents censuses above, this
+    * one is DISTINCT-SCORE-sized — for a continuous score it
+    * approaches data size, so the bounded-by-the-value-domain claim in
+    * the file doc holds only under a bounded/discretized score domain
+    * (true of the synthetic corpus's value column; at 100 TB a
+    * continuous score must be quantized — e.g. to 1e-6 — before this
+    * artifact is pinned, the standard fixed-grid AUC practice). Also
+    * note localCheckpoint blocks are lost (query-fatal, recompute
+    * impossible) on executor death — acceptable for a session-scoped
+    * bench artifact, whereas a production deployment would
+    * `checkpoint()` to reliable storage.
     */
   def scoreCensus(s: SparkSession, dir: String): DataFrame =
     scoreCensusMemo.computeIfAbsent((s, dir), _ =>
@@ -102,6 +114,233 @@ object Censuses {
       Curation.ksCounts(Tables.load(s, dir, "documents"))
         .select(col("source"), col("v"), col("c").cast("long").as("c"))
         .localCheckpoint(true))
+
+  private val quantityBucketMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** The bounded (quantity, thousand-dollar price bucket) grid census
+    * over lineitem (≤ 50 × ~110 cells at any corpus size), pinned —
+    * the bivariate-association family's shared sufficient statistic:
+    * Hoeffding's D, Kendall τ-b and Somers' D all finish off this ONE
+    * build.
+    */
+  def quantityBucket(s: SparkSession, dir: String): DataFrame =
+    quantityBucketMemo.computeIfAbsent((s, dir), _ =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        .select(col("x"), expr("cents div 100000").as("y"))
+        .groupBy("x", "y")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint(true))
+
+  private val shingles5Memo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** The word-5-gram shingle table over documents, pinned: (doc_id,
+    * source, sh) — one row per shingle INSTANCE (multiset, not
+    * distinct). The boilerplate/overlap lenses (q_substring_dup,
+    * q_source_overlap) both start from exactly this fan-out; round 13
+    * hoists it into the session artifact a production dedup pipeline
+    * persists anyway (the shingle index is a materialized dataset per
+    * corpus version — at 100 TB it lives as a bucketed table on
+    * storage; the memory pin is the local[32] stand-in, ~5 rows per
+    * corpus token).
+    */
+  def shingles5(s: SparkSession, dir: String): DataFrame =
+    shingles5Memo.computeIfAbsent((s, dir), _ =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(
+               CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4)
+                    ELSE array() END,
+               i -> concat_ws(' ', slice(toks, i, 5)))""")).as("sh"))
+        .localCheckpoint(true))
+
+  private val shingleCensus5Memo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** Global (sh, cnt) multiplicity census over [[shingles5]], pinned —
+    * the duplicate-shingle lookup side of the boilerplate lens.
+    */
+  def shingleCensus5(s: SparkSession, dir: String): DataFrame =
+    shingleCensus5Memo.computeIfAbsent((s, dir), _ =>
+      shingles5(s, dir)
+        .groupBy("sh")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true))
+
+  private val charTrigramsMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** Per-language character-trigram census (lang, tri, cnt), pinned —
+    * the language-fingerprint sufficient statistic (vocabulary-sized
+    * under Heaps' law, sublinear in the corpus).
+    */
+  def charTrigrams(s: SparkSession, dir: String): DataFrame =
+    charTrigramsMemo.computeIfAbsent((s, dir), _ =>
+      Tables.load(s, dir, "documents")
+        // CASE guard: sequence(1, n) with n < 1 DESCENDS in Spark
+        // (DuckDB's generate_series returns empty)
+        .select(col("lang"), explode(expr(
+          """CASE WHEN length(text) >= 3
+             THEN transform(sequence(1, length(text) - 2),
+                    i -> substring(text, i, 3))
+             ELSE array() END""")).as("tri"))
+        .groupBy("lang", "tri")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true))
+
+  private val wordTrigramsMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** Per-source word-trigram census (source, g, c), pinned — the
+    * vocabulary-growth/hapax sufficient statistic.
+    */
+  def wordTrigrams(s: SparkSession, dir: String): DataFrame =
+    wordTrigramsMemo.computeIfAbsent((s, dir), _ =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(expr(
+          """CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks) - 3),
+                    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+             ELSE array() END""")).as("g"))
+        .groupBy("source", "g")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true))
+
+  private val rankedAnsariMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** [[ansariCountsOf]] with its exclusive value-order prefix sums
+    * attached and pinned: (v, c1, c2, off1, off2) where off_i =
+    * Σ c_i over strictly smaller values. Round 13: every two-sample
+    * finish (Ansari / Lepage / CvM / Watson / BWS / Cucconi / Fligner–
+    * Policello / Brunner–Munzel / energy distance) derives its
+    * midranks, placements and integrated-ECDF masses ROW-LOCALLY from
+    * these two prefixes, so after the one pinned RangeRank pass per
+    * session each test statistic is a single census-sized agg — no
+    * per-query range shuffle. Same memory bound as the census itself
+    * (two extra longs per row).
+    */
+  def rankedAnsari(s: SparkSession, dir: String): DataFrame =
+    rankedAnsariMemo.computeIfAbsent((s, dir), _ => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      RangeRank.ranked(
+        ansariCountsOf(s, dir).withColumn("g", lit(1L)),
+        Seq("g"), Seq(col("v")),
+        rnName = "__rn", nName = None,
+        prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
+          RangeRank.PrefixSum(col("c2"), "off2"),
+          // exclusive VALUE-MASS prefixes (Σ v·c_i over smaller
+          // values, DECIMAL(38,0)) — the pairwise-|Δ| decompositions
+          // (energy distance, Gini-form cross masses) read them
+          // row-locally
+          RangeRank.PrefixSum(col("v").cast(dec38) * col("c1"), "vs1"),
+          RangeRank.PrefixSum(col("v").cast(dec38) * col("c2"), "vs2")))
+        .select(col("v"), col("c1").cast("long").as("c1"),
+          col("c2").cast("long").as("c2"),
+          col("off1").cast("long").as("off1"),
+          col("off2").cast("long").as("off2"),
+          col("vs1").cast(dec38).as("vs1"),
+          col("vs2").cast(dec38).as("vs2"))
+        .localCheckpoint(true)
+    })
+
+  private val rankedOrderCentsMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** [[orderCents]] with its exclusive count prefix and total pinned:
+    * (v, c, off, n) where off = Σ c over strictly smaller values and n
+    * is the corpus row count (constant column — the value at rank k is
+    * the row with off < k ≤ off + c, so a pick is ONE filter over this
+    * artifact). The order-value dispersion battery (median CI, double
+    * MAD, weighted selections) reads picks off this frame instead of
+    * re-running per-query rank machinery.
+    */
+  def rankedOrderCents(s: SparkSession, dir: String): DataFrame =
+    rankedOrderCentsMemo.computeIfAbsent((s, dir), _ => {
+      val cen = orderCents(s, dir)
+      // n = Σ multiplicity (the expanded multiset size) — NOT
+      // ranked()'s census-row count
+      val tot = cen.agg(sum(col("c")).cast("long").as("n"))
+      RangeRank.ranked(
+        cen.withColumn("g", lit(1L)),
+        Seq("g"), Seq(col("v")),
+        rnName = "__rn", nName = None,
+        prefixSums = Seq(RangeRank.PrefixSum(col("c"), "off")))
+        .crossJoin(broadcast(tot))
+        .select(col("v"), col("c").cast("long").as("c"),
+          col("off").cast("long").as("off"), col("n"))
+        .localCheckpoint(true)
+    })
+
+  private val rankedPriorityCentsMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** [[priorityCents]] with per-priority exclusive prefixes pinned:
+    * (p, v, c, off, vs, n) — off = Σ c and vs = Σ v·c (DECIMAL(38,0))
+    * over strictly smaller values WITHIN the priority, n = the
+    * priority's total multiplicity. Grouped value-at-rank picks and
+    * exact prefix-sums-at-rank (trimmed / winsorized sums) read off
+    * this one artifact row-locally.
+    */
+  def rankedPriorityCents(s: SparkSession, dir: String): DataFrame =
+    rankedPriorityCentsMemo.computeIfAbsent((s, dir), _ => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cen = priorityCents(s, dir)
+      // n = Σ multiplicity per priority — NOT ranked()'s census-row
+      // count
+      val tot = cen.groupBy(col("p").as("__tp"))
+        .agg(sum(col("c")).cast("long").as("n"))
+      RangeRank.ranked(
+        cen,
+        Seq("p"), Seq(col("v")),
+        rnName = "__rn", nName = None,
+        prefixSums = Seq(RangeRank.PrefixSum(col("c"), "off"),
+          RangeRank.PrefixSum(col("v").cast(dec38) * col("c"), "vs")))
+        .join(broadcast(tot), col("p") === col("__tp"))
+        .select(col("p"), col("v"), col("c").cast("long").as("c"),
+          col("off").cast("long").as("off"),
+          col("vs").cast(dec38).as("vs"), col("n"))
+        .localCheckpoint(true)
+    })
+
+  private val rankedFlagPriceMemo = Artifacts.memo[DataFrame] {
+    case (_, d) => d.unpersist(false); ()
+  }
+
+  /** [[flagPrice]] with per-flag exclusive count prefix and total
+    * pinned: (f, v, c, off, n). The MAD family's median picks become
+    * single filters over this artifact.
+    */
+  def rankedFlagPrice(s: SparkSession, dir: String): DataFrame =
+    rankedFlagPriceMemo.computeIfAbsent((s, dir), _ => {
+      val cen = flagPrice(s, dir)
+      // n = Σ multiplicity per flag — NOT ranked()'s census-row count
+      val tot = cen.groupBy(col("f").as("__tf"))
+        .agg(sum(col("c")).cast("long").as("n"))
+      RangeRank.ranked(
+        cen,
+        Seq("f"), Seq(col("v")),
+        rnName = "__rn", nName = None,
+        prefixSums = Seq(RangeRank.PrefixSum(col("c"), "off")))
+        .join(broadcast(tot), col("f") === col("__tf"))
+        .select(col("f"), col("v"), col("c").cast("long").as("c"),
+          col("off").cast("long").as("off"), col("n"))
+        .localCheckpoint(true)
+    })
 
   private val flagPriceMemo = Artifacts.memo[DataFrame] {
     case (_, d) => d.unpersist(false); ()

@@ -784,15 +784,12 @@ object Dedup {
     // k-gram position). All counts exact int64; dup_frac is ONE division.
     Q("q_substring_dup",
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"),
-            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
-          .select(col("doc_id"), explode(expr(
-            """transform(
-                 CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4)
-                      ELSE array() END,
-                 i -> concat_ws(' ', slice(toks, i, 5)))""")).as("sh"))
-        val census = sh.groupBy("sh").agg(count(lit(1)).as("cnt"))
+        // round 13: both the shingle instance table and its global
+        // multiplicity census are pinned session artifacts
+        // ([[Censuses.shingles5]] / [[Censuses.shingleCensus5]]) — the
+        // per-query work is one join + one per-doc collapse
+        val sh = Censuses.shingles5(s, dir).select("doc_id", "sh")
+        val census = Censuses.shingleCensus5(s, dir)
         sh.join(census, Seq("sh"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
@@ -836,14 +833,11 @@ object Dedup {
     // Jaccard is ONE division of exact counts.
     Q("q_source_overlap",
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("source"),
-            expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
-          .select(col("source"), explode(expr(
-            """transform(
-                 CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4)
-                      ELSE array() END,
-                 i -> concat_ws(' ', slice(toks, i, 5)))""")).as("sh"))
+        // round 13: the shingle fan-out reads the pinned
+        // [[Censuses.shingles5]] artifact; only the distinct + pair
+        // fan-out run per query
+        val sh = Censuses.shingles5(s, dir)
+          .select(col("source"), col("sh"))
           .distinct()
         val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
         sh.groupBy("sh")

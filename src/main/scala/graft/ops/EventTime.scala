@@ -2399,6 +2399,66 @@ object EventTime {
                 l + 7.0 * b AS forecast_7d
               FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
 
+    // ── damped-trend Holt (the other M3 exponential-smoothing staple) ───
+    // Completes the forecast benchmark trio (q_theta_method,
+    // q_holt_winters): Gardner–McKenzie damping multiplies the trend by
+    // φ = 0.98 each step, so long-horizon forecasts flatten instead of
+    // extrapolating forever — the single most robust M3 method.
+    //   l' = α·y + (1−α)·(l + φ·b),  b' = β·(l'−l) + (1−β)·φ·b
+    // (α = 0.3, β = 0.1). Same pinned sorted fold over the
+    // calendar-bounded daily census as q_holt_smoothing (Spark
+    // `aggregate` struct fold ≡ DuckDB recursive CTE, identical op
+    // sequence per step — bit-equal doubles, no rounding); the h=7
+    // forecast multiplier Σ_{i=1..7} φⁱ is ONE pinned literal parsed
+    // to the same double by both engines.
+    Q("q_damped_holt",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+        daily
+          .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+            .as("ser"))
+          .select(expr(
+            """aggregate(
+                 slice(ser, 2, size(ser) - 1),
+                 named_struct(
+                   'l', CAST(ser[0].cents AS DOUBLE) / 100.0,
+                   'b', CAST(0 AS DOUBLE), 'n', 1L),
+                 (a, x) -> named_struct(
+                   'l', 0.3 * (CAST(x.cents AS DOUBLE) / 100.0)
+                        + 0.7 * (a.l + 0.98 * a.b),
+                   'b', 0.1 * ((0.3 * (CAST(x.cents AS DOUBLE) / 100.0)
+                        + 0.7 * (a.l + 0.98 * a.b)) - a.l)
+                        + 0.9 * (0.98 * a.b),
+                   'n', a.n + 1L))""").as("st"))
+          .select(col("st.n").as("n_days"),
+            col("st.l").as("level"), col("st.b").as("trend"),
+            (col("st.l") + lit(6.461848870910719) * col("st.b"))
+              .as("forecast_7d"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+              idx AS (
+                SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                  CAST(cents AS DOUBLE) / 100.0 AS v
+                FROM daily),
+              rec(i, l, b) AS (
+                SELECT CAST(1 AS BIGINT), (SELECT v FROM idx WHERE i = 1),
+                  CAST(0 AS DOUBLE)
+                UNION ALL
+                SELECT r.i + 1,
+                  0.3 * x.v + 0.7 * (r.l + 0.98 * r.b),
+                  0.1 * ((0.3 * x.v + 0.7 * (r.l + 0.98 * r.b)) - r.l)
+                    + 0.9 * (0.98 * r.b)
+                FROM rec r JOIN idx x ON x.i = r.i + 1)
+              SELECT i AS n_days, l AS level, b AS trend,
+                l + 6.461848870910719 * b AS forecast_7d
+              FROM rec WHERE i = (SELECT max(i) FROM idx)""")),
+
     // ── Holt–Winters triple smoothing (additive, weekly season) ─────────
     // Completes the exponential family (q_ewma = single,
     // q_holt_smoothing = double): level + trend + a 7-slot additive
@@ -2630,9 +2690,13 @@ object EventTime {
             lit("1970-01-01").cast("date")).cast("long").as("day"))
           .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
             .as("cents"))
+        // localCheckpoint (r12 ADVICE): the calendar-bounded ranked
+        // frame (~thousands of rows) feeds BOTH the OLS sums agg and
+        // the SES fold — pinned, the orders corpus is scanned once
         val ranked = daily
           .select(row_number().over(Window.orderBy("day")).cast("long")
             .as("t"), col("cents"))
+          .localCheckpoint(true)
         val ols = ranked.agg(
             count(lit(1)).cast("long").as("n"),
             sum(col("t").cast(dec38)).as("st"),

@@ -259,6 +259,52 @@ object RangeRank {
     else joined.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[censusValuesAtRanks]] over a census whose exclusive prefixes are
+    * ALREADY attached — a pinned RANKED artifact carrying `offCol` (the
+    * exclusive multiplicity prefix in value order within the group),
+    * `nCol` (the group's total multiplicity, constant per group), and
+    * optionally `vsCol` (the exclusive Σ v·c DECIMAL(38,0) prefix, for
+    * prefix-sum-at-rank picks). Zero ranking work remains: every pick
+    * is a conditional aggregate over ONE scan of the artifact — the
+    * round-13 fast path for the dispersion battery. Semantics are
+    * byte-identical to [[censusValuesAtRanks]] by the same
+    * selection-by-cumulative-count argument.
+    *
+    * `nCol` is exposed to the pick closures under the name `nName`
+    * (expr-style picks like `n => expr("(n + 1) div 2")` reference it
+    * literally), so the artifact's total column is renamed first.
+    */
+  def pinnedValuesAtRanks(
+      art: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      countCol: String,
+      offCol: String,
+      nCol: String,
+      picks: Seq[RankPick],
+      nName: String = "n",
+      vsCol: Option[String] = None): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = groupCols.map(col)
+    val c = col(countCol)
+    val base = art.withColumnRenamed(nCol, nName)
+    val withK = picks.zipWithIndex.foldLeft(base) { case (d, (p, i)) =>
+      d.withColumn(s"__pv_k$i", p.k(col(nName)).cast("long"))
+    }
+    val pickAggs = picks.zipWithIndex.flatMap { case (p, i) =>
+      val k = col(s"__pv_k$i")
+      val hit = col(offCol) < k && k <= col(offCol) + c
+      Seq(max(when(hit, col(valueCol))).as(p.outName)) ++
+        p.sumName.map(sn => max(when(hit,
+          coalesce(col(vsCol.get).cast(dec38), lit(0).cast(dec38))
+            + (k - col(offCol)).cast(dec38)
+              * col(valueCol).cast(dec38))).as(sn)).toSeq
+    }
+    val aggs = max(col(nName)).cast("long").as(nName) +: pickAggs
+    if (groupCols.isEmpty) withK.agg(aggs.head, aggs.tail: _*)
+    else withK.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def groupValuesAtRanks(
       df: DataFrame,
       groupCols: Seq[String],

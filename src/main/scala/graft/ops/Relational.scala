@@ -898,16 +898,15 @@ object Relational {
     // q_approx_quantiles, this is the exact-answer path.
     Q("q_percentile_disc",
       (s, dir) => {
-        // value-at-rank via the grouped histogram selection (no range
-        // exchange, no per-row rank): selection-by-value is tie-order
-        // invariant, so the picks equal the oracle's row_number targets.
-        // Round 12: rides the SHARED pinned (flag, price) census with
-        // weighted multiplicity — the corpus scan is paid once/session
-        val base = Censuses.flagPrice(s, dir)
-        RangeRank.groupValuesAtRanks(base, Seq("f"), "v",
+        // value-at-rank selection is tie-order invariant, so the picks
+        // equal the oracle's row_number targets. Round 13: the picks
+        // read the pinned RANKED (flag, price) census — value-at-rank
+        // is ONE conditional agg over the artifact, zero rank passes
+        val base = Censuses.rankedFlagPrice(s, dir)
+        RangeRank.pinnedValuesAtRanks(base, Seq("f"), "v", "c",
+          "off", "n",
           Seq(RangeRank.RankPick("p50", n => ceil(n * 0.5)),
-            RangeRank.RankPick("p90", n => ceil(n * 0.9))),
-          weightCol = Some("c"))
+            RangeRank.RankPick("p90", n => ceil(n * 0.9))))
           .select(col("f").as("l_returnflag"), col("p50"), col("p90"),
             col("n"))
           .orderBy("l_returnflag")
@@ -2137,17 +2136,17 @@ object Relational {
     // pass (no sort, no rank materialization). Per returnflag group.
     Q("q_median_ci",
       (s, dir) => {
-        // round 12: picks ride the SHARED pinned (flag, price) census
-        // with weighted multiplicity — same tie-invariant selections
-        val base = Censuses.flagPrice(s, dir)
+        // round 13: picks ride the pinned RANKED (flag, price) census —
+        // same tie-invariant selections, ONE conditional agg
+        val base = Censuses.rankedFlagPrice(s, dir)
         val loRank = (n: org.apache.spark.sql.Column) => greatest(lit(1L),
           floor((n.cast("double")
             - sqrt(n.cast("double")) * 1.959963985) / 2.0).cast("long"))
-        RangeRank.groupValuesAtRanks(base, Seq("f"), "v",
+        RangeRank.pinnedValuesAtRanks(base, Seq("f"), "v", "c",
+          "off", "n",
           Seq(RangeRank.RankPick("median", n => ceil(n * 0.5)),
             RangeRank.RankPick("ci_lo", loRank),
-            RangeRank.RankPick("ci_hi", n => n + 1 - loRank(n))),
-          weightCol = Some("c"))
+            RangeRank.RankPick("ci_hi", n => n + 1 - loRank(n))))
           .select(col("f").as("l_returnflag"), col("n"), col("median"),
             col("ci_lo"), col("ci_hi"))
           .orderBy("l_returnflag")
@@ -2186,14 +2185,16 @@ object Relational {
     // identical operands in both engines between the passes.
     Q("q_mad",
       (s, dir) => {
-        // round 12: both passes read the SHARED pinned value census
-        // ([[Censuses.flagPrice]]) — the corpus scan is paid once per
-        // session, and selection runs over census rows (value-at-rank
-        // with multiplicity ≡ raw-row rank, tie-order-invariant)
+        // round 13: the median pick is ONE conditional agg over the
+        // pinned RANKED census (no histogram passes); the deviation
+        // census then derives from the shared pinned census rows
+        // (value-at-rank with multiplicity ≡ raw-row rank,
+        // tie-order-invariant)
         val base = Censuses.flagPrice(s, dir)
-        val med = RangeRank.groupValuesAtRanks(base, Seq("f"), "v",
-          Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))),
-          weightCol = Some("c"))
+        val med = RangeRank.pinnedValuesAtRanks(
+          Censuses.rankedFlagPrice(s, dir), Seq("f"), "v", "c",
+          "off", "n",
+          Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))))
           .select(col("f").as("m_flag"), col("n"), col("med"))
           .localCheckpoint(true)
         // deviation census derives row-locally; checkpointed because
@@ -2255,35 +2256,40 @@ object Relational {
     // frames and the fence count read the shared pinned census.
     Q("q_double_mad",
       (s, dir) => {
-        // round 12: every pass reads the SHARED pinned (v, c) census
-        // ([[Censuses.orderCents]]); side-deviation censuses derive
-        // row-locally, so median, both side-MADs and the fence counts
-        // are census-sized after the one shared corpus collapse
-        val base = Censuses.orderCents(s, dir)
-        val med = RangeRank.censusValuesAtRanks(base, Seq.empty,
-            "v", "c",
-            Seq(RangeRank.RankPick("m", n => expr("(n + 1) div 2"))))
+        // round 13: ALL THREE selections are row-local filters over the
+        // pinned RANKED (v, c, off, n) census — the side-deviation rank
+        // orders are monotone images of the value order (lo: dev = m−v,
+        // ascending dev ⇔ descending v; hi: dev = v−m, ascending dev ⇔
+        // ascending v), so each side's cumulative-dev counts read off
+        // the SAME value prefix: no derived census, no second rank
+        // machine. The median VALUE RUN belongs to BOTH sides (counted
+        // twice — standard double-MAD semantics).
+        val art = Censuses.rankedOrderCents(s, dir)
+        val med = art
+          .filter(col("off") < expr("(n + 1) div 2")
+            && expr("(n + 1) div 2") <= col("off") + col("c"))
+          .select(col("v").as("m"), col("off").as("off_m"),
+            col("c").as("c_m"))
           .localCheckpoint(true)
-        // ONE grouped rank machine for both side-MADs: tag each
-        // deviation with its side (the median VALUE RUN belongs to
-        // BOTH, so it is counted twice — standard double-MAD semantics)
-        val devs = base.crossJoin(broadcast(med))
-          .filter(col("v") <= col("m"))
-          .select(lit(0L).as("side"), (col("m") - col("v")).as("dev"),
-            col("c"))
-          .unionAll(base.crossJoin(broadcast(med))
-            .filter(col("v") >= col("m"))
-            .select(lit(1L).as("side"), (col("v") - col("m")).as("dev"),
-              col("c")))
-          .groupBy("side", "dev").agg(sum(col("c")).cast("long").as("c"))
-          .localCheckpoint(true)
-        val mads = RangeRank.groupValuesAtRanks(devs, Seq("side"), "dev",
-            Seq(RangeRank.RankPick("mad", n => expr("(n + 1) div 2"))),
-            weightCol = Some("c"))
-          .groupBy()
-          .agg(max(when(col("side") === 0, col("mad"))).as("mad_lo"),
-            max(when(col("side") === 1, col("mad"))).as("mad_hi"))
-        base.crossJoin(broadcast(med))
+        // side totals and rank targets are scalars off the median row:
+        //   n_lo = off_m + c_m (v ≤ m), n_hi = n − off_m (v ≥ m)
+        // lo pick: cum(dev < m−v) = (off_m + c_m) − (off + c),
+        //          cum(dev ≤ m−v) = (off_m + c_m) − off
+        // hi pick: cum(dev < v−m) = off − off_m,
+        //          cum(dev ≤ v−m) = off + c − off_m
+        val kLo = expr("(off_m + c_m + 1) div 2")
+        val kHi = expr("(n - off_m + 1) div 2")
+        val mads = art.crossJoin(broadcast(med))
+          .agg(
+            max(when(col("v") <= col("m")
+              && col("off_m") + col("c_m") - col("off") - col("c") < kLo
+              && kLo <= col("off_m") + col("c_m") - col("off"),
+              col("m") - col("v"))).as("mad_lo"),
+            max(when(col("v") >= col("m")
+              && col("off") - col("off_m") < kHi
+              && kHi <= col("off") + col("c") - col("off_m"),
+              col("v") - col("m"))).as("mad_hi"))
+        art.crossJoin(broadcast(med))
           .crossJoin(broadcast(mads))
           .agg(max(col("n")).as("n"), max(col("m")).as("median_cents"),
             max(col("mad_lo")).as("mad_lo"),
@@ -2354,18 +2360,21 @@ object Relational {
         val dec38 = DecimalType(38, 0)
         // round 12: picks + prefix-sums-at-rank off the SHARED pinned
         // (priority, cents) census — S(k) is exact on census rows
-        // because every member of a value run equals the run's value
-        val base = Censuses.priorityCents(s, dir)
+        // because every member of a value run equals the run's value.
+        // Round 13: both the picks and the exact prefix sums read the
+        // pinned RANKED census's off/vs columns — one conditional agg
+        val base = Censuses.rankedPriorityCents(s, dir)
           .select(col("p").as("o_orderpriority"), col("v").as("cents"),
-            col("c"))
-        RangeRank.censusValuesAtRanks(base, Seq("o_orderpriority"),
-          "cents", "c",
+            col("c"), col("off"), col("vs"), col("n"))
+        RangeRank.pinnedValuesAtRanks(base, Seq("o_orderpriority"),
+          "cents", "c", "off", "n",
           Seq(
             RangeRank.RankPick("v_lo", n => expr("n div 10"),
               sumName = Some("s_lo")),
             RangeRank.RankPick("v_lo1", n => expr("n div 10 + 1")),
             RangeRank.RankPick("v_hi", n => expr("n - n div 10"),
-              sumName = Some("s_hi"))))
+              sumName = Some("s_hi"))),
+          vsCol = Some("vs"))
           .select(col("o_orderpriority"), col("n"),
             expr("n div 10").as("k"),
             (col("s_hi") - coalesce(col("s_lo"), lit(0).cast(dec38)))
@@ -2424,11 +2433,13 @@ object Relational {
     // ONE division of exact integers.
     Q("q_quartile_dispersion",
       (s, dir) => {
-        val base = Censuses.priorityCents(s, dir)
+        // round 13: picks ride the pinned RANKED census — one
+        // conditional agg, zero rank passes
+        val base = Censuses.rankedPriorityCents(s, dir)
           .select(col("p").as("o_orderpriority"), col("v").as("cents"),
-            col("c"))
-        RangeRank.censusValuesAtRanks(base, Seq("o_orderpriority"),
-          "cents", "c",
+            col("c"), col("off"), col("n"))
+        RangeRank.pinnedValuesAtRanks(base, Seq("o_orderpriority"),
+          "cents", "c", "off", "n",
           Seq(RangeRank.RankPick("q1", n => ceil(n * 0.25)),
             RangeRank.RankPick("q3", n => ceil(n * 0.75))))
           .select(col("o_orderpriority"), col("n"),
@@ -2477,17 +2488,16 @@ object Relational {
     Q("q_gini_mean_difference",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
-        // SHARED pinned census (round 12): consumed by the RangeRank
-        // pass AND the totals agg — both read the checkpointed blocks
-        val census = Censuses.priorityCents(s, dir)
+        // round 13: the exclusive prefix IS a column of the pinned
+        // RANKED census (off ≡ cum_ex, n = the group total) — the
+        // per-query RangeRank pass disappears; only the group value
+        // mass s needs one extra census-sized agg
+        val census = Censuses.rankedPriorityCents(s, dir)
           .select(col("p").as("g"), col("v").as("cents"),
-            col("c").as("cnt"))
+            col("c").as("cnt"), col("off").as("cum_ex"), col("n"))
         val tot = census.groupBy(col("g").as("tg"))
-          .agg(sum(col("cnt")).cast("long").as("n"),
-            sum(col("cents").cast(dec38) * col("cnt")).as("s"))
-        RangeRank.ranked(census, Seq("g"), Seq(col("cents")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("cnt"), "cum_ex")))
+          .agg(sum(col("cents").cast(dec38) * col("cnt")).as("s"))
+        census
           .join(broadcast(tot), col("g") === col("tg"))
           .select(col("g"), col("n"), col("s"),
             (col("cents").cast(dec38) * col("cnt")
