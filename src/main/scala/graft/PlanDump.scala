@@ -128,10 +128,16 @@ object PlanDump {
     // rank-trend replan, and the shared-census rank statistics
     "q_ivf_pq_search" -> "composed IVF-PQ: nprobe cell pruning → posting-list ADC (cell + 4 one-byte codes per vector) through broadcast probe LUTs → exact rerank of the broadcast ≤20-per-probe pool; three bounded graft_topk heaps, no WindowExec, raw vectors scanned exactly once (at rerank)",
     "q_jonckheere_terpstra" -> "pivoted-prefix replan (r12): the bounded 5-priority alphabet rides ONE census-sized RangeRank pass with 5 prefix-sum columns; J2 collapses row-locally over the C(5,2) ordered pairs — the dense g×v grid and the census self-join are gone",
-    "q_mad" -> "shared (flag, price) census artifact + weighted histogram selection: both value-at-rank passes run over census rows with multiplicity; the lineitem scan is paid once per session",
-    "q_hoeffding_d" -> "bounded dense (quantity × price-bucket) grid: A/Bx/By from 2-D exclusive prefix sums via three constant-size windows; the only corpus-sized work is one census agg",
-    "q_watson_u2" -> "one RangeRank prefix pass over the shared urgent-vs-rest value census; two dec38 moments, two pinned divisions — the q_cvm_two_sample frame with one extra column",
-    "q_theta_method" -> "calendar-bounded daily census: exact dec38 OLS normal-equation sums + one sorted-fold SES — no data-sized window, one orders scan")
+    "q_mad" -> "pinned RANKED (flag, price) census: the median is ONE conditional agg over the artifact's off prefix; the deviation selection re-runs a 3-row broadcast join against pinned census blocks per histogram pass instead of materializing a second barely-collapsing census (r13)",
+    "q_hoeffding_d" -> "bounded dense (quantity × price-bucket) grid: A/Bx/By from 2-D exclusive prefix sums via three constant-size windows; the grid census is the pinned shared artifact (r13 — one build serves D, τ-b, Somers' D)",
+    "q_watson_u2" -> "row-local integrated-ECDF masses off the pinned RANKED urgent-vs-rest census (off1/off2 prefix columns, r13) — zero per-query rank passes; two dec38 moments, two pinned divisions",
+    "q_theta_method" -> "calendar-bounded daily census, localCheckpoint-pinned (r12 ADVICE): exact dec38 OLS normal-equation sums + one sorted-fold SES read the SAME pinned frame — one orders scan",
+    // round-13 additions: the pinned-ranked-census consumers and the
+    // new oracled seeds
+    "q_double_mad" -> "ALL THREE selections are row-local filters over the pinned RANKED (v, c, off, n) census (r13): the side-deviation orders are monotone images of the value order, so cum-dev counts read off the SAME prefix — no derived census, no second rank machine; med pick + sides pick + fence agg = three census-sized jobs",
+    "q_energy_distance" -> "pairwise-|Δ| masses in Gini-mean-difference form off the pinned RANKED census's count AND value-mass prefixes (off_i, vs_i): Σ|Δ| = Σc·(off·v − vs) per side/cross, row-local; exact dec38, three mirrored IEEE divisions, zero rounding",
+    "q_kendall_tau_b" -> "concordance masses over the pinned bounded grid artifact: P = Σc·A (2-D exclusive prefix), Q = Σc·(CXL − A − By); marginal tie masses from grid marginals; constant-size windows only — shares ONE build with Hoeffding's D and Somers' D",
+    "q_damped_holt" -> "calendar-bounded day census → ONE sorted fold (φ-damped level/trend recurrence, Spark aggregate ≡ DuckDB recursive CTE, bit-equal doubles); h=7 multiplier is a pinned literal — no data-sized window, one orders scan")
 
   /** Round-5 census-reuse audit (VERDICT r4 item 8): every helper or
     * query whose expensive subtree feeds MULTIPLE consumers, with its

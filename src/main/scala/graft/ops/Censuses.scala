@@ -24,6 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object Censuses {
 
+  /** Build an artifact eagerly (the builders end in
+    * `localCheckpoint(true)`), then release every PLAIN cache the
+    * build materialized — `RangeRank.ranked`'s range-partitioned
+    * persist is the big one — so only the checkpoint survives the
+    * build (the finishWith snapshot-delta discipline applied to
+    * artifact construction; without it every ranked artifact would
+    * leave its build-time cache pinned for the whole session).
+    */
+  private[ops] def pinned(s: SparkSession)(build: => DataFrame)
+      : DataFrame = {
+    val sc = s.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try build
+    finally {
+      val after = sc.getPersistentRDDs
+      after.keysIterator.filterNot(before).foreach { id =>
+        after.get(id).filterNot(_.isCheckpointed)
+          .foreach(_.unpersist(false))
+      }
+      ()
+    }
+  }
+
   private val priorityCentsMemo = Artifacts.memo[DataFrame] {
     case (_, d) => d.unpersist(false); ()
   }
@@ -233,7 +256,7 @@ object Censuses {
     * (two extra longs per row).
     */
   def rankedAnsari(s: SparkSession, dir: String): DataFrame =
-    rankedAnsariMemo.computeIfAbsent((s, dir), _ => {
+    rankedAnsariMemo.computeIfAbsent((s, dir), _ => pinned(s) {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       RangeRank.ranked(
         ansariCountsOf(s, dir).withColumn("g", lit(1L)),
@@ -269,7 +292,7 @@ object Censuses {
     * re-running per-query rank machinery.
     */
   def rankedOrderCents(s: SparkSession, dir: String): DataFrame =
-    rankedOrderCentsMemo.computeIfAbsent((s, dir), _ => {
+    rankedOrderCentsMemo.computeIfAbsent((s, dir), _ => pinned(s) {
       val cen = orderCents(s, dir)
       // n = Σ multiplicity (the expanded multiset size) — NOT
       // ranked()'s census-row count
@@ -297,7 +320,7 @@ object Censuses {
     * this one artifact row-locally.
     */
   def rankedPriorityCents(s: SparkSession, dir: String): DataFrame =
-    rankedPriorityCentsMemo.computeIfAbsent((s, dir), _ => {
+    rankedPriorityCentsMemo.computeIfAbsent((s, dir), _ => pinned(s) {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val cen = priorityCents(s, dir)
       // n = Σ multiplicity per priority — NOT ranked()'s census-row
@@ -326,7 +349,7 @@ object Censuses {
     * single filters over this artifact.
     */
   def rankedFlagPrice(s: SparkSession, dir: String): DataFrame =
-    rankedFlagPriceMemo.computeIfAbsent((s, dir), _ => {
+    rankedFlagPriceMemo.computeIfAbsent((s, dir), _ => pinned(s) {
       val cen = flagPrice(s, dir)
       // n = Σ multiplicity per flag — NOT ranked()'s census-row count
       val tot = cen.groupBy(col("f").as("__tf"))

@@ -5043,18 +5043,24 @@ object EventTime {
     Q("q_theil_sen",
       (s, dir) => {
         val cen = senDayCensus(s, dir).persist()
-        // Median picks ride RangeRank.medianValues — exact histogram-
-        // bracketed selection (two cache passes, census arithmetic) in
-        // place of the r6 verdict's single-task global row_number
-        // windows AND of a full range sort: the median VALUES are
-        // tie-order-invariant, and the oracle's avg-of-two-middle-ranks
-        // is exactly (v1+v2)/2, so the hash cannot move. The pair frame
-        // is the SHARED [[senPairs]] artifact (round 11 — built once,
-        // also read by q_theil_sen_ci).
+        // Median picks are conditional aggs over the pinned RANKED
+        // slope census (round 13; the round-11 shared pair artifact
+        // now carries its exclusive prefix): the median VALUES are
+        // tie-order-invariant, and the oracle's avg-of-two-middle-
+        // ranks is exactly (v1+v2)/2, so the hash cannot move. Built
+        // once, also read by q_theil_sen_ci.
         val pairs = senPairs(s, dir)
-        val slope = RangeRank.medianValues(pairs, "sl", nName = "m")
+        val k1 = expr("(m + 1) div 2")
+        val k2 = expr("(m + 2) div 2")
+        val slope = pairs
+          .agg(
+            max(when(col("off") < k1 && k1 <= col("off") + col("c"),
+              col("sl"))).as("v1"),
+            max(when(col("off") < k2 && k2 <= col("off") + col("c"),
+              col("sl"))).as("v2"),
+            max(col("m")).as("n_pairs"))
           .select(((col("v1") + col("v2")) / 2.0).as("slope"),
-            col("m").as("n_pairs"))
+            col("n_pairs"))
         val residBase = cen.crossJoin(broadcast(slope))
           .select(col("n_pairs"), col("slope"),
             round(col("y").cast("double")
@@ -5124,7 +5130,8 @@ object EventTime {
     // literal, not libm.
     Q("q_theil_sen_ci",
       (s, dir) => {
-        // pair frame = the SHARED [[senPairs]] artifact (round 11)
+        // pair frame = the SHARED pinned RANKED slope census (round
+        // 13) — both CI-bound order statistics are conditional aggs
         val pairs = senPairs(s, dir)
         def ndOf(n: Column) =
           floor((sqrt(n.cast("double") * 8.0 + 1.0) + 1.0) / 2.0)
@@ -5132,16 +5139,18 @@ object EventTime {
           val nd = ndOf(n)
           sqrt(nd * (nd - 1.0) * (nd * 2.0 + 5.0) / 18.0) * 1.96
         }
-        RangeRank.groupValuesAtRanks(pairs, Seq.empty, "sl",
-          Seq(
-            RangeRank.RankPick("slope_lo", n =>
-              greatest(lit(1L),
-                floor((n.cast("double") - cOf(n)) / 2.0).cast("long"))),
-            RangeRank.RankPick("slope_hi", n =>
-              least(n.cast("long"),
-                floor((n.cast("double") + cOf(n)) / 2.0).cast("long")
-                  + 1L))),
-          nName = "n_pairs")
+        val m = col("m")
+        val kLo = greatest(lit(1L),
+          floor((m.cast("double") - cOf(m)) / 2.0).cast("long"))
+        val kHi = least(m,
+          floor((m.cast("double") + cOf(m)) / 2.0).cast("long") + 1L)
+        pairs
+          .agg(
+            max(col("m")).as("n_pairs"),
+            max(when(col("off") < kLo && kLo <= col("off") + col("c"),
+              col("sl"))).as("slope_lo"),
+            max(when(col("off") < kHi && kHi <= col("off") + col("c"),
+              col("sl"))).as("slope_hi"))
           .select(col("n_pairs"),
             ndOf(col("n_pairs")).cast("long").as("n_days"),
             col("slope_lo"), col("slope_hi"))
@@ -7212,17 +7221,34 @@ object EventTime {
   }
 
   private def senPairs(s: SparkSession, dir: String): DataFrame =
-    senPairsMemo.computeIfAbsent((s, dir), _ => {
+    senPairsMemo.computeIfAbsent((s, dir), _ => Censuses.pinned(s) {
+      // round 13: the pinned artifact is the RANKED slope census
+      // (sl, c, off, m) — off = exclusive multiplicity prefix in slope
+      // order, m = total pair count — so every Sen order-statistic
+      // pick (the slope median, both CI bounds) is ONE conditional
+      // agg over the artifact; the calendar²-sized pair fan-out and
+      // its rank pass run once per session, not per query.
       val cen = senDayCensus(s, dir).persist()
-      val pairs = cen.as("a")
+      val slCen = cen.as("a")
         .join(cen.select(col("d").as("d2"), col("y").as("y2")),
           col("d") < col("d2"))
         .select(
           round((col("y2") - col("y")).cast("double")
             / (col("d2") - col("d")).cast("double"), 12).as("sl"))
+        .groupBy("sl").agg(count(lit(1)).cast("long").as("c"))
+        .persist()
+      val tot = slCen.agg(sum(col("c")).cast("long").as("m"))
+      val out = RangeRank.ranked(slCen.withColumn("g", lit(1L)),
+          Seq("g"), Seq(col("sl")),
+          rnName = "__rn", nName = None,
+          prefixSums = Seq(RangeRank.PrefixSum(col("c"), "off")))
+        .crossJoin(broadcast(tot))
+        .select(col("sl"), col("c"), col("off").cast("long").as("off"),
+          col("m"))
         .localCheckpoint(true)
       cen.unpersist()
-      pairs
+      slCen.unpersist()
+      out
     })
 
   private def senDayCensus(s: SparkSession, dir: String): DataFrame =

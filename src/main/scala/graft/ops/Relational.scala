@@ -2197,14 +2197,16 @@ object Relational {
           Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))))
           .select(col("f").as("m_flag"), col("n"), col("med"))
           .localCheckpoint(true)
-        // deviation census derives row-locally; checkpointed because
-        // the histogram selection makes three passes over it
+        // deviation frame derives row-locally from the CHECKPOINTED
+        // base census via a 3-row broadcast join — each histogram pass
+        // re-runs the map-only join against pinned blocks, which is
+        // cheaper than materializing a second (f, dev) census (the
+        // barely-collapsing domain made that groupBy + checkpoint the
+        // query's dominant cost through round 12)
         val dev = base
           .join(broadcast(med), col("f") === col("m_flag"))
           .select(col("f"), abs(col("v") - col("med")).as("dev"),
             col("c"))
-          .groupBy("f", "dev").agg(sum(col("c")).cast("long").as("c"))
-          .localCheckpoint(true)
         RangeRank.groupValuesAtRanks(dev, Seq("f"), "dev",
           Seq(RangeRank.RankPick("mad", n => ceil(n * 0.5))),
           weightCol = Some("c"))

@@ -779,7 +779,7 @@ class OpsSpec extends SparkSpec {
     val family = Seq("q_tukey_quick", "q_cvm_two_sample",
       "q_ansari_bradley", "q_lepage", "q_bws_test",
       "q_fligner_policello", "q_cucconi", "q_watson_u2",
-      "q_auc", "q_ks_model", "q_auc_delong")
+      "q_auc", "q_ks_model", "q_auc_delong", "q_energy_distance")
     def plainCached(): Int = spark.sparkContext.getPersistentRDDs
       .values.count(!_.isCheckpointed)
     family.foreach(q(_).collect()) // warm: artifacts build here
@@ -803,5 +803,65 @@ class OpsSpec extends SparkSpec {
     val dInd = graft.ops.ModelEval.hoeffdingFinish(ind)
       .collect()(0).getDouble(1)
     assert(math.abs(dInd) < 0.05, s"permuted input read D=$dInd")
+  }
+
+  // ── concordance-mass laws (τ-b / Somers' D share the grid build):
+  // constructed grids pin the dependent regimes the independent-by-
+  // generation corpus can't ───────────────────────────────────────────
+  test("concordanceMasses: τ-b = ±1 on perfectly (anti)concordant grids") {
+    import spark.implicits._
+    def tauB(cen: org.apache.spark.sql.DataFrame): Double = {
+      val r = graft.ops.ModelEval.concordanceMasses(cen).collect()(0)
+      def d(i: Int) = r.getDecimal(i).doubleValue
+      (d(1) - d(2)) / math.sqrt((d(5) - d(3)) * (d(5) - d(4)))
+    }
+    val con = (1L to 5L).map(i => (i, i, 1L)).toDF("x", "y", "c")
+    assert(math.abs(tauB(con) - 1.0) < 1e-12,
+      s"concordant diagonal read tau-b=${tauB(con)}")
+    val anti = (1L to 5L).map(i => (i, 6L - i, 1L)).toDF("x", "y", "c")
+    assert(math.abs(tauB(anti) + 1.0) < 1e-12,
+      s"anti-diagonal read tau-b=${tauB(anti)}")
+  }
+
+  // ── energy-distance laws: E vanishes EXACTLY on identical multisets
+  // (the three prefix-decomposed masses cancel term-by-term in FP —
+  // power-of-two scaling), and equals 2|a−b| on opposing point masses ─
+  test("energyDistanceFinish: 0 on identical samples, 2|a-b| on point masses") {
+    import spark.implicits._
+    val same = Seq((1L, 2L, 2L), (5L, 3L, 3L), (9L, 1L, 1L))
+      .toDF("v", "c1", "c2")
+    val e0 = graft.ops.ModelEval.energyDistanceFinish(same)
+      .collect()(0).getDouble(2)
+    assert(e0 == 0.0, s"identical multisets read E=$e0")
+    val pts = Seq((0L, 2L, 0L), (5L, 0L, 3L)).toDF("v", "c1", "c2")
+    val r = graft.ops.ModelEval.energyDistanceFinish(pts).collect()(0)
+    assert(math.abs(r.getDouble(2) - 10.0) < 1e-9
+      && math.abs(r.getDouble(3) - 12.0) < 1e-9,
+      s"point masses read E=${r.getDouble(2)}, T=${r.getDouble(3)}")
+  }
+
+  // ── damped-holt fold law: the query's sequential fold equals a
+  // driver-side replay of the recurrence bit-for-bit (same IEEE op
+  // sequence per step — the q_holt_winters discipline) ────────────────
+  test("q_damped_holt equals a driver-side replay of the damped recurrence") {
+    val daily = graft.Tables.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .orderBy("day").collect().map(_.getLong(1))
+    var l = daily(0).toDouble / 100.0
+    var b = 0.0
+    for (i <- 1 until daily.length) {
+      val v = daily(i).toDouble / 100.0
+      val l2 = 0.3 * v + 0.7 * (l + 0.98 * b)
+      b = 0.1 * ((0.3 * v + 0.7 * (l + 0.98 * b)) - l) + 0.9 * (0.98 * b)
+      l = l2
+    }
+    val r = q("q_damped_holt").collect()(0)
+    assert(r.getLong(0) == daily.length.toLong, "n_days drifted")
+    assert(r.getDouble(1) == l, s"level ${r.getDouble(1)} != replay $l")
+    assert(r.getDouble(2) == b, s"trend ${r.getDouble(2)} != replay $b")
+    assert(r.getDouble(3) == l + 6.461848870910719 * b, "forecast drifted")
   }
 }

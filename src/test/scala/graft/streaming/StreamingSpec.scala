@@ -571,7 +571,12 @@ class StreamingSpec extends SparkSpec {
       "q_bws_test" -> graft.ops.ModelEval.bwsFinish,
       "q_fligner_policello" -> graft.ops.ModelEval.flignerPolicelloFinish,
       // round 12: the circular-CvM lens is the EIGHTH readout
-      "q_watson_u2" -> graft.ops.ModelEval.watsonU2Finish)
+      "q_watson_u2" -> graft.ops.ModelEval.watsonU2Finish,
+      // round 13: energy distance is the NINTH readout of the same
+      // Complete-mode state (the drained census takes the ranking
+      // path inside the finish; batch reads the pinned artifact —
+      // bit-equal either way)
+      "q_energy_distance" -> graft.ops.ModelEval.energyDistanceFinish)
     for ((qn, fin) <- finishes) {
       val st = fin(counts).collect().map(_.toString).toSet
       val ba = SparkEntry.queries(qn)(spark, sfDir).collect()
