@@ -864,4 +864,31 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(2) == b, s"trend ${r.getDouble(2)} != replay $b")
     assert(r.getDouble(3) == l + 6.461848870910719 * b, "forecast drifted")
   }
+  // ── pinned-RANKED-artifact integrity: the attached prefixes equal a
+  // naive window recomputation bit-for-bit (the contract every
+  // row-local two-sample finish now rests on) ─────────────────────────
+  test("rankedAnsari prefixes equal a naive window recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val art = Censuses.rankedAnsari(spark, sfDir)
+      .select(col("v"), col("c1"), col("c2"), col("off1"), col("off2"),
+        col("vs1").cast(dec38), col("vs2").cast(dec38))
+      .collect().map(_.toString).toSet
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = Censuses.ansariCountsOf(spark, sfDir)
+      .withColumn("off1", coalesce(sum(col("c1")).over(w), lit(0L)))
+      .withColumn("off2", coalesce(sum(col("c2")).over(w), lit(0L)))
+      .withColumn("vs1", coalesce(
+        sum(col("v").cast(dec38) * col("c1")).over(w),
+        lit(0).cast(dec38)).cast(dec38))
+      .withColumn("vs2", coalesce(
+        sum(col("v").cast(dec38) * col("c2")).over(w),
+        lit(0).cast(dec38)).cast(dec38))
+      .select(col("v"), col("c1"), col("c2"), col("off1"), col("off2"),
+        col("vs1"), col("vs2"))
+      .collect().map(_.toString).toSet
+    assert(art.nonEmpty && art === naive,
+      "pinned ranked census diverged from the naive window prefixes")
+  }
 }

@@ -307,4 +307,50 @@ class RangeRankSpec extends SparkSpec {
     assert(prefix === rawSel,
       "census prefix selection diverged from raw rows")
   }
+  // ── round-13 law: the FOURTH selection machine agrees too ───────────
+  // pinnedValuesAtRanks over a census whose exclusive prefixes are
+  // ALREADY attached (the pinned RANKED artifact shape) must reproduce
+  // censusValuesAtRanks bit-for-bit — value-at-rank AND
+  // prefix-sum-at-rank — including the n = Σ-multiplicity contract
+  // (ranked()'s nName counts CENSUS ROWS, not the multiset; the
+  // round-13 artifact builders join their own totals — the bug the
+  // mid-round gate caught on q_percentile_disc and friends).
+  test("pinnedValuesAtRanks equals censusValuesAtRanks on a prefixed census") {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val raw = (1 to 400).flatMap { i =>
+      Seq.fill(i % 5 + 1)((s"g${i % 4}", (i.toLong * 31) % 83))
+    }.toDF("g", "v")
+    val census = raw.groupBy("g", "v")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val picks = Seq(
+      RangeRank.RankPick("p25", n => ceil(n * 0.25)),
+      RangeRank.RankPick("med", n => expr("(n + 1) div 2"),
+        sumName = Some("s_med")),
+      RangeRank.RankPick("p90", n => ceil(n * 0.9)))
+    // attach the exclusive prefixes + multiset totals by hand — the
+    // exact artifact-builder recipe from Censuses
+    val tot = census.groupBy(col("g").as("tg"))
+      .agg(sum(col("c")).cast("long").as("nn"))
+    val art = RangeRank.ranked(census, Seq("g"), Seq(col("v")),
+        rnName = "__rn", nName = None,
+        prefixSums = Seq(RangeRank.PrefixSum(col("c"), "off"),
+          RangeRank.PrefixSum(col("v").cast(dec38) * col("c"), "vs")))
+      .join(broadcast(tot), col("g") === col("tg"))
+      .select(col("g"), col("v"), col("c").cast("long").as("c"),
+        col("off").cast("long").as("off"),
+        col("vs").cast(dec38).as("vs"), col("nn"))
+      .localCheckpoint(true)
+    def canon2(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .select(col("g"), col("n"), col("p25"), col("med"),
+        col("s_med").cast("decimal(38,0)"), col("p90"))
+      .collect().map(_.toString).toSet
+    val viaCensus = canon2(RangeRank.censusValuesAtRanks(
+      census, Seq("g"), "v", "c", picks))
+    val viaPinned = canon2(RangeRank.pinnedValuesAtRanks(
+      art, Seq("g"), "v", "c", "off", "nn", picks, vsCol = Some("vs")))
+    assert(viaCensus.nonEmpty && viaPinned === viaCensus,
+      "pinned-prefix selection diverged from census selection")
+  }
 }
