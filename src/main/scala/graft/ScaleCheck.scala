@@ -279,7 +279,13 @@ object ScaleCheck {
     // round-13 seeds (rows needed only if >=1 s at close; picks listed
     // so ScaleCheck can measure them either way)
     "q_energy_distance", "q_kendall_tau_b", "q_somers_d",
-    "q_damped_holt")
+    "q_damped_holt",
+    // round 14 (r13 verdict item 1): the nine DRIVER-map >=1 s queries
+    // the gate found without slope rows (all < 0.8 s on the committed
+    // close map — tenancy-hot cells; measured anyway per the r12 rule)
+    "q_diebold_mariano", "q_dunn_posthoc", "q_growth_accounting",
+    "q_langid_accuracy", "q_mode", "q_ordinal_association",
+    "q_p_chart", "q_rosenbluth_index", "q_sobel_mediation")
 
   /** Per-copy key shift for the event/order key domains: copies get
     * disjoint user populations (×M users, SAME time span — per-era
