@@ -26,22 +26,37 @@ The same row-shape rule is asserted in-suite by ScaleGateSpec, so
 >= 1 s queries.
 """
 import json
+import os
 import re
 import sys
 
 bench_paths = []
 scale_path = "SCALE.md"
 thr = 1.0
+thr_seen = False
 for a in sys.argv[1:]:
     if a.endswith(".md"):
         scale_path = a
         continue
-    try:
-        thr = float(a)
-        continue
-    except ValueError:
-        pass
+    # a bare float is the threshold — but only ONE, only finite, and
+    # never something that also exists as a file (r13 ADVICE: a
+    # mistyped bench path like '2' silently reconfigured the gate)
+    if not os.path.exists(a):
+        try:
+            v = float(a)
+        except ValueError:
+            pass
+        else:
+            if v != v or v in (float("inf"), float("-inf")):
+                sys.exit(f"non-finite threshold: {a!r}")
+            if thr_seen:
+                sys.exit("more than one threshold argument supplied")
+            thr, thr_seen = v, True
+            continue
     bench_paths.append(a)
+missing_files = [p for p in bench_paths if not os.path.exists(p)]
+if missing_files:
+    sys.exit(f"bench map(s) not found: {missing_files}")
 if not bench_paths:
     bench_paths = ["bench_out.json"]
 
