@@ -1582,7 +1582,7 @@ object Curation {
           .persist()
         val total = toks.filter(col("doc_id") % 50 =!= 3)
           .agg(count(lit(1)).cast("long").as("n_corpus"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val sweeps = Seq(3, 5, 8).map { n =>
           val sh = toks.select(col("doc_id"), explode(expr(
             s"""CASE WHEN size(toks) >= $n THEN array_distinct(

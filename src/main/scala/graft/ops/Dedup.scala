@@ -243,7 +243,7 @@ object Dedup {
     var edges = base
       .select(greatest(col("u"), col("v")).as("hi"),
         least(col("u"), col("v")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(false)
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < 25) {
@@ -261,7 +261,7 @@ object Dedup {
         .filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionByName(lmins.select(col("hi"), col("m").as("lo")))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false)
       // fixed point when the round leaves the edge set unchanged. Both
       // sides are distinct sets, so "some (hi, lo) carries only one
       // tag" ⟺ sets differ — ONE early-exit control action per round

@@ -2696,7 +2696,7 @@ object EventTime {
         val ranked = daily
           .select(row_number().over(Window.orderBy("day")).cast("long")
             .as("t"), col("cents"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val ols = ranked.agg(
             count(lit(1)).cast("long").as("n"),
             sum(col("t").cast(dec38)).as("st"),
@@ -2713,7 +2713,7 @@ object EventTime {
             ((col("sy").cast("double")
               - col("b") * col("st").cast("double"))
               / col("n").cast("double")).as("a"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         ranked.crossJoin(broadcast(ols))
           .select(col("t"), col("n"), col("a"), col("b"),
             (col("cents").cast("double") * 2.0
@@ -5663,7 +5663,7 @@ object EventTime {
           .persist()
         val tot = cen.agg(
           (sum(col("ret")).cast("double") / sum(col("n")).cast("double"))
-            .as("pbar")).localCheckpoint(true)
+            .as("pbar")).localCheckpoint(false)
         cen.crossJoin(broadcast(tot))
           .select(col("d"), col("n"), col("ret"), col("pbar"),
             (col("ret").cast("double") / col("n").cast("double")).as("p"),
@@ -5714,7 +5714,7 @@ object EventTime {
           .groupBy("d").agg(count(lit(1)).cast("long").as("c"))
           .persist()
         val tot = cen.agg((sum(col("c")).cast("double")
-          / count(lit(1)).cast("double")).as("cbar")).localCheckpoint(true)
+          / count(lit(1)).cast("double")).as("cbar")).localCheckpoint(false)
         cen.crossJoin(broadcast(tot))
           .select(col("d"), col("c"), col("cbar"),
             (col("cbar") + sqrt(col("cbar")) * 3.0).as("ucl"),
@@ -5760,7 +5760,7 @@ object EventTime {
           .persist()
         val tot = cen.agg((sum(col("c")).cast("double")
           / sum(col("n_units")).cast("double")).as("ubar"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         cen.crossJoin(broadcast(tot))
           .select(col("d"), col("n_units"), col("c"), col("ubar"),
             (col("c").cast("double") / col("n_units").cast("double"))
@@ -6690,7 +6690,7 @@ object EventTime {
           .withColumn("g", lit(1L)).persist()
         val thr = RangeRank.groupValuesAtRanks(days, Seq("g"), "cents",
           Seq(RangeRank.RankPick("var90", n => ceil(n * 0.9))))
-          .select(col("var90")).localCheckpoint(true)
+          .select(col("var90")).localCheckpoint(false)
         days.crossJoin(broadcast(thr))
           .agg(count(lit(1)).cast("long").as("n_days"),
             max(col("var90")).cast("long").as("var_cents"),

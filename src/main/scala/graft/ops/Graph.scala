@@ -266,13 +266,15 @@ object Graph {
     * src-partitioning every round.
     */
   def labelPropFixpoint(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    // lazy checkpoints (r14): the per-round convergence probe is the
+    // materializing action, so each round costs one job, not two
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var done = false
     var iter = 0
     while (!done && iter < maxRounds) {
-      val next = labelPropRound(edges, labels).localCheckpoint(true)
+      val next = labelPropRound(edges, labels).localCheckpoint(false)
       done = next.as("n")
         .join(labels.select(col("node"), col("lbl").as("old")), "node")
         .filter(col("lbl") =!= col("old")).isEmpty
@@ -289,9 +291,11 @@ object Graph {
     * distance from seed) for every reachable node.
     */
   def bfsFixpoint(edges: DataFrame, seed: Long, maxRounds: Int = 100): DataFrame = {
+    // lazy checkpoints (r14): the emptiness probe is the
+    // materializing action, one job per hop instead of two
     var visited = edges.sparkSession.range(1)
       .select(lit(seed).as("node"), lit(0L).as("depth"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = visited.select(col("node"))
     var done = false
     var d = 0
@@ -301,7 +305,7 @@ object Graph {
         .select(col("dst").cast("long").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("depth"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       done = next.isEmpty
       visited = visited.unionByName(next)
       frontier = next.select(col("node"))
@@ -312,12 +316,14 @@ object Graph {
   private[graft] def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
     // checkpoint the NODE-sized keep set: it feeds BOTH endpoint
     // semi-joins, and without the cut the degree census would be
-    // planned twice per round
+    // planned twice per round. Lazy (r14): the leaf cut is what
+    // dedups the planning; the cache materializes inside the
+    // caller's per-round action instead of costing its own job.
     val keep = edges.groupBy("src")
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
       .select(col("src").as("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     edges
       .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -358,6 +364,13 @@ object Graph {
         //   bench regression that motivated this split). The checkpoint
         //   costs one NODE-scale exchange per round (ranks report
         //   Unknown partitioning) — the small side, the right trade.
+        //   Round 14: the checkpoints are LAZY (eager = false) — the
+        //   Catalyst cut is identical (localCheckpoint wraps the round
+        //   in a LogicalRDD leaf at call time either way), but the five
+        //   eager materialization JOBS fold into the final action: one
+        //   job computes all five rounds, each round's marked RDD
+        //   persisting as its stage completes (r13 verdict item 2, the
+        //   per-query fixed-overhead attack).
         val edges = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
         val deg = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg")).persist()
@@ -365,7 +378,7 @@ object Graph {
         val r0 = Scale / n
         val base = (15L * r0) / 100L
         var ranks = deg.select(col("node"), col("deg"), lit(r0).as("pr"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         for (_ <- 1 to 5) {
           val contrib = edges
             .join(ranks, edges("src") === ranks("node"))
@@ -375,7 +388,7 @@ object Graph {
             .join(deg, "node")
             .select(col("node"), col("deg"),
               (lit(base) + expr("(85 * sc) div 100")).as("pr"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         ranks.select(col("node"), col("pr")).orderBy("node")
       },
@@ -537,18 +550,20 @@ object Graph {
         val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
         var visited = edges.sparkSession.range(1)
           .select(lit(seed).as("node"), lit(0L).as("depth"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var frontier = visited.select(col("node"))
         for (d <- 1 to 4) {
-          // only the FRONTIER needs an eager lineage cut (it feeds the
+          // only the FRONTIER needs the lineage cut (it feeds the
           // next round's join); visited is a flat union of already-
           // checkpointed frontiers, so its lineage stays 4 blocks deep
-          // and never re-materializes
+          // and never re-materializes. LAZY checkpoints (r14): the
+          // Catalyst leaf is cut at call time, the four per-round
+          // materialization jobs fold into the final census action.
           val next = edges.join(frontier, edges("src") === frontier("node"))
             .select(col("dst").cast("long").as("node")).distinct()
             .join(visited.select("node"), Seq("node"), "left_anti")
             .select(col("node"), lit(d.toLong).as("depth"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           visited = visited.unionByName(next)
           frontier = next.select(col("node"))
         }
@@ -598,9 +613,11 @@ object Graph {
             (lit(1L) + (col("src") + col("dst")) % 5).as("w"))
           .persist() // bucketed scan: projection keeps src partitioning
         val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
+        // lazy checkpoints (r14): leaf-cut per round, the four relax
+        // materialization jobs fold into the final census action
         var dist = edges.sparkSession.range(1)
           .select(lit(seed).as("node"), lit(0L).as("cost"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         for (_ <- 1 to 4) {
           val relaxed = edges
             .join(dist, edges("src") === dist("node"))
@@ -608,7 +625,7 @@ object Graph {
               (col("cost") + col("w")).as("cost"))
           dist = dist.unionByName(relaxed)
             .groupBy("node").agg(min(col("cost")).as("cost"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         dist.groupBy("cost")
           .agg(count(lit(1)).as("n_nodes"),
@@ -659,26 +676,41 @@ object Graph {
         // the dst-semi's own shuffle — 1 edge-scale exchange per round,
         // down from 3.
         var edges = kcoreEdges(s, dir)
-        val rounds = (1 to 3).map { r =>
-          edges = kcoreRound(edges, k).persist()
-          // materialize so the NEXT round's census/src-semi see the
-          // final cached partitioning (pre-final caches report Unknown)
-          val cnt = edges.count()
-          // per-round census WITHOUT a double-countDistinct Expand (that
-          // shape pays a 3x edge-scale row blowup through the agg —
-          // the q_supplier_wait lesson): dedup src to the node set first
-          // (map-side partial dedup; node-scale shuffle at worst, free
-          // when the cache still reports the src partitioning), then a
-          // 2-row conditional count. The edge tally is the
-          // materialization count just paid — not a fourth pass.
-          edges.select("src").distinct()
-            .agg(
-              count(when(col("src") % 2 === 0, lit(1))).as("n_cust"),
-              count(when(col("src") % 2 === 1, lit(1))).as("n_supp"))
-            .select(lit(r.toLong).as("round"), col("n_cust"),
-              col("n_supp"), lit(cnt / 2L).as("n_edges"))
+        // round 14 (r13 verdict item 2, per-query job-count attack):
+        // ONE degree census per round now serves BOTH consumers — the
+        // round census the query emits (n_cust/n_supp are conditional
+        // counts over the node-scale census, n_edges = Σdeg div 2) and
+        // the NEXT round's keep set (filter deg >= k). The per-round
+        // 1-row head() doubles as the cache materialization barrier the
+        // old count() provided (the next round's semi-joins must see
+        // the final cached partitioning; pre-final caches report
+        // Unknown), so each round costs exactly one job — down from
+        // three (eager keep checkpoint + count + the final action's
+        // per-round distinct census). The collected rows are O(1)
+        // iteration scalars, the PageRank-N discipline.
+        var deg = edges.groupBy("src")
+          .agg(count(lit(1)).as("deg")).localCheckpoint(false)
+        val rows = (1 to 3).map { r =>
+          val keep = deg.filter(col("deg") >= k)
+            .select(col("src").as("node")).localCheckpoint(false)
+          edges = edges
+            .join(keep.withColumnRenamed("node", "src"), Seq("src"),
+              "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), Seq("dst"),
+              "left_semi")
+            .select(col("dst").as("src"), col("src").as("dst"))
+            .persist()
+          deg = edges.groupBy("src")
+            .agg(count(lit(1)).as("deg")).localCheckpoint(false)
+          val c = deg.agg(
+            count(when(col("src") % 2 === 0, lit(1))).as("n_cust"),
+            count(when(col("src") % 2 === 1, lit(1))).as("n_supp"),
+            expr("sum(deg) div 2").as("n_edges")).head()
+          (r.toLong, c.getLong(0), c.getLong(1), c.getLong(2))
         }
-        rounds.reduce(_ unionByName _).orderBy("round")
+        s.createDataFrame(rows)
+          .toDF("round", "n_cust", "n_supp", "n_edges")
+          .orderBy("round")
       },
       Some("""WITH cs AS (
                 SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
@@ -744,11 +776,15 @@ object Graph {
         // round's plan at two leaf relations, at the price of one
         // node-scale label exchange per round — the small side.
         val edges = kcoreEdges(s, dir)
+        // lazy checkpoints (r14): each round is leaf-cut at build time
+        // and all three rounds + censuses compute in ONE final job —
+        // each generation's marked RDD persists as its stage completes,
+        // so census r and round r+1 both read the cache
         var labels = edges.select(col("src").as("node")).distinct()
           .select(col("node"), col("node").as("lbl"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val rounds = (1 to 3).map { r =>
-          labels = labelPropRound(edges, labels).localCheckpoint(true)
+          labels = labelPropRound(edges, labels).localCheckpoint(false)
           labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
             .agg(count(lit(1)).as("n_labels"),
               sum(col("sz")).as("n_nodes"),
@@ -808,7 +844,10 @@ object Graph {
     // rounding.
     Q("q_assortativity",
       (s, dir) => {
-        val edges = bipartiteEdges(s, dir).localCheckpoint(true)
+        // lazy (r14): edges feeds the census and both enrichment-join
+        // probes — the leaf cut dedups the planning, the single final
+        // agg materializes the cache (no separate checkpoint job)
+        val edges = bipartiteEdges(s, dir).localCheckpoint(false)
         val deg = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -966,9 +1005,13 @@ object Graph {
           .select(expr("src div 2").as("c"), expr("(dst - 1) div 2").as("s"))
           .repartition(col("c")).persist()
         cs.count()
+        // lazy checkpoints (r14): leaf-cut per half-round, the four
+        // eager materialization jobs fold into the final action (the
+        // max-broadcast builds materialize each generation's cache on
+        // their first read)
         var hubs = cs.select(col("c")).distinct()
           .select(col("c").as("node"), lit(Scale).as("h"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var auths: DataFrame = hubs
         for (_ <- 1 to 2) {
           val araw = cs.join(hubs, cs("c") === hubs("node"))
@@ -978,7 +1021,7 @@ object Graph {
           auths = araw.crossJoin(broadcast(amax))
             .select(col("node"),
               expr("(raw * 1000000000000) div mx").cast("long").as("a"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val hraw = cs.join(auths, cs("s") === auths("node"))
             .groupBy(col("c").as("node"))
             .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
@@ -986,7 +1029,7 @@ object Graph {
           hubs = hraw.crossJoin(broadcast(hmax))
             .select(col("node"),
               expr("(raw * 1000000000000) div mx").cast("long").as("h"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         hubs.select(lit("hub").as("role"), col("node"),
             col("h").as("score"))
@@ -1224,13 +1267,16 @@ object Graph {
       (s, dir) => {
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val edges = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
+        // lazy checkpoints (r14): p1/p2 each feed two consumers — the
+        // leaf cut keeps them planned once, the cache materializes on
+        // first read inside the single final job
         val p1 = edges.groupBy(col("dst").as("node"))
           .agg(count(lit(1)).cast(dec38).as("p1"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val p2 = edges.join(p1, edges("src") === p1("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("p1")).as("p2"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val p3 = edges.join(p2, edges("src") === p2("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("p2")).as("p3"))
@@ -1344,11 +1390,13 @@ object Graph {
         val seeds = edges.select(col("src").cast("long").as("seed"))
           .distinct().orderBy("seed").limit(8)
           .collect().map(_.getLong(0)).toSeq
+        // lazy checkpoints (r14): leaf-cut per round, the four
+        // frontier materialization jobs fold into the final action
         var visited = edges.sparkSession
           .createDataFrame(seeds.map(Tuple1(_)))
           .select(col("_1").as("seed"), col("_1").as("node"),
             lit(0L).as("depth"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var frontier = visited.select(col("seed"), col("node"))
         for (d <- 1 to 4) {
           val next = edges
@@ -1358,7 +1406,7 @@ object Graph {
             .join(visited.select("seed", "node"), Seq("seed", "node"),
               "left_anti")
             .select(col("seed"), col("node"), lit(d.toLong).as("depth"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           visited = visited.unionByName(next)
           frontier = next.select(col("seed"), col("node"))
         }

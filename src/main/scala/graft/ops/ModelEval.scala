@@ -704,20 +704,25 @@ object ModelEval {
   }
 
   /** The (c1, c2, off1, off2) cumulative view every two-sample finish
-    * starts from. Round 13: when the input ALREADY carries the
-    * exclusive prefix columns (the pinned [[Censuses.rankedAnsari]]
-    * artifact), the per-query RangeRank pass is skipped outright — the
-    * finish reduces to row-local arithmetic plus one agg. A drained
-    * streaming census (v, c1, c2 only) takes the ranking path, so the
-    * twin assertions keep comparing bit-identical readouts.
+    * starts from. `preRanked = true` declares the input is the pinned
+    * [[Censuses.rankedAnsari]] artifact (prefix columns attached), so
+    * the per-query RangeRank pass is skipped outright — the finish
+    * reduces to row-local arithmetic plus one agg; the columns are
+    * then REQUIRED, not sniffed (r13 ADVICE: a coincidental off1
+    * column must not silently reroute the statistic). A drained
+    * streaming census (v, c1, c2 only) keeps the default ranking
+    * path, so the twin assertions compare bit-identical readouts.
     */
-  private def ansariCum(census0: DataFrame): DataFrame =
-    if (census0.columns.contains("off1"))
+  private def ansariCum(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame =
+    if (preRanked) {
+      require(Seq("off1", "off2").forall(census0.columns.contains),
+        "preRanked = true needs the pinned rankedAnsari prefix columns")
       census0.select(col("v"), col("c1").cast("long").as("c1"),
         col("c2").cast("long").as("c2"),
         col("off1").cast("long").as("off1"),
         col("off2").cast("long").as("off2"))
-    else {
+    } else {
       val census = census0
         .select(col("v"), col("c1").cast("long").as("c1"),
           col("c2").cast("long").as("c2"))
@@ -755,14 +760,17 @@ object ModelEval {
 
   /** Cramér–von Mises finishing arithmetic over the drained
     * [[ansariCounts]] census — see q_cvm_two_sample. */
-  def cvmTwoSampleFinish(census0: DataFrame): DataFrame = {
+  def cvmTwoSampleFinish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
         val dec38 = DecimalType(38, 0)
-        finishWith(ansariCum(census0)
+        finishWith(ansariCum(census0, preRanked)
           .select(col("c1"), col("c2"),
             (col("off1") + col("c1")).cast("long").as("cum1"),
             (col("off2") + col("c2")).cast("long").as("cum2"))) { cum =>
+        // lazy leaf (r14): single broadcast consumer — the cut dedups
+        // planning, the final action's broadcast build materializes it
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(false)
         cum.crossJoin(broadcast(ns))
           .select(col("n1"), col("n2"),
             ((col("c1") + col("c2")).cast(dec38)
@@ -792,14 +800,17 @@ object ModelEval {
     * terms are one double division off dec38 integers, identically
     * spelled in both engines.
     */
-  def watsonU2Finish(census0: DataFrame): DataFrame = {
+  def watsonU2Finish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
         val dec38 = DecimalType(38, 0)
-        finishWith(ansariCum(census0)
+        finishWith(ansariCum(census0, preRanked)
           .select(col("c1"), col("c2"),
             (col("off1") + col("c1")).cast("long").as("cum1"),
             (col("off2") + col("c2")).cast("long").as("cum2"))) { cum =>
+        // lazy leaf (r14): single broadcast consumer — the cut dedups
+        // planning, the final action's broadcast build materializes it
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(false)
         val nn = (col("n1") + col("n2")).cast("double")
         cum.crossJoin(broadcast(ns))
           .select(col("n1"), col("n2"),
@@ -838,13 +849,17 @@ object ModelEval {
     * no rounding (both engines run the identical op sequence on
     * identical integers).
     */
-  def energyDistanceFinish(census0: DataFrame): DataFrame = {
+  def energyDistanceFinish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
     val dec38 = DecimalType(38, 0)
     val cum =
-      if (census0.columns.contains("vs1"))
+      if (preRanked) {
+        require(Seq("off1", "off2", "vs1", "vs2")
+          .forall(census0.columns.contains),
+          "preRanked = true needs the pinned rankedAnsari prefix columns")
         census0.select(col("v"), col("c1"), col("c2"),
           col("off1"), col("off2"), col("vs1"), col("vs2"))
-      else {
+      } else {
         val census = census0
           .select(col("v"), col("c1").cast("long").as("c1"),
             col("c2").cast("long").as("c2"))
@@ -916,8 +931,6 @@ object ModelEval {
       .filter(col("c") > 0)
     val wX = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wY = Window.orderBy("y")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val mx = grid.groupBy("x").agg(sum(col("c")).as("cx"))
       .select(col("x").as("mx_x"),
         coalesce(sum(col("cx")).over(wX), lit(0L)).as("cxl"))
@@ -942,13 +955,14 @@ object ModelEval {
     * oracle plus the concordance masses of [[concordanceMasses]];
     * `finalSelect` reads (agg: n/p2/q2, tx, ty, n0: n0x2).
     */
-  private def tauBOracle(finalSelect: String): String =
+  /** The concordance-CTE ladder over an arbitrary (x, y, c) grid
+    * census — shared by the quantity × price family (via
+    * [[tauBOracle]]) and the round-14 priority × price-bucket grid.
+    */
+  private def concordanceOracle(cenSql: String,
+      finalSelect: String): String =
     s"""WITH cen AS (
-          SELECT CAST(l_quantity AS BIGINT) AS x,
-            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-              AS BIGINT) // 100000 AS y,
-            CAST(count(*) AS BIGINT) AS c
-          FROM lineitem GROUP BY 1, 2),
+          $cenSql),
         grid AS (
           SELECT xx.x, yy.y, COALESCE(c.c, 0) AS c
           FROM (SELECT DISTINCT x FROM cen) xx
@@ -993,6 +1007,22 @@ object ModelEval {
         n0 AS (
           SELECT CAST(n AS HUGEINT) * (n - 1) AS n0x2 FROM agg)
         $finalSelect"""
+
+  private def tauBOracle(finalSelect: String): String =
+    concordanceOracle(
+      """SELECT CAST(l_quantity AS BIGINT) AS x,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              AS BIGINT) // 100000 AS y,
+            CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2""", finalSelect)
+
+  private def priorityGridOracle(finalSelect: String): String =
+    concordanceOracle(
+      """SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS BIGINT) // 100000 AS y,
+            CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2""", finalSelect)
 
   /** Hoeffding's D finishing arithmetic over an (x, y, c) grid
     * census — see q_hoeffding_d for the statistic's derivation and the
@@ -1064,15 +1094,18 @@ object ModelEval {
 
   /** Finishing arithmetic of q_ansari_bradley over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
-  def ansariBradleyFinish(census0: DataFrame): DataFrame = {
+  def ansariBradleyFinish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
 
         val dec38 = DecimalType(38, 0)
-        finishWith(ansariCum(census0)
+        finishWith(ansariCum(census0, preRanked)
           .select(col("c1"), col("c2"),
             col("off1").cast("long").as("off1"),
             col("off2").cast("long").as("off2"))) { cum =>
+        // lazy leaf (r14): single broadcast consumer — the cut dedups
+        // planning, the final action's broadcast build materializes it
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(false)
         val scored = cum.crossJoin(broadcast(ns))
           .select(col("c1"), col("c2"),
             least(
@@ -1104,15 +1137,18 @@ object ModelEval {
 
   /** Finishing arithmetic of q_lepage over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
-  def lepageFinish(census0: DataFrame): DataFrame = {
+  def lepageFinish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
 
         val dec38 = DecimalType(38, 0)
-        finishWith(ansariCum(census0)
+        finishWith(ansariCum(census0, preRanked)
           .select(col("c1"), col("c2"),
             col("off1").cast("long").as("off1"),
             col("off2").cast("long").as("off2"))) { cum =>
+        // lazy leaf (r14): single broadcast consumer — the cut dedups
+        // planning, the final action's broadcast build materializes it
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(false)
         val scored = cum.crossJoin(broadcast(ns))
           .select(col("c1"), col("c2"),
             ((col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)
@@ -1173,17 +1209,20 @@ object ModelEval {
 
   /** Finishing arithmetic of q_bws_test over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
-  def bwsFinish(census0: DataFrame): DataFrame = {
+  def bwsFinish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
 
         val dec38 = DecimalType(38, 0)
-        finishWith(ansariCum(census0)
+        finishWith(ansariCum(census0, preRanked)
           .select(col("c1"), col("c2"),
             col("off1").cast("long").as("off1"),
             col("off2").cast("long").as("off2"))
           .withColumn("mr2",
             (col("off1") + col("off2")) * 2 + col("c1") + col("c2") + 1)) { cum =>
+        // lazy leaf (r14): single broadcast consumer — the cut dedups
+        // planning, the final action's broadcast build materializes it
         val ns = cum.agg(sum(col("c1")).cast("long").as("n1"),
-          sum(col("c2")).cast("long").as("n2")).localCheckpoint(true)
+          sum(col("c2")).cast("long").as("n2")).localCheckpoint(false)
         def side(cc: String, off: String, smp: Int) = cum
           .filter(col(cc) > 0)
           .select(lit(smp.toLong).as("smp"), col("mr2"),
@@ -1223,10 +1262,11 @@ object ModelEval {
 
   /** Finishing arithmetic of q_fligner_policello over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
-  def flignerPolicelloFinish(census0: DataFrame): DataFrame = {
+  def flignerPolicelloFinish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
 
         val dec38 = DecimalType(38, 0)
-        val cum = ansariCum(census0)
+        val cum = ansariCum(census0, preRanked)
           .select(col("c1"), col("c2"), col("off1"), col("off2"))
         // placements ×2: p2 = 2·#(other strictly below) + #(other tied)
         val m = cum
@@ -1264,7 +1304,8 @@ object ModelEval {
 
   /** Finishing arithmetic of q_cucconi over the drained
     * [[ansariCounts]] census — one Complete-mode state, many readouts. */
-  def cucconiFinish(census0: DataFrame): DataFrame = {
+  def cucconiFinish(census0: DataFrame,
+      preRanked: Boolean = false): DataFrame = {
 
         // finishWith: the midrank census feeds THREE consumers (agg,
         // aggT, and aggT's nn broadcast) — un-persisted, each re-scans
@@ -1273,7 +1314,7 @@ object ModelEval {
         // materialized (r11 ADVICE). The pooled exclusive prefix is
         // off1 + off2, so the doubled pooled midrank is row-local off
         // the shared ranked artifact.
-        finishWith(ansariCum(census0)
+        finishWith(ansariCum(census0, preRanked)
           .select(col("c1"), col("c2"),
             (lit(2L) * (col("off1") + col("off2"))
               + col("c1") + col("c2") + 1L)
@@ -3954,49 +3995,24 @@ object ModelEval {
     Q("q_conover_squared_ranks",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
-        // round 12: the raw (tr, v) projection and its per-query persist
-        // are replaced by the SHARED pinned urgent-vs-rest census —
-        // group sums and the |v·n_g − s_g| deviation census all derive
-        // from census rows with multiplicity
-        val cen0 = Censuses.rankedAnsari(s, dir)
-        val wide = cen0.agg(
-            sum(col("c1")).cast("long").as("n1"),
-            sum(col("v").cast(dec38) * col("c1")).as("s1"),
-            sum(col("c2")).cast("long").as("n2"),
-            sum(col("v").cast(dec38) * col("c2")).as("s2"))
-          .localCheckpoint(true)
-        val census = cen0.crossJoin(broadcast(wide))
-          .select(explode(array(
-            struct((abs(col("v").cast(dec38) * col("n1") - col("s1"))
-              * col("n2")).as("u"), col("c1").as("k1"), lit(0L).as("k2")),
-            struct((abs(col("v").cast(dec38) * col("n2") - col("s2"))
-              * col("n1")).as("u"), lit(0L).as("k1"), col("c2").as("k2"))))
-            .as("x"))
-          .groupBy(col("x.u").as("u"))
-          .agg(sum(col("x.k1")).cast("long").as("c1"),
-            sum(col("x.k2")).cast("long").as("c2"))
-          .withColumn("g", lit(1L))
-        val cum = RangeRank.ranked(census, Seq("g"), Seq(col("u")),
-          rnName = "__rn", nName = None,
-          prefixSums = Seq(RangeRank.PrefixSum(col("c1"), "off1"),
-            RangeRank.PrefixSum(col("c2"), "off2")))
-          .select(col("c1"), col("c2"),
-            col("off1").cast("long").as("off1"),
-            col("off2").cast("long").as("off2"))
-        val terms = cum.crossJoin(broadcast(wide.select("n1", "n2")))
-          .select(col("c1"), col("c2"),
+        // round 14 (the §21 r13 seed): the |v·n_g − s_g| deviation
+        // census, its prefixes, and the group totals are the pinned
+        // [[Censuses.rankedConoverDev]] artifact — the per-query work
+        // left is row-local midrank arithmetic + ONE agg
+        val cum = Censuses.rankedConoverDev(s, dir)
+        val terms = cum
+          .select(col("c1"), col("c2"), col("n1"), col("n2"),
             (((col("off1") + col("off2")) * 2 + col("c1") + col("c2")
               + 1).cast("double")
               / ((col("n1") + col("n2")).cast("double") * 2.0)).as("rel"))
-          .select(col("c1"), col("c2"),
+          .select(col("c1"), col("c2"), col("n1"), col("n2"),
             round(col("rel") * col("rel") * 1e18, 0).cast(dec38).as("q2"),
             round(col("rel") * col("rel") * col("rel") * col("rel")
               * 1e18, 0).cast(dec38).as("q4"))
-        terms.agg(
+        terms.groupBy("n1", "n2").agg(
             sum(col("c1").cast(dec38) * col("q2")).as("t1"),
             sum((col("c1") + col("c2")).cast(dec38) * col("q2")).as("a2"),
             sum((col("c1") + col("c2")).cast(dec38) * col("q4")).as("b4"))
-          .crossJoin(broadcast(wide.select("n1", "n2")))
           .select(col("n1"), col("n2"),
             (col("t1").cast("double") / 1e18).as("t_rel"),
             (col("a2").cast("double") / 1e18).as("a_rel"),
@@ -4230,7 +4246,8 @@ object ModelEval {
     // E[T] = n₁M₁/N, Var[T] = n₁n₂(N·M₂−M₁²)/(N²(N−1)) from dec38
     // census sums — one mirrored division/sqrt chain at the readout.
     Q("q_ansari_bradley",
-      (s, dir) => ansariBradleyFinish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => ansariBradleyFinish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4291,7 +4308,8 @@ object ModelEval {
     // double chain its parent query uses (rounded to 6 before the
     // squares, L from the ROUNDED z's — fully order-free).
     Q("q_lepage",
-      (s, dir) => lepageFinish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => lepageFinish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4534,7 +4552,8 @@ object ModelEval {
     // z = (ΣP−ΣQ) / 2√(V₁+V₂+P̄Q̄) is the one pinned double chain
     // (Fligner–Policello 1981).
     Q("q_fligner_policello",
-      (s, dir) => flignerPolicelloFinish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => flignerPolicelloFinish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4597,7 +4616,8 @@ object ModelEval {
     // zero FP until the end. Σd² fits dec38 to ~10⁸ rows per group
     // (the q_bws_test envelope note).
     Q("q_cvm_two_sample",
-      (s, dir) => cvmTwoSampleFinish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => cvmTwoSampleFinish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4645,7 +4665,8 @@ object ModelEval {
     // FIRST moment (Σc·D) in the same dec38 agg; the eighth readout of
     // the drained two-sample streaming twin (StreamingSpec).
     Q("q_watson_u2",
-      (s, dir) => watsonU2Finish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => watsonU2Finish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4710,7 +4731,8 @@ object ModelEval {
     // statistic. The NINTH readout of the urgent-vs-rest streaming
     // twin state; exact dec38 until three mirrored IEEE divisions.
     Q("q_energy_distance",
-      (s, dir) => energyDistanceFinish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => energyDistanceFinish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -4905,6 +4927,58 @@ object ModelEval {
                  / CAST(n0x2 - ty2 AS DOUBLE), 12) END AS d_xy
            FROM agg, tx, ty, n0"""))),
 
+    // ── Somers' D on the ASYMMETRIC priority × price-bucket grid ────────
+    // The r13 §21 seed: the direction pair on a grid whose marginals
+    // differ by two orders (5 priority levels vs hundreds of price
+    // buckets). D(price|priority) divides out the priority ties — the
+    // dominant mass on the 5-level margin — while D(priority|price)
+    // divides out the (much smaller) price-bucket ties, so the
+    // asymmetry of the pair is the measurement, not an artifact.
+    // Same [[concordanceMasses]] build over the pinned
+    // [[Censuses.priorityPriceBucket]] grid; one artifact, row-local
+    // finish, identical integer masses in both engines.
+    Q("q_somers_d_priority",
+      (s, dir) => concordanceMasses(Censuses.priorityPriceBucket(s, dir))
+        .select(col("n"),
+          when(col("n0x2") - col("tx2") <= 0, lit(null).cast("double"))
+            .otherwise(round((col("p2") - col("q2")).cast("double")
+              / (col("n0x2") - col("tx2")).cast("double"), 12))
+            .as("d_yx"),
+          when(col("n0x2") - col("ty2") <= 0, lit(null).cast("double"))
+            .otherwise(round((col("p2") - col("q2")).cast("double")
+              / (col("n0x2") - col("ty2")).cast("double"), 12))
+            .as("d_xy")),
+      Some(priorityGridOracle(
+        """SELECT n,
+             CASE WHEN n0x2 - tx2 <= 0 THEN NULL
+               ELSE round(CAST(p2 - q2 AS DOUBLE)
+                 / CAST(n0x2 - tx2 AS DOUBLE), 12) END AS d_yx,
+             CASE WHEN n0x2 - ty2 <= 0 THEN NULL
+               ELSE round(CAST(p2 - q2 AS DOUBLE)
+                 / CAST(n0x2 - ty2 AS DOUBLE), 12) END AS d_xy
+           FROM agg, tx, ty, n0"""))),
+
+    // ── Goodman–Kruskal gamma on the same grid ──────────────────────────
+    // The tie-INSENSITIVE member completing the concordance family
+    // (τ-b normalizes by both tie-corrected margins, D by one, γ by
+    // none): γ = (P − Q)/(P + Q) over concordant/discordant mass
+    // only. On the asymmetric grid γ ≫ |D(priority|price)| whenever
+    // the association is real but priority ties dominate — the
+    // three-statistic readout is the point of sharing one artifact.
+    Q("q_gk_gamma",
+      (s, dir) => concordanceMasses(Censuses.priorityPriceBucket(s, dir))
+        .select(col("n"),
+          when(col("p2") + col("q2") === 0, lit(null).cast("double"))
+            .otherwise(round((col("p2") - col("q2")).cast("double")
+              / (col("p2") + col("q2")).cast("double"), 12))
+            .as("gamma")),
+      Some(priorityGridOracle(
+        """SELECT n,
+             CASE WHEN p2 + q2 = 0 THEN NULL
+               ELSE round(CAST(p2 - q2 AS DOUBLE)
+                 / CAST(p2 + q2 AS DOUBLE), 12) END AS gamma
+           FROM agg"""))),
+
     // ── van Elteren stratified Wilcoxon (urgent vs rest, by year) ───────
     // The rank analog of the CMH family: the two-sample comparison run
     // WITHIN each order-year stratum and combined with the locally-
@@ -5052,7 +5126,8 @@ object ModelEval {
     // position-pinned sorted fold (the q_psi discipline), so the
     // statistic is bit-stable on both engines.
     Q("q_bws_test",
-      (s, dir) => bwsFinish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => bwsFinish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH base AS (
                 SELECT CASE WHEN o_orderpriority IN
                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS tr,
@@ -5140,7 +5215,8 @@ object ModelEval {
     // chain. Pooled midranks ride RangeRank prefix sums — never a
     // single-task window over the ~6·10⁷-value census.
     Q("q_cucconi",
-      (s, dir) => cucconiFinish(Censuses.rankedAnsari(s, dir)),
+      (s, dir) => cucconiFinish(Censuses.rankedAnsari(s, dir),
+        preRanked = true),
       Some("""WITH census AS (
                 SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                     AS BIGINT) AS v,
@@ -6824,9 +6900,17 @@ object ModelEval {
             sum(col("pos")).cast("long").as("k"))
           .persist()
         val w = Window.orderBy("lo")
+        // r14 job-count fold: checkpoints are LAZY and the per-round
+        // convergence probe is the block COUNT of the next generation
+        // (a merge removes exactly one row per merged pair, so
+        // |next| < |blocks| ⇔ some pair merged) — the one count job
+        // per round both materializes the lazy checkpoint and answers
+        // convergence, down from the eager-checkpoint + mergeL-count
+        // pair of jobs per round
         var blocks = census.select(col("b").as("lo"), col("b").as("hi"),
-            col("k"), col("n")).localCheckpoint(true)
-        var merged = true
+            col("k"), col("n")).localCheckpoint(false)
+        var prevCnt = blocks.count()
+        var merged = prevCnt > 0
         while (merged) {
           val f = blocks
             .withColumn("nk", lead(col("k"), 1).over(w))
@@ -6847,8 +6931,10 @@ object ModelEval {
                 .otherwise(col("k")).as("k"),
               when(col("mergeL"), col("n") + col("nn2"))
                 .otherwise(col("n")).as("n"))
-            .localCheckpoint(true)
-          merged = f.filter(col("mergeL")).count() > 0
+            .localCheckpoint(false)
+          val cnt = next.count()
+          merged = cnt < prevCnt
+          prevCnt = cnt
           blocks = next
         }
         census.join(blocks,
@@ -8002,7 +8088,8 @@ object ModelEval {
         val dec38 = DecimalType(38, 0)
         // round 13: midranks/placements read row-locally off the
         // pinned RANKED census — no per-query range shuffle
-        val cum = ansariCum(Censuses.rankedAnsari(s, dir))
+        val cum = ansariCum(Censuses.rankedAnsari(s, dir),
+          preRanked = true)
         val tots = cum
           .select(col("c1"), col("c2"),
             // doubled pooled midrank at v (shared by both groups)

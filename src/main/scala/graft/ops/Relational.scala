@@ -2196,7 +2196,7 @@ object Relational {
           "off", "n",
           Seq(RangeRank.RankPick("med", n => ceil(n * 0.5))))
           .select(col("f").as("m_flag"), col("n"), col("med"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // deviation frame derives row-locally from the CHECKPOINTED
         // base census via a 3-row broadcast join — each histogram pass
         // re-runs the map-only join against pinned blocks, which is
@@ -2272,7 +2272,7 @@ object Relational {
             && expr("(n + 1) div 2") <= col("off") + col("c"))
           .select(col("v").as("m"), col("off").as("off_m"),
             col("c").as("c_m"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // side totals and rank targets are scalars off the median row:
         //   n_lo = off_m + c_m (v ≤ m), n_hi = n − off_m (v ≥ m)
         // lo pick: cum(dev < m−v) = (off_m + c_m) − (off + c),
@@ -2875,7 +2875,7 @@ object Relational {
             RangeRank.RankPick("p75", n => ceil(n * 0.75)),
             RangeRank.RankPick("p95", n => ceil(n * 0.95))))
           .select(col("n"), col("p05"), col("p25"), col("p75"), col("p95"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         base.crossJoin(broadcast(qs))
           .select(col("cents"), col("n"), col("p05"), col("p25"),
             col("p75"), col("p95"),
@@ -3060,7 +3060,7 @@ object Relational {
         // errors); doubles only at the readout casts below.
         val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val tot = census.agg(sum(col("cents").cast(dec38)).as("x"),
-          count(lit(1)).cast("long").as("k")).localCheckpoint(true)
+          count(lit(1)).cast("long").as("k")).localCheckpoint(false)
         val rtot = census.groupBy(col("region").as("r2"))
           .agg(sum(col("cents").cast(dec38)).as("xr"),
             count(lit(1)).cast("long").as("kr"))
@@ -5717,57 +5717,72 @@ object Relational {
     // segment × priority order table so row margins match the CUSTOMER
     // POPULATION's segment counts and column margins match a uniform
     // priority target — two full IPF sweeps (row-scale, col-scale) ×2.
-    // Everything lives on the ≤25-cell census: each sweep is a window
-    // marginal + one IEEE division per cell, the same op sequence on
-    // identical doubles in both engines (inputs are exact integers).
+    // Round 14 (r13 verdict item 2): the four per-sweep grouped-agg +
+    // broadcast-rejoin passes cost ~2 s of pure job overhead on a
+    // ≤25-cell census — the whole grid now packs into ONE row and the
+    // four sweeps run as index folds inside a single job (the
+    // q_holt_winters sequential-fold machinery, state = the weight
+    // vector). Each margin is the same within-group p-ordered
+    // left-to-right double fold the per-sweep spelling used (non-group
+    // members contribute an exact +0.0), so the fitted weights are
+    // bit-identical in both engines.
     Q("q_ipf_raking",
       (s, dir) => {
-        val wSeg = Window.partitionBy("segment")
-        val wPri = Window.partitionBy("p")
         val obs = t(s, dir, "orders")
           .join(t(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment").as("segment"),
             substring(col("o_orderpriority"), 1, 1).cast("long").as("p"))
           .agg(count(lit(1)).cast("long").as("c"))
-          .persist()
+        // leaf-cut (lazy): the 5-row margin frame feeds BOTH the cell
+        // join and the total — one customer scan, materialized inside
+        // the single job
         val rowTarget = t(s, dir, "customer")
           .groupBy(col("c_mktsegment").as("segment"))
           .agg(count(lit(1)).cast("long").as("r_t"))
+          .localCheckpoint(false)
         // column target = uniform fifth of the ROW-target mass, so the
         // two margin systems are consistent and IPF converges
         val tot = rowTarget.agg(sum(col("r_t")).cast("long").as("rt_tot"))
-        // persisted: every sweep's marginal re-derives its input chain
-        // (m is computed FROM df and joined back onto it), so an
-        // un-cached base would re-pay the fact joins once per sweep
-        // side — cached, the re-executions are 25-row census arithmetic
-        val base = obs.join(broadcast(rowTarget), "segment")
+        val cells = obs.join(broadcast(rowTarget), "segment")
           .crossJoin(broadcast(tot))
           .withColumn("c_t", col("rt_tot").cast("double") / 5.0)
-          .withColumn("w", lit(1.0))
-          .persist()
-        // marginals are PINNED sorted folds, not window sums — a
-        // 5-double window sum reduces in engine-chosen order and the
-        // divergence compounds across sweeps
-        def scale(df: DataFrame, key: String, ord: String,
-            target: org.apache.spark.sql.Column): DataFrame = {
-          val m = df.groupBy(key).agg(expr(
-            s"""aggregate(array_sort(collect_list(
-               |  named_struct('o', $ord, 't', CAST(c AS DOUBLE) * w))),
-               |  CAST(0 AS DOUBLE), (a, x) -> a + x.t)""".stripMargin)
-            .as("__m"))
-          df.join(broadcast(m), key)
-            .withColumn("w", col("w") * target / col("__m"))
-            .drop("__m")
-        }
-        def rowScale(df: DataFrame): DataFrame =
-          scale(df, "segment", "p", col("r_t").cast("double"))
-        def colScale(df: DataFrame): DataFrame =
-          scale(df, "p", "segment", col("c_t"))
-        val fitted = colScale(rowScale(colScale(rowScale(base))))
-        fitted.select(col("segment"), col("p"), col("c"),
-            round(col("w"), 9).as("w"),
-            round(col("c").cast("double") * col("w"), 4).as("adjusted"))
+        val packed = cells.agg(
+            expr("array_sort(collect_list(struct(segment, p, c," +
+              " CAST(r_t AS DOUBLE) AS rt)))").as("g"),
+            expr("any_value(c_t)").as("c_t"))
+          .selectExpr(
+            "transform(g, x -> x.segment) AS segs",
+            "transform(g, x -> x.p) AS ps",
+            "transform(g, x -> x.c) AS cs",
+            "transform(g, x -> x.rt) AS rts",
+            "c_t", "size(g) AS n")
+        // one sweep = a new weight vector; the margin under element i
+        // is the in-order fold over the cells sharing its group key
+        def sweep(prev: String, key: String, target: String): String =
+          s"""transform(sequence(1, n), i ->
+             |  element_at($prev, i) * $target /
+             |  aggregate(sequence(1, n), CAST(0 AS DOUBLE), (a, j) ->
+             |    a + IF(element_at($key, j) = element_at($key, i),
+             |      CAST(element_at(cs, j) AS DOUBLE)
+             |        * element_at($prev, j),
+             |      CAST(0 AS DOUBLE))))""".stripMargin
+        val fitted = packed
+          .withColumn("w0",
+            expr("transform(sequence(1, n), i -> CAST(1.0 AS DOUBLE))"))
+          .withColumn("w1", expr(sweep("w0", "segs", "element_at(rts, i)")))
+          .withColumn("w2", expr(sweep("w1", "ps", "c_t")))
+          .withColumn("w3", expr(sweep("w2", "segs", "element_at(rts, i)")))
+          .withColumn("w4", expr(sweep("w3", "ps", "c_t")))
+        fitted
+          .select(explode(expr("sequence(1, n)")).as("i"),
+            col("segs"), col("ps"), col("cs"), col("w4"))
+          .select(expr("element_at(segs, i)").as("segment"),
+            expr("element_at(ps, i)").as("p"),
+            expr("element_at(cs, i)").as("c"),
+            expr("round(element_at(w4, i), 9)").as("w"),
+            expr("round(CAST(element_at(cs, i) AS DOUBLE)" +
+              " * element_at(w4, i), 4)").as("adjusted"))
           .orderBy("segment", "p")
       },
       Some("""WITH obs AS (
@@ -5781,52 +5796,63 @@ object Relational {
                   CAST(count(*) AS BIGINT) AS r_t
                 FROM customer GROUP BY 1),
               tot AS (SELECT CAST(SUM(r_t) AS BIGINT) AS rt_tot FROM rt),
-              base AS (
+              cells AS (
                 SELECT obs.segment, obs.p, obs.c, rt.r_t,
-                  CAST(rt_tot AS DOUBLE) / 5.0 AS c_t,
-                  CAST(1.0 AS DOUBLE) AS w
+                  CAST(rt_tot AS DOUBLE) / 5.0 AS c_t
                 FROM obs JOIN rt ON obs.segment = rt.segment, tot),
-              m1 AS (
-                SELECT segment, list_reduce(list_prepend(
+              packed AS (
+                SELECT list(segment ORDER BY segment, p) AS segs,
+                  list(p ORDER BY segment, p) AS ps,
+                  list(c ORDER BY segment, p) AS cs,
+                  list(CAST(r_t AS DOUBLE) ORDER BY segment, p) AS rts,
+                  any_value(c_t) AS c_t,
+                  CAST(count(*) AS INTEGER) AS n
+                FROM cells),
+              sw AS (
+                SELECT *, list_transform(range(1, n + 1),
+                    i -> CAST(1.0 AS DOUBLE)) AS w0
+                FROM packed),
+              s1 AS (SELECT *, list_transform(range(1, n + 1), i ->
+                  w0[i] * rts[i] / list_reduce(list_prepend(
                     CAST(0 AS DOUBLE),
-                    list(CAST(c AS DOUBLE) * w ORDER BY p)),
-                  (a, x) -> a + x) AS m
-                FROM base GROUP BY segment),
-              s1 AS (
-                SELECT b.segment, b.p, b.c, b.r_t, b.c_t,
-                  b.w * CAST(b.r_t AS DOUBLE) / m1.m AS w
-                FROM base b JOIN m1 ON b.segment = m1.segment),
-              m2 AS (
-                SELECT p, list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                    list(CAST(c AS DOUBLE) * w ORDER BY segment)),
-                  (a, x) -> a + x) AS m
-                FROM s1 GROUP BY p),
-              s2 AS (
-                SELECT b.segment, b.p, b.c, b.r_t, b.c_t,
-                  b.w * b.c_t / m2.m AS w
-                FROM s1 b JOIN m2 ON b.p = m2.p),
-              m3 AS (
-                SELECT segment, list_reduce(list_prepend(
+                    list_transform(range(1, n + 1), j ->
+                      CASE WHEN segs[j] = segs[i]
+                        THEN CAST(cs[j] AS DOUBLE) * w0[j]
+                        ELSE CAST(0 AS DOUBLE) END)),
+                    (a, x) -> a + x)) AS w1
+                FROM sw),
+              s2 AS (SELECT *, list_transform(range(1, n + 1), i ->
+                  w1[i] * c_t / list_reduce(list_prepend(
                     CAST(0 AS DOUBLE),
-                    list(CAST(c AS DOUBLE) * w ORDER BY p)),
-                  (a, x) -> a + x) AS m
-                FROM s2 GROUP BY segment),
-              s3 AS (
-                SELECT b.segment, b.p, b.c, b.r_t, b.c_t,
-                  b.w * CAST(b.r_t AS DOUBLE) / m3.m AS w
-                FROM s2 b JOIN m3 ON b.segment = m3.segment),
-              m4 AS (
-                SELECT p, list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                    list(CAST(c AS DOUBLE) * w ORDER BY segment)),
-                  (a, x) -> a + x) AS m
-                FROM s3 GROUP BY p),
-              s4 AS (
-                SELECT b.segment, b.p, b.c,
-                  b.w * b.c_t / m4.m AS w
-                FROM s3 b JOIN m4 ON b.p = m4.p)
-              SELECT segment, p, c, round(w, 9) AS w,
-                round(CAST(c AS DOUBLE) * w, 4) AS adjusted
-              FROM s4 ORDER BY segment, p""")),
+                    list_transform(range(1, n + 1), j ->
+                      CASE WHEN ps[j] = ps[i]
+                        THEN CAST(cs[j] AS DOUBLE) * w1[j]
+                        ELSE CAST(0 AS DOUBLE) END)),
+                    (a, x) -> a + x)) AS w2
+                FROM s1),
+              s3 AS (SELECT *, list_transform(range(1, n + 1), i ->
+                  w2[i] * rts[i] / list_reduce(list_prepend(
+                    CAST(0 AS DOUBLE),
+                    list_transform(range(1, n + 1), j ->
+                      CASE WHEN segs[j] = segs[i]
+                        THEN CAST(cs[j] AS DOUBLE) * w2[j]
+                        ELSE CAST(0 AS DOUBLE) END)),
+                    (a, x) -> a + x)) AS w3
+                FROM s2),
+              s4 AS (SELECT *, list_transform(range(1, n + 1), i ->
+                  w3[i] * c_t / list_reduce(list_prepend(
+                    CAST(0 AS DOUBLE),
+                    list_transform(range(1, n + 1), j ->
+                      CASE WHEN ps[j] = ps[i]
+                        THEN CAST(cs[j] AS DOUBLE) * w3[j]
+                        ELSE CAST(0 AS DOUBLE) END)),
+                    (a, x) -> a + x)) AS w4
+                FROM s3)
+              SELECT segs[i] AS segment, ps[i] AS p, cs[i] AS c,
+                round(w4[i], 9) AS w,
+                round(CAST(cs[i] AS DOUBLE) * w4[i], 4) AS adjusted
+              FROM s4, unnest(range(1, n + 1)) AS u(i)
+              ORDER BY segment, p""")),
     // The classic customer-scoring rollup: one per-customer census
     // (last order date, order count, exact lifetime cents), banded into
     // a 5×6×6 segment cube. The reference date is the table's own max
@@ -9179,7 +9205,7 @@ object Relational {
             expr("CAST((c1 * 1000000) div q1 AS BIGINT)").as("p1"))
           .persist()
         val tot = census.agg(sum(col("c0")).as("tc0"),
-          sum(col("c1")).as("tc1")).localCheckpoint(true)
+          sum(col("c1")).as("tc1")).localCheckpoint(false)
         census.crossJoin(broadcast(tot))
           .select(col("l_partkey"),
             round(((col("c0").cast("double") / col("tc0").cast("double")
@@ -9980,7 +10006,7 @@ object Relational {
                     CAST(0 AS DOUBLE), (acc, x) -> acc + x.ss)""")
               .as("sum_s"))
           .select(round(col("sum_r") / col("sum_s"), 6).as("orc"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val strata = cells.crossJoin(broadcast(orMh))
           .select(col("c_nationkey"), col("a"),
             (col("a") + col("b")).cast("double").as("n1"),
@@ -10195,7 +10221,7 @@ object Relational {
           .groupBy(col("o_orderdate").cast("date").as("d"))
           .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")
             .cast(dec38)).as("x"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val outs = Seq.newBuilder[DataFrame]
         for (i <- 1 to 3) {
           val mom = rem.agg(count(lit(1)).cast("long").as("n"),
@@ -10208,7 +10234,7 @@ object Relational {
                 - col("s1").cast("double") * col("s1").cast("double")
                   / col("n").cast("double"))
                 / (col("n") - 1).cast("double")).as("sd"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val pick = rem.crossJoin(broadcast(mom))
             .withColumn("absdev", abs(col("x") * col("n") - col("s1")))
             .orderBy(col("absdev").desc, col("d"))
@@ -10220,10 +10246,10 @@ object Relational {
               when(col("sd") > 0,
                 round(abs(col("x").cast("double") - col("mean"))
                   / col("sd"), 6)).as("r_stat"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           outs += pick.drop("d")
           rem = rem.join(pick.select("d"), Seq("d"), "left_anti")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
         outs.result().reduce(_ unionByName _).orderBy("iteration")
       },

@@ -3391,7 +3391,7 @@ object TextOps {
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .select(split(col("word"), "").as("syms"), col("freq"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       for (r <- 1 to 10) {
         val top = vocab.filter(size(col("syms")) >= 2)
@@ -3413,7 +3413,7 @@ object TextOps {
                 array(concat(element_at(acc, -1), x))))
               .otherwise(concat(acc, array(x)))).as("syms"),
           col("freq"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
       merges.result()
     })

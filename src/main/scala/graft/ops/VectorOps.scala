@@ -415,6 +415,41 @@ object VectorOps {
               ORDER BY vec_id"""
       }),
 
+    // ── OPQ codes: energy-balanced space decomposition + PQ ─────────────
+    // The PQ family's optimization layer (Ge et al.'s OPQ in its
+    // parametric-allocation form — see [[opqIndex]]): dimensions are
+    // snake-dealt by ranked energy into the 4 subspaces (a permutation
+    // = the one exactly-replayable orthogonal transform), then each
+    // subspace trains its own 16-cell codebook on the permuted
+    // subvectors. Same output contract as q_pq_codes, so the two code
+    // tables diff directly — the avg_sim lift over the contiguous
+    // slicing IS the OPQ measurement. Fully oracled: the allocation
+    // census replays in exact integer arithmetic and the training
+    // reuses the proven per-subspace Lloyd chains.
+    Q("q_opq_codes",
+      (s, dir) => {
+        GraftExtensions.ensureRegistered(s)
+        val c = opqIndex(s, dir)._1
+        c.select(col("vec_id"),
+            col("c0"), col("c1"), col("c2"), col("c3"),
+            ((col("s0") + col("s1") + col("s2") + col("s3")) / 4.0)
+              .as("avg_sim"))
+          .orderBy("vec_id")
+      },
+      Some {
+        s"""WITH $duckOpqReplay
+              SELECT f0.vec_id,
+                CAST(f0.cent_id AS BIGINT) AS c0,
+                CAST(f1.cent_id AS BIGINT) AS c1,
+                CAST(f2.cent_id AS BIGINT) AS c2,
+                CAST(f3.cent_id AS BIGINT) AS c3,
+                (f0.csim + f1.csim + f2.csim + f3.csim) / 4.0 AS avg_sim
+              FROM o0_fin f0 JOIN o1_fin f1 USING (vec_id)
+                JOIN o2_fin f2 USING (vec_id)
+                JOIN o3_fin f3 USING (vec_id)
+              ORDER BY vec_id"""
+      }),
+
     // ── PQ asymmetric-distance search (ADC top-3) ───────────────────────
     // The SEARCH path the PQ codes exist for: each probe scores the
     // whole corpus WITHOUT touching raw vectors — 4 tiny per-subspace
@@ -1752,6 +1787,133 @@ object VectorOps {
       subes.foreach(_.unpersist())
       (out, books)
     })
+
+  /** OPQ-style space decomposition (the §20/§21 carried seed) — the
+    * parametric-allocation OPQ variant that optimizes the PQ
+    * decomposition by PERMUTATION: per-dimension second-moment
+    * energies over the corpus (exact round(v·10¹²)² integer units
+    * summed in DECIMAL(38,0) — order-free), dimensions ranked by
+    * energy and snake-dealt (0,1,2,3,3,2,1,0,…) into the 4 subspaces
+    * so each holds a near-equal share of total corpus energy — the
+    * eigenvalue-allocation heuristic of OPQ restricted to the one
+    * orthogonal transform whose training replays EXACTLY in integer
+    * arithmetic (a permutation matrix). Plain PQ on contiguous slices
+    * concentrates high-variance leading dims in one codebook; the
+    * balanced deal spreads quantization budget evenly, the
+    * documented OPQ win. Each subspace then trains its own 16-cell
+    * codebook on the permuted subvectors — the [[pqIndex]] pipeline
+    * unchanged, so the DuckDB replay composes the allocation CTEs
+    * with the proven per-subspace Lloyd chains.
+    */
+  private val opqMemo = Artifacts.memo[(DataFrame, Seq[DataFrame])] {
+    case (_, (d, books)) =>
+      d.unpersist(false); books.foreach(_.unpersist(false)); ()
+  }
+
+  private def opqIndex(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
+    opqMemo.computeIfAbsent((s, dir), _ => {
+      GraftExtensions.ensureRegistered(s)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).persist()
+      // 64-row allocation census; the unpartitioned window rides it
+      val q = round(col("v").cast("double") * lit(1e12)).cast(dec38)
+      val alloc = emb
+        .select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .groupBy((col("pos0") + 1).as("pos"))
+        .agg(sum(q * q).as("e"))
+        .select(col("pos"),
+          (expr("row_number() OVER (ORDER BY e DESC, pos)") - 1)
+            .as("rk"))
+        .select(col("pos"), col("rk"),
+          when(expr("(rk div 4) % 2") === 0, expr("rk % 4"))
+            .otherwise(lit(3) - expr("rk % 4")).as("sub"))
+        .localCheckpoint(true)
+      val subes = (0 until PqSubs).map { sub =>
+        val dims = alloc.filter(col("sub") === sub)
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(rk, pos)))," +
+              " x -> x.pos)").as("dims"))
+        emb.crossJoin(broadcast(dims))
+          .select(col("vec_id"),
+            expr("transform(dims, d -> element_at(embedding, d))")
+              .as("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            norm2(col("embedding")).as("n2"))
+          .persist()
+      }
+      val books = subes.map(sube =>
+        trainCentroids(s, sube, k = PqK, iters = 2).localCheckpoint(true))
+      val joined = subes.zip(books).zipWithIndex.map {
+        case ((sube, cents), sub) =>
+          assignCells(sube, cents)
+            .select(col("vec_id"), col("cent_id").as(s"c$sub"),
+              col("sim").as(s"s$sub"))
+      }.reduce(_.join(_, "vec_id"))
+      val out = joined.localCheckpoint(true)
+      subes.foreach(_.unpersist())
+      emb.unpersist()
+      (out, books)
+    })
+
+  /** The OPQ training replay as a WITH body: the allocation census
+    * (energy ranking + snake deal), per-subspace permuted projections,
+    * then the SAME init + 2-Lloyd-round + assignment chains as
+    * [[duckPqReplay]] over the permuted columns.
+    */
+  private lazy val duckOpqReplay: String = {
+    def subBlock(sub: Int): String =
+      s"""o${sub}_dims AS (
+            SELECT list(pos ORDER BY rk) AS dims
+            FROM opq_alloc WHERE sub = $sub),
+          o${sub}_emb0 AS (
+            SELECT e.vec_id,
+              list_transform(d.dims, i -> e.embedding[i]) AS embedding
+            FROM embeddings e CROSS JOIN o${sub}_dims d),
+          o${sub}_emb AS (
+            SELECT vec_id, embedding,
+              ${duckDot("embedding", "embedding", 16)} AS n2
+            FROM o${sub}_emb0),
+          o${sub}_c0 AS (
+            SELECT b.b AS cent_id,
+              list_transform(arg_min(e.embedding, e.vec_id),
+                x -> CAST(x AS DOUBLE)) AS c_emb
+            FROM obkt b JOIN o${sub}_emb e USING (vec_id)
+            GROUP BY 1),
+          o${sub}_c0n AS (
+            SELECT cent_id, c_emb,
+              ${duckDot("c_emb", "c_emb", 16)} AS c_n2
+            FROM o${sub}_c0),
+          ${duckLloydRound(1, 16, s"o${sub}_", s"o${sub}_emb")},
+          ${duckLloydRound(2, 16, s"o${sub}_", s"o${sub}_emb")},
+          o${sub}_fin AS (
+            SELECT e.vec_id, c.cent_id,
+              ${duckDot("c.c_emb", "e.embedding", 16)}
+                / sqrt(c.c_n2 * e.n2) AS csim
+            FROM o${sub}_emb e CROSS JOIN o${sub}_c2n c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY (CASE WHEN isnan(csim) THEN NULL ELSE csim END)
+                DESC NULLS LAST, c.cent_id) = 1)"""
+    s"""${duckXxHash64("ohs", "embeddings", "vec_id")},
+          obkt AS (SELECT vec_id, ((h % 16) + 16) % 16 AS b FROM ohs),
+          opq_dx AS (
+            SELECT unnest(embedding) AS v,
+              unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings),
+          opq_de AS (
+            SELECT pos,
+              SUM(CAST(round(CAST(v AS DOUBLE) * 1e12) AS HUGEINT)
+                * CAST(round(CAST(v AS DOUBLE) * 1e12) AS HUGEINT)) AS e
+            FROM opq_dx GROUP BY 1),
+          opq_alloc AS (
+            SELECT pos, rk,
+              CASE WHEN (rk // 4) % 2 = 0 THEN rk % 4
+                ELSE 3 - (rk % 4) END AS sub
+            FROM (SELECT pos,
+                    row_number() OVER (ORDER BY e DESC, pos) - 1 AS rk
+                  FROM opq_de)),
+          ${(0 until 4).map(subBlock).mkString(",\n")}"""
+  }
 
   /** The composed IVF-PQ posting-list artifact — (cent_id, vec_id,
     * c0..c3): each vector's IVF cell plus its 4 one-byte PQ codes, the

@@ -530,10 +530,21 @@ class PlanGuardSpec extends SparkSpec {
       val windows = plan.collect { case w: LWindow => w }
       // round 13: pinned-RANKED-census consumers carry no window at
       // all — the rank pass lives in the once-per-session artifact
-      // build; the LogicalRDD (localCheckpoint) scan is the tell
-      val readsArtifact = plan.collect { case r: LogicalRDD => r }.nonEmpty
-      assert(windows.nonEmpty || readsArtifact,
-        s"$q lost its rank windows entirely")
+      // build. Round 14 (r13 ADVICE): "any LogicalRDD" was vacuous —
+      // every checkpointed frame qualifies, so a regression dropping
+      // both the window AND the artifact-side rank would have passed.
+      // A windowless plan must read a RANKED artifact specifically: a
+      // LogicalRDD leaf exposing an exclusive-prefix column (off /
+      // off1), the schema only the ranked census builders produce.
+      if (windows.isEmpty) {
+        val rankedLeaves = plan.collect {
+          case r: LogicalRDD
+              if r.output.exists(a => a.name == "off" || a.name == "off1")
+            => r
+        }
+        assert(rankedLeaves.nonEmpty,
+          s"$q has no rank window and no ranked-artifact (off/off1) leaf")
+      }
       for (w <- windows) {
         val hasPid = w.partitionSpec.exists(_.toString.contains("__rr_pid"))
         val overCensus = w.child.collectFirst { case a: Aggregate => a }.nonEmpty
@@ -1172,7 +1183,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_pacf" -> 0, "q_autocorr" -> 0, "q_spectral_power" -> 1,
       "q_t_closeness" -> 0,
       "q_weighted_kappa" -> 0, "q_median_polish" -> 0,
-      "q_ipf_raking" -> 0,
+      // r14: the single-fold IPF runs ONE job with no re-execution, so
+      // its two raw scans (orders chain + the leaf-cut customer margin
+      // build) sit in the plan instead of behind a per-sweep persist
+      "q_ipf_raking" -> 2,
       "q_token_burstiness" -> 1, "q_token_dispersion" -> 0,
       "q_seasonal_mann_kendall" -> 0,
       "q_lorenz_asymmetry" -> 0, "q_kolkata_index" -> 0,

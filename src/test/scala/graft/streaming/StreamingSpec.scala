@@ -565,18 +565,18 @@ class StreamingSpec extends SparkSpec {
     // SAME drained state — seven readouts of one Complete-mode census
     val finishes = Seq[(String, org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame)](
-      "q_ansari_bradley" -> graft.ops.ModelEval.ansariBradleyFinish,
-      "q_cucconi" -> graft.ops.ModelEval.cucconiFinish,
-      "q_lepage" -> graft.ops.ModelEval.lepageFinish,
-      "q_bws_test" -> graft.ops.ModelEval.bwsFinish,
-      "q_fligner_policello" -> graft.ops.ModelEval.flignerPolicelloFinish,
+      "q_ansari_bradley" -> (df => graft.ops.ModelEval.ansariBradleyFinish(df)),
+      "q_cucconi" -> (df => graft.ops.ModelEval.cucconiFinish(df)),
+      "q_lepage" -> (df => graft.ops.ModelEval.lepageFinish(df)),
+      "q_bws_test" -> (df => graft.ops.ModelEval.bwsFinish(df)),
+      "q_fligner_policello" -> (df => graft.ops.ModelEval.flignerPolicelloFinish(df)),
       // round 12: the circular-CvM lens is the EIGHTH readout
-      "q_watson_u2" -> graft.ops.ModelEval.watsonU2Finish,
+      "q_watson_u2" -> (df => graft.ops.ModelEval.watsonU2Finish(df)),
       // round 13: energy distance is the NINTH readout of the same
       // Complete-mode state (the drained census takes the ranking
       // path inside the finish; batch reads the pinned artifact —
       // bit-equal either way)
-      "q_energy_distance" -> graft.ops.ModelEval.energyDistanceFinish)
+      "q_energy_distance" -> (df => graft.ops.ModelEval.energyDistanceFinish(df)))
     for ((qn, fin) <- finishes) {
       val st = fin(counts).collect().map(_.toString).toSet
       val ba = SparkEntry.queries(qn)(spark, sfDir).collect()
