@@ -30,7 +30,12 @@ object AbSpike {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .appName("ab-spike").getOrCreate()
+      .appName("ab-spike")
+      // Bench-identical broadcast threshold (r14) — these tools must
+      // time the same plans the battery times
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, dir, t).count())

@@ -17,6 +17,18 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 64 MB static broadcast threshold (r14, measured): Spark's
+      // 10 MB default predates 100+ GiB executors — at this session's
+      // 128 GiB, letting sub-64 MB scan sides broadcast at PLAN time
+      // skips the exchange materialization AQE's runtime conversion
+      // would otherwise need first (full-surface paired probe:
+      // 545 queries faster / 84 slower, −19% total). Still strictly
+      // size-based, so every side that grows with the corpus falls
+      // back to shuffle at real SF — and the round-loop joins whose
+      // local volume COULD slip under any threshold pin themselves
+      // non-broadcast with explicit merge hints (Graph.scala r14).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session + codegen + parquet footer reads

@@ -322,6 +322,13 @@ object ScaleCheck {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Bench-identical broadcast threshold (r14): slopes must be
+      // measured on the same plans the battery times. Note the ×M
+      // dirs GROW past 64 MB with depth, so a side that broadcasts at
+      // ×1 falls back to shuffle at ×16/×32 — which is exactly the
+      // scale behavior the deep rows exist to demonstrate.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -13,7 +13,12 @@ object TimeOne {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
-      .appName("timeone").getOrCreate()
+      .appName("timeone")
+      // Bench-identical broadcast threshold (r14) — these tools must
+      // time the same plans the battery times
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()

@@ -222,7 +222,13 @@ object Graph {
     */
   private[graft] def labelPropRound(edges: DataFrame,
       labels: DataFrame): DataFrame = {
-    val nbrMin = edges.join(labels, edges("src") === labels("node"))
+    // hint("merge") (r14): the edge list is the DATA-SCALING side of
+    // every round join — a size-based broadcast threshold must never
+    // pick it up just because the local test volume fits (the
+    // anti-broadcast contract made explicit in code, not left to the
+    // session's autoBroadcastJoinThreshold)
+    val nbrMin = edges.hint("merge")
+      .join(labels, edges("src") === labels("node"))
       .select(col("dst").as("n2"), col("lbl"))
       .groupBy("n2").agg(min(col("lbl")).as("m"))
     labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
@@ -301,7 +307,8 @@ object Graph {
     var d = 0
     while (!done && d < maxRounds) {
       d += 1
-      val next = edges.join(frontier, edges("src") === frontier("node"))
+      val next = edges.hint("merge")
+        .join(frontier, edges("src") === frontier("node"))
         .select(col("dst").cast("long").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("depth"))
@@ -380,7 +387,7 @@ object Graph {
         var ranks = deg.select(col("node"), col("deg"), lit(r0).as("pr"))
           .localCheckpoint(false)
         for (_ <- 1 to 5) {
-          val contrib = edges
+          val contrib = edges.hint("merge")
             .join(ranks, edges("src") === ranks("node"))
             .select(col("dst"), expr("pr div deg").as("c"))
           ranks = contrib.groupBy(col("dst").as("node"))
@@ -559,7 +566,8 @@ object Graph {
           // and never re-materializes. LAZY checkpoints (r14): the
           // Catalyst leaf is cut at call time, the four per-round
           // materialization jobs fold into the final census action.
-          val next = edges.join(frontier, edges("src") === frontier("node"))
+          val next = edges.hint("merge")
+            .join(frontier, edges("src") === frontier("node"))
             .select(col("dst").cast("long").as("node")).distinct()
             .join(visited.select("node"), Seq("node"), "left_anti")
             .select(col("node"), lit(d.toLong).as("depth"))
@@ -619,7 +627,7 @@ object Graph {
           .select(lit(seed).as("node"), lit(0L).as("cost"))
           .localCheckpoint(false)
         for (_ <- 1 to 4) {
-          val relaxed = edges
+          val relaxed = edges.hint("merge")
             .join(dist, edges("src") === dist("node"))
             .select(col("dst").cast("long").as("node"),
               (col("cost") + col("w")).as("cost"))
@@ -1014,7 +1022,7 @@ object Graph {
           .localCheckpoint(false)
         var auths: DataFrame = hubs
         for (_ <- 1 to 2) {
-          val araw = cs.join(hubs, cs("c") === hubs("node"))
+          val araw = cs.hint("merge").join(hubs, cs("c") === hubs("node"))
             .groupBy(col("s").as("node"))
             .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
           val amax = araw.agg(max(col("raw")).as("mx"))
@@ -1022,7 +1030,7 @@ object Graph {
             .select(col("node"),
               expr("(raw * 1000000000000) div mx").cast("long").as("a"))
             .localCheckpoint(false)
-          val hraw = cs.join(auths, cs("s") === auths("node"))
+          val hraw = cs.hint("merge").join(auths, cs("s") === auths("node"))
             .groupBy(col("c").as("node"))
             .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
           val hmax = hraw.agg(max(col("raw")).as("mx"))
@@ -1273,11 +1281,11 @@ object Graph {
         val p1 = edges.groupBy(col("dst").as("node"))
           .agg(count(lit(1)).cast(dec38).as("p1"))
           .localCheckpoint(false)
-        val p2 = edges.join(p1, edges("src") === p1("node"))
+        val p2 = edges.hint("merge").join(p1, edges("src") === p1("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("p1")).as("p2"))
           .localCheckpoint(false)
-        val p3 = edges.join(p2, edges("src") === p2("node"))
+        val p3 = edges.hint("merge").join(p2, edges("src") === p2("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("p2")).as("p3"))
         p1.join(p2.select(col("node").as("n2"), col("p2")),
@@ -1399,7 +1407,7 @@ object Graph {
           .localCheckpoint(false)
         var frontier = visited.select(col("seed"), col("node"))
         for (d <- 1 to 4) {
-          val next = edges
+          val next = edges.hint("merge")
             .join(frontier, edges("src") === frontier("node"))
             .select(col("seed"), col("dst").cast("long").as("node"))
             .distinct()

@@ -874,8 +874,18 @@ class PlanGuardSpec extends SparkSpec {
     val labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     val round = Graph.labelPropRound(edges, labels)
+    // r14: the round PINS the non-broadcast shape with an explicit
+    // merge hint on the edge side (threshold-proof: no session
+    // autoBroadcastJoinThreshold can pick up the data-scaling edge
+    // list just because the local volume fits). The guard therefore
+    // asserts (a) no BROADCAST hint anywhere, (b) the merge pin is
+    // present.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, SHUFFLE_MERGE}
     val hints = round.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.isEmpty, s"label-prop hints a population-scaling side: $hints")
+    assert(!hints.exists(_.hints.strategy.contains(BROADCAST)),
+      s"label-prop broadcast-hints a population-scaling side: $hints")
+    assert(hints.exists(_.hints.strategy.contains(SHUFFLE_MERGE)),
+      s"label-prop lost its anti-broadcast merge pin: $hints")
     // the neighbor-min must partial-aggregate (map-side min before the
     // dst shuffle) — a missing partial agg ships every edge's label
     val aggs = "HashAggregate".r
