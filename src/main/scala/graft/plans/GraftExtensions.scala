@@ -42,8 +42,13 @@ import org.apache.spark.sql.execution.aggregate.ScalaAggregator
   *     Jaccard verify kernel (replaces explode → join → count).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // AQE small-sort compaction (round 14): strictly runtime-size-based,
+    // physical-only — results are identical with or without it, so the
+    // driver's own extension-less correctness session is unaffected.
+    ext.injectQueryStagePrepRule(CompactSmallSort)
+  }
 }
 
 object GraftExtensions {
