@@ -364,20 +364,24 @@ object Graph {
         // - EDGES persist src-partitioned (materialized by the N
         //   count): every round's contribution join and the deg rejoin
         //   plan exchange-free on the edge-scale side — the 100-TB win.
-        // - RANKS localCheckpoint per round: truncates lineage, so
-        //   round r's plan is two leaf relations + one agg instead of
-        //   nesting rounds 1..r-1 (lazy persists nested the RAW plans
-        //   and analysis/cache-matching cost grew superlinearly — the
-        //   bench regression that motivated this split). The checkpoint
-        //   costs one NODE-scale exchange per round (ranks report
-        //   Unknown partitioning) — the small side, the right trade.
-        //   Round 14: the checkpoints are LAZY (eager = false) — the
-        //   Catalyst cut is identical (localCheckpoint wraps the round
-        //   in a LogicalRDD leaf at call time either way), but the five
-        //   eager materialization JOBS fold into the final action: one
-        //   job computes all five rounds, each round's marked RDD
-        //   persisting as its stage completes (r13 verdict item 2, the
-        //   per-query fixed-overhead attack).
+        // - RANKS nest as ONE five-round plan (round 14): every rank
+        //   generation is referenced exactly ONCE downstream (the next
+        //   round's contribution join), so nesting is linear — 5
+        //   join/agg blocks over InMemoryRelation leaves — and no
+        //   subtree is ever computed twice. Dropping the per-round
+        //   localCheckpoint removes, per round: the separate
+        //   QueryExecution whose AQE stages materialized eagerly at
+        //   DataFrame-BUILD time (strictly sequential jobs), the
+        //   node-scale cache write+read, and the re-exchange of ranks
+        //   the checkpoint's Unknown partitioning forced. Measured
+        //   (interleaved min-of-2, sf0.1): 18 jobs → 13, −27% wall.
+        //   This nesting is SAFE ONLY for single-reference chains:
+        //   applying it to the multi-reference loops (hits, bfs,
+        //   closeness, sssp — each generation read 2+ times) duplicated
+        //   the un-checkpointed subtrees combinatorially because AQE
+        //   stage reuse does not dedupe them (q_hits measured 31 → 107
+        //   jobs, 417 → 1608 tasks) — those keep their per-round lazy
+        //   checkpoints.
         val edges = bipartiteEdges(s, dir).persist() // bucketed scan: already src-partitioned
         val deg = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg")).persist()
@@ -385,7 +389,6 @@ object Graph {
         val r0 = Scale / n
         val base = (15L * r0) / 100L
         var ranks = deg.select(col("node"), col("deg"), lit(r0).as("pr"))
-          .localCheckpoint(false)
         for (_ <- 1 to 5) {
           val contrib = edges.hint("merge")
             .join(ranks, edges("src") === ranks("node"))
@@ -395,7 +398,6 @@ object Graph {
             .join(deg, "node")
             .select(col("node"), col("deg"),
               (lit(base) + expr("(85 * sc) div 100")).as("pr"))
-            .localCheckpoint(false)
         }
         ranks.select(col("node"), col("pr")).orderBy("node")
       },

@@ -168,9 +168,17 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q_pagerank never broadcasts ranks (they scale with the node population)") {
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // r14: the five rounds nest into ONE plan (no per-round checkpoint
+    // leaves), so the analyzed plan now SHOWS the per-round merge pins
+    // the checkpoints used to hide — the guard mirrors the label-prop
+    // shape: no BROADCAST hint anywhere, the anti-broadcast merge pin
+    // present on every round join.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint, SHUFFLE_MERGE}
     val hints = qe("q_pagerank").analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.isEmpty, s"pagerank carries broadcast hints: $hints")
+    assert(!hints.exists(_.hints.strategy.contains(BROADCAST)),
+      s"pagerank broadcast-hints a population-scaling side: $hints")
+    assert(hints.count(_.hints.strategy.contains(SHUFFLE_MERGE)) == 5,
+      s"pagerank lost a round's anti-broadcast merge pin: $hints")
   }
 
   /** Hash-exchange count by PHYSICAL TREE WALK — cache build plans are
