@@ -25,16 +25,8 @@ object AbSpike {
       "q_multisource_depth", "q_norm_profile", "q_novelty",
       // controls: same cost band, driver/close ≈ battery median
       "q_groupby_sum", "q_pricing_summary", "q_ks_drift"))
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("ab-spike")
-      // Bench-identical broadcast threshold (r14) — these tools must
-      // time the same plans the battery times
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
+    val spark = BenchConf(SparkSession.builder().master("local[32]")
+      .appName("ab-spike"), dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -11,24 +11,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // 64 MB static broadcast threshold (r14, measured): Spark's
-      // 10 MB default predates 100+ GiB executors — at this session's
-      // 128 GiB, letting sub-64 MB scan sides broadcast at PLAN time
-      // skips the exchange materialization AQE's runtime conversion
-      // would otherwise need first (full-surface paired probe:
-      // 545 queries faster / 84 slower, −19% total). Still strictly
-      // size-based, so every side that grows with the corpus falls
-      // back to shuffle at real SF — and the round-loop joins whose
-      // local volume COULD slip under any threshold pin themselves
-      // non-broadcast with explicit merge hints (Graph.scala r14).
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
+    // shared size-based session block (BenchConf): 64 MB broadcast
+    // threshold (r14), size-based AQE partition coalescing + shuffled-
+    // hash join enablement (r15) — rationale and measurements in
+    // BenchConf's doc
+    val spark = BenchConf(SparkSession.builder()
+      .master(s"local[$cpus]"), sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: session + codegen + parquet footer reads
@@ -58,7 +46,12 @@ object Bench {
       val times =
         if (math.abs(t1 - t2) > 0.25 * math.min(t1, t2)) Seq(t1, t2, one())
         else Seq(t1, t2)
-      name -> times.min
+      // keep rep1 alongside the min (r14 verdict item 5): session
+      // artifacts (graph edges, pinned censuses) memoize per JVM, so
+      // for the first query that touches one, rep1 carries the build
+      // cost the min-of-N estimator hides — bench_out.json reports
+      // both so the ingest/query split is visible per query.
+      (name, times.min, t1)
     }
     // write-path metric: the noop sink above times compute only, but at
     // 100 TB the sink is half the job — time the one real write path in
@@ -78,7 +71,7 @@ object Bench {
     }.min
     // 2-decimal times: centisecond resolution is below host noise
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
@@ -88,6 +81,17 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
+    // rep1 (build-inclusive) map, SEPARATE file (r14 verdict item 5):
+    // session artifacts memoize per JVM, so the first query touching
+    // one carries its build cost in rep1 — this makes the ingest/query
+    // split visible per query without polluting the min map of record
+    // (ScaleGateSpec regex-scans bench_out.json's seconds).
+    val qs1 = results.map { case (k, _, r1) => "\"" + k + "\":" + f2(r1) }
+      .mkString("{", ",", "}")
+    val out1 = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP1", "bench_rep1.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out1),
+      (s"""{"metric":"rep1","unit":"sec","queries":$qs1,"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
     // The driver captures only the LAST 2000 chars of stdout and JSON-
     // parses what it finds there. The plain 467-entry map is ~12 KB and
     // even its gzip+base64 form overflows the window (r5/r6: "parsed":
@@ -98,7 +102,7 @@ object Bench {
     // full map of record. Greedy fill from the slowest down — those are
     // the entries the perf grading actually reads.
     val budget = 1200 // chars for the inline "queries" map body
-    val bySlow = results.sortBy(-_._2)
+    val bySlow = results.map { case (k, v, _) => (k, v) }.sortBy(-_._2)
     val inline = new StringBuilder
     var kept = 0
     // stop at the FIRST entry that doesn't fit: keeping smaller later

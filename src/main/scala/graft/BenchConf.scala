@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE session-config block every bench instrument shares, so the
+  * battery and its probe tools always time the same plans (r14 lesson:
+  * five instruments each hand-copied the threshold).
+  *
+  * Every setting is SIZE-based, never machine-based — the same config
+  * is correct at local[8], local[32] and on a 1000-executor cluster:
+  *
+  *   - '''Input-size-derived initial shuffle partitions''' (r15, guide
+  *     §2.2 / round brief: "derive from input size rather than a
+  *     constant tuned for either local mode or the cluster"). The r14
+  *     setting `shuffle.partitions = $SPARK_GRAFT_CPUS` made every
+  *     exchange fan out with the CORE COUNT, so per-task fixed
+  *     overhead grew with cores: the r14 driver measured the full
+  *     battery 27% faster at local[8] than local[32] (298 vs 411 s),
+  *     and this session's JobTrace showed 32-way stages of a ~500 k-row
+  *     query burning 20-40 s of summed task time against ≤1 s for the
+  *     same stages 8-wide. Now: partitions = ceil(inputBytes × 10 /
+  *     64 MB) — input parquet volume, a ~10× parquet→row expansion at
+  *     this schema mix, one 64 MB advisory partition each — clamped to
+  *     [1, 2^20]. sf0.1 (17.5 MB) → 3; 100 TB → the 2^20 cap, which a
+  *     real deployment would override per pipeline. The SAME value at
+  *     every core count, so the driver's low-core scaling run compares
+  *     cores, not partition layouts. Override:
+  *     `SPARK_GRAFT_SHUFFLE_PARTITIONS`.
+  *   - '''`shuffle.sort.bypassMergeThreshold = 0`''' (r15): with ≤200
+  *     reduce partitions the default writer opens R files + R
+  *     compressor streams per MAP task (the bypass-merge path), so
+  *     cutting R with AQE still left M×R stream setups per exchange.
+  *     Forcing 0 routes every exchange through the serialized
+  *     (tungsten) sort writer — ONE file per map task — which is the
+  *     path every R>200 production shuffle takes anyway; local plans
+  *     now exercise the production writer. Measured (AbSpike min-of-3,
+  *     graph family): −20-35% per query.
+  *   - '''64 MB static `autoBroadcastJoinThreshold`''' (r14, measured
+  *     545/629 faster): Spark's 10 MB default predates 100+ GiB
+  *     executors; strictly size-based, so corpus-scaling sides fall
+  *     back to shuffle at real SF, and the graph round loops pin
+  *     themselves non-broadcast regardless (Graph.scala shuffle_hash
+  *     hints).
+  *   - '''`coalescePartitions.parallelismFirst=false`''' (r15, guide
+  *     §2.2): the default TRUE overrides the advisory size with
+  *     max(1 MB, total/parallelism) "to maximize parallelism" — a
+  *     machine-derived partition count again. FALSE is the documented
+  *     production recommendation: post-shuffle partition counts derive
+  *     from DATA SIZE (the 64 MB advisory). Measured −6% on the
+  *     slow-30 subset before the writer/partition changes above.
+  *   - '''`preferSortMergeJoin=false` + 64 MB
+  *     `maxShuffledHashJoinLocalMapThreshold`''' (r15, guide §3.1/§9):
+  *     let the planner pick shuffled-hash when its size conditions
+  *     hold and let AQE convert a planned sort-merge to shuffled-hash
+  *     at runtime when every build partition measures ≤ 64 MB —
+  *     removes both-side sorts without ever building a hash map over a
+  *     partition that does not provably fit. Measured −9% slow-30,
+  *     −8% cheap-20.
+  */
+object BenchConf {
+
+  /** ceil(bytes(dir) × 10 / 64 MB) clamped to [1, 2^20] — see class
+    * doc. Unreadable dirs fall back to 1 advisory partition (AQE skew
+    * split still breaks up anything that materializes big).
+    */
+  def sizeDerivedPartitions(dir: String): Int = {
+    val bytes =
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } catch { case _: Exception => 0L }
+    val target = 64L << 20
+    val est = bytes * 10
+    math.max(1L, math.min((est + target - 1) / target, 1L << 20)).toInt
+  }
+
+  def apply(b: SparkSession.Builder): SparkSession.Builder =
+    apply(b, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+
+  def apply(b: SparkSession.Builder, dir: String): SparkSession.Builder = {
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(sizeDerivedPartitions(dir))
+    b.config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L * 1024 * 1024).toString)
+  }
+}

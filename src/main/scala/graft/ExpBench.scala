@@ -28,14 +28,8 @@ object ExpBench {
     val confB = parse(args(2))
     val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
-      .getOrCreate()
+    val spark = BenchConf(SparkSession.builder().master(s"local[$cpus]"),
+      dir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -59,11 +53,17 @@ object ExpBench {
       spark.catalog.clearCache()
       System.gc()
       jobs.set(0)
+      var failed = false
       val t0 = System.nanoTime()
       try SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[exp] $q: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        failed = true; System.err.println(s"[exp] $q: $e")
+      }
+      // NaN sentinel (r14 ADVICE): a conf arm that makes a query fail
+      // fast must not win the A/B — NaN poisons the min and is excluded
+      // from the totals below instead of flowing into them.
+      val dt = if (failed) Double.NaN else (System.nanoTime() - t0) / 1e9
       Thread.sleep(30)
       (dt, jobs.get)
     }
@@ -75,7 +75,9 @@ object ExpBench {
       val (a2, _) = withConf(confA)(one(q))
       val (b2, _) = withConf(confB)(one(q))
       val a = math.min(a1, a2); val b = math.min(b1, b2)
-      ta += a; tb += b
+      // a failed arm excludes the QUERY from both totals so the sums
+      // stay comparable
+      if (!a.isNaN && !b.isNaN) { ta += a; tb += b }
       println(f"$q,$a%.2f,$b%.2f,$ja,$jb")
     }
     println(f"TOTAL,$ta%.2f,$tb%.2f,,")

@@ -37,11 +37,7 @@ object OverheadProbe {
         // heavies that AQE could plausibly HELP
         "q_pagerank", "q_hits", "q_brand_affinity", "q_ipf_raking",
         "q_conover_squared_ranks")
-    val builder = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val builder = BenchConf(SparkSession.builder().master("local[32]"), dir)
     // context-level (non-runtime-settable) conf experiments, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.shuffle.compress=false"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')

@@ -19,14 +19,8 @@ object PlanSnap {
       if (args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
       else args(1).split(',').map(_.trim).toSeq
     val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
-    val outDir = args.lift(3).getOrElse("plans/r14")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
+    val outDir = args.lift(3).getOrElse("plans/r15")
+    val spark = BenchConf(SparkSession.builder().master("local[32]"), dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
@@ -42,9 +36,11 @@ object PlanSnap {
         if (lines.size <= MaxLines) full
         else lines.take(MaxLines).mkString("\n") +
           s"\n... [truncated: ${lines.size - MaxLines} more lines of nested cache build plans]"
-      Files.writeString(Paths.get(s"$outDir/${q.stripPrefix("q_")}_$tag.txt"),
+      // full query name in the file (r15): the round deliverable is
+      // plans/rNN/<query>_{before,after}.txt keyed by the declared name
+      Files.writeString(Paths.get(s"$outDir/${q}_$tag.txt"),
         s"== $q ($tag, $dir) ==\n" + text + "\n")
-      println(s"wrote $outDir/${q.stripPrefix("q_")}_$tag.txt")
+      println(s"wrote $outDir/${q}_$tag.txt")
     }
     spark.stop()
   }

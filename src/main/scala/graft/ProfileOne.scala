@@ -14,12 +14,8 @@ object ProfileOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("profileone").getOrCreate()
+    val spark = BenchConf(SparkSession.builder().master("local[32]")
+      .appName("profileone"), dir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, dir, t).count())

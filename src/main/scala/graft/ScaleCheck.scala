@@ -316,19 +316,13 @@ object ScaleCheck {
       args(3).split(',').map(_.trim.toInt).toSeq
     else Mults
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Bench-identical broadcast threshold (r14): slopes must be
-      // measured on the same plans the battery times. Note the ×M
-      // dirs GROW past 64 MB with depth, so a side that broadcasts at
-      // ×1 falls back to shuffle at ×16/×32 — which is exactly the
-      // scale behavior the deep rows exist to demonstrate.
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
+    // Bench-identical session block (BenchConf): slopes must be
+    // measured on the same plans the battery times. Note the ×M
+    // dirs GROW past 64 MB with depth, so a side that broadcasts at
+    // ×1 falls back to shuffle at ×16/×32 — which is exactly the
+    // scale behavior the deep rows exist to demonstrate.
+    val spark = BenchConf(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -10,20 +10,21 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", false)
-      .appName("timeone")
-      // Bench-identical broadcast threshold (r14) — these tools must
-      // time the same plans the battery times
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
+    val spark = BenchConf(SparkSession.builder().master("local[32]")
+      .appName("timeone"), dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Bench-identical methodology (guide §1.4): noop sink so every
+    // column of every row computes (count() lets Catalyst prune most
+    // of the plan), cache-clear + GC outside the timing per rep — the
+    // r14 count() loop timed a DIFFERENT plan than the battery.
     for (i <- 1 to 3) {
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      println(s"run$i $name rows=$n ${(System.nanoTime() - t0) / 1e9}s")
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(s"run$i $name ${(System.nanoTime() - t0) / 1e9}s")
     }
     spark.stop()
   }

@@ -222,13 +222,17 @@ object Graph {
     */
   private[graft] def labelPropRound(edges: DataFrame,
       labels: DataFrame): DataFrame = {
-    // hint("merge") (r14): the edge list is the DATA-SCALING side of
-    // every round join — a size-based broadcast threshold must never
-    // pick it up just because the local test volume fits (the
-    // anti-broadcast contract made explicit in code, not left to the
-    // session's autoBroadcastJoinThreshold)
-    val nbrMin = edges.hint("merge")
-      .join(labels, edges("src") === labels("node"))
+    // shuffle_hash hint on the NODE-scale side (r15; was hint("merge")
+    // r14): the anti-broadcast contract stays explicit in code — a
+    // size-based broadcast threshold must never pick up a population-
+    // scaling side just because the local test volume fits — but the
+    // r14 merge pin paid a sort of BOTH sides every round (driver-
+    // measured 32-core collapse, q_hits 0.295×). SHUFFLE_HASH keeps
+    // the join off broadcast at any threshold while building only a
+    // per-partition hash map over the hinted node-scale side; the
+    // data-scaling edge list streams (guide §3.1).
+    val nbrMin = edges
+      .join(labels.hint("shuffle_hash"), edges("src") === labels("node"))
       .select(col("dst").as("n2"), col("lbl"))
       .groupBy("n2").agg(min(col("lbl")).as("m"))
     labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
@@ -307,8 +311,9 @@ object Graph {
     var d = 0
     while (!done && d < maxRounds) {
       d += 1
-      val next = edges.hint("merge")
-        .join(frontier, edges("src") === frontier("node"))
+      val next = edges
+        .join(frontier.hint("shuffle_hash"),
+          edges("src") === frontier("node"))
         .select(col("dst").cast("long").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("depth"))
@@ -390,8 +395,9 @@ object Graph {
         val base = (15L * r0) / 100L
         var ranks = deg.select(col("node"), col("deg"), lit(r0).as("pr"))
         for (_ <- 1 to 5) {
-          val contrib = edges.hint("merge")
-            .join(ranks, edges("src") === ranks("node"))
+          val contrib = edges
+            .join(ranks.hint("shuffle_hash"),
+              edges("src") === ranks("node"))
             .select(col("dst"), expr("pr div deg").as("c"))
           ranks = contrib.groupBy(col("dst").as("node"))
             .agg(sum(col("c")).as("sc"))
@@ -559,21 +565,27 @@ object Graph {
         val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
         var visited = edges.sparkSession.range(1)
           .select(lit(seed).as("node"), lit(0L).as("depth"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         var frontier = visited.select(col("node"))
         for (d <- 1 to 4) {
           // only the FRONTIER needs the lineage cut (it feeds the
           // next round's join); visited is a flat union of already-
           // checkpointed frontiers, so its lineage stays 4 blocks deep
-          // and never re-materializes. LAZY checkpoints (r14): the
-          // Catalyst leaf is cut at call time, the four per-round
-          // materialization jobs fold into the final census action.
-          val next = edges.hint("merge")
-            .join(frontier, edges("src") === frontier("node"))
+          // and never re-materializes. EAGER checkpoints (r15, back
+          // from r14's lazy): each generation is read 2+ times (the
+          // visited union AND the next frontier join), and lazy cache
+          // leaves let separate AQE stages materialize the SAME
+          // generation concurrently — duplicated upstream compute that
+          // grows with the core count (driver r14: q_hits 6.5× slower
+          // at 32 cores than at 8). One eager job per hop is the
+          // cheaper trade.
+          val next = edges
+            .join(frontier.hint("shuffle_hash"),
+              edges("src") === frontier("node"))
             .select(col("dst").cast("long").as("node")).distinct()
             .join(visited.select("node"), Seq("node"), "left_anti")
             .select(col("node"), lit(d.toLong).as("depth"))
-            .localCheckpoint(false)
+            .localCheckpoint(true)
           visited = visited.unionByName(next)
           frontier = next.select(col("node"))
         }
@@ -623,19 +635,22 @@ object Graph {
             (lit(1L) + (col("src") + col("dst")) % 5).as("w"))
           .persist() // bucketed scan: projection keeps src partitioning
         val seed = edges.agg(min(col("src")).cast("long")).head.getLong(0)
-        // lazy checkpoints (r14): leaf-cut per round, the four relax
-        // materialization jobs fold into the final census action
+        // eager checkpoints (r15, back from r14's lazy): each dist
+        // generation is read twice per round (the relax join AND the
+        // union) — see q_bfs_reach for the concurrent-materialization
+        // pathology lazy leaves cause at high core counts
         var dist = edges.sparkSession.range(1)
           .select(lit(seed).as("node"), lit(0L).as("cost"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         for (_ <- 1 to 4) {
-          val relaxed = edges.hint("merge")
-            .join(dist, edges("src") === dist("node"))
+          val relaxed = edges
+            .join(dist.hint("shuffle_hash"),
+              edges("src") === dist("node"))
             .select(col("dst").cast("long").as("node"),
               (col("cost") + col("w")).as("cost"))
           dist = dist.unionByName(relaxed)
             .groupBy("node").agg(min(col("cost")).as("cost"))
-            .localCheckpoint(false)
+            .localCheckpoint(true)
         }
         dist.groupBy("cost")
           .agg(count(lit(1)).as("n_nodes"),
@@ -1015,31 +1030,37 @@ object Graph {
           .select(expr("src div 2").as("c"), expr("(dst - 1) div 2").as("s"))
           .repartition(col("c")).persist()
         cs.count()
-        // lazy checkpoints (r14): leaf-cut per half-round, the four
-        // eager materialization jobs fold into the final action (the
-        // max-broadcast builds materialize each generation's cache on
-        // their first read)
+        // eager checkpoints (r15, back from r14's lazy): every score
+        // generation is read 2+ times (the next half-round's join, the
+        // max broadcast build, the final union) — lazy cache leaves let
+        // those consumers materialize the SAME generation concurrently
+        // (driver r14: q_hits 13.82 s at 32 cores vs 2.14 s at 8, the
+        // worst inversion in the battery; JobTrace r15 measured ~200 s
+        // of duplicated task CPU per rep). One eager job per
+        // half-round is the cheaper trade.
         var hubs = cs.select(col("c")).distinct()
           .select(col("c").as("node"), lit(Scale).as("h"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         var auths: DataFrame = hubs
         for (_ <- 1 to 2) {
-          val araw = cs.hint("merge").join(hubs, cs("c") === hubs("node"))
+          val araw = cs.join(hubs.hint("shuffle_hash"),
+              cs("c") === hubs("node"))
             .groupBy(col("s").as("node"))
             .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
           val amax = araw.agg(max(col("raw")).as("mx"))
           auths = araw.crossJoin(broadcast(amax))
             .select(col("node"),
               expr("(raw * 1000000000000) div mx").cast("long").as("a"))
-            .localCheckpoint(false)
-          val hraw = cs.hint("merge").join(auths, cs("s") === auths("node"))
+            .localCheckpoint(true)
+          val hraw = cs.join(auths.hint("shuffle_hash"),
+              cs("s") === auths("node"))
             .groupBy(col("c").as("node"))
             .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
           val hmax = hraw.agg(max(col("raw")).as("mx"))
           hubs = hraw.crossJoin(broadcast(hmax))
             .select(col("node"),
               expr("(raw * 1000000000000) div mx").cast("long").as("h"))
-            .localCheckpoint(false)
+            .localCheckpoint(true)
         }
         hubs.select(lit("hub").as("role"), col("node"),
             col("h").as("score"))
@@ -1283,11 +1304,13 @@ object Graph {
         val p1 = edges.groupBy(col("dst").as("node"))
           .agg(count(lit(1)).cast(dec38).as("p1"))
           .localCheckpoint(false)
-        val p2 = edges.hint("merge").join(p1, edges("src") === p1("node"))
+        val p2 = edges.join(p1.hint("shuffle_hash"),
+            edges("src") === p1("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("p1")).as("p2"))
           .localCheckpoint(false)
-        val p3 = edges.hint("merge").join(p2, edges("src") === p2("node"))
+        val p3 = edges.join(p2.hint("shuffle_hash"),
+            edges("src") === p2("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("p2")).as("p3"))
         p1.join(p2.select(col("node").as("n2"), col("p2")),
@@ -1400,23 +1423,27 @@ object Graph {
         val seeds = edges.select(col("src").cast("long").as("seed"))
           .distinct().orderBy("seed").limit(8)
           .collect().map(_.getLong(0)).toSeq
-        // lazy checkpoints (r14): leaf-cut per round, the four
-        // frontier materialization jobs fold into the final action
+        // eager checkpoints (r15, back from r14's lazy): each (seed,
+        // node) generation is read twice (union AND next frontier) —
+        // see q_bfs_reach for the lazy concurrent-materialization
+        // pathology (driver r14: q_closeness 5.03 s at 32 cores vs
+        // 2.87 s at 8)
         var visited = edges.sparkSession
           .createDataFrame(seeds.map(Tuple1(_)))
           .select(col("_1").as("seed"), col("_1").as("node"),
             lit(0L).as("depth"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         var frontier = visited.select(col("seed"), col("node"))
         for (d <- 1 to 4) {
-          val next = edges.hint("merge")
-            .join(frontier, edges("src") === frontier("node"))
+          val next = edges
+            .join(frontier.hint("shuffle_hash"),
+              edges("src") === frontier("node"))
             .select(col("seed"), col("dst").cast("long").as("node"))
             .distinct()
             .join(visited.select("seed", "node"), Seq("seed", "node"),
               "left_anti")
             .select(col("seed"), col("node"), lit(d.toLong).as("depth"))
-            .localCheckpoint(false)
+            .localCheckpoint(true)
           visited = visited.unionByName(next)
           frontier = next.select(col("seed"), col("node"))
         }

@@ -43,15 +43,15 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 case class CompactSmallSort(session: SparkSession) extends Rule[SparkPlan] {
 
+  // byteStringAsBytes handles bare numbers and every case-insensitive
+  // unit suffix ('b', 'kb', 'mb', ...) — the r14 endsWith("b") special
+  // case turned '64mb' into '64m'.toLong and failed planning for the
+  // whole session (r14 ADVICE, medium).
   private def threshold: Long =
-    session.conf.getOption("spark.graft.compactSortBytes").map(_.toLong)
-      .getOrElse(session.sessionState.conf.getConfString(
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
-        match {
-          case s if s.endsWith("b") => s.dropRight(1).toLong
-          case s => org.apache.spark.network.util.JavaUtils
-            .byteStringAsBytes(s)
-        })
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      session.conf.getOption("spark.graft.compactSortBytes")
+        .getOrElse(session.sessionState.conf.getConfString(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")))
 
   /** Size of `p`'s output, when derivable from a materialized stage
     * below through operators that cannot grow the data (projection of
@@ -69,7 +69,16 @@ case class CompactSmallSort(session: SparkSession) extends Rule[SparkPlan] {
     case a: BaseAggregateExec => knownSize(a.child)
     case s: SortExec => knownSize(s.child)
     case c: CoalesceExec => knownSize(c.child)
-    case w: WindowExec => knownSize(w.child)
+    case w: WindowExec
+        // collection-building window aggregates (collect_list/
+        // collect_set) over unbounded frames can grow output by
+        // O(rows)× — a stage measuring under the threshold could then
+        // compact a vastly larger sort into one task (r14 ADVICE).
+        // Plain analytic/arithmetic windows are row-for-row.
+        if !w.windowExpression.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate.Collect[_] => true
+          case _ => false
+        }) => knownSize(w.child)
     case e: ExpandExec =>
       // rollup/cube: one output row per projection per input row
       knownSize(e.child).map(_ * math.max(1, e.projections.size))

@@ -96,11 +96,12 @@ class GraphSkewSpec extends SparkSpec {
       .select(col("node"), lit(1000000L).as("pr"), lit(2L).as("deg"))
       .localCheckpoint(true)
     withSkewConf {
-      // ONE pagerank contribution round, the q_pagerank shape: ranks
-      // shuffle-join onto edges by src (merge-pinned — the skew-split
-      // mechanism is SMJ's), partial-agg sum by dst
-      val contrib = edges.hint("merge")
-        .join(ranks, edges("src") === ranks("node"))
+      // ONE pagerank contribution round, the q_pagerank shape (r15):
+      // ranks shuffle-hash-join onto edges by src — the node-scale
+      // side is the hinted build side, edges stream, and the skewed
+      // STREAM partition is what AQE splits
+      val contrib = edges
+        .join(ranks.hint("shuffle_hash"), edges("src") === ranks("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
       val rows = contrib.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -122,10 +123,11 @@ class GraphSkewSpec extends SparkSpec {
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
     withSkewConf {
-      // one min-label round, the labelPropRound shape: labels join
-      // edges on src (the hub's 10⁵ rows in one partition), min by dst
-      val prop = edges.hint("merge")
-        .join(labels, edges("src") === labels("node"))
+      // one min-label round, the labelPropRound shape (r15): labels
+      // shuffle-hash-join edges on src (the hub's 10⁵ rows in one
+      // stream partition), min by dst
+      val prop = edges
+        .join(labels.hint("shuffle_hash"), edges("src") === labels("node"))
         .groupBy("dst").agg(min(col("lbl")).as("nl"))
       val rows = prop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
@@ -165,16 +167,17 @@ class GraphSkewSpec extends SparkSpec {
 
   test("frontier expansion survives a hub frontier: AQE splits the src join") {
     val edges = hubEdges
-    // the closeness/BFS round shape: the frontier holds the HUB, so the
-    // edges⋈frontier join on src concentrates all 10⁵ hub rows in one
-    // partition; broadcast is disabled (at 100 TB a deep frontier does
-    // not broadcast), so this is the SMJ the production round degrades
-    // to on a power-law graph
+    // the closeness/BFS round shape (r15): the frontier holds the HUB,
+    // so the edges⋈frontier join on src concentrates all 10⁵ hub rows
+    // in one stream partition; broadcast is disabled (at 100 TB a deep
+    // frontier does not broadcast), so this is the shuffled-hash join
+    // the production round degrades to on a power-law graph
     import spark.implicits._
     val frontier = Seq(0L).toDF("node").localCheckpoint(true)
     withSkewConf {
-      val next = edges.hint("merge")
-        .join(frontier, edges("src") === frontier("node"))
+      val next = edges
+        .join(frontier.hint("shuffle_hash"),
+          edges("src") === frontier("node"))
         .select(col("dst")).distinct()
       val n = next.collect().length.toLong
       assert(n == hubDeg, s"frontier expansion reached $n, want $hubDeg")

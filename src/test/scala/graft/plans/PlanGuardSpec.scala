@@ -169,16 +169,19 @@ class PlanGuardSpec extends SparkSpec {
 
   test("q_pagerank never broadcasts ranks (they scale with the node population)") {
     // r14: the five rounds nest into ONE plan (no per-round checkpoint
-    // leaves), so the analyzed plan now SHOWS the per-round merge pins
-    // the checkpoints used to hide — the guard mirrors the label-prop
-    // shape: no BROADCAST hint anywhere, the anti-broadcast merge pin
-    // present on every round join.
-    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint, SHUFFLE_MERGE}
+    // leaves), so the analyzed plan SHOWS the per-round pins the
+    // checkpoints used to hide. r15: the pin is SHUFFLE_HASH on the
+    // node-scale (ranks) side — anti-broadcast at any threshold, but
+    // without the per-round both-side sorts the r14 merge pin paid
+    // (driver-measured 32-core collapse). The guard mirrors the
+    // label-prop shape: no BROADCAST hint anywhere, the shuffle-hash
+    // pin present on every round join.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint, SHUFFLE_HASH}
     val hints = qe("q_pagerank").analyzed.collect { case h: ResolvedHint => h }
     assert(!hints.exists(_.hints.strategy.contains(BROADCAST)),
       s"pagerank broadcast-hints a population-scaling side: $hints")
-    assert(hints.count(_.hints.strategy.contains(SHUFFLE_MERGE)) == 5,
-      s"pagerank lost a round's anti-broadcast merge pin: $hints")
+    assert(hints.count(_.hints.strategy.contains(SHUFFLE_HASH)) == 5,
+      s"pagerank lost a round's anti-broadcast shuffle-hash pin: $hints")
   }
 
   /** Hash-exchange count by PHYSICAL TREE WALK — cache build plans are
@@ -882,18 +885,19 @@ class PlanGuardSpec extends SparkSpec {
     val labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     val round = Graph.labelPropRound(edges, labels)
-    // r14: the round PINS the non-broadcast shape with an explicit
-    // merge hint on the edge side (threshold-proof: no session
-    // autoBroadcastJoinThreshold can pick up the data-scaling edge
-    // list just because the local volume fits). The guard therefore
-    // asserts (a) no BROADCAST hint anywhere, (b) the merge pin is
+    // r14 pinned the non-broadcast shape with a merge hint; r15 keeps
+    // the pin but as SHUFFLE_HASH on the node-scale labels side
+    // (threshold-proof: no session autoBroadcastJoinThreshold can pick
+    // up a population-scaling side just because the local volume fits,
+    // and no per-round sort is paid). The guard therefore asserts
+    // (a) no BROADCAST hint anywhere, (b) the shuffle-hash pin is
     // present.
-    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, SHUFFLE_MERGE}
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, SHUFFLE_HASH}
     val hints = round.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(!hints.exists(_.hints.strategy.contains(BROADCAST)),
       s"label-prop broadcast-hints a population-scaling side: $hints")
-    assert(hints.exists(_.hints.strategy.contains(SHUFFLE_MERGE)),
-      s"label-prop lost its anti-broadcast merge pin: $hints")
+    assert(hints.exists(_.hints.strategy.contains(SHUFFLE_HASH)),
+      s"label-prop lost its anti-broadcast shuffle-hash pin: $hints")
     // the neighbor-min must partial-aggregate (map-side min before the
     // dst shuffle) — a missing partial agg ships every edge's label
     val aggs = "HashAggregate".r
@@ -1319,5 +1323,60 @@ class PlanGuardSpec extends SparkSpec {
       && !plan.contains("ShuffledHashJoin"),
       "J-T replanned a data-sized join — the pivoted prefix was lost:\n" +
         plan.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("CompactSmallSort fires on a small final sort and declines over threshold") {
+    // r15 (r14 ADVICE): the rule fired only at runtime, so no suite
+    // asserted it — a silent no-op would have passed everything. Fire
+    // case: a census-bounded orderBy's EXECUTED plan must hold the
+    // compacted Sort(local) ← Coalesce(1) and no range exchange.
+    // Decline case: the same query under a 1-byte threshold keeps the
+    // sampled range exchange (the distributed sort a >threshold input
+    // needs). Results must be identical either way.
+    import org.apache.spark.sql.execution.{CoalesceExec, SortExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def executedFinal(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect().toSeq // collect() executes df's own QE
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan match {
+          // QueryStageExec is a LEAF — collect() would see nothing
+          // under a Spark 4 ResultQueryStage root without unwrapping
+          case q: QueryStageExec => q.plan
+          case p => p
+        }
+        case p => p
+      }
+      (rows, p)
+    }
+    def sorted() = spark.range(2000)
+      .selectExpr("id % 97 as k", "id as v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      .orderBy("k")
+    val (fireRows, firePlan) = executedFinal(sorted())
+    assert(firePlan.collectFirst {
+      case s: SortExec if !s.global => s }.nonEmpty
+      && firePlan.collectFirst { case c: CoalesceExec
+        if c.numPartitions == 1 => c }.nonEmpty,
+      s"small final sort was not compacted:\n$firePlan")
+    assert(!firePlan.toString.toLowerCase.contains("rangepartitioning"),
+      s"compacted sort still pays the range exchange:\n$firePlan")
+    val saved = spark.conf.getOption("spark.graft.compactSortBytes")
+    try {
+      spark.conf.set("spark.graft.compactSortBytes", "1")
+      val (keepRows, keepPlan) = executedFinal(sorted())
+      assert(keepPlan.toString.toLowerCase.contains("rangepartitioning"),
+        s"over-threshold sort lost its range exchange:\n$keepPlan")
+      assert(keepRows == fireRows,
+        "compacted and distributed sorts disagree on the result")
+      // byte-string thresholds parse too (the r14 '64mb' planning bug)
+      spark.conf.set("spark.graft.compactSortBytes", "64mb")
+      val (mbRows, mbPlan) = executedFinal(sorted())
+      assert(mbRows == fireRows, s"byte-string threshold broke the sort")
+      assert(!mbPlan.toString.toLowerCase.contains("rangepartitioning"),
+        s"byte-string threshold failed to compact:\n$mbPlan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.compactSortBytes", v)
+      case None => spark.conf.unset("spark.graft.compactSortBytes")
+    }
   }
 }
