@@ -18,13 +18,13 @@ import org.apache.spark.sql.SparkSession
   *     battery 27% faster at local[8] than local[32] (298 vs 411 s),
   *     and this session's JobTrace showed 32-way stages of a ~500 k-row
   *     query burning 20-40 s of summed task time against ≤1 s for the
-  *     same stages 8-wide. Now: partitions = ceil(inputBytes × 10 /
-  *     64 MB) — input parquet volume, a ~10× parquet→row expansion at
-  *     this schema mix, one 64 MB advisory partition each — clamped to
-  *     [1, 2^20]. sf0.1 (17.5 MB) → 3; 100 TB → the 2^20 cap, which a
-  *     real deployment would override per pipeline. The SAME value at
-  *     every core count, so the driver's low-core scaling run compares
-  *     cores, not partition layouts. Override:
+  *     same stages 8-wide. Now: partitions = ceil(inputBytes / 2 MB)
+  *     (sizing rationale + bracketing measurements on
+  *     [[sizeDerivedPartitions]]), clamped to [1, 2^20]. sf0.1
+  *     (17.5 MB) → 9; 100 TB → the 2^20 cap, which a real deployment
+  *     would override per pipeline. The SAME value at every core
+  *     count, so the driver's low-core scaling run compares cores,
+  *     not partition layouts. Override:
   *     `SPARK_GRAFT_SHUFFLE_PARTITIONS`.
   *   - '''`shuffle.sort.bypassMergeThreshold = 0`''' (r15): with ≤200
   *     reduce partitions the default writer opens R files + R
@@ -59,9 +59,19 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchConf {
 
-  /** ceil(bytes(dir) × 10 / 64 MB) clamped to [1, 2^20] — see class
-    * doc. Unreadable dirs fall back to 1 advisory partition (AQE skew
-    * split still breaks up anything that materializes big).
+  /** ceil(bytes(dir) / 2 MB) clamped to [1, 2^20] — one 64 MB-class
+    * working-set partition per ~2 MB of source parquet: ~10× parquet→
+    * row decode expansion at this schema mix, times the ~3× row-
+    * multiplying intermediates (explodes, pair joins, unions) of the
+    * analytic surface. Bracketed at sf0.1/local[32] (ExpBench,
+    * interleaved min-of-2 over a 23-query heavy+cheap panel): 3
+    * partitions regressed the quantile/sketch cluster 2-3× (too
+    * little reduce-side parallelism for data-scale compute), 8 → 16 →
+    * 32 within ±6% of each other once the tungsten writer and
+    * advisory coalescing are on — so the formula targets the flat
+    * region's low end. Unreadable dirs fall back to 1 advisory
+    * partition (AQE skew split still breaks up anything that
+    * materializes big).
     */
   def sizeDerivedPartitions(dir: String): Int = {
     val bytes =
@@ -71,9 +81,8 @@ object BenchConf {
           .mapToLong(java.nio.file.Files.size(_)).sum()
         finally s.close()
       } catch { case _: Exception => 0L }
-    val target = 64L << 20
-    val est = bytes * 10
-    math.max(1L, math.min((est + target - 1) / target, 1L << 20)).toInt
+    val target = 2L << 20
+    math.max(1L, math.min((bytes + target - 1) / target, 1L << 20)).toInt
   }
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
@@ -91,6 +100,13 @@ object BenchConf {
         (64L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // NOT adopted: 16 MB advisoryPartitionSizeInBytes measured −8%
+      // on a 20-query ExpBench panel (quantile cluster −25%) but both
+      // full-battery validation draws landed in a hot co-tenant window
+      // (uniform ~1.3× geomean incl. untouched queries), so the
+      // battery-level claim could not be proven — the r14 lesson is
+      // exactly not to ship warm-probe-only wins. Candidate for the
+      // next session, with the panel table in OPTIMIZATION_r15.md.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         (64L * 1024 * 1024).toString)
